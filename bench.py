@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the engine's headline queries.
+
+Runs each headline query (plus optionally every registered query with
+--all) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], forcing full execution with a count-style action
+(no result materialization to the driver beyond the count).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true", help="time every registered query")
+    ap.add_argument("--repeat", type=int, default=1, help="timed repetitions; best run wins")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+
+    from energy_datalake_solution_spark.plans.registry import QUERIES, get_queries
+    from energy_datalake_solution_spark.plans.session import get_spark
+
+    get_queries()
+    names = sorted(QUERIES) if args.all else sorted(n for n, s in QUERIES.items() if s.headline)
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen path once with a trivial job.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = QUERIES[name]
+        best = None
+        for _ in range(max(1, args.repeat)):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.count()  # full execution; driver only receives the count
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum of headline query wall times",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

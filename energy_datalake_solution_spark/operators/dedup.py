@@ -1,0 +1,313 @@
+"""Deduplication operators over ``documents`` — the LLM-corpus dedup suite.
+
+Four tiers, cheapest first:
+  1. exact        — hash-groupBy on normalized content (one shuffle on a
+                    compact digest key).
+  2. ngram-jaccard — exact set-similarity on word-3-gram shingles via an
+                    inverted-index self-join (explode -> join on shingle ->
+                    per-pair intersection counts). Exact, SQL-expressible.
+  3. simhash      — 60-bit simhash per doc; near-dup pairs found by banding
+                    the fingerprint (4 x 15-bit bands, join per band) and
+                    verifying Hamming distance. Deterministic (md5-based),
+                    SQL-expressible, scales as band-key joins.
+  4. minhash-lsh  — pyspark.ml MinHashLSH approx similarity join (seeded);
+                    probabilistic, so rows-only check (no SQL oracle).
+
+Scale posture: tiers 2-4 avoid the O(n^2) cross join — candidate pairs come
+from inverted-index / band-bucket joins, which shuffle on shingle/band keys.
+Hot shingles (stopword-only 3-grams) are the classic skew source; the
+Jaccard operator drops shingles with document frequency above a cap, which
+is both a skew guard and the standard quality fix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+JACCARD_THRESHOLD = 0.5
+MAX_SHINGLE_DF = 100        # inverted-index df cap (skew + quality guard)
+SIMHASH_BITS = 60           # from 15 hex chars of md5 (fits signed int64)
+SIMHASH_BANDS = 4           # 4 bands x 15 bits
+HAMMING_THRESHOLD = 8
+
+
+# --------------------------------------------------------------------------
+# 1. Exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "docs_exact_dedup",
+    oracle="""
+        SELECT md5(lower(trim(text))) AS content_hash,
+               min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest doc_id.
+    Hashing first means the shuffle key is 16 bytes, not the document."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.lower(F.trim("text"))).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Exact n-gram Jaccard near-dup pairs (inverted index join)
+# --------------------------------------------------------------------------
+@register(
+    "docs_ngram_jaccard_pairs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        ),
+        df AS (
+            SELECT shingle FROM shingles GROUP BY shingle
+            HAVING count(*) <= {MAX_SHINGLE_DF}
+        ),
+        filtered AS (
+            SELECT s.doc_id, s.shingle FROM shingles s JOIN df USING (shingle)
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM filtered GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM filtered a JOIN filtered b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               p.n_shared * 1.0 / (sa.n_sh + sb.n_sh - p.n_shared) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE p.n_shared * 1.0 / (sa.n_sh + sb.n_sh - p.n_shared) >= {JACCARD_THRESHOLD}
+    """,
+    headline=True,
+    tags=("dedup", "similarity"),
+)
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity pairs above a threshold.
+
+    Plan shape: explode shingles (distinct per doc) -> document-frequency cap
+    (drops hot shingles: skew guard) -> self-join on shingle (inverted
+    index; shuffle key = shingle) -> per-pair shared counts -> Jaccard from
+    |A|+|B|-shared. No cross join anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 3)
+    idx = F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i")
+    shingles = (
+        toks.select("doc_id", "w", idx)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("i")),
+                F.element_at("w", F.col("i") + 1),
+                F.element_at("w", F.col("i") + 2),
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    df_ok = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    filtered = shingles.join(df_ok, "shingle")
+    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared") * 1.0 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. SimHash fingerprints + banded near-dup candidates
+# --------------------------------------------------------------------------
+def _simhash_oracle_fp() -> str:
+    """Shared CTE text computing per-doc 60-bit simhash in DuckDB."""
+    return """
+        toks AS (
+            SELECT DISTINCT doc_id, u.tok AS tok
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                 UNNEST(w) AS u(tok)
+        ),
+        hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, b.bit AS bit,
+                   sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM hashed, UNNEST(range(0, 60)) AS b(bit)
+            GROUP BY doc_id, b.bit
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+                       AS simhash
+            FROM bits GROUP BY doc_id
+        )
+    """
+
+
+@register(
+    "docs_simhash",
+    oracle=f"WITH {_simhash_oracle_fp()} SELECT doc_id, simhash FROM fp",
+    tags=("dedup", "fingerprint"),
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (md5-derived token hashes, majority vote
+    per bit). Deterministic across engines because the token hash is md5.
+
+    Plan: explode distinct tokens -> explode 60 bit positions -> two hash
+    aggregations keyed by doc. All built-ins; the bit explosion is a
+    constant 60x fan-out, still linear in corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .distinct()
+    )
+    hashed = toks.select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("h")
+    )
+    bits = (
+        hashed.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+@register(
+    "docs_simhash_near_dups",
+    oracle=f"""
+        WITH {_simhash_oracle_fp()},
+        banded AS (
+            SELECT doc_id, simhash, b.band AS band,
+                   (simhash >> (b.band * 15)) & 32767 AS band_key
+            FROM fp, UNNEST(range(0, {SIMHASH_BANDS})) AS b(band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                            b.doc_id AS doc_b, b.simhash AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_THRESHOLD}
+    """,
+    tags=("dedup", "similarity"),
+)
+def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs via LSH banding.
+
+    The 60-bit fingerprint splits into 4 x 15-bit bands; any pair agreeing
+    on a full band becomes a candidate (pigeonhole: Hamming <= 3 guarantees
+    a matching band). Candidates are verified by exact Hamming distance.
+    Join key = (band, band_key) — equi-join, no cross product, scales to
+    corpus size x 4 rows.
+    """
+    fp = docs_simhash(spark, sf_dir)
+    band = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band")
+    banded = fp.select("doc_id", "simhash", band).withColumn(
+        "band_key", F.expr("shiftright(simhash, band * 15)").bitwiseAND(32767)
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.where(hamming <= HAMMING_THRESHOLD).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. MinHash-LSH approximate near-dup join (rows-only check)
+# --------------------------------------------------------------------------
+@register("docs_minhash_lsh_pairs", oracle=None, tags=("dedup", "approx"))
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate Jaccard near-dup pairs via MinHash-LSH
+    (pyspark.ml.feature.HashingTF + MinHashLSH, fixed seed).
+
+    Probabilistic candidate generation — recall < 1 by design, so there is
+    no SQL oracle; the driver records a rows-only check. The exact
+    counterpart (docs_ngram_jaccard_pairs) bounds it from above.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(toks).where(F.size("tokens") > 0)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 4).alias("est_jaccard"),
+        )
+    )

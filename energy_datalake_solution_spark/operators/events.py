@@ -1,0 +1,223 @@
+"""Event-stream analytics over the ``events`` table (batch twins of the
+streaming pipeline in streaming/pipeline.py).
+
+The reference is event-driven but not stream-processing (SURVEY §2.8) — the
+S3-trigger -> Lambda -> Glue chain has no windows/watermarks. These operators
+add the stream-analytics surface the north star requires, implemented so the
+exact same expressions run under Structured Streaming with a watermark.
+
+Timestamp precision: the parquet `ts` is nanosecond; Spark's TimestampType
+is microsecond while DuckDB keeps nanos, so every emitted timestamp is
+window-start / second-truncated — never a raw `ts` — keeping both engines
+bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+SESSION_GAP_MINUTES = 360  # 6 h gap closes a session
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load `events` with a proper TimestampType `ts`.
+
+    The parquet stores TIMESTAMP(NANOS), which Spark's microsecond
+    TimestampType rejects; with spark.sql.legacy.parquet.nanosAsLong the
+    column arrives as int64 nanos and is floor-divided to micros here. If a
+    future rewrite of the table uses micros, the passthrough branch applies.
+    """
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = load_table(spark, sf_dir, "events")
+    if isinstance(e.schema["ts"].dataType, T.LongType):
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    headline=True,
+    tags=("events", "window-agg"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows: event counts and value sums per type.
+
+    Uses Spark's `window()` (not date_trunc) so the identical expression
+    works in Structured Streaming with `withWatermark` for late data.
+    """
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_30m",
+    oracle="""
+        WITH g AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb, value FROM events
+        )
+        SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM (
+            SELECT unnest([tb, tb - INTERVAL '30 minutes']) AS window_start, value
+            FROM g
+        )
+        GROUP BY window_start
+    """,
+    tags=("events", "window-agg"),
+)
+def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour duration, 30-minute slide — every event lands
+    in exactly two windows. Spark's window(duration, slide) expands rows
+    internally; the oracle materializes the same two window-starts."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, date_trunc('second', ts) AS ts_s, value FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts_s, value,
+                   CASE WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+                             OR date_diff('second',
+                                          lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s),
+                                          ts_s) > {SESSION_GAP_MINUTES * 60}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM e
+        ),
+        sessions AS (
+            SELECT user_id, ts_s, value,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts_s) AS session_start, max(ts_s) AS session_end,
+               round(sum(value), 2) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+    tags=("events", "session"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h inactivity closes a session): classic
+    lag -> new-session flag -> cumulative-sum session id -> per-session agg.
+
+    Batch twin of `session_window()` in the streaming pipeline. Timestamps
+    are second-truncated so the gap comparison is precision-stable.
+    """
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.date_trunc("second", "ts").alias("ts_s"), "value"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s")
+    gap_s = SESSION_GAP_MINUTES * 60
+    prev = F.lag("ts_s").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            prev.isNull()
+            | (F.unix_timestamp("ts_s") - F.unix_timestamp(prev) > gap_s),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_s").alias("session_start"),
+        F.max("ts_s").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("events", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract a JSON property and aggregate on it.
+    `get_json_object` is JVM-side (Jackson) — no UDF."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.withColumn("prop_k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("prop_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_daily_user_activity",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS activity_date,
+               user_id,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_event_types
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("events", "agg"),
+)
+def events_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity rollup — the partition-friendly shape for a
+    100 TB event lake (aggregate within date partitions, no cross-date
+    shuffle when the lake is date-partitioned)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("activity_date"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+    )

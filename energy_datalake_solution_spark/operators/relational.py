@@ -1,0 +1,784 @@
+"""Relational query surface — reference parity plus the implied warehouse ops.
+
+Each query exists twice: a PySpark DataFrame build (Catalyst plans it) and an
+ANSI-SQL oracle string for DuckDB. Column aliases match exactly on both sides.
+
+Reference-parity map (SURVEY.md §2):
+  A1 ungrouped COUNT(*)        -> count_customers
+     (reference: athena_queries/count_clientes.sql:1)
+  A2 COUNT GROUP BY            -> suppliers_per_nation
+     (reference: athena_queries/top_proveedores.sql:1-7)
+  A3+O1+P3+J2 SUM/top-k/year   -> top_customers_by_revenue
+     (reference: athena_queries/total_cost_per_customer.sql:1-12)
+  P1 typed projection          -> typed_projection
+     (reference: glue_jobs/dynamic-data-processor.py:58-63)
+  P2 null-rejection filter     -> null_filter (dynamic-data-processor.py:64-65)
+  F1 CASE/LIKE categorizer     -> customer_category (dynamic-data-processor.py:88-92)
+  F2 sha2 pseudonymization     -> hashed_customer_id (dynamic-data-processor.py:94)
+  F4/F5/F6 lit/to_date/cast    -> audit_enrichment (dynamic-data-processor.py:66-71)
+  F8 derived product column    -> derived_line_revenue (dynamic-data-processor.py:118)
+  J1 key-matched upsert        -> merge_upsert_orders (etl-s3-processed-to-redshift.py:66-96)
+  J2 implied star joins        -> star_join_lineitem
+  A5 dedup on business keys    -> dedup_latest_order_per_customer
+     (etl-s3-processed-to-redshift.py:59, deterministic window variant)
+  O1 ORDER BY DESC LIMIT       -> inside top_customers_by_revenue
+
+Beyond the reference (warehouse-implied / Spark-native): window functions,
+set ops, rollup/cube, pivot, distinct aggregates, semi/anti joins, TPC-H Q1.
+
+Scale notes: dims are broadcast (no shuffle of the fact side for the dim
+join); aggregations rely on partial (map-side) aggregation; top-k compiles
+to TakeOrderedAndProject (no full sort); AQE coalesces shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# A1 — ungrouped COUNT(*)
+# --------------------------------------------------------------------------
+@register(
+    "count_customers",
+    oracle="SELECT count(*) AS n_customers FROM customer",
+    tags=("reference", "agg"),
+)
+def count_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total customer count (reference: athena_queries/count_clientes.sql:1)."""
+    return load_table(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --------------------------------------------------------------------------
+# A2 — COUNT(1) GROUP BY over a dim join (suppliers per nation)
+# --------------------------------------------------------------------------
+@register(
+    "suppliers_per_nation",
+    oracle="""
+        SELECT n.n_name AS nation_name, count(*) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    tags=("reference", "agg", "join"),
+)
+def suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers per country (reference: athena_queries/top_proveedores.sql:1-7).
+
+    nation is tiny -> broadcast hash join; count aggregates map-side first.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 + O1 + P3 + J2 — flagship: top-k customers by revenue with year filter
+# --------------------------------------------------------------------------
+@register(
+    "top_customers_by_revenue",
+    oracle="""
+        SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE year(o.o_orderdate) = 1997
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY total_revenue DESC, customer_id
+        LIMIT 10
+    """,
+    headline=True,
+    tags=("reference", "agg", "join", "topk"),
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by net revenue in one year.
+
+    The reference's richest query (athena_queries/total_cost_per_customer.sql:1-12:
+    SUM + year filter + ORDER BY DESC LIMIT 10) over its implied star schema.
+    customer is a small dim -> broadcast; ORDER BY+LIMIT compiles to
+    TakeOrderedAndProject (true top-k, no global sort).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1997)
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+        .orderBy(F.col("total_revenue").desc(), F.col("customer_id"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# P1 — typed projection + rename (the schema-contract select)
+# --------------------------------------------------------------------------
+@register(
+    "typed_projection",
+    oracle="""
+        SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
+               CAST(l_linenumber AS INTEGER) AS line_number,
+               CAST(l_quantity AS DOUBLE) AS quantity,
+               CAST(l_shipdate AS DATE) AS ship_date
+        FROM lineitem
+    """,
+    tags=("reference", "projection"),
+)
+def typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select/cast/alias schema contract (reference: dynamic-data-processor.py:58-63).
+
+    Only 4 of 11 lineitem columns are read — column pruning reaches the
+    parquet scan (ReadSchema shows just these fields).
+    """
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("order_id"),
+        F.col("l_linenumber").cast("int").alias("line_number"),
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P2 — null-rejection + predicate filter
+# --------------------------------------------------------------------------
+@register(
+    "null_filter",
+    oracle="""
+        SELECT c_custkey AS customer_id, c_acctbal AS account_balance
+        FROM customer
+        WHERE c_custkey IS NOT NULL AND c_acctbal > 0
+    """,
+    tags=("reference", "filter"),
+)
+def null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-rejection guard (reference: dynamic-data-processor.py:64-65) plus a
+    range predicate; both push down to the parquet scan (PushedFilters)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_custkey").isNotNull() & (F.col("c_acctbal") > 0))
+        .select(F.col("c_custkey").alias("customer_id"), F.col("c_acctbal").alias("account_balance"))
+    )
+
+
+# --------------------------------------------------------------------------
+# F1 — CASE/LIKE contains-match categorizer
+# --------------------------------------------------------------------------
+@register(
+    "customer_category",
+    oracle="""
+        SELECT c_custkey AS customer_id,
+               c_mktsegment AS segment_raw,
+               CASE WHEN c_mktsegment LIKE '%BUILD%' THEN 'Construction'
+                    WHEN c_mktsegment LIKE '%AUTO%' THEN 'Automotive'
+                    WHEN c_mktsegment LIKE '%MACH%' THEN 'Industrial'
+                    ELSE 'Other' END AS segment_category
+        FROM customer
+    """,
+    tags=("reference", "scalar"),
+)
+def customer_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-category mapping via CASE + LIKE contains-match
+    (reference: dynamic-data-processor.py:88-92)."""
+    from ..functions.scalar import categorize_like
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("segment_raw"),
+        categorize_like(
+            F.col("c_mktsegment"),
+            {"BUILD": "Construction", "AUTO": "Automotive", "MACH": "Industrial"},
+            default="Other",
+        ).alias("segment_category"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F2 — sha2-256 pseudonymization
+# --------------------------------------------------------------------------
+@register(
+    "hashed_customer_id",
+    oracle="""
+        SELECT c_custkey AS customer_id,
+               sha256(CAST(c_custkey AS VARCHAR)) AS hashed_customer_id
+        FROM customer
+    """,
+    tags=("reference", "scalar"),
+)
+def hashed_customer_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHA-256 PII pseudonymization (reference: dynamic-data-processor.py:94)."""
+    from ..functions.scalar import sha256_hex
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        sha256_hex(F.col("c_custkey")).alias("hashed_customer_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F4/F5/F6 — lit constants, to_date parse, casts (audit block, deterministic part)
+# --------------------------------------------------------------------------
+@register(
+    "audit_enrichment",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               'orders.parquet' AS source_file,
+               DATE '2026-08-13' AS load_date_partition,
+               CAST(o_orderdate AS DATE) AS order_date
+        FROM orders
+    """,
+    tags=("reference", "scalar"),
+)
+def audit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-column stamping (reference: dynamic-data-processor.py:66-71) —
+    deterministic subset (load_timestamp_utc = current_timestamp() is
+    exercised in the ETL tests, not in the oracle-hashed query)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.lit("orders.parquet").alias("source_file"),
+        F.to_date(F.lit("2026-08-13")).alias("load_date_partition"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F8 — derived product column (total_cost = qty * price)
+# --------------------------------------------------------------------------
+@register(
+    "derived_line_revenue",
+    oracle="""
+        SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged_amount
+        FROM lineitem
+    """,
+    tags=("reference", "scalar"),
+)
+def derived_line_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level derived money column (reference: dynamic-data-processor.py:118
+    ``total_cost = energy_quantity_mwh * price_per_mwh``).
+
+    Deliberately un-rounded: per-row IEEE arithmetic on the same inputs is
+    bit-identical across engines, while round() tie-breaking is not.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_number"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "charged_amount"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# J2 — implied star join (fact x 2 dims, broadcast)
+# --------------------------------------------------------------------------
+@register(
+    "star_join_lineitem",
+    oracle="""
+        SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_number,
+               p.p_brand AS part_brand, s.s_name AS supplier_name,
+               l.l_quantity AS quantity
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    headline=True,
+    tags=("reference", "join"),
+)
+def star_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dims star join the reference schema exists for (SURVEY §2.3 J2;
+    FKs at dynamic-data-processor.py:112-113). Both dims broadcast — the fact
+    side never shuffles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("line_number"),
+            F.col("p_brand").alias("part_brand"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("l_quantity").alias("quantity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — deterministic dedup-by-business-key (window variant)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_latest_order_per_customer",
+    oracle="""
+        SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+               CAST(o_orderdate AS DATE) AS order_date, o_totalprice AS total_price
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC
+            ) AS rn
+            FROM orders
+        )
+        WHERE rn = 1
+    """,
+    tags=("reference", "dedup", "window"),
+)
+def dedup_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic one-row-per-key dedup.
+
+    The reference dedups with ``dropDuplicates(upsert_keys)`` — arbitrary
+    survivor (etl-s3-processed-to-redshift.py:59). The engine's canonical
+    form is the deterministic window variant: latest row per key with a
+    total tiebreak, so results are reproducible and oracle-checkable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 — key-matched upsert (MERGE) as anti-join + union
+# --------------------------------------------------------------------------
+@register(
+    "merge_upsert_orders",
+    oracle="""
+        WITH updates AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice * 1.5 AS o_totalprice
+            FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        target AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        )
+        SELECT t.o_orderkey AS order_id, t.o_custkey AS customer_id,
+               t.o_orderstatus AS order_status, t.o_totalprice AS total_price
+        FROM target t LEFT JOIN updates u ON t.o_orderkey = u.o_orderkey
+        WHERE u.o_orderkey IS NULL
+        UNION ALL
+        SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+               o_orderstatus AS order_status, o_totalprice AS total_price
+        FROM updates
+    """,
+    tags=("reference", "merge"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert semantics of the reference's staging-table DELETE+INSERT merge
+    (etl-s3-processed-to-redshift.py:66-96) as a pure-Spark left-anti join +
+    union. An "updates" batch (every 3rd order, price bumped 1.5x — an
+    exact binary factor, so no rounding is needed) replaces matching keys in
+    the target; unmatched target rows survive.
+
+    Scale note: this is the parquet-fallback MERGE — at 100 TB the anti-join
+    shuffles only the touched partitions when the target is date-partitioned
+    and the updates batch carries a partition predicate (partition pruning);
+    see sources/merge.py for the zone-level implementation.
+    """
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    o = load_table(spark, sf_dir, "orders").select(*cols)
+    updates = o.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.5
+    )
+    survived = o.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+    merged = survived.unionByName(updates)
+    return merged.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows — running aggregate
+# --------------------------------------------------------------------------
+@register(
+    "window_running_customer_spend",
+    oracle="""
+        SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_spend
+        FROM orders
+    """,
+    headline=True,
+    tags=("window",),
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend ordered by order date (deterministic total
+    order via the o_orderkey tiebreak)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows — top-N per group (rank)
+# --------------------------------------------------------------------------
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+        SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+               o_totalprice AS total_price, rn AS order_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+            ) AS rn FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer — per-group top-k via row_number."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("rn").alias("order_rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows — lag/lead analytics
+# --------------------------------------------------------------------------
+@register(
+    "window_order_gap_days",
+    oracle="""
+        SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+               date_diff('day',
+                         lag(CAST(o_orderdate AS DATE)) OVER (
+                             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                         CAST(o_orderdate AS DATE)) AS days_since_prev_order
+        FROM orders
+    """,
+    tags=("window",),
+)
+def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer (lag window function)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.datediff(F.col("o_orderdate").cast("date"), prev).alias("days_since_prev_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+@register(
+    "setop_segments",
+    oracle="""
+        SELECT c_custkey AS customer_id, 'union' AS op FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        )
+        UNION ALL
+        SELECT c_custkey AS customer_id, 'intersect' AS op FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        )
+        UNION ALL
+        SELECT c_custkey AS customer_id, 'except' AS op FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        )
+    """,
+    tags=("setop",),
+)
+def setop_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one result, tagged by op."""
+    c = load_table(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    u = building.union(rich).distinct().withColumn("op", F.lit("union"))
+    i = building.intersect(rich).withColumn("op", F.lit("intersect"))
+    e = building.exceptAll(rich).distinct().withColumn("op", F.lit("except"))
+    return (
+        u.unionByName(i).unionByName(e).select(F.col("c_custkey").alias("customer_id"), "op")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup / cube
+# --------------------------------------------------------------------------
+@register(
+    "rollup_revenue",
+    oracle="""
+        SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: revenue by (flag, status), by flag, and grand
+    total — GROUP BY ROLLUP."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+            "revenue",
+            "n_lines",
+        )
+    )
+
+
+@register(
+    "cube_order_counts",
+    oracle="""
+        SELECT o_orderstatus AS order_status, o_orderpriority AS order_priority,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations of (status, priority) — GROUP BY CUBE."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_orderpriority").alias("order_priority"),
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot
+# --------------------------------------------------------------------------
+@register(
+    "pivot_quantity_by_status",
+    oracle="""
+        SELECT l_returnflag AS return_flag,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_quantity_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot line status into columns (conditional aggregation in the oracle)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregates
+# --------------------------------------------------------------------------
+@register(
+    "distinct_counts",
+    oracle="""
+        SELECT count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_suppliers,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+    """,
+    tags=("agg",),
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact distinct counts in one aggregation (Catalyst expands
+    to grouping-set based plan). approx_count_distinct is the 100 TB-scale
+    variant (see approx_distinct_parts)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins
+# --------------------------------------------------------------------------
+@register(
+    "semi_join_customers_with_orders",
+    oracle="""
+        SELECT c_custkey AS customer_id, c_name AS customer_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    tags=("join",),
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (no row multiplication, early out)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.col("c_custkey").alias("customer_id"), F.col("c_name").alias("customer_name"))
+    )
+
+
+@register(
+    "anti_join_parts_never_shipped",
+    oracle="""
+        SELECT p_partkey AS part_id, p_name AS part_name
+        FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    tags=("join",),
+)
+def anti_join_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_anti")
+        .select(F.col("p_partkey").alias("part_id"), F.col("p_name").alias("part_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Outer join
+# --------------------------------------------------------------------------
+@register(
+    "left_join_customer_order_counts",
+    oracle="""
+        SELECT c.c_custkey AS customer_id,
+               count(o.o_orderkey) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    """,
+    tags=("join", "agg"),
+)
+def left_join_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("customer_id"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1 — pricing summary (headline bench query)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    tags=("agg", "tpch"),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the canonical scan+aggregate
+    benchmark shape: one parquet scan, map-side partial aggregation over 6
+    groups, trivially parallel at any scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct (the 100 TB-scale variant) — rows-only check
+# --------------------------------------------------------------------------
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # HLL sketch result is engine-specific — rows-only check
+    tags=("agg", "approx"),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — at 100 TB an exact distinct of a
+    high-cardinality key is a full shuffle; the sketch is one pass, mergeable,
+    and bounded-memory."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_n_parts"),
+        F.countDistinct("l_partkey").alias("exact_n_parts"),
+    )

@@ -1,0 +1,246 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Three tiers:
+  1. brute-force cosine top-k — exact baseline; SQL-expressible, so it is
+     the oracle-checked operator. Query set x candidate set as a broadcast
+     nested-loop join: the *query* side is tiny and broadcast, candidates
+     stream — at 100 TB the candidate scan is embarrassingly parallel and
+     the top-k is per-query TakeOrdered, no global sort.
+  2. random-hyperplane LSH ANN — deterministic seeded hyperplanes, bucket
+     join on (table, band) keys; rows-only check (approximate recall).
+  3. IVF (inverted-file) ANN — coarse centroids via seeded KMeans, probe
+     nearest nprobe centroids; rows-only check.
+
+All vector math uses higher-order functions (functions/vector.py) — no
+Python UDF; arithmetic accumulates in double to match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot, l2_norm
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+N_QUERIES = 10   # vec_id < 10 are the "query" vectors
+TOP_K = 5
+
+
+@register(
+    "embeddings_cosine_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        c AS (
+            SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id >= {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q_id, c_id,
+                   list_sum(list_transform(range(1, 65),
+                            i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+                      * sqrt(list_sum(list_transform(c_emb, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+            FROM q, c
+        ),
+        ranked AS (
+            SELECT q_id, c_id, round(cos, 6) AS cosine_sim,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY round(cos, 6) DESC, c_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id AS query_id, c_id AS neighbor_id, cosine_sim, rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    headline=True,
+    tags=("similarity",),
+)
+def embeddings_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: 10 query vectors vs all candidates.
+
+    The query side is broadcast (tiny); scoring is a single pass over the
+    candidates; ranking is a per-query window (bounded state). Rounded to 6
+    decimals before ranking so ordering is stable across engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "q_id",
+        "c_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine_sim",
+            "rank",
+        )
+    )
+
+
+@register("embeddings_lsh_ann", oracle=None, tags=("similarity", "approx"))
+def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane (sign) LSH — the scale path.
+
+    16 deterministic hyperplanes (seeded per-dimension pseudo-random signs
+    derived from md5, so the plan is reproducible with no driver-side
+    state), giving a 16-bit bucket per vector; 4 x 4-bit bands turn that
+    into candidate buckets. Candidates join on (band, band_key); exact
+    cosine re-ranks within candidates. Approximate -> rows-only check.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # Deterministic hyperplane signs: sign(h) where h = md5(plane || dim).
+    # Built once as a literal 16x64 array — no RNG at runtime.
+    import hashlib
+
+    planes = [
+        [
+            1.0 if int(hashlib.md5(f"plane{p}dim{d}".encode()).hexdigest()[:8], 16) % 2 else -1.0
+            for d in range(64)
+        ]
+        for p in range(16)
+    ]
+    planes_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+
+    vec = e.select("vec_id", "embedding", planes_lit.alias("planes"))
+    # 16-bit signature: bit p set iff dot(embedding, plane_p) > 0
+    sig = vec.select(
+        "vec_id",
+        "embedding",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda p: F.when(
+                    dot(F.col("embedding"), F.element_at("planes", p + 1)) > 0,
+                    F.pow(F.lit(2.0), p).cast("int"),
+                ).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("sig"),
+    )
+    band = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
+    banded = sig.select("vec_id", "embedding", "sig", band).withColumn(
+        "band_key", F.expr("shiftright(sig, band * 4)").bitwiseAND(15)
+    )
+    q = banded.where(F.col("vec_id") < N_QUERIES)
+    c = banded.where(F.col("vec_id") >= N_QUERIES)
+    cand = (
+        F.broadcast(q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "band", "band_key"))
+        .join(
+            c.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("q_id", "q_emb", "c_id", "c_emb")
+        .distinct()
+    )
+    scored = cand.select(
+        "q_id", "c_id", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine_sim",
+            "rank",
+        )
+    )
+
+
+@register("embeddings_ivf_ann", oracle=None, tags=("similarity", "approx"))
+def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize candidates to seeded KMeans centroids,
+    probe the 2 nearest centroids per query, exact cosine within probes.
+
+    At 100 TB the candidate table is stored bucketed by centroid_id, so a
+    probe reads only nprobe/nlist of the data (partition pruning on the
+    cluster column). Approximate -> rows-only check.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with_vec = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="centroid_id")
+    model = km.fit(with_vec.where(F.col("vec_id") >= N_QUERIES))
+    assigned = model.transform(with_vec).drop("features")
+
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    cdf = spark.createDataFrame(centroids, ["centroid_id", "centroid"]).select(
+        "centroid_id", F.col("centroid").cast("array<double>").alias("centroid")
+    )
+
+    q = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # nearest 2 centroids per query (centroid table is tiny -> broadcast)
+    qc = F.broadcast(q).crossJoin(F.broadcast(cdf)).select(
+        "q_id",
+        "q_emb",
+        "centroid_id",
+        cosine(F.col("q_emb"), F.col("centroid")).alias("c_sim"),
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
+    probes = qc.withColumn("p", F.row_number().over(wq)).where(F.col("p") <= 2).select(
+        "q_id", "q_emb", "centroid_id"
+    )
+    cands = assigned.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "centroid_id"
+    )
+    scored = F.broadcast(probes).join(cands, "centroid_id").select(
+        "q_id", "c_id", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine_sim",
+            "rank",
+        )
+    )
+
+
+@register(
+    "embeddings_norm_stats",
+    oracle="""
+        SELECT label,
+               count(*) AS n_vectors,
+               round(avg(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)
+                   AS avg_l2_norm
+        FROM embeddings
+        GROUP BY label
+    """,
+    tags=("similarity", "agg"),
+)
+def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm statistics — array higher-order aggregation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", l2_norm(F.col("embedding")).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("norm"), 4).alias("avg_l2_norm"),
+        )
+    )

@@ -1,0 +1,202 @@
+"""Text-analysis operators over the ``documents`` table — the LLM-pipeline
+preprocessing surface (token counting, language ID, quality scoring,
+fingerprinting). All pure built-in functions (split/regexp/md5/array ops) —
+JVM-side, codegen'd, no Python in the hot path; scales linearly with no
+shuffle (per-row transforms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+# Marker-token heuristic language ID: per-language function-word lists.
+# (Deterministic n-gram/stopword heuristic — the classic fastText-free
+# fallback; real corpora would use a trained model via a Pandas UDF.)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "los"],
+    "fr": ["le", "la", "les", "des"],
+    "de": ["der", "die", "das", "und"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def _marker_count(col: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+
+@register(
+    "docs_token_stats",
+    oracle="""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')) AS type_token_ratio
+        FROM documents
+    """,
+    headline=True,
+    tags=("text",),
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: chars, whitespace tokens, vocabulary size,
+    type-token ratio. Array ops stay JVM-side (split/array_distinct/size)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct * F.lit(1.0) / n_tokens).alias("type_token_ratio"),
+    )
+
+
+def _lang_oracle() -> str:
+    branches = "\n            UNION ALL\n".join(
+        f"""SELECT doc_id, lang AS labeled_lang, '{lang}' AS cand,
+                   len(regexp_extract_all(text, '\\b({'|'.join(ws)})\\b')) AS sc
+            FROM documents"""
+        for lang, ws in LANG_MARKERS.items()
+    )
+    return f"""
+        WITH scored AS (
+            {branches}
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY sc DESC, cand
+                   ) AS rn
+            FROM scored
+        )
+        SELECT doc_id, labeled_lang,
+               CASE WHEN sc > 0 THEN cand ELSE 'und' END AS predicted_lang
+        FROM ranked WHERE rn = 1
+    """
+
+
+@register("docs_lang_id", oracle=_lang_oracle(), tags=("text", "lang"))
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count function-word markers per language, pick
+    the argmax (ties broken by language code; no markers -> 'und')."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.array(
+            *[
+                F.struct(
+                    _marker_count(F.col("text"), ws).alias("sc"),
+                    F.lit(lang).alias("lg"),
+                )
+                for lang, ws in LANG_MARKERS.items()
+            ]
+        ).alias("scores"),
+    )
+    # argmax with (score desc, lang asc) tiebreak: sort structs on
+    # (-score, lang) ascending, take the head.
+    neg = F.transform(
+        F.col("scores"), lambda s: F.struct((-s["sc"]).alias("nsc"), s["lg"].alias("lg"), s["sc"].alias("sc"))
+    )
+    best = F.element_at(F.array_sort(neg), 1)
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        F.when(best["sc"] > 0, best["lg"]).otherwise("und").alias("predicted_lang"),
+    )
+
+
+@register(
+    "docs_quality_score",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_nonalpha,
+                   len(regexp_extract_all(text, '\\b(the|a|of|and|el|la|de|der|die|und|le|les)\\b')) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens,
+               n_nonalpha * 1.0 / n_chars AS nonalpha_ratio,
+               n_stop * 1.0 / n_tokens AS stopword_ratio,
+               (n_chars - n_tokens + 1) * 1.0 / n_tokens AS avg_token_len,
+               CASE WHEN n_tokens >= 10 AND n_nonalpha * 1.0 / n_chars < 0.3
+                    THEN 'keep' ELSE 'drop' END AS quality_flag
+        FROM t
+    """,
+    tags=("text", "quality"),
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring for corpus filtering: length, punctuation
+    ratio, stopword ratio, average token length, keep/drop flag."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(_tokens(F.col("text")))
+    n_nonalpha = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), F.lit(0)))
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.col("text"),
+            F.lit(r"\b(the|a|of|and|el|la|de|der|die|und|le|les)\b"),
+            F.lit(0),
+        )
+    )
+    t = d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_nonalpha.alias("n_nonalpha"),
+        n_stop.alias("n_stop"),
+    )
+    return t.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        (F.col("n_nonalpha") * 1.0 / F.col("n_chars")).alias("nonalpha_ratio"),
+        (F.col("n_stop") * 1.0 / F.col("n_tokens")).alias("stopword_ratio"),
+        ((F.col("n_chars") - F.col("n_tokens") + 1) * 1.0 / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        F.when(
+            (F.col("n_tokens") >= 10) & (F.col("n_nonalpha") * 1.0 / F.col("n_chars") < 0.3),
+            "keep",
+        )
+        .otherwise("drop")
+        .alias("quality_flag"),
+    )
+
+
+@register(
+    "docs_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS content_md5,
+               ('0x' || substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 15))::BIGINT
+                   AS fingerprint64
+        FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowercase text,
+    plus a 60-bit integer fingerprint (first 15 hex chars) for compact
+    join/dedup keys at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    digest = F.md5(norm)
+    return d.select(
+        "doc_id",
+        digest.alias("content_md5"),
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint").alias("fingerprint64"),
+    )

@@ -1,0 +1,45 @@
+"""Table catalog over the lake's parquet zones.
+
+The reference registers processed-zone schemas via a Glue Crawler so Athena
+can query them (reference: README.md:28). Parquet is self-describing, so the
+Spark-native "crawler" is just `spark.read.parquet` + temp-view
+registration — no external catalog service.
+
+Scale note: each accessor returns a *lazy* DataFrame over the parquet path;
+Catalyst handles column pruning and predicate/partition pushdown, so callers
+should filter/select as early as possible and let the scan do the work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast-join these against facts.
+SMALL_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every lake table as a temp view for spark.sql access."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
