@@ -1,0 +1,122 @@
+"""Structured Streaming pipelines.
+
+The reference is event-*driven* (S3 event -> Lambda -> Glue run per file,
+reference: lambda/ingestion_to_raw.py:49-60) but not stream-*processing*.
+Spark-first, that trigger chain IS Structured Streaming's file source: new
+files under the raw zone are discovered per micro-batch, transformed with
+the same contract used in batch (sources/transform.py), and appended to the
+processed zone. `trigger(availableNow=True)` gives the reference's
+process-everything-then-stop semantics; a continuous deployment just drops
+that trigger.
+
+Also provides watermarked windowed aggregation over an event stream — the
+streaming twin of operators/events.py (same window exprs) — and a
+session-window variant with state timeout, for the north-star streaming
+surface.
+
+Scale posture: file-source listing is incremental (checkpointed); state
+stores are keyed by (window, type) / (user, session) — bounded by the
+watermark, which discards state older than the lateness bound.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.schemas import PARTITION_COLUMN, TableContract
+from ..sources.transform import add_audit_columns, add_derived_columns, apply_contract
+
+
+def raw_csv_stream(spark: SparkSession, raw_dir: str | Path, schema: T.StructType) -> DataFrame:
+    """File-arrival CSV stream over a raw-zone directory. Streaming sources
+    need an explicit schema (no inference mid-stream)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("sep", ",")
+        .option("quote", '"')
+        .option("escape", "\\")
+        .csv(str(raw_dir))
+    )
+
+
+def stream_to_processed(
+    spark: SparkSession,
+    raw_dir: str | Path,
+    schema: T.StructType,
+    contract: TableContract,
+    file_type: str,
+    load_date: str,
+    processed_root: str | Path,
+    checkpoint_dir: str | Path,
+) -> StreamingQuery:
+    """Streaming EP1: raw csv files -> contract transform -> partitioned
+    parquet sink, exactly-once via checkpointing, availableNow trigger."""
+    raw = raw_csv_stream(spark, raw_dir, schema)
+    typed = add_derived_columns(apply_contract(raw, contract), file_type)
+    stamped = add_audit_columns(typed, source_file=str(raw_dir), load_date=load_date)
+    return (
+        stamped.writeStream.format("parquet")
+        .option("path", str(Path(processed_root) / contract.table_name))
+        .option("checkpointLocation", str(checkpoint_dir))
+        .partitionBy(PARTITION_COLUMN)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a streaming events frame.
+
+    Identical aggregation expressions to the batch twin
+    (operators/events.py::events_tumbling_hourly); the watermark bounds
+    late data and lets Spark drop window state older than the bound.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_event_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming session windows (gap-close semantics) via session_window —
+    the streaming counterpart of the batch lag/cumsum sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )

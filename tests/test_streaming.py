@@ -1,0 +1,149 @@
+"""Structured Streaming tests: file-arrival ingest and watermarked windows,
+run with availableNow / memory sinks so they terminate deterministically."""
+
+from __future__ import annotations
+
+import textwrap
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from energy_datalake_solution_spark.sources.schemas import PROVEEDORES
+from energy_datalake_solution_spark.streaming.pipeline import (
+    session_event_windows,
+    stream_to_processed,
+    windowed_event_counts,
+)
+
+PROVEEDORES_SCHEMA = T.StructType(
+    [
+        T.StructField("ID_Proveedor", T.StringType()),
+        T.StructField("NombreProveedor", T.StringType()),
+        T.StructField("TipoEnergia", T.StringType()),
+        T.StructField("PaisOrigen", T.StringType()),
+        T.StructField("FechaInicioContrato", T.StringType()),
+    ]
+)
+
+
+def test_streaming_file_ingest_to_processed(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "proveedores_1.csv").write_text(
+        textwrap.dedent(
+            """\
+            ID_Proveedor,NombreProveedor,TipoEnergia,PaisOrigen,FechaInicioContrato
+            P001,Solar SA,Solar,Espana,2020-01-15
+            P002,Viento,Eolica,Chile,2021-06-01
+            """
+        )
+    )
+    q = stream_to_processed(
+        spark,
+        raw,
+        PROVEEDORES_SCHEMA,
+        PROVEEDORES,
+        "proveedores",
+        "2025-03-05",
+        tmp_path / "processed",
+        tmp_path / "ckpt",
+    )
+    q.awaitTermination(60)
+    out = spark.read.parquet(str(tmp_path / "processed" / "dim_proveedores"))
+    rows = {r["supplier_id"]: r for r in out.collect()}
+    assert set(rows) == {"P001", "P002"}
+    assert rows["P001"]["supplier_name"] == "Solar SA"
+
+    # second micro-batch run picks up only NEW files (checkpointed listing)
+    (raw / "proveedores_2.csv").write_text(
+        "ID_Proveedor,NombreProveedor,TipoEnergia,PaisOrigen,FechaInicioContrato\n"
+        "P003,Hidro,Hidro,Peru,2022-01-01\n"
+    )
+    q2 = stream_to_processed(
+        spark,
+        raw,
+        PROVEEDORES_SCHEMA,
+        PROVEEDORES,
+        "proveedores",
+        "2025-03-06",
+        tmp_path / "processed",
+        tmp_path / "ckpt",
+    )
+    q2.awaitTermination(60)
+    out2 = spark.read.parquet(str(tmp_path / "processed" / "dim_proveedores"))
+    assert out2.count() == 3  # exactly-once: P001/P002 not re-ingested
+
+
+def _event_stream_fixture(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:05:00", "click", 1, 10.0),
+        ("2024-01-01 00:20:00", "click", 1, 5.0),
+        ("2024-01-01 00:40:00", "view", 2, 2.0),
+        ("2024-01-01 01:10:00", "click", 1, 7.0),
+    ]
+    src = tmp_path / "events_json"
+    src.mkdir()
+    import json
+
+    (src / "batch1.json").write_text(
+        "\n".join(
+            json.dumps({"ts": ts, "event_type": et, "user_id": u, "value": v})
+            for ts, et, u, v in rows
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    stream = _event_stream_fixture(spark, tmp_path)
+    agg = windowed_event_counts(stream, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 15.0)
+    assert got[("2024-01-01 00:00:00", "view")] == (1, 2.0)
+    assert got[("2024-01-01 01:00:00", "click")] == (1, 7.0)
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    stream = _event_stream_fixture(spark, tmp_path)
+    agg = session_event_windows(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM sess_win ORDER BY user_id, session_start").collect()
+    # user 1: events at 00:05 and 00:20 chain into one session (gap<30m);
+    # 01:10 starts a new session. user 2: single event session.
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    assert by_user[1][0]["n_events"] == 2 and by_user[1][0]["session_value"] == 15.0
+    assert by_user[1][1]["n_events"] == 1
+    assert len(by_user[2]) == 1 and by_user[2][0]["n_events"] == 1
