@@ -24,7 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="time every registered query")
-    ap.add_argument("--repeat", type=int, default=1, help="timed repetitions; best run wins")
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=2,
+        help="timed repetitions; best run wins (first run pays JVM/codegen "
+        "warmup, which is noise relative to steady-state throughput)",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

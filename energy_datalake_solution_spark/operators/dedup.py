@@ -22,7 +22,7 @@ is both a skew guard and the standard quality fix.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -103,10 +103,15 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity pairs above a threshold.
 
-    Plan shape: explode shingles (distinct per doc) -> document-frequency cap
-    (drops hot shingles: skew guard) -> self-join on shingle (inverted
-    index; shuffle key = shingle) -> per-pair shared counts -> Jaccard from
-    |A|+|B|-shared. No cross join anywhere.
+    Plan shape: explode shingles -> 64-bit hash (xxhash64: the shuffle key
+    is 8 bytes, not a ~20-char string) -> distinct per doc ->
+    document-frequency cap via a window count (reuses the hash partitioning
+    — no second shuffle or join-back; also the skew + quality guard) ->
+    self-join on the hash (inverted index) -> per-pair shared counts ->
+    Jaccard from |A|+|B|-shared. No cross join anywhere. A 64-bit hash
+    collision could merge two distinct shingles (probability ~n^2/2^64 —
+    negligible); the oracle keeps exact strings, which doubles as a
+    collision canary.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 3)
@@ -115,22 +120,22 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", "w", idx)
         .select(
             "doc_id",
-            F.concat_ws(
-                " ",
-                F.element_at("w", F.col("i")),
-                F.element_at("w", F.col("i") + 1),
-                F.element_at("w", F.col("i") + 2),
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at("w", F.col("i")),
+                    F.element_at("w", F.col("i") + 1),
+                    F.element_at("w", F.col("i") + 2),
+                )
             ).alias("shingle"),
         )
         .distinct()
     )
-    df_ok = (
-        shingles.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    filtered = (
+        shingles.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
         .where(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
+        .select("doc_id", "shingle")
     )
-    filtered = shingles.join(df_ok, "shingle")
     sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = filtered.alias("a")
     b = filtered.alias("b")
