@@ -771,6 +771,36 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Statistical aggregates
+# --------------------------------------------------------------------------
+@register(
+    "stats_quantity_by_flag",
+    oracle="""
+        SELECT l_returnflag AS return_flag,
+               median(l_quantity) AS median_qty,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def stats_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics per group: exact interpolated median plus min/max.
+    (l_quantity is integral, so the interpolated median is exactly x.0 or
+    x.5 — representable, hence engine-identical. At 100 TB the exact
+    median becomes approx_percentile — a mergeable one-pass sketch.)"""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Approximate distinct (the 100 TB-scale variant) — rows-only check
 # --------------------------------------------------------------------------
 @register(

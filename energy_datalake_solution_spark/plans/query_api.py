@@ -1,0 +1,70 @@
+"""EP3 — the analytical read path: named SQL queries -> typed DataFrames.
+
+Re-expresses the reference's client stack (scripts/main_analytics.py +
+scripts/athena_querier.py + athena_queries/*.sql) without a remote engine:
+
+  * SQL text lives in .sql files under sql_queries/ (reference keeps them in
+    athena_queries/, loaded at scripts/athena_querier.py:14-23)
+  * a name -> file registry executed in a loop with per-query error
+    isolation (reference: scripts/main_analytics.py:26-43)
+  * execution is spark.sql over registered temp views — synchronous, so the
+    reference's submit/poll/paginate state machine (athena_querier.py:49-84)
+    collapses to one call
+  * results stay TYPED DataFrames end-to-end; the reference coerces every
+    cell to string at the result edge (athena_querier.py:80-82) and loses
+    types — .toPandas() here happens only on demand at the client edge
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import register_views
+
+SQL_DIR = Path(__file__).resolve().parent.parent / "sql_queries"
+
+
+def load_query_text(name: str, sql_dir: str | Path = SQL_DIR) -> str:
+    """SQL text source (reference: athena_querier.py:14-23)."""
+    path = Path(sql_dir) / f"{name}.sql"
+    return path.read_text()
+
+
+def list_queries(sql_dir: str | Path = SQL_DIR) -> list[str]:
+    return sorted(p.stem for p in Path(sql_dir).glob("*.sql"))
+
+
+def run_query(
+    spark: SparkSession, name: str, sf_dir: str, sql_dir: str | Path = SQL_DIR
+) -> DataFrame:
+    """Execute one named SQL query against the lake's registered views."""
+    register_views(spark, sf_dir)
+    return spark.sql(load_query_text(name, sql_dir))
+
+
+@dataclass
+class QueryRunResult:
+    name: str
+    ok: bool
+    dataframe: DataFrame | None = None
+    error: str = ""
+
+
+def run_all(
+    spark: SparkSession, sf_dir: str, sql_dir: str | Path = SQL_DIR
+) -> list[QueryRunResult]:
+    """Run every registered .sql query with per-query error isolation
+    (reference: main_analytics.py:35-43 catches and logs per query)."""
+    register_views(spark, sf_dir)
+    results: list[QueryRunResult] = []
+    for name in list_queries(sql_dir):
+        try:
+            df = spark.sql(load_query_text(name, sql_dir))
+            df.schema  # force analysis so bad SQL fails here, not lazily
+            results.append(QueryRunResult(name, True, df))
+        except Exception as exc:  # noqa: BLE001 — per-query isolation
+            results.append(QueryRunResult(name, False, None, str(exc)))
+    return results

@@ -63,7 +63,15 @@ def register(
 
 def _load_all() -> None:
     """Import operator modules for their registration side effects."""
-    from ..operators import relational, events, text, dedup, similarity, multimodal  # noqa: F401
+    from ..operators import (  # noqa: F401
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        temporal,
+        text,
+    )
 
 
 def get_queries() -> dict[str, QueryFn]:
