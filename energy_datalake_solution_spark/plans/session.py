@@ -16,14 +16,19 @@ same configs apply per-executor. Design choices for the 100 TB posture:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "energy-datalake-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    warehouse = os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", os.path.join(tempfile.gettempdir(), "engine-warehouse")
+    )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.warehouse.dir", warehouse)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")

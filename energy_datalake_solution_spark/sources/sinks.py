@@ -1,0 +1,100 @@
+"""Write-side layout control — the levers that make 100 TB queries cheap.
+
+The reference's only layout decision is Hive date-partitioning
+(glue_jobs/dynamic-data-processor.py:153-155). At lake scale three more
+matter, all expressed here over plain Spark APIs:
+
+  * partitioned append/overwrite: partition pruning for time-scoped reads;
+    dynamic partition overwrite rewrites only touched dates.
+  * bucketed tables: pre-shuffle the table ONCE by its join/agg key; every
+    later equi-join or groupBy on that key skips its shuffle (sort-merge
+    join with zero exchange). Bucketing requires saveAsTable (metastore
+    bookkeeping).
+  * sorted-within-partition files: parquet row-group min/max on the sort
+    column become selective — point/range predicates skip most row groups.
+  * compaction: streaming/micro-batch appends leave small files; rewrite a
+    partition into target-size files (the small-files problem is the #1
+    operational scale killer).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str | Path,
+    partition_col: str,
+    mode: str = "append",
+    dynamic_overwrite: bool = True,
+) -> None:
+    """Hive-partitioned parquet write; with mode='overwrite' and dynamic
+    overwrite enabled, only partitions present in df are replaced."""
+    spark = df.sparkSession
+    if mode == "overwrite" and dynamic_overwrite:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(mode).partitionBy(partition_col).parquet(str(path))
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Joins/aggregations on bucket_col between two tables bucketed the same
+    way run with NO exchange — check the plan: SortMergeJoin over two
+    FileScans, no Exchange node.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name, format="parquet")
+
+
+def write_sorted(
+    df: DataFrame, path: str | Path, sort_col: str, n_files: int = 8
+) -> None:
+    """Range-partition by the sort column and sort within each file so
+    parquet row-group min/max statistics are maximally selective."""
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(str(path))
+    )
+
+
+def compact_partition(
+    spark: SparkSession,
+    table_path: str | Path,
+    partition_col: str,
+    partition_value: str,
+    target_files: int = 1,
+) -> int:
+    """Rewrite one partition into target_files files; returns rows written.
+
+    Reads with a partition filter (pruned scan), coalesces, and uses
+    dynamic partition overwrite so sibling partitions are untouched.
+    """
+    df = spark.read.parquet(str(table_path)).where(
+        F.col(partition_col) == partition_value
+    )
+    n = df.count()
+    if n == 0:
+        return 0
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.coalesce(target_files)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(str(table_path))
+    )
+    return n

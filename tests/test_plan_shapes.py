@@ -1,0 +1,140 @@
+"""Plan-shape regression tests — the 100 TB design invariants.
+
+Correctness tests prove the answers match; these prove the PLANS stay
+scale-correct: dims broadcast, filters and projections reach the parquet
+scan, top-k compiles to TakeOrderedAndProject, bucketed joins drop their
+exchanges, partition reads prune. A regression here is a future 100x
+slowdown that no correctness test would catch.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_datalake_solution_spark.plans.registry import QUERIES, get_queries
+
+from .conftest import SF_ORACLE
+
+get_queries()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dims_broadcast_in_star_join(spark):
+    plan = plan_of(QUERIES["star_join_lineitem"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact side must never shuffle
+
+
+def test_flagship_topk_no_global_sort(spark):
+    plan = plan_of(QUERIES["top_customers_by_revenue"].fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan  # true top-k, not Sort+Limit
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_and_projection_pushdown(spark):
+    plan = plan_of(QUERIES["null_filter"].fn(spark, SF_ORACLE))
+    assert "GreaterThan(c_acctbal,0.0)" in plan  # predicate reached the scan
+    plan2 = plan_of(QUERIES["typed_projection"].fn(spark, SF_ORACLE))
+    # only the 4 projected columns are read, not all 11
+    read = [l for l in plan2.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read and "l_shipdate" in read
+
+
+def test_date_range_predicate_pushes_to_scan(spark):
+    plan = plan_of(QUERIES["top_customers_by_revenue"].fn(spark, SF_ORACLE))
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # year()= rewrite works
+
+
+def test_partition_pruned_merge_read(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.merge import read_processed_partition
+
+    df = (
+        spark.range(100)
+        .withColumn("load_date_partition", F.to_date(F.lit("2025-03-05")))
+        .union(
+            spark.range(100, 200).withColumn(
+                "load_date_partition", F.to_date(F.lit("2025-03-06"))
+            )
+        )
+    )
+    df.write.partitionBy("load_date_partition").parquet(str(tmp_path / "t"))
+    got = read_processed_partition(spark, tmp_path, "t", "2025-03-05")
+    plan = plan_of(got)
+    assert "PartitionFilters" in plan
+    assert got.count() == 100
+    # physical proof: only one of the two partition dirs is scanned
+    assert "2025-03-05" in plan or "dynamicpruning" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.sinks import write_bucketed_table
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").limit(2000)
+    write_bucketed_table(orders, "b_orders", "o_custkey", n_buckets=8)
+    write_bucketed_table(
+        spark.read.parquet(f"{SF_ORACLE}/customer.parquet"),
+        "b_customer",
+        "c_custkey",
+        n_buckets=8,
+    )
+    a = spark.table("b_orders")
+    b = spark.table("b_customer")
+    joined = a.join(
+        b.hint("merge"), a.o_custkey == b.c_custkey
+    )  # force SMJ so broadcast doesn't mask bucketing
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucketing pre-shuffled both sides
+    assert joined.count() > 0
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_sorted_write_rowgroup_skipping(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.sinks import write_sorted
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    write_sorted(li, tmp_path / "li_sorted", "l_orderkey", n_files=4)
+    import glob
+
+    files = glob.glob(str(tmp_path / "li_sorted" / "*.parquet"))
+    assert len(files) == 4
+    # range partitioning: each file covers a disjoint key range
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["l_orderkey"])
+        ranges.append((t["l_orderkey"].to_pylist()[0], max(t["l_orderkey"].to_pylist())))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint -> min/max stats are selective
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.sinks import compact_partition
+
+    df = spark.range(1000).withColumn("load_date_partition", F.lit("2025-03-05"))
+    # simulate micro-batch small files: 10 appends
+    for _ in range(10):
+        df.limit(100).write.mode("append").partitionBy("load_date_partition").parquet(
+            str(tmp_path / "t")
+        )
+    import glob
+
+    before = len(glob.glob(str(tmp_path / "t" / "load_date_partition=2025-03-05" / "*.parquet")))
+    assert before >= 10
+    n = compact_partition(spark, tmp_path / "t", "load_date_partition", "2025-03-05")
+    after = len(glob.glob(str(tmp_path / "t" / "load_date_partition=2025-03-05" / "*.parquet")))
+    assert n == before * 100
+    assert after == 1
