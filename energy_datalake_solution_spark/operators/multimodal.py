@@ -96,6 +96,113 @@ def decode_and_featurize(df: DataFrame, real_decode: bool = False) -> DataFrame:
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes_in", T.IntegerType()),
+        T.StructField("n_bytes_out", T.IntegerType()),
+        T.StructField("payload_out", T.BinaryType()),
+    ]
+)
+
+
+def resize_payloads(df: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """'Resize' stand-in for image thumbnailing: deterministic byte
+    truncation via mapInPandas. With a codec present, the body would decode,
+    resample, and re-encode — the Spark contract (binary in, binary out,
+    Arrow batches, schema) is exactly this."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes_in": len(buf),
+                        "n_bytes_out": min(len(buf), target_bytes),
+                        "payload_out": buf[:target_bytes],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, frame_size: int = 64, stride: int = 4) -> DataFrame:
+    """Frame sampling stand-in for video: emit every stride-th frame_size
+    chunk of the payload as its own row (1 input row -> N output rows — the
+    mapInPandas fan-out shape a real frame extractor uses)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_frames = max(1, len(buf) // frame_size)
+                for i in range(0, n_frames, stride):
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_no": i,
+                            "frame": buf[i * frame_size : (i + 1) * frame_size],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return df.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle=f"""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes_in,
+               least(octet_length(encode(text)), 256) AS n_bytes_out
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline metadata: input/output byte sizes through the
+    mapInPandas resize stage (payload itself checked in unit tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    resized = resize_payloads(with_binary_payload(d), target_bytes=256)
+    return resized.select("doc_id", "n_bytes_in", "n_bytes_out")
+
+
+@register(
+    "multimodal_frame_counts",
+    oracle="""
+        SELECT doc_id,
+               CAST(ceil(greatest(octet_length(encode(text)) // 64, 1) / 4.0) AS BIGINT)
+                   AS n_sampled_frames
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline: frames per document after stride-4 sampling
+    of 64-byte frames (the oracle recomputes the count arithmetically)."""
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(d), frame_size=64, stride=4)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+
+
 @register(
     "multimodal_payload_stats",
     oracle="""

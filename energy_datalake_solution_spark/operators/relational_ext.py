@@ -1,0 +1,209 @@
+"""Extended relational surface: subqueries, grouping sets, scalar-function
+suites, lateral explode — rounding out the warehouse query vocabulary.
+
+Cross-engine exactness notes are per-query; the global policy (README) holds:
+only bit-identical expressions or decimal-exact roundings are emitted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table, register_views
+
+
+@register(
+    "correlated_subquery_above_avg_size",
+    oracle="""
+        SELECT p_partkey AS part_id, p_type AS part_type, p_size AS part_size
+        FROM part p
+        WHERE p_size > (SELECT avg(p_size) FROM part q WHERE q.p_type = p.p_type)
+    """,
+    tags=("subquery",),
+)
+def correlated_subquery_above_avg_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery: parts larger than their type's average size.
+
+    Spark plans this as an aggregate + self-join (the scalable decorrelated
+    form). Exactness: avg of ints is sum/count with both terms exact in
+    double, so the comparison is bit-identical across engines.
+    """
+    p = load_table(spark, sf_dir, "part")
+    avg_by_type = p.groupBy(F.col("p_type").alias("t")).agg(F.avg("p_size").alias("avg_size"))
+    return (
+        p.join(F.broadcast(avg_by_type), p.p_type == avg_by_type.t)
+        .where(F.col("p_size") > F.col("avg_size"))
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_type").alias("part_type"),
+            F.col("p_size").alias("part_size"),
+        )
+    )
+
+
+@register(
+    "scalar_subquery_max_order",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price
+        FROM orders
+        WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)
+    """,
+    tags=("subquery",),
+)
+def scalar_subquery_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: the order(s) with the global maximum price. max() of
+    raw doubles is an exact selection — engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("mx"))
+    return (
+        o.join(F.broadcast(mx), o.o_totalprice == mx.mx)
+        .select(F.col("o_orderkey").alias("order_id"), F.col("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+        SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (by flag, by status, grand total) — expressed
+    through Spark SQL over a registered view (same Catalyst plan as the
+    DataFrame form; SQL is the clearer notation here)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "string_function_suite",
+    oracle="""
+        SELECT c_custkey AS customer_id,
+               upper(c_name) AS name_upper,
+               lower(c_mktsegment) AS segment_lower,
+               substr(c_name, 1, 8) AS name_prefix,
+               length(c_name) AS name_len,
+               concat(c_mktsegment, ':', c_name) AS tagged,
+               replace(c_name, 'Customer', 'Cust') AS name_short,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_id,
+               reverse(c_mktsegment) AS segment_rev,
+               split_part(c_name, '#', 2) AS name_number
+        FROM customer
+    """,
+    tags=("scalar", "string"),
+)
+def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string-function vocabulary in one projection (all JVM built-ins)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("tagged"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_id"),
+        F.reverse(F.col("c_mktsegment")).alias("segment_rev"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_number"),
+    )
+
+
+@register(
+    "date_function_suite",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               CAST(o_orderdate AS DATE) AS order_date,
+               year(o_orderdate) AS order_year,
+               quarter(o_orderdate) AS order_quarter,
+               month(o_orderdate) AS order_month,
+               dayofmonth(o_orderdate) AS order_day,
+               dayofweek(o_orderdate) + 1 AS order_dow,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS review_date
+        FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def date_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The date-function vocabulary in one projection.
+
+    Cross-engine note: DuckDB's dayofweek is 0=Sunday while Spark's is
+    1=Sunday — the oracle adds 1. due_date: DuckDB DATE + INTERVAL DAY
+    yields DATE; Spark date_add matches.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        d.alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 3).alias("review_date"),
+    )
+
+
+@register(
+    "lateral_explode_tokens",
+    oracle="""
+        SELECT doc_id, i - 1 AS pos, w[i] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(range(1, len(w) + 1)) AS t(i)
+    """,
+    tags=("lateral", "text"),
+)
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral flatten: one row per (doc, position, token) via posexplode —
+    the table-function/UDTF shape (generator expression, no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+@register(
+    "conditional_agg_filter_clause",
+    oracle="""
+        SELECT o_custkey AS customer_id,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+                   AS finished_spend
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    tags=("agg", "filter-clause"),
+)
+def conditional_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (conditional aggregation) — one pass over the
+    fact computing several filtered aggregates simultaneously."""
+    o = load_table(spark, sf_dir, "orders")
+    finished = F.col("o_orderstatus") == "F"
+    return o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(finished, 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_large"),
+        F.round(F.sum(F.when(finished, F.col("o_totalprice"))), 2).alias("finished_spend"),
+    )

@@ -68,6 +68,7 @@ def _load_all() -> None:
         events,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         temporal,
         text,

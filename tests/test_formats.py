@@ -1,0 +1,45 @@
+"""Round-trip tests for every supported source/sink format."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_datalake_solution_spark.sources.formats import read_any, write_any
+
+from .conftest import SF_ORACLE
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_round_trip(spark, tmp_path, fmt):
+    src = (
+        spark.read.parquet(f"{SF_ORACLE}/supplier.parquet")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+    path = tmp_path / f"t_{fmt}"
+    write_any(src, path, fmt=fmt)
+    back = read_any(spark, path, fmt=fmt)
+    a = {r["s_suppkey"]: r for r in src.collect()}
+    b = {int(r["s_suppkey"]): r for r in back.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["s_name"] == b[k]["s_name"]
+        assert float(a[k]["s_acctbal"]) == float(b[k]["s_acctbal"])
+
+
+def test_partitioned_write_any(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    write_any(src, tmp_path / "po", fmt="parquet", partition_by="status")
+    assert (tmp_path / "po" / "status=F").exists()
+    back = read_any(spark, tmp_path / "po")
+    assert back.count() == src.count()
+
+
+def test_extension_detection(spark, tmp_path):
+    df = spark.range(5).withColumn("x", F.col("id") * 2)
+    write_any(df, tmp_path / "d.json", fmt="json")
+    back = read_any(spark, tmp_path / "d.json")  # fmt from extension
+    assert back.count() == 5
