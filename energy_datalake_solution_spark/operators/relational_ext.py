@@ -207,3 +207,117 @@ def conditional_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_large"),
         F.round(F.sum(F.when(finished, F.col("o_totalprice"))), 2).alias("finished_spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classic multi-join analytics (TPC-H Q3/Q5 shapes) — exercise the join
+# planner on 3-way and 6-way star/snowflake joins.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey AS order_id,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate AS order_date,
+               o.o_orderpriority AS order_priority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, order_id
+        LIMIT 10
+    """,
+    headline=True,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue by market segment.
+
+    3-way join with selective filters on both fact inputs. customer is the
+    small side after the segment filter -> broadcast; both date predicates
+    are range predicates that push to the parquet scans; ORDER BY + LIMIT
+    compiles to TakeOrderedAndProject (no global sort). (Extends the
+    reference's single-fact star schema — SURVEY.md §2.3 J2.)
+    """
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("order_id", "revenue", "order_date", "order_priority")
+        .orderBy(F.col("revenue").desc(), F.col("order_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+        SELECT n.n_name AS nation_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation_name
+    """,
+    headline=True,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where customer and supplier share a nation,
+    restricted to one region and one year.
+
+    6-way snowflake join. lineitem x orders is the only big-big join
+    (shuffle on orderkey); customer/supplier/nation/region are dims ->
+    broadcast, so the local-supplier equi-predicate (c_nationkey =
+    s_nationkey) evaluates map-side. Year filter is a pushed range predicate.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation_name"))
+    )

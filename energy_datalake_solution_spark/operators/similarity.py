@@ -244,3 +244,51 @@ def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("norm"), 4).alias("avg_l2_norm"),
         )
     )
+
+
+@register(
+    "embeddings_cosine_near_dups",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                   list_sum(list_transform(range(1, 65),
+                            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                      * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+                   6) AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(
+                  list_sum(list_transform(range(1, 65),
+                           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+                  6) >= 0.4
+    """,
+    tags=("dedup", "similarity"),
+)
+def embeddings_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
+    cosine(a, b) >= threshold — the semantic-dedup primitive of an LLM data
+    pipeline (exact variant).
+
+    This exact all-pairs form is the oracle baseline; at 100 TB the
+    candidate pairs come from the same hyperplane-LSH banding as
+    ``embeddings_lsh_ann`` (join on band keys, verify cosine within
+    buckets), so the O(n^2) cross join never materializes. Double
+    accumulation + round(6) before the threshold keeps the boundary
+    decision bit-identical across engines.
+    """
+    NEAR_DUP_THRESHOLD = 0.4  # synthetic corpus: max pairwise cos ~0.51
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= NEAR_DUP_THRESHOLD)
+    )
