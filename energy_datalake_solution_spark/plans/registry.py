@@ -70,6 +70,7 @@ def _load_all() -> None:
         relational,
         relational_ext,
         similarity,
+        skew,
         temporal,
         text,
     )

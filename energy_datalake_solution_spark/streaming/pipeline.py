@@ -98,6 +98,43 @@ def windowed_event_counts(
     )
 
 
+def user_lifetime_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime event count / value total, updated every micro-batch.
+
+    This is the escape hatch for stateful semantics that windowed aggs
+    can't express (arbitrary per-key accumulators, custom eviction). State
+    is one (count, total) pair per user — O(|users|) in the state store,
+    checkpointed, recovered on restart. Batches arrive Arrow-encoded
+    (pandas), so the per-key update is vectorized, not row-at-a-time.
+
+    Output mode: update — one row per user per micro-batch in which that
+    user appeared, carrying the post-batch lifetime totals.
+    """
+    import pandas as pd  # noqa: F401 (arrow batches arrive as pandas)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def session_event_windows(
     events: DataFrame,
     gap: str = "30 minutes",

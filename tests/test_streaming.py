@@ -147,3 +147,67 @@ def test_streaming_session_windows(spark, tmp_path):
     assert by_user[1][0]["n_events"] == 2 and by_user[1][0]["session_value"] == 15.0
     assert by_user[1][1]["n_events"] == 1
     assert len(by_user[2]) == 1 and by_user[2][0]["n_events"] == 1
+
+
+def test_streaming_stateful_user_lifetime(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batch RUNS
+    (checkpoint restore), accumulating lifetime totals."""
+    import json
+
+    from energy_datalake_solution_spark.streaming.pipeline import user_lifetime_stats
+
+    src = tmp_path / "events_json"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    out_dir = tmp_path / "state_out"
+
+    def run_batch(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                json.dumps({"ts": ts, "event_type": et, "user_id": u, "value": v})
+                for ts, et, u, v in rows
+            )
+        )
+        stream = (
+            spark.readStream.schema(schema).json(str(src)).withColumn("ts", F.to_timestamp("ts"))
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(out_dir))
+
+        q = (
+            user_lifetime_stats(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(
+        "b1.json",
+        [
+            ("2024-01-01 00:05:00", "click", 1, 10.0),
+            ("2024-01-01 00:20:00", "click", 1, 5.0),
+            ("2024-01-01 00:40:00", "view", 2, 2.0),
+        ],
+    )
+    run_batch("b2.json", [("2024-01-01 01:10:00", "click", 1, 7.0)])
+
+    got = sorted(
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+    )
+    # run 1 emits user1=(2,15.0) user2=(1,2.0); run 2 (a NEW query restored
+    # from the checkpointed state store) emits user1=(3,22.0) -- proving
+    # per-key state survived the restart.
+    assert got == [(1, 2, 15.0), (1, 3, 22.0), (2, 1, 2.0)]
