@@ -200,3 +200,41 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         digest.alias("content_md5"),
         F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint").alias("fingerprint64"),
     )
+
+
+# GPT-2-style pre-tokenizer, restricted to syntax valid in BOTH Java regex
+# (Spark) and RE2 (DuckDB): no lookahead, no \p classes. Contraction tails,
+# space-prefixed letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'[a-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+@register(
+    "docs_bpe_token_counts",
+    oracle=r"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '''[a-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
+                   AS n_bpe_tokens,
+               len(regexp_extract_all(text, '''[a-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) * 1.0
+                   / len(string_split(text, ' ')) AS tokens_per_word
+        FROM documents
+    """,
+    tags=("text",),
+)
+def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (the GPT-2 split
+    classes minus lookahead, so Java and RE2 agree) next to the whitespace
+    count — the cost-estimation primitive of an LLM data pipeline.
+
+    Pure regexp_extract_all/split, JVM-side codegen, zero shuffle; the
+    tokens-per-word ratio is one exact int division per row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    ws = F.size(_tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (bpe * F.lit(1.0) / ws).alias("tokens_per_word"),
+    )
