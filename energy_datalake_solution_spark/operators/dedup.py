@@ -292,27 +292,58 @@ def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register("docs_minhash_lsh_pairs", oracle=None, tags=("dedup", "approx"))
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate Jaccard near-dup pairs via MinHash-LSH
-    (pyspark.ml.feature.HashingTF + MinHashLSH, fixed seed).
+    """Approximate Jaccard near-dup pairs via banded MinHash-LSH.
 
-    Probabilistic candidate generation — recall < 1 by design, so there is
-    no SQL oracle; the driver records a rows-only check. The exact
+    16 deterministic minhash functions (xxhash64 seeded by slot), banded as
+    b=8 bands x r=2 rows — the classic (b, r) construction with match
+    probability 1-(1-J^2)^8 (~90% at J=0.5, ~100% at J=0.8). The AND within
+    a band is what makes this scale: a candidate bucket requires TWO
+    minhash agreements, so stopword-dominated hot buckets (the failure mode
+    of single-hash OR amplification) collapse — bucket joins stay near-
+    linear at 100 TB. est_jaccard is the standard matching-slots/16
+    estimator, so recall < 1 by design -> rows-only check; the exact
     counterpart (docs_ngram_jaccard_pairs) bounds it from above.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
+    N_HASH, N_BANDS = 16, 8  # r = 2
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tokens"))
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(toks).where(F.size("tokens") > 0)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = mh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")
-    return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("jaccard_dist"), 4).alias("est_jaccard"),
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    # 16 minhashes in ONE groupBy pass over the exploded tokens
+    mh = tok.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.xxhash64(F.lit(s), F.col("t"))) for s in range(N_HASH)]
+        ).alias("mh")
+    )
+    band = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
+    banded = mh.select("doc_id", "mh", band).select(
+        "doc_id",
+        "mh",
+        "band",
+        F.element_at("mh", F.col("band") * 2 + 1).alias("k1"),
+        F.element_at("mh", F.col("band") * 2 + 2).alias("k2"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"), "band", "k1", "k2"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"), "band", "k1", "k2"
+    )
+    cand = (
+        a.join(b, ["band", "k1", "k2"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "mh_a", "mh_b")
+        .distinct()
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
         )
+        / F.lit(float(N_HASH))
+    )
+    return (
+        cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= JACCARD_THRESHOLD)
     )

@@ -274,21 +274,41 @@ def embeddings_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     This exact all-pairs form is the oracle baseline; at 100 TB the
     candidate pairs come from the same hyperplane-LSH banding as
     ``embeddings_lsh_ann`` (join on band keys, verify cosine within
-    buckets), so the O(n^2) cross join never materializes. Double
-    accumulation + round(6) before the threshold keeps the boundary
-    decision bit-identical across engines.
+    buckets), so the O(n^2) cross join never materializes.
+
+    Plan shape for the O(n^2) it does run: norms are computed ONCE per
+    vector (not per pair); the per-pair kernel is a literal 64-term
+    multiply-add chain (whole-stage codegen, no per-pair lambda
+    interpretation or array allocation); the streamed side is
+    repartitioned so the nested-loop tasks spread across all cores.
+    Left-to-right summation in double + round(6) before the threshold
+    matches DuckDB's evaluation order bit-for-bit.
     """
     NEAR_DUP_THRESHOLD = 0.4  # synthetic corpus: max pairwise cos ~0.51
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    prepped = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("xd"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = prepped.select(
+        F.col("vec_id").alias("id_a"), F.col("xd").alias("xa"), F.col("nrm").alias("na")
+    )
+    n_part = max(spark.sparkContext.defaultParallelism * 2, 2)
+    b = prepped.select(
+        F.col("vec_id").alias("id_b"), F.col("xd").alias("xb"), F.col("nrm").alias("nb")
+    ).repartition(n_part)
+    dot64 = sum(
+        (F.element_at("xa", i) * F.element_at("xb", i) for i in range(2, 65)),
+        F.element_at("xa", 1) * F.element_at("xb", 1),
+    )
     return (
         F.broadcast(a)
         .join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
+            F.round(dot64 / (F.col("na") * F.col("nb")), 6).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= NEAR_DUP_THRESHOLD)
     )

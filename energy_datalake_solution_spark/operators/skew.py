@@ -117,8 +117,13 @@ def skew_salted_join_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame
     dim_rep = type_stats.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
     )
+    # Force the shuffle path: without the hint Catalyst would broadcast the
+    # tiny replicated dim and the salt would be decorative. shuffle_hash on
+    # the dim side = partition both on (event_type, salt), hash-build the
+    # small side — the exact plan this pattern produces at 100 TB where the
+    # dim exceeds the broadcast threshold.
     return (
-        salted.join(dim_rep, ["event_type", "salt"])
+        salted.join(dim_rep.hint("shuffle_hash"), ["event_type", "salt"])
         .select(
             "event_id",
             "event_type",

@@ -138,3 +138,31 @@ def test_compaction_reduces_files(spark, tmp_path):
     after = len(glob.glob(str(tmp_path / "t" / "load_date_partition=2025-03-05" / "*.parquet")))
     assert n == before * 100
     assert after == 1
+
+
+def test_salted_join_actually_shuffles(spark):
+    """The skew-demo join must NOT degrade to a broadcast: the salt only
+    splits hot keys if the join partitions on (key, salt)."""
+    df = QUERIES["skew_salted_join_event_enrich"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "ShuffledHashJoin" in plan
+    # the join keys include the salt column
+    assert "salt" in plan
+
+
+def test_tpch_q3_broadcast_and_topk(spark):
+    """Q3: filtered customer dim broadcasts; ORDER BY+LIMIT is a top-k."""
+    df = QUERIES["tpch_q3_shipping_priority"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_single_fact_shuffle(spark):
+    """Q5: all four dims broadcast — lineitem x orders is the only join
+    that may shuffle; no cartesian anywhere."""
+    df = QUERIES["tpch_q5_local_supplier_volume"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
