@@ -73,6 +73,7 @@ def _load_all() -> None:
         skew,
         temporal,
         text,
+        tpch,
     )
 
 

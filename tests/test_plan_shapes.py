@@ -166,3 +166,38 @@ def test_tpch_q5_single_fact_shuffle(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q6_predicates_reach_scan(spark):
+    """Q6 is the scan-bound shape: shipdate/discount/quantity predicates must
+    all appear in PushedFilters, and no join/exchange beyond the final agg."""
+    plan = plan_of(QUERIES["tpch_q6_forecast_revenue"].fn(spark, SF_ORACLE))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert "Join" not in plan
+
+
+def test_tpch_q18_reuses_join_partitioning(spark):
+    """Q18's HAVING agg and the orders join share the l_orderkey hash
+    partitioning — exactly one fact-side exchange pair, customer broadcasts,
+    final ORDER+LIMIT is a top-k."""
+    plan = plan_of(QUERIES["tpch_q18_large_orders"].fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # customer never shuffles the fact
+
+
+def test_tpch_q4_semi_join(spark):
+    plan = plan_of(QUERIES["tpch_q4_order_priority"].fn(spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_part_filter_below_join(spark):
+    """The OR'd clause groups must not defeat filter extraction: the part
+    side is pre-filtered (brand/size conjuncts below the join) and the fact
+    scan carries the derived quantity range."""
+    plan = plan_of(QUERIES["tpch_q19_disjunctive_revenue"].fn(spark, SF_ORACLE))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in pushed)
+    assert any("p_brand" in l or "p_size" in l for l in pushed)
+    assert "BroadcastHashJoin" in plan
