@@ -1,0 +1,195 @@
+"""Corpus-pipeline operators: near-dup clustering, deterministic splits,
+and the composed training-corpus filter.
+
+These close the loop on the dedup suite (operators/dedup.py): pair lists
+become clusters, clusters become a deduplicated corpus, and the corpus is
+split train/val/test — the operations a large-scale training-data pipeline
+runs after candidate generation. No counterpart exists in the reference
+(its dedup is single-table ``dropDuplicates``,
+glue_jobs/etl-s3-processed-to-redshift.py:59); this is the north-star
+extension surface of BASELINE.json.
+
+Scale notes:
+  * connected components uses iterative min-label propagation — each round
+    is one join + one groupBy on (node, label) pairs, the same primitive
+    the large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") builds on. Rounds = graph
+    diameter, which for near-dup graphs is tiny (dup clusters are cliques
+    or short chains). ``localCheckpoint`` truncates lineage per round so
+    the plan does not grow with iterations.
+  * deterministic splits hash content-stable keys (md5) instead of
+    ``rand()`` — reproducible across runs, engines, and cluster sizes, and
+    exactly what you want when re-running a 100 TB pipeline must not
+    reshuffle examples between train and test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import QUERIES, register
+from ..sources.catalog import load_table
+from . import dedup as _dedup  # ensures pair query + oracle are registered
+
+MAX_CC_ROUNDS = 15
+
+# Recursive-CTE oracle: enumerate reachable nodes from every doc over the
+# symmetrized near-dup edge list, then take the minimum reachable doc_id as
+# the cluster id. The edge list is the *same SQL* as the registered
+# ngram-jaccard oracle, so the two stay in lockstep by construction.
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE pairs_raw AS (
+        {QUERIES["docs_ngram_jaccard_pairs"].oracle}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs_raw
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs_raw
+    ),
+    walk(doc_id, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.a, w.reach FROM walk w JOIN edges e ON e.b = w.doc_id
+    )
+    SELECT doc_id,
+           min(reach) AS cluster_id,
+           (doc_id = min(reach)) AS is_canonical
+    FROM walk
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "docs_dedup_clusters",
+    oracle=_CLUSTER_ORACLE,
+    tags=("dedup", "graph"),
+)
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the exact ngram-Jaccard
+    pair graph, cluster id = smallest doc_id in the component, canonical doc
+    = the cluster id holder (the row you keep when deduplicating).
+
+    Iterative min-label propagation: labels start as self; each round every
+    node takes the min of its own label and its neighbors' labels; stop when
+    a round changes nothing. The edge list is computed ONCE and
+    localCheckpoint'ed (it is the expensive part — the label loop touches
+    only (node, label) pairs).
+    """
+    edges = _dedup.docs_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ROUNDS):
+        prop = e.join(labels, e.dst == labels.doc_id).select(
+            F.col("src").alias("doc_id"), "cluster_id"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+@register(
+    "docs_deterministic_split",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    tags=("corpus", "sampling"),
+)
+def docs_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) by hashing the stable
+    key: the first md5 byte partitions hex space at 0xcc (204/256 = 79.7%)
+    and 0xe6 (230/256 = 89.8%). Unlike ``rand(seed)``, the assignment is a
+    pure function of the row — stable under repartitioning, retries,
+    cluster size, and engine (Spark and DuckDB md5 agree bit-for-bit)."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "docs_training_corpus",
+    oracle="""
+        WITH canon AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(lower(trim(text)))
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(d.text, '[^a-z0-9 ]')) * 1.0
+                       / length(d.text) AS nonalpha_ratio
+            FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+        )
+        SELECT s.doc_id,
+               s.n_tokens,
+               CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM scored s
+        WHERE s.n_tokens >= 10 AND s.nonalpha_ratio < 0.3
+    """,
+    tags=("corpus", "dedup", "quality"),
+)
+def docs_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline: exact-dedup (keep the smallest doc_id per
+    normalized-content digest) -> quality filter (>= 10 tokens, < 30%
+    non-alphanumeric) -> deterministic split. One semi join against the
+    per-digest canonical set (shuffle on a 16-byte key), then pure row-local
+    expressions — the whole filter chain is a single scan at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = (
+        d.select(F.md5(F.lower(F.trim("text"))).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("long")  # match oracle BIGINT
+    nonalpha_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), F.lit(0)))
+        * 1.0
+        / F.length("text")
+    )
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        d.join(canon, "doc_id", "left_semi")
+        .select("doc_id", n_tokens.alias("n_tokens"), nonalpha_ratio.alias("nonalpha_ratio"))
+        .where((F.col("n_tokens") >= 10) & (F.col("nonalpha_ratio") < 0.3))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test").alias("split"),
+        )
+    )

