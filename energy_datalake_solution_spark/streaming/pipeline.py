@@ -135,6 +135,68 @@ def user_lifetime_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_event_stream(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once dedup for at-least-once sources (replayed
+    files, Kafka redeliveries): ``dropDuplicatesWithinWatermark`` keeps one
+    row per id seen within the watermark horizon, then EVICTS the id from
+    the state store — so state is bounded by (arrival rate x watermark),
+    not by stream lifetime. The batch twin is dedup_on_keys
+    (sources/merge.py); this is the reference's pre-upsert dropDuplicates
+    (etl-s3-processed-to-redshift.py:59) moved into the stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(id_cols))
+
+
+def enrich_with_dimension(stream: DataFrame, dim: DataFrame, on: list[str] | str) -> DataFrame:
+    """Stream-static join: each micro-batch hash-joins against the static
+    dimension snapshot. The dim is broadcast — the stream side never
+    shuffles, so enrichment adds no stateful operator and no watermark
+    requirement (left join keeps events with no dim match)."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def stream_merge_to_curated(
+    spark: SparkSession,
+    raw_dir: str | Path,
+    schema: T.StructType,
+    contract: TableContract,
+    file_type: str,
+    load_date: str,
+    curated_root: str | Path,
+    checkpoint_dir: str | Path,
+) -> StreamingQuery:
+    """EP1+EP2 fused as one stream: raw csv files -> contract transform ->
+    per-micro-batch keyed upsert into the curated zone via ``foreachBatch``.
+
+    foreachBatch is the streaming escape hatch for sinks Spark has no
+    native exactly-once writer for (here: the anti-join merge). Restart
+    safety comes from the checkpointed source offsets plus the merge being
+    idempotent on the business keys — replaying a batch upserts the same
+    rows to the same keys.
+    """
+    from ..sources.merge import merge_upsert
+
+    raw = raw_csv_stream(spark, raw_dir, schema)
+    typed = add_derived_columns(apply_contract(raw, contract), file_type)
+    stamped = add_audit_columns(typed, source_file=str(raw_dir), load_date=load_date)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert(spark, batch_df, curated_root, contract)
+
+    return (
+        stamped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def session_event_windows(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -211,3 +211,109 @@ def test_streaming_stateful_user_lifetime(spark, tmp_path):
     # from the checkpointed state store) emits user1=(3,22.0) -- proving
     # per-key state survived the restart.
     assert got == [(1, 2, 15.0), (1, 3, 22.0), (2, 1, 2.0)]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Replayed event ids are dropped; state evicts beyond the watermark."""
+    import json
+
+    from energy_datalake_solution_spark.streaming.pipeline import dedup_event_stream
+
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    rows = [
+        (100, "2024-01-01 00:05:00", "click", 1, 10.0),
+        (100, "2024-01-01 00:05:00", "click", 1, 10.0),  # exact replay
+        (101, "2024-01-01 00:06:00", "view", 2, 2.0),
+        (101, "2024-01-01 00:07:00", "view", 2, 2.0),  # same id, later ts
+        (102, "2024-01-01 00:08:00", "click", 1, 5.0),
+    ]
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"event_id": e, "ts": ts, "event_type": et, "user_id": u, "value": v})
+            for e, ts, et, u, v in rows
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).json(str(src)).withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        dedup_event_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect())
+    assert got == [100, 101, 102]
+
+
+def test_streaming_static_dim_enrichment(spark, tmp_path):
+    from energy_datalake_solution_spark.streaming.pipeline import enrich_with_dimension
+
+    stream = _event_stream_fixture(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("view", 1.0)], "event_type string, weight double"
+    )
+    q = (
+        enrich_with_dimension(stream, dim, "event_type")
+        .select("user_id", "event_type", (F.col("value") * F.col("weight")).alias("weighted"))
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT round(sum(weighted), 2) AS s FROM enriched").collect()[0]["s"]
+    # clicks (10+5+7)*2 + views 2*1 = 46.0
+    assert got == 46.0
+
+
+def test_streaming_merge_to_curated(spark, tmp_path):
+    """Fused EP1+EP2: each micro-batch run upserts into the curated zone —
+    re-sent keys replace rows, new keys append."""
+    from energy_datalake_solution_spark.streaming.pipeline import stream_merge_to_curated
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    curated = tmp_path / "curated"
+
+    (raw / "proveedores_1.csv").write_text(
+        "ID_Proveedor,NombreProveedor,TipoEnergia,PaisOrigen,FechaInicioContrato\n"
+        "P001,Solar SA,Solar,Espana,2020-01-15\n"
+        "P002,Viento,Eolica,Chile,2021-06-01\n"
+    )
+    q = stream_merge_to_curated(
+        spark, raw, PROVEEDORES_SCHEMA, PROVEEDORES, "proveedores",
+        "2025-03-05", curated, tmp_path / "ckpt_m",
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(curated / "dim_proveedores"))
+    assert out.count() == 2
+
+    # second run: P001 renamed (upsert) + P003 added (insert)
+    (raw / "proveedores_2.csv").write_text(
+        "ID_Proveedor,NombreProveedor,TipoEnergia,PaisOrigen,FechaInicioContrato\n"
+        "P001,Solar Renamed,Solar,Espana,2020-01-15\n"
+        "P003,Hidro,Hidro,Peru,2022-01-01\n"
+    )
+    q2 = stream_merge_to_curated(
+        spark, raw, PROVEEDORES_SCHEMA, PROVEEDORES, "proveedores",
+        "2025-03-06", curated, tmp_path / "ckpt_m",
+    )
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(str(curated / "dim_proveedores"))
+    rows = {r["supplier_id"]: r["supplier_name"] for r in out2.collect()}
+    assert rows == {"P001": "Solar Renamed", "P002": "Viento", "P003": "Hidro"}
