@@ -296,49 +296,61 @@ def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register("docs_minhash_lsh_pairs", oracle=None, tags=("dedup", "approx"))
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate Jaccard near-dup pairs via banded MinHash-LSH.
+    """Approximate Jaccard near-dup pairs via banded MinHash-LSH over the
+    SAME word-3-gram shingle sets as the exact operator — approximating a
+    different feature (e.g. unigrams) would answer a different question,
+    and on a shared-vocabulary corpus unigram Jaccard is ~1 for everything,
+    which blows the candidate set up to ~n^2.
 
     16 deterministic minhash functions (xxhash64 seeded by slot), banded as
     b=8 bands x r=2 rows — the classic (b, r) construction with match
     probability 1-(1-J^2)^8 (~90% at J=0.5, ~100% at J=0.8). The AND within
     a band is what makes this scale: a candidate bucket requires TWO
-    minhash agreements, so stopword-dominated hot buckets (the failure mode
-    of single-hash OR amplification) collapse — bucket joins stay near-
-    linear at 100 TB. est_jaccard is the standard matching-slots/16
-    estimator, so recall < 1 by design -> rows-only check; the exact
-    counterpart (docs_ngram_jaccard_pairs) bounds it from above.
+    minhash agreements, so hot buckets collapse and the bucket join stays
+    near-linear at 100 TB. Candidates dedup on the bare (doc_a, doc_b) key
+    (16 bytes — never haul the signature arrays through a shuffle); the
+    signatures rejoin afterwards for the matching-slots/16 estimate.
+    Recall < 1 by design -> rows-only check; the exact counterpart
+    (docs_ngram_jaccard_pairs) bounds the result from above.
     """
     N_HASH, N_BANDS = 16, 8  # r = 2
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 3)
+    idx = F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i")
+    shingle = toks.select("doc_id", "w", idx).select(
+        "doc_id",
+        F.xxhash64(
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("i")),
+                F.element_at("w", F.col("i") + 1),
+                F.element_at("w", F.col("i") + 2),
+            )
+        ).alias("sh"),
     )
-    # 16 minhashes in ONE groupBy pass over the exploded tokens
-    mh = tok.groupBy("doc_id").agg(
+    # 16 minhashes in ONE groupBy pass over the exploded shingles
+    mh = shingle.groupBy("doc_id").agg(
         F.array(
-            *[F.min(F.xxhash64(F.lit(s), F.col("t"))) for s in range(N_HASH)]
+            *[F.min(F.xxhash64(F.lit(s), F.col("sh"))) for s in range(N_HASH)]
         ).alias("mh")
     )
     band = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
-    banded = mh.select("doc_id", "mh", band).select(
+    banded = mh.select("doc_id", band, "mh").select(
         "doc_id",
-        "mh",
         "band",
         F.element_at("mh", F.col("band") * 2 + 1).alias("k1"),
         F.element_at("mh", F.col("band") * 2 + 2).alias("k2"),
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"), "band", "k1", "k2"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"), "band", "k1", "k2"
-    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "k1", "k2")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "k1", "k2")
     cand = (
         a.join(b, ["band", "k1", "k2"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "mh_a", "mh_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    mh_a = mh.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
+    mh_b = mh.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
     est = (
         F.aggregate(
             F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
@@ -348,6 +360,8 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(float(N_HASH))
     )
     return (
-        cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        cand.join(mh_a, "doc_a")
+        .join(mh_b, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= JACCARD_THRESHOLD)
     )
