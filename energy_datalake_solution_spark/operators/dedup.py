@@ -10,8 +10,9 @@ Four tiers, cheapest first:
                     the fingerprint (4 x 15-bit bands, join per band) and
                     verifying Hamming distance. Deterministic (md5-based),
                     SQL-expressible, scales as band-key joins.
-  4. minhash-lsh  — pyspark.ml MinHashLSH approx similarity join (seeded);
-                    probabilistic, so rows-only check (no SQL oracle).
+  4. minhash-lsh  — banded MinHash signatures over the same shingle sets
+                    (16 x xxhash64, b=8 r=2), candidates from band-bucket
+                    joins; probabilistic recall, so rows-only check.
 
 Scale posture: tiers 2-4 avoid the O(n^2) cross join — candidate pairs come
 from inverted-index / band-bucket joins, which shuffle on shingle/band keys.
@@ -268,26 +269,25 @@ def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = fp.select("doc_id", "simhash", band).withColumn(
         "band_key", F.expr("shiftright(simhash, band * 15)").bitwiseAND(32767)
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    # dedup candidates on the bare 16-byte pair key; the fingerprints (one
+    # row per doc) rejoin afterwards as broadcasts — never haul sh_a/sh_b
+    # through the candidate shuffle
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.where(hamming <= HAMMING_THRESHOLD).select(
-        "doc_a", "doc_b", hamming.alias("hamming")
+    return (
+        cand.join(F.broadcast(fa), "doc_a")
+        .join(F.broadcast(fb), "doc_b")
+        .where(hamming <= HAMMING_THRESHOLD)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
 
 
