@@ -139,6 +139,103 @@ def docs_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_pack_sequences",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS start_offset
+            FROM t
+        )
+        SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor(start_offset / 512) AS BIGINT) AS pack_id
+        FROM c
+    """,
+    tags=("corpus", "window"),
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents are concatenated in a
+    deterministic order and cut into fixed-budget packs (512 tokens);
+    pack_id = which pack a document STARTS in (offset-based greedy packing,
+    the streaming-friendly variant — no bin-packing search).
+
+    Scale shape: packing is per-shard (md5 nibble, 16 shards), so the
+    running-offset window partitions across the cluster instead of
+    funnelling 100 TB through one task — a global ORDER BY cumsum is the
+    classic single-task window trap. Shard count scales with data; packs
+    are only ever read shard-local, so no global order is needed."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    t = d.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    return t.select("doc_id", "shard", "n_tokens", start).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("start_offset") / 512).alias("pack_id"),
+    )
+
+
+@register(
+    "docs_split_contamination",
+    oracle=f"""
+        WITH pairs_raw AS (
+            {QUERIES["docs_ngram_jaccard_pairs"].oracle}
+        ),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+               p.jaccard AS jaccard
+        FROM pairs_raw p
+        JOIN s sa ON p.doc_a = sa.doc_id
+        JOIN s sb ON p.doc_b = sb.doc_id
+        WHERE sa.split <> sb.split
+    """,
+    tags=("corpus", "dedup", "quality"),
+)
+def docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination report: near-duplicate pairs that straddle
+    split boundaries (a training doc nearly identical to a val/test doc
+    leaks the benchmark). Composes the exact Jaccard pair graph with the
+    deterministic split — the dedup decision and the audit use the same
+    primitives, so fixing contamination (drop the non-train side) is a
+    semi-join against this result."""
+    pairs = _dedup.docs_ngram_jaccard_pairs(spark, sf_dir)
+    splits = docs_deterministic_split(spark, sf_dir)
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )
+
+
+@register(
     "docs_training_corpus",
     oracle="""
         WITH canon AS (
