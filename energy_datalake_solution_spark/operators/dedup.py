@@ -23,7 +23,7 @@ is both a skew guard and the standard quality fix.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -102,17 +102,22 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity"),
 )
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard similarity pairs above a threshold.
+    """Exact word-3-gram Jaccard similarity pairs above a threshold, via
+    prefix-filtered inverted-index join (the PPJoin family: Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection", WWW'08).
 
-    Plan shape: explode shingles -> 64-bit hash (xxhash64: the shuffle key
-    is 8 bytes, not a ~20-char string) -> distinct per doc ->
-    document-frequency cap via a window count (reuses the hash partitioning
-    — no second shuffle or join-back; also the skew + quality guard) ->
-    self-join on the hash (inverted index) -> per-pair shared counts ->
-    Jaccard from |A|+|B|-shared. No cross join anywhere. A 64-bit hash
-    collision could merge two distinct shingles (probability ~n^2/2^64 —
-    negligible); the oracle keeps exact strings, which doubles as a
-    collision canary.
+    Plan shape: explode shingles -> 64-bit hash (8-byte shuffle keys, not
+    ~20-char strings) -> distinct -> document-frequency cap (skew + quality
+    guard) -> per-doc shingle arrays sorted rarest-first by global df ->
+    PREFIX FILTER: for self-join threshold t, two sets with J >= t MUST
+    share a token within their first |x| - ceil(2t/(1+t)|x|) + 1 tokens
+    under a common global order (first ~1/3 at t=0.5), so the inverted
+    index is built over prefixes only — the hot tail of frequent shingles
+    never generates candidates, which is exactly what explodes at corpus
+    scale. Candidates (bare 16-byte pair keys) then verify exactly with
+    array_intersect against the full sorted sets. Lossless: identical
+    output to the unfiltered join, and the string-keyed oracle doubles as
+    a hash-collision canary (collision probability ~n^2/2^64).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 3)
@@ -128,36 +133,43 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.element_at("w", F.col("i") + 1),
                     F.element_at("w", F.col("i") + 2),
                 )
-            ).alias("shingle"),
+            ).alias("sh"),
         )
         .distinct()
     )
-    filtered = (
-        shingles.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
-        .where(F.col("df") <= MAX_SHINGLE_DF)
-        .select("doc_id", "shingle")
+    dfreq = (
+        shingles.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") <= MAX_SHINGLE_DF)
     )
-    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = filtered.alias("a")
-    b = filtered.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # sorted rarest-first: (df, hash) gives every doc the SAME global order
+    sets = (
+        shingles.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("cnt", "sh"))), lambda s: s["sh"]
+            ).alias("shs")
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    # sizes is one row per doc — orders of magnitude smaller than the pair
-    # stream at any scale; broadcast both aliases so the pair side never
-    # re-shuffles (also skips AQE's cold-start sort-merge plan: 3x on the
-    # first execution).
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_shared") * 1.0 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared"))
+    t = JACCARD_THRESHOLD
+    plen = (F.size("shs") - F.ceil(F.size("shs") * (2 * t / (1 + t))) + 1).cast("int")
+    pref = sets.select("doc_id", F.explode(F.slice("shs", 1, plen)).alias("psh"))
+    a = pref.select(F.col("doc_id").alias("doc_a"), "psh")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "psh")
+    cand = (
+        a.join(b, "psh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    fb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    shared = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = shared * 1.0 / (F.size("shs_a") + F.size("shs_b") - shared)
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
