@@ -52,6 +52,25 @@ def read_any(
     raise ValueError(f"unsupported format: {fmt}")
 
 
+def read_evolved(spark: SparkSession, path: str | Path, fmt: str = "parquet") -> DataFrame:
+    """Read a table whose files were written under EVOLVING schemas
+    (columns added over time — the normal life of a lake table fed by the
+    dynamic/unrecognized ingest path, SURVEY §1.3 mode 3).
+
+    ``mergeSchema`` unions the per-file footers: rows from files lacking a
+    column read as NULL. Scale note: footer merging reads every file's
+    metadata up front — at 100 TB-scale file counts, keep it off (default)
+    for hot paths and evolve readers via an explicit contract instead;
+    this entry point is for exploration and backfill over mixed vintages.
+    """
+    fmt = (fmt or "parquet").lower()
+    if fmt == "parquet":
+        return spark.read.option("mergeSchema", True).parquet(str(path))
+    if fmt == "orc":
+        return spark.read.option("mergeSchema", True).orc(str(path))
+    raise ValueError(f"schema merge unsupported for format: {fmt}")
+
+
 def write_any(
     df: DataFrame,
     path: str | Path,

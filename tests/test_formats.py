@@ -43,3 +43,22 @@ def test_extension_detection(spark, tmp_path):
     write_any(df, tmp_path / "d.json", fmt="json")
     back = read_any(spark, tmp_path / "d.json")  # fmt from extension
     assert back.count() == 5
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Files written under old and new schemas read back as one table:
+    missing columns surface as NULLs, not errors."""
+    from energy_datalake_solution_spark.sources.formats import read_evolved
+
+    p = tmp_path / "evolving"
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.mode("append").parquet(
+        str(p)
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.mode("append").parquet(str(p))
+
+    out = read_evolved(spark, p)
+    assert set(out.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
