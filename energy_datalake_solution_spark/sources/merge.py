@@ -86,6 +86,66 @@ def merge_upsert(
     return target_path
 
 
+def scd2_apply(
+    existing: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective_ts: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: apply an update batch to a
+    versioned dimension, preserving full history.
+
+    ``existing`` carries (key, attrs..., valid_from, valid_to, is_current)
+    with one is_current row per key; ``updates`` carries (key, attrs...,
+    effective_ts). Semantics (the upsert the reference's dims imply,
+    etl-s3-processed-to-redshift.py:66-96, but history-preserving instead
+    of overwrite-in-place):
+
+      * changed attrs  -> current row closes (valid_to = effective_ts,
+        is_current = false) and a new current row opens;
+      * unchanged rows and closed history pass through untouched;
+      * unseen keys insert as new current rows.
+
+    Plan shape: ONE full-outer join of current rows vs the batch on the
+    key, then row-local CASE logic and a union with history. Updates
+    batches are small relative to the dimension -> the join broadcasts
+    under AQE; history never shuffles (pass-through union branch).
+    """
+    cur = existing.where(F.col("is_current"))
+    hist = existing.where(~F.col("is_current"))
+    u = updates.select(
+        F.col(key).alias("_u_key"),
+        *[F.col(a).alias(f"_u_{a}") for a in attrs],
+        F.col(effective_ts).alias("_u_ts"),
+    )
+    j = cur.join(u, cur[key] == u["_u_key"], "full_outer")
+
+    changed = F.col("_u_key").isNotNull() & F.col(key).isNotNull() & ~(
+        F.struct(*[F.col(a) for a in attrs]) == F.struct(*[F.col(f"_u_{a}") for a in attrs])
+    )
+    new_key = F.col(key).isNull()
+
+    # surviving current rows: unchanged keys keep their row; changed keys close
+    survivors = j.where(F.col(key).isNotNull()).select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col("valid_from"),
+        F.when(changed, F.col("_u_ts")).otherwise(F.col("valid_to")).alias("valid_to"),
+        F.when(changed, F.lit(False)).otherwise(F.lit(True)).alias("is_current"),
+    )
+    # opened rows: changed keys and brand-new keys
+    opened = j.where(changed | new_key).select(
+        F.coalesce(F.col(key), F.col("_u_key")).alias(key),
+        *[F.col(f"_u_{a}").alias(a) for a in attrs],
+        F.col("_u_ts").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    cols = [key, *attrs, "valid_from", "valid_to", "is_current"]
+    return hist.select(*cols).unionByName(survivors).unionByName(opened)
+
+
 def run_merge(
     spark: SparkSession,
     processed_root: str | Path,

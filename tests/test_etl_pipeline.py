@@ -196,3 +196,52 @@ def test_merge_dedup_latest_wins(spark, lake):
     out = spark.read.parquet(str(curated / "dim_clientes")).collect()
     assert len(out) == 1
     assert out[0]["customer_name"] == "new"  # latest load_timestamp_utc survives
+
+
+def test_scd2_dimension_history(spark):
+    """SCD2: changed keys close + reopen, unchanged pass through, new keys
+    insert; history is immutable."""
+    from datetime import datetime
+
+    from energy_datalake_solution_spark.sources.merge import scd2_apply
+
+    TS = lambda s: datetime.fromisoformat(s)
+    existing = spark.createDataFrame(
+        [
+            # closed history row for S1
+            ("S1", "Coal", TS("2020-01-01"), TS("2022-01-01"), False),
+            # current rows
+            ("S1", "Solar", TS("2022-01-01"), None, True),
+            ("S2", "Wind", TS("2021-01-01"), None, True),
+            ("S3", "Hydro", TS("2021-06-01"), None, True),
+        ],
+        "supplier_id string, energy_type string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            ("S1", "Nuclear", TS("2024-05-01")),  # changed -> close + open
+            ("S2", "Wind", TS("2024-05-01")),     # unchanged -> no-op
+            ("S9", "Tidal", TS("2024-05-01")),    # new key -> insert
+        ],
+        "supplier_id string, energy_type string, effective_ts timestamp",
+    )
+    out = scd2_apply(existing, updates, "supplier_id", ["energy_type"], "effective_ts")
+    rows = sorted(
+        (r["supplier_id"], r["energy_type"], r["is_current"], r["valid_to"] is None)
+        for r in out.collect()
+    )
+    assert rows == [
+        ("S1", "Coal", False, False),     # old history untouched
+        ("S1", "Nuclear", True, True),    # reopened with new attrs
+        ("S1", "Solar", False, False),    # closed at effective_ts
+        ("S2", "Wind", True, True),       # unchanged
+        ("S3", "Hydro", True, True),      # not in batch -> untouched
+        ("S9", "Tidal", True, True),      # inserted
+    ]
+    closed = {
+        (r["supplier_id"], r["energy_type"]): str(r["valid_to"])
+        for r in out.where("NOT is_current").collect()
+    }
+    assert closed[("S1", "Coal")] == "2022-01-01 00:00:00"   # history immutable
+    assert closed[("S1", "Solar")] == "2024-05-01 00:00:00"  # closed by the batch
