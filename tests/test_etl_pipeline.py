@@ -245,3 +245,46 @@ def test_scd2_dimension_history(spark):
     }
     assert closed[("S1", "Coal")] == "2022-01-01 00:00:00"   # history immutable
     assert closed[("S1", "Solar")] == "2024-05-01 00:00:00"  # closed by the batch
+
+
+def test_incremental_daily_rollup(spark, tmp_path):
+    """Late data merges into existing day partitions; untouched days are
+    not rewritten."""
+    import glob
+    import os
+
+    from energy_datalake_solution_spark.sources.merge import update_daily_rollup
+
+    p = tmp_path / "rollup"
+    day1 = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", "click", 1.0),
+            ("2024-01-01 11:00:00", "click", 2.0),
+            ("2024-01-02 09:00:00", "view", 5.0),
+        ],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    update_daily_rollup(spark, day1, p)
+
+    jan2_files = set(glob.glob(str(p / "day=2024-01-02" / "*.parquet")))
+    jan2_mtime = {f: os.path.getmtime(f) for f in jan2_files}
+
+    # batch 2: new day 2024-01-03 plus LATE events for 2024-01-01
+    late = spark.createDataFrame(
+        [
+            ("2024-01-01 23:00:00", "click", 4.0),
+            ("2024-01-03 08:00:00", "view", 7.0),
+        ],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = update_daily_rollup(spark, late, p)
+
+    got = {
+        (str(r["day"]), r["dim"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    assert got[("2024-01-01", "click")] == (3, 7.0)   # late row merged in
+    assert got[("2024-01-02", "view")] == (1, 5.0)    # untouched
+    assert got[("2024-01-03", "view")] == (1, 7.0)    # new partition
+    # dynamic overwrite left the untouched partition's files alone
+    assert {f: os.path.getmtime(f) for f in jan2_files} == jan2_mtime
