@@ -72,6 +72,68 @@ def write_sorted(
     )
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str | Path,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Z-order (Morton-curve) clustered write over TWO numeric columns:
+    files cover compact rectangles of the (a, b) value space, so parquet
+    footer min/max statistics prune on EITHER column — a single-column
+    sort only ever prunes its own column.
+
+    Construction in pure Spark expressions: scale each column to a
+    ``bits``-bit bucket id against its global min/max (two-row broadcast),
+    interleave the bit positions into a Morton code, then range-partition +
+    sort by the code. At 100 TB the min/max agg is one cheap pass (or comes
+    from table stats) and everything else is row-local — no UDF, no
+    driver-side data.
+    """
+    mins = df.agg(
+        F.min(col_a).alias("_min_a"),
+        F.max(col_a).alias("_max_a"),
+        F.min(col_b).alias("_min_b"),
+        F.max(col_b).alias("_max_b"),
+    )
+    scaled = df.join(F.broadcast(mins))
+    n_buckets = 1 << bits
+    bucket_a = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            (F.col(col_a) - F.col("_min_a"))
+            * n_buckets
+            / (F.col("_max_a") - F.col("_min_a") + 1)
+        ),
+    ).cast("long")
+    bucket_b = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            (F.col(col_b) - F.col("_min_b"))
+            * n_buckets
+            / (F.col("_max_b") - F.col("_min_b") + 1)
+        ),
+    ).cast("long")
+    zval = sum(
+        (
+            F.shiftleft(F.shiftright(bucket_a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(bucket_b, i).bitwiseAND(F.lit(1)), 2 * i)
+            for i in range(1, bits)
+        ),
+        F.shiftleft(bucket_a.bitwiseAND(F.lit(1)), 1) + bucket_b.bitwiseAND(F.lit(1)),
+    )
+    (
+        scaled.withColumn("_z", zval)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z", "_min_a", "_max_a", "_min_b", "_max_b")
+        .write.mode("overwrite")
+        .parquet(str(path))
+    )
+
+
 def compact_partition(
     spark: SparkSession,
     table_path: str | Path,

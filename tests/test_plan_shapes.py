@@ -201,3 +201,49 @@ def test_tpch_q19_part_filter_below_join(spark):
     assert any("l_quantity" in l for l in pushed)
     assert any("p_brand" in l or "p_size" in l for l in pushed)
     assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_prunes_both_columns(spark, tmp_path):
+    """Z-ordered files cover rectangles of the 2-D value space: a point
+    predicate on EITHER column excludes most files by footer min/max,
+    where a single-column sort only prunes its own column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from energy_datalake_solution_spark.sources.sinks import write_sorted, write_zordered
+
+    l = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath, spath = tmp_path / "zorder", tmp_path / "sorted"
+    write_zordered(l, zpath, "l_partkey", "l_suppkey", n_files=8)
+    write_sorted(l, spath, "l_partkey", n_files=8)
+
+    def admitting_files(path, col, val):
+        n = 0
+        for f in glob.glob(str(path / "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            if lo <= val <= hi:
+                n += 1
+        return n
+
+    # probe mid-range values (key spans differ per scale factor)
+    rng = l.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    pk = (rng[0] + rng[1]) // 2
+    sk = (rng[2] + rng[3]) // 2
+    # the sorted-by-partkey layout prunes partkey but NOT suppkey
+    assert admitting_files(spath, "l_partkey", pk) <= 2
+    assert admitting_files(spath, "l_suppkey", sk) == 8
+    # z-order prunes on BOTH dimensions: strictly better than the sort on
+    # the secondary column (8 files give only ~1-2 z-bits to each axis at
+    # this tiny SF, so the secondary cut is coarse but real)
+    assert admitting_files(zpath, "l_partkey", pk) <= 4
+    assert admitting_files(zpath, "l_suppkey", sk) <= 6
+    # same rows either way
+    assert spark.read.parquet(str(zpath)).count() == l.count()
