@@ -1,0 +1,99 @@
+"""Property-based invariants (hypothesis) for the stateful lake operations.
+
+Example-based tests pin known scenarios; these assert the invariants that
+must hold for ANY input: merge keeps keys unique and newest-wins, SCD2
+keeps exactly one current row per key and never loses history. Examples
+are kept small (Spark jobs per example), but hypothesis explores the edge
+shapes — empty batches, all-duplicate batches, single keys.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+KEYS = st.integers(min_value=0, max_value=8)
+VALS = st.integers(min_value=0, max_value=100)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    target=st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=12),
+    batch=st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=12),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_key_unique_and_batch_wins(spark, target, batch):
+    """After an upsert: every key appears once; keys present in the batch
+    carry a batch value; keys absent from the batch keep a target value."""
+    from energy_datalake_solution_spark.sources.merge import dedup_on_keys
+
+    t = spark.createDataFrame(
+        [(k, v, datetime(2024, 1, 1, 0, 0, i % 60)) for i, (k, v) in enumerate(target)],
+        "k int, v int, load_timestamp_utc timestamp",
+    )
+    b = spark.createDataFrame(
+        [(k, v, datetime(2025, 1, 1, 0, 0, i % 60)) for i, (k, v) in enumerate(batch)],
+        "k int, v int, load_timestamp_utc timestamp",
+    ) if batch else spark.createDataFrame([], "k int, v int, load_timestamp_utc timestamp")
+
+    t1 = dedup_on_keys(t, ("k",))
+    b1 = dedup_on_keys(b, ("k",))
+    merged = t1.join(b1.select("k"), "k", "left_anti").unionByName(b1)
+
+    rows = merged.collect()
+    ks = [r["k"] for r in rows]
+    assert len(ks) == len(set(ks)), "keys must be unique after upsert"
+    assert set(ks) == {k for k, _ in target} | {k for k, _ in batch}
+    batch_vals = {k: {v for kk, v in batch if kk == k} for k, _ in batch}
+    target_vals = {k: {v for kk, v in target if kk == k} for k, _ in target}
+    for r in rows:
+        if r["k"] in batch_vals:
+            assert r["v"] in batch_vals[r["k"]], "batch must win on matched keys"
+        else:
+            assert r["v"] in target_vals[r["k"]]
+
+
+@given(
+    dim=st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=10, unique_by=lambda t: t[0]),
+    updates=st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=10, unique_by=lambda t: t[0]),
+)
+@settings(**SETTINGS)
+def test_scd2_invariants(spark, dim, updates):
+    """For ANY update batch: exactly one current row per key; closed rows
+    are never deleted; current values reflect the latest update."""
+    from energy_datalake_solution_spark.sources.merge import scd2_apply
+
+    existing = spark.createDataFrame(
+        [(str(k), v, datetime(2020, 1, 1), None, True) for k, v in dim],
+        "key string, attr int, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(str(k), v, datetime(2024, 6, 1)) for k, v in updates],
+        "key string, attr int, effective_ts timestamp",
+    ) if updates else spark.createDataFrame([], "key string, attr int, effective_ts timestamp")
+
+    out = scd2_apply(existing, upd, "key", ["attr"], "effective_ts").collect()
+
+    cur = [r for r in out if r["is_current"]]
+    cur_keys = [r["key"] for r in cur]
+    assert len(cur_keys) == len(set(cur_keys)), "one current row per key"
+    assert set(cur_keys) == {str(k) for k, _ in dim} | {str(k) for k, _ in updates}
+
+    dimmap = dict((str(k), v) for k, v in dim)
+    updmap = dict((str(k), v) for k, v in updates)
+    for r in cur:
+        expect = updmap.get(r["key"], dimmap.get(r["key"]))
+        assert r["attr"] == expect, "current row must carry the latest attrs"
+    # every closed row has a close timestamp; history only grows for changes
+    closed = [r for r in out if not r["is_current"]]
+    assert all(r["valid_to"] is not None for r in closed)
+    n_changed = sum(1 for k, v in updates if k in {d[0] for d in dim} and dimmap[str(k)] != v)
+    assert len(closed) == n_changed
