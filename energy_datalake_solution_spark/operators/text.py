@@ -7,7 +7,7 @@ shuffle (per-row transforms).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -237,4 +237,85 @@ def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws.alias("n_ws_tokens"),
         bpe.alias("n_bpe_tokens"),
         (bpe * F.lit(1.0) / ws).alias("tokens_per_word"),
+    )
+
+
+WINNOW_K = 3   # shingle width (words)
+WINNOW_W = 4   # winnowing window (shingle positions)
+
+
+@register(
+    "docs_winnowed_fingerprints",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= {WINNOW_K}
+        ),
+        grams AS (
+            SELECT doc_id, i,
+                   ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT AS h,
+                   len(w) - {WINNOW_K} + 1 AS n_grams
+            FROM toks, UNNEST(range(1, len(w) - {WINNOW_K} + 2)) AS t(i)
+        ),
+        wins AS (
+            SELECT doc_id, i,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp,
+                   n_grams
+            FROM grams
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, fp
+            FROM wins WHERE i + {WINNOW_W - 1} <= n_grams
+        )
+        SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fingerprint
+        FROM fps GROUP BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def docs_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    local fingerprinting algorithm): hash every word-3-gram, slide a window
+    of 4 positions, keep each window's minimum hash — guaranteeing any
+    shared run of >= k+w-1 words between two documents shares a
+    fingerprint, while storing only ~2/(w+1) of the hashes.
+
+    The rolling window is a plain window-function min over shingle
+    positions (partitioned per doc — no global ordering), the md5-derived
+    hash keeps Spark and DuckDB bit-identical, and the fingerprint SET per
+    doc (not the full hash stream) is what an index at 100 TB stores.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= WINNOW_K
+    )
+    idx = F.explode(F.sequence(F.lit(1), F.size("w") - WINNOW_K + 1)).alias("i")
+    gram = F.concat_ws(
+        " ",
+        F.element_at("w", F.col("i")),
+        F.element_at("w", F.col("i") + 1),
+        F.element_at("w", F.col("i") + 2),
+    )
+    grams = toks.select("doc_id", "w", idx).select(
+        "doc_id",
+        "i",
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint").alias("h"),
+        (F.size("w") - WINNOW_K + 1).alias("n_grams"),
+    )
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.currentRow, WINNOW_W - 1)
+    )
+    fps = (
+        grams.select(
+            "doc_id", "i", "n_grams", F.min("h").over(win).alias("fp")
+        )
+        .where(F.col("i") + (WINNOW_W - 1) <= F.col("n_grams"))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").alias("min_fingerprint"),
     )
