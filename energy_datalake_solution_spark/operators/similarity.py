@@ -190,17 +190,25 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    from pyspark.ml.feature import Normalizer
+
     e = load_table(spark, sf_dir, "embeddings")
     # spherical k-means: cluster UNIT vectors, so cells partition by
     # direction (what cosine cares about), not by vector norm — unnormalized
-    # KMeans groups by magnitude and wrecks recall
-    unit = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: x / l2_norm(F.col("embedding")),
+    # KMeans groups by magnitude and wrecks recall. Normalizer runs
+    # JVM-side on the ML vector; the fit input is persisted for the
+    # duration of KMeans' iterations (it re-scans per iteration) and
+    # released immediately after.
+    raw = e.select(
+        "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("_raw")
     )
-    with_vec = e.select("vec_id", "embedding", array_to_vector(unit).alias("features"))
+    with_vec = Normalizer(inputCol="_raw", outputCol="features", p=2.0).transform(raw).drop("_raw")
     km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="centroid_id")
-    model = km.fit(with_vec.where(F.col("vec_id") >= N_QUERIES))
+    fit_input = with_vec.where(F.col("vec_id") >= N_QUERIES).select("features").persist()
+    try:
+        model = km.fit(fit_input)
+    finally:
+        fit_input.unpersist()
     assigned = model.transform(with_vec).drop("features")
 
     centroids = [
