@@ -7,12 +7,14 @@ Three tiers:
      stream — at 100 TB the candidate scan is embarrassingly parallel and
      the top-k is per-query TakeOrdered, no global sort.
   2. random-hyperplane LSH ANN — deterministic seeded hyperplanes, bucket
-     join on (table, band) keys; rows-only check (approximate recall).
-  3. IVF (inverted-file) ANN — coarse centroids via seeded KMeans, probe
-     nearest nprobe centroids; rows-only check.
+     join on (band, key) with Hamming-1 multi-probe on the query side;
+     recall@10 ~0.92 vs exact (floor pinned in tests/test_ann_recall.py).
+  3. IVF (inverted-file) ANN — spherical (unit-vector) KMeans coarse
+     centroids, nprobe=4 of nlist=8; recall ~0.75, floor pinned.
 
-All vector math uses higher-order functions (functions/vector.py) — no
-Python UDF; arithmetic accumulates in double to match the oracle.
+Exact paths use higher-order functions or a blocked numpy applyInPandas
+kernel (near-dups); arithmetic accumulates in double, in the oracle's
+evaluation order, so round(6) matches DuckDB bit-for-bit.
 """
 
 from __future__ import annotations
@@ -188,7 +190,7 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster column). Approximate -> rows-only check.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     from pyspark.ml.feature import Normalizer
 

@@ -8,7 +8,7 @@ by transform.py. Audit columns are appended uniformly (reference :66-71).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
