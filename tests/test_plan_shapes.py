@@ -247,3 +247,18 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     assert admitting_files(zpath, "l_suppkey", sk) <= 6
     # same rows either way
     assert spark.read.parquet(str(zpath)).count() == l.count()
+
+
+def test_tpch_q7_only_fact_join_shuffles(spark):
+    """Q7: supplier+nation and customer+nation sides broadcast — the
+    lineitem x orders join is the only one allowed to shuffle."""
+    plan = plan_of(QUERIES["tpch_q7_volume_shipping"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_split_sides_broadcast(spark):
+    """The contamination audit joins the tiny per-doc split table twice —
+    both must broadcast so the pair stream never re-shuffles."""
+    plan = plan_of(QUERIES["docs_split_contamination"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2
