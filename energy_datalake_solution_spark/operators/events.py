@@ -221,3 +221,38 @@ def events_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type").alias("n_event_types"),
         )
     )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   avg(value) AS mean_value,
+                   stddev_samp(value) AS sd_value
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE e.value > s.mean_value + 3 * s.sd_value
+    """,
+    tags=("events", "stats"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly detection: events whose value exceeds the
+    type's mean + 3 sigma. The per-type stats are a tiny aggregate joined
+    back as a broadcast — two scans, no per-row window state, which is the
+    shape that survives a 100 TB event table (a global window over the fact
+    would sort it). The 3-sigma cut is a strict inequality on continuous
+    doubles, so the ~1e-12 cross-engine difference in the float aggregates
+    cannot flip a row in practice."""
+    e = load_events(spark, sf_dir)
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mean_value"),
+        F.stddev_samp("value").alias("sd_value"),
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(F.col("value") > F.col("mean_value") + 3 * F.col("sd_value"))
+        .select("event_id", "event_type", "value")
+    )
