@@ -97,3 +97,51 @@ def test_scd2_invariants(spark, dim, updates):
     assert all(r["valid_to"] is not None for r in closed)
     n_changed = sum(1 for k, v in updates if k in {d[0] for d in dim} and dimmap[str(k)] != v)
     assert len(closed) == n_changed
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # day offset
+            st.sampled_from(["click", "view"]),
+            st.integers(min_value=0, max_value=50),  # integral value: exact sums
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    split_at=st.integers(min_value=0, max_value=16),
+)
+@settings(**SETTINGS)
+def test_incremental_rollup_equals_one_shot(spark, tmp_path_factory, events, split_at):
+    """Maintaining the rollup incrementally over ANY split of the batch
+    yields exactly the one-shot aggregation of all events (count/sum are
+    decomposable; integral values make sums exact)."""
+    from datetime import datetime
+
+    from energy_datalake_solution_spark.sources.merge import update_daily_rollup
+
+    tmp = tmp_path_factory.mktemp("rollup")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1 + d, 12, 0, 0), t, float(v)) for d, t, v in rows],
+            "ts timestamp, event_type string, value double",
+        )
+
+    split_at = min(split_at, len(events))
+    b1, b2 = events[:split_at], events[split_at:]
+    p = tmp / "r"
+    if b1:
+        update_daily_rollup(spark, mk(b1), p)
+    if b2:
+        update_daily_rollup(spark, mk(b2), p)
+    got = {
+        (str(r["day"]), r["dim"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(str(p)).collect()
+    }
+    expect = {}
+    for d, t, v in events:
+        k = (f"2024-01-{1 + d:02d}", t)
+        n, s = expect.get(k, (0, 0.0))
+        expect[k] = (n + 1, s + v)
+    assert got == {k: (n, round(s, 2)) for k, (n, s) in expect.items()}
