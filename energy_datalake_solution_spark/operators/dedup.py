@@ -3,9 +3,10 @@
 Four tiers, cheapest first:
   1. exact        — hash-groupBy on normalized content (one shuffle on a
                     compact digest key).
-  2. ngram-jaccard — exact set-similarity on word-3-gram shingles via an
-                    inverted-index self-join (explode -> join on shingle ->
-                    per-pair intersection counts). Exact, SQL-expressible.
+  2. ngram-jaccard — exact set-similarity on word-3-gram shingles via a
+                    prefix-filtered inverted-index join (PPJoin family):
+                    candidates only from each set's rarest-first prefix,
+                    exact array_intersect verification. SQL-expressible.
   3. simhash      — 60-bit simhash per doc; near-dup pairs found by banding
                     the fingerprint (4 x 15-bit bands, join per band) and
                     verifying Hamming distance. Deterministic (md5-based),
