@@ -262,3 +262,20 @@ def test_contamination_split_sides_broadcast(spark):
     both must broadcast so the pair stream never re-shuffles."""
     plan = plan_of(QUERIES["docs_split_contamination"].fn(spark, SF_ORACLE))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_tpch_q22_anti_join_no_nested_loop(spark):
+    """Q22's NOT EXISTS must stay a hash anti join on the key — a
+    BroadcastNestedLoopJoin here is O(n*m) at scale. (The scalar-average
+    comparison is the one legitimate nested-loop: 1-row build side.)"""
+    plan = plan_of(QUERIES["tpch_q22_dormant_customers"].fn(spark, SF_ORACLE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_double_agg_second_shuffle_tiny(spark):
+    """Q13: the histogram's second aggregation consumes one row per
+    customer — its exchange partitions on the count, never on fact data."""
+    plan = plan_of(QUERIES["tpch_q13_customer_distribution"].fn(spark, SF_ORACLE))
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+    assert "CartesianProduct" not in plan
