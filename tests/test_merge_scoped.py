@@ -1,0 +1,93 @@
+"""Partition-scoped merge_upsert: only touched partitions are rewritten.
+
+The scale contract (merge.py docstring): with ``partition_by``, a merge
+batch that touches partitions {P} must leave every partition outside {P}
+byte-identical on disk — reading back only {P} (partition pruning), anti-
+joining within it, and dynamically overwriting just those directories.
+This is the parquet analogue of Delta MERGE INTO file skipping
+(reference: glue_jobs/etl-s3-processed-to-redshift.py:66-96 delegates the
+same concern to Redshift's staging-table merge).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_datalake_solution_spark.sources.merge import merge_upsert
+from energy_datalake_solution_spark.sources.schemas import TRANSACCIONES
+
+
+def _partition_file_hashes(table_path: Path, partition_dir: str) -> dict[str, str]:
+    """{relative file name: sha256 of bytes} for one partition directory."""
+    d = table_path / partition_dir
+    out = {}
+    for f in sorted(d.rglob("*")):
+        if f.is_file() and not f.name.startswith(("_", ".")):
+            out[str(f.relative_to(d))] = hashlib.sha256(f.read_bytes()).hexdigest()
+    return out
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [
+            (tid, qty, datetime(2025, 3, day, 10, 0, 0), f"2025-03-{day:02d}")
+            for tid, qty, day in rows
+        ],
+        "transaction_id string, energy_quantity_mwh double, "
+        "load_timestamp_utc timestamp, txn_day string",
+    ).withColumn("txn_day", F.to_date("txn_day"))
+
+
+def test_scoped_merge_leaves_untouched_partitions_byte_identical(spark, tmp_path):
+    curated = tmp_path / "curated"
+    # day 1: T1, T2 ; day 2: T3, T4
+    first = _batch(spark, [("T1", 10.0, 1), ("T2", 20.0, 1), ("T3", 30.0, 2), ("T4", 40.0, 2)])
+    merge_upsert(spark, first, curated, TRANSACCIONES, partition_by="txn_day")
+
+    table = curated / TRANSACCIONES.table_name
+    assert (table / "txn_day=2025-03-01").exists()
+    before = _partition_file_hashes(table, "txn_day=2025-03-01")
+    assert before, "partition must contain data files"
+
+    # batch touches ONLY day 2: update T3, insert T5
+    second = _batch(spark, [("T3", 99.0, 2), ("T5", 50.0, 2)])
+    merge_upsert(spark, second, curated, TRANSACCIONES, partition_by="txn_day")
+
+    after = _partition_file_hashes(table, "txn_day=2025-03-01")
+    assert after == before, "untouched partition files must be byte-identical"
+
+    rows = {r["transaction_id"]: r for r in spark.read.parquet(str(table)).collect()}
+    assert set(rows) == {"T1", "T2", "T3", "T4", "T5"}
+    assert rows["T3"]["energy_quantity_mwh"] == 99.0  # updated in place
+    assert rows["T5"]["energy_quantity_mwh"] == 50.0  # inserted
+    assert rows["T1"]["energy_quantity_mwh"] == 10.0  # untouched survives
+
+
+def test_scoped_merge_restores_overwrite_mode_conf(spark, tmp_path):
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    curated = tmp_path / "curated"
+    merge_upsert(
+        spark, _batch(spark, [("T1", 1.0, 1)]), curated, TRANSACCIONES, partition_by="txn_day"
+    )
+    merge_upsert(
+        spark, _batch(spark, [("T2", 2.0, 1)]), curated, TRANSACCIONES, partition_by="txn_day"
+    )
+    assert spark.conf.get(conf_key, "static") == prev
+
+
+def test_unpartitioned_merge_swap_leaves_no_staging_dirs(spark, tmp_path):
+    curated = tmp_path / "curated"
+    merge_upsert(spark, _batch(spark, [("T1", 1.0, 1), ("T2", 2.0, 1)]), curated, TRANSACCIONES)
+    merge_upsert(spark, _batch(spark, [("T2", 9.0, 1), ("T3", 3.0, 1)]), curated, TRANSACCIONES)
+    table = curated / TRANSACCIONES.table_name
+    assert not Path(str(table) + "__staging").exists()
+    assert not Path(str(table) + "__old").exists()
+    rows = {r["transaction_id"]: r["energy_quantity_mwh"]
+            for r in spark.read.parquet(str(table)).collect()}
+    assert rows == {"T1": 1.0, "T2": 9.0, "T3": 3.0}
