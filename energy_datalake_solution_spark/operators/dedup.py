@@ -119,6 +119,13 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect against the full sorted sets. Lossless: identical
     output to the unfiltered join, and the string-keyed oracle doubles as
     a hash-collision canary (collision probability ~n^2/2^64).
+
+    The shingle-set subtree feeds three branches (prefix index, verify-a,
+    verify-b) but executes ONCE: the branches canonicalize identically, so
+    AQE serves them from a single shuffle (3 ReusedExchange nodes in the
+    final adaptive plan — pinned by
+    test_jaccard_shared_subtree_exchange_reuse; an explicit localCheckpoint
+    measured ~45% slower by serializing the materialization).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 3)

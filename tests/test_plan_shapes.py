@@ -279,3 +279,16 @@ def test_rollup_double_agg_second_shuffle_tiny(spark):
     plan = plan_of(QUERIES["tpch_q13_customer_distribution"].fn(spark, SF_ORACLE))
     assert plan.count("HashAggregate") >= 4  # two partial+final pairs
     assert "CartesianProduct" not in plan
+
+
+def test_jaccard_shared_subtree_exchange_reuse(spark):
+    """The PPJoin query's shingle-set subtree feeds the prefix, verify-a,
+    and verify-b branches. Catalyst must serve those from ONE shuffle
+    (ReusedExchange in the AQE final plan), not recompute the
+    explode/distinct/df-join/groupBy chain per branch — at corpus scale a
+    regression here triples the heaviest stage of the dedup suite. The
+    final adaptive plan only exists after execution, hence the collect."""
+    df = QUERIES["docs_ngram_jaccard_pairs"].fn(spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 3
