@@ -32,7 +32,7 @@ from ..plans.registry import QUERIES, register
 from ..sources.catalog import load_table
 from . import dedup as _dedup  # ensures pair query + oracle are registered
 
-MAX_CC_ROUNDS = 15
+MAX_CC_ROUNDS = 30
 
 # Recursive-CTE oracle: enumerate reachable nodes from every doc over the
 # symmetrized near-dup edge list, then take the minimum reachable doc_id as
@@ -75,6 +75,15 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a round changes nothing. The edge list is computed ONCE and
     localCheckpoint'ed (it is the expensive part — the label loop touches
     only (node, label) pairs).
+
+    The convergence check is FUSED into the round: the aggregation carries
+    each node's previous label alongside the new min (min over nulls for
+    neighbor rows), so ``changed`` is a scan of the round's checkpointed
+    output — no extra join, no subtree recompute, one cheap count job per
+    round. Non-convergence inside MAX_CC_ROUNDS raises instead of silently
+    returning split components (a diameter-31 chain is pathological for a
+    near-dup graph, whose components are cliques or short chains — fail
+    loudly rather than emit labels that disagree with the oracle).
     """
     edges = _dedup.docs_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     e = (
@@ -87,25 +96,37 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .localCheckpoint()
     )
+    label_type = dict(labels.dtypes)["cluster_id"]
+    changed = -1
     for _ in range(MAX_CC_ROUNDS):
         prop = e.join(labels, e.dst == labels.doc_id).select(
-            F.col("src").alias("doc_id"), "cluster_id"
+            F.col("src").alias("doc_id"),
+            "cluster_id",
+            F.lit(None).cast(label_type).alias("self_label"),
+        )
+        own = labels.select(
+            "doc_id", "cluster_id", F.col("cluster_id").alias("self_label")
         )
         new_labels = (
-            labels.unionByName(prop)
+            own.unionByName(prop)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                # exactly one non-null per doc: its previous label
+                F.min("self_label").alias("self_label"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        # scan of the checkpointed blocks — nothing upstream recomputes
+        changed = new_labels.where(F.col("cluster_id") < F.col("self_label")).count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"docs_dedup_clusters: min-label propagation did not converge in "
+            f"{MAX_CC_ROUNDS} rounds ({changed} labels still changing)"
+        )
     return labels.select(
         "doc_id",
         "cluster_id",
