@@ -10,7 +10,11 @@ Three tiers:
      join on (band, key) with Hamming-1 multi-probe on the query side;
      recall@10 ~0.92 vs exact (floor pinned in tests/test_ann_recall.py).
   3. IVF (inverted-file) ANN — spherical (unit-vector) KMeans coarse
-     centroids, nprobe=4 of nlist=8; recall ~0.75, floor pinned.
+     centroids, nprobe=6 of nlist=8; recall ~0.92, floor pinned. The
+     synthetic embeddings are isotropic (no planted cluster structure), so
+     recall tracks the probed fraction almost linearly — real clustered
+     embeddings support far lower nprobe/nlist at the same recall; the
+     measured sweep is in the operator docstring.
 
 Exact paths use higher-order functions or a blocked numpy applyInPandas
 kernel (near-dups); arithmetic accumulates in double, in the oracle's
@@ -183,11 +187,18 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embeddings_ivf_ann", oracle=None, tags=("similarity", "approx"))
 def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize candidates to seeded KMeans centroids,
-    probe the nearest 4 of 8 spherical centroids per query, exact cosine within probes.
+    probe the nearest 6 of 8 spherical centroids per query, exact cosine within probes.
 
     At 100 TB the candidate table is stored bucketed by centroid_id, so a
     probe reads only nprobe/nlist of the data (partition pruning on the
     cluster column). Approximate -> rows-only check.
+
+    nprobe choice (offline sweep, 3 seeds, recall@5 vs exact, this data):
+    nprobe=3 -> 0.67, 4 -> 0.77, 6 -> 0.93 (min 0.92), 8 -> 1.0. The
+    synthetic vectors are isotropic, so recall ~= probed fraction; 6/8
+    holds the pinned >=0.85 floor with margin. On real (clustered)
+    embeddings the same recall comes at nprobe/nlist ~ 0.1 or less —
+    the knob trades scan fraction for recall, the plan shape is unchanged.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -223,7 +234,7 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    # nearest 4 of 8 centroids per query (centroid table is tiny ->
+    # nearest 6 of 8 centroids per query (centroid table is tiny ->
     # broadcast): probing several Voronoi cells recovers neighbors sitting
     # just across a cell boundary
     qc = F.broadcast(q).crossJoin(F.broadcast(cdf)).select(
@@ -233,7 +244,7 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("q_emb"), F.col("centroid")).alias("c_sim"),
     )
     wq = W.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
-    probes = qc.withColumn("p", F.row_number().over(wq)).where(F.col("p") <= 4).select(
+    probes = qc.withColumn("p", F.row_number().over(wq)).where(F.col("p") <= 6).select(
         "q_id", "q_emb", "centroid_id"
     )
     cands = assigned.where(F.col("vec_id") >= N_QUERIES).select(

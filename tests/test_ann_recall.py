@@ -6,7 +6,8 @@ recall@k against the exact brute-force top-k must stay above a floor. A
 regression here means the index got silently worse, not just different.
 
 Measured steady-state (sf0.001/sf0.01): multi-probe LSH ~0.92, spherical
-IVF nprobe=4/8 ~0.72-0.76.
+IVF nprobe=6/8 ~0.92 (the synthetic vectors are isotropic, so IVF recall
+tracks the probed fraction; see the operator docstring for the sweep).
 """
 
 from __future__ import annotations
@@ -32,4 +33,4 @@ def test_lsh_ann_recall_floor(spark):
 
 
 def test_ivf_ann_recall_floor(spark):
-    assert _recall(spark, "embeddings_ivf_ann") >= 0.6
+    assert _recall(spark, "embeddings_ivf_ann") >= 0.85
