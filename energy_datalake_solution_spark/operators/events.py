@@ -27,13 +27,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load `events` with a proper TimestampType `ts`.
 
     The parquet stores TIMESTAMP(NANOS), which Spark's microsecond
-    TimestampType rejects; with spark.sql.legacy.parquet.nanosAsLong the
-    column arrives as int64 nanos and is floor-divided to micros here. If a
-    future rewrite of the table uses micros, the passthrough branch applies.
+    TimestampType rejects; with spark.sql.legacy.parquet.nanosAsLong (set
+    once by plans.session.tune_session — every contract entry point runs
+    it) the column arrives as int64 nanos and is floor-divided to micros
+    here. If a future rewrite of the table uses micros, the passthrough
+    branch applies.
     """
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = load_table(spark, sf_dir, "events")
     if isinstance(e.schema["ts"].dataType, T.LongType):
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -348,15 +348,19 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15: supplier(s) achieving the maximum quarterly revenue. The scalar
     max is a 1-row aggregate of the revenue subtree, broadcast back as a
-    join filter (the filtered lineitem scan is small, so recomputing the
-    sliver beats materializing it; with a cached/checkpointed revenue view
-    the second scan disappears entirely). Revenue is rounded at addend
-    precision so the equality join on a double is exact."""
+    join filter. The revenue view is localCheckpoint'ed: it is one row per
+    active supplier (tiny at any scale) and feeds BOTH the max aggregate
+    and the equality join — materializing it collapses the plan to a
+    single lineitem scan (pinned by test_tpch_q15_single_lineitem_scan).
+    Revenue is rounded at addend precision so the equality join on a
+    double is exact."""
     l = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
-    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_disc_price()), 4).alias("total_revenue")
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_disc_price()), 4).alias("total_revenue"))
+        .localCheckpoint()
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -35,8 +35,15 @@ def write_partitioned(
     """Hive-partitioned parquet write; with mode='overwrite' and dynamic
     overwrite enabled, only partitions present in df are replaced."""
     spark = df.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
     if mode == "overwrite" and dynamic_overwrite:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        prev = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            df.write.mode(mode).partitionBy(partition_col).parquet(str(path))
+        finally:
+            spark.conf.set(conf_key, prev)
+        return
     df.write.mode(mode).partitionBy(partition_col).parquet(str(path))
 
 
@@ -152,11 +159,17 @@ def compact_partition(
     n = df.count()
     if n == 0:
         return 0
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        df.coalesce(target_files)
-        .write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(str(table_path))
-    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            df.localCheckpoint()  # materialize before overwriting what we read
+            .coalesce(target_files)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(str(table_path))
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
     return n

@@ -121,7 +121,9 @@ def user_lifetime_stats(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, round(total, 2)))
+        # state keeps the EXACT running sum; rounding only on the emitted
+        # row — rounding inside state would compound error across batches
+        state.update((n, total))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
         )

@@ -292,3 +292,13 @@ def test_jaccard_shared_subtree_exchange_reuse(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 3
+
+
+def test_tpch_q15_single_lineitem_scan(spark):
+    """Q15's revenue view feeds both the max aggregate and the equality
+    join; the localCheckpoint must collapse the plan to ONE lineitem scan
+    — a regression here doubles the query's fact-table IO."""
+    df = QUERIES["tpch_q15_top_supplier"].fn(spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") <= 1
