@@ -1,0 +1,108 @@
+"""End-to-end ETL fixture query: EP1 (raw CSV -> processed) + EP2
+(processed -> curated upsert) on deterministic FIXTURES.md Family B CSVs,
+emitting the curated fact table for golden-oracle comparison.
+
+This puts the reference's WRITE path (glue_jobs/dynamic-data-processor.py
+EP1, glue_jobs/etl-s3-processed-to-redshift.py EP2) under the driver's
+hash gate, not just pytest: two transaction batches land on consecutive
+load dates, the second updates one key and inserts another, and the query
+returns the deterministic columns of the curated table. The oracle is the
+golden result as a VALUES literal — any regression in contract casts,
+derived columns (total_cost, transaction_date), dedup, or the anti-join
+upsert changes the hash.
+
+The fixture lake is built per call in a fresh tmpdir (a few KB of CSV);
+the audit columns that are non-deterministic by design (wall-clock
+load_timestamp_utc, tmp-path source_file) are excluded from the output.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import textwrap
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.ingest import ingest_file
+from ..sources.merge import run_merge
+from ..sources.schemas import TRANSACCIONES
+from ..sources.transform import run_pipeline
+
+# FIXTURES.md Family B transacciones batches (same content as the pytest
+# goldens in tests/test_etl_pipeline.py): batch 2 updates T002 and inserts
+# T004, exercising dedup + upsert across load dates.
+_BATCH_1 = textwrap.dedent(
+    """\
+    ID_Transaccion,ID_Cliente,ID_Proveedor,FechaTransaccion,CantidadEnergiaMWh,PrecioPorMWh
+    T001,C001,P001,2025-03-01 10:00:00,10.5,50.0
+    T002,C002,P002,2025-03-02 11:30:00,20.0,45.5
+    T003,C003,P001,2024-12-31 23:59:59,5.25,60.0
+    """
+)
+_BATCH_2 = textwrap.dedent(
+    """\
+    ID_Transaccion,ID_Cliente,ID_Proveedor,FechaTransaccion,CantidadEnergiaMWh,PrecioPorMWh
+    T002,C002,P002,2025-03-02 11:30:00,99.0,45.5
+    T004,C001,P003,2025-03-03 08:15:00,7.0,55.0
+    """
+)
+_LOADS = (("transacciones_b1.csv", _BATCH_1, "2025-03-05"),
+          ("transacciones_b2.csv", _BATCH_2, "2025-03-06"))
+
+_DETERMINISTIC_COLS = (
+    "transaction_id",
+    "customer_id",
+    "supplier_id",
+    "transaction_timestamp",
+    "energy_quantity_mwh",
+    "price_per_mwh",
+    "total_cost",
+    "transaction_date",
+    "load_date_partition",
+)
+
+
+@register(
+    "fixtures_etl_curated",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('T001', 'C001', 'P001', TIMESTAMP '2025-03-01 10:00:00',
+             10.5::DOUBLE, 50.0::DOUBLE, 525.0::DOUBLE,
+             DATE '2025-03-01', DATE '2025-03-05'),
+            ('T002', 'C002', 'P002', TIMESTAMP '2025-03-02 11:30:00',
+             99.0::DOUBLE, 45.5::DOUBLE, 4504.5::DOUBLE,
+             DATE '2025-03-02', DATE '2025-03-06'),
+            ('T003', 'C003', 'P001', TIMESTAMP '2024-12-31 23:59:59',
+             5.25::DOUBLE, 60.0::DOUBLE, 315.0::DOUBLE,
+             DATE '2024-12-31', DATE '2025-03-05'),
+            ('T004', 'C001', 'P003', TIMESTAMP '2025-03-03 08:15:00',
+             7.0::DOUBLE, 55.0::DOUBLE, 385.0::DOUBLE,
+             DATE '2025-03-03', DATE '2025-03-06')
+        ) AS t(transaction_id, customer_id, supplier_id,
+               transaction_timestamp, energy_quantity_mwh, price_per_mwh,
+               total_cost, transaction_date, load_date_partition)
+    """,
+    tags=("etl", "fixtures", "merge"),
+)
+def fixtures_etl_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run EP1+EP2 on the Family B transaction fixtures and return the
+    curated fact table's deterministic columns. ``sf_dir`` is unused —
+    the fixtures are self-contained (the write path has no scale knob).
+    """
+    root = Path(tempfile.mkdtemp(prefix="fixtures_etl_"))
+    landing = root / "landing"
+    landing.mkdir()
+    processed, curated = root / "processed", root / "curated"
+    for fname, content, load_date in _LOADS:
+        f = landing / fname
+        f.write_text(content)
+        now = datetime.fromisoformat(load_date).replace(tzinfo=timezone.utc)
+        res = ingest_file(f, root, now=now)
+        run_pipeline(spark, res.file_type, res.raw_path, res.load_date, processed)
+        run_merge(spark, processed, curated, TRANSACCIONES, load_date)
+    out = spark.read.parquet(str(curated / TRANSACCIONES.table_name))
+    return out.select(*_DETERMINISTIC_COLS)

@@ -67,6 +67,7 @@ def _load_all() -> None:
         corpus,
         dedup,
         events,
+        fixtures,
         multimodal,
         relational,
         relational_ext,
@@ -123,6 +124,8 @@ SURFACE_ORDER: tuple[str, ...] = (
     # lateral / conditional aggregation
     "lateral_explode_tokens",
     "conditional_agg_filter_clause",
+    # end-to-end ETL write path (EP1+EP2) under the hash gate
+    "fixtures_etl_curated",
     # dedup + corpus construction
     "docs_exact_dedup",
     "docs_ngram_jaccard_pairs",
