@@ -102,6 +102,10 @@ SURFACE_ORDER: tuple[str, ...] = (
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_dormant_customers",
+    "tpch_q8_market_share",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_heavy_red_part_suppliers",
+    "tpch_q21_waiting_suppliers",
     # text analysis
     "docs_token_stats",
     "docs_lang_id",

@@ -302,3 +302,20 @@ def test_tpch_q15_single_lineitem_scan(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") <= 1
+
+
+def test_tpch_q8_only_fact_join_shuffles(spark):
+    """Q8's seven-table star: every dim side broadcasts; the only
+    sort-merge join is lineitem x orders on orderkey."""
+    plan = plan_of(QUERIES["tpch_q8_market_share"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 2  # initial+final plan sections
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_tpch_q21_topk_and_no_cartesian(spark):
+    """Q21's sole-late-supplier rewrite: per-order stats join (no triple
+    fact self-join), top-k compiles to TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["tpch_q21_waiting_suppliers"].fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
