@@ -311,3 +311,76 @@ def docs_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test").alias("split"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling (per-source rates)
+# --------------------------------------------------------------------------
+@register(
+    "docs_stratified_sample",
+    oracle="""
+        SELECT doc_id, source
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'g'
+                   WHEN source IN ('src5','src6','src7','src8','src9') THEN '8000'
+                   ELSE '4000' END
+    """,
+    tags=("corpus", "sampling"),
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep 100% of src0-4, 50% of
+    src5-9, 25% of the rest — the domain-reweighting step of a training
+    mix. The keep decision hashes the doc_id (md5 prefix vs a rate
+    threshold in hex space), NOT rand(): reproducible across runs,
+    engines, partitionings, and cluster sizes, and a doc's fate never
+    changes when the corpus grows. Per-row filter, ZERO shuffle; at 100 TB
+    this is a pushed-down scan predicate."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    rate_threshold = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), F.lit("g"))
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), F.lit("8000"))
+        .otherwise(F.lit("4000"))
+    )
+    return d.where(h < rate_threshold).select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# Domain-mix weights (per-(source, lang) token budget shares)
+# --------------------------------------------------------------------------
+@register(
+    "docs_domain_mix_weights",
+    oracle="""
+        WITH g AS (
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source, lang
+        )
+        SELECT source, lang, n_docs, n_tokens,
+               n_tokens * 1.0 / (SELECT sum(n_tokens) FROM g) AS token_share
+        FROM g
+    """,
+    tags=("corpus", "agg"),
+)
+def docs_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shares per (source, lang) cell — the statistic a
+    training-mix designer reweights against. One partial-aggregated
+    groupBy; the corpus total is a 1-row aggregate of the GROUPED result
+    (not a second corpus scan) broadcast back as a cross join. No global
+    window (the all-rows window trap would single-partition the result).
+    token_share is a single exact-int division — deterministic unrounded."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    total = g.agg(F.sum("n_tokens").alias("total_tokens"))
+    return g.join(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") * F.lit(1.0) / F.col("total_tokens")).alias("token_share"),
+    )

@@ -319,3 +319,141 @@ def docs_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fp").alias("min_fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition / quality filters (the Gopher-style repetition suite)
+# --------------------------------------------------------------------------
+@register(
+    "docs_repetition_stats",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id, w, len(w) AS n_tokens,
+                   CASE WHEN len(w) >= 2
+                        THEN list_transform(range(1, len(w)),
+                                            i -> w[i] || ' ' || w[i+1])
+                        ELSE [] END AS g2
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               list_max(list_transform(list_distinct(w),
+                        x -> len(list_filter(w, t -> t = x)))) * 1.0
+                   / n_tokens AS top_word_frac,
+               CASE WHEN len(g2) > 0
+                    THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2)
+                    ELSE 0.0 END AS dup_2gram_frac,
+               (list_max(list_transform(list_distinct(w),
+                         x -> len(list_filter(w, t -> t = x)))) * 1.0
+                   / n_tokens <= 0.2)
+               AND (CASE WHEN len(g2) > 0
+                         THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2)
+                         ELSE 0.0 END <= 0.6) AS keep
+        FROM g
+    """,
+    tags=("text", "quality"),
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction of
+    the doc that is its single most frequent word, and the duplicate-2gram
+    fraction; ``keep`` applies the filter thresholds (<=0.2 top-word,
+    <=0.6 dup-2gram). All higher-order array functions — per-row JVM
+    compute, ZERO shuffle; the per-row cost is O(tokens * distinct) which
+    is bounded by document length, not corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _tokens(F.col("text"))
+    n = F.size(w)
+    top_count = F.array_max(
+        F.transform(F.array_distinct(w), lambda x: F.size(F.filter(w, lambda t: t == x)))
+    )
+    top_word_frac = top_count * F.lit(1.0) / n
+    g2 = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_2gram_frac = F.when(
+        F.size(g2) > 0, F.lit(1.0) - F.size(F.array_distinct(g2)) * F.lit(1.0) / F.size(g2)
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        top_word_frac.alias("top_word_frac"),
+        dup_2gram_frac.alias("dup_2gram_frac"),
+        ((top_word_frac <= 0.2) & (dup_2gram_frac <= 0.6)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document
+# --------------------------------------------------------------------------
+@register(
+    "docs_tfidf_top_terms",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, len(w) AS n_tokens, u.term AS term
+            FROM t, UNNEST(w) AS u(term)
+        ),
+        tf AS (
+            SELECT doc_id, term, n_tokens, count(*) AS c
+            FROM toks GROUP BY doc_id, term, n_tokens
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS n_docs_with
+            FROM toks GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round((tf.c * 1.0 / tf.n_tokens)
+                         * ln(n.n_docs * 1.0 / df.n_docs_with), 6) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term
+                   ) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=("text", "agg", "window"),
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms. Plan: one explode -> (doc, term)
+    count aggregation; document frequency is a second aggregation of the
+    SAME exchange (AQE reuse); idf is a broadcast join (the vocabulary is
+    tiny here and df-capped in any real corpus); per-doc ranking is a
+    bounded window. Rounded to 6 before ranking so ordering is stable
+    across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; one cheap job on the dimension-free count
+    toks = d.select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.explode(_tokens(F.col("text"))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "n_tokens", "term").agg(F.count(F.lit(1)).alias("c"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("n_docs_with"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            (F.col("c") * F.lit(1.0) / F.col("n_tokens"))
+            * F.log(F.lit(float(n_docs)) / F.col("n_docs_with")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
