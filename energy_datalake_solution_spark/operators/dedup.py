@@ -162,12 +162,35 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = JACCARD_THRESHOLD
     plen = (F.size("shs") - F.ceil(F.size("shs") * (2 * t / (1 + t))) + 1).cast("int")
-    pref = sets.select("doc_id", F.explode(F.slice("shs", 1, plen)).alias("psh"))
-    a = pref.select(F.col("doc_id").alias("doc_a"), "psh")
-    b = pref.select(F.col("doc_id").alias("doc_b"), "psh")
+    # carry (position in the global order, set size) through the inverted
+    # index: PPJoin's positional filter. For a shared prefix token at
+    # 0-based positions (ia, ib), the overlap can't exceed
+    # min(na-ia, nb-ib); pairs whose bound is below the required overlap
+    # ceil(t/(1+t)*(na+nb)) are pruned BEFORE the candidate distinct and
+    # the array_intersect verify — lossless (the bound provably holds at
+    # the first shared token of any true pair), and it is what turns the
+    # hot verify join from |prefix-matches| into nearly |true pairs|.
+    pref = sets.select(
+        "doc_id",
+        F.size("shs").alias("n"),
+        F.posexplode(F.slice("shs", 1, plen)).alias("pos", "psh"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("pos").alias("ia"), "psh"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("pos").alias("ib"), "psh"
+    )
+    required = F.ceil(F.lit(t / (1 + t)) * (F.col("na") + F.col("nb")))
     cand = (
         a.join(b, "psh")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J >= t forces t*|x| <= |y| <= |x|/t
+            & (F.least("na", "nb") >= F.ceil(F.lit(t) * F.greatest("na", "nb")))
+            # positional filter: overlap upper bound must reach the target
+            & (F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")) >= required)
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
