@@ -145,3 +145,44 @@ def test_incremental_rollup_equals_one_shot(spark, tmp_path_factory, events, spl
         n, s = expect.get(k, (0, 0.0))
         expect[k] = (n + 1, s + v)
     assert got == {k: (n, round(s, 2)) for k, (n, s) in expect.items()}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=3, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+)
+@settings(**SETTINGS)
+def test_jaccard_ppjoin_filters_lossless(spark, tmp_path_factory, docs):
+    """The prefix + length + positional filters must be LOSSLESS for ANY
+    corpus: the operator's pair set equals the brute-force all-pairs
+    word-3-gram Jaccard at the threshold (including exact-duplicate texts,
+    where J = 1)."""
+    from energy_datalake_solution_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        docs_ngram_jaccard_pairs,
+    )
+
+    texts = [" ".join(words) for words in docs]
+    sets = [
+        {" ".join(words[i : i + 3]) for i in range(len(words) - 2)} for words in docs
+    ]
+    expected = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= JACCARD_THRESHOLD:
+                expected.add((i, j))
+
+    d = tmp_path_factory.mktemp("ppjoin")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in docs_ngram_jaccard_pairs(spark, str(d)).collect()
+    }
+    assert got == expected
