@@ -221,3 +221,45 @@ def session_event_windows(
             "session_value",
         )
     )
+
+
+def attribute_clicks_to_impressions(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    key: str = "ad_id",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each click to the
+    impression of the same key that preceded it within the horizon — the
+    canonical two-stream correlation (ad attribution, request/response
+    pairing, error->resolution matching).
+
+    Both sides carry watermarks and the join condition bounds click time to
+    [impression ts, impression ts + horizon], so the state store holds only
+    rows inside the watermark window on each side — state is
+    O(rate x watermark), not stream lifetime, and Spark evicts
+    automatically. An inner join emits exactly the matched pairs once both
+    watermarks pass; no output-mode gymnastics needed. The batch twin is
+    events_range_join_error_click_pairs (operators/temporal.py).
+    """
+    i = impressions.select(
+        F.col(key).alias("i_key"),
+        F.col("ts").alias("imp_ts"),
+    ).withWatermark("imp_ts", watermark)
+    c = clicks.select(
+        F.col(key).alias("c_key"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return i.join(
+        c,
+        F.expr(
+            f"i_key = c_key AND click_ts >= imp_ts "
+            f"AND click_ts <= imp_ts + INTERVAL {horizon}"
+        ),
+    ).select(
+        F.col("i_key").alias(key),
+        "imp_ts",
+        "click_ts",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("imp_ts")).alias("lag_seconds"),
+    )

@@ -317,3 +317,44 @@ def test_streaming_merge_to_curated(spark, tmp_path):
     out2 = spark.read.parquet(str(curated / "dim_proveedores"))
     rows = {r["supplier_id"]: r["supplier_name"] for r in out2.collect()}
     assert rows == {"P001": "Solar Renamed", "P002": "Viento", "P003": "Hidro"}
+
+
+def test_streaming_stream_stream_interval_join(spark, tmp_path):
+    """Clicks join the preceding impression of the same ad within the
+    horizon; out-of-horizon clicks match nothing."""
+    import datetime as dt
+
+    from energy_datalake_solution_spark.streaming.pipeline import (
+        attribute_clicks_to_impressions,
+    )
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    (imp_dir / "i1.csv").write_text(
+        "ad_id,ts\nA,2025-03-05 10:00:00\nB,2025-03-05 10:05:00\n"
+    )
+    (clk_dir / "c1.csv").write_text(
+        "ad_id,ts\n"
+        "A,2025-03-05 10:20:00\n"   # within 1h of A -> match
+        "B,2025-03-05 11:30:00\n"   # 85 min after B -> out of horizon
+        "C,2025-03-05 10:10:00\n"   # no impression -> no match
+    )
+    schema = "ad_id string, ts timestamp"
+    imp = spark.readStream.schema(schema).option("header", True).csv(str(imp_dir))
+    clk = spark.readStream.schema(schema).option("header", True).csv(str(clk_dir))
+    joined = attribute_clicks_to_impressions(imp, clk)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attribution")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM attribution").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ad_id"] == "A"
+    assert r["lag_seconds"] == 1200
+    assert r["click_ts"] == dt.datetime(2025, 3, 5, 10, 20, 0)
