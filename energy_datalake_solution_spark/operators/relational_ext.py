@@ -321,3 +321,61 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.col("revenue").desc(), F.col("nation_name"))
     )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT / melt — the inverse of the pivot operator
+# --------------------------------------------------------------------------
+@register(
+    "unpivot_nation_balances",
+    oracle="""
+        WITH cb AS (
+            SELECT c_nationkey AS nk, round(sum(c_acctbal), 2) AS bal
+            FROM customer GROUP BY c_nationkey
+        ),
+        sb AS (
+            SELECT s_nationkey AS nk, round(sum(s_acctbal), 2) AS bal
+            FROM supplier GROUP BY s_nationkey
+        )
+        SELECT n_name AS nation_name, 'customer' AS entity, cb.bal AS total_acctbal
+        FROM nation JOIN cb ON cb.nk = n_nationkey
+        UNION ALL
+        SELECT n_name AS nation_name, 'supplier' AS entity, sb.bal AS total_acctbal
+        FROM nation JOIN sb ON sb.nk = n_nationkey
+    """,
+    tags=("relational", "setop"),
+)
+def unpivot_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (melt): per-nation customer/supplier balance
+    totals computed as a wide 2-column aggregate, then melted to
+    (nation, entity, total) rows — the inverse of pivot_quantity_by_status.
+    ``DataFrame.unpivot`` is a zero-shuffle row-local expansion; the only
+    shuffles are the two upstream aggregations, and the nation dim
+    broadcasts. The oracle is the UNION ALL formulation, so the gate
+    cross-checks unpivot semantics against the classical rewrite."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cb = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("customer"))
+    )
+    sb = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supplier"))
+    )
+    # full outer: a nation with customers but no suppliers still gets its
+    # customer row (the UNION ALL branches of the oracle are independent);
+    # the null-valued melted rows are filtered after the unpivot
+    wide = cb.join(sb, "nk", "full_outer").join(
+        F.broadcast(n), F.col("nk") == n.n_nationkey
+    ).select(F.col("n_name").alias("nation_name"), "customer", "supplier")
+    return (
+        wide.unpivot(
+            ids=["nation_name"],
+            values=["customer", "supplier"],
+            variableColumnName="entity",
+            valueColumnName="total_acctbal",
+        )
+        .where(F.col("total_acctbal").isNotNull())
+    )
