@@ -1,0 +1,169 @@
+"""Exact-substring (token-span) deduplication over the ``documents`` table.
+
+The sub-document exact-dedup tier of an LLM data pipeline (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better"): two documents
+are related if they share an exact run of SPAN consecutive tokens. The
+reference engine has no sub-document dedup (its dedup is row-level,
+reference: etl-s3-processed-to-redshift.py:55-63); this extends the same
+latest-wins idea down to span granularity, which is what matters for
+training-corpus contamination.
+
+Spark-first shape (NOT a suffix array — that needs a global sort of every
+corpus position; the fixed-width span digest gets the same cross-doc exact
+matches with a plain equi-join):
+
+  1. per row, enumerate the SPAN-token sliding windows with
+     ``transform(sequence(...))`` — JVM higher-order functions, zero
+     shuffle, output bounded by tokens-per-doc;
+  2. hash each window to a 16-byte md5 digest and ``array_distinct`` it
+     BEFORE the explode, so a doc repeating its own span contributes one
+     candidate row, keeping the exchange narrow;
+  3. one shuffle groups digests to compute document frequency; spans with
+     df < 2 (unique — the overwhelming majority) are dropped, spans with
+     df > DF_CAP (boilerplate-hot: licence headers, navigation chrome) are
+     excluded from PAIR generation, exactly like the df-cap skew guard in
+     ``dedup.docs_ngram_jaccard_pairs`` — a hot span with df=10^6 would
+     otherwise emit 10^12 pairs out of one reduce key;
+  4. the surviving (span, doc) rows self-join on the digest — an equi-join
+     whose per-key fan-out is bounded by DF_CAP**2.
+
+At 100 TB the only wide ops are the digest groupBy and the bounded
+self-join; both shuffle 16-byte keys, never text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+SPAN = 8      # tokens per window (Lee et al. use 50 BPE tokens at web scale)
+DF_CAP = 64   # pair generation skipped for spans hotter than this
+
+
+def _span_digests(d: DataFrame) -> DataFrame:
+    """(doc_id, span_h) — per-doc-distinct md5 digests of every SPAN-token
+    sliding window. Newlines are normalized to spaces so a span crossing a
+    line break still matches its single-line twin."""
+    w = F.split(F.regexp_replace("text", "\n", " "), " ")
+    digests = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(SPAN - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, SPAN))),
+        )
+    )
+    return (
+        d.where(F.size(w) >= SPAN)  # guard: sequence(1, n-7) needs n >= SPAN
+        .select("doc_id", F.explode(digests).alias("span_h"))
+    )
+
+
+_ORACLE_SPANS = f"""
+        t AS (
+            SELECT doc_id,
+                   string_split(replace(text, chr(10), ' '), ' ') AS w
+            FROM documents
+        ),
+        s AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(w[g.i:g.i + {SPAN - 1}], ' ')) AS span_h
+            FROM t, UNNEST(range(1, len(w) - {SPAN - 2})) AS g(i)
+            WHERE len(w) >= {SPAN}
+        )
+"""
+
+
+@register(
+    "docs_duplicate_span_pairs",
+    oracle=f"""
+        WITH {_ORACLE_SPANS},
+        f AS (
+            SELECT span_h FROM s
+            GROUP BY span_h HAVING count(*) BETWEEN 2 AND {DF_CAP}
+        ),
+        e AS (SELECT s.doc_id, s.span_h FROM s JOIN f USING (span_h))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(DISTINCT a.span_h) AS n_shared_spans
+        FROM e a JOIN e b ON a.span_h = b.span_h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def docs_duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 1 exact SPAN-token run, with the count of
+    distinct shared spans — the exact-substring dedup candidate set."""
+    spans = _span_digests(load_table(spark, sf_dir, "documents"))
+    eligible = (
+        spans.groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= DF_CAP))
+        .select("span_h")
+    )
+    shared = spans.join(eligible, "span_h")
+    a = shared.alias("a")
+    b = shared.alias("b")
+    return (
+        a.join(b, "span_h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count_distinct("span_h").alias("n_shared_spans"))
+    )
+
+
+@register(
+    "docs_duplicate_span_stats",
+    oracle=f"""
+        WITH {_ORACLE_SPANS},
+        f AS (
+            SELECT span_h FROM s GROUP BY span_h HAVING count(*) >= 2
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_spans FROM s GROUP BY doc_id
+        ),
+        dup_per_doc AS (
+            SELECT s.doc_id, count(*) AS n_dup_spans
+            FROM s JOIN f USING (span_h) GROUP BY s.doc_id
+        )
+        SELECT p.doc_id, p.n_spans,
+               coalesce(d.n_dup_spans, 0) AS n_dup_spans,
+               round(coalesce(d.n_dup_spans, 0) * 1.0 / p.n_spans, 6)
+                   AS dup_span_frac
+        FROM per_doc p LEFT JOIN dup_per_doc d USING (doc_id)
+    """,
+    tags=("dedup", "text", "quality"),
+)
+def docs_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination signal: how many of its distinct
+    SPAN-token windows also occur in some other document (no DF_CAP here —
+    this is a groupBy, not pair generation, so hot spans cost nothing).
+    Docs shorter than SPAN tokens have no windows and are excluded, same
+    as the oracle."""
+    spans = _span_digests(load_table(spark, sf_dir, "documents"))
+    dup_spans = (
+        spans.groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("span_h")
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup_per_doc = (
+        spans.join(dup_spans, "span_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        per_doc.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0)) * F.lit(1.0) / F.col("n_spans"), 6
+            ).alias("dup_span_frac"),
+        )
+    )

@@ -73,6 +73,7 @@ def _load_all() -> None:
         relational_ext,
         similarity,
         skew,
+        spans,
         temporal,
         text,
         tpch,
