@@ -257,3 +257,48 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("value") > F.col("mean_value") + 3 * F.col("sd_value"))
         .select("event_id", "event_type", "value")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact per-type value percentiles
+# --------------------------------------------------------------------------
+@register(
+    "events_value_percentiles",
+    oracle="""
+        SELECT event_type,
+               CAST(count(value) AS BIGINT) AS n,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.50), 6) AS p50,
+               round(quantile_cont(value, 0.75), 6) AS p75,
+               round(quantile_cont(value, 0.90), 6) AS p90
+        FROM events GROUP BY event_type
+    """,
+    tags=("events", "agg", "stats"),
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles of `value` per event type —
+    the latency/size distribution profile a pipeline SLO report needs.
+
+    Spark's `percentile` and DuckDB's `quantile_cont` both interpolate at
+    position (n-1)*q over the sorted group, so round(6) agrees exactly.
+    Exact percentile buffers each group's values on the reducer — fine
+    while per-type cardinality fits an executor (the grouping key is
+    event_type, ~10 values); at 100 TB with heavy groups, swap in
+    `approx_percentile(value, q, accuracy)` — same plan shape, bounded
+    state, and the oracle gate is then rows-only since the sketch is
+    engine-specific.
+    """
+    e = load_events(spark, sf_dir)
+    pct = F.expr("percentile(value, array(0.25, 0.50, 0.75, 0.90))")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("value").alias("n"), pct.alias("p"))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p75"),
+            F.round(F.col("p")[3], 6).alias("p90"),
+        )
+    )

@@ -394,3 +394,106 @@ def embeddings_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.groupBy("bi", "bj").applyInPandas(
         block_sims, "id_a bigint, id_b bigint, cosine_sim double"
     )
+
+
+@register("embeddings_semantic_dedup", oracle=None, tags=("similarity", "dedup", "approx"))
+def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    with spherical k-means, then flag near-duplicates ONLY within each
+    cluster — the scale path for semantic dedup, turning the O(n^2)
+    all-pairs cosine into k independent O((n/k)^2) blocks.
+
+    Recall fix over vanilla single-assignment SemDeDup: each vector is
+    MULTI-ASSIGNED to its nearest NPROBE centroid cells (the data-side
+    twin of IVF's query-side multi-probe), so a dup pair is caught if the
+    two vectors share ANY of their probed cells. Single-assignment k=8
+    measured recall 0.56 on this isotropic data; NPROBE=3 measures ~0.9+
+    (floor 0.85 pinned in tests/test_semantic_dedup.py). Replication
+    factor is NPROBE, not pair-count — the blocks stay executor-sized.
+
+    Keep rule: a vector is a duplicate iff some LOWER-vec_id vector shares
+    a probed cell and has cosine >= threshold; `dup_of` is the smallest
+    such id across all shared cells (greedy lowest-id representative —
+    deterministic, no iteration).
+
+    Plan: one KMeans fit (persisted input, seeded), NPROBE-way explode,
+    one shuffle to group by cell, an Arrow-batched `applyInPandas` numpy
+    kernel per cell, then a per-vector min/max merge of the probe verdicts.
+    At 100 TB the primary cell is the storage bucketing key, k scales with
+    corpus size so blocks stay executor-sized, and no cross-cell pair is
+    ever materialized. Approximate -> rows-only gate.
+    """
+    SEMDEDUP_THRESHOLD = 0.4  # same scale as embeddings_cosine_near_dups
+    K = 8
+    NPROBE = 3
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    raw = e.select("vec_id", "embedding", array_to_vector(F.col("embedding")).alias("_raw"))
+    with_vec = Normalizer(inputCol="_raw", outputCol="features", p=2.0).transform(raw).drop("_raw")
+    km = KMeans(k=K, seed=42, featuresCol="features", predictionCol="cluster_id")
+    fit_input = with_vec.select("features").persist()
+    try:
+        model = km.fit(fit_input)
+    finally:
+        fit_input.unpersist()
+
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    cdf = spark.createDataFrame(centroids, ["cell_id", "centroid"]).select(
+        "cell_id", F.col("centroid").cast("array<double>").alias("centroid")
+    )
+    # nearest NPROBE cells per vector (centroid table is tiny -> broadcast)
+    scored_cells = e.select("vec_id", "embedding").crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        cosine(F.col("embedding"), F.col("centroid")).alias("c_sim"),
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell_id"))
+    probed = (
+        scored_cells.withColumn("p", F.row_number().over(wv))
+        .where(F.col("p") <= NPROBE)
+        .select("vec_id", "embedding", "cell_id", (F.col("p") == 1).alias("primary"))
+    )
+
+    out_schema = "vec_id long, cell_id int, primary boolean, dup_of long"
+
+    def dedup_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        sims = x @ x.T  # intra-cell block only — bounded by cell size
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(1, n):  # rows sorted by vec_id: look only backwards
+            hits = np.nonzero(sims[i, :i] >= SEMDEDUP_THRESHOLD)[0]
+            if len(hits):
+                dup_of[i] = ids[hits[0]]  # lowest-id in this cell
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell_id": key[0],
+                "primary": pdf["primary"].to_numpy(),
+                "dup_of": dup_of,
+            }
+        )
+
+    verdicts = probed.groupBy("cell_id").applyInPandas(dedup_cell, out_schema)
+    # merge the NPROBE verdicts per vector: dup iff any cell found a lower-id
+    # neighbor; representative = the smallest such id; report the primary cell
+    return verdicts.groupBy("vec_id").agg(
+        F.max(F.when(F.col("primary"), F.col("cell_id"))).alias("cluster_id"),
+        F.min(F.when(F.col("dup_of") >= 0, F.col("dup_of"))).alias("_rep"),
+    ).select(
+        "vec_id",
+        "cluster_id",
+        F.col("_rep").isNotNull().alias("is_dup"),
+        F.coalesce("_rep", F.lit(-1)).alias("dup_of"),
+    )

@@ -457,3 +457,62 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary / Zipf profile
+# --------------------------------------------------------------------------
+@register(
+    "corpus_vocabulary",
+    oracle="""
+        WITH t AS (
+            SELECT string_split(replace(text, chr(10), ' '), ' ') AS w
+            FROM documents
+        ),
+        toks AS (SELECT u.term FROM t, UNNEST(w) AS u(term)),
+        counts AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM toks GROUP BY term
+        )
+        SELECT term, n_occurrences,
+               CAST(row_number() OVER (
+                   ORDER BY n_occurrences DESC, term) AS BIGINT) AS rank,
+               round(CAST(sum(n_occurrences) OVER (
+                         ORDER BY n_occurrences DESC, term
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / (SELECT sum(n_occurrences) FROM counts), 6)
+                   AS cum_share
+        FROM counts
+    """,
+    tags=("text", "agg", "window"),
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary with occurrence counts, frequency rank, and
+    cumulative corpus share — the Zipf profile a tokenizer-training or
+    stopword-selection pass starts from.
+
+    Plan shape: explode -> partial-aggregated groupBy(term) — map-side
+    combine collapses the per-partition token stream to vocabulary-sized
+    state before the one shuffle. The ranking window is UNPARTITIONED,
+    which is safe ONLY because its input is the post-aggregation
+    vocabulary, already many orders of magnitude smaller than the corpus
+    (vocabulary grows ~ O(corpus^0.5) by Heaps' law); the corpus-sized
+    stream never sees a single-partition window. The grand total reuses
+    the same window order, so no second scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.regexp_replace("text", "\n", " "), " ")).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = W.orderBy(F.col("n_occurrences").desc(), "term")
+    total = W.partitionBy()  # grand total over the vocab-sized aggregate
+    return counts.select(
+        "term",
+        "n_occurrences",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.round(
+            F.sum("n_occurrences").over(w.rowsBetween(W.unboundedPreceding, 0))
+            / F.sum("n_occurrences").over(total),
+            6,
+        ).alias("cum_share"),
+    )

@@ -93,7 +93,9 @@ def _load_all() -> None:
 # round-2 additions docs_repetition_stats / docs_tfidf_top_terms /
 # docs_stratified_sample / docs_domain_mix_weights / unpivot) into the
 # window prefix so every entry accumulates a driver-green row across
-# consecutive rounds.
+# consecutive rounds. Round-2 late additions to rotate in as well:
+# docs_duplicate_span_pairs / docs_duplicate_span_stats /
+# corpus_vocabulary / events_value_percentiles / embeddings_semantic_dedup.
 SURFACE_ORDER: tuple[str, ...] = (
     # TPC-H analytics suite
     "tpch_q1_pricing_summary",
