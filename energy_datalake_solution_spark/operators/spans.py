@@ -142,28 +142,34 @@ def docs_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPAN-token windows also occur in some other document (no DF_CAP here —
     this is a groupBy, not pair generation, so hot spans cost nothing).
     Docs shorter than SPAN tokens have no windows and are excluded, same
-    as the oracle."""
+    as the oracle.
+
+    Single-pass shape: annotating each (doc, span) row with its span's
+    document frequency via `count() OVER (PARTITION BY span_h)` needs ONE
+    span_h shuffle and keeps doc_id on the row, so the per-doc rollup is a
+    plain second aggregation — the naive 3-subtree form (freq + join +
+    per-doc count) re-ran the md5 window enumeration three times with zero
+    exchange reuse (pruned projections differ). The window buffers one
+    span-group at a time (spillable; bounded by the hottest span's df)."""
+    from pyspark.sql import Window as W
+
     spans = _span_digests(load_table(spark, sf_dir, "documents"))
-    dup_spans = (
-        spans.groupBy("span_h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") >= 2)
-        .select("span_h")
+    with_df = spans.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("span_h"))
     )
-    per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    dup_per_doc = (
-        spans.join(dup_spans, "span_h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
-    )
+    n_dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long")
     return (
-        per_doc.join(dup_per_doc, "doc_id", "left")
+        with_df.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            n_dup.alias("n_dup_spans"),
+        )
         .select(
             "doc_id",
             "n_spans",
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.round(
-                F.coalesce("n_dup_spans", F.lit(0)) * F.lit(1.0) / F.col("n_spans"), 6
-            ).alias("dup_span_frac"),
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") * F.lit(1.0) / F.col("n_spans"), 6).alias(
+                "dup_span_frac"
+            ),
         )
     )

@@ -319,3 +319,41 @@ def test_tpch_q21_topk_and_no_cartesian(spark):
     plan = plan_of(QUERIES["tpch_q21_waiting_suppliers"].fn(spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_span_pairs_equi_join_with_exchange_reuse(spark):
+    """Exact-substring pair generation must stay an equi-join on the span
+    digest (never a nested loop) and reuse the span_h exchange between
+    the df-filter branch and the self-join sides."""
+    df = QUERIES["docs_duplicate_span_pairs"].fn(spark, SF_ORACLE)
+    df.collect()  # executed plan — AQE decides reuse at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReusedExchange" in plan
+
+
+def test_span_stats_single_scan_two_exchanges(spark):
+    """Per-doc span stats must be the single-pass window form: one
+    documents scan, one span_h exchange (window), one doc_id exchange
+    (rollup) — not the 3-subtree naive shape."""
+    df = QUERIES["docs_duplicate_span_stats"].fn(spark, SF_ORACLE)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert final.count("FileScan parquet") == 1
+    assert final.count("Exchange hashpartitioning") == 2
+
+
+def test_vocabulary_partial_agg_before_shuffle(spark):
+    """The token stream must collapse map-side (partial_count) before the
+    one vocabulary shuffle; the global rank window runs on the
+    vocabulary-sized aggregate only."""
+    plan = plan_of(QUERIES["corpus_vocabulary"].fn(spark, SF_ORACLE))
+    assert "partial_count" in plan
+    # the single-partition exchange feeds the Window, not the raw stream:
+    # it must sit above the HashAggregate in the formatted tree
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1 and win_pos < agg_pos
