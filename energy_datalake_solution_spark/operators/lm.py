@@ -1,0 +1,163 @@
+"""Corpus n-gram language-model operators over ``documents``.
+
+The CCNet-style quality tier of an LLM data pipeline (Wenzek et al. 2019):
+train a small LM on the corpus, score every document's per-token
+log-likelihood, and filter/bucket on the score. Real CCNet uses a KenLM
+5-gram; the engine-shaped part — and what this module implements — is the
+distributed counting, smoothing, broadcast-scoring pipeline, here with a
+bigram LM so the whole thing stays SQL-expressible and oracle-checkable.
+
+The reference has no text tier at all (its documents never leave S3
+verbatim, reference: dynamic-data-processor.py); this is north-star
+surface, same as operators/text.py.
+
+Scale shape:
+  * bigram extraction is a per-row higher-order transform (zero shuffle)
+    followed by one explode;
+  * C(w1,w2) and C(w1) are partial-aggregated groupBys — the token stream
+    collapses map-side to model-sized state (vocab is O(corpus^0.5) by
+    Heaps' law, bigram table bounded by vocab^2 and in practice far
+    smaller);
+  * scoring joins the corpus-sized bigram stream to the MODEL-sized
+    probability table — a broadcast hash join, so the scoring pass is one
+    scan with no shuffle besides the final per-doc rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+ADD_K = 0.1  # add-k smoothing mass
+
+
+def _doc_bigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair, newline-
+    normalized; docs with < 2 tokens contribute nothing."""
+    w = F.split(F.regexp_replace("text", "\n", " "), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.struct(
+            F.element_at(w, i).alias("w1"), F.element_at(w, i + 1).alias("w2")
+        ),
+    )
+    return (
+        d.where(F.size(w) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+_ORACLE_BIGRAMS = """
+        t AS (
+            SELECT doc_id,
+                   string_split(replace(text, chr(10), ' '), ' ') AS w
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+            FROM t, UNNEST(range(1, len(w))) AS g(i)
+            WHERE len(w) >= 2
+        )
+"""
+
+
+@register(
+    "corpus_bigram_merge_candidates",
+    oracle=f"""
+        WITH {_ORACLE_BIGRAMS},
+        counts AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM bg GROUP BY w1, w2
+        )
+        SELECT w1, w2, n_occurrences,
+               CAST(row_number() OVER (
+                   ORDER BY n_occurrences DESC, w1, w2) AS BIGINT) AS rank
+        FROM counts
+        QUALIFY rank <= 20
+    """,
+    tags=("text", "tokenizer", "agg"),
+)
+def corpus_bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent token pairs by corpus frequency — the first merge
+    iteration of BPE tokenizer training (Sennrich et al. 2016): the
+    highest-count pair is the next merge rule. One explode, one
+    partial-aggregated groupBy; the global rank window runs on the
+    model-sized pair table, never the token stream."""
+    bg = _doc_bigrams(load_table(spark, sf_dir, "documents"))
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = W.orderBy(F.col("n_occurrences").desc(), "w1", "w2")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+    )
+
+
+@register(
+    "docs_bigram_lm_score",
+    oracle=f"""
+        WITH {_ORACLE_BIGRAMS},
+        c12 AS (
+            SELECT w1, w2, count(*) AS c_pair FROM bg GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT w1, count(*) AS c_ctx FROM bg GROUP BY w1
+        ),
+        v AS (
+            SELECT count(DISTINCT u.term) AS vocab
+            FROM t, UNNEST(w) AS u(term)
+        ),
+        lm AS (
+            SELECT c12.w1, c12.w2,
+                   ln((c_pair + {ADD_K}) / (c_ctx + {ADD_K} * vocab)) AS logp
+            FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+        )
+        SELECT bg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lm.logp), 6) AS avg_logp
+        FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+        GROUP BY bg.doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-likelihood under an add-k-smoothed
+    corpus bigram LM — the CCNet quality signal (low avg_logp = unusual
+    token sequences = boilerplate/garble candidates).
+
+    P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k*V). The LM (pair counts joined
+    to context counts, vocab scalar folded in) is model-sized and
+    BROADCAST to the scoring join; every in-corpus bigram has c_pair >= 1
+    by construction, so the inner scoring join is lossless. avg() of
+    float64 logs is order-insensitive at round(6) (per-doc sums are
+    hundreds of terms; fp spread is ~1e-13 relative)."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = _doc_bigrams(d)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = (
+        d.select(
+            F.explode(F.split(F.regexp_replace("text", "\n", " "), " ")).alias("term")
+        )
+        .agg(F.count_distinct("term"))
+        .collect()[0][0]
+    )  # one scalar job on the model side — never per-row driver work
+    lm = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.log(
+            (F.col("c_pair") + F.lit(ADD_K))
+            / (F.col("c_ctx") + F.lit(ADD_K) * F.lit(float(vocab)))
+        ).alias("logp"),
+    )
+    return (
+        bg.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_logp"),
+        )
+    )

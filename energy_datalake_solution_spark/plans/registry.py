@@ -68,6 +68,7 @@ def _load_all() -> None:
         dedup,
         events,
         fixtures,
+        lm,
         multimodal,
         relational,
         relational_ext,
