@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 
 ADD_K = 0.1  # add-k smoothing mass
 
@@ -45,7 +45,8 @@ def _doc_bigrams(d: DataFrame) -> DataFrame:
         ),
     )
     return (
-        d.where(F.size(w) >= 2)
+        spread(d)  # pair expansion is ~50x the input: parallelize first
+        .where(F.size(w) >= 2)
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
@@ -121,6 +122,7 @@ def corpus_bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
         GROUP BY bg.doc_id
     """,
+    headline=True,
     tags=("text", "quality", "lm"),
 )
 def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +139,9 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bg = _doc_bigrams(d)
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    # C(w1) = sum_w2 C(w1,w2): roll up the MODEL-sized pair table instead
+    # of re-aggregating the corpus-sized bigram stream a second time
+    c1 = c12.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
     vocab = (
         d.select(
             F.explode(F.split(F.regexp_replace("text", "\n", " "), " ")).alias("term")
@@ -159,5 +163,62 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg("logp"), 6).alias("avg_logp"),
+        )
+    )
+
+
+@register(
+    "docs_lm_quality_buckets",
+    oracle=f"""
+        WITH {_ORACLE_BIGRAMS},
+        c12 AS (
+            SELECT w1, w2, count(*) AS c_pair FROM bg GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT w1, sum(c_pair) AS c_ctx FROM c12 GROUP BY w1
+        ),
+        v AS (
+            SELECT count(DISTINCT u.term) AS vocab
+            FROM t, UNNEST(w) AS u(term)
+        ),
+        lm AS (
+            SELECT c12.w1, c12.w2,
+                   ln((c_pair + {ADD_K}) / (c_ctx + {ADD_K} * vocab)) AS logp
+            FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+        ),
+        scored AS (
+            SELECT bg.doc_id, round(avg(lm.logp), 6) AS avg_logp
+            FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+            GROUP BY bg.doc_id
+        ),
+        bucketed AS (
+            SELECT doc_id, avg_logp,
+                   ntile(5) OVER (ORDER BY avg_logp DESC, doc_id) AS bucket
+            FROM scored
+        )
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               round(min(avg_logp), 6) AS min_logp,
+               round(max(avg_logp), 6) AS max_logp
+        FROM bucketed GROUP BY bucket
+    """,
+    tags=("text", "quality", "lm", "window"),
+)
+def docs_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-score quality quintiles — the bucket boundaries a CCNet-style
+    head/middle/tail split publishes. Composes `docs_bigram_lm_score` with
+    an NTILE window; the window input is one row per DOCUMENT (not per
+    token), and at extreme scale the same split comes from
+    `approx_percentile` boundaries instead of a global ntile — documented
+    tradeoff, the exact form is what the oracle can check. Ties broken by
+    doc_id so both engines assign identical buckets."""
+    scored = docs_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logp")
+    wb = W.orderBy(F.col("avg_logp").desc(), "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(5).over(wb))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("avg_logp"), 6).alias("min_logp"),
+            F.round(F.max("avg_logp"), 6).alias("max_logp"),
         )
     )

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 
 SPAN = 8      # tokens per window (Lee et al. use 50 BPE tokens at web scale)
 DF_CAP = 64   # pair generation skipped for spans hotter than this
@@ -55,7 +55,8 @@ def _span_digests(d: DataFrame) -> DataFrame:
         )
     )
     return (
-        d.where(F.size(w) >= SPAN)  # guard: sequence(1, n-7) needs n >= SPAN
+        spread(d)  # md5-window expansion is ~50x the input: parallelize first
+        .where(F.size(w) >= SPAN)  # guard: sequence(1, n-7) needs n >= SPAN
         .select("doc_id", F.explode(digests).alias("span_h"))
     )
 
@@ -89,6 +90,7 @@ _ORACLE_SPANS = f"""
         FROM e a JOIN e b ON a.span_h = b.span_h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     """,
+    headline=True,
     tags=("dedup", "text"),
 )
 def docs_duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

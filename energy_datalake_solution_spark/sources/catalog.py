@@ -43,3 +43,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every lake table as a temp view for spark.sql access."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Rebalance a compute-dense input to cluster parallelism when the scan
+    under-splits it.
+
+    Single-row-group parquet files (and generally any source with fewer
+    splits than cores) serialize everything up to the first shuffle onto
+    one task. For operators whose pre-shuffle segment EXPANDS the data
+    10-60x (shingling, span digests, bigram extraction — per-row
+    higher-order transforms + explode), that one task dominates wall
+    clock. A round-robin repartition of the *raw* rows costs one shuffle
+    of the input bytes — the cheap side of the expansion — and unlocks
+    full parallelism for the expensive segment.
+
+    No-op when the scan already yields >= defaultParallelism splits, which
+    is the normal case at scale (a 100 TB table has thousands of
+    row-groups); the repartition only fires on under-split inputs, where
+    its cost is by construction small.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
