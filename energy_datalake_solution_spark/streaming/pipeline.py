@@ -263,3 +263,52 @@ def attribute_clicks_to_impressions(
         "click_ts",
         (F.unix_timestamp("click_ts") - F.unix_timestamp("imp_ts")).alias("lag_seconds"),
     )
+
+
+def score_stream_with_lm(
+    stream: DataFrame,
+    lm_logp: dict,
+    vocab_size: int,
+    add_k: float = 0.1,
+) -> DataFrame:
+    """Score a document stream against a BATCH-trained bigram LM — the
+    online half of the CCNet quality tier (operators/lm.py trains; this
+    scores arrivals, e.g. to route low-likelihood docs to quarantine).
+
+    The model is model-sized (see operators/lm.py on Heaps' law), so it
+    ships to executors inside the task closure as a plain dict — the
+    streaming twin of the batch scoring BROADCAST join; there is no
+    per-row shuffle, no state store, and no watermark needed because each
+    document row is self-contained (its whole text arrives at once).
+    `mapInPandas` keeps scoring Arrow-batched and vectorizable.
+
+    Bigrams unseen in training get the add-k backoff mass
+    ln(k / (C(w1) + k*V)) with C(w1)=0 for unseen contexts — the same
+    smoothing formula the trainer used, so a stream replay of the
+    training corpus reproduces the batch scores exactly
+    (tests/test_streaming.py::test_streaming_lm_scoring_matches_batch).
+    """
+    import math
+
+    import pandas as pd
+
+    unseen = math.log(add_k / (add_k * vocab_size))
+
+    def score(batches):
+        for pdf in batches:
+            out_ids, out_n, out_avg = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.replace("\n", " ").split(" ")
+                if len(toks) < 2:
+                    continue  # no bigrams — same exclusion as the batch op
+                logps = [
+                    lm_logp.get((a, b), unseen) for a, b in zip(toks, toks[1:])
+                ]
+                out_ids.append(doc_id)
+                out_n.append(len(logps))
+                out_avg.append(round(sum(logps) / len(logps), 6))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "n_bigrams": out_n, "avg_logp": out_avg}
+            )
+
+    return stream.mapInPandas(score, "doc_id long, n_bigrams long, avg_logp double")

@@ -357,3 +357,19 @@ def test_vocabulary_partial_agg_before_shuffle(spark):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1 and win_pos < agg_pos
+
+
+def test_lm_score_broadcasts_model_and_two_extractions(spark):
+    """The LM scoring join must broadcast the model side (never shuffle the
+    corpus-sized bigram stream into a SortMergeJoin), and the bigram
+    extraction must appear exactly twice — model build + scoring pass —
+    with C(w1) rolled up from the pair table, not a third corpus pass.
+    (Three explodes total: model build + scoring + the scalar vocabulary
+    count, which must scan all tokens — singleton docs have no bigrams
+    but do contribute vocabulary.)"""
+    df = QUERIES["docs_bigram_lm_score"].fn(spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate explode") == 3

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from energy_datalake_solution_spark.sources.schemas import PROVEEDORES
+
+from .conftest import SF_ORACLE
 from energy_datalake_solution_spark.streaming.pipeline import (
     session_event_windows,
     stream_to_processed,
@@ -358,3 +360,63 @@ def test_streaming_stream_stream_interval_join(spark, tmp_path):
     assert r["ad_id"] == "A"
     assert r["lag_seconds"] == 1200
     assert r["click_ts"] == dt.datetime(2025, 3, 5, 10, 20, 0)
+
+
+def test_streaming_lm_scoring_matches_batch(spark, tmp_path):
+    """Train the bigram LM in batch, score a stream replay of the same
+    corpus: per-doc scores must reproduce docs_bigram_lm_score exactly."""
+    from energy_datalake_solution_spark.operators.lm import (
+        ADD_K,
+        _doc_bigrams,
+        docs_bigram_lm_score,
+    )
+    from energy_datalake_solution_spark.sources.catalog import load_table
+    from energy_datalake_solution_spark.streaming.pipeline import score_stream_with_lm
+
+    sf = SF_ORACLE
+    batch_scores = {
+        r.doc_id: r for r in docs_bigram_lm_score(spark, sf).collect()
+    }
+
+    # model-sized artifacts: pair logps + vocab scalar (same math as trainer)
+    import math
+
+    d = load_table(spark, sf, "documents")
+    bg = _doc_bigrams(d)
+    c12 = {
+        (r.w1, r.w2): r.c
+        for r in bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    c1: dict = {}
+    for (w1, _), c in c12.items():
+        c1[w1] = c1.get(w1, 0) + c
+    vocab = (
+        d.select(F.explode(F.split(F.regexp_replace("text", "\n", " "), " ")).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    lm_logp = {
+        pair: math.log((c + ADD_K) / (c1[pair[0]] + ADD_K * vocab))
+        for pair, c in c12.items()
+    }
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    d.select("doc_id", "text").coalesce(1).write.json(str(src / "batch0"))
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src / "batch0")
+    )
+    q = (
+        score_stream_with_lm(stream, lm_logp, vocab)
+        .writeStream.format("memory")
+        .queryName("lm_scored")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM lm_scored").collect()}
+    assert set(got) == set(batch_scores)
+    for doc_id, r in got.items():
+        assert r.n_bigrams == batch_scores[doc_id].n_bigrams
+        assert abs(r.avg_logp - batch_scores[doc_id].avg_logp) < 1e-9
