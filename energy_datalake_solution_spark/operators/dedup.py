@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 
 JACCARD_THRESHOLD = 0.5
 MAX_SHINGLE_DF = 100        # inverted-index df cap (skew + quality guard)
@@ -244,36 +244,35 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (md5-derived token hashes, majority vote
     per bit). Deterministic across engines because the token hash is md5.
 
-    Plan: explode distinct tokens -> explode 60 bit positions -> two hash
-    aggregations keyed by doc. All built-ins; the bit explosion is a
-    constant 60x fan-out, still linear in corpus size.
+    Plan: ZERO-shuffle per-row compute. A document's fingerprint depends
+    only on its own distinct tokens, so the whole majority vote folds into
+    one nested higher-order expression (token-hash array -> per-bit vote
+    aggregate -> bit OR-fold) instead of the naive explode(tokens) x
+    explode(60 bits) -> two keyed aggregations, which shuffled a 60x
+    fan-out of the token stream twice. Per-row cost is unchanged
+    (60 x tokens adds); shuffle bytes drop to nothing; spread() unlocks
+    core parallelism on under-split scans.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-        .distinct()
+    hashes = F.transform(
+        F.array_distinct(F.split("text", " ")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
-    hashed = toks.select(
-        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("h")
-    )
-    bits = (
-        hashed.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias("vote")
-        )
+    # fold bits: for each bit, majority vote over token hashes, then OR
+    # the winning bits together (sum of disjoint powers of two)
+    simhash = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {SIMHASH_BITS - 1}), b ->
+            if(aggregate(hs, 0, (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+               shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        """
     )
     return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            ).alias("simhash")
-        )
+        spread(d)
+        .select("doc_id", hashes.alias("hs"))
+        .select("doc_id", simhash.alias("simhash"))
     )
 
 
@@ -306,8 +305,15 @@ def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     a matching band). Candidates are verified by exact Hamming distance.
     Join key = (band, band_key) — equi-join, no cross product, scales to
     corpus size x 4 rows.
+
+    The fingerprint subtree feeds FOUR branches (band sides a/b, verify
+    rejoins fa/fb) and since the zero-shuffle simhash rewrite there is no
+    exchange for AQE to reuse — unchecked, each branch would re-run the
+    60 x tokens vote expression. fp is 16 bytes/doc (the Q15 tiny-subtree
+    case), so a localCheckpoint materializes it once and every branch
+    reads the checkpoint.
     """
-    fp = docs_simhash(spark, sf_dir)
+    fp = docs_simhash(spark, sf_dir).localCheckpoint(eager=False)
     band = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band")
     banded = fp.select("doc_id", "simhash", band).withColumn(
         "band_key", F.expr("shiftright(simhash, band * 15)").bitwiseAND(32767)
