@@ -384,3 +384,53 @@ def docs_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("n_tokens") * F.lit(1.0) / F.col("total_tokens")).alias("token_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-tier duplicate evidence
+# --------------------------------------------------------------------------
+from . import spans as _spans  # noqa: E402  (ensures span oracle is registered)
+
+
+@register(
+    "docs_multitier_dup_pairs",
+    oracle=f"""
+        WITH jac AS ({QUERIES["docs_ngram_jaccard_pairs"].oracle}),
+        sub AS ({QUERIES["docs_duplicate_span_pairs"].oracle}),
+        sh AS ({QUERIES["docs_simhash_near_dups"].oracle}),
+        u AS (
+            SELECT doc_a, doc_b, 'jaccard' AS tier FROM jac
+            UNION ALL SELECT doc_a, doc_b, 'substring' AS tier FROM sub
+            UNION ALL SELECT doc_a, doc_b, 'simhash' AS tier FROM sh
+        )
+        SELECT doc_a, doc_b,
+               array_to_string(list_sort(list(DISTINCT tier)), ',') AS tiers,
+               CAST(count(DISTINCT tier) AS BIGINT) AS n_tiers
+        FROM u GROUP BY doc_a, doc_b
+    """,
+    tags=("dedup", "corpus"),
+)
+def docs_multitier_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pair evidence across the engine's three pair tiers —
+    set-similarity (word-3-gram Jaccard), exact substring (8-token spans),
+    and fingerprint (banded SimHash) — with per-pair provenance: which
+    tiers flagged it and how many agreed. This is the review table a
+    dedup-policy decision reads (e.g. drop pairs any tier flags, or
+    require 2-of-3 agreement).
+
+    Pure composition: each tier is the REGISTERED operator (same code,
+    same plans, including their skew guards), the union is column-aligned,
+    and the rollup groups on the 16-byte pair key. The oracle nests the
+    three registered oracle texts, so the composed result stays in
+    lockstep with the tiers by construction.
+    """
+    tag = lambda df, t: df.select("doc_a", "doc_b", F.lit(t).alias("tier"))  # noqa: E731
+    u = (
+        tag(_dedup.docs_ngram_jaccard_pairs(spark, sf_dir), "jaccard")
+        .unionByName(tag(_spans.docs_duplicate_span_pairs(spark, sf_dir), "substring"))
+        .unionByName(tag(_dedup.docs_simhash_near_dups(spark, sf_dir), "simhash"))
+    )
+    return u.groupBy("doc_a", "doc_b").agg(
+        F.array_join(F.array_sort(F.collect_set("tier")), ",").alias("tiers"),
+        F.count_distinct("tier").alias("n_tiers"),
+    )
