@@ -302,3 +302,88 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p")[3], 6).alias("p90"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel analysis
+# --------------------------------------------------------------------------
+@register(
+    "events_funnel_view_click_purchase",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 'view>click', CAST(count(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+    tags=("events", "funnel", "agg"),
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view -> click -> purchase): users count
+    toward a stage only if it happened strictly AFTER their entry into the
+    previous stage — the sequential-pattern rollup every product-analytics
+    warehouse runs.
+
+    Plan shape: ONE scan + ONE user_id shuffle (the oracle's three
+    self-joins each re-shuffle the event stream). Each user's click and
+    purchase timestamps are collected and the stage chain resolves with
+    array filters — the ClickHouse windowFunnel strategy. Per-user state
+    is that user's own click/purchase timestamps (spillable, bounded by
+    per-user activity, never corpus-sized); if a pathological user has
+    millions of events, the alternative is the oracle's shape — three
+    aggregations joined on the SAME user_id key so the exchanges reuse —
+    at the cost of extra passes.
+    """
+    e = load_events(spark, sf_dir)
+    # min event ts per (user, type) — one shuffle, 5 rows max per user
+    m = (
+        e.where(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            # collect_list drops the nulls the when() leaves on other types
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+            ).alias("clicks"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            ).alias("purchases"),
+        )
+    )
+    # earliest click strictly after the first view, then earliest purchase
+    # strictly after that click — array filter over per-user sorted minima
+    t_click = F.element_at(
+        F.filter(F.col("clicks"), lambda t: t > F.col("t_view")), 1
+    )
+    t_purchase = F.element_at(
+        F.filter(F.col("purchases"), lambda t: t > F.col("t_click")), 1
+    )
+    staged = (
+        m.where(F.col("t_view").isNotNull())
+        .withColumn("t_click", t_click)
+        .withColumn("t_purchase", t_purchase)
+    )
+    return staged.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    ).selectExpr(
+        "stack(3, 'view', n_view, 'view>click', n_click, "
+        "'view>click>purchase', n_purchase) AS (stage, n_users)"
+    )
