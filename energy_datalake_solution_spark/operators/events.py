@@ -387,3 +387,54 @@ def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataF
         "stack(3, 'view', n_view, 'view>click', n_click, "
         "'view>click>purchase', n_purchase) AS (stage, n_users)"
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention
+# --------------------------------------------------------------------------
+@register(
+    "events_weekly_cohort_retention",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+                   AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM activity a JOIN first_seen f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    tags=("events", "cohort", "agg"),
+)
+def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen week,
+    counted in every subsequent week they were active — the
+    product-analytics staple next to the funnel.
+
+    Both aggregations and the join key on user_id, so the first-seen
+    exchange and the activity exchange hash-partition identically and the
+    join adds no extra corpus shuffle; the final rollup groups the
+    user-week table (bounded by users x active weeks) down to the
+    cohort-x-offset matrix, which is tiny. Week offsets divide exactly
+    because both endpoints are week-truncated."""
+    e = load_events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
