@@ -438,3 +438,37 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+        SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+               round(CAST(floor(value / 25.0) AS BIGINT) * 25.0, 6) AS bucket_low,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("events", "histogram", "agg"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (width 25) — the profiling
+    companion to the exact percentiles: one groupBy on the derived bucket
+    key (bounded cardinality = value_range / width), map-side combine does
+    nearly all the work, output is dashboard-sized."""
+    e = load_events(spark, sf_dir)
+    bucket = F.floor(F.col("value") / 25.0).cast("long")
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * 25.0, 6).alias("bucket_low"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -379,3 +379,69 @@ def unpivot_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("total_acctbal").isNotNull())
     )
+
+
+# --------------------------------------------------------------------------
+# Column profiling / statistics
+# --------------------------------------------------------------------------
+@register(
+    "profile_lineitem_numeric",
+    oracle="""
+        WITH s AS (
+            SELECT
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(l_quantity) AS BIGINT) AS nn_qty,
+              CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd_qty,
+              round(min(l_quantity), 6) AS min_qty,
+              round(max(l_quantity), 6) AS max_qty,
+              CAST(count(l_extendedprice) AS BIGINT) AS nn_price,
+              CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS nd_price,
+              round(min(l_extendedprice), 6) AS min_price,
+              round(max(l_extendedprice), 6) AS max_price,
+              CAST(count(l_discount) AS BIGINT) AS nn_disc,
+              CAST(count(DISTINCT l_discount) AS BIGINT) AS nd_disc,
+              round(min(l_discount), 6) AS min_disc,
+              round(max(l_discount), 6) AS max_disc
+            FROM lineitem
+        )
+        SELECT 'l_quantity' AS column_name, n_rows, nn_qty AS n_non_null,
+               nd_qty AS n_distinct, min_qty AS min_value, max_qty AS max_value
+        FROM s
+        UNION ALL
+        SELECT 'l_extendedprice', n_rows, nn_price, nd_price, min_price, max_price FROM s
+        UNION ALL
+        SELECT 'l_discount', n_rows, nn_disc, nd_disc, min_disc, max_disc FROM s
+    """,
+    tags=("profile", "agg"),
+)
+def profile_lineitem_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile table (row count, non-null count, exact distinct,
+    min/max) for lineitem's money/quantity columns — the ANALYZE-style
+    statistics pass a lakehouse runs for NDV-based planning and
+    data-quality monitors.
+
+    ONE pass over the fact table computes every per-column aggregate in a
+    single ungrouped aggregation (partial aggregation collapses map-side;
+    exact count_distinct rewrites to an expand + two-phase agg), then a
+    stack() pivots the single stats row to one row per column — no
+    per-column re-scans. At petabyte NDV scale, swap approx_count_distinct
+    (HLL) in — same shape, rows-only gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            F.round(F.min(c), 6).alias(f"min_{c}"),
+            F.round(F.max(c), 6).alias(f"max_{c}"),
+        ]
+    s = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return s.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) AS "
+        "(column_name, n_non_null, n_distinct, min_value, max_value)",
+    ).select("column_name", "n_rows", "n_non_null", "n_distinct", "min_value", "max_value")
