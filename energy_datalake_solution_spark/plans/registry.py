@@ -96,7 +96,11 @@ def _load_all() -> None:
 # window prefix so every entry accumulates a driver-green row across
 # consecutive rounds. Round-2 late additions to rotate in as well:
 # docs_duplicate_span_pairs / docs_duplicate_span_stats /
-# corpus_vocabulary / events_value_percentiles / embeddings_semantic_dedup.
+# corpus_vocabulary / events_value_percentiles / embeddings_semantic_dedup /
+# corpus_bigram_merge_candidates / docs_bigram_lm_score /
+# docs_lm_quality_buckets / docs_multitier_dup_pairs /
+# events_funnel_view_click_purchase / events_weekly_cohort_retention /
+# profile_lineitem_numeric / events_value_histogram.
 SURFACE_ORDER: tuple[str, ...] = (
     # TPC-H analytics suite
     "tpch_q1_pricing_summary",
