@@ -222,3 +222,93 @@ def docs_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("avg_logp"), 6).alias("max_logp"),
         )
     )
+
+
+N_BPE_MERGES = 10
+
+
+@register("corpus_bpe_merges", oracle=None, tags=("text", "tokenizer", "iterative"))
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
+    first N_BPE_MERGES character-pair merge rules from the corpus.
+
+    The scale trick is the classic one: BPE merges happen INSIDE words, so
+    training needs only the word-frequency table — ONE corpus-sized scan
+    aggregates (word, count), and every merge iteration then runs on the
+    vocabulary, which is Heaps-law-sized (O(corpus^0.5)), not the corpus.
+    Per iteration: adjacent symbol pairs via a higher-order transform,
+    count-weighted pair totals via a vocab-sized groupBy, argmax to the
+    driver (one scalar per iteration — model-sized driver traffic, K
+    rounds total), then a mapInPandas pass rewrites each word's symbol
+    array left-to-right (greedy non-overlapping, the reference semantics).
+    localCheckpoint truncates lineage per round, same as the
+    connected-components loop (operators/corpus.py).
+
+    No SQL oracle (iterative) -> rows-only gate; exact equivalence with a
+    pure-Python reference BPE on the same corpus is pinned in
+    tests/test_bpe.py. Ties break on (left, right) lexical order so the
+    merge sequence is deterministic across engines and partitionings.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.regexp_replace("text", "\n", " "), " ")).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = words.select(
+        F.split("word", "").alias("symbols"), "n"
+    ).localCheckpoint(eager=False)
+
+    merges = []
+    for rank in range(1, N_BPE_MERGES + 1):
+        pairs = vocab.where(F.size("symbols") >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("symbols") - 1),
+                    lambda i: F.struct(
+                        F.element_at("symbols", i).alias("left"),
+                        F.element_at("symbols", i + 1).alias("right"),
+                    ),
+                )
+            ).alias("p"),
+            "n",
+        )
+        best = (
+            pairs.groupBy("p.left", "p.right")
+            .agg(F.sum("n").alias("total"))
+            .orderBy(F.col("total").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, total = best[0].left, best[0].right, best[0].total
+        merges.append((rank, left, right, left + right, int(total)))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                out = []
+                for syms in pdf["symbols"]:
+                    merged, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == _l and syms[i + 1] == _r:
+                            merged.append(_l + _r)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    out.append(merged)
+                yield pd.DataFrame({"symbols": out, "n": pdf["n"]})
+
+        vocab = vocab.mapInPandas(
+            apply_merge, "symbols array<string>, n long"
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, pair_count long"
+    )
