@@ -445,3 +445,62 @@ def profile_lineitem_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack}) AS "
         "(column_name, n_non_null, n_distinct, min_value, max_value)",
     ).select("column_name", "n_rows", "n_non_null", "n_distinct", "min_value", "max_value")
+
+
+# --------------------------------------------------------------------------
+# Full outer join (reconciliation)
+# --------------------------------------------------------------------------
+@register(
+    "full_outer_spend_activity_reconciliation",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey
+        ),
+        activity AS (
+            SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events
+            FROM events WHERE user_id % 2 = 0 GROUP BY user_id
+        )
+        SELECT coalesce(s.key, a.key) AS entity_id,
+               coalesce(s.n_orders, 0) AS n_orders,
+               coalesce(a.n_events, 0) AS n_events,
+               CASE WHEN s.key IS NULL THEN 'activity_only'
+                    WHEN a.key IS NULL THEN 'spend_only'
+                    ELSE 'both' END AS presence
+        FROM spend s FULL OUTER JOIN activity a ON s.key = a.key
+    """,
+    tags=("join", "outer"),
+)
+def full_outer_spend_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two keyed aggregates (order spend vs
+    event activity, deterministically disjoint-ish key subsets so both
+    unmatched sides are non-empty) — the audit join that finds entities
+    present in one system but not the other.
+
+    Both inputs pre-aggregate to one row per key BEFORE the join, so the
+    full-outer shuffle moves entity-sized tables, not fact streams, and
+    all three exchanges hash the same key."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.where(F.col("o_custkey") % 3 == 0)
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    from .events import load_events
+
+    activity = (
+        load_events(spark, sf_dir)
+        .where(F.col("user_id") % 2 == 0)
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    s, a = spend.alias("s"), activity.alias("a")
+    return s.join(a, F.col("s.key") == F.col("a.key"), "full_outer").select(
+        F.coalesce("s.key", "a.key").alias("entity_id"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("s.key").isNull(), "activity_only")
+        .when(F.col("a.key").isNull(), "spend_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
