@@ -504,3 +504,48 @@ def full_outer_spend_activity_reconciliation(spark: SparkSession, sf_dir: str) -
         .otherwise("both")
         .alias("presence"),
     )
+
+
+# --------------------------------------------------------------------------
+# Range-frame window: rolling 7-day spend
+# --------------------------------------------------------------------------
+@register(
+    "window_rolling_7day_customer_spend",
+    oracle="""
+        SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+               o_orderdate::DATE AS order_date,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate::DATE
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+               ), 2) AS spend_7d
+        FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def window_rolling_7day_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 7-day spend — a RANGE-frame window (value-based
+    bounds over the order DATE, not row counts): every order sums the
+    customer's orders dated within the trailing week, including same-day
+    peers regardless of row order. Spark expresses the interval bound as
+    an epoch-day range frame; DuckDB as INTERVAL PRECEDING — identical
+    semantics, both include all ties of the current date.
+
+    Money sums round(2): o_totalprice is cent-valued, so the window sum is
+    exact at 2 decimals in both engines. Per-customer frame state is
+    bounded by orders-per-customer-week — no global sort, one shuffle on
+    the partition key."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, 0)
+    )
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_7d"),
+    )
