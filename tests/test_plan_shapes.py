@@ -373,3 +373,29 @@ def test_lm_score_broadcasts_model_and_two_extractions(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Generate explode") == 3
+
+
+def test_funnel_single_corpus_shuffle(spark):
+    """The funnel must resolve all three stages in ONE user_id shuffle of
+    the event stream (windowFunnel shape); only the final stage-count
+    rollup may add a single-partition exchange."""
+    df = QUERIES["events_funnel_view_click_purchase"].fn(spark, SF_ORACLE)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert final.count("Exchange hashpartitioning") == 1
+    assert final.count("FileScan parquet") == 1
+
+
+def test_profile_single_scan(spark):
+    """Column profiling computes every per-column statistic from ONE scan
+    of the fact table (no per-column re-scans), even with the exact
+    count_distinct expand rewrite in the plan."""
+    df = QUERIES["profile_lineitem_numeric"].fn(spark, SF_ORACLE)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert final.count("FileScan parquet") == 1
+    assert "Expand" in final  # multiple count_distincts -> one expand, one scan
