@@ -175,3 +175,57 @@ def docs_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+CHUNK_TOKENS = 32   # tokens per chunk
+CHUNK_STRIDE = 24   # 8-token overlap between consecutive chunks
+
+
+@register(
+    "docs_chunk_fixed_tokens",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(replace(text, chr(10), ' '), ' ') AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST((g.i - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(least({CHUNK_TOKENS}, len(w) - g.i + 1) AS BIGINT)
+                   AS n_tokens,
+               md5(array_to_string(
+                   w[g.i:g.i + {CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
+        FROM t, UNNEST(range(1, len(w) + 1, {CHUNK_STRIDE})) AS g(i)
+        WHERE len(w) >= 1
+    """,
+    tags=("text", "chunking"),
+)
+def docs_chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (32-token windows, stride
+    24) — how a pretraining/RAG pipeline splits long documents into
+    model-sized pieces while overlapping 8 tokens so no boundary context
+    is lost. Emits (doc_id, chunk_idx, n_tokens, chunk_hash); the final
+    partial chunk is kept (standard chunker behavior), and a doc shorter
+    than one window is a single chunk.
+
+    Same zero-shuffle shape as the span digests: per-row window
+    enumeration with transform(sequence(...)), md5 over concat_ws, one
+    explode — output is ~tokens/stride rows per doc, all computed where
+    the row lives. spread() parallelizes under-split scans."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.regexp_replace("text", "\n", " "), " ")
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(CHUNK_STRIDE))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            ((i - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.least(F.lit(CHUNK_TOKENS), F.size(w) - i + 1).cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(w, i, CHUNK_TOKENS))).alias("chunk_hash"),
+        ),
+    )
+    return (
+        spread(d)
+        .where(F.size(w) >= 1)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_hash")
+    )
