@@ -108,8 +108,9 @@ def corpus_bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFram
             SELECT w1, count(*) AS c_ctx FROM bg GROUP BY w1
         ),
         v AS (
-            SELECT count(DISTINCT u.term) AS vocab
-            FROM t, UNNEST(w) AS u(term)
+            SELECT count(*) AS vocab FROM (
+                SELECT w1 AS term FROM c12 UNION SELECT w2 FROM c12
+            )
         ),
         lm AS (
             SELECT c12.w1, c12.w2,
@@ -138,17 +139,28 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundreds of terms; fp spread is ~1e-13 relative)."""
     d = load_table(spark, sf_dir, "documents")
     bg = _doc_bigrams(d)
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    # The pair table feeds THREE consumers (context rollup, vocab count,
+    # scoring join) and is MODEL-sized — checkpoint it so the corpus-sized
+    # bigram aggregation underneath runs exactly once (the tiny-subtree
+    # localCheckpoint pattern, same as the simhash fingerprint table)
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .localCheckpoint(eager=False)
+    )
     # C(w1) = sum_w2 C(w1,w2): roll up the MODEL-sized pair table instead
     # of re-aggregating the corpus-sized bigram stream a second time
     c1 = c12.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
+    # model vocabulary = distinct words appearing in any bigram — derived
+    # from the MODEL-sized pair table (one tiny job), not a third corpus
+    # pass; tokens of bigram-less singleton docs are outside the model by
+    # definition (those docs are never scored)
     vocab = (
-        d.select(
-            F.explode(F.split(F.regexp_replace("text", "\n", " "), " ")).alias("term")
-        )
-        .agg(F.count_distinct("term"))
-        .collect()[0][0]
-    )  # one scalar job on the model side — never per-row driver work
+        c12.select(F.col("w1").alias("term"))
+        .union(c12.select(F.col("w2").alias("term")))
+        .distinct()
+        .count()
+    )
     lm = c12.join(c1, "w1").select(
         "w1",
         "w2",
@@ -178,8 +190,9 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT w1, sum(c_pair) AS c_ctx FROM c12 GROUP BY w1
         ),
         v AS (
-            SELECT count(DISTINCT u.term) AS vocab
-            FROM t, UNNEST(w) AS u(term)
+            SELECT count(*) AS vocab FROM (
+                SELECT w1 AS term FROM c12 UNION SELECT w2 FROM c12
+            )
         ),
         lm AS (
             SELECT c12.w1, c12.w2,

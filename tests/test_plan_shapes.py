@@ -363,16 +363,17 @@ def test_lm_score_broadcasts_model_and_two_extractions(spark):
     """The LM scoring join must broadcast the model side (never shuffle the
     corpus-sized bigram stream into a SortMergeJoin), and the bigram
     extraction must appear exactly twice — model build + scoring pass —
-    with C(w1) rolled up from the pair table, not a third corpus pass.
-    (Three explodes total: model build + scoring + the scalar vocabulary
-    count, which must scan all tokens — singleton docs have no bigrams
-    but do contribute vocabulary.)"""
+    with C(w1) rolled up from the pair table and the vocabulary derived
+    from the model's own word set. Exactly two corpus passes at runtime:
+    the checkpointed pair-table build and the scoring pass — only the
+    scoring extraction appears in the final plan (the model build runs
+    once behind the localCheckpoint), so exactly ONE Generate here."""
     df = QUERIES["docs_bigram_lm_score"].fn(spark, SF_ORACLE)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("Generate explode") == 3
+    assert plan.count("Generate explode") == 1
 
 
 def test_funnel_single_corpus_shuffle(spark):

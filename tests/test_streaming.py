@@ -390,11 +390,7 @@ def test_streaming_lm_scoring_matches_batch(spark, tmp_path):
     c1: dict = {}
     for (w1, _), c in c12.items():
         c1[w1] = c1.get(w1, 0) + c
-    vocab = (
-        d.select(F.explode(F.split(F.regexp_replace("text", "\n", " "), " ")).alias("t"))
-        .agg(F.count_distinct("t"))
-        .collect()[0][0]
-    )
+    vocab = len({w for pair in c12 for w in pair})  # model word set
     lm_logp = {
         pair: math.log((c + ADD_K) / (c1[pair[0]] + ADD_K * vocab))
         for pair, c in c12.items()
