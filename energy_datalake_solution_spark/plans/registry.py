@@ -171,6 +171,68 @@ SURFACE_ORDER: tuple[str, ...] = (
 )
 
 
+# ROUND-3 ROTATION (prepared, not yet active): after this round's gate run,
+# exactly these 23 registered queries will still lack a driver-side
+# CORRECTNESS row (everything else is green in r01 or sits inside this
+# round's 50-entry window). Next round, swap SURFACE_ORDER for
+# SURFACE_ORDER_NEXT — the 23 uncovered entries lead, followed by
+# high-value re-confirmations; the remainder carries prior green rows.
+SURFACE_ORDER_NEXT: tuple[str, ...] = (
+    # uncovered after round 2 (must lead)
+    "docs_duplicate_span_pairs",
+    "docs_duplicate_span_stats",
+    "docs_chunk_fixed_tokens",
+    "docs_multitier_dup_pairs",
+    "docs_bigram_lm_score",
+    "docs_lm_quality_buckets",
+    "corpus_bigram_merge_candidates",
+    "corpus_bpe_merges",
+    "corpus_vocabulary",
+    "docs_repetition_stats",
+    "docs_tfidf_top_terms",
+    "docs_stratified_sample",
+    "docs_domain_mix_weights",
+    "events_value_percentiles",
+    "events_value_histogram",
+    "events_funnel_view_click_purchase",
+    "events_weekly_cohort_retention",
+    "embeddings_semantic_dedup",
+    "multimodal_header_sniff",
+    "unpivot_nation_balances",
+    "profile_lineitem_numeric",
+    "full_outer_spend_activity_reconciliation",
+    "window_rolling_7day_customer_spend",
+    # re-confirmations (flagships + every tier, previously green)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
+    "top_customers_by_revenue",
+    "merge_upsert_orders",
+    "star_join_lineitem",
+    "docs_exact_dedup",
+    "docs_ngram_jaccard_pairs",
+    "docs_simhash_near_dups",
+    "docs_dedup_clusters",
+    "docs_training_corpus",
+    "embeddings_cosine_topk",
+    "embeddings_cosine_near_dups",
+    "events_asof_error_to_click",
+    "events_tumbling_hourly",
+    "events_sessionization",
+    "skew_salted_agg_event_types",
+    "skew_salted_join_event_enrich",
+    "fixtures_etl_curated",
+    "docs_token_stats",
+    "docs_lang_id",
+    "docs_quality_score",
+    "dedup_latest_order_per_customer",
+    "lateral_explode_tokens",
+    "conditional_agg_filter_clause",
+)
+
+
 def _ordered() -> dict[str, QuerySpec]:
     """Registry in surface order: SURFACE_ORDER first, the rest in
     registration order."""
