@@ -549,3 +549,63 @@ def window_rolling_7day_customer_spend(spark: SparkSession, sf_dir: str) -> Data
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("spend_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence
+# --------------------------------------------------------------------------
+@register(
+    "basket_part_pairs",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        )
+        SELECT part_a, part_b, n_orders,
+               CAST(row_number() OVER (
+                   ORDER BY n_orders DESC, part_a, part_b) AS BIGINT) AS rank
+        FROM pairs
+        QUALIFY rank <= 20
+    """,
+    tags=("basket", "join", "agg"),
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often bought in
+    the same order — the support-counting core of association-rule mining
+    (Apriori's first pass).
+
+    The self-join keys on l_orderkey, so per-key fan-out is
+    items-per-order squared (~4^2 here, bounded by basket size — the same
+    bounded-fan-out argument as the span DF_CAP; a pathological
+    mega-basket would need a basket-size cap, noted not needed on order
+    data). Pair support aggregates with map-side combine; the rank window
+    runs on the aggregated pair table only."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = W.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+    )
