@@ -172,10 +172,10 @@ SURFACE_ORDER: tuple[str, ...] = (
 
 
 # ROUND-3 ROTATION (prepared, not yet active): after this round's gate run,
-# exactly these 23 registered queries will still lack a driver-side
+# the queries listed first below will still lack a driver-side
 # CORRECTNESS row (everything else is green in r01 or sits inside this
 # round's 50-entry window). Next round, swap SURFACE_ORDER for
-# SURFACE_ORDER_NEXT — the 23 uncovered entries lead, followed by
+# SURFACE_ORDER_NEXT — the uncovered entries lead, followed by
 # high-value re-confirmations; the remainder carries prior green rows.
 SURFACE_ORDER_NEXT: tuple[str, ...] = (
     # uncovered after round 2 (must lead)
@@ -202,6 +202,7 @@ SURFACE_ORDER_NEXT: tuple[str, ...] = (
     "profile_lineitem_numeric",
     "full_outer_spend_activity_reconciliation",
     "window_rolling_7day_customer_spend",
+    "basket_part_pairs",
     # re-confirmations (flagships + every tier, previously green)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -229,7 +230,6 @@ SURFACE_ORDER_NEXT: tuple[str, ...] = (
     "docs_quality_score",
     "dedup_latest_order_per_customer",
     "lateral_explode_tokens",
-    "conditional_agg_filter_clause",
 )
 
 
