@@ -55,3 +55,18 @@ def test_contract_shape():
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 10
+
+
+def test_surface_orders_name_registered_queries():
+    """Every name in the gate-ordering tuples must be a registered query —
+    a rename that orphans an entry would silently shrink the driver's
+    checked window."""
+    from energy_datalake_solution_spark.plans.registry import (
+        SURFACE_ORDER,
+        SURFACE_ORDER_NEXT,
+    )
+
+    for name in SURFACE_ORDER + SURFACE_ORDER_NEXT:
+        assert name in QUERIES, name
+    assert len(set(SURFACE_ORDER)) == len(SURFACE_ORDER)
+    assert len(set(SURFACE_ORDER_NEXT)) == len(SURFACE_ORDER_NEXT)
