@@ -516,3 +516,65 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source quality dashboard
+# --------------------------------------------------------------------------
+def _source_dashboard_oracle() -> str:
+    from ..plans.registry import QUERIES
+
+    q = QUERIES["docs_quality_score"].oracle
+    l = QUERIES["docs_bigram_lm_score"].oracle
+    return f"""
+        WITH q AS ({q}), l AS ({l})
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(q.nonalpha_ratio), 6) AS avg_nonalpha_ratio,
+               round(avg(q.stopword_ratio), 6) AS avg_stopword_ratio,
+               round(avg(CASE WHEN q.quality_flag = 'keep'
+                              THEN 1.0 ELSE 0.0 END), 6) AS keep_share,
+               round(avg(l.avg_logp), 6) AS avg_lm_logp
+        FROM documents d
+        JOIN q ON d.doc_id = q.doc_id
+        LEFT JOIN l ON d.doc_id = l.doc_id
+        GROUP BY d.source
+    """
+
+
+@register(
+    "source_quality_dashboard",
+    oracle=_source_dashboard_oracle(),
+    tags=("text", "quality", "dashboard"),
+)
+def source_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-quality rollup — the dashboard a corpus curator
+    watches: document counts, heuristic quality ratios, keep share, and
+    mean LM log-likelihood per ingestion source.
+
+    Pure composition of REGISTERED operators (same plans, same oracle
+    texts nested), joined back to the source column and rolled up to one
+    row per source. Both joins key on doc_id (the quality join is 1:1,
+    the LM join left — short docs have no bigram score and avg() skips
+    their nulls in both engines); the final aggregate is source-sized."""
+    from ..operators.lm import docs_bigram_lm_score
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = docs_quality_score(spark, sf_dir).select(
+        "doc_id", "nonalpha_ratio", "stopword_ratio", "quality_flag"
+    )
+    l = docs_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logp")
+    return (
+        d.join(q, "doc_id")
+        .join(l, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nonalpha_ratio"), 6).alias("avg_nonalpha_ratio"),
+            F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+            F.round(
+                F.avg(F.when(F.col("quality_flag") == "keep", 1.0).otherwise(0.0)), 6
+            ).alias("keep_share"),
+            F.round(F.avg("avg_logp"), 6).alias("avg_lm_logp"),
+        )
+    )
