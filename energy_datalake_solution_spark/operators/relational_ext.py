@@ -609,3 +609,110 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 20)
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series growth + RFM segmentation
+# --------------------------------------------------------------------------
+@register(
+    "orders_monthly_growth",
+    oracle="""
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue, n_orders,
+               round(revenue - lag(revenue) OVER (ORDER BY month), 2)
+                   AS revenue_delta,
+               round((revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month), 6) AS mom_growth
+        FROM m
+    """,
+    tags=("window", "timeseries", "agg"),
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup + lag deltas — the
+    KPI time series every revenue dashboard leads with. The lag window is
+    UNPARTITIONED but its input is the month-level aggregate (tens of
+    rows), never the order stream; the month rollup itself partial-
+    aggregates map-side. Deltas on cent-valued sums round(2), the growth
+    ratio round(6)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - prev, 2).alias("revenue_delta"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey AS customer_id,
+                   max(o_orderdate)::DATE AS last_order_date,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT *,
+                   ntile(4) OVER (ORDER BY last_order_date DESC, customer_id) AS r,
+                   ntile(4) OVER (ORDER BY frequency DESC, customer_id) AS f,
+                   ntile(4) OVER (ORDER BY monetary DESC, customer_id) AS m
+            FROM rfm
+        )
+        SELECT customer_id, last_order_date, frequency, monetary,
+               r AS r_quartile, f AS f_quartile, m AS m_quartile,
+               r || '-' || f || '-' || m AS segment
+        FROM scored
+    """,
+    tags=("window", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quartiles per
+    customer (1 = best) and the combined segment label — the classic
+    marketing cut of a customer base.
+
+    One customer-keyed aggregation of the order stream, then three ntile
+    windows over the CUSTOMER-level table. The windows are unpartitioned
+    by construction (quartiles are global); their input is one row per
+    customer — at true scale the same cut comes from approx_percentile
+    boundaries, the documented tradeoff as docs_lm_quality_buckets.
+    Ties break on customer_id so both engines assign identical
+    quartiles."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r = F.ntile(4).over(W.orderBy(F.col("last_order_date").desc(), "customer_id"))
+    f = F.ntile(4).over(W.orderBy(F.col("frequency").desc(), "customer_id"))
+    m = F.ntile(4).over(W.orderBy(F.col("monetary").desc(), "customer_id"))
+    return rfm.select(
+        "customer_id",
+        "last_order_date",
+        "frequency",
+        "monetary",
+        r.alias("r_quartile"),
+        f.alias("f_quartile"),
+        m.alias("m_quartile"),
+        F.concat_ws("-", r, f, m).alias("segment"),
+    )

@@ -203,6 +203,7 @@ SURFACE_ORDER_NEXT: tuple[str, ...] = (
     "full_outer_spend_activity_reconciliation",
     "window_rolling_7day_customer_spend",
     "basket_part_pairs",
+    "source_quality_dashboard",
     # re-confirmations (flagships + every tier, previously green)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -229,7 +230,6 @@ SURFACE_ORDER_NEXT: tuple[str, ...] = (
     "docs_lang_id",
     "docs_quality_score",
     "dedup_latest_order_per_customer",
-    "lateral_explode_tokens",
 )
 
 
