@@ -186,3 +186,47 @@ def test_jaccard_ppjoin_filters_lossless(spark, tmp_path_factory, docs):
         for r in docs_ngram_jaccard_pairs(spark, str(d)).collect()
     }
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=1, max_size=90),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_chunking_covers_every_token_in_order(spark, tmp_path_factory, docs):
+    """For ANY corpus, the fixed-token chunker must emit exactly the stride
+    starts (ceil(n/stride) chunks per doc), with chunk_idx dense from 0,
+    sizes CHUNK_TOKENS except a shorter tail, and each chunk hashing the
+    md5 of exactly its token window — i.e. lossless, ordered coverage."""
+    import hashlib
+    import math
+
+    from energy_datalake_solution_spark.operators.spans import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        docs_chunk_fixed_tokens,
+    )
+
+    texts = [" ".join(words) for words in docs]
+    d = tmp_path_factory.mktemp("chunks")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {}
+    for r in docs_chunk_fixed_tokens(spark, str(d)).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = (r.n_tokens, r.chunk_hash)
+
+    for i, words in enumerate(docs):
+        n = len(words)
+        expected_chunks = math.ceil(n / CHUNK_STRIDE)
+        assert set(got[i]) == set(range(expected_chunks))
+        for k in range(expected_chunks):
+            start = k * CHUNK_STRIDE
+            window = words[start : start + CHUNK_TOKENS]
+            n_tok, h = got[i][k]
+            assert n_tok == len(window)
+            assert h == hashlib.md5(" ".join(window).encode()).hexdigest()
