@@ -368,11 +368,14 @@ def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataF
     )
     # earliest click strictly after the first view, then earliest purchase
     # strictly after that click — array filter over per-user sorted minima
-    t_click = F.element_at(
-        F.filter(F.col("clicks"), lambda t: t > F.col("t_view")), 1
+    # try_element_at: a user with a view but no qualifying click has an
+    # EMPTY filtered array — plain element_at throws under ANSI mode
+    # (caught by tests/test_properties.py::test_funnel_matches_reference)
+    t_click = F.try_element_at(
+        F.filter(F.col("clicks"), lambda t: t > F.col("t_view")), F.lit(1)
     )
-    t_purchase = F.element_at(
-        F.filter(F.col("purchases"), lambda t: t > F.col("t_click")), 1
+    t_purchase = F.try_element_at(
+        F.filter(F.col("purchases"), lambda t: t > F.col("t_click")), F.lit(1)
     )
     staged = (
         m.where(F.col("t_view").isNotNull())

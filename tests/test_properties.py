@@ -230,3 +230,67 @@ def test_chunking_covers_every_token_in_order(spark, tmp_path_factory, docs):
             n_tok, h = got[i][k]
             assert n_tok == len(window)
             assert h == hashlib.md5(" ".join(window).encode()).hexdigest()
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),                      # user
+            st.sampled_from(["view", "click", "purchase", "error"]),    # type
+            st.integers(min_value=0, max_value=20),                     # ts (sec)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**SETTINGS)
+def test_funnel_matches_reference_on_any_event_set(spark, tmp_path_factory, events):
+    """Ordered-funnel semantics on ANY event set: a user converts to a
+    stage only via the canonical chain — earliest view, then earliest
+    click strictly after it, then earliest purchase strictly after that
+    click. Duplicates, same-timestamp events, and out-of-order arrival
+    must all resolve identically to the plain-Python reference."""
+    import datetime
+
+    from energy_datalake_solution_spark.operators.events import (
+        events_funnel_view_click_purchase,
+    )
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=ts), u, et, 1.0, "{}")
+        for i, (u, et, ts) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("funnel")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    # reference: strict-after chain on earliest stage timestamps
+    per_user: dict = {}
+    for u, et, ts in events:
+        per_user.setdefault(u, []).append((et, ts))
+    n_view = n_click = n_purchase = 0
+    for u, evs in per_user.items():
+        views = sorted(ts for et, ts in evs if et == "view")
+        if not views:
+            continue
+        n_view += 1
+        clicks = sorted(ts for et, ts in evs if et == "click" and ts > views[0])
+        if not clicks:
+            continue
+        n_click += 1
+        if any(et == "purchase" and ts > clicks[0] for et, ts in evs):
+            n_purchase += 1
+
+    got = {
+        r.stage: r.n_users
+        for r in events_funnel_view_click_purchase(spark, str(d)).collect()
+    }
+    assert got == {
+        "view": n_view,
+        "view>click": n_click,
+        "view>click>purchase": n_purchase,
+    }
