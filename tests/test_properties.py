@@ -294,3 +294,57 @@ def test_funnel_matches_reference_on_any_event_set(spark, tmp_path_factory, even
         "view>click": n_click,
         "view>click>purchase": n_purchase,
     }
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # user
+            st.integers(min_value=0, max_value=40),    # day offset
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_cohort_retention_matches_reference(spark, tmp_path_factory, events):
+    """Weekly cohort retention on ANY event set must equal the reference:
+    users bucketed by ISO-week of first event, counted once per distinct
+    active week at the exact week offset."""
+    import datetime
+
+    from energy_datalake_solution_spark.operators.events import (
+        events_weekly_cohort_retention,
+    )
+
+    base = datetime.datetime(2025, 1, 6)  # a Monday, so weeks are clean
+    rows = [
+        (i, base + datetime.timedelta(days=day), u, "view", 1.0, "{}")
+        for i, (u, day) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("cohort")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    def week_start(day: int) -> datetime.date:
+        dt = (base + datetime.timedelta(days=day)).date()
+        return dt - datetime.timedelta(days=dt.weekday())
+
+    expected: dict = {}
+    per_user: dict = {}
+    for u, day in events:
+        per_user.setdefault(u, []).append(day)
+    for u, days in per_user.items():
+        cohort = week_start(min(days))
+        for wk in {week_start(dd) for dd in days}:
+            off = (wk - cohort).days // 7
+            expected[(cohort, off)] = expected.get((cohort, off), 0) + 1
+
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in events_weekly_cohort_retention(spark, str(d)).collect()
+    }
+    assert got == expected
