@@ -50,6 +50,16 @@ def main() -> None:
 
     # Warm the JVM/codegen path once with a trivial job.
     spark.range(1000).count()
+    # Warm the IO layer too: file listing, parquet footer reads, and the
+    # localCheckpoint machinery — otherwise whichever query happens to run
+    # FIRST absorbs several seconds of session warmup and its number stops
+    # measuring the query (observed: the alphabetically-first headliner
+    # swinging 3s -> 9s run-to-run purely from cold-session costs).
+    from energy_datalake_solution_spark.sources.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+    spark.range(1000).localCheckpoint(eager=True).count()
 
     timings: dict[str, float] = {}
     for name in names:
