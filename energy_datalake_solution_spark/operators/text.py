@@ -129,10 +129,11 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id, n_chars, n_tokens,
-               n_nonalpha * 1.0 / n_chars AS nonalpha_ratio,
+               n_nonalpha * 1.0 / nullif(n_chars, 0) AS nonalpha_ratio,
                n_stop * 1.0 / n_tokens AS stopword_ratio,
                (n_chars - n_tokens + 1) * 1.0 / n_tokens AS avg_token_len,
-               CASE WHEN n_tokens >= 10 AND n_nonalpha * 1.0 / n_chars < 0.3
+               CASE WHEN n_tokens >= 10
+                         AND n_nonalpha * 1.0 / nullif(n_chars, 0) < 0.3
                     THEN 'keep' ELSE 'drop' END AS quality_flag
         FROM t
     """,
@@ -163,13 +164,16 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         "n_tokens",
-        (F.col("n_nonalpha") * 1.0 / F.col("n_chars")).alias("nonalpha_ratio"),
+        # try_divide: an EMPTY document has n_chars = 0 — plain division
+        # throws under ANSI mode; NULL ratio -> quality_flag 'drop'
+        F.try_divide(F.col("n_nonalpha") * 1.0, F.col("n_chars")).alias("nonalpha_ratio"),
         (F.col("n_stop") * 1.0 / F.col("n_tokens")).alias("stopword_ratio"),
         ((F.col("n_chars") - F.col("n_tokens") + 1) * 1.0 / F.col("n_tokens")).alias(
             "avg_token_len"
         ),
         F.when(
-            (F.col("n_tokens") >= 10) & (F.col("n_nonalpha") * 1.0 / F.col("n_chars") < 0.3),
+            (F.col("n_tokens") >= 10)
+            & (F.try_divide(F.col("n_nonalpha") * 1.0, F.col("n_chars")) < 0.3),
             "keep",
         )
         .otherwise("drop")
@@ -521,6 +525,9 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Per-source quality dashboard
 # --------------------------------------------------------------------------
+from . import lm as _lm  # noqa: E402  (dashboard oracle nests the LM oracle)
+
+
 def _source_dashboard_oracle() -> str:
     from ..plans.registry import QUERIES
 

@@ -74,3 +74,15 @@ def test_spread_rebalances_only_undersplit_inputs(spark):
     assert spread(skinny).rdd.getNumPartitions() == target
     wide = spark.range(1000).repartition(target + 4)
     assert spread(wide) is wide  # no-op: already parallel enough
+
+
+def test_quality_score_handles_empty_document(spark, tmp_path):
+    """An empty text row must yield NULL ratios and 'drop' — not an ANSI
+    DIVIDE_BY_ZERO crash (n_chars = 0)."""
+    from energy_datalake_solution_spark.operators.text import docs_quality_score
+
+    sf_dir = _write_docs(spark, tmp_path, [(1, ""), (2, WORDS + " " + WORDS)])
+    rows = {r.doc_id: r for r in docs_quality_score(spark, sf_dir).collect()}
+    assert rows[1].nonalpha_ratio is None
+    assert rows[1].quality_flag == "drop"
+    assert rows[2].quality_flag == "keep"
