@@ -28,4 +28,8 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO crash) when
+    either vector has zero norm — matching the oracle engine, whose plain
+    division also yields NULL, so zero/missing embeddings drop out of
+    threshold filters identically on both sides."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))

@@ -96,6 +96,21 @@ def embeddings_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _distinct_directions(e: DataFrame) -> int:
+    """Exact-by-hash count of distinct unit directions (round(9) kills fp
+    jitter). MLlib's blocked KMeans aggregator crashes when k exceeds the
+    number of distinct points, which a degenerate corpus (all vectors
+    colinear) can trigger — the fit's k is capped by this count. One cheap
+    8-byte-hash aggregation; no vector shuffle."""
+    norm = l2_norm(F.col("embedding"))
+    unit = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") / norm, 9)
+    )
+    return e.select(F.xxhash64(unit).alias("h")).agg(
+        F.count_distinct("h")
+    ).collect()[0][0]
+
+
 @register("embeddings_lsh_ann", oracle=None, tags=("similarity", "approx"))
 def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane (sign) LSH — the scale path.
@@ -205,7 +220,12 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.ml.feature import Normalizer
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # zero-norm vectors have no direction: they can never score above a
+    # cosine threshold (cosine is NULL) and MLlib's blocked KMeans
+    # aggregator rejects them after normalization — exclude up front
+    e = load_table(spark, sf_dir, "embeddings").where(
+        l2_norm(F.col("embedding")) > 0
+    )
     # spherical k-means: cluster UNIT vectors, so cells partition by
     # direction (what cosine cares about), not by vector norm — unnormalized
     # KMeans groups by magnitude and wrecks recall. Normalizer runs
@@ -218,17 +238,24 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_vec = Normalizer(inputCol="_raw", outputCol="features", p=2.0).transform(raw).drop("_raw")
     # maxIter=10: on this corpus Lloyd's has long converged by 10 (assignments
     # stable); halves the fit's job count, recall floor unchanged (pinned test)
-    km = KMeans(k=8, seed=42, maxIter=10, featuresCol="features", predictionCol="centroid_id")
-    fit_input = with_vec.where(F.col("vec_id") >= N_QUERIES).select("features").persist()
-    try:
-        model = km.fit(fit_input)
-    finally:
-        fit_input.unpersist()
-    assigned = model.transform(with_vec).drop("features")
-
-    centroids = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
-    ]
+    # count on the FIT subset (candidates only) — the query vectors may
+    # add directions the fit never sees; MLlib needs k >= 2, so a
+    # degenerate corpus (one distinct direction) skips the fit: one cell
+    k_eff = min(8, _distinct_directions(e.where(F.col("vec_id") >= N_QUERIES)))
+    if k_eff < 2:
+        assigned = with_vec.drop("features").withColumn("centroid_id", F.lit(0))
+        centroids = [(0, [0.0] * 64)]
+    else:
+        km = KMeans(k=k_eff, seed=42, maxIter=10, featuresCol="features", predictionCol="centroid_id")
+        fit_input = with_vec.where(F.col("vec_id") >= N_QUERIES).select("features").persist()
+        try:
+            model = km.fit(fit_input)
+        finally:
+            fit_input.unpersist()
+        assigned = model.transform(with_vec).drop("features")
+        centroids = [
+            (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+        ]
     cdf = spark.createDataFrame(centroids, ["centroid_id", "centroid"]).select(
         "centroid_id", F.col("centroid").cast("array<double>").alias("centroid")
     )
@@ -434,19 +461,26 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # direction-less (zero-norm) vectors can't be semantic duplicates and
+    # break spherical KMeans — excluded, same rule as the IVF operator
+    e = load_table(spark, sf_dir, "embeddings").where(
+        l2_norm(F.col("embedding")) > 0
+    )
     raw = e.select("vec_id", "embedding", array_to_vector(F.col("embedding")).alias("_raw"))
     with_vec = Normalizer(inputCol="_raw", outputCol="features", p=2.0).transform(raw).drop("_raw")
-    km = KMeans(k=K, seed=42, maxIter=10, featuresCol="features", predictionCol="cluster_id")
-    fit_input = with_vec.select("features").persist()
-    try:
-        model = km.fit(fit_input)
-    finally:
-        fit_input.unpersist()
-
-    centroids = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
-    ]
+    k_eff = min(K, _distinct_directions(e))
+    if k_eff < 2:  # MLlib needs k >= 2; one direction -> one cell
+        centroids = [(0, [0.0] * 64)]
+    else:
+        km = KMeans(k=k_eff, seed=42, maxIter=10, featuresCol="features", predictionCol="cluster_id")
+        fit_input = with_vec.select("features").persist()
+        try:
+            model = km.fit(fit_input)
+        finally:
+            fit_input.unpersist()
+        centroids = [
+            (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+        ]
     cdf = spark.createDataFrame(centroids, ["cell_id", "centroid"]).select(
         "cell_id", F.col("centroid").cast("array<double>").alias("centroid")
     )

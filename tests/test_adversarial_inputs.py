@@ -1,0 +1,87 @@
+"""Adversarial-input smoke sweep: every documents/events/embeddings-family
+query must EXECUTE (not necessarily return rows) on degenerate data.
+
+The sf* test tables are benign — every doc is non-empty, every user
+converts, every vector has positive norm — so ANSI-mode traps (strict
+element_at on empty arrays, DIVIDE_BY_ZERO, descending sequence()) slip
+through the oracle gate. This sweep already caught three real crashes:
+the funnel on non-converting users, quality-score on empty documents, and
+cosine on zero-norm vectors. Keep it running over the whole family so new
+operators inherit the check.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from energy_datalake_solution_spark.plans.registry import QUERIES, get_queries
+
+get_queries()
+
+# Families whose inputs this fixture makes adversarial. Relational/TPC-H
+# queries read orders/lineitem and are exercised on real data elsewhere.
+FAMILY_TAGS = {
+    "text", "dedup", "quality", "lm", "tokenizer", "chunking",
+    "similarity", "events", "funnel", "cohort", "histogram", "corpus",
+}
+SKIP = {
+    # composed ETL / merge paths need their own fixtures, covered elsewhere
+    "fixtures_etl_curated",
+    "merge_upsert_orders",
+    # reads the orders table, which this fixture does not make adversarial
+    "dedup_latest_order_per_customer",
+}
+FAMILY = sorted(
+    n
+    for n, s in QUERIES.items()
+    if set(s.tags) & FAMILY_TAGS and n not in SKIP
+)
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("nasty")
+    docs = [
+        (1, "", "en", "src0", 0),                     # empty text
+        (2, "one", "es", "src0", 3),                  # single token
+        (3, "\n\n", "fr", "src1", 2),                 # newlines only
+        (4, "!!! ??? !!!", "de", "src1", 11),         # punctuation only
+        (5, " ".join(["dup"] * 40), "en", "src2", 159),  # one repeated word
+        (6, " ".join(["dup"] * 40), "en", "src2", 159),  # exact duplicate
+        (7, "a b c d e f g h i j", "en", "src3", 19),  # normal short doc
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    base = datetime.datetime(2025, 1, 6)
+    events = [
+        (1, base, 0, "view", 1.0, "{}"),               # lone user, one event
+        (2, base, 1, "purchase", 0.0, "{}"),           # purchase w/o view
+        (3, base, 2, "click", 5.0, "{}"),
+        (4, base, 2, "click", 5.0, "{}"),              # exact-duplicate events
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+
+    vecs = [
+        (0, [0.0] * 64, 0),                            # zero vector (query side)
+        (1, [1.0] + [0.0] * 63, 0),
+        (2, [1.0] + [0.0] * 63, 1),                    # exact duplicate of 1
+        *[(i, [float(i)] * 64, i % 3) for i in range(3, 40)],
+    ]
+    spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")\
+        .selectExpr("vec_id", "cast(embedding as array<float>) embedding", "label")\
+        .write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", FAMILY)
+def test_query_survives_adversarial_inputs(spark, nasty_dir, name):
+    df = QUERIES[name].fn(spark, nasty_dir)
+    assert df.count() >= 0  # executes without ANSI crashes
