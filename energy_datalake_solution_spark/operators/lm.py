@@ -325,3 +325,61 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, merged string, pair_count long"
     )
+
+
+@register(
+    "docs_lm_score_pandas_kernel",
+    oracle=f"""
+        WITH {_ORACLE_BIGRAMS},
+        c12 AS (
+            SELECT w1, w2, count(*) AS c_pair FROM bg GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT w1, sum(c_pair) AS c_ctx FROM c12 GROUP BY w1
+        ),
+        v AS (
+            SELECT count(*) AS vocab FROM (
+                SELECT w1 AS term FROM c12 UNION SELECT w2 FROM c12
+            )
+        ),
+        lm AS (
+            SELECT c12.w1, c12.w2,
+                   ln((c_pair + {ADD_K}) / (c_ctx + {ADD_K} * vocab)) AS logp
+            FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+        )
+        SELECT bg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lm.logp), 6) AS avg_logp
+        FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+        GROUP BY bg.doc_id
+    """,
+    tags=("text", "quality", "lm", "pandas-kernel"),
+)
+def docs_lm_score_pandas_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as ``docs_bigram_lm_score`` computed through the
+    Arrow-batched Pandas scoring kernel shared with the STREAMING scorer
+    (streaming/pipeline.py::score_stream_with_lm) — model dict in the task
+    closure, per-row Python scoring, no per-token shuffle. Registered with
+    the same oracle so the Python kernel path earns its own driver-gate
+    row; the JVM expression path (docs_bigram_lm_score) is the production
+    default, this is the extension point for model formats SQL can't
+    express (KenLM binaries, learned quality classifiers)."""
+    import math
+
+    from ..streaming.pipeline import score_stream_with_lm
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = _doc_bigrams(d)
+    c12_rows = (
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair")).collect()
+    )  # MODEL-sized driver pull — same size class as a broadcast build
+    c1: dict = {}
+    for r in c12_rows:
+        c1[r.w1] = c1.get(r.w1, 0) + r.c_pair
+    vocab = len({w for r in c12_rows for w in (r.w1, r.w2)})
+    lm_logp = {
+        (r.w1, r.w2): math.log((r.c_pair + ADD_K) / (c1[r.w1] + ADD_K * vocab))
+        for r in c12_rows
+    }
+    # score_stream_with_lm is stream-agnostic: mapInPandas works on batch too
+    return score_stream_with_lm(d.select("doc_id", "text"), lm_logp, vocab)
