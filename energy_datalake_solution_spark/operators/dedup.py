@@ -111,8 +111,10 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~20-char strings) -> distinct -> document-frequency cap (skew + quality
     guard) -> per-doc shingle arrays sorted rarest-first by global df ->
     PREFIX FILTER: for self-join threshold t, two sets with J >= t MUST
-    share a token within their first |x| - ceil(2t/(1+t)|x|) + 1 tokens
-    under a common global order (first ~1/3 at t=0.5), so the inverted
+    share a token within their first |x| - ceil(t*|x|) + 1 tokens (the
+    symmetric mid-prefix; the shorter 2t/(1+t) indexing prefix is only
+    valid on ONE side of an asymmetric index/probe split)
+    under a common global order (first ~1/2 at t=0.5), so the inverted
     index is built over prefixes only — the hot tail of frequent shingles
     never generates candidates, which is exactly what explodes at corpus
     scale. Candidates (bare 16-byte pair keys) then verify exactly with
@@ -161,7 +163,15 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = JACCARD_THRESHOLD
-    plen = (F.size("shs") - F.ceil(F.size("shs") * (2 * t / (1 + t))) + 1).cast("int")
+    # SYMMETRIC self-join needs the MID-prefix |x| - ceil(t*|x|) + 1 on both
+    # sides. The shorter indexing prefix |x| - ceil(2t/(1+t)*|x|) + 1 is only
+    # safe asymmetrically (index side short, probe side mid); using it on both
+    # sides is lossy — falsified by the hypothesis property test with
+    # ("a a a", "a a a b"), J = 0.5 exactly at threshold. Mid-prefix is
+    # provably lossless given the length filter |y| >= t*|x| applied below:
+    # if the pair shares no token in either mid-prefix, the overlap is at
+    # most min(na, nb) - (prefix-misses) < t/(1+t)*(na+nb), a contradiction.
+    plen = (F.size("shs") - F.ceil(F.size("shs") * t) + 1).cast("int")
     # carry (position in the global order, set size) through the inverted
     # index: PPJoin's positional filter. For a shared prefix token at
     # 0-based positions (ia, ib), the overlap can't exceed

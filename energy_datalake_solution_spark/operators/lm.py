@@ -15,12 +15,19 @@ Scale shape:
   * bigram extraction is a per-row higher-order transform (zero shuffle)
     followed by one explode;
   * C(w1,w2) and C(w1) are partial-aggregated groupBys — the token stream
-    collapses map-side to model-sized state (vocab is O(corpus^0.5) by
-    Heaps' law, bigram table bounded by vocab^2 and in practice far
-    smaller);
-  * scoring joins the corpus-sized bigram stream to the MODEL-sized
-    probability table — a broadcast hash join, so the scoring pass is one
-    scan with no shuffle besides the final per-doc rollup.
+    collapses map-side to aggregate state far smaller than the corpus.
+    VOCAB is O(corpus^beta), beta~0.5 by Heaps' law, but bigram TYPES do
+    NOT enjoy the same bound — distinct pairs grow near-linearly in corpus
+    size for web text, so at 100 TB the pair table is billions of rows and
+    past any broadcast/driver limit;
+  * scoring therefore joins the corpus-sized bigram stream to the
+    probability table with a SIZE-GUARDED strategy: broadcast hash join
+    while the model fits (<= MAX_BROADCAST_LM_ROWS pairs, counted on the
+    already-checkpointed pair table — one cheap metadata-ish job), else a
+    shuffle hash join on (w1, w2), which is the correct plan for a
+    model table too big to ship to every executor. The Pandas-kernel and
+    streaming paths, which materialize the model as a Python dict, REFUSE
+    above the same threshold rather than silently OOM the driver.
 """
 
 from __future__ import annotations
@@ -32,6 +39,13 @@ from ..plans.registry import register
 from ..sources.catalog import load_table, spread
 
 ADD_K = 0.1  # add-k smoothing mass
+
+# Guard for every path that treats the bigram model as "small": broadcast
+# scoring join, driver-side dict for the Pandas kernel, streaming closure.
+# 20M pairs x ~40 B/row ~ 800 MB serialized — the practical ceiling for a
+# broadcast table / driver pull on a mid-sized driver. Above it the JVM
+# path degrades gracefully to a shuffle hash join; the dict paths raise.
+MAX_BROADCAST_LM_ROWS = 20_000_000
 
 
 def _doc_bigrams(d: DataFrame) -> DataFrame:
@@ -132,11 +146,15 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     token sequences = boilerplate/garble candidates).
 
     P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k*V). The LM (pair counts joined
-    to context counts, vocab scalar folded in) is model-sized and
-    BROADCAST to the scoring join; every in-corpus bigram has c_pair >= 1
-    by construction, so the inner scoring join is lossless. avg() of
-    float64 logs is order-insensitive at round(6) (per-doc sums are
-    hundreds of terms; fp spread is ~1e-13 relative)."""
+    to context counts, vocab scalar folded in) is BROADCAST to the scoring
+    join while it fits (<= MAX_BROADCAST_LM_ROWS distinct pairs — checked
+    with a count on the checkpointed pair table, NOT assumed: bigram types
+    grow near-linearly in corpus size, unlike Heaps-bounded vocab), else
+    the scoring join falls back to a shuffle hash join on (w1, w2) — same
+    results, one extra shuffle of the bigram stream. Every in-corpus
+    bigram has c_pair >= 1 by construction, so the inner scoring join is
+    lossless. avg() of float64 logs is order-insensitive at round(6)
+    (per-doc sums are hundreds of terms; fp spread is ~1e-13 relative)."""
     d = load_table(spark, sf_dir, "documents")
     bg = _doc_bigrams(d)
     # The pair table feeds THREE consumers (context rollup, vocab count,
@@ -152,9 +170,9 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of re-aggregating the corpus-sized bigram stream a second time
     c1 = c12.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
     # model vocabulary = distinct words appearing in any bigram — derived
-    # from the MODEL-sized pair table (one tiny job), not a third corpus
-    # pass; tokens of bigram-less singleton docs are outside the model by
-    # definition (those docs are never scored)
+    # from the pair table (one small job), not a third corpus pass; tokens
+    # of bigram-less singleton docs are outside the model by definition
+    # (those docs are never scored)
     vocab = (
         c12.select(F.col("w1").alias("term"))
         .union(c12.select(F.col("w2").alias("term")))
@@ -169,8 +187,16 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("c_ctx") + F.lit(ADD_K) * F.lit(float(vocab)))
         ).alias("logp"),
     )
+    # Broadcast only if the model actually fits (counted, not assumed —
+    # the pair table is already checkpointed, so this count reuses it).
+    # Oversized model => shuffle hash join: the bigram stream shuffles on
+    # (w1, w2) instead of shipping the model everywhere. Identical rows.
+    if c12.count() <= MAX_BROADCAST_LM_ROWS:
+        lm = F.broadcast(lm)
+    else:
+        lm = lm.hint("shuffle_hash")
     return (
-        bg.join(F.broadcast(lm), ["w1", "w2"])
+        bg.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -363,16 +389,30 @@ def docs_lm_score_pandas_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same oracle so the Python kernel path earns its own driver-gate
     row; the JVM expression path (docs_bigram_lm_score) is the production
     default, this is the extension point for model formats SQL can't
-    express (KenLM binaries, learned quality classifiers)."""
+    express (KenLM binaries, learned quality classifiers).
+
+    The driver-side model pull is CAPPED at MAX_BROADCAST_LM_ROWS: above
+    it the dict would OOM the driver, so this path refuses with a clear
+    error pointing at the shuffle-join path instead of failing opaquely."""
     import math
 
     from ..streaming.pipeline import score_stream_with_lm
 
     d = load_table(spark, sf_dir, "documents")
     bg = _doc_bigrams(d)
-    c12_rows = (
-        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair")).collect()
-    )  # MODEL-sized driver pull — same size class as a broadcast build
+    c12_df = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .localCheckpoint(eager=False)
+    )
+    n_pairs = c12_df.count()
+    if n_pairs > MAX_BROADCAST_LM_ROWS:
+        raise ValueError(
+            f"bigram model has {n_pairs} pairs > MAX_BROADCAST_LM_ROWS="
+            f"{MAX_BROADCAST_LM_ROWS}; a driver-side model dict would OOM. "
+            "Use docs_bigram_lm_score (shuffle-join fallback) at this scale."
+        )
+    c12_rows = c12_df.collect()  # counted-capped driver pull (<= guard rows)
     c1: dict = {}
     for r in c12_rows:
         c1[r.w1] = c1.get(r.w1, 0) + r.c_pair

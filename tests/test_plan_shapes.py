@@ -376,6 +376,38 @@ def test_lm_score_broadcasts_model_and_two_extractions(spark):
     assert plan.count("Generate explode") == 1
 
 
+def test_lm_score_shuffle_fallback_when_model_too_big(spark, monkeypatch):
+    """With the broadcast guard tripped (threshold forced to 0, simulating
+    a 100 TB-corpus pair table past broadcast limits), the scoring join
+    must fall back to a shuffle hash join — never a broadcast, never a
+    silent driver pull — and produce EXACTLY the broadcast path's rows.
+    The Pandas-kernel path must refuse with a clear error instead of
+    collecting an oversized model to the driver."""
+    import pytest
+
+    from energy_datalake_solution_spark.operators import lm
+
+    expected = sorted(
+        map(tuple, QUERIES["docs_bigram_lm_score"].fn(spark, SF_ORACLE).collect())
+    )
+    monkeypatch.setattr(lm, "MAX_BROADCAST_LM_ROWS", 0)
+    df = QUERIES["docs_bigram_lm_score"].fn(spark, SF_ORACLE)
+    rows = sorted(map(tuple, df.collect()))
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # The guard governs the two-key SCORING join (bigram stream x model,
+    # keys w1 AND w2) — that one must be a ShuffledHashJoin, never a
+    # broadcast. The single-key model-BUILD join (c12 x c1 on w1) may
+    # still broadcast: AQE sizes it at runtime, which is the point.
+    import re
+
+    assert not re.search(r"BroadcastHashJoin \[w1#\d+, w2#\d+\]", plan), plan
+    assert re.search(r"ShuffledHashJoin \[w1#\d+, w2#\d+\]", plan), plan
+    assert rows == expected
+
+    with pytest.raises(ValueError, match="MAX_BROADCAST_LM_ROWS"):
+        QUERIES["docs_lm_score_pandas_kernel"].fn(spark, SF_ORACLE)
+
+
 def test_funnel_single_corpus_shuffle(spark):
     """The funnel must resolve all three stages in ONE user_id shuffle of
     the event stream (windowFunnel shape); only the final stage-count

@@ -57,16 +57,89 @@ def test_contract_shape():
     assert len(qs) >= 10
 
 
+# Queries with a driver-side CORRECTNESS row from rounds 1 or 2 (frozen
+# union of CORRECTNESS_r01.json + CORRECTNESS_r02.json). Any registered
+# query NOT in this set has never been driver-checked and MUST sit inside
+# the active gate window's first 50 entries — otherwise it can stay
+# unverified forever (exactly the hole three round-2 late additions fell
+# through). When a new round's CORRECTNESS file lands, fold its names in.
+DRIVER_GREEN_R1_R2 = frozenset({
+    "anti_join_parts_never_shipped", "approx_distinct_parts",
+    "audit_enrichment", "conditional_agg_filter_clause",
+    "correlated_subquery_above_avg_size", "count_customers",
+    "cube_order_counts", "customer_category", "date_function_suite",
+    "dedup_latest_order_per_customer", "derived_line_revenue",
+    "distinct_counts", "docs_bpe_token_counts", "docs_dedup_clusters",
+    "docs_deterministic_split", "docs_exact_dedup", "docs_fingerprint",
+    "docs_lang_id", "docs_minhash_lsh_pairs", "docs_ngram_jaccard_pairs",
+    "docs_pack_sequences", "docs_quality_score", "docs_simhash",
+    "docs_simhash_near_dups", "docs_split_contamination",
+    "docs_token_stats", "docs_training_corpus",
+    "docs_winnowed_fingerprints", "embeddings_cosine_near_dups",
+    "embeddings_cosine_topk", "embeddings_ivf_ann", "embeddings_lsh_ann",
+    "embeddings_norm_stats", "events_asof_error_to_click",
+    "events_daily_user_activity", "events_json_props",
+    "events_range_join_error_click_pairs", "events_sessionization",
+    "events_sliding_30m", "events_tumbling_hourly",
+    "events_value_outliers", "fixtures_etl_curated",
+    "grouping_sets_revenue", "hashed_customer_id",
+    "lateral_explode_tokens", "left_join_customer_order_counts",
+    "merge_upsert_orders", "multimodal_frame_counts",
+    "multimodal_payload_stats", "multimodal_resize_stats", "null_filter",
+    "pivot_quantity_by_status", "rollup_revenue",
+    "scalar_subquery_max_order", "semi_join_customers_with_orders",
+    "setop_segments", "skew_salted_agg_event_types",
+    "skew_salted_join_event_enrich", "star_join_lineitem",
+    "stats_quantity_by_flag", "string_function_suite",
+    "suppliers_per_nation", "top_customers_by_revenue",
+    "tpch_q10_returned_items", "tpch_q12_priority_classes",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q1_pricing_summary",
+    "tpch_q20_heavy_red_part_suppliers", "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "typed_projection", "window_order_gap_days",
+    "window_running_customer_spend", "window_top3_orders_per_customer",
+})
+
+GATE_WINDOW = 50  # the driver's correctness gate samples this many entries
+
+
 def test_surface_orders_name_registered_queries():
     """Every name in the gate-ordering tuples must be a registered query —
     a rename that orphans an entry would silently shrink the driver's
     checked window."""
     from energy_datalake_solution_spark.plans.registry import (
         SURFACE_ORDER,
-        SURFACE_ORDER_NEXT,
+        SURFACE_ORDER_R4,
     )
 
-    for name in SURFACE_ORDER + SURFACE_ORDER_NEXT:
+    for name in SURFACE_ORDER + SURFACE_ORDER_R4:
         assert name in QUERIES, name
     assert len(set(SURFACE_ORDER)) == len(SURFACE_ORDER)
-    assert len(set(SURFACE_ORDER_NEXT)) == len(SURFACE_ORDER_NEXT)
+    assert len(set(SURFACE_ORDER_R4)) == len(SURFACE_ORDER_R4)
+
+
+def test_never_checked_queries_sit_inside_gate_window():
+    """Every registered query WITHOUT a prior-round driver row must appear
+    in the first GATE_WINDOW entries of the ACTIVE surface order. This is
+    the guard the round-2 verdict asked for: registering a new query
+    outside the window now fails CI instead of silently deferring its
+    verification to a future rotation."""
+    from energy_datalake_solution_spark.plans.registry import SURFACE_ORDER
+
+    window = set(SURFACE_ORDER[:GATE_WINDOW])
+    never_checked = set(QUERIES) - DRIVER_GREEN_R1_R2
+    outside = sorted(never_checked - window)
+    assert not outside, (
+        f"{len(outside)} never-driver-checked queries sit outside the "
+        f"first {GATE_WINDOW} entries of SURFACE_ORDER: {outside}. "
+        "Add them to the window prefix (or fold a new CORRECTNESS round "
+        "into DRIVER_GREEN_R1_R2)."
+    )
+
+    green_frozen_but_unregistered = sorted(DRIVER_GREEN_R1_R2 - set(QUERIES))
+    assert not green_frozen_but_unregistered, green_frozen_but_unregistered
