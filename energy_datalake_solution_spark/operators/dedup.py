@@ -367,10 +367,18 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a band is what makes this scale: a candidate bucket requires TWO
     minhash agreements, so hot buckets collapse and the bucket join stays
     near-linear at 100 TB. Candidates dedup on the bare (doc_a, doc_b) key
-    (16 bytes — never haul the signature arrays through a shuffle); the
-    signatures rejoin afterwards for the matching-slots/16 estimate.
-    Recall < 1 by design -> rows-only check; the exact counterpart
-    (docs_ngram_jaccard_pairs) bounds the result from above.
+    (16 bytes — never haul the signature arrays through a shuffle).
+
+    Candidates are then VERIFIED EXACTLY: the pair rejoins the hashed
+    shingle sets and the TRUE Jaccard (array_intersect over the distinct
+    shingle-hash sets — identical to string-set Jaccard modulo negligible
+    xxhash64 collisions) gates the output, with the signature-based
+    matching-slots/16 estimate carried alongside for diagnostics. So ONLY
+    candidate generation is approximate (recall < 1 by design -> rows-only
+    driver check); emitted pairs and their jaccard values are exact — zero
+    false positives, pinned by the brute-force equivalence test in
+    tests/test_ann_recall.py::test_minhash_verify_stage_exact. The exact
+    counterpart (docs_ngram_jaccard_pairs) bounds the result from above.
     """
     N_HASH, N_BANDS = 16, 8  # r = 2
     d = load_table(spark, sf_dir, "documents")
@@ -387,11 +395,13 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
-    # 16 minhashes in ONE groupBy pass over the exploded shingles
+    # 16 minhashes AND the distinct shingle-hash set (for the exact verify
+    # stage) in ONE groupBy pass over the exploded shingles
     mh = shingle.groupBy("doc_id").agg(
         F.array(
             *[F.min(F.xxhash64(F.lit(s), F.col("sh"))) for s in range(N_HASH)]
-        ).alias("mh")
+        ).alias("mh"),
+        F.collect_set("sh").alias("shs"),
     )
     band = F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band")
     banded = mh.select("doc_id", band, "mh").select(
@@ -408,8 +418,12 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    mh_a = mh.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
-    mh_b = mh.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
+    mh_a = mh.select(
+        F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"), F.col("shs").alias("shs_a")
+    )
+    mh_b = mh.select(
+        F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"), F.col("shs").alias("shs_b")
+    )
     est = (
         F.aggregate(
             F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
@@ -418,9 +432,18 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(float(N_HASH))
     )
+    # exact verify stage: true Jaccard over the distinct shingle-hash sets
+    # gates the output — the estimate never decides membership
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
     return (
         cand.join(mh_a, "doc_a")
         .join(mh_b, "doc_b")
-        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
