@@ -35,6 +35,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import types as T
 
+    # Idempotent safety net for sessions that skipped tune_session (e.g. a
+    # registry function called directly on a bare SparkSession): without
+    # this conf the TIMESTAMP(NANOS) parquet read throws. Setting it is a
+    # cheap runtime-conf write; locked-host failures fall through to the
+    # original (clear) Spark error.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     e = load_table(spark, sf_dir, "events")
     if isinstance(e.schema["ts"].dataType, T.LongType):
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

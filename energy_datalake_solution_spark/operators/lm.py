@@ -421,5 +421,10 @@ def docs_lm_score_pandas_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.w1, r.w2): math.log((r.c_pair + ADD_K) / (c1[r.w1] + ADD_K * vocab))
         for r in c12_rows
     }
-    # score_stream_with_lm is stream-agnostic: mapInPandas works on batch too
-    return score_stream_with_lm(d.select("doc_id", "text"), lm_logp, vocab)
+    # score_stream_with_lm is stream-agnostic: mapInPandas works on batch
+    # too; c1 rides along so unseen bigrams with in-model contexts get the
+    # exact ln(k/(C(w1)+kV)) mass (no unseen pairs exist on this replay,
+    # but the kernel contract is shared with true streams)
+    return score_stream_with_lm(
+        d.select("doc_id", "text"), lm_logp, vocab, ctx_counts=c1
+    )

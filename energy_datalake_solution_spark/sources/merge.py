@@ -78,6 +78,7 @@ def merge_upsert(
     curated_root: str | Path,
     contract: TableContract,
     partition_by: str | None = None,
+    validate_partition_stability: bool = False,
 ) -> str:
     """Upsert incoming rows into curated/{table} on the contract's business
     keys (DELETE matching + INSERT all, reference :73-82), via anti-join.
@@ -93,6 +94,11 @@ def merge_upsert(
     date derived from an immutable id — NOT the load date). If a key could
     re-arrive under a different partition value, its old row in the
     untouched partition would survive; use the unpartitioned path then.
+    ``validate_partition_stability=True`` turns that documented hazard
+    into a hard error by anti-checking incoming keys against the
+    partitions OUTSIDE the touched set — a full-table key scan, so it is
+    an opt-in audit for small/medium tables or periodic verification, not
+    the hot path (at 100 TB the contract is enforced upstream instead).
     """
     target_path = str(Path(curated_root) / contract.table_name)
     keys = list(contract.upsert_keys)
@@ -108,6 +114,36 @@ def merge_upsert(
 
     if partition_by:
         touched = [r[0] for r in incoming.select(partition_by).distinct().collect()]
+        # NULL partition values would silently break the scope: isin(NULL)
+        # filters the existing NULL-partition rows OUT of the read-back, so
+        # their keys would survive alongside the incoming rows (duplicated
+        # key), with the new rows landing in __HIVE_DEFAULT_PARTITION__.
+        # A NULL partition value is a data-contract violation here — fail
+        # loudly rather than corrupt the table.
+        if any(t is None for t in touched):
+            raise ValueError(
+                f"merge_upsert(partition_by={partition_by!r}): incoming "
+                "batch contains NULL partition values; partition-scoped "
+                "merge requires a non-null partition column (clean the "
+                "batch or use the unpartitioned path)."
+            )
+        if validate_partition_stability:
+            outside = spark.read.parquet(target_path).where(
+                ~F.col(partition_by).isin(touched)
+            )
+            moved = (
+                outside.select(*keys)
+                .join(incoming.select(*keys), on=keys, how="left_semi")
+                .limit(1)
+                .collect()
+            )
+            if moved:
+                raise ValueError(
+                    f"merge_upsert(partition_by={partition_by!r}): key "
+                    f"{tuple(moved[0])} re-arrived under a different "
+                    "partition value; partition-scoped merge would leave "
+                    "its old row alive. Use the unpartitioned path."
+                )
         existing = spark.read.parquet(target_path).where(
             F.col(partition_by).isin(touched)  # prunes to touched dirs only
         )

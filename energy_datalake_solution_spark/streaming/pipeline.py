@@ -270,6 +270,7 @@ def score_stream_with_lm(
     lm_logp: dict,
     vocab_size: int,
     add_k: float = 0.1,
+    ctx_counts: dict | None = None,
 ) -> DataFrame:
     """Score a document stream against a BATCH-trained bigram LM — the
     online half of the CCNet quality tier (operators/lm.py trains; this
@@ -282,17 +283,29 @@ def score_stream_with_lm(
     document row is self-contained (its whole text arrives at once).
     `mapInPandas` keeps scoring Arrow-batched and vectorizable.
 
-    Bigrams unseen in training get the add-k backoff mass
-    ln(k / (C(w1) + k*V)) with C(w1)=0 for unseen contexts — the same
-    smoothing formula the trainer used, so a stream replay of the
-    training corpus reproduces the batch scores exactly
-    (tests/test_streaming.py::test_streaming_lm_scoring_matches_batch).
+    An unseen bigram (w1, w2) gets the true add-k mass
+    ln(k / (C(w1) + k*V)) — `ctx_counts` carries the trainer's
+    per-context totals C(w1) (C=0 for contexts outside the model), so
+    novel stream documents that share contexts with the training corpus
+    are scored with the exact formula the trainer used, and a stream
+    replay of the training corpus reproduces the batch scores exactly
+    (tests/test_streaming.py::test_streaming_lm_scoring_matches_batch,
+    test_streaming_lm_unseen_bigram_smoothing). Omitting `ctx_counts`
+    falls back to the C(w1)=0 mass for every unseen bigram (an upper
+    bound on the true probability whenever w1 is in-model).
     """
     import math
 
     import pandas as pd
 
-    unseen = math.log(add_k / (add_k * vocab_size))
+    # model-sized precompute: the unseen mass per known context, plus the
+    # floor mass for contexts outside the model — keeps the per-bigram hot
+    # path to two dict lookups, no math in the loop
+    kv = add_k * vocab_size
+    unseen_floor = math.log(add_k / kv)
+    unseen_by_ctx = {
+        w: math.log(add_k / (c + kv)) for w, c in (ctx_counts or {}).items()
+    }
 
     def score(batches):
         for pdf in batches:
@@ -301,8 +314,12 @@ def score_stream_with_lm(
                 toks = text.replace("\n", " ").split(" ")
                 if len(toks) < 2:
                     continue  # no bigrams — same exclusion as the batch op
+                pairs = zip(toks, toks[1:])
                 logps = [
-                    lm_logp.get((a, b), unseen) for a, b in zip(toks, toks[1:])
+                    lm_logp[p]
+                    if p in lm_logp
+                    else unseen_by_ctx.get(p[0], unseen_floor)
+                    for p in pairs
                 ]
                 out_ids.append(doc_id)
                 out_n.append(len(logps))

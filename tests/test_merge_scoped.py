@@ -91,3 +91,52 @@ def test_unpartitioned_merge_swap_leaves_no_staging_dirs(spark, tmp_path):
     rows = {r["transaction_id"]: r["energy_quantity_mwh"]
             for r in spark.read.parquet(str(table)).collect()}
     assert rows == {"T1": 1.0, "T2": 9.0, "T3": 3.0}
+
+
+def test_scoped_merge_rejects_null_partition_values(spark, tmp_path):
+    """A NULL partition value in the batch would escape the isin() scope
+    (old rows survive, new rows land in __HIVE_DEFAULT_PARTITION__) — the
+    scoped path must fail loudly instead."""
+    curated = tmp_path / "curated"
+    merge_upsert(
+        spark, _batch(spark, [("T1", 1.0, 1)]), curated, TRANSACCIONES, partition_by="txn_day"
+    )
+    bad = _batch(spark, [("T1", 5.0, 2)]).withColumn(
+        "txn_day", F.lit(None).cast("date")
+    )
+    with pytest.raises(ValueError, match="NULL partition"):
+        merge_upsert(spark, bad, curated, TRANSACCIONES, partition_by="txn_day")
+    # table unchanged: the guard fired before any write
+    rows = {
+        r["transaction_id"]: r["energy_quantity_mwh"]
+        for r in spark.read.parquet(str(curated / TRANSACCIONES.table_name)).collect()
+    }
+    assert rows == {"T1": 1.0}
+
+
+def test_scoped_merge_partition_stability_audit(spark, tmp_path):
+    """Opt-in audit: a key re-arriving under a DIFFERENT partition value is
+    exactly the documented hazard of the scoped path — the audit turns it
+    into an error; without the audit the same batch silently duplicates."""
+    curated = tmp_path / "curated"
+    merge_upsert(
+        spark, _batch(spark, [("T1", 1.0, 1), ("T2", 2.0, 2)]), curated,
+        TRANSACCIONES, partition_by="txn_day",
+    )
+    moved = _batch(spark, [("T1", 9.0, 2)])  # T1 moves day1 -> day2
+    with pytest.raises(ValueError, match="re-arrived under a different"):
+        merge_upsert(
+            spark, moved, curated, TRANSACCIONES, partition_by="txn_day",
+            validate_partition_stability=True,
+        )
+    # stable batch passes the audit and merges normally
+    ok = _batch(spark, [("T2", 7.0, 2)])
+    merge_upsert(
+        spark, ok, curated, TRANSACCIONES, partition_by="txn_day",
+        validate_partition_stability=True,
+    )
+    rows = {
+        r["transaction_id"]: r["energy_quantity_mwh"]
+        for r in spark.read.parquet(str(curated / TRANSACCIONES.table_name)).collect()
+    }
+    assert rows == {"T1": 1.0, "T2": 7.0}

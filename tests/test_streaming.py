@@ -403,7 +403,7 @@ def test_streaming_lm_scoring_matches_batch(spark, tmp_path):
         str(src / "batch0")
     )
     q = (
-        score_stream_with_lm(stream, lm_logp, vocab)
+        score_stream_with_lm(stream, lm_logp, vocab, ctx_counts=c1)
         .writeStream.format("memory")
         .queryName("lm_scored")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -416,3 +416,35 @@ def test_streaming_lm_scoring_matches_batch(spark, tmp_path):
     for doc_id, r in got.items():
         assert r.n_bigrams == batch_scores[doc_id].n_bigrams
         assert abs(r.avg_logp - batch_scores[doc_id].avg_logp) < 1e-9
+
+
+def test_streaming_lm_unseen_bigram_smoothing(spark):
+    """Unseen bigram (w1, w2) with an IN-MODEL context w1 must get
+    ln(k/(C(w1)+kV)), not the C=0 floor ln(k/(kV)) — the advisor-flagged
+    bias for genuinely novel stream documents."""
+    import math
+
+    from energy_datalake_solution_spark.streaming.pipeline import (
+        score_stream_with_lm,
+    )
+
+    # toy model: corpus was "a b a b a c" -> C(a,b)=2 C(b,a)=2 C(a,c)=1,
+    # C(a)=3 C(b)=2, V=3, k=0.1
+    k, V = 0.1, 3
+    c1 = {"a": 3, "b": 2}
+    lm = {
+        ("a", "b"): math.log((2 + k) / (3 + k * V)),
+        ("b", "a"): math.log((2 + k) / (2 + k * V)),
+        ("a", "c"): math.log((1 + k) / (3 + k * V)),
+    }
+    doc = spark.createDataFrame([(1, "a z q b")], "doc_id long, text string")
+    # bigrams: (a,z) unseen w/ in-model ctx a; (z,q) unseen w/ unseen ctx;
+    # (q,b) unseen w/ unseen ctx
+    got = score_stream_with_lm(doc, lm, V, add_k=k, ctx_counts=c1).collect()[0]
+    want = (
+        math.log(k / (3 + k * V))      # (a,z): C(a)=3
+        + math.log(k / (k * V))        # (z,q): C(z)=0
+        + math.log(k / (k * V))        # (q,b): C(q)=0
+    ) / 3
+    assert got.n_bigrams == 3
+    assert abs(got.avg_logp - round(want, 6)) < 1e-9
