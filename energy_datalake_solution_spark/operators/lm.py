@@ -428,3 +428,85 @@ def docs_lm_score_pandas_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_stream_with_lm(
         d.select("doc_id", "text"), lm_logp, vocab, ctx_counts=c1
     )
+
+
+@register("docs_bpe_encode", oracle=None, tags=("text", "tokenizer"))
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the corpus-trained BPE merges — the
+    APPLY half of the tokenizer loop (corpus_bpe_merges trains; this
+    encodes), i.e. the per-document token accounting a training-data
+    pipeline runs before packing sequences.
+
+    The merge table is MODEL-sized by construction (N_BPE_MERGES rows),
+    so it ships in the task closure like the streaming LM dict; encoding
+    is one Arrow-batched mapInPandas pass — zero shuffle, corpus scanned
+    once. Merges apply in rank order with the trainer's greedy
+    left-to-right non-overlapping scan, so enc(word) equals the trainer's
+    final symbol table for in-corpus words (pinned in tests/test_bpe.py);
+    a per-word memo dict inside the kernel exploits Zipf repetition
+    (vocabulary is Heaps-sized, so the cache stays small while skipping
+    the merge loop for almost every token instance).
+
+    No SQL oracle (the merge table is the product of the iterative
+    trainer) -> rows-only driver check + the exact python-reference
+    equivalence test.
+    """
+    import pandas as pd
+
+    merges = [
+        (r.left, r.right)
+        for r in corpus_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    d = load_table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        memo: dict = {}
+
+        def enc_len(word: str) -> tuple[int, int]:
+            hit = memo.get(word)
+            if hit is None:
+                syms = list(word)
+                n_chars = len(syms)
+                for left, right in merges:
+                    merged, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            merged.append(left + right)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    syms = merged
+                hit = (n_chars, len(syms))
+                memo[word] = hit
+            return hit
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_words": [], "n_chars": [], "n_tokens": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in text.replace("\n", " ").split(" ") if w]
+                nc = nt = 0
+                for w in words:
+                    c, t = enc_len(w)
+                    nc += c
+                    nt += t
+                out["doc_id"].append(doc_id)
+                out["n_words"].append(len(words))
+                out["n_chars"].append(nc)
+                out["n_tokens"].append(nt)
+            yield pd.DataFrame(out)
+
+    enc = d.select("doc_id", "text").mapInPandas(
+        encode, "doc_id long, n_words long, n_chars long, n_tokens long"
+    )
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias("chars_per_token"),
+    )

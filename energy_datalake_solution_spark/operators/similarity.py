@@ -533,3 +533,122 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_rep").isNotNull().alias("is_dup"),
         F.coalesce("_rep", F.lit(-1)).alias("dup_of"),
     )
+
+
+K_NN_GRAPH = 5  # neighbors per vector in the exact k-NN graph
+NB_KNN = 8  # data-side block count for the blocked all-pairs scan
+
+
+@register(
+    "embeddings_knn_graph",
+    oracle=f"""
+        WITH sims AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   round(
+                       list_sum(list_transform(range(1, 65),
+                                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+                       6) AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, neighbor_id, cosine_sim,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cosine_sim DESC, neighbor_id
+                   ) AS rank
+            FROM sims
+        )
+        SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, cosine_sim
+        FROM ranked WHERE rank <= {K_NN_GRAPH}
+    """,
+    tags=("similarity", "graph"),
+)
+def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine k-NN graph: every vector's top-K most similar
+    neighbors with their rank — the adjacency list that feeds semantic
+    clustering, graph-based dedup (SemDeDup-style but exact), and
+    retrieval-index evaluation (ANN recall is measured against exactly
+    this graph; tests/test_ann_recall.py builds it ad hoc — this is the
+    first-class operator form).
+
+    Scale shape: the O(n^2) similarity scan is BLOCKED, not a cross join
+    — data side hashes into NB_KNN blocks, query side replicates to each
+    block group (same query-side-only replication as the LSH/IVF probes:
+    shuffled volume is n*NB rows, never n^2). Each group's numpy kernel
+    emits only its LOCAL top-K per query row (K*n*NB candidate rows
+    total), and a final per-vector window merges block-local winners into
+    the global top-K — a classic distributed top-k merge, so the full
+    similarity matrix never hits a shuffle. Per-block ordering and the
+    final window use the identical (rounded sim DESC, neighbor_id) key,
+    which makes the local-prune provably lossless. Accumulation is
+    dimension-sequential to match the oracle's list_sum order (see
+    embeddings_cosine_near_dups); at 100 TB the same plan runs with NB
+    scaled to keep data blocks executor-sized, or swaps the exact scan
+    for the IVF partition-pruned probe when approximate recall suffices.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(NB_KNN)).alias("blk")
+    )
+    # query side: every vector visits every block; data side: own block only
+    q_rep = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(NB_KNN - 1))).alias("bj"),
+        F.lit("q").alias("side"),
+    )
+    d_rep = e.select(
+        "vec_id", "embedding", F.col("blk").alias("bj"), F.lit("d").alias("side")
+    )
+    both = q_rep.unionByName(d_rep)
+
+    def block_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["side"] == "q"]
+        ds = pdf[pdf["side"] == "d"]
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "cosine_sim": []}
+        ).astype({"vec_id": "int64", "neighbor_id": "int64", "cosine_sim": "float64"})
+        if len(qs) == 0 or len(ds) == 0:
+            return empty
+        xq = np.stack(qs["embedding"].to_numpy()).astype(np.float64)
+        xd = np.stack(ds["embedding"].to_numpy()).astype(np.float64)
+        iq = qs["vec_id"].to_numpy()
+        idn = ds["vec_id"].to_numpy()
+        dim = xq.shape[1]
+        # dimension-sequential accumulation == the oracle's list_sum order
+        dots = np.multiply.outer(xq[:, 0], xd[:, 0])
+        nq = xq[:, 0] * xq[:, 0]
+        nd = xd[:, 0] * xd[:, 0]
+        for k in range(1, dim):
+            dots += np.multiply.outer(xq[:, k], xd[:, k])
+            nq += xq[:, k] * xq[:, k]
+            nd += xd[:, k] * xd[:, k]
+        sims = np.round(dots / np.multiply.outer(np.sqrt(nq), np.sqrt(nd)), 6)
+        sims[iq[:, None] == idn[None, :]] = -np.inf  # mask self-pairs
+        out_v, out_n, out_s = [], [], []
+        kk = min(K_NN_GRAPH, sims.shape[1])
+        for r in range(sims.shape[0]):
+            # block-local top-K under the SAME key as the final window:
+            # (sim DESC, neighbor_id ASC) — lexsort is stable, last key wins
+            order = np.lexsort((idn, -sims[r]))[:kk]
+            keep = order[np.isfinite(sims[r][order])]
+            out_v.extend([iq[r]] * len(keep))
+            out_n.extend(idn[keep])
+            out_s.extend(sims[r][keep])
+        return pd.DataFrame(
+            {"vec_id": out_v, "neighbor_id": out_n, "cosine_sim": out_s}
+        ).astype({"vec_id": "int64", "neighbor_id": "int64", "cosine_sim": "float64"})
+
+    cand = both.groupBy("bj").applyInPandas(
+        block_topk, "vec_id bigint, neighbor_id bigint, cosine_sim double"
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K_NN_GRAPH)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine_sim")
+    )

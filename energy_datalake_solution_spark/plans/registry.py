@@ -68,6 +68,7 @@ def _load_all() -> None:
         dedup,
         events,
         fixtures,
+        layout,
         lm,
         multimodal,
         relational,
@@ -93,7 +94,11 @@ def _load_all() -> None:
 # then one flagship per tier. Everything past the window carries a prior
 # green row plus the pytest oracle mirror.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- never driver-checked after rounds 1+2 (28, must lead) ---
+    # --- born this round, never driver-checked (3, lead the window) ---
+    "embeddings_knn_graph",
+    "docs_bpe_encode",
+    "lineitem_zorder_layout",
+    # --- never driver-checked after rounds 1+2 (28) ---
     "docs_duplicate_span_pairs",
     "docs_duplicate_span_stats",
     "docs_chunk_fixed_tokens",

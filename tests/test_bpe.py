@@ -70,3 +70,46 @@ def test_bpe_merge_sequence_matches_reference(spark):
         for r in corpus_bpe_merges(spark, SF_ORACLE).orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+def test_bpe_encode_matches_reference(spark):
+    """docs_bpe_encode token counts == applying the reference merge
+    sequence per word with the same greedy left-to-right scan."""
+    import pyspark.sql.functions as F
+
+    from energy_datalake_solution_spark.operators.lm import docs_bpe_encode
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    words = Counter()
+    for r in (
+        d.select(F.explode(F.split(F.regexp_replace("text", "\n", " "), " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
+    ):
+        words[r.w] = r.n
+    merges = [(m[1], m[2]) for m in _reference_bpe(dict(words), N_BPE_MERGES)]
+
+    def ref_encode(word: str) -> int:
+        syms = list(word)
+        for left, right in merges:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        return len(syms)
+
+    got = {r.doc_id: r for r in docs_bpe_encode(spark, SF_ORACLE).collect()}
+    rows = d.select("doc_id", "text").collect()
+    assert set(got) == {r.doc_id for r in rows}
+    for r in rows:
+        ws = [w for w in r.text.replace("\n", " ").split(" ") if w]
+        want_tokens = sum(ref_encode(w) for w in ws)
+        want_chars = sum(len(w) for w in ws)
+        g = got[r.doc_id]
+        assert (g.n_words, g.n_chars, g.n_tokens) == (len(ws), want_chars, want_tokens)
+        assert abs(g.chars_per_token - round(want_chars / want_tokens, 6)) < 1e-12
