@@ -39,6 +39,25 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # Host-load calibration marker: single-threaded spins of a fixed
+    # arithmetic loop, reported as iterations/sec. The shared host swings
+    # 2-3x run-to-run; cross-round bench ratios divide by this score to
+    # separate code regressions from host noise (lower score = busier
+    # host). Taken BEFORE the JVM starts so it measures the host, not us.
+    def _calibrate() -> float:
+        best = 0.0
+        for _ in range(3):
+            n, t0 = 0, time.perf_counter()
+            x = 1.0
+            while time.perf_counter() - t0 < 0.33:
+                for _ in range(10_000):
+                    x = x * 1.0000001 + 1e-9
+                n += 10_000
+            best = max(best, n / (time.perf_counter() - t0))
+        return round(best / 1e6, 3)  # M iterations/sec
+
+    host_score = _calibrate()
+
     from energy_datalake_solution_spark.plans.registry import QUERIES, get_queries
     from energy_datalake_solution_spark.plans.session import get_spark
 
@@ -82,6 +101,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_mips": host_score,
             }
         )
     )
