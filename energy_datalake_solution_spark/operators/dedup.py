@@ -447,3 +447,139 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# 5. Incremental ingest-time near-dedup against the standing corpus index
+# --------------------------------------------------------------------------
+INGEST_MOD, INGEST_REM = 10, 7  # doc_id % 10 == 7 plays the incoming batch
+
+
+@register(
+    "docs_incremental_simhash_dedup",
+    oracle=f"""
+        WITH {{fp_cte}},
+        batch AS (
+            SELECT doc_id, simhash FROM fp WHERE doc_id % {INGEST_MOD} = {INGEST_REM}
+        ),
+        corpus AS (
+            SELECT doc_id, simhash FROM fp WHERE doc_id % {INGEST_MOD} <> {INGEST_REM}
+        ),
+        bb AS (
+            SELECT doc_id, simhash, b.band AS band,
+                   (simhash >> (b.band * 15)) & 32767 AS band_key
+            FROM batch, UNNEST(range(0, {{n_bands}})) AS b(band)
+        ),
+        cb AS (
+            SELECT doc_id, simhash, b.band AS band,
+                   (simhash >> (b.band * 15)) & 32767 AS band_key
+            FROM corpus, UNNEST(range(0, {{n_bands}})) AS b(band)
+        ),
+        cand AS (
+            SELECT DISTINCT bb.doc_id AS b_id, bb.simhash AS sh_b,
+                            cb.doc_id AS c_id, cb.simhash AS sh_c
+            FROM bb JOIN cb ON bb.band = cb.band AND bb.band_key = cb.band_key
+        ),
+        verified AS (
+            SELECT b_id, c_id,
+                   bit_count(xor(sh_b, sh_c)) AS hamming
+            FROM cand
+            WHERE bit_count(xor(sh_b, sh_c)) <= {{ham}}
+        ),
+        best AS (
+            SELECT b_id, c_id, hamming,
+                   row_number() OVER (
+                       PARTITION BY b_id ORDER BY hamming, c_id
+                   ) AS rn
+            FROM verified
+        )
+        SELECT b.doc_id,
+               (best.c_id IS NOT NULL) AS is_dup,
+               coalesce(best.c_id, -1) AS dup_of,
+               CAST(coalesce(best.hamming, -1) AS BIGINT) AS best_hamming
+        FROM batch b LEFT JOIN best ON b.doc_id = best.b_id AND best.rn = 1
+    """,
+    tags=("dedup", "incremental"),
+)
+def docs_incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dedup: check an INCOMING BATCH of documents
+    (doc_id % INGEST_MOD == INGEST_REM stands in for the new arrivals)
+    against the STANDING corpus's simhash index, without touching
+    corpus-vs-corpus pairs at all. One row per batch doc: its best
+    (lowest-Hamming, lowest-id) corpus match within HAMMING_THRESHOLD, or
+    is_dup = false.
+
+    This is the operator an incremental pipeline runs per ingest cycle —
+    the corpus index is write-once (at scale: the persisted fingerprint
+    table that docs_simhash maintains, 16 bytes/doc), and the batch side
+    is BROADCAST into the band join: the corpus never shuffles, the batch
+    never self-joins, and per-cycle cost is corpus-scan-free when the
+    index is stored. Candidate generation is the same 4x15-bit banding as
+    docs_simhash_near_dups (pigeonhole-complete for Hamming <= 3; the
+    oracle mirrors the banding, so the gate checks values, not the
+    LSH recall claim). The streaming twin is
+    streaming/pipeline.py::dedup_stream_against_corpus — identical
+    banding as a stream-static join.
+    """
+    fp = docs_simhash(spark, sf_dir).localCheckpoint(eager=False)
+    is_batch = F.pmod(F.col("doc_id"), F.lit(INGEST_MOD)) == F.lit(INGEST_REM)
+    batch = fp.where(is_batch)
+    corpus = fp.where(~is_batch)
+    band = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band")
+
+    def banded(df, id_alias, sh_alias):
+        return (
+            df.select("doc_id", "simhash", band)
+            .withColumn(
+                "band_key",
+                F.expr("shiftright(simhash, band * 15)").bitwiseAND(32767),
+            )
+            .select(
+                F.col("doc_id").alias(id_alias),
+                F.col("simhash").alias(sh_alias),
+                "band",
+                "band_key",
+            )
+        )
+
+    # batch side broadcast: the standing corpus index never shuffles
+    cand = (
+        banded(corpus, "c_id", "sh_c")
+        .join(F.broadcast(banded(batch, "b_id", "sh_b")), ["band", "band_key"])
+        .select("b_id", "sh_b", "c_id", "sh_c")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_b").bitwiseXOR(F.col("sh_c")))
+    verified = cand.select("b_id", "c_id", hamming.alias("hamming")).where(
+        F.col("hamming") <= HAMMING_THRESHOLD
+    )
+    from pyspark.sql import Window as W
+
+    best = (
+        verified.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("b_id").orderBy("hamming", "c_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return batch.select("doc_id").join(
+        best, batch.doc_id == best.b_id, "left"
+    ).select(
+        "doc_id",
+        F.col("c_id").isNotNull().alias("is_dup"),
+        F.coalesce("c_id", F.lit(-1)).alias("dup_of"),
+        F.coalesce("hamming", F.lit(-1)).cast("long").alias("best_hamming"),
+    )
+
+
+# Fill in the oracle template now that the fp CTE helper exists above.
+from ..plans.registry import QUERIES as _QUERIES  # noqa: E402
+
+_QUERIES["docs_incremental_simhash_dedup"].oracle = _QUERIES[
+    "docs_incremental_simhash_dedup"
+].oracle.format(
+    fp_cte=_simhash_oracle_fp(), n_bands=SIMHASH_BANDS, ham=HAMMING_THRESHOLD
+)

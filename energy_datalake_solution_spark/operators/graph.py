@@ -1,0 +1,136 @@
+"""Graph analytics over the embedding k-NN graph.
+
+The engine already builds the exact k-NN adjacency
+(`operators/similarity.py::embeddings_knn_graph`) and clusters near-dup
+pairs with connected components (`operators/corpus.py`). This module adds
+the centrality tier: in-degree statistics (which vectors are "hubs" that
+many others point at — the signal semantic-dedup uses to pick cluster
+representatives) and PageRank over the directed k-NN edges (the classic
+retrieval-quality / representative-selection score).
+
+Scale shape: both operators run on the EDGE LIST (N x K rows — model-ish
+sized relative to the N x N similarity matrix that never materializes).
+PageRank iterations are one groupBy per round on the edge list with the
+rank vector joined in; lineage is truncated per round with localCheckpoint
+exactly like the connected-components loop (operators/corpus.py), and the
+damping redistribution is a scalar, not a broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from .similarity import K_NN_GRAPH, embeddings_knn_graph
+
+PR_DAMPING = 0.85
+PR_ITERATIONS = 10
+
+
+@register(
+    "knn_graph_indegree",
+    oracle=f"""
+        WITH sims AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   round(
+                       list_sum(list_transform(range(1, 65),
+                                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+                       6) AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cosine_sim DESC, neighbor_id
+                   ) AS rank
+            FROM sims
+        ),
+        edges AS (
+            SELECT vec_id, neighbor_id FROM ranked WHERE rank <= {K_NN_GRAPH}
+        ),
+        indeg AS (
+            SELECT e.neighbor_id AS vec_id, count(*) AS in_degree
+            FROM edges e GROUP BY 1
+        )
+        SELECT coalesce(i.in_degree, 0) AS in_degree,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM (SELECT DISTINCT vec_id FROM embeddings) v
+        LEFT JOIN indeg i USING (vec_id)
+        GROUP BY 1
+    """,
+    tags=("graph", "similarity"),
+)
+def knn_graph_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree distribution of the exact k-NN graph: how many vectors
+    count each vector among their top-K. Hubs (high in-degree) are the
+    natural cluster representatives; isolated vectors (in-degree 0 — KNN
+    points AT K neighbors but nothing points back) are outlier candidates.
+
+    Composes the oracled adjacency; the aggregation is edge-list sized
+    (N x K), one shuffle on neighbor_id plus the left join that restores
+    in-degree-0 vectors (an anti-joined class the edge list alone cannot
+    see)."""
+    from ..sources.catalog import load_table
+
+    edges = embeddings_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    indeg = edges.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id").distinct()
+    return (
+        vecs.join(indeg, "vec_id", "left")
+        .select(F.coalesce("in_degree", F.lit(0)).alias("in_degree"))
+        .groupBy("in_degree")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@register("knn_graph_pagerank", oracle=None, tags=("graph", "similarity", "iterative"))
+def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the directed k-NN graph (damping 0.85, fixed
+    PR_ITERATIONS power iterations) — centrality for representative
+    selection and retrieval-quality auditing.
+
+    Every node has out-degree exactly K (the k-NN construction), so the
+    contribution of node u to each neighbor is rank(u)/K — no dangling
+    mass, no out-degree join. One power iteration = one groupBy over the
+    edge list with the rank vector equi-joined in; localCheckpoint per
+    round truncates the growing lineage (same pattern as the
+    connected-components loop). Driver traffic is zero until the final
+    collect-free return.
+
+    Iterative fixpoint -> no SQL oracle (rows-only driver check); exact
+    equivalence with a numpy power iteration on the same edges is pinned
+    in tests/test_graph.py.
+    """
+    edges = (
+        embeddings_knn_graph(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.select("vec_id").distinct()
+    n = nodes.count()
+    ranks = nodes.select("vec_id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - PR_DAMPING) / n
+    for _ in range(PR_ITERATIONS):
+        contribs = (
+            edges.join(ranks, "vec_id")
+            .groupBy(F.col("neighbor_id").alias("vec_id"))
+            .agg(F.sum(F.col("rank") / F.lit(float(K_NN_GRAPH))).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "vec_id", "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit(base)
+                    + F.lit(PR_DAMPING) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("vec_id", F.round("rank", 9).alias("pagerank"))

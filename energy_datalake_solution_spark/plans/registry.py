@@ -68,6 +68,7 @@ def _load_all() -> None:
         dedup,
         events,
         fixtures,
+        graph,
         layout,
         lm,
         multimodal,
@@ -94,10 +95,13 @@ def _load_all() -> None:
 # then one flagship per tier. Everything past the window carries a prior
 # green row plus the pytest oracle mirror.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born this round, never driver-checked (3, lead the window) ---
+    # --- born this round, never driver-checked (6, lead the window) ---
     "embeddings_knn_graph",
     "docs_bpe_encode",
     "lineitem_zorder_layout",
+    "docs_incremental_simhash_dedup",
+    "knn_graph_indegree",
+    "knn_graph_pagerank",
     # --- never driver-checked after rounds 1+2 (28) ---
     "docs_duplicate_span_pairs",
     "docs_duplicate_span_stats",

@@ -65,6 +65,9 @@ def spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # .rdd here converts the plan to an RDD to read its partitioning —
+    # metadata-only (no job runs), but it does cost a plan translation per
+    # call; acceptable because spread() wraps table loads, not hot loops.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

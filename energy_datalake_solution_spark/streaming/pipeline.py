@@ -340,3 +340,87 @@ def score_stream_with_lm(
             )
 
     return stream.mapInPandas(score, "doc_id long, n_bigrams long, avg_logp double")
+
+
+def corpus_simhash_index(spark, sf_dir: str):
+    """The standing corpus fingerprint index (doc_id, simhash, band,
+    band_key) the streaming dedup joins against — at scale this is a
+    persisted table maintained by the batch pipeline, 4 rows x 16 bytes
+    per corpus doc."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import SIMHASH_BANDS, docs_simhash
+
+    fp = docs_simhash(spark, sf_dir)
+    band = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band")
+    return (
+        fp.select("doc_id", "simhash", band)
+        .withColumn(
+            "band_key", F.expr("shiftright(simhash, band * 15)").bitwiseAND(32767)
+        )
+        .select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("simhash").alias("corpus_sh"),
+            "band",
+            "band_key",
+        )
+    )
+
+
+def dedup_stream_against_corpus(stream: DataFrame, corpus_index: DataFrame) -> DataFrame:
+    """Ingest-time near-dedup as a STREAM: fingerprint each arriving
+    document, probe the standing corpus simhash index with a
+    stream-static band join, verify by exact Hamming distance, and emit
+    one row per (arriving doc, corpus match) within HAMMING_THRESHOLD.
+
+    The streaming twin of operators/dedup.py::docs_incremental_simhash_dedup
+    (same fingerprint, same 4x15-bit banding, same verify) — that batch
+    operator carries the oracle; the pytest pins stream/batch equality on
+    a replay. Fingerprinting is a pure per-row expression (no state, no
+    watermark); the static side is the persisted index, so each
+    micro-batch costs |batch| x 4 index probes. Candidate dedup across
+    bands happens per-doc-pair via the distinct-free groupBy-less
+    aggregate trick: band rows for the same (doc, corpus) pair verify
+    identically, so downstream consumers dedup on the pair key in
+    foreachBatch (or take min(hamming) — equal anyway); here we drop
+    exact band duplicates with dropDuplicates on the pair key, which in a
+    micro-batch engine is per-batch state, not unbounded."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import HAMMING_THRESHOLD, SIMHASH_BITS  # noqa: F401
+
+    hashes = F.transform(
+        F.array_distinct(F.split("text", " ")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+    simhash = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {SIMHASH_BITS - 1}), b ->
+            if(aggregate(hs, 0, (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+               shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        """
+    )
+    fp = (
+        stream.select("doc_id", hashes.alias("hs"))
+        .select("doc_id", simhash.alias("simhash"))
+        .select(
+            "doc_id",
+            "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        )
+        .withColumn(
+            "band_key", F.expr("shiftright(simhash, band * 15)").bitwiseAND(32767)
+        )
+    )
+    matched = (
+        fp.join(corpus_index, ["band", "band_key"])  # stream-static join
+        .withColumn(
+            "hamming", F.bit_count(F.col("simhash").bitwiseXOR(F.col("corpus_sh")))
+        )
+        .where(F.col("hamming") <= HAMMING_THRESHOLD)
+        .select("doc_id", F.col("corpus_id").alias("dup_of"), "hamming")
+        .dropDuplicates(["doc_id", "dup_of"])
+    )
+    return matched

@@ -432,3 +432,44 @@ def test_profile_single_scan(spark):
     )
     assert final.count("FileScan parquet") == 1
     assert "Expand" in final  # multiple count_distincts -> one expand, one scan
+
+
+def test_incremental_dedup_broadcasts_batch_side(spark):
+    """Ingest-batch near-dedup: the standing corpus index must meet the
+    (small) ingest batch through a BROADCAST hash join — the corpus side
+    never shuffles for candidate generation."""
+    df = QUERIES["docs_incremental_simhash_dedup"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_blocked_not_cross(spark):
+    """The exact k-NN graph must come from the blocked applyInPandas scan
+    plus a window merge — never a cross join of the vector table."""
+    df = QUERIES["embeddings_knn_graph"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the blocked numpy kernel
+    # the vector table is scanned once per union side (query/data replica),
+    # never more — simple mode prints one FileScan line per scan node
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    assert buf.getvalue().count("FileScan parquet") == 2
+
+
+def test_zorder_layout_stays_in_codegen(spark):
+    """The Morton interleave must be pure JVM expression work: one scan,
+    no Python evaluation anywhere in the plan."""
+    df = QUERIES["lineitem_zorder_layout"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "Python" not in plan  # pure JVM expression work
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    simple = buf.getvalue()
+    assert simple.count("FileScan parquet") == 1  # one scan
+    assert simple.count("Exchange") == 1  # one shuffle (zbucket agg)

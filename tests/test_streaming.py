@@ -448,3 +448,56 @@ def test_streaming_lm_unseen_bigram_smoothing(spark):
     ) / 3
     assert got.n_bigrams == 3
     assert abs(got.avg_logp - round(want, 6)) < 1e-9
+
+
+def test_streaming_dedup_against_corpus_matches_batch(spark, tmp_path):
+    """Stream replay of the ingest batch through the stream-static simhash
+    probe: per-doc best match must equal the batch operator's answer."""
+    from energy_datalake_solution_spark.operators.dedup import (
+        INGEST_MOD,
+        INGEST_REM,
+        docs_incremental_simhash_dedup,
+    )
+    from energy_datalake_solution_spark.sources.catalog import load_table
+    from energy_datalake_solution_spark.streaming.pipeline import (
+        corpus_simhash_index,
+        dedup_stream_against_corpus,
+    )
+
+    sf = SF_ORACLE
+    batch_truth = {
+        r.doc_id: r for r in docs_incremental_simhash_dedup(spark, sf).collect()
+    }
+
+    idx = corpus_simhash_index(spark, sf).where(
+        F.pmod("corpus_id", F.lit(INGEST_MOD)) != F.lit(INGEST_REM)
+    ).localCheckpoint()  # static side computed once, not per micro-batch
+
+    d = load_table(spark, sf, "documents").where(
+        F.pmod("doc_id", F.lit(INGEST_MOD)) == F.lit(INGEST_REM)
+    )
+    src = tmp_path / "ingest_stream"
+    src.mkdir()
+    d.select("doc_id", "text").coalesce(1).write.json(str(src / "b0"))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src / "b0"))
+    q = (
+        dedup_stream_against_corpus(stream, idx)
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM stream_dedup").collect()
+
+    # stream emits ALL verified matches; reduce to best per doc and compare
+    best: dict = {}
+    for r in got:
+        cur = best.get(r.doc_id)
+        if cur is None or (r.hamming, r.dup_of) < cur:
+            best[r.doc_id] = (r.hamming, r.dup_of)
+    assert set(best) == {d for d, r in batch_truth.items() if r.is_dup}
+    for doc_id, (ham, dup_of) in best.items():
+        t = batch_truth[doc_id]
+        assert (ham, dup_of) == (t.best_hamming, t.dup_of), doc_id
