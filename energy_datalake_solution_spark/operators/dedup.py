@@ -110,14 +110,13 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: explode shingles -> 64-bit hash (8-byte shuffle keys, not
     ~20-char strings) -> distinct -> document-frequency cap (skew + quality
     guard) -> per-doc shingle arrays sorted rarest-first by global df ->
-    PREFIX FILTER: for self-join threshold t, two sets with J >= t MUST
-    share a token within their first |x| - ceil(t*|x|) + 1 tokens (the
-    symmetric mid-prefix; the shorter 2t/(1+t) indexing prefix is only
-    valid on ONE side of an asymmetric index/probe split)
-    under a common global order (first ~1/2 at t=0.5), so the inverted
-    index is built over prefixes only — the hot tail of frequent shingles
-    never generates candidates, which is exactly what explodes at corpus
-    scale. Candidates (bare 16-byte pair keys) then verify exactly with
+    PREFIX FILTER, asymmetric index/probe split: under a common global
+    order, any pair with J >= t shares its SMALLEST common token within
+    the probe side's mid-prefix (|x| - ceil(t*|x|) + 1, ~1/2 at t=0.5)
+    AND the index side's short prefix (|y| - ceil(2t/(1+t)*|y|) + 1,
+    ~1/3), provided |y| <= |x| — so the inverted index holds only short
+    prefixes and the hot tail of frequent shingles never generates
+    candidates, which is exactly what explodes at corpus scale. Candidates (bare 16-byte pair keys) then verify exactly with
     array_intersect against the full sorted sets. Lossless: identical
     output to the unfiltered join, and the string-keyed oracle doubles as
     a hash-collision canary (collision probability ~n^2/2^64).
@@ -163,45 +162,60 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = JACCARD_THRESHOLD
-    # SYMMETRIC self-join needs the MID-prefix |x| - ceil(t*|x|) + 1 on both
-    # sides. The shorter indexing prefix |x| - ceil(2t/(1+t)*|x|) + 1 is only
-    # safe asymmetrically (index side short, probe side mid); using it on both
-    # sides is lossy — falsified by the hypothesis property test with
-    # ("a a a", "a a a b"), J = 0.5 exactly at threshold. Mid-prefix is
-    # provably lossless given the length filter |y| >= t*|x| applied below:
-    # if the pair shares no token in either mid-prefix, the overlap is at
-    # most min(na, nb) - (prefix-misses) < t/(1+t)*(na+nb), a contradiction.
-    plen = (F.size("shs") - F.ceil(F.size("shs") * t) + 1).cast("int")
+    # ASYMMETRIC index/probe split (the canonical PPJoin scheme): the
+    # PROBE side uses the mid-prefix |x| - ceil(t*|x|) + 1 and the INDEX
+    # side the shorter |y| - ceil(2t/(1+t)*|y|) + 1, joined under the size
+    # ordering |y| <= |x|. Losslessness (smallest-common-token argument):
+    # let w be the smallest shared token in the global order. If w were
+    # outside x's probe prefix, every prefix token of x would be
+    # non-shared, so overlap <= ceil(t*|x|) - 1 < ceil(t*|x|) <= required
+    # overlap (since |y| >= t*|x| by the length filter) — contradiction;
+    # if w were outside y's index prefix, overlap <= ceil(2t/(1+t)*|y|)-1
+    # < ceil(t/(1+t)*(|x|+|y|)) (using |x| >= |y|) — contradiction. So the
+    # SAME token w sits in both prefixes and the pair is generated.
+    # Equal sizes match in both orientations; the (lo, hi) relabel +
+    # distinct dedups them. Using the mid-prefix on BOTH sides is also
+    # lossless but indexes ~50% more tokens; using the short prefix on
+    # both sides is LOSSY (falsified by hypothesis with "a a a" vs
+    # "a a a b", J = 0.5) — the split below is the fast AND correct form,
+    # hammered by test_jaccard_ppjoin_filters_lossless on arbitrary corpora.
+    probe_len = (F.size("shs") - F.ceil(F.size("shs") * t) + 1).cast("int")
+    index_len = (
+        F.size("shs") - F.ceil(F.size("shs") * (2 * t / (1 + t))) + 1
+    ).cast("int")
     # carry (position in the global order, set size) through the inverted
     # index: PPJoin's positional filter. For a shared prefix token at
     # 0-based positions (ia, ib), the overlap can't exceed
     # min(na-ia, nb-ib); pairs whose bound is below the required overlap
     # ceil(t/(1+t)*(na+nb)) are pruned BEFORE the candidate distinct and
     # the array_intersect verify — lossless (the bound provably holds at
-    # the first shared token of any true pair), and it is what turns the
-    # hot verify join from |prefix-matches| into nearly |true pairs|.
-    pref = sets.select(
-        "doc_id",
-        F.size("shs").alias("n"),
-        F.posexplode(F.slice("shs", 1, plen)).alias("pos", "psh"),
+    # the smallest shared token of any true pair), and it is what turns
+    # the hot verify join from |prefix-matches| into nearly |true pairs|.
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.size("shs").alias("na"),
+        F.posexplode(F.slice("shs", 1, probe_len)).alias("ia", "psh"),
     )
-    a = pref.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("pos").alias("ia"), "psh"
-    )
-    b = pref.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("pos").alias("ib"), "psh"
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.size("shs").alias("nb"),
+        F.posexplode(F.slice("shs", 1, index_len)).alias("ib", "psh"),
     )
     required = F.ceil(F.lit(t / (1 + t)) * (F.col("na") + F.col("nb")))
     cand = (
         a.join(b, "psh")
         .where(
-            (F.col("doc_a") < F.col("doc_b"))
-            # length filter: J >= t forces t*|x| <= |y| <= |x|/t
-            & (F.least("na", "nb") >= F.ceil(F.lit(t) * F.greatest("na", "nb")))
+            # size ordering for the asymmetric prefixes, self-pairs out
+            (F.col("nb") <= F.col("na")) & (F.col("doc_a") != F.col("doc_b"))
+            # length filter: J >= t forces |y| >= t*|x| (|y| <= |x| here)
+            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
             # positional filter: overlap upper bound must reach the target
             & (F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")) >= required)
         )
-        .select("doc_a", "doc_b")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         .distinct()
     )
     fa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
