@@ -1,0 +1,102 @@
+"""Fuzzy string matching: edit-distance similarity join.
+
+The entity-resolution primitive (house-number typos in supplier names,
+OCR'd product labels, near-identical part descriptions): all pairs of
+values within Levenshtein distance k. A naive implementation is a cross
+join with a quadratic UDF — the classic engine-killer; the scalable form
+below is the standard three-stage reduction:
+
+  1. DEDUP to distinct values first. The value domain is vocabulary-like
+     (Heaps-bounded: catalogs repeat names heavily — here 2,000 parts
+     collapse to ~100 distinct names), so the pair problem shrinks
+     quadratically before any join happens.
+  2. BLOCK with a lossless length-band equi-join: |len(a) - len(b)| > k
+     implies ED > k, so bucketing lengths into width-(k+1) bands and
+     joining each value to its own band +/- 1 (the events range-join
+     trick, operators/temporal.py) covers every candidate with an
+     EQUI-join — no cross product, no theta-join.
+  3. VERIFY with the built-in JVM levenshtein (codegen, no Python UDF),
+     which since Spark 3.5 takes a threshold argument that early-exits
+     the DP at k — O(k*len) per pair instead of O(len^2).
+
+Counts per name rejoin at the end so the output speaks part-table terms
+(n_parts on both sides) while the heavy join never touches part rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.catalog import load_table
+
+EDIT_K = 2  # max edit distance
+BAND = EDIT_K + 1  # length-band width: |la-lb| <= k => band delta <= 1
+
+
+@register(
+    "parts_fuzzy_name_pairs",
+    oracle=f"""
+        WITH names AS (
+            SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY p_name
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance,
+               a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        FROM names a JOIN names b ON a.p_name < b.p_name
+        WHERE abs(length(a.p_name) - length(b.p_name)) <= {EDIT_K}
+          AND levenshtein(a.p_name, b.p_name) <= {EDIT_K}
+    """,
+    tags=("fuzzy", "join", "similarity"),
+)
+def parts_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All distinct part-name pairs within Levenshtein distance EDIT_K,
+    with each name's part count — the fuzzy-dedup / entity-resolution
+    join over the catalog. See the module docstring for the
+    dedup -> length-band block -> threshold-verify scale shape; the
+    oracle states the same result as a declarative theta-join, which
+    DuckDB can afford on the deduped name table.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("_len", F.length("p_name"))
+        .withColumn("_band", (F.col("_len") / F.lit(BAND)).cast("int"))
+        # the distinct-name table is vocabulary-sized; checkpoint so the
+        # part scan + dedup run once for both join sides
+        .localCheckpoint(eager=False)
+    )
+    probe = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.col("_len").alias("len_a"),
+        F.explode(
+            F.array(F.col("_band") - 1, F.col("_band"), F.col("_band") + 1)
+        ).alias("_band"),
+    )
+    index = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("_len").alias("len_b"),
+        "_band",
+    )
+    ed = F.levenshtein("name_a", "name_b", EDIT_K)  # early-exit DP at k
+    return (
+        probe.join(index, "_band")
+        .where(
+            (F.col("name_a") < F.col("name_b"))
+            # exact length filter inside the +/-1 band coverage
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= EDIT_K)
+        )
+        .where(ed >= 0)  # thresholded levenshtein returns -1 above k
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_distance"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+    )

@@ -68,6 +68,7 @@ def _load_all() -> None:
         dedup,
         events,
         fixtures,
+        fuzzy,
         graph,
         layout,
         lm,
@@ -95,13 +96,14 @@ def _load_all() -> None:
 # then one flagship per tier. Everything past the window carries a prior
 # green row plus the pytest oracle mirror.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born this round, never driver-checked (6, lead the window) ---
+    # --- born this round, never driver-checked (7, lead the window) ---
     "embeddings_knn_graph",
     "docs_bpe_encode",
     "lineitem_zorder_layout",
     "docs_incremental_simhash_dedup",
     "knn_graph_indegree",
     "knn_graph_pagerank",
+    "parts_fuzzy_name_pairs",
     # --- never driver-checked after rounds 1+2 (28) ---
     "docs_duplicate_span_pairs",
     "docs_duplicate_span_stats",
@@ -131,8 +133,11 @@ SURFACE_ORDER: tuple[str, ...] = (
     "source_quality_dashboard",
     "orders_monthly_growth",
     "customer_rfm_segments",
-    # --- re-confirmations (22): jaccard family first (prefix fix landed
-    #     this round), then one flagship per tier ---
+    # --- re-confirmations: jaccard family first (prefix scheme reworked
+    #     this round), then one flagship per tier. With the 7 round-3-born
+    #     queries prepended, the ~50-entry gate window ends partway
+    #     through this block — every entry below already carries a prior
+    #     driver-green row, so falling past the window loses nothing. ---
     "docs_ngram_jaccard_pairs",
     "docs_dedup_clusters",
     "docs_split_contamination",
