@@ -348,3 +348,40 @@ def test_cohort_retention_matches_reference(spark, tmp_path_factory, events):
         for r in events_weekly_cohort_retention(spark, str(d)).collect()
     }
     assert got == expected
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc x", min_size=0, max_size=8),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_fuzzy_join_blocking_lossless(spark, tmp_path_factory, names):
+    """The length-band blocking + thresholded verify must equal brute-force
+    Levenshtein <= k over ANY name multiset (empty strings, all-equal
+    names, spaces, length outliers)."""
+    from energy_datalake_solution_spark.operators.fuzzy import (
+        EDIT_K,
+        parts_fuzzy_name_pairs,
+    )
+    from .test_fuzzy import _levenshtein
+
+    d = tmp_path_factory.mktemp("fuzzy")
+    spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "p_partkey long, p_name string"
+    ).write.mode("overwrite").parquet(str(d / "part.parquet"))
+
+    distinct = sorted(set(names))
+    expected = {
+        (a, b, _levenshtein(a, b))
+        for i, a in enumerate(distinct)
+        for b in distinct[i + 1 :]
+        if _levenshtein(a, b) <= EDIT_K
+    }
+    got = {
+        (r.name_a, r.name_b, r.edit_distance)
+        for r in parts_fuzzy_name_pairs(spark, str(d)).collect()
+    }
+    assert got == expected
