@@ -424,3 +424,54 @@ def dedup_stream_against_corpus(stream: DataFrame, corpus_index: DataFrame) -> D
         .dropDuplicates(["doc_id", "dup_of"])
     )
     return matched
+
+
+def route_stream_by_quality(
+    stream: DataFrame,
+    lm_logp: dict,
+    vocab_size: int,
+    ctx_counts: dict,
+    accept_floor: float,
+    accept_root: str | Path,
+    quarantine_root: str | Path,
+    checkpoint_dir: str | Path,
+) -> StreamingQuery:
+    """Quality ROUTER: score arriving documents with the batch-trained
+    bigram LM and fan each micro-batch out to two sinks — accepted docs
+    (avg_logp >= accept_floor) to the curated training-corpus zone,
+    low-likelihood docs to quarantine for audit. The last mile of the
+    CCNet-style online pipeline: train offline, score+route online.
+
+    foreachBatch is the multi-sink escape hatch: one scored frame, two
+    filtered parquet appends. The scored batch is cached for the double
+    write (compute-once), and restart safety = checkpointed source
+    offsets + append-only sinks keyed by doc_id (replays re-append the
+    same rows; downstream reads dedup on doc_id, the same at-least-once
+    contract as the reference's raw zone). The routed rows carry
+    (doc_id, n_bigrams, avg_logp) — the payload stays in the lake and
+    rejoins by doc_id, so the router never hauls document text through
+    the score-and-split path (a stream self-join to re-attach text would
+    need watermarks and buys nothing).
+    """
+    scored = score_stream_with_lm(
+        stream, lm_logp, vocab_size, ctx_counts=ctx_counts
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.where(F.col("avg_logp") >= accept_floor).write.mode(
+                "append"
+            ).parquet(str(accept_root))
+            batch_df.where(F.col("avg_logp") < accept_floor).write.mode(
+                "append"
+            ).parquet(str(quarantine_root))
+        finally:
+            batch_df.unpersist()
+
+    return (
+        scored.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

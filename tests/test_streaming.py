@@ -501,3 +501,58 @@ def test_streaming_dedup_against_corpus_matches_batch(spark, tmp_path):
     for doc_id, (ham, dup_of) in best.items():
         t = batch_truth[doc_id]
         assert (ham, dup_of) == (t.best_hamming, t.dup_of), doc_id
+
+
+def test_streaming_quality_router_partitions_stream(spark, tmp_path):
+    """The router must send every scored doc to exactly one sink, split
+    exactly at the floor, with scores equal to the batch scorer's."""
+    import math
+
+    from energy_datalake_solution_spark.operators.lm import (
+        ADD_K,
+        _doc_bigrams,
+        docs_bigram_lm_score,
+    )
+    from energy_datalake_solution_spark.sources.catalog import load_table
+    from energy_datalake_solution_spark.streaming.pipeline import (
+        route_stream_by_quality,
+    )
+
+    sf = SF_ORACLE
+    batch = {r.doc_id: r for r in docs_bigram_lm_score(spark, sf).collect()}
+    # median as the floor: both sinks non-empty by construction
+    floor = sorted(r.avg_logp for r in batch.values())[len(batch) // 2]
+
+    d = load_table(spark, sf, "documents")
+    bg = _doc_bigrams(d)
+    c12 = {
+        (r.w1, r.w2): r.c
+        for r in bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    c1: dict = {}
+    for (w1, _), c in c12.items():
+        c1[w1] = c1.get(w1, 0) + c
+    vocab = len({w for p in c12 for w in p})
+    lm = {
+        p: math.log((c + ADD_K) / (c1[p[0]] + ADD_K * vocab))
+        for p, c in c12.items()
+    }
+
+    src = tmp_path / "router_src"
+    src.mkdir()
+    d.select("doc_id", "text").coalesce(1).write.json(str(src / "b0"))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src / "b0"))
+    q = route_stream_by_quality(
+        stream, lm, vocab, c1, floor,
+        tmp_path / "accept", tmp_path / "quarantine", tmp_path / "ckpt_route",
+    )
+    q.awaitTermination(120)
+
+    acc = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "accept")).collect()}
+    qua = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "quarantine")).collect()}
+    assert set(acc) and set(qua)  # both sinks non-empty at the median floor
+    assert not (set(acc) & set(qua))  # exactly one sink per doc
+    assert set(acc) | set(qua) == set(batch)
+    for doc_id, r in {**acc, **qua}.items():
+        assert abs(r.avg_logp - batch[doc_id].avg_logp) < 1e-9
+        assert (r.avg_logp >= floor) == (doc_id in acc)
