@@ -78,6 +78,19 @@ def nasty_dir(spark, tmp_path_factory):
     spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")\
         .selectExpr("vec_id", "cast(embedding as array<float>) embedding", "label")\
         .write.parquet(str(d / "embeddings.parquet"))
+
+    parts = [
+        (1, ""),                       # empty name
+        (2, ""),                       # duplicate empty name
+        (3, "x"),                      # single char (ED 1 from empty)
+        (4, "same name"),
+        (5, "same name"),              # exact duplicate
+        (6, "same nam"),               # ED 1 neighbor
+        (7, "aaaaaaaaaaaaaaaaaaaaaaa"),  # length outlier
+    ]
+    spark.createDataFrame(parts, "p_partkey long, p_name string").write.parquet(
+        str(d / "part.parquet")
+    )
     return str(d)
 
 
