@@ -81,6 +81,7 @@ def _load_all() -> None:
         temporal,
         text,
         tpch,
+        udx,
     )
 
 
@@ -104,6 +105,8 @@ SURFACE_ORDER: tuple[str, ...] = (
     "knn_graph_indegree",
     "knn_graph_pagerank",
     "parts_fuzzy_name_pairs",
+    "events_value_iqr_udaf",
+    "docs_chunk_udtf",
     # --- never driver-checked after rounds 1+2 (28) ---
     "docs_duplicate_span_pairs",
     "docs_duplicate_span_stats",
