@@ -475,3 +475,49 @@ def route_stream_by_quality(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def unattributed_impressions(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    key: str = "ad_id",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every
+    impression, matched to its within-horizon click or to NULLs if none
+    arrived — the complement of attribute_clicks_to_impressions that an
+    inner join cannot express. The business question is the NULL side:
+    which impressions never converted?
+
+    Outer semantics on two streams REQUIRE the watermark + the time-bound
+    join condition: a NULL row can only be emitted once the click-side
+    watermark has passed the impression's horizon (before that, a match
+    could still arrive). Spark holds the impression in state until that
+    point, then emits it with NULL click columns and evicts — so the
+    delayed NULL emission is the correctness cost of outer joins on
+    streams, and state stays O(rate x watermark) exactly as in the inner
+    form. `converted` flags the match so a downstream conversion-rate agg
+    is one groupBy away.
+    """
+    i = impressions.select(
+        F.col(key).alias("i_key"),
+        F.col("ts").alias("imp_ts"),
+    ).withWatermark("imp_ts", watermark)
+    c = clicks.select(
+        F.col(key).alias("c_key"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return i.join(
+        c,
+        F.expr(
+            f"i_key = c_key AND click_ts >= imp_ts "
+            f"AND click_ts <= imp_ts + INTERVAL {horizon}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("i_key").alias(key),
+        "imp_ts",
+        "click_ts",
+        F.col("click_ts").isNotNull().alias("converted"),
+    )

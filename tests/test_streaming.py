@@ -599,3 +599,78 @@ def test_streaming_quality_router_restart_exactly_once(spark, tmp_path):
     qua = tmp_path / "qua"
     if any(f.suffix == ".parquet" for f in qua.iterdir() if f.is_file()) if qua.exists() else False:
         assert spark.read.parquet(str(qua)).count() == 0
+
+
+def test_streaming_outer_interval_join_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: matched impressions carry their
+    click; impressions whose horizon passed the click watermark emit with
+    NULL click columns (the unconverted set). NULL emission needs a
+    SUBSEQUENT micro-batch after the watermark advances (state flush
+    happens at batch boundaries), so the test runs two availableNow
+    passes over the same checkpoint — exactly how a periodic production
+    trigger behaves."""
+    import json
+
+    from energy_datalake_solution_spark.streaming.pipeline import (
+        unattributed_impressions,
+    )
+
+    imp_dir, clk_dir = tmp_path / "imps", tmp_path / "clicks"
+    imp_dir.mkdir(); clk_dir.mkdir()
+
+    def run():
+        imps = (
+            spark.readStream.schema("ad_id string, ts string").json(str(imp_dir))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        clks = (
+            spark.readStream.schema("ad_id string, ts string").json(str(clk_dir))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(tmp_path / "attr_out"))
+
+        q = (
+            unattributed_impressions(imps, clks)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (imp_dir / "i.json").write_text(
+        "\n".join(
+            json.dumps({"ad_id": a, "ts": t})
+            for a, t in [
+                ("A", "2025-03-05 10:00:00"),   # converts at 10:20
+                ("B", "2025-03-05 10:00:00"),   # never converts
+            ]
+        )
+    )
+    (clk_dir / "c1.json").write_text(
+        json.dumps({"ad_id": "A", "ts": "2025-03-05 10:20:00"})
+    )
+    run()
+    # late sentinels on BOTH streams: the global watermark is the MIN of
+    # the per-stream watermarks (multipleWatermarkPolicy=min), so both
+    # sides must advance past B's horizon before the NULL row can flush
+    (clk_dir / "c2.json").write_text(
+        json.dumps({"ad_id": "Z", "ts": "2025-03-05 23:00:00"})
+    )
+    (imp_dir / "i2.json").write_text(
+        json.dumps({"ad_id": "Y", "ts": "2025-03-05 23:00:00"})
+    )
+    run()
+    # one more batch: the watermark computed at the END of the sentinel
+    # batch drives state eviction in the NEXT one
+    (clk_dir / "c3.json").write_text(
+        json.dumps({"ad_id": "Z2", "ts": "2025-03-05 23:30:00"})
+    )
+    run()
+
+    rows = {r.ad_id: r for r in spark.read.parquet(str(tmp_path / "attr_out")).collect()}
+    assert rows["A"].converted and str(rows["A"].click_ts) == "2025-03-05 10:20:00"
+    assert "B" in rows, "unmatched impression must emit after watermark"
+    assert not rows["B"].converted and rows["B"].click_ts is None
