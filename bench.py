@@ -56,7 +56,7 @@ def main() -> None:
             best = max(best, n / (time.perf_counter() - t0))
         return round(best / 1e6, 3)  # M iterations/sec
 
-    host_score = _calibrate()
+    host_score = _calibrate()  # re-sampled after the query loop, see below
 
     from energy_datalake_solution_spark.plans.registry import QUERIES, get_queries
     from energy_datalake_solution_spark.plans.session import get_spark
@@ -93,6 +93,10 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # second sample AFTER the query loop: a spike that starts mid-run is
+    # invisible to the pre-sample alone (observed: a 3x total swing with a
+    # healthy pre-run score). min(pre, post) is the honest load marker.
+    host_score_post = _calibrate()
     print(
         json.dumps(
             {
@@ -102,6 +106,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "host_mips": host_score,
+                "host_mips_post": host_score_post,
             }
         )
     )
