@@ -18,7 +18,7 @@ damping redistribution is a scalar, not a broadcast join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -134,3 +134,89 @@ def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return ranks.select("vec_id", F.round("rank", 9).alias("pagerank"))
+
+
+@register(
+    "knn_label_consistency",
+    oracle=f"""
+        WITH sims AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   round(
+                       list_sum(list_transform(range(1, 65),
+                                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+                       6) AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cosine_sim DESC, neighbor_id
+                   ) AS rank
+            FROM sims
+        ),
+        edges AS (
+            SELECT vec_id, neighbor_id FROM ranked WHERE rank <= {K_NN_GRAPH}
+        ),
+        votes AS (
+            SELECT e.vec_id, nb.label AS nbr_label, count(*) AS n_votes
+            FROM edges e JOIN embeddings nb ON e.neighbor_id = nb.vec_id
+            GROUP BY 1, 2
+        ),
+        winner AS (
+            SELECT vec_id, nbr_label,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY n_votes DESC, nbr_label
+                   ) AS rn
+            FROM votes
+        )
+        SELECT v.label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CASE WHEN w.nbr_label = v.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_consistent,
+               round(avg(CASE WHEN w.nbr_label = v.label THEN 1.0 ELSE 0.0 END), 6)
+                   AS consistency
+        FROM embeddings v JOIN winner w ON v.vec_id = w.vec_id AND w.rn = 1
+        GROUP BY v.label
+    """,
+    tags=("graph", "similarity", "quality"),
+)
+def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label k-NN consistency: for every vector, the majority label of
+    its 5 nearest neighbors (ties -> smallest label), aggregated to the
+    fraction of each class whose neighborhood agrees with it — the
+    standard embedding-space quality audit (low consistency = labels that
+    are noise or classes the embedding doesn't separate; the same
+    leave-one-out vote is the kNN-classifier accuracy on the corpus).
+
+    Pure composition: oracled adjacency -> broadcast label join (the
+    label table is 12 bytes/vector) -> two edge-list-sized aggregations.
+    Every shuffle is on vec_id or (vec_id, label) — N*K rows, never N^2.
+    """
+    from ..sources.catalog import load_table
+
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    edges = embeddings_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    votes = (
+        edges.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("neighbor_id"),
+                                      F.col("label").alias("nbr_label"))),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("n_votes").desc(), "nbr_label")
+    winner = votes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        labels.join(winner.select("vec_id", "nbr_label"), "vec_id")
+        .select("label", (F.col("nbr_label") == F.col("label")).cast("int").alias("ok"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("ok").cast("long").alias("n_consistent"),
+            F.round(F.avg("ok"), 6).alias("consistency"),
+        )
+    )

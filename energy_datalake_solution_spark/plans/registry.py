@@ -107,6 +107,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "parts_fuzzy_name_pairs",
     "events_value_iqr_udaf",
     "docs_chunk_udtf",
+    "knn_label_consistency",
     # --- never driver-checked after rounds 1+2 (28) ---
     "docs_duplicate_span_pairs",
     "docs_duplicate_span_stats",
