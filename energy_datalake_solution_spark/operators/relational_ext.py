@@ -716,3 +716,79 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.alias("m_quartile"),
         F.concat_ws("-", r, f, m).alias("segment"),
     )
+
+
+@register(
+    "scd2_customer_dim",
+    oracle="""
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+               TIMESTAMP '2025-01-01 00:00:00' AS valid_from,
+               TIMESTAMP '2025-06-01 00:00:00' AS valid_to,
+               false AS is_current
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT CAST(c_custkey AS BIGINT), 'MOVED',
+               TIMESTAMP '2025-06-01 00:00:00',
+               CAST(NULL AS TIMESTAMP), true
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT CAST(c_custkey AS BIGINT), c_mktsegment,
+               TIMESTAMP '2025-01-01 00:00:00',
+               CAST(NULL AS TIMESTAMP), true
+        FROM customer WHERE c_custkey % 7 <> 0
+        UNION ALL
+        SELECT CAST(c_custkey + 1000000 AS BIGINT), 'NEW',
+               TIMESTAMP '2025-06-01 00:00:00',
+               CAST(NULL AS TIMESTAMP), true
+        FROM customer WHERE c_custkey % 7 = 5
+    """,
+    tags=("merge", "scd2", "dimension"),
+)
+def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 versioning under the value gate: seed the customer
+    dimension as of 2025-01-01, then apply one update batch
+    (segment change for custkey%7==0 -> history row closes + new current
+    opens; no-op update for %7==3 -> row untouched; brand-new keys
+    +1,000,000 for %7==5 -> inserted current) through
+    sources/merge.py::scd2_apply. The oracle states the expected
+    versioned dimension directly, so the full-outer-join CASE logic —
+    close, carry, open, insert — is value-checked row for row, not just
+    pytest-scenario-checked (tests/test_properties.py holds the
+    any-input invariants).
+    """
+    from ..sources.merge import scd2_apply
+
+    ts0, ts1 = "2025-01-01 00:00:00", "2025-06-01 00:00:00"
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_mktsegment",
+        F.lit(ts0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    k7 = F.pmod("c_custkey", F.lit(7))
+    eff = F.lit(ts1).cast("timestamp").alias("effective_ts")
+    updates = (
+        c.where(k7 == 0)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.lit("MOVED").alias("c_mktsegment"),
+            eff,
+        )
+        .unionByName(
+            c.where(k7 == 3).select(
+                F.col("c_custkey").cast("long").alias("c_custkey"),
+                "c_mktsegment",
+                eff,
+            )
+        )
+        .unionByName(
+            c.where(k7 == 5).select(
+                (F.col("c_custkey") + 1_000_000).cast("long").alias("c_custkey"),
+                F.lit("NEW").alias("c_mktsegment"),
+                eff,
+            )
+        )
+    )
+    return scd2_apply(base, updates, "c_custkey", ["c_mktsegment"], "effective_ts")

@@ -108,6 +108,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "events_value_iqr_udaf",
     "docs_chunk_udtf",
     "knn_label_consistency",
+    "scd2_customer_dim",
     # --- never driver-checked after rounds 1+2 (28) ---
     "docs_duplicate_span_pairs",
     "docs_duplicate_span_stats",
