@@ -513,6 +513,7 @@ INGEST_MOD, INGEST_REM = 10, 7  # doc_id % 10 == 7 plays the incoming batch
                CAST(coalesce(best.hamming, -1) AS BIGINT) AS best_hamming
         FROM batch b LEFT JOIN best ON b.doc_id = best.b_id AND best.rn = 1
     """,
+    headline=True,
     tags=("dedup", "incremental"),
 )
 def docs_incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -563,6 +563,7 @@ NB_KNN = 8  # data-side block count for the blocked all-pairs scan
         SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, cosine_sim
         FROM ranked WHERE rank <= {K_NN_GRAPH}
     """,
+    headline=True,
     tags=("similarity", "graph"),
 )
 def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
