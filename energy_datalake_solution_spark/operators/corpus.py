@@ -434,3 +434,62 @@ def docs_multitier_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("tier")), ",").alias("tiers"),
         F.count_distinct("tier").alias("n_tiers"),
     )
+
+
+@register(
+    "docs_dup_rate_by_source",
+    oracle=None,  # assigned below: wraps the registered jaccard oracle as a CTE
+    tags=("dedup", "corpus", "quality"),
+)
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplication rate: the fraction of each source's
+    documents that participate in at least one exact-Jaccard near-dup
+    pair — the per-provider contamination figure a data-sourcing report
+    leads with (a source with a high dup rate is re-crawling or mirroring
+    content the corpus already has).
+
+    Composition: oracled PPJoin pairs -> explode to pair members ->
+    distinct doc set -> broadcast-join source labels -> per-source rate
+    against total counts. Every aggregate is source-cardinality sized;
+    the oracle TEXTUALLY wraps docs_ngram_jaccard_pairs' oracle as a CTE,
+    so both engines run the same pair semantics.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.docs_ngram_jaccard_pairs(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dup_docs"),
+            F.round(
+                F.sum(F.coalesce("is_dup", F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+QUERIES["docs_dup_rate_by_source"].oracle = f"""
+    WITH pairs AS ({QUERIES["docs_ngram_jaccard_pairs"].oracle}),
+    dup_docs AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL
+            SELECT doc_b FROM pairs
+        )
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           round(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+    GROUP BY d.source
+"""

@@ -109,6 +109,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "docs_chunk_udtf",
     "knn_label_consistency",
     "scd2_customer_dim",
+    "docs_dup_rate_by_source",
     # --- never driver-checked after rounds 1+2 (28) ---
     "docs_duplicate_span_pairs",
     "docs_duplicate_span_stats",
