@@ -385,3 +385,75 @@ def test_fuzzy_join_blocking_lossless(spark, tmp_path_factory, names):
         for r in parts_fuzzy_name_pairs(spark, str(d)).collect()
     }
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "e f"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=14,
+    ),
+)
+@settings(**SETTINGS)
+def test_incremental_simhash_dedup_matches_python_reference(
+    spark, tmp_path_factory, docs
+):
+    """The full fingerprint -> banding -> Hamming-verify -> best-match
+    chain must equal an independent pure-Python simhash implementation on
+    ANY corpus (the oracle mirrors the SQL; this reference shares no code
+    or engine with either side)."""
+    import hashlib
+
+    from energy_datalake_solution_spark.operators.dedup import (
+        HAMMING_THRESHOLD,
+        INGEST_MOD,
+        INGEST_REM,
+        SIMHASH_BANDS,
+        docs_incremental_simhash_dedup,
+    )
+
+    texts = [" ".join(words) for words in docs]
+
+    def py_simhash(text: str) -> int:
+        votes = [0] * 60
+        for t in set(text.split(" ")):
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(60) if votes[b] > 0)
+
+    fps = {i: py_simhash(t) for i, t in enumerate(texts)}
+    batch = {i for i in fps if i % INGEST_MOD == INGEST_REM}
+    corpus = set(fps) - batch
+
+    def bands(sh):
+        return {(b, (sh >> (b * 15)) & 32767) for b in range(SIMHASH_BANDS)}
+
+    expected = {}
+    for b_id in batch:
+        best = None
+        for c_id in corpus:
+            if bands(fps[b_id]) & bands(fps[c_id]):
+                ham = bin(fps[b_id] ^ fps[c_id]).count("1")
+                if ham <= HAMMING_THRESHOLD:
+                    cand = (ham, c_id)
+                    best = cand if best is None or cand < best else best
+        expected[b_id] = best
+
+    d = tmp_path_factory.mktemp("incdedup")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {
+        r.doc_id: r for r in docs_incremental_simhash_dedup(spark, str(d)).collect()
+    }
+    assert set(got) == batch
+    for b_id in batch:
+        r = got[b_id]
+        if expected[b_id] is None:
+            assert (r.is_dup, r.dup_of, r.best_hamming) == (False, -1, -1), b_id
+        else:
+            ham, c_id = expected[b_id]
+            assert (r.is_dup, r.dup_of, r.best_hamming) == (True, c_id, ham), b_id
