@@ -27,9 +27,18 @@ def main() -> None:
     ap.add_argument(
         "--repeat",
         type=int,
-        default=2,
+        default=3,
         help="timed repetitions; best run wins (first run pays JVM/codegen "
-        "warmup, which is noise relative to steady-state throughput)",
+        "warmup, which is noise relative to steady-state throughput; 3 by "
+        "default because checkpoint-heavy queries are bimodal and best-of-2 "
+        "has been observed to record a 6x host-noise outlier)",
+    )
+    ap.add_argument(
+        "--max-retries",
+        type=int,
+        default=2,
+        help="extra best-of re-runs granted to queries flagged noisy "
+        "(low per-query host_mips or >2x spread across repetitions)",
     )
     args = ap.parse_args()
 
@@ -44,17 +53,17 @@ def main() -> None:
     # 2-3x run-to-run; cross-round bench ratios divide by this score to
     # separate code regressions from host noise (lower score = busier
     # host). Taken BEFORE the JVM starts so it measures the host, not us.
+    def _spin(dur: float = 0.25) -> float:
+        n, t0 = 0, time.perf_counter()
+        x = 1.0
+        while time.perf_counter() - t0 < dur:
+            for _ in range(10_000):
+                x = x * 1.0000001 + 1e-9
+            n += 10_000
+        return round(n / (time.perf_counter() - t0) / 1e6, 3)  # M iters/sec
+
     def _calibrate() -> float:
-        best = 0.0
-        for _ in range(3):
-            n, t0 = 0, time.perf_counter()
-            x = 1.0
-            while time.perf_counter() - t0 < 0.33:
-                for _ in range(10_000):
-                    x = x * 1.0000001 + 1e-9
-                n += 10_000
-            best = max(best, n / (time.perf_counter() - t0))
-        return round(best / 1e6, 3)  # M iterations/sec
+        return max(_spin(0.33) for _ in range(3))
 
     host_score = _calibrate()  # re-sampled after the query loop, see below
 
@@ -80,18 +89,44 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     spark.range(1000).localCheckpoint(eager=True).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        spec = QUERIES[name]
-        best = None
-        for _ in range(max(1, args.repeat)):
+    def _time_runs(spec, n_runs: int) -> list[float]:
+        runs = []
+        for _ in range(max(1, n_runs)):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.count()  # full execution; driver only receives the count
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        return runs
 
+    # Per-query host sample taken immediately before each query: a load
+    # spike confined to one query's measurement window is invisible to the
+    # pre/post whole-run samples (observed: one checkpoint-heavy query
+    # recording 6.2x its quiet-host time while the other 14 headliners sat
+    # within 1.04x — the whole-run markers looked merely "slightly busy").
+    timings: dict[str, float] = {}
+    query_mips: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in names:
+        spec = QUERIES[name]
+        query_mips[name] = _spin()
+        runs = _time_runs(spec, args.repeat)
+        timings[name] = min(runs)
+        spreads[name] = max(runs) / max(min(runs), 1e-9)
+
+    # Noise-triggered retry pass: any query measured while the host was
+    # observably busy (per-query mips < 75% of the run's best sample) or
+    # whose repetitions disagreed >2x gets extra best-of attempts. min()
+    # with the earlier best is always sound — a slow run can only ever
+    # OVERstate a query's cost.
+    ref_mips = max([host_score, *query_mips.values()])
+    retried: list[str] = []
+    for name in names:
+        if query_mips[name] < 0.75 * ref_mips or spreads[name] > 2.0:
+            extra = _time_runs(QUERIES[name], args.max_retries)
+            timings[name] = min(timings[name], *extra)
+            retried.append(name)
+
+    timings = {n: round(v, 3) for n, v in timings.items()}
     total = round(sum(timings.values()), 3)
     # second sample AFTER the query loop: a spike that starts mid-run is
     # invisible to the pre-sample alone (observed: a 3x total swing with a
@@ -107,6 +142,8 @@ def main() -> None:
                 "sf": sf,
                 "host_mips": host_score,
                 "host_mips_post": host_score_post,
+                "query_mips": query_mips,
+                "retried": retried,
             }
         )
     )

@@ -34,7 +34,25 @@ JACCARD_THRESHOLD = 0.5
 MAX_SHINGLE_DF = 100        # inverted-index df cap (skew + quality guard)
 SIMHASH_BITS = 60           # from 15 hex chars of md5 (fits signed int64)
 SIMHASH_BANDS = 4           # 4 bands x 15 bits
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS   # 15
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1    # 32767
 HAMMING_THRESHOLD = 8
+
+
+def simhash_band_key_col():
+    """Band-key extraction for a (simhash, band) row — the ONE definition
+    used by the batch operators, the streaming twin, and (via the SQL
+    variant below) the DuckDB oracles, so a constant change can't desync
+    them."""
+    return F.expr(f"shiftright(simhash, band * {SIMHASH_BAND_BITS})").bitwiseAND(
+        SIMHASH_BAND_MASK
+    )
+
+
+# SQL fragment of the same extraction for oracle CTEs (DuckDB dialect)
+SIMHASH_BAND_KEY_SQL = (
+    f"(simhash >> (b.band * {SIMHASH_BAND_BITS})) & {SIMHASH_BAND_MASK}"
+)
 
 
 # --------------------------------------------------------------------------
@@ -306,7 +324,7 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH {_simhash_oracle_fp()},
         banded AS (
             SELECT doc_id, simhash, b.band AS band,
-                   (simhash >> (b.band * 15)) & 32767 AS band_key
+                   {SIMHASH_BAND_KEY_SQL} AS band_key
             FROM fp, UNNEST(range(0, {SIMHASH_BANDS})) AS b(band)
         ),
         cand AS (
@@ -340,7 +358,7 @@ def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = docs_simhash(spark, sf_dir).localCheckpoint(eager=False)
     band = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band")
     banded = fp.select("doc_id", "simhash", band).withColumn(
-        "band_key", F.expr("shiftright(simhash, band * 15)").bitwiseAND(32767)
+        "band_key", simhash_band_key_col()
     )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -365,9 +383,74 @@ def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# 4. MinHash-LSH approximate near-dup join (rows-only check)
+# 4. MinHash-LSH approximate near-dup join (banding mirrored in the oracle)
 # --------------------------------------------------------------------------
-@register("docs_minhash_lsh_pairs", oracle=None, tags=("dedup", "approx"))
+MINHASH_N_HASH, MINHASH_N_BANDS = 16, 8  # r = 2
+
+
+def _minhash_oracle() -> str:
+    """DuckDB mirror of the full MinHash-LSH pipeline — same md5-derived
+    shingle hashes, same seeded minhash slots, same (band, k1, k2) bucket
+    join, same exact-Jaccard verify — so the driver hash-checks VALUES.
+    The LSH *recall* claim (which true pairs the banding surfaces) is
+    still pinned separately by the hash-free brute-force reference in
+    tests/test_ann_recall.py; an oracle that mirrors the banding cannot
+    see a recall gap by construction."""
+    mins = ",\n                   ".join(
+        f"min(('0x' || substr(md5(CAST({s} AS VARCHAR) || ':' || CAST(sh AS VARCHAR)), 1, 15))::BIGINT)"
+        for s in range(MINHASH_N_HASH)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE len(string_split(text, ' ')) >= 3
+        ),
+        idx AS (
+            SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i FROM toks
+        ),
+        shingles AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+                       AS sh
+            FROM idx
+        ),
+        mh AS (
+            SELECT doc_id,
+                   [{mins}] AS mh,
+                   list(DISTINCT sh) AS shs
+            FROM shingles GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, b.band AS band,
+                   mh[b.band * 2 + 1] AS k1, mh[b.band * 2 + 2] AS k2
+            FROM mh, UNNEST(range(0, {MINHASH_N_BANDS})) AS b(band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+                 AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT c.doc_a, c.doc_b,
+                   len(list_intersect(ma.shs, mb.shs)) AS inter,
+                   len(ma.shs) + len(mb.shs) - len(list_intersect(ma.shs, mb.shs)) AS un,
+                   CAST(list_sum(list_transform(range(1, {MINHASH_N_HASH + 1}),
+                            i -> CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END))
+                        AS DOUBLE) / ({float(MINHASH_N_HASH)!r})::DOUBLE AS est
+            FROM cand c
+            JOIN mh ma ON c.doc_a = ma.doc_id
+            JOIN mh mb ON c.doc_b = mb.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(inter / un, 6) AS jaccard,
+               round(est, 4) AS est_jaccard
+        FROM verified
+        WHERE round(inter / un, 6) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("docs_minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "approx"))
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate Jaccard near-dup pairs via banded MinHash-LSH over the
     SAME word-3-gram shingle sets as the exact operator — approximating a
@@ -375,10 +458,12 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and on a shared-vocabulary corpus unigram Jaccard is ~1 for everything,
     which blows the candidate set up to ~n^2.
 
-    16 deterministic minhash functions (xxhash64 seeded by slot), banded as
-    b=8 bands x r=2 rows — the classic (b, r) construction with match
-    probability 1-(1-J^2)^8 (~90% at J=0.5, ~100% at J=0.8). The AND within
-    a band is what makes this scale: a candidate bucket requires TWO
+    16 deterministic minhash functions (md5-derived, seeded by slot — md5
+    rather than xxhash64 so the DuckDB oracle reproduces every hash
+    bit-for-bit and the driver gate checks VALUES, not just row counts),
+    banded as b=8 bands x r=2 rows — the classic (b, r) construction with
+    match probability 1-(1-J^2)^8 (~90% at J=0.5, ~100% at J=0.8). The AND
+    within a band is what makes this scale: a candidate bucket requires TWO
     minhash agreements, so hot buckets collapse and the bucket join stays
     near-linear at 100 TB. Candidates dedup on the bare (doc_a, doc_b) key
     (16 bytes — never haul the signature arrays through a shuffle).
@@ -386,21 +471,26 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates are then VERIFIED EXACTLY: the pair rejoins the hashed
     shingle sets and the TRUE Jaccard (array_intersect over the distinct
     shingle-hash sets — identical to string-set Jaccard modulo negligible
-    xxhash64 collisions) gates the output, with the signature-based
-    matching-slots/16 estimate carried alongside for diagnostics. So ONLY
-    candidate generation is approximate (recall < 1 by design -> rows-only
-    driver check); emitted pairs and their jaccard values are exact — zero
-    false positives, pinned by the brute-force equivalence test in
-    tests/test_ann_recall.py::test_minhash_verify_stage_exact. The exact
-    counterpart (docs_ngram_jaccard_pairs) bounds the result from above.
+    60-bit-hash collisions) gates the output, with the signature-based
+    matching-slots/16 estimate carried alongside for diagnostics. The
+    oracle mirrors the banding, so the driver checks end-to-end values;
+    LSH recall vs ground truth (>= 0.9 candidate recall, zero false
+    positives, bit-equal jaccard) is pinned by the hash-free brute-force
+    reference in tests/test_ann_recall.py::test_minhash_verify_stage_exact.
+    The exact counterpart (docs_ngram_jaccard_pairs) bounds the result
+    from above.
     """
-    N_HASH, N_BANDS = 16, 8  # r = 2
+    N_HASH, N_BANDS = MINHASH_N_HASH, MINHASH_N_BANDS
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 3)
     idx = F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i")
+
+    def _md5_60(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
     shingle = toks.select("doc_id", "w", idx).select(
         "doc_id",
-        F.xxhash64(
+        _md5_60(
             F.concat_ws(
                 " ",
                 F.element_at("w", F.col("i")),
@@ -413,7 +503,12 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage) in ONE groupBy pass over the exploded shingles
     mh = shingle.groupBy("doc_id").agg(
         F.array(
-            *[F.min(F.xxhash64(F.lit(s), F.col("sh"))) for s in range(N_HASH)]
+            *[
+                F.min(
+                    _md5_60(F.concat_ws(":", F.lit(s), F.col("sh").cast("string")))
+                )
+                for s in range(N_HASH)
+            ]
         ).alias("mh"),
         F.collect_set("sh").alias("shs"),
     )
@@ -481,12 +576,12 @@ INGEST_MOD, INGEST_REM = 10, 7  # doc_id % 10 == 7 plays the incoming batch
         ),
         bb AS (
             SELECT doc_id, simhash, b.band AS band,
-                   (simhash >> (b.band * 15)) & 32767 AS band_key
+                   {SIMHASH_BAND_KEY_SQL} AS band_key
             FROM batch, UNNEST(range(0, {{n_bands}})) AS b(band)
         ),
         cb AS (
             SELECT doc_id, simhash, b.band AS band,
-                   (simhash >> (b.band * 15)) & 32767 AS band_key
+                   {SIMHASH_BAND_KEY_SQL} AS band_key
             FROM corpus, UNNEST(range(0, {{n_bands}})) AS b(band)
         ),
         cand AS (
@@ -521,8 +616,12 @@ def docs_incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     (doc_id % INGEST_MOD == INGEST_REM stands in for the new arrivals)
     against the STANDING corpus's simhash index, without touching
     corpus-vs-corpus pairs at all. One row per batch doc: its best
-    (lowest-Hamming, lowest-id) corpus match within HAMMING_THRESHOLD, or
-    is_dup = false.
+    (lowest-Hamming, lowest-id) BANDING-CANDIDATE corpus match — i.e. the
+    best match among pairs that agree on at least one full 15-bit band.
+    Banding is pigeonhole-complete only for Hamming <= SIMHASH_BANDS - 1
+    (= 3); a true match at distance 4..HAMMING_THRESHOLD that shares no
+    full band is NOT found. The HAMMING_THRESHOLD filter bounds which
+    candidates are *reported*, not recall.
 
     This is the operator an incremental pipeline runs per ingest cycle —
     the corpus index is write-once (at scale: the persisted fingerprint
@@ -545,10 +644,7 @@ def docs_incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     def banded(df, id_alias, sh_alias):
         return (
             df.select("doc_id", "simhash", band)
-            .withColumn(
-                "band_key",
-                F.expr("shiftright(simhash, band * 15)").bitwiseAND(32767),
-            )
+            .withColumn("band_key", simhash_band_key_col())
             .select(
                 F.col("doc_id").alias(id_alias),
                 F.col("simhash").alias(sh_alias),

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from .similarity import K_NN_GRAPH, embeddings_knn_graph
+from .similarity import KNN_ORACLE_EDGES_CTE, K_NN_GRAPH, embeddings_knn_graph
 
 PR_DAMPING = 0.85
 PR_ITERATIONS = 10
@@ -31,27 +31,7 @@ PR_ITERATIONS = 10
 @register(
     "knn_graph_indegree",
     oracle=f"""
-        WITH sims AS (
-            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-                   round(
-                       list_sum(list_transform(range(1, 65),
-                                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-                       / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-                          * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
-                       6) AS cosine_sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        ),
-        ranked AS (
-            SELECT vec_id, neighbor_id,
-                   row_number() OVER (
-                       PARTITION BY vec_id
-                       ORDER BY cosine_sim DESC, neighbor_id
-                   ) AS rank
-            FROM sims
-        ),
-        edges AS (
-            SELECT vec_id, neighbor_id FROM ranked WHERE rank <= {K_NN_GRAPH}
-        ),
+        WITH {KNN_ORACLE_EDGES_CTE},
         indeg AS (
             SELECT e.neighbor_id AS vec_id, count(*) AS in_degree
             FROM edges e GROUP BY 1
@@ -89,7 +69,47 @@ def knn_graph_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_graph_pagerank", oracle=None, tags=("graph", "similarity", "iterative"))
+def _pagerank_oracle() -> str:
+    """Unroll the FIXED PR_ITERATIONS damped power iterations into chained
+    CTEs — no recursion needed, so the iterative operator graduates from a
+    rows-only check to a full hash-checked oracle. Each r{{i}} mirrors one
+    Spark round exactly: inflow = sum(rank/K) grouped by target, then
+    base + damping * coalesce(inflow, 0) over all nodes. Constants are
+    emitted with repr() so the SQL literals parse to the bit-identical
+    doubles the Python driver code uses; summation order still differs
+    between engines, but 10 iterations of ~1e-16 relative drift sit far
+    inside the round(9) emitted precision."""
+    base = f"({(1.0 - PR_DAMPING)!r})::DOUBLE / nn.n"
+    iters = []
+    for i in range(1, PR_ITERATIONS + 1):
+        iters.append(f"""
+        r{i} AS (
+            SELECT nodes.vec_id,
+                   {base} + ({PR_DAMPING!r})::DOUBLE * coalesce(c.inflow, (0.0)::DOUBLE)
+                       AS rank
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.neighbor_id AS vec_id,
+                       sum(r{i - 1}.rank / ({float(K_NN_GRAPH)!r})::DOUBLE) AS inflow
+                FROM edges e JOIN r{i - 1} ON e.vec_id = r{i - 1}.vec_id
+                GROUP BY 1
+            ) c ON nodes.vec_id = c.vec_id
+        )""")
+    return f"""
+        WITH {KNN_ORACLE_EDGES_CTE},
+        nodes AS (SELECT DISTINCT vec_id FROM edges),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT vec_id, (1.0)::DOUBLE / nn.n AS rank FROM nodes CROSS JOIN nn),
+        {",".join(iters)}
+        SELECT vec_id, round(rank, 9) AS pagerank FROM r{PR_ITERATIONS}
+    """
+
+
+@register(
+    "knn_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "similarity", "iterative"),
+)
 def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the directed k-NN graph (damping 0.85, fixed
     PR_ITERATIONS power iterations) — centrality for representative
@@ -103,9 +123,12 @@ def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components loop). Driver traffic is zero until the final
     collect-free return.
 
-    Iterative fixpoint -> no SQL oracle (rows-only driver check); exact
-    equivalence with a numpy power iteration on the same edges is pinned
-    in tests/test_graph.py.
+    The iteration count is FIXED, so the "iterative" fixpoint is
+    SQL-expressible after all: the oracle unrolls the 10 rounds into
+    chained CTEs (see _pagerank_oracle) and the driver hash-checks values,
+    not just row counts. Exact equivalence with an independent numpy power
+    iteration on the same edges is additionally pinned in
+    tests/test_graph.py.
     """
     edges = (
         embeddings_knn_graph(spark, sf_dir)
@@ -139,27 +162,7 @@ def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_label_consistency",
     oracle=f"""
-        WITH sims AS (
-            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-                   round(
-                       list_sum(list_transform(range(1, 65),
-                                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-                       / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-                          * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
-                       6) AS cosine_sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        ),
-        ranked AS (
-            SELECT vec_id, neighbor_id,
-                   row_number() OVER (
-                       PARTITION BY vec_id
-                       ORDER BY cosine_sim DESC, neighbor_id
-                   ) AS rank
-            FROM sims
-        ),
-        edges AS (
-            SELECT vec_id, neighbor_id FROM ranked WHERE rank <= {K_NN_GRAPH}
-        ),
+        WITH {KNN_ORACLE_EDGES_CTE},
         votes AS (
             SELECT e.vec_id, nb.label AS nbr_label, count(*) AS n_votes
             FROM edges e JOIN embeddings nb ON e.neighbor_id = nb.vec_id

@@ -488,6 +488,10 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "n_words": [], "n_chars": [], "n_tokens": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # NULL text encodes as the empty document (mirrors the
+                # UDTF chunker's None guard) instead of crashing the job
+                if text is None:
+                    text = ""
                 words = [w for w in text.replace("\n", " ").split(" ") if w]
                 nc = nt = 0
                 for w in words:

@@ -1,9 +1,12 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic stub behind `mapInPandas` — but everything Spark-side is real:
-schema (binary + struct metadata), Arrow batch transfer, partition-preserving
-pandas iteration, and the pattern of keeping large blobs out of shuffle keys.
+The container has no image/audio codec LIBRARIES, so compressed-format
+decode stays a deterministic stub behind `mapInPandas` — but header
+parsing (sniff_container_headers) and uncompressed WAV PCM sample decode
+(decode_wav_pcm_stats, numpy-only) are REAL, and everything Spark-side is
+real throughout: schema (binary + struct metadata), Arrow batch transfer,
+partition-preserving pandas iteration, and the pattern of keeping large
+blobs out of shuffle keys.
 
 At 100 TB: blobs live in their own column (parquet stores them contiguously;
 column pruning means metadata-only queries never read the bytes), and every
@@ -342,6 +345,183 @@ def sniff_container_headers(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in SNIFF_SCHEMA.fields])
 
     return df.mapInPandas(batches, SNIFF_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# WAV PCM decode — REAL sample decode (no codec library needed)
+# --------------------------------------------------------------------------
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("peak_amp", T.IntegerType()),
+        T.StructField("rms_amp", T.DoubleType()),
+    ]
+)
+
+
+def synth_wav_pcm_payload(df: DataFrame) -> DataFrame:
+    """Synthesize COMPLETE, spec-valid 16-bit PCM WAV files per doc (RIFF
+    header + fmt chunk + interleaved data chunk). Channel count, frame
+    count, sample rate, and every sample amplitude derive arithmetically
+    from doc_id — amp(k, c) = ((doc_id*7919 + k*31 + c*17) % 2003) - 1001
+    — so a SQL oracle can recompute the decoded statistics without ever
+    parsing bytes. The WAV container itself is real: a standard decoder
+    would read these files."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_ch = 1 + i % 2
+                n_frames = 50 + i % 17
+                sr = 8000 + (i % 5) * 8000
+                k = np.arange(n_frames, dtype=np.int64)[:, None]
+                c = np.arange(n_ch, dtype=np.int64)[None, :]
+                amps = ((i * 7919 + k * 31 + c * 17) % 2003) - 1001
+                data = amps.astype("<i2").tobytes()  # interleaved frames
+                block_align = n_ch * 2
+                fmt = struct.pack("<HHIIHH", 1, n_ch, sr, sr * block_align, block_align, 16)
+                buf = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                rows.append({"doc_id": doc_id, "payload": buf})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_wav_pcm_stats(df: DataFrame) -> DataFrame:
+    """REAL audio decode — not a stub: walk the RIFF chunk list, parse the
+    fmt chunk (PCM tag, channels, rate, bit depth), slice the data chunk
+    into an interleaved int16 numpy matrix, and reduce per-channel
+    mean / peak(|amp|) / RMS. This is the pixel/sample-access tier the
+    earlier rounds gated behind NotImplementedError; uncompressed PCM
+    needs only numpy, so here the gate lifts. Arrow-batched mapInPandas;
+    payload bytes stay inside the map stage (stats are the only shuffled
+    columns). At 100 TB the same kernel shape handles any fixed-rate
+    uncompressed format; compressed codecs slot in behind the identical
+    (binary in, stats out) contract."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def decode(buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(buf):
+                cid, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+                body = buf[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", body[:16])
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)  # chunks are word-aligned
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            audio_fmt, n_ch, sr, _, _, bits = fmt
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported encoding: fmt={audio_fmt} bits={bits}")
+            return np.frombuffer(data, dtype="<i2").reshape(-1, n_ch), sr
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, sr = decode(bytes(payload))
+                n_frames = samples.shape[0]
+                for ch in range(samples.shape[1]):
+                    col = samples[:, ch].astype(np.float64)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "channel": ch,
+                            "n_frames": n_frames,
+                            "sample_rate": sr,
+                            "mean_amp": round(float(col.sum() / n_frames), 6),
+                            "peak_amp": int(np.abs(col).max()),
+                            "rms_amp": round(
+                                float(np.sqrt((col * col).sum() / n_frames)), 6
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_STATS_SCHEMA.fields])
+
+    return df.mapInPandas(batches, WAV_STATS_SCHEMA)
+
+
+@register(
+    "multimodal_wav_pcm_stats",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id,
+                   1 + doc_id % 2 AS n_channels,
+                   50 + doc_id % 17 AS n_frames,
+                   8000 + (doc_id % 5) * 8000 AS sample_rate
+            FROM documents
+        ),
+        frames AS (
+            SELECT doc_id, n_channels, n_frames, sample_rate,
+                   UNNEST(range(0, n_frames)) AS k
+            FROM params
+        ),
+        samples AS (
+            SELECT doc_id, n_frames, sample_rate, k,
+                   UNNEST(range(0, n_channels)) AS channel
+            FROM frames
+        ),
+        amps AS (
+            SELECT doc_id, n_frames, sample_rate, channel,
+                   ((doc_id * 7919 + k * 31 + channel * 17) % 2003) - 1001 AS amp
+            FROM samples
+        )
+        SELECT doc_id,
+               CAST(channel AS INT) AS channel,
+               CAST(n_frames AS INT) AS n_frames,
+               CAST(sample_rate AS INT) AS sample_rate,
+               round(avg(amp), 6) AS mean_amp,
+               CAST(max(abs(amp)) AS INT) AS peak_amp,
+               round(sqrt(avg(CAST(amp * amp AS DOUBLE))), 6) AS rms_amp
+        FROM amps
+        GROUP BY doc_id, channel, n_frames, sample_rate
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel PCM sample statistics (mean / peak / RMS amplitude)
+    decoded from REAL WAV bytes. The payloads are complete spec-valid
+    16-bit PCM WAV files whose samples derive arithmetically from doc_id;
+    the Spark side genuinely parses the RIFF container and slices the
+    interleaved samples with numpy, while the oracle recomputes the same
+    statistics from the generating formula — a single mis-parsed header
+    field, endianness slip, or channel de-interleave bug fails the hash
+    gate. (Round-4 graduation of the decode tier the multimodal suite
+    previously stubbed; see decode_and_featurize.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_wav_pcm_stats(synth_wav_pcm_payload(d))
 
 
 @register(

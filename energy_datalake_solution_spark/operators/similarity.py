@@ -32,6 +32,10 @@ from ..sources.catalog import load_table
 
 N_QUERIES = 10   # vec_id < 10 are the "query" vectors
 TOP_K = 5
+LSH_SIG_BITS = 16            # random-hyperplane signature width
+LSH_BANDS = 4                # bands over the signature
+LSH_BAND_BITS = LSH_SIG_BITS // LSH_BANDS    # 4
+LSH_BAND_MASK = (1 << LSH_BAND_BITS) - 1     # 15
 
 
 @register(
@@ -111,7 +115,7 @@ def _distinct_directions(e: DataFrame) -> int:
     ).collect()[0][0]
 
 
-@register("embeddings_lsh_ann", oracle=None, tags=("similarity", "approx"))
+@register("embeddings_lsh_ann", oracle=None, headline=True, tags=("similarity", "approx"))
 def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane (sign) LSH — the scale path.
 
@@ -139,7 +143,7 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 if int(hashlib.md5(f"plane{p}dim{d}".encode()).hexdigest()[:8], 16) % 2 else -1.0
             for d in range(64)
         ]
-        for p in range(16)
+        for p in range(LSH_SIG_BITS)
     ]
     planes_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
 
@@ -150,7 +154,7 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.aggregate(
             F.transform(
-                F.sequence(F.lit(0), F.lit(15)),
+                F.sequence(F.lit(0), F.lit(LSH_SIG_BITS - 1)),
                 lambda p: F.when(
                     dot(F.col("embedding"), F.element_at("planes", p + 1)) > 0,
                     F.pow(F.lit(2.0), p).cast("int"),
@@ -160,16 +164,20 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("sig"),
     )
-    band = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
+    band = F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band")
     banded = sig.select("vec_id", "embedding", "sig", band).withColumn(
-        "band_key", F.expr("shiftright(sig, band * 4)").bitwiseAND(15)
+        "band_key",
+        F.expr(f"shiftright(sig, band * {LSH_BAND_BITS})").bitwiseAND(LSH_BAND_MASK),
     )
     q = banded.where(F.col("vec_id") < N_QUERIES).withColumn(
         "band_key",
         F.explode(
             F.array(
                 F.col("band_key"),
-                *[F.col("band_key").bitwiseXOR(F.lit(1 << b)) for b in range(4)],
+                *[
+                    F.col("band_key").bitwiseXOR(F.lit(1 << b))
+                    for b in range(LSH_BAND_BITS)
+                ],
             )
         ),
     )
@@ -199,7 +207,7 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embeddings_ivf_ann", oracle=None, tags=("similarity", "approx"))
+@register("embeddings_ivf_ann", oracle=None, headline=True, tags=("similarity", "approx"))
 def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize candidates to seeded KMeans centroids,
     probe the nearest 6 of 8 spherical centroids per query, exact cosine within probes.
@@ -385,7 +393,7 @@ def embeddings_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = a_rep.unionByName(b_rep)
 
-    def block_sims(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def block_sims(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = key
         av = pdf[pdf["side"] == "a"]
         bv = pdf[pdf["side"] == "b"]
@@ -500,7 +508,7 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_schema = "vec_id long, cell_id int, primary boolean, dup_of long"
 
-    def dedup_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def dedup_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         x /= np.linalg.norm(x, axis=1, keepdims=True)
@@ -538,11 +546,14 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 K_NN_GRAPH = 5  # neighbors per vector in the exact k-NN graph
 NB_KNN = 8  # data-side block count for the blocked all-pairs scan
 
-
-@register(
-    "embeddings_knn_graph",
-    oracle=f"""
-        WITH sims AS (
+# THE shared k-NN oracle CTE — single definition composed into every
+# DuckDB oracle that consumes the exact k-NN adjacency
+# (embeddings_knn_graph here; indegree / pagerank / label-consistency in
+# operators/graph.py). Previously pasted verbatim in three files, where a
+# drift in one copy could slip past whichever queries sat outside the
+# active gate window.
+KNN_ORACLE_RANKED_CTE = """
+        sims AS (
             SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                    round(
                        list_sum(list_transform(range(1, 65),
@@ -559,7 +570,18 @@ NB_KNN = 8  # data-side block count for the blocked all-pairs scan
                        ORDER BY cosine_sim DESC, neighbor_id
                    ) AS rank
             FROM sims
-        )
+        )"""
+
+KNN_ORACLE_EDGES_CTE = f"""{KNN_ORACLE_RANKED_CTE},
+        edges AS (
+            SELECT vec_id, neighbor_id FROM ranked WHERE rank <= {K_NN_GRAPH}
+        )"""
+
+
+@register(
+    "embeddings_knn_graph",
+    oracle=f"""
+        WITH {KNN_ORACLE_RANKED_CTE}
         SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, cosine_sim
         FROM ranked WHERE rank <= {K_NN_GRAPH}
     """,
@@ -607,7 +629,7 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = q_rep.unionByName(d_rep)
 
-    def block_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def block_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qs = pdf[pdf["side"] == "q"]
         ds = pdf[pdf["side"] == "d"]
         empty = pd.DataFrame(

@@ -59,13 +59,15 @@ def _iqr_udafs():
     def _q1(v: pd.Series) -> float:
         import numpy as np
 
-        return float(np.percentile(v.to_numpy(np.float64), 25))
+        # drop NULLs first: the oracle's quantile_cont and the built-in
+        # percentile() twin both skip NULLs, and np.percentile propagates NaN
+        return float(np.percentile(v.dropna().to_numpy(np.float64), 25))
 
     @pandas_udf("double")
     def _q3(v: pd.Series) -> float:
         import numpy as np
 
-        return float(np.percentile(v.to_numpy(np.float64), 75))
+        return float(np.percentile(v.dropna().to_numpy(np.float64), 75))
 
     return _cnt, _q1, _q3
 

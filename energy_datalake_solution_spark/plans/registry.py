@@ -85,101 +85,22 @@ def _load_all() -> None:
     )
 
 
-# Explicit surface order — ROUND-3 ACTIVE WINDOW. External harnesses that
+# Explicit surface order — ROUND-4 ACTIVE WINDOW (the prepared round-3
+# rotation, activated per the round-3 verdict). External harnesses that
 # sample a prefix of the query surface (a correctness gate bounded to the
-# first ~50 entries) must see every query that has never earned a
-# driver-side CORRECTNESS row FIRST. After rounds 1+2, 86 of 114 queries
-# carry driver-green rows (frozen as DRIVER_GREEN_R1_R2 in
-# tests/test_queries_oracle.py, which asserts this invariant); the 28
-# never-checked queries lead below, followed by 22 re-confirmations —
-# prioritizing the four queries whose shared PPJoin prefix filter was
-# fixed this round (docs_ngram_jaccard_pairs + its three dependents),
-# then one flagship per tier. Everything past the window carries a prior
-# green row plus the pytest oracle mirror.
+# first ~50 entries) see this ordering. After round 3 EVERY registered
+# query carries at least one driver row (union r01∪r02∪r03, frozen as
+# DRIVER_GREEN in tests/test_queries_oracle.py), so the window's job is
+# now freshness: any query BORN this round must be prepended here (the
+# never-checked guard test enforces it), then the 36 queries whose only
+# green row is from round 1 — stalest first, so no row goes three rounds
+# unrefreshed — then re-confirmations of the approximate/rows-only tier
+# (whose oracles strengthen this round) and the round-3 headline fixes.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born this round, never driver-checked (7, lead the window) ---
-    "embeddings_knn_graph",
-    "docs_bpe_encode",
-    "lineitem_zorder_layout",
-    "docs_incremental_simhash_dedup",
-    "knn_graph_indegree",
-    "knn_graph_pagerank",
-    "parts_fuzzy_name_pairs",
-    "events_value_iqr_udaf",
-    "docs_chunk_udtf",
-    "knn_label_consistency",
-    "scd2_customer_dim",
-    "docs_dup_rate_by_source",
-    # --- never driver-checked after rounds 1+2 (28) ---
-    "docs_duplicate_span_pairs",
-    "docs_duplicate_span_stats",
-    "docs_chunk_fixed_tokens",
-    "docs_multitier_dup_pairs",
-    "docs_bigram_lm_score",
-    "docs_lm_quality_buckets",
-    "docs_lm_score_pandas_kernel",
-    "corpus_bigram_merge_candidates",
-    "corpus_bpe_merges",
-    "corpus_vocabulary",
-    "docs_repetition_stats",
-    "docs_tfidf_top_terms",
-    "docs_stratified_sample",
-    "docs_domain_mix_weights",
-    "events_value_percentiles",
-    "events_value_histogram",
-    "events_funnel_view_click_purchase",
-    "events_weekly_cohort_retention",
-    "embeddings_semantic_dedup",
-    "multimodal_header_sniff",
-    "unpivot_nation_balances",
-    "profile_lineitem_numeric",
-    "full_outer_spend_activity_reconciliation",
-    "window_rolling_7day_customer_spend",
-    "basket_part_pairs",
-    "source_quality_dashboard",
-    "orders_monthly_growth",
-    "customer_rfm_segments",
-    # --- re-confirmations: jaccard family first (prefix scheme reworked
-    #     this round), then one flagship per tier. With the 7 round-3-born
-    #     queries prepended, the ~50-entry gate window ends partway
-    #     through this block — every entry below already carries a prior
-    #     driver-green row, so falling past the window loses nothing. ---
-    "docs_ngram_jaccard_pairs",
-    "docs_dedup_clusters",
-    "docs_split_contamination",
-    "docs_training_corpus",
-    "docs_exact_dedup",
-    "docs_simhash_near_dups",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q18_large_orders",
-    "top_customers_by_revenue",
-    "merge_upsert_orders",
-    "star_join_lineitem",
-    "embeddings_cosine_topk",
-    "embeddings_cosine_near_dups",
-    "events_asof_error_to_click",
-    "events_tumbling_hourly",
-    "events_sessionization",
-    "skew_salted_agg_event_types",
-    "skew_salted_join_event_enrich",
-    "fixtures_etl_curated",
-)
-
-
-# ROUND-4 ROTATION (prepared, not yet active). After round 3 every
-# registered query has at least one driver row; the freshness problem
-# becomes staleness. The 36 queries below are green ONLY in round 1 (they
-# sat past round 2's window and round 3's); they lead round 4 so no row
-# goes three rounds unrefreshed. The remaining 14 slots re-confirm the
-# approximate/rows-only tier (whose oracles strengthened in round 3) and
-# the round-3 headline fixes. Swap SURFACE_ORDER for SURFACE_ORDER_R4 at
-# round-4 start; the guard test in tests/test_queries_oracle.py already
-# validates both tuples.
-SURFACE_ORDER_R4: tuple[str, ...] = (
-    # green only in round 1 — stalest first
+    # --- born round 4, never driver-checked (lead the window) ---
+    # (appended as round-4 operators land)
+    "multimodal_wav_pcm_stats",
+    # --- green only in round 1 — stalest first (36) ---
     "anti_join_parts_never_shipped",
     "approx_distinct_parts",
     "audit_enrichment",
@@ -216,8 +137,13 @@ SURFACE_ORDER_R4: tuple[str, ...] = (
     "multimodal_resize_stats",
     "events_value_outliers",
     "events_range_join_error_click_pairs",
-    # approximate tier + round-3 headline fixes re-confirmed
+    # --- approximate tier (oracles strengthened this round) + round-3
+    #     headline fixes re-confirmed. The ~50-entry gate window ends
+    #     partway through this block; everything below already carries a
+    #     prior driver-green row, so falling past the window loses
+    #     nothing. ---
     "docs_minhash_lsh_pairs",
+    "knn_graph_pagerank",
     "embeddings_lsh_ann",
     "embeddings_ivf_ann",
     "embeddings_semantic_dedup",
@@ -226,6 +152,10 @@ SURFACE_ORDER_R4: tuple[str, ...] = (
     "docs_multitier_dup_pairs",
     "docs_duplicate_span_pairs",
     "docs_bigram_lm_score",
+    "docs_incremental_simhash_dedup",
+    "embeddings_knn_graph",
+    "knn_graph_indegree",
+    "events_value_iqr_udaf",
     "tpch_q1_pricing_summary",
     "top_customers_by_revenue",
     "merge_upsert_orders",

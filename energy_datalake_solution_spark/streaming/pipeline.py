@@ -349,15 +349,13 @@ def corpus_simhash_index(spark, sf_dir: str):
     per corpus doc."""
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import SIMHASH_BANDS, docs_simhash
+    from ..operators.dedup import SIMHASH_BANDS, docs_simhash, simhash_band_key_col
 
     fp = docs_simhash(spark, sf_dir)
     band = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band")
     return (
         fp.select("doc_id", "simhash", band)
-        .withColumn(
-            "band_key", F.expr("shiftright(simhash, band * 15)").bitwiseAND(32767)
-        )
+        .withColumn("band_key", simhash_band_key_col())
         .select(
             F.col("doc_id").alias("corpus_id"),
             F.col("simhash").alias("corpus_sh"),
@@ -387,7 +385,12 @@ def dedup_stream_against_corpus(stream: DataFrame, corpus_index: DataFrame) -> D
     micro-batch engine is per-batch state, not unbounded."""
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import HAMMING_THRESHOLD, SIMHASH_BITS  # noqa: F401
+    from ..operators.dedup import (  # noqa: F401
+        HAMMING_THRESHOLD,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        simhash_band_key_col,
+    )
 
     hashes = F.transform(
         F.array_distinct(F.split("text", " ")),
@@ -408,11 +411,9 @@ def dedup_stream_against_corpus(stream: DataFrame, corpus_index: DataFrame) -> D
         .select(
             "doc_id",
             "simhash",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
         )
-        .withColumn(
-            "band_key", F.expr("shiftright(simhash, band * 15)").bitwiseAND(32767)
-        )
+        .withColumn("band_key", simhash_band_key_col())
     )
     matched = (
         fp.join(corpus_index, ["band", "band_key"])  # stream-static join

@@ -57,13 +57,34 @@ def test_contract_shape():
     assert len(qs) >= 10
 
 
-# Queries with a driver-side CORRECTNESS row from rounds 1 or 2 (frozen
-# union of CORRECTNESS_r01.json + CORRECTNESS_r02.json). Any registered
-# query NOT in this set has never been driver-checked and MUST sit inside
-# the active gate window's first 50 entries — otherwise it can stay
-# unverified forever (exactly the hole three round-2 late additions fell
-# through). When a new round's CORRECTNESS file lands, fold its names in.
-DRIVER_GREEN_R1_R2 = frozenset({
+# Queries with a driver-side CORRECTNESS row from rounds 1-3 (frozen
+# union of CORRECTNESS_r01/r02/r03.json). Any registered query NOT in
+# this set has never been driver-checked and MUST sit inside the active
+# gate window's first 50 entries — otherwise it can stay unverified
+# forever (exactly the hole three round-2 late additions fell through).
+# When a new round's CORRECTNESS file lands, fold its names in.
+DRIVER_GREEN = frozenset({
+    # --- round 3 rows (CORRECTNESS_r03.json) ---
+    "embeddings_knn_graph", "docs_bpe_encode", "lineitem_zorder_layout",
+    "docs_incremental_simhash_dedup", "knn_graph_indegree",
+    "knn_graph_pagerank", "parts_fuzzy_name_pairs",
+    "events_value_iqr_udaf", "docs_chunk_udtf", "knn_label_consistency",
+    "scd2_customer_dim", "docs_dup_rate_by_source",
+    "docs_duplicate_span_pairs", "docs_duplicate_span_stats",
+    "docs_chunk_fixed_tokens", "docs_multitier_dup_pairs",
+    "docs_bigram_lm_score", "docs_lm_quality_buckets",
+    "docs_lm_score_pandas_kernel", "corpus_bigram_merge_candidates",
+    "corpus_bpe_merges", "corpus_vocabulary", "docs_repetition_stats",
+    "docs_tfidf_top_terms", "docs_stratified_sample",
+    "docs_domain_mix_weights", "events_value_percentiles",
+    "events_value_histogram", "events_funnel_view_click_purchase",
+    "events_weekly_cohort_retention", "embeddings_semantic_dedup",
+    "multimodal_header_sniff", "unpivot_nation_balances",
+    "profile_lineitem_numeric", "full_outer_spend_activity_reconciliation",
+    "window_rolling_7day_customer_spend", "basket_part_pairs",
+    "source_quality_dashboard", "orders_monthly_growth",
+    "customer_rfm_segments",
+    # --- rounds 1+2 rows ---
     "anti_join_parts_never_shipped", "approx_distinct_parts",
     "audit_enrichment", "conditional_agg_filter_clause",
     "correlated_subquery_above_avg_size", "count_customers",
@@ -112,15 +133,11 @@ def test_surface_orders_name_registered_queries():
     """Every name in the gate-ordering tuples must be a registered query —
     a rename that orphans an entry would silently shrink the driver's
     checked window."""
-    from energy_datalake_solution_spark.plans.registry import (
-        SURFACE_ORDER,
-        SURFACE_ORDER_R4,
-    )
+    from energy_datalake_solution_spark.plans.registry import SURFACE_ORDER
 
-    for name in SURFACE_ORDER + SURFACE_ORDER_R4:
+    for name in SURFACE_ORDER:
         assert name in QUERIES, name
     assert len(set(SURFACE_ORDER)) == len(SURFACE_ORDER)
-    assert len(set(SURFACE_ORDER_R4)) == len(SURFACE_ORDER_R4)
 
 
 def test_never_checked_queries_sit_inside_gate_window():
@@ -132,14 +149,14 @@ def test_never_checked_queries_sit_inside_gate_window():
     from energy_datalake_solution_spark.plans.registry import SURFACE_ORDER
 
     window = set(SURFACE_ORDER[:GATE_WINDOW])
-    never_checked = set(QUERIES) - DRIVER_GREEN_R1_R2
+    never_checked = set(QUERIES) - DRIVER_GREEN
     outside = sorted(never_checked - window)
     assert not outside, (
         f"{len(outside)} never-driver-checked queries sit outside the "
         f"first {GATE_WINDOW} entries of SURFACE_ORDER: {outside}. "
         "Add them to the window prefix (or fold a new CORRECTNESS round "
-        "into DRIVER_GREEN_R1_R2)."
+        "into DRIVER_GREEN)."
     )
 
-    green_frozen_but_unregistered = sorted(DRIVER_GREEN_R1_R2 - set(QUERIES))
+    green_frozen_but_unregistered = sorted(DRIVER_GREEN - set(QUERIES))
     assert not green_frozen_but_unregistered, green_frozen_but_unregistered
