@@ -4,10 +4,15 @@ The reference ships only three analytic queries (athena_queries/*.sql) but
 its star schema (fact + dims, FKs at glue_jobs/dynamic-data-processor.py:112-113)
 exists precisely so a warehouse user can run this class of query. This module
 is the full decision-support surface those three queries imply, adapted to
-the driver tables: 19 of the 22 TPC-H queries run here (no partsupp /
+the driver tables: all 22 TPC-H queries run here (no partsupp /
 l_shipmode / l_commitdate / comment columns exist, so Q4/Q12/Q16/Q20/Q21
 are faithful analogs on the columns that do, and Q2/Q9/Q11 — whose core
-semantics ARE partsupp — have no analog).
+semantics ARE partsupp — derive their part-supplier economics from
+lineitem instead: ``min(l_extendedprice / l_quantity)`` per (part,
+supplier) stands in for ps_supplycost. MIN of a deterministic IEEE
+division is order-independent and engine-exact, so the correlated
+min-cost equality in Q2 and the cost terms in Q9/Q11 compare
+bit-identically against the DuckDB oracle without rounding tricks).
 
 Every query is written plan-first for 100 TB:
 
@@ -800,4 +805,221 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "supplier_name")
         .limit(100)
+    )
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated MIN subquery over a derived
+#      part-supplier cost table)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS supply_cost
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ),
+        eu AS (
+            SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE'
+        )
+        SELECT eu.s_acctbal AS account_balance, eu.s_name AS supplier_name,
+               eu.n_name AS nation_name, p.p_partkey AS part_id,
+               p.p_name AS part_name, round(ps.supply_cost, 4) AS supply_cost
+        FROM ps
+        JOIN eu ON eu.s_suppkey = ps.l_suppkey
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_type = 'SMALL' AND p.p_size <= 10
+          AND ps.supply_cost = (
+              SELECT min(ps2.supply_cost)
+              FROM ps ps2 JOIN eu eu2 ON eu2.s_suppkey = ps2.l_suppkey
+              WHERE ps2.l_partkey = ps.l_partkey)
+        ORDER BY account_balance DESC, nation_name, supplier_name, part_id
+        LIMIT 100
+    """,
+    tags=("tpch", "join", "agg", "subquery", "topk"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analog: for every small part, the EUROPE supplier offering it at
+    the minimum unit cost (no partsupp table exists, so supply cost is the
+    best observed unit sale price ``min(l_extendedprice / l_quantity)`` per
+    (part, supplier) — MIN of an IEEE division is order-independent, so the
+    correlated-min equality is exact across engines, no rounding epsilon).
+
+    Plan shape for 100 TB: the fact is scanned ONCE after a broadcast
+    left-semi prune to the ~60 qualifying parts and the EUROPE suppliers —
+    the derived ps table is then tiny (parts x suppliers sliver). The
+    correlated ``= (SELECT min ...)`` becomes a groupBy-min on the same
+    pruned table joined back on partkey; supplier/nation/region/part dims
+    all broadcast. The oracle keeps the textbook correlated-subquery form
+    so the gate cross-checks the decorrelation. Final ORDER+LIMIT compiles
+    to TakeOrderedAndProject."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_type") == "SMALL") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation_name"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    # prune the fact to qualifying parts AND region suppliers BEFORE aggregating
+    ps = (
+        l.join(F.broadcast(part_f.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(eu.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+        .localCheckpoint()
+    )
+    min_cost = ps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        ps.join(
+            F.broadcast(min_cost),
+            (ps.l_partkey == F.col("m_partkey")) & (ps.supply_cost == F.col("min_cost")),
+        )
+        .join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .join(F.broadcast(part_f), ps.l_partkey == part_f.p_partkey)
+        .select(
+            F.col("s_acctbal").alias("account_balance"),
+            F.col("s_name").alias("supplier_name"),
+            "nation_name",
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_name").alias("part_name"),
+            F.round("supply_cost", 4).alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("account_balance").desc(), "nation_name", "supplier_name", "part_id"
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q9_product_type_profit",
+    oracle="""
+        SELECT n.n_name AS nation_name, year(o.o_orderdate) AS o_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.1 * p.p_retailprice * l.l_quantity), 4) AS profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%bolt%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 analog: profit on 'bolt' parts by supplier nation and order year.
+    Without ps_supplycost, unit cost is modeled as 10% of the part's retail
+    price, so profit = disc_price - 0.1 * p_retailprice * l_quantity (addends
+    are 4-decimal money, summed then rounded at that precision per the module
+    convention).
+
+    Plan: the part LIKE-filter broadcasts and prunes the fact FIRST (an
+    inner broadcast join drops ~5/6 of lineitem before anything shuffles);
+    supplier+nation broadcast; orders x pruned-lineitem is the only
+    shuffled join; the groupBy rides partial aggregation."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation_name"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _disc_price() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("nation_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important part stock (grouped agg vs global scalar threshold)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q11_important_part_stock",
+    oracle="""
+        WITH pv AS (
+            SELECT l.l_partkey AS part_id,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS stock_value
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name IN ('NATION_7', 'NATION_12')
+            GROUP BY l.l_partkey
+        )
+        SELECT part_id, stock_value
+        FROM pv
+        WHERE stock_value > (SELECT round(sum(stock_value) * 0.001, 2) FROM pv)
+        ORDER BY stock_value DESC, part_id
+    """,
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def tpch_q11_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 analog: parts whose traded value through two nations' suppliers
+    exceeds 0.1% of the total such value (partsupp availqty*supplycost is
+    replaced by discounted lineitem revenue as the 'stock value').
+
+    The distinctive Q11 shape — a grouped aggregate filtered against a
+    global scalar aggregate of ITSELF — is kept: the per-part table is
+    localCheckpoint'ed (one row per part, tiny at any scale), feeds both
+    the 1-row total and the threshold filter, so lineitem is scanned once
+    (q15 pattern). Per-part values are rounded at addend precision (4) and
+    the threshold at cents, so both engines compare the same doubles; the
+    covering pytest asserts every part clears or misses the cut by a wide
+    margin relative to fp error."""
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_7", "NATION_12")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    pv = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("part_id"))
+        .agg(F.round(F.sum(_disc_price()), 4).alias("stock_value"))
+        .localCheckpoint()
+    )
+    thresh = pv.agg(F.round(F.sum("stock_value") * 0.001, 2).alias("cut"))
+    return (
+        pv.join(F.broadcast(thresh), pv.stock_value > F.col("cut"))
+        .select("part_id", "stock_value")
+        .orderBy(F.col("stock_value").desc(), "part_id")
     )

@@ -73,6 +73,8 @@ def _load_all() -> None:
         layout,
         lm,
         multimodal,
+        packing,
+        quantize,
         relational,
         relational_ext,
         similarity,
@@ -100,6 +102,12 @@ SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 4, never driver-checked (lead the window) ---
     # (appended as round-4 operators land)
     "multimodal_wav_pcm_stats",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_part_stock",
+    "embeddings_int8_quantization",
+    "docs_sequence_packing",
+    "docs_sequence_packing_stats",
     # --- green only in round 1 — stalest first (36) ---
     "anti_join_parts_never_shipped",
     "approx_distinct_parts",
