@@ -549,3 +549,153 @@ def multimodal_header_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash gate fails."""
     d = load_table(spark, sf_dir, "documents")
     return sniff_container_headers(synth_container_payload(d))
+
+
+# --------------------------------------------------------------------------
+# Real image decode: uncompressed 24-bit BMP (numpy-only, no codec library)
+# --------------------------------------------------------------------------
+
+BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_val", T.DoubleType()),
+        T.StructField("min_val", T.IntegerType()),
+        T.StructField("max_val", T.IntegerType()),
+        T.StructField("corner_val", T.IntegerType()),
+    ]
+)
+
+
+def synth_bmp_payload(df: DataFrame) -> DataFrame:
+    """Synthesize complete spec-valid 24-bit BMP files (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + BGR pixel array) whose pixel values derive
+    arithmetically from doc_id: px(x, y, c) = (doc_id*131 + y*37 + x*11 +
+    c*7) % 256 with y counted from the image TOP and c in (0=B, 1=G, 2=R).
+    The encoding keeps the two details a fake decoder would skip: rows are
+    stored BOTTOM-UP (positive biHeight) and each row is zero-padded to a
+    4-byte boundary (width 3..6 exercises pad 3/0/1/2)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 3 + i % 4, 2 + i % 3
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((i * 131 + y * 37 + x * 11 + c * 7) % 256).astype(np.uint8)
+                stride = (3 * w + 3) // 4 * 4
+                raster = np.zeros((h, stride), dtype=np.uint8)
+                # bottom-up row order: image row y lands at raster row h-1-y
+                raster[:, : 3 * w] = px[::-1].reshape(h, 3 * w)
+                data = raster.tobytes()
+                info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+                file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+                rows.append({"doc_id": doc_id, "payload": file_hdr + info + data})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_bmp_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL image decode — parse the BMP file header (magic, pixel-array
+    offset), the BITMAPINFOHEADER (dims, planes, 24 bpp, BI_RGB), slice the
+    padded bottom-up raster into an (h, w, 3) BGR numpy cube, and reduce
+    per-channel mean/min/max plus the image-top-left corner value. The
+    corner value is position-sensitive on purpose: a decoder that forgets
+    the bottom-up row flip or the row padding produces the right means but
+    the wrong corner, and the oracle hash gate catches it."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def decode(buf: bytes):
+            if buf[:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            offset = struct.unpack_from("<I", buf, 10)[0]
+            hdr_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
+            if hdr_size != 40 or planes != 1 or bpp != 24 or comp != 0:
+                raise ValueError(f"unsupported BMP variant: {hdr_size}/{planes}/{bpp}/{comp}")
+            stride = (3 * w + 3) // 4 * 4
+            raster = np.frombuffer(buf, dtype=np.uint8, count=abs(h) * stride, offset=offset)
+            rows_ = raster.reshape(abs(h), stride)[:, : 3 * w]
+            cube = rows_.reshape(abs(h), w, 3)
+            if h > 0:  # positive height => stored bottom-up; flip to image order
+                cube = cube[::-1]
+            return cube, w, abs(h)
+
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                cube, w, h = decode(bytes(payload))
+                for ch in range(3):
+                    plane = cube[:, :, ch].astype(np.float64)
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "channel": ch,
+                            "width": w,
+                            "height": h,
+                            "mean_val": round(float(plane.sum() / (w * h)), 6),
+                            "min_val": int(plane.min()),
+                            "max_val": int(plane.max()),
+                            "corner_val": int(cube[0, 0, ch]),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in BMP_STATS_SCHEMA.fields])
+
+    return df.mapInPandas(batches, BMP_STATS_SCHEMA)
+
+
+@register(
+    "multimodal_bmp_pixel_stats",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h
+            FROM documents
+        ),
+        ys AS (SELECT doc_id, w, h, UNNEST(range(0, h)) AS y FROM params),
+        xs AS (SELECT doc_id, w, h, y, UNNEST(range(0, w)) AS x FROM ys),
+        cs AS (SELECT doc_id, w, h, y, x, UNNEST(range(0, 3)) AS c FROM xs),
+        vals AS (
+            SELECT doc_id, w, h, c, x, y,
+                   (doc_id * 131 + y * 37 + x * 11 + c * 7) % 256 AS v
+            FROM cs
+        )
+        SELECT doc_id,
+               CAST(c AS INT) AS channel,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               round(avg(CAST(v AS DOUBLE)), 6) AS mean_val,
+               CAST(min(v) AS INT) AS min_val,
+               CAST(max(v) AS INT) AS max_val,
+               CAST(max(CASE WHEN x = 0 AND y = 0 THEN v END) AS INT) AS corner_val
+        FROM vals
+        GROUP BY doc_id, c, w, h
+    """,
+    tags=("multimodal", "image"),
+)
+def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel pixel statistics decoded from REAL BMP bytes (the image
+    sibling of multimodal_wav_pcm_stats): payloads are complete spec-valid
+    uncompressed 24-bit BMPs with bottom-up padded rasters, the Spark side
+    genuinely parses headers and un-flips the pixel cube with numpy, and
+    the oracle recomputes the statistics from the generating formula — a
+    padding slip, row-order slip, or BGR/RGB mixup fails the hash gate."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_bmp_pixel_stats(synth_bmp_payload(d))

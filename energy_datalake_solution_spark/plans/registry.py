@@ -74,6 +74,7 @@ def _load_all() -> None:
         lm,
         multimodal,
         packing,
+        pii,
         quantize,
         relational,
         relational_ext,
@@ -108,6 +109,9 @@ SURFACE_ORDER: tuple[str, ...] = (
     "embeddings_int8_quantization",
     "docs_sequence_packing",
     "docs_sequence_packing_stats",
+    "multimodal_bmp_pixel_stats",
+    "docs_pii_redaction",
+    "docs_pii_report",
     # --- green only in round 1 — stalest first (36) ---
     "anti_join_parts_never_shipped",
     "approx_distinct_parts",

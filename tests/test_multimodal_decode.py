@@ -81,3 +81,58 @@ def test_skips_unknown_and_odd_sized_chunks(spark):
 def test_malformed_payload_raises(spark, payload):
     with pytest.raises(Exception, match="not a RIFF/WAVE|missing fmt/data"):
         _decode_one(spark, payload)
+
+
+# ---------------------------------------------------------------------------
+# BMP decoder (image sibling of the WAV tier)
+# ---------------------------------------------------------------------------
+
+
+def _bmp(px: np.ndarray) -> bytes:
+    """Build a 24-bit bottom-up BMP around an (h, w, 3) BGR uint8 cube."""
+    h, w, _ = px.shape
+    stride = (3 * w + 3) // 4 * 4
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : 3 * w] = px[::-1].reshape(h, 3 * w)
+    data = raster.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54) + info + data
+
+
+def _decode_bmp(spark, payload: bytes):
+    from pyspark.sql import types as T
+
+    from energy_datalake_solution_spark.operators.multimodal import decode_bmp_pixel_stats
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))], schema)
+    return decode_bmp_pixel_stats(df).collect()
+
+
+def test_bmp_decode_unflips_rows_and_strips_padding(spark):
+    # 3x2 image (stride 12 -> 3 pad bytes/row): corner_val must be the
+    # IMAGE top-left, which sits in the LAST stored row of the bottom-up
+    # raster — a decoder that skips the flip reads the bottom-left instead.
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    px[0, 0] = (11, 12, 13)   # image top-left (B,G,R)
+    px[1, 0] = (99, 98, 97)   # image bottom-left — the wrong answer
+    px[1, 2] = (0, 0, 255)
+    rows = _decode_bmp(spark, _bmp(px))
+    assert [r["channel"] for r in rows] == [0, 1, 2]
+    assert [r["corner_val"] for r in rows] == [11, 12, 13]
+    assert rows[0]["width"] == 3 and rows[0]["height"] == 2
+    assert rows[2]["max_val"] == 255
+    for ch in range(3):
+        assert rows[ch]["mean_val"] == pytest.approx(px[:, :, ch].mean(), abs=1e-6)
+
+
+def test_bmp_malformed_or_unsupported_raises(spark):
+    with pytest.raises(Exception, match="not a BMP"):
+        _decode_bmp(spark, b"PNG?nope")
+    # 8-bit palette BMP must be rejected, not silently misdecoded
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 16, 0, 0, 0, 0)
+    bad = struct.pack("<2sIHHI", b"BM", 14 + 40 + 16, 0, 0, 54) + info + b"\x00" * 16
+    with pytest.raises(Exception, match="unsupported BMP"):
+        _decode_bmp(spark, bad)
