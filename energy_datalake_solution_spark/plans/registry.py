@@ -70,6 +70,7 @@ def _load_all() -> None:
         fixtures,
         fuzzy,
         graph,
+        integrity,
         layout,
         lm,
         multimodal,
@@ -112,6 +113,8 @@ SURFACE_ORDER: tuple[str, ...] = (
     "multimodal_bmp_pixel_stats",
     "docs_pii_redaction",
     "docs_pii_report",
+    "star_integrity_audit",
+    "orders_cdc_snapshot_diff",
     # --- green only in round 1 — stalest first (36) ---
     "anti_join_parts_never_shipped",
     "approx_distinct_parts",

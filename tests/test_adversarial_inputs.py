@@ -25,6 +25,7 @@ get_queries()
 FAMILY_TAGS = {
     "text", "dedup", "quality", "lm", "tokenizer", "chunking",
     "similarity", "events", "funnel", "cohort", "histogram", "corpus",
+    "packing", "pii", "quantization",
 }
 SKIP = {
     # composed ETL / merge paths need their own fixtures, covered elsewhere

@@ -525,3 +525,22 @@ def test_tpch_q11_threshold_margin(spark):
     margin = pv.select(F.min(F.abs(F.col("v") - F.lit(cut))).alias("m")).collect()[0]["m"]
     assert margin > 1e-3, f"part value within fp-noise of threshold: {margin}"
     assert df.count() > 0
+
+
+def test_integrity_audit_dims_broadcast(spark):
+    """Six of the seven FK edges anti-join against broadcastable dims; the
+    1-row count cross-joins are by design (BroadcastNestedLoop on single
+    rows), but no full-table cartesian may appear."""
+    plan = plan_of(QUERIES["star_integrity_audit"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_diff_single_keyed_join(spark):
+    """The snapshot diff is ONE full-outer join on the business key — no
+    cartesian, no nested loop."""
+    plan = plan_of(QUERIES["orders_cdc_snapshot_diff"].fn(spark, SF_ORACLE))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
