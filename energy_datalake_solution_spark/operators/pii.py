@@ -80,6 +80,25 @@ def _inject_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scrub_columns(text=None) -> list:
+    """The scrub as reusable Column expressions (n_emails, n_phones, n_ips,
+    clean_text) — the single definition shared by the batch query and the
+    streaming twin (streaming/pipeline.py::scrub_stream_pii), so the two
+    can never drift. Stateless per-row codegen; applies unchanged to a
+    micro-batch."""
+    text = F.col("text") if text is None else text
+    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(
+        F.regexp_replace(no_email, PHONE_RE, "<PHONE>"), IPV4_RE, "<IP>"
+    )
+    return [
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(no_email, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        clean.alias("clean_text"),
+    ]
+
+
 @register(
     "docs_pii_redaction",
     oracle=_INJECT_SQL
@@ -96,6 +115,7 @@ def _inject_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
                          '{IPV4_RE}', '<IP>', 'g') AS clean_text
         FROM seeded
     """,
+    headline=True,
     tags=("documents", "pii", "scrubbing"),
 )
 def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,18 +126,7 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     part of the contract and of the oracle. Pure per-row codegen: no
     shuffle, scan-bound at any scale."""
     seeded = _inject_pii(spark, sf_dir)
-    no_email = F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
-    clean = F.regexp_replace(
-        F.regexp_replace(no_email, PHONE_RE, "<PHONE>"), IPV4_RE, "<IP>"
-    )
-    return seeded.select(
-        "doc_id",
-        "source",
-        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(F.col("text"), F.lit(PHONE_RE)).cast("long").alias("n_phones"),
-        F.regexp_count(no_email, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
-        clean.alias("clean_text"),
-    )
+    return seeded.select("doc_id", "source", *scrub_columns())
 
 
 @register(

@@ -78,6 +78,7 @@ DIM = 64
                      i -> abs(x[i] / scale - qv[i]))) * 1e6)::BIGINT AS max_rel_error_micro
         FROM coded
     """,
+    headline=True,
     tags=("embeddings", "compression", "quantization"),
 )
 def embeddings_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -522,3 +522,17 @@ def unattributed_impressions(
         "click_ts",
         F.col("click_ts").isNotNull().alias("converted"),
     )
+
+
+def scrub_stream_pii(stream: DataFrame) -> DataFrame:
+    """PII-scrub a document stream: stateless map-only transformation, the
+    streaming twin of operators/pii.py::docs_pii_redaction. The scrub
+    expressions are IMPORTED from the batch operator (scrub_columns — one
+    definition, no drift) and contain no aggregation or state, so the
+    streaming plan is a pure projection per micro-batch: no watermark, no
+    state store, arbitrarily parallel. This is the shape a 100 TB ingest
+    pipeline wants — PII never lands unscrubbed because the scrub rides
+    the ingest stream itself rather than a nightly batch."""
+    from ..operators.pii import scrub_columns
+
+    return stream.select("doc_id", *scrub_columns())

@@ -457,3 +457,77 @@ def test_incremental_simhash_dedup_matches_python_reference(
         else:
             ham, c_id = expected[b_id]
             assert (r.is_dup, r.dup_of, r.best_hamming) == (True, c_id, ham), b_id
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),          # doc_id
+            st.integers(min_value=1, max_value=300),         # n_tokens worth of words
+            st.sampled_from(["sA", "sB"]),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_sequence_packing_invariants(spark, tmp_path_factory, docs):
+    """For ANY corpus: per-shard offsets tile the token stream exactly
+    (no gap/overlap), seq spans are consistent with offsets, and the
+    boundary flag is true iff the doc touches >1 sequence."""
+    from energy_datalake_solution_spark.operators.packing import SEQ_LEN, docs_sequence_packing
+
+    d = tmp_path_factory.mktemp("pack")
+    rows = [(i, " ".join(["w"] * n), "en", src, n) for i, n, src in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    out = {r.doc_id: r for r in docs_sequence_packing(spark, str(d)).collect()}
+    assert len(out) == len(docs)
+    # python reference: per-source running offsets in doc_id order
+    offsets = {}
+    for i, n, src in sorted(docs):
+        start = offsets.get(src, 0)
+        offsets[src] = start + n
+        r = out[i]
+        assert r.n_tokens == n
+        assert r.start_offset == start
+        assert r.seq_id == start // SEQ_LEN
+        last = (start + n - 1) // SEQ_LEN
+        assert r.n_sequences_spanned == last - r.seq_id + 1
+        assert r.crosses_boundary == (last > r.seq_id)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=32),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_int8_quantization_roundtrip_bound(spark, tmp_path_factory, vecs):
+    """For ANY vector set: codes stay in [-127, 127], relative
+    reconstruction error never exceeds half a quantization step (plus fp
+    slack), and zero vectors are dropped rather than crashing."""
+    from energy_datalake_solution_spark.operators.quantize import embeddings_int8_quantization
+
+    d = tmp_path_factory.mktemp("quant")
+    rows = [(i, v, 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    out = embeddings_int8_quantization(spark, str(d)).collect()
+    nonzero = sum(1 for v in vecs if any(x != 0.0 for x in v))
+    assert len(out) == nonzero
+    for r in out:
+        assert r.scale > 0
+        assert abs(r.q_checksum) <= 127 * 64
+        assert 1 <= r.n_saturated <= 64
+        assert r.max_rel_error_micro <= 500_000  # <= 0.5 steps
+        assert 0 <= r.rms_rel_error_micro <= r.max_rel_error_micro

@@ -674,3 +674,40 @@ def test_streaming_outer_interval_join_emits_unmatched(spark, tmp_path):
     assert rows["A"].converted and str(rows["A"].click_ts) == "2025-03-05 10:20:00"
     assert "B" in rows, "unmatched impression must emit after watermark"
     assert not rows["B"].converted and rows["B"].click_ts is None
+
+
+def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
+    """Replaying documents (with PII rows) through the streaming scrub must
+    reproduce the batch scrub expression-for-expression."""
+    from energy_datalake_solution_spark.operators.pii import scrub_columns
+    from energy_datalake_solution_spark.streaming.pipeline import scrub_stream_pii
+
+    rows = [
+        (1, "mail a@b.com and c.d@e.org now"),
+        (2, "call 555-123-4567 from 10.0.0.7"),
+        (3, "nothing sensitive here"),
+        (4, "1.2.3.4@44.com then 9.9.9.9"),
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {r.doc_id: r for r in batch_df.select("doc_id", *scrub_columns()).collect()}
+
+    src = tmp_path / "pii_stream"
+    src.mkdir()
+    batch_df.coalesce(1).write.json(str(src / "b0"))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src / "b0"))
+    q = (
+        scrub_stream_pii(stream)
+        .writeStream.format("memory")
+        .queryName("pii_scrubbed")
+        .option("checkpointLocation", str(tmp_path / "pii_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM pii_scrubbed").collect()}
+    assert set(got) == set(expected)
+    for doc_id, r in got.items():
+        e = expected[doc_id]
+        assert (r.n_emails, r.n_phones, r.n_ips, r.clean_text) == (
+            e.n_emails, e.n_phones, e.n_ips, e.clean_text
+        )
