@@ -313,6 +313,38 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_value_approx_percentiles",
+    oracle=None,  # sketch results are engine-specific -> rows-only gate;
+    # the rank-error bound vs the exact operator is pinned in
+    # tests/test_events_approx.py
+    tags=("events", "agg", "stats", "approx"),
+)
+def events_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state form of events_value_percentiles: Spark's
+    approx_percentile (Greenwald-Khanna style sketch, accuracy=1000 ->
+    rank error <= n/1000 per group) replaces the exact buffer. Same plan
+    shape, same output schema; this is the variant the exact operator's
+    docstring promises for heavy groups at 100 TB, registered first-class
+    so the swap is a one-name change for callers. The sketch merges
+    map-side like any partial aggregate, so per-group state is O(accuracy)
+    regardless of group size."""
+    e = load_events(spark, sf_dir)
+    pct = F.expr("approx_percentile(value, array(0.25, 0.50, 0.75, 0.90), 1000)")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("value").alias("n"), pct.alias("p"))
+        .select(
+            "event_type",
+            "n",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p75"),
+            F.col("p")[3].alias("p90"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Ordered funnel analysis
 # --------------------------------------------------------------------------

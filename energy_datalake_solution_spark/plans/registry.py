@@ -115,6 +115,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "docs_pii_report",
     "star_integrity_audit",
     "orders_cdc_snapshot_diff",
+    "events_value_approx_percentiles",
     # --- green only in round 1 — stalest first (36) ---
     "anti_join_parts_never_shipped",
     "approx_distinct_parts",
