@@ -676,8 +676,12 @@ def docs_incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFram
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+    # best has at most one row per batch doc — broadcast it so the final
+    # left join costs no shuffle either (the plan audit flagged this as
+    # the one SortMergeJoin in an operator whose contract says the corpus
+    # side is the only big table)
     return batch.select("doc_id").join(
-        best, batch.doc_id == best.b_id, "left"
+        F.broadcast(best), batch.doc_id == best.b_id, "left"
     ).select(
         "doc_id",
         F.col("c_id").isNotNull().alias("is_dup"),
