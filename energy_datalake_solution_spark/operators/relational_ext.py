@@ -792,3 +792,88 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_apply(base, updates, "c_custkey", ["c_mktsegment"], "effective_ts")
+
+
+@register(
+    "orders_scd2_temporal_join",
+    oracle="""
+        WITH dim AS (
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+                   TIMESTAMP '1996-01-01 00:00:00' AS valid_from,
+                   TIMESTAMP '1997-01-01 00:00:00' AS valid_to
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT CAST(c_custkey AS BIGINT), 'MOVED',
+                   TIMESTAMP '1997-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT CAST(c_custkey AS BIGINT), c_mktsegment,
+                   TIMESTAMP '1996-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+            FROM customer WHERE c_custkey % 7 <> 0
+        )
+        SELECT o.o_orderkey AS order_id,
+               CAST(o.o_orderdate AS DATE) AS order_date,
+               o.o_custkey AS customer_id,
+               d.c_mktsegment AS segment_at_order,
+               CASE WHEN d.c_custkey IS NULL THEN NULL
+                    ELSE (d.valid_to IS NULL) END AS version_is_current
+        FROM orders o
+        LEFT JOIN dim d
+          ON d.c_custkey = o.o_custkey
+         AND o.o_orderdate >= d.valid_from
+         AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    """,
+    tags=("join", "scd2", "temporal"),
+)
+def orders_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of) join of the orders fact to the SCD2-versioned
+    customer dimension: each order picks the dimension VERSION whose
+    [valid_from, valid_to) interval contains the order date — the lookup
+    every point-in-time-correct report needs once a dimension is
+    versioned. The dim is built through the same sources/merge.py
+    scd2_apply operator the versioning query uses (seeded 1996-01-01,
+    segment change effective 1997-01-01, so order dates really disperse
+    across versions: pre-1996 orders match nothing, 1996 orders the
+    original segment, 1997+ orders the MOVED version for every 7th
+    customer).
+
+    Plan: equality on the customer key carries the join (the interval
+    predicate rides along as a join condition), the versioned dim
+    broadcasts — the fact never shuffles; the version intervals partition
+    time per key, so at most one version matches and row count equals the
+    fact. At 100 TB with a dim too large to broadcast, the same join runs
+    sort-merge on the key — the interval filter stays a non-equi join
+    condition either way."""
+    from ..sources.merge import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_mktsegment",
+        F.lit("1996-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    moved = c.where(F.pmod("c_custkey", F.lit(7)) == 0).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.lit("1997-01-01 00:00:00").cast("timestamp").alias("effective_ts"),
+    )
+    dim = scd2_apply(base, moved, "c_custkey", ["c_mktsegment"], "effective_ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_custkey"
+    )
+    cond = (
+        (dim.c_custkey == o.o_custkey)
+        & (o.o_orderdate >= dim.valid_from)
+        & (dim.valid_to.isNull() | (o.o_orderdate < dim.valid_to))
+    )
+    return o.join(F.broadcast(dim), cond, "left").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("segment_at_order"),
+        F.when(dim.c_custkey.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.col("valid_to").isNull())
+        .alias("version_is_current"),
+    )

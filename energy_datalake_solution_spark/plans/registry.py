@@ -116,6 +116,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "star_integrity_audit",
     "orders_cdc_snapshot_diff",
     "events_value_approx_percentiles",
+    "orders_scd2_temporal_join",
     # --- green only in round 1 — stalest first (36) ---
     "anti_join_parts_never_shipped",
     "approx_distinct_parts",
