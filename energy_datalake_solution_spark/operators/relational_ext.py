@@ -877,3 +877,44 @@ def orders_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("valid_to").isNull())
         .alias("version_is_current"),
     )
+
+
+@register(
+    "window_function_suite",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               o_custkey AS customer_id,
+               round(percent_rank() OVER w, 9) AS pct_rank,
+               round(cume_dist() OVER w, 9) AS cume_dist,
+               first_value(o_orderkey) OVER w_full AS first_order,
+               last_value(o_orderkey) OVER w_full AS last_order,
+               nth_value(o_orderkey, 2) OVER w_full AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "relational"),
+)
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/navigation window functions in one
+    oracle-gated sweep: percent_rank, cume_dist (ratios of integer ranks —
+    engine-exact doubles, rounded only for display), and
+    first/last/nth_value over the full-partition frame. One shuffle on the
+    partition key; the deterministic (date, key) ordering makes every
+    output reproducible. Completes the §2.6 window surface beyond the
+    running/rank/lag forms already gated."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume_dist"),
+        F.first("o_orderkey").over(w_full).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+    )

@@ -117,6 +117,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "orders_cdc_snapshot_diff",
     "events_value_approx_percentiles",
     "orders_scd2_temporal_join",
+    "window_function_suite",
     # --- green only in round 1 — stalest first (36) ---
     "anti_join_parts_never_shipped",
     "approx_distinct_parts",

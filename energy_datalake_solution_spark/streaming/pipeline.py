@@ -536,3 +536,67 @@ def scrub_stream_pii(stream: DataFrame) -> DataFrame:
     from ..operators.pii import scrub_columns
 
     return stream.select("doc_id", *scrub_columns())
+
+
+def pack_stream_docs(docs: DataFrame) -> DataFrame:
+    """Incremental sequence packing: the stateful streaming twin of
+    operators/packing.py::docs_sequence_packing. State is ONE bigint per
+    source shard — the running token offset — so arriving documents are
+    assigned globally consistent training-sequence ids across micro-batches
+    (batch N+1 continues exactly where batch N stopped, surviving
+    checkpoint restarts). Within a micro-batch documents pack in doc_id
+    order, matching the batch operator's ordering contract; token counting
+    is the same whitespace split.
+
+    This is the op an always-on ingest pipeline needs: training shards
+    fill continuously instead of re-running a global window over the whole
+    corpus each cycle. State size is O(|sources|) — 8 bytes per shard —
+    regardless of corpus size.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.packing import SEQ_LEN
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        (offset,) = state.get if state.exists else (0,)
+        out = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("doc_id")
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            n = len(text.split(" ")) if text is not None else 1
+            first = offset // SEQ_LEN
+            last = (offset + n - 1) // SEQ_LEN
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "source": key[0],
+                    "n_tokens": n,
+                    "start_offset": offset,
+                    "seq_id": first,
+                    "n_sequences_spanned": last - first + 1,
+                    "crosses_boundary": last > first,
+                }
+            )
+            offset += n
+        state.update((offset,))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "source", "n_tokens", "start_offset",
+                "seq_id", "n_sequences_spanned", "crosses_boundary",
+            ],
+        )
+
+    return docs.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "doc_id bigint, source string, n_tokens bigint, start_offset bigint, "
+            "seq_id bigint, n_sequences_spanned bigint, crosses_boundary boolean"
+        ),
+        stateStructType="offset bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -711,3 +711,50 @@ def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
         assert (r.n_emails, r.n_phones, r.n_ips, r.clean_text) == (
             e.n_emails, e.n_phones, e.n_ips, e.clean_text
         )
+
+
+def test_streaming_sequence_packing_matches_batch_across_batches(spark, tmp_path):
+    """Two micro-batches of documents (split by doc_id, so per-source
+    arrival order equals doc_id order) must produce EXACTLY the batch
+    packing assignment — the per-source offset state carries across
+    micro-batches."""
+    from energy_datalake_solution_spark.plans.registry import QUERIES, get_queries
+    from energy_datalake_solution_spark.streaming.pipeline import pack_stream_docs
+
+    get_queries()
+    sf = SF_ORACLE
+    batch_rows = {
+        r.doc_id: r for r in QUERIES["docs_sequence_packing"].fn(spark, sf).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "source", "text")
+    src = tmp_path / "pack_stream"
+    src.mkdir()
+    # two files split by doc_id; maxFilesPerTrigger=1 -> two ordered batches
+    docs.where("doc_id < 250").coalesce(1).write.json(str(src / "a_first"))
+    docs.where("doc_id >= 250").coalesce(1).write.json(str(src / "b_second"))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    q = (
+        pack_stream_docs(stream)
+        .writeStream.format("memory")
+        .queryName("packed_stream")
+        .option("checkpointLocation", str(tmp_path / "pack_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM packed_stream").collect()}
+    assert set(got) == set(batch_rows)
+    for doc_id, r in got.items():
+        b = batch_rows[doc_id]
+        assert (
+            r.source, r.n_tokens, r.start_offset, r.seq_id,
+            r.n_sequences_spanned, r.crosses_boundary,
+        ) == (
+            b.source, b.n_tokens, b.start_offset, b.seq_id,
+            b.n_sequences_spanned, b.crosses_boundary,
+        ), doc_id
