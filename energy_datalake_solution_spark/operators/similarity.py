@@ -100,19 +100,21 @@ def embeddings_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _distinct_directions(e: DataFrame) -> int:
-    """Exact-by-hash count of distinct unit directions (round(9) kills fp
-    jitter). MLlib's blocked KMeans aggregator crashes when k exceeds the
-    number of distinct points, which a degenerate corpus (all vectors
-    colinear) can trigger — the fit's k is capped by this count. One cheap
-    8-byte-hash aggregation; no vector shuffle."""
+def _distinct_directions(e: DataFrame, cap: int) -> int:
+    """min(cap, number of distinct unit directions), by 8-byte hash
+    (round(9) kills fp jitter). MLlib's blocked KMeans aggregator crashes
+    when k exceeds the number of distinct points, which a degenerate
+    corpus (all vectors colinear) can trigger — the fit's k is capped by
+    this count. The count stops at ``cap``: distinct().limit(cap) ships at
+    most cap hash rows through the final exchange instead of exactly
+    counting every distinct direction in the corpus (the exact number
+    above k is irrelevant to the guard — at 100 TB that is the difference
+    between a bounded guard job and a full-cardinality aggregation)."""
     norm = l2_norm(F.col("embedding"))
     unit = F.transform(
         F.col("embedding"), lambda x: F.round(x.cast("double") / norm, 9)
     )
-    return e.select(F.xxhash64(unit).alias("h")).agg(
-        F.count_distinct("h")
-    ).collect()[0][0]
+    return e.select(F.xxhash64(unit).alias("h")).distinct().limit(cap).count()
 
 
 @register("embeddings_lsh_ann", oracle=None, headline=True, tags=("similarity", "approx"))
@@ -249,7 +251,7 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count on the FIT subset (candidates only) — the query vectors may
     # add directions the fit never sees; MLlib needs k >= 2, so a
     # degenerate corpus (one distinct direction) skips the fit: one cell
-    k_eff = min(8, _distinct_directions(e.where(F.col("vec_id") >= N_QUERIES)))
+    k_eff = _distinct_directions(e.where(F.col("vec_id") >= N_QUERIES), 8)
     if k_eff < 2:
         assigned = with_vec.drop("features").withColumn("centroid_id", F.lit(0))
         centroids = [(0, [0.0] * 64)]
@@ -476,7 +478,7 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = e.select("vec_id", "embedding", array_to_vector(F.col("embedding")).alias("_raw"))
     with_vec = Normalizer(inputCol="_raw", outputCol="features", p=2.0).transform(raw).drop("_raw")
-    k_eff = min(K, _distinct_directions(e))
+    k_eff = _distinct_directions(e, K)
     if k_eff < 2:  # MLlib needs k >= 2; one direction -> one cell
         centroids = [(0, [0.0] * 64)]
     else:
