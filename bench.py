@@ -126,6 +126,21 @@ def main() -> None:
             timings[name] = min(timings[name], *extra)
             retried.append(name)
 
+    # Plan-policy audit alongside the timings: a perf record with a silent
+    # cartesian or an unexpected global serialization point is worse than a
+    # slow one, so the bench artifact carries the violations explicitly
+    # (tests/test_plan_audit.py enforces the same policy in CI).
+    from energy_datalake_solution_spark.plans.audit import audit_plan
+
+    plan_violations: dict[str, list[str]] = {}
+    for name in names:
+        try:
+            v = audit_plan(QUERIES[name].fn(spark, sf_dir)).violations()
+            if v:
+                plan_violations[name] = v
+        except Exception as ex:  # audit must never sink the bench
+            plan_violations[name] = [f"audit_error: {ex!s:.80}"]
+
     timings = {n: round(v, 3) for n, v in timings.items()}
     total = round(sum(timings.values()), 3)
     # second sample AFTER the query loop: a spike that starts mid-run is
@@ -144,6 +159,7 @@ def main() -> None:
                 "host_mips_post": host_score_post,
                 "query_mips": query_mips,
                 "retried": retried,
+                "plan_violations": plan_violations,
             }
         )
     )
