@@ -100,6 +100,30 @@ def embeddings_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAIN_SAMPLE_PER_CELL = 256  # FAISS practice: ~256 training vectors per centroid
+
+
+def _kmeans_train_input(with_vec: DataFrame, k: int) -> DataFrame:
+    """Deterministic hash-sampled KMeans training set, capped at
+    ~TRAIN_SAMPLE_PER_CELL * k rows. Coarse centroids need a statistical
+    sample, not the corpus: public FAISS trains IVF on ~256 vectors per
+    cell, and beyond that the centroids stop moving while the fit cost
+    keeps growing. Sampling by xxhash64(vec_id) % mod is deterministic
+    (same plan every run — no RNG), and at test scales (n <= cap) the mod
+    is 1, i.e. behavior is bit-identical to training on everything. At
+    100 TB this makes index BUILD cost O(k * sample) — independent of
+    corpus size — while assignment/transform still maps every vector.
+    Callers keep a full-input refit fallback for the pathological case of
+    a sample with fewer distinct points than k."""
+    cap = TRAIN_SAMPLE_PER_CELL * k
+    n = with_vec.count()
+    if n <= cap:
+        return with_vec
+    mod = n // cap
+    return with_vec.where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+
+
+
 def _distinct_directions(e: DataFrame, cap: int) -> int:
     """min(cap, number of distinct unit directions), by 8-byte hash
     (round(9) kills fp jitter). MLlib's blocked KMeans aggregator crashes
@@ -257,9 +281,14 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = [(0, [0.0] * 64)]
     else:
         km = KMeans(k=k_eff, seed=42, maxIter=10, featuresCol="features", predictionCol="centroid_id")
-        fit_input = with_vec.where(F.col("vec_id") >= N_QUERIES).select("features").persist()
+        cand_vec = with_vec.where(F.col("vec_id") >= N_QUERIES)
+        fit_input = _kmeans_train_input(cand_vec, k_eff).select("features").persist()
         try:
-            model = km.fit(fit_input)
+            try:
+                model = km.fit(fit_input)
+            except Exception:
+                # sample degenerated below k distinct points — refit on all
+                model = km.fit(cand_vec.select("features"))
         finally:
             fit_input.unpersist()
         assigned = model.transform(with_vec).drop("features")
@@ -483,9 +512,13 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = [(0, [0.0] * 64)]
     else:
         km = KMeans(k=k_eff, seed=42, maxIter=10, featuresCol="features", predictionCol="cluster_id")
-        fit_input = with_vec.select("features").persist()
+        fit_input = _kmeans_train_input(with_vec, k_eff).select("features").persist()
         try:
-            model = km.fit(fit_input)
+            try:
+                model = km.fit(fit_input)
+            except Exception:
+                # sample degenerated below k distinct points — refit on all
+                model = km.fit(with_vec.select("features"))
         finally:
             fit_input.unpersist()
         centroids = [

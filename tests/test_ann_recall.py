@@ -110,3 +110,27 @@ def test_minhash_verify_stage_exact(spark):
         assert emitted[key] == truth[key], key
     recall = len(set(emitted) & set(truth)) / len(truth)
     assert recall >= 0.9, f"minhash candidate recall {recall:.3f}"
+
+
+def test_kmeans_train_sample_caps_and_is_deterministic(spark):
+    """On a corpus above the cap, the training sample lands near
+    TRAIN_SAMPLE_PER_CELL * k rows and is identical across invocations;
+    at-or-below the cap the input passes through untouched."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.operators.similarity import (
+        TRAIN_SAMPLE_PER_CELL,
+        _kmeans_train_input,
+    )
+
+    k = 8
+    cap = TRAIN_SAMPLE_PER_CELL * k
+    big = spark.range(10 * cap).withColumnRenamed("id", "vec_id").withColumn(
+        "features", F.array(F.lit(1.0))
+    )
+    s1 = _kmeans_train_input(big, k)
+    n1 = s1.count()
+    assert cap // 2 <= n1 <= 2 * cap  # hash-mod sampling, expected ~cap
+    assert n1 == _kmeans_train_input(big, k).count()  # deterministic
+    small = big.limit(cap)
+    assert _kmeans_train_input(small, k).count() == cap  # passthrough
