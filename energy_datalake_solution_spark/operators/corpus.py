@@ -493,3 +493,87 @@ QUERIES["docs_dup_rate_by_source"].oracle = f"""
     FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
     GROUP BY d.source
 """
+
+
+_DRIFT_TOKENS_SQL = """
+        WITH toks AS (
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split,
+                   UNNEST(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token,
+                   sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS c_train,
+                   sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS c_val
+            FROM toks
+            WHERE split IN ('train', 'val')
+            GROUP BY token
+        ),
+        totals AS (
+            SELECT sum(c_train)::BIGINT AS t_train, sum(c_val)::BIGINT AS t_val
+            FROM counts
+        ),
+        rated AS (
+            SELECT token, c_train, c_val,
+                   (c_train * 1000000) // t_train AS rate_train_ppm,
+                   (c_val * 1000000) // t_val AS rate_val_ppm
+            FROM counts, totals
+        )
+"""
+
+
+@register(
+    "docs_split_token_drift",
+    oracle=_DRIFT_TOKENS_SQL
+    + """
+        SELECT token, c_train, c_val, rate_train_ppm, rate_val_ppm,
+               abs(rate_train_ppm - rate_val_ppm) AS drift_ppm
+        FROM rated
+    """,
+    tags=("corpus", "quality", "agg"),
+)
+def docs_split_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-val token-distribution drift: per-token occurrence rates in
+    each split (parts-per-million) and their absolute gap — the eval-hygiene
+    check that a hash split didn't skew the vocabulary (a skewed split makes
+    validation loss lie). All arithmetic is INTEGER (counts, and
+    floor(c * 1e6 / total) via integer division), so the gate is an exact
+    hash match with no float-order hazard. One token shuffle; the totals are
+    a 1-row broadcast back over the counts table. This synthetic vocabulary
+    is small enough to emit fully; at 100 TB you bound the output to the
+    top-K tokens by (count, token) — same plan with a TakeOrdered head."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
+    ).alias("split")
+    toks = d.select(split, F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("split").isin("train", "val")
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("long").alias("c_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).cast("long").alias("c_val"),
+    )
+    totals = counts.agg(
+        F.sum("c_train").alias("t_train"), F.sum("c_val").alias("t_val")
+    )
+    rated = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "c_train",
+        "c_val",
+        # true integral division (DIV), not double-divide-then-cast: the
+        # double quotient can round UP across an integer boundary while
+        # DuckDB's // floors exactly
+        F.expr("c_train * 1000000 DIV t_train").alias("rate_train_ppm"),
+        F.expr("c_val * 1000000 DIV t_val").alias("rate_val_ppm"),
+    )
+    return rated.select(
+        "token",
+        "c_train",
+        "c_val",
+        "rate_train_ppm",
+        "rate_val_ppm",
+        F.abs(F.col("rate_train_ppm") - F.col("rate_val_ppm")).alias("drift_ppm"),
+    )

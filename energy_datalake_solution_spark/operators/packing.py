@@ -8,6 +8,15 @@ computes that layout declaratively: a per-shard running token offset
 assigns every document its sequence id, boundary-crossing flag, and span
 count, plus a per-shard packing-efficiency report.
 
+Relation to ``corpus.py::docs_pack_sequences`` (the round-2 minimal form):
+that query answers only "which pack does each document START in" over
+synthetic md5-nibble shards. This module is the full layout contract a
+dataloader consumes — boundary-crossing flags and span counts (which
+documents need splitting + attention masking), per-shard padding
+efficiency, packing by the REAL source shard, and an incremental
+streaming twin (streaming/pipeline.py::pack_stream_docs) that carries the
+running offsets across micro-batches.
+
 Packing is per ``source`` shard, not global: a single global prefix sum
 would serialize the corpus through one window partition. Sharded, each
 window partition is one source — at 100 TB you additionally sub-shard hot

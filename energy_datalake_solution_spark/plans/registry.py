@@ -118,6 +118,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "events_value_approx_percentiles",
     "orders_scd2_temporal_join",
     "window_function_suite",
+    "docs_split_token_drift",
     # --- green only in round 1 — stalest first (36) ---
     "anti_join_parts_never_shipped",
     "approx_distinct_parts",
