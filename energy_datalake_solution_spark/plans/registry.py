@@ -101,8 +101,10 @@ def _load_all() -> None:
 # unrefreshed — then re-confirmations of the approximate/rows-only tier
 # (whose oracles strengthen this round) and the round-3 headline fixes.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born round 4, never driver-checked (lead the window) ---
-    # (appended as round-4 operators land)
+    # --- born round 4, never driver-checked (lead the window; 17 entries,
+    #     so the ~50-entry gate window now ends inside the stale-r01 block
+    #     below — the last few stale rows wait for round 5, which is safe:
+    #     they all carry r01 driver-green rows) ---
     "multimodal_wav_pcm_stats",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
@@ -156,11 +158,9 @@ SURFACE_ORDER: tuple[str, ...] = (
     "multimodal_resize_stats",
     "events_value_outliers",
     "events_range_join_error_click_pairs",
-    # --- approximate tier (oracles strengthened this round) + round-3
-    #     headline fixes re-confirmed. The ~50-entry gate window ends
-    #     partway through this block; everything below already carries a
-    #     prior driver-green row, so falling past the window loses
-    #     nothing. ---
+    # --- approximate tier + round-3 headline fixes (now ENTIRELY below
+    #     the ~50-entry gate window; every entry here carries a prior
+    #     driver-green row, so falling past the window loses nothing) ---
     "docs_minhash_lsh_pairs",
     "knn_graph_pagerank",
     "embeddings_lsh_ann",
