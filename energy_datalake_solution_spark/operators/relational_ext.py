@@ -815,8 +815,7 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(o.o_orderdate AS DATE) AS order_date,
                o.o_custkey AS customer_id,
                d.c_mktsegment AS segment_at_order,
-               CASE WHEN d.c_custkey IS NULL THEN NULL
-                    ELSE (d.valid_to IS NULL) END AS version_is_current
+               (d.c_custkey IS NOT NULL AND d.valid_to IS NULL) AS version_is_current
         FROM orders o
         LEFT JOIN dim d
           ON d.c_custkey = o.o_custkey
@@ -873,9 +872,9 @@ def orders_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.col("o_custkey").alias("customer_id"),
         F.col("c_mktsegment").alias("segment_at_order"),
-        F.when(dim.c_custkey.isNull(), F.lit(None).cast("boolean"))
-        .otherwise(F.col("valid_to").isNull())
-        .alias("version_is_current"),
+        (dim.c_custkey.isNotNull() & F.col("valid_to").isNull()).alias(
+            "version_is_current"
+        ),
     )
 
 
