@@ -56,3 +56,26 @@ def test_plain_text_untouched(spark):
     text = "no personal data here, just 42 tokens and a dash-word"
     clean, e, p, i = _scrub(spark, text)
     assert (clean, e, p, i) == (text, 0, 0, 0)
+
+
+def test_scrub_is_idempotent_on_corpus(spark):
+    """Scrubbing already-scrubbed text must change nothing — the replacement
+    tokens must never re-match any pattern (a guard against e.g. an email
+    regex loose enough to eat '<EMAIL>@host')."""
+    from energy_datalake_solution_spark.operators.pii import scrub_columns
+    from energy_datalake_solution_spark.plans.registry import QUERIES, get_queries
+
+    from .conftest import SF_ORACLE
+
+    get_queries()
+    once = QUERIES["docs_pii_redaction"].fn(spark, SF_ORACLE).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = once.select("doc_id", *scrub_columns())
+    diff = twice.where(
+        (F.col("n_emails") != 0)
+        | (F.col("n_phones") != 0)
+        | (F.col("n_ips") != 0)
+        | (F.col("clean_text") != F.col("text"))
+    )
+    assert diff.count() == 0
