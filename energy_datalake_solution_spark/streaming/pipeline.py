@@ -322,6 +322,9 @@ def score_stream_with_lm(
         for pdf in batches:
             out_ids, out_n, out_avg = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # NULL text has no bigrams — the batch op's
+                    # split(NULL) likewise yields no rows for the doc
                 toks = text.replace("\n", " ").split(" ")
                 if len(toks) < 2:
                     continue  # no bigrams — same exclusion as the batch op

@@ -52,6 +52,7 @@ def nasty_dir(spark, tmp_path_factory):
         (5, " ".join(["dup"] * 40), "en", "src2", 159),  # one repeated word
         (6, " ".join(["dup"] * 40), "en", "src2", 159),  # exact duplicate
         (7, "a b c d e f g h i j", "en", "src3", 19),  # normal short doc
+        (8, None, "en", "src3", 0),                    # NULL text
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string, n_chars long"
