@@ -404,7 +404,11 @@ def embeddings_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # NULL embeddings have no direction (and would shape-break the numpy
+    # stack); excluded on both engines — the oracle carries the same WHERE
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(NB)).alias("blk")
     )
     # row in block k joins groups (k, j>=k) as side A and (i<=k, k) as side B
@@ -597,6 +601,7 @@ KNN_ORACLE_RANKED_CTE = """
                           * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
                        6) AS cosine_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
         ),
         ranked AS (
             SELECT vec_id, neighbor_id, cosine_sim,
@@ -649,7 +654,11 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # NULL embeddings excluded on both engines (no direction; numpy-stack
+    # shape hazard) — the shared oracle CTE carries the same WHERE
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(NB_KNN)).alias("blk")
     )
     # query side: every vector visits every block; data side: own block only

@@ -53,6 +53,7 @@ def nasty_dir(spark, tmp_path_factory):
         (6, " ".join(["dup"] * 40), "en", "src2", 159),  # exact duplicate
         (7, "a b c d e f g h i j", "en", "src3", 19),  # normal short doc
         (8, None, "en", "src3", 0),                    # NULL text
+        (9, "tail doc", None, None, 8),                # NULL lang + NULL source
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string, n_chars long"
@@ -64,6 +65,7 @@ def nasty_dir(spark, tmp_path_factory):
         (2, base, 1, "purchase", 0.0, "{}"),           # purchase w/o view
         (3, base, 2, "click", 5.0, "{}"),
         (4, base, 2, "click", 5.0, "{}"),              # exact-duplicate events
+        (5, base, 3, "view", None, None),              # NULL value + NULL props
     ]
     spark.createDataFrame(
         events,
@@ -75,6 +77,7 @@ def nasty_dir(spark, tmp_path_factory):
         (0, [0.0] * 64, 0),                            # zero vector (query side)
         (1, [1.0] + [0.0] * 63, 0),
         (2, [1.0] + [0.0] * 63, 1),                    # exact duplicate of 1
+        (40, None, 2),                                 # NULL embedding
         *[(i, [float(i)] * 64, i % 3) for i in range(3, 40)],
     ]
     spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")\
