@@ -54,6 +54,7 @@ def nasty_dir(spark, tmp_path_factory):
         (7, "a b c d e f g h i j", "en", "src3", 19),  # normal short doc
         (8, None, "en", "src3", 0),                    # NULL text
         (9, "tail doc", None, None, 8),                # NULL lang + NULL source
+        (10, "h\u00e9llo w\u00f6rld \U0001f30d \u4e2d\u6587 caf\u00e9", "fr", "src1", 30),  # multi-byte unicode
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string, n_chars long"
@@ -66,6 +67,7 @@ def nasty_dir(spark, tmp_path_factory):
         (3, base, 2, "click", 5.0, "{}"),
         (4, base, 2, "click", 5.0, "{}"),              # exact-duplicate events
         (5, base, 3, "view", None, None),              # NULL value + NULL props
+        (6, base, 3, "view", float("nan"), "{}"),      # NaN value
     ]
     spark.createDataFrame(
         events,
