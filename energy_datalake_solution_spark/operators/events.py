@@ -516,3 +516,76 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "events_resample_hourly_ffill",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   count(*)::BIGINT AS n_events, max(value) AS observed_max
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1
+        ),
+        grid AS (
+            SELECT b.event_type,
+                   UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+            FROM bounds b
+        )
+        SELECT g.event_type, g.h AS hour_start,
+               COALESCE(o.n_events, 0) AS n_events,
+               o.observed_max AS observed_max,
+               last_value(o.observed_max IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max,
+               (o.n_events IS NULL) AS is_gap
+        FROM grid g
+        LEFT JOIN obs o ON o.event_type = g.event_type AND o.h = g.h
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: project each event type onto a
+    regular hourly grid spanning its observed range, mark the empty hours,
+    and forward-fill the last observed per-hour maximum across gaps — the
+    regularization step every downstream forecasting/joining consumer of an
+    irregular event stream needs. The per-hour aggregate is max() (order
+    independent, engine-exact); the fill is last(ignorenulls) over the
+    per-type hour order.
+
+    Scale: the grid explodes from a per-type [min, max] bound (time-bounded,
+    never corpus-sized), the grid-to-observation join is an equi-join on
+    (type, hour), and the fill window partitions by type. For an unbounded
+    multi-year series, shard the window into (type, day) partitions and
+    carry the last value across shard boundaries with a second, 1-row-per-
+    shard pass — same two-pass prefix trick as the sequence packer."""
+    e = load_events(spark, sf_dir)
+    obs = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("observed_max"),
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = grid.join(obs, ["event_type", "h"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.col("h").alias("hour_start"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "observed_max",
+        F.last("observed_max", ignorenulls=True).over(w).alias("filled_max"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
