@@ -17,7 +17,10 @@ join + union overwrite. Steps:
 Scale posture: at 100 TB the curated table should be Delta (MERGE INTO
 rewrites only touched files). delta-spark is NOT importable in this
 environment (checked: ``import delta`` -> ModuleNotFoundError, and package
-installs are unavailable), so the scale path here is plain parquet +
+installs are unavailable); sources/snapshots.py implements the table-format
+CORE directly (version manifests + atomic pointer swap: snapshot isolation,
+time travel, rollback, vacuum — capability-tested in tests/test_snapshots.py),
+and the scale path for THIS merge is plain parquet +
 **partition-scoped merge**: pass ``partition_by`` and merge_upsert reads
 back ONLY the partitions the batch touches (partition pruning), anti-joins
 within them, and dynamically overwrites just those partitions — untouched

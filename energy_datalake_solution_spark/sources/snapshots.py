@@ -1,0 +1,183 @@
+"""Version-manifest table format: snapshot isolation on plain parquet.
+
+The reference's warehouse (Redshift) gives it transactional upserts for
+free; the Spark-first equivalent is a table FORMAT (Delta/Iceberg), whose
+core mechanism — readers resolve a manifest, never list directories — is
+~100 lines. ``delta-spark`` is not importable in this environment
+(sources/merge.py documents the check), so this module implements that
+core directly, which also makes the semantics inspectable:
+
+  * every write creates parquet files under ``data/`` plus an immutable
+    manifest ``_manifests/v{N}.json`` listing EXACTLY the files that make
+    up version N;
+  * ``_latest`` is a one-line pointer file swapped with ``os.replace``
+    (atomic on POSIX) — a reader that resolved a manifest keeps a
+    consistent snapshot no matter what writers do afterwards, because
+    data files are never mutated or deleted by commits (only by an
+    explicit vacuum of unreferenced files);
+  * time travel = read an older manifest; rollback = re-point ``_latest``
+    at an older manifest (an O(1) metadata operation, no data copied).
+
+At 100 TB the mechanism is unchanged — manifests hold file lists (and
+would hold per-file min/max stats for pruning, the natural extension);
+the pointer swap is the only serialization point, exactly like Delta's
+``_delta_log`` tail. Multi-writer coordination beyond atomic-rename
+(i.e. compare-and-swap on object stores without it) is out of scope here,
+as it is for Delta without a LogStore.
+
+Capability parity demonstrated (tests/test_snapshots.py): atomic replace,
+append, keyed upsert as a new version, reader isolation across a
+concurrent commit, time travel, rollback, vacuum safety.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_LATEST = "_latest"
+
+
+def _table(path) -> Path:
+    p = Path(path)
+    (p / _MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
+    (p / "data").mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def current_version(table_path) -> int:
+    """Latest committed version, or 0 if the table is empty."""
+    p = Path(table_path) / _LATEST
+    if not p.exists():
+        return 0
+    return int(p.read_text().strip())
+
+
+def _manifest_path(table_path, version: int) -> Path:
+    return Path(table_path) / _MANIFEST_DIR / f"v{version}.json"
+
+
+def _write_files(df: DataFrame, table_path: Path) -> list[str]:
+    """Materialize df as parquet files under data/<uuid>/ and return their
+    table-relative paths. The directory is unique per commit attempt, so a
+    failed commit leaves only unreferenced garbage (vacuum removes it) —
+    never a corrupt table."""
+    commit_dir = f"data/{uuid.uuid4().hex}"
+    out = table_path / commit_dir
+    df.write.parquet(str(out))
+    return [
+        f"{commit_dir}/{f}"
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    ]
+
+
+def _commit(table_path: Path, files: list[str], parent: int) -> int:
+    version = parent + 1
+    manifest = {"version": version, "parent": parent, "files": sorted(files)}
+    mp = _manifest_path(table_path, version)
+    if mp.exists():  # a concurrent writer committed this version first
+        raise RuntimeError(f"version {version} already committed (concurrent writer)")
+    tmp = mp.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(manifest, indent=1))
+    os.replace(tmp, mp)  # manifest becomes visible atomically
+    ltmp = Path(table_path) / f"{_LATEST}.tmp"
+    ltmp.write_text(str(version))
+    os.replace(ltmp, Path(table_path) / _LATEST)  # pointer swap, atomic
+    return version
+
+
+def snapshot_write(df: DataFrame, table_path) -> int:
+    """Commit df as a full-replace new version; returns the version."""
+    p = _table(table_path)
+    files = _write_files(df, p)
+    return _commit(p, files, current_version(p))
+
+
+def snapshot_append(df: DataFrame, table_path) -> int:
+    """Commit df's rows IN ADDITION to the current version's files — the
+    new manifest lists old files + new files; no data is rewritten."""
+    p = _table(table_path)
+    parent = current_version(p)
+    old_files = _read_manifest(p, parent)["files"] if parent else []
+    files = _write_files(df, p)
+    return _commit(p, old_files + files, parent)
+
+
+def snapshot_upsert(
+    spark: SparkSession, df: DataFrame, table_path, keys: list[str]
+) -> int:
+    """Keyed upsert as a new full version: current rows whose key appears
+    in the batch are replaced, others carried over. (A production format
+    rewrites only the files containing matched keys — with per-file
+    min/max key stats in the manifest this loop prunes the same way; the
+    commit protocol is identical.)"""
+    p = _table(table_path)
+    parent = current_version(p)
+    if parent == 0:
+        return snapshot_write(df, p)
+    cur = snapshot_read(spark, p)
+    merged = cur.join(df.select(keys).distinct(), keys, "left_anti").unionByName(df)
+    files = _write_files(merged, p)
+    return _commit(p, files, parent)
+
+
+def _read_manifest(table_path, version: int) -> dict:
+    return json.loads(_manifest_path(table_path, version).read_text())
+
+
+def snapshot_read(
+    spark: SparkSession, table_path, version: int | None = None
+) -> DataFrame:
+    """Read a consistent snapshot: the file LIST comes from one manifest,
+    so concurrent commits can never tear the read. version=None reads the
+    latest; an integer time-travels."""
+    p = Path(table_path)
+    v = current_version(p) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_path}")
+    files = [str(p / f) for f in _read_manifest(p, v)["files"]]
+    return spark.read.parquet(*files)
+
+
+def snapshot_rollback(table_path, version: int) -> None:
+    """Re-point _latest at an older version — O(1), no data moved."""
+    p = Path(table_path)
+    if not _manifest_path(p, version).exists():
+        raise FileNotFoundError(f"version {version} does not exist")
+    tmp = p / f"{_LATEST}.tmp"
+    tmp.write_text(str(version))
+    os.replace(tmp, p / _LATEST)
+
+
+def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
+    """Delete data files referenced by NO manifest among the latest
+    ``keep_versions`` manifests and drop the older manifests. Returns the
+    deleted file list. Readers of retained versions are unaffected —
+    files they reference are kept."""
+    p = Path(table_path)
+    latest = current_version(p)
+    keep = {v for v in range(max(1, latest - keep_versions + 1), latest + 1)}
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(p, v)["files"])
+    deleted = []
+    data_root = p / "data"
+    for sub in data_root.iterdir():
+        for f in sub.iterdir():
+            rel = f"data/{sub.name}/{f.name}"
+            if f.name.endswith(".parquet") and rel not in live:
+                f.unlink()
+                deleted.append(rel)
+        if not any(sub.iterdir()):
+            sub.rmdir()
+    for mf in (p / _MANIFEST_DIR).iterdir():
+        v = int(mf.stem[1:])
+        if v not in keep:
+            mf.unlink()
+    return sorted(deleted)
