@@ -77,9 +77,9 @@ def _write_files(df: DataFrame, table_path: Path) -> list[str]:
     ]
 
 
-def _commit(table_path: Path, files: list[str], parent: int) -> int:
+def _commit(table_path: Path, files: list[str], parent: int, txn: int | None = None) -> int:
     version = parent + 1
-    manifest = {"version": version, "parent": parent, "files": sorted(files)}
+    manifest = {"version": version, "parent": parent, "files": sorted(files), "txn": txn}
     mp = _manifest_path(table_path, version)
     if mp.exists():  # a concurrent writer committed this version first
         raise RuntimeError(f"version {version} already committed (concurrent writer)")
@@ -99,14 +99,30 @@ def snapshot_write(df: DataFrame, table_path) -> int:
     return _commit(p, files, current_version(p))
 
 
-def snapshot_append(df: DataFrame, table_path) -> int:
+def snapshot_append(df: DataFrame, table_path, txn: int | None = None) -> int:
     """Commit df's rows IN ADDITION to the current version's files — the
-    new manifest lists old files + new files; no data is rewritten."""
+    new manifest lists old files + new files; no data is rewritten.
+    ``txn`` stamps the manifest with a writer transaction id (see
+    last_txn / stream_snapshot_sink for the exactly-once protocol)."""
     p = _table(table_path)
     parent = current_version(p)
     old_files = _read_manifest(p, parent)["files"] if parent else []
     files = _write_files(df, p)
-    return _commit(p, old_files + files, parent)
+    return _commit(p, old_files + files, parent, txn=txn)
+
+
+def last_txn(table_path) -> int:
+    """Largest writer transaction id recorded in the manifest chain, or -1.
+    Commits are ordered, so scanning back from the latest version to the
+    first txn-stamped manifest suffices."""
+    p = Path(table_path)
+    v = current_version(p)
+    while v > 0:
+        m = _read_manifest(p, v)
+        if m.get("txn") is not None:
+            return int(m["txn"])
+        v = m["parent"]
+    return -1
 
 
 def snapshot_upsert(
@@ -181,3 +197,37 @@ def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
         if v not in keep:
             mf.unlink()
     return sorted(deleted)
+
+
+def snapshot_append_once(df: DataFrame, table_path, txn: int) -> int:
+    """Idempotent append: commit df stamped with writer transaction
+    ``txn`` unless a commit with that (or a later) txn already landed —
+    in which case this is a no-op returning the current version. The
+    primitive under the exactly-once streaming sink, exposed so crash
+    replays are directly testable."""
+    if txn <= last_txn(table_path):
+        return current_version(table_path)
+    return snapshot_append(df, table_path, txn=txn)
+
+
+def stream_snapshot_sink(stream: DataFrame, table_path, checkpoint_dir):
+    """Exactly-once streaming append into the snapshot table: each
+    micro-batch commits as ONE version stamped with its batch_id as the
+    writer transaction id. Structured Streaming replays a micro-batch
+    after a crash between sink success and checkpoint advance — the replay
+    arrives with the SAME batch_id, the txn stamp shows it already
+    committed, and the sink skips it: at-least-once delivery + idempotent
+    commit = exactly-once table contents. This is precisely the
+    foreachBatch + txn-id protocol Delta documents, running on the local
+    manifest format.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_append_once(batch_df, table_path, txn=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

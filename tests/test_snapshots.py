@@ -86,3 +86,41 @@ def test_vacuum_keeps_referenced_files(spark, tmp_path):
     assert snapshot_read(spark, t).count() == 6
     with pytest.raises(FileNotFoundError):
         snapshot_read(spark, t, version=1)
+
+
+def test_stream_sink_exactly_once_across_replay(spark, tmp_path):
+    """Two micro-batches stream into the table as two versions; a replayed
+    batch_id (the crash-between-commit-and-checkpoint case) must NOT
+    create a third version or duplicate rows."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        last_txn,
+        stream_snapshot_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _df(spark, 0, 10, "a").coalesce(1).write.json(str(src / "b0"))
+    _df(spark, 10, 15, "a").coalesce(1).write.json(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    t = tmp_path / "table"
+    q = stream_snapshot_sink(stream, t, tmp_path / "ckpt")
+    q.awaitTermination(120)
+    assert current_version(t) == 2
+    assert snapshot_read(spark, t).count() == 15
+    committed = last_txn(t)
+    assert committed >= 0
+    from energy_datalake_solution_spark.sources.snapshots import snapshot_append_once
+
+    # post-crash replay: the SAME batch_id runs through the sink's real
+    # commit path and must be a no-op
+    before = current_version(t)
+    snapshot_append_once(_df(spark, 10, 15, "a"), t, txn=committed)
+    assert current_version(t) == before
+    assert snapshot_read(spark, t).count() == 15
+    # a genuinely NEW batch id still commits
+    snapshot_append_once(_df(spark, 15, 16, "a"), t, txn=committed + 1)
+    assert snapshot_read(spark, t).count() == 16
