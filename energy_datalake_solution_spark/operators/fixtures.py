@@ -106,3 +106,57 @@ def fixtures_etl_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_merge(spark, processed, curated, TRANSACCIONES, load_date)
     out = spark.read.parquet(str(curated / TRANSACCIONES.table_name))
     return out.select(*_DETERMINISTIC_COLS)
+
+
+@register(
+    "snapshot_versioned_orders",
+    oracle="""
+        SELECT 1 AS version, o_orderkey AS order_id,
+               o_totalprice AS total_price, o_orderstatus AS order_status
+        FROM orders WHERE o_orderkey % 100 < 50
+        UNION ALL
+        SELECT 2, o_orderkey,
+               CASE WHEN o_orderkey % 100 >= 40 THEN o_totalprice + 10
+                    ELSE o_totalprice END,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 100 < 60
+    """,
+    tags=("snapshot", "merge", "versioning"),
+)
+def snapshot_versioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The version-manifest table format (sources/snapshots.py) under the
+    driver's hash gate, not just pytest: commit an orders subset as v1,
+    upsert a batch that UPDATES the keys' [40, 50) band (price + 10) and
+    INSERTS the [50, 60) band as v2, then emit the TIME-TRAVEL read of v1
+    alongside the latest read, version-tagged. The oracle derives both
+    versions arithmetically from the orders table, so a regression in the
+    commit protocol, the upsert's anti-join carry-over, or manifest
+    resolution changes the hash. Per-row money arithmetic is emitted raw
+    (identical IEEE sum on both engines; no rounding ties)."""
+    import tempfile
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import snapshot_read, snapshot_upsert, snapshot_write
+
+    t = Path(tempfile.mkdtemp(prefix="snap_orders_")) / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    band = F.pmod("o_orderkey", F.lit(100))
+    snapshot_write(o.where(band < 50), t)
+    batch = o.where((band >= 40) & (band < 60)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    snapshot_upsert(spark, batch, t, ["o_orderkey"])
+
+    def tagged(version: int) -> DataFrame:
+        return snapshot_read(spark, t, version=version).select(
+            F.lit(version).alias("version"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("o_orderstatus").alias("order_status"),
+        )
+
+    return tagged(1).unionByName(tagged(2))

@@ -101,7 +101,7 @@ def _load_all() -> None:
 # unrefreshed — then re-confirmations of the approximate/rows-only tier
 # (whose oracles strengthen this round) and the round-3 headline fixes.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born round 4, never driver-checked (lead the window; 18 entries,
+    # --- born round 4, never driver-checked (lead the window; 19 entries,
     #     so the ~50-entry gate window now ends inside the stale-r01 block
     #     below — the last few stale rows wait for round 5, which is safe:
     #     they all carry r01 driver-green rows) ---
@@ -122,6 +122,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "window_function_suite",
     "docs_split_token_drift",
     "events_resample_hourly_ffill",
+    "snapshot_versioned_orders",
     # --- green only in round 1 — stalest first (36) ---
     "anti_join_parts_never_shipped",
     "approx_distinct_parts",
