@@ -84,9 +84,12 @@ DIM = 64
 def embeddings_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding table with
     reconstruction-error audit: scale = max|x| / 127, code = clamp(floor(x /
-    scale + 0.5)), error = x - code * scale. Emits per vector the scale, an
-    integer code checksum (exact), the saturated-lane count, and RMS / max
-    reconstruction error — the figures a quantization rollout decision needs."""
+    scale + 0.5)). Emits per vector the scale, an integer code checksum
+    (exact), the saturated-lane count, and RMS / max RELATIVE error in
+    micro-steps (error in units of one quantization step, x/scale - code;
+    multiply by scale for absolute) — the figures a quantization rollout
+    decision needs. NULL and zero vectors drop out via the scale > 0
+    predicate on both engines."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     df = emb.select("vec_id", x.alias("x"))
