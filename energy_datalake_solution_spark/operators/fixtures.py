@@ -18,6 +18,7 @@ load_timestamp_utc, tmp-path source_file) are excluded from the output.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import textwrap
 from datetime import datetime, timezone
@@ -93,9 +94,14 @@ def fixtures_etl_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated fact table's deterministic columns. ``sf_dir`` is unused —
     the fixtures are self-contained (the write path has no scale knob).
     """
-    root = Path(tempfile.mkdtemp(prefix="fixtures_etl_"))
+    import shutil
+
+    # deterministic per-process scratch lake, rebuilt each invocation —
+    # same no-leak policy as snapshot_versioned_orders below
+    root = Path(tempfile.gettempdir()) / f"fixtures_etl_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
     landing = root / "landing"
-    landing.mkdir()
+    landing.mkdir(parents=True)
     processed, curated = root / "processed", root / "curated"
     for fname, content, load_date in _LOADS:
         f = landing / fname
@@ -133,12 +139,20 @@ def snapshot_versioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit protocol, the upsert's anti-join carry-over, or manifest
     resolution changes the hash. Per-row money arithmetic is emitted raw
     (identical IEEE sum on both engines; no rounding ties)."""
-    import tempfile
+    import shutil
 
     from ..sources.catalog import load_table
     from ..sources.snapshots import snapshot_read, snapshot_upsert, snapshot_write
 
-    t = Path(tempfile.mkdtemp(prefix="snap_orders_")) / "table"
+    # one deterministic scratch table per (process, sf_dir), rebuilt from
+    # scratch each invocation — repeated bench/gate calls must not leak a
+    # directory per call (the returned DataFrame lazily reads these files,
+    # so cleanup happens at the NEXT invocation, never mid-read)
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_orders_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )

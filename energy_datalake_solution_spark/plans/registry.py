@@ -101,7 +101,8 @@ def _load_all() -> None:
 # unrefreshed — then re-confirmations of the approximate/rows-only tier
 # (whose oracles strengthen this round) and the round-3 headline fixes.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born round 4, never driver-checked (lead the window; 19 entries,
+    # --- born round 4, never driver-checked (lead the window; 19 entries —
+    #     count verified by tests/test_queries_oracle.py's window guard,
     #     so the ~50-entry gate window now ends inside the stale-r01 block
     #     below — the last few stale rows wait for round 5, which is safe:
     #     they all carry r01 driver-green rows) ---

@@ -77,16 +77,38 @@ def _write_files(df: DataFrame, table_path: Path) -> list[str]:
     ]
 
 
+def _max_manifest_version(table_path: Path) -> int:
+    """Highest manifest version ON DISK (not the pointer): orphan manifests
+    left by a rollback or by a crash between manifest write and pointer
+    swap must never block the next commit's version allocation."""
+    versions = [
+        int(f.stem[1:])
+        for f in (table_path / _MANIFEST_DIR).glob("v*.json")
+    ]
+    return max(versions, default=0)
+
+
 def _commit(table_path: Path, files: list[str], parent: int, txn: int | None = None) -> int:
-    version = parent + 1
+    # allocate ABOVE any manifest on disk, not just parent+1 — after a
+    # rollback (pointer < max version) or an interrupted commit (manifest
+    # without pointer), parent+1 may already exist and must be skipped
+    version = max(parent, _max_manifest_version(table_path)) + 1
     manifest = {"version": version, "parent": parent, "files": sorted(files), "txn": txn}
     mp = _manifest_path(table_path, version)
-    if mp.exists():  # a concurrent writer committed this version first
-        raise RuntimeError(f"version {version} already committed (concurrent writer)")
-    tmp = mp.with_suffix(".json.tmp")
+    tmp = mp.with_suffix(f".{uuid.uuid4().hex}.tmp")
     tmp.write_text(json.dumps(manifest, indent=1))
-    os.replace(tmp, mp)  # manifest becomes visible atomically
-    ltmp = Path(table_path) / f"{_LATEST}.tmp"
+    try:
+        # hard-link is the atomic NO-overwrite publish (os.replace would
+        # silently clobber a racing writer's manifest — lost commit);
+        # whichever writer links first wins, the loser raises
+        os.link(tmp, mp)
+    except FileExistsError:
+        raise RuntimeError(
+            f"version {version} already committed (concurrent writer)"
+        ) from None
+    finally:
+        tmp.unlink(missing_ok=True)
+    ltmp = Path(table_path) / f"{_LATEST}.{uuid.uuid4().hex}.tmp"
     ltmp.write_text(str(version))
     os.replace(ltmp, Path(table_path) / _LATEST)  # pointer swap, atomic
     return version
@@ -114,11 +136,16 @@ def snapshot_append(df: DataFrame, table_path, txn: int | None = None) -> int:
 def last_txn(table_path) -> int:
     """Largest writer transaction id recorded in the manifest chain, or -1.
     Commits are ordered, so scanning back from the latest version to the
-    first txn-stamped manifest suffices."""
+    first txn-stamped manifest suffices; a vacuumed-away ancestor ends the
+    walk (its txn history is gone with it, and anything still reachable
+    was committed later)."""
     p = Path(table_path)
     v = current_version(p)
     while v > 0:
-        m = _read_manifest(p, v)
+        try:
+            m = _read_manifest(p, v)
+        except FileNotFoundError:
+            return -1  # ancestor vacuumed — no older txn survives
         if m.get("txn") is not None:
             return int(m["txn"])
         v = m["parent"]

@@ -569,8 +569,24 @@ def pack_stream_docs(docs: DataFrame) -> DataFrame:
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values("doc_id")
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            n = len(text.split(" ")) if text is not None else 1
             first = offset // SEQ_LEN
+            if text is None:
+                # exact batch parity: size(split(NULL)) is NULL, so the doc
+                # emits NULL token/span fields, keeps its start offset, and
+                # advances the running offset by NOTHING
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "source": key[0],
+                        "n_tokens": None,
+                        "start_offset": offset,
+                        "seq_id": first,
+                        "n_sequences_spanned": None,
+                        "crosses_boundary": None,
+                    }
+                )
+                continue
+            n = len(text.split(" "))
             last = (offset + n - 1) // SEQ_LEN
             out.append(
                 {

@@ -124,3 +124,55 @@ def test_stream_sink_exactly_once_across_replay(spark, tmp_path):
     # a genuinely NEW batch id still commits
     snapshot_append_once(_df(spark, 15, 16, "a"), t, txn=committed + 1)
     assert snapshot_read(spark, t).count() == 16
+
+
+def test_write_after_rollback_allocates_past_orphans(spark, tmp_path):
+    """Rollback leaves the later manifests on disk; the next commit must
+    allocate ABOVE them instead of colliding (the brick a parent+1
+    allocator hits)."""
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 10, "a"), t)
+    snapshot_write(_df(spark, 0, 3, "b"), t)
+    snapshot_rollback(t, 1)
+    v = snapshot_write(_df(spark, 0, 7, "c"), t)
+    assert v == 3  # v2 is an orphan branch, not a blocker
+    assert snapshot_read(spark, t).count() == 7
+    assert snapshot_read(spark, t, version=1).count() == 10  # history intact
+
+
+def test_last_txn_survives_vacuumed_ancestry(spark, tmp_path):
+    """txn-less commits stacked above vacuumed history must not crash the
+    txn walk (the streaming sink calls it on every micro-batch)."""
+    from energy_datalake_solution_spark.sources.snapshots import last_txn
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)       # v1, txn None
+    snapshot_write(_df(spark, 0, 6, "b"), t)       # v2, txn None
+    snapshot_vacuum(t, keep_versions=1)            # v1's manifest deleted
+    assert last_txn(t) == -1                       # walk ends cleanly
+
+
+def test_commit_collision_raises_not_clobbers(spark, tmp_path, monkeypatch):
+    """If the exact next version appears between allocation and publish
+    (a true concurrent writer), the loser must RAISE — never silently
+    overwrite the winner's manifest. The race window is simulated by
+    pinning the loser's allocation scan to a stale view while the winner's
+    manifest lands."""
+    import json
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)
+    p = S._table(t)
+    files = S._write_files(_df(spark, 0, 2, "b"), p)
+    winner = S._manifest_path(p, 2)
+    winner.write_text(json.dumps({"version": 2, "parent": 1, "files": [], "txn": None}))
+    monkeypatch.setattr(S, "_max_manifest_version", lambda _p: 1)  # stale scan
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        S._commit(p, files, parent=1)
+    # the winner's manifest is untouched (no clobber)
+    assert json.loads(winner.read_text())["files"] == []
+    # and without the stale view, the loser retries cleanly past the winner
+    monkeypatch.undo()
+    assert S._commit(p, files, parent=S.current_version(p)) == 3

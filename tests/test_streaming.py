@@ -758,3 +758,51 @@ def test_streaming_sequence_packing_matches_batch_across_batches(spark, tmp_path
             b.source, b.n_tokens, b.start_offset, b.seq_id,
             b.n_sequences_spanned, b.crosses_boundary,
         ), doc_id
+
+
+def test_streaming_sequence_packing_null_text_parity(spark, tmp_path):
+    """A NULL-text document must get the identical row the batch operator
+    gives it (NULL token/span fields, real start offset) and must NOT
+    advance the running offset for its successors."""
+    from energy_datalake_solution_spark.operators.packing import docs_sequence_packing
+    from energy_datalake_solution_spark.streaming.pipeline import pack_stream_docs
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    rows = [
+        (1, "a b c", "en", "s0", 5),
+        (2, None, "en", "s0", 0),
+        (3, "d e", "en", "s0", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    batch = {r.doc_id: r for r in docs_sequence_packing(spark, str(d)).collect()}
+    assert batch[2].n_tokens is None and batch[2].crosses_boundary is None
+    assert batch[3].start_offset == 3  # NULL doc advanced nothing
+
+    src = tmp_path / "s"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, t, s) for i, t, _l, s, _n in rows], "doc_id long, text string, source string"
+    ).coalesce(1).write.json(str(src / "b0"))
+    stream = spark.readStream.schema("doc_id long, text string, source string").json(
+        str(src / "b0")
+    )
+    q = (
+        pack_stream_docs(stream)
+        .writeStream.format("memory")
+        .queryName("null_packed")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM null_packed").collect()}
+    for i in (1, 2, 3):
+        b, g = batch[i], got[i]
+        assert (g.n_tokens, g.start_offset, g.seq_id, g.n_sequences_spanned,
+                g.crosses_boundary) == (
+            b.n_tokens, b.start_offset, b.seq_id, b.n_sequences_spanned,
+            b.crosses_boundary,
+        ), i
