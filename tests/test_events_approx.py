@@ -31,3 +31,11 @@ def test_approx_percentiles_within_rank_error(spark):
             lo = vs[max(0, target - tol)]
             hi = vs[min(n - 1, target + tol)]
             assert lo <= got <= hi, (etype, q, got, lo, hi)
+
+
+def test_hll_distinct_within_relative_error(spark):
+    """The HLL sketch (rsd 0.01) must land within 5x its configured
+    relative standard deviation of the exact count it is emitted beside."""
+    r = QUERIES["approx_distinct_parts"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.exact_n_parts > 0
+    assert abs(r.approx_n_parts - r.exact_n_parts) / r.exact_n_parts <= 0.05
