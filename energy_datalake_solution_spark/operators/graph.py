@@ -137,6 +137,8 @@ def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = edges.select("vec_id").distinct()
     n = nodes.count()
+    if n == 0:  # empty graph (empty/all-NULL embeddings): no ranks to emit
+        return spark.createDataFrame([], "vec_id long, pagerank double")
     ranks = nodes.select("vec_id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - PR_DAMPING) / n
     for _ in range(PR_ITERATIONS):

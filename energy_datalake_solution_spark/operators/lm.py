@@ -417,6 +417,9 @@ def docs_lm_score_pandas_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in c12_rows:
         c1[r.w1] = c1.get(r.w1, 0) + r.c_pair
     vocab = len({w for r in c12_rows for w in (r.w1, r.w2)})
+    if vocab == 0:  # empty corpus: no model, nothing to score (and the
+        # add-k smoothing mass k*V would be a zero divisor)
+        return spark.createDataFrame([], "doc_id long, n_bigrams long, avg_logp double")
     lm_logp = {
         (r.w1, r.w2): math.log((r.c_pair + ADD_K) / (c1[r.w1] + ADD_K * vocab))
         for r in c12_rows
