@@ -18,16 +18,19 @@ core directly, which also makes the semantics inspectable:
   * time travel = read an older manifest; rollback = re-point ``_latest``
     at an older manifest (an O(1) metadata operation, no data copied).
 
-At 100 TB the mechanism is unchanged — manifests hold file lists (and
-would hold per-file min/max stats for pruning, the natural extension);
-the pointer swap is the only serialization point, exactly like Delta's
-``_delta_log`` tail. Multi-writer coordination beyond atomic-rename
+At 100 TB the mechanism is unchanged — manifests hold file lists AND
+per-file min/max column stats (snapshot_write_with_stats collects them
+from the parquet footers at commit; snapshot_read_range prunes files
+against them before Spark ever lists a path); the pointer swap is the
+only serialization point, exactly like Delta's ``_delta_log`` tail. Multi-writer coordination beyond atomic-rename
 (i.e. compare-and-swap on object stores without it) is out of scope here,
 as it is for Delta without a LogStore.
 
 Capability parity demonstrated (tests/test_snapshots.py): atomic replace,
 append, keyed upsert as a new version, reader isolation across a
-concurrent commit, time travel, rollback, vacuum safety.
+concurrent commit, time travel, rollback, vacuum safety, commit-collision
+detection, exactly-once streaming appends, and stats-pruned keyed reads
+that provably lose no rows.
 """
 
 from __future__ import annotations
@@ -88,12 +91,20 @@ def _max_manifest_version(table_path: Path) -> int:
     return max(versions, default=0)
 
 
-def _commit(table_path: Path, files: list[str], parent: int, txn: int | None = None) -> int:
+def _commit(
+    table_path: Path,
+    files: list[str],
+    parent: int,
+    txn: int | None = None,
+    stats: dict | None = None,
+) -> int:
     # allocate ABOVE any manifest on disk, not just parent+1 — after a
     # rollback (pointer < max version) or an interrupted commit (manifest
     # without pointer), parent+1 may already exist and must be skipped
     version = max(parent, _max_manifest_version(table_path)) + 1
     manifest = {"version": version, "parent": parent, "files": sorted(files), "txn": txn}
+    if stats:
+        manifest["stats"] = stats
     mp = _manifest_path(table_path, version)
     tmp = mp.with_suffix(f".{uuid.uuid4().hex}.tmp")
     tmp.write_text(json.dumps(manifest, indent=1))
@@ -258,3 +269,87 @@ def stream_snapshot_sink(stream: DataFrame, table_path, checkpoint_dir):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# File statistics + data skipping (the manifest's second job)
+# ---------------------------------------------------------------------------
+
+def _collect_stats(table_path: Path, files: list[str], stats_cols: list[str]) -> dict:
+    """Per-file min/max for the given columns, read from the parquet
+    footers (row-group statistics — no data pages touched). This is what a
+    production format stores per data file; with it, a keyed read prunes
+    files before Spark ever lists them."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in files:
+        md = pq.ParquetFile(str(table_path / rel)).metadata
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for col in stats_cols:
+            if col not in col_idx:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(col_idx[col]).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break  # a stats-less row group poisons the file's bound
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                stats[col] = [lo, hi]
+        if stats:
+            out[rel] = stats
+    return out
+
+
+def snapshot_write_with_stats(
+    df: DataFrame, table_path, stats_cols: list[str], n_files: int | None = None
+) -> int:
+    """Full-replace commit that records per-file min/max for ``stats_cols``
+    in the manifest (collected from the parquet footers BEFORE the commit
+    publishes, so the manifest is immutable like any other). Pass
+    ``n_files`` to range-partition the data by the first stats column
+    first — disjoint per-file key ranges are what make the stats selective
+    (a hash layout gives every file the full range)."""
+    p = _table(table_path)
+    if n_files:
+        df = df.repartitionByRange(n_files, *stats_cols[:1])
+    files = _write_files(df, p)
+    stats = _collect_stats(p, files, stats_cols)
+    return _commit(p, files, current_version(p), stats=stats)
+
+
+def snapshot_files_for_range(table_path, col: str, lo, hi, version: int | None = None) -> list[str]:
+    """The file subset whose [min, max] stats overlap [lo, hi] — files
+    without stats for ``col`` are kept (pruning must never lose rows)."""
+    p = Path(table_path)
+    v = current_version(p) if version is None else version
+    m = _read_manifest(p, v)
+    stats = m.get("stats", {})
+    keep = []
+    for rel in m["files"]:
+        s = stats.get(rel, {}).get(col)
+        if s is None or (s[1] >= lo and s[0] <= hi):
+            keep.append(rel)
+    return keep
+
+
+def snapshot_read_range(
+    spark: SparkSession, table_path, col: str, lo, hi, version: int | None = None
+) -> DataFrame:
+    """Keyed range read with manifest-level data skipping: only files whose
+    stats overlap the range are handed to Spark (the row-level filter is
+    still applied — stats prune files, the predicate prunes rows). At
+    100 TB this is the difference between listing/opening every file of a
+    snapshot and touching the few whose key range can match."""
+    p = Path(table_path)
+    files = snapshot_files_for_range(p, col, lo, hi, version)
+    if not files:
+        # empty selection: preserve schema by reading the full snapshot
+        # lazily and filtering (never collected — planner only)
+        return snapshot_read(spark, p, version).where(f"{col} >= {lo!r} AND {col} <= {hi!r}").limit(0)
+    df = spark.read.parquet(*[str(p / f) for f in files])
+    return df.where((df[col] >= lo) & (df[col] <= hi))

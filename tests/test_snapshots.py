@@ -176,3 +176,43 @@ def test_commit_collision_raises_not_clobbers(spark, tmp_path, monkeypatch):
     # and without the stale view, the loser retries cleanly past the winner
     monkeypatch.undo()
     assert S._commit(p, files, parent=S.current_version(p)) == 3
+
+
+def test_stats_commit_prunes_files_and_loses_nothing(spark, tmp_path):
+    """A range-partitioned stats commit must let a keyed read touch only
+    the overlapping files, and the pruned read must equal the brute-force
+    filter over the full snapshot."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_files_for_range,
+        snapshot_read_range,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    snapshot_write_with_stats(df, t, ["k"], n_files=8)
+    all_files = snapshot_files_for_range(t, "k", 0, 10_000)
+    assert len(all_files) == 8
+    few = snapshot_files_for_range(t, "k", 2_000, 2_100)
+    assert 1 <= len(few) <= 2  # disjoint ranges: the window spans <=2 files
+    got = snapshot_read_range(spark, t, "k", 2_000, 2_100)
+    expected = snapshot_read(spark, t).where("k BETWEEN 2000 AND 2100")
+    assert got.count() == expected.count() == 101
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_stats_missing_column_keeps_files(spark, tmp_path):
+    """Files without stats for the queried column must never be pruned
+    (safety over selectivity) — a stats-less commit still answers keyed
+    reads correctly."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_files_for_range,
+        snapshot_read_range,
+    )
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 100, "a"), t)  # plain commit: no stats
+    files = snapshot_files_for_range(t, "k", 5, 10)
+    m_files = snapshot_files_for_range(t, "k", -99, -90)
+    assert files == m_files  # nothing pruned either way
+    assert snapshot_read_range(spark, t, "k", 5, 10).count() == 6
