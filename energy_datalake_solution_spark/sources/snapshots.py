@@ -353,3 +353,28 @@ def snapshot_read_range(
         return snapshot_read(spark, p, version).where(f"{col} >= {lo!r} AND {col} <= {hi!r}").limit(0)
     df = spark.read.parquet(*[str(p / f) for f in files])
     return df.where((df[col] >= lo) & (df[col] <= hi))
+
+
+def snapshot_compact(
+    spark: SparkSession, table_path, target_files: int = 1,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE: rewrite the CURRENT version's (typically many small,
+    stream-appended) files into ``target_files`` larger ones and commit the
+    result as a new version — contents identical, old versions untouched
+    and still time-travelable, vacuum reclaims the small files once they
+    fall out of retention. With ``stats_cols`` the rewrite range-partitions
+    on the first column and records fresh min/max stats, so compaction
+    doubles as re-clustering (small random appends destroy key locality;
+    this restores it). Exactly Delta's OPTIMIZE semantics: a metadata swap
+    over rewritten data, never an in-place mutation."""
+    p = _table(table_path)
+    parent = current_version(p)
+    df = snapshot_read(spark, p)
+    if stats_cols:
+        df = df.repartitionByRange(target_files, stats_cols[0])
+    else:
+        df = df.coalesce(target_files)
+    files = _write_files(df, p)
+    stats = _collect_stats(p, files, stats_cols) if stats_cols else None
+    return _commit(p, files, parent, stats=stats)

@@ -216,3 +216,30 @@ def test_stats_missing_column_keeps_files(spark, tmp_path):
     m_files = snapshot_files_for_range(t, "k", -99, -90)
     assert files == m_files  # nothing pruned either way
     assert snapshot_read_range(spark, t, "k", 5, 10).count() == 6
+
+
+def test_compaction_shrinks_files_preserves_rows_and_history(spark, tmp_path):
+    """Many small appended files compact into one; contents identical,
+    the pre-compaction version still time-travels, and a stats compaction
+    restores key locality for pruned reads."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_files_for_range,
+    )
+
+    t = tmp_path / "t"
+    for i in range(6):  # simulated micro-batch appends: 6 small files
+        snapshot_append(_df(spark, i * 10, (i + 1) * 10, "a").coalesce(1), t)
+    v_before = current_version(t)
+    files_before = len(snapshot_files_for_range(t, "k", -1, 999))
+    assert files_before == 6
+    v = snapshot_compact(spark, t, target_files=2, stats_cols=["k"])
+    assert v == v_before + 1
+    assert len(snapshot_files_for_range(t, "k", -1, 999)) == 2
+    # identical contents
+    now = snapshot_read(spark, t)
+    old = snapshot_read(spark, t, version=v_before)
+    assert now.count() == old.count() == 60
+    assert now.exceptAll(old).count() == 0
+    # re-clustering: a narrow keyed read touches ONE of the two files
+    assert len(snapshot_files_for_range(t, "k", 5, 8)) == 1
