@@ -25,6 +25,12 @@ sources into bounded (source, shard_id) buckets (a deterministic
 semantics here are per-shard either way. Token counts are whitespace
 tokens (same definition as text.py's docs_token_stats), all arithmetic is
 integral, so the oracle gate is an exact hash match.
+
+Ordering contract: ``doc_id`` is the corpus primary key (unique — true of
+every driver table and any sane corpus). A duplicated id would make the
+ROWS-frame running offset tie-order-dependent, i.e. nondeterministic
+across runs; run docs_exact_dedup first if ingest cannot guarantee the
+key.
 """
 
 from __future__ import annotations
