@@ -55,6 +55,8 @@ def nasty_dir(spark, tmp_path_factory):
         (8, None, "en", "src3", 0),                    # NULL text
         (9, "tail doc", None, None, 8),                # NULL lang + NULL source
         (10, "h\u00e9llo w\u00f6rld \U0001f30d \u4e2d\u6587 caf\u00e9", "fr", "src1", 30),  # multi-byte unicode
+        (11, "   ", "en", "src2", 3),                  # spaces only (split -> empties)
+        (12, "x" * 5000, "en", "src2", 5000),          # one enormous token
     ]
     spark.createDataFrame(
         docs, "doc_id long, text string, lang string, source string, n_chars long"
