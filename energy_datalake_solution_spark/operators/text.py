@@ -585,3 +585,54 @@ def source_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("avg_logp"), 6).alias("avg_lm_logp"),
         )
     )
+
+
+HASH_DIM = 64  # feature-hashing target dimensionality (matches embeddings dim)
+
+
+@register(
+    "docs_feature_hash_vectors",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % {HASH_DIM} AS dim,
+                   CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT // {HASH_DIM}) % 2 = 0
+                        THEN 1 ELSE -1 END AS s
+            FROM toks
+        )
+        SELECT doc_id, CAST(dim AS INT) AS dim, sum(s)::BIGINT AS weight
+        FROM hashed
+        GROUP BY doc_id, dim
+    """,
+    tags=("text", "featurize", "embeddings"),
+)
+def docs_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text featurization via the signed hashing trick
+    (Weinberger et al., "Feature Hashing for Large Scale Multitask
+    Learning", ICML 2009): every token lands in dimension md5(token) mod
+    HASH_DIM with a hash-derived ±1 sign, and a document's vector is the
+    signed term-frequency sum — sparse long-form (doc_id, dim, weight)
+    rows, ready to densify into array columns for the similarity tier
+    when no learned embedding model is available (inner products of these
+    vectors are unbiased estimates of term-overlap kernels, which is what
+    makes the trick sound). All arithmetic is integral, so the oracle gate
+    is exact; one token-explode scan plus one (doc, dim) map-side-combined
+    aggregation — the same scan shape as docs_token_stats, no UDF.
+
+    At 100 TB: the explode is scan-bound and the aggregate's key space is
+    |docs| x HASH_DIM, shuffled once; densification (collect_list over 64
+    dims) stays per-doc. Raising HASH_DIM trades collision bias for width
+    with no plan change."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    hashed = toks.select("doc_id", h.alias("h")).select(
+        "doc_id",
+        F.pmod("h", F.lit(HASH_DIM)).cast("int").alias("dim"),
+        F.when(F.pmod(F.expr(f"h div {HASH_DIM}"), 2) == 0, 1).otherwise(-1).alias("s"),
+    )
+    return hashed.groupBy("doc_id", "dim").agg(F.sum("s").cast("long").alias("weight"))

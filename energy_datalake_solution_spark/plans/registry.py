@@ -101,7 +101,7 @@ def _load_all() -> None:
 # unrefreshed — then re-confirmations of the approximate/rows-only tier
 # (whose oracles strengthen this round) and the round-3 headline fixes.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born round 4, never driver-checked (lead the window; 19 entries —
+    # --- born round 4, never driver-checked (lead the window; 20 entries —
     #     count verified by tests/test_queries_oracle.py's window guard,
     #     so the ~50-entry gate window now ends inside the stale-r01 block
     #     below — the last few stale rows wait for round 5, which is safe:
@@ -124,6 +124,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "docs_split_token_drift",
     "events_resample_hourly_ffill",
     "snapshot_versioned_orders",
+    "docs_feature_hash_vectors",
     # --- green only in round 1 — stalest first (36) ---
     "anti_join_parts_never_shipped",
     "approx_distinct_parts",
