@@ -517,8 +517,8 @@ _DRIFT_TOKENS_SQL = """
         ),
         rated AS (
             SELECT token, c_train, c_val,
-                   (c_train * 1000000) // t_train AS rate_train_ppm,
-                   (c_val * 1000000) // t_val AS rate_val_ppm
+                   (c_train * 1000000) // NULLIF(t_train, 0) AS rate_train_ppm,
+                   (c_val * 1000000) // NULLIF(t_val, 0) AS rate_val_ppm
             FROM counts, totals
         )
 """
@@ -565,9 +565,11 @@ def docs_split_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_val",
         # true integral division (DIV), not double-divide-then-cast: the
         # double quotient can round UP across an integer boundary while
-        # DuckDB's // floors exactly
-        F.expr("c_train * 1000000 DIV t_train").alias("rate_train_ppm"),
-        F.expr("c_val * 1000000 DIV t_val").alias("rate_val_ppm"),
+        # DuckDB's // floors exactly. nullif guards the empty-split corpus:
+        # under ANSI mode a zero total would raise DIVIDE_BY_ZERO; NULL
+        # rates (mirrored by the oracle's NULLIF) are the honest answer
+        F.expr("c_train * 1000000 DIV nullif(t_train, 0)").alias("rate_train_ppm"),
+        F.expr("c_val * 1000000 DIV nullif(t_val, 0)").alias("rate_val_ppm"),
     )
     return rated.select(
         "token",

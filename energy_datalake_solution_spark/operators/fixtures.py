@@ -111,7 +111,10 @@ def fixtures_etl_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_pipeline(spark, res.file_type, res.raw_path, res.load_date, processed)
         run_merge(spark, processed, curated, TRANSACCIONES, load_date)
     out = spark.read.parquet(str(curated / TRANSACCIONES.table_name))
-    return out.select(*_DETERMINISTIC_COLS)
+    # eagerly materialize before returning: the NEXT invocation rmtree's
+    # this scratch lake, so a caller that caches the returned DataFrame and
+    # re-executes it later must not depend on the files still existing
+    return out.select(*_DETERMINISTIC_COLS).localCheckpoint(eager=True)
 
 
 @register(
@@ -173,4 +176,7 @@ def snapshot_versioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("order_status"),
         )
 
-    return tagged(1).unionByName(tagged(2))
+    # eager materialization: same invalidation contract as
+    # fixtures_etl_curated above — the next invocation rebuilds the scratch
+    # table, so the returned frame must not lazily re-read its files
+    return tagged(1).unionByName(tagged(2)).localCheckpoint(eager=True)

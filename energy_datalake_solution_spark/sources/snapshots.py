@@ -96,13 +96,29 @@ def _commit(
     files: list[str],
     parent: int,
     txn: int | None = None,
+    txn_app: str | None = None,
     stats: dict | None = None,
 ) -> int:
+    """Publish a manifest and advance the pointer.
+
+    Concurrency contract: the manifest publish is a hard-link (atomic,
+    no-overwrite — a same-version race loses loudly, never clobbers), and
+    the pointer swap REFUSES to regress: if the on-disk pointer is already
+    at or past this commit's version (a later writer won the race while
+    this one was delayed between link and swap), the swap is skipped — the
+    commit's manifest remains reachable as an orphan branch rather than
+    silently un-publishing the later writer. Full multi-writer
+    serialization (read-set validation, as Delta's LogStore provides) is
+    out of scope; tables are expected to have ONE writer lineage at a time,
+    and these guards turn violations into orphans/errors, not corruption.
+    """
     # allocate ABOVE any manifest on disk, not just parent+1 — after a
     # rollback (pointer < max version) or an interrupted commit (manifest
     # without pointer), parent+1 may already exist and must be skipped
     version = max(parent, _max_manifest_version(table_path)) + 1
     manifest = {"version": version, "parent": parent, "files": sorted(files), "txn": txn}
+    if txn_app is not None:
+        manifest["txn_app"] = txn_app
     if stats:
         manifest["stats"] = stats
     mp = _manifest_path(table_path, version)
@@ -119,6 +135,11 @@ def _commit(
         ) from None
     finally:
         tmp.unlink(missing_ok=True)
+    if current_version(table_path) >= version:
+        # a later writer already advanced the pointer past us — swapping
+        # now would REGRESS it and drop that writer's commit from the
+        # chain. Leave our manifest as an orphan branch instead.
+        return version
     ltmp = Path(table_path) / f"{_LATEST}.{uuid.uuid4().hex}.tmp"
     ltmp.write_text(str(version))
     os.replace(ltmp, Path(table_path) / _LATEST)  # pointer swap, atomic
@@ -132,24 +153,31 @@ def snapshot_write(df: DataFrame, table_path) -> int:
     return _commit(p, files, current_version(p))
 
 
-def snapshot_append(df: DataFrame, table_path, txn: int | None = None) -> int:
+def snapshot_append(
+    df: DataFrame, table_path, txn: int | None = None, txn_app: str | None = None
+) -> int:
     """Commit df's rows IN ADDITION to the current version's files — the
     new manifest lists old files + new files; no data is rewritten.
-    ``txn`` stamps the manifest with a writer transaction id (see
-    last_txn / stream_snapshot_sink for the exactly-once protocol)."""
+    ``txn`` stamps the manifest with a writer transaction id, namespaced by
+    ``txn_app`` (see last_txn / stream_snapshot_sink for the exactly-once
+    protocol — Delta's documented (appId, version) scheme)."""
     p = _table(table_path)
     parent = current_version(p)
     old_files = _read_manifest(p, parent)["files"] if parent else []
     files = _write_files(df, p)
-    return _commit(p, old_files + files, parent, txn=txn)
+    return _commit(p, old_files + files, parent, txn=txn, txn_app=txn_app)
 
 
-def last_txn(table_path) -> int:
-    """Largest writer transaction id recorded in the manifest chain, or -1.
-    Commits are ordered, so scanning back from the latest version to the
-    first txn-stamped manifest suffices; a vacuumed-away ancestor ends the
-    walk (its txn history is gone with it, and anything still reachable
-    was committed later)."""
+def last_txn(table_path, txn_app: str | None = None) -> int:
+    """Largest transaction id recorded FOR THE GIVEN WRITER NAMESPACE in
+    the manifest chain, or -1. Txn ids are namespaced by ``txn_app``
+    (Delta's (appId, version) protocol): two writer lineages appending to
+    the same table never see each other's txn stamps, so neither silently
+    skips the other's batches. ``txn_app=None`` matches only un-namespaced
+    (legacy) stamps. Commits are ordered per app, so scanning back to the
+    first manifest stamped by THIS app suffices; a vacuumed-away ancestor
+    ends the walk (its txn history is gone with it, and anything still
+    reachable was committed later)."""
     p = Path(table_path)
     v = current_version(p)
     while v > 0:
@@ -157,7 +185,7 @@ def last_txn(table_path) -> int:
             m = _read_manifest(p, v)
         except FileNotFoundError:
             return -1  # ancestor vacuumed — no older txn survives
-        if m.get("txn") is not None:
+        if m.get("txn") is not None and m.get("txn_app") == txn_app:
             return int(m["txn"])
         v = m["parent"]
     return -1
@@ -216,7 +244,14 @@ def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
     files they reference are kept."""
     p = Path(table_path)
     latest = current_version(p)
-    keep = {v for v in range(max(1, latest - keep_versions + 1), latest + 1)}
+    # intersect the keep range with manifests actually on disk: an earlier
+    # vacuum with a smaller retention may have already deleted part of the
+    # range, and a later vacuum with a larger keep_versions must not fail
+    # on those gaps (they hold no files to protect)
+    on_disk = {int(f.stem[1:]) for f in (p / _MANIFEST_DIR).glob("v*.json")}
+    keep = {
+        v for v in range(max(1, latest - keep_versions + 1), latest + 1)
+    } & on_disk
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(p, v)["files"])
@@ -237,31 +272,40 @@ def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
     return sorted(deleted)
 
 
-def snapshot_append_once(df: DataFrame, table_path, txn: int) -> int:
+def snapshot_append_once(df: DataFrame, table_path, txn: int, txn_app: str | None = None) -> int:
     """Idempotent append: commit df stamped with writer transaction
-    ``txn`` unless a commit with that (or a later) txn already landed —
-    in which case this is a no-op returning the current version. The
-    primitive under the exactly-once streaming sink, exposed so crash
-    replays are directly testable."""
-    if txn <= last_txn(table_path):
+    ``(txn_app, txn)`` unless a commit by the SAME app with that (or a
+    later) txn already landed — in which case this is a no-op returning
+    the current version. Namespacing by app id is what makes the check
+    safe with multiple writer lineages: raw batch_ids compared globally
+    would let two streaming queries (or a restarted query with a fresh
+    checkpoint) silently drop each other's micro-batches. The primitive
+    under the exactly-once streaming sink, exposed so crash replays are
+    directly testable."""
+    if txn <= last_txn(table_path, txn_app):
         return current_version(table_path)
-    return snapshot_append(df, table_path, txn=txn)
+    return snapshot_append(df, table_path, txn=txn, txn_app=txn_app)
 
 
-def stream_snapshot_sink(stream: DataFrame, table_path, checkpoint_dir):
+def stream_snapshot_sink(stream: DataFrame, table_path, checkpoint_dir, app_id: str | None = None):
     """Exactly-once streaming append into the snapshot table: each
-    micro-batch commits as ONE version stamped with its batch_id as the
-    writer transaction id. Structured Streaming replays a micro-batch
+    micro-batch commits as ONE version stamped with (app_id, batch_id) as
+    the writer transaction id. Structured Streaming replays a micro-batch
     after a crash between sink success and checkpoint advance — the replay
     arrives with the SAME batch_id, the txn stamp shows it already
-    committed, and the sink skips it: at-least-once delivery + idempotent
-    commit = exactly-once table contents. This is precisely the
-    foreachBatch + txn-id protocol Delta documents, running on the local
-    manifest format.
+    committed FOR THIS APP, and the sink skips it: at-least-once delivery
+    + idempotent commit = exactly-once table contents. This is precisely
+    the foreachBatch + (txnAppId, txnVersion) protocol Delta documents,
+    running on the local manifest format. ``app_id`` defaults to the
+    checkpoint location — batch_ids are only meaningful within one
+    checkpoint lineage, so a restarted query with a FRESH checkpoint gets
+    a fresh namespace (its batch 0 commits instead of being skipped), and
+    two queries writing to the same table never suppress each other.
     """
+    resolved_app = app_id if app_id is not None else str(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        snapshot_append_once(batch_df, table_path, txn=batch_id)
+        snapshot_append_once(batch_df, table_path, txn=batch_id, txn_app=resolved_app)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -275,31 +319,63 @@ def stream_snapshot_sink(stream: DataFrame, table_path, checkpoint_dir):
 # File statistics + data skipping (the manifest's second job)
 # ---------------------------------------------------------------------------
 
-def _collect_stats(table_path: Path, files: list[str], stats_cols: list[str]) -> dict:
-    """Per-file min/max for the given columns, read from the parquet
-    footers (row-group statistics — no data pages touched). This is what a
-    production format stores per data file; with it, a keyed read prunes
-    files before Spark ever lists them."""
+# Above this many files per commit the footer reads run as a Spark job
+# (one task per ~32 files) instead of a driver-side loop: a 100 TB table's
+# commit may list tens of thousands of files, and the driver should only
+# ever handle the manifest-sized (rel_path -> [min, max]) result, never a
+# linear chain of remote footer round-trips.
+_DRIVER_STATS_MAX_FILES = 64
+
+
+def _file_stats(path: str, stats_cols: list[str]) -> dict[str, list]:
+    """Min/max per column for ONE parquet file, from its footer (row-group
+    statistics — no data pages touched)."""
     import pyarrow.parquet as pq
 
+    md = pq.ParquetFile(path).metadata
+    col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, list] = {}
+    for col in stats_cols:
+        if col not in col_idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(col_idx[col]).statistics
+            if s is None or not s.has_min_max:
+                lo = hi = None
+                break  # a stats-less row group poisons the file's bound
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            stats[col] = [lo, hi]
+    return stats
+
+
+def _collect_stats(
+    table_path: Path, files: list[str], stats_cols: list[str], spark: SparkSession | None = None
+) -> dict:
+    """Per-file min/max for the given columns, read from the parquet
+    footers. This is what a production format stores per data file; with
+    it, a keyed read prunes files before Spark ever lists them. Small
+    commits read footers driver-side (a handful of local opens); commits
+    listing more than _DRIVER_STATS_MAX_FILES files DISTRIBUTE the footer
+    reads as a Spark job over the file list — the driver receives only the
+    manifest-sized stats dict, so the commit path stays bounded no matter
+    how many files a 100 TB version lists."""
+    root = str(table_path)
+    if spark is not None and len(files) > _DRIVER_STATS_MAX_FILES:
+        sc = spark.sparkContext
+        n_tasks = max(1, len(files) // 32)
+        pairs = (
+            sc.parallelize(files, n_tasks)
+            .map(lambda rel: (rel, _file_stats(f"{root}/{rel}", stats_cols)))
+            .filter(lambda kv: bool(kv[1]))
+            .collect()
+        )
+        return dict(pairs)
     out: dict[str, dict[str, list]] = {}
     for rel in files:
-        md = pq.ParquetFile(str(table_path / rel)).metadata
-        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        stats: dict[str, list] = {}
-        for col in stats_cols:
-            if col not in col_idx:
-                continue
-            lo = hi = None
-            for rg in range(md.num_row_groups):
-                s = md.row_group(rg).column(col_idx[col]).statistics
-                if s is None or not s.has_min_max:
-                    lo = hi = None
-                    break  # a stats-less row group poisons the file's bound
-                lo = s.min if lo is None else min(lo, s.min)
-                hi = s.max if hi is None else max(hi, s.max)
-            if lo is not None:
-                stats[col] = [lo, hi]
+        stats = _file_stats(f"{root}/{rel}", stats_cols)
         if stats:
             out[rel] = stats
     return out
@@ -318,7 +394,7 @@ def snapshot_write_with_stats(
     if n_files:
         df = df.repartitionByRange(n_files, *stats_cols[:1])
     files = _write_files(df, p)
-    stats = _collect_stats(p, files, stats_cols)
+    stats = _collect_stats(p, files, stats_cols, spark=df.sparkSession)
     return _commit(p, files, current_version(p), stats=stats)
 
 
@@ -376,5 +452,5 @@ def snapshot_compact(
     else:
         df = df.coalesce(target_files)
     files = _write_files(df, p)
-    stats = _collect_stats(p, files, stats_cols) if stats_cols else None
+    stats = _collect_stats(p, files, stats_cols, spark=spark) if stats_cols else None
     return _commit(p, files, parent, stats=stats)

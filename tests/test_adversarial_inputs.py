@@ -107,3 +107,20 @@ def nasty_dir(spark, tmp_path_factory):
 def test_query_survives_adversarial_inputs(spark, nasty_dir, name):
     df = QUERIES[name].fn(spark, nasty_dir)
     assert df.count() >= 0  # executes without ANSI crashes
+
+
+def test_token_drift_survives_empty_split(spark, tmp_path):
+    """A corpus whose md5 split leaves val (or train) EMPTY must yield NULL
+    rates, not an ANSI DIVIDE_BY_ZERO — the nasty_dir fixture happens to
+    populate both splits, so this degenerate corpus gets its own check.
+    md5('1') = 'c4…' < 'cc' -> doc 1 is train-only."""
+    d = tmp_path / "lone"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta alpha", "en", "src0", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = QUERIES["docs_split_token_drift"].fn(spark, str(d)).collect()
+    assert rows  # tokens counted on the train side
+    assert all(r.rate_val_ppm is None for r in rows)  # empty val -> NULL rate
+    assert all(r.c_val == 0 for r in rows)

@@ -107,23 +107,91 @@ def test_stream_sink_exactly_once_across_replay(spark, tmp_path):
         .json(str(src / "*"))
     )
     t = tmp_path / "table"
-    q = stream_snapshot_sink(stream, t, tmp_path / "ckpt")
+    ckpt = tmp_path / "ckpt"
+    q = stream_snapshot_sink(stream, t, ckpt)
     q.awaitTermination(120)
     assert current_version(t) == 2
     assert snapshot_read(spark, t).count() == 15
-    committed = last_txn(t)
+    # txn stamps are namespaced by the sink's app id (the checkpoint path)
+    app = str(ckpt)
+    committed = last_txn(t, txn_app=app)
     assert committed >= 0
+    assert last_txn(t) == -1  # the un-namespaced lineage has no stamps
     from energy_datalake_solution_spark.sources.snapshots import snapshot_append_once
 
-    # post-crash replay: the SAME batch_id runs through the sink's real
-    # commit path and must be a no-op
+    # post-crash replay: the SAME (app, batch_id) runs through the sink's
+    # real commit path and must be a no-op
     before = current_version(t)
-    snapshot_append_once(_df(spark, 10, 15, "a"), t, txn=committed)
+    snapshot_append_once(_df(spark, 10, 15, "a"), t, txn=committed, txn_app=app)
     assert current_version(t) == before
     assert snapshot_read(spark, t).count() == 15
     # a genuinely NEW batch id still commits
-    snapshot_append_once(_df(spark, 15, 16, "a"), t, txn=committed + 1)
+    snapshot_append_once(_df(spark, 15, 16, "a"), t, txn=committed + 1, txn_app=app)
     assert snapshot_read(spark, t).count() == 16
+
+
+def test_txn_namespaces_isolate_writer_lineages(spark, tmp_path):
+    """Two writer lineages (different app ids) interleave appends with
+    OVERLAPPING batch_ids; neither may skip the other's batches — the bug
+    a global txn comparison has. A restarted query with a fresh checkpoint
+    is the same scenario: new namespace, batch 0 must commit."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        last_txn,
+        snapshot_append_once,
+    )
+
+    t = tmp_path / "t"
+    snapshot_append_once(_df(spark, 0, 5, "x"), t, txn=0, txn_app="ckptA")
+    snapshot_append_once(_df(spark, 5, 9, "y"), t, txn=0, txn_app="ckptB")  # same batch_id!
+    assert snapshot_read(spark, t).count() == 9  # B's batch 0 NOT dropped
+    snapshot_append_once(_df(spark, 9, 12, "x"), t, txn=1, txn_app="ckptA")
+    assert snapshot_read(spark, t).count() == 12
+    # replays stay idempotent WITHIN each namespace
+    snapshot_append_once(_df(spark, 5, 9, "y"), t, txn=0, txn_app="ckptB")
+    snapshot_append_once(_df(spark, 9, 12, "x"), t, txn=1, txn_app="ckptA")
+    assert snapshot_read(spark, t).count() == 12
+    assert last_txn(t, txn_app="ckptA") == 1
+    assert last_txn(t, txn_app="ckptB") == 0
+    # fresh-checkpoint restart: a brand-new namespace starts from batch 0
+    snapshot_append_once(_df(spark, 12, 14, "x"), t, txn=0, txn_app="ckptA-restarted")
+    assert snapshot_read(spark, t).count() == 14
+
+
+def test_vacuum_after_shorter_retention_does_not_fail(spark, tmp_path):
+    """An earlier vacuum with a small retention deletes part of a later
+    vacuum's keep range; the later vacuum must skip the gaps instead of
+    raising FileNotFoundError."""
+    t = tmp_path / "t"
+    for i in range(5):
+        snapshot_append(_df(spark, i * 10, (i + 1) * 10, "a").coalesce(1), t)
+    snapshot_vacuum(t, keep_versions=1)        # only v5's manifest survives
+    deleted = snapshot_vacuum(t, keep_versions=4)  # range [2, 5] has gaps
+    assert deleted == []                        # nothing new to delete
+    assert snapshot_read(spark, t).count() == 50
+
+
+def test_pointer_never_regresses_behind_later_writer(spark, tmp_path):
+    """A delayed writer that publishes its manifest while the on-disk
+    pointer is ALREADY AHEAD (a later writer won the race between this
+    writer's manifest link and its pointer swap) must not swap the pointer
+    backwards; its commit stays a reachable orphan branch."""
+    import os
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)  # v1
+    p = S._table(t)
+    files = S._write_files(_df(spark, 0, 2, "slow"), p)
+    # a later writer advanced the pointer to 5 while the slow writer was
+    # stalled between allocation and its swap
+    (p / "_latest.tmp").write_text("5")
+    os.replace(p / "_latest.tmp", p / "_latest")
+    v = S._commit(p, files, parent=1)  # allocates v2 — behind the pointer
+    assert v == 2
+    assert S.current_version(t) == 5  # pointer untouched: no regression
+    # the orphan manifest is still readable by explicit version
+    assert snapshot_read(spark, t, version=2).count() == 2
 
 
 def test_write_after_rollback_allocates_past_orphans(spark, tmp_path):
