@@ -1,0 +1,455 @@
+"""Amortized IVF ANN: a STORED inverted-file index + a probe-only query.
+
+``embeddings_ivf_ann`` (operators/similarity.py) fuses the KMeans index
+BUILD into every query — the right demo of the plan shape, but not how a
+100 TB deployment runs IVF: there the corpus is assigned to coarse
+centroids ONCE, stored bucketed by cell, and every query only (a) scores
+the tiny centroid table, (b) reads the nprobe probed cells' files, and
+(c) verifies exact cosine within them. This module implements exactly
+that split on the snapshot table format (sources/snapshots.py):
+
+  * ``build_ivf_index`` — spherical-KMeans-assign every candidate vector
+    to a cell and commit the assignment table RANGE-PARTITIONED by
+    ``centroid_id`` with per-file min/max stats in the manifest
+    (snapshot_write_with_stats), plus a tiny ``centroids`` side table.
+    Build cost is amortized: sampled fit (corpus-size-independent,
+    ~256 vectors/cell) + one assignment pass — paid once per corpus
+    version, never per query.
+  * ``ivf_probe`` — the steady-state query path: broadcast the centroid
+    table, pick each query's nprobe nearest cells, prune the stored
+    index's FILES against the probed cell set via the manifest stats
+    (snapshot_files_for_values — an IN-list file prune; the collect is
+    metadata-sized, <= nlist ints), then a broadcast equi-join on
+    centroid_id + exact cosine re-rank. At 100 TB this touches
+    ~nprobe/nlist of the data and never shuffles the corpus.
+
+The registered ``embeddings_ivf_probe`` builds the index once per
+(process, corpus) and probes it on every invocation — so its steady-state
+wall time is the probe alone, which is the comparison a stored-index
+deployment actually makes against the exact scan.
+
+Also here: ``clustered_embeddings`` — a deterministic
+mixture-of-directions embeddings fixture. The stock synthetic embeddings
+are ISOTROPIC (no cluster structure), on which any cell partitioning
+prunes poorly at high recall (recall tracks the probed fraction; see
+SCALING.md §ANN). Real embedding corpora are strongly clustered; this
+fixture generates that regime reproducibly (hash-derived Box-Muller
+noise around hash-derived unit directions — no RNG state anywhere) so
+the pruning-vs-recall claim is MEASURED, not argued
+(tests/test_ann_recall.py pins floors on both fixtures).
+
+Reference parity: the reference's query registry (scripts/
+main_analytics.py:26-43) has no ANN tier; this extends the engine's
+LLM-data-pipeline surface following public FAISS IVF practice (Johnson
+et al., "Billion-scale similarity search with GPUs", 2017).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, l2_norm
+from ..plans.registry import register
+from ..sources.catalog import load_table
+from ..sources.snapshots import (
+    snapshot_files_for_values,
+    snapshot_read,
+    snapshot_write,
+    snapshot_write_with_stats,
+)
+from .similarity import (
+    N_QUERIES,
+    TOP_K,
+    _distinct_directions,
+    _kmeans_train_input,
+)
+
+IVF_INDEX_NLIST = 8    # cells in the stored index (stock embeddings table)
+IVF_INDEX_NPROBE = 6   # cells probed per query (recall >= 0.85 pinned)
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_root: str | Path,
+    nlist: int = IVF_INDEX_NLIST,
+    n_queries: int = N_QUERIES,
+) -> list[tuple[int, list[float]]]:
+    """Fit sampled spherical KMeans on the candidate vectors and commit the
+    centroid-assigned corpus as a snapshot table bucketed by cell.
+
+    Storage layout IS the index: ``cells`` is range-partitioned on
+    centroid_id into ~nlist files whose manifests carry per-file
+    [min, max] centroid_id stats, so a probe's IN-list file prune reads
+    only the probed cells' bytes. ``centroids`` is a nlist-row side table
+    (broadcast at probe time). Both are versioned snapshot tables: a
+    corpus update re-builds as a NEW version, readers keep consistent
+    snapshots, and rollback/vacuum work as for any table."""
+    root = Path(index_root)
+    e = load_table(spark, sf_dir, "embeddings").where(l2_norm(F.col("embedding")) > 0)
+    cand = e.where(F.col("vec_id") >= n_queries)
+    k_eff = _distinct_directions(cand, nlist)
+    if k_eff < 2:
+        # degenerate corpus (one distinct direction): a single cell
+        assigned = cand.select("vec_id", "embedding", F.lit(0).alias("centroid_id"))
+        centroids = [(0, [0.0] * 64)]
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.feature import Normalizer
+        from pyspark.ml.functions import array_to_vector
+
+        raw = cand.select(
+            "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("_raw")
+        )
+        with_vec = Normalizer(inputCol="_raw", outputCol="features", p=2.0).transform(
+            raw
+        ).drop("_raw")
+        km = KMeans(
+            k=k_eff, seed=42, maxIter=10, featuresCol="features", predictionCol="centroid_id"
+        )
+        fit_input = _kmeans_train_input(with_vec, k_eff).select("features").persist()
+        try:
+            try:
+                model = km.fit(fit_input)
+            except Exception:
+                # sample degenerated below k distinct points — refit on all
+                model = km.fit(with_vec.select("features"))
+        finally:
+            fit_input.unpersist()
+        assigned = model.transform(with_vec).select("vec_id", "embedding", "centroid_id")
+        centroids = [
+            (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+        ]
+    snapshot_write_with_stats(assigned, root / "cells", ["centroid_id"], n_files=nlist)
+    cdf = spark.createDataFrame(centroids, ["centroid_id", "centroid"]).select(
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        F.col("centroid").cast("array<double>").alias("centroid"),
+    )
+    snapshot_write(cdf, root / "centroids")
+    return centroids
+
+
+def ivf_probe(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_root: str | Path,
+    nprobe: int = IVF_INDEX_NPROBE,
+    top_k: int = TOP_K,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Probe a stored IVF index: nearest ``nprobe`` cells per query,
+    manifest-stats file prune to the probed cells, broadcast equi-join +
+    exact cosine re-rank. ``queries`` carries (q_id, q_emb) and is an
+    interactive ANN batch — small by contract (a LARGE query set is the
+    k-NN-graph join, a different operator), so it is collected driver-side
+    and the query-by-centroid scoring runs in numpy: both matrices are
+    model-sized (batch x dim, nlist x dim), and doing this on the driver
+    saves two Spark jobs per probe, which at probe latencies is the
+    difference between beating and trailing the exact scan. The CORPUS
+    side stays fully distributed: pruned file read, broadcast hash join,
+    per-query window. ``centroids`` (from index build or a cached read)
+    skips the side-table read. No KMeans anywhere — the steady-state path."""
+    import numpy as np
+
+    root = Path(index_root)
+    if centroids is None:
+        centroids = [
+            (r.centroid_id, list(r.centroid))
+            for r in snapshot_read(spark, root / "centroids").collect()
+        ]
+    q_rows = queries.collect()  # interactive batch: model-sized by contract
+    if not q_rows or not centroids:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
+    cids = np.array([c[0] for c in centroids])
+    cmat = np.array([c[1] for c in centroids], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    probe_rows, probed_cells = [], set()
+    for r in q_rows:
+        qv = np.asarray(r.q_emb, dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (cmat @ qv) / (cnorm * qn)
+        sims = np.nan_to_num(sims, nan=-2.0)  # degenerate centroid sorts last
+        order = np.lexsort((cids, -sims))[: min(nprobe, len(cids))]
+        for j in order:
+            probe_rows.append((int(r.q_id), [float(x) for x in r.q_emb], int(cids[j])))
+            probed_cells.add(int(cids[j]))
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, q_emb array<float>, centroid_id int"
+    )
+    cells = sorted(probed_cells)
+    files = snapshot_files_for_values(root / "cells", "centroid_id", cells)
+    cand = (
+        # explicit schema: the cells layout is fixed by build_ivf_index, so
+        # the read skips the footer-sniff job — at probe latency every
+        # driver round-trip counts
+        spark.read.schema("vec_id bigint, embedding array<float>, centroid_id int")
+        .parquet(*[str(root / "cells" / f) for f in files])
+        .where(F.col("centroid_id").isin(cells))
+        .select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "centroid_id"
+        )
+    )
+    scored = F.broadcast(probes).join(cand, "centroid_id").select(
+        "q_id",
+        "c_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine_sim",
+            "rank",
+        )
+    )
+
+
+# one stored index per (process, corpus dir): built on first use, probed
+# by every later invocation — the bench's best-of-N therefore measures the
+# steady-state probe, exactly as a deployment with a persisted index would.
+# The cache also holds the centroid list (nlist model-sized rows), the way
+# any table format caches resolved snapshot metadata in the reader process.
+_IVF_INDEX_CACHE: dict[tuple[int, str], tuple[str, list]] = {}
+
+
+def _ivf_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = IVF_INDEX_NLIST,
+    n_queries: int = N_QUERIES,
+) -> tuple[str, list]:
+    key = (os.getpid(), str(sf_dir))
+    cached = _IVF_INDEX_CACHE.get(key)
+    if cached and (Path(cached[0]) / "cells" / "_latest").exists():
+        return cached
+    root = str(
+        Path(tempfile.gettempdir())
+        / f"ivf_index_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    centroids = build_ivf_index(spark, sf_dir, root, nlist=nlist, n_queries=n_queries)
+    _IVF_INDEX_CACHE[key] = (root, centroids)
+    return root, centroids
+
+
+@register("embeddings_ivf_probe", oracle=None, headline=True, tags=("similarity", "approx"))
+def embeddings_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against the STORED index — the amortized steady-state path.
+
+    First invocation per (process, corpus) builds the index (sampled
+    KMeans fit + one assignment pass, committed through the snapshot
+    format bucketed by cell); every later invocation is probe-only:
+    broadcast centroid scoring, manifest-stats file prune to the nprobe
+    probed cells, broadcast equi-join, exact cosine re-rank. Same output
+    contract as embeddings_ivf_ann (recall floor >= 0.85 pinned in
+    tests/test_ann_recall.py, scores exact); approximate -> rows-only
+    check. This is the query whose wall time answers "does IVF beat the
+    exact scan once you stop re-paying the build" — the question a 100 TB
+    deployment actually asks."""
+    index_root, centroids = _ivf_index_for(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").where(l2_norm(F.col("embedding")) > 0)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_probe(spark, q, index_root, centroids=centroids)
+
+
+# ---------------------------------------------------------------------------
+# Clustered-corpus headliner pair: exact scan vs stored-index probe at a
+# scale where COMPUTE dominates job overhead
+# ---------------------------------------------------------------------------
+#
+# At sf0.1 the stock embeddings table is 2k vectors: every ANN plan is
+# job-overhead-bound there (~0.7 s per Spark action), so "probe beats
+# exact" cannot show up in wall-clock no matter how real the pruning is —
+# the probed fraction only moves the ~10% of wall time that is compute.
+# This pair benches both paths on a 50k-vector clustered corpus with 100
+# query vectors (5M scored pairs for the exact scan): big enough that
+# scoring dominates, small enough to build once per process. The probe
+# verifies ~nprobe/nlist of the pairs via the stored index's cell
+# equi-join — the wall-clock ratio between these two queries is the
+# measured form of the 100 TB ANN claim.
+
+CLUSTERED_N = 50_000
+CLUSTERED_K = 64          # nlist for the stored index on this corpus
+CLUSTERED_N_QUERIES = 100
+CLUSTERED_NPROBE = 2      # recall floor >= 0.85 pinned in tests/test_ann_recall.py
+
+_CLUSTERED_DIR_CACHE: dict[int, str] = {}
+
+
+def _clustered_fixture_dir(spark: SparkSession) -> str:
+    """Materialize the clustered embeddings fixture once per process (the
+    generator is deterministic, so every process writes identical rows)."""
+    pid = os.getpid()
+    cached = _CLUSTERED_DIR_CACHE.get(pid)
+    if cached and Path(cached, "embeddings.parquet").exists():
+        return cached
+    root = Path(tempfile.gettempdir()) / f"clustered_emb_{pid}"
+    shutil.rmtree(root, ignore_errors=True)
+    root.mkdir(parents=True)
+    clustered_embeddings(spark, n=CLUSTERED_N, n_clusters=CLUSTERED_K).write.parquet(
+        str(root / "embeddings.parquet")
+    )
+    _CLUSTERED_DIR_CACHE[pid] = str(root)
+    return str(root)
+
+
+@register(
+    "embeddings_clustered_exact_topk", oracle=None, headline=True, tags=("similarity",)
+)
+def embeddings_clustered_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k over the 50k-vector clustered corpus
+    (100 queries x 49.9k candidates = 5M scored pairs) — the baseline the
+    stored-index probe is benched against. Same plan shape as
+    embeddings_cosine_topk: broadcast query side, one candidate pass,
+    per-query window. ``sf_dir`` is unused — the fixture is fixed-size by
+    design so the pair is comparable across scale factors. Deterministic
+    but fixture-generated -> rows-only check."""
+    d = _clustered_fixture_dir(spark)
+    e = load_table(spark, d, "embeddings")
+    q = e.where(F.col("vec_id") < CLUSTERED_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.where(F.col("vec_id") >= CLUSTERED_N_QUERIES).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "q_id",
+        "c_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine_sim",
+            "rank",
+        )
+    )
+
+
+@register(
+    "embeddings_clustered_ivf_probe",
+    oracle=None,
+    headline=True,
+    tags=("similarity", "approx"),
+)
+def embeddings_clustered_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-index IVF probe over the same 50k clustered corpus: nprobe=2
+    of nlist=64 cells -> ~1/32 of the exact scan's pair verifications
+    (recall floor >= 0.85 pinned; measured ~1.0 on this corpus — clustered
+    data is what cell pruning is FOR). Index builds once per process
+    through the snapshot format, bucketed by cell with manifest stats;
+    every invocation after that is probe-only. Read this query's bench
+    time against embeddings_clustered_exact_topk — that ratio is the
+    demonstrated ANN speedup, with the build amortized the way a real
+    deployment amortizes it."""
+    d = _clustered_fixture_dir(spark)
+    index_root, centroids = _ivf_index_for(
+        spark, d, nlist=CLUSTERED_K, n_queries=CLUSTERED_N_QUERIES
+    )
+    e = load_table(spark, d, "embeddings").where(l2_norm(F.col("embedding")) > 0)
+    q = e.where(F.col("vec_id") < CLUSTERED_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_probe(spark, q, index_root, nprobe=CLUSTERED_NPROBE, centroids=centroids)
+
+
+# ---------------------------------------------------------------------------
+# Clustered embeddings fixture (mixture of directions, fully deterministic)
+# ---------------------------------------------------------------------------
+
+def clustered_embeddings(
+    spark: SparkSession,
+    n: int = 5000,
+    n_clusters: int = 32,
+    dim: int = 64,
+    noise: float = 0.08,
+) -> DataFrame:
+    """Deterministic mixture-of-directions embeddings: vector i belongs to
+    cluster (i % n_clusters) and equals that cluster's unit direction plus
+    Gaussian noise — the clustered regime real text/image embeddings live
+    in, where IVF cell pruning is effective (unlike the isotropic stock
+    fixture). All randomness is hash-derived (splitmix64 -> Box-Muller),
+    keyed by (cluster, dim) for directions and (vec_id, dim) for noise:
+    same rows on every run, every partition split, every executor — no RNG
+    state, so the plan is deterministic and resume-safe. Schema matches
+    the stock ``embeddings`` table (vec_id, embedding array<float>,
+    label = cluster id)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+        x = x.astype(np.uint64)
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def _uniform(x: "np.ndarray") -> "np.ndarray":
+        # top 53 bits -> [0, 1); never exactly 0 after the +1 offset below
+        return ((_splitmix64(x) >> np.uint64(11)).astype(np.float64) + 1.0) / float(
+            (1 << 53) + 1
+        )
+
+    def _gauss(keys: "np.ndarray") -> "np.ndarray":
+        # Box-Muller from two independent hash streams of the same keys
+        u1 = _uniform(keys * np.uint64(2) + np.uint64(1))
+        u2 = _uniform(keys * np.uint64(2) + np.uint64(2))
+        return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+    # cluster unit directions, derived once (tiny: n_clusters x dim)
+    ck = (
+        np.arange(n_clusters, dtype=np.uint64)[:, None] * np.uint64(dim)
+        + np.arange(dim, dtype=np.uint64)[None, :]
+        + np.uint64(0xD1EC7)
+    )
+    dirs = _gauss(ck)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            cl = (ids % n_clusters).astype(np.int64)
+            nk = (
+                ids.astype(np.uint64)[:, None] * np.uint64(dim)
+                + np.arange(dim, dtype=np.uint64)[None, :]
+                + np.uint64(0x5EED)
+            )
+            vecs = dirs[cl] + noise * _gauss(nk)
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": [row.astype(np.float32) for row in vecs],
+                    "label": cl.astype(np.int32),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    return spark.range(n).mapInPandas(batches, schema)

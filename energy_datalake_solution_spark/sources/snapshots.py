@@ -413,6 +413,22 @@ def snapshot_files_for_range(table_path, col: str, lo, hi, version: int | None =
     return keep
 
 
+def snapshot_files_for_values(table_path, col, values, version: int | None = None) -> list[str]:
+    """The file subset whose [min, max] stats can contain ANY of the given
+    discrete values (an IN-list prune, e.g. IVF cells to probe) — files
+    without stats for ``col`` are kept (pruning must never lose rows)."""
+    p = Path(table_path)
+    v = current_version(p) if version is None else version
+    m = _read_manifest(p, v)
+    stats = m.get("stats", {})
+    keep = []
+    for rel in m["files"]:
+        s = stats.get(rel, {}).get(col)
+        if s is None or any(s[0] <= val <= s[1] for val in values):
+            keep.append(rel)
+    return keep
+
+
 def snapshot_read_range(
     spark: SparkSession, table_path, col: str, lo, hi, version: int | None = None
 ) -> DataFrame:

@@ -68,6 +68,109 @@ def test_ivf_ann_recall_floor_and_exact_scores(spark):
     _assert_values_exact(exact, approx)
 
 
+def test_ivf_probe_stored_index_recall_floor_and_exact_scores(spark):
+    """The amortized probe path (stored index, embeddings_ivf_probe) must
+    hold the same floor as the fused-build operator, and its scores must
+    be the exact brute-force cosines."""
+    recall, exact, approx = _recall(spark, "embeddings_ivf_probe")
+    assert recall >= 0.85
+    _assert_values_exact(exact, approx)
+
+
+def test_ivf_pruning_on_clustered_fixture(spark, tmp_path):
+    """On CLUSTERED embeddings (the regime real corpora live in) the IVF
+    index prunes an order of magnitude at high recall — the measured form
+    of the 100 TB claim that isotropic data cannot demonstrate (there,
+    recall tracks the probed fraction; SCALING.md §ANN carries the full
+    sweep on both fixtures). nprobe=1 of nlist=32 must keep recall >= 0.85
+    while verifying <= ~2/32 of the brute-force candidate set."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.functions.vector import l2_norm
+    from energy_datalake_solution_spark.operators.ann_index import (
+        build_ivf_index,
+        clustered_embeddings,
+        ivf_probe,
+    )
+
+    d = tmp_path / "clustered"
+    d.mkdir()
+    clustered_embeddings(spark, n=2000, n_clusters=32).write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    idx = tmp_path / "idx"
+    build_ivf_index(spark, str(d), idx, nlist=32)
+    exact = QUERIES["embeddings_cosine_topk"].fn(spark, str(d)).toPandas()
+    e = spark.read.parquet(str(d / "embeddings.parquet")).where(
+        l2_norm(F.col("embedding")) > 0
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    approx = ivf_probe(spark, q, idx, nprobe=1).toPandas()
+    eg = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ag = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recall = sum(len(eg[qq] & ag.get(qq, set())) / len(eg[qq]) for qq in eg.index) / len(
+        eg.index
+    )
+    assert recall >= 0.85, f"clustered nprobe=1 recall {recall:.3f}"
+    # pruning: candidates verified = probed cell sizes; nprobe=1 of 32
+    # roughly-balanced cells must verify way under a tenth of brute force
+    from energy_datalake_solution_spark.sources.snapshots import snapshot_read
+
+    sizes = {
+        r.centroid_id: r.n
+        for r in snapshot_read(spark, idx / "cells")
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    brute = len(eg.index) * e.where(F.col("vec_id") >= 10).count()
+    # each query probes exactly 1 cell; bound candidates by the largest cell
+    worst_cand = len(eg.index) * max(sizes.values())
+    assert worst_cand * 10 <= brute, (
+        f"pruning lost: worst-case candidates {worst_cand} vs brute {brute}"
+    )
+
+
+def test_clustered_headliner_pair_recall_floor(spark):
+    """The benched clustered pair (embeddings_clustered_exact_topk vs
+    embeddings_clustered_ivf_probe, 50k vectors / nprobe=2 of nlist=64):
+    the probe's wall-clock win is only meaningful if its recall holds, so
+    the floor is pinned on exactly the registered queries the bench times.
+    Measured 1.0 on this corpus; floor 0.85 with margin."""
+    exact = QUERIES["embeddings_clustered_exact_topk"].fn(spark, SF_ORACLE).toPandas()
+    approx = QUERIES["embeddings_clustered_ivf_probe"].fn(spark, SF_ORACLE).toPandas()
+    eg = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ag = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recall = sum(len(eg[q] & ag.get(q, set())) / len(eg[q]) for q in eg.index) / len(
+        eg.index
+    )
+    assert recall >= 0.85, f"clustered headliner recall {recall:.3f}"
+    _assert_values_exact(exact, approx)
+
+
+def test_clustered_fixture_is_deterministic(spark):
+    """Hash-derived generation: two independent evaluations produce
+    bit-identical vectors (no RNG state, partition-split-independent)."""
+    import numpy as np
+
+    from energy_datalake_solution_spark.operators.ann_index import clustered_embeddings
+
+    a = clustered_embeddings(spark, n=300, n_clusters=8).toPandas().sort_values("vec_id")
+    b = (
+        clustered_embeddings(spark, n=300, n_clusters=8)
+        .repartition(7)  # different physical split must not change values
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert (a.label.to_numpy() == b.label.to_numpy()).all()
+    assert all(
+        (np.asarray(x) == np.asarray(y)).all()
+        for x, y in zip(a.embedding, b.embedding)
+    )
+
+
 def test_minhash_verify_stage_exact(spark):
     """docs_minhash_lsh_pairs: LSH only GENERATES candidates; membership
     and the reported jaccard come from exact shingle-set verification.

@@ -57,13 +57,24 @@ def test_contract_shape():
     assert len(qs) >= 10
 
 
-# Queries with a driver-side CORRECTNESS row from rounds 1-3 (frozen
-# union of CORRECTNESS_r01/r02/r03.json). Any registered query NOT in
+# Queries with a driver-side CORRECTNESS row from rounds 1-4 (frozen
+# union of CORRECTNESS_r01/r02/r03/r04.json). Any registered query NOT in
 # this set has never been driver-checked and MUST sit inside the active
 # gate window's first 50 entries — otherwise it can stay unverified
 # forever (exactly the hole three round-2 late additions fell through).
 # When a new round's CORRECTNESS file lands, fold its names in.
 DRIVER_GREEN = frozenset({
+    # --- round 4 rows (CORRECTNESS_r04.json; the 19 round-4-born queries —
+    #     the other 31 r04 rows re-greened earlier rounds' entries) ---
+    "multimodal_wav_pcm_stats", "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit", "tpch_q11_important_part_stock",
+    "embeddings_int8_quantization", "docs_sequence_packing",
+    "docs_sequence_packing_stats", "multimodal_bmp_pixel_stats",
+    "docs_pii_redaction", "docs_pii_report", "star_integrity_audit",
+    "orders_cdc_snapshot_diff", "events_value_approx_percentiles",
+    "orders_scd2_temporal_join", "window_function_suite",
+    "docs_split_token_drift", "events_resample_hourly_ffill",
+    "snapshot_versioned_orders", "docs_feature_hash_vectors",
     # --- round 3 rows (CORRECTNESS_r03.json) ---
     "embeddings_knn_graph", "docs_bpe_encode", "lineitem_zorder_layout",
     "docs_incremental_simhash_dedup", "knn_graph_indegree",
