@@ -72,6 +72,9 @@ def decode_and_featurize(df: DataFrame, real_decode: bool = False) -> DataFrame:
 
         for pdf in it:
             if real_decode:
+                # the remaining genuinely-library-bound formats: JPEG
+                # (DCT + Huffman) and video codecs. WAV PCM, BMP, and PNG
+                # decode are REAL elsewhere in this module (numpy / zlib)
                 raise NotImplementedError(
                     "codec decode (PIL/librosa/av) not available in this environment"
                 )
@@ -660,6 +663,268 @@ def decode_bmp_pixel_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in BMP_STATS_SCHEMA.fields])
 
     return df.mapInPandas(batches, BMP_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real PNG decode: stdlib zlib inflate + full per-row unfilter (numpy)
+# --------------------------------------------------------------------------
+#
+# PNG needed no codec library after all: the container is chunks + CRC32,
+# the compression is DEFLATE (stdlib zlib), and the only image-specific
+# machinery is the five scanline filters (None/Sub/Up/Average/Paeth, PNG
+# spec §6) — all implementable with numpy byte arithmetic. This narrows
+# the environment-gated stub in decode_and_featurize to formats whose
+# bitstreams genuinely require codec libraries (JPEG's DCT/Huffman, GIF's
+# LZW variant is doable but out of scope).
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_val", T.DoubleType()),
+        T.StructField("min_val", T.IntegerType()),
+        T.StructField("max_val", T.IntegerType()),
+        T.StructField("corner_val", T.IntegerType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: "int", b: "int", c: "int") -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_png_payload(df: DataFrame) -> DataFrame:
+    """Synthesize complete spec-valid 8-bit RGB PNGs (signature, IHDR,
+    one zlib-compressed IDAT, IEND — all chunk CRCs real) whose pixel
+    values derive arithmetically from doc_id:
+    px(x, y, c) = (doc_id*149 + y*41 + x*13 + c*5) % 256. Each scanline is
+    ENCODED with filter type (doc_id + y) % 5, so a decoder that handles
+    only filter 0 — or unfilters rows out of order — cannot reproduce the
+    pixels: all five PNG filters (None/Sub/Up/Average/Paeth) are exercised
+    in every payload taller than 4 rows and across the corpus always."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        bpp = 3  # 8-bit RGB
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 3 + i % 5, 2 + i % 4
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((i * 149 + y * 41 + x * 13 + c * 5) % 256).astype(np.int64)
+                raster = px.reshape(h, w * bpp)
+                # per-row filtering, spec §6: arithmetic mod 256 on bytes
+                out = bytearray()
+                prior = np.zeros(w * bpp, dtype=np.int64)
+                for yy in range(h):
+                    raw = raster[yy]
+                    left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]])
+                    ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+                    ftype = (i + yy) % 5
+                    if ftype == 0:
+                        filt = raw
+                    elif ftype == 1:  # Sub
+                        filt = (raw - left) % 256
+                    elif ftype == 2:  # Up
+                        filt = (raw - prior) % 256
+                    elif ftype == 3:  # Average
+                        filt = (raw - (left + prior) // 2) % 256
+                    else:  # Paeth
+                        pred = np.array(
+                            [_paeth(int(a), int(b), int(cc)) for a, b, cc in zip(left, prior, ul)],
+                            dtype=np.int64,
+                        )
+                        filt = (raw - pred) % 256
+                    out.append(ftype)
+                    out.extend(filt.astype(np.uint8).tobytes())
+                    prior = raw
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+                buf = (
+                    _PNG_SIG
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+                    + _png_chunk(b"IEND", b"")
+                )
+                rows.append({"doc_id": doc_id, "payload": buf})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_png_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL compressed-image decode with no codec library: walk the chunk
+    list VERIFYING each CRC32, parse IHDR (8-bit RGB, no interlace),
+    zlib-inflate the concatenated IDAT stream, then undo the per-scanline
+    filter — all five types, sequentially top-to-bottom because Up/Average/
+    Paeth reference the RECONSTRUCTED prior row — into an (h, w, 3) cube,
+    and reduce per-channel mean/min/max plus the top-left corner value.
+    The corner is position-sensitive on purpose (a row-order or filter
+    slip shifts it); the varying per-row filter types in the synthesized
+    payloads mean a decoder stub that skipped unfiltering would fail the
+    oracle hash on essentially every document."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        bpp = 3
+
+        def decode(buf: bytes):
+            if buf[: len(_PNG_SIG)] != _PNG_SIG:
+                raise ValueError("not a PNG payload")
+            pos, ihdr, idat = len(_PNG_SIG), None, b""
+            while pos + 12 <= len(buf):
+                (size,) = struct.unpack(">I", buf[pos : pos + 4])
+                ctype = buf[pos + 4 : pos + 8]
+                body = buf[pos + 8 : pos + 8 + size]
+                (crc,) = struct.unpack(">I", buf[pos + 8 + size : pos + 12 + size])
+                if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                    raise ValueError(f"bad CRC in {ctype!r} chunk")
+                if ctype == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", body)
+                elif ctype == b"IDAT":
+                    idat += body
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + size
+            if ihdr is None or not idat:
+                raise ValueError("missing IHDR/IDAT chunk")
+            w, h, depth, ctype_, comp, filt, interlace = ihdr
+            if depth != 8 or ctype_ != 2 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG variant: depth={depth} color={ctype_} interlace={interlace}"
+                )
+            raw = zlib.decompress(idat)
+            stride = w * bpp
+            if len(raw) != h * (1 + stride):
+                raise ValueError("IDAT size does not match dimensions")
+            cube = np.zeros((h, stride), dtype=np.int64)
+            prior = np.zeros(stride, dtype=np.int64)
+            for yy in range(h):
+                line = raw[yy * (1 + stride) : (yy + 1) * (1 + stride)]
+                ftype = line[0]
+                filt_b = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+                if ftype == 0:
+                    recon = filt_b
+                elif ftype == 1:  # Sub: sequential in x (left is reconstructed)
+                    recon = filt_b.copy()
+                    for k in range(bpp, stride):
+                        recon[k] = (recon[k] + recon[k - bpp]) % 256
+                elif ftype == 2:  # Up
+                    recon = (filt_b + prior) % 256
+                elif ftype == 3:  # Average
+                    recon = filt_b.copy()
+                    for k in range(stride):
+                        left = recon[k - bpp] if k >= bpp else 0
+                        recon[k] = (recon[k] + (left + prior[k]) // 2) % 256
+                else:  # Paeth
+                    recon = filt_b.copy()
+                    for k in range(stride):
+                        left = recon[k - bpp] if k >= bpp else 0
+                        ul = prior[k - bpp] if k >= bpp else 0
+                        recon[k] = (recon[k] + _paeth(int(left), int(prior[k]), int(ul))) % 256
+                cube[yy] = recon
+                prior = recon
+            return cube.reshape(h, w, bpp), w, h
+
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                cube, w, h = decode(bytes(payload))
+                for ch in range(3):
+                    plane = cube[:, :, ch].astype(np.float64)
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "channel": ch,
+                            "width": w,
+                            "height": h,
+                            "mean_val": round(float(plane.sum() / (w * h)), 6),
+                            "min_val": int(plane.min()),
+                            "max_val": int(plane.max()),
+                            "corner_val": int(cube[0, 0, ch]),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in PNG_STATS_SCHEMA.fields])
+
+    return df.mapInPandas(batches, PNG_STATS_SCHEMA)
+
+
+@register(
+    "multimodal_png_pixel_stats",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h
+            FROM documents
+        ),
+        ys AS (SELECT doc_id, w, h, UNNEST(range(0, h)) AS y FROM params),
+        xs AS (SELECT doc_id, w, h, y, UNNEST(range(0, w)) AS x FROM ys),
+        cs AS (SELECT doc_id, w, h, y, x, UNNEST(range(0, 3)) AS c FROM xs),
+        vals AS (
+            SELECT doc_id, w, h, c, x, y,
+                   (doc_id * 149 + y * 41 + x * 13 + c * 5) % 256 AS v
+            FROM cs
+        )
+        SELECT doc_id,
+               CAST(c AS INT) AS channel,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               round(avg(CAST(v AS DOUBLE)), 6) AS mean_val,
+               CAST(min(v) AS INT) AS min_val,
+               CAST(max(v) AS INT) AS max_val,
+               CAST(max(CASE WHEN x = 0 AND y = 0 THEN v END) AS INT) AS corner_val
+        FROM vals
+        GROUP BY doc_id, c, w, h
+    """,
+    tags=("multimodal", "image"),
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel pixel statistics decoded from REAL compressed PNG bytes
+    — the stdlib-only proof that the decode tier extends to compressed
+    containers: payloads are complete spec-valid 8-bit RGB PNGs (real
+    CRCs, zlib-deflated IDAT, every scanline filter type exercised), the
+    Spark side genuinely inflates and unfilters them with numpy, and the
+    oracle recomputes the statistics from the generating formula. A CRC
+    slip, a filter mix-up, or an out-of-order unfilter fails the hash
+    gate. (Round-5 narrowing of the codec gate; JPEG stays behind it —
+    DCT/Huffman genuinely needs a codec library.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_png_pixel_stats(synth_png_payload(d))
 
 
 @register(

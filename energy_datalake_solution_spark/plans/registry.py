@@ -104,6 +104,7 @@ def _load_all() -> None:
 # is r03/r04-green and loses nothing by waiting.
 SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 5, never driver-checked ---
+    "multimodal_png_pixel_stats",
     "embeddings_ivf_probe",
     "embeddings_clustered_exact_topk",
     "embeddings_clustered_ivf_probe",
