@@ -110,7 +110,9 @@ def fixtures_etl_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = ingest_file(f, root, now=now)
         run_pipeline(spark, res.file_type, res.raw_path, res.load_date, processed)
         run_merge(spark, processed, curated, TRANSACCIONES, load_date)
-    out = spark.read.parquet(str(curated / TRANSACCIONES.table_name))
+    from ..sources.merge import curated_read
+
+    out = curated_read(spark, curated, TRANSACCIONES.table_name)
     # eagerly materialize before returning: the NEXT invocation rmtree's
     # this scratch lake, so a caller that caches the returned DataFrame and
     # re-executes it later must not depend on the files still existing

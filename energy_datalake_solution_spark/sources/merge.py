@@ -20,16 +20,21 @@ environment (checked: ``import delta`` -> ModuleNotFoundError, and package
 installs are unavailable); sources/snapshots.py implements the table-format
 CORE directly (version manifests + atomic pointer swap: snapshot isolation,
 time travel, rollback, vacuum — capability-tested in tests/test_snapshots.py),
-and the scale path for THIS merge is plain parquet +
-**partition-scoped merge**: pass ``partition_by`` and merge_upsert reads
-back ONLY the partitions the batch touches (partition pruning), anti-joins
-within them, and dynamically overwrites just those partitions — untouched
-partition files are never rewritten. Without ``partition_by`` it falls back
-to a full-table rewrite with a staging swap routed through the Hadoop
-FileSystem API (works on hdfs:// and s3a://, not just local paths). The
-anti-join shuffles on the business key; incoming batches are small relative
-to the target, so Spark broadcasts the incoming side automatically under
-AQE.
+and since round 5 the DEFAULT (unpartitioned) merge COMMITS THROUGH THAT
+FORMAT: every upsert is a new table version, so the curated zone gets
+transactional semantics — readers keep consistent snapshots during a
+merge (no staging-swap window at all), a bad load rolls back with an O(1)
+pointer move (tests/test_merge_scoped.py::test_bad_load_rolls_back), and
+load history time-travels. Read the curated table via ``curated_read``
+(manifest-resolved), not a raw directory listing.
+
+The alternative scale path is **partition-scoped merge** on plain
+parquet: pass ``partition_by`` and merge_upsert reads back ONLY the
+partitions the batch touches (partition pruning), anti-joins within them,
+and dynamically overwrites just those partitions — untouched partition
+files are never rewritten (byte-identity pinned in tests). The anti-join
+shuffles on the business key; incoming batches are small relative to the
+target, so Spark broadcasts the incoming side automatically under AQE.
 """
 
 from __future__ import annotations
@@ -106,13 +111,21 @@ def merge_upsert(
     target_path = str(Path(curated_root) / contract.table_name)
     keys = list(contract.upsert_keys)
     incoming = dedup_on_keys(incoming, contract.upsert_keys)
-    fs, HPath = _hadoop_fs(spark, target_path)
 
+    if partition_by is None:
+        # default path: commit through the snapshot format — the upsert
+        # lands as a NEW table version (anti-join carry-over + batch), so
+        # concurrent readers keep their resolved snapshot, a bad load is
+        # an O(1) rollback, and history time-travels. No staging swap:
+        # data files are immutable, only the manifest pointer advances.
+        from .snapshots import snapshot_upsert
+
+        snapshot_upsert(spark, incoming, target_path, keys)
+        return target_path
+
+    fs, HPath = _hadoop_fs(spark, target_path)
     if not fs.exists(HPath(target_path)):
-        w = incoming.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(partition_by)
-        w.parquet(target_path)
+        incoming.write.mode("overwrite").partitionBy(partition_by).parquet(target_path)
         return target_path
 
     if partition_by:
@@ -165,23 +178,20 @@ def merge_upsert(
             spark.conf.set(conf_key, prev)
         return target_path
 
-    existing = spark.read.parquet(target_path)
-    survivors = existing.join(incoming.select(*keys), on=keys, how="left_anti")
-    merged = survivors.unionByName(incoming, allowMissingColumns=True)
+    raise AssertionError("unreachable: both merge paths return above")
 
-    # Parquet cannot overwrite a table that is being read; stage then swap.
-    # The swap goes through the Hadoop FileSystem API (scheme-agnostic) and
-    # parks the previous table under __old until the new one is in place, so
-    # the no-table window is only the rename gap, not a full rewrite.
-    tmp_path = target_path + "__staging"
-    old_path = target_path + "__old"
-    merged.write.mode("overwrite").parquet(tmp_path)
-    if fs.exists(HPath(old_path)):
-        fs.delete(HPath(old_path), True)
-    fs.rename(HPath(target_path), HPath(old_path))
-    fs.rename(HPath(tmp_path), HPath(target_path))
-    fs.delete(HPath(old_path), True)
-    return target_path
+
+def curated_read(spark: SparkSession, curated_root: str | Path, table_name: str) -> DataFrame:
+    """Read a curated table written by merge_upsert. Snapshot-format tables
+    (the default merge path) resolve through their manifest — a raw
+    recursive directory read would see EVERY version's files at once;
+    partition-scoped tables (plain parquet layout) read directly."""
+    p = Path(curated_root) / table_name
+    if (p / "_manifests").exists():
+        from .snapshots import snapshot_read
+
+        return snapshot_read(spark, p)
+    return spark.read.parquet(str(p))
 
 
 def update_daily_rollup(

@@ -12,7 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from energy_datalake_solution_spark.sources.ingest import ingest_file
-from energy_datalake_solution_spark.sources.merge import run_merge
+from energy_datalake_solution_spark.sources.merge import curated_read, run_merge
 from energy_datalake_solution_spark.sources.schemas import CLIENTES, CONTRACTS, TRANSACCIONES
 from energy_datalake_solution_spark.sources.transform import run_pipeline, transform
 
@@ -152,7 +152,7 @@ def test_processed_write_partitioned_and_merge_upsert(spark, lake):
     assert (processed / "fact_transacciones_energia" / "load_date_partition=2025-03-05").exists()
 
     assert run_merge(spark, processed, curated, TRANSACCIONES, "2025-03-05")
-    t1 = spark.read.parquet(str(curated / "fact_transacciones_energia"))
+    t1 = curated_read(spark, curated, "fact_transacciones_energia")
     assert t1.count() == 3
 
     # day 2: update T002 (qty 20 -> 99) + insert T004
@@ -162,7 +162,7 @@ def test_processed_write_partitioned_and_merge_upsert(spark, lake):
     run_pipeline(spark, r2.file_type, r2.raw_path, r2.load_date, processed)
     assert run_merge(spark, processed, curated, TRANSACCIONES, "2025-03-06")
 
-    t2 = spark.read.parquet(str(curated / "fact_transacciones_energia"))
+    t2 = curated_read(spark, curated, "fact_transacciones_energia")
     rows = {r["transaction_id"]: r for r in t2.collect()}
     assert set(rows) == {"T001", "T002", "T003", "T004"}  # upsert, not append
     assert rows["T002"]["energy_quantity_mwh"] == 99.0  # updated wins
@@ -193,7 +193,7 @@ def test_merge_dedup_latest_wins(spark, lake):
     df_old.write.mode("append").partitionBy("load_date_partition").parquet(str(path))
     df_new.write.mode("append").partitionBy("load_date_partition").parquet(str(path))
     assert run_merge(spark, processed, curated, CLIENTES, "2025-03-05")
-    out = spark.read.parquet(str(curated / "dim_clientes")).collect()
+    out = curated_read(spark, curated, "dim_clientes").collect()
     assert len(out) == 1
     assert out[0]["customer_name"] == "new"  # latest load_timestamp_utc survives
 

@@ -81,16 +81,62 @@ def test_scoped_merge_restores_overwrite_mode_conf(spark, tmp_path):
     assert spark.conf.get(conf_key, "static") == prev
 
 
-def test_unpartitioned_merge_swap_leaves_no_staging_dirs(spark, tmp_path):
+def test_unpartitioned_merge_commits_snapshot_versions(spark, tmp_path):
+    """The default merge path commits through the snapshot format: each
+    upsert is a new table version (no staging swap dirs at all), the
+    upsert replaces matched keys only, and the pre-merge version still
+    time-travels."""
+    from energy_datalake_solution_spark.sources.merge import curated_read
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_read,
+    )
+
     curated = tmp_path / "curated"
     merge_upsert(spark, _batch(spark, [("T1", 1.0, 1), ("T2", 2.0, 1)]), curated, TRANSACCIONES)
     merge_upsert(spark, _batch(spark, [("T2", 9.0, 1), ("T3", 3.0, 1)]), curated, TRANSACCIONES)
     table = curated / TRANSACCIONES.table_name
     assert not Path(str(table) + "__staging").exists()
     assert not Path(str(table) + "__old").exists()
+    assert current_version(table) == 2
     rows = {r["transaction_id"]: r["energy_quantity_mwh"]
-            for r in spark.read.parquet(str(table)).collect()}
+            for r in curated_read(spark, curated, TRANSACCIONES.table_name).collect()}
     assert rows == {"T1": 1.0, "T2": 9.0, "T3": 3.0}
+    # version 1 is intact: time travel sees the pre-merge state
+    v1 = {r["transaction_id"]: r["energy_quantity_mwh"]
+          for r in snapshot_read(spark, table, version=1).collect()}
+    assert v1 == {"T1": 1.0, "T2": 2.0}
+
+
+def test_bad_load_rolls_back(spark, tmp_path):
+    """A corrupt batch merged into the curated zone backs out with an O(1)
+    pointer rollback — the transactional story the snapshot-backed merge
+    buys over plain parquet (where the bad rows would need a compensating
+    merge or a restore from backup)."""
+    from energy_datalake_solution_spark.sources.merge import curated_read
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_rollback,
+    )
+
+    curated = tmp_path / "curated"
+    good = _batch(spark, [("T1", 10.0, 1), ("T2", 20.0, 1)])
+    merge_upsert(spark, good, curated, TRANSACCIONES)
+    table = curated / TRANSACCIONES.table_name
+    good_version = current_version(table)
+    # the bad load: a fat-fingered unit conversion corrupts every row
+    bad = _batch(spark, [("T1", 10_000.0, 2), ("T2", 20_000.0, 2), ("T9", -1.0, 2)])
+    merge_upsert(spark, bad, curated, TRANSACCIONES)
+    assert curated_read(spark, curated, TRANSACCIONES.table_name).count() == 3
+    snapshot_rollback(table, good_version)
+    rows = {r["transaction_id"]: r["energy_quantity_mwh"]
+            for r in curated_read(spark, curated, TRANSACCIONES.table_name).collect()}
+    assert rows == {"T1": 10.0, "T2": 20.0}  # bad load fully backed out
+    # and the NEXT good load commits cleanly past the orphaned bad version
+    merge_upsert(spark, _batch(spark, [("T3", 30.0, 3)]), curated, TRANSACCIONES)
+    rows = {r["transaction_id"]: r["energy_quantity_mwh"]
+            for r in curated_read(spark, curated, TRANSACCIONES.table_name).collect()}
+    assert rows == {"T1": 10.0, "T2": 20.0, "T3": 30.0}
 
 
 def test_scoped_merge_rejects_null_partition_values(spark, tmp_path):

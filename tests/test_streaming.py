@@ -302,7 +302,8 @@ def test_streaming_merge_to_curated(spark, tmp_path):
         "2025-03-05", curated, tmp_path / "ckpt_m",
     )
     q.awaitTermination(120)
-    out = spark.read.parquet(str(curated / "dim_proveedores"))
+    from energy_datalake_solution_spark.sources.merge import curated_read
+    out = curated_read(spark, curated, "dim_proveedores")
     assert out.count() == 2
 
     # second run: P001 renamed (upsert) + P003 added (insert)
@@ -316,7 +317,7 @@ def test_streaming_merge_to_curated(spark, tmp_path):
         "2025-03-06", curated, tmp_path / "ckpt_m",
     )
     q2.awaitTermination(120)
-    out2 = spark.read.parquet(str(curated / "dim_proveedores"))
+    out2 = curated_read(spark, curated, "dim_proveedores")
     rows = {r["supplier_id"]: r["supplier_name"] for r in out2.collect()}
     assert rows == {"P001": "Solar Renamed", "P002": "Viento", "P003": "Hidro"}
 
