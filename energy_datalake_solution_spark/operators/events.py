@@ -518,9 +518,10 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_resample_hourly_ffill",
-    oracle="""
+# shared by the single-window and sharded-two-pass resample forms: they
+# implement identical semantics, so one oracle gates both (any divergence
+# between the two implementations fails one of the two hash rows)
+_RESAMPLE_FFILL_ORACLE = """
         WITH obs AS (
             SELECT event_type, date_trunc('hour', ts) AS h,
                    count(*)::BIGINT AS n_events, max(value) AS observed_max
@@ -543,7 +544,12 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                (o.n_events IS NULL) AS is_gap
         FROM grid g
         LEFT JOIN obs o ON o.event_type = g.event_type AND o.h = g.h
-    """,
+    """
+
+
+@register(
+    "events_resample_hourly_ffill",
+    oracle=_RESAMPLE_FFILL_ORACLE,
     tags=("events", "timeseries", "window"),
 )
 def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,9 +564,12 @@ def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the grid explodes from a per-type [min, max] bound (time-bounded,
     never corpus-sized), the grid-to-observation join is an equi-join on
     (type, hour), and the fill window partitions by type. For an unbounded
-    multi-year series, shard the window into (type, day) partitions and
-    carry the last value across shard boundaries with a second, 1-row-per-
-    shard pass — same two-pass prefix trick as the sequence packer."""
+    multi-year series, use events_resample_hourly_ffill_sharded below: the
+    same semantics with the window sharded into (type, day) partitions and
+    the last value carried across shard boundaries by a second,
+    1-row-per-shard pass — same two-pass prefix trick as the sequence
+    packer (equality with this form pinned by the shared oracle and
+    tests/test_events_approx.py)."""
     e = load_events(spark, sf_dir)
     obs = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
@@ -588,4 +597,85 @@ def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "observed_max",
         F.last("observed_max", ignorenulls=True).over(w).alias("filled_max"),
         F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "events_resample_hourly_ffill_sharded",
+    oracle=_RESAMPLE_FFILL_ORACLE,
+    tags=("events", "timeseries", "window"),
+)
+def events_resample_hourly_ffill_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-series form of the hourly resample+ffill: identical
+    semantics (same oracle gates both), but the fill window is SHARDED
+    into (event_type, day) partitions so no single window task ever holds
+    more than 24 grid rows of state — a multi-year series per type stops
+    being one giant ordered partition.
+
+    Two-pass prefix trick (same as the sequence packer's running offsets):
+
+      pass 1 — fill WITHIN each (type, day) shard: last(observed_max
+               ignorenulls) over the day-local hour order;
+      shard summary — ONE row per shard: the last filled value the shard
+               ends with (max_by over 24 rows);
+      pass 2 — a window over the per-shard table (1 row per type-day,
+               model-sized) computes each shard's carry-in: the latest
+               non-null shard-ending value among all EARLIER days;
+      final — filled = coalesce(day-local fill, carry-in).
+
+    The result is provably shard-count-independent: for any grid hour, the
+    last non-null observation is either inside its own day (pass 1 finds
+    it) or in some earlier day, in which case it is that day's last
+    non-null value, which pass 2 carries. tests/test_events_approx.py pins
+    equality against the single-window form row-for-row."""
+    e = load_events(spark, sf_dir)
+    obs = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("observed_max"),
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = grid.join(obs, ["event_type", "h"], "left").withColumn(
+        "day", F.to_date("h")
+    )
+    # pass 1: day-local fill — bounded state per window task
+    w_day = (
+        W.partitionBy("event_type", "day")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = joined.withColumn(
+        "local_fill", F.last("observed_max", ignorenulls=True).over(w_day)
+    )
+    # shard summary: the value each (type, day) shard ends with
+    shard_last = local.groupBy("event_type", "day").agg(
+        F.max_by("local_fill", "h").alias("shard_end_fill")
+    )
+    # pass 2: carry-in per shard = latest non-null shard-ending value among
+    # earlier days (model-sized window: one row per type-day)
+    w_carry = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = shard_last.withColumn(
+        "carry_in", F.last("shard_end_fill", ignorenulls=True).over(w_carry)
+    ).select("event_type", "day", "carry_in")
+    return (
+        local.join(F.broadcast(carry), ["event_type", "day"])
+        .select(
+            "event_type",
+            F.col("h").alias("hour_start"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            "observed_max",
+            F.coalesce("local_fill", "carry_in").alias("filled_max"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
     )

@@ -105,6 +105,7 @@ def _load_all() -> None:
 SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 5, never driver-checked ---
     "multimodal_png_pixel_stats",
+    "events_resample_hourly_ffill_sharded",
     "embeddings_ivf_probe",
     "embeddings_clustered_exact_topk",
     "embeddings_clustered_ivf_probe",

@@ -39,3 +39,59 @@ def test_hll_distinct_within_relative_error(spark):
     r = QUERIES["approx_distinct_parts"].fn(spark, SF_ORACLE).collect()[0]
     assert r.exact_n_parts > 0
     assert abs(r.approx_n_parts - r.exact_n_parts) / r.exact_n_parts <= 0.05
+
+
+def test_sharded_ffill_equals_single_window(spark):
+    """The (type, day)-sharded two-pass forward-fill must reproduce the
+    single-window form row-for-row on the standard tables."""
+    from .conftest import SF_ORACLE
+
+    a = (
+        QUERIES["events_resample_hourly_ffill"].fn(spark, SF_ORACLE)
+        .orderBy("event_type", "hour_start")
+        .collect()
+    )
+    b = (
+        QUERIES["events_resample_hourly_ffill_sharded"].fn(spark, SF_ORACLE)
+        .orderBy("event_type", "hour_start")
+        .collect()
+    )
+    assert a == b
+    assert len(a) > 0
+
+
+def test_sharded_ffill_carries_across_fully_empty_days(spark, tmp_path):
+    """A multi-day gap (whole shards with zero observations) must carry the
+    last value across EVERY empty shard — the case a naive per-shard fill
+    (no second pass) silently nulls out."""
+    import datetime as dt
+
+    d = tmp_path / "gappy"
+    d.mkdir()
+    rows = [
+        (1, dt.datetime(2025, 1, 1, 5), 7, "ping", 42.0, "{}"),
+        (2, dt.datetime(2025, 1, 1, 9), 7, "ping", 17.0, "{}"),
+        # days 2-4: nothing at all
+        (3, dt.datetime(2025, 1, 5, 3), 7, "ping", 99.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+    single = (
+        QUERIES["events_resample_hourly_ffill"].fn(spark, str(d))
+        .orderBy("event_type", "hour_start")
+        .collect()
+    )
+    sharded = (
+        QUERIES["events_resample_hourly_ffill_sharded"].fn(spark, str(d))
+        .orderBy("event_type", "hour_start")
+        .collect()
+    )
+    assert single == sharded
+    by_hour = {r.hour_start: r for r in sharded}
+    # a gap hour deep inside the empty-day stretch carries day 1's last value
+    probe = dt.datetime(2025, 1, 3, 12)
+    assert by_hour[probe].is_gap and by_hour[probe].filled_max == 17.0
+    assert by_hour[dt.datetime(2025, 1, 5, 3)].filled_max == 99.0
