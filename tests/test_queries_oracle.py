@@ -171,3 +171,23 @@ def test_never_checked_queries_sit_inside_gate_window():
 
     green_frozen_but_unregistered = sorted(DRIVER_GREEN - set(QUERIES))
     assert not green_frozen_but_unregistered, green_frozen_but_unregistered
+
+
+def test_registry_counts_are_what_the_docs_claim():
+    """One authority for the registry's size: the registry itself. README's
+    operator-surface header must carry the live counts (total / oracled /
+    rows-only), so adding a query without updating the docs fails here
+    instead of drifting (round-4 verdict caught three stale counts)."""
+    from pathlib import Path
+
+    total = len(QUERIES)
+    oracled = sum(1 for s in QUERIES.values() if s.oracle)
+    rows_only = total - oracled
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    expected = (
+        f"{total} registered queries — {oracled} DuckDB-oracle-gated, "
+        f"{rows_only} rows-only"
+    )
+    assert expected in readme, (
+        f"README operator-surface header out of date: expected {expected!r}"
+    )
