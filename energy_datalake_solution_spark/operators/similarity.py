@@ -141,6 +141,23 @@ def _distinct_directions(e: DataFrame, cap: int) -> int:
     return e.select(F.xxhash64(unit).alias("h")).distinct().limit(cap).count()
 
 
+def lsh_planes() -> list[list[float]]:
+    """The 16 deterministic random-hyperplane sign vectors: sign(h) where
+    h = md5(plane || dim). Derived, never stored — every consumer (the
+    fused LSH ANN below, the stored LSH index in operators/ann_index.py,
+    the streaming twin) gets bit-identical planes with no RNG and no
+    side-channel state."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"plane{p}dim{d}".encode()).hexdigest()[:8], 16) % 2 else -1.0
+            for d in range(64)
+        ]
+        for p in range(LSH_SIG_BITS)
+    ]
+
+
 @register("embeddings_lsh_ann", oracle=None, headline=True, tags=("similarity", "approx"))
 def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane (sign) LSH — the scale path.
@@ -160,17 +177,7 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
 
-    # Deterministic hyperplane signs: sign(h) where h = md5(plane || dim).
-    # Built once as a literal 16x64 array — no RNG at runtime.
-    import hashlib
-
-    planes = [
-        [
-            1.0 if int(hashlib.md5(f"plane{p}dim{d}".encode()).hexdigest()[:8], 16) % 2 else -1.0
-            for d in range(64)
-        ]
-        for p in range(LSH_SIG_BITS)
-    ]
+    planes = lsh_planes()
     planes_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
 
     vec = e.select("vec_id", "embedding", planes_lit.alias("planes"))

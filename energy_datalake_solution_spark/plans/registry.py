@@ -107,6 +107,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "multimodal_png_pixel_stats",
     "events_resample_hourly_ffill_sharded",
     "embeddings_ivf_probe",
+    "embeddings_lsh_probe",
     "embeddings_clustered_exact_topk",
     "embeddings_clustered_ivf_probe",
     # --- round-4 oracle graduations awaiting their first hash-green row ---

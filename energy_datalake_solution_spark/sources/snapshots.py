@@ -154,18 +154,35 @@ def snapshot_write(df: DataFrame, table_path) -> int:
 
 
 def snapshot_append(
-    df: DataFrame, table_path, txn: int | None = None, txn_app: str | None = None
+    df: DataFrame,
+    table_path,
+    txn: int | None = None,
+    txn_app: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit df's rows IN ADDITION to the current version's files — the
     new manifest lists old files + new files; no data is rewritten.
     ``txn`` stamps the manifest with a writer transaction id, namespaced by
     ``txn_app`` (see last_txn / stream_snapshot_sink for the exactly-once
-    protocol — Delta's documented (appId, version) scheme)."""
+    protocol — Delta's documented (appId, version) scheme). With
+    ``stats_cols`` the NEW files' min/max footer stats are collected and
+    merged with the parent manifest's stats, so an append to a stats-
+    pruned table keeps every file prunable (append batches are typically
+    unclustered, so their per-file ranges are wide — compaction with
+    stats_cols restores tight ranges; pruning stays CORRECT either way
+    because stats-less files are always kept)."""
     p = _table(table_path)
     parent = current_version(p)
-    old_files = _read_manifest(p, parent)["files"] if parent else []
+    parent_manifest = _read_manifest(p, parent) if parent else {}
+    old_files = parent_manifest.get("files", [])
     files = _write_files(df, p)
-    return _commit(p, old_files + files, parent, txn=txn, txn_app=txn_app)
+    stats = None
+    if stats_cols:
+        stats = dict(parent_manifest.get("stats", {}))
+        stats.update(_collect_stats(p, files, stats_cols, spark=df.sparkSession))
+    elif parent_manifest.get("stats"):
+        stats = parent_manifest["stats"]  # carry the surviving files' stats
+    return _commit(p, old_files + files, parent, txn=txn, txn_app=txn_app, stats=stats)
 
 
 def last_txn(table_path, txn_app: str | None = None) -> int:

@@ -68,6 +68,72 @@ def test_ivf_ann_recall_floor_and_exact_scores(spark):
     _assert_values_exact(exact, approx)
 
 
+def test_lsh_probe_stored_index_matches_fused_form(spark):
+    """The stored-index LSH probe must return EXACTLY the fused
+    embeddings_lsh_ann's results (same planes, same banding, same
+    multi-probe keys — only the amortization differs), and hold the same
+    recall floor."""
+    recall, exact, approx = _recall(spark, "embeddings_lsh_probe")
+    assert recall >= 0.8
+    _assert_values_exact(exact, approx)
+    fused = QUERIES["embeddings_lsh_ann"].fn(spark, SF_ORACLE).toPandas()
+    key = ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    a = approx.sort_values(key).reset_index(drop=True)
+    b = fused.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+
+
+def test_ivf_index_append_makes_new_vectors_findable(spark, tmp_path):
+    """Incremental index maintenance: appending a batch to the stored IVF
+    index (no rebuild) must make the new vectors immediately findable by
+    a probe, leave prior files untouched (snapshot append), and keep the
+    appended files prunable (stats merged into the manifest)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.functions.vector import l2_norm
+    from energy_datalake_solution_spark.operators.ann_index import (
+        build_ivf_index,
+        clustered_embeddings,
+        ivf_index_append,
+        ivf_probe,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    full = clustered_embeddings(spark, n=1200, n_clusters=16)
+    # initial corpus: vectors below 1000; the append batch: 1000-1199
+    full.where(F.col("vec_id") < 1000).write.parquet(str(d / "embeddings.parquet"))
+    idx = tmp_path / "idx"
+    build_ivf_index(spark, str(d), idx, nlist=16)
+    v1 = current_version(idx / "cells")
+    batch = full.where(F.col("vec_id") >= 1000)
+    v2 = ivf_index_append(spark, batch, idx)
+    assert v2 == v1 + 1
+    # snapshot append: every v1 file survives verbatim in v2's manifest
+    m1, m2 = _read_manifest(idx / "cells", v1), _read_manifest(idx / "cells", v2)
+    assert set(m1["files"]) < set(m2["files"])
+    # stats merged: the new files are present in v2's stats map
+    new_files = set(m2["files"]) - set(m1["files"])
+    assert new_files & set(m2.get("stats", {}))
+    # a probe whose query IS one of the appended vectors must find its
+    # cluster siblings, including other appended vectors
+    e = full.where(l2_norm(F.col("embedding")) > 0)
+    q = e.where(F.col("vec_id") == 1005).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    hits = ivf_probe(spark, q, idx, nprobe=2).collect()
+    assert len(hits) > 0
+    # its nearest neighbors are same-cluster vectors (cluster = id % 16)
+    assert all(r.neighbor_id % 16 == 1005 % 16 for r in hits)
+    assert any(r.neighbor_id >= 1000 for r in hits)  # appended vecs findable
+
+
 def test_ivf_probe_stored_index_recall_floor_and_exact_scores(spark):
     """The amortized probe path (stored index, embeddings_ivf_probe) must
     hold the same floor as the fused-build operator, and its scores must
