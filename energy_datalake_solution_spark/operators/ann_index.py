@@ -443,7 +443,15 @@ def _lsh_index_for(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-@register("embeddings_lsh_probe", oracle=None, headline=True, tags=("similarity", "approx"))
+from .similarity import lsh_oracle_sql
+
+
+@register(
+    "embeddings_lsh_probe",
+    oracle=lsh_oracle_sql(),  # the stored-index form is pinned row-identical
+    headline=True,
+    tags=("similarity", "approx"),
+)
 def embeddings_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN against the STORED banded-signature index — the
     amortized steady-state twin of embeddings_lsh_ann, exactly as

@@ -158,7 +158,73 @@ def lsh_planes() -> list[list[float]]:
     ]
 
 
-@register("embeddings_lsh_ann", oracle=None, headline=True, tags=("similarity", "approx"))
+def lsh_oracle_sql() -> str:
+    """DuckDB oracle for the multi-probe LSH ANN — possible because every
+    stage is deterministic: the hyperplanes are md5-derived literals, the
+    signature is a sign test on a left-to-right double accumulation (the
+    same order DuckDB's list_sum uses, so the sign matches bit-for-bit),
+    banding/multi-probe are integer bit arithmetic, and the re-rank is the
+    exact rounded cosine. Graduates the LSH tier (fused and stored-index
+    forms share this oracle) from the rows-only gate to the hash gate."""
+    planes = lsh_planes()
+    rows = ",\n            ".join(
+        f"({p}, [{', '.join(str(v) for v in row)}]::DOUBLE[])"
+        for p, row in enumerate(planes)
+    )
+    probe_bits = ", ".join(str(b) for b in [0, *[1 << b for b in range(LSH_BAND_BITS)]])
+    return f"""
+        WITH planes(p, pv) AS (VALUES
+            {rows}),
+        sigs AS (
+            SELECT e.vec_id, e.embedding,
+                   CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                                i -> e.embedding[i]::DOUBLE * pl.pv[i])) > 0
+                            THEN CAST(pow(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+            FROM embeddings e, planes pl
+            GROUP BY e.vec_id, e.embedding
+        ),
+        bands(band) AS (SELECT UNNEST(range(0, {LSH_BANDS}))),
+        cand_side AS (
+            SELECT vec_id AS c_id, embedding AS c_emb, band,
+                   (sig >> (band * {LSH_BAND_BITS})) & {LSH_BAND_MASK} AS band_key
+            FROM sigs, bands WHERE vec_id >= {N_QUERIES}
+        ),
+        probe_bits(bit) AS (SELECT UNNEST([{probe_bits}])),
+        query_side AS (
+            SELECT vec_id AS q_id, embedding AS q_emb, band,
+                   xor((sig >> (band * {LSH_BAND_BITS})) & {LSH_BAND_MASK}, bit) AS band_key
+            FROM sigs, bands, probe_bits WHERE vec_id < {N_QUERIES}
+        ),
+        cand AS (
+            SELECT DISTINCT q.q_id, q.q_emb, c.c_id, c.c_emb
+            FROM query_side q
+            JOIN cand_side c ON q.band = c.band AND q.band_key = c.band_key
+        ),
+        scored AS (
+            SELECT q_id, c_id,
+                   round(
+                       list_sum(list_transform(range(1, 65),
+                                i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(c_emb, x -> x::DOUBLE * x::DOUBLE)))),
+                       6) AS cosine_sim
+            FROM cand
+        ),
+        ranked AS (
+            SELECT q_id, c_id, cosine_sim,
+                   row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY cosine_sim DESC NULLS LAST, c_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id AS query_id, c_id AS neighbor_id, cosine_sim,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@register("embeddings_lsh_ann", oracle=lsh_oracle_sql(), headline=True, tags=("similarity", "approx"))
 def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane (sign) LSH — the scale path.
 
