@@ -106,15 +106,35 @@ def main() -> None:
     # pre/post whole-run samples (observed: one checkpoint-heavy query
     # recording 6.2x its quiet-host time while the other 14 headliners sat
     # within 1.04x — the whole-run markers looked merely "slightly busy").
+    #
+    # The plan-policy audit runs immediately after each query's timing and
+    # the DataFrame reference is RELEASED before the next query starts:
+    # holding every headliner's frame until a final audit pass (the old
+    # structure) pins each one's localCheckpoint blocks and broadcasts in
+    # the block manager for the whole run, and the accumulated memory
+    # pressure was measured costing the alphabetically-last queries up to
+    # 6x their isolated wall time. explain on the just-built plan is free;
+    # rebuilding a query later for audit would re-run its eager
+    # driver-side work (KMeans fits, snapshot commits) a second time.
+    from energy_datalake_solution_spark.plans.audit import audit_plan
+
     timings: dict[str, float] = {}
     query_mips: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    plan_violations: dict[str, list[str]] = {}
     for name in names:
         spec = QUERIES[name]
         query_mips[name] = _spin()
         runs = _time_runs(spec, args.repeat)
         timings[name] = min(runs)
         spreads[name] = max(runs) / max(min(runs), 1e-9)
+        try:
+            v = audit_plan(last_df[name]).violations()
+            if v:
+                plan_violations[name] = v
+        except Exception as ex:  # audit must never sink the bench
+            plan_violations[name] = [f"audit_error: {ex!s:.80}"]
+        last_df.pop(name, None)  # drop the frame: let its blocks clean up
 
     # Noise-triggered retry pass: any query measured while the host was
     # observably busy (per-query mips < 75% of the run's best sample) or
@@ -128,26 +148,7 @@ def main() -> None:
             extra = _time_runs(QUERIES[name], args.max_retries)
             timings[name] = min(timings[name], *extra)
             retried.append(name)
-
-    # Plan-policy audit alongside the timings: a perf record with a silent
-    # cartesian product (or an exchange-budget violation, when a budget is
-    # set) is worse than a slow one, so the bench artifact carries the
-    # violations explicitly (tests/test_plan_audit.py enforces the same
-    # policy in CI; SinglePartition exchanges are NOT gated here — global
-    # final aggregates are legitimate). The audit reads the DataFrames the
-    # timing loop ALREADY built — explain is free on an existing plan,
-    # while rebuilding a query would re-run its eager driver-side work
-    # (KMeans fits, localCheckpoints, snapshot commits) a second time.
-    from energy_datalake_solution_spark.plans.audit import audit_plan
-
-    plan_violations: dict[str, list[str]] = {}
-    for name in names:
-        try:
-            v = audit_plan(last_df[name]).violations()
-            if v:
-                plan_violations[name] = v
-        except Exception as ex:  # audit must never sink the bench
-            plan_violations[name] = [f"audit_error: {ex!s:.80}"]
+            last_df.pop(name, None)
 
     timings = {n: round(v, 3) for n, v in timings.items()}
     total = round(sum(timings.values()), 3)
