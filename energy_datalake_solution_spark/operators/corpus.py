@@ -386,6 +386,146 @@ def docs_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_temperature_sample",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, COALESCE(source, '__null__') AS skey,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        per_src AS (
+            SELECT skey, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+            FROM toks GROUP BY skey
+        ),
+        tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM per_src),
+        weighted AS (
+            SELECT skey, src_tokens,
+                   CAST(floor(sqrt(src_tokens * 1.0 / total_tokens) * 1000000)
+                        AS BIGINT) AS w_ppm
+            FROM per_src, tot
+        ),
+        rates AS (
+            SELECT w.skey, w.src_tokens,
+                   CAST((w.w_ppm * t.total_tokens * 1048576)
+                        // ((SELECT sum(w_ppm) FROM weighted) * w.src_tokens)
+                        AS BIGINT) AS rate_scaled
+            FROM weighted w, tot t
+        )
+        SELECT d.doc_id, d.source, r.rate_scaled
+        FROM toks d JOIN rates r ON d.skey = r.skey
+        WHERE r.rate_scaled >= 1048576
+           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)
+              < printf('%05x', r.rate_scaled)
+    """,
+    tags=("corpus", "sampling"),
+)
+def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain sampling (T=0.5) — the mixture
+    rebalancer of multilingual/multi-domain LLM training sets (public
+    practice since GPT-3 / XLM-R: raise rare domains, damp dominant ones
+    by sampling p_s ~ share_s^T). Per-source acceptance ratio =
+    p_s / share_s with p_s the sqrt-flattened normalized share; docs
+    accepted by a deterministic md5 threshold — reproducible across runs,
+    engines, and cluster sizes, no RNG.
+
+    Exactness discipline: the flattened weight is floored to integer ppm
+    (identical IEEE sqrt of an identical exact division on both engines),
+    the weight NORMALIZATION sum is an integer sum (order-independent —
+    a double sum here could flip a floor at the last ulp), and the final
+    ratio is pure integer arithmetic scaled to 2^20, compared against the
+    first 5 hex digits of the doc's md5 — string-lexicographic equals
+    numeric for fixed-width lowercase hex on both engines. (At 100 TB
+    token counts the 2^20-scaled product wants 128-bit intermediates —
+    DuckDB widens to HUGEINT automatically; on Spark cast through
+    decimal(38,0) — the structure is unchanged.)
+
+    Plan: one token-count scan + a source-level aggregate (dashboard-
+    sized), rates broadcast back onto the doc table; map-side filter."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.coalesce("source", F.lit("__null__")).alias("skey"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    per_src = toks.groupBy("skey").agg(F.sum("n_tokens").alias("src_tokens"))
+    tot = per_src.agg(F.sum("src_tokens").alias("total_tokens"))
+    weighted = per_src.join(F.broadcast(tot)).select(
+        "skey",
+        "src_tokens",
+        F.floor(
+            F.sqrt(F.col("src_tokens") * F.lit(1.0) / F.col("total_tokens")) * 1000000
+        ).cast("long").alias("w_ppm"),
+    )
+    sum_w = weighted.agg(F.sum("w_ppm").alias("sum_w_ppm"))
+    rates = weighted.join(F.broadcast(sum_w)).join(F.broadcast(tot)).select(
+        "skey",
+        F.expr(
+            "w_ppm * total_tokens * 1048576 DIV (sum_w_ppm * src_tokens)"
+        ).alias("rate_scaled"),
+    )
+    accepted = toks.join(F.broadcast(rates), "skey").where(
+        (F.col("rate_scaled") >= 1048576)
+        | (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5)
+            < F.format_string("%05x", F.col("rate_scaled"))
+        )
+    )
+    return accepted.select("doc_id", "source", "rate_scaled")
+
+
+@register(
+    "docs_epoch_shuffle",
+    oracle="""
+        WITH epochs(epoch) AS (SELECT UNNEST(range(0, 3))),
+        keyed AS (
+            SELECT e.epoch, d.doc_id,
+                   md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+                       AS order_key
+            FROM documents d, epochs e
+        )
+        SELECT epoch, doc_id,
+               CAST(row_number() OVER (PARTITION BY epoch ORDER BY order_key)
+                    AS BIGINT) AS position
+        FROM keyed
+    """,
+    tags=("corpus", "sampling"),
+)
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle — the example-ordering step
+    of a training-data pipeline: every epoch reads the corpus in a
+    different pseudo-random order, yet the order is a pure function of
+    (epoch, doc_id), so a resumed or re-run job sees byte-identical
+    batches (the property rand()-based shuffles lose on retry/restart).
+    The order key is md5(epoch:doc_id); 3 epochs are materialized.
+
+    Scale shape: a global shuffle of 100 TB IS a distributed sort — this
+    plan is exactly one range-partitioned sort per epoch on the hash key
+    (Spark samples key ranges, sorts partitions independently; no driver
+    bottleneck, no RNG state to coordinate). The position column here is
+    a per-epoch window for oracle checkability; a production writer skips
+    it and lets zipWithIndex-free file ordering carry the permutation."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("epoch")
+    ).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+        ).alias("order_key"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("epoch").orderBy("order_key")
+    return keyed.select(
+        "epoch",
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Multi-tier duplicate evidence
 # --------------------------------------------------------------------------

@@ -105,6 +105,8 @@ def _load_all() -> None:
 SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 5, never driver-checked ---
     "multimodal_png_pixel_stats",
+    "docs_temperature_sample",
+    "docs_epoch_shuffle",
     "events_resample_hourly_ffill_sharded",
     "embeddings_ivf_probe",
     "embeddings_lsh_probe",
