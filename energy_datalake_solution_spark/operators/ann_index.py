@@ -272,7 +272,11 @@ def embeddings_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_index_append(
-    spark: SparkSession, batch: DataFrame, index_root: str | Path
+    spark: SparkSession,
+    batch: DataFrame,
+    index_root: str | Path,
+    txn: int | None = None,
+    txn_app: str | None = None,
 ) -> int:
     """Incrementally add a vector batch to a STORED IVF index without
     rebuilding it: assign each new vector to its nearest existing centroid
@@ -290,8 +294,18 @@ def ivf_index_append(
     per-cell ranges — exactly Delta's OPTIMIZE-after-streaming pattern.
     Centroid drift is the accepted tradeoff of every incremental IVF
     (FAISS's add() does the same); a scheduled rebuild re-fits when the
-    assignment distribution skews."""
+    assignment distribution skews.
+
+    With ``txn``/``txn_app`` the append is IDEMPOTENT per writer
+    namespace (the snapshot format's exactly-once protocol): a replayed
+    streaming micro-batch is detected BEFORE any assignment work runs and
+    skipped — see streaming.pipeline.stream_ivf_index_sink."""
     root = Path(index_root)
+    if txn is not None:
+        from ..sources.snapshots import current_version, last_txn
+
+        if txn <= last_txn(root / "cells", txn_app):
+            return current_version(root / "cells")
     cdf = snapshot_read(spark, root / "centroids")
     b = batch.where(l2_norm(F.col("embedding")) > 0).select("vec_id", "embedding")
     scored = b.crossJoin(F.broadcast(cdf)).select(
@@ -308,7 +322,9 @@ def ivf_index_append(
     )
     from ..sources.snapshots import snapshot_append
 
-    return snapshot_append(assigned, root / "cells", stats_cols=["centroid_id"])
+    return snapshot_append(
+        assigned, root / "cells", txn=txn, txn_app=txn_app, stats_cols=["centroid_id"]
+    )
 
 
 # ---------------------------------------------------------------------------

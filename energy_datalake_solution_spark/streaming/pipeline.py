@@ -619,3 +619,45 @@ def pack_stream_docs(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_ivf_index_sink(
+    stream: DataFrame,
+    index_root: str | Path,
+    checkpoint_dir: str | Path,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Exactly-once STREAMING maintenance of the stored IVF ANN index: each
+    micro-batch of (vec_id, embedding) rows is assigned to the existing
+    coarse centroids and committed to the index's cells table as one
+    snapshot version stamped with (app_id, batch_id) — the composition of
+    the incremental append (operators.ann_index.ivf_index_append) with the
+    snapshot format's idempotent-txn protocol (sources.snapshots). A crash
+    between commit and checkpoint replays the batch; the txn stamp detects
+    it BEFORE any assignment work and skips: at-least-once delivery +
+    idempotent commit = an index with exactly-once contents, new vectors
+    probe-visible within one trigger.
+
+    This is the 100 TB ingest loop for similarity search: embeddings land
+    continuously, the index never rebuilds inline, probes never block
+    (snapshot isolation), and periodic compaction re-clusters the
+    accumulated append files (snapshot_compact with stats).
+    """
+    from ..operators.ann_index import ivf_index_append
+
+    resolved_app = app_id if app_id is not None else str(checkpoint_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_index_append(
+            batch_df.sparkSession, batch_df, index_root,
+            txn=batch_id, txn_app=resolved_app,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -807,3 +807,65 @@ def test_streaming_sequence_packing_null_text_parity(spark, tmp_path):
             b.n_tokens, b.start_offset, b.seq_id, b.n_sequences_spanned,
             b.crosses_boundary,
         ), i
+
+
+def test_streaming_ivf_index_sink_exactly_once(spark, tmp_path):
+    """Embeddings stream into the stored IVF index: two micro-batches
+    commit as two index versions, a replayed batch_id is a no-op, and the
+    streamed vectors are immediately probe-visible in their clusters."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.functions.vector import l2_norm
+    from energy_datalake_solution_spark.operators.ann_index import (
+        build_ivf_index,
+        clustered_embeddings,
+        ivf_index_append,
+        ivf_probe,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import current_version
+    from energy_datalake_solution_spark.streaming.pipeline import stream_ivf_index_sink
+
+    # corpus + initial index from the first 800 clustered vectors
+    corpus = clustered_embeddings(spark, n=1000, n_clusters=8)
+    d = tmp_path / "corpus"
+    d.mkdir()
+    corpus.where(F.col("vec_id") < 800).write.parquet(str(d / "embeddings.parquet"))
+    idx = tmp_path / "idx"
+    build_ivf_index(spark, str(d), idx, nlist=8)
+    v0 = current_version(idx / "cells")
+
+    # stream the remaining 200 vectors as two micro-batches of json files
+    src = tmp_path / "src"
+    src.mkdir()
+    late = corpus.where(F.col("vec_id") >= 800).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    late.where(F.col("vec_id") < 900).coalesce(1).write.json(str(src / "b0"))
+    late.where(F.col("vec_id") >= 900).coalesce(1).write.json(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    ckpt = tmp_path / "ckpt_ivf"
+    q = stream_ivf_index_sink(stream, idx, ckpt)
+    q.awaitTermination(120)
+    assert current_version(idx / "cells") == v0 + 2  # one version per batch
+
+    # crash replay: same (app, batch_id) through the same code path = no-op
+    before = current_version(idx / "cells")
+    ivf_index_append(
+        spark, late.where(F.col("vec_id") >= 900), idx, txn=1, txn_app=str(ckpt)
+    )
+    assert current_version(idx / "cells") == before
+
+    # a streamed vector is probe-visible and lands among its cluster kin
+    e = corpus.where(l2_norm(F.col("embedding")) > 0)
+    qv = e.where(F.col("vec_id") == 955).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    hits = ivf_probe(spark, qv, idx, nprobe=2).collect()
+    assert hits and all(r.neighbor_id % 8 == 955 % 8 for r in hits)
+    assert any(r.neighbor_id >= 800 for r in hits)  # streamed vecs findable
