@@ -344,14 +344,21 @@ def stream_snapshot_sink(stream: DataFrame, table_path, checkpoint_dir, app_id: 
 _DRIVER_STATS_MAX_FILES = 64
 
 
-def _file_stats(path: str, stats_cols: list[str]) -> dict[str, list]:
-    """Min/max per column for ONE parquet file, from its footer (row-group
-    statistics — no data pages touched)."""
+# reserved key inside a file's manifest-stats dict: its exact row count
+# (parquet footer num_rows). Never collides with a real column's [min,
+# max] entry because its value is an int, and the pruning helpers only
+# look up caller-named columns.
+_ROWS_KEY = "__rows__"
+
+
+def _file_stats(path: str, stats_cols: list[str]) -> dict:
+    """Min/max per column + exact row count for ONE parquet file, from its
+    footer (row-group statistics — no data pages touched)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    stats: dict[str, list] = {}
+    stats: dict = {_ROWS_KEY: md.num_rows}
     for col in stats_cols:
         if col not in col_idx:
             continue
@@ -428,6 +435,28 @@ def snapshot_files_for_range(table_path, col: str, lo, hi, version: int | None =
         if s is None or (s[1] >= lo and s[0] <= hi):
             keep.append(rel)
     return keep
+
+
+def snapshot_row_count(table_path, version: int | None = None) -> int | None:
+    """COUNT(*) of a snapshot answered from the MANIFEST alone — no file
+    opened, no Spark job: the sum of the per-file footer row counts
+    recorded at commit time. Returns None when any listed file predates
+    row-count collection (the caller falls back to a real count; pruning
+    semantics: metadata answers must never guess). This is the table-
+    format fast path every engine special-cases (Delta/Iceberg answer
+    SELECT COUNT(*) from their logs) — at 100 TB the difference between a
+    metadata read and a full scan."""
+    p = Path(table_path)
+    v = current_version(p) if version is None else version
+    m = _read_manifest(p, v)
+    stats = m.get("stats", {})
+    total = 0
+    for rel in m["files"]:
+        n = stats.get(rel, {}).get(_ROWS_KEY)
+        if n is None:
+            return None
+        total += int(n)
+    return total
 
 
 def snapshot_files_for_values(table_path, col, values, version: int | None = None) -> list[str]:

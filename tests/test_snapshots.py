@@ -311,3 +311,26 @@ def test_compaction_shrinks_files_preserves_rows_and_history(spark, tmp_path):
     assert now.exceptAll(old).count() == 0
     # re-clustering: a narrow keyed read touches ONE of the two files
     assert len(snapshot_files_for_range(t, "k", 5, 8)) == 1
+
+
+def test_manifest_row_count_answers_count_star(spark, tmp_path):
+    """COUNT(*) from the manifest alone: a stats commit records per-file
+    footer row counts, so the count needs no scan; appends with stats
+    keep it current; a stats-less commit honestly returns None."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_row_count,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(5_000).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    assert snapshot_row_count(t) == 5_000
+    snapshot_append(_df(spark, 0, 250, "a"), t, stats_cols=["k"])
+    assert snapshot_row_count(t) == 5_250
+    assert snapshot_row_count(t, version=1) == 5_000  # time-travel count
+    # a plain append (no stats) makes the metadata answer unavailable
+    snapshot_append(_df(spark, 0, 10, "b"), t)
+    assert snapshot_row_count(t) is None
+    assert snapshot_read(spark, t).count() == 5_260  # fallback still right
