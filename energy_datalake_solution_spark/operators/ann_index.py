@@ -72,6 +72,7 @@ from .similarity import (
     TOP_K,
     _distinct_directions,
     _kmeans_train_input,
+    cosine_topk_epilogue,
     lsh_planes,
 )
 
@@ -208,17 +209,7 @@ def ivf_probe(
         "c_id",
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim"),
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            "cosine_sim",
-            "rank",
-        )
-    )
+    return cosine_topk_epilogue(scored, top_k=top_k)
 
 
 # one stored index per (process, corpus dir): built on first use, probed
@@ -226,7 +217,7 @@ def ivf_probe(
 # steady-state probe, exactly as a deployment with a persisted index would.
 # The cache also holds the centroid list (nlist model-sized rows), the way
 # any table format caches resolved snapshot metadata in the reader process.
-_IVF_INDEX_CACHE: dict[tuple[int, str], tuple[str, list]] = {}
+_IVF_INDEX_CACHE: dict[tuple[int, str, int, int], tuple[str, list]] = {}
 
 
 def _ivf_index_for(
@@ -235,13 +226,17 @@ def _ivf_index_for(
     nlist: int = IVF_INDEX_NLIST,
     n_queries: int = N_QUERIES,
 ) -> tuple[str, list]:
-    key = (os.getpid(), str(sf_dir))
+    # the build parameters are part of the cache key AND the on-disk path:
+    # two callers over the same corpus with different (nlist, n_queries)
+    # must never share an index (the excluded-query set and cell count
+    # both change the stored contents)
+    key = (os.getpid(), str(sf_dir), nlist, n_queries)
     cached = _IVF_INDEX_CACHE.get(key)
     if cached and (Path(cached[0]) / "cells" / "_latest").exists():
         return cached
     root = str(
         Path(tempfile.gettempdir())
-        / f"ivf_index_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+        / f"ivf_index_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}_{nlist}_{n_queries}"
     )
     shutil.rmtree(root, ignore_errors=True)
     centroids = build_ivf_index(spark, sf_dir, root, nlist=nlist, n_queries=n_queries)
@@ -428,17 +423,7 @@ def lsh_probe(
         )
         .distinct()  # a pair can meet in several bands/probes
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            "cosine_sim",
-            "rank",
-        )
-    )
+    return cosine_topk_epilogue(scored, top_k=top_k)
 
 
 _LSH_INDEX_CACHE: dict[tuple[int, str], str] = {}
@@ -551,17 +536,7 @@ def embeddings_clustered_exact_topk(spark: SparkSession, sf_dir: str) -> DataFra
         "c_id",
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim"),
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            "cosine_sim",
-            "rank",
-        )
-    )
+    return cosine_topk_epilogue(scored)
 
 
 @register(

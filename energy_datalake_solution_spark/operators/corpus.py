@@ -435,10 +435,11 @@ def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     a double sum here could flip a floor at the last ulp), and the final
     ratio is pure integer arithmetic scaled to 2^20, compared against the
     first 5 hex digits of the doc's md5 — string-lexicographic equals
-    numeric for fixed-width lowercase hex on both engines. (At 100 TB
-    token counts the 2^20-scaled product wants 128-bit intermediates —
-    DuckDB widens to HUGEINT automatically; on Spark cast through
-    decimal(38,0) — the structure is unchanged.)
+    numeric for fixed-width lowercase hex on both engines. The 2^20-scaled
+    product runs in 128-bit intermediates on BOTH engines (DuckDB widens
+    to HUGEINT automatically; Spark casts through decimal(38,0), whose
+    DIV floors identically — int64 would overflow past ~8.8M total
+    tokens, i.e. on any real corpus).
 
     Plan: one token-count scan + a source-level aggregate (dashboard-
     sized), rates broadcast back onto the doc table; map-side filter."""
@@ -461,8 +462,13 @@ def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_w = weighted.agg(F.sum("w_ppm").alias("sum_w_ppm"))
     rates = weighted.join(F.broadcast(sum_w)).join(F.broadcast(tot)).select(
         "skey",
+        # widen through decimal(38,0): w_ppm approaches 1e6 for a dominant
+        # source, so the 2^20-scaled numerator overflows int64 on any
+        # corpus past ~8.8M tokens (ANSI: ARITHMETIC_OVERFLOW). Decimal
+        # DIV floors exactly like DuckDB's HUGEINT // (verified equal).
         F.expr(
-            "w_ppm * total_tokens * 1048576 DIV (sum_w_ppm * src_tokens)"
+            "CAST(CAST(w_ppm AS DECIMAL(38,0)) * total_tokens * 1048576"
+            " DIV (CAST(sum_w_ppm AS DECIMAL(38,0)) * src_tokens) AS BIGINT)"
         ).alias("rate_scaled"),
     )
     accepted = toks.join(F.broadcast(rates), "skey").where(
@@ -500,12 +506,18 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches (the property rand()-based shuffles lose on retry/restart).
     The order key is md5(epoch:doc_id); 3 epochs are materialized.
 
-    Scale shape: a global shuffle of 100 TB IS a distributed sort — this
-    plan is exactly one range-partitioned sort per epoch on the hash key
-    (Spark samples key ranges, sorts partitions independently; no driver
-    bottleneck, no RNG state to coordinate). The position column here is
-    a per-epoch window for oracle checkability; a production writer skips
-    it and lets zipWithIndex-free file ordering carry the permutation."""
+    Scale shape: a global shuffle of 100 TB IS a distributed sort, and the
+    POSITION column must not funnel an epoch through one window task. The
+    plan shards each epoch's window by the FIRST HEX DIGIT of the order
+    key — a prefix of the sort key, so (shard, key-within-shard) order IS
+    the global key order and the sharded positions are provably identical
+    to a single per-epoch window (the same concatenation argument as the
+    sequence packer's two-pass offsets; the single-window oracle hash-
+    gates the equality). Pass 1: row_number within (epoch, shard) — 48
+    bounded partitions instead of 3 corpus-sized ones; pass 2: per-shard
+    row counts (48 rows) cumulate into shard offsets, broadcast back;
+    position = shard offset + local rank. At 100 TB widen the shard
+    prefix to 2-3 hex digits — same plan, more shards."""
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("epoch")
@@ -515,14 +527,26 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
         ).alias("order_key"),
-    )
+    ).withColumn("shard", F.substring("order_key", 1, 1))
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("epoch").orderBy("order_key")
-    return keyed.select(
+    w_local = W.partitionBy("epoch", "shard").orderBy("order_key")
+    local = keyed.withColumn("local_rn", F.row_number().over(w_local))
+    shard_sizes = local.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_off = (
+        W.partitionBy("epoch").orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = shard_sizes.select(
+        "epoch",
+        "shard",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    return local.join(F.broadcast(offsets), ["epoch", "shard"]).select(
         "epoch",
         "doc_id",
-        F.row_number().over(w).cast("long").alias("position"),
+        (F.col("offset") + F.col("local_rn")).cast("long").alias("position"),
     )
 
 

@@ -38,6 +38,27 @@ LSH_BAND_BITS = LSH_SIG_BITS // LSH_BANDS    # 4
 LSH_BAND_MASK = (1 << LSH_BAND_BITS) - 1     # 15
 
 
+def cosine_topk_epilogue(scored: DataFrame, top_k: int = TOP_K) -> DataFrame:
+    """THE shared re-rank tail of every similarity query: ``scored``
+    carries (q_id, c_id, cosine_sim already rounded to 6); rank per query
+    by (cosine_sim DESC, c_id), keep ``top_k``, rename to the common
+    (query_id, neighbor_id, cosine_sim, rank) contract. One definition —
+    previously pasted in five operators, where a tie-break or rounding
+    drift in one copy would silently break the row-identity pin between
+    the fused and stored-index forms."""
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine_sim",
+            "rank",
+        )
+    )
+
+
 @register(
     "embeddings_cosine_topk",
     oracle=f"""
@@ -87,17 +108,7 @@ def embeddings_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_id",
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim"),
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            "cosine_sim",
-            "rank",
-        )
-    )
+    return cosine_topk_epilogue(scored)
 
 
 TRAIN_SAMPLE_PER_CELL = 256  # FAISS practice: ~256 training vectors per centroid
@@ -293,17 +304,7 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "q_id", "c_id", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim")
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            "cosine_sim",
-            "rank",
-        )
-    )
+    return cosine_topk_epilogue(scored)
 
 
 @register("embeddings_ivf_ann", oracle=None, headline=True, tags=("similarity", "approx"))
@@ -394,17 +395,7 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = F.broadcast(probes).join(cands, "centroid_id").select(
         "q_id", "c_id", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim")
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            "cosine_sim",
-            "rank",
-        )
-    )
+    return cosine_topk_epilogue(scored)
 
 
 @register(

@@ -80,6 +80,25 @@ def dedup_on_keys(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
     )
 
 
+def _migrate_legacy_parquet_table(spark: SparkSession, table_path: Path):
+    """If ``table_path`` holds a PRE-snapshot-format plain-parquet table
+    (data files but no ``_manifests``), return its rows as a DataFrame so
+    the first snapshot commit can carry them forward — otherwise None.
+    Without this, the first snapshot-format merge against a table written
+    by an earlier release (or by the partition-scoped path) would commit
+    only the incoming batch as v1 and every pre-existing row would vanish
+    behind the manifest."""
+    if not table_path.exists():
+        return None
+    legacy_content = [
+        e for e in table_path.iterdir() if e.name not in ("_manifests", "data")
+        and not e.name.startswith(("_SUCCESS", "."))
+    ]
+    if not legacy_content:
+        return None
+    return spark.read.parquet(str(table_path))
+
+
 def merge_upsert(
     spark: SparkSession,
     incoming: DataFrame,
@@ -87,6 +106,7 @@ def merge_upsert(
     contract: TableContract,
     partition_by: str | None = None,
     validate_partition_stability: bool = False,
+    retain_versions: int | None = None,
 ) -> str:
     """Upsert incoming rows into curated/{table} on the contract's business
     keys (DELETE matching + INSERT all, reference :73-82), via anti-join.
@@ -118,9 +138,34 @@ def merge_upsert(
         # concurrent readers keep their resolved snapshot, a bad load is
         # an O(1) rollback, and history time-travels. No staging swap:
         # data files are immutable, only the manifest pointer advances.
-        from .snapshots import snapshot_upsert
+        #
+        # Each upsert version holds a full row copy; pass retain_versions
+        # to vacuum history past that depth after the commit (what a
+        # per-micro-batch streaming merge must do, or disk grows one
+        # table copy per trigger). None keeps all history (batch loads,
+        # where rollback depth matters more than disk).
+        from .snapshots import snapshot_upsert, snapshot_vacuum
 
+        tp = Path(target_path)
+        if not (tp / "_manifests").exists():
+            legacy = _migrate_legacy_parquet_table(spark, tp)
+            if legacy is not None:
+                # pre-format plain-parquet table: fold its rows into this
+                # first snapshot commit or they would silently vanish
+                # behind the manifest (survivors via the same anti-join)
+                from .snapshots import snapshot_write
+
+                survivors = legacy.join(
+                    incoming.select(*keys), on=keys, how="left_anti"
+                )
+                merged = survivors.unionByName(incoming, allowMissingColumns=True)
+                snapshot_write(merged.localCheckpoint(), tp)
+                if retain_versions:
+                    snapshot_vacuum(tp, keep_versions=retain_versions)
+                return target_path
         snapshot_upsert(spark, incoming, target_path, keys)
+        if retain_versions:
+            snapshot_vacuum(target_path, keep_versions=retain_versions)
         return target_path
 
     fs, HPath = _hadoop_fs(spark, target_path)

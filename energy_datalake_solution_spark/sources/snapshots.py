@@ -105,12 +105,13 @@ def _commit(
     no-overwrite — a same-version race loses loudly, never clobbers), and
     the pointer swap REFUSES to regress: if the on-disk pointer is already
     at or past this commit's version (a later writer won the race while
-    this one was delayed between link and swap), the swap is skipped — the
-    commit's manifest remains reachable as an orphan branch rather than
-    silently un-publishing the later writer. Full multi-writer
-    serialization (read-set validation, as Delta's LogStore provides) is
-    out of scope; tables are expected to have ONE writer lineage at a time,
-    and these guards turn violations into orphans/errors, not corruption.
+    this one was delayed between link and swap), the commit RAISES — its
+    manifest stays on disk as an orphan branch, never silently
+    un-publishing the later writer and never reporting a lost race as
+    success. Full multi-writer serialization (read-set validation, as
+    Delta's LogStore provides) is out of scope; tables are expected to
+    have ONE writer lineage at a time, and these guards turn violations
+    into loud errors, not corruption.
     """
     # allocate ABOVE any manifest on disk, not just parent+1 — after a
     # rollback (pointer < max version) or an interrupted commit (manifest
@@ -119,6 +120,22 @@ def _commit(
     manifest = {"version": version, "parent": parent, "files": sorted(files), "txn": txn}
     if txn_app is not None:
         manifest["txn_app"] = txn_app
+    # carry the per-app latest-txn MAP forward into every manifest (the
+    # analogue of Delta's SetTransaction actions): last_txn reads ONLY the
+    # latest manifest, so vacuuming old manifests — including another
+    # app's commit that sat between this app's stamp and the tail — can
+    # never lose a namespace's replay protection
+    txns: dict[str, int] = {}
+    if parent:
+        try:
+            txns = dict(_read_manifest(table_path, parent).get("txns", {}))
+        except FileNotFoundError:
+            txns = {}
+    if txn is not None:
+        key = txn_app if txn_app is not None else ""
+        txns[key] = max(int(txn), txns.get(key, -1))
+    if txns:
+        manifest["txns"] = txns
     if stats:
         manifest["stats"] = stats
     mp = _manifest_path(table_path, version)
@@ -138,8 +155,15 @@ def _commit(
     if current_version(table_path) >= version:
         # a later writer already advanced the pointer past us — swapping
         # now would REGRESS it and drop that writer's commit from the
-        # chain. Leave our manifest as an orphan branch instead.
-        return version
+        # chain. RAISE (like the manifest collision above) so the caller
+        # knows its rows are NOT in the table: returning quietly would
+        # report a lost race as success, advance a streaming checkpoint,
+        # and strand the batch on an unreachable orphan branch.
+        raise RuntimeError(
+            f"pointer already at or past version {version} (concurrent "
+            "writer won the race); this commit is an orphan manifest — "
+            "retry the operation against the current version"
+        )
     ltmp = Path(table_path) / f"{_LATEST}.{uuid.uuid4().hex}.tmp"
     ltmp.write_text(str(version))
     os.replace(ltmp, Path(table_path) / _LATEST)  # pointer swap, atomic
@@ -186,26 +210,38 @@ def snapshot_append(
 
 
 def last_txn(table_path, txn_app: str | None = None) -> int:
-    """Largest transaction id recorded FOR THE GIVEN WRITER NAMESPACE in
-    the manifest chain, or -1. Txn ids are namespaced by ``txn_app``
-    (Delta's (appId, version) protocol): two writer lineages appending to
-    the same table never see each other's txn stamps, so neither silently
-    skips the other's batches. ``txn_app=None`` matches only un-namespaced
-    (legacy) stamps. Commits are ordered per app, so scanning back to the
-    first manifest stamped by THIS app suffices; a vacuumed-away ancestor
-    ends the walk (its txn history is gone with it, and anything still
-    reachable was committed later)."""
+    """Largest transaction id recorded FOR THE GIVEN WRITER NAMESPACE, or
+    -1. Txn ids are namespaced by ``txn_app`` (Delta's (appId, version)
+    protocol): two writer lineages appending to the same table never see
+    each other's txn stamps, so neither silently skips the other's
+    batches. ``txn_app=None`` matches only un-namespaced (legacy) stamps.
+
+    The answer comes from the LATEST manifest's carried-forward ``txns``
+    map (every commit copies its parent's map and folds in its own stamp
+    — Delta's SetTransaction mechanism), so it survives vacuum even when
+    another app's commit sat between this app's last stamp and the tail.
+    Manifests predating the map fall back to the chain walk; a
+    vacuumed-away ancestor ends that walk conservatively at -1."""
     p = Path(table_path)
     v = current_version(p)
-    while v > 0:
+    if v == 0:
+        return -1
+    try:
+        m = _read_manifest(p, v)
+    except FileNotFoundError:
+        return -1
+    if "txns" in m:
+        return int(m["txns"].get(txn_app if txn_app is not None else "", -1))
+    while True:  # legacy manifests (no txns map): walk the chain
+        if m.get("txn") is not None and m.get("txn_app") == txn_app:
+            return int(m["txn"])
+        v = m["parent"]
+        if v <= 0:
+            return -1
         try:
             m = _read_manifest(p, v)
         except FileNotFoundError:
             return -1  # ancestor vacuumed — no older txn survives
-        if m.get("txn") is not None and m.get("txn_app") == txn_app:
-            return int(m["txn"])
-        v = m["parent"]
-    return -1
 
 
 def snapshot_upsert(
@@ -282,7 +318,9 @@ def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
                 deleted.append(rel)
         if not any(sub.iterdir()):
             sub.rmdir()
-    for mf in (p / _MANIFEST_DIR).iterdir():
+    # glob v*.json (not iterdir): a hard-killed commit can leave a
+    # v<N>.<hex>.tmp beside the manifests, which must not crash the parse
+    for mf in (p / _MANIFEST_DIR).glob("v*.json"):
         v = int(mf.stem[1:])
         if v not in keep:
             mf.unlink()

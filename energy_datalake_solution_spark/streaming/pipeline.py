@@ -169,6 +169,7 @@ def stream_merge_to_curated(
     load_date: str,
     curated_root: str | Path,
     checkpoint_dir: str | Path,
+    retain_versions: int = 10,
 ) -> StreamingQuery:
     """EP1+EP2 fused as one stream: raw csv files -> contract transform ->
     per-micro-batch keyed upsert into the curated zone via ``foreachBatch``.
@@ -178,6 +179,11 @@ def stream_merge_to_curated(
     safety comes from the checkpointed source offsets plus the merge being
     idempotent on the business keys — replaying a batch upserts the same
     rows to the same keys.
+
+    The snapshot-backed merge retains one full row copy per version, so a
+    per-micro-batch stream MUST bound history or disk grows a table copy
+    per trigger: ``retain_versions`` (default 10 — ten triggers of
+    rollback depth) vacuums past that depth after each commit.
     """
     from ..sources.merge import merge_upsert
 
@@ -188,7 +194,9 @@ def stream_merge_to_curated(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_upsert(spark, batch_df, curated_root, contract)
+        merge_upsert(
+            spark, batch_df, curated_root, contract, retain_versions=retain_versions
+        )
 
     return (
         stamped.writeStream.foreachBatch(sink)

@@ -186,3 +186,47 @@ def test_scoped_merge_partition_stability_audit(spark, tmp_path):
         for r in spark.read.parquet(str(curated / TRANSACCIONES.table_name)).collect()
     }
     assert rows == {"T1": 1.0, "T2": 7.0}
+
+
+def test_first_snapshot_merge_migrates_legacy_parquet_table(spark, tmp_path):
+    """A curated table written as PLAIN parquet (an earlier release, or
+    any direct write) must have its rows carried into the first
+    snapshot-format merge — not silently dropped behind the new manifest."""
+    from energy_datalake_solution_spark.sources.merge import curated_read
+
+    curated = tmp_path / "curated"
+    table = curated / TRANSACCIONES.table_name
+    # the legacy table: plain parquet, no _manifests
+    _batch(spark, [("T1", 1.0, 1), ("T2", 2.0, 1)]).write.parquet(str(table))
+    # first snapshot-backed merge: updates T2, inserts T3
+    merge_upsert(spark, _batch(spark, [("T2", 9.0, 2), ("T3", 3.0, 2)]), curated, TRANSACCIONES)
+    rows = {r["transaction_id"]: r["energy_quantity_mwh"]
+            for r in curated_read(spark, curated, TRANSACCIONES.table_name).collect()}
+    assert rows == {"T1": 1.0, "T2": 9.0, "T3": 3.0}  # T1 survived migration
+    # and the second merge takes the normal snapshot path
+    merge_upsert(spark, _batch(spark, [("T4", 4.0, 3)]), curated, TRANSACCIONES)
+    assert curated_read(spark, curated, TRANSACCIONES.table_name).count() == 4
+
+
+def test_merge_retain_versions_bounds_history(spark, tmp_path):
+    """Per-micro-batch merges with retain_versions must not accumulate one
+    full table copy per trigger: history past the retention depth is
+    vacuumed after each commit, current contents stay correct."""
+    from energy_datalake_solution_spark.sources.merge import curated_read
+    from energy_datalake_solution_spark.sources.snapshots import _MANIFEST_DIR
+
+    curated = tmp_path / "curated"
+    table = curated / TRANSACCIONES.table_name
+    for i in range(6):
+        merge_upsert(
+            spark,
+            _batch(spark, [(f"T{i}", float(i), 1)]),
+            curated,
+            TRANSACCIONES,
+            retain_versions=2,
+        )
+    manifests = list((table / _MANIFEST_DIR).glob("v*.json"))
+    assert len(manifests) <= 2  # history bounded
+    rows = {r["transaction_id"] for r in
+            curated_read(spark, curated, TRANSACCIONES.table_name).collect()}
+    assert rows == {f"T{i}" for i in range(6)}  # contents complete

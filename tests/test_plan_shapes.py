@@ -597,9 +597,13 @@ def test_temperature_sample_rates_broadcast_no_corpus_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_epoch_shuffle_is_sort_per_epoch(spark):
-    """The global shuffle is a distributed sort on the hash key — no
-    nested loops, no corpus-sized joins at all."""
+def test_epoch_shuffle_windows_are_sharded(spark):
+    """The position windows partition by (epoch, shard) — 48 bounded
+    partitions, never one corpus-sized window per epoch; the shard-offset
+    table (48 rows) broadcasts back, and nothing sort-merges."""
     plan = plan_of(QUERIES["docs_epoch_shuffle"].fn(spark, SF_ORACLE))
     assert "Sort" in plan and "Window" in plan
-    assert "Join" not in plan  # pure scan -> explode -> sort/window
+    assert "BroadcastHashJoin" in plan  # offsets join is the tiny side
+    assert "SortMergeJoin" not in plan
+    # the big window's partition spec carries BOTH keys
+    assert "shard" in plan

@@ -174,7 +174,9 @@ def test_pointer_never_regresses_behind_later_writer(spark, tmp_path):
     """A delayed writer that publishes its manifest while the on-disk
     pointer is ALREADY AHEAD (a later writer won the race between this
     writer's manifest link and its pointer swap) must not swap the pointer
-    backwards; its commit stays a reachable orphan branch."""
+    backwards — and must RAISE, not report the lost race as success (a
+    quiet return would advance a streaming checkpoint over rows that sit
+    on an unreachable orphan branch)."""
     import os
 
     from energy_datalake_solution_spark.sources import snapshots as S
@@ -187,11 +189,53 @@ def test_pointer_never_regresses_behind_later_writer(spark, tmp_path):
     # stalled between allocation and its swap
     (p / "_latest.tmp").write_text("5")
     os.replace(p / "_latest.tmp", p / "_latest")
-    v = S._commit(p, files, parent=1)  # allocates v2 — behind the pointer
-    assert v == 2
+    with pytest.raises(RuntimeError, match="orphan"):
+        S._commit(p, files, parent=1)  # allocates v2 — behind the pointer
     assert S.current_version(t) == 5  # pointer untouched: no regression
-    # the orphan manifest is still readable by explicit version
+    # the orphan manifest is still readable by explicit version (forensics)
     assert snapshot_read(spark, t, version=2).count() == 2
+
+
+def test_txn_protection_survives_vacuum_with_interleaved_lineages(spark, tmp_path):
+    """Exactly-once must hold after vacuum even when another app's commit
+    sits between this app's last stamp and the tail: the per-app txn map
+    is carried forward into every manifest, so replay detection reads the
+    LATEST manifest and never depends on vacuumed ancestors."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        last_txn,
+        snapshot_append_once,
+    )
+
+    t = tmp_path / "t"
+    snapshot_append_once(_df(spark, 0, 5, "a"), t, txn=5, txn_app="A")   # v1
+    snapshot_append_once(_df(spark, 5, 8, "b"), t, txn=2, txn_app="B")   # v2
+    snapshot_vacuum(t, keep_versions=1)  # v1's manifest (A's stamp) deleted
+    assert last_txn(t, txn_app="A") == 5  # carried forward, not lost
+    assert last_txn(t, txn_app="B") == 2
+    # the crash replay of A's batch 5 must STILL be a no-op
+    before = current_version(t)
+    snapshot_append_once(_df(spark, 0, 5, "a"), t, txn=5, txn_app="A")
+    assert current_version(t) == before
+    assert snapshot_read(spark, t).count() == 8  # no duplicate rows
+    # a txn-less commit (compaction) must also carry the map forward
+    from energy_datalake_solution_spark.sources.snapshots import snapshot_compact
+
+    snapshot_compact(spark, t, target_files=1)
+    snapshot_vacuum(t, keep_versions=1)
+    assert last_txn(t, txn_app="A") == 5
+    assert last_txn(t, txn_app="B") == 2
+
+
+def test_vacuum_ignores_leftover_manifest_tmp_files(spark, tmp_path):
+    """A writer hard-killed between tmp write and publish leaves
+    _manifests/v<N>.<hex>.tmp; vacuum must skip it, not crash parsing."""
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)
+    snapshot_write(_df(spark, 0, 3, "b"), t)
+    (t / "_manifests" / "v7.deadbeef.tmp").write_text("{}")
+    deleted = snapshot_vacuum(t, keep_versions=1)
+    assert deleted  # v1's files reclaimed despite the junk tmp file
+    assert snapshot_read(spark, t).count() == 3
 
 
 def test_write_after_rollback_allocates_past_orphans(spark, tmp_path):
