@@ -550,6 +550,158 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SOURCE_BUDGET = 150  # max docs kept per source (sf0.01 sources hold ~100)
+
+
+@register(
+    "docs_source_budget_cap",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   md5(CAST(doc_id AS VARCHAR)) AS pick_key
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, pick_key,
+                   CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY pick_key
+                   ) AS BIGINT) AS keep_rank
+            FROM keyed
+        )
+        SELECT doc_id, source, keep_rank
+        FROM ranked WHERE keep_rank <= {SOURCE_BUDGET}
+    """,
+    tags=("corpus", "sampling"),
+)
+def docs_source_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document budget: keep at most SOURCE_BUDGET docs per
+    source, selected deterministically by md5(doc_id) order — the hard cap
+    a training mix places on any single domain (the complement of
+    temperature sampling's proportional damping), reproducible across
+    runs, engines, and cluster sizes.
+
+    Scale shape: the per-source rank uses the same hash-prefix-sharded
+    two-pass windows as docs_epoch_shuffle — rank within (source, first
+    hex digit of the pick key), then broadcast per-shard offsets — so no
+    window task ever holds a whole source (a 100 TB crawl's dominant
+    domain IS a whole-corpus-sized partition). The shard is a prefix of
+    the sort key, so sharded ranks equal the single-window ranks; the
+    single-window oracle hash-gates that equality. Rows past the budget
+    are dropped pre-offset only when a WHOLE SHARD clears the budget —
+    here the filter applies after the global rank (budget ~ shard sizes);
+    at scale add the per-shard early filter (keep shard-local rank <=
+    budget) which is lossless because global rank >= shard-local rank."""
+    d = load_table(spark, sf_dir, "documents")
+    # skey: NULL-safe grouping/join key (a NULL source is still a domain;
+    # joining on the raw column would silently drop its docs — the oracle
+    # keeps them, since SQL window PARTITION BY groups NULLs together)
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.coalesce("source", F.lit("__null__")).alias("skey"),
+        F.md5(F.col("doc_id").cast("string")).alias("pick_key"),
+    ).withColumn("shard", F.substring("pick_key", 1, 1))
+    from pyspark.sql import Window as W
+
+    w_local = W.partitionBy("skey", "shard").orderBy("pick_key")
+    local = keyed.withColumn("local_rn", F.row_number().over(w_local))
+    sizes = local.groupBy("skey", "shard").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (
+        W.partitionBy("skey").orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "skey", "shard", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["skey", "shard"])
+        .select(
+            "doc_id",
+            "source",
+            (F.col("offset") + F.col("local_rn")).cast("long").alias("keep_rank"),
+        )
+        .where(F.col("keep_rank") <= SOURCE_BUDGET)
+    )
+
+
+LENGTH_BATCH_SIZE = 32  # docs per training batch within a length bucket
+
+
+@register(
+    "docs_length_bucket_batches",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT doc_id, n_tokens,
+                   CAST(length(bin(greatest(n_tokens, 1))) - 1 AS INT) AS bucket
+            FROM toks
+        ),
+        ranked AS (
+            SELECT doc_id, n_tokens, bucket,
+                   row_number() OVER (
+                       PARTITION BY bucket ORDER BY n_tokens, doc_id
+                   ) AS pos
+            FROM bucketed
+        )
+        SELECT doc_id, n_tokens, bucket,
+               CAST((pos - 1) // {LENGTH_BATCH_SIZE} AS BIGINT) AS batch_idx
+        FROM ranked
+    """,
+    tags=("corpus", "packing"),
+)
+def docs_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment: docs bucket by power-of-two token
+    count (bucket = floor(log2 n), computed as the BIT LENGTH of n — pure
+    integer arithmetic on both engines, no float log whose last-ulp could
+    flip a floor), then batch into groups of LENGTH_BATCH_SIZE ordered by
+    (n_tokens, doc_id) within the bucket — the padding-efficiency step of
+    a training-data pipeline (batching similar lengths minimizes pad
+    tokens without biasing content: order within equal lengths is by id).
+
+    Scale shape: the in-bucket position uses two-pass windows sharded by
+    the EXACT token count (a prefix of the (n_tokens, doc_id) sort key):
+    rank by doc_id within (bucket, n_tokens), then broadcast offsets from
+    the per-(bucket, n_tokens) count table — model-sized, since distinct
+    lengths are bounded by the max document length, not the corpus. No
+    corpus-sized window partition anywhere; the single-window oracle
+    hash-gates the equality of the sharded positions."""
+    d = load_table(spark, sf_dir, "documents")
+    # NULL text -> 0 tokens on BOTH engines (size(NULL) is NULL, and the
+    # engines disagree on NULL window ordering — normalize up front)
+    toks = d.select(
+        "doc_id",
+        F.coalesce(F.size(F.split(F.col("text"), " ")), F.lit(0))
+        .cast("long").alias("n_tokens"),
+    )
+    bucketed = toks.withColumn(
+        "bucket",
+        (F.length(F.bin(F.greatest(F.col("n_tokens"), F.lit(1)))) - 1).cast("int"),
+    )
+    from pyspark.sql import Window as W
+
+    w_local = W.partitionBy("bucket", "n_tokens").orderBy("doc_id")
+    local = bucketed.withColumn("local_rn", F.row_number().over(w_local))
+    sizes = local.groupBy("bucket", "n_tokens").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (
+        W.partitionBy("bucket").orderBy("n_tokens").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "bucket",
+        "n_tokens",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    return local.join(F.broadcast(offsets), ["bucket", "n_tokens"]).select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.expr(f"(offset + local_rn - 1) DIV {LENGTH_BATCH_SIZE}").alias("batch_idx"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Multi-tier duplicate evidence
 # --------------------------------------------------------------------------

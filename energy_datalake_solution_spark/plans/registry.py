@@ -107,6 +107,8 @@ SURFACE_ORDER: tuple[str, ...] = (
     "multimodal_png_pixel_stats",
     "docs_temperature_sample",
     "docs_epoch_shuffle",
+    "docs_source_budget_cap",
+    "docs_length_bucket_batches",
     "events_resample_hourly_ffill_sharded",
     "embeddings_ivf_probe",
     "embeddings_lsh_probe",
