@@ -407,8 +407,12 @@ def docs_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rates AS (
             SELECT w.skey, w.src_tokens,
-                   CAST((w.w_ppm * t.total_tokens * 1048576)
-                        // ((SELECT sum(w_ppm) FROM weighted) * w.src_tokens)
+                   -- HUGEINT cast is REQUIRED, not decorative: BIGINT*BIGINT
+                   -- does NOT auto-widen in DuckDB (it raises Out of Range),
+                   -- and the numerator passes int64 at ~8.8M total tokens
+                   CAST((CAST(w.w_ppm AS HUGEINT) * t.total_tokens * 1048576)
+                        // (CAST((SELECT sum(w_ppm) FROM weighted) AS HUGEINT)
+                            * w.src_tokens)
                         AS BIGINT) AS rate_scaled
             FROM weighted w, tot t
         )
@@ -550,7 +554,10 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SOURCE_BUDGET = 150  # max docs kept per source (sf0.01 sources hold ~100)
+SOURCE_BUDGET = 20  # max docs kept per source — BELOW the 25 docs every
+# sf0.001/sf0.01 source holds, so the cap genuinely cuts rows under the
+# exact-oracle gate (a budget above fixture sizes would leave the defining
+# WHERE clause dead code in every hash comparison)
 
 
 @register(
@@ -558,13 +565,14 @@ SOURCE_BUDGET = 150  # max docs kept per source (sf0.01 sources hold ~100)
     oracle=f"""
         WITH keyed AS (
             SELECT doc_id, source,
+                   COALESCE(source, '__null__') AS skey,
                    md5(CAST(doc_id AS VARCHAR)) AS pick_key
             FROM documents
         ),
         ranked AS (
             SELECT doc_id, source, pick_key,
                    CAST(row_number() OVER (
-                       PARTITION BY source ORDER BY pick_key
+                       PARTITION BY skey ORDER BY pick_key
                    ) AS BIGINT) AS keep_rank
             FROM keyed
         )

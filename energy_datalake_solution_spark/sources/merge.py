@@ -99,6 +99,24 @@ def _migrate_legacy_parquet_table(spark: SparkSession, table_path: Path):
     return spark.read.parquet(str(table_path))
 
 
+def _remove_legacy_parquet_content(table_path: Path) -> None:
+    """Delete the pre-snapshot-format files of a just-migrated table —
+    everything except the format's own ``_manifests`` and ``data`` dirs.
+    Called only AFTER the migration commit is durable (the rows live on in
+    the v1 manifest's files)."""
+    import shutil
+
+    for e in table_path.iterdir():
+        if e.name in ("_manifests", "data") or e.name == "_latest" or (
+            e.name.startswith("_latest.")
+        ):
+            continue
+        if e.is_dir():
+            shutil.rmtree(e, ignore_errors=True)
+        else:
+            e.unlink(missing_ok=True)
+
+
 def merge_upsert(
     spark: SparkSession,
     incoming: DataFrame,
@@ -159,7 +177,14 @@ def merge_upsert(
                     incoming.select(*keys), on=keys, how="left_anti"
                 )
                 merged = survivors.unionByName(incoming, allowMissingColumns=True)
-                snapshot_write(merged.localCheckpoint(), tp)
+                # eager: the rows must be materialized before we delete
+                # the legacy files they were read from
+                snapshot_write(merged.localCheckpoint(eager=True), tp)
+                # the commit is durable — remove the pre-format files, or
+                # they would sit beside data/ as a dead full table copy
+                # that snapshot_vacuum (which only scans data/) can never
+                # reclaim, and a raw directory read would double-count
+                _remove_legacy_parquet_content(tp)
                 if retain_versions:
                     snapshot_vacuum(tp, keep_versions=retain_versions)
                 return target_path

@@ -128,7 +128,14 @@ def _commit(
     txns: dict[str, int] = {}
     if parent:
         try:
-            txns = dict(_read_manifest(table_path, parent).get("txns", {}))
+            pm = _read_manifest(table_path, parent)
+            txns = dict(pm.get("txns", {}))
+            # fold the parent's own PRE-MAP stamp in too: an upgraded
+            # table's newest legacy commit must not be shadowed the moment
+            # the first map-carrying commit lands on top of it
+            if pm.get("txn") is not None:
+                pkey = pm.get("txn_app") if pm.get("txn_app") is not None else ""
+                txns[pkey] = max(int(pm["txn"]), txns.get(pkey, -1))
         except FileNotFoundError:
             txns = {}
     if txn is not None:
@@ -230,9 +237,14 @@ def last_txn(table_path, txn_app: str | None = None) -> int:
         m = _read_manifest(p, v)
     except FileNotFoundError:
         return -1
-    if "txns" in m:
-        return int(m["txns"].get(txn_app if txn_app is not None else "", -1))
-    while True:  # legacy manifests (no txns map): walk the chain
+    key = txn_app if txn_app is not None else ""
+    if key in m.get("txns", {}):
+        return int(m["txns"][key])
+    # key absent from the map (or no map): fall through to the chain walk
+    # — a legacy pre-map stamp for this app may sit below map-carrying
+    # commits whose maps never saw it (conservative, never skips a live
+    # stamp; a vacuumed ancestor ends the walk at -1 as before)
+    while True:
         if m.get("txn") is not None and m.get("txn_app") == txn_app:
             return int(m["txn"])
         v = m["parent"]
@@ -486,6 +498,10 @@ def snapshot_row_count(table_path, version: int | None = None) -> int | None:
     metadata read and a full scan."""
     p = Path(table_path)
     v = current_version(p) if version is None else version
+    if v == 0:
+        # same descriptive error as snapshot_read — not a bare
+        # FileNotFoundError from a v0.json probe
+        raise FileNotFoundError(f"no committed version in {table_path}")
     m = _read_manifest(p, v)
     stats = m.get("stats", {})
     total = 0

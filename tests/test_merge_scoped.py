@@ -230,3 +230,25 @@ def test_merge_retain_versions_bounds_history(spark, tmp_path):
     rows = {r["transaction_id"] for r in
             curated_read(spark, curated, TRANSACCIONES.table_name).collect()}
     assert rows == {f"T{i}" for i in range(6)}  # contents complete
+
+
+def test_migration_removes_stranded_legacy_files(spark, tmp_path):
+    """After the first snapshot-format merge migrates a plain-parquet
+    table, the pre-format files must be deleted — snapshot_vacuum only
+    scans data/, so stranded legacy files would be a dead table copy no
+    retention setting could ever reclaim."""
+    from energy_datalake_solution_spark.sources.merge import curated_read
+
+    curated = tmp_path / "curated"
+    table = curated / TRANSACCIONES.table_name
+    _batch(spark, [("T1", 1.0, 1), ("T2", 2.0, 1)]).write.parquet(str(table))
+    assert any(table.glob("*.parquet"))  # legacy layout in the root
+    merge_upsert(spark, _batch(spark, [("T3", 3.0, 2)]), curated, TRANSACCIONES)
+    leftovers = [
+        e.name for e in table.iterdir()
+        if e.name not in ("_manifests", "data", "_latest")
+    ]
+    assert leftovers == []  # nothing stranded beside the format's dirs
+    rows = {r["transaction_id"] for r in
+            curated_read(spark, curated, TRANSACCIONES.table_name).collect()}
+    assert rows == {"T1", "T2", "T3"}  # migrated rows intact

@@ -580,11 +580,15 @@ def test_ivf_probe_reads_pruned_file_subset_and_broadcasts(spark, tmp_path):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # one query, nprobe=1 -> at most a couple of the 16 ranged files
+    # one query, nprobe=1 -> the scan location must list only a couple of
+    # the 16 ranged files, NOT the whole index
     all_files = snapshot_files_for_values(idx / "cells", "centroid_id", list(range(16)))
     n_scanned = plan.count(".parquet")
     assert len(all_files) >= 8  # the index is genuinely multi-file
-    # file list appears in the scan location; pruned subset is small
+    assert 1 <= n_scanned < len(all_files), (
+        f"probe plan lists {n_scanned} files vs {len(all_files)} total — "
+        "manifest pruning is not reaching the scan"
+    )
     assert df.count() > 0
 
 

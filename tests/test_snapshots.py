@@ -378,3 +378,47 @@ def test_manifest_row_count_answers_count_star(spark, tmp_path):
     snapshot_append(_df(spark, 0, 10, "b"), t)
     assert snapshot_row_count(t) is None
     assert snapshot_read(spark, t).count() == 5_260  # fallback still right
+
+
+def test_legacy_txn_stamp_survives_map_carrying_commits(spark, tmp_path):
+    """Upgrade path: a table whose newest manifests predate the txns map
+    must not lose replay protection when map-carrying commits land on
+    top. The parent's own legacy stamp folds into the first new map, and
+    a legacy stamp for an app the map never saw falls through to the
+    chain walk."""
+    import json
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)  # v1
+    # hand-craft v1 as a LEGACY manifest: per-commit stamp, no txns map
+    m1 = S._manifest_path(t, 1)
+    m = json.loads(m1.read_text())
+    m["txn"], m["txn_app"] = 7, "A"
+    m.pop("txns", None)
+    m1.write_text(json.dumps(m))
+    assert S.last_txn(t, txn_app="A") == 7  # chain walk finds it
+    # a NEW-code commit by app B stacks a txns map on top
+    S.snapshot_append(_df(spark, 5, 8, "b"), t, txn=3, txn_app="B")
+    assert S.last_txn(t, txn_app="B") == 3
+    # A's legacy stamp was folded into the map — still visible
+    assert S.last_txn(t, txn_app="A") == 7
+    # the replay of A's batch 7 stays a no-op
+    from energy_datalake_solution_spark.sources.snapshots import snapshot_append_once
+
+    before = current_version(t)
+    snapshot_append_once(_df(spark, 0, 5, "a"), t, txn=7, txn_app="A")
+    assert current_version(t) == before
+
+
+def test_row_count_on_empty_table_raises_descriptively(tmp_path):
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _table,
+        snapshot_row_count,
+    )
+
+    t = tmp_path / "t"
+    _table(t)  # dirs exist, nothing committed
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        snapshot_row_count(t)
