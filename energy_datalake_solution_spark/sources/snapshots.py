@@ -279,17 +279,25 @@ def _read_manifest(table_path, version: int) -> dict:
 
 
 def snapshot_read(
-    spark: SparkSession, table_path, version: int | None = None
+    spark: SparkSession, table_path, version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a consistent snapshot: the file LIST comes from one manifest,
     so concurrent commits can never tear the read. version=None reads the
-    latest; an integer time-travels."""
+    latest; an integer time-travels. ``merge_schema=True`` unions the
+    schemas of ALL listed files (columns added by later appends read as
+    NULL on pre-evolution files — Delta's additive schema evolution);
+    the default single-footer inference is cheaper and right for tables
+    whose commits share one schema."""
     p = Path(table_path)
     v = current_version(p) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_path}")
     files = [str(p / f) for f in _read_manifest(p, v)["files"]]
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def snapshot_rollback(table_path, version: int) -> None:

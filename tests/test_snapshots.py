@@ -422,3 +422,24 @@ def test_row_count_on_empty_table_raises_descriptively(tmp_path):
     _table(t)  # dirs exist, nothing committed
     with pytest.raises(FileNotFoundError, match="no committed version"):
         snapshot_row_count(t)
+
+
+def test_schema_evolution_read_across_appends(spark, tmp_path):
+    """Additive schema evolution: a later append carries an extra column;
+    a merge_schema read surfaces it (NULL on pre-evolution rows), the
+    default read still works on the original columns, and time travel to
+    the pre-evolution version sees the original schema."""
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)  # schema (k, v)
+    snapshot_append(
+        _df(spark, 5, 8, "b").withColumn("extra", F.col("k") * 10), t
+    )
+    evolved = snapshot_read(spark, t, merge_schema=True)
+    assert set(evolved.columns) == {"k", "v", "extra"}
+    rows = {r.k: r.extra for r in evolved.collect()}
+    assert rows[6] == 60           # new rows carry the new column
+    assert rows[0] is None         # old files read NULL for it
+    assert evolved.count() == 8
+    # time travel to v1: the pre-evolution schema, no phantom column
+    v1 = snapshot_read(spark, t, version=1, merge_schema=True)
+    assert set(v1.columns) == {"k", "v"}
