@@ -636,3 +636,68 @@ def docs_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.pmod(F.expr(f"h div {HASH_DIM}"), 2) == 0, 1).otherwise(-1).alias("s"),
     )
     return hashed.groupBy("doc_id", "dim").agg(F.sum("s").cast("long").alias("weight"))
+
+
+# --------------------------------------------------------------------------
+# Text normalization — the cleaning pass before tokenization/dedup
+# --------------------------------------------------------------------------
+
+# Dialect-portable patterns (same discipline as operators/pii.py): literal
+# classes, +, hex escapes — identical semantics in Java regex and RE2.
+_WS_RUN_RE = r"[ \t\n\r]+"
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+@register(
+    "docs_normalize_text",
+    oracle=f"""
+        WITH cleaned AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(text, '{_CTRL_RE}', '', 'g'),
+                       '{_WS_RUN_RE}', ' ', 'g')) AS clean_text,
+                   length(text) AS n_chars_before,
+                   len(regexp_extract_all(text, '{_WS_RUN_RE}')) AS n_ws_runs
+            FROM documents
+            WHERE text IS NOT NULL
+        )
+        SELECT doc_id, clean_text,
+               CAST(n_chars_before AS BIGINT) AS n_chars_before,
+               CAST(length(clean_text) AS BIGINT) AS n_chars_after,
+               CAST(n_ws_runs AS BIGINT) AS n_ws_runs
+        FROM cleaned
+    """,
+    tags=("text", "quality"),
+)
+def docs_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control normalization — the cleaning pass every public
+    pipeline (CCNet, Dolma, RefinedWeb) runs before tokenization and
+    dedup: strip non-printing control characters, collapse whitespace
+    runs (spaces/tabs/newlines) to single spaces, trim, and report the
+    before/after character counts plus how many runs collapsed (the
+    boilerplate signal — HTML-extracted text is full of them).
+
+    Plan: pure map-side codegen'd regexp_replace — zero shuffle, the
+    ideal scan-bound 100 TB regime (same posture as the PII scrub, whose
+    dialect-portable regex discipline these patterns follow: literal
+    classes and hex escapes only, identical in Java regex and RE2).
+    NULL text is excluded on both engines (nothing to normalize; the
+    WHERE mirrors)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    cleaned = d.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _CTRL_RE, ""), _WS_RUN_RE, " "
+            )
+        ).alias("clean_text"),
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.regexp_count(F.col("text"), F.lit(_WS_RUN_RE)).cast("long").alias("n_ws_runs"),
+    )
+    return cleaned.select(
+        "doc_id",
+        "clean_text",
+        "n_chars_before",
+        F.length("clean_text").cast("long").alias("n_chars_after"),
+        "n_ws_runs",
+    )

@@ -109,6 +109,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "docs_epoch_shuffle",
     "docs_source_budget_cap",
     "docs_length_bucket_batches",
+    "docs_normalize_text",
     "events_resample_hourly_ffill_sharded",
     "embeddings_ivf_probe",
     "embeddings_lsh_probe",
