@@ -182,3 +182,51 @@ def snapshot_versioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixtures_etl_curated above — the next invocation rebuilds the scratch
     # table, so the returned frame must not lazily re-read its files
     return tagged(1).unionByName(tagged(2)).localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_pruned_range_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS table_rows_metadata
+        FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 2999
+    """,
+    tags=("snapshot", "stats", "pruning"),
+)
+def snapshot_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 snapshot-format features under the driver's hash gate:
+    commit orders through snapshot_write_with_stats (range-partitioned
+    into 8 files with per-file min/max + row-count manifest stats), then
+    answer a keyed range query through snapshot_read_range — which prunes
+    FILES against the manifest before Spark lists a path — and stamp every
+    row with the MANIFEST-derived total row count (snapshot_row_count:
+    COUNT(*) with no file opened). The oracle recomputes both from the
+    raw orders table, so a pruning bug that loses rows, a stats slip that
+    mis-bounds a file, or a row-count drift in the manifest all fail the
+    hash. (Pruning's no-loss contract also pinned in
+    tests/test_snapshots.py; this puts it under the independent gate.)"""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        snapshot_read_range,
+        snapshot_row_count,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_range_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snapshot_write_with_stats(o, t, ["o_orderkey"], n_files=8)
+    meta_rows = snapshot_row_count(t)  # manifest-only COUNT(*)
+    out = snapshot_read_range(spark, t, "o_orderkey", 1000, 2999).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.lit(meta_rows).cast("long").alias("table_rows_metadata"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

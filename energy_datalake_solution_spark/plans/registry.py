@@ -110,6 +110,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "docs_source_budget_cap",
     "docs_length_bucket_batches",
     "docs_normalize_text",
+    "snapshot_pruned_range_read",
     "events_resample_hourly_ffill_sharded",
     "embeddings_ivf_probe",
     "embeddings_lsh_probe",
