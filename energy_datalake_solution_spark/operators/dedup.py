@@ -55,6 +55,36 @@ SIMHASH_BAND_KEY_SQL = (
 )
 
 
+def md5_60(col):
+    """60-bit integer hash of a string column (first 15 hex digits of md5)
+    — the ONE token/shingle hash shared by the simhash fingerprint, the
+    MinHash pipeline, and the streaming twin (same single-definition rule
+    as simhash_band_key_col: a width change in one copy would silently
+    desync batch and stream fingerprints)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash_token_hashes_col(text_col: str = "text"):
+    """Distinct-token md5_60 hash array for one document."""
+    return F.transform(F.array_distinct(F.split(text_col, " ")), md5_60)
+
+
+def simhash_fold_expr():
+    """The 60-bit majority-vote fold over a token-hash array column named
+    ``hs`` — per-bit vote then OR of winning bits, one nested higher-order
+    expression (zero shuffle). Shared by the batch fingerprint operator
+    and the streaming twin."""
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {SIMHASH_BITS - 1}), b ->
+            if(aggregate(hs, 0, (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+               shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # 1. Exact dedup
 # --------------------------------------------------------------------------
@@ -295,26 +325,15 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (60 x tokens adds); shuffle bytes drop to nothing; spread() unlocks
     core parallelism on under-split scans.
     """
-    d = load_table(spark, sf_dir, "documents")
-    hashes = F.transform(
-        F.array_distinct(F.split("text", " ")),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
-    )
-    # fold bits: for each bit, majority vote over token hashes, then OR
-    # the winning bits together (sum of disjoint powers of two)
-    simhash = F.expr(
-        f"""
-        aggregate(
-          transform(sequence(0, {SIMHASH_BITS - 1}), b ->
-            if(aggregate(hs, 0, (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-               shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-          CAST(0 AS BIGINT), (acc, x) -> acc + x)
-        """
-    )
+    # NULL text has no tokens to vote: the fold would otherwise emit
+    # fingerprint 0 (NULL-text docs all becoming mutual "near-dups"),
+    # while the oracle's UNNEST(NULL) naturally omits the doc — exclude
+    # on the Spark side too (the streaming twin carries the same filter)
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return (
         spread(d)
-        .select("doc_id", hashes.alias("hs"))
-        .select("doc_id", simhash.alias("simhash"))
+        .select("doc_id", simhash_token_hashes_col().alias("hs"))
+        .select("doc_id", simhash_fold_expr().alias("simhash"))
     )
 
 
@@ -363,8 +382,8 @@ def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     # dedup candidates on the bare 16-byte pair key; the fingerprints (one
-    # row per doc) rejoin afterwards as broadcasts — never haul sh_a/sh_b
-    # through the candidate shuffle
+    # row per doc) rejoin afterwards — never haul sh_a/sh_b through the
+    # candidate-generation shuffle
     cand = (
         a.join(b, ["band", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -374,9 +393,13 @@ def docs_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # the rejoin sides are CORPUS-sized (one 16-byte row per doc): let AQE
+    # pick the strategy — at test scale it broadcasts them anyway, but a
+    # FORCED broadcast would abort at the billions-of-docs scale this
+    # module targets (broadcast relations cap out in low GBs)
     return (
-        cand.join(F.broadcast(fa), "doc_a")
-        .join(F.broadcast(fb), "doc_b")
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
         .where(hamming <= HAMMING_THRESHOLD)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
@@ -446,7 +469,7 @@ def _minhash_oracle() -> str:
                round(inter / un, 6) AS jaccard,
                round(est, 4) AS est_jaccard
         FROM verified
-        WHERE round(inter / un, 6) >= {JACCARD_THRESHOLD}
+        WHERE inter / un >= {JACCARD_THRESHOLD}
     """
 
 
@@ -485,12 +508,9 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 3)
     idx = F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i")
 
-    def _md5_60(col):
-        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
-
     shingle = toks.select("doc_id", "w", idx).select(
         "doc_id",
-        _md5_60(
+        md5_60(
             F.concat_ws(
                 " ",
                 F.element_at("w", F.col("i")),
@@ -505,7 +525,7 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             *[
                 F.min(
-                    _md5_60(F.concat_ws(":", F.lit(s), F.col("sh").cast("string")))
+                    md5_60(F.concat_ws(":", F.lit(s), F.col("sh").cast("string")))
                 )
                 for s in range(N_HASH)
             ]
@@ -551,10 +571,19 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter / union, 6).alias("jaccard"),
+            (inter / union).alias("_jac_raw"),
             F.round(est, 4).alias("est_jaccard"),
         )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        # membership decided on the UNROUNDED ratio (mirrored in the
+        # oracle): a pair at 0.4999996 must not round its way past the
+        # threshold, or the exact operator stops being an upper bound
+        .where(F.col("_jac_raw") >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("_jac_raw", 6).alias("jaccard"),
+            "est_jaccard",
+        )
     )
 
 

@@ -429,7 +429,11 @@ def docs_lm_score_pandas_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact ln(k/(C(w1)+kV)) mass (no unseen pairs exist on this replay,
     # but the kernel contract is shared with true streams)
     return score_stream_with_lm(
-        d.select("doc_id", "text"), lm_logp, vocab, ctx_counts=c1
+        # add_k passed EXPLICITLY: the kernel's unseen-bigram mass must use
+        # THIS module's smoothing constant, not a silently duplicated
+        # default in the streaming module (the constant-desync class the
+        # simhash helpers guard against)
+        d.select("doc_id", "text"), lm_logp, vocab, add_k=ADD_K, ctx_counts=c1
     )
 
 
@@ -515,5 +519,7 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_chars",
         "n_tokens",
-        F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias("chars_per_token"),
+        # try_divide: a zero-token doc (empty/whitespace text) must yield
+        # NULL, not an ANSI DIVIDE_BY_ZERO abort of the whole encode job
+        F.round(F.try_divide(F.col("n_chars"), F.col("n_tokens")), 6).alias("chars_per_token"),
     )

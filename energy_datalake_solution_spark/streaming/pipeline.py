@@ -399,26 +399,19 @@ def dedup_stream_against_corpus(stream: DataFrame, corpus_index: DataFrame) -> D
     from ..operators.dedup import (  # noqa: F401
         HAMMING_THRESHOLD,
         SIMHASH_BANDS,
-        SIMHASH_BITS,
         simhash_band_key_col,
+        simhash_fold_expr,
+        simhash_token_hashes_col,
     )
 
-    hashes = F.transform(
-        F.array_distinct(F.split("text", " ")),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
-    )
-    simhash = F.expr(
-        f"""
-        aggregate(
-          transform(sequence(0, {SIMHASH_BITS - 1}), b ->
-            if(aggregate(hs, 0, (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-               shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-          CAST(0 AS BIGINT), (acc, x) -> acc + x)
-        """
-    )
+    # the fingerprint is the SHARED definition from operators/dedup.py —
+    # not a textual copy — so a hash-width or vote change can never desync
+    # the stream from the batch operator whose oracle gates it; the
+    # NULL-text exclusion mirrors the batch side for the same reason
     fp = (
-        stream.select("doc_id", hashes.alias("hs"))
-        .select("doc_id", simhash.alias("simhash"))
+        stream.where(F.col("text").isNotNull())
+        .select("doc_id", simhash_token_hashes_col().alias("hs"))
+        .select("doc_id", simhash_fold_expr().alias("simhash"))
         .select(
             "doc_id",
             "simhash",

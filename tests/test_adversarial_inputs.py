@@ -124,3 +124,23 @@ def test_token_drift_survives_empty_split(spark, tmp_path):
     assert rows  # tokens counted on the train side
     assert all(r.rate_val_ppm is None for r in rows)  # empty val -> NULL rate
     assert all(r.c_val == 0 for r in rows)
+
+
+def test_bpe_encode_survives_zero_token_docs(spark, nasty_dir):
+    """Empty/NULL/whitespace-only docs have zero tokens: chars_per_token
+    must be NULL, not an ANSI DIVIDE_BY_ZERO that aborts the encode job."""
+    rows = QUERIES["docs_bpe_encode"].fn(spark, nasty_dir).collect()
+    assert rows  # the normal docs still encode
+    by_id = {r.doc_id: r for r in rows}
+    if 1 in by_id:  # doc 1 is the empty-text doc
+        assert by_id[1].n_tokens in (0, 1)
+
+
+def test_simhash_excludes_null_text_like_its_oracle(spark, nasty_dir):
+    """NULL-text docs must not receive fingerprint 0 (which would make all
+    of them mutual 'near-dups'); the oracle's UNNEST(NULL) omits them, so
+    the operator must too."""
+    fp = QUERIES["docs_simhash"].fn(spark, nasty_dir).collect()
+    ids = {r.doc_id for r in fp}
+    assert 8 not in ids  # doc 8 is the NULL-text doc
+    assert 7 in ids      # normal docs still fingerprinted
