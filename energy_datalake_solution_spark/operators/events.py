@@ -547,6 +547,24 @@ _RESAMPLE_FFILL_ORACLE = """
     """
 
 
+def _hourly_obs_bounds(e: DataFrame):
+    """Shared first stage of both resample+ffill forms: per-(type, hour)
+    observation aggregates and each type's [h0, h1] hour range. ONE
+    definition — the two operators are gated by one oracle on the premise
+    their semantics are identical, so their shared prefix must be shared
+    code, not a textual copy that can drift."""
+    obs = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("observed_max"),
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    return obs, bounds
+
+
 @register(
     "events_resample_hourly_ffill",
     oracle=_RESAMPLE_FFILL_ORACLE,
@@ -570,16 +588,7 @@ def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row-per-shard pass — same two-pass prefix trick as the sequence
     packer (equality with this form pinned by the shared oracle and
     tests/test_events_approx.py)."""
-    e = load_events(spark, sf_dir)
-    obs = e.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.max("value").alias("observed_max"),
-    )
-    bounds = obs.groupBy("event_type").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
+    obs, bounds = _hourly_obs_bounds(load_events(spark, sf_dir))
     grid = bounds.select(
         "event_type",
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
@@ -628,20 +637,36 @@ def events_resample_hourly_ffill_sharded(spark: SparkSession, sf_dir: str) -> Da
     it) or in some earlier day, in which case it is that day's last
     non-null value, which pass 2 carries. tests/test_events_approx.py pins
     equality against the single-window form row-for-row."""
-    e = load_events(spark, sf_dir)
-    obs = e.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.max("value").alias("observed_max"),
-    )
-    bounds = obs.groupBy("event_type").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    grid = bounds.select(
+    obs, bounds = _hourly_obs_bounds(load_events(spark, sf_dir))
+    # TWO-STAGE grid generation: explode days first, then 24 hours per
+    # day — the single sequence(h0, h1, 1 HOUR) builds the type's ENTIRE
+    # hourly range as one in-row array (a 50-year series is ~438k
+    # elements in one task, and sequence() caps out), which is exactly
+    # the unbounded-per-type state this variant exists to remove. The
+    # day array is 24x smaller; for truly extreme ranges the same
+    # pattern nests again (months -> days -> hours) without changing
+    # anything downstream.
+    days = bounds.select(
         "event_type",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        "h0",
+        "h1",
+        F.explode(
+            F.sequence(F.to_date("h0"), F.to_date("h1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
     )
+    grid = days.select(
+        "event_type",
+        "h0",
+        "h1",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 23), k ->"
+                " timestampadd(HOUR, k, CAST(day AS TIMESTAMP)))"
+            )
+        ).alias("h"),
+    ).where(
+        (F.col("h") >= F.col("h0")) & (F.col("h") <= F.col("h1"))
+    ).select("event_type", "h")
     joined = grid.join(obs, ["event_type", "h"], "left").withColumn(
         "day", F.to_date("h")
     )

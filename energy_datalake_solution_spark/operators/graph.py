@@ -213,7 +213,13 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "nbr_label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("n_votes").desc(), "nbr_label")
+    # asc_nulls_last: the engines disagree on NULL placement in ascending
+    # order (Spark NULLS FIRST, DuckDB NULLS LAST) — a NULL label winning
+    # a vote tie would flip the hash gate by data content; explicit
+    # ordering pins the tie-break to the oracle's semantics
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label").asc_nulls_last()
+    )
     winner = votes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     return (
         labels.join(winner.select("vec_id", "nbr_label"), "vec_id")

@@ -36,15 +36,17 @@ def write_partitioned(
     overwrite enabled, only partitions present in df are replaced."""
     spark = df.sparkSession
     conf_key = "spark.sql.sources.partitionOverwriteMode"
-    if mode == "overwrite" and dynamic_overwrite:
-        prev = spark.conf.get(conf_key, "static")
+    # single write expression; only the conf toggle is conditional (a
+    # forked write call invites options drifting between the branches)
+    toggle = mode == "overwrite" and dynamic_overwrite
+    prev = spark.conf.get(conf_key, "static") if toggle else None
+    if toggle:
         spark.conf.set(conf_key, "dynamic")
-        try:
-            df.write.mode(mode).partitionBy(partition_col).parquet(str(path))
-        finally:
+    try:
+        df.write.mode(mode).partitionBy(partition_col).parquet(str(path))
+    finally:
+        if toggle:
             spark.conf.set(conf_key, prev)
-        return
-    df.write.mode(mode).partitionBy(partition_col).parquet(str(path))
 
 
 def write_bucketed_table(
@@ -107,22 +109,22 @@ def write_zordered(
     )
     scaled = df.join(F.broadcast(mins))
     n_buckets = 1 << bits
-    bucket_a = F.least(
-        F.lit(n_buckets - 1),
-        F.floor(
-            (F.col(col_a) - F.col("_min_a"))
-            * n_buckets
-            / (F.col("_max_a") - F.col("_min_a") + 1)
-        ),
-    ).cast("long")
-    bucket_b = F.least(
-        F.lit(n_buckets - 1),
-        F.floor(
-            (F.col(col_b) - F.col("_min_b"))
-            * n_buckets
-            / (F.col("_max_b") - F.col("_min_b") + 1)
-        ),
-    ).cast("long")
+
+    def _bucket(col: str, lo: str, hi: str):
+        # scale in DOUBLE against the true span: the old integer idiom
+        # ((col-min) * n / (range+1)) overflowed long for 64-bit key
+        # ranges (negative buckets / ANSI abort) and collapsed fractional
+        # ranges like [0, 0.1] into a couple of buckets; double precision
+        # only feeds a floor, and the least() cap absorbs the v == max
+        # edge. A zero span (constant column) maps everything to bucket 0.
+        span = F.col(hi).cast("double") - F.col(lo).cast("double")
+        frac = F.when(
+            span > 0, (F.col(col).cast("double") - F.col(lo).cast("double")) / span
+        ).otherwise(F.lit(0.0))
+        return F.least(F.lit(n_buckets - 1), F.floor(frac * n_buckets)).cast("long")
+
+    bucket_a = _bucket(col_a, "_min_a", "_max_a")
+    bucket_b = _bucket(col_b, "_min_b", "_max_b")
     zval = sum(
         (
             F.shiftleft(F.shiftright(bucket_a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
@@ -156,7 +158,11 @@ def compact_partition(
     df = spark.read.parquet(str(table_path)).where(
         F.col(partition_col) == partition_value
     )
-    n = df.count()
+    # checkpoint FIRST, then count the checkpointed frame: counting the
+    # raw read and then checkpointing scanned the partition twice on the
+    # hot operational path
+    cp = df.localCheckpoint()  # materialize before overwriting what we read
+    n = cp.count()
     if n == 0:
         return 0
     conf_key = "spark.sql.sources.partitionOverwriteMode"
@@ -164,8 +170,7 @@ def compact_partition(
     spark.conf.set(conf_key, "dynamic")
     try:
         (
-            df.localCheckpoint()  # materialize before overwriting what we read
-            .coalesce(target_files)
+            cp.coalesce(target_files)
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(str(table_path))

@@ -611,3 +611,38 @@ def test_epoch_shuffle_windows_are_sharded(spark):
     assert "SortMergeJoin" not in plan
     # the big window's partition spec carries BOTH keys
     assert "shard" in plan
+
+
+def test_zorder_handles_fractional_and_wide_ranges(spark, tmp_path):
+    """The bucket scaling must work on fractional-range doubles (the old
+    integer idiom collapsed [0, 0.1] into ~2 of 256 buckets, destroying
+    z-resolution) and on wide 64-bit key ranges (which overflowed long).
+    Proven via file-level min/max disjointness: a narrow range query on
+    the fractional column must prune most files."""
+    import pyarrow.parquet as pq
+
+    from energy_datalake_solution_spark.sources.sinks import write_zordered
+
+    df = spark.range(20_000).selectExpr(
+        "id",
+        "CAST(id % 1000 AS DOUBLE) / 10000.0 AS frac",     # range [0, 0.1)
+        "(id % 977) * 9007199254740993 AS wide",           # ~2^63 span
+    )
+    zpath = tmp_path / "z"
+    write_zordered(df, zpath, "frac", "wide", n_files=8)
+    spans = []
+    for f in sorted(zpath.glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        s = md.row_group(0).column(idx["frac"]).statistics
+        lo, hi = s.min, s.max
+        for rg in range(1, md.num_row_groups):
+            s = md.row_group(rg).column(idx["frac"]).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        spans.append((lo, hi))
+    assert len(spans) >= 4
+    # a query on frac in [0, 0.012] (~1/8 of the range) must be able to
+    # skip at least half the files via their min/max — impossible if the
+    # old scaling collapsed the fractional dimension into 1-2 buckets
+    overlapping = sum(1 for lo, hi in spans if hi >= 0.0 and lo <= 0.012)
+    assert overlapping <= len(spans) // 2, spans
