@@ -604,11 +604,14 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    w = W.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 20)
-    )
+    # take the top 20 FIRST (TakeOrderedAndProject — no single-partition
+    # sort of the full pair table, which is bounded by distinct co-bought
+    # pairs and can be huge), then rank the 20 survivors with the same
+    # total order: identical output, scale-safe plan
+    order = [F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")]
+    top = pairs.orderBy(*order).limit(20)
+    w = W.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 # --------------------------------------------------------------------------

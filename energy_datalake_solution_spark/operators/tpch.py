@@ -626,9 +626,13 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(cust_america, o.o_custkey == cust_america.c_custkey, "left_semi")
+        # broadcast like every other dim side here: past the auto-broadcast
+        # threshold a plain semi join would re-shuffle the part-pruned fact
+        # stream on o_custkey — a second fact-sized exchange the module's
+        # single-big-shuffle contract forbids
+        .join(F.broadcast(cust_america), o.o_custkey == cust_america.c_custkey, "left_semi")
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
             _disc_price().alias("volume"),
             "supp_nation",
         )

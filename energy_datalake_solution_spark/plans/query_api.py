@@ -40,9 +40,22 @@ def list_queries(sql_dir: str | Path = SQL_DIR) -> list[str]:
 def run_query(
     spark: SparkSession, name: str, sf_dir: str, sql_dir: str | Path = SQL_DIR
 ) -> DataFrame:
-    """Execute one named SQL query against the lake's registered views."""
-    register_views(spark, sf_dir)
+    """Execute one named SQL query against the lake's registered views.
+    View registration is memoized per (session, sf_dir): clients issuing
+    many calls must not re-read every table's parquet schema per query."""
+    _register_views_once(spark, sf_dir)
     return spark.sql(load_query_text(name, sql_dir))
+
+
+_REGISTERED: set[tuple[int, str]] = set()
+
+
+def _register_views_once(spark: SparkSession, sf_dir: str) -> None:
+    key = (id(spark), str(sf_dir))
+    if key in _REGISTERED:
+        return
+    register_views(spark, sf_dir)
+    _REGISTERED.add(key)
 
 
 @dataclass
@@ -62,8 +75,9 @@ def run_all(
     results: list[QueryRunResult] = []
     for name in list_queries(sql_dir):
         try:
+            # spark.sql analyzes eagerly — a missing table or bad column
+            # raises right here, giving the per-query isolation below
             df = spark.sql(load_query_text(name, sql_dir))
-            df.schema  # force analysis so bad SQL fails here, not lazily
             results.append(QueryRunResult(name, True, df))
         except Exception as exc:  # noqa: BLE001 — per-query isolation
             results.append(QueryRunResult(name, False, None, str(exc)))

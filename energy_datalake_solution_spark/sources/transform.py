@@ -63,12 +63,16 @@ def add_derived_columns(df: DataFrame, file_type: str) -> DataFrame:
 
 
 def add_audit_columns(df: DataFrame, source_file: str, load_date: str) -> DataFrame:
-    """Audit block stamped on every processed table (:66-71)."""
-    return (
-        df.withColumn("load_timestamp_utc", F.current_timestamp())
-        .withColumn("source_file", F.lit(source_file))
-        .withColumn(PARTITION_COLUMN, F.to_date(F.lit(load_date)))
-    )
+    """Audit block stamped on every processed table (:66-71). Delegates to
+    functions.scalar.audit_columns — ONE definition of the audit contract,
+    shared with any other stamper, so a change (e.g. timezone policy)
+    cannot silently diverge between copies."""
+    from ..functions.scalar import audit_columns
+
+    out = df
+    for name, col in audit_columns(source_file, load_date).items():
+        out = out.withColumn(name, col)
+    return out
 
 
 def transform(
@@ -89,9 +93,19 @@ def transform(
     return contract.table_name, add_audit_columns(derived, src_name, load_date)
 
 
+def _join_path(root: str | Path, name: str) -> str:
+    """URI-safe path join: pathlib collapses scheme roots (s3a://bucket ->
+    s3a:/bucket), so anything containing '://' joins as a plain string —
+    the processed zone must work on object stores, not just local paths."""
+    r = str(root)
+    if "://" in r:
+        return f"{r.rstrip('/')}/{name}"
+    return str(Path(r) / name)
+
+
 def write_processed(df: DataFrame, processed_root: str | Path, table_name: str) -> str:
     """Append to the processed zone, Hive-partitioned by load date (:153-155)."""
-    path = str(Path(processed_root) / table_name)
+    path = _join_path(processed_root, table_name)
     df.write.mode("append").partitionBy(PARTITION_COLUMN).parquet(path)
     return path
 
