@@ -80,6 +80,10 @@ def decode_and_featurize(df: DataFrame, real_decode: bool = False) -> DataFrame:
                 )
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload: nothing to decode
+                    rows.append({"doc_id": doc_id, "n_bytes": None,
+                                 "payload_md5": None, "feature": None})
+                    continue
                 buf = bytes(payload)
                 arr = np.frombuffer(buf, dtype=np.uint8)
                 # deterministic fake "embedding": first 4 byte-distribution moments
@@ -124,6 +128,10 @@ def resize_payloads(df: DataFrame, target_bytes: int = 256) -> DataFrame:
         for pdf in it:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload: nothing to resize
+                    out.append({"doc_id": doc_id, "n_bytes_in": None,
+                                "n_bytes_out": None, "payload_out": None})
+                    continue
                 buf = bytes(payload)
                 out.append(
                     {
@@ -158,6 +166,8 @@ def sample_frames(df: DataFrame, frame_size: int = 64, stride: int = 4) -> DataF
         for pdf in it:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload: no frames
+                    continue
                 buf = bytes(payload)
                 n_frames = max(1, len(buf) // frame_size)
                 for i in range(0, n_frames, stride):
@@ -179,14 +189,16 @@ def sample_frames(df: DataFrame, frame_size: int = 64, stride: int = 4) -> DataF
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes_in,
                least(octet_length(encode(text)), 256) AS n_bytes_out
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
     tags=("multimodal",),
 )
 def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pipeline metadata: input/output byte sizes through the
     mapInPandas resize stage (payload itself checked in unit tests)."""
-    d = load_table(spark, sf_dir, "documents")
+    # NULL text -> NULL payload: nothing to decode; excluded on both
+    # engines (the kernels previously crashed on bytes(None))
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     resized = resize_payloads(with_binary_payload(d), target_bytes=256)
     return resized.select("doc_id", "n_bytes_in", "n_bytes_out")
 
@@ -197,14 +209,14 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(ceil(greatest(octet_length(encode(text)) // 64, 1) / 4.0) AS BIGINT)
                    AS n_sampled_frames
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
     tags=("multimodal",),
 )
 def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling pipeline: frames per document after stride-4 sampling
     of 64-byte frames (the oracle recomputes the count arithmetically)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     frames = sample_frames(with_binary_payload(d), frame_size=64, stride=4)
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled_frames"))
 
@@ -215,7 +227,7 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
                md5(text) AS payload_md5
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
     tags=("multimodal",),
 )
@@ -224,7 +236,7 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Computed via the mapInPandas decode pipeline (Arrow-batched), oracle'd
     against DuckDB's blob functions — proving the binary plumbing returns
     byte-identical payloads."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     decoded = decode_and_featurize(with_binary_payload(d))
     return decoded.select("doc_id", "n_bytes", "payload_md5")
 

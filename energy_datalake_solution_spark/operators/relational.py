@@ -544,7 +544,10 @@ def setop_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
     u = building.union(rich).distinct().withColumn("op", F.lit("union"))
     i = building.intersect(rich).withColumn("op", F.lit("intersect"))
-    e = building.exceptAll(rich).distinct().withColumn("op", F.lit("except"))
+    # subtract == SQL EXCEPT (distinct): exceptAll().distinct() keeps a
+    # surviving copy of a row duplicated on the left side that EXCEPT
+    # removes entirely — divergent exactly when business keys duplicate
+    e = building.subtract(rich).withColumn("op", F.lit("except"))
     return (
         u.unionByName(i).unionByName(e).select(F.col("c_custkey").alias("customer_id"), "op")
     )

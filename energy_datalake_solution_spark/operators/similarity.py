@@ -666,6 +666,8 @@ KNN_ORACLE_RANKED_CTE = """
                        6) AS cosine_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
             WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+              AND list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
+              AND list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
         ),
         ranked AS (
             SELECT vec_id, neighbor_id, cosine_sim,
@@ -718,10 +720,13 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    # NULL embeddings excluded on both engines (no direction; numpy-stack
-    # shape hazard) — the shared oracle CTE carries the same WHERE
+    # NULL and ZERO-NORM embeddings excluded on both engines: NULLs have
+    # no direction (and numpy-stack shape hazards); a zero vector's cosine
+    # is 0/0 — the kernel's isfinite guard silently DROPPED its rows while
+    # the oracle emitted NULL-sim rows, a confirmed row-count divergence.
+    # The shared oracle CTE carries the same two predicates.
     e = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & (l2_norm(F.col("embedding")) > 0)
     ).select(
         "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(NB_KNN)).alias("blk")
     )

@@ -90,7 +90,11 @@ def audit_plan(df: DataFrame) -> PlanAudit:
             a.n_nested_loop_joins += 1
         elif n.startswith("CartesianProduct"):
             a.n_cartesian += 1
-        elif n == "Window" or n.startswith("WindowGroupLimit"):
+        elif n == "Window":
+            # WindowGroupLimit (rank-limit pushdown) renders as TWO extra
+            # nodes (Partial + Final) around the same logical window —
+            # counting them tripled n_windows for rank<=k queries and made
+            # the metric incomparable across plans
             a.n_windows += 1
         elif "HashAggregate" in n or n == "SortAggregate":
             a.n_aggregates += 1
@@ -104,9 +108,32 @@ def audit_plan(df: DataFrame) -> PlanAudit:
     a.read_columns = tuple(sorted(set(cols)))
     pushed: list[str] = []
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
-        pushed.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+        pushed.extend(_split_filters(m.group(1)))
     a.pushed_filters = tuple(pushed)
     return a
+
+
+def _split_filters(blob: str) -> list[str]:
+    """Split a PushedFilters list on TOP-LEVEL commas only: a naive split
+    shreds comparison filters whose arguments contain commas —
+    GreaterThan(c_acctbal,0.0) became two garbage fragments."""
+    out, depth, cur = [], 0, []
+    for ch in blob:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            tok = "".join(cur).strip()
+            if tok:
+                out.append(tok)
+            cur = []
+        else:
+            cur.append(ch)
+    tok = "".join(cur).strip()
+    if tok:
+        out.append(tok)
+    return out
 
 
 def audit_query(spark, name: str, sf_dir: str) -> PlanAudit:

@@ -25,7 +25,7 @@ get_queries()
 FAMILY_TAGS = {
     "text", "dedup", "quality", "lm", "tokenizer", "chunking",
     "similarity", "events", "funnel", "cohort", "histogram", "corpus",
-    "packing", "pii", "quantization",
+    "packing", "pii", "quantization", "multimodal",
 }
 SKIP = {
     # composed ETL / merge paths need their own fixtures, covered elsewhere
