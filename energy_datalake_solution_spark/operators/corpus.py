@@ -134,12 +134,32 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE definition of the md5 split boundaries: first byte < 0xcc -> train
+# (204/256 = 79.7%), < 0xe6 -> val (230/256 = 89.8%), else test. Both the
+# Spark operators and every oracle string interpolate THESE constants, so
+# changing the ratio cannot silently desynchronize the split operator from
+# the contamination/drift audits that police it.
+SPLIT_TRAIN_BOUND = "cc"
+SPLIT_VAL_BOUND = "e6"
+
+
+def split_col(doc_id_col: str = "doc_id"):
+    """The deterministic split as a Spark column — shared by every
+    operator that partitions by split."""
+    prefix = F.substring(F.md5(F.col(doc_id_col).cast("string")), 1, 2)
+    return (
+        F.when(prefix < SPLIT_TRAIN_BOUND, "train")
+        .when(prefix < SPLIT_VAL_BOUND, "val")
+        .otherwise("test")
+    )
+
+
 @register(
     "docs_deterministic_split",
-    oracle="""
+    oracle=f"""
         SELECT doc_id,
-               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_BOUND}' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_BOUND}' THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
     """,
@@ -152,11 +172,7 @@ def docs_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of the row — stable under repartitioning, retries,
     cluster size, and engine (Spark and DuckDB md5 agree bit-for-bit)."""
     d = load_table(spark, sf_dir, "documents")
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    return d.select(
-        "doc_id",
-        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test").alias("split"),
-    )
+    return d.select("doc_id", split_col().alias("split"))
 
 
 @register(
@@ -248,9 +264,12 @@ def docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits = docs_deterministic_split(spark, sf_dir)
     sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    # the split table is CORPUS-sized (one row per doc): leave the join
+    # strategy to AQE — a forced broadcast caps out at the scale this
+    # audit targets (same rule as the simhash verify rejoin in dedup.py)
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .where(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )
@@ -258,7 +277,7 @@ def docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_training_corpus",
-    oracle="""
+    oracle=f"""
         WITH canon AS (
             SELECT min(doc_id) AS doc_id
             FROM documents
@@ -273,8 +292,8 @@ def docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT s.doc_id,
                s.n_tokens,
-               CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-                    WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+               CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_BOUND}' THEN 'train'
+                    WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_BOUND}' THEN 'val'
                     ELSE 'test' END AS split
         FROM scored s
         WHERE s.n_tokens >= 10 AND s.nonalpha_ratio < 0.3
@@ -288,11 +307,10 @@ def docs_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-digest canonical set (shuffle on a 16-byte key), then pure row-local
     expressions — the whole filter chain is a single scan at any scale."""
     d = load_table(spark, sf_dir, "documents")
-    canon = (
-        d.select(F.md5(F.lower(F.trim("text"))).alias("h"), "doc_id")
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # canonical set from the registered exact-dedup operator — ONE
+    # definition of the content normalization and the canonical pick
+    canon = _dedup.docs_exact_dedup(spark, sf_dir).select(
+        F.col("canonical_doc_id").alias("doc_id")
     )
     n_tokens = F.size(F.split("text", " ")).cast("long")  # match oracle BIGINT
     nonalpha_ratio = (
@@ -300,16 +318,11 @@ def docs_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1.0
         / F.length("text")
     )
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     return (
         d.join(canon, "doc_id", "left_semi")
         .select("doc_id", n_tokens.alias("n_tokens"), nonalpha_ratio.alias("nonalpha_ratio"))
         .where((F.col("n_tokens") >= 10) & (F.col("nonalpha_ratio") < 0.3))
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test").alias("split"),
-        )
+        .select("doc_id", "n_tokens", split_col().alias("split"))
     )
 
 
@@ -819,10 +832,10 @@ QUERIES["docs_dup_rate_by_source"].oracle = f"""
 """
 
 
-_DRIFT_TOKENS_SQL = """
+_DRIFT_TOKENS_SQL = f"""
         WITH toks AS (
-            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_BOUND}' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_BOUND}' THEN 'val'
                         ELSE 'test' END AS split,
                    UNNEST(string_split(text, ' ')) AS token
             FROM documents
@@ -869,11 +882,9 @@ def docs_split_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is small enough to emit fully; at 100 TB you bound the output to the
     top-K tokens by (count, token) — same plan with a TakeOrdered head."""
     d = load_table(spark, sf_dir, "documents")
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
-    ).alias("split")
-    toks = d.select(split, F.explode(F.split("text", " ")).alias("token")).where(
+    toks = d.select(
+        split_col().alias("split"), F.explode(F.split("text", " ")).alias("token")
+    ).where(
         F.col("split").isin("train", "val")
     )
     counts = toks.groupBy("token").agg(

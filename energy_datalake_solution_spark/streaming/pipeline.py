@@ -59,7 +59,11 @@ def stream_to_processed(
     parquet sink, exactly-once via checkpointing, availableNow trigger."""
     raw = raw_csv_stream(spark, raw_dir, schema)
     typed = add_derived_columns(apply_contract(raw, contract), file_type)
-    stamped = add_audit_columns(typed, source_file=str(raw_dir), load_date=load_date)
+    # per-FILE lineage like the batch stamp: input_file_name() names the
+    # raw file each row came from, not just the watched directory
+    stamped = add_audit_columns(
+        typed, source_file=str(raw_dir), load_date=load_date
+    ).withColumn("source_file", F.input_file_name())
     return (
         stamped.writeStream.format("parquet")
         .option("path", str(Path(processed_root) / contract.table_name))
@@ -189,13 +193,18 @@ def stream_merge_to_curated(
 
     raw = raw_csv_stream(spark, raw_dir, schema)
     typed = add_derived_columns(apply_contract(raw, contract), file_type)
-    stamped = add_audit_columns(typed, source_file=str(raw_dir), load_date=load_date)
+    # per-FILE lineage, matching the batch stamp: the directory alone
+    # cannot answer "which raw file produced this row"
+    stamped = add_audit_columns(
+        typed, source_file=str(raw_dir), load_date=load_date
+    ).withColumn("source_file", F.input_file_name())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         merge_upsert(
-            spark, batch_df, curated_root, contract, retain_versions=retain_versions
+            batch_df.sparkSession, batch_df, curated_root, contract,
+            retain_versions=retain_versions,
         )
 
     return (
@@ -279,6 +288,7 @@ def score_stream_with_lm(
     vocab_size: int,
     add_k: float = 0.1,
     ctx_counts: dict | None = None,
+    emit_unscorable: bool = False,
 ) -> DataFrame:
     """Score a document stream against a BATCH-trained bigram LM — the
     online half of the CCNet quality tier (operators/lm.py trains; this
@@ -330,12 +340,16 @@ def score_stream_with_lm(
         for pdf in batches:
             out_ids, out_n, out_avg = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                if text is None:
-                    continue  # NULL text has no bigrams — the batch op's
-                    # split(NULL) likewise yields no rows for the doc
+                if text is None or len(text.replace("\n", " ").split(" ")) < 2:
+                    # no bigrams: the batch op (and its oracle) omit the
+                    # doc; a ROUTER must not lose it, so emit_unscorable
+                    # surfaces it with a NULL score instead
+                    if emit_unscorable:
+                        out_ids.append(doc_id)
+                        out_n.append(0)
+                        out_avg.append(None)
+                    continue
                 toks = text.replace("\n", " ").split(" ")
-                if len(toks) < 2:
-                    continue  # no bigrams — same exclusion as the batch op
                 pairs = zip(toks, toks[1:])
                 logps = [
                     lm_logp[p]
@@ -426,7 +440,16 @@ def dedup_stream_against_corpus(stream: DataFrame, corpus_index: DataFrame) -> D
         )
         .where(F.col("hamming") <= HAMMING_THRESHOLD)
         .select("doc_id", F.col("corpus_id").alias("dup_of"), "hamming")
-        .dropDuplicates(["doc_id", "dup_of"])
+        # band duplicates of a pair arise WITHIN one micro-batch (a doc's
+        # 4 band rows are processed together), so the dedup state only
+        # needs a short horizon: a plain streaming dropDuplicates keeps
+        # every pair key FOREVER (unbounded state store growth on an
+        # always-on ingest); the watermarked form evicts state past the
+        # horizon while emitting the identical rows
+        .withColumn("_seen", F.current_timestamp())
+        .withWatermark("_seen", "10 minutes")
+        .dropDuplicatesWithinWatermark(["doc_id", "dup_of"])
+        .drop("_seen")
     )
     return matched
 
@@ -459,7 +482,7 @@ def route_stream_by_quality(
     need watermarks and buys nothing).
     """
     scored = score_stream_with_lm(
-        stream, lm_logp, vocab_size, ctx_counts=ctx_counts
+        stream, lm_logp, vocab_size, ctx_counts=ctx_counts, emit_unscorable=True
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -468,9 +491,12 @@ def route_stream_by_quality(
             batch_df.where(F.col("avg_logp") >= accept_floor).write.mode(
                 "append"
             ).parquet(str(accept_root))
-            batch_df.where(F.col("avg_logp") < accept_floor).write.mode(
-                "append"
-            ).parquet(str(quarantine_root))
+            # UNSCORABLE docs (NULL/single-token text -> avg_logp NULL)
+            # default-route to quarantine: a router that drops them from
+            # BOTH zones silently loses data
+            batch_df.where(
+                F.col("avg_logp").isNull() | (F.col("avg_logp") < accept_floor)
+            ).write.mode("append").parquet(str(quarantine_root))
         finally:
             batch_df.unpersist()
 
@@ -646,7 +672,14 @@ def stream_ivf_index_sink(
     """
     from ..operators.ann_index import ivf_index_append
 
-    resolved_app = app_id if app_id is not None else str(checkpoint_dir)
+    # canonicalize: replay detection must not depend on the SPELLING of
+    # the checkpoint path (relative vs absolute, trailing slash) — a
+    # restart with an equivalent path must land in the same namespace.
+    # Pass an explicit app_id when the checkpoint lives behind symlinked
+    # or remounted storage, where even resolve() can differ.
+    resolved_app = (
+        app_id if app_id is not None else str(Path(checkpoint_dir).resolve())
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

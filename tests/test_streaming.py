@@ -869,3 +869,39 @@ def test_streaming_ivf_index_sink_exactly_once(spark, tmp_path):
     hits = ivf_probe(spark, qv, idx, nprobe=2).collect()
     assert hits and all(r.neighbor_id % 8 == 955 % 8 for r in hits)
     assert any(r.neighbor_id >= 800 for r in hits)  # streamed vecs findable
+
+
+def test_streaming_quality_router_quarantines_unscorable_docs(spark, tmp_path):
+    """NULL-text and single-token docs have no bigrams to score; the router
+    must default-route them to quarantine (with NULL avg_logp), never drop
+    them from BOTH zones — a router that loses unscorable data is a silent
+    data-loss bug."""
+    import math
+
+    from energy_datalake_solution_spark.streaming.pipeline import (
+        route_stream_by_quality,
+    )
+
+    lm = {("a", "b"): math.log(0.5)}
+    rows = [
+        (1, "a b a b"),      # scorable, high likelihood
+        (2, None),           # NULL text — unscorable
+        (3, "lonetoken"),    # single token — unscorable
+    ]
+    src = tmp_path / "router_unscorable"
+    src.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.json(
+        str(src / "b0")
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src / "b0"))
+    q = route_stream_by_quality(
+        stream, lm, 2, {"a": 2}, -10.0,
+        tmp_path / "acc2", tmp_path / "qua2", tmp_path / "ckpt_route2",
+    )
+    q.awaitTermination(120)
+    acc = {r.doc_id for r in spark.read.parquet(str(tmp_path / "acc2")).collect()}
+    qua = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "qua2")).collect()}
+    assert acc == {1}
+    assert set(qua) == {2, 3}          # unscorable docs land in quarantine
+    assert all(qua[i].avg_logp is None for i in (2, 3))
+    assert all(qua[i].n_bigrams == 0 for i in (2, 3))
