@@ -95,7 +95,10 @@ def parts_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "name_a",
             "name_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("edit_distance"),
+            # after the filter the thresholded distance IS the true
+            # distance — re-running the un-thresholded full DP here paid
+            # the O(len^2) verify cost twice per surviving pair
+            ed.cast("long").alias("edit_distance"),
             "n_parts_a",
             "n_parts_b",
         )

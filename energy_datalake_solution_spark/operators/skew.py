@@ -55,8 +55,13 @@ def skew_salted_agg_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage 1 groups on (event_type, salt) — the hot key's rows spread over
     N_SALTS reducers; stage 2 re-aggregates the tiny partial table on
     event_type alone. All aggregates are decomposable, so the result is
-    identical to a plain GROUP BY (the oracle). `value` is cent-valued, so
-    double sums are exact in any order.
+    identical to a plain GROUP BY (the oracle) up to double summation
+    order. Honest float caveat: cent values are NOT exactly representable
+    in binary doubles, so the salted regrouping CAN differ from the
+    oracle's single-pass sum in the last ulps; the gate has held because
+    these magnitudes sit far from the round() boundaries, and a
+    guaranteed-exact variant would sum integer cents
+    ((value*100).cast(long)) and divide once at the end.
     """
     e = load_events(spark, sf_dir)
     salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)))

@@ -68,7 +68,10 @@ def events_asof_error_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("click_id_in"),
     )
     clicks = (
-        ev.where(F.col("event_type") == "click")
+        # SQL equality never matches NULL = NULL: a NULL-user click must
+        # not carry into NULL-user error rows (the window's NULL partition
+        # would otherwise match them, diverging from the ASOF oracle)
+        ev.where((F.col("event_type") == "click") & F.col("user_id").isNotNull())
         .groupBy("user_id", F.col("ts_s").alias("t"))
         .agg(F.max("event_id").alias("click_id_in"))
         .select(
@@ -162,9 +165,12 @@ def events_range_join_error_click_pairs(spark: SparkSession, sf_dir: str) -> Dat
         (F.col("epoch_s") / RANGE_WINDOW_S).cast("long").alias("bucket"),
     )
     delta = F.col("error_epoch") - F.col("click_epoch")
+    # no distinct needed: a click has exactly ONE bucket and the error's
+    # three exploded buckets are distinct values, so each (error, click)
+    # pair can meet at most once — the old .distinct() re-shuffled the
+    # entire pair output for no semantic effect
     return (
         errors.join(clicks, ["user_id", "bucket"])
         .where(F.abs(delta) <= RANGE_WINDOW_S)
         .select("user_id", "error_id", "click_id", delta.alias("delta_s"))
-        .distinct()
     )

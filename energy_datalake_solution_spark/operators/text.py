@@ -209,7 +209,10 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # GPT-2-style pre-tokenizer, restricted to syntax valid in BOTH Java regex
 # (Spark) and RE2 (DuckDB): no lookahead, no \p classes. Contraction tails,
 # space-prefixed letter runs, digit runs, punctuation runs.
-BPE_PATTERN = r"'[a-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+# the whitespace class is spelled out EXPLICITLY (not \s): Java's \s
+# includes vertical tab \x0B, RE2's does not — an implicit \s silently
+# tokenizes VT-adjacent punctuation differently on the two engines
+BPE_PATTERN = r"'[a-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\x0b']+"
 
 
 @register(

@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.registry import register
+from ..plans.registry import QUERIES, register
 from ..sources.catalog import load_table, spread
 from .events import load_events
 from .spans import CHUNK_STRIDE, CHUNK_TOKENS
@@ -55,19 +55,25 @@ def _iqr_udafs():
         # agg() (INVALID_PANDAS_UDF_PLACEMENT); the count rides the same path
         return int(v.count())
 
+    # NULL/NaN policy: NULLs are dropped (the oracle's quantile_cont and
+    # the built-in percentile() twin skip them) and pandas folds NaN into
+    # the same missing bucket — a deliberate divergence from DuckDB, which
+    # sorts NaN greatest; the gate data carries no NaN, and NaN-as-missing
+    # is the defensible analytics semantics. A group whose values are ALL
+    # missing must yield NULL, not an IndexError from np.percentile([]).
     @pandas_udf("double")
     def _q1(v: pd.Series) -> float:
         import numpy as np
 
-        # drop NULLs first: the oracle's quantile_cont and the built-in
-        # percentile() twin both skip NULLs, and np.percentile propagates NaN
-        return float(np.percentile(v.dropna().to_numpy(np.float64), 25))
+        arr = v.dropna().to_numpy(np.float64)
+        return float(np.percentile(arr, 25)) if arr.size else None
 
     @pandas_udf("double")
     def _q3(v: pd.Series) -> float:
         import numpy as np
 
-        return float(np.percentile(v.dropna().to_numpy(np.float64), 75))
+        arr = v.dropna().to_numpy(np.float64)
+        return float(np.percentile(arr, 75)) if arr.size else None
 
     return _cnt, _q1, _q3
 
@@ -134,21 +140,11 @@ class _ChunkerUDTF:
 
 @register(
     "docs_chunk_udtf",
-    oracle=f"""
-        WITH t AS (
-            SELECT doc_id,
-                   string_split(replace(text, chr(10), ' '), ' ') AS w
-            FROM documents
-        )
-        SELECT doc_id,
-               CAST((g.i - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
-               CAST(least({CHUNK_TOKENS}, len(w) - g.i + 1) AS BIGINT)
-                   AS n_tokens,
-               md5(array_to_string(
-                   w[g.i:g.i + {CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
-        FROM t, UNNEST(range(1, len(w) + 1, {CHUNK_STRIDE})) AS g(i)
-        WHERE len(w) >= 1
-    """,
+    # the UDTF implements the SAME chunking contract as the expression
+    # form, so it shares that oracle FROM THE REGISTRY — a verbatim copy
+    # here could silently go stale on a boundary tweak (spans.py is
+    # imported above, so its registration precedes this lookup)
+    oracle=QUERIES["docs_chunk_fixed_tokens"].oracle,
     tags=("text", "chunking", "udtf"),
 )
 def docs_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,7 +16,6 @@ transform.run_pipeline directly.
 from __future__ import annotations
 
 import shutil
-import time
 from dataclasses import dataclass
 from datetime import datetime, timezone
 from pathlib import Path
@@ -43,7 +42,7 @@ def ingest_file(landing_file: str | Path, lake_root: str | Path, *, now: datetim
 
     base = src.stem
     file_type = base.split("_", 1)[0].lower()
-    ts_ms = int(now.timestamp() * 1000) if now else int(time.time() * 1000)
+    ts_ms = int(now.timestamp() * 1000)
     dest_dir = root / "raw" / file_type / f"fecha_carga={load_date}"
     dest_dir.mkdir(parents=True, exist_ok=True)
     dest = dest_dir / f"{base}_{ts_ms}.csv"

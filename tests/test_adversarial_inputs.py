@@ -144,3 +144,28 @@ def test_simhash_excludes_null_text_like_its_oracle(spark, nasty_dir):
     ids = {r.doc_id for r in fp}
     assert 8 not in ids  # doc 8 is the NULL-text doc
     assert 7 in ids      # normal docs still fingerprinted
+
+
+def test_iqr_udaf_survives_all_null_group(spark, tmp_path):
+    """An event type whose every value is NULL must yield NULL quantiles,
+    not an IndexError from np.percentile on an empty array (the nasty_dir
+    types all carry at least one real value, so this needs its own
+    corpus)."""
+    import datetime as dt
+
+    d = tmp_path / "allnull"
+    d.mkdir()
+    base = dt.datetime(2025, 1, 6)
+    rows = [
+        (1, base, 0, "ghost", None, "{}"),
+        (2, base, 1, "ghost", None, "{}"),
+        (3, base, 2, "real", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+    out = {r.event_type: r for r in QUERIES["events_value_iqr_udaf"].fn(spark, str(d)).collect()}
+    assert out["ghost"].q1 is None and out["ghost"].q3 is None
+    assert out["real"].q1 == 5.0
