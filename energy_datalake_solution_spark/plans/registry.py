@@ -80,6 +80,7 @@ def _load_all() -> None:
         quantize,
         relational,
         relational_ext,
+        retrieval,
         similarity,
         skew,
         spans,
@@ -104,6 +105,8 @@ def _load_all() -> None:
 # is r03/r04-green and loses nothing by waiting.
 SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 5, never driver-checked ---
+    "docs_bm25_topk",
+    "docs_dsir_weights",
     "multimodal_png_pixel_stats",
     "docs_temperature_sample",
     "docs_epoch_shuffle",

@@ -646,3 +646,26 @@ def test_zorder_handles_fractional_and_wide_ranges(spark, tmp_path):
     # old scaling collapsed the fractional dimension into 1-2 buckets
     overlapping = sum(1 for lo, hi in spans if hi >= 0.0 and lo <= 0.012)
     assert overlapping <= len(spans) // 2, spans
+
+
+def test_bm25_filters_corpus_before_aggregation(spark):
+    """BM25's postings must be query-vocabulary-sized, not corpus-sized:
+    the IN-list lands in the scan stage (before the explode's aggregates),
+    query terms and df join as broadcast sides, and the top-k window never
+    sort-merges the corpus."""
+    plan = plan_of(QUERIES["docs_bm25_topk"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the literal term filter must appear (pushed against the exploded
+    # token stream inside the same codegen stage as the scan)
+    assert "hash" in plan and "partition" in plan  # two of the query terms
+
+
+def test_dsir_model_broadcasts_single_corpus_shuffle(spark):
+    """DSIR scoring joins the corpus bigram stream to the 256-row model
+    via broadcast — the stream itself shuffles exactly once, for the final
+    per-doc aggregate; no sort-merge join anywhere."""
+    df = QUERIES["docs_dsir_weights"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
