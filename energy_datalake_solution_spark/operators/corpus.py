@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..plans.registry import QUERIES, register
 from ..sources.catalog import load_table
 from . import dedup as _dedup  # ensures pair query + oracle are registered
+from . import text as _text  # keep-best nests the quality-score oracle
 
 MAX_CC_ROUNDS = 30
 
@@ -131,6 +132,86 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+# Keep-best representative selection composes the cluster oracle with the
+# registered quality oracle — both nested verbatim, so the three stay in
+# lockstep by construction (same pattern as source_quality_dashboard).
+def _keep_best_oracle() -> str:
+    quality = QUERIES["docs_quality_score"].oracle
+    return f"""
+        WITH cl AS ({_CLUSTER_ORACLE}),
+        q AS ({quality}),
+        ranked AS (
+            SELECT cl.cluster_id, cl.doc_id, q.quality_flag,
+                   row_number() OVER (
+                       PARTITION BY cl.cluster_id
+                       ORDER BY CASE WHEN q.quality_flag = 'keep'
+                                     THEN 0 ELSE 1 END,
+                                coalesce(q.n_chars, -1) DESC,
+                                cl.doc_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size
+            FROM cl JOIN q ON cl.doc_id = q.doc_id
+        )
+        SELECT cluster_id,
+               doc_id AS kept_doc_id,
+               CAST(cluster_size AS BIGINT) AS cluster_size,
+               quality_flag AS kept_quality_flag
+        FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "docs_dedup_keep_best",
+    oracle=_keep_best_oracle(),
+    tags=("dedup", "quality", "corpus"),
+)
+def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse: one kept document per connected
+    near-dup cluster — 'keep'-flagged docs beat 'drop'-flagged, longer
+    beats shorter, smallest doc_id breaks ties. This is the curation rule
+    real pipelines apply instead of lowest-id-wins: when a boilerplate
+    page and its cleaner mirror are near-dups, the cleaner, longer one
+    survives (cf. the representative-selection step in SemDeDup and the
+    CCNet dedup stage).
+
+    Pure composition of REGISTERED operators (clusters + quality score,
+    same plans, same oracle texts nested). Both joins key on doc_id; the
+    ranking window partitions by cluster_id — bounded by the largest
+    near-dup cluster, orders of magnitude smaller than the corpus (the
+    cluster table itself is the propagation output, already shuffled on
+    doc_id). At 100 TB the cost is the cluster computation, shared with
+    docs_dedup_clusters; this adds one keyed join and one bounded window."""
+    from pyspark.sql import Window as W
+
+    from .text import docs_quality_score
+
+    clusters = docs_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    q = docs_quality_score(spark, sf_dir).select("doc_id", "n_chars", "quality_flag")
+    joined = clusters.join(q, "doc_id")
+    w = W.partitionBy("cluster_id")
+    rank_w = w.orderBy(
+        F.when(F.col("quality_flag") == "keep", 0).otherwise(1),
+        F.coalesce(F.col("n_chars"), F.lit(-1)).desc(),
+        "doc_id",
+    )
+    return (
+        joined.select(
+            "cluster_id",
+            "doc_id",
+            "quality_flag",
+            F.row_number().over(rank_w).alias("rn"),
+            F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "cluster_size",
+            F.col("quality_flag").alias("kept_quality_flag"),
+        )
     )
 
 

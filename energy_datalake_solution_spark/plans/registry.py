@@ -107,6 +107,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 5, never driver-checked ---
     "docs_bm25_topk",
     "docs_dsir_weights",
+    "docs_dedup_keep_best",
     "multimodal_png_pixel_stats",
     "docs_temperature_sample",
     "docs_epoch_shuffle",
