@@ -12,14 +12,22 @@ Two classic large-corpus operators the LLM-data tier still lacked:
     hashed-n-gram model; sampling proportionally to these weights tilts a
     100 TB crawl toward a target distribution without training a model.
 
-The reference has no text tier at all (its documents never leave S3
-verbatim — reference: glue_jobs/dynamic-data-processor.py); both operators
-are north-star surface like the rest of operators/text.py.
+Plus the amortized form of the first: a STORED BM25 inverted index
+(``build_bm25_index`` / ``docs_bm25_probe``) committed through the
+snapshot table format, term-hash-bucketed with per-file manifest stats so
+a probe IN-list-prunes the index files and never re-tokenizes the corpus
+— the lexical twin of the IVF/LSH stored-index tier
+(operators/ann_index.py), but exact, so the probe shares the fused
+query's DuckDB oracle.
 
-Scale shape (both): one corpus explode scan, model-sized aggregate state
-(query-term postings / 256 hash buckets), broadcast model join back onto
-the stream, one final per-key shuffle. No UDFs — everything is built-in
-split/md5/higher-order functions inside whole-stage codegen.
+The reference has no text tier at all (its documents never leave S3
+verbatim — reference: glue_jobs/dynamic-data-processor.py); these are
+north-star surface like the rest of operators/text.py.
+
+Scale shape (fused forms): one corpus explode scan, model-sized aggregate
+state (query-term postings / 256 hash buckets), broadcast model join back
+onto the stream, one final per-key shuffle. No UDFs — everything is
+built-in split/md5/higher-order functions inside whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -27,7 +35,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..plans.registry import register
+import hashlib
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from ..plans.registry import QUERIES, register
 from ..sources.catalog import load_table, spread
 
 # --------------------------------------------------------------------------
@@ -298,3 +312,193 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("llr"), 6).alias("dsir_weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stored BM25 inverted index — the amortized lexical-retrieval path
+# --------------------------------------------------------------------------
+
+BM25_INDEX_BUCKETS = 64  # term-hash buckets = the index's partition key
+BM25_INDEX_FILES = 8     # files per index table (range-split on bucket)
+
+
+def _term_bucket_col(term_col):
+    """md5(term) mod BM25_INDEX_BUCKETS — the engine's md5 convention
+    (docs_feature_hash_vectors), exact in Spark, DuckDB, and Python."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(term_col), 1, 15), 16, 10).cast("bigint"),
+        F.lit(BM25_INDEX_BUCKETS),
+    ).cast("int")
+
+
+def _py_term_bucket(term: str) -> int:
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % BM25_INDEX_BUCKETS
+
+
+def build_bm25_index(spark: SparkSession, sf_dir: str, index_root) -> tuple[int, float]:
+    """Commit the corpus's BM25 inverted index through the snapshot format.
+
+    Three tables under ``index_root``:
+      * ``postings`` — (term_bucket, term, doc_id, dl, tf), RANGE-split on
+        term_bucket with per-file [min, max] bucket stats in the manifest:
+        the storage layout IS the index, and a probe's IN-list file prune
+        reads only the buckets its query terms hash into.
+      * ``vocab`` — (term_bucket, term, df), same layout (one row per
+        term; df = postings rows per term, since postings are one row per
+        (doc, term) pair).
+      * ``stats`` — one row (n_docs, avgdl): the global BM25 constants.
+
+    Build cost — one tokenize scan + one (doc, term) aggregation — is
+    paid once per corpus version, never per query; an ingest batch can
+    maintain it incrementally with snapshot_append on the same layout
+    (the ivf_index_append pattern). All three are versioned snapshot
+    tables: rebuilds are new versions, readers keep consistent snapshots,
+    rollback/vacuum work as for any table."""
+    root = Path(index_root)
+    from ..sources.snapshots import snapshot_write, snapshot_write_with_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.regexp_replace("text", "\n", " "), " ")
+    docs = d.select("doc_id", w.alias("w"))
+    n_docs, avgdl = docs.agg(F.count(F.lit(1)), F.avg(F.size("w"))).first()
+    n_docs, avgdl = int(n_docs), (float(avgdl) if avgdl else 1.0)
+
+    toks = spread(docs).select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
+    )
+    postings = (
+        toks.groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select(
+            _term_bucket_col(F.col("term")).alias("term_bucket"),
+            "term",
+            "doc_id",
+            "dl",
+            "tf",
+        )
+    )
+    snapshot_write_with_stats(
+        postings, root / "postings", ["term_bucket"], n_files=BM25_INDEX_FILES
+    )
+    vocab = (
+        # df from the committed postings' own aggregate — ONE tokenize scan
+        postings.groupBy("term_bucket", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    snapshot_write_with_stats(
+        vocab, root / "vocab", ["term_bucket"], n_files=BM25_INDEX_FILES
+    )
+    stats = spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double")
+    snapshot_write(stats, root / "stats")
+    return n_docs, avgdl
+
+
+def bm25_probe(
+    spark: SparkSession,
+    query_terms,
+    index_root,
+    top_k: int = BM25_TOPK,
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Probe a stored BM25 index: hash the query terms driver-side, prune
+    the postings/vocab FILES to the buckets they land in via the manifest
+    stats, then score the pruned postings against the broadcast query
+    frame. No tokenize pass, no corpus scan — the steady-state lexical
+    retrieval path. ``query_terms`` is [(query_id, term), ...] — an
+    interactive batch, broadcast-sized by contract."""
+    from ..sources.snapshots import snapshot_files_for_values, snapshot_read
+
+    root = Path(index_root)
+    out_schema = "query_id string, doc_id bigint, bm25 double, rank bigint"
+    if not query_terms:
+        return spark.createDataFrame([], out_schema)
+    if stats is None:
+        r = snapshot_read(spark, root / "stats").first()
+        stats = (int(r.n_docs), float(r.avgdl))
+    n_docs, avgdl = stats
+
+    terms = sorted({t for _, t in query_terms})
+    buckets = sorted({_py_term_bucket(t) for t in terms})
+    pfiles = snapshot_files_for_values(root / "postings", "term_bucket", buckets)
+    vfiles = snapshot_files_for_values(root / "vocab", "term_bucket", buckets)
+    if not pfiles or not vfiles:  # empty corpus -> empty index tables
+        return spark.createDataFrame([], out_schema)
+    # explicit schemas: the index layout is fixed by build_bm25_index, so
+    # the reads skip the footer-sniff job (probe latency counts)
+    postings = (
+        spark.read.schema("term_bucket int, term string, doc_id bigint, dl int, tf bigint")
+        .parquet(*[str(root / "postings" / f) for f in pfiles])
+        .where(F.col("term").isin(terms))
+    )
+    vocab = (
+        spark.read.schema("term_bucket int, term string, df bigint")
+        .parquet(*[str(root / "vocab" / f) for f in vfiles])
+        .where(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    qdf = spark.createDataFrame(list(query_terms), "query_id string, term string")
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(vocab), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+    rank_w = W.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+# one stored index per (process, corpus dir) — the _IVF_INDEX_CACHE
+# pattern (operators/ann_index.py): first invocation builds, every later
+# one probes, so bench best-of-N measures the steady-state probe.
+_BM25_INDEX_CACHE: dict[tuple[int, str], tuple[str, tuple[int, float]]] = {}
+
+
+def _bm25_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, tuple[int, float]]:
+    key = (os.getpid(), str(sf_dir))
+    cached = _BM25_INDEX_CACHE.get(key)
+    if cached and (Path(cached[0]) / "postings" / "_latest").exists():
+        return cached
+    root = str(
+        Path(tempfile.gettempdir())
+        / f"bm25_index_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    stats = build_bm25_index(spark, sf_dir, root)
+    _BM25_INDEX_CACHE[key] = (root, stats)
+    return root, stats
+
+
+@register(
+    "docs_bm25_probe",
+    oracle=QUERIES["docs_bm25_topk"].oracle,
+    headline=True,
+    tags=("text", "retrieval", "window"),
+)
+def docs_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the STORED inverted index — the amortized lexical
+    twin of embeddings_ivf_probe. First invocation per (process, corpus)
+    builds the index (one tokenize scan, committed through the snapshot
+    format bucketed by term hash); every later invocation probes only:
+    driver-side term hashing, manifest-stats file prune to the query
+    terms' buckets, broadcast query/vocab joins over the pruned postings.
+    BM25 is exact, so this query is gated by the SAME DuckDB oracle as
+    the fused docs_bm25_topk — byte-identical results, hash-checked, with
+    none of the fused form's corpus scans in steady state."""
+    root, stats = _bm25_index_for(spark, sf_dir)
+    qt = [(qid, t) for qid, ts in BM25_QUERIES for t in ts]
+    return bm25_probe(spark, qt, root, stats=stats)

@@ -106,6 +106,7 @@ def _load_all() -> None:
 SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 5, never driver-checked ---
     "docs_bm25_topk",
+    "docs_bm25_probe",
     "docs_dsir_weights",
     "docs_dedup_keep_best",
     "multimodal_png_pixel_stats",

@@ -669,3 +669,46 @@ def test_dsir_model_broadcasts_single_corpus_shuffle(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_probe_prunes_index_files_and_matches_fused(spark, tmp_path):
+    """The stored BM25 index probe must (a) list only the manifest-pruned
+    file subset of the postings table, (b) broadcast the query/vocab
+    sides, and (c) return EXACTLY the fused docs_bm25_topk rows — BM25 is
+    exact, so amortization may not change a single score."""
+    from energy_datalake_solution_spark.operators.retrieval import (
+        BM25_QUERIES,
+        bm25_probe,
+        build_bm25_index,
+        docs_bm25_topk,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import _read_manifest, current_version
+
+    idx = tmp_path / "bm25_idx"
+    build_bm25_index(spark, SF_ORACLE, idx)
+    qt = [(qid, t) for qid, ts in BM25_QUERIES for t in ts]
+    probe = bm25_probe(spark, qt, idx)
+
+    plan = plan_of(probe)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    m = _read_manifest(idx / "postings", current_version(idx / "postings"))
+    n_scanned = plan.count(".parquet")
+    assert len(m["files"]) >= 4  # the index is genuinely multi-file
+    assert 1 <= n_scanned < 2 * len(m["files"]), (
+        f"probe plan lists {n_scanned} files vs postings+vocab total — "
+        "manifest pruning is not reaching the scan"
+    )
+
+    fused = {tuple(r) for r in docs_bm25_topk(spark, SF_ORACLE).collect()}
+    stored = {tuple(r) for r in probe.collect()}
+    assert fused == stored
+
+    # single-term probe: one bucket of 64 -> at most ~1/8 of the ranged
+    # files per table may appear in the scan (pruning must actually bite)
+    single = bm25_probe(spark, [("q1", "hash")], idx)
+    n_single = plan_of(single).count(".parquet")
+    assert 1 <= n_single <= 4, (
+        f"single-bucket probe lists {n_single} files — manifest pruning "
+        "is not selective"
+    )
