@@ -335,38 +335,17 @@ def _py_term_bucket(term: str) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % BM25_INDEX_BUCKETS
 
 
-def build_bm25_index(spark: SparkSession, sf_dir: str, index_root) -> tuple[int, float]:
-    """Commit the corpus's BM25 inverted index through the snapshot format.
-
-    Three tables under ``index_root``:
-      * ``postings`` — (term_bucket, term, doc_id, dl, tf), RANGE-split on
-        term_bucket with per-file [min, max] bucket stats in the manifest:
-        the storage layout IS the index, and a probe's IN-list file prune
-        reads only the buckets its query terms hash into.
-      * ``vocab`` — (term_bucket, term, df), same layout (one row per
-        term; df = postings rows per term, since postings are one row per
-        (doc, term) pair).
-      * ``stats`` — one row (n_docs, avgdl): the global BM25 constants.
-
-    Build cost — one tokenize scan + one (doc, term) aggregation — is
-    paid once per corpus version, never per query; an ingest batch can
-    maintain it incrementally with snapshot_append on the same layout
-    (the ivf_index_append pattern). All three are versioned snapshot
-    tables: rebuilds are new versions, readers keep consistent snapshots,
-    rollback/vacuum work as for any table."""
-    root = Path(index_root)
-    from ..sources.snapshots import snapshot_write, snapshot_write_with_stats
-
-    d = load_table(spark, sf_dir, "documents")
+def _bm25_postings(docs: DataFrame) -> DataFrame:
+    """(term_bucket, term, doc_id, dl, tf) postings rows for a documents
+    frame — one tokenize scan + one (doc, term) map-side-combined
+    aggregation. Shared by the full build and the incremental append so
+    the two can never tokenize differently."""
     w = F.split(F.regexp_replace("text", "\n", " "), " ")
-    docs = d.select("doc_id", w.alias("w"))
-    n_docs, avgdl = docs.agg(F.count(F.lit(1)), F.avg(F.size("w"))).first()
-    n_docs, avgdl = int(n_docs), (float(avgdl) if avgdl else 1.0)
-
-    toks = spread(docs).select(
+    base = docs.select("doc_id", w.alias("w"))
+    toks = spread(base).select(
         "doc_id", F.size("w").alias("dl"), F.explode("w").alias("term")
     )
-    postings = (
+    return (
         toks.groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .select(
@@ -377,6 +356,40 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, index_root) -> tuple[int,
             "tf",
         )
     )
+
+
+def build_bm25_index(spark: SparkSession, sf_dir: str, index_root) -> tuple[int, float]:
+    """Commit the corpus's BM25 inverted index through the snapshot format.
+
+    Three tables under ``index_root``, all MERGE-ON-READ deltas so an
+    ingest batch maintains them with pure appends (bm25_index_append):
+      * ``postings`` — (term_bucket, term, doc_id, dl, tf), RANGE-split on
+        term_bucket with per-file [min, max] bucket stats in the manifest:
+        the storage layout IS the index, and a probe's IN-list file prune
+        reads only the buckets its query terms hash into.
+      * ``vocab`` — (term_bucket, term, df) DELTA rows, same layout; a
+        term's document frequency is the SUM of its rows (one per
+        build/append commit that saw the term).
+      * ``stats`` — (n_docs, sum_dl) DELTA rows; the probe sums them and
+        derives avgdl = sum_dl / n_docs.
+
+    Build cost — one tokenize scan + one (doc, term) aggregation — is
+    paid once per corpus version, never per query. All three are
+    versioned snapshot tables: rebuilds are new versions, readers keep
+    consistent snapshots, rollback/vacuum work as for any table."""
+    root = Path(index_root)
+    from ..sources.snapshots import snapshot_write, snapshot_write_with_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.regexp_replace("text", "\n", " "), " ")
+    docs = d.select("doc_id", w.alias("w"))
+    n_docs, sum_dl = docs.agg(
+        F.count(F.lit(1)), F.sum(F.size("w")).cast("long")
+    ).first()
+    n_docs = int(n_docs)
+    sum_dl = int(sum_dl) if sum_dl is not None else 0
+
+    postings = _bm25_postings(d)
     snapshot_write_with_stats(
         postings, root / "postings", ["term_bucket"], n_files=BM25_INDEX_FILES
     )
@@ -388,9 +401,64 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, index_root) -> tuple[int,
     snapshot_write_with_stats(
         vocab, root / "vocab", ["term_bucket"], n_files=BM25_INDEX_FILES
     )
-    stats = spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double")
+    stats = spark.createDataFrame([(n_docs, sum_dl)], "n_docs long, sum_dl long")
     snapshot_write(stats, root / "stats")
+    avgdl = (sum_dl / n_docs) if n_docs else 1.0
     return n_docs, avgdl
+
+
+def bm25_index_append(
+    spark: SparkSession,
+    docs_batch: DataFrame,
+    index_root,
+    txn: int | None = None,
+    txn_app: str | None = None,
+) -> int:
+    """Incrementally add a document batch to a STORED BM25 index without
+    rebuilding: the batch's postings rows append to ``postings`` (with
+    footer stats so manifest pruning keeps working), its per-term counts
+    append as ``vocab`` delta rows, and its (n_docs, sum_dl) appends as a
+    ``stats`` delta row — the probe's sum-on-read folds all three.
+    Returns the new postings-table version.
+
+    Contract: batch doc_ids must be NEW to the index (same as
+    ivf_index_append's vec_ids) — a re-ingested doc_id would split its
+    term frequencies across posting rows and BM25's tf saturation is
+    nonlinear. With ``txn``/``txn_app`` each table's append is
+    independently idempotent under the snapshot format's exactly-once
+    protocol, so a replayed or partially-failed batch heals on retry
+    (each table skips or applies its own missing piece). Cross-table
+    consistency is per-table snapshot isolation, not a multi-table
+    transaction: a probe racing an append may briefly see the batch in
+    one table and not another — scores stay well-defined and converge on
+    the next read, the same read-uncommitted-across-tables caveat as any
+    multi-table lakehouse pipeline."""
+    root = Path(index_root)
+    from ..sources.snapshots import snapshot_append, snapshot_append_once
+
+    def _append(df, table, stats_cols=None):
+        if txn is not None:
+            return snapshot_append_once(
+                df, table, txn, txn_app=txn_app, stats_cols=stats_cols
+            )
+        return snapshot_append(df, table, stats_cols=stats_cols)
+
+    postings = _bm25_postings(docs_batch)
+    ver = _append(postings, root / "postings", stats_cols=["term_bucket"])
+    vocab_delta = postings.groupBy("term_bucket", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    _append(vocab_delta, root / "vocab", stats_cols=["term_bucket"])
+    w = F.split(F.regexp_replace("text", "\n", " "), " ")
+    b_docs, b_sum = docs_batch.select(w.alias("w")).agg(
+        F.count(F.lit(1)), F.sum(F.size("w")).cast("long")
+    ).first()
+    stats_delta = spark.createDataFrame(
+        [(int(b_docs), int(b_sum) if b_sum is not None else 0)],
+        "n_docs long, sum_dl long",
+    )
+    _append(stats_delta, root / "stats")
+    return ver
 
 
 def bm25_probe(
@@ -413,8 +481,14 @@ def bm25_probe(
     if not query_terms:
         return spark.createDataFrame([], out_schema)
     if stats is None:
-        r = snapshot_read(spark, root / "stats").first()
-        stats = (int(r.n_docs), float(r.avgdl))
+        # sum the delta rows (one per build/append commit) — merge-on-read
+        r = (
+            snapshot_read(spark, root / "stats")
+            .agg(F.sum("n_docs"), F.sum("sum_dl"))
+            .first()
+        )
+        n = int(r[0]) if r[0] is not None else 0
+        stats = (n, (int(r[1]) / n) if n and r[1] is not None else 1.0)
     n_docs, avgdl = stats
 
     terms = sorted({t for _, t in query_terms})
@@ -431,10 +505,12 @@ def bm25_probe(
         .where(F.col("term").isin(terms))
     )
     vocab = (
+        # delta rows: a term's df is the sum across build/append commits
         spark.read.schema("term_bucket int, term string, df bigint")
         .parquet(*[str(root / "vocab" / f) for f in vfiles])
         .where(F.col("term").isin(terms))
-        .select("term", "df")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
     )
     qdf = spark.createDataFrame(list(query_terms), "query_id string, term string")
     idf = F.log(

@@ -347,7 +347,13 @@ def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
     return sorted(deleted)
 
 
-def snapshot_append_once(df: DataFrame, table_path, txn: int, txn_app: str | None = None) -> int:
+def snapshot_append_once(
+    df: DataFrame,
+    table_path,
+    txn: int,
+    txn_app: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Idempotent append: commit df stamped with writer transaction
     ``(txn_app, txn)`` unless a commit by the SAME app with that (or a
     later) txn already landed — in which case this is a no-op returning
@@ -356,10 +362,12 @@ def snapshot_append_once(df: DataFrame, table_path, txn: int, txn_app: str | Non
     would let two streaming queries (or a restarted query with a fresh
     checkpoint) silently drop each other's micro-batches. The primitive
     under the exactly-once streaming sink, exposed so crash replays are
-    directly testable."""
+    directly testable. ``stats_cols`` passes through to snapshot_append
+    so stats-pruned tables (the stored-index layouts) keep their new
+    files prunable."""
     if txn <= last_txn(table_path, txn_app):
         return current_version(table_path)
-    return snapshot_append(df, table_path, txn=txn, txn_app=txn_app)
+    return snapshot_append(df, table_path, txn=txn, txn_app=txn_app, stats_cols=stats_cols)
 
 
 def stream_snapshot_sink(stream: DataFrame, table_path, checkpoint_dir, app_id: str | None = None):

@@ -695,3 +695,48 @@ def stream_ivf_index_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_bm25_index_sink(
+    stream: DataFrame,
+    index_root,
+    checkpoint_dir,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Exactly-once STREAMING maintenance of the stored BM25 inverted
+    index: each micro-batch of (doc_id, text) rows is tokenized into
+    postings/vocab/stats delta commits stamped with (app_id, batch_id) —
+    the composition of operators.retrieval.bm25_index_append with the
+    snapshot format's idempotent-txn protocol, exactly the
+    stream_ivf_index_sink pattern for the lexical tier. A crash between
+    commit and checkpoint replays the batch; each of the three index
+    tables independently skips or applies its missing piece, so partial
+    failures heal on retry and replayed batches never double-count a
+    term's df or the corpus's n_docs/avgdl.
+
+    This is the 100 TB ingest loop for lexical retrieval: documents land
+    continuously, the index never re-tokenizes the standing corpus,
+    probes never block (snapshot isolation), and periodic
+    snapshot_compact re-ranges the accumulated append files."""
+    from pathlib import Path
+
+    from ..operators.retrieval import bm25_index_append
+
+    resolved_app = (
+        app_id if app_id is not None else str(Path(checkpoint_dir).resolve())
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bm25_index_append(
+            batch_df.sparkSession, batch_df, index_root,
+            txn=batch_id, txn_app=resolved_app,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

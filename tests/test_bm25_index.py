@@ -1,0 +1,115 @@
+"""Stored BM25 index: incremental maintenance must converge to the full
+build, and replayed appends must be idempotent per writer namespace."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from energy_datalake_solution_spark.operators.retrieval import (
+    BM25_QUERIES,
+    bm25_index_append,
+    bm25_probe,
+    build_bm25_index,
+    docs_bm25_topk,
+)
+from energy_datalake_solution_spark.sources.snapshots import current_version
+
+from .conftest import SF_ORACLE
+
+QT = [(qid, t) for qid, ts in BM25_QUERIES for t in ts]
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_append_converges_to_full_build(spark, tmp_path):
+    """Index built on half the corpus + appended other half == the fused
+    full-corpus query, row for row (scores included — the vocab/stats
+    delta sums must reconstruct the exact global df/N/avgdl)."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    half_dir = tmp_path / "half"
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(
+        str(half_dir / "documents.parquet")
+    )
+    idx = tmp_path / "idx"
+    build_bm25_index(spark, str(half_dir), idx)
+    bm25_index_append(spark, docs.where(F.col("doc_id") % 2 == 1), idx)
+
+    fused = _rows(docs_bm25_topk(spark, SF_ORACLE))
+    stored = _rows(bm25_probe(spark, QT, idx))
+    assert fused == stored
+
+
+def test_append_is_idempotent_per_txn(spark, tmp_path):
+    """A replayed (txn, app) batch must change nothing in any of the three
+    index tables; a new txn must apply."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    base_dir = tmp_path / "base"
+    docs.where(F.col("doc_id") < 100).write.parquet(
+        str(base_dir / "documents.parquet")
+    )
+    idx = tmp_path / "idx"
+    build_bm25_index(spark, str(base_dir), idx)
+
+    batch = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    bm25_index_append(spark, batch, idx, txn=1, txn_app="ingest")
+    after_first = _rows(bm25_probe(spark, QT, idx))
+    v_postings = current_version(idx / "postings")
+
+    # replay: all three tables skip
+    bm25_index_append(spark, batch, idx, txn=1, txn_app="ingest")
+    assert current_version(idx / "postings") == v_postings
+    assert _rows(bm25_probe(spark, QT, idx)) == after_first
+
+    # a genuinely new batch under the next txn applies
+    batch2 = docs.where(F.col("doc_id") >= 200)
+    bm25_index_append(spark, batch2, idx, txn=2, txn_app="ingest")
+    assert current_version(idx / "postings") == v_postings + 1
+    assert _rows(bm25_probe(spark, QT, idx)) == _rows(
+        docs_bm25_topk(spark, SF_ORACLE)
+    )
+
+
+def test_streaming_sink_maintains_index_exactly_once(spark, tmp_path):
+    """Two streamed micro-batches of documents must land as one index
+    version each, replays must no-op, and the final probe must equal the
+    fused full-corpus query."""
+    from energy_datalake_solution_spark.streaming.pipeline import (
+        stream_bm25_index_sink,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    base_dir = tmp_path / "base"
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        str(base_dir / "documents.parquet")
+    )
+    idx = tmp_path / "idx"
+    build_bm25_index(spark, str(base_dir), idx)
+    v0 = current_version(idx / "postings")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    late = docs.where(F.col("doc_id") >= 300).select("doc_id", "text")
+    late.where(F.col("doc_id") < 400).coalesce(1).write.json(str(src / "b0"))
+    late.where(F.col("doc_id") >= 400).coalesce(1).write.json(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    ckpt = tmp_path / "ckpt_bm25"
+    q = stream_bm25_index_sink(stream, idx, ckpt)
+    q.awaitTermination(120)
+    assert current_version(idx / "postings") == v0 + 2  # one version per batch
+
+    # crash replay through the same code path: all three tables skip
+    before = current_version(idx / "postings")
+    bm25_index_append(
+        spark, late.where(F.col("doc_id") >= 400), idx, txn=1,
+        txn_app=str(ckpt.resolve()),
+    )
+    assert current_version(idx / "postings") == before
+
+    fused = _rows(docs_bm25_topk(spark, SF_ORACLE))
+    assert _rows(bm25_probe(spark, QT, idx)) == fused
