@@ -113,3 +113,48 @@ def test_streaming_sink_maintains_index_exactly_once(spark, tmp_path):
 
     fused = _rows(docs_bm25_topk(spark, SF_ORACLE))
     assert _rows(bm25_probe(spark, QT, idx)) == fused
+
+
+def test_compaction_restores_probe_pruning(spark, tmp_path):
+    """Streamed appends tokenize whole batches, so their files span wide
+    bucket ranges and single-bucket probes start listing them all;
+    snapshot_compact with stats re-ranges the postings and the probe's
+    file list shrinks back — Delta's OPTIMIZE-after-streaming loop on the
+    index layout. Results must be identical before and after."""
+    from energy_datalake_solution_spark.operators.retrieval import (
+        BM25_INDEX_FILES,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_files_for_values,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    base_dir = tmp_path / "base"
+    docs.where(F.col("doc_id") < 200).write.parquet(
+        str(base_dir / "documents.parquet")
+    )
+    idx = tmp_path / "idx"
+    build_bm25_index(spark, str(base_dir), idx)
+    for lo, hi, txn in ((200, 300, 1), (300, 400, 2), (400, 600, 3)):
+        bm25_index_append(
+            spark,
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            idx, txn=txn, txn_app="ingest",
+        )
+    before_rows = _rows(bm25_probe(spark, QT, idx))
+    # each append's files span the full bucket range: a one-bucket prune
+    # still has to keep at least one file per append batch
+    one_bucket = snapshot_files_for_values(idx / "postings", "term_bucket", [4])
+    assert len(one_bucket) >= 4  # base file + one per append
+
+    snapshot_compact(
+        spark, idx / "postings", target_files=BM25_INDEX_FILES,
+        stats_cols=["term_bucket"],
+    )
+    one_bucket_after = snapshot_files_for_values(
+        idx / "postings", "term_bucket", [4]
+    )
+    assert len(one_bucket_after) < len(one_bucket)
+    assert len(one_bucket_after) <= 2  # tight ranges again
+    assert _rows(bm25_probe(spark, QT, idx)) == before_rows
