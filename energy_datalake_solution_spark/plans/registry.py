@@ -109,6 +109,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "docs_bm25_probe",
     "docs_dsir_weights",
     "docs_dedup_keep_best",
+    "multimodal_gif_pixel_stats",
     "multimodal_png_pixel_stats",
     "docs_temperature_sample",
     "docs_epoch_shuffle",

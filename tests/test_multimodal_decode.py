@@ -259,3 +259,95 @@ def test_png_synth_roundtrip_matches_formula(spark):
         assert r["corner_val"] == (i * 149 + ch * 5) % 256
         assert r["min_val"] == min(vals) and r["max_val"] == max(vals)
         assert r["mean_val"] == pytest.approx(sum(vals) / len(vals), abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# GIF: pure-Python LZW
+# --------------------------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip_covers_growth_kwkwk_and_reset():
+    """The LZW pair must survive: literal runs (KwKwK chains), random
+    bytes (dictionary growth through every width switch 9->12), and
+    streams long enough to hit the 4096-entry CLEAR reset."""
+    import random
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        bytes([1]),
+        b"\x00" * 5000,                    # KwKwK chain
+        bytes(range(256)) * 20,            # periodic — deep dictionary
+        bytes(rng.randrange(256) for _ in range(10000)),  # full reset path
+        bytes([5, 5, 5, 6, 6, 6]) * 700,
+    ]
+    for b in cases:
+        assert _lzw_decompress(_lzw_compress(b)) == b
+
+
+def test_gif_synth_roundtrip_matches_formula(spark):
+    """synth_gif_payload -> decode_gif_pixel_stats over a doc_id range
+    covering all (w, h) combinations reproduces the palette-composed
+    generating formula exactly."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        decode_gif_pixel_stats,
+        synth_gif_payload,
+    )
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    rows = decode_gif_pixel_stats(synth_gif_payload(docs)).collect()
+    assert len(rows) == 40 * 3
+    for r in rows:
+        i, ch = r["doc_id"], r["channel"]
+        w, h = 4 + i % 5, 3 + i % 4
+        vals = [
+            (((i * 157 + y * 43 + x * 17) % 256) * 5 + ch * 11 + i) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert r["width"] == w and r["height"] == h
+        assert r["corner_val"] == (((i * 157) % 256) * 5 + ch * 11 + i) % 256
+        assert r["min_val"] == min(vals) and r["max_val"] == max(vals)
+        assert r["mean_val"] == pytest.approx(sum(vals) / len(vals), abs=1e-6)
+
+
+def test_gif_decode_rejects_corruption_and_unsupported(spark):
+    """Bad magic, a truncated LZW stream, and an interlaced image
+    descriptor must all raise, not return wrong pixels."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        decode_gif_pixel_stats,
+        synth_gif_payload,
+    )
+
+    docs = spark.range(1).select(F.col("id").alias("doc_id"))
+    payload = bytearray(synth_gif_payload(docs).collect()[0]["payload"])
+
+    def run(buf: bytes):
+        pdf = spark.createDataFrame(
+            [(0, bytes(buf))], "doc_id long, payload binary"
+        )
+        decode_gif_pixel_stats(pdf).collect()
+
+    for mutate in (
+        lambda b: b"JIF89a" + bytes(b[6:]),          # bad magic
+        lambda b: bytes(b[: len(b) // 2]),            # truncated mid-stream
+    ):
+        with pytest.raises(Exception):
+            run(mutate(payload))
+
+    # interlace flag on the image descriptor (after 13-byte LSD + 768-byte
+    # GCT + 8-byte GCE, the descriptor's packed byte is at offset +9)
+    desc = 13 + 768 + 8
+    assert payload[desc] == 0x2C
+    bad = bytearray(payload)
+    bad[desc + 9] |= 0x40
+    with pytest.raises(Exception):
+        run(bytes(bad))
