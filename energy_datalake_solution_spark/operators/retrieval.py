@@ -263,13 +263,29 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc aggregate is the same map-side-combined shape as
     docs_token_stats. Raising the bucket count to the paper's 10k changes
     only the broadcast table's size."""
-    d = load_table(spark, sf_dir, "documents")
+    b = _dsir_bucketed(load_table(spark, sf_dir, "documents"))
+    llr_model = dsir_llr_model(b).select("bucket", "llr")
+    return (
+        b.join(F.broadcast(llr_model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.round(F.avg("llr"), 6).alias("dsir_weight"),
+        )
+    )
+
+
+def _dsir_bucketed(d: DataFrame) -> DataFrame:
+    """(doc_id, is_target, bucket) — one row per bigram occurrence,
+    bucketed by the engine's md5 convention. ONE definition of the
+    tokenization + hashing shared by the registered query and the
+    streaming scorer's trainer, so the two cannot drift."""
     w = F.split(F.regexp_replace("text", "\n", " "), " ")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(w) - 1),
         lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
     )
-    b = (
+    return (
         spread(d)  # bigram fan-out ~100x per row: parallelize first
         .where(F.size(w) >= 2)
         .select(
@@ -286,13 +302,24 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
+
+
+def dsir_llr_model(b: DataFrame) -> DataFrame:
+    """The DSIR model from a bucketed bigram stream: per-bucket raw/target
+    counts plus the Laplace-smoothed log-likelihood ratio. Model-sized
+    (<= DSIR_BUCKETS rows); the totals fold in via an unpartitioned window
+    over the model table (safe: model-sized, precedent corpus_vocabulary).
+    Returns (bucket, c_r, c_t, llr) so a streaming caller can also derive
+    the unseen-bucket default ln((t_r + B) / (t_t + B)) from the counts."""
     model = b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_r"),
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
     )
-    tot = W.partitionBy()  # totals over the 256-row model table
-    llr_model = model.select(
+    tot = W.partitionBy()  # totals over the <=256-row model table
+    return model.select(
         "bucket",
+        "c_r",
+        "c_t",
         (
             F.log(
                 (F.col("c_t") + 1.0)
@@ -303,14 +330,6 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.sum("c_r").over(tot) + F.lit(float(DSIR_BUCKETS)))
             )
         ).alias("llr"),
-    )
-    return (
-        b.join(F.broadcast(llr_model), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_features"),
-            F.round(F.avg("llr"), 6).alias("dsir_weight"),
-        )
     )
 
 

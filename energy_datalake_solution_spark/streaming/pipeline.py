@@ -740,3 +740,65 @@ def stream_bm25_index_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def score_stream_dsir(
+    stream: DataFrame,
+    llr_by_bucket: dict,
+    default_llr: float,
+    emit_unscorable: bool = False,
+) -> DataFrame:
+    """Score a document stream against a BATCH-trained DSIR model — the
+    online half of the data-selection tier (operators/retrieval.py trains
+    the hashed-bigram target-vs-raw model; this scores arrivals, e.g. to
+    admit target-domain-looking documents from a crawl as they land).
+
+    ``llr_by_bucket`` maps bucket -> log-likelihood ratio for the <=
+    DSIR_BUCKETS buckets seen in the raw corpus; ``default_llr`` is the
+    EXACT Laplace mass for an unseen bucket, ln((t_r + B) / (t_t + B))
+    (both counts zero) — derive both from dsir_llr_model's (c_r, c_t,
+    llr) rows. The model is <= 256 floats, so it ships in the task
+    closure (the streaming twin of the batch broadcast join); no shuffle,
+    no state store, no watermark — each document row is self-contained.
+
+    The kernel mirrors score_stream_with_lm's measured dict-probe form;
+    the only added per-bigram work is the md5 bucket hash, computed with
+    hashlib to match the engine's Spark/DuckDB convention bit for bit, so
+    a stream replay of the training corpus reproduces docs_dsir_weights'
+    batch rows exactly (pinned in tests/test_streaming.py)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.retrieval import DSIR_BUCKETS
+
+    def score(batches):
+        for pdf in batches:
+            out_ids, out_n, out_w = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = None if text is None else text.replace("\n", " ").split(" ")
+                if toks is None or len(toks) < 2:
+                    if emit_unscorable:
+                        out_ids.append(doc_id)
+                        out_n.append(0)
+                        out_w.append(None)
+                    continue
+                llrs = [
+                    llr_by_bucket.get(
+                        int(
+                            hashlib.md5(f"{a} {b}".encode()).hexdigest()[:15], 16
+                        ) % DSIR_BUCKETS,
+                        default_llr,
+                    )
+                    for a, b in zip(toks, toks[1:])
+                ]
+                out_ids.append(doc_id)
+                out_n.append(len(llrs))
+                out_w.append(round(sum(llrs) / len(llrs), 6))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "n_features": out_n, "dsir_weight": out_w}
+            )
+
+    return stream.mapInPandas(
+        score, "doc_id long, n_features long, dsir_weight double"
+    )

@@ -905,3 +905,59 @@ def test_streaming_quality_router_quarantines_unscorable_docs(spark, tmp_path):
     assert set(qua) == {2, 3}          # unscorable docs land in quarantine
     assert all(qua[i].avg_logp is None for i in (2, 3))
     assert all(qua[i].n_bigrams == 0 for i in (2, 3))
+
+
+def test_streaming_dsir_scoring_matches_batch(spark, tmp_path):
+    """Train the DSIR model in batch, score a stream replay of the same
+    corpus: per-doc weights must reproduce docs_dsir_weights exactly, and
+    a document hashing into only-unseen buckets must get the exact
+    Laplace default, not a guess."""
+    import math
+
+    from energy_datalake_solution_spark.operators.retrieval import (
+        DSIR_BUCKETS,
+        _dsir_bucketed,
+        docs_dsir_weights,
+    )
+    from energy_datalake_solution_spark.operators.retrieval import dsir_llr_model
+    from energy_datalake_solution_spark.sources.catalog import load_table
+    from energy_datalake_solution_spark.streaming.pipeline import score_stream_dsir
+
+    sf = SF_ORACLE
+    batch_scores = {r.doc_id: r for r in docs_dsir_weights(spark, sf).collect()}
+
+    d = load_table(spark, sf, "documents")
+    model_rows = dsir_llr_model(_dsir_bucketed(d)).collect()
+    llr_by_bucket = {r.bucket: r.llr for r in model_rows}
+    t_r = sum(r.c_r for r in model_rows)
+    t_t = sum(r.c_t for r in model_rows)
+    default_llr = math.log((t_r + DSIR_BUCKETS) / (t_t + DSIR_BUCKETS))
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    d.select("doc_id", "text").coalesce(1).write.json(str(src / "batch0"))
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src / "batch0")
+    )
+    q = (
+        score_stream_dsir(stream, llr_by_bucket, default_llr)
+        .writeStream.format("memory")
+        .queryName("dsir_scored")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM dsir_scored").collect()}
+    assert set(got) == set(batch_scores)
+    for doc_id, r in got.items():
+        assert r.n_features == batch_scores[doc_id].n_features
+        assert abs(r.dsir_weight - batch_scores[doc_id].dsir_weight) < 1e-9
+
+    # unseen-bucket default: score a doc whose bigrams are certainly novel
+    novel = spark.createDataFrame(
+        [(999999, "zzqx1 zzqx2 zzqx3")], "doc_id long, text string"
+    )
+    out = score_stream_dsir(novel, {}, default_llr).collect()
+    assert out[0].n_features == 2
+    assert abs(out[0].dsir_weight - round(default_llr, 6)) < 1e-9
