@@ -339,31 +339,23 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, index_root: str | Path) ->
     e = load_table(spark, sf_dir, "embeddings")
     planes = lsh_planes()
     planes_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
-    from .similarity import dot
+    from .similarity import lsh_band_key_expr, lsh_sig_expr
 
+    # signature/banding arithmetic single-sourced from similarity.py —
+    # the probe is pinned to the fused query's rows, so the index build
+    # must share its exact expressions, not re-spell them
     sig = e.where(F.col("vec_id") >= N_QUERIES).select(
         "vec_id",
         "embedding",
-        F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_SIG_BITS - 1)),
-                lambda p: F.when(
-                    dot(F.col("embedding"), F.element_at(planes_lit, p + 1)) > 0,
-                    F.pow(F.lit(2.0), p).cast("int"),
-                ).otherwise(0),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias("sig"),
+        lsh_sig_expr(F.col("embedding"), planes_lit).alias("sig"),
     )
     band = F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band")
     banded = sig.select("vec_id", "embedding", "sig", band).select(
         "vec_id",
         "embedding",
-        (
-            F.col("band") * (LSH_BAND_MASK + 1)
-            + F.expr(f"shiftright(sig, band * {LSH_BAND_BITS})").bitwiseAND(LSH_BAND_MASK)
-        ).cast("int").alias("bb"),
+        (F.col("band") * (LSH_BAND_MASK + 1) + lsh_band_key_expr())
+        .cast("int")
+        .alias("bb"),
     )
     n_files = LSH_BANDS * (LSH_BAND_MASK + 1) // 4  # ~4 buckets per file
     snapshot_write_with_stats(banded, root / "buckets", ["bb"], n_files=n_files)

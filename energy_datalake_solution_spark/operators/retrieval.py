@@ -389,41 +389,56 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, index_root) -> tuple[int,
       * ``vocab`` — (term_bucket, term, df) DELTA rows, same layout; a
         term's document frequency is the SUM of its rows (one per
         build/append commit that saw the term).
-      * ``stats`` — (n_docs, sum_dl) DELTA rows; the probe sums them and
-        derives avgdl = sum_dl / n_docs.
+      * ``stats`` — (n_docs, n_text_docs, sum_dl) DELTA rows; the probe
+        sums them and derives avgdl = sum_dl / n_text_docs. The two doc
+        counts differ on NULL-text documents: idf's N counts every row
+        (the fused query's count(*)), while avgdl averages over docs that
+        HAVE a token stream (the fused query's avg() skipping NULLs) —
+        folding them together would silently deflate avgdl on corpora
+        with NULL text.
 
-    Build cost — one tokenize scan + one (doc, term) aggregation — is
-    paid once per corpus version, never per query. All three are
-    versioned snapshot tables: rebuilds are new versions, readers keep
-    consistent snapshots, rollback/vacuum work as for any table."""
+    Build cost: ONE tokenize scan (the postings write); vocab and the
+    dl stats derive from reading the just-committed postings files
+    (postings-sized IO, no re-tokenize), and the row count is a
+    parquet-metadata count. All three are versioned snapshot tables:
+    rebuilds are new versions, readers keep consistent snapshots,
+    rollback/vacuum work as for any table."""
     root = Path(index_root)
-    from ..sources.snapshots import snapshot_write, snapshot_write_with_stats
+    from ..sources.snapshots import (
+        snapshot_read,
+        snapshot_write,
+        snapshot_write_with_stats,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.regexp_replace("text", "\n", " "), " ")
-    docs = d.select("doc_id", w.alias("w"))
-    n_docs, sum_dl = docs.agg(
-        F.count(F.lit(1)), F.sum(F.size("w")).cast("long")
-    ).first()
-    n_docs = int(n_docs)
-    sum_dl = int(sum_dl) if sum_dl is not None else 0
+    n_docs = d.count()  # metadata-only: parquet footer row counts
 
     postings = _bm25_postings(d)
     snapshot_write_with_stats(
         postings, root / "postings", ["term_bucket"], n_files=BM25_INDEX_FILES
     )
-    vocab = (
-        # df from the committed postings' own aggregate — ONE tokenize scan
-        postings.groupBy("term_bucket", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    committed = snapshot_read(spark, root / "postings")
+    vocab = committed.groupBy("term_bucket", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
     )
     snapshot_write_with_stats(
         vocab, root / "vocab", ["term_bucket"], n_files=BM25_INDEX_FILES
     )
-    stats = spark.createDataFrame([(n_docs, sum_dl)], "n_docs long, sum_dl long")
+    n_text_docs, sum_dl = (
+        committed.select("doc_id", "dl")
+        .distinct()  # doc_id unique => one (doc, dl) row per tokenized doc
+        .agg(F.count(F.lit(1)), F.sum("dl").cast("long"))
+        .first()
+    )
+    n_text_docs = int(n_text_docs)
+    sum_dl = int(sum_dl) if sum_dl is not None else 0
+    stats = spark.createDataFrame(
+        [(int(n_docs), n_text_docs, sum_dl)],
+        "n_docs long, n_text_docs long, sum_dl long",
+    )
     snapshot_write(stats, root / "stats")
-    avgdl = (sum_dl / n_docs) if n_docs else 1.0
-    return n_docs, avgdl
+    avgdl = (sum_dl / n_text_docs) if n_text_docs else 1.0
+    return int(n_docs), avgdl
 
 
 def bm25_index_append(
@@ -453,7 +468,20 @@ def bm25_index_append(
     the next read, the same read-uncommitted-across-tables caveat as any
     multi-table lakehouse pipeline."""
     root = Path(index_root)
-    from ..sources.snapshots import snapshot_append, snapshot_append_once
+    from ..sources.snapshots import (
+        current_version,
+        last_txn,
+        snapshot_append,
+        snapshot_append_once,
+    )
+
+    # fully-applied replay: skip before ANY batch work runs; a PARTIAL
+    # failure (some tables behind) falls through so each table's guarded
+    # append heals its own missing piece
+    if txn is not None and all(
+        txn <= last_txn(root / t, txn_app) for t in ("postings", "vocab", "stats")
+    ):
+        return current_version(root / "postings")
 
     def _append(df, table, stats_cols=None):
         if txn is not None:
@@ -462,21 +490,30 @@ def bm25_index_append(
             )
         return snapshot_append(df, table, stats_cols=stats_cols)
 
-    postings = _bm25_postings(docs_batch)
-    ver = _append(postings, root / "postings", stats_cols=["term_bucket"])
-    vocab_delta = postings.groupBy("term_bucket", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    _append(vocab_delta, root / "vocab", stats_cols=["term_bucket"])
-    w = F.split(F.regexp_replace("text", "\n", " "), " ")
-    b_docs, b_sum = docs_batch.select(w.alias("w")).agg(
-        F.count(F.lit(1)), F.sum(F.size("w")).cast("long")
-    ).first()
-    stats_delta = spark.createDataFrame(
-        [(int(b_docs), int(b_sum) if b_sum is not None else 0)],
-        "n_docs long, sum_dl long",
-    )
-    _append(stats_delta, root / "stats")
+    # ONE tokenize pass over the batch: the postings frame feeds the
+    # append AND the vocab/dl-stats aggregates, so persist it (a replayed
+    # batch skips all three appends before anything materializes)
+    postings = _bm25_postings(docs_batch).persist()
+    try:
+        ver = _append(postings, root / "postings", stats_cols=["term_bucket"])
+        vocab_delta = postings.groupBy("term_bucket", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        _append(vocab_delta, root / "vocab", stats_cols=["term_bucket"])
+        b_docs = docs_batch.count()  # total rows, incl. NULL-text docs
+        b_text, b_sum = (
+            postings.select("doc_id", "dl")
+            .distinct()
+            .agg(F.count(F.lit(1)), F.sum("dl").cast("long"))
+            .first()
+        )
+        stats_delta = spark.createDataFrame(
+            [(int(b_docs), int(b_text), int(b_sum) if b_sum is not None else 0)],
+            "n_docs long, n_text_docs long, sum_dl long",
+        )
+        _append(stats_delta, root / "stats")
+    finally:
+        postings.unpersist()
     return ver
 
 
@@ -500,14 +537,17 @@ def bm25_probe(
     if not query_terms:
         return spark.createDataFrame([], out_schema)
     if stats is None:
-        # sum the delta rows (one per build/append commit) — merge-on-read
+        # sum the delta rows (one per build/append commit) — merge-on-read.
+        # idf's N = total docs; avgdl averages only docs with a token
+        # stream (mirrors the fused query's count(*) vs NULL-skipping avg)
         r = (
             snapshot_read(spark, root / "stats")
-            .agg(F.sum("n_docs"), F.sum("sum_dl"))
+            .agg(F.sum("n_docs"), F.sum("n_text_docs"), F.sum("sum_dl"))
             .first()
         )
         n = int(r[0]) if r[0] is not None else 0
-        stats = (n, (int(r[1]) / n) if n and r[1] is not None else 1.0)
+        n_text = int(r[1]) if r[1] is not None else 0
+        stats = (n, (int(r[2]) / n_text) if n_text and r[2] is not None else 1.0)
     n_docs, avgdl = stats
 
     terms = sorted({t for _, t in query_terms})

@@ -169,6 +169,33 @@ def lsh_planes() -> list[list[float]]:
     ]
 
 
+def lsh_sig_expr(emb, planes_arr):
+    """The LSH_SIG_BITS-bit sign-test signature as a Column: bit p set iff
+    dot(emb, plane_p) > 0, accumulated left-to-right in doubles. ONE
+    definition shared by the fused query below and the stored-index build
+    (operators/ann_index.py) — the probe is pinned to return exactly the
+    fused rows, so a drift between two copies of this arithmetic would
+    silently desynchronize the index from the query."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(LSH_SIG_BITS - 1)),
+            lambda p: F.when(
+                dot(emb, F.element_at(planes_arr, p + 1)) > 0,
+                F.pow(F.lit(2.0), p).cast("int"),
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_band_key_expr():
+    """band_key = (sig >> band * LSH_BAND_BITS) & LSH_BAND_MASK over the
+    ``sig``/``band`` columns — the banding arithmetic, single-sourced for
+    the same reason as lsh_sig_expr."""
+    return F.expr(f"shiftright(sig, band * {LSH_BAND_BITS})").bitwiseAND(LSH_BAND_MASK)
+
+
 def lsh_oracle_sql() -> str:
     """DuckDB oracle for the multi-probe LSH ANN — possible because every
     stage is deterministic: the hyperplanes are md5-derived literals, the
@@ -262,22 +289,11 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = vec.select(
         "vec_id",
         "embedding",
-        F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_SIG_BITS - 1)),
-                lambda p: F.when(
-                    dot(F.col("embedding"), F.element_at("planes", p + 1)) > 0,
-                    F.pow(F.lit(2.0), p).cast("int"),
-                ).otherwise(0),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias("sig"),
+        lsh_sig_expr(F.col("embedding"), F.col("planes")).alias("sig"),
     )
     band = F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band")
     banded = sig.select("vec_id", "embedding", "sig", band).withColumn(
-        "band_key",
-        F.expr(f"shiftright(sig, band * {LSH_BAND_BITS})").bitwiseAND(LSH_BAND_MASK),
+        "band_key", lsh_band_key_expr()
     )
     q = banded.where(F.col("vec_id") < N_QUERIES).withColumn(
         "band_key",

@@ -41,21 +41,28 @@ def run_query(
     spark: SparkSession, name: str, sf_dir: str, sql_dir: str | Path = SQL_DIR
 ) -> DataFrame:
     """Execute one named SQL query against the lake's registered views.
-    View registration is memoized per (session, sf_dir): clients issuing
-    many calls must not re-read every table's parquet schema per query."""
+    View registration is memoized per session: clients issuing many calls
+    must not re-read every table's parquet schema per query."""
     _register_views_once(spark, sf_dir)
     return spark.sql(load_query_text(name, sql_dir))
 
 
-_REGISTERED: set[tuple[int, str]] = set()
+# The memo lives IN the session's runtime conf, not a process-global dict:
+# the view names are session-global, so the only safe memo key is "which
+# sf_dir do this session's views currently point at". A conf entry dies
+# with its session (no stale id()-reuse hits) and flips atomically when a
+# caller switches lakes, re-registering instead of silently serving the
+# previous lake's tables — the wrong-lake bug a (id(spark), sf_dir)-keyed
+# set had, where each lake's key stayed "registered" after the views were
+# re-pointed elsewhere.
+_VIEWS_CONF_KEY = "spark.sql.session.graft.registeredSfDir"
 
 
 def _register_views_once(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark), str(sf_dir))
-    if key in _REGISTERED:
+    if spark.conf.get(_VIEWS_CONF_KEY, None) == str(sf_dir):
         return
     register_views(spark, sf_dir)
-    _REGISTERED.add(key)
+    spark.conf.set(_VIEWS_CONF_KEY, str(sf_dir))
 
 
 @dataclass
@@ -71,7 +78,7 @@ def run_all(
 ) -> list[QueryRunResult]:
     """Run every registered .sql query with per-query error isolation
     (reference: main_analytics.py:35-43 catches and logs per query)."""
-    register_views(spark, sf_dir)
+    _register_views_once(spark, sf_dir)
     results: list[QueryRunResult] = []
     for name in list_queries(sql_dir):
         try:

@@ -199,6 +199,22 @@ def merge_upsert(
         return target_path
 
     if partition_by:
+        # A table previously written by the DEFAULT (snapshot-format) merge
+        # keeps every version's files under data/ with the live file list
+        # in _manifests/. A raw recursive read of the root sees N copies of
+        # each row (Spark skips the underscore-prefixed _manifests but not
+        # the superseded data files), so the scoped merge would persist the
+        # duplicates. The two layouts cannot mix — fail loudly.
+        from pathlib import Path as _P
+
+        if _P(target_path, "_manifests").exists():
+            raise ValueError(
+                f"merge_upsert(partition_by={partition_by!r}): {target_path}"
+                " is a snapshot-format table (has _manifests/); the"
+                " partition-scoped plain-parquet merge cannot read it"
+                " without duplicating superseded versions. Use the default"
+                " unpartitioned merge for this table."
+            )
         touched = [r[0] for r in incoming.select(partition_by).distinct().collect()]
         # NULL partition values would silently break the scope: isin(NULL)
         # filters the existing NULL-partition rows OUT of the read-back, so

@@ -384,8 +384,15 @@ def stream_snapshot_sink(stream: DataFrame, table_path, checkpoint_dir, app_id: 
     checkpoint lineage, so a restarted query with a FRESH checkpoint gets
     a fresh namespace (its batch 0 commits instead of being skipped), and
     two queries writing to the same table never suppress each other.
+    The default is CANONICALIZED (resolve()) so replay detection never
+    depends on the spelling of the checkpoint path — a restart launched
+    with the absolute form of the same relative checkpoint dir must land
+    in the same namespace, not double-commit (same rule as the index
+    sinks in streaming/pipeline.py).
     """
-    resolved_app = app_id if app_id is not None else str(checkpoint_dir)
+    resolved_app = (
+        app_id if app_id is not None else str(Path(checkpoint_dir).resolve())
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         snapshot_append_once(batch_df, table_path, txn=batch_id, txn_app=resolved_app)

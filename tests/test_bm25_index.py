@@ -158,3 +158,47 @@ def test_compaction_restores_probe_pruning(spark, tmp_path):
     assert len(one_bucket_after) < len(one_bucket)
     assert len(one_bucket_after) <= 2  # tight ranges again
     assert _rows(bm25_probe(spark, QT, idx)) == before_rows
+
+
+def test_null_text_docs_count_toward_idf_but_not_avgdl(spark, tmp_path):
+    """A corpus with NULL-text documents: the stored index's probe must
+    reproduce the fused query exactly — N (idf) counts every row while
+    avgdl skips NULL-text docs, and folding the two counts together
+    deflates avgdl and shifts every score."""
+    import duckdb
+
+    from energy_datalake_solution_spark.operators.retrieval import (
+        _bm25_query_values_sql,
+        BM25_B,
+        BM25_K1,
+        BM25_TOPK,
+    )
+
+    base = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(100)
+    nulls = spark.createDataFrame(
+        [(100000 + i, None, "en", "srcX", 0) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = base.unionByName(nulls)
+    lake = tmp_path / "lake"
+    corpus.write.parquet(str(lake / "documents.parquet"))
+
+    fused = _rows(docs_bm25_topk(spark, str(lake)))
+    idx = tmp_path / "idx"
+    build_bm25_index(spark, str(lake), idx)
+    stored = _rows(bm25_probe(spark, QT, idx))
+    assert fused == stored
+
+    # cross-engine: the oracle on the same corpus agrees too
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{lake}/documents.parquet/*.parquet'"
+    )
+    from energy_datalake_solution_spark.plans.registry import QUERIES
+
+    oracle_rows = {
+        (r[0], int(r[1]), float(r[2]), int(r[3]))
+        for r in con.execute(QUERIES["docs_bm25_topk"].oracle).fetchall()
+    }
+    got = {(a, int(b), float(c), int(d)) for a, b, c, d in stored}
+    assert got == oracle_rows
