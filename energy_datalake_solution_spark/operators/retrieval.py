@@ -637,3 +637,93 @@ def docs_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     root, stats = _bm25_index_for(spark, sf_dir)
     qt = [(qid, t) for qid, ts in BM25_QUERIES for t in ts]
     return bm25_probe(spark, qt, root, stats=stats)
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty — the per-document memorization-risk diagnostic
+# --------------------------------------------------------------------------
+
+NOVELTY_N = 8  # word-8-grams (Lee et al. 2021 use ~50-token windows at
+# web scale; the window length only changes the explode width)
+
+
+@register(
+    "docs_ngram_novelty",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(replace(text, chr(10), ' '), ' ') AS w
+            FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id,
+                   w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] || ' '
+                   || w[i.i + 3] || ' ' || w[i.i + 4] || ' ' || w[i.i + 5]
+                   || ' ' || w[i.i + 6] || ' ' || w[i.i + 7] AS gram
+            FROM t, UNNEST(range(1, len(w) - {NOVELTY_N - 2})) AS i(i)
+            WHERE len(w) >= {NOVELTY_N}
+        ),
+        df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS novelty_rate
+        FROM g JOIN df USING (gram)
+        GROUP BY g.doc_id
+    """,
+    tags=("text", "dedup", "quality"),
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    word-8-grams that appear in NO other document — the corpus-level
+    memorization/duplication diagnostic (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": low-novelty documents
+    are the ones a model can regurgitate). Complements the pairwise dedup
+    tier with a per-doc scalar a quality dashboard can threshold.
+
+    Plan: one explode to distinct (doc, gram-hash) rows (xxhash64 8-byte
+    keys — the jaccard tier's convention; the string-keyed oracle doubles
+    as the collision canary), a gram-keyed document-frequency aggregate,
+    a shuffle join back on the hash, and a per-doc rollup. The df table
+    is gram-vocabulary-sized (too big to broadcast at 100 TB — the join
+    correctly shuffles on the 8-byte key), and every aggregate is
+    map-side combined. Same scale class as the PPJoin candidate
+    generator, without its pair output term."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.regexp_replace("text", "\n", " "), " ")
+    toks = spread(d).select("doc_id", w.alias("w")).where(
+        F.size(F.col("w")) >= NOVELTY_N
+    )
+    idx = F.explode(F.sequence(F.lit(1), F.size("w") - (NOVELTY_N - 1))).alias("i")
+    grams = (
+        toks.select("doc_id", "w", idx)
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at("w", F.col("i") + k) for k in range(NOVELTY_N)],
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_grams"), 6).alias("novelty_rate"),
+        )
+    )

@@ -109,6 +109,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "docs_bm25_probe",
     "docs_dsir_weights",
     "docs_dedup_keep_best",
+    "docs_ngram_novelty",
     "multimodal_gif_pixel_stats",
     "multimodal_png_pixel_stats",
     "docs_temperature_sample",
