@@ -531,3 +531,122 @@ def test_int8_quantization_roundtrip_bound(spark, tmp_path_factory, vecs):
         assert 1 <= r.n_saturated <= 64
         assert r.max_rel_error_micro <= 500_000  # <= 0.5 steps
         assert 0 <= r.rms_rel_error_micro <= r.max_rel_error_micro
+
+
+@given(data=st.binary(min_size=0, max_size=4000))
+@settings(max_examples=200, deadline=None)
+def test_gif_lzw_roundtrip_property(data):
+    """LZW compress->decompress is the identity for ANY byte string —
+    hypothesis hunts the dictionary-growth, width-switch, and KwKwK edges
+    no fixed example set covers. (Pure-Python, no Spark: 200 examples.)"""
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    assert _lzw_decompress(_lzw_compress(data)) == data
+
+
+@given(
+    rows=st.integers(min_value=1, max_value=6),
+    cols=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_filter_roundtrip_property(rows, cols, seed):
+    """Encoding a random raster with each PNG filter per row and decoding
+    it back is the identity, for any (h, w) — exercises Sub/Up/Average/
+    Paeth interactions beyond the fixed generating-formula payloads.
+    Driven through the real synth/decode helpers' underlying arithmetic
+    by building a one-off PNG with the module's own chunk writer."""
+    import random
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _PNG_SIG,
+        _paeth,
+        _png_chunk,
+    )
+
+    rng = random.Random(seed)
+    bpp = 3
+    raster = np.array(
+        [[rng.randrange(256) for _ in range(cols * bpp)] for _ in range(rows)],
+        dtype=np.int64,
+    )
+    out = bytearray()
+    prior = np.zeros(cols * bpp, dtype=np.int64)
+    for yy in range(rows):
+        raw = raster[yy]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+        ftype = (seed + yy) % 5
+        if ftype == 0:
+            filt = raw
+        elif ftype == 1:
+            filt = (raw - left) % 256
+        elif ftype == 2:
+            filt = (raw - prior) % 256
+        elif ftype == 3:
+            filt = (raw - (left + prior) // 2) % 256
+        else:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, ul)],
+                dtype=np.int64,
+            )
+            filt = (raw - pred) % 256
+        out.append(ftype)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", cols, rows, 8, 2, 0, 0, 0)
+    buf = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+    # no Spark here (200x-example budget): decode with a minimal local
+    # unfilter that mirrors the module kernel's arithmetic; the Spark
+    # kernel itself is exercised by the fixed-payload tests and the gate
+    pos, idat = len(_PNG_SIG), b""
+    while pos + 12 <= len(buf):
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + size]
+        if ctype == b"IDAT":
+            idat += body
+        pos += 12 + size
+    raw2 = zlib.decompress(idat)
+    stride = cols * bpp
+    cube = np.zeros((rows, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for yy in range(rows):
+        line = raw2[yy * (1 + stride) : (yy + 1) * (1 + stride)]
+        ftype = line[0]
+        fb = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        if ftype == 0:
+            recon = fb
+        elif ftype == 1:
+            recon = fb.copy()
+            for k in range(bpp, stride):
+                recon[k] = (recon[k] + recon[k - bpp]) % 256
+        elif ftype == 2:
+            recon = (fb + prior) % 256
+        elif ftype == 3:
+            recon = fb.copy()
+            for k in range(stride):
+                lft = recon[k - bpp] if k >= bpp else 0
+                recon[k] = (recon[k] + (lft + prior[k]) // 2) % 256
+        else:
+            recon = fb.copy()
+            for k in range(stride):
+                lft = recon[k - bpp] if k >= bpp else 0
+                ulv = prior[k - bpp] if k >= bpp else 0
+                recon[k] = (recon[k] + _paeth(int(lft), int(prior[k]), int(ulv))) % 256
+        cube[yy] = recon
+        prior = recon
+    assert (cube == raster).all()
