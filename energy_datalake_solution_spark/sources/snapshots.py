@@ -259,19 +259,54 @@ def last_txn(table_path, txn_app: str | None = None) -> int:
 def snapshot_upsert(
     spark: SparkSession, df: DataFrame, table_path, keys: list[str]
 ) -> int:
-    """Keyed upsert as a new full version: current rows whose key appears
-    in the batch are replaced, others carried over. (A production format
-    rewrites only the files containing matched keys — with per-file
-    min/max key stats in the manifest this loop prunes the same way; the
-    commit protocol is identical.)"""
+    """Keyed upsert as a new version. When the table's manifest carries
+    per-file [min, max] stats for the first key column, only the files
+    whose range CAN contain a batch key are rewritten — untouched files
+    are carried into the new manifest byte-identical (Delta's stats-pruned
+    MERGE shape: at 100 TB a point-keyed upsert rewrites a handful of
+    files, never the table). Files without stats for the key are
+    conservatively included in the rewrite set, so pruning never loses a
+    matched row; a table with no key stats at all falls back to the full
+    rewrite. New files' stats are collected for every column the parent
+    manifest tracked, so later upserts and range reads keep pruning."""
+    from pyspark.sql import functions as F
+
     p = _table(table_path)
     parent = current_version(p)
     if parent == 0:
         return snapshot_write(df, p)
-    cur = snapshot_read(spark, p)
-    merged = cur.join(df.select(keys).distinct(), keys, "left_anti").unionByName(df)
-    files = _write_files(merged, p)
-    return _commit(p, files, parent)
+    m = _read_manifest(p, parent)
+    stats: dict = m.get("stats", {}) or {}
+    col = keys[0]
+    if not any(col in s for s in stats.values()):
+        # no key stats anywhere: classic full rewrite
+        cur = snapshot_read(spark, p)
+        merged = cur.join(df.select(keys).distinct(), keys, "left_anti").unionByName(df)
+        files = _write_files(merged, p)
+        return _commit(p, files, parent)
+
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    if lo is None:
+        # empty batch: metadata-only commit carrying the parent's files
+        return _commit(p, list(m["files"]), parent, stats=stats or None)
+    touched = [
+        f
+        for f in m["files"]
+        if (s := stats.get(f, {}).get(col)) is None or not (s[1] < lo or s[0] > hi)
+    ]
+    untouched = [f for f in m["files"] if f not in set(touched)]
+    if touched:
+        cur_t = spark.read.parquet(*[str(p / f) for f in touched])
+        merged = cur_t.join(df.select(keys).distinct(), keys, "left_anti").unionByName(df)
+    else:
+        merged = df
+    new_files = _write_files(merged, p)
+    new_stats = dict(stats)
+    for f in touched:
+        new_stats.pop(f, None)
+    tracked_cols = sorted({c for s in stats.values() for c in s})
+    new_stats.update(_collect_stats(p, new_files, tracked_cols, spark=spark))
+    return _commit(p, untouched + new_files, parent, stats=new_stats)
 
 
 def _read_manifest(table_path, version: int) -> dict:

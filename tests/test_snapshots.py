@@ -443,3 +443,69 @@ def test_schema_evolution_read_across_appends(spark, tmp_path):
     # time travel to v1: the pre-evolution schema, no phantom column
     v1 = snapshot_read(spark, t, version=1, merge_schema=True)
     assert set(v1.columns) == {"k", "v"}
+
+
+def test_upsert_with_key_stats_rewrites_only_touched_files(spark, tmp_path):
+    """On a table whose manifest carries key stats, a narrow-keyed upsert
+    must rewrite only the files whose range can contain batch keys; every
+    other file is carried into the new manifest byte-identical, results
+    equal the full-rewrite semantics, and stats survive for ALL files so
+    the next upsert prunes too."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), F.lit("old").alias("v")
+    )
+    snapshot_write_with_stats(base, t, ["k"], n_files=8)
+    m1 = _read_manifest(t, current_version(t))
+    assert len(m1["files"]) >= 8
+
+    batch = spark.createDataFrame(
+        [(k, "new") for k in range(100, 120)], "k long, v string"
+    )
+    mtimes_before = {
+        f: os.path.getmtime(t / f) for f in m1["files"]
+    }
+    snapshot_upsert(spark, batch, t, ["k"])
+    m2 = _read_manifest(t, current_version(t))
+
+    carried = set(m1["files"]) & set(m2["files"])
+    rewritten = set(m1["files"]) - set(m2["files"])
+    # 20 contiguous keys of 400 over 8 ranged files: at most 2 old files
+    # may be dropped from the manifest; the rest carry over untouched
+    assert len(rewritten) <= 2, sorted(rewritten)
+    assert len(carried) >= 6
+    for f in carried:
+        assert os.path.getmtime(t / f) == mtimes_before[f]  # byte-identical
+
+    got = {
+        (r.k, r.v) for r in snapshot_read(spark, t).collect()
+    }
+    expect = {(k, "new" if 100 <= k < 120 else "old") for k in range(400)}
+    assert got == expect
+
+    # stats survive for every listed file -> the NEXT upsert prunes too
+    assert all("k" in m2.get("stats", {}).get(f, {}) for f in m2["files"])
+    mtimes_2 = {f: os.path.getmtime(t / f) for f in m2["files"]}
+    snapshot_upsert(spark, spark.createDataFrame([(5, "x")], "k long, v string"), t, ["k"])
+    m3 = _read_manifest(t, current_version(t))
+    assert len(set(m2["files"]) & set(m3["files"])) >= len(m2["files"]) - 2
+    for f in set(m2["files"]) & set(m3["files"]):
+        assert os.path.getmtime(t / f) == mtimes_2[f]
+
+    # empty batch: metadata-only version, same file list
+    v_before = current_version(t)
+    snapshot_upsert(
+        spark, spark.createDataFrame([], "k long, v string"), t, ["k"]
+    )
+    m4 = _read_manifest(t, current_version(t))
+    assert current_version(t) == v_before + 1
+    assert m4["files"] == m3["files"]
