@@ -188,7 +188,13 @@ def merge_upsert(
                 if retain_versions:
                     snapshot_vacuum(tp, keep_versions=retain_versions)
                 return target_path
-        snapshot_upsert(spark, incoming, target_path, keys)
+        # seed the first commit range-split on the key with per-file
+        # stats: every later upsert then rewrites only the files whose
+        # key range the batch touches (stats-pruned MERGE) instead of
+        # copying the table per load
+        snapshot_upsert(
+            spark, incoming, target_path, keys, seed_stats_files=8
+        )
         if retain_versions:
             snapshot_vacuum(target_path, keep_versions=retain_versions)
         return target_path

@@ -257,7 +257,11 @@ def last_txn(table_path, txn_app: str | None = None) -> int:
 
 
 def snapshot_upsert(
-    spark: SparkSession, df: DataFrame, table_path, keys: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    table_path,
+    keys: list[str],
+    seed_stats_files: int | None = None,
 ) -> int:
     """Keyed upsert as a new version. When the table's manifest carries
     per-file [min, max] stats for the first key column, only the files
@@ -268,12 +272,21 @@ def snapshot_upsert(
     conservatively included in the rewrite set, so pruning never loses a
     matched row; a table with no key stats at all falls back to the full
     rewrite. New files' stats are collected for every column the parent
-    manifest tracked, so later upserts and range reads keep pruning."""
+    manifest tracked, so later upserts and range reads keep pruning.
+
+    ``seed_stats_files``: when the call CREATES the table, range-split the
+    first commit on the key into that many files with per-file stats —
+    the layout every later upsert's pruning feeds on. Ignored for
+    existing tables (their layout is already decided)."""
     from pyspark.sql import functions as F
 
     p = _table(table_path)
     parent = current_version(p)
     if parent == 0:
+        if seed_stats_files:
+            return snapshot_write_with_stats(
+                df, p, [keys[0]], n_files=seed_stats_files
+            )
         return snapshot_write(df, p)
     m = _read_manifest(p, parent)
     stats: dict = m.get("stats", {}) or {}
