@@ -171,15 +171,19 @@ def merge_upsert(
                 # pre-format plain-parquet table: fold its rows into this
                 # first snapshot commit or they would silently vanish
                 # behind the manifest (survivors via the same anti-join)
-                from .snapshots import snapshot_write
+                from .snapshots import snapshot_write_with_stats
 
                 survivors = legacy.join(
                     incoming.select(*keys), on=keys, how="left_anti"
                 )
                 merged = survivors.unionByName(incoming, allowMissingColumns=True)
                 # eager: the rows must be materialized before we delete
-                # the legacy files they were read from
-                snapshot_write(merged.localCheckpoint(eager=True), tp)
+                # the legacy files they were read from. Range-split on the
+                # key with stats, same as a fresh table's seeded first
+                # commit — migrated tables prune their upserts too.
+                snapshot_write_with_stats(
+                    merged.localCheckpoint(eager=True), tp, [keys[0]], n_files=8
+                )
                 # the commit is durable — remove the pre-format files, or
                 # they would sit beside data/ as a dead full table copy
                 # that snapshot_vacuum (which only scans data/) can never
