@@ -509,3 +509,39 @@ def test_upsert_with_key_stats_rewrites_only_touched_files(spark, tmp_path):
     m4 = _read_manifest(t, current_version(t))
     assert current_version(t) == v_before + 1
     assert m4["files"] == m3["files"]
+
+
+def test_vacuum_keeps_files_shared_across_pruned_upsert_versions(spark, tmp_path):
+    """Pruned upserts CARRY untouched files into new manifests by
+    reference; vacuum(keep=1) must keep every file the latest manifest
+    lists — including carried ones older than the retained version — and
+    delete only the superseded rewrite set."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_vacuum,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    base = spark.range(0, 400).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    snapshot_write_with_stats(base, t, ["k"], n_files=8)
+    m1 = set(_read_manifest(t, current_version(t))["files"])
+    snapshot_upsert(
+        spark,
+        spark.createDataFrame([(150, "new")], "k long, v string"),
+        t,
+        ["k"],
+    )
+    m2 = set(_read_manifest(t, current_version(t))["files"])
+    carried = m1 & m2
+    superseded = m1 - m2
+    assert carried and superseded
+
+    deleted = set(snapshot_vacuum(t, keep_versions=1))
+    assert deleted == superseded  # ONLY the rewritten range's old files go
+    for f in carried:
+        assert (t / f).exists()
+    got = {(r.k, r.v) for r in snapshot_read(spark, t).collect()}
+    assert got == {(k, "new" if k == 150 else "old") for k in range(400)}
