@@ -237,14 +237,20 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     ).collect()[0]
     pk = (rng[0] + rng[1]) // 2
     sk = (rng[2] + rng[3]) // 2
+    # file counts are requested as 8 but range partitioning may coalesce
+    # an empty boundary partition — assert against the ACTUAL counts so
+    # the invariants, not the writer's task layout, are what's pinned
+    n_s = len(glob.glob(str(spath / "*.parquet")))
+    n_z = len(glob.glob(str(zpath / "*.parquet")))
+    assert n_s >= 6 and n_z >= 6  # genuinely multi-file layouts
     # the sorted-by-partkey layout prunes partkey but NOT suppkey
     assert admitting_files(spath, "l_partkey", pk) <= 2
-    assert admitting_files(spath, "l_suppkey", sk) == 8
+    assert admitting_files(spath, "l_suppkey", sk) == n_s
     # z-order prunes on BOTH dimensions: strictly better than the sort on
     # the secondary column (8 files give only ~1-2 z-bits to each axis at
     # this tiny SF, so the secondary cut is coarse but real)
-    assert admitting_files(zpath, "l_partkey", pk) <= 4
-    assert admitting_files(zpath, "l_suppkey", sk) <= 6
+    assert admitting_files(zpath, "l_partkey", pk) <= n_z // 2
+    assert admitting_files(zpath, "l_suppkey", sk) <= n_z - 2
     # same rows either way
     assert spark.read.parquet(str(zpath)).count() == l.count()
 
