@@ -543,6 +543,45 @@ def snapshot_write_with_stats(
     return _commit(p, files, current_version(p), stats=stats)
 
 
+def snapshot_delete_range(
+    spark: SparkSession, table_path, col: str, lo, hi
+) -> int:
+    """Copy-on-write DELETE of every row with ``lo <= col <= hi``,
+    committed as a new version — the retention / right-to-be-forgotten
+    operation (drop a date range, purge a key span). File pruning makes
+    it usable at scale: only files whose [min, max] stats overlap the
+    range are rewritten (minus the matching rows); every other file is
+    carried into the new manifest byte-identical with its stats, exactly
+    the stats-pruned upsert's shape. Files without stats for ``col``
+    conservatively rewrite. A range no file overlaps commits a
+    metadata-only version (an auditable no-op in the history). Old
+    versions still time-travel to the deleted rows until vacuum reclaims
+    them — retention of the HISTORY is vacuum's job, by design."""
+    from pyspark.sql import functions as F
+
+    p = _table(table_path)
+    parent = current_version(p)
+    if parent == 0:
+        raise FileNotFoundError(f"no snapshot table at {p}")
+    m = _read_manifest(p, parent)
+    stats: dict = m.get("stats", {}) or {}
+    touched = set(snapshot_files_for_range(p, col, lo, hi, parent))
+    untouched = [f for f in m["files"] if f not in touched]
+    if not touched:
+        return _commit(p, list(m["files"]), parent, stats=stats or None)
+    kept_rows = spark.read.parquet(*[str(p / f) for f in sorted(touched)]).where(
+        ~((F.col(col) >= lo) & (F.col(col) <= hi)) | F.col(col).isNull()
+    )
+    new_files = _write_files(kept_rows, p)
+    new_stats = dict(stats)
+    for f in touched:
+        new_stats.pop(f, None)
+    tracked_cols = sorted({c for s in stats.values() for c in s})
+    if tracked_cols:
+        new_stats.update(_collect_stats(p, new_files, tracked_cols, spark=spark))
+    return _commit(p, untouched + new_files, parent, stats=new_stats or None)
+
+
 def snapshot_files_for_range(table_path, col: str, lo, hi, version: int | None = None) -> list[str]:
     """The file subset whose [min, max] stats overlap [lo, hi] — files
     without stats for ``col`` are kept (pruning must never lose rows)."""

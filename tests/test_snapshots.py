@@ -545,3 +545,56 @@ def test_vacuum_keeps_files_shared_across_pruned_upsert_versions(spark, tmp_path
         assert (t / f).exists()
     got = {(r.k, r.v) for r in snapshot_read(spark, t).collect()}
     assert got == {(k, "new" if k == 150 else "old") for k in range(400)}
+
+
+def test_delete_range_rewrites_only_overlapping_files(spark, tmp_path):
+    """Copy-on-write range DELETE: rows in [lo, hi] vanish from the new
+    version, only overlapping files rewrite (others carry byte-identical
+    with stats), NULL-key rows survive, the old version still time-travels
+    to the deleted rows, and a no-overlap range commits a metadata-only
+    version."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_delete_range,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    base = spark.range(0, 400).select(
+        F.when(F.col("id") == 399, None).otherwise(F.col("id")).alias("k"),
+        F.lit("row").alias("v"),
+    )
+    snapshot_write_with_stats(base, t, ["k"], n_files=8)
+    v1 = current_version(t)
+    m1 = _read_manifest(t, v1)
+    mtimes = {f: os.path.getmtime(t / f) for f in m1["files"]}
+
+    snapshot_delete_range(spark, t, "k", 100, 119)
+    v2 = current_version(t)
+    m2 = _read_manifest(t, v2)
+
+    carried = set(m1["files"]) & set(m2["files"])
+    assert len(set(m1["files"]) - set(m2["files"])) <= 2  # only overlap rewrote
+    for f in carried:
+        assert os.path.getmtime(t / f) == mtimes[f]
+
+    ks = {r.k for r in snapshot_read(spark, t).collect()}
+    assert None in ks  # NULL-key row survives a range delete
+    assert ks & set(range(100, 120)) == set()
+    assert ks >= set(range(0, 100)) and ks >= set(range(120, 399))
+    # stats survive for every listed file
+    assert all("k" in m2.get("stats", {}).get(f, {}) for f in m2["files"])
+
+    # time travel still sees the deleted rows
+    old = {r.k for r in snapshot_read(spark, t, version=v1).collect()}
+    assert set(range(100, 120)) <= old
+
+    # no-overlap range: metadata-only new version, same files
+    snapshot_delete_range(spark, t, "k", 10_000, 20_000)
+    m3 = _read_manifest(t, current_version(t))
+    assert current_version(t) == v2 + 1
+    assert m3["files"] == m2["files"]
