@@ -230,3 +230,54 @@ def snapshot_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_retention_delete_orders",
+    oracle="""
+        SELECT 1 AS version, o_orderkey AS order_id,
+               o_totalprice AS total_price
+        FROM orders
+        UNION ALL
+        SELECT 2, o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 2999
+    """,
+    tags=("snapshot", "delete", "versioning"),
+)
+def snapshot_retention_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stats-pruned copy-on-write DELETE under the driver's hash gate:
+    commit orders range-split on the key with per-file stats as v1, run
+    snapshot_delete_range over [1000, 2999] (only the overlapping files
+    rewrite; the rest carry by reference) as v2, then emit the
+    TIME-TRAVEL read of v1 — which must still contain the deleted rows —
+    alongside the post-delete latest, version-tagged. The oracle derives
+    both versions arithmetically, so a pruning slip that loses a row
+    outside the range, leaks one inside it, or breaks the carried files'
+    readability changes the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        snapshot_delete_range,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_del_orders_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snapshot_write_with_stats(o, t, ["o_orderkey"], n_files=8)
+    snapshot_delete_range(spark, t, "o_orderkey", 1000, 2999)
+
+    def tagged(version: int) -> DataFrame:
+        return snapshot_read(spark, t, version=version).select(
+            F.lit(version).alias("version"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+
+    # eager: same scratch-invalidation contract as the sibling fixtures
+    return tagged(1).unionByName(tagged(2)).localCheckpoint(eager=True)
