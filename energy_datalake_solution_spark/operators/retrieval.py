@@ -727,3 +727,92 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_unique") / F.col("n_grams"), 6).alias("novelty_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Curation scorecard — the per-document decision table
+# --------------------------------------------------------------------------
+
+
+from . import lm as _lm  # noqa: E402  (scorecard nests the LM oracle)
+from . import text as _text  # noqa: E402  (and the quality oracle —
+# explicit so decoration-time QUERIES lookups never depend on another
+# module having imported text first)
+
+
+def _scorecard_oracle() -> str:
+    q = QUERIES["docs_quality_score"].oracle
+    d = QUERIES["docs_dsir_weights"].oracle
+    n = QUERIES["docs_ngram_novelty"].oracle
+    l = QUERIES["docs_bigram_lm_score"].oracle
+    return f"""
+        WITH q AS ({q}), ds AS ({d}), nv AS ({n}), lm AS ({l})
+        SELECT q.doc_id,
+               q.n_tokens,
+               q.quality_flag,
+               ds.dsir_weight,
+               nv.novelty_rate,
+               lm.avg_logp,
+               CASE WHEN q.quality_flag = 'keep'
+                         AND coalesce(ds.dsir_weight, 0) >= 0
+                    THEN 'admit'
+                    WHEN q.quality_flag = 'keep' THEN 'hold'
+                    ELSE 'drop' END AS verdict
+        FROM q
+        LEFT JOIN ds ON q.doc_id = ds.doc_id
+        LEFT JOIN nv ON q.doc_id = nv.doc_id
+        LEFT JOIN lm ON q.doc_id = lm.doc_id
+    """
+
+
+@register(
+    "docs_curation_scorecard",
+    oracle=_scorecard_oracle(),
+    tags=("text", "quality", "selection", "dashboard"),
+)
+def docs_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document with every per-doc curation signal the engine
+    computes — heuristic quality, DSIR target-domain affinity, 8-gram
+    novelty, LM log-likelihood — plus the admission verdict a pipeline
+    acts on: 'admit' (quality keep AND at-least-raw target affinity),
+    'hold' (quality keep, negative affinity — candidate for resampling),
+    'drop'. This is the decision table a 100 TB curation run materializes
+    once per corpus version and thresholds downstream.
+
+    Pure composition of REGISTERED operators — same plans, same oracle
+    texts nested, so the scorecard can never drift from the signals it
+    reports. All joins key on doc_id; quality covers every document, the
+    others LEFT-join (short docs have no bigrams/8-grams to score, and
+    their NULLs flow through both engines identically). One pass per
+    signal — at scale this is the query you run to AVOID re-running the
+    signals per consumer."""
+    from .lm import docs_bigram_lm_score
+    from .text import docs_quality_score
+
+    q = docs_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_flag"
+    )
+    ds = docs_dsir_weights(spark, sf_dir).select("doc_id", "dsir_weight")
+    nv = docs_ngram_novelty(spark, sf_dir).select("doc_id", "novelty_rate")
+    lm = docs_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logp")
+    return (
+        q.join(ds, "doc_id", "left")
+        .join(nv, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_flag",
+            "dsir_weight",
+            "novelty_rate",
+            "avg_logp",
+            F.when(
+                (F.col("quality_flag") == "keep")
+                & (F.coalesce(F.col("dsir_weight"), F.lit(0.0)) >= 0),
+                "admit",
+            )
+            .when(F.col("quality_flag") == "keep", "hold")
+            .otherwise("drop")
+            .alias("verdict"),
+        )
+    )

@@ -110,6 +110,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "docs_dsir_weights",
     "docs_dedup_keep_best",
     "docs_ngram_novelty",
+    "docs_curation_scorecard",
     "snapshot_retention_delete_orders",
     "multimodal_gif_pixel_stats",
     "multimodal_png_pixel_stats",
