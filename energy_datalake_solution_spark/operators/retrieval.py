@@ -539,12 +539,17 @@ def bm25_probe(
     if stats is None:
         # sum the delta rows (one per build/append commit) — merge-on-read.
         # idf's N = total docs; avgdl averages only docs with a token
-        # stream (mirrors the fused query's count(*) vs NULL-skipping avg)
-        r = (
-            snapshot_read(spark, root / "stats")
-            .agg(F.sum("n_docs"), F.sum("n_text_docs"), F.sum("sum_dl"))
-            .first()
+        # stream (mirrors the fused query's count(*) vs NULL-skipping avg).
+        # merge_schema + coalesce tolerate delta rows written before the
+        # stats table carried n_text_docs (those rows folded the counts,
+        # so n_docs is the faithful fallback for them).
+        sdf = snapshot_read(spark, root / "stats", merge_schema=True)
+        n_text_col = (
+            F.coalesce(F.col("n_text_docs"), F.col("n_docs"))
+            if "n_text_docs" in sdf.columns
+            else F.col("n_docs")
         )
+        r = sdf.agg(F.sum("n_docs"), F.sum(n_text_col), F.sum("sum_dl")).first()
         n = int(r[0]) if r[0] is not None else 0
         n_text = int(r[1]) if r[1] is not None else 0
         stats = (n, (int(r[2]) / n_text) if n_text and r[2] is not None else 1.0)

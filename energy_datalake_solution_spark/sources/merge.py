@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .schemas import PARTITION_COLUMN, TableContract
+from .snapshots import _MANIFEST_DIR
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -91,7 +92,7 @@ def _migrate_legacy_parquet_table(spark: SparkSession, table_path: Path):
     if not table_path.exists():
         return None
     legacy_content = [
-        e for e in table_path.iterdir() if e.name not in ("_manifests", "data")
+        e for e in table_path.iterdir() if e.name not in (_MANIFEST_DIR, "data")
         and not e.name.startswith(("_SUCCESS", "."))
     ]
     if not legacy_content:
@@ -107,7 +108,7 @@ def _remove_legacy_parquet_content(table_path: Path) -> None:
     import shutil
 
     for e in table_path.iterdir():
-        if e.name in ("_manifests", "data") or e.name == "_latest" or (
+        if e.name in (_MANIFEST_DIR, "data") or e.name == "_latest" or (
             e.name.startswith("_latest.")
         ):
             continue
@@ -165,7 +166,7 @@ def merge_upsert(
         from .snapshots import snapshot_upsert, snapshot_vacuum
 
         tp = Path(target_path)
-        if not (tp / "_manifests").exists():
+        if not (tp / _MANIFEST_DIR).exists():
             legacy = _migrate_legacy_parquet_table(spark, tp)
             if legacy is not None:
                 # pre-format plain-parquet table: fold its rows into this
@@ -217,7 +218,7 @@ def merge_upsert(
         # duplicates. The two layouts cannot mix — fail loudly.
         from pathlib import Path as _P
 
-        if _P(target_path, "_manifests").exists():
+        if _P(target_path, _MANIFEST_DIR).exists():
             raise ValueError(
                 f"merge_upsert(partition_by={partition_by!r}): {target_path}"
                 " is a snapshot-format table (has _manifests/); the"
@@ -283,7 +284,7 @@ def curated_read(spark: SparkSession, curated_root: str | Path, table_name: str)
     recursive directory read would see EVERY version's files at once;
     partition-scoped tables (plain parquet layout) read directly."""
     p = Path(curated_root) / table_name
-    if (p / "_manifests").exists():
+    if (p / _MANIFEST_DIR).exists():
         from .snapshots import snapshot_read
 
         return snapshot_read(spark, p)

@@ -290,34 +290,44 @@ def snapshot_upsert(
         return snapshot_write(df, p)
     m = _read_manifest(p, parent)
     stats: dict = m.get("stats", {}) or {}
+    tracked_cols = sorted({c for s in stats.values() for c in s})
     col = keys[0]
     if not any(col in s for s in stats.values()):
-        # no key stats anywhere: classic full rewrite
+        # no key stats anywhere: classic full rewrite — but keep whatever
+        # OTHER column stats the table tracked (a commit must never
+        # silently strip the manifest's pruning metadata)
         cur = snapshot_read(spark, p)
         merged = cur.join(df.select(keys).distinct(), keys, "left_anti").unionByName(df)
         files = _write_files(merged, p)
-        return _commit(p, files, parent)
+        st = _collect_stats(p, files, tracked_cols, spark=spark) if tracked_cols else None
+        return _commit(p, files, parent, stats=st)
 
-    lo, hi = df.agg(F.min(col), F.max(col)).first()
-    if lo is None:
+    lo, hi, n_rows = df.agg(F.min(col), F.max(col), F.count(F.lit(1))).first()
+    if n_rows == 0:
         # empty batch: metadata-only commit carrying the parent's files
         return _commit(p, list(m["files"]), parent, stats=stats or None)
-    touched = [
-        f
-        for f in m["files"]
-        if (s := stats.get(f, {}).get(col)) is None or not (s[1] < lo or s[0] > hi)
-    ]
-    untouched = [f for f in m["files"] if f not in set(touched)]
-    if touched:
-        cur_t = spark.read.parquet(*[str(p / f) for f in touched])
-        merged = cur_t.join(df.select(keys).distinct(), keys, "left_anti").unionByName(df)
-    else:
+    if lo is None:
+        # non-empty batch whose key is NULL in every row: NULL matches no
+        # existing row (the anti-join never equates NULLs), so this is a
+        # pure append — rewrite NOTHING, add the batch's files. Dropping
+        # it as "empty" would silently lose the rows a stats-less table
+        # keeps.
+        touched: set[str] = set()
         merged = df
+    else:
+        touched = set(snapshot_files_for_range(p, col, lo, hi, parent))
+        if touched:
+            cur_t = spark.read.parquet(*[str(p / f) for f in sorted(touched)])
+            merged = cur_t.join(
+                df.select(keys).distinct(), keys, "left_anti"
+            ).unionByName(df)
+        else:
+            merged = df
+    untouched = [f for f in m["files"] if f not in touched]
     new_files = _write_files(merged, p)
     new_stats = dict(stats)
     for f in touched:
         new_stats.pop(f, None)
-    tracked_cols = sorted({c for s in stats.values() for c in s})
     new_stats.update(_collect_stats(p, new_files, tracked_cols, spark=spark))
     return _commit(p, untouched + new_files, parent, stats=new_stats)
 
@@ -436,13 +446,23 @@ def stream_snapshot_sink(stream: DataFrame, table_path, checkpoint_dir, app_id: 
     depends on the spelling of the checkpoint path — a restart launched
     with the absolute form of the same relative checkpoint dir must land
     in the same namespace, not double-commit (same rule as the index
-    sinks in streaming/pipeline.py).
+    sinks in streaming/pipeline.py). Replay detection ALSO consults the
+    raw-spelling namespace: a checkpoint lineage that stamped txns under
+    the pre-canonicalization default must keep skipping its replays
+    after an upgrade, not re-commit them under the new namespace.
     """
     resolved_app = (
         app_id if app_id is not None else str(Path(checkpoint_dir).resolve())
     )
+    legacy_app = str(checkpoint_dir) if app_id is None else None
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if (
+            legacy_app is not None
+            and legacy_app != resolved_app
+            and batch_id <= last_txn(table_path, legacy_app)
+        ):
+            return  # already committed under the pre-canonicalization stamp
         snapshot_append_once(batch_df, table_path, txn=batch_id, txn_app=resolved_app)
 
     return (

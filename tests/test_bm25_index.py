@@ -202,3 +202,28 @@ def test_null_text_docs_count_toward_idf_but_not_avgdl(spark, tmp_path):
     }
     got = {(a, int(b), float(c), int(d)) for a, b, c, d in stored}
     assert got == oracle_rows
+
+
+def test_probe_tolerates_legacy_two_column_stats_schema(spark, tmp_path):
+    """An index whose stats table predates the n_text_docs column (the
+    folded 2-column schema) must still probe: merge-on-read falls back to
+    n_docs for legacy delta rows, which is exact on corpora without
+    NULL-text docs."""
+    from energy_datalake_solution_spark.sources.snapshots import snapshot_write
+
+    idx = tmp_path / "idx"
+    build_bm25_index(spark, SF_ORACLE, idx)
+    # rewrite the stats table in the LEGACY schema with equivalent totals
+    import shutil
+
+    r = spark.read.parquet(
+        *[str(p) for p in (idx / "stats" / "data").rglob("*.parquet")]
+    ).collect()[0]
+    shutil.rmtree(idx / "stats")
+    legacy = spark.createDataFrame(
+        [(int(r.n_docs), int(r.sum_dl))], "n_docs long, sum_dl long"
+    )
+    snapshot_write(legacy, idx / "stats")
+
+    fused = _rows(docs_bm25_topk(spark, SF_ORACLE))
+    assert _rows(bm25_probe(spark, QT, idx)) == fused

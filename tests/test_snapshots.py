@@ -598,3 +598,89 @@ def test_delete_range_rewrites_only_overlapping_files(spark, tmp_path):
     m3 = _read_manifest(t, current_version(t))
     assert current_version(t) == v2 + 1
     assert m3["files"] == m2["files"]
+
+
+def test_upsert_all_null_key_batch_appends_instead_of_vanishing(spark, tmp_path):
+    """A non-empty batch whose key is NULL in every row matches nothing
+    (anti-join never equates NULLs) — on a stats-pruned table it must
+    APPEND those rows exactly as the stats-less full rewrite does, never
+    be mistaken for an empty batch and dropped."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    base = spark.range(0, 40).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    snapshot_write_with_stats(base, t, ["k"], n_files=4)
+    null_batch = spark.createDataFrame(
+        [(None, "null-key-1"), (None, "null-key-2")], "k long, v string"
+    )
+    snapshot_upsert(spark, null_batch, t, ["k"])
+    rows = snapshot_read(spark, t).collect()
+    assert len(rows) == 42
+    assert sorted(r.v for r in rows if r.k is None) == ["null-key-1", "null-key-2"]
+
+
+def test_upsert_no_key_stats_fallback_keeps_other_column_stats(spark, tmp_path):
+    """A table tracking stats on a NON-key column, upserted on a key with
+    no stats anywhere: the full-rewrite fallback must re-collect the
+    tracked column's stats for the new files, not strip the manifest."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("d"), F.lit("old").alias("v")
+    )
+    snapshot_write_with_stats(base, t, ["d"], n_files=4)
+    snapshot_upsert(
+        spark, spark.createDataFrame([(5, 5 % 7, "new")], "k long, d long, v string"),
+        t, ["k"],
+    )
+    m = _read_manifest(t, current_version(t))
+    assert m["files"] and all("d" in m.get("stats", {}).get(f, {}) for f in m["files"])
+
+
+def test_stream_sink_skips_replays_stamped_under_legacy_namespace(spark, tmp_path):
+    """A checkpoint lineage that stamped its txns under the raw path
+    spelling (pre-canonicalization default) must keep skipping replays
+    after the default became resolve()d — not re-commit the batch under
+    the new namespace."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_write,
+        stream_snapshot_sink,
+    )
+
+    t = tmp_path / "t"
+    snapshot_write(
+        spark.createDataFrame([(1, "seed")], "k long, v string"), t
+    )
+    # an unresolved spelling of the checkpoint dir (resolve() differs)
+    ckpt = tmp_path / "sub" / ".." / "ckpt"
+    assert str(ckpt) != str(ckpt.resolve())
+    # the old lineage already committed batch 0 under the RAW spelling
+    snapshot_append(
+        spark.createDataFrame([(2, "batch0")], "k long, v string"),
+        t, txn=0, txn_app=str(ckpt),
+    )
+    v_before = current_version(t)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(2, "batch0")], "k long, v string").coalesce(1).write.json(
+        str(src / "b0")
+    )
+    stream = spark.readStream.schema("k long, v string").json(str(src))
+    q = stream_snapshot_sink(stream, t, ckpt)  # fresh checkpoint: batch 0 replays
+    q.awaitTermination(60)
+    assert current_version(t) == v_before  # skipped via the legacy stamp
+    assert [r.v for r in snapshot_read(spark, t).collect()].count("batch0") == 1
