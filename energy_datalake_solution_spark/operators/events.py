@@ -704,3 +704,85 @@ def events_resample_hourly_ffill_sharded(spark: SparkSession, sf_dir: str) -> Da
             F.col("n_events").isNull().alias("is_gap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: distributed Misra-Gries sketch
+# --------------------------------------------------------------------------
+
+HH_K = 16  # counter budget per partition summary (error <= n / (HH_K+1))
+
+
+@register(
+    "events_user_heavy_hitters",
+    oracle=None,  # summary contents depend on partition arrival order ->
+    # rows-only gate; the deterministic MG guarantees (coverage of every
+    # true heavy hitter, bounded undercount) are pinned in
+    # tests/test_events_approx.py
+    tags=("events", "agg", "approx", "sketch"),
+)
+def events_user_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-producing users via a distributed Misra-Gries sketch
+    (Misra & Gries 1982; merge analysis: Agarwal et al., "Mergeable
+    Summaries", PODS 2012): each partition folds its event stream into at
+    most HH_K counters (decrement-all on overflow), the model-sized
+    summaries merge by key, and the top HH_K estimates emerge with a
+    deterministic guarantee — est_count is an UNDERCOUNT of the true
+    count by at most n/(HH_K+1), so every user with true frequency above
+    that bound is guaranteed present. This is the bounded-state answer to
+    "who dominates the stream" when exact per-key counting's state (one
+    counter per distinct user — fine here, unbounded at 100 TB of
+    high-cardinality keys) is the thing being avoided.
+
+    Plan: one mapInPandas scan emitting <= HH_K rows per partition
+    (sketch state is O(HH_K) regardless of partition size), a
+    summary-sized groupBy merge, and a TakeOrdered top-k. The corpus is
+    never shuffled — only the per-partition summaries move, the same
+    state-vs-stream separation as the LM/DSIR tiers. Estimates are
+    order-dependent (a different partitioning shifts them within the
+    bound), hence rows-only at the gate with the bound pinned in pytest."""
+    from typing import Iterator
+
+    e = load_events(spark, sf_dir).select("user_id").where(
+        F.col("user_id").isNotNull()
+    )
+    return mg_heavy_hitters(e)
+
+
+def mg_heavy_hitters(keyed: DataFrame, k: int = HH_K) -> DataFrame:
+    """The sketch pipeline over any single-column ``user_id`` frame —
+    exposed so the strength tests drive planted-skew corpora through the
+    EXACT registered kernel, not a copy."""
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for u in pdf["user_id"]:
+                u = int(u)
+                if u in counters:
+                    counters[u] += 1
+                elif len(counters) < k:
+                    counters[u] = 1
+                else:
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        yield pd.DataFrame(
+            {"user_id": list(counters), "est_count": list(counters.values())}
+        )
+
+    summaries = keyed.mapInPandas(mg_partition, "user_id long, est_count long")
+    merged = summaries.groupBy("user_id").agg(
+        F.sum("est_count").cast("long").alias("est_count")
+    )
+    return (
+        merged.orderBy(F.col("est_count").desc(), "user_id")
+        .limit(k)
+        .select("user_id", "est_count")
+    )

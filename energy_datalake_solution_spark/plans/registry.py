@@ -112,6 +112,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "docs_ngram_novelty",
     "docs_curation_scorecard",
     "snapshot_retention_delete_orders",
+    "events_user_heavy_hitters",
     "multimodal_gif_pixel_stats",
     "multimodal_png_pixel_stats",
     "docs_temperature_sample",

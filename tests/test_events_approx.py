@@ -95,3 +95,48 @@ def test_sharded_ffill_carries_across_fully_empty_days(spark, tmp_path):
     probe = dt.datetime(2025, 1, 3, 12)
     assert by_hour[probe].is_gap and by_hour[probe].filled_max == 17.0
     assert by_hour[dt.datetime(2025, 1, 5, 3)].filled_max == 99.0
+
+
+def test_heavy_hitters_mg_guarantees(spark):
+    """Misra-Gries bounds, pinned deterministically: (1) est_count never
+    exceeds the true count and undercounts by at most n/(HH_K+1); (2)
+    every user whose true count exceeds that bound appears in the sketch
+    output; (3) a skew-planted corpus surfaces its dominant user first —
+    all driven through the registered operator's own kernel."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.operators.events import (
+        HH_K,
+        events_user_heavy_hitters,
+        load_events,
+        mg_heavy_hitters,
+    )
+
+    from .conftest import SF_ORACLE
+
+    e = load_events(spark, SF_ORACLE).where(F.col("user_id").isNotNull())
+    n = e.count()
+    true = {
+        r.user_id: r.c
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    bound = n / (HH_K + 1)
+    got = {
+        r.user_id: r.est_count
+        for r in events_user_heavy_hitters(spark, SF_ORACLE).collect()
+    }
+    assert got  # non-empty on a non-empty corpus
+    for u, est in got.items():
+        assert est <= true[u], f"overcount for {u}"
+        assert true[u] - est <= bound, f"undercount beyond n/(k+1) for {u}"
+    for u, c in true.items():
+        if c > bound:
+            assert u in got, f"true heavy hitter {u} (count {c}) missing"
+
+    # skew-planted corpus: one user owns half the stream
+    skew = spark.createDataFrame(
+        [(7 if i % 2 == 0 else 1000 + i,) for i in range(4000)], "user_id long"
+    )
+    top = mg_heavy_hitters(skew).collect()
+    assert top[0].user_id == 7
+    assert top[0].est_count >= 2000 - 4000 // (HH_K + 1)
