@@ -802,3 +802,87 @@ def score_stream_dsir(
     return stream.mapInPandas(
         score, "doc_id long, n_features long, dsir_weight double"
     )
+
+
+def stream_heavy_hitters_sink(
+    stream: DataFrame,
+    table_path,
+    checkpoint_dir,
+    k: int | None = None,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Exactly-once STREAMING maintenance of a bounded Misra-Gries
+    heavy-hitters summary (operators/events.py::mg_heavy_hitters is the
+    batch form): each micro-batch folds through the per-partition MG
+    kernel, merges with the standing summary by key-sum, and applies the
+    mergeable-summaries reduction (Agarwal et al., PODS 2012) — if the
+    union exceeds k keys, subtract the (k+1)-th largest count from every
+    counter and drop the non-positive — so the stored state NEVER exceeds
+    k rows while the classic deterministic bound stays additive across
+    merges: est <= true, true - est <= n_total/(k+1) over everything the
+    stream has seen. The summary commits through the snapshot format as a
+    full-replace version stamped (app_id, batch_id): replays are detected
+    before any fold work runs and skipped, so at-least-once delivery +
+    idempotent commit = exactly-once summary contents.
+
+    This is the streaming answer to "who dominates the firehose" with
+    O(k) state per writer and per table — no per-key state store, no
+    watermark (each event row is self-contained), readers poll the
+    summary table for a consistent snapshot at any time."""
+    from pathlib import Path
+
+    from ..operators.events import HH_K, mg_heavy_hitters
+    from ..sources.snapshots import (
+        _commit,
+        _table,
+        _write_files,
+        current_version,
+        last_txn,
+        snapshot_read,
+    )
+
+    k_eff = k if k is not None else HH_K
+    resolved_app = (
+        app_id if app_id is not None else str(Path(checkpoint_dir).resolve())
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_txn(table_path, resolved_app):
+            return  # replay of a committed batch
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_summary = mg_heavy_hitters(
+            batch_df.select("user_id").where(F.col("user_id").isNotNull()), k=k_eff
+        )
+        p = _table(table_path)
+        if current_version(p):
+            standing = snapshot_read(spark, p)
+            union = standing.unionByName(batch_summary)
+        else:
+            union = batch_summary
+        merged = [
+            (int(r.user_id), int(r.est_count))
+            for r in union.groupBy("user_id")
+            .agg(F.sum("est_count").cast("long").alias("est_count"))
+            .collect()  # summary-sized by construction: <= 2k rows
+        ]
+        if len(merged) > k_eff:
+            merged.sort(key=lambda t: (-t[1], t[0]))
+            cut = merged[k_eff][1]  # (k+1)-th largest count
+            merged = [
+                (u, c - cut) for u, c in merged if c - cut > 0
+            ]
+        out = spark.createDataFrame(
+            sorted(merged, key=lambda t: (-t[1], t[0])),
+            "user_id long, est_count long",
+        )
+        files = _write_files(out.coalesce(1), p)
+        _commit(p, files, current_version(p), txn=batch_id, txn_app=resolved_app)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -961,3 +961,59 @@ def test_streaming_dsir_scoring_matches_batch(spark, tmp_path):
     out = score_stream_dsir(novel, {}, default_llr).collect()
     assert out[0].n_features == 2
     assert abs(out[0].dsir_weight - round(default_llr, 6)) < 1e-9
+
+
+def test_streaming_heavy_hitters_bounded_state_and_exactly_once(spark, tmp_path):
+    """The streaming MG summary: state never exceeds k rows, the merged
+    bound holds against exact counts over EVERYTHING streamed (est <=
+    true, true - est <= n/(k+1)), the planted dominant key surfaces
+    first, and a crash replay of a committed batch is a no-op."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_read,
+    )
+    from energy_datalake_solution_spark.streaming.pipeline import (
+        stream_heavy_hitters_sink,
+    )
+
+    K = 8
+    # two micro-batches; user 7 owns half of each
+    rows = [(7 if i % 2 == 0 else 1000 + i,) for i in range(3000)]
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.createDataFrame(rows, "user_id long")
+    df.where("user_id = 7 or user_id < 2500").coalesce(1).write.json(str(src / "b0"))
+    df.where("user_id >= 2500").coalesce(1).write.json(str(src / "b1"))
+
+    t = tmp_path / "summary"
+    ckpt = tmp_path / "ckpt"
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    q = stream_heavy_hitters_sink(stream, t, ckpt, k=K)
+    q.awaitTermination(120)
+
+    got = {r.user_id: r.est_count for r in snapshot_read(spark, t).collect()}
+    assert len(got) <= K  # bounded state
+    true = {}
+    for (u,) in rows:
+        true[u] = true.get(u, 0) + 1
+    bound = len(rows) / (K + 1)
+    for u, est in got.items():
+        assert est <= true[u]
+        assert true[u] - est <= bound
+    top = max(got.items(), key=lambda t_: t_[1])
+    assert top[0] == 7  # the planted dominant key
+
+    # crash replay: re-delivering batch 1 under the same stamp is a no-op
+    v = current_version(t)
+    from pyspark.sql import functions as F  # noqa: F401
+
+    q2 = stream_heavy_hitters_sink(
+        spark.readStream.schema("user_id long").option("maxFilesPerTrigger", 1).json(str(src / "*")),
+        t, ckpt, k=K,
+    )
+    q2.awaitTermination(120)
+    assert current_version(t) == v  # checkpoint says done; txn stamps agree
