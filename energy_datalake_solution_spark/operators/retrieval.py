@@ -821,3 +821,133 @@ def docs_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination report
+# --------------------------------------------------------------------------
+
+BM25_DECONTAM_THRESHOLD = 0.8  # flag docs scoring >= this vs ANY benchmark query
+
+
+@register(
+    "docs_bm25_decontam_report",
+    oracle=f"""
+        WITH queries(query_id, term) AS {_bm25_query_values_sql()},
+        t AS (
+            SELECT doc_id,
+                   string_split(replace(text, chr(10), ' '), ' ') AS w
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM t
+        ),
+        toks AS (
+            SELECT doc_id, len(w) AS dl, u.term
+            FROM t, UNNEST(w) AS u(term)
+        ),
+        matched AS (SELECT * FROM toks WHERE term IN (SELECT term FROM queries)),
+        tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf
+            FROM matched GROUP BY doc_id, dl, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM matched GROUP BY term
+        ),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   round(sum(
+                       ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                       * tf.tf * ({BM25_K1} + 1)
+                       / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                          + {BM25_B} * tf.dl / stats.avgdl))
+                   ), 6) AS bm25
+            FROM tf
+            JOIN queries q USING (term)
+            JOIN df USING (term)
+            CROSS JOIN stats
+            GROUP BY q.query_id, tf.doc_id
+        ),
+        flagged AS (
+            SELECT DISTINCT doc_id FROM scored
+            WHERE bm25 >= {BM25_DECONTAM_THRESHOLD}
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               round(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS flagged_share
+        FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+        GROUP BY d.source
+    """,
+    tags=("text", "retrieval", "quality", "dashboard"),
+)
+def docs_bm25_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source benchmark-contamination report — the decontamination
+    USE of the BM25 tier (GPT-3 appendix C / open-LM practice: before
+    training, measure how much of each ingestion source scores high
+    against the evaluation queries, then drop or filter the hot
+    sources). A document is flagged when it scores >= the threshold
+    against ANY benchmark query; the report rolls flagged share up per
+    source.
+
+    Reuses the fused query's exact scoring pipeline (same constants,
+    same helper-built query VALUES, so the two cannot drift) WITHOUT the
+    top-k cut — contamination cares about every doc above threshold, not
+    the best ten. Plan adds one distinct over flagged doc_ids (match-
+    sized) and a broadcast-joinable left join back to the corpus for the
+    per-source rollup. Same match-bound scale shape as docs_bm25_topk."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.regexp_replace("text", "\n", " "), " ")
+    docs = d.select("doc_id", w.alias("w"))
+    n_docs, avgdl = docs.agg(F.count(F.lit(1)), F.avg(F.size("w"))).first()
+    avgdl = float(avgdl) if avgdl else 1.0
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id string, term string",
+    )
+    all_terms = sorted({t for _, terms in BM25_QUERIES for t in terms})
+    toks = (
+        spread(docs)
+        .select("doc_id", F.size("w").alias("dl"), F.explode("w").alias("term"))
+        .where(F.col("term").isin(all_terms))
+    )
+    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
+        )
+    )
+    flagged = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+        .where(F.col("bm25") >= BM25_DECONTAM_THRESHOLD)
+        .select("doc_id")
+        .distinct()
+        .withColumn("flagged", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("flagged"), F.lit(0))).cast("long").alias("n_flagged"),
+            F.round(
+                F.sum(F.coalesce(F.col("flagged"), F.lit(0))) * 1.0 / F.count(F.lit(1)),
+                6,
+            ).alias("flagged_share"),
+        )
+    )

@@ -113,6 +113,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "docs_curation_scorecard",
     "snapshot_retention_delete_orders",
     "events_user_heavy_hitters",
+    "docs_bm25_decontam_report",
     "multimodal_gif_pixel_stats",
     "multimodal_png_pixel_stats",
     "docs_temperature_sample",
