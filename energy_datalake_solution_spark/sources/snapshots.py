@@ -98,6 +98,7 @@ def _commit(
     txn: int | None = None,
     txn_app: str | None = None,
     stats: dict | None = None,
+    blooms: dict | None = None,
 ) -> int:
     """Publish a manifest and advance the pointer.
 
@@ -145,6 +146,8 @@ def _commit(
         manifest["txns"] = txns
     if stats:
         manifest["stats"] = stats
+    if blooms:
+        manifest["blooms"] = blooms
     mp = _manifest_path(table_path, version)
     tmp = mp.with_suffix(f".{uuid.uuid4().hex}.tmp")
     tmp.write_text(json.dumps(manifest, indent=1))
@@ -700,3 +703,127 @@ def snapshot_compact(
     files = _write_files(df, p)
     stats = _collect_stats(p, files, stats_cols, spark=spark) if stats_cols else None
     return _commit(p, files, parent, stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom filters (point-lookup skipping where min/max can't prune)
+# ---------------------------------------------------------------------------
+#
+# Min/max stats prune RANGE-clustered layouts; a point lookup on a
+# high-cardinality column the files are NOT sorted by (user_id in a
+# time-partitioned event table, order key in a date-laid-out fact) admits
+# every file. Delta and Iceberg answer this with per-file Bloom filters;
+# the same idea fits this manifest format directly: a BLOOM_BITS-bit
+# filter per (file, column), built from the file's distinct values at
+# commit time and carried in the manifest, lets a point read skip every
+# file whose filter rejects the value — no false negatives (a rejected
+# file provably lacks the value), bounded false positives (those files
+# are read and row-filtered like any other).
+
+BLOOM_BITS = 8192   # 1 KiB per (file, column) — manifest-friendly
+BLOOM_HASHES = 6    # ~0.9% FP at ~850 distinct values/file
+
+
+def _bloom_positions(value) -> list[int]:
+    import hashlib as _h
+
+    key = str(value)
+    return [
+        int(_h.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % BLOOM_BITS
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+def _file_bloom(path: str, col: str) -> str | None:
+    """Base64 Bloom bitset over the file's distinct ``col`` values (NULLs
+    excluded — a NULL never equals a point-lookup value)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    try:
+        table = pq.read_table(path, columns=[col])
+    except Exception:
+        return None
+    bits = bytearray(BLOOM_BITS // 8)
+    for v in table.column(col).unique().to_pylist():
+        if v is None:
+            continue
+        for pos in _bloom_positions(v):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return base64.b64encode(bytes(bits)).decode()
+
+
+def snapshot_write_with_bloom(
+    df: DataFrame,
+    table_path,
+    bloom_cols: list[str],
+    stats_cols: list[str] | None = None,
+    n_files: int | None = None,
+) -> int:
+    """Full-replace commit carrying per-file Bloom filters for
+    ``bloom_cols`` (and optionally min/max stats for ``stats_cols``,
+    range-splitting on the first). Bloom collection mirrors
+    _collect_stats' bound: driver-side for small commits, a Spark job
+    over the file list above _DRIVER_STATS_MAX_FILES."""
+    p = _table(table_path)
+    if n_files and stats_cols:
+        df = df.repartitionByRange(n_files, stats_cols[0])
+    elif n_files:
+        df = df.repartition(n_files)
+    files = _write_files(df, p)
+    stats = (
+        _collect_stats(p, files, stats_cols, spark=df.sparkSession)
+        if stats_cols
+        else None
+    )
+    root = str(p)
+    spark = df.sparkSession
+    if len(files) > _DRIVER_STATS_MAX_FILES:
+        sc = spark.sparkContext
+        pairs = (
+            sc.parallelize(
+                [(rel, c) for rel in files for c in bloom_cols],
+                max(1, len(files) // 32),
+            )
+            .map(lambda rc: (rc[0], rc[1], _file_bloom(f"{root}/{rc[0]}", rc[1])))
+            .collect()
+        )
+    else:
+        pairs = [
+            (rel, c, _file_bloom(f"{root}/{rel}", c))
+            for rel in files
+            for c in bloom_cols
+        ]
+    blooms: dict[str, dict[str, str]] = {}
+    for rel, c, b in pairs:
+        if b is not None:
+            blooms.setdefault(rel, {})[c] = b
+    return _commit(p, files, current_version(p), stats=stats, blooms=blooms)
+
+
+def snapshot_files_for_point(table_path, col, value, version: int | None = None) -> list[str]:
+    """The file subset that CAN contain ``col = value``: a file is skipped
+    iff its manifest carries a Bloom filter for ``col`` that rejects the
+    value, or min/max stats that exclude it — files with neither are kept
+    (pruning must never lose rows)."""
+    import base64
+
+    p = Path(table_path)
+    v = current_version(p) if version is None else version
+    m = _read_manifest(p, v)
+    stats = m.get("stats", {})
+    blooms = m.get("blooms", {})
+    positions = _bloom_positions(value)
+    keep = []
+    for rel in m["files"]:
+        s = stats.get(rel, {}).get(col)
+        if s is not None and not (s[0] <= value <= s[1]):
+            continue
+        b64 = blooms.get(rel, {}).get(col)
+        if b64 is not None:
+            bits = base64.b64decode(b64)
+            if not all(bits[pos // 8] & (1 << (pos % 8)) for pos in positions):
+                continue
+        keep.append(rel)
+    return keep

@@ -684,3 +684,53 @@ def test_stream_sink_skips_replays_stamped_under_legacy_namespace(spark, tmp_pat
     q.awaitTermination(60)
     assert current_version(t) == v_before  # skipped via the legacy stamp
     assert [r.v for r in snapshot_read(spark, t).collect()].count("batch0") == 1
+
+
+def test_bloom_point_lookup_skips_files_without_false_negatives(spark, tmp_path):
+    """Per-file Bloom filters: on a layout NOT sorted by the lookup column
+    (min/max stats admit every file), a point lookup must skip most files
+    via the manifest blooms, NEVER skip a file that holds the value, and
+    prune everything for a value absent from the table."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_files_for_point,
+        snapshot_write_with_bloom,
+    )
+
+    t = tmp_path / "t"
+    # 4000 rows, laid out by ts-bucket (NOT by user_id): every file spans
+    # the full user_id range, so min/max alone prunes nothing
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 16).alias("ts_bucket"),
+        (F.col("id") % 997).alias("user_id"),  # high cardinality
+        F.col("id").alias("event_id"),
+    )
+    snapshot_write_with_bloom(
+        df, t, bloom_cols=["user_id"], stats_cols=["ts_bucket"], n_files=8
+    )
+    m = _read_manifest(t, current_version(t))
+    n_files = len(m["files"])
+    assert n_files >= 6
+    assert all("user_id" in m.get("blooms", {}).get(f, {}) for f in m["files"])
+
+    # no false negatives: every file truly holding the value is kept
+    for probe in (0, 7, 123, 996):
+        kept = set(snapshot_files_for_point(t, "user_id", probe))
+        rows = (
+            spark.read.parquet(*[str(t / f) for f in kept])
+            .where(F.col("user_id") == probe)
+            .count()
+        )
+        true_rows = df.where(F.col("user_id") == probe).count()
+        assert rows == true_rows, f"bloom pruning lost rows for {probe}"
+
+    # a value absent from the table prunes (essentially) everything:
+    # each file holds ~500 of 997 user_ids, so at ~0.9% FP per file the
+    # expected kept count is << n_files; allow 2 for FP slack
+    assert len(snapshot_files_for_point(t, "user_id", 10**9)) <= 2
+
+    # min/max stats still compose: a ts_bucket outside every range drops
+    # all files regardless of blooms
+    assert snapshot_files_for_point(t, "ts_bucket", 99) == []
