@@ -27,10 +27,14 @@ only serialization point, exactly like Delta's ``_delta_log`` tail. Multi-writer
 as it is for Delta without a LogStore.
 
 Capability parity demonstrated (tests/test_snapshots.py): atomic replace,
-append, keyed upsert as a new version, reader isolation across a
-concurrent commit, time travel, rollback, vacuum safety, commit-collision
-detection, exactly-once streaming appends, and stats-pruned keyed reads
-that provably lose no rows.
+append, STATS-PRUNED keyed upsert (only files whose key range a batch
+touches rewrite; carried files stay byte-identical), stats-pruned
+copy-on-write range DELETE, per-file Bloom filters for point-lookup file
+skipping on unsorted columns, reader isolation across a concurrent
+commit, time travel, rollback, vacuum safety (including files shared
+across pruned-upsert versions), commit-collision detection, exactly-once
+streaming appends, and stats-pruned keyed reads that provably lose no
+rows.
 """
 
 from __future__ import annotations
