@@ -281,3 +281,76 @@ def snapshot_retention_delete_orders(spark: SparkSession, sf_dir: str) -> DataFr
 
     # eager: same scratch-invalidation contract as the sibling fixtures
     return tagged(1).unionByName(tagged(2)).localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_bloom_point_lookup_orders",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+               o_totalprice AS total_price
+        FROM orders WHERE o_custkey = 421
+    """,
+    tags=("snapshot", "bloom", "pruning"),
+)
+def snapshot_bloom_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom filters under the driver's hash gate: commit orders
+    range-split on the ORDER key (so every file spans the full customer
+    range — min/max stats alone cannot prune a customer lookup) with
+    manifest blooms on o_custkey, then answer a point lookup for one
+    customer by reading ONLY the files whose filter admits the value.
+    The oracle is the plain filter over the raw table, so a bloom with a
+    false negative (a skipped file that held the customer's orders)
+    changes the hash — the no-false-negative contract, independently
+    gated. File-count pruning itself is pinned in
+    tests/test_snapshots.py; a guard here asserts the lookup genuinely
+    read a SUBSET of the table's files."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_files_for_point,
+        snapshot_write_with_bloom,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_bloom_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    snapshot_write_with_bloom(
+        o, t, bloom_cols=["o_custkey"], stats_cols=["o_orderkey"], n_files=8
+    )
+    files = snapshot_files_for_point(t, "o_custkey", 421)
+    total = len(_read_manifest(t, current_version(t))["files"])
+    # pruning guard on a value ABSENT from the table: a real customer's
+    # orders may legitimately span every file, but an absent key must be
+    # rejected by (almost) all filters — a degenerate bloom that admits
+    # everything should fail loudly, not silently full-scan
+    ghost = len(snapshot_files_for_point(t, "o_custkey", -10**9))
+    if total and ghost > max(1, total // 2):
+        raise RuntimeError(
+            f"bloom admits {ghost}/{total} files for an absent key — "
+            "filters are not pruning"
+        )
+    if not files:
+        out = spark.createDataFrame(
+            [], "order_id long, customer_id long, total_price double"
+        )
+    else:
+        out = (
+            spark.read.schema("o_orderkey long, o_custkey long, o_totalprice double")
+            .parquet(*[str(t / f) for f in files])
+            .where(F.col("o_custkey") == 421)
+            .select(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_custkey").alias("customer_id"),
+                F.col("o_totalprice").alias("total_price"),
+            )
+        )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

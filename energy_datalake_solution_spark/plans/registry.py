@@ -114,6 +114,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_retention_delete_orders",
     "events_user_heavy_hitters",
     "docs_bm25_decontam_report",
+    "snapshot_bloom_point_lookup_orders",
     "multimodal_gif_pixel_stats",
     "multimodal_png_pixel_stats",
     "docs_temperature_sample",
