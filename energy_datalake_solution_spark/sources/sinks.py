@@ -81,15 +81,14 @@ def write_sorted(
     )
 
 
-def write_zordered(
+def zorder_arrange(
     df: DataFrame,
-    path: str | Path,
     col_a: str,
     col_b: str,
     n_files: int = 8,
     bits: int = 8,
-) -> None:
-    """Z-order (Morton-curve) clustered write over TWO numeric columns:
+) -> DataFrame:
+    """Z-order (Morton-curve) clustered ARRANGEMENT over TWO numeric columns:
     files cover compact rectangles of the (a, b) value space, so parquet
     footer min/max statistics prune on EITHER column — a single-column
     sort only ever prunes its own column.
@@ -133,14 +132,29 @@ def write_zordered(
         ),
         F.shiftleft(bucket_a.bitwiseAND(F.lit(1)), 1) + bucket_b.bitwiseAND(F.lit(1)),
     )
-    (
+    return (
         scaled.withColumn("_z", zval)
         .repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z", "_min_a", "_max_a", "_min_b", "_max_b")
-        .write.mode("overwrite")
-        .parquet(str(path))
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str | Path,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """zorder_arrange + overwrite parquet write (the original sink form);
+    snapshot_write_zordered (sources/snapshots.py) commits the SAME
+    arrangement through the manifest format with per-file stats on both
+    columns."""
+    zorder_arrange(df, col_a, col_b, n_files=n_files, bits=bits).write.mode(
+        "overwrite"
+    ).parquet(str(path))
 
 
 def compact_partition(

@@ -831,3 +831,28 @@ def snapshot_files_for_point(table_path, col, value, version: int | None = None)
                 continue
         keep.append(rel)
     return keep
+
+
+def snapshot_write_zordered(
+    df: DataFrame,
+    table_path,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 8,
+) -> int:
+    """Full-replace commit laid out on the Morton curve over TWO columns,
+    with per-file min/max manifest stats for BOTH: files cover compact
+    rectangles of the (a, b) value space, so snapshot_files_for_range /
+    snapshot_read_range prune on EITHER column — the manifest-format form
+    of Delta's OPTIMIZE ZORDER BY, where a single-column range split can
+    only ever prune its own key. Reuses the sink tier's arrangement
+    (sources/sinks.py::zorder_arrange), so the two layouts cannot drift."""
+    from .sinks import zorder_arrange
+
+    p = _table(table_path)
+    files = _write_files(
+        zorder_arrange(df, col_a, col_b, n_files=n_files, bits=bits), p
+    )
+    stats = _collect_stats(p, files, [col_a, col_b], spark=df.sparkSession)
+    return _commit(p, files, current_version(p), stats=stats)

@@ -734,3 +734,47 @@ def test_bloom_point_lookup_skips_files_without_false_negatives(spark, tmp_path)
     # min/max stats still compose: a ts_bucket outside every range drops
     # all files regardless of blooms
     assert snapshot_files_for_point(t, "ts_bucket", 99) == []
+
+
+def test_zordered_snapshot_prunes_files_on_both_columns(spark, tmp_path):
+    """snapshot_write_zordered: per-file manifest stats over BOTH Morton
+    columns must let a mid-range slice on EITHER column prune files, and
+    pruned range reads must lose no rows vs plain filters."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_files_for_range,
+        snapshot_read_range,
+        snapshot_write_zordered,
+    )
+
+    from .conftest import SF_ORACLE
+
+    l = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    t = tmp_path / "t"
+    snapshot_write_zordered(l, t, "l_partkey", "l_suppkey", n_files=8)
+    m = _read_manifest(t, current_version(t))
+    n_files = len(m["files"])
+    assert n_files >= 6
+    assert all(
+        {"l_partkey", "l_suppkey"} <= set(m.get("stats", {}).get(f, {}))
+        for f in m["files"]
+    )
+
+    rng = l.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    # a mid-range 1/8 slice on EITHER dimension prunes files (a
+    # single-column sort would prune only its own column)
+    for col, lo, hi in (
+        ("l_partkey", rng[0], rng[0] + (rng[1] - rng[0]) // 8),
+        ("l_suppkey", rng[2], rng[2] + (rng[3] - rng[2]) // 8),
+    ):
+        kept = snapshot_files_for_range(t, col, lo, hi)
+        assert len(kept) < n_files, f"{col}: no pruning ({len(kept)}/{n_files})"
+        got = snapshot_read_range(spark, t, col, lo, hi).count()
+        want = l.where((F.col(col) >= lo) & (F.col(col) <= hi)).count()
+        assert got == want, f"{col}: pruned read lost rows"
