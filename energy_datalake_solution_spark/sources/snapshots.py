@@ -103,6 +103,7 @@ def _commit(
     txn_app: str | None = None,
     stats: dict | None = None,
     blooms: dict | None = None,
+    op: str | None = None,
 ) -> int:
     """Publish a manifest and advance the pointer.
 
@@ -123,6 +124,13 @@ def _commit(
     # without pointer), parent+1 may already exist and must be skipped
     version = max(parent, _max_manifest_version(table_path)) + 1
     manifest = {"version": version, "parent": parent, "files": sorted(files), "txn": txn}
+    # operational metadata (DESCRIBE HISTORY parity): what produced this
+    # version, and when — never load-bearing for correctness
+    if op is not None:
+        manifest["op"] = op
+    import time as _time
+
+    manifest["ts"] = round(_time.time(), 3)
     if txn_app is not None:
         manifest["txn_app"] = txn_app
     # carry the per-app latest-txn MAP forward into every manifest (the
@@ -188,7 +196,7 @@ def snapshot_write(df: DataFrame, table_path) -> int:
     """Commit df as a full-replace new version; returns the version."""
     p = _table(table_path)
     files = _write_files(df, p)
-    return _commit(p, files, current_version(p))
+    return _commit(p, files, current_version(p), op="write")
 
 
 def snapshot_append(
@@ -220,7 +228,7 @@ def snapshot_append(
         stats.update(_collect_stats(p, files, stats_cols, spark=df.sparkSession))
     elif parent_manifest.get("stats"):
         stats = parent_manifest["stats"]  # carry the surviving files' stats
-    return _commit(p, old_files + files, parent, txn=txn, txn_app=txn_app, stats=stats)
+    return _commit(p, old_files + files, parent, txn=txn, txn_app=txn_app, stats=stats, op="append")
 
 
 def last_txn(table_path, txn_app: str | None = None) -> int:
@@ -307,12 +315,12 @@ def snapshot_upsert(
         merged = cur.join(df.select(keys).distinct(), keys, "left_anti").unionByName(df)
         files = _write_files(merged, p)
         st = _collect_stats(p, files, tracked_cols, spark=spark) if tracked_cols else None
-        return _commit(p, files, parent, stats=st)
+        return _commit(p, files, parent, stats=st, op="upsert")
 
     lo, hi, n_rows = df.agg(F.min(col), F.max(col), F.count(F.lit(1))).first()
     if n_rows == 0:
         # empty batch: metadata-only commit carrying the parent's files
-        return _commit(p, list(m["files"]), parent, stats=stats or None)
+        return _commit(p, list(m["files"]), parent, stats=stats or None, op="upsert")
     if lo is None:
         # non-empty batch whose key is NULL in every row: NULL matches no
         # existing row (the anti-join never equates NULLs), so this is a
@@ -336,7 +344,7 @@ def snapshot_upsert(
     for f in touched:
         new_stats.pop(f, None)
     new_stats.update(_collect_stats(p, new_files, tracked_cols, spark=spark))
-    return _commit(p, untouched + new_files, parent, stats=new_stats)
+    return _commit(p, untouched + new_files, parent, stats=new_stats, op="upsert")
 
 
 def _read_manifest(table_path, version: int) -> dict:
@@ -567,7 +575,7 @@ def snapshot_write_with_stats(
         df = df.repartitionByRange(n_files, *stats_cols[:1])
     files = _write_files(df, p)
     stats = _collect_stats(p, files, stats_cols, spark=df.sparkSession)
-    return _commit(p, files, current_version(p), stats=stats)
+    return _commit(p, files, current_version(p), stats=stats, op="write")
 
 
 def snapshot_delete_range(
@@ -595,7 +603,7 @@ def snapshot_delete_range(
     touched = set(snapshot_files_for_range(p, col, lo, hi, parent))
     untouched = [f for f in m["files"] if f not in touched]
     if not touched:
-        return _commit(p, list(m["files"]), parent, stats=stats or None)
+        return _commit(p, list(m["files"]), parent, stats=stats or None, op="delete")
     kept_rows = spark.read.parquet(*[str(p / f) for f in sorted(touched)]).where(
         ~((F.col(col) >= lo) & (F.col(col) <= hi)) | F.col(col).isNull()
     )
@@ -606,7 +614,7 @@ def snapshot_delete_range(
     tracked_cols = sorted({c for s in stats.values() for c in s})
     if tracked_cols:
         new_stats.update(_collect_stats(p, new_files, tracked_cols, spark=spark))
-    return _commit(p, untouched + new_files, parent, stats=new_stats or None)
+    return _commit(p, untouched + new_files, parent, stats=new_stats or None, op="delete")
 
 
 def snapshot_files_for_range(table_path, col: str, lo, hi, version: int | None = None) -> list[str]:
@@ -706,7 +714,7 @@ def snapshot_compact(
         df = df.coalesce(target_files)
     files = _write_files(df, p)
     stats = _collect_stats(p, files, stats_cols, spark=spark) if stats_cols else None
-    return _commit(p, files, parent, stats=stats)
+    return _commit(p, files, parent, stats=stats, op="compact")
 
 
 # ---------------------------------------------------------------------------
@@ -803,7 +811,7 @@ def snapshot_write_with_bloom(
     for rel, c, b in pairs:
         if b is not None:
             blooms.setdefault(rel, {})[c] = b
-    return _commit(p, files, current_version(p), stats=stats, blooms=blooms)
+    return _commit(p, files, current_version(p), stats=stats, blooms=blooms, op="write")
 
 
 def snapshot_files_for_point(table_path, col, value, version: int | None = None) -> list[str]:
@@ -855,4 +863,34 @@ def snapshot_write_zordered(
         zorder_arrange(df, col_a, col_b, n_files=n_files, bits=bits), p
     )
     stats = _collect_stats(p, files, [col_a, col_b], spark=df.sparkSession)
-    return _commit(p, files, current_version(p), stats=stats)
+    return _commit(p, files, current_version(p), stats=stats, op="write")
+
+
+def snapshot_history(table_path) -> list[dict]:
+    """DESCRIBE HISTORY: every manifest still on disk, newest first, with
+    version, parent, operation, wall-clock commit time, file count, and
+    writer txn stamp. Reads only manifest JSON — no data file is opened.
+    Vacuumed-away versions are simply absent (their history went with
+    their manifests, as in any format where history retention is the
+    vacuum policy); manifests predating the op/ts stamps report None."""
+    p = Path(table_path)
+    out = []
+    for mf in sorted(
+        (p / _MANIFEST_DIR).glob("v*.json"),
+        key=lambda f: int(f.stem[1:]),
+        reverse=True,
+    ):
+        m = json.loads(mf.read_text())
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m.get("parent"),
+                "op": m.get("op"),
+                "ts": m.get("ts"),
+                "n_files": len(m.get("files", [])),
+                "txn": m.get("txn"),
+                "txn_app": m.get("txn_app"),
+                "current": m["version"] == current_version(p),
+            }
+        )
+    return out

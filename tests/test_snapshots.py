@@ -778,3 +778,34 @@ def test_zordered_snapshot_prunes_files_on_both_columns(spark, tmp_path):
         got = snapshot_read_range(spark, t, col, lo, hi).count()
         want = l.where((F.col(col) >= lo) & (F.col(col) <= hi)).count()
         assert got == want, f"{col}: pruned read lost rows"
+
+
+def test_history_reports_ops_newest_first(spark, tmp_path):
+    """snapshot_history: one row per on-disk manifest, newest first, op
+    and timestamp stamped, current flagged; vacuumed versions vanish."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_delete_range,
+        snapshot_history,
+        snapshot_vacuum,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("v").alias("v"))
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    snapshot_append(spark.createDataFrame([(200, "a")], "k long, v string"), t)
+    snapshot_upsert(spark, spark.createDataFrame([(5, "u")], "k long, v string"), t, ["k"])
+    snapshot_delete_range(spark, t, "k", 10, 19)
+
+    h = snapshot_history(t)
+    assert [r["version"] for r in h] == [4, 3, 2, 1]
+    assert [r["op"] for r in h] == ["delete", "upsert", "append", "write"]
+    assert all(r["ts"] is not None for r in h)
+    assert h[0]["current"] and not any(r["current"] for r in h[1:])
+    assert all(r["n_files"] >= 1 for r in h)
+
+    snapshot_vacuum(t, keep_versions=2)
+    assert [r["version"] for r in snapshot_history(t)] == [4, 3]
