@@ -741,8 +741,6 @@ def events_user_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-vs-stream separation as the LM/DSIR tiers. Estimates are
     order-dependent (a different partitioning shifts them within the
     bound), hence rows-only at the gate with the bound pinned in pytest."""
-    from typing import Iterator
-
     e = load_events(spark, sf_dir).select("user_id").where(
         F.col("user_id").isNotNull()
     )
@@ -781,8 +779,21 @@ def mg_heavy_hitters(keyed: DataFrame, k: int = HH_K) -> DataFrame:
     merged = summaries.groupBy("user_id").agg(
         F.sum("est_count").cast("long").alias("est_count")
     )
+    # Reduce back to <= k keys with the MERGEABLE-SUMMARIES rule (Agarwal
+    # et al., PODS 2012): subtract the (k+1)-th largest merged count from
+    # every counter and keep the positive — NOT a plain top-k cut, which
+    # would break the coverage guarantee (a true heavy hitter whose
+    # estimate carries the maximal undercount could rank below k lighter
+    # keys with no undercount and be dropped; the subtraction shrinks
+    # every survivor's estimate by the same bounded amount instead, so
+    # est <= true and the total undercount stays <= n/(k+1)).
+    head = merged.orderBy(F.col("est_count").desc(), "user_id").limit(k + 1).collect()
+    cut = head[k].est_count if len(head) > k else 0
     return (
-        merged.orderBy(F.col("est_count").desc(), "user_id")
-        .limit(k)
+        merged.select(
+            "user_id", (F.col("est_count") - F.lit(cut)).alias("est_count")
+        )
+        .where(F.col("est_count") > 0)
+        .orderBy(F.col("est_count").desc(), "user_id")
         .select("user_id", "est_count")
     )

@@ -70,6 +70,53 @@ def _bm25_query_values_sql() -> str:
     return f"(VALUES {rows})"
 
 
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, bm25) for every document matching any benchmark
+    query — ONE definition of the fused scoring pipeline, shared by the
+    top-k query (rank cut) and the decontamination report (threshold
+    cut) so the idf/saturation/rounding conventions cannot drift."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.regexp_replace("text", "\n", " "), " ")
+    docs = d.select("doc_id", w.alias("w"))
+
+    # Two scalars over one scan — model-sized driver pull (precedent:
+    # docs_tfidf_top_terms' n_docs count). avgdl is NULL on an empty
+    # corpus (empty-lake sweep); any positive stand-in keeps the plan
+    # valid — every downstream frame is already empty.
+    n_docs, avgdl = docs.agg(F.count(F.lit(1)), F.avg(F.size("w"))).first()
+    avgdl = float(avgdl) if avgdl else 1.0
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id string, term string",
+    )
+    all_terms = sorted({t for _, terms in BM25_QUERIES for t in terms})
+    toks = (
+        spread(docs)  # explode fans out ~100x per row: parallelize first
+        .select("doc_id", F.size("w").alias("dl"), F.explode("w").alias("term"))
+        .where(F.col("term").isin(all_terms))  # literal IN-list, scan-stage
+    )
+    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
+        )
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+
+
 @register(
     "docs_bm25_topk",
     oracle=f"""
@@ -141,50 +188,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep with thousands of queries keeps the same plan — the query frame
     stays broadcast-sized and the matched-postings shuffle grows with true
     match volume only."""
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.regexp_replace("text", "\n", " "), " ")
-    docs = d.select("doc_id", w.alias("w"))
-
-    # Two scalars over one scan — model-sized driver pull (precedent:
-    # docs_tfidf_top_terms' n_docs count). avgdl is NULL on an empty
-    # corpus (empty-lake sweep); any positive stand-in keeps the plan
-    # valid — every downstream frame is already empty.
-    n_docs, avgdl = docs.agg(
-        F.count(F.lit(1)), F.avg(F.size("w"))
-    ).first()
-    avgdl = float(avgdl) if avgdl else 1.0
-
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
-        "query_id string, term string",
-    )
-    all_terms = sorted({t for _, terms in BM25_QUERIES for t in terms})
-
-    toks = (
-        spread(docs)  # explode fans out ~100x per row: parallelize first
-        .select("doc_id", F.size("w").alias("dl"), F.explode("w").alias("term"))
-        .where(F.col("term").isin(all_terms))  # literal IN-list, scan-stage
-    )
-    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    tf_part = (
-        F.col("tf")
-        * (BM25_K1 + 1.0)
-        / (
-            F.col("tf")
-            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df_), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
-    )
+    scored = _bm25_scored(spark, sf_dir)
     rank_w = W.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
     return (
         scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
@@ -900,39 +904,8 @@ def docs_bm25_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized) and a broadcast-joinable left join back to the corpus for the
     per-source rollup. Same match-bound scale shape as docs_bm25_topk."""
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.regexp_replace("text", "\n", " "), " ")
-    docs = d.select("doc_id", w.alias("w"))
-    n_docs, avgdl = docs.agg(F.count(F.lit(1)), F.avg(F.size("w"))).first()
-    avgdl = float(avgdl) if avgdl else 1.0
-
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
-        "query_id string, term string",
-    )
-    all_terms = sorted({t for _, terms in BM25_QUERIES for t in terms})
-    toks = (
-        spread(docs)
-        .select("doc_id", F.size("w").alias("dl"), F.explode("w").alias("term"))
-        .where(F.col("term").isin(all_terms))
-    )
-    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    tf_part = (
-        F.col("tf")
-        * (BM25_K1 + 1.0)
-        / (
-            F.col("tf")
-            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
-        )
-    )
     flagged = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df_), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+        _bm25_scored(spark, sf_dir)
         .where(F.col("bm25") >= BM25_DECONTAM_THRESHOLD)
         .select("doc_id")
         .distinct()

@@ -199,6 +199,27 @@ def snapshot_write(df: DataFrame, table_path) -> int:
     return _commit(p, files, current_version(p), op="write")
 
 
+def _carry_blooms(
+    table_path: Path, parent_manifest: dict, kept: list[str], new_files: list[str]
+) -> dict | None:
+    """Bloom maintenance for incremental commits: carried files keep their
+    (still-valid) filters; NEW files get filters built for every column
+    the parent tracked — a commit must never silently strip the
+    manifest's pruning metadata (the same invariant as stats carry)."""
+    parent_blooms: dict = parent_manifest.get("blooms", {}) or {}
+    cols = sorted({c for s in parent_blooms.values() for c in s})
+    if not cols:
+        return None
+    blooms = {f: dict(parent_blooms[f]) for f in kept if f in parent_blooms}
+    root = str(table_path)
+    for rel in new_files:
+        for c in cols:
+            b = _file_bloom(f"{root}/{rel}", c)
+            if b is not None:
+                blooms.setdefault(rel, {})[c] = b
+    return blooms or None
+
+
 def snapshot_append(
     df: DataFrame,
     table_path,
@@ -228,7 +249,8 @@ def snapshot_append(
         stats.update(_collect_stats(p, files, stats_cols, spark=df.sparkSession))
     elif parent_manifest.get("stats"):
         stats = parent_manifest["stats"]  # carry the surviving files' stats
-    return _commit(p, old_files + files, parent, txn=txn, txn_app=txn_app, stats=stats, op="append")
+    blooms = _carry_blooms(p, parent_manifest, old_files, files) if parent else None
+    return _commit(p, old_files + files, parent, txn=txn, txn_app=txn_app, stats=stats, blooms=blooms, op="append")
 
 
 def last_txn(table_path, txn_app: str | None = None) -> int:
@@ -315,12 +337,14 @@ def snapshot_upsert(
         merged = cur.join(df.select(keys).distinct(), keys, "left_anti").unionByName(df)
         files = _write_files(merged, p)
         st = _collect_stats(p, files, tracked_cols, spark=spark) if tracked_cols else None
-        return _commit(p, files, parent, stats=st, op="upsert")
+        return _commit(p, files, parent, stats=st,
+                       blooms=_carry_blooms(p, m, [], files), op="upsert")
 
     lo, hi, n_rows = df.agg(F.min(col), F.max(col), F.count(F.lit(1))).first()
     if n_rows == 0:
         # empty batch: metadata-only commit carrying the parent's files
-        return _commit(p, list(m["files"]), parent, stats=stats or None, op="upsert")
+        return _commit(p, list(m["files"]), parent, stats=stats or None,
+                       blooms=m.get("blooms") or None, op="upsert")
     if lo is None:
         # non-empty batch whose key is NULL in every row: NULL matches no
         # existing row (the anti-join never equates NULLs), so this is a
@@ -332,10 +356,15 @@ def snapshot_upsert(
     else:
         touched = set(snapshot_files_for_range(p, col, lo, hi, parent))
         if touched:
-            cur_t = spark.read.parquet(*[str(p / f) for f in sorted(touched)])
+            # mergeSchema: on a schema-evolved table the touched set can
+            # span file generations — a single-footer inference would
+            # silently drop later-added columns from the rewritten rows
+            cur_t = spark.read.option("mergeSchema", "true").parquet(
+                *[str(p / f) for f in sorted(touched)]
+            )
             merged = cur_t.join(
                 df.select(keys).distinct(), keys, "left_anti"
-            ).unionByName(df)
+            ).unionByName(df, allowMissingColumns=True)
         else:
             merged = df
     untouched = [f for f in m["files"] if f not in touched]
@@ -344,7 +373,8 @@ def snapshot_upsert(
     for f in touched:
         new_stats.pop(f, None)
     new_stats.update(_collect_stats(p, new_files, tracked_cols, spark=spark))
-    return _commit(p, untouched + new_files, parent, stats=new_stats, op="upsert")
+    return _commit(p, untouched + new_files, parent, stats=new_stats,
+                   blooms=_carry_blooms(p, m, untouched, new_files), op="upsert")
 
 
 def _read_manifest(table_path, version: int) -> dict:
@@ -603,8 +633,11 @@ def snapshot_delete_range(
     touched = set(snapshot_files_for_range(p, col, lo, hi, parent))
     untouched = [f for f in m["files"] if f not in touched]
     if not touched:
-        return _commit(p, list(m["files"]), parent, stats=stats or None, op="delete")
-    kept_rows = spark.read.parquet(*[str(p / f) for f in sorted(touched)]).where(
+        return _commit(p, list(m["files"]), parent, stats=stats or None,
+                       blooms=m.get("blooms") or None, op="delete")
+    kept_rows = spark.read.option("mergeSchema", "true").parquet(
+        *[str(p / f) for f in sorted(touched)]
+    ).where(
         ~((F.col(col) >= lo) & (F.col(col) <= hi)) | F.col(col).isNull()
     )
     new_files = _write_files(kept_rows, p)
@@ -614,7 +647,8 @@ def snapshot_delete_range(
     tracked_cols = sorted({c for s in stats.values() for c in s})
     if tracked_cols:
         new_stats.update(_collect_stats(p, new_files, tracked_cols, spark=spark))
-    return _commit(p, untouched + new_files, parent, stats=new_stats or None, op="delete")
+    return _commit(p, untouched + new_files, parent, stats=new_stats or None,
+                   blooms=_carry_blooms(p, m, untouched, new_files), op="delete")
 
 
 def snapshot_files_for_range(table_path, col: str, lo, hi, version: int | None = None) -> list[str]:
@@ -714,7 +748,11 @@ def snapshot_compact(
         df = df.coalesce(target_files)
     files = _write_files(df, p)
     stats = _collect_stats(p, files, stats_cols, spark=spark) if stats_cols else None
-    return _commit(p, files, parent, stats=stats, op="compact")
+    pm = _read_manifest(p, parent) if parent else {}
+    return _commit(
+        p, files, parent, stats=stats,
+        blooms=_carry_blooms(p, pm, [], files), op="compact",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -739,7 +777,16 @@ BLOOM_HASHES = 6    # ~0.9% FP at ~850 distinct values/file
 def _bloom_positions(value) -> list[int]:
     import hashlib as _h
 
-    key = str(value)
+    # canonicalize numerics: a DOUBLE column yields 421.0 from pyarrow
+    # while a caller probes 421 — SQL equality says they match, so the
+    # hash key must too. (Strings are taken verbatim: '421' is a
+    # different value from 421 by design.)
+    if isinstance(value, bool):
+        key = str(value)
+    elif isinstance(value, float) and value.is_integer():
+        key = str(int(value))
+    else:
+        key = str(value)
     return [
         int(_h.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % BLOOM_BITS
         for i in range(BLOOM_HASHES)

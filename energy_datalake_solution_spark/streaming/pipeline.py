@@ -878,7 +878,7 @@ def stream_heavy_hitters_sink(
             "user_id long, est_count long",
         )
         files = _write_files(out.coalesce(1), p)
-        _commit(p, files, current_version(p), txn=batch_id, txn_app=resolved_app)
+        _commit(p, files, current_version(p), txn=batch_id, txn_app=resolved_app, op="write")
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -809,3 +809,58 @@ def test_history_reports_ops_newest_first(spark, tmp_path):
 
     snapshot_vacuum(t, keep_versions=2)
     assert [r["version"] for r in snapshot_history(t)] == [4, 3]
+
+
+def test_blooms_survive_upsert_append_delete_and_compact(spark, tmp_path):
+    """Pruning metadata must never be silently stripped: after an upsert,
+    an append, a range delete, and a compact on a bloom-carrying table,
+    point lookups still skip files for absent keys and still find every
+    row for present keys."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_append,
+        snapshot_compact,
+        snapshot_delete_range,
+        snapshot_files_for_point,
+        snapshot_write_with_bloom,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 8).alias("bucket"),
+        (F.col("id") % 499).alias("uid"),
+        F.col("id").alias("k"),
+    )
+    snapshot_write_with_bloom(df, t, bloom_cols=["uid"], stats_cols=["k"], n_files=8)
+
+    def check(stage):
+        m = _read_manifest(t, current_version(t))
+        assert m.get("blooms"), f"{stage}: blooms stripped"
+        assert all("uid" in m["blooms"].get(f, {}) for f in m["files"]), stage
+        ghost = snapshot_files_for_point(t, "uid", 10**9)
+        assert len(ghost) <= 2, f"{stage}: absent-key prune lost ({len(ghost)})"
+        kept = snapshot_files_for_point(t, "uid", 123)
+        found = (
+            spark.read.parquet(*[str(t / f) for f in kept])
+            .where(F.col("uid") == 123)
+            .count()
+        )
+        want = snapshot_read(spark, t).where(F.col("uid") == 123).count()
+        assert found == want, f"{stage}: false negative"
+
+    snapshot_upsert(
+        spark,
+        spark.createDataFrame([(0, 123, 5)], "bucket long, uid long, k long"),
+        t, ["k"],
+    )
+    check("upsert")
+    snapshot_append(
+        spark.createDataFrame([(1, 123, 5000)], "bucket long, uid long, k long"), t
+    )
+    check("append")
+    snapshot_delete_range(spark, t, "k", 100, 119)
+    check("delete")
+    snapshot_compact(spark, t, target_files=8, stats_cols=["k"])
+    check("compact")
