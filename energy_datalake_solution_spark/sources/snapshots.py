@@ -365,6 +365,11 @@ def snapshot_upsert(
             merged = cur_t.join(
                 df.select(keys).distinct(), keys, "left_anti"
             ).unionByName(df, allowMissingColumns=True)
+            # write roughly as many files as were rewritten: without this
+            # the rewrite lands in default-parallelism part files and
+            # every narrow upsert GROWS the table's file count (small-
+            # files creep that compaction then has to undo)
+            merged = merged.coalesce(max(1, len(touched)))
         else:
             merged = df
     untouched = [f for f in m["files"] if f not in touched]
@@ -639,7 +644,7 @@ def snapshot_delete_range(
         *[str(p / f) for f in sorted(touched)]
     ).where(
         ~((F.col(col) >= lo) & (F.col(col) <= hi)) | F.col(col).isNull()
-    )
+    ).coalesce(max(1, len(touched)))  # no small-files creep per delete
     new_files = _write_files(kept_rows, p)
     new_stats = dict(stats)
     for f in touched:
