@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, l2_norm
 from ..plans.registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, path_tag
 from ..sources.snapshots import (
     snapshot_files_for_values,
     snapshot_read,
@@ -141,6 +141,85 @@ def build_ivf_index(
     return centroids
 
 
+# Above this many query rows the probes refuse to collect() the batch and
+# route to the distributed equi-join form instead — the documented
+# "model-sized by contract" stops being a comment and becomes a counted
+# guard (the lm.py counted-pull idiom). A corpus-sized query frame through
+# the driver path would OOM the driver; through the fallback it is a plain
+# shuffle join on the cell/bucket key.
+PROBE_DRIVER_BATCH_CAP = 10_000
+
+
+def _probe_batch_capped(queries: DataFrame, cap: int):
+    """limit(cap+1) pull: (rows, fits) — never collects more than cap+1."""
+    rows = queries.limit(cap + 1).collect()
+    return rows, len(rows) <= cap
+
+
+def _ivf_probe_distributed(
+    spark: SparkSession,
+    queries: DataFrame,
+    root: Path,
+    nprobe: int,
+    top_k: int,
+) -> DataFrame:
+    """The fused equi-join form of the IVF probe for query batches ABOVE
+    the driver cap: nearest-cell assignment runs as a broadcast join
+    against the (nlist-row) centroid table instead of driver-side numpy,
+    the probed-cell set (<= nlist ints, metadata-sized) still prunes the
+    stored index's files, and the candidate join is a plain shuffle
+    equi-join on centroid_id — no corpus-sized collect anywhere. Mirrors
+    the driver path's tie-breaks (sim desc, centroid_id asc) and its
+    degenerate-centroid handling (NaN cosine sorts last as -2)."""
+    cdf = snapshot_read(spark, root / "centroids").select(
+        "centroid_id", F.col("centroid").cast("array<float>").alias("centroid")
+    )
+    q = queries.select("q_id", "q_emb").withColumn("_one", F.lit(1))
+    sim = cosine(F.col("q_emb"), F.col("centroid"))
+    ranked = (
+        q.join(F.broadcast(cdf.withColumn("_one", F.lit(1))), "_one")
+        .select(
+            "q_id",
+            "q_emb",
+            "centroid_id",
+            F.coalesce(F.nanvl(sim, F.lit(-2.0)), F.lit(-2.0)).alias("_csim"),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("_csim").desc(), "centroid_id")
+            ),
+        )
+        .where(F.col("_r") <= nprobe)
+    )
+    probes = ranked.select("q_id", "q_emb", "centroid_id")
+    cells = sorted(
+        int(r.centroid_id)
+        for r in probes.select("centroid_id").distinct().collect()  # <= nlist
+    )
+    if not cells:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
+    files = snapshot_files_for_values(root / "cells", "centroid_id", cells)
+    cand = (
+        spark.read.schema("vec_id bigint, embedding array<float>, centroid_id int")
+        .parquet(*[str(root / "cells" / f) for f in files])
+        .where(F.col("centroid_id").isin(cells))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_emb"),
+            "centroid_id",
+        )
+    )
+    scored = probes.join(cand, "centroid_id").select(
+        "q_id",
+        "c_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim"),
+    )
+    return cosine_topk_epilogue(scored, top_k=top_k)
+
+
 def ivf_probe(
     spark: SparkSession,
     queries: DataFrame,
@@ -148,6 +227,7 @@ def ivf_probe(
     nprobe: int = IVF_INDEX_NPROBE,
     top_k: int = TOP_K,
     centroids: list[tuple[int, list[float]]] | None = None,
+    driver_batch_cap: int = PROBE_DRIVER_BATCH_CAP,
 ) -> DataFrame:
     """Probe a stored IVF index: nearest ``nprobe`` cells per query,
     manifest-stats file prune to the probed cells, broadcast equi-join +
@@ -164,12 +244,16 @@ def ivf_probe(
     import numpy as np
 
     root = Path(index_root)
+    # counted guard, not a comment: an over-cap query frame routes to the
+    # distributed equi-join form instead of a driver OOM
+    q_rows, fits = _probe_batch_capped(queries, driver_batch_cap)
+    if not fits:
+        return _ivf_probe_distributed(spark, queries, root, nprobe, top_k)
     if centroids is None:
         centroids = [
             (r.centroid_id, list(r.centroid))
             for r in snapshot_read(spark, root / "centroids").collect()
         ]
-    q_rows = queries.collect()  # interactive batch: model-sized by contract
     if not q_rows or not centroids:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine_sim double, rank int"
@@ -236,7 +320,7 @@ def _ivf_index_for(
         return cached
     root = str(
         Path(tempfile.gettempdir())
-        / f"ivf_index_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}_{nlist}_{n_queries}"
+        / f"ivf_index_{os.getpid()}_{path_tag(sf_dir)}_{nlist}_{n_queries}"
     )
     shutil.rmtree(root, ignore_errors=True)
     centroids = build_ivf_index(spark, sf_dir, root, nlist=nlist, n_queries=n_queries)
@@ -361,11 +445,80 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, index_root: str | Path) ->
     snapshot_write_with_stats(banded, root / "buckets", ["bb"], n_files=n_files)
 
 
+def _lsh_probe_distributed(
+    spark: SparkSession,
+    queries: DataFrame,
+    root: Path,
+    top_k: int,
+) -> DataFrame:
+    """The fused equi-join form of the LSH probe for query batches ABOVE
+    the driver cap: signatures and Hamming-1 multi-probe bucket keys are
+    computed Spark-side with the SAME md5-derived planes/expressions the
+    index build used (similarity.py single-sources them), the probed
+    bucket-id set (bounded by the index geometry, LSH_BANDS * 2^bits ints)
+    still prunes the stored files, and the candidate join is a shuffle
+    equi-join on the composite bucket id — no corpus-sized collect."""
+    from .similarity import lsh_band_key_expr, lsh_sig_expr
+
+    planes = lsh_planes()
+    planes_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    sig = queries.select(
+        "q_id", "q_emb", lsh_sig_expr(F.col("q_emb"), planes_lit).alias("sig")
+    )
+    banded = sig.select(
+        "q_id",
+        "q_emb",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+    ).select("q_id", "q_emb", "band", lsh_band_key_expr().alias("key"))
+    xor_masks = [0] + [1 << b for b in range(LSH_BAND_BITS)]  # exact + Hamming-1
+    probes = banded.select(
+        "q_id",
+        "q_emb",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.col("band") * (LSH_BAND_MASK + 1)
+                        + F.col("key").bitwiseXOR(F.lit(m))
+                    ).cast("int")
+                    for m in xor_masks
+                ]
+            )
+        ).alias("bb"),
+    )
+    bbs = sorted(
+        int(r.bb) for r in probes.select("bb").distinct().collect()  # geometry-bounded
+    )
+    if not bbs:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
+    files = snapshot_files_for_values(root / "buckets", "bb", bbs)
+    cand = (
+        spark.read.schema("vec_id bigint, embedding array<float>, bb int")
+        .parquet(*[str(root / "buckets" / f) for f in files])
+        .where(F.col("bb").isin(bbs))
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bb")
+    )
+    scored = (
+        probes.join(cand, "bb")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    return cosine_topk_epilogue(scored, top_k=top_k)
+
+
 def lsh_probe(
     spark: SparkSession,
     queries: DataFrame,
     index_root: str | Path,
     top_k: int = TOP_K,
+    driver_batch_cap: int = PROBE_DRIVER_BATCH_CAP,
 ) -> DataFrame:
     """Probe a stored LSH index: signatures + Hamming-1 multi-probe keys
     for the (model-sized) query batch computed driver-side in numpy with
@@ -375,7 +528,9 @@ def lsh_probe(
     import numpy as np
 
     root = Path(index_root)
-    q_rows = queries.collect()  # interactive batch: model-sized by contract
+    q_rows, fits = _probe_batch_capped(queries, driver_batch_cap)
+    if not fits:
+        return _lsh_probe_distributed(spark, queries, root, top_k)
     if not q_rows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine_sim double, rank int"
@@ -428,7 +583,7 @@ def _lsh_index_for(spark: SparkSession, sf_dir: str) -> str:
         return cached
     root = str(
         Path(tempfile.gettempdir())
-        / f"lsh_index_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+        / f"lsh_index_{os.getpid()}_{path_tag(sf_dir)}"
     )
     shutil.rmtree(root, ignore_errors=True)
     build_lsh_index(spark, sf_dir, root)

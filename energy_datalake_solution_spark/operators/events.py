@@ -755,22 +755,35 @@ def mg_heavy_hitters(keyed: DataFrame, k: int = HH_K) -> DataFrame:
     def mg_partition(batches):
         import pandas as pd
 
+        # WEIGHTED Misra-Gries (Berinde et al., "Space-optimal heavy
+        # hitters with strong error bounds", PODS 2009): pre-aggregate
+        # each Arrow batch with value_counts() so the Python loop runs
+        # over the batch's DISTINCT keys, then fold each (key, weight)
+        # in with the weighted update — on overflow subtract the minimum
+        # counter from ALL k+1 counters and drop zeros. Each overflow
+        # removes (k+1)*m mass for a total decrement of m, so the
+        # undercount bound est <= true <= est + n/(k+1) is the same as
+        # the unit-update kernel's; only the loop length changes (by the
+        # batch's key-duplication factor).
         counters: dict[int, int] = {}
         for pdf in batches:
-            for u in pdf["user_id"]:
-                u = int(u)
+            for u, w in pdf["user_id"].value_counts().items():
+                u, w = int(u), int(w)
                 if u in counters:
-                    counters[u] += 1
+                    counters[u] += w
                 elif len(counters) < k:
-                    counters[u] = 1
+                    counters[u] = w
                 else:
+                    m = min(w, min(counters.values()))
                     dead = []
                     for kk in counters:
-                        counters[kk] -= 1
+                        counters[kk] -= m
                         if counters[kk] == 0:
                             dead.append(kk)
                     for kk in dead:
                         del counters[kk]
+                    if w > m:
+                        counters[u] = w - m
         yield pd.DataFrame(
             {"user_id": list(counters), "est_count": list(counters.values())}
         )
@@ -779,6 +792,13 @@ def mg_heavy_hitters(keyed: DataFrame, k: int = HH_K) -> DataFrame:
     merged = summaries.groupBy("user_id").agg(
         F.sum("est_count").cast("long").alias("est_count")
     )
+    # Pin ONE evaluation of the merged summary (<= partitions * k rows):
+    # the (k+1)-th-count cut below is collected in one action and the
+    # returned frame re-executes the lineage in another — without the
+    # checkpoint a different mapInPandas partitioning between the two
+    # runs could make the subtracted cut inconsistent with the recomputed
+    # estimates (more than k survivors, or a bound violation).
+    merged = merged.localCheckpoint(eager=True)
     # Reduce back to <= k keys with the MERGEABLE-SUMMARIES rule (Agarwal
     # et al., PODS 2012): subtract the (k+1)-th largest merged count from
     # every counter and keep the positive — NOT a plain top-k cut, which

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
+from ..sources.catalog import path_tag
 from ..sources.ingest import ingest_file
 from ..sources.merge import run_merge
 from ..sources.schemas import TRANSACCIONES
@@ -154,7 +155,7 @@ def snapshot_versioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directory per call (the returned DataFrame lazily reads these files,
     # so cleanup happens at the NEXT invocation, never mid-read)
     base = Path(tempfile.gettempdir()) / (
-        f"snap_orders_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+        f"snap_orders_{os.getpid()}_{path_tag(sf_dir)}"
     )
     shutil.rmtree(base, ignore_errors=True)
     t = base / "table"
@@ -216,7 +217,7 @@ def snapshot_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = Path(tempfile.gettempdir()) / (
-        f"snap_range_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+        f"snap_range_{os.getpid()}_{path_tag(sf_dir)}"
     )
     shutil.rmtree(base, ignore_errors=True)
     t = base / "table"
@@ -264,7 +265,7 @@ def snapshot_retention_delete_orders(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     base = Path(tempfile.gettempdir()) / (
-        f"snap_del_orders_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+        f"snap_del_orders_{os.getpid()}_{path_tag(sf_dir)}"
     )
     shutil.rmtree(base, ignore_errors=True)
     t = base / "table"
@@ -315,7 +316,7 @@ def snapshot_bloom_point_lookup_orders(spark: SparkSession, sf_dir: str) -> Data
     )
 
     base = Path(tempfile.gettempdir()) / (
-        f"snap_bloom_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+        f"snap_bloom_{os.getpid()}_{path_tag(sf_dir)}"
     )
     shutil.rmtree(base, ignore_errors=True)
     t = base / "table"
@@ -332,7 +333,12 @@ def snapshot_bloom_point_lookup_orders(spark: SparkSession, sf_dir: str) -> Data
     # rejected by (almost) all filters — a degenerate bloom that admits
     # everything should fail loudly, not silently full-scan
     ghost = len(snapshot_files_for_point(t, "o_custkey", -10**9))
-    if total and ghost > max(1, total // 2):
+    # threshold derived from the filters' design FP rate rather than a
+    # fixed total//2: filters are sized to BLOOM_BITS_PER_KEY bits per
+    # distinct key (~0.1% FP at any per-file cardinality), so even a
+    # 100x-the-design FP rate admits well under 2 + 10% of files — more
+    # than that means the filters have genuinely stopped pruning
+    if total and ghost > max(2, -(-total // 10)):
         raise RuntimeError(
             f"bloom admits {ghost}/{total} files for an absent key — "
             "filters are not pruning"

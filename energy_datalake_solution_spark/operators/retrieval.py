@@ -42,7 +42,7 @@ import tempfile
 from pathlib import Path
 
 from ..plans.registry import QUERIES, register
-from ..sources.catalog import load_table, spread
+from ..sources.catalog import load_table, path_tag, spread
 
 # --------------------------------------------------------------------------
 # BM25 top-k retrieval
@@ -521,42 +521,50 @@ def bm25_index_append(
     return ver
 
 
+# Above this many (query_id, term) pairs the probe stops IN-listing terms
+# into the scan filter and broadcasting the query frame, and runs the
+# distributed form instead: file pruning from the Spark-side distinct
+# bucket set (<= BM25_INDEX_BUCKETS ints), then shuffle equi-joins on term.
+BM25_PROBE_DRIVER_CAP = 50_000
+
+
 def bm25_probe(
     spark: SparkSession,
     query_terms,
     index_root,
     top_k: int = BM25_TOPK,
     stats: tuple[int, float] | None = None,
+    driver_batch_cap: int = BM25_PROBE_DRIVER_CAP,
 ) -> DataFrame:
     """Probe a stored BM25 index: hash the query terms driver-side, prune
     the postings/vocab FILES to the buckets they land in via the manifest
     stats, then score the pruned postings against the broadcast query
     frame. No tokenize pass, no corpus scan — the steady-state lexical
-    retrieval path. ``query_terms`` is [(query_id, term), ...] — an
-    interactive batch, broadcast-sized by contract."""
+    retrieval path. ``query_terms`` is [(query_id, term), ...] or a
+    DataFrame with (query_id, term) columns; batches above
+    ``driver_batch_cap`` pairs route to the distributed form (COUNTED,
+    not assumed: file pruning from the <= BM25_INDEX_BUCKETS distinct
+    probed buckets, shuffle joins on term, no IN-list, no broadcast)."""
     from ..sources.snapshots import snapshot_files_for_values, snapshot_read
 
     root = Path(index_root)
     out_schema = "query_id string, doc_id bigint, bm25 double, rank bigint"
+    if isinstance(query_terms, DataFrame):
+        head = query_terms.limit(driver_batch_cap + 1).collect()
+        if len(head) > driver_batch_cap:
+            return _bm25_probe_distributed(
+                spark, query_terms, root, top_k, stats
+            )
+        query_terms = [(r[0], r[1]) for r in head]
+    elif len(query_terms) > driver_batch_cap:
+        qdf_big = spark.createDataFrame(
+            list(query_terms), "query_id string, term string"
+        )
+        return _bm25_probe_distributed(spark, qdf_big, root, top_k, stats)
     if not query_terms:
         return spark.createDataFrame([], out_schema)
     if stats is None:
-        # sum the delta rows (one per build/append commit) — merge-on-read.
-        # idf's N = total docs; avgdl averages only docs with a token
-        # stream (mirrors the fused query's count(*) vs NULL-skipping avg).
-        # merge_schema + coalesce tolerate delta rows written before the
-        # stats table carried n_text_docs (those rows folded the counts,
-        # so n_docs is the faithful fallback for them).
-        sdf = snapshot_read(spark, root / "stats", merge_schema=True)
-        n_text_col = (
-            F.coalesce(F.col("n_text_docs"), F.col("n_docs"))
-            if "n_text_docs" in sdf.columns
-            else F.col("n_docs")
-        )
-        r = sdf.agg(F.sum("n_docs"), F.sum(n_text_col), F.sum("sum_dl")).first()
-        n = int(r[0]) if r[0] is not None else 0
-        n_text = int(r[1]) if r[1] is not None else 0
-        stats = (n, (int(r[2]) / n_text) if n_text and r[2] is not None else 1.0)
+        stats = _bm25_index_stats(spark, root)
     n_docs, avgdl = stats
 
     terms = sorted({t for _, t in query_terms})
@@ -606,6 +614,100 @@ def bm25_probe(
     )
 
 
+def _bm25_index_stats(spark: SparkSession, root: Path) -> tuple[int, float]:
+    """(n_docs, avgdl) by summing the stats table's delta rows (one per
+    build/append commit) — merge-on-read. idf's N = total docs; avgdl
+    averages only docs with a token stream (mirrors the fused query's
+    count(*) vs NULL-skipping avg). merge_schema + coalesce tolerate
+    delta rows written before the stats table carried n_text_docs."""
+    from ..sources.snapshots import snapshot_read
+
+    sdf = snapshot_read(spark, root / "stats", merge_schema=True)
+    n_text_col = (
+        F.coalesce(F.col("n_text_docs"), F.col("n_docs"))
+        if "n_text_docs" in sdf.columns
+        else F.col("n_docs")
+    )
+    r = sdf.agg(F.sum("n_docs"), F.sum(n_text_col), F.sum("sum_dl")).first()
+    n = int(r[0]) if r[0] is not None else 0
+    n_text = int(r[1]) if r[1] is not None else 0
+    return (n, (int(r[2]) / n_text) if n_text and r[2] is not None else 1.0)
+
+
+def _bm25_probe_distributed(
+    spark: SparkSession,
+    qdf: DataFrame,
+    root: Path,
+    top_k: int,
+    stats: tuple[int, float] | None,
+) -> DataFrame:
+    """The over-cap form of bm25_probe: ``qdf`` is a (query_id, term)
+    frame too large to IN-list or broadcast. File pruning survives — the
+    probed bucket set is computed Spark-side and is bounded by
+    BM25_INDEX_BUCKETS, so its collect is metadata-sized regardless of
+    the batch — but term filtering becomes a shuffle equi-join (a
+    left-semi against the query terms instead of an IN-list in the scan
+    filter) and the scoring joins drop their broadcast hints. Same
+    scoring arithmetic; the registered probe queries never take this
+    path (their batches are interactive-sized)."""
+    from ..sources.snapshots import snapshot_files_for_values
+
+    out_schema = "query_id string, doc_id bigint, bm25 double, rank bigint"
+    if stats is None:
+        stats = _bm25_index_stats(spark, root)
+    n_docs, avgdl = stats
+    buckets = sorted(
+        int(r.b)
+        for r in qdf.select(_term_bucket_col(F.col("term")).alias("b"))
+        .distinct()
+        .collect()  # <= BM25_INDEX_BUCKETS
+    )
+    if not buckets:
+        return spark.createDataFrame([], out_schema)
+    pfiles = snapshot_files_for_values(root / "postings", "term_bucket", buckets)
+    vfiles = snapshot_files_for_values(root / "vocab", "term_bucket", buckets)
+    if not pfiles or not vfiles:
+        return spark.createDataFrame([], out_schema)
+    qterms = qdf.select("term").distinct()
+    postings = (
+        spark.read.schema(
+            "term_bucket int, term string, doc_id bigint, dl int, tf bigint"
+        )
+        .parquet(*[str(root / "postings" / f) for f in pfiles])
+        .join(qterms, "term", "left_semi")
+    )
+    vocab = (
+        spark.read.schema("term_bucket int, term string, df bigint")
+        .parquet(*[str(root / "vocab" / f) for f in vfiles])
+        .join(qterms, "term", "left_semi")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
+        )
+    )
+    scored = (
+        postings.join(qdf, "term")
+        .join(vocab, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+    rank_w = W.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
 # one stored index per (process, corpus dir) — the _IVF_INDEX_CACHE
 # pattern (operators/ann_index.py): first invocation builds, every later
 # one probes, so bench best-of-N measures the steady-state probe.
@@ -619,7 +721,7 @@ def _bm25_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, tuple[int, f
         return cached
     root = str(
         Path(tempfile.gettempdir())
-        / f"bm25_index_{os.getpid()}_{abs(hash(str(sf_dir))) % 10**8}"
+        / f"bm25_index_{os.getpid()}_{path_tag(sf_dir)}"
     )
     shutil.rmtree(root, ignore_errors=True)
     stats = build_bm25_index(spark, sf_dir, root)

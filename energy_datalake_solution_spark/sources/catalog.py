@@ -31,6 +31,17 @@ TABLES = (
 SMALL_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 
 
+def path_tag(path) -> str:
+    """Stable 16-hex-digit tag for a filesystem path, for naming scratch
+    dirs keyed by their source dataset. md5 of the path string — NOT
+    Python's salted ``hash()``, whose 10**8-modded values can collide
+    across two sf_dirs in one process, making the second index build
+    rmtree the first while its cache entry still passes existence checks."""
+    import hashlib
+
+    return hashlib.md5(str(path).encode()).hexdigest()[:16]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

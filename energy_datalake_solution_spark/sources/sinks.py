@@ -81,6 +81,43 @@ def write_sorted(
     )
 
 
+def _partition_tokens(spark, n: int) -> list[int]:
+    """For each partition id p in [0, n), a small integer token whose
+    Spark Murmur3 ``pmod(hash(token), n)`` equals p. ``repartition(n,
+    token_col)`` then places rows EXACTLY where the token says —
+    deterministic across runs (Murmur3 seed is fixed at 42), unlike
+    ``repartitionByRange`` whose boundaries come from reservoir sampling
+    seeded by the transient RDD id. Found once per (SparkContext, n) with
+    a tiny spark.range job (coupon-collector: ~n ln n candidates)."""
+    key = (id(spark.sparkContext), n)
+    cached = _PARTITION_TOKEN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tokens: dict[int, int] = {}
+    lo, width = 0, max(64, 32 * n)
+    while len(tokens) < n:
+        rows = (
+            spark.range(lo, lo + width)
+            .select(
+                F.col("id"),
+                F.pmod(F.hash(F.col("id").cast("long")), F.lit(n)).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.min("id").alias("tok"))
+            .collect()
+        )
+        for r in rows:
+            tokens.setdefault(int(r["p"]), int(r["tok"]))
+        lo += width
+        width *= 2
+    out = [tokens[p] for p in range(n)]
+    _PARTITION_TOKEN_CACHE[key] = out
+    return out
+
+
+_PARTITION_TOKEN_CACHE: dict[tuple, list[int]] = {}
+
+
 def zorder_arrange(
     df: DataFrame,
     col_a: str,
@@ -95,10 +132,15 @@ def zorder_arrange(
 
     Construction in pure Spark expressions: scale each column to a
     ``bits``-bit bucket id against its global min/max (two-row broadcast),
-    interleave the bit positions into a Morton code, then range-partition +
-    sort by the code. At 100 TB the min/max agg is one cheap pass (or comes
-    from table stats) and everything else is row-local — no UDF, no
-    driver-side data.
+    interleave the bit positions into a Morton code, then DETERMINISTICALLY
+    place the rows: file f receives exactly the Morton range
+    ``[f * 4^bits / n_files, (f+1) * 4^bits / n_files)`` via an explicit
+    z-bucket key routed through a hash-perfect token (``_partition_tokens``)
+    so partition id == bucket id. Two writes of the same data always produce
+    identical file rectangles — ``repartitionByRange`` could not promise
+    that because its boundaries are reservoir-sampled per run. At 100 TB
+    the min/max agg is one cheap pass (or comes from table stats) and
+    everything else is row-local — no UDF, no driver-side data.
     """
     mins = df.agg(
         F.min(col_a).alias("_min_a"),
@@ -132,11 +174,21 @@ def zorder_arrange(
         ),
         F.shiftleft(bucket_a.bitwiseAND(F.lit(1)), 1) + bucket_b.bitwiseAND(F.lit(1)),
     )
+    # explicit z-bucket: file f covers morton range [f*4^bits/n, (f+1)*4^bits/n)
+    tokens = _partition_tokens(df.sparkSession, n_files)
+    bucket = F.floor(
+        F.col("_z").cast("double") * n_files / float(n_buckets * n_buckets)
+    ).cast("int")
+    token_col = F.element_at(
+        F.array(*[F.lit(t) for t in tokens]),
+        F.least(F.lit(n_files - 1), bucket) + 1,
+    ).cast("long")
     return (
         scaled.withColumn("_z", zval)
-        .repartitionByRange(n_files, F.col("_z"))
+        .withColumn("_ztok", token_col)
+        .repartition(n_files, F.col("_ztok"))
         .sortWithinPartitions("_z")
-        .drop("_z", "_min_a", "_max_a", "_min_b", "_max_b")
+        .drop("_z", "_ztok", "_min_a", "_max_a", "_min_b", "_max_b")
     )
 
 

@@ -329,6 +329,26 @@ def snapshot_upsert(
     stats: dict = m.get("stats", {}) or {}
     tracked_cols = sorted({c for s in stats.values() for c in s})
     col = keys[0]
+    # The batch is evaluated more than once below (key-range agg, then
+    # the anti-join + write; the no-stats path references it twice inside
+    # one DAG). Persist pins one evaluation so a NONDETERMINISTIC batch
+    # (sample(), rand-derived keys, a re-read of a mutable source) cannot
+    # write keys outside the pruned [lo, hi] and leave stale duplicates
+    # alive in unrewritten files.
+    df = df.persist()
+    try:
+        return _snapshot_upsert_committed(
+            spark, df, p, keys, parent, m, stats, tracked_cols, col
+        )
+    finally:
+        df.unpersist()
+
+
+def _snapshot_upsert_committed(
+    spark, df, p, keys, parent, m, stats, tracked_cols, col
+) -> int:
+    from pyspark.sql import functions as F
+
     if not any(col in s for s in stats.values()):
         # no key stats anywhere: classic full rewrite — but keep whatever
         # OTHER column stats the table tracked (a commit must never
@@ -775,11 +795,12 @@ def snapshot_compact(
 # file provably lacks the value), bounded false positives (those files
 # are read and row-filtered like any other).
 
-BLOOM_BITS = 8192   # 1 KiB per (file, column) — manifest-friendly
-BLOOM_HASHES = 6    # ~0.9% FP at ~850 distinct values/file
+BLOOM_BITS = 8192   # FLOOR: 1 KiB per (file, column) — manifest-friendly
+BLOOM_HASHES = 6
+BLOOM_BITS_PER_KEY = 16  # m = 16n, k = 6 -> ~0.09% false positives
 
 
-def _bloom_positions(value) -> list[int]:
+def _bloom_positions(value, m_bits: int = BLOOM_BITS) -> list[int]:
     import hashlib as _h
 
     # canonicalize numerics: a DOUBLE column yields 421.0 from pyarrow
@@ -793,14 +814,20 @@ def _bloom_positions(value) -> list[int]:
     else:
         key = str(value)
     return [
-        int(_h.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % BLOOM_BITS
+        int(_h.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % m_bits
         for i in range(BLOOM_HASHES)
     ]
 
 
 def _file_bloom(path: str, col: str) -> str | None:
     """Base64 Bloom bitset over the file's distinct ``col`` values (NULLs
-    excluded — a NULL never equals a point-lookup value)."""
+    excluded — a NULL never equals a point-lookup value). The bitset is
+    SIZED to the file's distinct count (BLOOM_BITS_PER_KEY bits per key,
+    floored at BLOOM_BITS) so the false-positive rate stays ~0.1%
+    regardless of per-file cardinality — a fixed 8192 bits would exceed
+    50% FP past ~3000 distinct keys and stop pruning at larger scale
+    factors. Readers recover the size from the decoded length, so old
+    fixed-size filters in existing manifests keep working."""
     import base64
 
     import pyarrow.parquet as pq
@@ -809,11 +836,11 @@ def _file_bloom(path: str, col: str) -> str | None:
         table = pq.read_table(path, columns=[col])
     except Exception:
         return None
-    bits = bytearray(BLOOM_BITS // 8)
-    for v in table.column(col).unique().to_pylist():
-        if v is None:
-            continue
-        for pos in _bloom_positions(v):
+    vals = [v for v in table.column(col).unique().to_pylist() if v is not None]
+    m_bits = max(BLOOM_BITS, ((len(vals) * BLOOM_BITS_PER_KEY + 7) // 8) * 8)
+    bits = bytearray(m_bits // 8)
+    for v in vals:
+        for pos in _bloom_positions(v, m_bits):
             bits[pos // 8] |= 1 << (pos % 8)
     return base64.b64encode(bytes(bits)).decode()
 
@@ -878,7 +905,6 @@ def snapshot_files_for_point(table_path, col, value, version: int | None = None)
     m = _read_manifest(p, v)
     stats = m.get("stats", {})
     blooms = m.get("blooms", {})
-    positions = _bloom_positions(value)
     keep = []
     for rel in m["files"]:
         s = stats.get(rel, {}).get(col)
@@ -887,6 +913,8 @@ def snapshot_files_for_point(table_path, col, value, version: int | None = None)
         b64 = blooms.get(rel, {}).get(col)
         if b64 is not None:
             bits = base64.b64decode(b64)
+            # filter size travels as the bitset length (per-file adaptive)
+            positions = _bloom_positions(value, len(bits) * 8)
             if not all(bits[pos // 8] & (1 << (pos % 8)) for pos in positions):
                 continue
         keep.append(rel)

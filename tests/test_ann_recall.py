@@ -303,3 +303,74 @@ def test_kmeans_train_sample_caps_and_is_deterministic(spark):
     assert n1 == _kmeans_train_input(big, k).count()  # deterministic
     small = big.limit(cap)
     assert _kmeans_train_input(small, k).count() == cap  # passthrough
+
+
+def _plan_str(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_probe_batch_cap_routes_to_distributed_form(spark):
+    """The stored-index probes' "model-sized by contract" is a COUNTED
+    guard, not a comment: a query frame above driver_batch_cap routes to
+    the distributed equi-join form (no driver collect of the batch) and
+    returns exactly the rows the driver path returns. Plan-audited: the
+    distributed plans carry no cartesian/nested-loop join."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.functions.vector import l2_norm
+    from energy_datalake_solution_spark.operators.ann_index import (
+        _ivf_index_for,
+        _lsh_index_for,
+        ivf_probe,
+        lsh_probe,
+    )
+    from energy_datalake_solution_spark.operators.similarity import N_QUERIES
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = e.where((F.col("vec_id") < N_QUERIES) & (l2_norm(F.col("embedding")) > 0)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    key = ["query_id", "neighbor_id", "cosine_sim", "rank"]
+
+    ivf_root, cents = _ivf_index_for(spark, SF_ORACLE)
+    via_driver = ivf_probe(spark, q, ivf_root, centroids=cents).toPandas()
+    dist_df = ivf_probe(spark, q, ivf_root, centroids=cents, driver_batch_cap=3)
+    plan = _plan_str(dist_df)
+    assert "CartesianProduct" not in plan
+    a = via_driver.sort_values(key).reset_index(drop=True)
+    b = dist_df.toPandas().sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key]), "IVF distributed fallback drifted from driver path"
+
+    lsh_root = _lsh_index_for(spark, SF_ORACLE)
+    via_driver = lsh_probe(spark, q, lsh_root).toPandas()
+    dist_df = lsh_probe(spark, q, lsh_root, driver_batch_cap=3)
+    plan = _plan_str(dist_df)
+    assert "CartesianProduct" not in plan
+    a = via_driver.sort_values(key).reset_index(drop=True)
+    b = dist_df.toPandas().sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key]), "LSH distributed fallback drifted from driver path"
+
+
+def test_bm25_probe_cap_routes_to_distributed_form(spark):
+    """Same counted-guard contract for the stored BM25 index: an over-cap
+    (query_id, term) batch scores through shuffle equi-joins (no IN-list,
+    no broadcast of the batch) and returns the driver path's exact rows."""
+    from energy_datalake_solution_spark.operators.retrieval import (
+        _bm25_index_for,
+        bm25_probe,
+    )
+
+    root, stats = _bm25_index_for(spark, SF_ORACLE)
+    terms = [("q0", "energy"), ("q0", "grid"), ("q1", "solar"), ("q1", "the")]
+    via_driver = bm25_probe(spark, terms, root, stats=stats).toPandas()
+    dist = bm25_probe(spark, terms, root, stats=stats, driver_batch_cap=2).toPandas()
+    key = ["query_id", "doc_id", "bm25", "rank"]
+    a = via_driver.sort_values(key).reset_index(drop=True)
+    b = dist.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key]), "BM25 distributed fallback drifted from driver path"

@@ -246,13 +246,58 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     # the sorted-by-partkey layout prunes partkey but NOT suppkey
     assert admitting_files(spath, "l_partkey", pk) <= 2
     assert admitting_files(spath, "l_suppkey", sk) == n_s
-    # z-order prunes on BOTH dimensions: strictly better than the sort on
-    # the secondary column (8 files give only ~1-2 z-bits to each axis at
-    # this tiny SF, so the secondary cut is coarse but real)
-    assert admitting_files(zpath, "l_partkey", pk) <= n_z // 2
-    assert admitting_files(zpath, "l_suppkey", sk) <= n_z - 2
+    # z-order prunes on BOTH dimensions. With the deterministic z-bucket
+    # layout the 8 files are EXACT morton ranges: the top 3 morton bits
+    # give col_a 2 bits (4 ranges) and col_b 1 bit (2 ranges), so a point
+    # on a admits <= 2 files and a point on b admits <= 4 — strict bounds,
+    # not the probabilistic ones the sampled repartitionByRange needed.
+    assert admitting_files(zpath, "l_partkey", pk) <= 2
+    assert admitting_files(zpath, "l_suppkey", sk) <= 4
     # same rows either way
     assert spark.read.parquet(str(zpath)).count() == l.count()
+
+
+def test_zorder_layout_deterministic(spark, tmp_path):
+    """Two z-order writes of the same data produce IDENTICAL per-file
+    (min, max) rectangles on both columns — the round-5 flake was the
+    sampled repartitionByRange drawing different range boundaries per
+    run; the explicit z-bucket partitioning pins the layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from energy_datalake_solution_spark.sources.sinks import write_zordered
+
+    l = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    def rectangles(path):
+        rects = []
+        for f in glob.glob(str(path / "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            sch = md.schema.to_arrow_schema()
+            rect = []
+            for col in ("l_partkey", "l_suppkey"):
+                idx = sch.get_field_index(col)
+                lo = min(
+                    md.row_group(i).column(idx).statistics.min
+                    for i in range(md.num_row_groups)
+                )
+                hi = max(
+                    md.row_group(i).column(idx).statistics.max
+                    for i in range(md.num_row_groups)
+                )
+                rect += [lo, hi]
+            rects.append(tuple(rect))
+        return sorted(rects)
+
+    p1, p2 = tmp_path / "z1", tmp_path / "z2"
+    write_zordered(l, p1, "l_partkey", "l_suppkey", n_files=8)
+    write_zordered(l, p2, "l_partkey", "l_suppkey", n_files=8)
+    r1, r2 = rectangles(p1), rectangles(p2)
+    assert len(r1) >= 6
+    assert r1 == r2
 
 
 def test_tpch_q7_only_fact_join_shuffles(spark):
