@@ -104,60 +104,9 @@ def _load_all() -> None:
 # (4) the forty whose latest green is round 2. Everything below the window
 # is r03/r04-green and loses nothing by waiting.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born round 5, never driver-checked ---
-    "docs_bm25_topk",
-    "docs_bm25_probe",
-    "docs_dsir_weights",
-    "docs_dedup_keep_best",
-    "docs_ngram_novelty",
-    "docs_curation_scorecard",
-    "snapshot_retention_delete_orders",
-    "events_user_heavy_hitters",
-    "docs_bm25_decontam_report",
-    "snapshot_bloom_point_lookup_orders",
-    "multimodal_gif_pixel_stats",
-    "multimodal_png_pixel_stats",
-    "docs_temperature_sample",
-    "docs_epoch_shuffle",
-    "docs_source_budget_cap",
-    "docs_length_bucket_batches",
-    "docs_normalize_text",
-    "snapshot_pruned_range_read",
-    "events_resample_hourly_ffill_sharded",
-    "embeddings_ivf_probe",
-    "embeddings_lsh_probe",
-    "embeddings_clustered_exact_topk",
-    "embeddings_clustered_ivf_probe",
-    # --- round-4 oracle graduations awaiting their first hash-green row ---
-    "docs_minhash_lsh_pairs",
-    "knn_graph_pagerank",
-    # --- green only in round 1 — stalest rows in the registry (5) ---
-    "merge_upsert_orders",
-    "multimodal_payload_stats",
-    "star_join_lineitem",
-    "top_customers_by_revenue",
-    "window_top3_orders_per_customer",
-    # --- latest green round 2 (40) ---
-    "conditional_agg_filter_clause",
-    "docs_bpe_token_counts",
-    "docs_deterministic_split",
-    "docs_fingerprint",
-    "docs_lang_id",
-    "docs_pack_sequences",
-    "docs_quality_score",
-    "docs_token_stats",
-    "docs_winnowed_fingerprints",
-    "embeddings_cosine_near_dups",
-    "embeddings_cosine_topk",
-    "embeddings_ivf_ann",
-    "embeddings_lsh_ann",
-    "embeddings_norm_stats",
-    "events_asof_error_to_click",
-    "events_range_join_error_click_pairs",
-    "events_sessionization",
-    "events_tumbling_hourly",
-    "events_value_outliers",
-    "fixtures_etl_curated",
+    # --- born round 6, never driver-checked (new queries go HERE, at
+    #     the top, so the gate window always sees them first) ---
+    # --- latest green round 2: the stalest oracled rows (19) ---
     "lateral_explode_tokens",
     "multimodal_resize_stats",
     "skew_salted_agg_event_types",
@@ -177,6 +126,54 @@ SURFACE_ORDER: tuple[str, ...] = (
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
+    # --- latest green round 3 (46; the first ~31 fit the 50-window
+    #     this round, the tail rotates to the r07 window) ---
+    "basket_part_pairs",
+    "corpus_bigram_merge_candidates",
+    "corpus_vocabulary",
+    "customer_rfm_segments",
+    "docs_bigram_lm_score",
+    "docs_chunk_fixed_tokens",
+    "docs_chunk_udtf",
+    "docs_dedup_clusters",
+    "docs_domain_mix_weights",
+    "docs_dup_rate_by_source",
+    "docs_duplicate_span_pairs",
+    "docs_duplicate_span_stats",
+    "docs_exact_dedup",
+    "docs_incremental_simhash_dedup",
+    "docs_lm_quality_buckets",
+    "docs_lm_score_pandas_kernel",
+    "docs_multitier_dup_pairs",
+    "docs_ngram_jaccard_pairs",
+    "docs_repetition_stats",
+    "docs_simhash_near_dups",
+    "docs_split_contamination",
+    "docs_stratified_sample",
+    "docs_tfidf_top_terms",
+    "docs_training_corpus",
+    "embeddings_knn_graph",
+    "events_funnel_view_click_purchase",
+    "events_value_histogram",
+    "events_value_iqr_udaf",
+    "events_value_percentiles",
+    "events_weekly_cohort_retention",
+    "full_outer_spend_activity_reconciliation",
+    "knn_graph_indegree",
+    "knn_label_consistency",
+    "lineitem_zorder_layout",
+    "multimodal_header_sniff",
+    "orders_monthly_growth",
+    "parts_fuzzy_name_pairs",
+    "profile_lineitem_numeric",
+    "scd2_customer_dim",
+    "source_quality_dashboard",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "unpivot_nation_balances",
+    "window_rolling_7day_customer_spend",
 )
 
 

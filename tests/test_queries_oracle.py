@@ -57,13 +57,25 @@ def test_contract_shape():
     assert len(qs) >= 10
 
 
-# Queries with a driver-side CORRECTNESS row from rounds 1-4 (frozen
-# union of CORRECTNESS_r01/r02/r03/r04.json). Any registered query NOT in
+# Queries with a driver-side CORRECTNESS row from rounds 1-5 (frozen
+# union of CORRECTNESS_r01..r05.json). Any registered query NOT in
 # this set has never been driver-checked and MUST sit inside the active
 # gate window's first 50 entries — otherwise it can stay unverified
 # forever (exactly the hole three round-2 late additions fell through).
 # When a new round's CORRECTNESS file lands, fold its names in.
 DRIVER_GREEN = frozenset({
+    # --- round 5 rows (CORRECTNESS_r05.json; the 23 round-5-born
+    #     queries — the other 27 r05 rows re-greened earlier entries) ---
+    "docs_bm25_decontam_report", "docs_bm25_probe", "docs_bm25_topk",
+    "docs_curation_scorecard", "docs_dedup_keep_best", "docs_dsir_weights",
+    "docs_epoch_shuffle", "docs_length_bucket_batches",
+    "docs_ngram_novelty", "docs_normalize_text", "docs_source_budget_cap",
+    "docs_temperature_sample", "embeddings_clustered_exact_topk",
+    "embeddings_clustered_ivf_probe", "embeddings_ivf_probe",
+    "embeddings_lsh_probe", "events_resample_hourly_ffill_sharded",
+    "events_user_heavy_hitters", "multimodal_gif_pixel_stats",
+    "multimodal_png_pixel_stats", "snapshot_bloom_point_lookup_orders",
+    "snapshot_pruned_range_read", "snapshot_retention_delete_orders",
     # --- round 4 rows (CORRECTNESS_r04.json; the 19 round-4-born queries —
     #     the other 31 r04 rows re-greened earlier rounds' entries) ---
     "multimodal_wav_pcm_stats", "tpch_q2_min_cost_supplier",
