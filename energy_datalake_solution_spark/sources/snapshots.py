@@ -22,9 +22,16 @@ At 100 TB the mechanism is unchanged — manifests hold file lists AND
 per-file min/max column stats (snapshot_write_with_stats collects them
 from the parquet footers at commit; snapshot_read_range prunes files
 against them before Spark ever lists a path); the pointer swap is the
-only serialization point, exactly like Delta's ``_delta_log`` tail. Multi-writer coordination beyond atomic-rename
-(i.e. compare-and-swap on object stores without it) is out of scope here,
-as it is for Delta without a LogStore.
+only serialization point, exactly like Delta's ``_delta_log`` tail.
+Multi-writer commits are OPTIMISTIC (Delta's documented protocol on a
+LogStore with put-if-absent): the manifest hard-link is the
+no-overwrite publish, the pointer check-and-swap is a locked critical
+section that refuses to advance past a moved tip, and the writer
+operations rebase-and-retry on SnapshotCommitConflict — concurrent
+appends compose, overlapping upserts serialize by re-running their file
+prune against the new parent (tests/test_snapshots.py two-writer
+stress). Object stores WITHOUT atomic link/replace would need an
+external lock service, as Delta needs a LogStore there.
 
 Capability parity demonstrated (tests/test_snapshots.py): atomic replace,
 append, STATS-PRUNED keyed upsert (only files whose key range a batch
@@ -48,6 +55,60 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
 _LATEST = "_latest"
+
+# Optimistic concurrency (Delta's documented LogStore protocol): _commit
+# NEVER overwrites — a lost race raises SnapshotCommitConflict — and each
+# writer-facing operation REBASES on conflict: re-read the new tip,
+# re-validate what it assumed about the table (appends assume nothing;
+# upserts/deletes re-run their file prune against the new parent), and
+# re-commit. Bounded attempts: a table under genuinely sustained write
+# contention should serialize its writers upstream, not spin here.
+COMMIT_RETRIES = 5
+
+
+class SnapshotCommitConflict(RuntimeError):
+    """A concurrent writer committed this version first. The raising
+    writer's manifest (if linked) is an unreachable orphan; its data
+    files are unreferenced garbage for vacuum. Retry against the new
+    tip — snapshot_append/upsert/delete do so automatically."""
+
+
+_LOCK = "_commit.lock"
+_LOCK_STALE_SECS = 60.0
+_LOCK_WAIT_SECS = 10.0
+
+
+def _acquire_pointer_lock(table_path: Path) -> Path:
+    """O_CREAT|O_EXCL lock guarding the pointer check-and-swap — the one
+    critical section in the commit protocol. Without it a writer that
+    read parent=N could swap the pointer AFTER a racer advanced it to
+    N+1, silently dropping the racer's files from the chain (the pointer
+    swap itself has no compare-and-swap on POSIX). The section is two
+    metadata ops (~µs), so contention is resolved by a short spin; a
+    lock older than _LOCK_STALE_SECS is a crashed holder and is broken
+    (its commit either published its pointer already or never will)."""
+    import time
+
+    lock = table_path / _LOCK
+    deadline = time.time() + _LOCK_WAIT_SECS
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                age = time.time() - lock.stat().st_mtime
+            except FileNotFoundError:
+                continue  # holder just released — retry immediately
+            if age > _LOCK_STALE_SECS:
+                lock.unlink(missing_ok=True)
+                continue
+            if time.time() > deadline:
+                raise SnapshotCommitConflict(
+                    f"commit lock {lock} held past {_LOCK_WAIT_SECS}s"
+                )
+            time.sleep(0.005)
 
 
 def _table(path) -> Path:
@@ -107,17 +168,20 @@ def _commit(
 ) -> int:
     """Publish a manifest and advance the pointer.
 
-    Concurrency contract: the manifest publish is a hard-link (atomic,
-    no-overwrite — a same-version race loses loudly, never clobbers), and
-    the pointer swap REFUSES to regress: if the on-disk pointer is already
-    at or past this commit's version (a later writer won the race while
-    this one was delayed between link and swap), the commit RAISES — its
-    manifest stays on disk as an orphan branch, never silently
-    un-publishing the later writer and never reporting a lost race as
-    success. Full multi-writer serialization (read-set validation, as
-    Delta's LogStore provides) is out of scope; tables are expected to
-    have ONE writer lineage at a time, and these guards turn violations
-    into loud errors, not corruption.
+    Concurrency contract (optimistic, Delta-LogStore-shaped): the
+    manifest publish is a hard-link (atomic, no-overwrite — a
+    same-version race loses loudly, never clobbers), and the pointer
+    swap runs in a locked critical section that verifies the tip still
+    equals this commit's ``parent`` — if any other writer advanced it in
+    between, the commit RAISES SnapshotCommitConflict. Its manifest
+    stays on disk as an orphan branch: the later writer is never
+    silently un-published, a lost race is never reported as success, and
+    a stale-parent manifest (whose file list would omit the winner's
+    files) can never become the tip. The writer-facing operations
+    (snapshot_write/append/upsert/delete) catch the conflict and REBASE:
+    re-read the tip, re-derive their file list against it, re-commit —
+    appends compose, overlapping upserts/deletes serialize by re-running
+    their prune.
     """
     # allocate ABOVE any manifest on disk, not just parent+1 — after a
     # rollback (pointer < max version) or an interrupted commit (manifest
@@ -169,26 +233,33 @@ def _commit(
         # whichever writer links first wins, the loser raises
         os.link(tmp, mp)
     except FileExistsError:
-        raise RuntimeError(
+        raise SnapshotCommitConflict(
             f"version {version} already committed (concurrent writer)"
         ) from None
     finally:
         tmp.unlink(missing_ok=True)
-    if current_version(table_path) >= version:
-        # a later writer already advanced the pointer past us — swapping
-        # now would REGRESS it and drop that writer's commit from the
-        # chain. RAISE (like the manifest collision above) so the caller
-        # knows its rows are NOT in the table: returning quietly would
-        # report a lost race as success, advance a streaming checkpoint,
-        # and strand the batch on an unreachable orphan branch.
-        raise RuntimeError(
-            f"pointer already at or past version {version} (concurrent "
-            "writer won the race); this commit is an orphan manifest — "
-            "retry the operation against the current version"
-        )
-    ltmp = Path(table_path) / f"{_LATEST}.{uuid.uuid4().hex}.tmp"
-    ltmp.write_text(str(version))
-    os.replace(ltmp, Path(table_path) / _LATEST)  # pointer swap, atomic
+    lock = _acquire_pointer_lock(Path(table_path))
+    try:
+        cur = current_version(table_path)
+        if cur != parent:
+            # the tip moved since this writer read its parent — another
+            # writer won the race. Swapping now would either REGRESS the
+            # pointer or (worse) advance it onto a manifest whose file
+            # list silently omits the winner's files: the lost-update
+            # case the optimistic protocol exists to prevent. RAISE so
+            # the caller knows its rows are NOT in the table and rebases;
+            # its manifest stays on disk as an orphan branch for vacuum.
+            raise SnapshotCommitConflict(
+                f"pointer moved {parent} -> {cur} during commit of "
+                f"version {version} (concurrent writer won the race); "
+                "this commit is an orphan manifest — retry the operation "
+                "against the current version"
+            )
+        ltmp = Path(table_path) / f"{_LATEST}.{uuid.uuid4().hex}.tmp"
+        ltmp.write_text(str(version))
+        os.replace(ltmp, Path(table_path) / _LATEST)  # pointer swap, atomic
+    finally:
+        lock.unlink(missing_ok=True)
     return version
 
 
@@ -196,7 +267,15 @@ def snapshot_write(df: DataFrame, table_path) -> int:
     """Commit df as a full-replace new version; returns the version."""
     p = _table(table_path)
     files = _write_files(df, p)
-    return _commit(p, files, current_version(p), op="write")
+    for attempt in range(COMMIT_RETRIES):
+        try:
+            return _commit(p, files, current_version(p), op="write")
+        except SnapshotCommitConflict:
+            # full replace has no read-set: rebase = recommit the same
+            # files on the new tip (replace-whatever-is-current semantics)
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
 
 
 def _carry_blooms(
@@ -237,20 +316,48 @@ def snapshot_append(
     pruned table keeps every file prunable (append batches are typically
     unclustered, so their per-file ranges are wide — compaction with
     stats_cols restores tight ranges; pruning stays CORRECT either way
-    because stats-less files are always kept)."""
+    because stats-less files are always kept).
+
+    Concurrency: on a commit conflict the append REBASES — the batch's
+    data files are written exactly once, and only the manifest merge
+    reruns against the new tip (an append has no read-set, so disjoint
+    concurrent appends always compose; Delta's documented disposition
+    for blind appends). A txn-stamped append additionally re-checks the
+    new tip's txn map before recommitting, so losing a race to a replay
+    of the SAME (app, txn) batch resolves idempotently instead of
+    double-appending."""
     p = _table(table_path)
-    parent = current_version(p)
-    parent_manifest = _read_manifest(p, parent) if parent else {}
-    old_files = parent_manifest.get("files", [])
     files = _write_files(df, p)
-    stats = None
-    if stats_cols:
-        stats = dict(parent_manifest.get("stats", {}))
-        stats.update(_collect_stats(p, files, stats_cols, spark=df.sparkSession))
-    elif parent_manifest.get("stats"):
-        stats = parent_manifest["stats"]  # carry the surviving files' stats
-    blooms = _carry_blooms(p, parent_manifest, old_files, files) if parent else None
-    return _commit(p, old_files + files, parent, txn=txn, txn_app=txn_app, stats=stats, blooms=blooms, op="append")
+    new_stats = (
+        _collect_stats(p, files, stats_cols, spark=df.sparkSession)
+        if stats_cols
+        else None
+    )
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        parent_manifest = _read_manifest(p, parent) if parent else {}
+        if txn is not None and parent:
+            key = txn_app if txn_app is not None else ""
+            seen = parent_manifest.get("txns", {}).get(key)
+            if seen is None and parent_manifest.get("txn_app") == txn_app:
+                seen = parent_manifest.get("txn")
+            if seen is not None and int(seen) >= int(txn):
+                return parent  # this batch already landed (replay race)
+        old_files = parent_manifest.get("files", [])
+        stats = None
+        if stats_cols:
+            stats = dict(parent_manifest.get("stats", {}))
+            stats.update(new_stats)
+        elif parent_manifest.get("stats"):
+            stats = parent_manifest["stats"]  # carry surviving files' stats
+        blooms = _carry_blooms(p, parent_manifest, old_files, files) if parent else None
+        try:
+            return _commit(p, old_files + files, parent, txn=txn, txn_app=txn_app,
+                           stats=stats, blooms=blooms, op="append")
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
 
 
 def last_txn(table_path, txn_app: str | None = None) -> int:
@@ -318,16 +425,12 @@ def snapshot_upsert(
     from pyspark.sql import functions as F
 
     p = _table(table_path)
-    parent = current_version(p)
-    if parent == 0:
+    if current_version(p) == 0:
         if seed_stats_files:
             return snapshot_write_with_stats(
                 df, p, [keys[0]], n_files=seed_stats_files
             )
         return snapshot_write(df, p)
-    m = _read_manifest(p, parent)
-    stats: dict = m.get("stats", {}) or {}
-    tracked_cols = sorted({c for s in stats.values() for c in s})
     col = keys[0]
     # The batch is evaluated more than once below (key-range agg, then
     # the anti-join + write; the no-stats path references it twice inside
@@ -337,9 +440,25 @@ def snapshot_upsert(
     # alive in unrewritten files.
     df = df.persist()
     try:
-        return _snapshot_upsert_committed(
-            spark, df, p, keys, parent, m, stats, tracked_cols, col
-        )
+        for attempt in range(COMMIT_RETRIES):
+            # re-resolve the tip each attempt: an upsert's read-set is the
+            # file prune below, so a conflict means another writer changed
+            # the file list — the WHOLE prune+rewrite reruns against the
+            # new parent (the failed attempt's files stay as vacuum-able
+            # orphans). This is Delta's conflict disposition for
+            # overlapping MERGEs: serialize by re-running, never compose.
+            parent = current_version(p)
+            m = _read_manifest(p, parent)
+            stats = m.get("stats", {}) or {}
+            tracked_cols = sorted({c for s in stats.values() for c in s})
+            try:
+                return _snapshot_upsert_committed(
+                    spark, df, p, keys, parent, m, stats, tracked_cols, col
+                )
+            except SnapshotCommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+        raise AssertionError("unreachable")
     finally:
         df.unpersist()
 
@@ -433,9 +552,16 @@ def snapshot_rollback(table_path, version: int) -> None:
     p = Path(table_path)
     if not _manifest_path(p, version).exists():
         raise FileNotFoundError(f"version {version} does not exist")
-    tmp = p / f"{_LATEST}.tmp"
-    tmp.write_text(str(version))
-    os.replace(tmp, p / _LATEST)
+    # same critical section as _commit's swap: a rollback racing a commit
+    # must serialize (the commit either lands before the rollback and is
+    # rolled over, or sees the moved tip and rebases) — never interleave
+    lock = _acquire_pointer_lock(p)
+    try:
+        tmp = p / f"{_LATEST}.tmp"
+        tmp.write_text(str(version))
+        os.replace(tmp, p / _LATEST)
+    finally:
+        lock.unlink(missing_ok=True)
 
 
 def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
@@ -646,34 +772,47 @@ def snapshot_delete_range(
     conservatively rewrite. A range no file overlaps commits a
     metadata-only version (an auditable no-op in the history). Old
     versions still time-travel to the deleted rows until vacuum reclaims
-    them — retention of the HISTORY is vacuum's job, by design."""
+    them — retention of the HISTORY is vacuum's job, by design.
+
+    Concurrency: same optimistic disposition as snapshot_upsert — a
+    commit conflict reruns the prune+rewrite against the new tip."""
     from pyspark.sql import functions as F
 
     p = _table(table_path)
-    parent = current_version(p)
-    if parent == 0:
+    if current_version(p) == 0:
         raise FileNotFoundError(f"no snapshot table at {p}")
-    m = _read_manifest(p, parent)
-    stats: dict = m.get("stats", {}) or {}
-    touched = set(snapshot_files_for_range(p, col, lo, hi, parent))
-    untouched = [f for f in m["files"] if f not in touched]
-    if not touched:
-        return _commit(p, list(m["files"]), parent, stats=stats or None,
-                       blooms=m.get("blooms") or None, op="delete")
-    kept_rows = spark.read.option("mergeSchema", "true").parquet(
-        *[str(p / f) for f in sorted(touched)]
-    ).where(
-        ~((F.col(col) >= lo) & (F.col(col) <= hi)) | F.col(col).isNull()
-    ).coalesce(max(1, len(touched)))  # no small-files creep per delete
-    new_files = _write_files(kept_rows, p)
-    new_stats = dict(stats)
-    for f in touched:
-        new_stats.pop(f, None)
-    tracked_cols = sorted({c for s in stats.values() for c in s})
-    if tracked_cols:
-        new_stats.update(_collect_stats(p, new_files, tracked_cols, spark=spark))
-    return _commit(p, untouched + new_files, parent, stats=new_stats or None,
-                   blooms=_carry_blooms(p, m, untouched, new_files), op="delete")
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        m = _read_manifest(p, parent)
+        stats: dict = m.get("stats", {}) or {}
+        touched = set(snapshot_files_for_range(p, col, lo, hi, parent))
+        untouched = [f for f in m["files"] if f not in touched]
+        try:
+            if not touched:
+                return _commit(p, list(m["files"]), parent, stats=stats or None,
+                               blooms=m.get("blooms") or None, op="delete")
+            kept_rows = spark.read.option("mergeSchema", "true").parquet(
+                *[str(p / f) for f in sorted(touched)]
+            ).where(
+                ~((F.col(col) >= lo) & (F.col(col) <= hi)) | F.col(col).isNull()
+            ).coalesce(max(1, len(touched)))  # no small-files creep per delete
+            new_files = _write_files(kept_rows, p)
+            new_stats = dict(stats)
+            for f in touched:
+                new_stats.pop(f, None)
+            tracked_cols = sorted({c for s in stats.values() for c in s})
+            if tracked_cols:
+                new_stats.update(
+                    _collect_stats(p, new_files, tracked_cols, spark=spark)
+                )
+            return _commit(p, untouched + new_files, parent,
+                           stats=new_stats or None,
+                           blooms=_carry_blooms(p, m, untouched, new_files),
+                           op="delete")
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
 
 
 def snapshot_files_for_range(table_path, col: str, lo, hi, version: int | None = None) -> list[str]:

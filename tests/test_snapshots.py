@@ -864,3 +864,100 @@ def test_blooms_survive_upsert_append_delete_and_compact(spark, tmp_path):
     check("delete")
     snapshot_compact(spark, t, target_files=8, stats_cols=["k"])
     check("compact")
+
+
+def test_two_writer_threaded_appends_all_compose(spark, tmp_path):
+    """Two writer threads appending concurrently: with the optimistic
+    rebase every batch must land — no lost updates, no duplicates —
+    regardless of interleaving. (The commit critical section plus
+    rebase-retry is what turns the old single-writer-lineage contract
+    into a real multi-writer one.)"""
+    import threading
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 10, "base"), t)
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(writer_id: int):
+        try:
+            barrier.wait()
+            for i in range(3):
+                lo = 100 + writer_id * 30 + i * 10
+                snapshot_append(_df(spark, lo, lo + 10, f"w{writer_id}"), t)
+        except Exception as e:  # noqa: BLE001 - surfaced via the assert below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert snapshot_read(spark, t).count() == 10 + 6 * 10
+    assert current_version(t) == 7  # 1 base + 6 appends, all on the chain
+
+
+def test_stale_parent_commit_cannot_drop_racer_files(spark, tmp_path):
+    """The lost-update case the locked pointer swap exists for: a writer
+    that read parent=1 and publishes AFTER a racer advanced the tip must
+    get a conflict — its (stale) file list, which omits the racer's
+    files, must never become the tip."""
+    import pytest as _pytest
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)  # v1
+    p = S._table(t)
+    stale_files = S._write_files(_df(spark, 100, 102, "stale"), p)
+    snapshot_append(_df(spark, 50, 55, "racer"), t)  # v2 — the racer wins
+    with _pytest.raises(S.SnapshotCommitConflict):
+        S._commit(p, stale_files, parent=1)
+    # the racer's rows are still on the tip; the stale writer's are not
+    assert snapshot_read(spark, t).count() == 10
+    # and the stale writer retries cleanly by rebasing on the new tip
+    m2 = S._read_manifest(p, S.current_version(t))
+    S._commit(p, m2["files"] + stale_files, parent=2)
+    assert snapshot_read(spark, t).count() == 12
+
+
+def test_conflicting_upsert_rebases_prune_against_new_tip(spark, tmp_path, monkeypatch):
+    """An upsert whose commit loses a race re-runs its WHOLE file prune
+    against the new parent (not just the pointer swap): the racer's
+    append lands mid-upsert, and the final table must contain the
+    racer's rows AND the upsert's updates with no duplicates."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_upsert(
+        spark,
+        _df(spark, 0, 40, "base"),
+        t,
+        ["k"],
+        seed_stats_files=4,
+    )
+    real_commit = S._commit
+    state = {"injected": False}
+
+    def racing_commit(p_, files_, parent_, **kw):
+        if not state["injected"]:
+            state["injected"] = True
+            # the racer lands an append between this upsert's parent read
+            # and its commit (this nested call sees injected=True and
+            # delegates straight to the real commit)
+            snapshot_append(_df(spark, 100, 105, "racer"), t)
+        return real_commit(p_, files_, parent_, **kw)
+
+    monkeypatch.setattr(S, "_commit", racing_commit)
+    batch = _df(spark, 10, 20, "updated")
+    snapshot_upsert(spark, batch, t, ["k"])
+    monkeypatch.undo()
+    got = {
+        r["k"]: r["v"]
+        for r in snapshot_read(spark, t).select("k", "v").collect()
+    }
+    assert len(got) == 40 + 5  # no duplicates, racer's rows present
+    assert all(got[k] == "updated" for k in range(10, 20))
+    assert all(got[k] == "base" for k in list(range(0, 10)) + list(range(20, 40)))
+    assert all(got[k] == "racer" for k in range(100, 105))
