@@ -351,3 +351,128 @@ def test_gif_decode_rejects_corruption_and_unsupported(spark):
     bad[desc + 9] |= 0x40
     with pytest.raises(Exception):
         run(bytes(bad))
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline SOF0: Huffman + dequant + zigzag + IDCT)
+# --------------------------------------------------------------------------
+
+
+def _decode_jpeg(spark, payload: bytes):
+    import pandas as pd
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        decode_jpeg_pixel_stats,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [payload]}),
+        "doc_id long, payload binary",
+    )
+    return decode_jpeg_pixel_stats(df).collect()
+
+
+def test_jpeg_synth_roundtrip_matches_formula(spark):
+    """Decoding the synthesized payloads reproduces the generating
+    formula exactly — the bit-exactness claim (constant blocks + unit
+    quantization) that lets a lossy codec sit under a hash gate."""
+    from energy_datalake_solution_spark.operators.multimodal import (
+        decode_jpeg_pixel_stats,
+        synth_jpeg_payload,
+    )
+
+    d = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    rows = decode_jpeg_pixel_stats(synth_jpeg_payload(d)).collect()
+    assert len(rows) == 40
+    for r in rows:
+        i = r.doc_id
+        bw, bh = 1 + i % 3, 1 + i % 2
+        vals = [
+            (i * 37 + bx * 59 + by * 83) % 256
+            for by in range(bh)
+            for bx in range(bw)
+        ]
+        assert (r.width, r.height) == (8 * bw, 8 * bh)
+        assert r.min_val == min(vals) and r.max_val == max(vals)
+        assert r.corner_val == (i * 37) % 256
+        assert abs(r.mean_val - sum(vals) / len(vals)) < 1e-6
+
+
+def test_jpeg_ac_coefficients_decode_through_full_path(spark):
+    """The decoder's AC machinery is real, not an EOB shortcut: a
+    hand-built payload with a nonzero AC coefficient (run-length 2,
+    size-coded magnitude, then EOB) must decode to the IDCT of that
+    coefficient pattern computed independently in numpy."""
+    import struct
+
+    import numpy as np
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_ZIGZAG,
+        _JpegBitWriter,
+        _jpeg_dht,
+        _jpeg_huff_codes,
+    )
+
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    head += (b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+             + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    head += _jpeg_dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS)
+    head += _jpeg_dht(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)
+    head += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    w = _JpegBitWriter()
+    # DC = 0 (category 0)
+    code, length = dc_codes[0]
+    w.put(code, length)
+    # skip 2 zero ACs, then coefficient +20 (category 5) at zigzag index 3
+    code, length = ac_codes[(2 << 4) | 5]
+    w.put(code, length)
+    w.put(20, 5)
+    code, length = ac_codes[0x00]  # EOB
+    w.put(code, length)
+    payload = bytes(head) + w.flush() + b"\xff\xd9"
+
+    (r,) = _decode_jpeg(spark, payload)
+
+    # independent reconstruction: coef at zigzag index 3 = (2, 0)
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    M = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    M[0, :] *= 1 / np.sqrt(2)
+    coef = np.zeros((8, 8))
+    rr, cc = _JPEG_ZIGZAG[3]
+    coef[rr, cc] = 20.0
+    px = np.clip(np.rint(M.T @ coef @ M + 128), 0, 255)
+    assert r.corner_val == int(px[0, 0])
+    assert r.min_val == int(px.min()) and r.max_val == int(px.max())
+    assert abs(r.mean_val - round(float(px.mean()), 6)) < 1e-9
+
+
+def test_jpeg_malformed_or_unsupported_raises(spark):
+    import struct
+
+    import pytest
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        synth_jpeg_payload,
+    )
+    import pandas as pd
+
+    d = spark.createDataFrame(pd.DataFrame({"doc_id": [3]}), "doc_id long")
+    (row,) = synth_jpeg_payload(d).collect()
+    good = bytes(row.payload)
+    with pytest.raises(Exception, match="SOI"):
+        _decode_jpeg(spark, b"not a jpeg")
+    with pytest.raises(Exception, match="EOI|truncated|marker"):
+        _decode_jpeg(spark, good[:-4])  # EOI and tail bits gone
+    # progressive SOF2 must be refused, not mis-decoded
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(Exception, match="baseline|progressive"):
+        _decode_jpeg(spark, prog)
