@@ -360,3 +360,75 @@ def snapshot_bloom_point_lookup_orders(spark: SparkSession, sf_dir: str) -> Data
         )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_zorder_rect_read",
+    oracle="""
+        SELECT l_orderkey AS order_id,
+               l_partkey AS part_id,
+               l_suppkey AS supplier_id,
+               l_quantity AS quantity
+        FROM lineitem
+        WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 5
+    """,
+    tags=("snapshot", "stats", "pruning", "zorder"),
+)
+def snapshot_zorder_rect_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER under the driver's hash gate: ingest lineitem into
+    a snapshot table as three arrival-ordered appends (no (part, supp)
+    locality — the post-streaming state every real table degrades into),
+    run snapshot_zorder_compact over (l_partkey, l_suppkey), then answer
+    a 2-D rectangle query through snapshot_read_rect, which lists only
+    the files whose manifest stats overlap BOTH ranges. The deterministic
+    z-bucket layout makes each file a compact Morton rectangle, so the
+    corner rectangle must admit a strict subset of files — a guard
+    raises if the pruning regressed to a full listing. The oracle is the
+    plain two-predicate filter over raw lineitem: pruning that loses a
+    file's rows (a stats slip, a rectangle mix-up, a lost row in the
+    compaction rewrite) fails the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_append,
+        snapshot_read_rect,
+        snapshot_write,
+        snapshot_zorder_compact,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_zrect_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    third = F.pmod("l_orderkey", F.lit(3))
+    snapshot_write(l.where(third == 0), t)
+    snapshot_append(l.where(third == 1), t)
+    snapshot_append(l.where(third == 2), t)
+    snapshot_zorder_compact(spark, t, "l_partkey", "l_suppkey", n_files=8)
+    total = len(_read_manifest(t, current_version(t))["files"])
+    out = snapshot_read_rect(
+        spark, t, "l_partkey", 1, 50, "l_suppkey", 1, 5
+    )
+    # pruning guard: the corner rectangle must touch a strict subset of
+    # the z-ordered files (both dimensions contribute cuts)
+    admitted = len(out.inputFiles())
+    if total >= 4 and admitted > total // 2:
+        raise RuntimeError(
+            f"z-order rect read admits {admitted}/{total} files — "
+            "two-dimensional pruning is not happening"
+        )
+    out = out.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("part_id"),
+        F.col("l_suppkey").alias("supplier_id"),
+        F.col("l_quantity").alias("quantity"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

@@ -107,6 +107,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 6, never driver-checked (new queries go HERE, at
     #     the top, so the gate window always sees them first) ---
     "multimodal_jpeg_pixel_stats",
+    "snapshot_zorder_rect_read",
     # --- latest green round 2: the stalest oracled rows (19) ---
     "lateral_explode_tokens",
     "multimodal_resize_stats",

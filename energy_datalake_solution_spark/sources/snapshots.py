@@ -904,18 +904,98 @@ def snapshot_compact(
     this restores it). Exactly Delta's OPTIMIZE semantics: a metadata swap
     over rewritten data, never an in-place mutation."""
     p = _table(table_path)
-    parent = current_version(p)
-    df = snapshot_read(spark, p)
-    if stats_cols:
-        df = df.repartitionByRange(target_files, stats_cols[0])
-    else:
-        df = df.coalesce(target_files)
-    files = _write_files(df, p)
-    stats = _collect_stats(p, files, stats_cols, spark=spark) if stats_cols else None
-    pm = _read_manifest(p, parent) if parent else {}
-    return _commit(
-        p, files, parent, stats=stats,
-        blooms=_carry_blooms(p, pm, [], files), op="compact",
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        df = snapshot_read(spark, p)
+        if stats_cols:
+            df = df.repartitionByRange(target_files, stats_cols[0])
+        else:
+            df = df.coalesce(target_files)
+        files = _write_files(df, p)
+        stats = _collect_stats(p, files, stats_cols, spark=spark) if stats_cols else None
+        pm = _read_manifest(p, parent) if parent else {}
+        try:
+            return _commit(
+                p, files, parent, stats=stats,
+                blooms=_carry_blooms(p, pm, [], files), op="compact",
+            )
+        except SnapshotCommitConflict:
+            # a writer landed mid-compaction: rewriting a stale file set
+            # would drop its rows — re-read the new tip and re-compact
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def snapshot_zorder_compact(
+    spark: SparkSession,
+    table_path,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 8,
+) -> int:
+    """OPTIMIZE ZORDER BY: rewrite the current version on the Morton curve
+    over TWO columns and commit with per-file min/max stats for both —
+    the maintenance form of snapshot_write_zordered for tables whose
+    appends have destroyed locality (stream ingest writes arrival-ordered
+    files; after enough of them every 2-D range read admits every file).
+    The arrangement is the sink tier's DETERMINISTIC z-bucket layout
+    (sources/sinks.py::zorder_arrange), so repeated compactions of the
+    same data produce identical file rectangles. Same optimistic-retry
+    disposition as snapshot_compact."""
+    from .sinks import zorder_arrange
+
+    p = _table(table_path)
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        df = snapshot_read(spark, p)
+        files = _write_files(
+            zorder_arrange(df, col_a, col_b, n_files=n_files, bits=bits), p
+        )
+        stats = _collect_stats(p, files, [col_a, col_b], spark=spark)
+        pm = _read_manifest(p, parent) if parent else {}
+        try:
+            return _commit(p, files, parent, stats=stats,
+                           blooms=_carry_blooms(p, pm, [], files), op="zorder")
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def snapshot_read_rect(
+    spark: SparkSession,
+    table_path,
+    col_a: str,
+    lo_a,
+    hi_a,
+    col_b: str,
+    lo_b,
+    hi_b,
+    version: int | None = None,
+) -> DataFrame:
+    """2-D stats-pruned read: only files whose manifest [min, max] ranges
+    overlap BOTH predicates are listed (the intersection of the two
+    single-column prunes), then the row filters apply as usual. On a
+    z-ordered layout each file is a compact rectangle of the (a, b)
+    space, so a small query rectangle admits few files — the read-side
+    payoff of snapshot_zorder_compact; on a single-column layout this
+    degrades gracefully to that column's prune (files without stats for
+    either column are always kept: pruning never loses rows)."""
+    from pyspark.sql import functions as F
+
+    p = Path(table_path)
+    v = current_version(p) if version is None else version
+    fa = set(snapshot_files_for_range(p, col_a, lo_a, hi_a, v))
+    fb = set(snapshot_files_for_range(p, col_b, lo_b, hi_b, v))
+    files = sorted(fa & fb)
+    if not files:
+        return snapshot_read(spark, p, version=v).where(F.lit(False))
+    return (
+        spark.read.parquet(*[str(p / f) for f in files])
+        .where((F.col(col_a) >= lo_a) & (F.col(col_a) <= hi_a))
+        .where((F.col(col_b) >= lo_b) & (F.col(col_b) <= hi_b))
     )
 
 

@@ -961,3 +961,55 @@ def test_conflicting_upsert_rebases_prune_against_new_tip(spark, tmp_path, monke
     assert all(got[k] == "updated" for k in range(10, 20))
     assert all(got[k] == "base" for k in list(range(0, 10)) + list(range(20, 40)))
     assert all(got[k] == "racer" for k in range(100, 105))
+
+
+def test_zorder_compact_restores_two_dim_pruning(spark, tmp_path):
+    """Arrival-ordered appends admit every file for a 2-D rectangle;
+    snapshot_zorder_compact re-lays the table on the Morton curve and
+    the same rectangle read prunes on BOTH columns, with identical rows
+    before and after (OPTIMIZE ZORDER semantics). The layout is the
+    deterministic z-bucket arrangement, so a second compaction produces
+    identical per-file stats rectangles."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_append,
+        snapshot_read_rect,
+        snapshot_write,
+        snapshot_zorder_compact,
+    )
+
+    from .conftest import SF_ORACLE
+
+    t = tmp_path / "t"
+    l = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    third = F.pmod("l_orderkey", F.lit(3))
+    snapshot_write(l.where(third == 0), t)
+    snapshot_append(l.where(third == 1), t)
+    snapshot_append(l.where(third == 2), t)
+
+    expected = sorted(
+        (r.l_orderkey, r.l_partkey, r.l_suppkey, float(r.l_quantity))
+        for r in l.where(
+            (F.col("l_partkey").between(1, 50)) & (F.col("l_suppkey").between(1, 5))
+        ).collect()
+    )
+    v = snapshot_zorder_compact(spark, t, "l_partkey", "l_suppkey", n_files=8)
+    m = _read_manifest(t, v)
+    total = len(m["files"])
+    assert total >= 6
+    rect = snapshot_read_rect(spark, t, "l_partkey", 1, 50, "l_suppkey", 1, 5)
+    assert len(rect.inputFiles()) <= total // 2  # both dimensions cut
+    got = sorted(
+        (r.l_orderkey, r.l_partkey, r.l_suppkey, float(r.l_quantity))
+        for r in rect.collect()
+    )
+    assert got == expected  # pruning lost nothing
+    # deterministic maintenance: compacting again reproduces the rectangles
+    v2 = snapshot_zorder_compact(spark, t, "l_partkey", "l_suppkey", n_files=8)
+    m2 = _read_manifest(t, v2)
+    rects = lambda mm: sorted(tuple(s.get(c, [None, None])) for f, s in mm["stats"].items() for c in ("l_partkey", "l_suppkey"))  # noqa: E731
+    assert rects(m) == rects(m2)
