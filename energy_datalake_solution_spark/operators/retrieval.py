@@ -499,11 +499,26 @@ def bm25_index_append(
     # batch skips all three appends before anything materializes)
     postings = _bm25_postings(docs_batch).persist()
     try:
-        ver = _append(postings, root / "postings", stats_cols=["term_bucket"])
+        # CLUSTER the appended files by term_bucket (a few ranged files,
+        # not default-parallelism arrival-ordered parts): each append
+        # then adds ~1 file to any one bucket's pruned listing instead of
+        # every part file — measured at sf0.1, 8 unclustered appends grew
+        # a one-bucket listing 1 -> 257 files and probe latency 1.4x;
+        # ranged appends keep the steady state near the fresh-built
+        # index, and compaction still restores the single-file optimum
+        ver = _append(
+            postings.repartitionByRange(4, "term_bucket"),
+            root / "postings",
+            stats_cols=["term_bucket"],
+        )
         vocab_delta = postings.groupBy("term_bucket", "term").agg(
             F.count(F.lit(1)).cast("long").alias("df")
         )
-        _append(vocab_delta, root / "vocab", stats_cols=["term_bucket"])
+        _append(
+            vocab_delta.repartitionByRange(2, "term_bucket"),
+            root / "vocab",
+            stats_cols=["term_bucket"],
+        )
         b_docs = docs_batch.count()  # total rows, incl. NULL-text docs
         b_text, b_sum = (
             postings.select("doc_id", "dl")

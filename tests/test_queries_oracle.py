@@ -203,3 +203,12 @@ def test_registry_counts_are_what_the_docs_claim():
     assert expected in readme, (
         f"README operator-surface header out of date: expected {expected!r}"
     )
+    # the newest SCALING fleet-audit section must be pinned to the live
+    # registry size too (round-5 verdict caught the sweep recorded at a
+    # stale count — the audit is only evidence if it covered everything)
+    scaling = (Path(__file__).resolve().parent.parent / "SCALING.md").read_text()
+    last_audit = scaling.rfind("## Fleet-wide plan audit")
+    assert last_audit >= 0
+    assert f"all **{total}** registered queries" in scaling[last_audit:], (
+        f"latest SCALING.md fleet-audit section not pinned to {total} queries"
+    )
