@@ -198,6 +198,152 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# More-like-this: document-as-query BM25 retrieval
+# --------------------------------------------------------------------------
+
+MLT_N_QUERIES = 8   # query documents: doc_id < 8
+MLT_TERMS = 5       # representative terms extracted per query document
+MLT_TOPK = 10
+
+
+@register(
+    "docs_more_like_this",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(replace(text, chr(10), ' '), ' ') AS w
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM t
+        ),
+        qtf AS (
+            SELECT t.doc_id AS query_id, u.term, count(*) AS qtf
+            FROM t, UNNEST(w) AS u(term)
+            WHERE t.doc_id < {MLT_N_QUERIES} AND u.term <> ''
+            GROUP BY t.doc_id, u.term
+        ),
+        qterms AS (
+            SELECT query_id, term FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY qtf DESC, term
+                ) AS r FROM qtf
+            ) WHERE r <= {MLT_TERMS}
+        ),
+        toks AS (
+            SELECT doc_id, len(w) AS dl, u.term
+            FROM t, UNNEST(w) AS u(term)
+        ),
+        matched AS (SELECT * FROM toks WHERE term IN (SELECT term FROM qterms)),
+        tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf
+            FROM matched GROUP BY doc_id, dl, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM matched GROUP BY term
+        ),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   round(sum(
+                       ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                       * tf.tf * ({BM25_K1} + 1)
+                       / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                          + {BM25_B} * tf.dl / stats.avgdl))
+                   ), 6) AS bm25
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN df USING (term)
+            CROSS JOIN stats
+            WHERE tf.doc_id <> q.query_id
+            GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT query_id, doc_id, bm25,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+            ) AS rank
+            FROM scored
+        )
+        WHERE rank <= {MLT_TOPK}
+    """,
+    tags=("text", "retrieval", "window"),
+)
+def docs_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this retrieval (Lucene's MLT, the doc-as-query form of
+    BM25): each query DOCUMENT (doc_id < MLT_N_QUERIES) is reduced to its
+    MLT_TERMS most frequent terms (tf desc, term asc — deterministic),
+    those terms score the corpus under the standard BM25 pipeline, the
+    query doc itself is excluded, and the top MLT_TOPK neighbors emerge
+    per query. This is the lexical near-duplicate/expansion sweep a
+    curation pipeline runs when it has exemplar documents rather than
+    keyword queries.
+
+    Plan: query-term extraction filters to the query docs BEFORE any
+    explode (8 rows in, ~40 (query, term) rows out — model-sized, then
+    broadcast). The corpus token stream is semi-joined against the
+    distinct query vocabulary (a broadcast semi-join rather than the
+    literal IN-list of docs_bm25_topk, because here the vocabulary is
+    data-derived), so postings/tf/df are all match-sized. Scoring and
+    ranking are the docs_bm25_topk shape exactly; self-matches drop
+    before the group-by. At 100 TB: one corpus scan for the scalars, one
+    for the match-filtered postings — the same scan-bound regime as the
+    keyword form, with the exemplar set staying broadcast-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.regexp_replace("text", "\\n", " "), " ")
+    docs = d.select("doc_id", w.alias("w"))
+    n_docs, avgdl = docs.agg(F.count(F.lit(1)), F.avg(F.size("w"))).first()
+    avgdl = float(avgdl) if avgdl else 1.0
+
+    qtf = (
+        docs.where((F.col("doc_id") < MLT_N_QUERIES) & F.col("w").isNotNull())
+        .select(F.col("doc_id").alias("query_id"), F.explode("w").alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    qrank = W.partitionBy("query_id").orderBy(F.col("qtf").desc(), "term")
+    qterms = (
+        qtf.withColumn("r", F.row_number().over(qrank))
+        .where(F.col("r") <= MLT_TERMS)
+        .select("query_id", "term")
+    )
+    vocab = qterms.select("term").distinct()
+    toks = (
+        spread(docs)
+        .select("doc_id", F.size("w").alias("dl"), F.explode("w").alias("term"))
+        .join(F.broadcast(vocab), "term", "left_semi")
+    )
+    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+    rank_w = W.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .where(F.col("rank") <= MLT_TOPK)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # DSIR importance weights
 # --------------------------------------------------------------------------
 

@@ -108,6 +108,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     #     the top, so the gate window always sees them first) ---
     "multimodal_jpeg_pixel_stats",
     "snapshot_zorder_rect_read",
+    "docs_more_like_this",
     # --- latest green round 2: the stalest oracled rows (19) ---
     "lateral_explode_tokens",
     "multimodal_resize_stats",
