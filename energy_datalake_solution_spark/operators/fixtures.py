@@ -432,3 +432,53 @@ def snapshot_zorder_rect_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_schema_evolution_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price,
+               NULL AS order_status
+        FROM orders WHERE o_orderkey % 100 < 50
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 100 >= 50
+    """,
+    tags=("snapshot", "schema-evolution"),
+)
+def snapshot_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution under the driver's hash gate: commit an
+    orders subset WITHOUT the status column, append a second band whose
+    files carry the new ``order_status`` column, and read the table with
+    ``merge_schema=True`` — pre-evolution rows surface the added column
+    as NULL (Delta's additive evolution semantics), post-evolution rows
+    carry their values. The oracle derives both bands from raw orders
+    with an explicit NULL literal, so a read that drops the late column,
+    loses pre-evolution rows, or backfills instead of NULLing fails the
+    hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import snapshot_append, snapshot_read, snapshot_write
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_evo_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders")
+    band = F.pmod("o_orderkey", F.lit(100))
+    snapshot_write(
+        o.where(band < 50).select("o_orderkey", "o_totalprice"), t
+    )
+    snapshot_append(
+        o.where(band >= 50).select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        t,
+    )
+    out = snapshot_read(spark, t, merge_schema=True).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderstatus").alias("order_status"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

@@ -109,6 +109,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "multimodal_jpeg_pixel_stats",
     "snapshot_zorder_rect_read",
     "docs_more_like_this",
+    "snapshot_schema_evolution_read",
     # --- latest green round 2: the stalest oracled rows (19) ---
     "lateral_explode_tokens",
     "multimodal_resize_stats",
