@@ -426,6 +426,8 @@ def snapshot_upsert(
 
     p = _table(table_path)
     if current_version(p) == 0:
+        # table creation (full replace either way); the rebase inside the
+        # write handles a concurrent creator racing this one
         if seed_stats_files:
             return snapshot_write_with_stats(
                 df, p, [keys[0]], n_files=seed_stats_files
@@ -742,6 +744,22 @@ def _collect_stats(
     return out
 
 
+def _commit_full_replace(p: Path, files: list[str], *, stats=None, blooms=None,
+                         op: str = "write") -> int:
+    """Commit a FULL-REPLACE file set with the optimistic rebase: a
+    conflict means another writer advanced the tip, and replace-whatever-
+    is-current semantics rebase by recommitting the same files on the new
+    parent (no read-set to validate)."""
+    for attempt in range(COMMIT_RETRIES):
+        try:
+            return _commit(p, files, current_version(p), stats=stats,
+                           blooms=blooms, op=op)
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
 def snapshot_write_with_stats(
     df: DataFrame, table_path, stats_cols: list[str], n_files: int | None = None
 ) -> int:
@@ -756,7 +774,7 @@ def snapshot_write_with_stats(
         df = df.repartitionByRange(n_files, *stats_cols[:1])
     files = _write_files(df, p)
     stats = _collect_stats(p, files, stats_cols, spark=df.sparkSession)
-    return _commit(p, files, current_version(p), stats=stats, op="write")
+    return _commit_full_replace(p, files, stats=stats)
 
 
 def snapshot_delete_range(
@@ -1109,7 +1127,7 @@ def snapshot_write_with_bloom(
     for rel, c, b in pairs:
         if b is not None:
             blooms.setdefault(rel, {})[c] = b
-    return _commit(p, files, current_version(p), stats=stats, blooms=blooms, op="write")
+    return _commit_full_replace(p, files, stats=stats, blooms=blooms)
 
 
 def snapshot_files_for_point(table_path, col, value, version: int | None = None) -> list[str]:
@@ -1162,7 +1180,7 @@ def snapshot_write_zordered(
         zorder_arrange(df, col_a, col_b, n_files=n_files, bits=bits), p
     )
     stats = _collect_stats(p, files, [col_a, col_b], spark=df.sparkSession)
-    return _commit(p, files, current_version(p), stats=stats, op="write")
+    return _commit_full_replace(p, files, stats=stats)
 
 
 def snapshot_history(table_path) -> list[dict]:
