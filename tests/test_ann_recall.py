@@ -374,3 +374,27 @@ def test_bm25_probe_cap_routes_to_distributed_form(spark):
     a = via_driver.sort_values(key).reset_index(drop=True)
     b = dist.sort_values(key).reset_index(drop=True)
     assert a[key].equals(b[key]), "BM25 distributed fallback drifted from driver path"
+
+
+def test_bm25_probe_accepts_dataframe_batches(spark):
+    """bm25_probe takes the query batch as a DataFrame too: under the cap
+    it collects and follows the driver path; over the cap it routes to
+    the distributed form — both must equal the list-input result."""
+    from energy_datalake_solution_spark.operators.retrieval import (
+        _bm25_index_for,
+        bm25_probe,
+    )
+
+    root, stats = _bm25_index_for(spark, SF_ORACLE)
+    terms = [("q0", "energy"), ("q0", "grid"), ("q1", "solar"), ("q1", "the")]
+    expected = bm25_probe(spark, terms, root, stats=stats).toPandas()
+    qdf = spark.createDataFrame(terms, "query_id string, term string")
+    key = ["query_id", "doc_id", "bm25", "rank"]
+
+    for cap in (100, 2):  # driver path, then forced distributed path
+        got = bm25_probe(
+            spark, qdf, root, stats=stats, driver_batch_cap=cap
+        ).toPandas()
+        a = expected.sort_values(key).reset_index(drop=True)
+        b = got.sort_values(key).reset_index(drop=True)
+        assert a[key].equals(b[key]), f"cap={cap} drifted from list input"
