@@ -952,6 +952,7 @@ def snapshot_zorder_compact(
     col_b: str,
     n_files: int = 8,
     bits: int = 8,
+    incremental: bool = False,
 ) -> int:
     """OPTIMIZE ZORDER BY: rewrite the current version on the Morton curve
     over TWO columns and commit with per-file min/max stats for both —
@@ -961,25 +962,76 @@ def snapshot_zorder_compact(
     The arrangement is the sink tier's DETERMINISTIC z-bucket layout
     (sources/sinks.py::zorder_arrange), so repeated compactions of the
     same data produce identical file rectangles. Same optimistic-retry
-    disposition as snapshot_compact."""
+    disposition as snapshot_compact.
+
+    ``incremental=True`` is the liquid-clustering-shaped maintenance
+    loop: files that survive from the LAST zorder commit are already
+    compact rectangles and are CARRIED byte-identical with their stats —
+    only the unclustered tail (files appended since) is read, z-arranged
+    against its own span, and rewritten. Per-cycle write cost is
+    O(appends since last zorder), not O(table): at 100 TB that is the
+    difference between maintenance you run hourly and maintenance you
+    defer until reads hurt. Pruning stays exact either way (every file
+    carries true footer min/max; tail rectangles may overlap the
+    clustered ones until the next full rewrite, which only ADMITS a few
+    more files, never loses rows). Falls back to the full rewrite when
+    no prior zorder commit survives on disk or nothing is clustered."""
     from .sinks import zorder_arrange
 
     p = _table(table_path)
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)
-        df = snapshot_read(spark, p)
-        files = _write_files(
+        pm = _read_manifest(p, parent) if parent else {}
+        carried: list[str] = []
+        tail_files: list[str] | None = None
+        if incremental and parent:
+            zfiles = _last_zorder_files(p, parent)
+            if zfiles:
+                cur = list(pm["files"])
+                carried = [f for f in cur if f in zfiles]
+                tail_files = [f for f in cur if f not in zfiles]
+                if carried and not tail_files:
+                    return parent  # fully clustered already — no-op
+        if incremental and carried and tail_files:
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[str(p / f) for f in sorted(tail_files)]
+            )
+        else:
+            carried = []
+            df = snapshot_read(spark, p)
+        new_files = _write_files(
             zorder_arrange(df, col_a, col_b, n_files=n_files, bits=bits), p
         )
-        stats = _collect_stats(p, files, [col_a, col_b], spark=spark)
-        pm = _read_manifest(p, parent) if parent else {}
+        stats = {
+            f: s
+            for f, s in (pm.get("stats", {}) or {}).items()
+            if f in set(carried)
+        }
+        stats.update(_collect_stats(p, new_files, [col_a, col_b], spark=spark))
         try:
-            return _commit(p, files, parent, stats=stats,
-                           blooms=_carry_blooms(p, pm, [], files), op="zorder")
+            return _commit(p, carried + new_files, parent, stats=stats,
+                           blooms=_carry_blooms(p, pm, carried, new_files),
+                           op="zorder")
         except SnapshotCommitConflict:
             if attempt == COMMIT_RETRIES - 1:
                 raise
     raise AssertionError("unreachable")
+
+
+def _last_zorder_files(p: Path, tip: int) -> set[str] | None:
+    """File list of the newest op=="zorder" manifest at or below ``tip``
+    still on disk, or None. Walks the parent chain (vacuumed ancestors
+    end the walk — incremental maintenance then falls back to full)."""
+    v = tip
+    while v > 0:
+        try:
+            m = _read_manifest(p, v)
+        except FileNotFoundError:
+            return None
+        if m.get("op") == "zorder":
+            return set(m["files"])
+        v = m.get("parent", 0)
+    return None
 
 
 def snapshot_read_rect(

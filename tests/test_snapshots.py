@@ -1013,3 +1013,72 @@ def test_zorder_compact_restores_two_dim_pruning(spark, tmp_path):
     m2 = _read_manifest(t, v2)
     rects = lambda mm: sorted(tuple(s.get(c, [None, None])) for f, s in mm["stats"].items() for c in ("l_partkey", "l_suppkey"))  # noqa: E731
     assert rects(m) == rects(m2)
+
+
+def test_incremental_zorder_carries_clustered_files_untouched(spark, tmp_path):
+    """Liquid-clustering-shaped maintenance: after a full z-order
+    compaction, appends accumulate an unclustered tail; an INCREMENTAL
+    zorder compaction must rewrite ONLY the tail — the clustered files
+    carry into the new manifest byte-identical (same relative paths,
+    same stats) — and the rectangle read stays exact. A second
+    incremental call with no new appends is a metadata no-op."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_append,
+        snapshot_read,
+        snapshot_read_rect,
+        snapshot_write,
+        snapshot_zorder_compact,
+    )
+
+    from .conftest import SF_ORACLE
+
+    t = tmp_path / "t"
+    l = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    band = F.pmod("l_orderkey", F.lit(4))
+    snapshot_write(l.where(band == 0), t)
+    v_full = snapshot_zorder_compact(spark, t, "l_partkey", "l_suppkey", n_files=8)
+    clustered = set(_read_manifest(t, v_full)["files"])
+
+    snapshot_append(l.where(band == 1), t)
+    snapshot_append(l.where(band == 2), t)
+
+    v_inc = snapshot_zorder_compact(
+        spark, t, "l_partkey", "l_suppkey", n_files=4, incremental=True
+    )
+    m = _read_manifest(t, v_inc)
+    # every clustered file carried verbatim; the arrival-ordered append
+    # files are gone (rewritten as the z-arranged tail)
+    assert clustered <= set(m["files"])
+    new_files = set(m["files"]) - clustered
+    assert new_files and all(f not in clustered for f in new_files)
+    full_stats = _read_manifest(t, v_full)["stats"]
+    for f in clustered:
+        assert m["stats"][f] == full_stats[f]
+    # the rectangle read equals brute force over the current snapshot
+    expected = sorted(
+        (r.l_orderkey, r.l_partkey, r.l_suppkey, float(r.l_quantity))
+        for r in snapshot_read(spark, t)
+        .where((F.col("l_partkey").between(1, 50)) & (F.col("l_suppkey").between(1, 5)))
+        .collect()
+    )
+    got = sorted(
+        (r.l_orderkey, r.l_partkey, r.l_suppkey, float(r.l_quantity))
+        for r in snapshot_read_rect(
+            spark, t, "l_partkey", 1, 50, "l_suppkey", 1, 5
+        ).collect()
+    )
+    assert got == expected
+    # idempotent steady state: nothing unclustered -> no new version
+    assert (
+        snapshot_zorder_compact(
+            spark, t, "l_partkey", "l_suppkey", n_files=4, incremental=True
+        )
+        == v_inc
+    )
+    assert current_version(t) == v_inc
