@@ -482,3 +482,55 @@ def snapshot_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFram
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_mor_delete_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price
+        FROM orders
+        WHERE o_orderkey NOT BETWEEN 1000 AND 2999
+    """,
+    tags=("snapshot", "delete", "mor"),
+)
+def snapshot_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE under the driver's hash gate: commit orders
+    range-split with stats, delete a key band via
+    snapshot_delete_range_mor — which rewrites NO data file, only adds
+    the matching rows' positions as deletion vectors to the manifest —
+    and read the table back. A guard raises if the commit touched the
+    file list (the whole point is O(matched rows) metadata instead of a
+    rewrite). The oracle is the complement filter over raw orders, so a
+    vector that misses a row, hits a wrong position, or fails to apply
+    on the read path fails the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_delete_range_mor,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_mor_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snapshot_write_with_stats(o, t, ["o_orderkey"], n_files=8)
+    before = list(_read_manifest(t, current_version(t))["files"])
+    snapshot_delete_range_mor(spark, t, "o_orderkey", 1000, 2999)
+    m = _read_manifest(t, current_version(t))
+    if m["files"] != sorted(before) or m.get("op") != "delete-mor":
+        raise RuntimeError(
+            "MOR delete rewrote data files — deletion vectors not engaged"
+        )
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

@@ -110,6 +110,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_zorder_rect_read",
     "docs_more_like_this",
     "snapshot_schema_evolution_read",
+    "snapshot_mor_delete_read",
     # --- latest green round 2: the stalest oracled rows (19) ---
     "lateral_explode_tokens",
     "multimodal_resize_stats",

@@ -164,6 +164,7 @@ def _commit(
     txn_app: str | None = None,
     stats: dict | None = None,
     blooms: dict | None = None,
+    dv: dict | None = None,
     op: str | None = None,
 ) -> int:
     """Publish a manifest and advance the pointer.
@@ -224,6 +225,8 @@ def _commit(
         manifest["stats"] = stats
     if blooms:
         manifest["blooms"] = blooms
+    if dv:
+        manifest["dv"] = dv
     mp = _manifest_path(table_path, version)
     tmp = mp.with_suffix(f".{uuid.uuid4().hex}.tmp")
     tmp.write_text(json.dumps(manifest, indent=1))
@@ -353,7 +356,9 @@ def snapshot_append(
         blooms = _carry_blooms(p, parent_manifest, old_files, files) if parent else None
         try:
             return _commit(p, old_files + files, parent, txn=txn, txn_app=txn_app,
-                           stats=stats, blooms=blooms, op="append")
+                           stats=stats, blooms=blooms,
+                           dv=_carry_dv(parent_manifest, old_files) if parent else None,
+                           op="append")
         except SnapshotCommitConflict:
             if attempt == COMMIT_RETRIES - 1:
                 raise
@@ -485,7 +490,8 @@ def _snapshot_upsert_committed(
     if n_rows == 0:
         # empty batch: metadata-only commit carrying the parent's files
         return _commit(p, list(m["files"]), parent, stats=stats or None,
-                       blooms=m.get("blooms") or None, op="upsert")
+                       blooms=m.get("blooms") or None,
+                       dv=m.get("dv") or None, op="upsert")
     if lo is None:
         # non-empty batch whose key is NULL in every row: NULL matches no
         # existing row (the anti-join never equates NULLs), so this is a
@@ -500,8 +506,8 @@ def _snapshot_upsert_committed(
             # mergeSchema: on a schema-evolved table the touched set can
             # span file generations — a single-footer inference would
             # silently drop later-added columns from the rewritten rows
-            cur_t = spark.read.option("mergeSchema", "true").parquet(
-                *[str(p / f) for f in sorted(touched)]
+            cur_t = _read_files_with_dv(
+                spark, p, sorted(touched), m.get("dv"), merge_schema=True
             )
             merged = cur_t.join(
                 df.select(keys).distinct(), keys, "left_anti"
@@ -520,7 +526,8 @@ def _snapshot_upsert_committed(
         new_stats.pop(f, None)
     new_stats.update(_collect_stats(p, new_files, tracked_cols, spark=spark))
     return _commit(p, untouched + new_files, parent, stats=new_stats,
-                   blooms=_carry_blooms(p, m, untouched, new_files), op="upsert")
+                   blooms=_carry_blooms(p, m, untouched, new_files),
+                   dv=_carry_dv(m, untouched), op="upsert")
 
 
 def _read_manifest(table_path, version: int) -> dict:
@@ -542,11 +549,11 @@ def snapshot_read(
     v = current_version(p) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_path}")
-    files = [str(p / f) for f in _read_manifest(p, v)["files"]]
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    m = _read_manifest(p, v)
+    # merge-on-read: apply the manifest's deletion vectors (no-op without)
+    return _read_files_with_dv(
+        spark, p, list(m["files"]), m.get("dv"), merge_schema=merge_schema
+    )
 
 
 def snapshot_rollback(table_path, version: int) -> None:
@@ -808,9 +815,10 @@ def snapshot_delete_range(
         try:
             if not touched:
                 return _commit(p, list(m["files"]), parent, stats=stats or None,
-                               blooms=m.get("blooms") or None, op="delete")
-            kept_rows = spark.read.option("mergeSchema", "true").parquet(
-                *[str(p / f) for f in sorted(touched)]
+                               blooms=m.get("blooms") or None,
+                               dv=m.get("dv") or None, op="delete")
+            kept_rows = _read_files_with_dv(
+                spark, p, sorted(touched), m.get("dv"), merge_schema=True
             ).where(
                 ~((F.col(col) >= lo) & (F.col(col) <= hi)) | F.col(col).isNull()
             ).coalesce(max(1, len(touched)))  # no small-files creep per delete
@@ -826,7 +834,168 @@ def snapshot_delete_range(
             return _commit(p, untouched + new_files, parent,
                            stats=new_stats or None,
                            blooms=_carry_blooms(p, m, untouched, new_files),
-                           op="delete")
+                           dv=_carry_dv(m, untouched), op="delete")
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: merge-on-read DELETE (Delta DV / Iceberg positional
+# deletes). A MOR delete rewrites NO data file — the new manifest carries,
+# per touched file, the sorted row positions (parquet row_index) of the
+# deleted rows, zlib-packed. Readers anti-join the (file, position) set
+# back out via the parquet _metadata.row_index column, so the delete is
+# O(matched rows) metadata instead of O(touched files) rewrite — the shape
+# that makes narrow deletes on a 100 TB table instant. Wide deletes fall
+# back to the copy-on-write rewrite above DV_MAX_DELETED_ROWS (a counted
+# guard, not a comment): past that point the rewrite is cheaper than
+# dragging a large DV through every read, which is also Delta's guidance.
+# Compaction/z-order PURGE vectors physically (their reads apply the DV,
+# their outputs carry none); upserts/CoW-deletes apply the DV when reading
+# files they rewrite and carry entries for files they keep — a deleted row
+# can never resurrect.
+# ---------------------------------------------------------------------------
+
+DV_MAX_DELETED_ROWS = 1_000_000
+
+
+def _pack_positions(positions) -> list:
+    """[count, base64(zlib(int64 deltas))] — monotonic deltas compress to
+    ~1-2 bytes/position, manifest-friendly like the bloom encoding."""
+    import base64
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(sorted(int(x) for x in positions), dtype=np.int64)
+    deltas = np.diff(arr, prepend=np.int64(0))
+    packed = base64.b64encode(zlib.compress(deltas.tobytes())).decode()
+    return [int(arr.size), packed]
+
+
+def _unpack_positions(entry) -> "list[int]":
+    import base64
+    import zlib
+
+    import numpy as np
+
+    n, b64 = int(entry[0]), entry[1]
+    deltas = np.frombuffer(zlib.decompress(base64.b64decode(b64)), dtype=np.int64)
+    assert deltas.size == n
+    return np.cumsum(deltas).tolist()
+
+
+def _carry_dv(parent_manifest: dict, kept: list[str]) -> dict | None:
+    """DV entries for the files a commit KEEPS. Files being rewritten must
+    instead have their DV applied during the read (the rewrite
+    materializes the deletions, so their vectors are dropped)."""
+    dv: dict = parent_manifest.get("dv", {}) or {}
+    out = {f: dv[f] for f in kept if f in dv}
+    return out or None
+
+
+def _read_files_with_dv(
+    spark: SparkSession,
+    p: Path,
+    rels: list[str],
+    dv: dict | None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read a file subset with its deletion vectors applied: tag every row
+    with (_metadata.file_path, _metadata.row_index), broadcast-anti-join
+    the DV's (file, position) pairs (DV-sized by the write-side cap), and
+    drop the helper columns. Files without vectors pay nothing beyond the
+    metadata projection; a subset with no vectors at all skips it."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[str(p / f) for f in rels])
+    sub = {f: dv[f] for f in rels if f in (dv or {})}
+    if not sub:
+        return df
+    pairs = []
+    for rel, entry in sub.items():
+        fp = f"file:{(p / rel).resolve()}"
+        pairs.extend((fp, int(ri)) for ri in _unpack_positions(entry))
+    dvf = spark.createDataFrame(pairs, "_dv_fp string, _dv_ri long")
+    cols = df.columns
+    tagged = df.select(
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.row_index").alias("_ri"),
+        *cols,
+    )
+    return (
+        tagged.join(
+            F.broadcast(dvf),
+            (tagged["_fp"] == dvf["_dv_fp"]) & (tagged["_ri"] == dvf["_dv_ri"]),
+            "left_anti",
+        )
+        .select(*cols)
+    )
+
+
+def snapshot_delete_range_mor(
+    spark: SparkSession, table_path, col: str, lo, hi,
+    max_deleted_rows: int = DV_MAX_DELETED_ROWS,
+) -> int:
+    """Merge-on-read DELETE of every row with ``lo <= col <= hi``: commits
+    a new version whose manifest adds the matching rows' positions to the
+    touched files' deletion vectors — NO data file is rewritten, read or
+    copied beyond the position scan, and old versions still time-travel
+    to the rows. Stats-pruned like the CoW form (only files whose
+    [min, max] can contain the range are even scanned for positions).
+    Deletes wider than ``max_deleted_rows`` route to the copy-on-write
+    snapshot_delete_range instead — counted, not assumed. Same
+    optimistic-retry disposition as every writer."""
+    from pyspark.sql import functions as F
+
+    p = _table(table_path)
+    if current_version(p) == 0:
+        raise FileNotFoundError(f"no snapshot table at {p}")
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        m = _read_manifest(p, parent)
+        dv: dict = dict(m.get("dv", {}) or {})
+        touched = sorted(snapshot_files_for_range(p, col, lo, hi, parent))
+        try:
+            if not touched:
+                return _commit(p, list(m["files"]), parent,
+                               stats=m.get("stats") or None,
+                               blooms=m.get("blooms") or None,
+                               dv=dv or None, op="delete-mor")
+            hits = (
+                spark.read.parquet(*[str(p / f) for f in touched])
+                .select(
+                    F.col("_metadata.file_path").alias("fp"),
+                    F.col("_metadata.row_index").alias("ri"),
+                    F.col(col).alias("v"),
+                )
+                .where((F.col("v") >= lo) & (F.col("v") <= hi))
+            )
+            n_hits = hits.count()
+            if n_hits > max_deleted_rows:
+                # wide delete: the rewrite is cheaper than a giant vector
+                return snapshot_delete_range(spark, p, col, lo, hi)
+            by_file = (
+                hits.groupBy("fp")
+                .agg(F.sort_array(F.collect_list("ri")).alias("pos"))
+                .collect()  # <= touched-file rows, positions capped above
+            )
+            abs_to_rel = {f"file:{(p / f).resolve()}": f for f in touched}
+            for r in by_file:
+                rel = abs_to_rel[r["fp"]]
+                new_pos = list(r["pos"])
+                if rel in dv:
+                    new_pos = sorted(set(_unpack_positions(dv[rel])) | set(new_pos))
+                dv[rel] = _pack_positions(new_pos)
+            return _commit(p, list(m["files"]), parent,
+                           stats=m.get("stats") or None,
+                           blooms=m.get("blooms") or None,
+                           dv=dv or None, op="delete-mor")
         except SnapshotCommitConflict:
             if attempt == COMMIT_RETRIES - 1:
                 raise
@@ -865,12 +1034,15 @@ def snapshot_row_count(table_path, version: int | None = None) -> int | None:
         raise FileNotFoundError(f"no committed version in {table_path}")
     m = _read_manifest(p, v)
     stats = m.get("stats", {})
+    dv = m.get("dv", {}) or {}
     total = 0
     for rel in m["files"]:
         n = stats.get(rel, {}).get(_ROWS_KEY)
         if n is None:
             return None
         total += int(n)
+        if rel in dv:  # merge-on-read: deleted positions leave the count
+            total -= int(dv[rel][0])
     return total
 
 
@@ -899,12 +1071,14 @@ def snapshot_read_range(
     100 TB this is the difference between listing/opening every file of a
     snapshot and touching the few whose key range can match."""
     p = Path(table_path)
-    files = snapshot_files_for_range(p, col, lo, hi, version)
+    v = current_version(p) if version is None else version
+    files = snapshot_files_for_range(p, col, lo, hi, v)
     if not files:
         # empty selection: preserve schema by reading the full snapshot
         # lazily and filtering (never collected — planner only)
-        return snapshot_read(spark, p, version).where(f"{col} >= {lo!r} AND {col} <= {hi!r}").limit(0)
-    df = spark.read.parquet(*[str(p / f) for f in files])
+        return snapshot_read(spark, p, v).where(f"{col} >= {lo!r} AND {col} <= {hi!r}").limit(0)
+    dv = _read_manifest(p, v).get("dv")
+    df = _read_files_with_dv(spark, p, files, dv)
     return df.where((df[col] >= lo) & (df[col] <= hi))
 
 
@@ -993,8 +1167,8 @@ def snapshot_zorder_compact(
                 if carried and not tail_files:
                     return parent  # fully clustered already — no-op
         if incremental and carried and tail_files:
-            df = spark.read.option("mergeSchema", "true").parquet(
-                *[str(p / f) for f in sorted(tail_files)]
+            df = _read_files_with_dv(
+                spark, p, sorted(tail_files), pm.get("dv"), merge_schema=True
             )
         else:
             carried = []
@@ -1011,7 +1185,7 @@ def snapshot_zorder_compact(
         try:
             return _commit(p, carried + new_files, parent, stats=stats,
                            blooms=_carry_blooms(p, pm, carried, new_files),
-                           op="zorder")
+                           dv=_carry_dv(pm, carried), op="zorder")
         except SnapshotCommitConflict:
             if attempt == COMMIT_RETRIES - 1:
                 raise
@@ -1062,8 +1236,9 @@ def snapshot_read_rect(
     files = sorted(fa & fb)
     if not files:
         return snapshot_read(spark, p, version=v).where(F.lit(False))
+    dv = _read_manifest(p, v).get("dv")
     return (
-        spark.read.parquet(*[str(p / f) for f in files])
+        _read_files_with_dv(spark, p, files, dv)
         .where((F.col(col_a) >= lo_a) & (F.col(col_a) <= hi_a))
         .where((F.col(col_b) >= lo_b) & (F.col(col_b) <= hi_b))
     )

@@ -1082,3 +1082,85 @@ def test_incremental_zorder_carries_clustered_files_untouched(spark, tmp_path):
         == v_inc
     )
     assert current_version(t) == v_inc
+
+
+def test_mor_delete_rewrites_no_files_and_never_resurrects(spark, tmp_path):
+    """Merge-on-read DELETE: the commit rewrites NO data file (manifest
+    file list unchanged, vectors added), reads/row-counts/pruned reads
+    apply the vectors, old versions still time-travel to the rows,
+    vectors merge across deletes, a later pruned upsert does NOT
+    resurrect deleted rows, and compaction purges the vectors
+    physically."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_compact,
+        snapshot_delete_range_mor,
+        snapshot_read,
+        snapshot_read_range,
+        snapshot_row_count,
+        snapshot_upsert,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    snapshot_write_with_stats(df, t, ["k"], n_files=8)
+    v1 = current_version(t)
+    files_v1 = list(_read_manifest(t, v1)["files"])
+
+    v2 = snapshot_delete_range_mor(spark, t, "k", 1000, 1999)
+    m2 = _read_manifest(t, v2)
+    assert m2["files"] == sorted(files_v1)  # no file rewritten
+    assert m2["op"] == "delete-mor" and m2.get("dv")
+    assert snapshot_read(spark, t).count() == 3000
+    assert snapshot_row_count(t) == 3000  # manifest-only count sees the DV
+    assert snapshot_read(spark, t, version=v1).count() == 4000  # time travel
+    got = sorted(r.k for r in snapshot_read_range(spark, t, "k", 500, 2499).collect())
+    assert got == list(range(500, 1000)) + list(range(2000, 2500))
+
+    # vectors merge across deletes (overlap is deduplicated)
+    v3 = snapshot_delete_range_mor(spark, t, "k", 1500, 2099)
+    assert _read_manifest(t, v3)["files"] == sorted(files_v1)
+    assert snapshot_read(spark, t).count() == 2900
+
+    # pruned upsert touching a deleted region must not resurrect rows
+    batch = spark.range(1200, 1210).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("v")
+    )
+    snapshot_upsert(spark, batch, t, ["k"])
+    after = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert len(after) == 2910  # 2900 survivors + 10 re-inserted keys
+    assert all(after[k] == -1.0 for k in range(1200, 1210))
+    assert 1500 not in after and 2000 not in after  # still deleted
+
+    # compaction materializes the deletions and drops the vectors
+    v5 = snapshot_compact(spark, t, target_files=4, stats_cols=["k"])
+    m5 = _read_manifest(t, v5)
+    assert not m5.get("dv")
+    assert snapshot_read(spark, t).count() == 2910
+
+
+def test_mor_delete_wide_ranges_fall_back_to_rewrite(spark, tmp_path):
+    """The DV cap is counted: a delete matching more rows than
+    max_deleted_rows routes to the copy-on-write path (files rewritten,
+    no vectors) instead of committing a giant vector."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_delete_range_mor,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    v = snapshot_delete_range_mor(spark, t, "k", 0, 899, max_deleted_rows=100)
+    m = _read_manifest(t, current_version(t))
+    assert v == current_version(t)
+    assert m["op"] == "delete"  # the CoW path committed
+    assert not m.get("dv")
+    assert snapshot_read(spark, t).count() == 100
