@@ -859,6 +859,21 @@ def snapshot_delete_range(
 # ---------------------------------------------------------------------------
 
 DV_MAX_DELETED_ROWS = 1_000_000
+_DV_RUNS_MAX = 256  # run-compressed DV expression budget; more runs -> join
+
+
+def _position_runs(positions) -> "list[tuple[int, int]]":
+    """Sorted positions -> maximal contiguous [lo, hi] runs. Range deletes
+    on clustered files compress to a handful of runs; fully scattered
+    vectors degrade to one run per position (the join path handles those)."""
+    runs = []
+    for p_ in positions:
+        p_ = int(p_)
+        if runs and p_ == runs[-1][1] + 1:
+            runs[-1][1] = p_
+        else:
+            runs.append([p_, p_])
+    return [(a, b) for a, b in runs]
 
 
 def _pack_positions(positions) -> list:
@@ -913,28 +928,62 @@ def _read_files_with_dv(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*[str(p / f) for f in rels])
     sub = {f: dv[f] for f in rels if f in (dv or {})}
     if not sub:
-        return df
-    pairs = []
-    for rel, entry in sub.items():
-        fp = f"file:{(p / rel).resolve()}"
-        pairs.extend((fp, int(ri)) for ri in _unpack_positions(entry))
-    dvf = spark.createDataFrame(pairs, "_dv_fp string, _dv_ri long")
-    cols = df.columns
-    tagged = df.select(
+        return reader.parquet(*[str(p / f) for f in rels])
+    dirty = sorted(sub)
+    d_df = reader.parquet(*[str(p / f) for f in dirty])
+    cols = d_df.columns
+    tagged = d_df.select(
         F.col("_metadata.file_path").alias("_fp"),
         F.col("_metadata.row_index").alias("_ri"),
         *cols,
     )
-    return (
-        tagged.join(
+    positions = {
+        f"file:{(p / rel).resolve()}": _unpack_positions(entry)
+        for rel, entry in sub.items()
+    }
+    runs = {fp: _position_runs(pos) for fp, pos in positions.items()}
+    n_runs = sum(len(r) for r in runs.values())
+    if n_runs <= _DV_RUNS_MAX:
+        # run-length-compressed vectors as a plain expression filter: a
+        # range delete's positions are a handful of contiguous [lo, hi]
+        # runs per file, so the whole DV becomes a few BETWEEN
+        # predicates inside whole-stage codegen — no broadcast build, no
+        # join stage, no per-literal py4j cost (the naive isin(positions)
+        # spent ~1 s of DRIVER time converting literals at plan build).
+        keep = None
+        for fp, rr in runs.items():
+            span = None
+            for lo_, hi_ in rr:
+                c = F.col("_ri").between(int(lo_), int(hi_))
+                span = c if span is None else span | c
+            cond = (F.col("_fp") == fp) & span
+            keep = ~cond if keep is None else keep & ~cond
+        applied = tagged.where(keep).select(*cols)
+    else:
+        # scattered vectors: arrow-backed broadcast anti-join (one
+        # conversion, not one py4j call per position); still DV-sized
+        import pandas as pd
+
+        pairs = pd.DataFrame(
+            [(fp, int(ri)) for fp, pos in positions.items() for ri in pos],
+            columns=["_dv_fp", "_dv_ri"],
+        )
+        dvf = spark.createDataFrame(pairs)
+        applied = tagged.join(
             F.broadcast(dvf),
             (tagged["_fp"] == dvf["_dv_fp"]) & (tagged["_ri"] == dvf["_dv_ri"]),
             "left_anti",
-        )
-        .select(*cols)
+        ).select(*cols)
+    clean = [f for f in rels if f not in sub]
+    if not clean:
+        return applied
+    # only files WITH vectors pay the metadata projection + filtering;
+    # the clean majority reads plain (at 100 TB deletes touch few files,
+    # so the DV overhead tracks the deleted fraction, not the table)
+    return reader.parquet(*[str(p / f) for f in clean]).unionByName(
+        applied, allowMissingColumns=True
     )
 
 

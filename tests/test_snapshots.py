@@ -1164,3 +1164,34 @@ def test_mor_delete_wide_ranges_fall_back_to_rewrite(spark, tmp_path):
     assert m["op"] == "delete"  # the CoW path committed
     assert not m.get("dv")
     assert snapshot_read(spark, t).count() == 100
+
+
+def test_mor_scattered_vectors_take_join_path_and_stay_exact(spark, tmp_path):
+    """A deletion vector with more contiguous runs than the expression
+    budget must route to the broadcast anti-join path and still apply
+    exactly (every 2nd key deleted -> one run per position)."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    df = spark.range(0, 2000).select(F.col("k").alias("k")) if False else (
+        spark.range(0, 2000).withColumnRenamed("id", "k")
+    )
+    S.snapshot_write_with_stats(df, t, ["k"], n_files=2)
+    # delete every even key in [0, 999]: 500 positions, ~500 runs > budget
+    for lo in range(0, 1000, 2):
+        pass  # (500 tiny commits would be slow; build the vector directly)
+    m = S._read_manifest(t, S.current_version(t))
+    rel0 = sorted(m["files"])[0]
+    import pyarrow.parquet as pq
+
+    ks = pq.read_table(str(t / rel0), columns=["k"]).column("k").to_pylist()
+    victim_pos = [i for i, k in enumerate(ks) if k % 2 == 0][:500]
+    dv = {rel0: S._pack_positions(victim_pos)}
+    S._commit(S._table(t), list(m["files"]), S.current_version(t),
+              stats=m.get("stats") or None, dv=dv, op="delete-mor")
+    runs = S._position_runs(S._unpack_positions(dv[rel0]))
+    assert len(runs) > S._DV_RUNS_MAX  # genuinely the join regime
+    got = sorted(r.k for r in S.snapshot_read(spark, t).collect())
+    deleted = {ks[i] for i in victim_pos}
+    expected = sorted(set(range(2000)) - deleted)
+    assert got == expected
