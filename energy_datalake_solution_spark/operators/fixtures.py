@@ -534,3 +534,67 @@ def snapshot_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_change_feed_orders",
+    oracle="""
+        SELECT 'insert' AS change_type, o_orderkey AS order_id,
+               o_totalprice + 10 AS total_price
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 1499
+        UNION ALL
+        SELECT 'delete', o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 1499
+        UNION ALL
+        SELECT 'delete', o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey BETWEEN 2000 AND 2499
+    """,
+    tags=("snapshot", "cdc", "mor"),
+)
+def snapshot_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-aware change feed under the driver's hash gate:
+    commit orders range-split (v1), upsert a narrow key band with
+    price+10 (a pruned rewrite — one file touched), MOR-delete a second
+    band (deletion vectors, no rewrite), then emit
+    snapshot_change_feed(v1, v3). The oracle derives the NET changes
+    arithmetically: the update band appears as delete(old)+insert(new),
+    the deleted band as delete(row) — and nothing else, because carried
+    rewrite rows must cancel via the feed's content EXCEPT ALL. A feed
+    that over-reports carried rows, misses a DV delta, or reads the
+    wrong version's vectors fails the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        current_version,
+        snapshot_change_feed,
+        snapshot_delete_range_mor,
+        snapshot_upsert,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_cdf_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snapshot_write_with_stats(o, t, ["o_orderkey"], n_files=8)
+    v1 = current_version(t)
+    band = (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") <= 1499)
+    snapshot_upsert(
+        spark,
+        o.where(band).select(
+            "o_orderkey", (F.col("o_totalprice") + 10).alias("o_totalprice")
+        ),
+        t,
+        ["o_orderkey"],
+    )
+    snapshot_delete_range_mor(spark, t, "o_orderkey", 2000, 2499)
+    out = snapshot_change_feed(spark, t, v1).select(
+        F.col("_change_type").alias("change_type"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

@@ -111,6 +111,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "docs_more_like_this",
     "snapshot_schema_evolution_read",
     "snapshot_mor_delete_read",
+    "snapshot_change_feed_orders",
     # --- latest green round 2: the stalest oracled rows (19) ---
     "lateral_explode_tokens",
     "multimodal_resize_stats",

@@ -1195,3 +1195,54 @@ def test_mor_scattered_vectors_take_join_path_and_stay_exact(spark, tmp_path):
     deleted = {ks[i] for i in victim_pos}
     expected = sorted(set(range(2000)) - deleted)
     assert got == expected
+
+
+def test_change_feed_reports_net_changes_from_changed_files_only(spark, tmp_path):
+    """The manifest-aware change feed: updates appear as delete(old) +
+    insert(new), MOR deletes as delete(row), carried rewrite rows cancel,
+    and appended rows arrive via snapshot_read_incremental without the
+    standing files being read."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_append,
+        snapshot_change_feed,
+        snapshot_delete_range_mor,
+        snapshot_read_incremental,
+        snapshot_upsert,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    base = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    snapshot_write_with_stats(base, t, ["k"], n_files=8)
+    v1 = current_version(t)
+    # update a narrow band (pruned rewrite: one file touched)
+    batch = spark.range(1000, 1100).select(
+        F.col("id").alias("k"), (F.col("id") + 0.5).alias("v")
+    )
+    snapshot_upsert(spark, batch, t, ["k"])
+    # MOR-delete a band in untouched files
+    snapshot_delete_range_mor(spark, t, "k", 3000, 3099)
+    v3 = current_version(t)
+
+    feed = snapshot_change_feed(spark, t, v1, v3).collect()
+    ins = {(r.k, r.v) for r in feed if r._change_type == "insert"}
+    dels = {(r.k, r.v) for r in feed if r._change_type == "delete"}
+    assert ins == {(k, k + 0.5) for k in range(1000, 1100)}
+    assert dels == {(k, float(k)) for k in range(1000, 1100)} | {
+        (k, float(k)) for k in range(3000, 3100)
+    }
+    assert len(feed) == len(ins) + len(dels)  # no duplicate rows
+
+    # append-only incremental consumption: exactly the appended rows
+    snapshot_append(
+        spark.range(10000, 10050).select(
+            F.col("id").alias("k"), F.lit(0.0).alias("v")
+        ),
+        t,
+    )
+    inc = snapshot_read_incremental(spark, t, since_version=v3)
+    got = sorted(r.k for r in inc.collect())
+    assert got == list(range(10000, 10050))
