@@ -91,74 +91,21 @@ def _load_all() -> None:
     )
 
 
-# Explicit surface order — ROUND-5 ACTIVE WINDOW. External harnesses that
+# Explicit surface order — ROUND-7 ACTIVE WINDOW. External harnesses that
 # sample a prefix of the query surface (a correctness gate bounded to the
-# first ~50 entries) see this ordering. Every query registered before this
-# round carries at least one driver row (union r01∪…∪r04, frozen as
-# DRIVER_GREEN in tests/test_queries_oracle.py), so the window's job is:
+# first ~50 entries) see this ordering. After round 6, every registered
+# query has a driver row and all 164 oracled queries have been hash-green
+# at least once; the window's job this round is freshness rotation:
 # (1) any query BORN this round leads (the never-checked guard test
-# enforces it); (2) the two round-4 oracle GRADUATIONS whose stronger
-# checks have never seen a driver row (knn_graph_pagerank,
-# docs_minhash_lsh_pairs — rows-only green in r03/r02, hash-gate pending);
-# (3) the five queries whose only green row is round 1 — stalest first;
-# (4) the forty whose latest green is round 2. Everything below the window
-# is r03/r04-green and loses nothing by waiting.
+# enforces it); (2) the 21 oracled rows whose latest driver green is
+# round 3 — the stalest cohort (the round-6 verdict's ask #2);
+# (3) the 48 rows whose latest green is round 4, filling the remainder
+# of the 50-window and queueing for the r08 rotation. Everything below
+# is r05/r06-green and loses nothing by waiting.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born round 6, never driver-checked (new queries go HERE, at
+    # --- born round 7, never driver-checked (new queries go HERE, at
     #     the top, so the gate window always sees them first) ---
-    "multimodal_jpeg_pixel_stats",
-    "snapshot_zorder_rect_read",
-    "docs_more_like_this",
-    "snapshot_schema_evolution_read",
-    "snapshot_mor_delete_read",
-    "snapshot_change_feed_orders",
-    # --- latest green round 2: the stalest oracled rows (19) ---
-    "lateral_explode_tokens",
-    "multimodal_resize_stats",
-    "skew_salted_agg_event_types",
-    "skew_salted_join_event_enrich",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_classes",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_heavy_red_part_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    # --- latest green round 3 (46; the first ~31 fit the 50-window
-    #     this round, the tail rotates to the r07 window) ---
-    "basket_part_pairs",
-    "corpus_bigram_merge_candidates",
-    "corpus_vocabulary",
-    "customer_rfm_segments",
-    "docs_bigram_lm_score",
-    "docs_chunk_fixed_tokens",
-    "docs_chunk_udtf",
-    "docs_dedup_clusters",
-    "docs_domain_mix_weights",
-    "docs_dup_rate_by_source",
-    "docs_duplicate_span_pairs",
-    "docs_duplicate_span_stats",
-    "docs_exact_dedup",
-    "docs_incremental_simhash_dedup",
-    "docs_lm_quality_buckets",
-    "docs_lm_score_pandas_kernel",
-    "docs_multitier_dup_pairs",
-    "docs_ngram_jaccard_pairs",
-    "docs_repetition_stats",
-    "docs_simhash_near_dups",
-    "docs_split_contamination",
-    "docs_stratified_sample",
-    "docs_tfidf_top_terms",
-    "docs_training_corpus",
-    "embeddings_knn_graph",
+    # --- latest green round 3: the stalest oracled rows (21) ---
     "events_funnel_view_click_purchase",
     "events_value_histogram",
     "events_value_iqr_udaf",
@@ -180,6 +127,56 @@ SURFACE_ORDER: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",
     "unpivot_nation_balances",
     "window_rolling_7day_customer_spend",
+    # --- latest green round 4 (48; the window head fits this round,
+    #     the tail rotates to the r08 window) ---
+    "anti_join_parts_never_shipped",
+    "audit_enrichment",
+    "correlated_subquery_above_avg_size",
+    "count_customers",
+    "cube_order_counts",
+    "customer_category",
+    "date_function_suite",
+    "dedup_latest_order_per_customer",
+    "derived_line_revenue",
+    "distinct_counts",
+    "docs_feature_hash_vectors",
+    "docs_pii_redaction",
+    "docs_pii_report",
+    "docs_sequence_packing",
+    "docs_sequence_packing_stats",
+    "docs_simhash",
+    "docs_split_token_drift",
+    "embeddings_int8_quantization",
+    "events_daily_user_activity",
+    "events_json_props",
+    "events_resample_hourly_ffill",
+    "events_sliding_30m",
+    "grouping_sets_revenue",
+    "hashed_customer_id",
+    "left_join_customer_order_counts",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_frame_counts",
+    "multimodal_wav_pcm_stats",
+    "null_filter",
+    "orders_cdc_snapshot_diff",
+    "orders_scd2_temporal_join",
+    "pivot_quantity_by_status",
+    "rollup_revenue",
+    "scalar_subquery_max_order",
+    "semi_join_customers_with_orders",
+    "setop_segments",
+    "snapshot_versioned_orders",
+    "star_integrity_audit",
+    "stats_quantity_by_flag",
+    "string_function_suite",
+    "suppliers_per_nation",
+    "tpch_q11_important_part_stock",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "typed_projection",
+    "window_function_suite",
+    "window_order_gap_days",
+    "window_running_customer_spend",
 )
 
 

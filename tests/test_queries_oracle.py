@@ -57,13 +57,18 @@ def test_contract_shape():
     assert len(qs) >= 10
 
 
-# Queries with a driver-side CORRECTNESS row from rounds 1-5 (frozen
-# union of CORRECTNESS_r01..r05.json). Any registered query NOT in
+# Queries with a driver-side CORRECTNESS row from rounds 1-6 (frozen
+# union of CORRECTNESS_r01..r06.json). Any registered query NOT in
 # this set has never been driver-checked and MUST sit inside the active
 # gate window's first 50 entries — otherwise it can stay unverified
 # forever (exactly the hole three round-2 late additions fell through).
 # When a new round's CORRECTNESS file lands, fold its names in.
 DRIVER_GREEN = frozenset({
+    # --- round 6 rows (CORRECTNESS_r06.json; the 6 round-6-born
+    #     queries — the other 44 r06 rows re-greened earlier entries) ---
+    "multimodal_jpeg_pixel_stats", "snapshot_zorder_rect_read",
+    "docs_more_like_this", "snapshot_schema_evolution_read",
+    "snapshot_mor_delete_read", "snapshot_change_feed_orders",
     # --- round 5 rows (CORRECTNESS_r05.json; the 23 round-5-born
     #     queries — the other 27 r05 rows re-greened earlier entries) ---
     "docs_bm25_decontam_report", "docs_bm25_probe", "docs_bm25_topk",
