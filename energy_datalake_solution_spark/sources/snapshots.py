@@ -56,6 +56,18 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_DIR = "_manifests"
 _LATEST = "_latest"
 
+# Delta-manifest cadence (Delta Lake's log + parquet-checkpoint shape):
+# a commit whose parent is within CHECKPOINT_EVERY-1 delta hops of a full
+# (checkpoint) manifest writes only its CHANGES — {add, remove,
+# stats/blooms/dv set+del} — so commit metadata is O(change), not
+# O(table files); every CHECKPOINT_EVERY-th commit in a chain
+# materializes the full state so readers never fold more than
+# CHECKPOINT_EVERY-1 deltas past a checkpoint parse. At 100 TB with 10^5
+# files this is the difference between every commit serializing the whole
+# file list (plus per-file stats, blooms and deletion vectors) and a
+# commit that writes kilobytes for a kilobyte-sized change.
+CHECKPOINT_EVERY = 8
+
 # Optimistic concurrency (Delta's documented LogStore protocol): _commit
 # NEVER overwrites — a lost race raises SnapshotCommitConflict — and each
 # writer-facing operation REBASES on conflict: re-read the new tip,
@@ -188,14 +200,23 @@ def _commit(
     # rollback (pointer < max version) or an interrupted commit (manifest
     # without pointer), parent+1 may already exist and must be skipped
     version = max(parent, _max_manifest_version(table_path)) + 1
-    manifest = {"version": version, "parent": parent, "files": sorted(files), "txn": txn}
+    parent_resolved: dict | None = None
+    if parent:
+        try:
+            parent_resolved = _read_manifest(table_path, parent)
+        except FileNotFoundError:
+            parent_resolved = None
+    manifest: dict = {"version": version, "parent": parent, "txn": txn}
     # operational metadata (DESCRIBE HISTORY parity): what produced this
-    # version, and when — never load-bearing for correctness
+    # version, and when — never load-bearing for correctness. n_files is
+    # stored explicitly so history stays metadata-only for delta
+    # manifests (their file list only exists after resolution).
     if op is not None:
         manifest["op"] = op
     import time as _time
 
     manifest["ts"] = round(_time.time(), 3)
+    manifest["n_files"] = len(files)
     if txn_app is not None:
         manifest["txn_app"] = txn_app
     # carry the per-app latest-txn MAP forward into every manifest (the
@@ -204,29 +225,61 @@ def _commit(
     # app's commit that sat between this app's stamp and the tail — can
     # never lose a namespace's replay protection
     txns: dict[str, int] = {}
-    if parent:
-        try:
-            pm = _read_manifest(table_path, parent)
-            txns = dict(pm.get("txns", {}))
-            # fold the parent's own PRE-MAP stamp in too: an upgraded
-            # table's newest legacy commit must not be shadowed the moment
-            # the first map-carrying commit lands on top of it
-            if pm.get("txn") is not None:
-                pkey = pm.get("txn_app") if pm.get("txn_app") is not None else ""
-                txns[pkey] = max(int(pm["txn"]), txns.get(pkey, -1))
-        except FileNotFoundError:
-            txns = {}
+    if parent_resolved is not None:
+        txns = dict(parent_resolved.get("txns", {}))
+        # fold the parent's own PRE-MAP stamp in too: an upgraded
+        # table's newest legacy commit must not be shadowed the moment
+        # the first map-carrying commit lands on top of it
+        if parent_resolved.get("txn") is not None:
+            pkey = (
+                parent_resolved.get("txn_app")
+                if parent_resolved.get("txn_app") is not None
+                else ""
+            )
+            txns[pkey] = max(int(parent_resolved["txn"]), txns.get(pkey, -1))
     if txn is not None:
         key = txn_app if txn_app is not None else ""
         txns[key] = max(int(txn), txns.get(key, -1))
     if txns:
         manifest["txns"] = txns
-    if stats:
-        manifest["stats"] = stats
-    if blooms:
-        manifest["blooms"] = blooms
-    if dv:
-        manifest["dv"] = dv
+    # Delta vs checkpoint: a commit within the cadence writes only its
+    # diff against the parent's RESOLVED state (O(change) metadata); the
+    # first commit of a chain, a commit whose parent manifest is gone,
+    # and every CHECKPOINT_EVERY-th hop write the full state.
+    new_stats = stats or {}
+    new_blooms = blooms or {}
+    new_dv = dv or {}
+    parent_dist = (
+        int(parent_resolved.get("ckpt_dist", 0)) if parent_resolved else 0
+    )
+    if parent_resolved is not None and parent_dist + 1 < CHECKPOINT_EVERY:
+        old_set = set(parent_resolved["files"])
+        new_set = set(files)
+        delta: dict = {
+            "add": sorted(new_set - old_set),
+            "remove": sorted(old_set - new_set),
+        }
+        for name, new_map in (
+            ("stats", new_stats), ("blooms", new_blooms), ("dv", new_dv)
+        ):
+            old_map = parent_resolved.get(name, {}) or {}
+            changed = {k: v for k, v in new_map.items() if old_map.get(k) != v}
+            dropped = sorted(k for k in old_map if k not in new_map)
+            if changed:
+                delta[f"{name}_set"] = changed
+            if dropped:
+                delta[f"{name}_del"] = dropped
+        manifest["delta"] = delta
+        manifest["ckpt_dist"] = parent_dist + 1
+    else:
+        manifest["files"] = sorted(files)
+        manifest["ckpt_dist"] = 0
+        if new_stats:
+            manifest["stats"] = new_stats
+        if new_blooms:
+            manifest["blooms"] = new_blooms
+        if new_dv:
+            manifest["dv"] = new_dv
     mp = _manifest_path(table_path, version)
     tmp = mp.with_suffix(f".{uuid.uuid4().hex}.tmp")
     tmp.write_text(json.dumps(manifest, indent=1))
@@ -530,8 +583,97 @@ def _snapshot_upsert_committed(
                    dv=_carry_dv(m, untouched), op="upsert")
 
 
+# Resolved-manifest cache: manifests are immutable once published (the
+# only rewrite — vacuum's checkpoint materialization — replaces content
+# with its semantic equal via os.replace, changing the inode), so a
+# resolved state keyed by (table, version, inode, mtime_ns) can never go
+# stale. The cache is what makes delta-chain resolution O(change)
+# amortized: resolving version N+1 folds one delta onto the cached N
+# instead of re-walking to the checkpoint.
+from collections import OrderedDict as _OrderedDict
+
+_RESOLVE_CACHE: "_OrderedDict[tuple, dict]" = _OrderedDict()
+_RESOLVE_CACHE_MAX = 32
+
+
+def _cache_put(key: tuple, val: dict) -> None:
+    _RESOLVE_CACHE[key] = val
+    _RESOLVE_CACHE.move_to_end(key)
+    while len(_RESOLVE_CACHE) > _RESOLVE_CACHE_MAX:
+        _RESOLVE_CACHE.popitem(last=False)
+
+
+def _copy_resolved(base: dict) -> dict:
+    """One-level copy of a cached resolved state: callers may rebind or
+    copy-then-mutate the top-level entries (every mutating caller already
+    dict()/list()-copies before writing), but the cached original must
+    never be handed out aliased."""
+    out = dict(base)
+    out["files"] = list(base["files"])
+    for k in ("stats", "blooms", "dv", "txns"):
+        if k in base:
+            out[k] = dict(base[k])
+    return out
+
+
+def _apply_delta(base: dict, raw: dict) -> dict:
+    """Fold one delta manifest onto its parent's resolved state. Per-
+    version fields (op/ts/txn/txns/...) come from the delta itself —
+    they are never inherited, matching full-manifest semantics."""
+    d = raw["delta"]
+    removed = set(d.get("remove", []))
+    files = [f for f in base["files"] if f not in removed]
+    files.extend(d.get("add", []))
+    out: dict = {"files": sorted(files)}
+    for fld in ("version", "parent", "txn", "txn_app", "txns", "op", "ts",
+                "ckpt_dist", "n_files"):
+        if fld in raw:
+            out[fld] = raw[fld]
+    for name in ("stats", "blooms", "dv"):
+        cur = dict(base.get(name, {}) or {})
+        for k in d.get(f"{name}_del", []):
+            cur.pop(k, None)
+        cur.update(d.get(f"{name}_set", {}))
+        if cur:
+            out[name] = cur
+    return out
+
+
 def _read_manifest(table_path, version: int) -> dict:
-    return json.loads(_manifest_path(table_path, version).read_text())
+    """RESOLVED manifest for a version: full manifests parse directly;
+    delta manifests walk parent pointers to the nearest checkpoint (or
+    cached ancestor) and fold forward. Every intermediate resolution is
+    cached, so the common access pattern — read the tip after each commit
+    — costs one delta parse + one fold, independent of table size."""
+    p = Path(table_path)
+    chain: list[tuple[tuple, dict]] = []
+    v = int(version)
+    base: dict | None = None
+    while True:
+        mp = _manifest_path(p, v)
+        st = mp.stat()  # FileNotFoundError propagates (existing contract)
+        key = (str(p), v, st.st_ino, st.st_mtime_ns)
+        cached = _RESOLVE_CACHE.get(key)
+        if cached is not None:
+            _RESOLVE_CACHE.move_to_end(key)
+            base = cached
+            break
+        raw = json.loads(mp.read_text())
+        if "delta" not in raw:
+            base = raw
+            _cache_put(key, base)
+            break
+        chain.append((key, raw))
+        v = int(raw["parent"])
+        if v <= 0:
+            raise FileNotFoundError(
+                f"delta manifest chain for v{version} in {table_path} "
+                "reaches parent 0 without a checkpoint ancestor"
+            )
+    for key, raw in reversed(chain):
+        base = _apply_delta(base, raw)
+        _cache_put(key, base)
+    return _copy_resolved(base)
 
 
 def snapshot_read(
@@ -588,6 +730,13 @@ def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
     keep = {
         v for v in range(max(1, latest - keep_versions + 1), latest + 1)
     } & on_disk
+    # delta-manifest interplay: a kept version whose delta chain passes
+    # through a manifest ABOUT TO BE DELETED must be materialized as a
+    # full checkpoint first, or it becomes unresolvable. Done before any
+    # deletion, so a crash mid-vacuum never strands a version.
+    for v in sorted(keep):
+        if _chain_escapes(p, v, keep):
+            _materialize_checkpoint(p, v)
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(p, v)["files"])
@@ -608,6 +757,43 @@ def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
         if v not in keep:
             mf.unlink()
     return sorted(deleted)
+
+
+def _chain_escapes(p: Path, v: int, keep: set) -> bool:
+    """True if resolving version ``v`` requires a manifest outside the
+    ``keep`` set (i.e. its delta chain crosses the retention boundary)."""
+    while True:
+        try:
+            raw = json.loads(_manifest_path(p, v).read_text())
+        except FileNotFoundError:
+            return False  # unresolvable already; nothing to protect
+        if "delta" not in raw:
+            return False
+        parent = int(raw["parent"])
+        if parent not in keep:
+            return True
+        v = parent
+
+
+def _materialize_checkpoint(p: Path, v: int) -> None:
+    """Rewrite version ``v``'s manifest as a full checkpoint with the same
+    resolved content (semantically identical — readers racing the replace
+    see either form and resolve the same state). Used by vacuum so
+    retention can drop a kept delta's out-of-window ancestors."""
+    m = _read_manifest(p, v)
+    full: dict = {"version": v, "parent": m.get("parent", 0),
+                  "files": sorted(m["files"]), "txn": m.get("txn"),
+                  "ckpt_dist": 0}
+    for fld in ("op", "ts", "txn_app", "txns", "n_files"):
+        if m.get(fld) is not None:
+            full[fld] = m[fld]
+    for fld in ("stats", "blooms", "dv"):
+        if m.get(fld):
+            full[fld] = m[fld]
+    mp = _manifest_path(p, v)
+    tmp = mp.with_suffix(f".{uuid.uuid4().hex}.tmp")
+    tmp.write_text(json.dumps(full, indent=1))
+    os.replace(tmp, mp)
 
 
 def snapshot_append_once(
@@ -1584,7 +1770,10 @@ def snapshot_history(table_path) -> list[dict]:
                 "parent": m.get("parent"),
                 "op": m.get("op"),
                 "ts": m.get("ts"),
-                "n_files": len(m.get("files", [])),
+                # delta manifests carry n_files explicitly (their file
+                # list only exists after resolution); legacy full
+                # manifests fall back to the listed length
+                "n_files": m.get("n_files", len(m.get("files", []))),
                 "txn": m.get("txn"),
                 "txn_app": m.get("txn_app"),
                 "current": m["version"] == current_version(p),

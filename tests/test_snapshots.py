@@ -1246,3 +1246,153 @@ def test_change_feed_reports_net_changes_from_changed_files_only(spark, tmp_path
     inc = snapshot_read_incremental(spark, t, since_version=v3)
     got = sorted(r.k for r in inc.collect())
     assert got == list(range(10000, 10050))
+
+
+# ---------------------------------------------------------------------------
+# Delta manifests: O(change) commit metadata + periodic checkpoints
+# ---------------------------------------------------------------------------
+
+
+def _raw_manifest(t, v):
+    import json
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    return json.loads(S._manifest_path(t, v).read_text())
+
+
+def test_commits_write_delta_manifests_between_checkpoints(spark, tmp_path):
+    """Commits within the cadence store only {add, remove, ...}; the
+    CHECKPOINT_EVERY-th hop materializes the full file list. Reads
+    resolve identically either way."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)  # v1 = checkpoint (no parent)
+    assert "delta" not in _raw_manifest(t, 1)
+    assert _raw_manifest(t, 1)["ckpt_dist"] == 0
+    n_appends = S.CHECKPOINT_EVERY + 2
+    for i in range(n_appends):
+        snapshot_append(_df(spark, 5 + i, 6 + i, "b"), t)
+    # v2..v{CHECKPOINT_EVERY} are deltas; v{CHECKPOINT_EVERY+1} is the
+    # next checkpoint (its parent sits CHECKPOINT_EVERY-1 hops out)
+    for v in range(2, S.CHECKPOINT_EVERY + 1):
+        raw = _raw_manifest(t, v)
+        assert "delta" in raw and "files" not in raw, v
+        assert raw["ckpt_dist"] == v - 1
+        # an append's delta is exactly its own files — O(change) metadata
+        assert len(raw["delta"]["add"]) >= 1
+        assert raw["delta"]["remove"] == []
+    ckpt = _raw_manifest(t, S.CHECKPOINT_EVERY + 1)
+    assert "delta" not in ckpt and "files" in ckpt
+    assert ckpt["ckpt_dist"] == 0
+    # resolution: every version reads back the right row count
+    for v in range(1, n_appends + 2):
+        assert snapshot_read(spark, t, version=v).count() == 5 + (v - 1)
+
+
+def test_delta_resolution_preserves_stats_blooms_dv(spark, tmp_path):
+    """Stats-pruned reads, bloom point lookups and deletion vectors must
+    survive a delta chain: the resolved manifest is field-for-field what
+    a full manifest would have held."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    df = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    S.snapshot_write_with_stats(df, t, ["k"], n_files=4)  # v1 checkpoint
+    S.snapshot_append(
+        spark.range(1000, 1100).select(F.col("id").alias("k"), F.lit(0).alias("v")),
+        t, stats_cols=["k"],
+    )  # v2 delta carrying stats_set for its new files only
+    raw2 = _raw_manifest(t, 2)
+    assert "delta" in raw2
+    assert set(raw2["delta"]["stats_set"]) == set(raw2["delta"]["add"])
+    # MOR delete -> dv travels via dv_set in a delta manifest
+    v3 = S.snapshot_delete_range_mor(spark, t, "k", 10, 19)
+    raw3 = _raw_manifest(t, v3)
+    assert "delta" in raw3 and "dv_set" in raw3["delta"]
+    m = S._read_manifest(t, v3)
+    assert m.get("dv")
+    assert snapshot_read(spark, t).count() == 1090
+    # stats-pruned read across the chain still prunes AND loses nothing
+    files = S.snapshot_files_for_range(t, "k", 0, 100, v3)
+    assert 0 < len(files) < len(m["files"])
+    got = S.snapshot_read_range(spark, t, "k", 0, 100).count()
+    assert got == 91  # 101 keys minus 10 MOR-deleted
+
+
+def test_vacuum_materializes_escaping_delta_chains(spark, tmp_path):
+    """Vacuum that drops a delta chain's checkpoint ancestor must first
+    materialize the kept versions' state — every retained version stays
+    readable, byte-for-byte equal to its pre-vacuum contents."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)            # v1 checkpoint
+    for i in range(4):                                   # v2..v5 deltas
+        snapshot_append(_df(spark, 5 + i, 6 + i, "b"), t)
+    before = {v: snapshot_read(spark, t, version=v).collect() for v in (4, 5)}
+    deleted = snapshot_vacuum(t, keep_versions=2)        # keep {4, 5}
+    # kept versions resolve without their (deleted) checkpoint ancestor
+    for v in (4, 5):
+        got = snapshot_read(spark, t, version=v).collect()
+        assert sorted(got) == sorted(before[v])
+    # the oldest kept version was rewritten as a full checkpoint
+    assert "delta" not in _raw_manifest(t, 4)
+    assert _raw_manifest(t, 4)["ckpt_dist"] == 0
+    # v1's files minus the kept ones were reclaimed
+    assert all(f.startswith("data/") for f in deleted)
+
+
+def test_delta_chain_survives_rollback_and_recommit(spark, tmp_path):
+    """parent pointers (not version arithmetic) drive resolution: after a
+    rollback the next commit's delta folds onto the rolled-back parent."""
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)          # v1
+    snapshot_append(_df(spark, 5, 8, "b"), t)         # v2 delta
+    snapshot_append(_df(spark, 8, 10, "c"), t)        # v3 delta
+    snapshot_rollback(t, 2)
+    v4 = snapshot_append(_df(spark, 20, 22, "d"), t)  # delta onto v2
+    raw = _raw_manifest(t, v4)
+    assert raw["parent"] == 2
+    rows = {r.k for r in snapshot_read(spark, t).collect()}
+    assert rows == set(range(8)) | {20, 21}  # v3's rows are NOT present
+
+
+def test_commit_metadata_is_o_change_not_o_table(tmp_path):
+    """The scaling contract, measured at the metadata layer: manifest
+    bytes written per append commit stay flat (within the checkpoint
+    cadence) as the table's standing file count grows 100x."""
+    import json
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = S._table(tmp_path / "t")
+    (t / "data" / "seed").mkdir(parents=True)
+
+    def grow_to(n_files, start_v):
+        files = [f"data/seed/f{i:06d}.parquet" for i in range(n_files)]
+        stats = {f: {"k": [i * 10, i * 10 + 9], "__rows__": 10}
+                 for i, f in enumerate(files)}
+        # synthetic full commit to set the standing file count
+        S._commit(t, files, start_v, stats=stats, op="write")
+        return files
+
+    sizes = {}
+    v = 0
+    for n in (100, 1000, 10_000):
+        files = grow_to(n, v)
+        v = S.current_version(t)
+        # one O(1)-change append on top of the n-file table
+        new = files + [f"data/seed/x{n}.parquet"]
+        stats = dict(S._read_manifest(t, v)["stats"])
+        stats[f"data/seed/x{n}.parquet"] = {"k": [0, 9], "__rows__": 10}
+        v = S._commit(t, new, v, stats=stats, op="append")
+        raw = _raw_manifest(t, v)
+        assert "delta" in raw, n
+        sizes[n] = S._manifest_path(t, v).stat().st_size
+    # flat within 2x while the table grew 100x (a full manifest would
+    # grow ~100x: it carries every file path + stats entry)
+    assert sizes[10_000] < 2 * sizes[100], sizes
+    full_size = S._manifest_path(t, S._read_manifest(t, v)["parent"]).stat().st_size
+    assert sizes[10_000] * 50 < full_size, (sizes, full_size)
