@@ -90,37 +90,93 @@ _LOCK_STALE_SECS = 60.0
 _LOCK_WAIT_SECS = 10.0
 
 
-def _acquire_pointer_lock(table_path: Path) -> Path:
+def _acquire_pointer_lock(table_path: Path) -> "tuple[Path, str]":
     """O_CREAT|O_EXCL lock guarding the pointer check-and-swap — the one
     critical section in the commit protocol. Without it a writer that
     read parent=N could swap the pointer AFTER a racer advanced it to
     N+1, silently dropping the racer's files from the chain (the pointer
     swap itself has no compare-and-swap on POSIX). The section is two
     metadata ops (~µs), so contention is resolved by a short spin; a
-    lock older than _LOCK_STALE_SECS is a crashed holder and is broken
-    (its commit either published its pointer already or never will)."""
+    lock older than _LOCK_STALE_SECS is a crashed holder and is broken.
+
+    The lock is FENCED with an owner token (pid + uuid, written into the
+    lock file): (1) breaking a stale lock is an atomic rename to a
+    unique name, so when two waiters both judge it stale exactly ONE
+    wins the break — the naive unlink let both "succeed" and the second
+    unlink could even remove a third writer's fresh lock; (2) the holder
+    re-verifies its token immediately before the pointer swap
+    (_verify_pointer_lock), so a stalled-but-alive holder whose lock was
+    broken past the stale deadline fails LOUDLY with a conflict instead
+    of racing the breaker inside the critical section. Returns the lock
+    path and this holder's token."""
     import time
 
     lock = table_path / _LOCK
+    token = f"{os.getpid()}:{uuid.uuid4().hex}"
     deadline = time.time() + _LOCK_WAIT_SECS
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            return lock
+            try:
+                os.write(fd, token.encode())
+            finally:
+                os.close(fd)
+            return lock, token
         except FileExistsError:
             try:
                 age = time.time() - lock.stat().st_mtime
             except FileNotFoundError:
                 continue  # holder just released — retry immediately
             if age > _LOCK_STALE_SECS:
-                lock.unlink(missing_ok=True)
+                # atomic rename: exactly one breaker wins (the loser's
+                # rename raises FileNotFoundError); the winner removes
+                # the renamed corpse and retries acquisition. A fresh
+                # lock created between stat and rename is NEVER removed
+                # — rename moves whatever file is at the path, and a
+                # fresh holder's lock only gets moved if it reused the
+                # path within the same race window the O_EXCL loop
+                # already retries through.
+                corpse = table_path / f"{_LOCK}.broken.{uuid.uuid4().hex}"
+                try:
+                    os.rename(lock, corpse)
+                except FileNotFoundError:
+                    continue  # another breaker (or the holder) won
+                corpse.unlink(missing_ok=True)
                 continue
             if time.time() > deadline:
                 raise SnapshotCommitConflict(
                     f"commit lock {lock} held past {_LOCK_WAIT_SECS}s"
                 )
             time.sleep(0.005)
+
+
+def _verify_pointer_lock(lock: Path, token: str) -> None:
+    """Fencing check: the critical section's final write may only proceed
+    if this holder STILL owns the lock. A holder stalled past
+    _LOCK_STALE_SECS (GC pause, NFS stall) whose lock was broken — and
+    possibly re-acquired by another writer — raises a conflict here, so
+    two writers can never both reach the pointer swap believing they
+    hold the section."""
+    try:
+        if lock.read_text() == token:
+            return
+    except FileNotFoundError:
+        pass
+    raise SnapshotCommitConflict(
+        f"pointer lock {lock} was broken while held (stalled past "
+        f"{_LOCK_STALE_SECS}s?) — the critical section is no longer "
+        "exclusively owned; retry the operation"
+    )
+
+
+def _release_pointer_lock(lock: Path, token: str) -> None:
+    """Release only if still the owner: a resumed holder whose lock was
+    broken and re-acquired must not unlink the NEW owner's lock."""
+    try:
+        if lock.read_text() == token:
+            lock.unlink(missing_ok=True)
+    except FileNotFoundError:
+        pass
 
 
 def _table(path) -> Path:
@@ -294,7 +350,7 @@ def _commit(
         ) from None
     finally:
         tmp.unlink(missing_ok=True)
-    lock = _acquire_pointer_lock(Path(table_path))
+    lock, lock_token = _acquire_pointer_lock(Path(table_path))
     try:
         cur = current_version(table_path)
         if cur != parent:
@@ -311,11 +367,12 @@ def _commit(
                 "this commit is an orphan manifest — retry the operation "
                 "against the current version"
             )
+        _verify_pointer_lock(lock, lock_token)  # fencing: still the owner?
         ltmp = Path(table_path) / f"{_LATEST}.{uuid.uuid4().hex}.tmp"
         ltmp.write_text(str(version))
         os.replace(ltmp, Path(table_path) / _LATEST)  # pointer swap, atomic
     finally:
-        lock.unlink(missing_ok=True)
+        _release_pointer_lock(lock, lock_token)
     return version
 
 
@@ -706,13 +763,14 @@ def snapshot_rollback(table_path, version: int) -> None:
     # same critical section as _commit's swap: a rollback racing a commit
     # must serialize (the commit either lands before the rollback and is
     # rolled over, or sees the moved tip and rebases) — never interleave
-    lock = _acquire_pointer_lock(p)
+    lock, token = _acquire_pointer_lock(p)
     try:
+        _verify_pointer_lock(lock, token)
         tmp = p / f"{_LATEST}.tmp"
         tmp.write_text(str(version))
         os.replace(tmp, p / _LATEST)
     finally:
-        lock.unlink(missing_ok=True)
+        _release_pointer_lock(lock, token)
 
 
 def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:

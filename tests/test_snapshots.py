@@ -1396,3 +1396,61 @@ def test_commit_metadata_is_o_change_not_o_table(tmp_path):
     assert sizes[10_000] < 2 * sizes[100], sizes
     full_size = S._manifest_path(t, S._read_manifest(t, v)["parent"]).stat().st_size
     assert sizes[10_000] * 50 < full_size, (sizes, full_size)
+
+
+def test_broken_stale_lock_holder_fails_loudly(spark, tmp_path):
+    """Fenced pointer lock: a holder stalled past the stale deadline whose
+    lock was broken (and re-acquired) must fail its ownership check
+    instead of swapping the pointer — and its release must not remove
+    the new owner's lock."""
+    import os
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)
+    p = S._table(t)
+    # writer A acquires, then stalls past the stale deadline
+    lock_a, token_a = S._acquire_pointer_lock(p)
+    old = os.stat(lock_a)
+    os.utime(lock_a, (old.st_atime, old.st_mtime - S._LOCK_STALE_SECS - 5))
+    # writer B judges it stale, breaks it via atomic rename, re-acquires
+    lock_b, token_b = S._acquire_pointer_lock(p)
+    assert lock_b == lock_a and token_b != token_a
+    # A resumes: its fencing check fails loudly — no silent double-entry
+    with pytest.raises(S.SnapshotCommitConflict, match="broken while held"):
+        S._verify_pointer_lock(lock_a, token_a)
+    # A's release leaves B's lock in place
+    S._release_pointer_lock(lock_a, token_a)
+    assert lock_b.read_text() == token_b
+    # B's own section completes normally
+    S._verify_pointer_lock(lock_b, token_b)
+    S._release_pointer_lock(lock_b, token_b)
+    assert not lock_b.exists()
+
+
+def test_stale_lock_break_single_winner(spark, tmp_path):
+    """Exactly one of two concurrent breakers wins the atomic-rename
+    break; both subsequently acquire in turn and the table still
+    commits correctly afterwards."""
+    import os
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)
+    p = S._table(t)
+    lock, _ = S._acquire_pointer_lock(p)
+    old = os.stat(lock)
+    os.utime(lock, (old.st_atime, old.st_mtime - S._LOCK_STALE_SECS - 5))
+    # both breakers run the full acquire loop; serialization via the
+    # O_EXCL retry means both eventually hold the lock once each
+    l1, t1 = S._acquire_pointer_lock(p)
+    S._release_pointer_lock(l1, t1)
+    l2, t2 = S._acquire_pointer_lock(p)
+    S._release_pointer_lock(l2, t2)
+    # no stray corpse files left behind
+    assert not list(p.glob("_commit.lock.broken.*"))
+    # and the commit protocol still works end-to-end
+    snapshot_append(_df(spark, 5, 8, "b"), t)
+    assert snapshot_read(spark, t).count() == 8
