@@ -711,6 +711,11 @@ def bm25_probe(
     root = Path(index_root)
     out_schema = "query_id string, doc_id bigint, bm25 double, rank bigint"
     if isinstance(query_terms, DataFrame):
+        # resolve columns BY NAME before the positional unpack below —
+        # the distributed path keys by name, so a frame whose columns
+        # arrive ordered (term, query_id) must not silently swap ids
+        # under the cap while working above it
+        query_terms = query_terms.select("query_id", "term")
         head = query_terms.limit(driver_batch_cap + 1).collect()
         if len(head) > driver_batch_cap:
             return _bm25_probe_distributed(

@@ -589,8 +589,10 @@ def _snapshot_upsert_committed(
         # no key stats anywhere: classic full rewrite — but keep whatever
         # OTHER column stats the table tracked (a commit must never
         # silently strip the manifest's pruning metadata)
-        cur = snapshot_read(spark, p)
-        merged = cur.join(df.select(keys).distinct(), keys, "left_anti").unionByName(df)
+        cur = snapshot_read(spark, p, merge_schema=True)
+        merged = cur.join(df.select(keys).distinct(), keys, "left_anti").unionByName(
+            df, allowMissingColumns=True  # additive schema evolution
+        )
         files = _write_files(merged, p)
         st = _collect_stats(p, files, tracked_cols, spark=spark) if tracked_cols else None
         return _commit(p, files, parent, stats=st,
@@ -1155,6 +1157,24 @@ def _carry_dv(parent_manifest: dict, kept: list[str]) -> dict | None:
     return out or None
 
 
+# Extract a file's TABLE-RELATIVE path (data/<commit>/<name>) from
+# Spark's _metadata.file_path. Matching DV keys on this, rather than on a
+# predicted absolute "file:<resolved path>" string, makes the read side
+# independent of path rendering: a symlinked table root (resolve() sees
+# the target, Spark renders the link) or a Spark/Hadoop URI-format change
+# would have made the old equality match NOTHING and silently resurrect
+# deleted rows. The layout guarantees the last three segments are always
+# data/<commit-uuid>/<file>.parquet (_write_files), so the anchored
+# extract is exact by construction.
+_REL_PATH_RE = r"(data/[^/]+/[^/]+)$"
+
+
+def _rel_path_col():
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract(F.col("_metadata.file_path"), _REL_PATH_RE, 1)
+
+
 def _read_files_with_dv(
     spark: SparkSession,
     p: Path,
@@ -1179,14 +1199,11 @@ def _read_files_with_dv(
     d_df = reader.parquet(*[str(p / f) for f in dirty])
     cols = d_df.columns
     tagged = d_df.select(
-        F.col("_metadata.file_path").alias("_fp"),
+        _rel_path_col().alias("_fp"),
         F.col("_metadata.row_index").alias("_ri"),
         *cols,
     )
-    positions = {
-        f"file:{(p / rel).resolve()}": _unpack_positions(entry)
-        for rel, entry in sub.items()
-    }
+    positions = {rel: _unpack_positions(entry) for rel, entry in sub.items()}
     runs = {fp: _position_runs(pos) for fp, pos in positions.items()}
     n_runs = sum(len(r) for r in runs.values())
     if n_runs <= _DV_RUNS_MAX:
@@ -1263,12 +1280,32 @@ def snapshot_delete_range_mor(
             hits = (
                 spark.read.parquet(*[str(p / f) for f in touched])
                 .select(
-                    F.col("_metadata.file_path").alias("fp"),
+                    _rel_path_col().alias("fp"),
                     F.col("_metadata.row_index").alias("ri"),
                     F.col(col).alias("v"),
                 )
                 .where((F.col("v") >= lo) & (F.col("v") <= hi))
             )
+            # exclude positions ALREADY in the touched files' vectors
+            # before the cap compare: a repeated or overlapping range
+            # delete would otherwise count dead rows as hits and could
+            # spuriously exceed max_deleted_rows, silently defeating the
+            # MOR fast path with a copy-on-write rewrite. The existing
+            # positions are DV-sized (bounded by the write-side cap), so
+            # the anti-join build is small by construction.
+            existing = [
+                (rel, int(ri))
+                for rel in touched
+                if rel in dv
+                for ri in _unpack_positions(dv[rel])
+            ]
+            if existing:
+                import pandas as _pd
+
+                ex_df = spark.createDataFrame(
+                    _pd.DataFrame(existing, columns=["fp", "ri"])
+                )
+                hits = hits.join(F.broadcast(ex_df), ["fp", "ri"], "left_anti")
             n_hits = hits.count()
             if n_hits > max_deleted_rows:
                 # wide delete: the rewrite is cheaper than a giant vector
@@ -1278,9 +1315,8 @@ def snapshot_delete_range_mor(
                 .agg(F.sort_array(F.collect_list("ri")).alias("pos"))
                 .collect()  # <= touched-file rows, positions capped above
             )
-            abs_to_rel = {f"file:{(p / f).resolve()}": f for f in touched}
             for r in by_file:
-                rel = abs_to_rel[r["fp"]]
+                rel = r["fp"]
                 new_pos = list(r["pos"])
                 if rel in dv:
                     new_pos = sorted(set(_unpack_positions(dv[rel])) | set(new_pos))
@@ -1318,6 +1354,33 @@ def snapshot_read_incremental(
     return _read_files_with_dv(spark, p, added, m_to.get("dv"))
 
 
+def _align_schemas(a: DataFrame, b: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """Project both frames onto the BY-NAME union of their columns
+    (missing columns become typed NULLs), so EXCEPT ALL over a
+    schema-evolved window compares full rows instead of raising or
+    silently dropping late-added columns."""
+    from pyspark.sql import functions as F
+
+    types: dict = {}
+    order: list[str] = []
+    for df in (a, b):
+        for f in df.schema.fields:
+            if f.name not in types:
+                types[f.name] = f.dataType
+                order.append(f.name)
+
+    def proj(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                (F.col(c) if c in have else F.lit(None).cast(types[c])).alias(c)
+                for c in order
+            ]
+        )
+
+    return proj(a), proj(b)
+
+
 def snapshot_change_feed(
     spark: SparkSession, table_path, v_from: int, v_to: int | None = None,
 ) -> DataFrame:
@@ -1346,18 +1409,22 @@ def snapshot_change_feed(
     removed = sorted(from_files - to_files)
     kept = sorted(from_files & to_files)
 
-    # rows alive at v_to inside the window's new files
+    # merge_schema on every read: a schema-evolved window's added and
+    # removed file sets can disagree on columns — single-footer inference
+    # would silently drop late-added columns (EXCEPT ALL then cancels
+    # rows differing only there, under-reporting updates) or the final
+    # union would raise on mismatched column sets
     ins = (
-        _read_files_with_dv(spark, p, added, dv_to)
+        _read_files_with_dv(spark, p, added, dv_to, merge_schema=True)
         if added
         else snapshot_read(spark, p, version=v_to).limit(0)
     )
-    # rows alive at v_from inside the files the window removed
     dels = (
-        _read_files_with_dv(spark, p, removed, dv_from)
+        _read_files_with_dv(spark, p, removed, dv_from, merge_schema=True)
         if removed
         else snapshot_read(spark, p, version=v_from).limit(0)
     )
+    ins, dels = _align_schemas(ins, dels)
     net_ins = ins.exceptAll(dels)
     net_del = dels.exceptAll(ins)
     # kept files whose deletion vectors GREW: those positions were alive
@@ -1375,16 +1442,19 @@ def snapshot_change_feed(
         # delta needs the inverse; simplest exact form reads the grown
         # files once and keeps the delta rows via the same run filter
         rels = sorted(grown)
-        df = spark.read.parquet(*[str(p / f) for f in rels])
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[str(p / f) for f in rels])
+        )
         cols = df.columns
         tagged = df.select(
-            F.col("_metadata.file_path").alias("_fp"),
+            _rel_path_col().alias("_fp"),
             F.col("_metadata.row_index").alias("_ri"),
             *cols,
         )
         keep = None
         for rel, entry in grown.items():
-            fp = f"file:{(p / rel).resolve()}"
+            fp = rel
             span = None
             for lo_, hi_ in _position_runs(_unpack_positions(entry)):
                 c = F.col("_ri").between(int(lo_), int(hi_))
@@ -1392,10 +1462,10 @@ def snapshot_change_feed(
             cond = (F.col("_fp") == fp) & span
             keep = cond if keep is None else keep | cond
         dv_deletes = tagged.where(keep).select(*cols)
-        net_del = net_del.unionByName(dv_deletes)
+        net_del = net_del.unionByName(dv_deletes, allowMissingColumns=True)
     ct = "_change_type"
     return net_ins.withColumn(ct, F.lit("insert")).unionByName(
-        net_del.withColumn(ct, F.lit("delete"))
+        net_del.withColumn(ct, F.lit("delete")), allowMissingColumns=True
     )
 
 

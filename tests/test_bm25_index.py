@@ -227,3 +227,23 @@ def test_probe_tolerates_legacy_two_column_stats_schema(spark, tmp_path):
 
     fused = _rows(docs_bm25_topk(spark, SF_ORACLE))
     assert _rows(bm25_probe(spark, QT, idx)) == fused
+
+
+def test_probe_resolves_query_columns_by_name(spark, tmp_path):
+    """A query frame whose columns arrive ordered (term, query_id) must
+    score identically to the canonical order in BOTH regimes: the
+    under-cap driver path normalizes by name before its positional
+    unpack, matching the distributed path's by-name keying."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    src = tmp_path / "src"
+    docs.where(F.col("doc_id") < 300).write.parquet(
+        str(src / "documents.parquet")
+    )
+    idx = tmp_path / "idx"
+    build_bm25_index(spark, str(src), idx)
+    canonical = spark.createDataFrame(QT, "query_id string, term string")
+    swapped = canonical.select("term", "query_id")  # reversed order
+    want = _rows(bm25_probe(spark, canonical, idx))
+    assert _rows(bm25_probe(spark, swapped, idx)) == want
+    # above-cap regime: same swapped frame through the distributed form
+    assert _rows(bm25_probe(spark, swapped, idx, driver_batch_cap=2)) == want

@@ -1454,3 +1454,75 @@ def test_stale_lock_break_single_winner(spark, tmp_path):
     # and the commit protocol still works end-to-end
     snapshot_append(_df(spark, 5, 8, "b"), t)
     assert snapshot_read(spark, t).count() == 8
+
+
+def test_dv_read_survives_symlinked_table_path(spark, tmp_path):
+    """Deletion-vector keys are table-relative: reading the SAME table
+    through a symlinked root must still apply the vectors (the old
+    absolute-path keys matched nothing under a symlink and silently
+    resurrected deleted rows)."""
+    import os
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    real = tmp_path / "real" / "t"
+    snapshot_write(
+        spark.range(0, 100).select(F.col("id").alias("k"), F.lit("a").alias("v")),
+        real,
+    )
+    S.snapshot_delete_range_mor(spark, real, "k", 10, 19)
+    assert snapshot_read(spark, real).count() == 90
+    link_root = tmp_path / "link"
+    os.symlink(real.parent, link_root)
+    via_link = link_root / "t"
+    assert snapshot_read(spark, via_link).count() == 90  # not 100
+    kept = {r.k for r in snapshot_read(spark, via_link).collect()}
+    assert kept == set(range(0, 10)) | set(range(20, 100))
+
+
+def test_repeated_mor_delete_stays_on_fast_path(spark, tmp_path):
+    """Overlapping range deletes must not double-count already-vectored
+    rows against max_deleted_rows: the second, overlapping delete's NEW
+    hits fit the cap, so it must commit as delete-mor (not fall back to
+    the copy-on-write rewrite) and the final contents are exact."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(
+        spark.range(0, 100).select(F.col("id").alias("k"), F.lit("a").alias("v")),
+        t,
+    )
+    S.snapshot_delete_range_mor(spark, t, "k", 0, 59)        # 60 dead rows
+    # overlapping window re-deletes 0..59 (all already dead) + 10 new;
+    # with double counting hits=70 > cap=15 -> spurious CoW fallback
+    v = S.snapshot_delete_range_mor(spark, t, "k", 0, 69, max_deleted_rows=15)
+    hist = {h["version"]: h["op"] for h in S.snapshot_history(t)}
+    assert hist[v] == "delete-mor", hist
+    assert snapshot_read(spark, t).count() == 30
+    assert {r.k for r in snapshot_read(spark, t).collect()} == set(range(70, 100))
+
+
+def test_change_feed_on_schema_evolved_window(spark, tmp_path):
+    """A change window spanning a schema evolution must carry the
+    late-added column (NULL on pre-evolution rows) and must not cancel
+    rows that differ ONLY in that column — the single-footer inference
+    dropped it and EXCEPT ALL under-reported updates."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)  # v1: (k, v)
+    v_from = current_version(t)
+    # evolution: same keys re-upserted with an extra column w
+    wide = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit("a").alias("v"), F.lit(7).alias("w")
+    )
+    snapshot_upsert(spark, wide, t, ["k"])
+    feed = S.snapshot_change_feed(spark, t, v_from).collect()
+    assert "w" in feed[0].asDict()
+    ins = [r for r in feed if r["_change_type"] == "insert"]
+    dels = [r for r in feed if r["_change_type"] == "delete"]
+    # every key's row changed (gained w=7): 5 inserts + 5 deletes, none
+    # cancelled by a w-blind comparison
+    assert len(ins) == 5 and len(dels) == 5
+    assert all(r["w"] == 7 for r in ins)
+    assert all(r["w"] is None for r in dels)
