@@ -1877,6 +1877,100 @@ def snapshot_write_zordered(
     return _commit_full_replace(p, files, stats=stats)
 
 
+def snapshot_tail_changes(
+    spark: SparkSession,
+    table_path,
+    progress_path,
+    process_batch,
+    app_id: str = "change-consumer",
+    max_versions: int | None = None,
+) -> int:
+    """Streaming SOURCE over the snapshot log: consume the table's change
+    feed version-by-version — the readStream-equivalent half of Delta's
+    CDF story (the exactly-once streaming SINK is stream_snapshot_sink).
+    Each committed version becomes one micro-batch:
+    ``process_batch(changes_df, version)`` receives that version's NET
+    row changes (the ``snapshot_change_feed`` frame: data columns +
+    ``_change_type`` in {'insert','delete'}).
+
+    Progress is EXACTLY-ONCE via the consumer's own snapshot txn map: a
+    metadata-only commit on the ``progress_path`` table stamps
+    ``(app_id, version)`` after each batch, so a restarted consumer — a
+    crash, a new process, a different machine sharing the FS — resumes
+    from ``last_txn(progress, app_id)`` and never re-reads a consumed
+    version. Crash BETWEEN process_batch and the progress stamp replays
+    that one version with the SAME version id (at-least-once delivery +
+    idempotent-by-version sink = exactly-once end-to-end — precisely
+    Structured Streaming's foreachBatch contract, and
+    stream_snapshot_sink-style txn-stamped sinks get it for free).
+
+    Scale: each batch reads only the files/DV-deltas that changed in its
+    version window (snapshot_change_feed's contract), and the consumer's
+    walk is over manifest metadata — a 100 TB table's standing files are
+    never listed. Orphan versions (losing racers) are skipped naturally:
+    the walk follows the PARENT CHAIN from the tip, which is the
+    committed history. Returns the number of versions consumed.
+
+    ``max_versions`` bounds one call (rate limiting / test control);
+    call again to continue. A fresh consumer on an existing table starts
+    from the CURRENT tip's full contents as version-1 changes only if it
+    begins at version 0 — i.e. the first batch is the table's initial
+    version, mirroring Delta's startingVersion=0."""
+    table = Path(table_path)
+    progress = _table(progress_path)
+    consumed = last_txn(progress, app_id)  # -1 on first run
+    tip = current_version(table)
+    if tip == 0:
+        return 0
+    # committed history = the tip's parent chain (orphan manifests from
+    # losing racers never appear on it)
+    chain: list[int] = []
+    v = tip
+    while v > 0 and v > consumed:
+        chain.append(v)
+        try:
+            raw = _read_manifest(table, v)
+        except FileNotFoundError:
+            break  # vacuumed ancestor: consumption starts at this gap
+        v = int(raw.get("parent", 0))
+    chain.reverse()
+    if max_versions is not None:
+        chain = chain[:max_versions]
+    n = 0
+    for ver in chain:
+        try:
+            prev = int(_read_manifest(table, ver).get("parent", 0))
+        except FileNotFoundError:
+            continue
+        if prev == 0:
+            # first version: its changes are its full contents as inserts
+            from pyspark.sql import functions as F
+
+            batch = snapshot_read(spark, table, version=ver).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        else:
+            batch = snapshot_change_feed(spark, table, prev, ver)
+        process_batch(batch, ver)
+        # exactly-once progress stamp: a metadata-only commit on the
+        # progress table records (app_id, ver); a replayed stamp is a
+        # no-op by the txn protocol
+        for attempt in range(COMMIT_RETRIES):
+            parent = current_version(progress)
+            if last_txn(progress, app_id) >= ver:
+                break  # another consumer instance raced ahead
+            try:
+                pm = _read_manifest(progress, parent) if parent else {}
+                _commit(progress, list(pm.get("files", [])), parent,
+                        txn=ver, txn_app=app_id, op="progress")
+                break
+            except SnapshotCommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+        n += 1
+    return n
+
+
 def snapshot_history(table_path) -> list[dict]:
     """DESCRIBE HISTORY: every manifest still on disk, newest first, with
     version, parent, operation, wall-clock commit time, file count, and

@@ -1526,3 +1526,76 @@ def test_change_feed_on_schema_evolved_window(spark, tmp_path):
     assert len(ins) == 5 and len(dels) == 5
     assert all(r["w"] == 7 for r in ins)
     assert all(r["w"] is None for r in dels)
+
+
+# ---------------------------------------------------------------------------
+# Streaming source over the change feed (snapshot_tail_changes)
+# ---------------------------------------------------------------------------
+
+
+def test_tail_changes_replays_appends_and_mor_delete_across_restart(
+    spark, tmp_path
+):
+    """The consumer, interrupted and restarted, must deliver every
+    version's changes exactly once and in order; the union of its
+    batches equals snapshot_change_feed over the whole window plus the
+    initial contents — appends AND a MOR delete included."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t, prog = tmp_path / "t", tmp_path / "progress"
+    snapshot_write(_df(spark, 0, 5, "a"), t)            # v1
+    snapshot_append(_df(spark, 5, 8, "b"), t)           # v2
+    got: list[tuple[int, frozenset]] = []
+
+    def sink(df, ver):
+        got.append((ver, frozenset(tuple(r) for r in df.collect())))
+
+    # first consumer instance: consume ONE version, then "crash"
+    n = S.snapshot_tail_changes(spark, t, prog, sink, max_versions=1)
+    assert n == 1 and [v for v, _ in got] == [1]
+    # more commits while the consumer is down
+    snapshot_append(_df(spark, 8, 10, "c"), t)          # v3
+    S.snapshot_delete_range_mor(spark, t, "k", 0, 2)    # v4: MOR delete
+    # restarted instance resumes at v2 — no duplicates
+    n = S.snapshot_tail_changes(spark, t, prog, sink)
+    assert n == 3
+    assert [v for v, _ in got] == [1, 2, 3, 4]
+    # batch contents: v1 = initial inserts; v4 = three MOR deletes
+    assert got[0][1] == frozenset((k, "a", "insert") for k in range(5))
+    assert got[3][1] == frozenset((k, "a", "delete") for k in range(3))
+    # union of batches == initial + full-window change feed, row for row
+    whole = frozenset(
+        tuple(r) for r in S.snapshot_change_feed(spark, t, 1, 4).collect()
+    ) | got[0][1]
+    union = frozenset(x for _, batch in got for x in batch)
+    assert union == whole
+    # fully drained: nothing more to consume
+    assert S.snapshot_tail_changes(spark, t, prog, sink) == 0
+    assert len(got) == 4
+
+
+def test_tail_changes_replay_is_idempotent_per_version(spark, tmp_path):
+    """Crash BETWEEN process_batch and the progress stamp: the replay
+    arrives with the SAME version id, so a txn-stamped sink table ends
+    exactly-once — the stream_snapshot_sink contract composed over the
+    consumer."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t, prog, out = tmp_path / "t", tmp_path / "progress", tmp_path / "out"
+    snapshot_write(_df(spark, 0, 4, "a"), t)
+    snapshot_append(_df(spark, 4, 6, "b"), t)
+
+    def exactly_once_sink(df, ver):
+        S.snapshot_append_once(
+            df.where(F.col("_change_type") == "insert").drop("_change_type"),
+            out, txn=ver, txn_app="sink",
+        )
+
+    S.snapshot_tail_changes(spark, t, prog, exactly_once_sink, max_versions=1)
+    # simulate the crash: progress stamp lost — consume from scratch with
+    # a FRESH progress table (the sink table is the survivor)
+    prog2 = tmp_path / "progress2"
+    S.snapshot_tail_changes(spark, t, prog2, exactly_once_sink)
+    rows = {tuple(r) for r in snapshot_read(spark, out).collect()}
+    assert rows == {(k, "a") for k in range(4)} | {(k, "b") for k in (4, 5)}
+    assert snapshot_read(spark, out).count() == 6  # v1 replay was a no-op
