@@ -598,3 +598,249 @@ def snapshot_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_partitioned_merge_read",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CASE WHEN o_orderkey % 100 < 10
+                         AND year(o_orderdate) = 1995
+                    THEN o_totalprice + 5 ELSE o_totalprice
+               END AS total_price
+        FROM orders
+    """,
+    tags=("snapshot", "merge", "partition"),
+)
+def snapshot_partitioned_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped merge THROUGH the snapshot format under the
+    driver's hash gate (round-6 verdict ask #4): commit orders
+    partitioned by order year — partition values live in the manifest as
+    exact per-file point stats (snapshot_upsert_partitioned, one file
+    per partition value) — then merge a batch touching ONLY the 1995
+    partition (price+5 on a key band). Guards raise unless (a) every
+    other partition's files are carried byte-for-byte into the new
+    manifest (the untouched-partition contract at file level) and
+    (b) the 1995 files were actually rewritten. The oracle derives the
+    merged state arithmetically from raw orders, so a scoped read-back
+    that loses carried rows, rewrites the wrong partition, or drops
+    un-matched keys in the touched partition fails the hash. Unlike the
+    hive-layout scoped merge (reference
+    etl-s3-processed-to-redshift.py:66-96's partition-day scoping via
+    Redshift staging), the table keeps snapshot isolation, time travel
+    and history."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_read,
+        snapshot_upsert_partitioned,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_part_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        "o_totalprice",
+    )
+    snapshot_upsert_partitioned(
+        spark, o, t, ["o_orderkey"], "order_year"
+    )
+    v1 = current_version(t)
+    m1 = _read_manifest(t, v1)
+    untouched_before = {
+        f for f, s in m1["stats"].items()
+        if s.get("order_year") and s["order_year"][1] != 1995
+    }
+    batch = o.where(
+        (F.col("order_year") == 1995) & (F.pmod("o_orderkey", F.lit(100)) < 10)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 5)
+    snapshot_upsert_partitioned(
+        spark, batch, t, ["o_orderkey"], "order_year"
+    )
+    m2 = _read_manifest(t, current_version(t))
+    if not untouched_before <= set(m2["files"]):
+        raise RuntimeError(
+            "partitioned merge rewrote files of untouched partitions"
+        )
+    touched_before = set(m1["files"]) - untouched_before
+    if touched_before & set(m2["files"]):
+        raise RuntimeError(
+            "partitioned merge carried a touched partition's files"
+        )
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("order_year").cast("int").alias("order_year"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_tail_changes_orders",
+    oracle="""
+        SELECT 1 AS version, 'insert' AS change_type,
+               o_orderkey AS order_id, o_totalprice AS total_price
+        FROM orders WHERE o_orderkey % 100 < 50
+        UNION ALL
+        SELECT 2, 'insert', o_orderkey, o_totalprice + 10
+        FROM orders WHERE o_orderkey % 100 < 50
+          AND o_orderkey BETWEEN 1000 AND 1499
+        UNION ALL
+        SELECT 2, 'delete', o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 100 < 50
+          AND o_orderkey BETWEEN 1000 AND 1499
+        UNION ALL
+        SELECT 3, 'delete', o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 100 < 50
+          AND o_orderkey BETWEEN 2000 AND 2499
+    """,
+    tags=("snapshot", "cdc", "streaming"),
+)
+def snapshot_tail_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming change-feed CONSUMER under the driver's hash gate
+    (round-6 verdict ask #3): commit an orders subset (v1), upsert a key
+    band with price+10 (v2, pruned rewrite), MOR-delete a second band
+    (v3, deletion vectors), then TAIL the table with
+    snapshot_tail_changes — one micro-batch per version, exactly-once
+    progress stamped in the consumer's own snapshot txn map — a restart
+    halfway through must resume, not replay. The output is the union of
+    the delivered batches stamped with their version: v1 is the initial
+    contents as inserts, v2 nets to delete(old)+insert(new) for the
+    updated band, v3 is the DV deletes. The oracle derives all four
+    blocks arithmetically, so a consumer that replays a consumed
+    version, skips one, or mis-reads a window fails the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        snapshot_delete_range_mor,
+        snapshot_tail_changes,
+        snapshot_upsert,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_tail_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t, prog = base / "table", base / "progress"
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.pmod("o_orderkey", F.lit(100)) < 50)
+        .select("o_orderkey", "o_totalprice")
+    )
+    snapshot_write_with_stats(o, t, ["o_orderkey"], n_files=8)
+    band = (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") <= 1499)
+    snapshot_upsert(
+        spark,
+        o.where(band).select(
+            "o_orderkey", (F.col("o_totalprice") + 10).alias("o_totalprice")
+        ),
+        t,
+        ["o_orderkey"],
+    )
+    snapshot_delete_range_mor(spark, t, "o_orderkey", 2000, 2499)
+    batches: list[DataFrame] = []
+
+    def sink(df: DataFrame, ver: int) -> None:
+        batches.append(df.withColumn("version", F.lit(ver)))
+
+    # consume v1, then "restart": a second call must resume at v2
+    snapshot_tail_changes(spark, t, prog, sink, max_versions=1)
+    snapshot_tail_changes(spark, t, prog, sink)
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.unionByName(b)
+    out = out.select(
+        F.col("version").cast("int").alias("version"),
+        F.col("_change_type").alias("change_type"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_column_mapping_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS price,
+               CAST(NULL AS VARCHAR) AS status
+        FROM orders WHERE o_orderkey % 100 < 50
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1, 'NEW'
+        FROM orders WHERE o_orderkey % 100 >= 50
+    """,
+    tags=("snapshot", "schema-evolution", "column-mapping"),
+)
+def snapshot_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping schema evolution under the driver's hash gate
+    (round-6 verdict ask #5): commit an orders band, enable mapping,
+    RENAME o_totalprice->price (metadata-only — a guard raises if any
+    data file was rewritten), DROP o_orderstatus, RE-ADD a column named
+    o_orderstatus (alias ``status``... the same logical name as the
+    dropped one), then append the second band through the renamed
+    logical schema. The oracle derives the exact expected frame: the
+    pre-evolution band keeps its prices under the new name with NULL
+    status — the dropped column's values must NOT resurrect under the
+    re-added column (fresh physical name) — and the appended band
+    carries its own status. A read that resurrects dropped bytes, maps
+    a rename to the wrong physical, or loses pre-rename rows fails the
+    hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_add_column,
+        snapshot_append,
+        snapshot_drop_column,
+        snapshot_enable_column_mapping,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_write,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_colmap_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders")
+    band = F.pmod("o_orderkey", F.lit(100))
+    snapshot_write(
+        o.where(band < 50).select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        t,
+    )
+    files_before = set(_read_manifest(t, current_version(t))["files"])
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_rename_column(t, "o_totalprice", "price")
+    snapshot_drop_column(t, "o_orderstatus")
+    snapshot_add_column(t, "o_orderstatus", "string")
+    if set(_read_manifest(t, current_version(t))["files"]) != files_before:
+        raise RuntimeError("column-mapping DDL rewrote data files")
+    snapshot_append(
+        o.where(band >= 50).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1).alias("price"),
+            F.lit("NEW").alias("o_orderstatus"),
+        ),
+        t,
+    )
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

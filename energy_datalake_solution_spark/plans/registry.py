@@ -105,6 +105,9 @@ def _load_all() -> None:
 SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 7, never driver-checked (new queries go HERE, at
     #     the top, so the gate window always sees them first) ---
+    "snapshot_partitioned_merge_read",
+    "snapshot_tail_changes_orders",
+    "snapshot_column_mapping_read",
     # --- latest green round 3: the stalest oracled rows (21) ---
     "events_funnel_view_click_purchase",
     "events_value_histogram",

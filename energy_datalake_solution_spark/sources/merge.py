@@ -126,6 +126,7 @@ def merge_upsert(
     partition_by: str | None = None,
     validate_partition_stability: bool = False,
     retain_versions: int | None = None,
+    partition_format: str = "hive",
 ) -> str:
     """Upsert incoming rows into curated/{table} on the contract's business
     keys (DELETE matching + INSERT all, reference :73-82), via anti-join.
@@ -146,6 +147,16 @@ def merge_upsert(
     partitions OUTSIDE the touched set — a full-table key scan, so it is
     an opt-in audit for small/medium tables or periodic verification, not
     the hot path (at 100 TB the contract is enforced upstream instead).
+
+    ``partition_format`` selects the scoped path's LAYOUT:
+    ``"hive"`` (default, backward-compatible) keeps the plain-parquet
+    dynamic-overwrite merge over ``partition=value`` directories;
+    ``"snapshot"`` routes the scoped merge through the snapshot table
+    format (snapshots.snapshot_upsert_partitioned: partition values as
+    per-file manifest stats), so partitioned curated tables get snapshot
+    isolation, time travel, rollback, history and the change feed —
+    while keeping the untouched-partition byte-identity guarantee at
+    file level.
     """
     target_path = str(Path(curated_root) / contract.table_name)
     keys = list(contract.upsert_keys)
@@ -202,6 +213,49 @@ def merge_upsert(
         )
         if retain_versions:
             snapshot_vacuum(target_path, keep_versions=retain_versions)
+        return target_path
+
+    if partition_format == "snapshot":
+        # partitioned SNAPSHOT table: partition values live in the
+        # manifest as per-file stats; the scoped merge commits a new
+        # version (time travel/rollback/CDF included) and carries every
+        # untouched partition's files byte-identical
+        from .snapshots import snapshot_upsert_partitioned, snapshot_vacuum
+
+        tp = Path(target_path)
+        if tp.exists() and not (tp / _MANIFEST_DIR).exists():
+            raise ValueError(
+                f"merge_upsert(partition_format='snapshot'): {target_path} "
+                "exists as a plain-parquet (hive-layout) table; migrate it "
+                "explicitly before switching formats."
+            )
+        if validate_partition_stability and (tp / _MANIFEST_DIR).exists():
+            from .snapshots import snapshot_read
+
+            touched = [
+                r[0] for r in incoming.select(partition_by).distinct().collect()
+            ]
+            outside = snapshot_read(spark, tp).where(
+                ~F.col(partition_by).isin(touched)
+            )
+            moved = (
+                outside.select(*keys)
+                .join(incoming.select(*keys), on=keys, how="left_semi")
+                .limit(1)
+                .collect()
+            )
+            if moved:
+                raise ValueError(
+                    f"merge_upsert(partition_by={partition_by!r}): key "
+                    f"{tuple(moved[0])} re-arrived under a different "
+                    "partition value; partition-scoped merge would leave "
+                    "its old row alive. Use the unpartitioned path."
+                )
+        snapshot_upsert_partitioned(
+            spark, incoming, tp, keys, partition_by
+        )
+        if retain_versions:
+            snapshot_vacuum(tp, keep_versions=retain_versions)
         return target_path
 
     fs, HPath = _hadoop_fs(spark, target_path)

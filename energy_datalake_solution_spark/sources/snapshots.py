@@ -234,6 +234,7 @@ def _commit(
     blooms: dict | None = None,
     dv: dict | None = None,
     op: str | None = None,
+    schema_meta: dict | None = None,
 ) -> int:
     """Publish a manifest and advance the pointer.
 
@@ -305,6 +306,14 @@ def _commit(
     new_stats = stats or {}
     new_blooms = blooms or {}
     new_dv = dv or {}
+    # column-mapping schema metadata (Delta's columnMapping): inherited
+    # from the parent unless this commit changes it; delta manifests
+    # store it only on change (resolution inherits), checkpoints always
+    schema = (
+        schema_meta
+        if schema_meta is not None
+        else (parent_resolved or {}).get("schema")
+    )
     parent_dist = (
         int(parent_resolved.get("ckpt_dist", 0)) if parent_resolved else 0
     )
@@ -327,6 +336,8 @@ def _commit(
                 delta[f"{name}_del"] = dropped
         manifest["delta"] = delta
         manifest["ckpt_dist"] = parent_dist + 1
+        if schema != parent_resolved.get("schema"):
+            manifest["schema"] = schema
     else:
         manifest["files"] = sorted(files)
         manifest["ckpt_dist"] = 0
@@ -336,6 +347,8 @@ def _commit(
             manifest["blooms"] = new_blooms
         if new_dv:
             manifest["dv"] = new_dv
+        if schema:
+            manifest["schema"] = schema
     mp = _manifest_path(table_path, version)
     tmp = mp.with_suffix(f".{uuid.uuid4().hex}.tmp")
     tmp.write_text(json.dumps(manifest, indent=1))
@@ -379,6 +392,11 @@ def _commit(
 def snapshot_write(df: DataFrame, table_path) -> int:
     """Commit df as a full-replace new version; returns the version."""
     p = _table(table_path)
+    tip = current_version(p)
+    if tip:
+        sch = _read_manifest(p, tip).get("schema")
+        if sch:
+            df = _df_to_physical(df, sch)  # mapped table: logical -> physical
     files = _write_files(df, p)
     for attempt in range(COMMIT_RETRIES):
         try:
@@ -440,6 +458,13 @@ def snapshot_append(
     of the SAME (app, txn) batch resolves idempotently instead of
     double-appending."""
     p = _table(table_path)
+    tip = current_version(p)
+    if tip:
+        sch = _read_manifest(p, tip).get("schema")
+        if sch:
+            # mapped table: incoming logical columns write under their
+            # frozen physical names (unknown columns fail loudly)
+            df = _df_to_physical(df, sch)
     files = _write_files(df, p)
     new_stats = (
         _collect_stats(p, files, stats_cols, spark=df.sparkSession)
@@ -548,6 +573,12 @@ def snapshot_upsert(
                 df, p, [keys[0]], n_files=seed_stats_files
             )
         return snapshot_write(df, p)
+    sch = _read_manifest(p, current_version(p)).get("schema")
+    if sch:
+        # mapped table: the whole merge runs in PHYSICAL column space
+        # (read-back frames are physical; stats are keyed physical)
+        df = _df_to_physical(df, sch)
+        keys = [_mapping_physical(sch, k) for k in keys]
     col = keys[0]
     # The batch is evaluated more than once below (key-range agg, then
     # the anti-join + write; the no-stats path references it twice inside
@@ -589,7 +620,12 @@ def _snapshot_upsert_committed(
         # no key stats anywhere: classic full rewrite — but keep whatever
         # OTHER column stats the table tracked (a commit must never
         # silently strip the manifest's pruning metadata)
-        cur = snapshot_read(spark, p, merge_schema=True)
+        # PHYSICAL-space read (not snapshot_read, which would surface a
+        # mapped table's logical names and break the join with the
+        # already-translated batch)
+        cur = _read_files_with_dv(
+            spark, p, list(m["files"]), m.get("dv"), merge_schema=True
+        )
         merged = cur.join(df.select(keys).distinct(), keys, "left_anti").unionByName(
             df, allowMissingColumns=True  # additive schema evolution
         )
@@ -688,6 +724,11 @@ def _apply_delta(base: dict, raw: dict) -> dict:
                 "ckpt_dist", "n_files"):
         if fld in raw:
             out[fld] = raw[fld]
+    # schema metadata: a delta stores it only when CHANGED; inherit
+    if "schema" in raw:
+        out["schema"] = raw["schema"]
+    elif "schema" in base:
+        out["schema"] = base["schema"]
     for name in ("stats", "blooms", "dv"):
         cur = dict(base.get(name, {}) or {})
         for k in d.get(f"{name}_del", []):
@@ -751,10 +792,16 @@ def snapshot_read(
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_path}")
     m = _read_manifest(p, v)
+    schema = m.get("schema")
     # merge-on-read: apply the manifest's deletion vectors (no-op without)
-    return _read_files_with_dv(
-        spark, p, list(m["files"]), m.get("dv"), merge_schema=merge_schema
+    df = _read_files_with_dv(
+        spark, p, list(m["files"]), m.get("dv"),
+        # a mapped table's files span physical-column generations —
+        # always union their schemas so the mapping sees every physical
+        merge_schema=merge_schema or schema is not None,
     )
+    # column mapping: surface logical names, hide retired physicals
+    return _apply_column_mapping(df, schema) if schema else df
 
 
 def snapshot_rollback(table_path, version: int) -> None:
@@ -844,7 +891,7 @@ def _materialize_checkpoint(p: Path, v: int) -> None:
     full: dict = {"version": v, "parent": m.get("parent", 0),
                   "files": sorted(m["files"]), "txn": m.get("txn"),
                   "ckpt_dist": 0}
-    for fld in ("op", "ts", "txn_app", "txns", "n_files"):
+    for fld in ("op", "ts", "txn_app", "txns", "n_files", "schema"):
         if m.get(fld) is not None:
             full[fld] = m[fld]
     for fld in ("stats", "blooms", "dv"):
@@ -943,6 +990,21 @@ _DRIVER_STATS_MAX_FILES = 64
 _ROWS_KEY = "__rows__"
 
 
+def _stats_canon(v):
+    """Canonical JSON-safe encoding for a manifest stat value. Dates and
+    timestamps become ISO strings — which ORDER LEXICOGRAPHICALLY the
+    same as the underlying values (fixed-width date part; the optional
+    fractional-seconds suffix compares correctly because a prefix sorts
+    before any extension) — so range/value pruning compares canon(probe)
+    against canon(stored) without knowing the column type. Numerics and
+    strings pass through untouched."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
 def _file_stats(path: str, stats_cols: list[str]) -> dict:
     """Min/max per column + exact row count for ONE parquet file, from its
     footer (row-group statistics — no data pages touched)."""
@@ -963,7 +1025,7 @@ def _file_stats(path: str, stats_cols: list[str]) -> dict:
             lo = s.min if lo is None else min(lo, s.min)
             hi = s.max if hi is None else max(hi, s.max)
         if lo is not None:
-            stats[col] = [lo, hi]
+            stats[col] = [_stats_canon(lo), _stats_canon(hi)]
     return stats
 
 
@@ -1476,6 +1538,7 @@ def snapshot_files_for_range(table_path, col: str, lo, hi, version: int | None =
     v = current_version(p) if version is None else version
     m = _read_manifest(p, v)
     stats = m.get("stats", {})
+    lo, hi = _stats_canon(lo), _stats_canon(hi)  # date/ts probes -> ISO
     keep = []
     for rel in m["files"]:
         s = stats.get(rel, {}).get(col)
@@ -1521,6 +1584,7 @@ def snapshot_files_for_values(table_path, col, values, version: int | None = Non
     v = current_version(p) if version is None else version
     m = _read_manifest(p, v)
     stats = m.get("stats", {})
+    values = [_stats_canon(v_) for v_ in values]  # date/ts probes -> ISO
     keep = []
     for rel in m["files"]:
         s = stats.get(rel, {}).get(col)
@@ -1839,7 +1903,7 @@ def snapshot_files_for_point(table_path, col, value, version: int | None = None)
     keep = []
     for rel in m["files"]:
         s = stats.get(rel, {}).get(col)
-        if s is not None and not (s[0] <= value <= s[1]):
+        if s is not None and not (s[0] <= _stats_canon(value) <= s[1]):
             continue
         b64 = blooms.get(rel, {}).get(col)
         if b64 is not None:
@@ -1875,6 +1939,337 @@ def snapshot_write_zordered(
     )
     stats = _collect_stats(p, files, [col_a, col_b], spark=df.sparkSession)
     return _commit_full_replace(p, files, stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: rename / drop / re-add without rewriting data (Delta's
+# columnMapping=name mode). The manifest's ``schema`` entry gives every
+# logical column a STABLE id and a FROZEN physical name (the spelling its
+# data files actually store). Rename changes only the logical name
+# (metadata-only commit, zero data rewritten); drop retires the (id,
+# physical) pair — the bytes stay in the files but no read selects them;
+# re-adding a previously-used name allocates a NEW id and a fresh
+# physical name, so the old column's data can never resurrect under the
+# new column. Readers map physical -> logical at the end of the scan;
+# writers map logical -> physical before materializing files. Tables
+# without a ``schema`` entry behave exactly as before (mapping is
+# opt-in via snapshot_enable_column_mapping).
+# ---------------------------------------------------------------------------
+
+
+def _mapping_physical(schema: dict, logical: str) -> str:
+    for c in schema["cols"]:
+        if c["name"] == logical:
+            return c["physical"]
+    raise KeyError(
+        f"column {logical!r} not in the table's column mapping "
+        f"(live columns: {[c['name'] for c in schema['cols']]})"
+    )
+
+
+def _apply_column_mapping(df: DataFrame, schema: dict) -> DataFrame:
+    """Physical frame -> logical frame: select each mapped column under
+    its logical name; a column whose physical data predates every listed
+    file (freshly added) reads as a typed NULL."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(
+        *[
+            (
+                F.col(c["physical"])
+                if c["physical"] in have
+                else F.lit(None).cast(c["type"])
+            ).alias(c["name"])
+            for c in schema["cols"]
+        ]
+    )
+
+
+def _df_to_physical(df: DataFrame, schema: dict) -> DataFrame:
+    """Logical frame -> physical frame for a mapped table's writer. Every
+    incoming column must exist in the mapping (schema evolution on a
+    mapped table is explicit: snapshot_add_column first), so a typo'd or
+    stale column name fails loudly instead of forking the physical
+    namespace."""
+    from pyspark.sql import functions as F
+
+    by_name = {c["name"]: c["physical"] for c in schema["cols"]}
+    missing = [c for c in df.columns if c not in by_name]
+    if missing:
+        raise KeyError(
+            f"columns {missing} are not in the table's column mapping; "
+            "add them with snapshot_add_column before writing"
+        )
+    return df.select(
+        *[F.col(c).alias(by_name[c]) for c in df.columns]
+    )
+
+
+def _commit_schema_change(table_path, mutate, op: str) -> int:
+    """Metadata-only commit that carries the tip's files/stats/blooms/dv
+    and applies ``mutate(schema) -> schema`` — the shape of every
+    column-mapping DDL (rename/drop/add are O(1) metadata, never data)."""
+    p = Path(table_path)
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        if parent == 0:
+            raise FileNotFoundError(f"no committed version in {table_path}")
+        m = _read_manifest(p, parent)
+        schema = m.get("schema")
+        if schema is None:
+            raise ValueError(
+                f"{table_path} has no column mapping; call "
+                "snapshot_enable_column_mapping first"
+            )
+        new_schema = mutate(json.loads(json.dumps(schema)))  # deep copy
+        try:
+            return _commit(p, list(m["files"]), parent,
+                           stats=m.get("stats") or None,
+                           blooms=m.get("blooms") or None,
+                           dv=m.get("dv") or None, op=op,
+                           schema_meta=new_schema)
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def snapshot_enable_column_mapping(spark: SparkSession, table_path) -> int:
+    """Turn on column mapping: snapshot the table's current (merged)
+    schema into the manifest with stable ids; physical names freeze at
+    their current spelling, so existing files read unchanged. Idempotent
+    on an already-mapped table."""
+    p = Path(table_path)
+    parent = current_version(p)
+    if parent == 0:
+        raise FileNotFoundError(f"no committed version in {table_path}")
+    m = _read_manifest(p, parent)
+    if m.get("schema"):
+        return parent
+    df = snapshot_read(spark, p, merge_schema=True)
+    cols = [
+        {"id": i + 1, "name": f.name, "physical": f.name,
+         "type": f.dataType.simpleString()}
+        for i, f in enumerate(df.schema.fields)
+    ]
+    schema = {"next_id": len(cols) + 1, "cols": cols, "retired": []}
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        m = _read_manifest(p, parent)
+        try:
+            return _commit(p, list(m["files"]), parent,
+                           stats=m.get("stats") or None,
+                           blooms=m.get("blooms") or None,
+                           dv=m.get("dv") or None, op="set-mapping",
+                           schema_meta=schema)
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def snapshot_rename_column(table_path, old: str, new: str) -> int:
+    """RENAME COLUMN as an O(1) metadata commit: the logical name moves,
+    the physical name (and every data file) stays. Collisions with a
+    live logical name fail loudly."""
+    def mutate(schema: dict) -> dict:
+        names = {c["name"] for c in schema["cols"]}
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        _mapping_physical(schema, old)  # raises if old is unknown
+        for c in schema["cols"]:
+            if c["name"] == old:
+                c["name"] = new
+        return schema
+
+    return _commit_schema_change(table_path, mutate, "rename-column")
+
+
+def snapshot_drop_column(table_path, name: str) -> int:
+    """DROP COLUMN as an O(1) metadata commit: the (id, physical) pair is
+    RETIRED — its bytes stay in the data files (vacuumed naturally as
+    files rewrite) but no read ever selects them, and the physical name
+    is permanently reserved so a later re-add cannot resurrect them."""
+    def mutate(schema: dict) -> dict:
+        _mapping_physical(schema, name)
+        keep = [c for c in schema["cols"] if c["name"] != name]
+        dropped = next(c for c in schema["cols"] if c["name"] == name)
+        if not keep:
+            raise ValueError("cannot drop the last column")
+        schema["cols"] = keep
+        schema["retired"].append(
+            {"id": dropped["id"], "physical": dropped["physical"]}
+        )
+        return schema
+
+    return _commit_schema_change(table_path, mutate, "drop-column")
+
+
+def snapshot_add_column(table_path, name: str, dtype: str) -> int:
+    """ADD COLUMN as an O(1) metadata commit. The new column gets a fresh
+    id; if its name was ever used as a physical name (live or retired),
+    the physical name is suffixed with the id so the old data CANNOT
+    resurrect — existing rows read as typed NULLs either way."""
+    def mutate(schema: dict) -> dict:
+        if any(c["name"] == name for c in schema["cols"]):
+            raise ValueError(f"column {name!r} already exists")
+        used = {c["physical"] for c in schema["cols"]} | {
+            r["physical"] for r in schema["retired"]
+        }
+        cid = schema["next_id"]
+        schema["next_id"] = cid + 1
+        physical = name if name not in used else f"{name}_{cid}"
+        schema["cols"].append(
+            {"id": cid, "name": name, "physical": physical, "type": dtype}
+        )
+        return schema
+
+    return _commit_schema_change(table_path, mutate, "add-column")
+
+
+def _write_files_by_partition(
+    spark: SparkSession, df: DataFrame, table_path: Path,
+    partition_col: str, values: list,
+) -> list[str]:
+    """Materialize df with ONE FILE (set) PER PARTITION VALUE: each row
+    routes to its value's partition index through a hash-perfect token
+    (sinks._partition_tokens — repartition(n, token) places rows exactly,
+    deterministically), so every written file holds a single partition
+    value. Partition stats in the manifest are then exact points
+    (min == max == value), value-pruning admits exactly the touched
+    partitions' files, and untouched partitions keep byte-identical
+    files across merges. Partition-count-sized driver work only (the
+    token map literal); row routing is one codegen'd map lookup."""
+    from pyspark.sql import functions as F
+
+    from .sinks import _partition_tokens
+
+    n = len(values)
+    if n == 0:
+        return _write_files(df, table_path)
+    tokens = _partition_tokens(spark, n)
+    ordered = sorted(values)
+    map_args: list = []
+    for i, v in enumerate(ordered):
+        map_args.extend([F.lit(v), F.lit(tokens[i])])
+    routed = (
+        # cast LONG: _partition_tokens solves pmod(hash(long token), n)
+        # == index — an int32 token hashes differently and scatters
+        df.withColumn(
+            "_pt", F.create_map(*map_args)[F.col(partition_col)].cast("long")
+        )
+        .repartition(n, F.col("_pt"))
+        .drop("_pt")
+    )
+    return _write_files(routed, table_path)
+
+
+def snapshot_upsert_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path,
+    keys: list[str],
+    partition_col: str,
+    extra_stats_cols: list[str] | None = None,
+) -> int:
+    """Partition-scoped keyed upsert COMMITTED THROUGH THE SNAPSHOT
+    FORMAT: partition values live in the manifest as per-file stats (one
+    file per partition value via _write_files_by_partition, so the
+    "partition column" is just a stats column whose per-file range is a
+    point — Iceberg's partition-values-are-metadata view). Only the
+    files of partitions PRESENT IN THE BATCH are read back, anti-joined
+    on ``keys`` and rewritten; every other partition's files are carried
+    into the new manifest byte-identical. Unlike the plain-parquet
+    dynamic-overwrite merge, the table gets the full format contract:
+    snapshot isolation, time travel, rollback, history, change feed,
+    vacuum, and optimistic multi-writer commits.
+
+    Correctness contract (same as the scoped plain merge, reference
+    etl-s3-processed-to-redshift.py:66-96's partition-day scoping):
+    ``partition_col`` must be STABLE for a business key — a key
+    re-arriving under a different partition value would leave its old
+    row alive in an untouched partition. NULL partition values are a
+    contract violation (they cannot route) — fail loudly.
+
+    At 100 TB: a daily batch touching d partitions reads and rewrites
+    O(d) files, the manifest commit is O(change) (delta manifests), and
+    the untouched table is never listed."""
+    from pyspark.sql import functions as F
+
+    p = _table(table_path)
+    stats_cols = [partition_col, keys[0]] + [
+        c for c in (extra_stats_cols or []) if c not in (partition_col, keys[0])
+    ]
+    df = df.persist()  # evaluated for touched-values, anti-join and write
+    try:
+        touched_vals = [
+            r[0] for r in df.select(partition_col).distinct().collect()
+        ]
+        if any(v is None for v in touched_vals):
+            raise ValueError(
+                f"snapshot_upsert_partitioned({partition_col!r}): incoming "
+                "batch contains NULL partition values; a NULL cannot route "
+                "to a partition file (clean the batch or use snapshot_upsert)."
+            )
+        if current_version(p) == 0:
+            files = _write_files_by_partition(
+                spark, df, p, partition_col, touched_vals
+            )
+            stats = _collect_stats(p, files, stats_cols, spark=spark)
+            return _commit_full_replace(p, files, stats=stats, op="upsert-part")
+        if not touched_vals:
+            # empty batch: metadata-only commit (auditable no-op)
+            parent = current_version(p)
+            m = _read_manifest(p, parent)
+            return _commit(p, list(m["files"]), parent,
+                           stats=m.get("stats") or None,
+                           blooms=m.get("blooms") or None,
+                           dv=m.get("dv") or None, op="upsert-part")
+        for attempt in range(COMMIT_RETRIES):
+            parent = current_version(p)
+            m = _read_manifest(p, parent)
+            stats = m.get("stats", {}) or {}
+            touched = set(
+                snapshot_files_for_values(p, partition_col, touched_vals, parent)
+            )
+            untouched = [f for f in m["files"] if f not in touched]
+            if touched:
+                cur = _read_files_with_dv(
+                    spark, p, sorted(touched), m.get("dv"), merge_schema=True
+                )
+                merged = cur.join(
+                    df.select(keys).distinct(), keys, "left_anti"
+                ).unionByName(df, allowMissingColumns=True)
+                # carried rows from multi-partition files (seeded/migrated
+                # layouts) keep their own partition values — route over
+                # the union of values actually present
+                vals = [
+                    r[0] for r in merged.select(partition_col).distinct().collect()
+                ]
+            else:
+                merged, vals = df, touched_vals
+            new_files = _write_files_by_partition(
+                spark, merged, p, partition_col, vals
+            )
+            tracked = sorted(
+                {c for s in stats.values() for c in s} | set(stats_cols)
+            )
+            new_stats = {f: s for f, s in stats.items() if f not in touched}
+            new_stats.update(
+                _collect_stats(p, new_files, tracked, spark=spark)
+            )
+            try:
+                return _commit(p, untouched + new_files, parent,
+                               stats=new_stats,
+                               blooms=_carry_blooms(p, m, untouched, new_files),
+                               dv=_carry_dv(m, untouched), op="upsert-part")
+            except SnapshotCommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+        raise AssertionError("unreachable")
+    finally:
+        df.unpersist()
 
 
 def snapshot_tail_changes(

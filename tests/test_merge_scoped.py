@@ -252,3 +252,131 @@ def test_migration_removes_stranded_legacy_files(spark, tmp_path):
     rows = {r["transaction_id"] for r in
             curated_read(spark, curated, TRANSACCIONES.table_name).collect()}
     assert rows == {"T1", "T2", "T3"}  # migrated rows intact
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-format partitioned merge (partition_format="snapshot")
+# ---------------------------------------------------------------------------
+
+
+def _table_file_hashes(table_path: Path) -> dict[str, str]:
+    """{manifest-relative data file: sha256} for a snapshot table."""
+    out = {}
+    for f in sorted((table_path / "data").rglob("*.parquet")):
+        rel = str(f.relative_to(table_path))
+        out[rel] = hashlib.sha256(f.read_bytes()).hexdigest()
+    return out
+
+
+def test_snapshot_scoped_merge_carries_untouched_partitions_byte_identical(
+    spark, tmp_path
+):
+    """partition_format='snapshot': a merge touching day 1 must carry day
+    2's files into the new manifest byte-identical — and the table gets
+    time travel and rollback, which the hive layout never had."""
+    from energy_datalake_solution_spark.sources.merge import curated_read
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_read,
+        snapshot_rollback,
+        _read_manifest,
+    )
+
+    curated = tmp_path / "curated"
+    first = _batch(spark, [("T1", 10.0, 1), ("T2", 20.0, 1), ("T3", 30.0, 2), ("T4", 40.0, 2)])
+    merge_upsert(spark, first, curated, TRANSACCIONES,
+                 partition_by="txn_day", partition_format="snapshot")
+    t = curated / TRANSACCIONES.table_name
+    m1 = _read_manifest(t, current_version(t))
+    before = _table_file_hashes(t)
+    # identify day-2's files via their (exact, point) partition stats
+    day2_files = {
+        f for f, s in m1["stats"].items()
+        if s.get("txn_day") and str(s["txn_day"][0]).startswith("2025-03-02")
+    }
+    assert day2_files, m1["stats"]
+
+    # second batch touches ONLY day 1 (update T1, insert T9)
+    second = _batch(spark, [("T1", 11.0, 1), ("T9", 90.0, 1)])
+    merge_upsert(spark, second, curated, TRANSACCIONES,
+                 partition_by="txn_day", partition_format="snapshot")
+    m2 = _read_manifest(t, current_version(t))
+    after = _table_file_hashes(t)
+    # day-2 files are carried in the new manifest, bytes unchanged
+    assert day2_files < set(m2["files"])
+    for f in day2_files:
+        assert after[f] == before[f], f
+    # contents merged correctly
+    rows = {r["transaction_id"]: r["energy_quantity_mwh"]
+            for r in curated_read(spark, curated, TRANSACCIONES.table_name).collect()}
+    assert rows == {"T1": 11.0, "T2": 20.0, "T3": 30.0, "T4": 40.0, "T9": 90.0}
+    # time travel: version 1 still shows the original T1
+    v1 = {r["transaction_id"]: r["energy_quantity_mwh"]
+          for r in snapshot_read(spark, t, version=1).collect()}
+    assert v1["T1"] == 10.0 and "T9" not in v1
+    # rollback is O(1) metadata
+    snapshot_rollback(t, 1)
+    assert curated_read(spark, curated, TRANSACCIONES.table_name).count() == 4
+
+
+def test_snapshot_scoped_merge_prunes_to_touched_partitions(spark, tmp_path):
+    """The scoped read-back admits only the touched partitions' files:
+    partition values are point stats, so value pruning is exact."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_files_for_values,
+        _read_manifest,
+    )
+
+    curated = tmp_path / "curated"
+    days = [(f"T{d}{i}", float(d * 10 + i), d) for d in (1, 2, 3) for i in range(3)]
+    merge_upsert(spark, _batch(spark, days), curated, TRANSACCIONES,
+                 partition_by="txn_day", partition_format="snapshot")
+    t = curated / TRANSACCIONES.table_name
+    m = _read_manifest(t, current_version(t))
+    import datetime as _dt
+
+    pruned = snapshot_files_for_values(
+        t, "txn_day", [_dt.date(2025, 3, 2)], current_version(t)
+    )
+    assert 0 < len(pruned) < len(m["files"])
+
+
+def test_snapshot_scoped_merge_rejects_hive_layout_table(spark, tmp_path):
+    """Switching formats on an existing hive-layout table must fail
+    loudly, mirroring the inverse guard on the hive path."""
+    curated = tmp_path / "curated"
+    first = _batch(spark, [("T1", 10.0, 1)])
+    merge_upsert(spark, first, curated, TRANSACCIONES, partition_by="txn_day")
+    with pytest.raises(ValueError, match="plain-parquet"):
+        merge_upsert(spark, _batch(spark, [("T2", 20.0, 1)]), curated,
+                     TRANSACCIONES, partition_by="txn_day",
+                     partition_format="snapshot")
+
+
+def test_snapshot_scoped_merge_rejects_null_partitions(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_upsert_partitioned,
+    )
+
+    bad = _batch(spark, [("T1", 10.0, 1)]).withColumn(
+        "txn_day", F.lit(None).cast("date")
+    )
+    with pytest.raises(ValueError, match="NULL partition"):
+        snapshot_upsert_partitioned(
+            spark, bad, tmp_path / "t", ["transaction_id"], "txn_day"
+        )
+
+
+def test_snapshot_scoped_merge_stability_audit(spark, tmp_path):
+    """validate_partition_stability on the snapshot path: a key
+    re-arriving under a different day fails loudly."""
+    curated = tmp_path / "curated"
+    merge_upsert(spark, _batch(spark, [("T1", 10.0, 1), ("T3", 30.0, 2)]),
+                 curated, TRANSACCIONES, partition_by="txn_day",
+                 partition_format="snapshot")
+    moved = _batch(spark, [("T3", 31.0, 1)])  # T3 was day 2, arrives day 1
+    with pytest.raises(ValueError, match="re-arrived"):
+        merge_upsert(spark, moved, curated, TRANSACCIONES,
+                     partition_by="txn_day", partition_format="snapshot",
+                     validate_partition_stability=True)

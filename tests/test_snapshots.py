@@ -1599,3 +1599,101 @@ def test_tail_changes_replay_is_idempotent_per_version(spark, tmp_path):
     rows = {tuple(r) for r in snapshot_read(spark, out).collect()}
     assert rows == {(k, "a") for k in range(4)} | {(k, "b") for k in (4, 5)}
     assert snapshot_read(spark, out).count() == 6  # v1 replay was a no-op
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: rename / drop / re-add without rewriting data
+# ---------------------------------------------------------------------------
+
+
+def test_column_mapping_rename_is_metadata_only(spark, tmp_path):
+    """RENAME: logical name moves, zero data files rewritten, reads show
+    the new name with the old values; time travel to a pre-rename
+    version still shows the old name."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)
+    v1 = current_version(t)
+    files_before = set(S._read_manifest(t, v1)["files"])
+    S.snapshot_enable_column_mapping(spark, t)
+    S.snapshot_rename_column(t, "v", "label")
+    m = S._read_manifest(t, current_version(t))
+    assert set(m["files"]) == files_before  # no data rewritten
+    got = snapshot_read(spark, t)
+    assert got.columns == ["k", "label"]
+    assert {r.label for r in got.collect()} == {"a"}
+    # pre-mapping version reads under the original name
+    assert snapshot_read(spark, t, version=v1).columns == ["k", "v"]
+
+
+def test_column_mapping_drop_and_readd_never_resurrects(spark, tmp_path):
+    """DROP retires the physical column; re-adding the SAME logical name
+    allocates a fresh physical, so the dropped data reads as NULL — the
+    corruption mode column mapping exists to prevent."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 4, "secret"), t)
+    S.snapshot_enable_column_mapping(spark, t)
+    S.snapshot_drop_column(t, "v")
+    assert snapshot_read(spark, t).columns == ["k"]
+    S.snapshot_add_column(t, "v", "string")
+    got = snapshot_read(spark, t)
+    assert got.columns == ["k", "v"]
+    assert all(r.v is None for r in got.collect())  # never "secret"
+    # physical namespace: the re-added column's physical is suffixed
+    sch = S._read_manifest(t, current_version(t))["schema"]
+    new_v = next(c for c in sch["cols"] if c["name"] == "v")
+    assert new_v["physical"] != "v"
+    assert any(r["physical"] == "v" for r in sch["retired"])
+
+
+def test_column_mapping_writes_through_renamed_schema(spark, tmp_path):
+    """Appends and upserts on a mapped table address columns by LOGICAL
+    name; their files store the frozen physical names, so old and new
+    files read as one table."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 3, "a"), t)
+    S.snapshot_enable_column_mapping(spark, t)
+    S.snapshot_rename_column(t, "v", "label")
+    batch = spark.range(3, 5).select(
+        F.col("id").alias("k"), F.lit("b").alias("label")
+    )
+    snapshot_append(batch, t)
+    up = spark.range(0, 1).select(
+        F.col("id").alias("k"), F.lit("z").alias("label")
+    )
+    snapshot_upsert(spark, up, t, ["k"])
+    rows = {r.k: r.label for r in snapshot_read(spark, t).collect()}
+    assert rows == {0: "z", 1: "a", 2: "a", 3: "b", 4: "b"}
+    # a stale/unknown logical name fails loudly instead of forking
+    with pytest.raises(KeyError, match="not in the table's column mapping"):
+        snapshot_append(_df(spark, 9, 10, "x"), t)  # writes old name "v"
+
+
+def test_column_mapping_survives_delta_chain_and_vacuum(spark, tmp_path):
+    """The schema entry inherits through delta manifests and survives
+    vacuum's checkpoint materialization."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 3, "a"), t)
+    S.snapshot_enable_column_mapping(spark, t)
+    S.snapshot_rename_column(t, "v", "label")
+    for i in range(3):
+        snapshot_append(
+            spark.range(3 + i, 4 + i).select(
+                F.col("id").alias("k"), F.lit("b").alias("label")
+            ),
+            t,
+        )
+    # the appends are delta manifests that INHERIT the schema
+    raw = _raw_manifest(t, current_version(t))
+    assert "delta" in raw and "schema" not in raw
+    assert snapshot_read(spark, t).columns == ["k", "label"]
+    snapshot_vacuum(t, keep_versions=2)
+    assert snapshot_read(spark, t).columns == ["k", "label"]
+    assert snapshot_read(spark, t).count() == 6
