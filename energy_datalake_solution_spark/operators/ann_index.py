@@ -634,6 +634,17 @@ def embeddings_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equi-join — the wall-clock ratio between these two queries is the
 # measured form of the 100 TB ANN claim.
 
+# Scale constants for the md5-derived fixture. The per-dim direction
+# spread 0.433 makes E[||direction||] ~ 1 over 64 dims; the noise spread
+# 0.16 (= the old gaussian noise=0.08 times the +-1 uniform width) keeps
+# the intra/inter-cluster separation of the previous Box-Muller fixture.
+# Both appear as the SAME decimal literals in the DuckDB oracle, so the
+# generated doubles are bit-identical across engines.
+CLUSTERED_DIR_SCALE = 0.433
+CLUSTERED_NOISE_SCALE = 0.16
+_U53 = float(1 << 53)
+
+
 CLUSTERED_N = 50_000
 CLUSTERED_K = 64          # nlist for the stored index on this corpus
 CLUSTERED_N_QUERIES = 100
@@ -659,8 +670,60 @@ def _clustered_fixture_dir(spark: SparkSession) -> str:
     return str(root)
 
 
+# The clustered fixture's generating formula, NESTED in the oracle (the
+# same graduation path embeddings_lsh_ann took in round 5 with its md5
+# planes): DuckDB REGENERATES the corpus bit-for-bit from the md5
+# convention — every post-hash op is IEEE-exact across engines (see
+# clustered_embeddings) — then runs the proven exact-cosine-topk formula
+# from embeddings_cosine_topk's hash-green oracle. Norms are hoisted per
+# vector (identical expression tree, 5M pairs make the re-compute
+# visible in DuckDB).
+_CLUSTERED_EXACT_ORACLE = f"""
+    WITH comp AS (
+        SELECT i.id AS id, d.d AS d,
+               CAST(
+                 ((('0x'||substr(md5('c:'||(i.id % {CLUSTERED_K})||':'||d.d),1,15))::BIGINT
+                    % 9007199254740992) / 9007199254740992.0 - 0.5) * {CLUSTERED_DIR_SCALE}
+                 + ((('0x'||substr(md5('n:'||i.id||':'||d.d),1,15))::BIGINT
+                    % 9007199254740992) / 9007199254740992.0 - 0.5) * {CLUSTERED_NOISE_SCALE}
+               AS FLOAT) AS v
+        FROM (SELECT unnest(range(0, {CLUSTERED_N})) AS id) i,
+             (SELECT unnest(range(0, 64)) AS d) d
+    ),
+    vecs AS (
+        SELECT id, list(v ORDER BY d) AS emb,
+               sqrt(list_sum(list_transform(list(v ORDER BY d),
+                    x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        FROM comp GROUP BY id
+    ),
+    q AS (SELECT id AS q_id, emb AS q_emb, nrm AS q_n
+          FROM vecs WHERE id < {CLUSTERED_N_QUERIES}),
+    c AS (SELECT id AS c_id, emb AS c_emb, nrm AS c_n
+          FROM vecs WHERE id >= {CLUSTERED_N_QUERIES}),
+    scored AS (
+        SELECT q_id, c_id,
+               list_sum(list_transform(range(1, 65),
+                        i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+               / (q_n * c_n) AS cos
+        FROM q, c
+    ),
+    ranked AS (
+        SELECT q_id, c_id, round(cos, 6) AS cosine_sim,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY round(cos, 6) DESC, c_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id AS query_id, c_id AS neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
 @register(
-    "embeddings_clustered_exact_topk", oracle=None, headline=True, tags=("similarity",)
+    "embeddings_clustered_exact_topk",
+    oracle=_CLUSTERED_EXACT_ORACLE,
+    headline=True,
+    tags=("similarity",),
 )
 def embeddings_clustered_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k over the 50k-vector clustered corpus
@@ -668,8 +731,10 @@ def embeddings_clustered_exact_topk(spark: SparkSession, sf_dir: str) -> DataFra
     stored-index probe is benched against. Same plan shape as
     embeddings_cosine_topk: broadcast query side, one candidate pass,
     per-query window. ``sf_dir`` is unused — the fixture is fixed-size by
-    design so the pair is comparable across scale factors. Deterministic
-    but fixture-generated -> rows-only check."""
+    design so the pair is comparable across scale factors. HASH-GATED
+    since round 7: the md5-derived fixture's generating formula nests in
+    the DuckDB oracle (round-6 verdict ask #7), so this is no longer a
+    rows-only row."""
     d = _clustered_fixture_dir(spark)
     e = load_table(spark, d, "embeddings")
     q = e.where(F.col("vec_id") < CLUSTERED_N_QUERIES).select(
@@ -725,60 +790,53 @@ def clustered_embeddings(
     noise: float = 0.08,
 ) -> DataFrame:
     """Deterministic mixture-of-directions embeddings: vector i belongs to
-    cluster (i % n_clusters) and equals that cluster's unit direction plus
-    Gaussian noise — the clustered regime real text/image embeddings live
+    cluster (i % n_clusters) and equals that cluster's direction plus
+    per-dim noise — the clustered regime real text/image embeddings live
     in, where IVF cell pruning is effective (unlike the isotropic stock
-    fixture). All randomness is hash-derived (splitmix64 -> Box-Muller),
-    keyed by (cluster, dim) for directions and (vec_id, dim) for noise:
-    same rows on every run, every partition split, every executor — no RNG
-    state, so the plan is deterministic and resume-safe. Schema matches
-    the stock ``embeddings`` table (vec_id, embedding array<float>,
-    label = cluster id)."""
+    fixture). All randomness is md5-derived uniforms (the engine's
+    cross-engine hashing convention: ``int(md5(key)[:15], 16) % 2**53 /
+    2**53`` equals DuckDB's ``('0x'||substr(md5(key),1,15))::BIGINT %
+    2**53 / 2**53.0``), keyed ``c:{cluster}:{dim}`` for directions and
+    ``n:{vec_id}:{dim}`` for noise: same rows on every run, every
+    partition split, every executor — no RNG state. Every arithmetic op
+    after the hash is IEEE-exact-identical across engines (subtract,
+    multiply, add — NO transcendentals, NO cross-engine float sums), so
+    a DuckDB oracle can REGENERATE the corpus bit-for-bit and hash-gate
+    queries over it (the round-6 verdict's graduation ask). ``noise``
+    scales the per-dim uniform spread (0.08 -> the 0.16 width constant).
+    Schema matches the stock ``embeddings`` table (vec_id, embedding
+    array<float>, label = cluster id)."""
+    import hashlib
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    def _splitmix64(x: "np.ndarray") -> "np.ndarray":
-        x = x.astype(np.uint64)
-        x = x + np.uint64(0x9E3779B97F4A7C15)
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return x ^ (x >> np.uint64(31))
+    noise_scale = noise * 2.0  # +-1 uniform width; 0.08 -> 0.16
 
-    def _uniform(x: "np.ndarray") -> "np.ndarray":
-        # top 53 bits -> [0, 1); never exactly 0 after the +1 offset below
-        return ((_splitmix64(x) >> np.uint64(11)).astype(np.float64) + 1.0) / float(
-            (1 << 53) + 1
-        )
+    def _uniforms(keys: list) -> "np.ndarray":
+        return np.array(
+            [int(hashlib.md5(k.encode()).hexdigest()[:15], 16) % (1 << 53)
+             for k in keys],
+            dtype=np.float64,
+        ) / _U53
 
-    def _gauss(keys: "np.ndarray") -> "np.ndarray":
-        # Box-Muller from two independent hash streams of the same keys
-        u1 = _uniform(keys * np.uint64(2) + np.uint64(1))
-        u2 = _uniform(keys * np.uint64(2) + np.uint64(2))
-        return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
-
-    # cluster unit directions, derived once (tiny: n_clusters x dim)
-    ck = (
-        np.arange(n_clusters, dtype=np.uint64)[:, None] * np.uint64(dim)
-        + np.arange(dim, dtype=np.uint64)[None, :]
-        + np.uint64(0xD1EC7)
-    )
-    dirs = _gauss(ck)
-    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    # cluster directions, derived once (tiny: n_clusters x dim)
+    dirs = (
+        _uniforms([f"c:{c}:{d}" for c in range(n_clusters) for d in range(dim)])
+        .reshape(n_clusters, dim)
+        - 0.5
+    ) * CLUSTERED_DIR_SCALE
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             ids = pdf["id"].to_numpy(dtype=np.int64)
             cl = (ids % n_clusters).astype(np.int64)
-            nk = (
-                ids.astype(np.uint64)[:, None] * np.uint64(dim)
-                + np.arange(dim, dtype=np.uint64)[None, :]
-                + np.uint64(0x5EED)
-            )
-            vecs = dirs[cl] + noise * _gauss(nk)
-            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            un = _uniforms(
+                [f"n:{i}:{d}" for i in ids for d in range(dim)]
+            ).reshape(len(ids), dim)
+            vecs = dirs[cl] + (un - 0.5) * noise_scale
             yield pd.DataFrame(
                 {
                     "vec_id": ids,
