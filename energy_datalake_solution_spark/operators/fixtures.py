@@ -662,6 +662,7 @@ def snapshot_partitioned_merge_read(spark: SparkSession, sf_dir: str) -> DataFra
     batch = o.where(
         (F.col("order_year") == 1995) & (F.pmod("o_orderkey", F.lit(100)) < 10)
     ).withColumn("o_totalprice", F.col("o_totalprice") + 5)
+    batch_is_empty = batch.isEmpty()  # empty-lake sweep: guards vacuous
     snapshot_upsert_partitioned(
         spark, batch, t, ["o_orderkey"], "order_year"
     )
@@ -671,7 +672,7 @@ def snapshot_partitioned_merge_read(spark: SparkSession, sf_dir: str) -> DataFra
             "partitioned merge rewrote files of untouched partitions"
         )
     touched_before = set(m1["files"]) - untouched_before
-    if touched_before & set(m2["files"]):
+    if not batch_is_empty and touched_before & set(m2["files"]):
         raise RuntimeError(
             "partitioned merge carried a touched partition's files"
         )
