@@ -2149,16 +2149,26 @@ def _write_files_by_partition(
     if n == 0:
         return _write_files(df, table_path)
     tokens = _partition_tokens(spark, n)
-    ordered = sorted(values)
+    # NULL routes to its own dedicated slot (carried rows from files
+    # predating a partition-column evolution have no value for it)
+    non_null = [v for v in values if v is not None]
+    try:
+        ordered = sorted(non_null)
+    except TypeError:
+        ordered = sorted(non_null, key=str)
+    has_null = len(non_null) < len(values)
     map_args: list = []
+    # slot 0 is the NULL slot when present; values fill the rest
+    offset = 1 if has_null else 0
     for i, v in enumerate(ordered):
-        map_args.extend([F.lit(v), F.lit(tokens[i])])
+        map_args.extend([F.lit(v), F.lit(tokens[i + offset])])
+    route = F.create_map(*map_args)[F.col(partition_col)] if ordered else F.lit(None)
+    if has_null:
+        route = F.coalesce(route, F.lit(tokens[0]))
     routed = (
         # cast LONG: _partition_tokens solves pmod(hash(long token), n)
         # == index — an int32 token hashes differently and scatters
-        df.withColumn(
-            "_pt", F.create_map(*map_args)[F.col(partition_col)].cast("long")
-        )
+        df.withColumn("_pt", route.cast("long"))
         .repartition(n, F.col("_pt"))
         .drop("_pt")
     )
@@ -2226,6 +2236,9 @@ def snapshot_upsert_partitioned(
                            stats=m.get("stats") or None,
                            blooms=m.get("blooms") or None,
                            dv=m.get("dv") or None, op="upsert-part")
+        klo, khi = df.agg(
+            F.min(keys[0]), F.max(keys[0])
+        ).first()
         for attempt in range(COMMIT_RETRIES):
             parent = current_version(p)
             m = _read_manifest(p, parent)
@@ -2233,6 +2246,16 @@ def snapshot_upsert_partitioned(
             touched = set(
                 snapshot_files_for_values(p, partition_col, touched_vals, parent)
             )
+            # intersect with the batch's KEY-range prune: a file provably
+            # holding none of the batch keys never rewrites, even when it
+            # predates the partition column (PARTITION EVOLUTION: a table
+            # can switch its scoping column without rewriting old files —
+            # they lack stats for the new column, stay conservatively in
+            # the partition prune, and fall out here via their key stats)
+            if klo is not None:
+                touched &= set(
+                    snapshot_files_for_range(p, keys[0], klo, khi, parent)
+                )
             untouched = [f for f in m["files"] if f not in touched]
             if touched:
                 cur = _read_files_with_dv(

@@ -380,3 +380,45 @@ def test_snapshot_scoped_merge_stability_audit(spark, tmp_path):
         merge_upsert(spark, moved, curated, TRANSACCIONES,
                      partition_by="txn_day", partition_format="snapshot",
                      validate_partition_stability=True)
+
+
+def test_snapshot_partition_evolution_without_rewrite(spark, tmp_path):
+    """Iceberg-style partition evolution, free from the
+    partitions-are-stats design: a table laid out by txn_day can start
+    upserting by a DIFFERENT column (customer tier here) WITHOUT
+    rewriting old files — old files simply lack stats for the new
+    column and are conservatively admitted by its prunes, while new
+    files carry exact point stats for it. Contents stay correct across
+    the evolution; pruning on the NEW column admits old files (sound)
+    and discriminates among new ones (effective)."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_files_for_values,
+        snapshot_read,
+        snapshot_upsert_partitioned,
+    )
+
+    t = tmp_path / "t"
+    first = _batch(spark, [("T1", 10.0, 1), ("T3", 30.0, 2)])
+    snapshot_upsert_partitioned(
+        spark, first, t, ["transaction_id"], "txn_day"
+    )
+    old_files = set(_read_manifest(t, current_version(t))["files"])
+    # evolution: same schema + a tier column; future upserts scope by it
+    evolved = _batch(
+        spark, [("T5", 50.0, 3), ("T6", 60.0, 3)]
+    ).withColumn("tier", F.lit("gold"))
+    snapshot_upsert_partitioned(spark, evolved, t, ["transaction_id"], "tier")
+    m = _read_manifest(t, current_version(t))
+    # old files carried byte-identical (no stats for tier -> untouched)
+    assert old_files <= set(m["files"])
+    # reads across the evolution merge cleanly (tier NULL on old rows)
+    rows = {r["transaction_id"]: (r["energy_quantity_mwh"], r["tier"])
+            for r in snapshot_read(spark, t, merge_schema=True).collect()}
+    assert rows == {"T1": (10.0, None), "T3": (30.0, None),
+                    "T5": (50.0, "gold"), "T6": (60.0, "gold")}
+    # pruning on the NEW column: sound on old files, exact on new ones
+    pruned = set(snapshot_files_for_values(t, "tier", ["silver"]))
+    assert old_files <= pruned          # stats-less -> conservatively kept
+    assert pruned & set(m["files"]) - old_files == set()  # no gold file admitted
