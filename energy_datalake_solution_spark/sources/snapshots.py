@@ -68,6 +68,16 @@ _LATEST = "_latest"
 # commit that writes kilobytes for a kilobyte-sized change.
 CHECKPOINT_EVERY = 8
 
+# Checkpoints at or above this many files encode their per-file state
+# (file list + stats/blooms/dv) as a PARQUET SIDECAR instead of inline
+# JSON — Delta's parquet-checkpoint design. At 10^6 files an inline JSON
+# checkpoint is ~100 MB of text to serialize and parse; the columnar
+# sidecar is ~10x smaller and parses through Arrow. Small tables keep
+# inline JSON (human-readable manifests are worth more than bytes
+# there). The sidecar is written BEFORE the manifest hard-link publishes
+# (a lost race orphans it; vacuum reclaims unreferenced sidecars).
+CKPT_PARQUET_MIN_FILES = 64
+
 # Optimistic concurrency (Delta's documented LogStore protocol): _commit
 # NEVER overwrites — a lost race raises SnapshotCommitConflict — and each
 # writer-facing operation REBASES on conflict: re-read the new tip,
@@ -339,16 +349,22 @@ def _commit(
         if schema != parent_resolved.get("schema"):
             manifest["schema"] = schema
     else:
-        manifest["files"] = sorted(files)
         manifest["ckpt_dist"] = 0
-        if new_stats:
-            manifest["stats"] = new_stats
-        if new_blooms:
-            manifest["blooms"] = new_blooms
-        if new_dv:
-            manifest["dv"] = new_dv
         if schema:
             manifest["schema"] = schema
+        if len(files) >= CKPT_PARQUET_MIN_FILES:
+            manifest["ckpt_parquet"] = _write_ckpt_sidecar(
+                table_path, version, sorted(files), new_stats, new_blooms, new_dv
+            )
+            manifest["n_files"] = len(files)
+        else:
+            manifest["files"] = sorted(files)
+            if new_stats:
+                manifest["stats"] = new_stats
+            if new_blooms:
+                manifest["blooms"] = new_blooms
+            if new_dv:
+                manifest["dv"] = new_dv
     mp = _manifest_path(table_path, version)
     tmp = mp.with_suffix(f".{uuid.uuid4().hex}.tmp")
     tmp.write_text(json.dumps(manifest, indent=1))
@@ -739,6 +755,53 @@ def _apply_delta(base: dict, raw: dict) -> dict:
     return out
 
 
+def _write_ckpt_sidecar(
+    table_path: Path, version: int, files: list[str],
+    stats: dict, blooms: dict, dv: dict,
+) -> str:
+    """Write a checkpoint's per-file state as a parquet sidecar; returns
+    its manifest-relative name (uuid-unique — a racing writer's orphan
+    can never be confused with the winner's)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = f"v{version}.{uuid.uuid4().hex}.ckpt.parquet"
+    tbl = pa.table(
+        {
+            "rel": files,
+            "stats": [
+                json.dumps(stats[f]) if f in stats else None for f in files
+            ],
+            "blooms": [
+                json.dumps(blooms[f]) if f in blooms else None for f in files
+            ],
+            "dv": [json.dumps(dv[f]) if f in dv else None for f in files],
+        }
+    )
+    out = Path(table_path) / _MANIFEST_DIR / name
+    tmp = out.with_suffix(".tmp")
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, out)
+    return name
+
+
+def _read_ckpt_sidecar(table_path: Path, raw: dict) -> dict:
+    """Inflate a parquet-checkpoint manifest into the resolved form the
+    rest of the module consumes (files/stats/blooms/dv inline)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(Path(table_path) / _MANIFEST_DIR / raw["ckpt_parquet"])
+    rels = t.column("rel").to_pylist()
+    out = {k: v for k, v in raw.items() if k != "ckpt_parquet"}
+    out["files"] = rels
+    for col in ("stats", "blooms", "dv"):
+        vals = t.column(col).to_pylist()
+        d = {r: json.loads(v) for r, v in zip(rels, vals) if v is not None}
+        if d:
+            out[col] = d
+    return out
+
+
 def _read_manifest(table_path, version: int) -> dict:
     """RESOLVED manifest for a version: full manifests parse directly;
     delta manifests walk parent pointers to the nearest checkpoint (or
@@ -760,7 +823,9 @@ def _read_manifest(table_path, version: int) -> dict:
             break
         raw = json.loads(mp.read_text())
         if "delta" not in raw:
-            base = raw
+            base = (
+                _read_ckpt_sidecar(p, raw) if "ckpt_parquet" in raw else raw
+            )
             _cache_put(key, base)
             break
         chain.append((key, raw))
@@ -859,10 +924,19 @@ def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
             sub.rmdir()
     # glob v*.json (not iterdir): a hard-killed commit can leave a
     # v<N>.<hex>.tmp beside the manifests, which must not crash the parse
+    live_sidecars: set[str] = set()
     for mf in (p / _MANIFEST_DIR).glob("v*.json"):
         v = int(mf.stem[1:])
+        raw = json.loads(mf.read_text())
         if v not in keep:
             mf.unlink()
+        elif "ckpt_parquet" in raw:
+            live_sidecars.add(raw["ckpt_parquet"])
+    # parquet-checkpoint sidecars: drop every one no surviving manifest
+    # references (dropped versions AND lost-race orphans)
+    for sc in (p / _MANIFEST_DIR).glob("*.ckpt.parquet"):
+        if sc.name not in live_sidecars:
+            sc.unlink()
     return sorted(deleted)
 
 
@@ -889,14 +963,21 @@ def _materialize_checkpoint(p: Path, v: int) -> None:
     retention can drop a kept delta's out-of-window ancestors."""
     m = _read_manifest(p, v)
     full: dict = {"version": v, "parent": m.get("parent", 0),
-                  "files": sorted(m["files"]), "txn": m.get("txn"),
-                  "ckpt_dist": 0}
+                  "txn": m.get("txn"), "ckpt_dist": 0}
     for fld in ("op", "ts", "txn_app", "txns", "n_files", "schema"):
         if m.get(fld) is not None:
             full[fld] = m[fld]
-    for fld in ("stats", "blooms", "dv"):
-        if m.get(fld):
-            full[fld] = m[fld]
+    if len(m["files"]) >= CKPT_PARQUET_MIN_FILES:
+        full["ckpt_parquet"] = _write_ckpt_sidecar(
+            p, v, sorted(m["files"]), m.get("stats", {}) or {},
+            m.get("blooms", {}) or {}, m.get("dv", {}) or {},
+        )
+        full["n_files"] = len(m["files"])
+    else:
+        full["files"] = sorted(m["files"])
+        for fld in ("stats", "blooms", "dv"):
+            if m.get(fld):
+                full[fld] = m[fld]
     mp = _manifest_path(p, v)
     tmp = mp.with_suffix(f".{uuid.uuid4().hex}.tmp")
     tmp.write_text(json.dumps(full, indent=1))

@@ -1697,3 +1697,42 @@ def test_column_mapping_survives_delta_chain_and_vacuum(spark, tmp_path):
     snapshot_vacuum(t, keep_versions=2)
     assert snapshot_read(spark, t).columns == ["k", "label"]
     assert snapshot_read(spark, t).count() == 6
+
+
+def test_parquet_checkpoint_sidecar_roundtrip(spark, tmp_path):
+    """Checkpoints at or above CKPT_PARQUET_MIN_FILES encode per-file
+    state as a parquet sidecar; resolution returns the same dict as the
+    inline-JSON form, delta chains fold on top, and vacuum reclaims
+    unreferenced sidecars."""
+    import json as _json
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = S._table(tmp_path / "t")
+    (t / "data" / "seed").mkdir(parents=True)
+    n = S.CKPT_PARQUET_MIN_FILES + 10
+    files = [f"data/seed/f{i:04d}.parquet" for i in range(n)]
+    stats = {f: {"k": [i, i + 1], "__rows__": 2} for i, f in enumerate(files)}
+    dv = {files[0]: S._pack_positions([0])}
+    v = S._commit(t, files, 0, stats=stats, dv=dv, op="write")
+    raw = _json.loads(S._manifest_path(t, v).read_text())
+    assert "ckpt_parquet" in raw and "files" not in raw and "stats" not in raw
+    sidecar = t / S._MANIFEST_DIR / raw["ckpt_parquet"]
+    assert sidecar.exists()
+    m = S._read_manifest(t, v)
+    assert m["files"] == sorted(files)
+    assert m["stats"] == stats
+    assert m["dv"] == {files[0]: [1, dv[files[0]][1]]} or m["dv"] == dv
+    # a delta on top folds against the sidecar-backed base
+    v2 = S._commit(t, files + ["data/seed/x.parquet"], v,
+                   stats={**stats, "data/seed/x.parquet": {"k": [0, 1], "__rows__": 2}},
+                   dv=dv, op="append")
+    assert "delta" in _json.loads(S._manifest_path(t, v2).read_text())
+    m2 = S._read_manifest(t, v2)
+    assert len(m2["files"]) == n + 1 and "data/seed/x.parquet" in m2["stats"]
+    # vacuum keeps the referenced sidecar, reclaims orphans
+    orphan = t / S._MANIFEST_DIR / "v9.deadbeef.ckpt.parquet"
+    orphan.write_bytes(b"junk")
+    S.snapshot_vacuum(t, keep_versions=2)
+    assert sidecar.exists() and not orphan.exists()
+    assert S._read_manifest(t, v2)["files"] == m2["files"]
