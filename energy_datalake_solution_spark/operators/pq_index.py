@@ -1,0 +1,377 @@
+"""Product-quantization ANN: 32x-compressed codes + asymmetric-distance scan.
+
+The third leg of the stored-ANN tier (IVF and LSH are in ann_index.py).
+IVF answers "read fewer BYTES per query by pruning cells"; PQ answers the
+orthogonal 100 TB question: "make the bytes you DO scan 32x smaller".
+Following public FAISS practice (Jegou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011):
+
+  * ``train_pq_codebooks`` — split the unit-normalized 64-dim embedding
+    into M=16 subvectors of 4 dims; per subspace, fit K=16 centroids with
+    deterministic Lloyd k-means (farthest-point init, no RNG) on a
+    hash-sampled training set. Train cost is O(M * K * sample) —
+    corpus-size-independent, the FAISS posture.
+  * ``build_pq_index`` — encode every candidate as M uint4 centroid ids
+    (16 4-bit codes = 8 B vs 64 float32 = 256 B, a 32x smaller payload)
+    with one vectorized numpy pass per Arrow batch, committed through
+    the snapshot table format beside an M*K-row codebooks table, so the
+    index is versioned/rollback-able like any table.
+  * ``pq_probe`` — asymmetric distance computation (ADC): per query,
+    precompute the M*K lookup table of <query subvector, codeword> inner
+    products; scan the CODES (never the raw vectors) scoring each
+    candidate as a sum of M table lookups — a pure built-in
+    ``aggregate(sequence(...))`` expression, JVM-side whole-stage
+    codegen, no Python in the corpus-sized pass. The ADC top-REFINE
+    survivors per query are re-ranked by EXACT cosine against the raw
+    embeddings (a broadcast-able REFINE*n_queries-row join), so emitted
+    scores are exact and only recall is approximate — the same
+    contract as the IVF/LSH probes (floor pinned in
+    tests/test_ann_recall.py).
+
+At 100 TB: the ADC scan reads ~3% of the raw-vector bytes, the LUTs are
+(n_queries * M * K) doubles broadcast with a counted driver cap
+(PROBE_DRIVER_BATCH_CAP, same guard as the IVF/LSH probes — above the
+cap, LUT construction moves into a vectorized pandas UDF on the query
+side and the join drops the broadcast hint), and the exact re-rank
+touches REFINE rows per query. Composing with IVF (IVF-PQ) multiplies
+the two savings; kept separate here so each is measured in isolation.
+
+Reference parity: the reference's query registry (scripts/
+main_analytics.py:26-43) has no ANN tier; this extends the engine's
+LLM-data-pipeline surface from public literature only.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from pathlib import Path
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.vector import cosine, l2_norm
+from ..plans.registry import register
+from ..sources.catalog import load_table, path_tag
+from ..sources.snapshots import snapshot_read, snapshot_write
+from .ann_index import PROBE_DRIVER_BATCH_CAP, _probe_batch_capped
+from .similarity import N_QUERIES, TOP_K, cosine_topk_epilogue
+
+PQ_M = 16         # subspaces (64 dims -> 4 dims each)
+PQ_K = 16         # centroids per subspace (4-bit codes)
+PQ_DIM = 64
+PQ_SUB = PQ_DIM // PQ_M
+PQ_REFINE = 16 * TOP_K  # ADC survivors per query fed to the exact re-rank
+# (M, K, REFINE) picked by a measured sweep (SCALING.md §PQ): M=16/K=16
+# is 16 4-bit codes = 8 B/vector (32x vs 64 float32) at recall 0.90-0.98
+# on the isotropic fixture; 8x8-dim subspaces needed refine=120 for the
+# same recall. REFINE is per-query CONSTANT re-rank work — it does not
+# scale with the corpus.
+PQ_TRAIN_CAP = 4096     # training sample cap (FAISS trains PQ on ~K*256)
+PQ_ITERS = 20
+
+
+def _unit_rows(df: DataFrame) -> DataFrame:
+    """(vec_id, unit) with unit = embedding / ||embedding||, zero-norm
+    rows dropped — PQ inner products approximate cosine only on the unit
+    sphere, matching the exact paths' zero-norm guard."""
+    norm = l2_norm(F.col("embedding"))
+    return df.where(norm > 0).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias(
+            "unit"
+        ),
+    )
+
+
+def _train_sample(e: DataFrame, cap: int = PQ_TRAIN_CAP) -> "object":
+    """Deterministic hash-sampled training matrix (numpy (n, 64) float64),
+    counted: at n <= cap this is the whole candidate set (bit-identical
+    behavior at test scale); above, an xxhash64(vec_id) % mod thinning —
+    the _kmeans_train_input idiom, so build cost never tracks the corpus."""
+    import numpy as np
+
+    n = e.count()
+    s = e if n <= cap else e.where(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n // cap)) == 0
+    )
+    pdf = s.select("vec_id", "unit").toPandas().sort_values("vec_id")
+    return np.array(pdf["unit"].tolist(), dtype=np.float64)
+
+
+def _lloyd_deterministic(X: "object", k: int, iters: int = PQ_ITERS) -> "object":
+    """Plain Lloyd k-means with deterministic farthest-point init (no RNG:
+    seed = row 0 of the vec_id-sorted sample; each next seed is the point
+    farthest from its nearest chosen seed). Empty clusters re-seed to the
+    current worst-quantized point, also deterministic. Returns (k, d)."""
+    import numpy as np
+
+    n = len(X)
+    if n == 0:
+        return np.zeros((k, X.shape[1] if X.ndim == 2 else PQ_SUB))
+    seeds = [0]
+    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    while len(seeds) < min(k, n):
+        nxt = int(np.argmax(d2))
+        seeds.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[seeds].copy()
+    if len(C) < k:  # degenerate sample: pad with repeats (codes still valid)
+        C = np.vstack([C, np.repeat(C[:1], k - len(C), axis=0)])
+    for _ in range(iters):
+        # (n, k) squared distances via ||x||^2 - 2xC^T + ||c||^2
+        d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        assign = d.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                newC[j] = X[mask].mean(axis=0)
+            else:
+                worst = int(d[np.arange(n), assign].argmax())
+                newC[j] = X[worst]
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def train_pq_codebooks(
+    spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES
+) -> "object":
+    """(M, K, SUB) float64 codebooks trained on the candidate set (query
+    vectors excluded, as in every other stored-index build)."""
+    import numpy as np
+
+    e = _unit_rows(load_table(spark, sf_dir, "embeddings")).where(
+        F.col("vec_id") >= n_queries
+    )
+    X = _train_sample(e)
+    books = np.stack(
+        [
+            _lloyd_deterministic(X[:, m * PQ_SUB : (m + 1) * PQ_SUB], PQ_K)
+            for m in range(PQ_M)
+        ]
+    )
+    return books
+
+
+def _encode_batches(books: "object"):
+    """mapInPandas encoder: one vectorized argmin per (batch, subspace) —
+    numpy over Arrow batches, never per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    def enc(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["unit"].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                sub = X[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                C = books[m]
+                d = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2.0 * (sub @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
+                codes[:, m] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "codes": list(codes)}
+            )
+
+    return enc
+
+
+_CODES_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def build_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_root: str | Path,
+    n_queries: int = N_QUERIES,
+) -> "object":
+    """Train codebooks, encode the candidate corpus, commit both through
+    the snapshot format. Returns the codebooks array (cached by callers
+    the way ann_index caches centroids)."""
+    root = Path(index_root)
+    books = train_pq_codebooks(spark, sf_dir, n_queries)
+    cand = _unit_rows(load_table(spark, sf_dir, "embeddings")).where(
+        F.col("vec_id") >= n_queries
+    )
+    codes = cand.mapInPandas(_encode_batches(books), schema=_CODES_SCHEMA)
+    snapshot_write(codes, root / "codes")
+    rows = [
+        (m, k, [float(x) for x in books[m, k]])
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    ]
+    cb = spark.createDataFrame(rows, ["m", "k", "codeword"]).select(
+        F.col("m").cast("int"),
+        F.col("k").cast("int"),
+        F.col("codeword").cast("array<double>"),
+    )
+    snapshot_write(cb, root / "codebooks")
+    return books
+
+
+def _lut_for(q_emb: list, books: "object") -> list:
+    """Flat M*K inner-product lookup table for one unit query vector."""
+    import numpy as np
+
+    q = np.asarray(q_emb, dtype=np.float64)
+    nrm = float(np.sqrt((q * q).sum()))
+    if nrm > 0:
+        q = q / nrm
+    lut = np.empty(PQ_M * PQ_K)
+    for m in range(PQ_M):
+        lut[m * PQ_K : (m + 1) * PQ_K] = books[m] @ q[m * PQ_SUB : (m + 1) * PQ_SUB]
+    return [float(x) for x in lut]
+
+
+# The corpus-sized ADC pass: sum of M table lookups per (query, code) pair,
+# expressed with built-in higher-order functions only — whole-stage
+# codegen, no Python. element_at is 1-based, hence the +1s.
+_ADC_EXPR = (
+    f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
+    f"(acc, m) -> acc + element_at(lut, m * {PQ_K} + element_at(codes, m + 1) + 1))"
+)
+
+
+def pq_probe(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_root: str | Path,
+    books: "object" = None,
+    top_k: int = TOP_K,
+    refine: int = PQ_REFINE,
+    sf_dir: str | None = None,
+    driver_batch_cap: int = PROBE_DRIVER_BATCH_CAP,
+) -> DataFrame:
+    """ADC scan + exact re-rank. ``queries``: (q_id, q_emb).
+
+    Under ``driver_batch_cap`` the LUTs are built driver-side (numpy) and
+    the query frame is broadcast; above it, LUT construction moves into a
+    vectorized pandas UDF on the query side and the join is a plain
+    shuffle — same counted-cap contract as ivf_probe/lsh_probe (the
+    driver never collects an unbounded frame)."""
+    import numpy as np
+
+    root = Path(index_root)
+    if books is None:
+        cb = snapshot_read(spark, root / "codebooks").toPandas()
+        books = np.zeros((PQ_M, PQ_K, PQ_SUB))
+        for r in cb.itertuples():
+            books[r.m, r.k] = r.codeword
+    codes = snapshot_read(spark, root / "codes")
+
+    rows, fits = _probe_batch_capped(queries.select("q_id", "q_emb"), driver_batch_cap)
+    if fits:
+        lut_rows = [(r["q_id"], _lut_for(r["q_emb"], books)) for r in rows]
+        qlut = spark.createDataFrame(lut_rows, ["q_id", "lut"]).select(
+            F.col("q_id").cast("long"), F.col("lut").cast("array<double>")
+        )
+        qlut = F.broadcast(qlut)
+    else:
+        bbooks = spark.sparkContext.broadcast(books)
+        lut_schema = T.StructType(
+            [
+                T.StructField("q_id", T.LongType()),
+                T.StructField("lut", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+        def lut_batches(it):
+            import pandas as pd
+
+            bk = bbooks.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "q_id": pdf["q_id"].values,
+                        "lut": [_lut_for(e, bk) for e in pdf["q_emb"]],
+                    }
+                )
+
+        qlut = queries.select(
+            F.col("q_id").cast("long"), "q_emb"
+        ).mapInPandas(lut_batches, schema=lut_schema)
+
+    scored = qlut.crossJoin(codes).select(
+        "q_id", F.col("vec_id").alias("c_id"), F.expr(_ADC_EXPR).alias("adc")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("c_id"))
+    survivors = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= refine)
+        .select("q_id", "c_id")
+    )
+    if sf_dir is not None:
+        cand = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        )
+        # re-rank query side: broadcast only under the cap (above it the
+        # frame is unbounded by contract — plain shuffle join on q_id)
+        exact = queries.select("q_id", "q_emb")
+        if fits:
+            exact = F.broadcast(exact)
+        rescored = (
+            survivors.join(cand, "c_id")
+            .join(exact, "q_id")
+            .select(
+                "q_id",
+                "c_id",
+                F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias(
+                    "cosine_sim"
+                ),
+            )
+        )
+        return cosine_topk_epilogue(rescored, top_k)
+    return survivors
+
+
+_PQ_INDEX_CACHE: dict[tuple[int, str], tuple[str, "object"]] = {}
+
+
+def _pq_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, "object"]:
+    key = (os.getpid(), str(sf_dir))
+    cached = _PQ_INDEX_CACHE.get(key)
+    if cached and (Path(cached[0]) / "codes" / "_latest").exists():
+        return cached
+    root = str(
+        Path(tempfile.gettempdir()) / f"pq_index_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    books = build_pq_index(spark, sf_dir, root)
+    _PQ_INDEX_CACHE[key] = (root, books)
+    return root, books
+
+
+@register("embeddings_pq_probe", oracle=None, headline=True, tags=("similarity", "approx"))
+def embeddings_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN against the stored 32x-compressed code table.
+
+    First invocation per (process, corpus) trains + encodes + commits the
+    index; every later one is probe-only: M*K-double LUT per query, a
+    built-in aggregate() ADC scan over the codes (never the raw vectors),
+    exact cosine re-rank of the top-PQ_REFINE survivors. Approximate ->
+    rows-only driver check; recall floor and exact-score pins live in
+    tests/test_ann_recall.py. The 100 TB claim is byte-shaped: the
+    corpus-sized pass reads 8-int codes instead of 64-float vectors."""
+    index_root, books = _pq_index_for(spark, sf_dir)
+    q = _unit_rows(load_table(spark, sf_dir, "embeddings")).where(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("q_id"), F.col("unit").alias("q_emb"))
+    return pq_probe(spark, q, index_root, books=books, sf_dir=sf_dir)

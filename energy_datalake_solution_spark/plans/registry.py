@@ -77,6 +77,7 @@ def _load_all() -> None:
         multimodal,
         packing,
         pii,
+        pq_index,
         quantize,
         relational,
         relational_ext,
@@ -108,6 +109,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_partitioned_merge_read",
     "snapshot_tail_changes_orders",
     "snapshot_column_mapping_read",
+    "embeddings_pq_probe",
     # --- latest green round 3: the stalest oracled rows (21) ---
     "events_funnel_view_click_purchase",
     "events_value_histogram",
