@@ -845,3 +845,86 @@ def snapshot_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_clone_divergence",
+    oracle="""
+        WITH visible AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE NOT (o_orderkey BETWEEN 3000 AND 3499)
+        )
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price
+        FROM visible
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 100
+        FROM visible WHERE o_orderkey % 100 < 5
+    """,
+    tags=("snapshot", "clone"),
+)
+def snapshot_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone + timestamp travel under the driver's hash gate:
+    commit orders, MOR-delete a key band, SHALLOW-CLONE the table (zero
+    data copied — guarded: the clone's data dir must be empty after the
+    clone), append a derived batch to the clone, then read the clone.
+    Inherited rows must carry the source's deletion vectors through the
+    clone's absolute file refs, the appended rows must coexist with them,
+    and the SOURCE must be byte-identical after the clone's divergence
+    (guarded by manifest equality). A timestamp captured between the
+    clone and the divergence must time-travel the clone back to exactly
+    the inherited rowcount. The oracle derives the full final state
+    arithmetically from raw orders, so resurrected deleted rows, lost
+    inherited rows, or a miscarried DV all fail the hash. Delta-parity:
+    CREATE TABLE ... SHALLOW CLONE + TIMESTAMP AS OF."""
+    import shutil
+    import time
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_append,
+        snapshot_clone,
+        snapshot_delete_range_mor,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_clone_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, dst = base / "src", base / "clone"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snapshot_write_with_stats(o, src, ["o_orderkey"], n_files=8)
+    snapshot_delete_range_mor(spark, src, "o_orderkey", 3000, 3499)
+    src_tip = current_version(src)
+    src_manifest = _read_manifest(src, src_tip)
+    snapshot_clone(src, dst)
+    if any(True for d in (dst / "data").iterdir() for _ in d.iterdir()):
+        raise RuntimeError("shallow clone copied data files")
+    # manifests stamp round(ts, 3): clear the 0.5 ms rounding radius
+    # before capturing, or the clone's own commit can postdate the mark
+    time.sleep(0.002)
+    t_pre_divergence = time.time()
+    time.sleep(0.01)
+    inherited = snapshot_read(spark, dst)
+    batch = inherited.where(F.pmod("o_orderkey", F.lit(100)) < 5).select(
+        "o_orderkey", (F.col("o_totalprice") + 100).alias("o_totalprice")
+    )
+    snapshot_append(batch, dst)
+    if _read_manifest(src, current_version(src)) != src_manifest:
+        raise RuntimeError("clone divergence mutated the source table")
+    n_travel = snapshot_read(spark, dst, as_of_ts=t_pre_divergence).count()
+    n_inherited = inherited.count()
+    if n_travel != n_inherited:
+        raise RuntimeError(
+            f"timestamp travel on the clone saw {n_travel} rows, "
+            f"expected the {n_inherited} inherited rows"
+        )
+    out = snapshot_read(spark, dst).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

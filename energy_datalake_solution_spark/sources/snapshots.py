@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from pathlib import Path
 
@@ -775,7 +776,11 @@ def _write_ckpt_sidecar(
             "blooms": [
                 json.dumps(blooms[f]) if f in blooms else None for f in files
             ],
-            "dv": [json.dumps(dv[f]) if f in dv else None for f in files],
+            # dv dicts are keyed by _dv_key (suffix) — align through it
+            "dv": [
+                json.dumps(dv[_dv_key(f)]) if _dv_key(f) in dv else None
+                for f in files
+            ],
         }
     )
     out = Path(table_path) / _MANIFEST_DIR / name
@@ -796,7 +801,9 @@ def _read_ckpt_sidecar(table_path: Path, raw: dict) -> dict:
     out["files"] = rels
     for col in ("stats", "blooms", "dv"):
         vals = t.column(col).to_pylist()
-        d = {r: json.loads(v) for r, v in zip(rels, vals) if v is not None}
+        # dv dicts are keyed by _dv_key (suffix); stats/blooms by file ref
+        key = _dv_key if col == "dv" else (lambda r: r)
+        d = {key(r): json.loads(v) for r, v in zip(rels, vals) if v is not None}
         if d:
             out[col] = d
     return out
@@ -841,18 +848,45 @@ def _read_manifest(table_path, version: int) -> dict:
     return _copy_resolved(base)
 
 
+def snapshot_version_as_of(table_path, ts: float) -> int:
+    """Delta's TIMESTAMP AS OF: the LATEST version whose commit wall-clock
+    stamp is <= ``ts``. Reads manifest JSON headers only (the ts field is
+    in the raw manifest, never behind a sidecar). Raises if every
+    on-disk manifest postdates ``ts`` — same contract as Delta, which
+    refuses a timestamp before the earliest reproducible commit (older
+    history may have been vacuumed). Manifests predating the ts stamp
+    (none in practice) are skipped rather than guessed at."""
+    p = Path(table_path)
+    best = 0
+    for mf in (p / _MANIFEST_DIR).glob("v*.json"):
+        m = json.loads(mf.read_text())
+        mts = m.get("ts")
+        if mts is not None and mts <= ts:
+            best = max(best, m["version"])
+    if best == 0:
+        raise FileNotFoundError(
+            f"no committed version at or before ts={ts} in {table_path}"
+        )
+    return best
+
+
 def snapshot_read(
     spark: SparkSession, table_path, version: int | None = None,
-    merge_schema: bool = False,
+    merge_schema: bool = False, as_of_ts: float | None = None,
 ) -> DataFrame:
     """Read a consistent snapshot: the file LIST comes from one manifest,
     so concurrent commits can never tear the read. version=None reads the
-    latest; an integer time-travels. ``merge_schema=True`` unions the
-    schemas of ALL listed files (columns added by later appends read as
-    NULL on pre-evolution files — Delta's additive schema evolution);
-    the default single-footer inference is cheaper and right for tables
-    whose commits share one schema."""
+    latest; an integer time-travels; ``as_of_ts`` time-travels by commit
+    wall-clock instead (mutually exclusive with ``version``).
+    ``merge_schema=True`` unions the schemas of ALL listed files (columns
+    added by later appends read as NULL on pre-evolution files — Delta's
+    additive schema evolution); the default single-footer inference is
+    cheaper and right for tables whose commits share one schema."""
     p = Path(table_path)
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = snapshot_version_as_of(p, as_of_ts)
     v = current_version(p) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_path}")
@@ -885,6 +919,50 @@ def snapshot_rollback(table_path, version: int) -> None:
         os.replace(tmp, p / _LATEST)
     finally:
         _release_pointer_lock(lock, token)
+
+
+def snapshot_clone(
+    src_table, dst_table, version: int | None = None,
+    as_of_ts: float | None = None,
+) -> int:
+    """SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a new table
+    whose first manifest references the source version's data files by
+    ABSOLUTE path — zero bytes of data copied, O(metadata) wall time.
+    Writes to the clone land in its own data/ dir and never touch the
+    source; commits to the source after the clone are invisible to it
+    (the clone captured one immutable manifest). Deletion vectors carry
+    unchanged: dv dicts are keyed by the data/<dir>/<name> suffix
+    (_dv_key), which is identical for the source's relative ref and the
+    clone's absolute ref. Stats/blooms re-key to the absolute refs so
+    the clone's file pruning works as-is.
+
+    Same caveat as Delta: VACUUM on the SOURCE can delete files a clone
+    still references (the source doesn't know its clones). The clone's
+    own vacuum only scans its own data/ dir, so inherited files are
+    never deleted by it."""
+    sp = Path(src_table)
+    sv = (
+        snapshot_version_as_of(sp, as_of_ts) if as_of_ts is not None
+        else (current_version(sp) if version is None else version)
+    )
+    if sv == 0:
+        raise FileNotFoundError(f"no committed version in {src_table}")
+    m = _read_manifest(sp, sv)
+    abs_of = {f: str((sp / f).resolve()) for f in m["files"]}
+    files = sorted(abs_of.values())
+    stats = {abs_of[f]: s for f, s in (m.get("stats", {}) or {}).items()
+             if f in abs_of}
+    blooms = {abs_of[f]: b for f, b in (m.get("blooms", {}) or {}).items()
+              if f in abs_of}
+    dp = _table(dst_table)
+    if current_version(dp) != 0:
+        raise FileExistsError(f"{dst_table} already has committed versions")
+    return _commit(
+        dp, files, 0,
+        stats=stats or None, blooms=blooms or None,
+        dv=dict(m.get("dv", {}) or {}) or None,
+        op="clone", schema_meta=m.get("schema"),
+    )
 
 
 def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
@@ -1296,7 +1374,9 @@ def _carry_dv(parent_manifest: dict, kept: list[str]) -> dict | None:
     instead have their DV applied during the read (the rewrite
     materializes the deletions, so their vectors are dropped)."""
     dv: dict = parent_manifest.get("dv", {}) or {}
-    out = {f: dv[f] for f in kept if f in dv}
+    # keys go through _dv_key: a clone's ABSOLUTE inherited refs carry
+    # the source's suffix-keyed vectors (identity for relative refs)
+    out = {k: dv[k] for f in kept if (k := _dv_key(f)) in dv}
     return out or None
 
 
@@ -1318,6 +1398,20 @@ def _rel_path_col():
     return F.regexp_extract(F.col("_metadata.file_path"), _REL_PATH_RE, 1)
 
 
+def _dv_key(f: str) -> str:
+    """DV dict key for a manifest file ref: its trailing data/<dir>/<name>
+    suffix — exactly what ``_rel_path_col`` extracts from Spark's
+    _metadata.file_path, so write-side keys and read-side row tags can
+    never drift. For table-relative refs (every non-clone file) this is
+    the ref itself; for a shallow clone's ABSOLUTE inherited refs it is
+    the suffix the source keyed its vectors by, which is how a clone
+    carries the source's deletion vectors without rewriting them.
+    (Commit dirs are uuid-named, so two refs in one manifest sharing a
+    suffix cannot occur in practice.)"""
+    m = re.search(_REL_PATH_RE, f)
+    return m.group(1) if m else f
+
+
 def _read_files_with_dv(
     spark: SparkSession,
     p: Path,
@@ -1335,11 +1429,15 @@ def _read_files_with_dv(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    sub = {f: dv[f] for f in rels if f in (dv or {})}
+    # DV lookup goes through _dv_key so a clone's ABSOLUTE inherited refs
+    # still find the source's suffix-keyed vectors (identity for every
+    # table-relative ref)
+    ref_of = {_dv_key(f): f for f in rels}
+    sub = {k: (dv or {})[k] for k in ref_of if k in (dv or {})}
     if not sub:
         return reader.parquet(*[str(p / f) for f in rels])
     dirty = sorted(sub)
-    d_df = reader.parquet(*[str(p / f) for f in dirty])
+    d_df = reader.parquet(*[str(p / ref_of[k]) for k in dirty])
     cols = d_df.columns
     tagged = d_df.select(
         _rel_path_col().alias("_fp"),
@@ -1380,7 +1478,7 @@ def _read_files_with_dv(
             (tagged["_fp"] == dvf["_dv_fp"]) & (tagged["_ri"] == dvf["_dv_ri"]),
             "left_anti",
         ).select(*cols)
-    clean = [f for f in rels if f not in sub]
+    clean = [f for f in rels if _dv_key(f) not in sub]
     if not clean:
         return applied
     # only files WITH vectors pay the metadata projection + filtering;
@@ -1437,10 +1535,10 @@ def snapshot_delete_range_mor(
             # positions are DV-sized (bounded by the write-side cap), so
             # the anti-join build is small by construction.
             existing = [
-                (rel, int(ri))
+                (_dv_key(rel), int(ri))
                 for rel in touched
-                if rel in dv
-                for ri in _unpack_positions(dv[rel])
+                if _dv_key(rel) in dv
+                for ri in _unpack_positions(dv[_dv_key(rel)])
             ]
             if existing:
                 import pandas as _pd
@@ -1574,8 +1672,9 @@ def snapshot_change_feed(
     # at v_from and dead at v_to — deletes with no matching rewrite
     grown: dict[str, list] = {}
     for f in kept:
-        new_pos = set(_unpack_positions(dv_to[f])) if f in dv_to else set()
-        old_pos = set(_unpack_positions(dv_from[f])) if f in dv_from else set()
+        k = _dv_key(f)  # dv dicts are suffix-keyed (clone inherited refs)
+        new_pos = set(_unpack_positions(dv_to[k])) if k in dv_to else set()
+        old_pos = set(_unpack_positions(dv_from[k])) if k in dv_from else set()
         delta = sorted(new_pos - old_pos)
         if delta:
             grown[f] = _pack_positions(delta)
@@ -1597,7 +1696,7 @@ def snapshot_change_feed(
         )
         keep = None
         for rel, entry in grown.items():
-            fp = rel
+            fp = _dv_key(rel)  # _fp rows carry the suffix form
             span = None
             for lo_, hi_ in _position_runs(_unpack_positions(entry)):
                 c = F.col("_ri").between(int(lo_), int(hi_))
@@ -1652,8 +1751,9 @@ def snapshot_row_count(table_path, version: int | None = None) -> int | None:
         if n is None:
             return None
         total += int(n)
-        if rel in dv:  # merge-on-read: deleted positions leave the count
-            total -= int(dv[rel][0])
+        k = _dv_key(rel)
+        if k in dv:  # merge-on-read: deleted positions leave the count
+            total -= int(dv[k][0])
     return total
 
 

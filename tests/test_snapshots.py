@@ -1736,3 +1736,110 @@ def test_parquet_checkpoint_sidecar_roundtrip(spark, tmp_path):
     S.snapshot_vacuum(t, keep_versions=2)
     assert sidecar.exists() and not orphan.exists()
     assert S._read_manifest(t, v2)["files"] == m2["files"]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: a ts captured between commits resolves to the
+    version committed before it; a pre-table ts raises; version and
+    as_of_ts are mutually exclusive."""
+    import time
+
+    import pytest
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_version_as_of,
+        snapshot_write,
+    )
+
+    t = tmp_path / "t"
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    v1 = snapshot_write(df1, t)
+    t_mid = time.time()
+    time.sleep(0.01)
+    snapshot_append(spark.range(5, 9).withColumnRenamed("id", "k"), t)
+    assert snapshot_version_as_of(t, t_mid) == v1
+    assert snapshot_read(spark, t, as_of_ts=t_mid).count() == 5
+    assert snapshot_read(spark, t, as_of_ts=time.time()).count() == 9
+    with pytest.raises(FileNotFoundError):
+        snapshot_version_as_of(t, 1.0)  # 1970: before every commit
+    with pytest.raises(ValueError):
+        snapshot_read(spark, t, version=v1, as_of_ts=t_mid)
+
+
+def test_shallow_clone_reads_and_diverges(spark, tmp_path):
+    """Shallow clone: zero data copied (clone's data/ dir empty), reads
+    equal the source version, and writes to either side are invisible to
+    the other."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_clone,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    snapshot_write(spark.range(10).withColumnRenamed("id", "k"), src)
+    snapshot_clone(src, dst)
+    assert sum(1 for d in (dst / "data").iterdir() for _ in d.iterdir()) == 0
+    assert sorted(
+        r.k for r in snapshot_read(spark, dst).collect()
+    ) == list(range(10))
+    # diverge the clone; source unchanged
+    snapshot_append(spark.range(10, 13).withColumnRenamed("id", "k"), dst)
+    assert snapshot_read(spark, dst).count() == 13
+    assert snapshot_read(spark, src).count() == 10
+    # advance the source; clone pinned to the captured manifest
+    snapshot_append(spark.range(100, 105).withColumnRenamed("id", "k"), src)
+    assert snapshot_read(spark, src).count() == 15
+    assert snapshot_read(spark, dst).count() == 13
+
+
+def test_shallow_clone_carries_deletion_vectors(spark, tmp_path):
+    """A MOR-deleted source row stays deleted through the clone (dv keys
+    are suffix-keyed so absolute inherited refs still match), and a MOR
+    delete ON the clone's inherited files works without touching the
+    source."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_clone,
+        snapshot_delete_range_mor,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    df = spark.range(100).withColumnRenamed("id", "k")
+    snapshot_write_with_stats(df, src, ["k"], n_files=4)
+    snapshot_delete_range_mor(spark, src, "k", 10, 19)
+    snapshot_clone(src, dst)
+    got = sorted(r.k for r in snapshot_read(spark, dst).collect())
+    assert got == [k for k in range(100) if not (10 <= k <= 19)]
+    # MOR delete on the clone: source must keep its own visible rows
+    snapshot_delete_range_mor(spark, dst, "k", 50, 59)
+    got_dst = sorted(r.k for r in snapshot_read(spark, dst).collect())
+    assert got_dst == [
+        k for k in range(100) if not (10 <= k <= 19) and not (50 <= k <= 59)
+    ]
+    got_src = sorted(r.k for r in snapshot_read(spark, src).collect())
+    assert got_src == [k for k in range(100) if not (10 <= k <= 19)]
+
+
+def test_clone_vacuum_never_deletes_source_files(spark, tmp_path):
+    """The clone's vacuum scans only its OWN data/ dir: inherited source
+    files survive any clone-side retention policy."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_clone,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    snapshot_write(spark.range(10).withColumnRenamed("id", "k"), src)
+    snapshot_clone(src, dst)
+    snapshot_append(spark.range(10, 12).withColumnRenamed("id", "k"), dst)
+    snapshot_vacuum(dst, keep_versions=1)
+    assert snapshot_read(spark, src).count() == 10
+    assert snapshot_read(spark, dst).count() == 12
