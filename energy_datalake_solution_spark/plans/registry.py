@@ -111,6 +111,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_column_mapping_read",
     "embeddings_pq_probe",
     "snapshot_clone_divergence",
+    "embeddings_ivfpq_probe",
     # --- latest green round 3: the stalest oracled rows (21) ---
     "events_funnel_view_click_purchase",
     "events_value_histogram",

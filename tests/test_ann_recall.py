@@ -456,3 +456,68 @@ def test_pq_probe_cap_routes_to_distributed_form(spark):
     a = via_driver.sort_values(key).reset_index(drop=True)
     b = dist.sort_values(key).reset_index(drop=True)
     assert a[key].equals(b[key]), "PQ distributed fallback drifted from driver path"
+
+
+def test_ivfpq_probe_recall_floor_and_exact_scores(spark):
+    """Stored IVF-PQ index (residual-coded cells): recall >= 0.85 after
+    exact re-rank (measured 0.92 at sf0.01 / 0.90 at sf0.1 with
+    nprobe=7, refine=120), emitted scores exact."""
+    rec, exact, approx = _recall(spark, "embeddings_ivfpq_probe")
+    assert rec >= 0.85, rec
+    _assert_values_exact(exact, approx)
+
+
+def test_ivfpq_cells_are_residual_coded_and_pruned(spark, tmp_path):
+    """The committed cells table carries (centroid_id, 16 4-bit residual
+    codes) per vector with per-file centroid_id stats, so a probe's
+    file prune reads only the probed cells' files."""
+    from energy_datalake_solution_spark.operators import pq_index as P
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_files_for_values,
+        snapshot_read,
+    )
+
+    P.build_ivfpq_index(spark, SF_ORACLE, tmp_path / "ix")
+    cells = snapshot_read(spark, tmp_path / "ix" / "cells").toPandas()
+    assert len(cells) > 0
+    assert set(cells.columns) == {"vec_id", "centroid_id", "codes"}
+    for codes in cells["codes"]:
+        assert len(codes) == P.PQ_M and all(0 <= c < P.PQ_K for c in codes)
+    all_files = snapshot_files_for_values(
+        tmp_path / "ix" / "cells", "centroid_id",
+        sorted(cells["centroid_id"].unique()),
+    )
+    one_cell = snapshot_files_for_values(
+        tmp_path / "ix" / "cells", "centroid_id",
+        [int(cells["centroid_id"].iloc[0])],
+    )
+    assert len(one_cell) < len(all_files), "stats prune admitted every file"
+
+
+def test_ivfpq_probe_cap_routes_to_distributed_form(spark):
+    """Over-cap IVF-PQ batches build probe rows in mapInPandas and
+    shuffle-join on centroid_id; result rows identical to the driver
+    path."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.operators.pq_index import (
+        _ivfpq_index_for,
+        _unit_rows,
+        ivfpq_probe,
+    )
+    from energy_datalake_solution_spark.operators.similarity import N_QUERIES
+
+    root, cents, books = _ivfpq_index_for(spark, SF_ORACLE)
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = _unit_rows(e).where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("q_emb")
+    )
+    key = ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    a = ivfpq_probe(
+        spark, q, root, centroids=cents, books=books, sf_dir=SF_ORACLE
+    ).toPandas().sort_values(key).reset_index(drop=True)
+    b = ivfpq_probe(
+        spark, q, root, centroids=cents, books=books, sf_dir=SF_ORACLE,
+        driver_batch_cap=3,
+    ).toPandas().sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key]), "IVF-PQ distributed fallback drifted"
