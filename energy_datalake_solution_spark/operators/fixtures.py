@@ -928,3 +928,57 @@ def snapshot_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_mor_update_read",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               CASE WHEN o_orderkey BETWEEN 4000 AND 4499
+                    THEN o_totalprice + 25 ELSE o_totalprice
+               END AS total_price
+        FROM orders
+    """,
+    tags=("snapshot", "mor", "update"),
+)
+def snapshot_mor_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector UPDATE under the driver's hash gate: commit orders
+    stats-partitioned on the key, MOR-update a key band (price+25) —
+    positions join the vectors, updated images append, and a guard
+    raises if any pre-update file left the manifest (the no-rewrite
+    contract at file level). The oracle derives the updated state
+    arithmetically from raw orders, so a lost DV (old rows resurrect as
+    duplicates), a dropped updated image, or an off-band update all fail
+    the hash. Delta-parity: DV-based UPDATE (the read side of
+    photon-style MOR updates)."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_read,
+        snapshot_update_range_mor,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_morupd_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snapshot_write_with_stats(o, t, ["o_orderkey"], n_files=8)
+    files_before = set(_read_manifest(t, current_version(t))["files"])
+    snapshot_update_range_mor(
+        spark, t, "o_orderkey", 4000, 4499,
+        {"o_totalprice": F.col("o_totalprice") + 25},
+    )
+    if not files_before <= set(_read_manifest(t, current_version(t))["files"]):
+        raise RuntimeError("MOR update rewrote or dropped a standing file")
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

@@ -1572,6 +1572,139 @@ def snapshot_delete_range_mor(
     raise AssertionError("unreachable")
 
 
+def snapshot_update_range_mor(
+    spark: SparkSession, table_path, col: str, lo, hi,
+    assignments: dict,
+    max_updated_rows: int = DV_MAX_DELETED_ROWS,
+) -> int:
+    """Merge-on-read UPDATE of every row with ``lo <= col <= hi``: the
+    matched rows' positions join the touched files' deletion vectors and
+    their UPDATED images are appended as new files — ONE commit, no
+    touched file rewritten (Delta's deletion-vector-based UPDATE). The
+    change feed sees it as delete(old image) + insert(new image) with no
+    extra work: the DV delta IS the delete side and the appended file the
+    insert side. ``assignments`` maps column name -> Column expression
+    (or SQL string) evaluated against the matched rows. Updates wider
+    than ``max_updated_rows`` route to the copy-on-write form (rewrite
+    the touched files with assignments applied) — counted, not assumed,
+    the same cap discipline as snapshot_delete_range_mor. Rows already
+    deleted by existing vectors are never re-updated or resurrected.
+    Same optimistic rebase-retry disposition as every writer."""
+    from pyspark.sql import functions as F
+
+    p = _table(table_path)
+    if current_version(p) == 0:
+        raise FileNotFoundError(f"no snapshot table at {p}")
+    set_cols = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in assignments.items()
+    }
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        m = _read_manifest(p, parent)
+        stats: dict = m.get("stats", {}) or {}
+        dv: dict = dict(m.get("dv", {}) or {})
+        touched = sorted(snapshot_files_for_range(p, col, lo, hi, parent))
+        try:
+            if not touched:
+                return _commit(p, list(m["files"]), parent,
+                               stats=stats or None,
+                               blooms=m.get("blooms") or None,
+                               dv=dv or None, op="update-mor")
+            # matched LIVE rows of the touched files: dv-applied read so
+            # already-deleted positions can neither update nor resurrect
+            tagged = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[str(p / f) for f in touched])
+                .select(
+                    _rel_path_col().alias("_fp"),
+                    F.col("_metadata.row_index").alias("_ri"),
+                    "*",
+                )
+            )
+            existing = [
+                (_dv_key(rel), int(ri))
+                for rel in touched
+                if _dv_key(rel) in dv
+                for ri in _unpack_positions(dv[_dv_key(rel)])
+            ]
+            hits = tagged.where((F.col(col) >= lo) & (F.col(col) <= hi))
+            if existing:
+                import pandas as _pd
+
+                ex_df = spark.createDataFrame(
+                    _pd.DataFrame(existing, columns=["_fp", "_ri"])
+                )
+                hits = hits.join(F.broadcast(ex_df), ["_fp", "_ri"], "left_anti")
+            hits = hits.localCheckpoint(eager=True)  # one scan, three uses
+            n_hits = hits.count()
+            if n_hits == 0:
+                return _commit(p, list(m["files"]), parent,
+                               stats=stats or None,
+                               blooms=m.get("blooms") or None,
+                               dv=dv or None, op="update-mor")
+            data_cols = [c for c in hits.columns if c not in ("_fp", "_ri")]
+            if n_hits > max_updated_rows:
+                # wide update: the rewrite is cheaper than giant vectors —
+                # copy-on-write the touched files with assignments applied
+                cur = _read_files_with_dv(
+                    spark, p, touched, m.get("dv"), merge_schema=True
+                )
+                matched = (F.col(col) >= lo) & (F.col(col) <= hi)
+                rewritten = cur.select(*[
+                    (F.when(matched, set_cols[c]).otherwise(F.col(c))
+                     if c in set_cols else F.col(c)).alias(c)
+                    for c in cur.columns
+                ]).coalesce(max(1, len(touched)))
+                new_files = _write_files(rewritten, p)
+                untouched = [f for f in m["files"] if f not in set(touched)]
+                new_stats = dict(stats)
+                for f in touched:
+                    new_stats.pop(f, None)
+                tracked = sorted({c for s in stats.values() for c in s})
+                if tracked:
+                    new_stats.update(
+                        _collect_stats(p, new_files, tracked, spark=spark)
+                    )
+                return _commit(p, untouched + new_files, parent,
+                               stats=new_stats or None,
+                               blooms=_carry_blooms(p, m, untouched, new_files),
+                               dv=_carry_dv(m, untouched), op="update")
+            # MOR path: grow vectors with the hit positions...
+            by_file = (
+                hits.groupBy("_fp")
+                .agg(F.sort_array(F.collect_list("_ri")).alias("pos"))
+                .collect()  # <= touched-file rows, positions capped above
+            )
+            for r in by_file:
+                new_pos = list(r["pos"])
+                if r["_fp"] in dv:
+                    new_pos = sorted(
+                        set(_unpack_positions(dv[r["_fp"]])) | set(new_pos)
+                    )
+                dv[r["_fp"]] = _pack_positions(new_pos)
+            # ...and append the updated images as new files
+            updated = hits.select(*[
+                (set_cols[c] if c in set_cols else F.col(c)).alias(c)
+                for c in data_cols
+            ]).coalesce(1)
+            new_files = _write_files(updated, p)
+            new_stats = dict(stats)
+            tracked = sorted({c for s in stats.values() for c in s})
+            if tracked:
+                new_stats.update(
+                    _collect_stats(p, new_files, tracked, spark=spark)
+                )
+            return _commit(p, list(m["files"]) + new_files, parent,
+                           stats=new_stats or None,
+                           blooms=m.get("blooms") or None,
+                           dv=dv or None, op="update-mor")
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
 def snapshot_read_incremental(
     spark: SparkSession, table_path, since_version: int,
     to_version: int | None = None,

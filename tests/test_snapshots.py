@@ -1843,3 +1843,79 @@ def test_clone_vacuum_never_deletes_source_files(spark, tmp_path):
     snapshot_vacuum(dst, keep_versions=1)
     assert snapshot_read(spark, src).count() == 10
     assert snapshot_read(spark, dst).count() == 12
+
+
+def test_mor_update_range(spark, tmp_path):
+    """DV-based UPDATE: matched rows' positions join the vectors and the
+    updated images append — no touched file rewritten; time travel shows
+    the old values; the change feed reports delete(old)+insert(new);
+    already-DV-deleted rows are not resurrected."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_change_feed,
+        snapshot_delete_range_mor,
+        snapshot_read,
+        snapshot_update_range_mor,
+        snapshot_write_with_stats,
+    )
+    from pyspark.sql import functions as F
+
+    t = tmp_path / "t"
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    snapshot_delete_range_mor(spark, t, "k", 12, 13)
+    v_before = current_version(t)
+    files_before = set(_read_manifest(t, v_before)["files"])
+    snapshot_update_range_mor(
+        spark, t, "k", 10, 19, {"v": F.col("v") + 1}
+    )
+    m2 = _read_manifest(t, current_version(t))
+    assert files_before <= set(m2["files"]), "MOR update rewrote a file"
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert len(got) == 98  # 12, 13 stay deleted
+    for k in range(100):
+        if k in (12, 13):
+            assert k not in got
+        elif 10 <= k <= 19:
+            assert got[k] == k * 10 + 1
+        else:
+            assert got[k] == k * 10
+    # time travel: pre-update version still shows old values
+    old = {r.k: r.v for r in snapshot_read(spark, t, version=v_before).collect()}
+    assert old[15] == 150
+    # change feed: delete(old image) + insert(new image) for the band
+    feed = snapshot_change_feed(spark, t, v_before).collect()
+    dels = {(r.k, r.v) for r in feed if r._change_type == "delete"}
+    ins = {(r.k, r.v) for r in feed if r._change_type == "insert"}
+    want = [k for k in range(10, 20) if k not in (12, 13)]
+    assert dels == {(k, k * 10) for k in want}
+    assert ins == {(k, k * 10 + 1) for k in want}
+
+
+def test_mor_update_wide_routes_to_cow(spark, tmp_path):
+    """An update wider than max_updated_rows routes to copy-on-write:
+    correct result, touched files rewritten, vectors not grown."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_read,
+        snapshot_update_range_mor,
+        snapshot_write_with_stats,
+    )
+    from pyspark.sql import functions as F
+
+    t = tmp_path / "t"
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    snapshot_update_range_mor(
+        spark, t, "k", 0, 99, {"v": F.col("v") + 5}, max_updated_rows=10
+    )
+    m = _read_manifest(t, current_version(t))
+    assert not m.get("dv"), "wide update should not grow vectors"
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert got == {k: k * 10 + 5 for k in range(100)}
