@@ -965,6 +965,36 @@ def snapshot_clone(
     )
 
 
+def snapshot_restore(table_path, version: int | None = None,
+                     as_of_ts: float | None = None) -> int:
+    """Delta's RESTORE: commit a NEW version whose content equals an
+    older version's — history stays linear (no orphan branch), the change
+    feed across the restore reports exactly the rows that reverted, and
+    concurrent writers conflict-and-rebase normally. Contrast
+    snapshot_rollback, which re-points the tip destructively (the
+    operational "undo now" lever); RESTORE is the auditable form a
+    production table wants. O(metadata): data files are shared with the
+    restored version, nothing is copied."""
+    p = Path(table_path)
+    rv = (
+        snapshot_version_as_of(p, as_of_ts) if as_of_ts is not None
+        else version
+    )
+    if rv is None:
+        raise ValueError("pass version or as_of_ts")
+    m = _read_manifest(p, rv)
+    parent = current_version(p)
+    if parent == rv:
+        return parent  # restoring the tip is a no-op
+    return _commit(
+        p, list(m["files"]), parent,
+        stats=m.get("stats") or None,
+        blooms=m.get("blooms") or None,
+        dv=dict(m.get("dv", {}) or {}) or None,
+        op="restore", schema_meta=m.get("schema"),
+    )
+
+
 def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
     """Delete data files referenced by NO manifest among the latest
     ``keep_versions`` manifests and drop the older manifests. Returns the

@@ -1919,3 +1919,42 @@ def test_mor_update_wide_routes_to_cow(spark, tmp_path):
     assert not m.get("dv"), "wide update should not grow vectors"
     got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
     assert got == {k: k * 10 + 5 for k in range(100)}
+
+
+def test_restore_commits_new_version_with_old_content(spark, tmp_path):
+    """RESTORE is a commit, not a pointer move: history stays linear, the
+    change feed across the restore reports the reverted rows, time travel
+    to intermediate versions still works, and vacuum keeps the restored
+    (shared) files."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_append,
+        snapshot_change_feed,
+        snapshot_history,
+        snapshot_read,
+        snapshot_restore,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    t = tmp_path / "t"
+    v1 = snapshot_write(spark.range(10).withColumnRenamed("id", "k"), t)
+    snapshot_append(spark.range(10, 15).withColumnRenamed("id", "k"), t)
+    v3 = snapshot_append(spark.range(15, 18).withColumnRenamed("id", "k"), t)
+    v4 = snapshot_restore(t, v1)
+    assert v4 == v3 + 1 and current_version(t) == v4
+    assert sorted(r.k for r in snapshot_read(spark, t).collect()) == list(range(10))
+    # intermediate version still time-travels
+    assert snapshot_read(spark, t, version=v3).count() == 18
+    # change feed across the restore: exactly the reverted rows as deletes
+    feed = snapshot_change_feed(spark, t, v3).collect()
+    assert {r.k for r in feed if r._change_type == "delete"} == set(range(10, 18))
+    assert not [r for r in feed if r._change_type == "insert"]
+    # history is linear and the restore op is recorded
+    hist = snapshot_history(t)
+    assert hist[0]["op"] == "restore" and hist[0]["version"] == v4
+    # restoring the tip is a no-op commit-wise
+    assert snapshot_restore(t, v4) == v4
+    # vacuum keeps the restored version's (shared) files
+    snapshot_vacuum(t, keep_versions=1)
+    assert sorted(r.k for r in snapshot_read(spark, t).collect()) == list(range(10))
