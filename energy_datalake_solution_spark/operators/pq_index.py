@@ -100,6 +100,8 @@ def _train_sample(e: DataFrame, cap: int = PQ_TRAIN_CAP) -> "object":
     import numpy as np
 
     n = e.count()
+    if n == 0:  # empty-lake sweep: a shaped empty matrix, not a crash
+        return np.zeros((0, PQ_DIM))
     s = e if n <= cap else e.where(
         F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n // cap)) == 0
     )
@@ -281,6 +283,11 @@ def pq_probe(
     codes = snapshot_read(spark, root / "codes")
 
     rows, fits = _probe_batch_capped(queries.select("q_id", "q_emb"), driver_batch_cap)
+    if fits and not rows:  # empty-lake sweep: no queries -> empty result
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+            if sf_dir is not None else "q_id long, c_id long"
+        )
     if fits:
         lut_rows = [(r["q_id"], _lut_for(r["q_emb"], books)) for r in rows]
         qlut = spark.createDataFrame(lut_rows, ["q_id", "lut"]).select(
@@ -554,6 +561,11 @@ def ivfpq_probe(
         ]
 
     rows, fits = _probe_batch_capped(queries.select("q_id", "q_emb"), driver_batch_cap)
+    if fits and not rows:  # empty-lake sweep: no queries -> empty result
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+            if sf_dir is not None else "q_id long, c_id long"
+        )
     if fits:
         probe_rows, probed = [], set()
         for r in rows:
