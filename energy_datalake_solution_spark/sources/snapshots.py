@@ -96,6 +96,13 @@ class SnapshotCommitConflict(RuntimeError):
     tip — snapshot_append/upsert/delete do so automatically."""
 
 
+class SnapshotConstraintViolation(ValueError):
+    """A write batch contains a row for which a table CHECK constraint
+    evaluates to FALSE (SQL semantics: NULL satisfies — add an explicit
+    IS NOT NULL term for NOT NULL enforcement). The offending constraint
+    and one violating row are in the message; nothing was committed."""
+
+
 _LOCK = "_commit.lock"
 _LOCK_STALE_SECS = 60.0
 _LOCK_WAIT_SECS = 10.0
@@ -246,6 +253,7 @@ def _commit(
     dv: dict | None = None,
     op: str | None = None,
     schema_meta: dict | None = None,
+    constraints_meta: dict | None = None,
 ) -> int:
     """Publish a manifest and advance the pointer.
 
@@ -325,6 +333,13 @@ def _commit(
         if schema_meta is not None
         else (parent_resolved or {}).get("schema")
     )
+    # table constraints (Delta's CHECK constraints): same carry semantics
+    # as the schema metadata — inherited unless this commit changes them
+    constraints = (
+        constraints_meta
+        if constraints_meta is not None
+        else (parent_resolved or {}).get("constraints")
+    )
     parent_dist = (
         int(parent_resolved.get("ckpt_dist", 0)) if parent_resolved else 0
     )
@@ -349,10 +364,14 @@ def _commit(
         manifest["ckpt_dist"] = parent_dist + 1
         if schema != parent_resolved.get("schema"):
             manifest["schema"] = schema
+        if constraints != parent_resolved.get("constraints"):
+            manifest["constraints"] = constraints
     else:
         manifest["ckpt_dist"] = 0
         if schema:
             manifest["schema"] = schema
+        if constraints:
+            manifest["constraints"] = constraints
         if len(files) >= CKPT_PARQUET_MIN_FILES:
             manifest["ckpt_parquet"] = _write_ckpt_sidecar(
                 table_path, version, sorted(files), new_stats, new_blooms, new_dv
@@ -410,6 +429,7 @@ def snapshot_write(df: DataFrame, table_path) -> int:
     """Commit df as a full-replace new version; returns the version."""
     p = _table(table_path)
     tip = current_version(p)
+    _enforce_constraints(df, p, tip)
     if tip:
         sch = _read_manifest(p, tip).get("schema")
         if sch:
@@ -476,6 +496,7 @@ def snapshot_append(
     double-appending."""
     p = _table(table_path)
     tip = current_version(p)
+    _enforce_constraints(df, p, tip)
     if tip:
         sch = _read_manifest(p, tip).get("schema")
         if sch:
@@ -590,6 +611,7 @@ def snapshot_upsert(
                 df, p, [keys[0]], n_files=seed_stats_files
             )
         return snapshot_write(df, p)
+    _enforce_constraints(df, p)
     sch = _read_manifest(p, current_version(p)).get("schema")
     if sch:
         # mapped table: the whole merge runs in PHYSICAL column space
@@ -741,11 +763,12 @@ def _apply_delta(base: dict, raw: dict) -> dict:
                 "ckpt_dist", "n_files"):
         if fld in raw:
             out[fld] = raw[fld]
-    # schema metadata: a delta stores it only when CHANGED; inherit
-    if "schema" in raw:
-        out["schema"] = raw["schema"]
-    elif "schema" in base:
-        out["schema"] = base["schema"]
+    # schema/constraints metadata: a delta stores them only when CHANGED
+    for meta in ("schema", "constraints"):
+        if meta in raw:
+            out[meta] = raw[meta]
+        elif meta in base:
+            out[meta] = base[meta]
     for name in ("stats", "blooms", "dv"):
         cur = dict(base.get(name, {}) or {})
         for k in d.get(f"{name}_del", []):
@@ -965,6 +988,103 @@ def snapshot_clone(
     )
 
 
+def _enforce_constraints(df: DataFrame, p: Path, tip: int | None = None) -> None:
+    """Reject a write batch violating any table CHECK constraint (one
+    job per constraint, LIMIT 1 — enforcement cost is a pushed-down scan
+    of the BATCH, never the table). SQL CHECK semantics: only FALSE
+    violates; NULL satisfies."""
+    from pyspark.sql import functions as F
+
+    tip = current_version(p) if tip is None else tip
+    if not tip:
+        return
+    cons = _read_manifest(p, tip).get("constraints") or {}
+    for name in sorted(cons):
+        expr = cons[name]
+        bad = (
+            df.where(
+                F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+                == F.lit(False)
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise SnapshotConstraintViolation(
+                f"CHECK constraint {name!r} ({expr}) violated, e.g. by "
+                f"row {bad[0].asDict()}"
+            )
+
+
+def snapshot_set_constraint(spark: SparkSession, table_path, name: str,
+                            expr: str) -> int:
+    """ADD CONSTRAINT ... CHECK (expr): validates the CURRENT table
+    contents first (Delta's semantics — a constraint the standing data
+    violates is refused), then commits a metadata-only version carrying
+    the constraint; every later write batch is checked against it."""
+    p = _table(table_path)
+    tip = current_version(p)
+    if tip == 0:
+        raise FileNotFoundError(f"no snapshot table at {table_path}")
+    m = _read_manifest(p, tip)
+    cons = dict(m.get("constraints", {}) or {})
+    cons[name] = expr
+    # the standing data must already satisfy the new constraint
+    probe = Path(table_path)
+    current = snapshot_read(spark, probe, version=tip)
+    from pyspark.sql import functions as F
+
+    bad = (
+        current.where(
+            F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)) == F.lit(False)
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise SnapshotConstraintViolation(
+            f"existing rows violate CHECK {name!r} ({expr}), e.g. "
+            f"{bad[0].asDict()}"
+        )
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        pm = _read_manifest(p, parent)
+        try:
+            return _commit(p, list(pm["files"]), parent,
+                           stats=pm.get("stats") or None,
+                           blooms=pm.get("blooms") or None,
+                           dv=dict(pm.get("dv", {}) or {}) or None,
+                           op="set-constraint",
+                           constraints_meta=cons)
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def snapshot_drop_constraint(table_path, name: str) -> int:
+    """DROP CONSTRAINT: metadata-only commit without the named check."""
+    p = _table(table_path)
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        if parent == 0:
+            raise FileNotFoundError(f"no snapshot table at {table_path}")
+        pm = _read_manifest(p, parent)
+        cons = dict(pm.get("constraints", {}) or {})
+        cons.pop(name, None)
+        try:
+            return _commit(p, list(pm["files"]), parent,
+                           stats=pm.get("stats") or None,
+                           blooms=pm.get("blooms") or None,
+                           dv=dict(pm.get("dv", {}) or {}) or None,
+                           op="drop-constraint",
+                           constraints_meta=cons)
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
 def snapshot_restore(table_path, version: int | None = None,
                      as_of_ts: float | None = None) -> int:
     """Delta's RESTORE: commit a NEW version whose content equals an
@@ -1072,7 +1192,8 @@ def _materialize_checkpoint(p: Path, v: int) -> None:
     m = _read_manifest(p, v)
     full: dict = {"version": v, "parent": m.get("parent", 0),
                   "txn": m.get("txn"), "ckpt_dist": 0}
-    for fld in ("op", "ts", "txn_app", "txns", "n_files", "schema"):
+    for fld in ("op", "ts", "txn_app", "txns", "n_files", "schema",
+                "constraints"):
         if m.get(fld) is not None:
             full[fld] = m[fld]
     if len(m["files"]) >= CKPT_PARQUET_MIN_FILES:
@@ -1274,6 +1395,7 @@ def snapshot_write_with_stats(
     first — disjoint per-file key ranges are what make the stats selective
     (a hash layout gives every file the full range)."""
     p = _table(table_path)
+    _enforce_constraints(df, p)
     if n_files:
         df = df.repartitionByRange(n_files, *stats_cols[:1])
     files = _write_files(df, p)
@@ -1686,6 +1808,7 @@ def snapshot_update_range_mor(
                      if c in set_cols else F.col(c)).alias(c)
                     for c in cur.columns
                 ]).coalesce(max(1, len(touched)))
+                _enforce_constraints(rewritten, p, parent)
                 new_files = _write_files(rewritten, p)
                 untouched = [f for f in m["files"] if f not in set(touched)]
                 new_stats = dict(stats)
@@ -1718,6 +1841,7 @@ def snapshot_update_range_mor(
                 (set_cols[c] if c in set_cols else F.col(c)).alias(c)
                 for c in data_cols
             ]).coalesce(1)
+            _enforce_constraints(updated, p, parent)
             new_files = _write_files(updated, p)
             new_stats = dict(stats)
             tracked = sorted({c for s in stats.values() for c in s})
@@ -2552,6 +2676,7 @@ def snapshot_upsert_partitioned(
     from pyspark.sql import functions as F
 
     p = _table(table_path)
+    _enforce_constraints(df, p)
     stats_cols = [partition_col, keys[0]] + [
         c for c in (extra_stats_cols or []) if c not in (partition_col, keys[0])
     ]

@@ -1958,3 +1958,55 @@ def test_restore_commits_new_version_with_old_content(spark, tmp_path):
     # vacuum keeps the restored version's (shared) files
     snapshot_vacuum(t, keep_versions=1)
     assert sorted(r.k for r in snapshot_read(spark, t).collect()) == list(range(10))
+
+
+def test_check_constraints_enforced_on_writes(spark, tmp_path):
+    """ADD CONSTRAINT validates standing data, rejects violating batches
+    on every write path (SQL semantics: only FALSE violates, NULL
+    passes), survives delta-chain carry, and DROP CONSTRAINT lifts it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        SnapshotConstraintViolation,
+        snapshot_append,
+        snapshot_drop_constraint,
+        snapshot_read,
+        snapshot_set_constraint,
+        snapshot_update_range_mor,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    snapshot_write(df, t)
+    snapshot_set_constraint(spark, t, "v_nonneg", "v >= 0")
+    # a constraint the standing data violates is refused
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_set_constraint(spark, t, "v_big", "v > 100")
+    # violating append rejected; nothing committed
+    bad = spark.createDataFrame([(99, -1)], "k long, v long")
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_append(bad, t)
+    assert snapshot_read(spark, t).count() == 10
+    # violating upsert rejected
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_upsert(spark, bad, t, ["k"])
+    # violating MOR update rejected (the UPDATED image violates)
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_update_range_mor(spark, t, "k", 0, 3, {"v": F.col("v") - 100})
+    # NULL satisfies (SQL CHECK semantics)
+    nullish = spark.createDataFrame([(50, None)], "k long, v long")
+    snapshot_append(nullish, t)
+    # satisfying writes pass; constraint survives several delta commits
+    for i in range(3):
+        snapshot_append(
+            spark.createDataFrame([(100 + i, i)], "k long, v long"), t
+        )
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_append(bad, t)
+    # drop lifts enforcement
+    snapshot_drop_constraint(t, "v_nonneg")
+    snapshot_append(bad, t)
+    assert snapshot_read(spark, t).where("v < 0").count() == 1
