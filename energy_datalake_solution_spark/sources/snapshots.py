@@ -985,6 +985,7 @@ def snapshot_clone(
         stats=stats or None, blooms=blooms or None,
         dv=dict(m.get("dv", {}) or {}) or None,
         op="clone", schema_meta=m.get("schema"),
+        constraints_meta=m.get("constraints"),
     )
 
 
@@ -1112,6 +1113,7 @@ def snapshot_restore(table_path, version: int | None = None,
         blooms=m.get("blooms") or None,
         dv=dict(m.get("dv", {}) or {}) or None,
         op="restore", schema_meta=m.get("schema"),
+        constraints_meta=m.get("constraints"),
     )
 
 

@@ -2010,3 +2010,37 @@ def test_check_constraints_enforced_on_writes(spark, tmp_path):
     snapshot_drop_constraint(t, "v_nonneg")
     snapshot_append(bad, t)
     assert snapshot_read(spark, t).where("v < 0").count() == 1
+
+
+def test_constraints_carry_through_clone_and_restore(spark, tmp_path):
+    """A shallow clone inherits the source's CHECK constraints; RESTORE
+    reinstates the restored version's constraint set."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        SnapshotConstraintViolation,
+        snapshot_append,
+        snapshot_clone,
+        snapshot_drop_constraint,
+        snapshot_restore,
+        snapshot_set_constraint,
+        snapshot_write,
+    )
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    snapshot_write(
+        spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        src,
+    )
+    v_con = snapshot_set_constraint(spark, src, "v_nonneg", "v >= 0")
+    snapshot_clone(src, dst)
+    bad = spark.createDataFrame([(9, -1)], "k long, v long")
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_append(bad, dst)
+    # drop on the source, then RESTORE to the constrained version
+    snapshot_drop_constraint(src, "v_nonneg")
+    snapshot_append(bad, src)  # passes while dropped
+    snapshot_restore(src, v_con)
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_append(bad, src)
