@@ -670,3 +670,31 @@ def embeddings_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_probe(
         spark, q, index_root, centroids=cents, books=books, sf_dir=sf_dir
     )
+
+
+def pq_index_append(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_root: str | Path,
+    txn: int | None = None,
+    txn_app: str | None = None,
+) -> int:
+    """Incrementally add vectors to a stored PQ index: encode the batch
+    with the EXISTING codebooks (no retrain — FAISS's add() semantics;
+    codebooks are a statistical model of the distribution, not of the
+    rows) and snapshot-append the codes. Optional (txn_app, txn) stamps
+    give streaming ingestion the same exactly-once replay protection as
+    every other snapshot append. Returns the codes table's new version."""
+    import numpy as np
+
+    from ..sources.snapshots import snapshot_append
+
+    root = Path(index_root)
+    cb = snapshot_read(spark, root / "codebooks").toPandas()
+    books = np.zeros((PQ_M, PQ_K, PQ_SUB))
+    for r in cb.itertuples():
+        books[r.m, r.k] = r.codeword
+    codes = _unit_rows(batch).mapInPandas(
+        _encode_batches(books), schema=_CODES_SCHEMA
+    )
+    return snapshot_append(codes, root / "codes", txn=txn, txn_app=txn_app)
