@@ -698,3 +698,65 @@ def pq_index_append(
         _encode_batches(books), schema=_CODES_SCHEMA
     )
     return snapshot_append(codes, root / "codes", txn=txn, txn_app=txn_app)
+
+
+def ivfpq_index_append(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_root: str | Path,
+    txn: int | None = None,
+    txn_app: str | None = None,
+) -> int:
+    """Incrementally add vectors to a stored IVF-PQ index: assign each to
+    its nearest existing centroid and residual-encode with the existing
+    codebooks (FAISS add() — neither model retrains), appending the coded
+    rows to the cells table with their centroid_id stats so the new file
+    stays probe-prunable. Optional (app, txn) stamps for exactly-once
+    streaming ingestion."""
+    import numpy as np
+
+    from ..sources.snapshots import _collect_stats, snapshot_append
+
+    root = Path(index_root)
+    cdf = snapshot_read(spark, root / "centroids").toPandas()
+    nlist = int(cdf["centroid_id"].max()) + 1
+    cents = np.zeros((nlist, PQ_DIM))
+    for r in cdf.itertuples():
+        cents[r.centroid_id] = r.centroid
+    bdf = snapshot_read(spark, root / "codebooks").toPandas()
+    books = np.zeros((PQ_M, PQ_K, PQ_SUB))
+    for r in bdf.itertuples():
+        books[r.m, r.k] = r.codeword
+
+    def enc(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            U = np.array(pdf["unit"].tolist(), dtype=np.float64)
+            cid = (U @ cents.T).argmax(1)
+            R = U - cents[cid]
+            codes = np.empty((len(U), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                sub = R[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                C = books[m]
+                d = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2.0 * (sub @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
+                codes[:, m] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "centroid_id": cid.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    coded = _unit_rows(batch).mapInPandas(enc, schema=_IVFPQ_CELLS_SCHEMA)
+    return snapshot_append(
+        coded, root / "cells", txn=txn, txn_app=txn_app,
+        stats_cols=["centroid_id"],
+    )

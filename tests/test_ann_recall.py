@@ -567,3 +567,65 @@ def test_pq_index_append_makes_new_vectors_findable(spark, tmp_path):
     surv = pq_probe(spark, q, root, books=books).toPandas()
     assert 900000 in set(surv["c_id"]), "appended vector missed by ADC scan"
     assert len(top) > 0
+
+
+def test_ivfpq_index_append_stays_prunable_and_findable(spark, tmp_path):
+    """Vectors appended to a stored IVF-PQ index land with centroid_id
+    stats (the new file prunes like the originals) and the ADC scan
+    surfaces them."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.operators.pq_index import (
+        _unit_rows,
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_probe,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+    )
+
+    root = tmp_path / "ix"
+    cents, books = build_ivfpq_index(spark, SF_ORACLE, root)
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    dup = e.where(F.col("vec_id") == 0).select(
+        F.lit(900000).cast("long").alias("vec_id"), "embedding"
+    )
+    ivfpq_index_append(spark, dup, root)
+    m = _read_manifest(root / "cells", current_version(root / "cells"))
+    newest = sorted(set(m["files"]) - set(m.get("stats", {})))  # none expected
+    assert not newest, "appended file missing centroid_id stats"
+    q = _unit_rows(e).where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("q_emb")
+    )
+    surv = ivfpq_probe(spark, q, root, centroids=cents, books=books).toPandas()
+    assert 900000 in set(surv["c_id"]), "appended vector missed by IVF-PQ scan"
+
+
+def test_pq_adc_scan_is_jvm_side(spark):
+    """The corpus-sized ADC pass must stay inside whole-stage codegen: no
+    Python evaluation node (BatchEvalPython/ArrowEvalPython/FlatMapsInPandas
+    of the CODES side) may appear between the codes scan and the top-k —
+    Python is allowed only on the model-sized query side."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.operators.pq_index import (
+        _pq_index_for,
+        _unit_rows,
+        pq_probe,
+    )
+    from energy_datalake_solution_spark.operators.similarity import N_QUERIES
+
+    root, books = _pq_index_for(spark, SF_ORACLE)
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = _unit_rows(e).where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("q_emb")
+    )
+    plan = pq_probe(spark, q, root, books=books)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+    # the ADC expression itself is in the JVM plan (higher-order aggregate
+    # over the codes column), not hidden behind a Python stage
+    assert "aggregate(" in plan and "codes" in plan
