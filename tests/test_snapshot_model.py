@@ -2,7 +2,8 @@
 
 A seeded random sequence of writer operations — append, keyed upsert,
 MOR range delete, MOR range update, CoW range delete, compaction,
-RESTORE — runs against BOTH the snapshot table and an in-memory pandas
+Z-ORDER compaction, VACUUM, RESTORE — runs against BOTH the snapshot
+table and an in-memory pandas
 reference model; after every op the table read-back must equal the
 model exactly, and at the end every pinned historical version must
 time-travel to the state the model had when that version committed.
@@ -36,7 +37,9 @@ from energy_datalake_solution_spark.sources.snapshots import (
     snapshot_restore,
     snapshot_update_range_mor,
     snapshot_upsert,
+    snapshot_vacuum,
     snapshot_write_with_stats,
+    snapshot_zorder_compact,
 )
 
 N_OPS = 18
@@ -80,7 +83,7 @@ def test_random_op_sequences_match_reference_model(spark, tmp_path, seed):
     for i in range(N_OPS):
         op = rng.choice(
             ["append", "upsert", "del_mor", "upd_mor", "del_cow",
-             "compact", "restore"]
+             "compact", "restore", "zorder", "vacuum"]
         )
         try:
             if op == "append":
@@ -123,7 +126,18 @@ def test_random_op_sequences_match_reference_model(spark, tmp_path, seed):
                 }
             elif op == "compact":
                 snapshot_compact(spark, t, target_files=4, stats_cols=["k"])
+            elif op == "zorder":
+                snapshot_zorder_compact(spark, t, "k", "v", n_files=4)
+            elif op == "vacuum":
+                keep = rng.choice([2, 4])
+                snapshot_vacuum(t, keep_versions=keep)
+                tip = current_version(t)
+                pinned = {
+                    v: s for v, s in pinned.items() if v > tip - keep
+                }
             elif op == "restore":
+                if not pinned:
+                    continue
                 v_target = rng.choice(sorted(pinned))
                 snapshot_restore(t, v_target)
                 model = dict(pinned[v_target])
@@ -136,8 +150,8 @@ def test_random_op_sequences_match_reference_model(spark, tmp_path, seed):
                                        f"(history={ops_done})")
         pinned[current_version(t)] = dict(model)
 
-    # every pinned version must still time-travel to its recorded state
-    # (except versions vacuum would have dropped — no vacuum ran here)
+    # every pinned version surviving vacuum retention must still
+    # time-travel to its recorded state
     for v in sorted(pinned):
         _assert_equal(
             spark, t, pinned[v], f"seed={seed} time-travel v{v}", version=v
