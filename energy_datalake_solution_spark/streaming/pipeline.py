@@ -886,3 +886,54 @@ def stream_heavy_hitters_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_probe_stream(
+    spark: SparkSession,
+    queries_dir: str | Path,
+    index_root: str | Path,
+    out_table: str | Path,
+    checkpoint_dir: str | Path,
+    sf_dir: str,
+    books=None,
+    app_id: str = "ann-probe-stream",
+) -> StreamingQuery:
+    """Online ANN serving: a STREAM of (q_id, q_emb) queries probed per
+    micro-batch against the STORED product-quantization index
+    (operators/pq_index.py), results appended EXACTLY-ONCE to a snapshot
+    table stamped (app_id, batch_id) — the serving-side twin of the
+    batch `embeddings_pq_probe` (whose recall floor and exact-score pins
+    gate the shared probe).
+
+    foreachBatch because the per-query top-k is a rank window over q_id,
+    which streaming forbids as a native operator; inside the batch hook
+    it is the ordinary bounded-state probe. Restart safety: checkpointed
+    source offsets + snapshot_append_once's (app, txn) replay guard —
+    a replayed micro-batch lands zero new versions, the same protocol as
+    stream_snapshot_sink. Each micro-batch costs one ADC scan (32x-
+    compressed codes, built-in aggregate) + a REFINE-row re-rank; the
+    standing corpus index is never rescanned between batches beyond that
+    — the index amortization story, now at serving time."""
+    from ..operators.pq_index import pq_probe
+    from ..sources.snapshots import snapshot_append_once
+
+    stream = spark.readStream.schema("q_id long, q_emb array<double>").json(
+        str(queries_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = pq_probe(
+            batch_df.sparkSession, batch_df, index_root,
+            books=books, sf_dir=sf_dir,
+        )
+        snapshot_append_once(res, out_table, txn=batch_id, txn_app=app_id)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1017,3 +1017,61 @@ def test_streaming_heavy_hitters_bounded_state_and_exactly_once(spark, tmp_path)
     )
     q2.awaitTermination(120)
     assert current_version(t) == v  # checkpoint says done; txn stamps agree
+
+
+def test_ann_probe_stream_matches_batch_probe_exactly_once(spark, tmp_path):
+    """A query stream probed against the stored PQ index emits, across
+    all micro-batches, exactly the batch probe's rows for the same query
+    set; a full restart over the same source replays nothing (the
+    (app, batch) stamp already landed)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.operators.pq_index import (
+        _pq_index_for,
+        _unit_rows,
+        pq_probe,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_read,
+    )
+    from energy_datalake_solution_spark.streaming.pipeline import (
+        ann_probe_stream,
+    )
+    from .conftest import SF_ORACLE
+
+    root, books = _pq_index_for(spark, SF_ORACLE)
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = _unit_rows(e).where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("q_emb")
+    )
+    rows = q.collect()
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    # two "arrival" files -> (at least) two micro-batches under availableNow
+    for i, chunk in enumerate((rows[:3], rows[3:])):
+        with open(qdir / f"batch{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(
+                    {"q_id": r["q_id"], "q_emb": list(r["q_emb"])}
+                ) + "\n")
+    out = tmp_path / "results"
+    ck = tmp_path / "ck"
+    ann_probe_stream(
+        spark, qdir, root, out, ck, SF_ORACLE, books=books
+    ).awaitTermination(120)
+    got = snapshot_read(spark, out).toPandas()
+    want = pq_probe(spark, q, root, books=books, sf_dir=SF_ORACLE).toPandas()
+    key = ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = want.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key]), "stream probe diverged from batch probe"
+    # restart over the same source: offsets + txn stamps -> zero new rows
+    v = current_version(out)
+    ann_probe_stream(
+        spark, qdir, root, out, ck, SF_ORACLE, books=books
+    ).awaitTermination(120)
+    assert current_version(out) == v
+    assert snapshot_read(spark, out).count() == len(want)
