@@ -445,6 +445,44 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, index_root: str | Path) ->
     snapshot_write_with_stats(banded, root / "buckets", ["bb"], n_files=n_files)
 
 
+def lsh_index_append(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_root: str | Path,
+    txn: int | None = None,
+    txn_app: str | None = None,
+    n_files: int = 8,
+) -> int:
+    """Incrementally add vectors to a stored LSH index: band the batch
+    with the SAME shared signature expressions as the build and append
+    it range-partitioned on the composite bucket id, so the appended
+    files carry tight bb stats and probe pruning stays selective (the
+    BM25 term-bucket-ranged-append discipline applied to LSH buckets).
+    Optional (app, txn) stamps for exactly-once streaming ingestion."""
+    from ..sources.snapshots import snapshot_append
+    from .similarity import lsh_band_key_expr, lsh_sig_expr
+
+    root = Path(index_root)
+    planes = lsh_planes()
+    planes_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    sig = batch.select(
+        "vec_id",
+        "embedding",
+        lsh_sig_expr(F.col("embedding"), planes_lit).alias("sig"),
+    )
+    band = F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band")
+    banded = sig.select("vec_id", "embedding", "sig", band).select(
+        "vec_id",
+        "embedding",
+        (F.col("band") * (LSH_BAND_MASK + 1) + lsh_band_key_expr())
+        .cast("int")
+        .alias("bb"),
+    ).repartitionByRange(n_files, "bb")
+    return snapshot_append(
+        banded, root / "buckets", txn=txn, txn_app=txn_app, stats_cols=["bb"]
+    )
+
+
 def _lsh_probe_distributed(
     spark: SparkSession,
     queries: DataFrame,

@@ -629,3 +629,43 @@ def test_pq_adc_scan_is_jvm_side(spark):
     # the ADC expression itself is in the JVM plan (higher-order aggregate
     # over the codes column), not hidden behind a Python stage
     assert "aggregate(" in plan and "codes" in plan
+
+
+def test_lsh_index_append_stays_prunable_and_findable(spark, tmp_path):
+    """Vectors appended to a stored LSH index land banded with tight bb
+    stats (every appended file is prunable) and the probe finds them; a
+    replayed (app, txn) append lands exactly once."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.operators.ann_index import (
+        build_lsh_index,
+        lsh_index_append,
+        lsh_probe,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+    )
+
+    root = tmp_path / "ix"
+    build_lsh_index(spark, SF_ORACLE, root)
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    dup = e.where(F.col("vec_id") == 0).select(
+        F.lit(900000).cast("long").alias("vec_id"), "embedding"
+    )
+    lsh_index_append(spark, dup, root, txn=1, txn_app="t")
+    v = current_version(root / "buckets")
+    lsh_index_append(spark, dup, root, txn=1, txn_app="t")  # replay
+    assert current_version(root / "buckets") == v
+    m = _read_manifest(root / "buckets", v)
+    missing = [f for f in m["files"] if "bb" not in m.get("stats", {}).get(f, {})]
+    assert not missing, f"appended files without bb stats: {missing}"
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    top = lsh_probe(spark, q, root).toPandas()
+    # an exact duplicate hashes into the same buckets in every band and
+    # scores cosine 1.0 — it must lead the ranking
+    assert 900000 in set(top["neighbor_id"]), "appended vector not found"
+    lead = top.sort_values("rank").iloc[0]
+    assert lead["neighbor_id"] == 900000 and lead["cosine_sim"] == 1.0
