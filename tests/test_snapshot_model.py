@@ -156,3 +156,82 @@ def test_random_op_sequences_match_reference_model(spark, tmp_path, seed):
         _assert_equal(
             spark, t, pinned[v], f"seed={seed} time-travel v{v}", version=v
         )
+
+
+@pytest.mark.parametrize("seed", [13, 47])
+def test_partitioned_upsert_sequences_match_model(spark, tmp_path, seed):
+    """Random partition-scoped upsert/MOR-delete/restore interleavings
+    through snapshot_upsert_partitioned: read-back equals the model after
+    every op, AND every partition absent from a batch keeps its files
+    byte-identical in the new manifest (the untouched-partition contract
+    checked continuously, not just once)."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_upsert_partitioned,
+    )
+
+    rng = random.Random(seed)
+    t = tmp_path / f"pt{seed}"
+
+    def year_of(k):
+        return 1995 + (k % 4)
+
+    model = {k: k * 10 for k in range(160)}
+
+    def to_df(d):
+        rows = [(k, v, year_of(k)) for k, v in sorted(d.items())]
+        return spark.createDataFrame(rows, "k long, v long, yr int")
+
+    snapshot_upsert_partitioned(spark, to_df(model), t, ["k"], "yr")
+    pinned = {current_version(t): dict(model)}
+
+    def check(ctx):
+        got = snapshot_read(spark, t).toPandas().sort_values("k")
+        want = sorted(model.items())
+        assert got["k"].tolist() == [k for k, _ in want], ctx
+        assert got["v"].tolist() == [v for _, v in want], ctx
+        assert got["yr"].tolist() == [year_of(k) for k, _ in want], ctx
+
+    for i in range(10):
+        op = rng.choice(["upsert", "del_mor", "restore"])
+        m_before = _read_manifest(t, current_version(t))
+        if op == "upsert":
+            yr = rng.choice([1995, 1996, 1997, 1998])
+            keys = [
+                k for k in rng.sample(range(200), 14) if year_of(k) == yr
+            ]
+            if not keys:
+                continue
+            batch = {k: k * 100 + i for k in keys}
+            snapshot_upsert_partitioned(
+                spark,
+                to_df(batch).where(F.col("yr") == yr),
+                t, ["k"], "yr",
+            )
+            model.update(batch)
+            # untouched partitions carried byte-identical
+            m_after = _read_manifest(t, current_version(t))
+            untouched = {
+                f for f, s in (m_before.get("stats", {}) or {}).items()
+                if s.get("yr") and s["yr"][1] != yr
+            }
+            assert untouched <= set(m_after["files"]), (
+                f"seed={seed} op#{i}: untouched partition files rewritten"
+            )
+        elif op == "del_mor":
+            lo = rng.randrange(0, 150)
+            hi = lo + rng.randrange(1, 12)
+            snapshot_delete_range_mor(spark, t, "k", lo, hi)
+            model = {k: v for k, v in model.items() if not lo <= k <= hi}
+        elif op == "restore":
+            v_target = rng.choice(sorted(pinned))
+            snapshot_restore(t, v_target)
+            model = dict(pinned[v_target])
+        check(f"seed={seed} op#{i}={op}")
+        pinned[current_version(t)] = dict(model)
+
+    for v in sorted(pinned):
+        got = snapshot_read(spark, t, version=v).toPandas().sort_values("k")
+        want = sorted(pinned[v].items())
+        assert got["k"].tolist() == [k for k, _ in want], f"travel v{v}"
+        assert got["v"].tolist() == [v_ for _, v_ in want], f"travel v{v}"
