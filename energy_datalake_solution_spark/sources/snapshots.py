@@ -2476,6 +2476,19 @@ def _df_to_physical(df: DataFrame, schema: dict) -> DataFrame:
     )
 
 
+def _constraints_referencing(table_path, col: str) -> list[str]:
+    """Names of CHECK constraints whose expression mentions ``col`` (word-
+    boundary token match — conservative: a quoted literal containing the
+    name also counts, which can only over-refuse, never under)."""
+    p = Path(table_path)
+    tip = current_version(p)
+    if not tip:
+        return []
+    cons = _read_manifest(p, tip).get("constraints") or {}
+    pat = re.compile(rf"\b{re.escape(col)}\b")
+    return sorted(n for n, e in cons.items() if pat.search(e))
+
+
 def _commit_schema_change(table_path, mutate, op: str) -> int:
     """Metadata-only commit that carries the tip's files/stats/blooms/dv
     and applies ``mutate(schema) -> schema`` — the shape of every
@@ -2543,6 +2556,13 @@ def snapshot_rename_column(table_path, old: str, new: str) -> int:
     """RENAME COLUMN as an O(1) metadata commit: the logical name moves,
     the physical name (and every data file) stays. Collisions with a
     live logical name fail loudly."""
+    refs = _constraints_referencing(table_path, old)
+    if refs:
+        raise ValueError(
+            f"cannot rename {old!r}: referenced by CHECK constraint(s) "
+            f"{refs} — drop them first (Delta refuses this rename too)"
+        )
+
     def mutate(schema: dict) -> dict:
         names = {c["name"] for c in schema["cols"]}
         if new in names:
@@ -2561,6 +2581,13 @@ def snapshot_drop_column(table_path, name: str) -> int:
     RETIRED — its bytes stay in the data files (vacuumed naturally as
     files rewrite) but no read ever selects them, and the physical name
     is permanently reserved so a later re-add cannot resurrect them."""
+    refs = _constraints_referencing(table_path, name)
+    if refs:
+        raise ValueError(
+            f"cannot drop {name!r}: referenced by CHECK constraint(s) "
+            f"{refs} — drop them first (Delta refuses this drop too)"
+        )
+
     def mutate(schema: dict) -> dict:
         _mapping_physical(schema, name)
         keep = [c for c in schema["cols"] if c["name"] != name]

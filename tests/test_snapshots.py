@@ -2044,3 +2044,37 @@ def test_constraints_carry_through_clone_and_restore(spark, tmp_path):
     snapshot_restore(src, v_con)
     with pytest.raises(SnapshotConstraintViolation):
         snapshot_append(bad, src)
+
+
+def test_rename_drop_refuse_constraint_referenced_columns(spark, tmp_path):
+    """RENAME/DROP COLUMN refuse while a CHECK constraint references the
+    column (a silent rename would strand the constraint on a dead name
+    and fail every later write confusingly — Delta refuses too); after
+    dropping the constraint the DDL proceeds."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_drop_column,
+        snapshot_drop_constraint,
+        snapshot_enable_column_mapping,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_set_constraint,
+        snapshot_write,
+    )
+
+    t = tmp_path / "t"
+    snapshot_write(
+        spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        t,
+    )
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_set_constraint(spark, t, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        snapshot_rename_column(t, "v", "value")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        snapshot_drop_column(t, "v")
+    snapshot_drop_constraint(t, "v_nonneg")
+    snapshot_rename_column(t, "v", "value")
+    assert snapshot_read(spark, t).columns == ["k", "value"]
