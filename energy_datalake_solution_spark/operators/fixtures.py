@@ -982,3 +982,70 @@ def snapshot_mor_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_constraint_gate_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice + 50
+        FROM orders WHERE o_orderkey % 100 < 3
+    """,
+    tags=("snapshot", "constraints"),
+)
+def snapshot_constraint_gate_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table CHECK constraints under the driver's hash gate: commit
+    orders, ADD CONSTRAINT total_price > 0 (validated against standing
+    data), then attempt an append whose rows VIOLATE it — the fixture
+    RAISES unless the violating batch is rejected with nothing committed
+    — then append a satisfying derived batch and read back. The oracle
+    derives the final state arithmetically: if the violating batch
+    leaked in (enforcement missed a path) the extra rows fail the hash;
+    if the valid batch was wrongly rejected the missing rows fail it.
+    Delta-parity: ALTER TABLE ADD CONSTRAINT CHECK + write-path
+    enforcement."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        SnapshotConstraintViolation,
+        current_version,
+        snapshot_append,
+        snapshot_read,
+        snapshot_set_constraint,
+        snapshot_write,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_cons_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snapshot_write(o, t)
+    snapshot_set_constraint(spark, t, "price_positive", "o_totalprice > 0")
+    v_before = current_version(t)
+    violating = o.limit(5).select(
+        "o_orderkey", (F.col("o_totalprice") * -1).alias("o_totalprice")
+    )
+    try:
+        snapshot_append(violating, t)
+    except SnapshotConstraintViolation:
+        pass
+    else:
+        raise RuntimeError("violating batch was accepted by the constraint")
+    if current_version(t) != v_before:
+        raise RuntimeError("rejected batch still advanced the table version")
+    valid = o.where(F.pmod("o_orderkey", F.lit(100)) < 3).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        (F.col("o_totalprice") + 50).alias("o_totalprice"),
+    )
+    snapshot_append(valid, t)
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

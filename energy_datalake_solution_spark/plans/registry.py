@@ -113,6 +113,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_clone_divergence",
     "embeddings_ivfpq_probe",
     "snapshot_mor_update_read",
+    "snapshot_constraint_gate_read",
     # --- latest green round 3: the stalest oracled rows (21) ---
     "events_funnel_view_click_purchase",
     "events_value_histogram",
