@@ -1027,16 +1027,20 @@ def snapshot_constraint_gate_read(spark: SparkSession, sf_dir: str) -> DataFrame
     snapshot_write(o, t)
     snapshot_set_constraint(spark, t, "price_positive", "o_totalprice > 0")
     v_before = current_version(t)
-    violating = o.limit(5).select(
+    violating = o.where(F.col("o_totalprice") > 0).limit(5).select(
         "o_orderkey", (F.col("o_totalprice") * -1).alias("o_totalprice")
     )
+    violating_is_empty = violating.isEmpty()  # empty-lake sweep: vacuous
     try:
         snapshot_append(violating, t)
     except SnapshotConstraintViolation:
         pass
     else:
-        raise RuntimeError("violating batch was accepted by the constraint")
-    if current_version(t) != v_before:
+        if not violating_is_empty:
+            raise RuntimeError(
+                "violating batch was accepted by the constraint"
+            )
+    if not violating_is_empty and current_version(t) != v_before:
         raise RuntimeError("rejected batch still advanced the table version")
     valid = o.where(F.pmod("o_orderkey", F.lit(100)) < 3).select(
         (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
