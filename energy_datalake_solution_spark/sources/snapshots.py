@@ -1758,7 +1758,13 @@ def snapshot_update_range_mor(
         m = _read_manifest(p, parent)
         stats: dict = m.get("stats", {}) or {}
         dv: dict = dict(m.get("dv", {}) or {})
-        touched = sorted(snapshot_files_for_range(p, col, lo, hi, parent))
+        schema = m.get("schema")
+        # column-mapped table: the CALLER speaks logical names (col and
+        # the assignment expressions); the files speak physical. Prune on
+        # the physical key, surface logical names before evaluating the
+        # assignments, translate back to physical before writing.
+        phys_col = _mapping_physical(schema, col) if schema else col
+        touched = sorted(snapshot_files_for_range(p, phys_col, lo, hi, parent))
         try:
             if not touched:
                 return _commit(p, list(m["files"]), parent,
@@ -1767,15 +1773,29 @@ def snapshot_update_range_mor(
                                dv=dv or None, op="update-mor")
             # matched LIVE rows of the touched files: dv-applied read so
             # already-deleted positions can neither update nor resurrect
-            tagged = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[str(p / f) for f in touched])
-                .select(
-                    _rel_path_col().alias("_fp"),
-                    F.col("_metadata.row_index").alias("_ri"),
-                    "*",
-                )
+            raw = spark.read.option("mergeSchema", "true").parquet(
+                *[str(p / f) for f in touched]
             )
+            # tag positions FIRST (the _metadata pseudo-column resolves
+            # only on the scan relation), then surface logical names
+            tagged = raw.select(
+                _rel_path_col().alias("_fp"),
+                F.col("_metadata.row_index").alias("_ri"),
+                "*",
+            )
+            if schema:
+                have = set(raw.columns)
+                tagged = tagged.select(
+                    "_fp", "_ri",
+                    *[
+                        (
+                            F.col(c["physical"])
+                            if c["physical"] in have
+                            else F.lit(None).cast(c["type"])
+                        ).alias(c["name"])
+                        for c in schema["cols"]
+                    ],
+                )
             existing = [
                 (_dv_key(rel), int(ri))
                 for rel in touched
@@ -1804,6 +1824,8 @@ def snapshot_update_range_mor(
                 cur = _read_files_with_dv(
                     spark, p, touched, m.get("dv"), merge_schema=True
                 )
+                if schema:
+                    cur = _apply_column_mapping(cur, schema)
                 matched = (F.col(col) >= lo) & (F.col(col) <= hi)
                 rewritten = cur.select(*[
                     (F.when(matched, set_cols[c]).otherwise(F.col(c))
@@ -1811,6 +1833,8 @@ def snapshot_update_range_mor(
                     for c in cur.columns
                 ]).coalesce(max(1, len(touched)))
                 _enforce_constraints(rewritten, p, parent)
+                if schema:
+                    rewritten = _df_to_physical(rewritten, schema)
                 new_files = _write_files(rewritten, p)
                 untouched = [f for f in m["files"] if f not in set(touched)]
                 new_stats = dict(stats)
@@ -1844,6 +1868,8 @@ def snapshot_update_range_mor(
                 for c in data_cols
             ]).coalesce(1)
             _enforce_constraints(updated, p, parent)
+            if schema:
+                updated = _df_to_physical(updated, schema)
             new_files = _write_files(updated, p)
             new_stats = dict(stats)
             tracked = sorted({c for s in stats.values() for c in s})

@@ -2128,3 +2128,48 @@ def test_two_writer_threaded_mor_updates_compose(spark, tmp_path):
             assert got[k] == k * 10 + 2, k
         else:
             assert got[k] == k * 10, k
+
+
+def test_mor_update_on_column_mapped_table(spark, tmp_path):
+    """MOR UPDATE speaks LOGICAL names on a column-mapped table: prune on
+    the physical key, evaluate assignments against logical columns, write
+    the appended images under physical names — across a rename."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_enable_column_mapping,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_update_range_mor,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    snapshot_write_with_stats(df, t, ["k"], n_files=3)
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_rename_column(t, "v", "price")
+    files_before = set(
+        _read_manifest(t, current_version(t))["files"]
+    )
+    snapshot_update_range_mor(
+        spark, t, "k", 10, 19, {"price": F.col("price") + 7}
+    )
+    m = _read_manifest(t, current_version(t))
+    assert files_before <= set(m["files"]), "mapped MOR update rewrote files"
+    got = {r.k: r.price for r in snapshot_read(spark, t).collect()}
+    assert len(got) == 60
+    for k in range(60):
+        assert got[k] == k * 10 + (7 if 10 <= k <= 19 else 0), k
+    # wide (CoW) route on the mapped table too
+    snapshot_update_range_mor(
+        spark, t, "k", 0, 59, {"price": F.col("price") + 1},
+        max_updated_rows=5,
+    )
+    got = {r.k: r.price for r in snapshot_read(spark, t).collect()}
+    for k in range(60):
+        assert got[k] == k * 10 + 1 + (7 if 10 <= k <= 19 else 0), k
