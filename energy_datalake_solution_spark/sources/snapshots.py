@@ -1431,7 +1431,11 @@ def snapshot_delete_range(
         parent = current_version(p)
         m = _read_manifest(p, parent)
         stats: dict = m.get("stats", {}) or {}
-        touched = set(snapshot_files_for_range(p, col, lo, hi, parent))
+        # column-mapped table: the caller's LOGICAL key prunes and filters
+        # under its physical name (data files only know that one)
+        schema = m.get("schema")
+        pcol = _mapping_physical(schema, col) if schema else col
+        touched = set(snapshot_files_for_range(p, pcol, lo, hi, parent))
         untouched = [f for f in m["files"] if f not in touched]
         try:
             if not touched:
@@ -1441,7 +1445,7 @@ def snapshot_delete_range(
             kept_rows = _read_files_with_dv(
                 spark, p, sorted(touched), m.get("dv"), merge_schema=True
             ).where(
-                ~((F.col(col) >= lo) & (F.col(col) <= hi)) | F.col(col).isNull()
+                ~((F.col(pcol) >= lo) & (F.col(pcol) <= hi)) | F.col(pcol).isNull()
             ).coalesce(max(1, len(touched)))  # no small-files creep per delete
             new_files = _write_files(kept_rows, p)
             new_stats = dict(stats)
@@ -1665,7 +1669,10 @@ def snapshot_delete_range_mor(
         parent = current_version(p)
         m = _read_manifest(p, parent)
         dv: dict = dict(m.get("dv", {}) or {})
-        touched = sorted(snapshot_files_for_range(p, col, lo, hi, parent))
+        # column-mapped table: scan/prune on the physical key name
+        schema = m.get("schema")
+        pcol = _mapping_physical(schema, col) if schema else col
+        touched = sorted(snapshot_files_for_range(p, pcol, lo, hi, parent))
         try:
             if not touched:
                 return _commit(p, list(m["files"]), parent,
@@ -1677,7 +1684,7 @@ def snapshot_delete_range_mor(
                 .select(
                     _rel_path_col().alias("fp"),
                     F.col("_metadata.row_index").alias("ri"),
-                    F.col(col).alias("v"),
+                    F.col(pcol).alias("v"),
                 )
                 .where((F.col("v") >= lo) & (F.col("v") <= hi))
             )

@@ -2173,3 +2173,35 @@ def test_mor_update_on_column_mapped_table(spark, tmp_path):
     got = {r.k: r.price for r in snapshot_read(spark, t).collect()}
     for k in range(60):
         assert got[k] == k * 10 + 1 + (7 if 10 <= k <= 19 else 0), k
+
+
+def test_deletes_speak_logical_names_on_mapped_tables(spark, tmp_path):
+    """CoW and MOR range DELETEs accept the LOGICAL column name on a
+    column-mapped table (pruning and scanning under the physical name),
+    across a rename."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_delete_range,
+        snapshot_delete_range_mor,
+        snapshot_enable_column_mapping,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(80).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_rename_column(t, "k", "key")
+    snapshot_delete_range_mor(spark, t, "key", 10, 19)
+    got = sorted(r.key for r in snapshot_read(spark, t).collect())
+    assert got == [k for k in range(80) if not 10 <= k <= 19]
+    snapshot_delete_range(spark, t, "key", 50, 59)
+    got = sorted(r.key for r in snapshot_read(spark, t).collect())
+    assert got == [
+        k for k in range(80) if not 10 <= k <= 19 and not 50 <= k <= 59
+    ]
