@@ -2106,14 +2106,20 @@ def snapshot_read_range(
     snapshot and touching the few whose key range can match."""
     p = Path(table_path)
     v = current_version(p) if version is None else version
-    files = snapshot_files_for_range(p, col, lo, hi, v)
+    m = _read_manifest(p, v)
+    schema = m.get("schema")
+    # mapped table: the caller's logical key prunes under its physical
+    # name; the returned frame surfaces logical names like snapshot_read
+    pcol = _mapping_physical(schema, col) if schema else col
+    files = snapshot_files_for_range(p, pcol, lo, hi, v)
     if not files:
         # empty selection: preserve schema by reading the full snapshot
         # lazily and filtering (never collected — planner only)
         return snapshot_read(spark, p, v).where(f"{col} >= {lo!r} AND {col} <= {hi!r}").limit(0)
-    dv = _read_manifest(p, v).get("dv")
-    df = _read_files_with_dv(spark, p, files, dv)
-    return df.where((df[col] >= lo) & (df[col] <= hi))
+    df = _read_files_with_dv(spark, p, files, m.get("dv"),
+                             merge_schema=schema is not None)
+    df = df.where((df[pcol] >= lo) & (df[pcol] <= hi))
+    return _apply_column_mapping(df, schema) if schema else df
 
 
 def snapshot_compact(
@@ -2265,17 +2271,22 @@ def snapshot_read_rect(
 
     p = Path(table_path)
     v = current_version(p) if version is None else version
-    fa = set(snapshot_files_for_range(p, col_a, lo_a, hi_a, v))
-    fb = set(snapshot_files_for_range(p, col_b, lo_b, hi_b, v))
+    m = _read_manifest(p, v)
+    schema = m.get("schema")
+    pa = _mapping_physical(schema, col_a) if schema else col_a
+    pb = _mapping_physical(schema, col_b) if schema else col_b
+    fa = set(snapshot_files_for_range(p, pa, lo_a, hi_a, v))
+    fb = set(snapshot_files_for_range(p, pb, lo_b, hi_b, v))
     files = sorted(fa & fb)
     if not files:
         return snapshot_read(spark, p, version=v).where(F.lit(False))
-    dv = _read_manifest(p, v).get("dv")
-    return (
-        _read_files_with_dv(spark, p, files, dv)
-        .where((F.col(col_a) >= lo_a) & (F.col(col_a) <= hi_a))
-        .where((F.col(col_b) >= lo_b) & (F.col(col_b) <= hi_b))
+    df = (
+        _read_files_with_dv(spark, p, files, m.get("dv"),
+                            merge_schema=schema is not None)
+        .where((F.col(pa) >= lo_a) & (F.col(pa) <= hi_a))
+        .where((F.col(pb) >= lo_b) & (F.col(pb) <= hi_b))
     )
+    return _apply_column_mapping(df, schema) if schema else df
 
 
 # ---------------------------------------------------------------------------

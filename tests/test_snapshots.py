@@ -2205,3 +2205,32 @@ def test_deletes_speak_logical_names_on_mapped_tables(spark, tmp_path):
     assert got == [
         k for k in range(80) if not 10 <= k <= 19 and not 50 <= k <= 59
     ]
+
+
+def test_pruned_reads_speak_logical_names_on_mapped_tables(spark, tmp_path):
+    """snapshot_read_range and snapshot_read_rect take logical names on a
+    mapped table (pruning on the physical key) and return logically-named
+    frames, across a rename."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_enable_column_mapping,
+        snapshot_read_range,
+        snapshot_read_rect,
+        snapshot_rename_column,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_rename_column(t, "k", "key")
+    rr = snapshot_read_range(spark, t, "key", 20, 29)
+    assert rr.columns == ["key", "v"]
+    assert sorted(r.key for r in rr.collect()) == list(range(20, 30))
+    rect = snapshot_read_rect(spark, t, "key", 20, 29, "v", 250, 279)
+    assert rect.columns == ["key", "v"]
+    assert sorted(r.key for r in rect.collect()) == [25, 26, 27]
