@@ -2750,6 +2750,19 @@ def snapshot_upsert_partitioned(
 
     p = _table(table_path)
     _enforce_constraints(df, p)
+    # column-mapped table: the caller speaks logical names; the merge runs
+    # in physical space (read-back frames and stats are physical)
+    sch = (
+        _read_manifest(p, current_version(p)).get("schema")
+        if current_version(p) else None
+    )
+    if sch:
+        df = _df_to_physical(df, sch)
+        keys = [_mapping_physical(sch, k) for k in keys]
+        partition_col = _mapping_physical(sch, partition_col)
+        extra_stats_cols = [
+            _mapping_physical(sch, c) for c in (extra_stats_cols or [])
+        ] or None
     stats_cols = [partition_col, keys[0]] + [
         c for c in (extra_stats_cols or []) if c not in (partition_col, keys[0])
     ]

@@ -2234,3 +2234,51 @@ def test_pruned_reads_speak_logical_names_on_mapped_tables(spark, tmp_path):
     rect = snapshot_read_rect(spark, t, "key", 20, 29, "v", 250, 279)
     assert rect.columns == ["key", "v"]
     assert sorted(r.key for r in rect.collect()) == [25, 26, 27]
+
+
+def test_partitioned_upsert_speaks_logical_names_on_mapped_tables(spark, tmp_path):
+    """snapshot_upsert_partitioned accepts logical key/partition names on
+    a mapped table across a rename; untouched partitions stay
+    byte-identical and reads surface logical names."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_enable_column_mapping,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_upsert_partitioned,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    snapshot_upsert_partitioned(spark, df, t, ["k"], "part")
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_rename_column(t, "part", "bucket")
+    m1 = _read_manifest(t, current_version(t))
+    batch = spark.range(6).select(
+        (F.col("id") * 3).alias("k"),       # all bucket-0 keys
+        (F.col("id") * 3 * 10 + 5).alias("v"),
+        F.lit(0).cast("int").alias("bucket"),
+    )
+    snapshot_upsert_partitioned(spark, batch, t, ["k"], "bucket")
+    m2 = _read_manifest(t, current_version(t))
+    # untouched = every file whose partition stat max != 0; the stats key
+    # is the frozen PHYSICAL name of the renamed "bucket" column
+    part_stat_key = [k for k in next(iter(m1["stats"].values())) if k not in ("__rows__",) and k != "k"][0]
+    untouched = {
+        f for f, s in m1["stats"].items()
+        if s.get(part_stat_key) and s[part_stat_key][1] != 0
+    }
+    assert untouched <= set(m2["files"]), "untouched partitions rewritten"
+    got = snapshot_read(spark, t)
+    assert set(got.columns) == {"k", "v", "bucket"}
+    rows = {r.k: r.v for r in got.collect()}
+    for i in range(6):
+        assert rows[i * 3] == i * 3 * 10 + 5
+    assert rows[1] == 10 and rows[2] == 20
