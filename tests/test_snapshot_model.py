@@ -65,7 +65,7 @@ def _assert_equal(spark, t, model, ctx, version=None):
         assert got["v"].tolist() == want["v"].tolist(), f"{ctx}: values diverged"
 
 
-@pytest.mark.parametrize("seed", [7, 23, 101])
+@pytest.mark.parametrize("seed", [7, 23, 101, 211, 499])
 def test_random_op_sequences_match_reference_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     t = tmp_path / f"t{seed}"
