@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
 )
 
 from .snapshots import (
+    _dv_key,
     _read_manifest,
     _unpack_positions,
     current_version,
@@ -145,8 +146,11 @@ class _SnapshotBatchReader(DataSourceReader):
         m = _read_manifest(self.table_path, self.version)
         dv = m.get("dv", {}) or {}
         rename = _mapping_renames(m.get("schema"))
+        # dv dicts are suffix-keyed via _dv_key; a shallow clone's inherited
+        # ABSOLUTE refs only match through it (raw dv.get(rel) would silently
+        # drop the vector and resurrect MOR-deleted rows).
         return [
-            _FilePartition(str(self.table_path / rel), dv.get(rel), rename)
+            _FilePartition(str(self.table_path / rel), dv.get(_dv_key(rel)), rename)
             for rel in m["files"]
         ]
 
@@ -185,8 +189,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         added = sorted(set(m_to["files"]) - old)
         dv = m_to.get("dv", {}) or {}
         rename = _mapping_renames(m_to.get("schema"))
+        # suffix-keyed DV lookup (see _SnapshotBatchReader.partitions)
         return [
-            _FilePartition(str(self.table_path / rel), dv.get(rel), rename)
+            _FilePartition(str(self.table_path / rel), dv.get(_dv_key(rel)), rename)
             for rel in added
         ]
 

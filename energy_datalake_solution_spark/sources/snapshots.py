@@ -88,6 +88,13 @@ CKPT_PARQUET_MIN_FILES = 64
 # contention should serialize its writers upstream, not spin here.
 COMMIT_RETRIES = 5
 
+# Explicit-clear sentinel for _commit's schema_meta / constraints_meta:
+# None means INHERIT from the parent manifest (the right default for
+# ordinary writes on a mapped/constrained table), so restoring a version
+# that PREDATES the metadata needs a distinct way to say "commit with no
+# schema/constraints at all".
+CLEAR_METADATA = object()
+
 
 class SnapshotCommitConflict(RuntimeError):
     """A concurrent writer committed this version first. The raising
@@ -329,14 +336,18 @@ def _commit(
     # from the parent unless this commit changes it; delta manifests
     # store it only on change (resolution inherits), checkpoints always
     schema = (
-        schema_meta
+        None
+        if schema_meta is CLEAR_METADATA
+        else schema_meta
         if schema_meta is not None
         else (parent_resolved or {}).get("schema")
     )
     # table constraints (Delta's CHECK constraints): same carry semantics
     # as the schema metadata — inherited unless this commit changes them
     constraints = (
-        constraints_meta
+        None
+        if constraints_meta is CLEAR_METADATA
+        else constraints_meta
         if constraints_meta is not None
         else (parent_resolved or {}).get("constraints")
     )
@@ -873,24 +884,34 @@ def _read_manifest(table_path, version: int) -> dict:
 
 def snapshot_version_as_of(table_path, ts: float) -> int:
     """Delta's TIMESTAMP AS OF: the LATEST version whose commit wall-clock
-    stamp is <= ``ts``. Reads manifest JSON headers only (the ts field is
-    in the raw manifest, never behind a sidecar). Raises if every
-    on-disk manifest postdates ``ts`` — same contract as Delta, which
-    refuses a timestamp before the earliest reproducible commit (older
-    history may have been vacuumed). Manifests predating the ts stamp
-    (none in practice) are skipped rather than guessed at."""
+    stamp is <= ``ts``, resolved by walking the TIP'S PARENT CHAIN (the
+    committed history — exactly snapshot_tail_changes' walk). A losing
+    racer's orphan manifest or a rolled-over version sits on disk but not
+    on the chain, so it can never be resolved to — globbing v*.json could
+    return a version that was never committed history and whose files
+    vacuum is free to delete. Reads raw manifest JSON headers only
+    (version/parent/ts are always top-level, never behind a delta or
+    sidecar). Raises if every chain manifest postdates ``ts`` — same
+    contract as Delta, which refuses a timestamp before the earliest
+    reproducible commit (older history may have been vacuumed). Manifests
+    predating the ts stamp (none in practice) are skipped rather than
+    guessed at."""
     p = Path(table_path)
-    best = 0
-    for mf in (p / _MANIFEST_DIR).glob("v*.json"):
-        m = json.loads(mf.read_text())
-        mts = m.get("ts")
+    v = current_version(p)
+    while v > 0:
+        try:
+            raw = json.loads(_manifest_path(p, v).read_text())
+        except FileNotFoundError:
+            break  # vacuumed ancestor: older history is unreachable
+        mts = raw.get("ts")
         if mts is not None and mts <= ts:
-            best = max(best, m["version"])
-    if best == 0:
-        raise FileNotFoundError(
-            f"no committed version at or before ts={ts} in {table_path}"
-        )
-    return best
+            # chain walks newest -> oldest, so the first qualifying
+            # version IS the latest one at or before ts
+            return v
+        v = int(raw.get("parent", 0))
+    raise FileNotFoundError(
+        f"no committed version at or before ts={ts} in {table_path}"
+    )
 
 
 def snapshot_read(
@@ -1104,17 +1125,34 @@ def snapshot_restore(table_path, version: int | None = None,
     if rv is None:
         raise ValueError("pass version or as_of_ts")
     m = _read_manifest(p, rv)
-    parent = current_version(p)
-    if parent == rv:
-        return parent  # restoring the tip is a no-op
-    return _commit(
-        p, list(m["files"]), parent,
-        stats=m.get("stats") or None,
-        blooms=m.get("blooms") or None,
-        dv=dict(m.get("dv", {}) or {}) or None,
-        op="restore", schema_meta=m.get("schema"),
-        constraints_meta=m.get("constraints"),
+    # restore must reproduce the target version's metadata STATE, including
+    # its absence: None means inherit-from-parent in _commit, so a restore
+    # to a version predating column mapping / constraints passes the CLEAR
+    # sentinel to drop them instead of silently carrying them forward
+    schema_meta = m["schema"] if m.get("schema") is not None else CLEAR_METADATA
+    constraints_meta = (
+        m["constraints"] if m.get("constraints") is not None else CLEAR_METADATA
     )
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        if parent == rv:
+            return parent  # restoring the tip is a no-op
+        try:
+            return _commit(
+                p, list(m["files"]), parent,
+                stats=m.get("stats") or None,
+                blooms=m.get("blooms") or None,
+                dv=dict(m.get("dv", {}) or {}) or None,
+                op="restore", schema_meta=schema_meta,
+                constraints_meta=constraints_meta,
+            )
+        except SnapshotCommitConflict:
+            # restore-whatever-wins semantics: the target CONTENT is
+            # fixed, so a conflict just rebases the same state onto the
+            # new tip (the docstring's conflict-and-rebase contract)
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
 
 
 def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
@@ -1397,7 +1435,17 @@ def snapshot_write_with_stats(
     first — disjoint per-file key ranges are what make the stats selective
     (a hash layout gives every file the full range)."""
     p = _table(table_path)
-    _enforce_constraints(df, p)
+    tip = current_version(p)
+    _enforce_constraints(df, p, tip)
+    if tip:
+        sch = _read_manifest(p, tip).get("schema")
+        if sch:
+            # mapped table: files and manifest stats keys live in PHYSICAL
+            # space (exactly snapshot_write's disposition) — writing logical
+            # names here would surface NULLs on mapped reads and break
+            # pruning (stats keyed by names no data file carries).
+            df = _df_to_physical(df, sch)
+            stats_cols = [_mapping_physical(sch, c) for c in stats_cols]
     if n_files:
         df = df.repartitionByRange(n_files, *stats_cols[:1])
     files = _write_files(df, p)

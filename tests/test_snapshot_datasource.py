@@ -13,8 +13,10 @@ from energy_datalake_solution_spark.sources.snapshot_datasource import (
 )
 from energy_datalake_solution_spark.sources.snapshots import (
     snapshot_append,
+    snapshot_clone,
     snapshot_delete_range_mor,
     snapshot_enable_column_mapping,
+    snapshot_read,
     snapshot_rename_column,
     snapshot_write,
     snapshot_write_with_stats,
@@ -68,6 +70,54 @@ def test_batch_read_applies_column_mapping(ds_spark, tmp_path):
     got = spark.read.format("snapshot").option("path", str(t)).load()
     assert got.columns == ["k", "label"]
     assert {r.label for r in got.collect()} == {"a"}
+
+
+def test_clone_batch_read_keeps_inherited_deletion_vectors(ds_spark, tmp_path):
+    """Regression: DV dicts are suffix-keyed (_dv_key), and a shallow
+    clone's manifest lists the source's files by ABSOLUTE ref — a raw
+    dv.get(ref) lookup misses, silently drops the vector, and MOR-deleted
+    rows come back through spark.read.format('snapshot'). The DataSource
+    must match the library-API read of the same clone exactly."""
+    spark = ds_spark
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    snapshot_write_with_stats(_df(spark, 0, 100, "a"), src, ["k"], n_files=4)
+    snapshot_delete_range_mor(spark, src, "k", 10, 19)
+    snapshot_clone(src, dst)
+    got = spark.read.format("snapshot").option("path", str(dst)).load()
+    ks = sorted(r.k for r in got.collect())
+    assert ks == [k for k in range(100) if not 10 <= k <= 19]
+    lib = sorted(r.k for r in snapshot_read(spark, dst).collect())
+    assert ks == lib
+    # a MOR delete committed ON the clone (over inherited absolute refs)
+    # must also stay deleted through the DataSource
+    snapshot_delete_range_mor(spark, dst, "k", 50, 59)
+    got2 = spark.read.format("snapshot").option("path", str(dst)).load()
+    assert sorted(r.k for r in got2.collect()) == [
+        k for k in range(100) if not (10 <= k <= 19) and not (50 <= k <= 59)
+    ]
+
+
+def test_clone_stream_read_keeps_inherited_deletion_vectors(ds_spark, tmp_path):
+    """The streaming reader shares the suffix-key contract: a clone's
+    initial micro-batch (all inherited files) must apply the inherited
+    deletion vectors."""
+    spark = ds_spark
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    snapshot_write_with_stats(_df(spark, 0, 40, "a"), src, ["k"], n_files=4)
+    snapshot_delete_range_mor(spark, src, "k", 5, 9)
+    snapshot_clone(src, dst)
+    q = (
+        spark.readStream.format("snapshot").option("path", str(dst)).load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ks = sorted(r.k for r in spark.read.parquet(str(out)).collect())
+    assert ks == [k for k in range(40) if not 5 <= k <= 9]
 
 
 def test_stream_tails_versions_exactly_once_across_restart(ds_spark, tmp_path):

@@ -2282,3 +2282,153 @@ def test_partitioned_upsert_speaks_logical_names_on_mapped_tables(spark, tmp_pat
     for i in range(6):
         assert rows[i * 3] == i * 3 * 10 + 5
     assert rows[1] == 10 and rows[2] == 20
+
+
+def test_write_with_stats_speaks_logical_names_on_mapped_tables(spark, tmp_path):
+    """Regression: snapshot_write_with_stats on a column-mapped table must
+    translate to PHYSICAL space like every other writer — files written
+    under logical names read back as NULL through the mapping, and stats
+    keyed by logical names prune nothing (the data files only carry the
+    frozen physical names)."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_enable_column_mapping,
+        snapshot_files_for_range,
+        snapshot_rename_column,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_rename_column(t, "k", "key")
+    # full-replace WITH STATS through the logical namespace
+    df2 = spark.range(200).select(
+        F.col("id").alias("key"), (F.col("id") * 7).alias("v")
+    )
+    snapshot_write_with_stats(df2, t, ["key"], n_files=4)
+    got = snapshot_read(spark, t)
+    assert set(got.columns) == {"key", "v"}
+    rows = {r.key: r.v for r in got.collect()}
+    assert len(rows) == 200 and None not in rows  # no NULL-surfacing
+    assert rows[42] == 294
+    # stats landed under the frozen PHYSICAL name (the only name the data
+    # files carry): physical-space pruning selects a strict file subset
+    m = _read_manifest(t, current_version(t))
+    assert len(m["files"]) == 4
+    phys = next(
+        c["physical"] for c in m["schema"]["cols"] if c["name"] == "key"
+    )
+    assert all(phys in s for s in m["stats"].values())
+    pruned = snapshot_files_for_range(t, phys, 10, 20)
+    assert 0 < len(pruned) < 4
+
+
+def test_version_as_of_ignores_orphans_and_rolled_over_versions(spark, tmp_path):
+    """Regression: TIMESTAMP AS OF resolves along the tip's PARENT CHAIN.
+    A losing racer's orphan manifest and a rolled-over (rollback + new
+    commit) version sit on disk with valid ts stamps but are NOT committed
+    history — resolving to either hands out files vacuum may delete."""
+    import json
+    import time
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    v1 = snapshot_write(_df(spark, 0, 5, "a"), t)  # v1
+    snapshot_append(_df(spark, 5, 8, "b"), t)      # v2 (will be rolled over)
+    snapshot_rollback(t, v1)
+    t_mid = time.time()
+    time.sleep(0.01)
+    v3 = snapshot_append(_df(spark, 8, 10, "c"), t)  # parent = v1, skips v2
+    # orphan: a stale writer publishes its manifest, then loses the race
+    p = S._table(t)
+    stale = S._write_files(_df(spark, 100, 102, "stale"), p)
+    snapshot_append(_df(spark, 50, 52, "racer"), t)  # racer wins -> v5 tip
+    with pytest.raises(S.SnapshotCommitConflict):
+        S._commit(p, stale, parent=v3)
+    tip = current_version(t)
+    orphan_versions = {
+        int(f.stem[1:])
+        for f in (p / "_manifests").glob("v*.json")
+    } - set(_chain_versions(p, tip))
+    assert orphan_versions, "test setup must leave orphans on disk"
+    # t_mid sits after rolled-over v2's ts but before v3's: the chain
+    # resolves to v1 (v2 is not history); the old glob returned v2
+    assert S.snapshot_version_as_of(t, t_mid) == v1
+    # now: resolves to the TIP, never the orphan (orphan ts is newest)
+    assert S.snapshot_version_as_of(t, time.time()) == tip
+    assert snapshot_read(spark, t, as_of_ts=t_mid).count() == 5
+
+
+def _chain_versions(p, tip):
+    import json as _json
+
+    out, v = [], tip
+    while v > 0:
+        out.append(v)
+        raw = _json.loads((p / "_manifests" / f"v{v}.json").read_text())
+        v = int(raw.get("parent", 0))
+    return out
+
+
+def test_restore_clears_metadata_absent_in_target(spark, tmp_path):
+    """Regression: RESTORE to a version that PREDATES column mapping /
+    CHECK constraints must commit withOUT them (None means
+    inherit-from-parent in _commit, so restore passes an explicit CLEAR).
+    After the restore: reads surface the ORIGINAL column names and a
+    batch violating the later constraint commits fine."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_enable_column_mapping,
+        snapshot_rename_column,
+        snapshot_restore,
+        snapshot_set_constraint,
+    )
+
+    t = tmp_path / "t"
+    v1 = snapshot_write(_df(spark, 0, 10, "a"), t)
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_rename_column(t, "v", "label")
+    snapshot_set_constraint(spark, t, "k_small", "k < 1000")
+    vr = snapshot_restore(t, v1)
+    m = _read_manifest(t, vr)
+    assert not m.get("schema"), "restore must clear postdating column mapping"
+    assert not m.get("constraints"), "restore must clear postdating constraints"
+    got = snapshot_read(spark, t)
+    assert set(got.columns) == {"k", "v"}  # original names, not 'label'
+    snapshot_append(_df(spark, 5000, 5002, "big"), t)  # violates k_small
+    assert snapshot_read(spark, t).count() == 12
+
+
+def test_restore_rebases_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """The docstring's conflict-and-rebase contract: a restore that loses
+    the pointer race recommits the SAME target content on the new tip
+    instead of raising (restore-whatever-wins semantics)."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    v1 = snapshot_write(_df(spark, 0, 5, "a"), t)
+    snapshot_append(_df(spark, 5, 8, "b"), t)
+    real_commit = S._commit
+    state = {"injected": False}
+
+    def racing_commit(p_, files_, parent_, **kw):
+        if not state["injected"]:
+            state["injected"] = True
+            snapshot_append(_df(spark, 100, 103, "racer"), t)
+        return real_commit(p_, files_, parent_, **kw)
+
+    monkeypatch.setattr(S, "_commit", racing_commit)
+    vr = S.snapshot_restore(t, v1)
+    monkeypatch.undo()
+    assert vr == current_version(t)
+    got = {(r.k, r.v) for r in snapshot_read(spark, t).collect()}
+    assert got == {(k, "a") for k in range(5)}  # exactly v1's content
+    m = S._read_manifest(S._table(t), vr)
+    assert m.get("op") == "restore"
