@@ -92,73 +92,23 @@ def _load_all() -> None:
     )
 
 
-# Explicit surface order — ROUND-7 ACTIVE WINDOW. External harnesses that
+# Explicit surface order — ROUND-9 ACTIVE WINDOW. External harnesses that
 # sample a prefix of the query surface (a correctness gate bounded to the
-# first ~50 entries) see this ordering. After round 6, every registered
-# query has a driver row and all 164 oracled queries have been hash-green
-# at least once; the window's job this round is freshness rotation:
-# (1) any query BORN this round leads (the never-checked guard test
-# enforces it); (2) the 21 oracled rows whose latest driver green is
-# round 3 — the stalest cohort (the round-6 verdict's ask #2);
-# (3) the 48 rows whose latest green is round 4, filling the remainder
-# of the 50-window and queueing for the r08 rotation. Everything below
-# is r05/r06-green and loses nothing by waiting.
+# first ~50 entries) see this ordering. Composition rule (enforced by
+# tests/test_queries_oracle.py's guard, which reads the committed
+# CORRECTNESS_r*.json artifacts directly): (1) queries BORN this round
+# lead; (2) any ORACLED query without a driver HASH-green row anywhere in
+# history comes next — this round that is embeddings_clustered_exact_topk,
+# whose oracle graduated in round 7 but was never driver-checked;
+# (3) the stalest hash-green cohort (latest green = round 4, 27 rows);
+# (4) round-5-green rows fill the remainder. Everything else is r06/r08
+# green and loses nothing by waiting for the r10 rotation.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born round 7, never driver-checked (new queries go HERE, at
+    # --- born round 9, never driver-checked (new queries go HERE, at
     #     the top, so the gate window always sees them first) ---
-    "snapshot_partitioned_merge_read",
-    "snapshot_tail_changes_orders",
-    "snapshot_column_mapping_read",
-    "embeddings_pq_probe",
-    "snapshot_clone_divergence",
-    "embeddings_ivfpq_probe",
-    "snapshot_mor_update_read",
-    "snapshot_constraint_gate_read",
-    # --- latest green round 3: the stalest oracled rows (21) ---
-    "events_funnel_view_click_purchase",
-    "events_value_histogram",
-    "events_value_iqr_udaf",
-    "events_value_percentiles",
-    "events_weekly_cohort_retention",
-    "full_outer_spend_activity_reconciliation",
-    "knn_graph_indegree",
-    "knn_label_consistency",
-    "lineitem_zorder_layout",
-    "multimodal_header_sniff",
-    "orders_monthly_growth",
-    "parts_fuzzy_name_pairs",
-    "profile_lineitem_numeric",
-    "scd2_customer_dim",
-    "source_quality_dashboard",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "unpivot_nation_balances",
-    "window_rolling_7day_customer_spend",
-    # --- latest green round 4 (48; the window head fits this round,
-    #     the tail rotates to the r08 window) ---
-    "anti_join_parts_never_shipped",
-    "audit_enrichment",
-    "correlated_subquery_above_avg_size",
-    "count_customers",
-    "cube_order_counts",
-    "customer_category",
-    "date_function_suite",
-    "dedup_latest_order_per_customer",
-    "derived_line_revenue",
-    "distinct_counts",
-    "docs_feature_hash_vectors",
-    "docs_pii_redaction",
-    "docs_pii_report",
-    "docs_sequence_packing",
-    "docs_sequence_packing_stats",
-    "docs_simhash",
-    "docs_split_token_drift",
-    "embeddings_int8_quantization",
-    "events_daily_user_activity",
-    "events_json_props",
-    "events_resample_hourly_ffill",
+    # --- oracled but oracle never driver-hash-checked ---
+    "embeddings_clustered_exact_topk",
+    # --- latest hash-green round 4: the stalest cohort (27) ---
     "events_sliding_30m",
     "grouping_sets_revenue",
     "hashed_customer_id",
@@ -186,6 +136,30 @@ SURFACE_ORDER: tuple[str, ...] = (
     "window_function_suite",
     "window_order_gap_days",
     "window_running_customer_spend",
+    # --- latest hash-green round 5 (22 of 45 fit; the rest queue for
+    #     the r10 rotation) ---
+    "conditional_agg_filter_clause",
+    "docs_bm25_decontam_report",
+    "docs_bm25_probe",
+    "docs_bm25_topk",
+    "docs_bpe_token_counts",
+    "docs_curation_scorecard",
+    "docs_dedup_keep_best",
+    "docs_deterministic_split",
+    "docs_dsir_weights",
+    "docs_epoch_shuffle",
+    "docs_fingerprint",
+    "docs_lang_id",
+    "docs_length_bucket_batches",
+    "docs_minhash_lsh_pairs",
+    "docs_ngram_novelty",
+    "docs_normalize_text",
+    "docs_pack_sequences",
+    "docs_quality_score",
+    "docs_source_budget_cap",
+    "docs_temperature_sample",
+    "docs_token_stats",
+    "docs_winnowed_fingerprints",
 )
 
 

@@ -57,12 +57,51 @@ def test_contract_shape():
     assert len(qs) >= 10
 
 
-# Queries with a driver-side CORRECTNESS row from rounds 1-6 (frozen
-# union of CORRECTNESS_r01..r06.json). Any registered query NOT in
-# this set has never been driver-checked and MUST sit inside the active
-# gate window's first 50 entries — otherwise it can stay unverified
-# forever (exactly the hole three round-2 late additions fell through).
-# When a new round's CORRECTNESS file lands, fold its names in.
+# ---------------------------------------------------------------------------
+# Driver-gate freshness guard. The driver writes CORRECTNESS_r{N}.json at
+# the repo root each round (committed with the round's bookkeeping); those
+# artifacts are the single source of truth for what has actually been
+# driver-checked. Two verification tiers matter:
+#   * HASH-green: a round where hash_match was True — the full value-level
+#     oracle comparison. Required once for every ORACLED query.
+#   * rows-seen: the query ran and returned rows (hash_match null for
+#     rows-only queries). Sufficient only for oracle=None queries.
+# The round-7/8 blind spot this structure closes: a query whose oracle
+# GRADUATES (rows-only -> oracled) has rows-seen history but no hash-green
+# row, and the old has-any-driver-row set treated it as covered — its
+# oracle could sit unchecked forever. Splitting the tiers forces it into
+# the active window until a hash-green row lands.
+# ---------------------------------------------------------------------------
+
+
+def _driver_history(root):
+    """(hash_green, rows_seen) name-sets from CORRECTNESS_r*.json files."""
+    import json
+
+    hash_green, rows_seen = set(), set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(f.read_text()).items():
+            rows_seen.add(name)
+            if row.get("hash_match"):
+                hash_green.add(name)
+    return hash_green, rows_seen
+
+
+def _unverified_outside_window(queries, hash_green, rows_seen, window):
+    """Names that the active gate window MUST contain but doesn't:
+    oracled queries with no hash-green row, and rows-only queries the
+    driver has never even run."""
+    need = {
+        n
+        for n, spec in queries.items()
+        if (n not in hash_green)
+        if (spec.oracle is not None or n not in rows_seen)
+    }
+    return sorted(need - set(window))
+
+
+# Legacy frozen union (rounds 1-6, has-any-driver-row) — kept only as a
+# floor for test_surface fallback when artifacts are absent (fresh clone).
 DRIVER_GREEN = frozenset({
     # --- round 6 rows (CORRECTNESS_r06.json; the 6 round-6-born
     #     queries — the other 44 r06 rows re-greened earlier entries) ---
@@ -169,25 +208,63 @@ def test_surface_orders_name_registered_queries():
 
 
 def test_never_checked_queries_sit_inside_gate_window():
-    """Every registered query WITHOUT a prior-round driver row must appear
-    in the first GATE_WINDOW entries of the ACTIVE surface order. This is
-    the guard the round-2 verdict asked for: registering a new query
-    outside the window now fails CI instead of silently deferring its
+    """Every ORACLED query without a driver HASH-green row in the
+    committed CORRECTNESS history, and every rows-only query the driver
+    has never run, must appear in the first GATE_WINDOW entries of the
+    ACTIVE surface order — registering (or GRADUATING the oracle of) a
+    query outside the window fails CI instead of silently deferring its
     verification to a future rotation."""
+    from pathlib import Path
+
     from energy_datalake_solution_spark.plans.registry import SURFACE_ORDER
 
-    window = set(SURFACE_ORDER[:GATE_WINDOW])
-    never_checked = set(QUERIES) - DRIVER_GREEN
-    outside = sorted(never_checked - window)
+    root = Path(__file__).resolve().parents[1]
+    hash_green, rows_seen = _driver_history(root)
+    if not rows_seen:  # fresh clone without driver artifacts: legacy floor
+        hash_green = rows_seen = DRIVER_GREEN
+    outside = _unverified_outside_window(
+        QUERIES, hash_green, rows_seen, SURFACE_ORDER[:GATE_WINDOW]
+    )
     assert not outside, (
-        f"{len(outside)} never-driver-checked queries sit outside the "
-        f"first {GATE_WINDOW} entries of SURFACE_ORDER: {outside}. "
-        "Add them to the window prefix (or fold a new CORRECTNESS round "
-        "into DRIVER_GREEN)."
+        f"{len(outside)} queries whose oracle has never been driver-hash-"
+        f"checked sit outside the first {GATE_WINDOW} entries of "
+        f"SURFACE_ORDER: {outside}. Add them to the window prefix."
     )
 
     green_frozen_but_unregistered = sorted(DRIVER_GREEN - set(QUERIES))
     assert not green_frozen_but_unregistered, green_frozen_but_unregistered
+
+
+def test_gate_guard_catches_rows_only_to_oracle_graduation():
+    """The round-7/8 blind spot, synthetically: a query with rows-seen
+    history but no hash-green row that ACQUIRES an oracle must be flagged
+    when left outside the window — rows-only history must not satisfy an
+    oracled query's verification requirement."""
+    from types import SimpleNamespace
+
+    queries = {
+        "graduated": SimpleNamespace(oracle="SELECT 1 AS one"),
+        "still_rows_only": SimpleNamespace(oracle=None),
+        "hash_checked": SimpleNamespace(oracle="SELECT 2 AS two"),
+    }
+    hash_green = {"hash_checked"}
+    rows_seen = {"graduated", "still_rows_only", "hash_checked"}
+    # graduated is outside the window: MUST be flagged
+    out = _unverified_outside_window(
+        queries, hash_green, rows_seen, window=["hash_checked"]
+    )
+    assert out == ["graduated"]
+    # inside the window: clean
+    out = _unverified_outside_window(
+        queries, hash_green, rows_seen, window=["graduated"]
+    )
+    assert out == []
+    # a rows-only query with rows-seen history needs no window slot, but
+    # a NEVER-run rows-only query does
+    out = _unverified_outside_window(
+        queries, hash_green, rows_seen=set(), window=["graduated"]
+    )
+    assert out == ["still_rows_only"]
 
 
 def test_registry_counts_are_what_the_docs_claim():
