@@ -1053,3 +1053,81 @@ def snapshot_constraint_gate_read(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_type_widening_read",
+    oracle="""
+        SELECT CAST(o_orderkey AS BIGINT) AS order_id,
+               CASE WHEN o_orderkey % 100 < 5
+                        THEN CAST(CAST(o_orderkey AS REAL) AS DOUBLE)
+                    WHEN o_orderkey % 100 < 50
+                        THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+                    ELSE o_totalprice
+               END AS total_price
+        FROM orders
+    """,
+    tags=("snapshot", "type-widening"),
+)
+def snapshot_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening under the driver's hash gate: commit an orders band
+    as (int, float), append the complement as (long, double) — the
+    manifest records the widened logical types, NO narrow file is
+    rewritten — then upsert a NARROW (int, float) batch, which upcasts on
+    write through the stats-pruned merge. The read surfaces one
+    (bigint, double) schema across INT32/FLOAT and INT64/DOUBLE files
+    (Spark 4's parquet widening promotion behind an explicit read
+    schema). The oracle replays the same IEEE conversions on raw orders
+    (float32 round-trips where the fixture stored float32), so a dropped
+    cast, a rewritten file reading at the wrong width, or a widening map
+    that fails to apply changes values and fails the hash. A guard raises
+    if the widening commit rewrote the narrow band's files or the
+    manifest lacks the recorded types."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_append,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_widen_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders")
+    band = F.pmod("o_orderkey", F.lit(100))
+    narrow = o.where(band < 50).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_totalprice").cast("float").alias("o_totalprice"),
+    )
+    snapshot_write_with_stats(narrow, t, ["o_orderkey"], n_files=4)
+    m1 = _read_manifest(t, current_version(t))
+    wide = o.where(band >= 50).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("o_totalprice"),
+    )
+    snapshot_append(wide, t)  # int->long, float->double: metadata only
+    m2 = _read_manifest(t, current_version(t))
+    if not set(m1["files"]) <= set(m2["files"]):
+        raise RuntimeError("widening append rewrote the narrow band's files")
+    if m2.get("types") != {"o_orderkey": "bigint", "o_totalprice": "double"}:
+        raise RuntimeError(f"widened types not recorded: {m2.get('types')}")
+    # NARROW upsert batch: updates band-0..4 keys' price to float32 of the
+    # key; the merge upcasts it to the table's wide types on write
+    upd = o.where(band < 5).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_orderkey").cast("float").alias("o_totalprice"),
+    )
+    snapshot_upsert(spark, upd, t, ["o_orderkey"])
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

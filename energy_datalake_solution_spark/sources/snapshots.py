@@ -261,6 +261,7 @@ def _commit(
     op: str | None = None,
     schema_meta: dict | None = None,
     constraints_meta: dict | None = None,
+    types_meta: dict | None = None,
 ) -> int:
     """Publish a manifest and advance the pointer.
 
@@ -351,6 +352,14 @@ def _commit(
         if constraints_meta is not None
         else (parent_resolved or {}).get("constraints")
     )
+    # widened logical types (type-widening feature): same carry semantics
+    types = (
+        None
+        if types_meta is CLEAR_METADATA
+        else types_meta
+        if types_meta is not None
+        else (parent_resolved or {}).get("types")
+    )
     parent_dist = (
         int(parent_resolved.get("ckpt_dist", 0)) if parent_resolved else 0
     )
@@ -377,12 +386,16 @@ def _commit(
             manifest["schema"] = schema
         if constraints != parent_resolved.get("constraints"):
             manifest["constraints"] = constraints
+        if types != parent_resolved.get("types"):
+            manifest["types"] = types
     else:
         manifest["ckpt_dist"] = 0
         if schema:
             manifest["schema"] = schema
         if constraints:
             manifest["constraints"] = constraints
+        if types:
+            manifest["types"] = types
         if len(files) >= CKPT_PARQUET_MIN_FILES:
             manifest["ckpt_parquet"] = _write_ckpt_sidecar(
                 table_path, version, sorted(files), new_stats, new_blooms, new_dv
@@ -436,6 +449,126 @@ def _commit(
     return version
 
 
+# ---------------------------------------------------------------------------
+# Type widening (Delta's typeWidening feature, manifest-recorded): an
+# append/upsert whose batch carries a WIDER type than the standing files
+# (int -> long, float -> double, and the smaller integer steps) commits
+# without rewriting a byte — the manifest records the widened logical
+# type per column in a ``types`` map and readers apply it as an explicit
+# read schema (Spark 4's parquet reader performs the widening promotion
+# per file, so INT32 files and INT64 files coexist under one bigint
+# column). A batch NARROWER than the recorded type upcasts before
+# writing, so the table's logical type is monotone. Incompatible changes
+# (string -> int, long -> int) raise — widening is one-way by design.
+# At 100 TB this is the difference between a metadata commit and a
+# full-table rewrite when an id column outgrows int32.
+# ---------------------------------------------------------------------------
+
+_WIDEN_CHAINS = (("tinyint", "smallint", "int", "bigint"), ("float", "double"))
+
+
+def _wider_type(a: str, b: str) -> str | None:
+    """The wider of two Spark simpleString types along a widening chain,
+    or None when no chain relates them (incompatible change)."""
+    if a == b:
+        return a
+    for chain in _WIDEN_CHAINS:
+        if a in chain and b in chain:
+            return chain[max(chain.index(a), chain.index(b))]
+    return None
+
+
+def _merge_type_maps(a: dict | None, b: dict | None) -> dict | None:
+    """Column-wise widest union of two type maps (rebase helper: a racer
+    may have widened further while this writer was in flight)."""
+    if not a:
+        return dict(b) if b else None
+    if not b:
+        return dict(a)
+    out = dict(a)
+    for c, t in b.items():
+        prev = out.get(c)
+        out[c] = t if prev is None else (_wider_type(prev, t) or t)
+    return out
+
+
+def _types_ddl(types: dict) -> str:
+    return ", ".join(f"`{c}` {t}" for c, t in types.items())
+
+
+def _footer_types(p: Path, rels: list[str]) -> dict:
+    """Widest per-column Spark type across the files' parquet footers
+    (metadata-only reads). Used ONCE to bootstrap the manifest's
+    ``types`` map when the first widening batch arrives on a table that
+    predates the feature; after that the manifest is the authority."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    out: dict = {}
+    for rel in rels:
+        sch = from_arrow_schema(pq.read_schema(str(p / rel)))
+        for f in sch.fields:
+            t = f.dataType.simpleString()
+            prev = out.get(f.name)
+            out[f.name] = t if prev is None else (_wider_type(prev, t) or t)
+    return out
+
+
+def _apply_type_widening(
+    df: DataFrame, p: Path, m: dict
+) -> tuple[DataFrame, dict | None]:
+    """Reconcile a write batch's types with the table's: returns the
+    (possibly upcast) batch and the ``types`` map to stamp into the
+    commit, or None when the parent's map (possibly absent) carries
+    forward unchanged. Zero-cost fast path: a batch whose types match
+    the table's does a single-footer probe and no metadata appears."""
+    from pyspark.sql import functions as F
+
+    batch = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    recorded = m.get("types")
+    if recorded is None:
+        files = m.get("files", [])
+        if not files:
+            return df, None
+        probe = _footer_types(p, files[:1])
+        if all(batch.get(c, t) == t for c, t in probe.items()) and all(
+            probe.get(c, t) == t for c, t in batch.items()
+        ):
+            return df, None  # no type drift: stay metadata-free
+        recorded = _footer_types(p, files)
+    changed = m.get("types") is None  # bootstrapped map must be stamped
+    out_types = dict(recorded)
+    casts: dict = {}
+    for col, bt in batch.items():
+        st = out_types.get(col)
+        if st is None:
+            out_types[col] = bt  # additive column joins the map
+            changed = True
+            continue
+        if st == bt:
+            continue
+        w = _wider_type(st, bt)
+        if w is None:
+            raise ValueError(
+                f"incompatible type change for column {col!r}: table has "
+                f"{st}, batch has {bt} — only widening along "
+                f"{_WIDEN_CHAINS} is supported"
+            )
+        if w != st:
+            out_types[col] = w  # the batch widened the table
+            changed = True
+        if w != bt:
+            casts[col] = w  # the batch is narrower: upcast before write
+    if casts:
+        df = df.select(
+            *[
+                F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                for c in df.columns
+            ]
+        )
+    return df, (out_types if changed else None)
+
+
 def snapshot_write(df: DataFrame, table_path) -> int:
     """Commit df as a full-replace new version; returns the version."""
     p = _table(table_path)
@@ -448,7 +581,10 @@ def snapshot_write(df: DataFrame, table_path) -> int:
     files = _write_files(df, p)
     for attempt in range(COMMIT_RETRIES):
         try:
-            return _commit(p, files, current_version(p), op="write")
+            # full replace resets widened-type metadata: every surviving
+            # file is this batch's, so the footers are the honest schema
+            return _commit(p, files, current_version(p), op="write",
+                           types_meta=CLEAR_METADATA)
         except SnapshotCommitConflict:
             # full replace has no read-set: rebase = recommit the same
             # files on the new tip (replace-whatever-is-current semantics)
@@ -508,12 +644,17 @@ def snapshot_append(
     p = _table(table_path)
     tip = current_version(p)
     _enforce_constraints(df, p, tip)
+    widen_types: dict | None = None
     if tip:
-        sch = _read_manifest(p, tip).get("schema")
+        m_tip = _read_manifest(p, tip)
+        sch = m_tip.get("schema")
         if sch:
             # mapped table: incoming logical columns write under their
             # frozen physical names (unknown columns fail loudly)
             df = _df_to_physical(df, sch)
+        # type widening: a wider batch records the widened logical types
+        # in the manifest (no rewrite); a narrower batch upcasts here
+        df, widen_types = _apply_type_widening(df, p, m_tip)
     files = _write_files(df, p)
     new_stats = (
         _collect_stats(p, files, stats_cols, spark=df.sparkSession)
@@ -542,7 +683,16 @@ def snapshot_append(
             return _commit(p, old_files + files, parent, txn=txn, txn_app=txn_app,
                            stats=stats, blooms=blooms,
                            dv=_carry_dv(parent_manifest, old_files) if parent else None,
-                           op="append")
+                           op="append",
+                           # rebase: a racer may have widened further —
+                           # merge per attempt (wider wins columnwise)
+                           types_meta=(
+                               _merge_type_maps(
+                                   parent_manifest.get("types"), widen_types
+                               )
+                               if widen_types is not None
+                               else None
+                           ))
         except SnapshotCommitConflict:
             if attempt == COMMIT_RETRIES - 1:
                 raise
@@ -623,12 +773,16 @@ def snapshot_upsert(
             )
         return snapshot_write(df, p)
     _enforce_constraints(df, p)
-    sch = _read_manifest(p, current_version(p)).get("schema")
+    m_tip = _read_manifest(p, current_version(p))
+    sch = m_tip.get("schema")
     if sch:
         # mapped table: the whole merge runs in PHYSICAL column space
         # (read-back frames are physical; stats are keyed physical)
         df = _df_to_physical(df, sch)
         keys = [_mapping_physical(sch, k) for k in keys]
+    # type widening: wider batch -> manifest records the widened types;
+    # narrower batch -> upcast here so the merge runs at the wide type
+    df, widen_types = _apply_type_widening(df, p, m_tip)
     col = keys[0]
     # The batch is evaluated more than once below (key-range agg, then
     # the anti-join + write; the no-stats path references it twice inside
@@ -651,7 +805,8 @@ def snapshot_upsert(
             tracked_cols = sorted({c for s in stats.values() for c in s})
             try:
                 return _snapshot_upsert_committed(
-                    spark, df, p, keys, parent, m, stats, tracked_cols, col
+                    spark, df, p, keys, parent, m, stats, tracked_cols, col,
+                    widen_types,
                 )
             except SnapshotCommitConflict:
                 if attempt == COMMIT_RETRIES - 1:
@@ -662,10 +817,19 @@ def snapshot_upsert(
 
 
 def _snapshot_upsert_committed(
-    spark, df, p, keys, parent, m, stats, tracked_cols, col
+    spark, df, p, keys, parent, m, stats, tracked_cols, col,
+    widen_types: dict | None = None,
 ) -> int:
     from pyspark.sql import functions as F
 
+    # effective read/commit types: the parent's widened map merged with
+    # this batch's contribution (rebase-safe: recomputed per attempt)
+    eff_types = (
+        _merge_type_maps(m.get("types"), widen_types)
+        if widen_types is not None
+        else m.get("types")
+    )
+    types_meta = eff_types if widen_types is not None else None
     if not any(col in s for s in stats.values()):
         # no key stats anywhere: classic full rewrite — but keep whatever
         # OTHER column stats the table tracked (a commit must never
@@ -674,7 +838,8 @@ def _snapshot_upsert_committed(
         # mapped table's logical names and break the join with the
         # already-translated batch)
         cur = _read_files_with_dv(
-            spark, p, list(m["files"]), m.get("dv"), merge_schema=True
+            spark, p, list(m["files"]), m.get("dv"), merge_schema=True,
+            types=eff_types,
         )
         merged = cur.join(df.select(keys).distinct(), keys, "left_anti").unionByName(
             df, allowMissingColumns=True  # additive schema evolution
@@ -682,14 +847,16 @@ def _snapshot_upsert_committed(
         files = _write_files(merged, p)
         st = _collect_stats(p, files, tracked_cols, spark=spark) if tracked_cols else None
         return _commit(p, files, parent, stats=st,
-                       blooms=_carry_blooms(p, m, [], files), op="upsert")
+                       blooms=_carry_blooms(p, m, [], files), op="upsert",
+                       types_meta=types_meta)
 
     lo, hi, n_rows = df.agg(F.min(col), F.max(col), F.count(F.lit(1))).first()
     if n_rows == 0:
         # empty batch: metadata-only commit carrying the parent's files
         return _commit(p, list(m["files"]), parent, stats=stats or None,
                        blooms=m.get("blooms") or None,
-                       dv=m.get("dv") or None, op="upsert")
+                       dv=m.get("dv") or None, op="upsert",
+                       types_meta=types_meta)
     if lo is None:
         # non-empty batch whose key is NULL in every row: NULL matches no
         # existing row (the anti-join never equates NULLs), so this is a
@@ -705,7 +872,8 @@ def _snapshot_upsert_committed(
             # span file generations — a single-footer inference would
             # silently drop later-added columns from the rewritten rows
             cur_t = _read_files_with_dv(
-                spark, p, sorted(touched), m.get("dv"), merge_schema=True
+                spark, p, sorted(touched), m.get("dv"), merge_schema=True,
+                types=eff_types,
             )
             merged = cur_t.join(
                 df.select(keys).distinct(), keys, "left_anti"
@@ -725,7 +893,8 @@ def _snapshot_upsert_committed(
     new_stats.update(_collect_stats(p, new_files, tracked_cols, spark=spark))
     return _commit(p, untouched + new_files, parent, stats=new_stats,
                    blooms=_carry_blooms(p, m, untouched, new_files),
-                   dv=_carry_dv(m, untouched), op="upsert")
+                   dv=_carry_dv(m, untouched), op="upsert",
+                   types_meta=types_meta)
 
 
 # Resolved-manifest cache: manifests are immutable once published (the
@@ -774,8 +943,8 @@ def _apply_delta(base: dict, raw: dict) -> dict:
                 "ckpt_dist", "n_files"):
         if fld in raw:
             out[fld] = raw[fld]
-    # schema/constraints metadata: a delta stores them only when CHANGED
-    for meta in ("schema", "constraints"):
+    # schema/constraints/types metadata: a delta stores them only when CHANGED
+    for meta in ("schema", "constraints", "types"):
         if meta in raw:
             out[meta] = raw[meta]
         elif meta in base:
@@ -942,6 +1111,7 @@ def snapshot_read(
         # a mapped table's files span physical-column generations —
         # always union their schemas so the mapping sees every physical
         merge_schema=merge_schema or schema is not None,
+        types=m.get("types"),  # widened logical types: explicit-schema read
     )
     # column mapping: surface logical names, hide retired physicals
     return _apply_column_mapping(df, schema) if schema else df
@@ -1007,6 +1177,7 @@ def snapshot_clone(
         dv=dict(m.get("dv", {}) or {}) or None,
         op="clone", schema_meta=m.get("schema"),
         constraints_meta=m.get("constraints"),
+        types_meta=m.get("types"),
     )
 
 
@@ -1133,6 +1304,7 @@ def snapshot_restore(table_path, version: int | None = None,
     constraints_meta = (
         m["constraints"] if m.get("constraints") is not None else CLEAR_METADATA
     )
+    types_meta = m["types"] if m.get("types") is not None else CLEAR_METADATA
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)
         if parent == rv:
@@ -1145,6 +1317,7 @@ def snapshot_restore(table_path, version: int | None = None,
                 dv=dict(m.get("dv", {}) or {}) or None,
                 op="restore", schema_meta=schema_meta,
                 constraints_meta=constraints_meta,
+                types_meta=types_meta,
             )
         except SnapshotCommitConflict:
             # restore-whatever-wins semantics: the target CONTENT is
@@ -1491,7 +1664,8 @@ def snapshot_delete_range(
                                blooms=m.get("blooms") or None,
                                dv=m.get("dv") or None, op="delete")
             kept_rows = _read_files_with_dv(
-                spark, p, sorted(touched), m.get("dv"), merge_schema=True
+                spark, p, sorted(touched), m.get("dv"), merge_schema=True,
+                types=m.get("types"),
             ).where(
                 ~((F.col(pcol) >= lo) & (F.col(pcol) <= hi)) | F.col(pcol).isNull()
             ).coalesce(max(1, len(touched)))  # no small-files creep per delete
@@ -1624,16 +1798,25 @@ def _read_files_with_dv(
     rels: list[str],
     dv: dict | None,
     merge_schema: bool = False,
+    types: dict | None = None,
 ) -> DataFrame:
     """Read a file subset with its deletion vectors applied: tag every row
     with (_metadata.file_path, _metadata.row_index), broadcast-anti-join
     the DV's (file, position) pairs (DV-sized by the write-side cap), and
     drop the helper columns. Files without vectors pay nothing beyond the
-    metadata projection; a subset with no vectors at all skips it."""
+    metadata projection; a subset with no vectors at all skips it.
+
+    ``types`` (the manifest's widened-type map) switches the read to an
+    EXPLICIT schema: Spark's parquet reader performs the widening
+    promotion per file (INT32 files surface as bigint, FLOAT as double),
+    which mergeSchema cannot do (mixed widths are a merge conflict), and
+    columns a pre-evolution file lacks still read as NULL."""
     from pyspark.sql import functions as F
 
     reader = spark.read
-    if merge_schema:
+    if types:
+        reader = reader.schema(_types_ddl(types))
+    elif merge_schema:
         reader = reader.option("mergeSchema", "true")
     # DV lookup goes through _dv_key so a clone's ABSOLUTE inherited refs
     # still find the source's suffix-keyed vectors (identity for every
@@ -1877,7 +2060,8 @@ def snapshot_update_range_mor(
                 # wide update: the rewrite is cheaper than giant vectors —
                 # copy-on-write the touched files with assignments applied
                 cur = _read_files_with_dv(
-                    spark, p, touched, m.get("dv"), merge_schema=True
+                    spark, p, touched, m.get("dv"), merge_schema=True,
+                    types=m.get("types"),
                 )
                 if schema:
                     cur = _apply_column_mapping(cur, schema)
@@ -1962,7 +2146,8 @@ def snapshot_read_incremental(
     added = sorted(set(m_to["files"]) - set(m_from.get("files", [])))
     if not added:
         return snapshot_read(spark, p, version=v_to).limit(0)
-    return _read_files_with_dv(spark, p, added, m_to.get("dv"))
+    return _read_files_with_dv(spark, p, added, m_to.get("dv"),
+                                types=m_to.get("types"))
 
 
 def _align_schemas(a: DataFrame, b: DataFrame) -> "tuple[DataFrame, DataFrame]":
@@ -2026,12 +2211,14 @@ def snapshot_change_feed(
     # rows differing only there, under-reporting updates) or the final
     # union would raise on mismatched column sets
     ins = (
-        _read_files_with_dv(spark, p, added, dv_to, merge_schema=True)
+        _read_files_with_dv(spark, p, added, dv_to, merge_schema=True,
+                            types=m_to.get("types"))
         if added
         else snapshot_read(spark, p, version=v_to).limit(0)
     )
     dels = (
-        _read_files_with_dv(spark, p, removed, dv_from, merge_schema=True)
+        _read_files_with_dv(spark, p, removed, dv_from, merge_schema=True,
+                            types=m_from.get("types"))
         if removed
         else snapshot_read(spark, p, version=v_from).limit(0)
     )
@@ -2165,7 +2352,8 @@ def snapshot_read_range(
         # lazily and filtering (never collected — planner only)
         return snapshot_read(spark, p, v).where(f"{col} >= {lo!r} AND {col} <= {hi!r}").limit(0)
     df = _read_files_with_dv(spark, p, files, m.get("dv"),
-                             merge_schema=schema is not None)
+                             merge_schema=schema is not None,
+                             types=m.get("types"))
     df = df.where((df[pcol] >= lo) & (df[pcol] <= hi))
     return _apply_column_mapping(df, schema) if schema else df
 
@@ -2256,7 +2444,8 @@ def snapshot_zorder_compact(
                     return parent  # fully clustered already — no-op
         if incremental and carried and tail_files:
             df = _read_files_with_dv(
-                spark, p, sorted(tail_files), pm.get("dv"), merge_schema=True
+                spark, p, sorted(tail_files), pm.get("dv"), merge_schema=True,
+                types=pm.get("types"),
             )
         else:
             carried = []
@@ -2330,7 +2519,8 @@ def snapshot_read_rect(
         return snapshot_read(spark, p, version=v).where(F.lit(False))
     df = (
         _read_files_with_dv(spark, p, files, m.get("dv"),
-                            merge_schema=schema is not None)
+                            merge_schema=schema is not None,
+                            types=m.get("types"))
         .where((F.col(pa) >= lo_a) & (F.col(pa) <= hi_a))
         .where((F.col(pb) >= lo_b) & (F.col(pb) <= hi_b))
     )
@@ -2862,7 +3052,8 @@ def snapshot_upsert_partitioned(
             untouched = [f for f in m["files"] if f not in touched]
             if touched:
                 cur = _read_files_with_dv(
-                    spark, p, sorted(touched), m.get("dv"), merge_schema=True
+                    spark, p, sorted(touched), m.get("dv"), merge_schema=True,
+                    types=m.get("types"),
                 )
                 merged = cur.join(
                     df.select(keys).distinct(), keys, "left_anti"

@@ -371,11 +371,14 @@ def test_manifest_row_count_answers_count_star(spark, tmp_path):
     df = spark.range(5_000).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
     snapshot_write_with_stats(df, t, ["k"], n_files=4)
     assert snapshot_row_count(t) == 5_000
-    snapshot_append(_df(spark, 0, 250, "a"), t, stats_cols=["k"])
+    # batches share the table's column types (the widening gate now
+    # REJECTS an incompatible string-v batch instead of storing it)
+    dfn = spark.range(250).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+    snapshot_append(dfn, t, stats_cols=["k"])
     assert snapshot_row_count(t) == 5_250
     assert snapshot_row_count(t, version=1) == 5_000  # time-travel count
     # a plain append (no stats) makes the metadata answer unavailable
-    snapshot_append(_df(spark, 0, 10, "b"), t)
+    snapshot_append(dfn.limit(10), t)
     assert snapshot_row_count(t) is None
     assert snapshot_read(spark, t).count() == 5_260  # fallback still right
 
@@ -2432,3 +2435,126 @@ def test_restore_rebases_on_concurrent_commit(spark, tmp_path, monkeypatch):
     assert got == {(k, "a") for k in range(5)}  # exactly v1's content
     m = S._read_manifest(S._table(t), vr)
     assert m.get("op") == "restore"
+
+
+def test_type_widening_append_records_types_without_rewrite(spark, tmp_path):
+    """int->long / float->double widening on append: the old files stay in
+    the manifest byte-identical, the manifest records the widened logical
+    types, and reads surface the wide types with values intact — including
+    a value beyond int32 range landing next to INT32 files."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+    )
+
+    t = tmp_path / "t"
+    narrow = spark.range(10).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 1.5).cast("float").alias("v"),
+    )
+    snapshot_write(narrow, t)
+    m1 = _read_manifest(t, current_version(t))
+    assert "types" not in m1 or not m1.get("types")
+    wide = spark.createDataFrame(
+        [(2**40, 2.5), (2**40 + 1, 3.5)], "k long, v double"
+    )
+    snapshot_append(wide, t)
+    m2 = _read_manifest(t, current_version(t))
+    assert set(m1["files"]) <= set(m2["files"]), "append must not rewrite"
+    assert m2["types"] == {"k": "bigint", "v": "double"}
+    got = snapshot_read(spark, t)
+    assert dict(got.dtypes) == {"k": "bigint", "v": "double"}
+    rows = {r.k: r.v for r in got.collect()}
+    assert len(rows) == 12 and rows[2**40] == 2.5
+    assert rows[3] == float(spark.sql("select cast(4.5 as float)").first()[0])
+
+
+def test_type_widening_upcasts_narrow_batches_on_write(spark, tmp_path):
+    """After widening, a NARROWER batch (int/float) upcasts before its
+    files are written — the table's logical type is monotone and later
+    reads need no per-file surprises beyond the recorded map."""
+    from pyspark.sql import functions as F
+
+    t = tmp_path / "t"
+    snapshot_write(
+        spark.range(5).select(F.col("id").cast("long").alias("k")), t
+    )
+    # bootstrap: narrow batch against a WIDE table upcasts silently, no
+    # types metadata needed (files are all long already)
+    snapshot_append(
+        spark.range(5, 8).select(F.col("id").cast("int").alias("k")), t
+    )
+    got = snapshot_read(spark, t)
+    assert dict(got.dtypes) == {"k": "bigint"}
+    assert sorted(r.k for r in got.collect()) == list(range(8))
+
+
+def test_type_widening_survives_pruned_upsert_and_change_feed(spark, tmp_path):
+    """Widen-then-upsert across a stats-pruned table: untouched INT32
+    files carry byte-identical, the merge runs at the wide type, and the
+    change feed across the widened window aligns schemas instead of
+    raising a merge conflict."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_change_feed,
+        snapshot_upsert,
+    )
+
+    t = tmp_path / "t"
+    base = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("float").alias("v"),
+    )
+    snapshot_upsert(spark, base, t, ["k"], seed_stats_files=4)
+    v1 = current_version(t)
+    # a LONG-typed batch with a tight key range: widening triggers on the
+    # TYPE, pruning still carries the out-of-range int32 files untouched
+    batch = spark.createDataFrame([(5, 555.0), (7, 777.0)], "k long, v double")
+    snapshot_upsert(spark, batch, t, ["k"])
+    m2 = _read_manifest(t, current_version(t))
+    assert m2["types"] == {"k": "bigint", "v": "double"}
+    # pruning: some int32 seed files carried untouched
+    m1 = _read_manifest(t, v1)
+    assert set(m1["files"]) & set(m2["files"]), "pruned upsert carried nothing"
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert len(got) == 100 and got[5] == 555.0 and got[7] == 777.0
+    assert got[70] == 700.0
+    # change feed across the widened window: net insert of the 2 updated
+    # images, net delete of their old ones
+    cf = snapshot_change_feed(spark, t, v1, current_version(t))
+    ins = {r.k for r in cf.where("_change_type = 'insert'").collect()}
+    dels = {r.k for r in cf.where("_change_type = 'delete'").collect()}
+    assert ins == {5, 7} and dels == {5, 7}
+
+
+def test_type_widening_rejects_incompatible_change(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = tmp_path / "t"
+    snapshot_write(spark.range(3).select(F.col("id").alias("k")), t)
+    bad = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(ValueError, match="incompatible type change"):
+        snapshot_append(bad, t)
+
+
+def test_type_widening_restore_clears_postdating_map(spark, tmp_path):
+    """RESTORE to a pre-widening version drops the types map (the CLEAR
+    sentinel), so the restored table reads at its original narrow types."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_restore,
+    )
+
+    t = tmp_path / "t"
+    snapshot_write(spark.range(5).select(F.col("id").cast("int").alias("k")), t)
+    v1 = current_version(t)
+    snapshot_append(spark.createDataFrame([(2**40,)], "k long"), t)
+    assert _read_manifest(t, current_version(t))["types"] == {"k": "bigint"}
+    vr = snapshot_restore(t, v1)
+    assert not _read_manifest(t, vr).get("types")
+    assert dict(snapshot_read(spark, t).dtypes) == {"k": "int"}
