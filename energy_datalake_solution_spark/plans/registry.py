@@ -106,6 +106,8 @@ def _load_all() -> None:
 SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 9, never driver-checked (new queries go HERE, at
     #     the top, so the gate window always sees them first) ---
+    "multimodal_video_container_stats",
+    "snapshot_type_widening_read",
     # --- oracled but oracle never driver-hash-checked ---
     "embeddings_clustered_exact_topk",
     # --- latest hash-green round 4: the stalest cohort (27) ---

@@ -37,32 +37,55 @@ north-star surface following Delta's streaming-source design
 from __future__ import annotations
 
 import json
+import os
+import uuid
 from pathlib import Path
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from .snapshots import (
     _dv_key,
+    _footer_types,
     _read_manifest,
     _unpack_positions,
+    _wider_type,
     current_version,
 )
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, positions: list | None, rename: list | None):
+    def __init__(
+        self,
+        path: str,
+        positions: list | None,
+        rename: list | None,
+        types: dict | None = None,
+    ):
         self.path = path
         self.positions = positions  # packed DV entry for THIS file, or None
         self.rename = rename  # [(physical, logical, type_ddl)] or None
+        self.types = types  # manifest's widened-type map, or None
+
+
+_PA_WIDEN = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64", "float": "float32", "double": "float64",
+}
 
 
 def _arrow_batches(part: _FilePartition):
-    """Read one parquet file as Arrow batches, dropping DV positions and
+    """Read one parquet file as Arrow batches, dropping DV positions,
+    widening columns to the manifest's recorded logical types (a
+    pre-widening file's INT32 column surfaces as int64 — the same
+    promotion snapshot_read gets from Spark's parquet reader), and
     applying the column mapping — pure Arrow, no Python row loop."""
     import numpy as np
     import pyarrow as pa
@@ -74,6 +97,17 @@ def _arrow_batches(part: _FilePartition):
         keep = np.ones(table.num_rows, dtype=bool)
         keep[dead[dead < table.num_rows]] = False
         table = table.filter(pa.array(keep))
+    if part.types:
+        for name, t in part.types.items():
+            pa_t = _PA_WIDEN.get(t)
+            if pa_t is None or name not in table.column_names:
+                continue
+            i = table.column_names.index(name)
+            col = table.column(i)
+            if str(col.type) != pa_t:
+                table = table.set_column(
+                    i, name, col.cast(getattr(pa, pa_t)())
+                )
     if part.rename is not None:
         cols, names = [], []
         for physical, logical, _t in part.rename:
@@ -108,9 +142,35 @@ def _spark_schema_for(table_path: Path, version: int):
         raise ValueError(f"version {version} of {table_path} lists no files")
     mapping = m.get("schema")
     spark_schema = from_arrow_schema(sch)
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    types = m.get("types")
+    if types:
+        # widened logical types override the footer-inferred ones (the
+        # read side casts each file's batches up to match). Direct type
+        # construction — _parse_datatype_string needs an active session,
+        # and this runs inside the datasource planning worker.
+        from pyspark.sql.types import (
+            ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+        )
+
+        widen = {
+            "tinyint": ByteType(), "smallint": ShortType(),
+            "int": IntegerType(), "bigint": LongType(),
+            "float": FloatType(), "double": DoubleType(),
+        }
+        spark_schema = StructType(
+            [
+                StructField(
+                    f.name,
+                    widen.get(types.get(f.name), f.dataType),
+                    True,
+                )
+                for f in spark_schema.fields
+            ]
+        )
     if not mapping:
         return spark_schema
-    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
     by_physical = {f.name: f for f in spark_schema.fields}
     out = []
@@ -150,7 +210,10 @@ class _SnapshotBatchReader(DataSourceReader):
         # ABSOLUTE refs only match through it (raw dv.get(rel) would silently
         # drop the vector and resurrect MOR-deleted rows).
         return [
-            _FilePartition(str(self.table_path / rel), dv.get(_dv_key(rel)), rename)
+            _FilePartition(
+                str(self.table_path / rel), dv.get(_dv_key(rel)), rename,
+                m.get("types"),
+            )
             for rel in m["files"]
         ]
 
@@ -191,7 +254,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         rename = _mapping_renames(m_to.get("schema"))
         # suffix-keyed DV lookup (see _SnapshotBatchReader.partitions)
         return [
-            _FilePartition(str(self.table_path / rel), dv.get(_dv_key(rel)), rename)
+            _FilePartition(
+                str(self.table_path / rel), dv.get(_dv_key(rel)), rename,
+                m_to.get("types"),
+            )
             for rel in added
         ]
 
@@ -234,3 +300,256 @@ class SnapshotDataSource(DataSource):
         return _SnapshotStreamReader(
             self._path(), int(self.options.get("startingVersion", 0))
         )
+
+    def writer(self, schema, overwrite: bool):
+        return _SnapshotArrowWriter(self._path(), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "snapshot streaming sink is append-only (no complete/"
+                "update output modes)"
+            )
+        return _SnapshotStreamArrowWriter(
+            self._path(), schema,
+            self.options.get("txnApp", "snapshot-datasource-stream"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Write path: df.write.format("snapshot") / writeStream.format("snapshot").
+# Each task writes its partition as one parquet file under data/<uuid>/
+# (the same failed-commit-is-only-garbage layout as the library writers)
+# and ships the relative path back as its commit message; the DRIVER then
+# publishes one manifest through the same optimistic protocol as
+# snapshot_append/snapshot_write — hard-linked manifest, locked pointer
+# swap, rebase on conflict — so DataSource writers, library writers, and
+# concurrent streams all serialize through one commit discipline.
+# Streaming writes are exactly-once via the manifest txn map keyed by
+# (app, batchId): a replayed micro-batch is detected at commit time and
+# its re-written files are discarded as garbage (Delta's documented
+# idempotent-sink scheme, the same one stream_snapshot_sink uses).
+# ---------------------------------------------------------------------------
+
+
+class _WrittenFiles(WriterCommitMessage):
+    def __init__(self, rels: list):
+        self.rels = rels
+
+
+def _plan_write(table_path: str, schema) -> tuple:
+    """Driver-side write planning against the CURRENT tip: resolve the
+    column mapping (logical -> physical rename for the tasks), reconcile
+    types (casts for a narrower batch; a widened ``types`` map to merge
+    at commit for a wider one), and refuse what the DataSource writer
+    cannot enforce (CHECK constraints need the library API's Spark-job
+    validation)."""
+    p = Path(table_path)
+    tip = current_version(p)
+    m = _read_manifest(p, tip) if tip else {}
+    if m.get("constraints"):
+        raise NotImplementedError(
+            "table has CHECK constraints — the DataSource writer cannot "
+            "validate them; write through snapshot_append/snapshot_upsert"
+        )
+    mapping = m.get("schema")
+    rename = None
+    batch_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    if mapping:
+        by_logical = {c["name"]: c["physical"] for c in mapping["cols"]}
+        unknown = [c for c in batch_types if c not in by_logical]
+        if unknown:
+            raise KeyError(
+                f"columns {unknown} are not in the table's column mapping; "
+                "add them with snapshot_add_column before writing"
+            )
+        rename = [(c, by_logical[c]) for c in batch_types]
+        batch_types = {by_logical[c]: t for c, t in batch_types.items()}
+    casts: dict = {}
+    types_meta = None
+    if tip and m.get("files"):
+        recorded = m.get("types") or _footer_types(p, list(m["files"]))
+        out_types, changed = dict(recorded), m.get("types") is None
+        drift = False
+        for col, bt in batch_types.items():
+            st = out_types.get(col)
+            if st is None:
+                out_types[col] = bt
+                drift = True
+                continue
+            if st == bt:
+                continue
+            w = _wider_type(st, bt)
+            if w is None:
+                raise ValueError(
+                    f"incompatible type change for column {col!r}: table "
+                    f"has {st}, batch has {bt}"
+                )
+            if w != st:
+                out_types[col] = w
+                drift = True
+            if w != bt:
+                casts[col] = w
+        if drift or (changed and (casts or drift)):
+            types_meta = out_types
+    return rename, casts, types_meta
+
+
+class _SnapshotArrowWriter(DataSourceArrowWriter):
+    """Batch writer (modes: append / overwrite)."""
+
+    def __init__(self, table_path: str, schema, overwrite: bool):
+        self.table_path = table_path
+        self.overwrite = overwrite
+        self.commit_dir = f"data/{uuid.uuid4().hex}"
+        self.rename, self.casts, self.types_meta = _plan_write(
+            table_path, schema
+        )
+
+    def write(self, iterator):
+        rels = _write_task_file(
+            self.table_path, self.commit_dir, iterator, self.rename, self.casts
+        )
+        return _WrittenFiles(rels)
+
+    def commit(self, messages) -> None:
+        files = [r for msg in messages if msg is not None for r in msg.rels]
+        _commit_datasource_write(
+            self.table_path, files, self.overwrite, self.types_meta
+        )
+
+    def abort(self, messages) -> None:
+        _discard_files(
+            self.table_path,
+            [r for msg in messages if msg is not None for r in msg.rels],
+        )
+
+
+class _SnapshotStreamArrowWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: one snapshot append per micro-batch, exactly-once
+    via the manifest txn map keyed by (txn_app, batchId)."""
+
+    def __init__(self, table_path: str, schema, txn_app: str):
+        self.table_path = table_path
+        self.txn_app = txn_app
+        self.commit_dir = f"data/{uuid.uuid4().hex}"
+        self.rename, self.casts, self.types_meta = _plan_write(
+            table_path, schema
+        )
+
+    def write(self, iterator):
+        rels = _write_task_file(
+            self.table_path, self.commit_dir, iterator, self.rename, self.casts
+        )
+        return _WrittenFiles(rels)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = [r for msg in messages if msg is not None for r in msg.rels]
+        _commit_datasource_write(
+            self.table_path, files, False, self.types_meta,
+            txn=int(batchId), txn_app=self.txn_app,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _discard_files(
+            self.table_path,
+            [r for msg in messages if msg is not None for r in msg.rels],
+        )
+
+
+def _write_task_file(
+    table_path: str, commit_dir: str, iterator, rename, casts
+) -> list:
+    """Executor side: drain one partition's Arrow batches into ONE parquet
+    file under the commit dir (tmp-write + rename, so a dying task never
+    leaves a half-file a later manifest could reference). Applies the
+    logical->physical column mapping and the narrower-batch upcasts
+    planned on the driver. Empty partitions write nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [b for b in iterator if b.num_rows]
+    if not batches:
+        return []
+    table = pa.Table.from_batches(batches)
+    if rename:
+        table = table.rename_columns(
+            [dict(rename).get(c, c) for c in table.column_names]
+        )
+    for col, t in (casts or {}).items():
+        pa_t = _PA_WIDEN.get(t)
+        if pa_t and col in table.column_names:
+            i = table.column_names.index(col)
+            table = table.set_column(
+                i, col, table.column(i).cast(getattr(pa, pa_t)())
+            )
+    out_dir = Path(table_path) / commit_dir
+    out_dir.mkdir(parents=True, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = out_dir / (name + ".tmp")
+    pq.write_table(table, tmp, compression="snappy")
+    os.replace(tmp, out_dir / name)
+    return [f"{commit_dir}/{name}"]
+
+
+def _discard_files(table_path: str, rels: list) -> None:
+    for rel in rels:
+        (Path(table_path) / rel).unlink(missing_ok=True)
+
+
+def _commit_datasource_write(
+    table_path: str,
+    files: list,
+    overwrite: bool,
+    types_meta: dict | None,
+    txn: int | None = None,
+    txn_app: str | None = None,
+) -> None:
+    """Driver side: publish the tasks' files through the library's
+    optimistic commit (rebase on conflict — blind appends compose,
+    overwrite recommits replace-whatever-is-current). A txn-stamped
+    commit (streaming) that finds its (app, batchId) already in the tip's
+    txn map is a REPLAY: the re-written files are unlinked and the commit
+    is skipped — exactly-once without coordination."""
+    from .snapshots import (
+        COMMIT_RETRIES,
+        CLEAR_METADATA,
+        SnapshotCommitConflict,
+        _carry_blooms,
+        _carry_dv,
+        _commit,
+        _merge_type_maps,
+        _table,
+    )
+
+    p = _table(table_path)
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        pm = _read_manifest(p, parent) if parent else {}
+        if txn is not None and parent:
+            key = txn_app if txn_app is not None else ""
+            seen = pm.get("txns", {}).get(key)
+            if seen is not None and int(seen) >= int(txn):
+                _discard_files(table_path, files)  # replayed micro-batch
+                return
+        try:
+            if overwrite:
+                _commit(p, files, parent, op="write",
+                        types_meta=CLEAR_METADATA)
+            else:
+                old_files = pm.get("files", [])
+                _commit(
+                    p, old_files + files, parent,
+                    txn=txn, txn_app=txn_app,
+                    stats=pm.get("stats") or None,
+                    blooms=_carry_blooms(p, pm, old_files, files)
+                    if parent else None,
+                    dv=_carry_dv(pm, old_files) if parent else None,
+                    op="append",
+                    types_meta=_merge_type_maps(pm.get("types"), types_meta)
+                    if types_meta is not None else None,
+                )
+            return
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise

@@ -148,3 +148,147 @@ def test_stream_tails_versions_exactly_once_across_restart(ds_spark, tmp_path):
     run_once()
     rows = [tuple(r) for r in spark.read.parquet(str(out)).collect()]
     assert len(rows) == len(set(rows)) == 10  # no replays, no gaps
+
+
+def test_batch_read_casts_widened_types(ds_spark, tmp_path):
+    """A widened table (INT32 files + INT64 files under one recorded
+    bigint column) reads through the DataSource at the wide type with
+    values intact — the per-file Arrow cast mirrors snapshot_read's
+    explicit-schema promotion."""
+    spark = ds_spark
+    t = tmp_path / "t"
+    snapshot_write(
+        spark.range(5).selectExpr("cast(id as int) k", "cast(id as float) v"), t
+    )
+    snapshot_append(
+        spark.createDataFrame([(2**40, 9.5)], "k long, v double"), t
+    )
+    got = spark.read.format("snapshot").option("path", str(t)).load()
+    assert dict(got.dtypes) == {"k": "bigint", "v": "double"}
+    rows = {r.k: r.v for r in got.collect()}
+    assert len(rows) == 6 and rows[2**40] == 9.5 and rows[3] == 3.0
+
+
+def test_batch_write_appends_through_optimistic_commit(ds_spark, tmp_path):
+    """df.write.format('snapshot'): append mode composes with library
+    writers (one manifest per save, files+stats carried), overwrite mode
+    full-replaces; both read back identically through the library API."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_history,
+    )
+
+    spark = ds_spark
+    t = tmp_path / "t"
+    snapshot_write_with_stats(_df(spark, 0, 20, "a"), t, ["k"], n_files=2)
+    _df(spark, 20, 25, "b").write.format("snapshot").option(
+        "path", str(t)
+    ).mode("append").save()
+    got = {(r.k, r.v) for r in snapshot_read(spark, t).collect()}
+    assert got == {(k, "a") for k in range(20)} | {(k, "b") for k in range(20, 25)}
+    # parent's stats carried for surviving files (commit must not strip
+    # pruning metadata)
+    m = _read_manifest(t, current_version(t))
+    assert any("k" in s for s in m.get("stats", {}).values())
+    assert snapshot_history(t)[0]["op"] == "append"
+    # overwrite: full replace
+    _df(spark, 100, 103, "c").write.format("snapshot").option(
+        "path", str(t)
+    ).mode("overwrite").save()
+    assert {(r.k, r.v) for r in snapshot_read(spark, t).collect()} == {
+        (k, "c") for k in (100, 101, 102)
+    }
+
+
+def test_batch_write_widens_and_upcasts(ds_spark, tmp_path):
+    """A wider batch written through the DataSource records the widened
+    types (no rewrite); a narrower one upcasts in the tasks."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+    )
+
+    spark = ds_spark
+    t = tmp_path / "t"
+    snapshot_write(
+        spark.range(5).selectExpr("cast(id as int) k", "cast(id as float) v"), t
+    )
+    wide = spark.createDataFrame([(2**40, 9.5)], "k long, v double")
+    wide.write.format("snapshot").option("path", str(t)).mode("append").save()
+    m = _read_manifest(t, current_version(t))
+    assert m["types"] == {"k": "bigint", "v": "double"}
+    narrow = spark.createDataFrame([(7, 1.5)], "k int, v float")
+    narrow.write.format("snapshot").option("path", str(t)).mode("append").save()
+    got = snapshot_read(spark, t)
+    assert dict(got.dtypes) == {"k": "bigint", "v": "double"}
+    rows = {r.k: r.v for r in got.collect()}
+    assert rows[2**40] == 9.5 and rows[7] == 1.5 and len(rows) == 7
+
+
+def test_batch_write_speaks_logical_names_on_mapped_tables(ds_spark, tmp_path):
+    spark = ds_spark
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 4, "a"), t)
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_rename_column(t, "v", "label")
+    batch = spark.createDataFrame([(100, "z")], "k long, label string")
+    batch.write.format("snapshot").option("path", str(t)).mode("append").save()
+    got = snapshot_read(spark, t)
+    assert set(got.columns) == {"k", "label"}
+    assert (100, "z") in {(r.k, r.label) for r in got.collect()}
+    # unknown logical column fails loudly at plan time
+    bad = spark.createDataFrame([(1, "x")], "k long, nope string")
+    with pytest.raises(Exception, match="column mapping"):
+        bad.write.format("snapshot").option("path", str(t)).mode("append").save()
+
+
+def test_batch_write_refuses_constrained_tables(ds_spark, tmp_path):
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_set_constraint,
+    )
+
+    spark = ds_spark
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 4, "a"), t)
+    snapshot_set_constraint(spark, t, "k_nonneg", "k >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        _df(spark, 4, 6, "b").write.format("snapshot").option(
+            "path", str(t)
+        ).mode("append").save()
+
+
+def test_stream_write_exactly_once_across_restart(ds_spark, tmp_path):
+    """writeStream.format('snapshot'): micro-batches commit txn-stamped
+    appends; restarting from the same checkpoint after more source
+    commits delivers new rows exactly once (no replays, no gaps) — read
+    back by BOTH the DataSource and the library API."""
+    spark = ds_spark
+    src, dst, ckpt = tmp_path / "src", tmp_path / "dst", tmp_path / "ckpt"
+    snapshot_write(_df(spark, 0, 5, "a"), src)
+    snapshot_append(_df(spark, 5, 8, "b"), src)
+
+    def run_once():
+        q = (
+            spark.readStream.format("snapshot").option("path", str(src)).load()
+            .writeStream.format("snapshot")
+            .option("path", str(dst))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = {(r.k, r.v) for r in snapshot_read(spark, dst).collect()}
+    assert first == {(k, "a") for k in range(5)} | {(k, "b") for k in (5, 6, 7)}
+    snapshot_append(_df(spark, 8, 10, "c"), src)
+    run_once()
+    lib = [(r.k, r.v) for r in snapshot_read(spark, dst).collect()]
+    assert len(lib) == len(set(lib)) == 10
+    via_ds = [
+        (r.k, r.v)
+        for r in spark.read.format("snapshot")
+        .option("path", str(dst)).load().collect()
+    ]
+    assert sorted(via_ds) == sorted(lib)
