@@ -68,11 +68,13 @@ class _FilePartition(InputPartition):
         positions: list | None,
         rename: list | None,
         types: dict | None = None,
+        expect: list | None = None,
     ):
         self.path = path
         self.positions = positions  # packed DV entry for THIS file, or None
         self.rename = rename  # [(physical, logical, type_ddl)] or None
         self.types = types  # manifest's widened-type map, or None
+        self.expect = expect  # declared column order (additive evolution)
 
 
 _PA_WIDEN = {
@@ -110,13 +112,35 @@ def _arrow_batches(part: _FilePartition):
                 )
     if part.rename is not None:
         cols, names = [], []
-        for physical, logical, _t in part.rename:
+        for physical, logical, t in part.rename:
             names.append(logical)
             if physical in table.column_names:
                 cols.append(table.column(physical))
             else:
-                cols.append(pa.nulls(table.num_rows))
+                cols.append(_typed_nulls(table.num_rows, t))
         table = pa.table(dict(zip(names, cols)))
+    elif part.expect and list(table.column_names) != [
+        n for n, _t in part.expect
+    ]:
+        # additive schema evolution on an unmapped table: project every
+        # file onto the DECLARED column set — a pre-evolution file reads
+        # its missing columns as typed NULLs instead of failing the
+        # engine's column-count check. NULL fills honor the WIDENED type
+        # when the column is in the types map (other files surface wide).
+        def _null_type(name, footer_t):
+            w = (part.types or {}).get(name)
+            return getattr(pa, _PA_WIDEN[w])() if w in _PA_WIDEN else footer_t
+
+        table = pa.table(
+            {
+                name: (
+                    table.column(name)
+                    if name in table.column_names
+                    else pa.nulls(table.num_rows, type=_null_type(name, t))
+                )
+                for name, t in part.expect
+            }
+        )
     yield from table.to_batches()
 
 
@@ -124,6 +148,45 @@ def _mapping_renames(schema_meta: dict | None):
     if not schema_meta:
         return None
     return [(c["physical"], c["name"], c["type"]) for c in schema_meta["cols"]]
+
+
+def _expected_names(table_path: Path, rels: list) -> list:
+    """Declared column order for a file set: the first-seen-order union
+    of the files' footer (name, arrow type) fields — matching pa_unify /
+    the engine-declared schema, with the type kept so a file MISSING the
+    column can emit a correctly-typed all-NULL array (Spark's vectorized
+    reader rejects untyped null arrays). Footer reads are metadata-only."""
+    import pyarrow.parquet as pq
+
+    fields: list = []
+    seen: set = set()
+    for rel in rels:
+        for f in pq.read_schema(str(table_path / rel)):
+            if f.name not in seen:
+                seen.add(f.name)
+                fields.append((f.name, f.type))
+    return fields
+
+
+_DDL_TO_ARROW = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64", "float": "float32", "double": "float64",
+    "string": "string", "boolean": "bool_", "binary": "binary",
+    "date": "date32",
+}
+
+
+def _typed_nulls(n: int, ddl: str | None):
+    """All-NULL arrow array of the Spark DDL type (falls back to string —
+    a typed array Spark always accepts for a fully-NULL column)."""
+    import pyarrow as pa
+
+    name = _DDL_TO_ARROW.get((ddl or "").lower())
+    t = getattr(pa, name)() if name else (
+        pa.timestamp("us") if (ddl or "").lower().startswith("timestamp")
+        else pa.string()
+    )
+    return pa.nulls(n, type=t)
 
 
 def _spark_schema_for(table_path: Path, version: int):
@@ -141,8 +204,17 @@ def _spark_schema_for(table_path: Path, version: int):
     if sch is None:
         raise ValueError(f"version {version} of {table_path} lists no files")
     mapping = m.get("schema")
-    spark_schema = from_arrow_schema(sch)
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    # every column is NULLABLE at the table level regardless of footer
+    # nullability: additive evolution NULL-fills pre-evolution files, and
+    # deletion-vector filtering must never promise non-null to codegen
+    spark_schema = StructType(
+        [
+            StructField(f.name, f.dataType, True)
+            for f in from_arrow_schema(sch).fields
+        ]
+    )
 
     types = m.get("types")
     if types:
@@ -209,10 +281,13 @@ class _SnapshotBatchReader(DataSourceReader):
         # dv dicts are suffix-keyed via _dv_key; a shallow clone's inherited
         # ABSOLUTE refs only match through it (raw dv.get(rel) would silently
         # drop the vector and resurrect MOR-deleted rows).
+        expect = (
+            None if rename else _expected_names(self.table_path, m["files"])
+        )
         return [
             _FilePartition(
                 str(self.table_path / rel), dv.get(_dv_key(rel)), rename,
-                m.get("types"),
+                m.get("types"), expect,
             )
             for rel in m["files"]
         ]
@@ -232,6 +307,18 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, table_path: str, starting_version: int):
         self.table_path = Path(table_path)
         self.starting_version = starting_version
+        # the engine resolved the stream's schema against the CURRENT
+        # version at start — every batch must project onto that column
+        # set (a pre-evolution file's missing columns read as NULL, a
+        # post-start added column is invisible until restart, exactly
+        # Structured Streaming's fixed-schema contract)
+        tip = current_version(self.table_path)
+        m = _read_manifest(self.table_path, tip) if tip else {"files": []}
+        self.expect = (
+            None
+            if m.get("schema")
+            else _expected_names(self.table_path, m["files"])
+        )
 
     def initialOffset(self):
         return {"version": self.starting_version}
@@ -256,7 +343,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         return [
             _FilePartition(
                 str(self.table_path / rel), dv.get(_dv_key(rel)), rename,
-                m_to.get("types"),
+                m_to.get("types"), None if rename else self.expect,
             )
             for rel in added
         ]
@@ -282,6 +369,12 @@ class SnapshotDataSource(DataSource):
         p = self.options.get("path")
         if not p:
             raise ValueError("snapshot datasource requires .option('path', ...)")
+        if p.startswith("file:"):
+            # catalog tables (CREATE TABLE ... USING snapshot LOCATION/
+            # OPTIONS) hand the path through as a file: URI
+            from urllib.parse import unquote, urlparse
+
+            p = unquote(urlparse(p).path)
         return p
 
     def schema(self):

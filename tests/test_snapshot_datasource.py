@@ -292,3 +292,19 @@ def test_stream_write_exactly_once_across_restart(ds_spark, tmp_path):
         .option("path", str(dst)).load().collect()
     ]
     assert sorted(via_ds) == sorted(lib)
+
+
+def test_batch_read_additive_schema_evolution(ds_spark, tmp_path):
+    """Regression (found via the SQL catalog): an unmapped table whose
+    later files ADD a column must read through the DataSource with
+    pre-evolution rows NULL-filled — each file projects onto the declared
+    unified schema instead of failing the engine's column-count check."""
+    spark = ds_spark
+    t = tmp_path / "t"
+    snapshot_write(spark.range(3).selectExpr("id AS k"), t)
+    snapshot_append(
+        spark.range(3, 5).selectExpr("id AS k", "id * 2 AS extra"), t
+    )
+    got = spark.read.format("snapshot").option("path", str(t)).load()
+    rows = {r.k: r.extra for r in got.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 6, 4: 8}
