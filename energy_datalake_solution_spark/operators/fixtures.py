@@ -1131,3 +1131,69 @@ def snapshot_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_zorder3_box_read",
+    oracle="""
+        SELECT l_orderkey AS order_id, l_partkey AS part_id,
+               l_suppkey AS supplier_id, CAST(l_quantity AS INT) AS quantity
+        FROM lineitem
+        WHERE l_partkey BETWEEN 1 AND 60
+          AND l_suppkey BETWEEN 1 AND 6
+          AND l_quantity BETWEEN 10 AND 40
+    """,
+    tags=("snapshot", "zorder", "layout"),
+)
+def snapshot_zorder3_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-column z-order under the driver's hash gate (Delta's
+    OPTIMIZE ZORDER BY (c1, c2, c3)): lay lineitem out on the 3-D Morton
+    curve over (l_partkey, l_suppkey, l_quantity) via
+    snapshot_write_zordered_n, then answer a 3-predicate box query
+    through snapshot_read_box, which lists only files whose manifest
+    stats overlap ALL three ranges. A guard raises if the corner box
+    fails to prune to a strict file subset (the layout's entire point).
+    The oracle is the plain 3-predicate filter over raw lineitem, so
+    pruning that loses a file's rows — an interleave slip in the N-dim
+    code, a box intersection bug, a stats miss — fails the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_read_box,
+        snapshot_write_zordered_n,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_z3_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("int").alias("l_quantity"),
+    )
+    snapshot_write_zordered_n(
+        l, t, ["l_partkey", "l_suppkey", "l_quantity"], n_files=8
+    )
+    total = len(_read_manifest(t, current_version(t))["files"])
+    out = snapshot_read_box(
+        spark, t,
+        [("l_partkey", 1, 60), ("l_suppkey", 1, 6), ("l_quantity", 10, 40)],
+    )
+    admitted = len(out.inputFiles())
+    if total >= 4 and admitted > total // 2:
+        raise RuntimeError(
+            f"3-D box read admits {admitted}/{total} files — "
+            "N-dimensional pruning is not happening"
+        )
+    out = out.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("part_id"),
+        F.col("l_suppkey").alias("supplier_id"),
+        F.col("l_quantity").alias("quantity"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

@@ -108,6 +108,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     #     the top, so the gate window always sees them first) ---
     "multimodal_video_container_stats",
     "snapshot_type_widening_read",
+    "snapshot_zorder3_box_read",
     # --- oracled but oracle never driver-hash-checked ---
     "embeddings_clustered_exact_topk",
     # --- latest hash-green round 4: the stalest cohort (27) ---

@@ -142,12 +142,34 @@ def zorder_arrange(
     the min/max agg is one cheap pass (or comes from table stats) and
     everything else is row-local — no UDF, no driver-side data.
     """
-    mins = df.agg(
-        F.min(col_a).alias("_min_a"),
-        F.max(col_a).alias("_max_a"),
-        F.min(col_b).alias("_min_b"),
-        F.max(col_b).alias("_max_b"),
-    )
+    return zorder_arrange_n(df, [col_a, col_b], n_files=n_files, bits=bits)
+
+
+def zorder_arrange_n(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+) -> DataFrame:
+    """N-column generalization of the Morton arrangement (Delta's
+    OPTIMIZE ZORDER BY takes any column list): bit ``i`` of column ``c``
+    interleaves to position ``i*N + (N-1-c)``, so files cover compact
+    N-dimensional boxes and footer stats prune on ANY subset of the
+    columns. For N=2 this is bit-identical to the classic 2-D curve.
+    ``bits * N`` must stay under 63 (the code lives in one long) —
+    8 bits x 3 cols = 24-bit codes, plenty: pruning granularity is file
+    COUNT, not code width. Same determinism contract as the 2-D form:
+    explicit z-bucket -> hash-perfect partition token, so two writes of
+    the same data produce identical file boxes."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-order needs at least 2 columns")
+    if bits * n > 62:
+        raise ValueError(f"bits*ncols = {bits * n} exceeds a long's width")
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [F.min(c).alias(f"_min_{i}"), F.max(c).alias(f"_max_{i}")]
+    mins = df.agg(*aggs)
     scaled = df.join(F.broadcast(mins))
     n_buckets = 1 << bits
 
@@ -164,31 +186,34 @@ def zorder_arrange(
         ).otherwise(F.lit(0.0))
         return F.least(F.lit(n_buckets - 1), F.floor(frac * n_buckets)).cast("long")
 
-    bucket_a = _bucket(col_a, "_min_a", "_max_a")
-    bucket_b = _bucket(col_b, "_min_b", "_max_b")
-    zval = sum(
-        (
-            F.shiftleft(F.shiftright(bucket_a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-            + F.shiftleft(F.shiftright(bucket_b, i).bitwiseAND(F.lit(1)), 2 * i)
-            for i in range(1, bits)
-        ),
-        F.shiftleft(bucket_a.bitwiseAND(F.lit(1)), 1) + bucket_b.bitwiseAND(F.lit(1)),
-    )
-    # explicit z-bucket: file f covers morton range [f*4^bits/n, (f+1)*4^bits/n)
+    buckets = [
+        _bucket(c, f"_min_{i}", f"_max_{i}") for i, c in enumerate(cols)
+    ]
+    terms = [
+        F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + (n - 1 - c)
+        )
+        for i in range(bits)
+        for c, b in enumerate(buckets)
+    ]
+    zval = sum(terms[1:], terms[0])
+    # explicit z-bucket: file f covers morton range
+    # [f * 2^(bits*n) / n_files, (f+1) * 2^(bits*n) / n_files)
     tokens = _partition_tokens(df.sparkSession, n_files)
     bucket = F.floor(
-        F.col("_z").cast("double") * n_files / float(n_buckets * n_buckets)
+        F.col("_z").cast("double") * n_files / float(n_buckets**n)
     ).cast("int")
     token_col = F.element_at(
         F.array(*[F.lit(t) for t in tokens]),
         F.least(F.lit(n_files - 1), bucket) + 1,
     ).cast("long")
+    drop = [f"_min_{i}" for i in range(n)] + [f"_max_{i}" for i in range(n)]
     return (
         scaled.withColumn("_z", zval)
         .withColumn("_ztok", token_col)
         .repartition(n_files, F.col("_ztok"))
         .sortWithinPartitions("_z")
-        .drop("_z", "_ztok", "_min_a", "_max_a", "_min_b", "_max_b")
+        .drop("_z", "_ztok", *drop)
     )
 
 

@@ -14,6 +14,16 @@ contract one level up:
         CREATE [OR REPLACE] TABLE <name> USING snapshot
             (OPTIONS (path '<p>') | LOCATION '<p>') [VERSION AS OF <n>]
         DROP TABLE [IF EXISTS] <name>
+    the DML/maintenance subset (each routed to the corresponding
+    TRANSACTIONAL library operation — stats-pruned, DV-based,
+    optimistic-concurrency commits, not a new engine):
+        INSERT INTO <name> <select|values>        -> snapshot_append
+        MERGE INTO <name> USING <src> ON (k, ...) -> snapshot_upsert
+        DELETE FROM <name> WHERE c BETWEEN a AND b-> snapshot_delete_range_mor
+        UPDATE <name> SET c=e,... WHERE k BETWEEN -> snapshot_update_range_mor
+        RESTORE TABLE <name> VERSION/TIMESTAMP AS OF -> snapshot_restore
+        VACUUM <name> [RETAIN n VERSIONS]         -> snapshot_vacuum
+        DESCRIBE HISTORY <name>                   -> snapshot_history
     and passes every other statement to ``spark.sql`` after re-pointing
     the registered snapshot views at their tables' CURRENT versions.
   * Registration materializes a temp view over
@@ -51,6 +61,58 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+# --- DML over snapshot tables (the documented subset; each form routes
+# to the corresponding transactional library operation) -------------------
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"(?P<query>(?:SELECT|VALUES|WITH|TABLE)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_]\w*)\s+WHERE\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+BETWEEN\s+(?P<lo>'[^']*'|\S+)\s+AND\s+"
+    r"(?P<hi>'[^']*'|\S+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+BETWEEN\s+(?P<lo>'[^']*'|\S+)\s+AND\s+"
+    r"(?P<hi>'[^']*'|\S+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+USING\s+"
+    r"(?P<src>[A-Za-z_]\w*|\(.+\))\s+ON\s+\(?\s*"
+    r"(?P<keys>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)?\s*"
+    r"(?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|[\d.]+))\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _literal(tok: str):
+    """A BETWEEN bound: int, float, or single-quoted string."""
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        return float(tok)
 
 
 class SnapshotCatalog:
@@ -108,11 +170,122 @@ class SnapshotCatalog:
         if m and m.group("name") in self._tables:
             self.drop_table(m.group("name"))
             return None
+        handled = self._dml(text)
+        if handled is not NotImplemented:
+            return handled
         # plain SQL: re-point every registered view at the CURRENT version
         # (O(manifest) each — catalog freshness without staleness bugs)
         for name in self._tables:
             self._register(name)
         return self.spark.sql(text)
+
+    # -- DML ---------------------------------------------------------------
+    def _dml(self, text: str):
+        """Route the documented DML subset to the library's transactional
+        operations (the commits keep file pruning, deletion vectors, type
+        widening, and optimistic concurrency — this is syntax, not a new
+        engine). Returns NotImplemented when the text is not DML."""
+        from .snapshots import (
+            snapshot_delete_range_mor,
+            snapshot_history,
+            snapshot_restore,
+            snapshot_update_range_mor,
+            snapshot_upsert,
+            snapshot_vacuum,
+        )
+
+        m = _INSERT_RE.match(text)
+        if m and m.group("name") in self._tables:
+            path = self._writable(m.group("name"))
+            df = self._fresh_sql(m.group("query"))
+            if m.group("query").lstrip()[:6].upper() == "VALUES":
+                # positional VALUES rows take the table's column names
+                df = df.toDF(*self.spark.sql(
+                    f"SELECT * FROM {m.group('name')} LIMIT 0"
+                ).columns)
+            from .snapshots import snapshot_append
+
+            snapshot_append(df, path)
+            return None
+        m = _MERGE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            path = self._writable(m.group("name"))
+            src = m.group("src")
+            df = self._fresh_sql(
+                src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
+            )
+            keys = [k.strip() for k in m.group("keys").split(",")]
+            snapshot_upsert(self.spark, df, path, keys)
+            return None
+        m = _DELETE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            path = self._writable(m.group("name"))
+            snapshot_delete_range_mor(
+                self.spark, path, m.group("col"),
+                _literal(m.group("lo")), _literal(m.group("hi")),
+            )
+            return None
+        m = _UPDATE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            path = self._writable(m.group("name"))
+            # documented subset: top-level comma-separated `col = expr`
+            # assignments whose exprs contain no commas
+            assignments = {}
+            for part in m.group("sets").split(","):
+                col, expr = part.split("=", 1)
+                assignments[col.strip()] = expr.strip()
+            snapshot_update_range_mor(
+                self.spark, path, m.group("col"),
+                _literal(m.group("lo")), _literal(m.group("hi")),
+                assignments,
+            )
+            return None
+        m = _RESTORE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            path = self._writable(m.group("name"))
+            if m.group("version") is not None:
+                snapshot_restore(path, int(m.group("version")))
+            else:
+                snapshot_restore(path, as_of_ts=float(_literal(m.group("ts"))))
+            return None
+        m = _VACUUM_RE.match(text)
+        if m and m.group("name") in self._tables:
+            path, _ = self._tables[m.group("name")]
+            n = m.group("n")
+            snapshot_vacuum(path, keep_versions=int(n) if n else 1)
+            return None
+        m = _HISTORY_RE.match(text)
+        if m and m.group("name") in self._tables:
+            path, _ = self._tables[m.group("name")]
+            rows = snapshot_history(path)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        r["version"], r["parent"], r["op"],
+                        float(r["ts"]) if r["ts"] is not None else None,
+                        r["n_files"],
+                    )
+                    for r in rows
+                ],
+                "version long, parent long, op string, ts double, n_files long",
+            )
+        return NotImplemented
+
+    def _writable(self, name: str) -> str:
+        path, version = self._tables[name]
+        if version is not None:
+            raise ValueError(
+                f"table {name!r} is pinned to VERSION AS OF {version} — "
+                "a time-travel registration is read-only"
+            )
+        return path
+
+    def _fresh_sql(self, query: str) -> DataFrame:
+        """Run a sub-query with every registered view re-pointed at its
+        table's current version (INSERT/MERGE sources see fresh data)."""
+        for name in self._tables:
+            self._register(name)
+        return self.spark.sql(query)
 
     def _register(self, name: str) -> None:
         path, version = self._tables[name]

@@ -2693,6 +2693,67 @@ def snapshot_write_zordered(
     return _commit_full_replace(p, files, stats=stats)
 
 
+def snapshot_write_zordered_n(
+    df: DataFrame,
+    table_path,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+) -> int:
+    """N-column z-ordered full-replace commit with per-file stats for
+    EVERY clustering column — Delta's OPTIMIZE ZORDER BY (c1, ..., cN).
+    Files cover compact N-dimensional boxes, so snapshot_read_box prunes
+    on any predicate subset; reuses the sink tier's arrangement
+    (sources/sinks.py::zorder_arrange_n) so the layouts cannot drift."""
+    from .sinks import zorder_arrange_n
+
+    p = _table(table_path)
+    files = _write_files(
+        zorder_arrange_n(df, cols, n_files=n_files, bits=bits), p
+    )
+    stats = _collect_stats(p, files, list(cols), spark=df.sparkSession)
+    return _commit_full_replace(p, files, stats=stats)
+
+
+def snapshot_read_box(
+    spark: SparkSession,
+    table_path,
+    preds: list,
+    version: int | None = None,
+) -> DataFrame:
+    """N-dimensional stats-pruned read: ``preds`` is a list of
+    ``(col, lo, hi)`` and only files whose manifest [min, max] overlap
+    EVERY predicate are listed (the intersection of the single-column
+    prunes), then the row filters apply as usual. The N-column analog of
+    snapshot_read_rect; on an N-dim z-ordered layout a small query box
+    admits few files, and on any other layout it degrades gracefully to
+    whichever columns carry stats (stats-less files are always kept —
+    pruning never loses rows)."""
+    from pyspark.sql import functions as F
+
+    p = Path(table_path)
+    v = current_version(p) if version is None else version
+    m = _read_manifest(p, v)
+    schema = m.get("schema")
+    phys = [
+        (_mapping_physical(schema, c) if schema else c, lo, hi)
+        for c, lo, hi in preds
+    ]
+    files: set | None = None
+    for pc, lo, hi in phys:
+        fs = set(snapshot_files_for_range(p, pc, lo, hi, v))
+        files = fs if files is None else files & fs
+    files = sorted(files or ())
+    if not files:
+        return snapshot_read(spark, p, version=v).where(F.lit(False))
+    df = _read_files_with_dv(spark, p, files, m.get("dv"),
+                             merge_schema=schema is not None,
+                             types=m.get("types"))
+    for pc, lo, hi in phys:
+        df = df.where((F.col(pc) >= lo) & (F.col(pc) <= hi))
+    return _apply_column_mapping(df, schema) if schema else df
+
+
 # ---------------------------------------------------------------------------
 # Column mapping: rename / drop / re-add without rewriting data (Delta's
 # columnMapping=name mode). The manifest's ``schema`` entry gives every

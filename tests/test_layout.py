@@ -69,3 +69,42 @@ def test_zorder_beats_single_key_sort_on_minor_dimension(spark):
     # key on any data.
     assert z.avg_y_span < single.avg_y_span * 0.75
     assert z.avg_x_span <= 127 and z.avg_y_span <= 127
+
+
+def test_zorder_n_columns_prunes_all_dimensions(spark, tmp_path):
+    """3-column Morton layout: a corner box prunes to a strict file
+    subset via ANY of the three predicates, rows survive exactly, and
+    degenerate parameterizations fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.sinks import zorder_arrange_n
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_read_box,
+        snapshot_write_zordered_n,
+    )
+
+    df = spark.range(4096).select(
+        (F.col("id") % 16).alias("a"),
+        ((F.col("id") / 16).cast("long") % 16).alias("b"),
+        ((F.col("id") / 256).cast("long") % 16).alias("c"),
+        F.col("id").alias("payload"),
+    )
+    t = tmp_path / "t"
+    snapshot_write_zordered_n(df, t, ["a", "b", "c"], n_files=8)
+    total = len(_read_manifest(t, current_version(t))["files"])
+    assert total == 8
+    out = snapshot_read_box(
+        spark, t, [("a", 0, 3), ("b", 0, 3), ("c", 0, 3)]
+    )
+    assert len(out.inputFiles()) < total
+    assert out.count() == 4 * 4 * 4 * (4096 // (16 * 16 * 16))
+    # rows are exact, not just counted
+    got = {(r.a, r.b, r.c) for r in out.collect()}
+    assert got == {(a, b, c) for a in range(4) for b in range(4) for c in range(4)}
+    with pytest.raises(ValueError, match="at least 2"):
+        zorder_arrange_n(df, ["a"])
+    with pytest.raises(ValueError, match="exceeds"):
+        zorder_arrange_n(df, ["a", "b", "c"], bits=21)

@@ -103,3 +103,64 @@ def test_catalog_rejects_duplicates_and_missing_tables(spark, snap_catalog, tmp_
         cat.sql(
             f"CREATE TABLE nope USING snapshot LOCATION '{tmp_path / 'void'}'"
         )
+
+
+def test_catalog_dml_insert_merge_delete_update(spark, tmp_path):
+    """The SQL DML subset routes to the transactional library operations:
+    INSERT appends, MERGE upserts on the key list, DELETE/UPDATE run the
+    MOR range forms, and every statement is visible to the next query."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "fact"
+    snapshot_write_with_stats(
+        spark.range(100).selectExpr("id AS k", "id * 10 AS v"), t,
+        ["k"], n_files=4,
+    )
+    cat.sql(f"CREATE TABLE fact USING snapshot LOCATION '{t}'")
+    cat.sql("INSERT INTO fact SELECT 1000 AS k, 1 AS v")
+    assert cat.sql("SELECT count(*) AS n FROM fact").first().n == 101
+    cat.sql("INSERT INTO fact VALUES (2000, 2), (2001, 3)")
+    assert cat.sql("SELECT count(*) AS n FROM fact").first().n == 103
+    # MERGE: updates k=5, inserts k=5000
+    spark.createDataFrame(
+        [(5, 555), (5000, 5)], "k long, v long"
+    ).createOrReplaceTempView("src_batch")
+    cat.sql(
+        "MERGE INTO fact USING src_batch ON (k) "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM fact").collect()}
+    assert got[5] == 555 and got[5000] == 5 and len(got) == 104
+    cat.sql("DELETE FROM fact WHERE k BETWEEN 10 AND 19")
+    assert cat.sql("SELECT count(*) AS n FROM fact").first().n == 94
+    cat.sql("UPDATE fact SET v = v + 1 WHERE k BETWEEN 20 AND 29")
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM fact").collect()}
+    assert got[20] == 201 and got[25] == 251 and got[30] == 300
+
+
+def test_catalog_restore_vacuum_history(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_write,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "audit"
+    snapshot_write(spark.range(5).selectExpr("id AS k"), t)
+    cat.sql(f"CREATE TABLE audit USING snapshot LOCATION '{t}'")
+    cat.sql("INSERT INTO audit SELECT 100 AS k")
+    hist = cat.sql("DESCRIBE HISTORY audit")
+    ops = [r.op for r in hist.collect()]
+    assert ops[0] == "append" and "write" in ops
+    assert cat.sql("SELECT count(*) AS n FROM audit").first().n == 6
+    cat.sql("RESTORE TABLE audit VERSION AS OF 1")
+    assert cat.sql("SELECT count(*) AS n FROM audit").first().n == 5
+    # vacuum retains the restored tip; the table still reads
+    cat.sql("VACUUM audit RETAIN 1 VERSIONS")
+    assert cat.sql("SELECT count(*) AS n FROM audit").first().n == 5
+    # a version-pinned registration is read-only
+    cat.sql(f"CREATE TABLE audit_v1 USING snapshot LOCATION '{t}' VERSION AS OF 3")
+    with pytest.raises(ValueError, match="read-only"):
+        cat.sql("INSERT INTO audit_v1 SELECT 1 AS k")
