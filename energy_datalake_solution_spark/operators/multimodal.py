@@ -2052,3 +2052,411 @@ def multimodal_video_container_stats(spark: SparkSession, sf_dir: str) -> DataFr
     slip, or varint misparse fails the hash gate."""
     d = load_table(spark, sf_dir, "documents")
     return parse_video_container_stats(synth_video_container_payload(d))
+
+# --------------------------------------------------------------------------
+# Color (YCbCr 4:4:4) baseline JPEG: 3-component SOF0, interleaved MCUs,
+# per-component Huffman tables + DC prediction, fixed-point YCbCr -> RGB.
+# --------------------------------------------------------------------------
+
+# T.81 Tables K.4 / K.6: example CHROMINANCE Huffman tables (BITS, HUFFVAL)
+_JPEG_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_C_VALS = list(range(12))
+_JPEG_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+JPEG_COLOR_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("corner_r", T.IntegerType()),
+        T.StructField("corner_g", T.IntegerType()),
+        T.StructField("corner_b", T.IntegerType()),
+    ]
+)
+
+# libjpeg's fixed-point color constants (jdcolor.c): value * 65536, so the
+# YCbCr -> RGB conversion is INTEGER arithmetic — exactly replicable in a
+# SQL oracle via FLOOR(x / 65536), no float-rounding-rule hazards.
+_FIX_R_CR = 91881     # 1.40200
+_FIX_B_CB = 116130    # 1.77200
+_FIX_G_CB = -22554    # -0.34414
+_FIX_G_CR = -46802    # -0.71414
+
+
+def synth_jpeg_color_payload(df: DataFrame) -> DataFrame:
+    """Synthesize complete spec-valid COLOR baseline JPEGs: 3-component
+    SOF0 (YCbCr, 1x1x1 sampling = 4:4:4), unit quantization, Annex K
+    luminance tables for Y and chrominance tables for Cb/Cr, interleaved
+    MCUs (Y block, Cb block, Cr block per MCU) with PER-COMPONENT DC
+    prediction. Each component's 8x8 blocks are constant:
+        Y(bx,by)  = (doc_id*37 + bx*59 + by*83) % 256
+        Cb(bx,by) = (doc_id*41 + bx*67 + by*89) % 256
+        Cr(bx,by) = (doc_id*43 + bx*71 + by*97) % 256
+    dims w = 8*(1 + doc_id % 3), h = 8*(1 + doc_id % 2). Constant blocks
+    + unit quantization keep the lossy pipeline bit-exact, so a SQL
+    oracle can recompute the decoded RGB statistics from the generating
+    formulas and the fixed-point color transform."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        dc_y = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_y = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+        dc_c = _jpeg_huff_codes(_JPEG_DC_C_BITS, _JPEG_DC_C_VALS)
+        ac_c = _jpeg_huff_codes(_JPEG_AC_C_BITS, _JPEG_AC_C_VALS)
+
+        def put_block(w, v, prev_dc, dct, act):
+            dc = 8 * (v - 128)
+            diff = dc - prev_dc
+            mag = abs(diff)
+            cat = mag.bit_length()
+            code, length = dct[cat]
+            w.put(code, length)
+            if cat:
+                bits_val = diff if diff > 0 else diff + (1 << cat) - 1
+                w.put(bits_val, cat)
+            eob, eob_len = act[0x00]
+            w.put(eob, eob_len)
+            return dc
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bw, bh = 1 + i % 3, 1 + i % 2
+                w, h = 8 * bw, 8 * bh
+                head = bytearray(b"\xff\xd8")
+                head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+                head += (
+                    b"\xff\xc0"
+                    + struct.pack(">H", 17)
+                    + bytes([8])
+                    + struct.pack(">HH", h, w)
+                    + bytes([3])
+                    + bytes([1, 0x11, 0])   # Y:  1x1 sampling, q-table 0
+                    + bytes([2, 0x11, 0])   # Cb: 1x1 sampling, q-table 0
+                    + bytes([3, 0x11, 0])   # Cr: 1x1 sampling, q-table 0
+                )
+                head += _jpeg_dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS)
+                head += _jpeg_dht(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)
+                head += _jpeg_dht(0x01, _JPEG_DC_C_BITS, _JPEG_DC_C_VALS)
+                head += _jpeg_dht(0x11, _JPEG_AC_C_BITS, _JPEG_AC_C_VALS)
+                head += (
+                    b"\xff\xda"
+                    + struct.pack(">H", 12)
+                    + bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+                )
+                wtr = _JpegBitWriter()
+                prev = [0, 0, 0]  # per-component DC predictors
+                for by in range(bh):
+                    for bx in range(bw):  # one MCU = Y, Cb, Cr blocks
+                        y = (i * 37 + bx * 59 + by * 83) % 256
+                        cb = (i * 41 + bx * 67 + by * 89) % 256
+                        cr = (i * 43 + bx * 71 + by * 97) % 256
+                        prev[0] = put_block(wtr, y, prev[0], dc_y, ac_y)
+                        prev[1] = put_block(wtr, cb, prev[1], dc_c, ac_c)
+                        prev[2] = put_block(wtr, cr, prev[2], dc_c, ac_c)
+                buf = bytes(head) + wtr.flush() + b"\xff\xd9"
+                rows.append({"doc_id": doc_id, "payload": buf})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_jpeg_color_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL color baseline JPEG decode, no codec library: the grayscale
+    decoder's machinery generalized to 3 interleaved components — marker
+    walk with per-component quant/Huffman assignments, MCU-interleaved
+    entropy decoding with per-component DC prediction, per-block zigzag
+    dequantization + separable float IDCT, then libjpeg's FIXED-POINT
+    YCbCr -> RGB (integer multiplies and a floor-shift, so the oracle
+    replicates it exactly) with clamping. Emits per-channel mean and the
+    top-left corner pixel. 4:4:4 only — subsampled scans raise (that is
+    where a real codec library earns its keep)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        u = np.arange(8)[:, None]
+        x = np.arange(8)[None, :]
+        M = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        M[0, :] *= 1 / np.sqrt(2)
+
+        class BitReader:
+            def __init__(self, data: bytes):
+                self.data, self.pos, self.acc, self.nbits = data, 0, 0, 0
+
+            def bit(self) -> int:
+                if self.nbits == 0:
+                    if self.pos >= len(self.data):
+                        raise ValueError("entropy stream truncated")
+                    b = self.data[self.pos]
+                    self.pos += 1
+                    if b == 0xFF:
+                        if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                            raise ValueError("unexpected marker in entropy data")
+                        self.pos += 1
+                    self.acc, self.nbits = b, 8
+                self.nbits -= 1
+                return (self.acc >> self.nbits) & 1
+
+            def bits(self, n: int) -> int:
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | self.bit()
+                return v
+
+        def build_decoder(bits, vals):
+            table, code, k = {}, 0, 0
+            for length in range(1, 17):
+                for _ in range(bits[length - 1]):
+                    table[(length, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        def huff_decode(reader, table):
+            code, length = 0, 0
+            while length <= 16:
+                code = (code << 1) | reader.bit()
+                length += 1
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code")
+
+        def extend(v: int, t: int) -> int:
+            return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+        def decode_block(reader, dct, act, q, prev_dc):
+            zz = np.zeros(64, dtype=np.int64)
+            t = huff_decode(reader, dct)
+            diff = extend(reader.bits(t), t) if t else 0
+            dc = prev_dc + diff
+            zz[0] = dc * q[0]
+            k = 1
+            while k < 64:
+                rs = huff_decode(reader, act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 0:
+                        break
+                    if r == 15:
+                        k += 16
+                        continue
+                    raise ValueError("invalid AC symbol")
+                k += r
+                if k >= 64:
+                    raise ValueError("AC coefficient overrun")
+                zz[k] = extend(reader.bits(s), s) * q[k]
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            for idx, (rr, cc) in enumerate(_JPEG_ZIGZAG):
+                coef[rr, cc] = zz[idx]
+            block = M.T @ coef @ M
+            return np.clip(np.rint(block + 128), 0, 255).astype(np.int64), dc
+
+        def decode(buf: bytes):
+            if buf[:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG payload (no SOI)")
+            pos = 2
+            qtables, dc_tables, ac_tables = {}, {}, {}
+            dims, comps = None, None
+            while pos + 4 <= len(buf):
+                if buf[pos] != 0xFF:
+                    raise ValueError("marker sync lost")
+                marker = buf[pos + 1]
+                (seglen,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+                body = buf[pos + 4 : pos + 2 + seglen]
+                pos += 2 + seglen
+                if marker == 0xDB:
+                    while body:
+                        pq, tq = body[0] >> 4, body[0] & 0x0F
+                        if pq != 0:
+                            raise ValueError("16-bit quant tables unsupported")
+                        qtables[tq] = np.frombuffer(
+                            body[1:65], dtype=np.uint8
+                        ).astype(np.int64)
+                        body = body[65:]
+                elif marker == 0xC0:
+                    prec, hh, ww, ncomp = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+                    if prec != 8 or ncomp != 3:
+                        raise ValueError(
+                            f"color decoder needs 3-component SOF0 (got {ncomp})"
+                        )
+                    comps = []
+                    for c in range(3):
+                        cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                        if sampling != 0x11:
+                            raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                        comps.append({"id": cid, "tq": tq})
+                    dims = (ww, hh)
+                elif marker in (0xC1, 0xC2, 0xC3):
+                    raise ValueError("non-baseline JPEG (progressive/extended)")
+                elif marker == 0xC4:
+                    while body:
+                        tc, th = body[0] >> 4, body[0] & 0x0F
+                        bits = list(body[1:17])
+                        n = sum(bits)
+                        (dc_tables if tc == 0 else ac_tables)[th] = build_decoder(
+                            bits, list(body[17 : 17 + n])
+                        )
+                        body = body[17 + n :]
+                elif marker == 0xDA:
+                    if dims is None or comps is None:
+                        raise ValueError("SOS before SOF0")
+                    ns = body[0]
+                    if ns != 3:
+                        raise ValueError("color scan must cover 3 components")
+                    by_id = {c["id"]: c for c in comps}
+                    scan = []
+                    for c in range(3):
+                        cid, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                        spec = by_id[cid]
+                        scan.append(
+                            (
+                                dc_tables[tdta >> 4],
+                                ac_tables[tdta & 0x0F],
+                                qtables[spec["tq"]],
+                            )
+                        )
+                    entropy_end = buf.rfind(b"\xff\xd9")
+                    if entropy_end < 0:
+                        raise ValueError("missing EOI")
+                    reader = BitReader(buf[pos:entropy_end])
+                    w, h = dims
+                    if w % 8 or h % 8:
+                        raise ValueError("non-multiple-of-8 dims unsupported")
+                    bw_, bh_ = w // 8, h // 8
+                    planes = np.zeros((3, h, w), dtype=np.int64)
+                    prev = [0, 0, 0]
+                    for by in range(bh_):
+                        for bx in range(bw_):  # MCU: one block per component
+                            for c in range(3):
+                                dct, act, q = scan[c]
+                                px, prev[c] = decode_block(
+                                    reader, dct, act, q, prev[c]
+                                )
+                                planes[
+                                    c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                                ] = px
+                    return planes, w, h
+            raise ValueError("no SOS segment found")
+
+        def to_rgb(planes):
+            y = planes[0]
+            cb = planes[1] - 128
+            cr = planes[2] - 128
+            r = y + (_FIX_R_CR * cr + 32768) // 65536
+            g = y + (_FIX_G_CB * cb + _FIX_G_CR * cr + 32768) // 65536
+            b = y + (_FIX_B_CB * cb + 32768) // 65536
+            return [np.clip(ch, 0, 255) for ch in (r, g, b)]
+
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                planes, w, h = decode(bytes(payload))
+                r, g, b = to_rgb(planes)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "mean_r": round(float(r.sum()) / (w * h), 6),
+                        "mean_g": round(float(g.sum()) / (w * h), 6),
+                        "mean_b": round(float(b.sum()) / (w * h), 6),
+                        "corner_r": int(r[0, 0]),
+                        "corner_g": int(g[0, 0]),
+                        "corner_b": int(b[0, 0]),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in JPEG_COLOR_STATS_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, JPEG_COLOR_STATS_SCHEMA)
+
+
+@register(
+    "multimodal_jpeg_color_pixel_stats",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+            FROM documents
+        ),
+        bys AS (SELECT doc_id, bw, bh, UNNEST(range(0, bh)) AS by FROM params),
+        bxs AS (SELECT doc_id, bw, bh, by, UNNEST(range(0, bw)) AS bx FROM bys),
+        ycc AS (
+            SELECT doc_id, bw, bh, bx, by,
+                   (doc_id * 37 + bx * 59 + by * 83) % 256 AS y,
+                   (doc_id * 41 + bx * 67 + by * 89) % 256 - 128 AS cb,
+                   (doc_id * 43 + bx * 71 + by * 97) % 256 - 128 AS cr
+            FROM bxs
+        ),
+        rgb AS (
+            SELECT doc_id, bw, bh, bx, by,
+                   LEAST(255, GREATEST(0,
+                       y + CAST(FLOOR((91881 * cr + 32768) / 65536.0) AS BIGINT)
+                   )) AS r,
+                   LEAST(255, GREATEST(0,
+                       y + CAST(FLOOR((-22554 * cb - 46802 * cr + 32768) / 65536.0) AS BIGINT)
+                   )) AS g,
+                   LEAST(255, GREATEST(0,
+                       y + CAST(FLOOR((116130 * cb + 32768) / 65536.0) AS BIGINT)
+                   )) AS b
+            FROM ycc
+        )
+        SELECT doc_id,
+               CAST(8 * bw AS INT) AS width,
+               CAST(8 * bh AS INT) AS height,
+               round(avg(CAST(r AS DOUBLE)), 6) AS mean_r,
+               round(avg(CAST(g AS DOUBLE)), 6) AS mean_g,
+               round(avg(CAST(b AS DOUBLE)), 6) AS mean_b,
+               CAST(max(CASE WHEN bx = 0 AND by = 0 THEN r END) AS INT) AS corner_r,
+               CAST(max(CASE WHEN bx = 0 AND by = 0 THEN g END) AS INT) AS corner_g,
+               CAST(max(CASE WHEN bx = 0 AND by = 0 THEN b END) AS INT) AS corner_b
+        FROM rgb
+        GROUP BY doc_id, bw, bh
+    """,
+    tags=("multimodal", "image"),
+)
+def multimodal_jpeg_color_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel RGB statistics decoded from REAL color baseline JPEG
+    bytes: 3-component YCbCr 4:4:4 SOF0 streams with interleaved MCUs,
+    per-component Annex K Huffman tables (luminance for Y, chrominance
+    for Cb/Cr) and per-component DC prediction, decoded by a full
+    baseline pipeline ending in libjpeg's fixed-point color transform.
+    The oracle recomputes the RGB statistics from the generating
+    formulas and the SAME integer transform — a swapped chroma table, a
+    broken per-component DC predictor, an MCU interleave slip, or a
+    color-constant error fails the hash on essentially every doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_jpeg_color_pixel_stats(synth_jpeg_color_payload(d))
