@@ -65,14 +65,18 @@ def _assert_equal(spark, t, model, ctx, version=None):
         assert got["v"].tolist() == want["v"].tolist(), f"{ctx}: values diverged"
 
 
-@pytest.mark.parametrize("seed", [7, 23, 101, 211, 499])
+@pytest.mark.parametrize("seed", [7, 23, 101, 211, 499, 631, 877])
 def test_random_op_sequences_match_reference_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     t = tmp_path / f"t{seed}"
 
-    # seed table: keys 0..199, v = k*10, stats-partitioned on k
+    # seed table: keys 0..199, v = k*10, stats-partitioned on k — typed
+    # INT so the first LONG-typed batch below triggers TYPE WIDENING and
+    # every later op (MOR deletes/updates, compaction, z-order, restore,
+    # vacuum) runs against the widened table, including restores to
+    # pre-widening versions (which must CLEAR the types map)
     model = {k: k * 10 for k in range(200)}
-    df = spark.createDataFrame(sorted(model.items()), "k long, v long")
+    df = spark.createDataFrame(sorted(model.items()), "k int, v int")
     snapshot_write_with_stats(df, t, ["k"], n_files=6)
     pinned = {current_version(t): dict(model)}
     ops_done = ["seed"]
@@ -83,10 +87,16 @@ def test_random_op_sequences_match_reference_model(spark, tmp_path, seed):
     for i in range(N_OPS):
         op = rng.choice(
             ["append", "upsert", "del_mor", "upd_mor", "del_cow",
-             "compact", "restore", "zorder", "vacuum"]
+             "compact", "restore", "zorder", "vacuum", "widen_key"]
         )
         try:
-            if op == "append":
+            if op == "widen_key":
+                # a key beyond int32 range: only readable if the widened
+                # type survives whatever the sequence did before/after
+                k = 2**40 + i
+                snapshot_upsert(spark, batch_df([(k, i)]), t, ["k"])
+                model[k] = i
+            elif op == "append":
                 # fresh keys only (append is not keyed)
                 new = [
                     (k, k * 10 + i)
@@ -156,6 +166,21 @@ def test_random_op_sequences_match_reference_model(spark, tmp_path, seed):
         _assert_equal(
             spark, t, pinned[v], f"seed={seed} time-travel v{v}", version=v
         )
+
+    # the DataSource read path must agree with the library read at the
+    # final state — same manifest, same DVs, same widened types
+    from energy_datalake_solution_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    ds = (
+        spark.read.format("snapshot").option("path", str(t)).load()
+        .toPandas().sort_values(["k"]).reset_index(drop=True)[["k", "v"]]
+    )
+    want = _model_state(model)
+    assert ds["k"].tolist() == want["k"].tolist(), f"seed={seed}: DS keys"
+    assert ds["v"].tolist() == want["v"].tolist(), f"seed={seed}: DS values"
 
 
 @pytest.mark.parametrize("seed", [13, 47])
