@@ -1197,3 +1197,64 @@ def snapshot_zorder3_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_cdf_updates_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price,
+               'update_preimage' AS change_type
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1, 'update_postimage'
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+    """,
+    tags=("snapshot", "cdf", "update"),
+)
+def snapshot_cdf_updates_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed UPDATE PAIRING under the driver's hash gate:
+    commit orders range-split with stats, MOR-update a key band (+1 the
+    price; deletion vectors grow, images append carrying the reserved
+    row-provenance columns), then read the window's change feed with
+    updates_as='updates' — every changed row must pair as
+    update_preimage/update_postimage through the provenance join, with
+    NO unpaired insert/delete rows. The oracle derives both images from
+    raw orders, so a missed pair, a resurrected pre-deleted row, a
+    provenance slip, or a leaked reserved column fails the hash. A guard
+    raises if any row came back unpaired."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        current_version,
+        snapshot_change_feed,
+        snapshot_update_range_mor,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_cdfu_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snapshot_write_with_stats(o, t, ["o_orderkey"], n_files=6)
+    v1 = current_version(t)
+    snapshot_update_range_mor(
+        spark, t, "o_orderkey", 1000, 2999,
+        {"o_totalprice": F.col("o_totalprice") + 1},
+    )
+    cf = snapshot_change_feed(
+        spark, t, v1, current_version(t), updates_as="updates"
+    )
+    out = cf.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("_change_type").alias("change_type"),
+    ).localCheckpoint(eager=True)  # same invalidation contract as above
+    unpaired = out.where(~F.col("change_type").startswith("update_")).count()
+    if unpaired:
+        raise RuntimeError(
+            f"{unpaired} window rows failed to pair as updates"
+        )
+    return out

@@ -110,6 +110,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_type_widening_read",
     "snapshot_zorder3_box_read",
     "multimodal_jpeg_color_pixel_stats",
+    "snapshot_cdf_updates_read",
     # --- oracled but oracle never driver-hash-checked ---
     "embeddings_clustered_exact_topk",
     # --- latest hash-green round 4: the stalest cohort (27) ---

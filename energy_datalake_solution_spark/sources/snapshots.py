@@ -1778,6 +1778,19 @@ def _rel_path_col():
     return F.regexp_extract(F.col("_metadata.file_path"), _REL_PATH_RE, 1)
 
 
+# Reserved row-provenance columns: MOR updates append their images with
+# the (file, position) each image replaced, so the change feed can pair
+# update_preimage/update_postimage rows. Every read path strips them; any
+# rewrite (compaction, upsert merge, z-order) reads through a stripping
+# path and so writes files without them — provenance lives exactly as
+# long as the file the update appended.
+_PROV_COLS = ("_prov_fp", "_prov_ri")
+
+
+def _strip_prov(df: DataFrame) -> DataFrame:
+    return df.drop(*_PROV_COLS)  # no-op when the columns are absent
+
+
 def _dv_key(f: str) -> str:
     """DV dict key for a manifest file ref: its trailing data/<dir>/<name>
     suffix — exactly what ``_rel_path_col`` extracts from Spark's
@@ -1824,10 +1837,12 @@ def _read_files_with_dv(
     ref_of = {_dv_key(f): f for f in rels}
     sub = {k: (dv or {})[k] for k in ref_of if k in (dv or {})}
     if not sub:
-        return reader.parquet(*[str(p / f) for f in rels])
+        return _strip_prov(reader.parquet(*[str(p / f) for f in rels]))
     dirty = sorted(sub)
     d_df = reader.parquet(*[str(p / ref_of[k]) for k in dirty])
-    cols = d_df.columns
+    # select (not drop) the non-provenance columns: the _metadata pseudo-
+    # column below resolves only on the scan relation
+    cols = [c for c in d_df.columns if c not in _PROV_COLS]
     tagged = d_df.select(
         _rel_path_col().alias("_fp"),
         F.col("_metadata.row_index").alias("_ri"),
@@ -1873,9 +1888,9 @@ def _read_files_with_dv(
     # only files WITH vectors pay the metadata projection + filtering;
     # the clean majority reads plain (at 100 TB deletes touch few files,
     # so the DV overhead tracks the deleted fraction, not the table)
-    return reader.parquet(*[str(p / f) for f in clean]).unionByName(
-        applied, allowMissingColumns=True
-    )
+    return _strip_prov(
+        reader.parquet(*[str(p / f) for f in clean])
+    ).unionByName(applied, allowMissingColumns=True)
 
 
 def snapshot_delete_range_mor(
@@ -2015,11 +2030,14 @@ def snapshot_update_range_mor(
                 *[str(p / f) for f in touched]
             )
             # tag positions FIRST (the _metadata pseudo-column resolves
-            # only on the scan relation), then surface logical names
+            # only on the scan relation), then surface logical names.
+            # Exclude reserved provenance columns: touched files from a
+            # PREVIOUS update carry them, and the new images must not
+            # inherit stale provenance.
             tagged = raw.select(
                 _rel_path_col().alias("_fp"),
                 F.col("_metadata.row_index").alias("_ri"),
-                "*",
+                *[c for c in raw.columns if c not in _PROV_COLS],
             )
             if schema:
                 have = set(raw.columns)
@@ -2101,15 +2119,27 @@ def snapshot_update_range_mor(
                         set(_unpack_positions(dv[r["_fp"]])) | set(new_pos)
                     )
                 dv[r["_fp"]] = _pack_positions(new_pos)
-            # ...and append the updated images as new files
+            # ...and append the updated images as new files, carrying ROW
+            # PROVENANCE in the reserved _prov_fp/_prov_ri columns: the
+            # (file, position) each image replaced. Readers strip the
+            # reserved columns (every read path drops them; compaction
+            # rewrites without them), and the change feed uses them to
+            # report this commit as update_preimage/update_postimage
+            # PAIRS instead of unpaired delete+insert — Delta's row-
+            # tracking contract at the cost of two small columns on
+            # update-appended files only.
             updated = hits.select(*[
                 (set_cols[c] if c in set_cols else F.col(c)).alias(c)
                 for c in data_cols
-            ]).coalesce(1)
-            _enforce_constraints(updated, p, parent)
+            ], F.col("_fp").alias("_prov_fp"), F.col("_ri").alias("_prov_ri"))
+            _enforce_constraints(updated.drop(*_PROV_COLS), p, parent)
             if schema:
-                updated = _df_to_physical(updated, schema)
-            new_files = _write_files(updated, p)
+                by_name = {c["name"]: c["physical"] for c in schema["cols"]}
+                updated = updated.select(
+                    *[F.col(c).alias(by_name[c]) for c in data_cols],
+                    *_PROV_COLS,
+                )
+            new_files = _write_files(updated.coalesce(1), p)
             new_stats = dict(stats)
             tracked = sorted({c for s in stats.values() for c in s})
             if tracked:
@@ -2179,20 +2209,30 @@ def _align_schemas(a: DataFrame, b: DataFrame) -> "tuple[DataFrame, DataFrame]":
 
 def snapshot_change_feed(
     spark: SparkSession, table_path, v_from: int, v_to: int | None = None,
+    updates_as: str = "netflow",
 ) -> DataFrame:
     """NET row-level changes between two versions, as the data columns
-    plus a ``_change_type`` ('insert' | 'delete') column — the manifest-
-    aware form of a change data feed. The scale property is the point:
-    only files that CHANGED between the versions are read (added files,
-    removed files, and the DV-delta positions of kept files); untouched
-    files — the overwhelming majority of a 100 TB table under
-    incremental load — are never opened, where a naive snapshot diff
-    (orders_cdc_snapshot_diff's full-outer join) scans both versions in
-    full. Carried rows (a pruned rewrite re-emits untouched rows into
-    new files) cancel via EXCEPT ALL on row content, so the feed reports
-    net effects: an update appears as delete(old)+insert(new), a MOR or
-    CoW delete as delete(row), an insert-then-delete within the window
-    as nothing."""
+    plus a ``_change_type`` column — the manifest-aware form of a change
+    data feed. The scale property is the point: only files that CHANGED
+    between the versions are read (added files, removed files, and the
+    DV-delta positions of kept files); untouched files — the
+    overwhelming majority of a 100 TB table under incremental load — are
+    never opened, where a naive snapshot diff (orders_cdc_snapshot_diff's
+    full-outer join) scans both versions in full. Carried rows (a pruned
+    rewrite re-emits untouched rows into new files) cancel via EXCEPT ALL
+    on row content, so the feed reports net effects.
+
+    ``updates_as='netflow'`` (default): an update appears as
+    delete(old)+insert(new), a delete as delete(row), an
+    insert-then-delete within the window as nothing.
+
+    ``updates_as='updates'``: MOR-updated rows pair via the reserved row
+    PROVENANCE columns their update appended (_prov_fp/_prov_ri — the
+    (file, position) each image replaced) and report as
+    'update_preimage' / 'update_postimage' instead (Delta's CDF update
+    semantics). Pairing degrades gracefully: an image whose origin file
+    left the window's kept set (compacted away, or a multi-commit window
+    rewrote it) falls back to insert/delete, never silently drops."""
     from pyspark.sql import functions as F
 
     p = Path(table_path)
@@ -2205,15 +2245,29 @@ def snapshot_change_feed(
     removed = sorted(from_files - to_files)
     kept = sorted(from_files & to_files)
 
+    # updates mode: split added files into provenance-carrying (MOR
+    # update appends) and plain, by footer inspection (metadata-only)
+    prov_added: list[str] = []
+    plain_added = added
+    if updates_as == "updates" and added:
+        import pyarrow.parquet as pq
+
+        prov_added = [
+            f
+            for f in added
+            if _PROV_COLS[0] in pq.read_schema(str(p / f)).names
+        ]
+        plain_added = [f for f in added if f not in set(prov_added)]
+
     # merge_schema on every read: a schema-evolved window's added and
     # removed file sets can disagree on columns — single-footer inference
     # would silently drop late-added columns (EXCEPT ALL then cancels
     # rows differing only there, under-reporting updates) or the final
     # union would raise on mismatched column sets
     ins = (
-        _read_files_with_dv(spark, p, added, dv_to, merge_schema=True,
+        _read_files_with_dv(spark, p, plain_added, dv_to, merge_schema=True,
                             types=m_to.get("types"))
-        if added
+        if plain_added
         else snapshot_read(spark, p, version=v_to).limit(0)
     )
     dels = (
@@ -2235,6 +2289,7 @@ def snapshot_change_feed(
         delta = sorted(new_pos - old_pos)
         if delta:
             grown[f] = _pack_positions(delta)
+    pre_tagged = None  # grown-delta rows WITH (_fp, _ri), updates mode
     if grown:
         # read ONLY the delta positions: apply the COMPLEMENT trick —
         # a DV marks rows to drop, so dropping everything EXCEPT the
@@ -2245,7 +2300,7 @@ def snapshot_change_feed(
             spark.read.option("mergeSchema", "true")
             .parquet(*[str(p / f) for f in rels])
         )
-        cols = df.columns
+        cols = [c for c in df.columns if c not in _PROV_COLS]
         tagged = df.select(
             _rel_path_col().alias("_fp"),
             F.col("_metadata.row_index").alias("_ri"),
@@ -2260,12 +2315,91 @@ def snapshot_change_feed(
                 span = c if span is None else span | c
             cond = (F.col("_fp") == fp) & span
             keep = cond if keep is None else keep | cond
-        dv_deletes = tagged.where(keep).select(*cols)
-        net_del = net_del.unionByName(dv_deletes, allowMissingColumns=True)
+        matches = tagged.where(keep)
+        if updates_as == "updates":
+            pre_tagged = matches  # pairing decides delete vs preimage
+        else:
+            net_del = net_del.unionByName(
+                matches.select(*cols), allowMissingColumns=True
+            )
     ct = "_change_type"
-    return net_ins.withColumn(ct, F.lit("insert")).unionByName(
+    out = net_ins.withColumn(ct, F.lit("insert")).unionByName(
         net_del.withColumn(ct, F.lit("delete")), allowMissingColumns=True
     )
+    if updates_as != "updates":
+        return out
+
+    # pair postimages (provenance-carrying added rows, minus any already
+    # dead at v_to) with preimages (the grown DV-delta rows)
+    post = None
+    if prov_added:
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            *[str(p / f) for f in prov_added]
+        )
+        ptag = raw.select(
+            _rel_path_col().alias("_ffp"),
+            F.col("_metadata.row_index").alias("_fri"),
+            *raw.columns,
+        )
+        drop_cond = None  # rows of prov files deleted again by v_to
+        for f in prov_added:
+            k = _dv_key(f)
+            if k in dv_to:
+                span = None
+                for lo_, hi_ in _position_runs(_unpack_positions(dv_to[k])):
+                    c = F.col("_fri").between(int(lo_), int(hi_))
+                    span = c if span is None else span | c
+                cond = (F.col("_ffp") == k) & span
+                drop_cond = cond if drop_cond is None else drop_cond | cond
+        if drop_cond is not None:
+            ptag = ptag.where(~drop_cond)
+        post = ptag.drop("_ffp", "_fri")
+    if post is None and pre_tagged is None:
+        return out
+    data_of = lambda df, extra: [c for c in df.columns if c not in extra]  # noqa: E731
+    if post is not None and pre_tagged is not None:
+        pre_keys = pre_tagged.select(
+            F.col("_fp").alias("_prov_fp"), F.col("_ri").alias("_prov_ri")
+        )
+        post_keys = post.select("_prov_fp", "_prov_ri")
+        pk = ["_prov_fp", "_prov_ri"]
+        post_m = post.join(F.broadcast(pre_keys), pk, "left_semi")
+        post_u = post.join(F.broadcast(pre_keys), pk, "left_anti")
+        pre_j = pre_tagged.withColumnsRenamed(
+            {"_fp": "_prov_fp", "_ri": "_prov_ri"}
+        )
+        pre_m = pre_j.join(F.broadcast(post_keys), pk, "left_semi")
+        pre_u = pre_j.join(F.broadcast(post_keys), pk, "left_anti")
+        out = out.unionByName(
+            post_m.select(*data_of(post_m, set(pk)))
+            .withColumn(ct, F.lit("update_postimage")),
+            allowMissingColumns=True,
+        ).unionByName(
+            post_u.select(*data_of(post_u, set(pk)))
+            .withColumn(ct, F.lit("insert")),
+            allowMissingColumns=True,
+        ).unionByName(
+            pre_m.select(*data_of(pre_m, set(pk)))
+            .withColumn(ct, F.lit("update_preimage")),
+            allowMissingColumns=True,
+        ).unionByName(
+            pre_u.select(*data_of(pre_u, set(pk)))
+            .withColumn(ct, F.lit("delete")),
+            allowMissingColumns=True,
+        )
+    elif post is not None:  # provenance but origin files left the window
+        out = out.unionByName(
+            post.select(*data_of(post, set(_PROV_COLS)))
+            .withColumn(ct, F.lit("insert")),
+            allowMissingColumns=True,
+        )
+    else:  # grown deltas but no provenance files: plain deletes
+        out = out.unionByName(
+            pre_tagged.select(*data_of(pre_tagged, {"_fp", "_ri"}))
+            .withColumn(ct, F.lit("delete")),
+            allowMissingColumns=True,
+        )
+    return out
 
 
 def snapshot_files_for_range(table_path, col: str, lo, hi, version: int | None = None) -> list[str]:

@@ -2558,3 +2558,81 @@ def test_type_widening_restore_clears_postdating_map(spark, tmp_path):
     vr = snapshot_restore(t, v1)
     assert not _read_manifest(t, vr).get("types")
     assert dict(snapshot_read(spark, t).dtypes) == {"k": "int"}
+
+
+def test_change_feed_updates_as_updates_pairs_images(spark, tmp_path):
+    """updates_as='updates': a MOR update's rows report as
+    update_preimage/update_postimage PAIRS (matched through the reserved
+    provenance columns its append carries), while plain inserts and
+    deletes in the same window keep their types — and the default
+    netflow mode still reports delete+insert."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_change_feed,
+        snapshot_delete_range_mor,
+        snapshot_update_range_mor,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    v1 = current_version(t)
+    snapshot_update_range_mor(spark, t, "k", 10, 14, {"v": F.col("v") + 1})
+    v2 = current_version(t)
+    snapshot_append(spark.createDataFrame([(500, 5)], "k long, v long"), t)
+    snapshot_delete_range_mor(spark, t, "k", 90, 92)
+    v4 = current_version(t)
+
+    cf = snapshot_change_feed(spark, t, v1, v4, updates_as="updates")
+    rows = {(r.k, r.v, r._change_type) for r in cf.collect()}
+    want = (
+        {(k, k * 10, "update_preimage") for k in range(10, 15)}
+        | {(k, k * 10 + 1, "update_postimage") for k in range(10, 15)}
+        | {(500, 5, "insert")}
+        | {(k, k * 10, "delete") for k in (90, 91, 92)}
+    )
+    assert rows == want
+    # provenance never leaks into reads
+    assert set(snapshot_read(spark, t).columns) == {"k", "v"}
+    # default mode unchanged: delete+insert netflow
+    nf = snapshot_change_feed(spark, t, v1, v2)
+    types = {r._change_type for r in nf.collect()}
+    assert types == {"insert", "delete"}
+    assert nf.count() == 10
+
+
+def test_change_feed_updates_mode_degrades_without_pairing(spark, tmp_path):
+    """An update whose postimages survive but whose ORIGIN files left the
+    kept set (compaction rewrote them within the window) must fall back
+    to insert/delete — pairing never silently drops a change."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_change_feed,
+        snapshot_compact,
+        snapshot_update_range_mor,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    v1 = current_version(t)
+    snapshot_update_range_mor(spark, t, "k", 5, 7, {"v": F.col("v") + 1})
+    snapshot_compact(spark, t, target_files=2, stats_cols=["k"])
+    v3 = current_version(t)
+    cf = snapshot_change_feed(spark, t, v1, v3, updates_as="updates")
+    rows = {(r.k, r.v, r._change_type) for r in cf.collect()}
+    # compaction stripped provenance and rewrote everything the netflow
+    # way: the update still shows as delete(old)+insert(new)
+    assert (5, 50, "delete") in rows and (5, 51, "insert") in rows
+    assert not any(ct.startswith("update_") for _, _, ct in rows)
+    # and the final state is intact
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert got[5] == 51 and got[8] == 80 and len(got) == 50
