@@ -164,3 +164,49 @@ def test_catalog_restore_vacuum_history(spark, tmp_path):
     cat.sql(f"CREATE TABLE audit_v1 USING snapshot LOCATION '{t}' VERSION AS OF 3")
     with pytest.raises(ValueError, match="read-only"):
         cat.sql("INSERT INTO audit_v1 SELECT 1 AS k")
+
+
+def test_catalog_composes_with_mapping_and_widening(spark, tmp_path):
+    """The SQL surface over a column-mapped AND type-widened table:
+    SELECT sees logical names at the widened types, INSERT INTO speaks
+    logical names (physical translation + upcast happen underneath), and
+    MERGE upserts through the same namespace."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_enable_column_mapping,
+        snapshot_rename_column,
+        snapshot_write,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "dim"
+    snapshot_write(
+        spark.range(5).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).cast("int").alias("v"),
+        ),
+        t,
+    )
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_rename_column(t, "v", "value")
+    # widen through the library (long batch under the logical name)
+    snapshot_append(
+        spark.createDataFrame([(2**40, 7)], "k long, value long"), t
+    )
+    cat.sql(f"CREATE TABLE dim USING snapshot LOCATION '{t}'")
+    got = cat.sql("SELECT * FROM dim")
+    assert set(got.columns) == {"k", "value"}
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert {r.k for r in got.collect()} == set(range(5)) | {2**40}
+    # INSERT through logical names
+    cat.sql("INSERT INTO dim SELECT 100 AS k, 9 AS value")
+    assert cat.sql("SELECT count(*) AS n FROM dim").first().n == 7
+    # MERGE updates one key through the logical namespace
+    spark.createDataFrame([(100, 99)], "k long, value long").createOrReplaceTempView(
+        "dim_src"
+    )
+    cat.sql("MERGE INTO dim USING dim_src ON (k)")
+    rows = {r.k: r.value for r in cat.sql("SELECT * FROM dim").collect()}
+    assert rows[100] == 99 and rows[2**40] == 7 and len(rows) == 7
