@@ -150,18 +150,39 @@ def _mapping_renames(schema_meta: dict | None):
     return [(c["physical"], c["name"], c["type"]) for c in schema_meta["cols"]]
 
 
+# Footer-schema cache: data files are IMMUTABLE once published (tmp-write
+# + rename; vacuum only ever deletes), so an arrow schema keyed by
+# absolute path can never go stale. This turns the O(files) footer sweep
+# behind schema resolution / expected-column planning into O(new files)
+# across repeated loads — the SQL catalog re-registers its views per
+# query, so the amortization is what keeps that freshness contract cheap.
+_FOOTER_CACHE: dict = {}
+_FOOTER_CACHE_MAX = 65536
+
+
+def _footer_schema(path: str):
+    import pyarrow.parquet as pq
+
+    sch = _FOOTER_CACHE.get(path)
+    if sch is None:
+        sch = pq.read_schema(path)
+        if len(_FOOTER_CACHE) >= _FOOTER_CACHE_MAX:
+            _FOOTER_CACHE.clear()  # rare; simpler than LRU bookkeeping
+        _FOOTER_CACHE[path] = sch
+    return sch
+
+
 def _expected_names(table_path: Path, rels: list) -> list:
     """Declared column order for a file set: the first-seen-order union
     of the files' footer (name, arrow type) fields — matching pa_unify /
     the engine-declared schema, with the type kept so a file MISSING the
     column can emit a correctly-typed all-NULL array (Spark's vectorized
-    reader rejects untyped null arrays). Footer reads are metadata-only."""
-    import pyarrow.parquet as pq
-
+    reader rejects untyped null arrays). Footer reads are metadata-only
+    and cached (immutable files)."""
     fields: list = []
     seen: set = set()
     for rel in rels:
-        for f in pq.read_schema(str(table_path / rel)):
+        for f in _footer_schema(str(table_path / rel)):
             if f.name not in seen:
                 seen.add(f.name)
                 fields.append((f.name, f.type))
@@ -192,14 +213,13 @@ def _typed_nulls(n: int, ddl: str | None):
 def _spark_schema_for(table_path: Path, version: int):
     """Merged Spark schema of a version's files (logical names when the
     table is column-mapped), via pyarrow footers — no JVM needed at
-    datasource-schema time."""
-    import pyarrow.parquet as pq
+    datasource-schema time; footers cached (immutable files)."""
     from pyspark.sql.pandas.types import from_arrow_schema
 
     m = _read_manifest(table_path, version)
     sch = None
     for rel in m["files"]:
-        s = pq.read_schema(str(table_path / rel))
+        s = _footer_schema(str(table_path / rel))
         sch = s if sch is None else pa_unify(sch, s)
     if sch is None:
         raise ValueError(f"version {version} of {table_path} lists no files")
