@@ -3291,6 +3291,7 @@ def snapshot_tail_changes(
     process_batch,
     app_id: str = "change-consumer",
     max_versions: int | None = None,
+    updates_as: str = "netflow",
 ) -> int:
     """Streaming SOURCE over the snapshot log: consume the table's change
     feed version-by-version — the readStream-equivalent half of Delta's
@@ -3357,7 +3358,9 @@ def snapshot_tail_changes(
                 "_change_type", F.lit("insert")
             )
         else:
-            batch = snapshot_change_feed(spark, table, prev, ver)
+            batch = snapshot_change_feed(
+                spark, table, prev, ver, updates_as=updates_as
+            )
         process_batch(batch, ver)
         # exactly-once progress stamp: a metadata-only commit on the
         # progress table records (app_id, ver); a replayed stamp is a

@@ -2636,3 +2636,39 @@ def test_change_feed_updates_mode_degrades_without_pairing(spark, tmp_path):
     # and the final state is intact
     got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
     assert got[5] == 51 and got[8] == 80 and len(got) == 50
+
+
+def test_tail_changes_updates_mode_delivers_paired_batches(spark, tmp_path):
+    """The streaming change consumer passes updates_as through: a MOR
+    update's version arrives as one batch of paired
+    update_preimage/update_postimage rows."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_tail_changes,
+        snapshot_update_range_mor,
+        snapshot_write_with_stats,
+    )
+
+    t, prog = tmp_path / "t", tmp_path / "prog"
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    snapshot_update_range_mor(spark, t, "k", 3, 5, {"v": F.col("v") + 7})
+    seen = {}
+
+    def consume(batch, ver):
+        seen[ver] = sorted(
+            (r.k, r.v, r._change_type) for r in batch.collect()
+        )
+
+    n = snapshot_tail_changes(
+        spark, t, prog, consume, updates_as="updates"
+    )
+    assert n == 2
+    v_upd = max(seen)
+    assert seen[v_upd] == sorted(
+        [(k, k * 10, "update_preimage") for k in (3, 4, 5)]
+        + [(k, k * 10 + 7, "update_postimage") for k in (3, 4, 5)]
+    )
