@@ -763,3 +763,56 @@ def test_bm25_probe_prunes_index_files_and_matches_fused(spark, tmp_path):
         f"single-bucket probe lists {n_single} files — manifest pruning "
         "is not selective"
     )
+
+
+def test_widened_read_is_scan_only_no_extra_stage(spark, tmp_path):
+    """Type widening must cost NOTHING at read time beyond the scan: the
+    explicit read schema makes Spark's parquet reader do the widening
+    promotion per file — no Project-with-casts stage, no Exchange, and
+    the widened column's filters still push down to the scan."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = tmp_path / "t"
+    snapshot_write(
+        spark.range(100).selectExpr("cast(id as int) k", "cast(id as float) v"), t
+    )
+    snapshot_append(spark.createDataFrame([(2**40, 1.5)], "k long, v double"), t)
+    df = snapshot_read(spark, t).where(F.col("k") > 50)
+    import re
+
+    plan = plan_of(df)
+    assert "Exchange" not in plan, "widened read introduced a shuffle"
+    # exactly one scan node (each node renders once in the tree and once
+    # as a "(n) Scan parquet" detail header — count the headers)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,50)]" in plan, plan
+
+
+def test_change_feed_update_pairing_joins_broadcast(spark, tmp_path):
+    """updates_as='updates' pairing must join update-sized frames via
+    BROADCAST semi/anti joins — a SortMergeJoin here would shuffle on
+    row-position keys at table scale."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_change_feed,
+        snapshot_update_range_mor,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    v1 = current_version(t)
+    snapshot_update_range_mor(spark, t, "k", 10, 30, {"v": F.col("v") + 1})
+    cf = snapshot_change_feed(
+        spark, t, v1, current_version(t), updates_as="updates"
+    )
+    plan = plan_of(cf)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
