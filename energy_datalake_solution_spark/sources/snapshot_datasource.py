@@ -481,9 +481,19 @@ def _plan_write(table_path: str, schema) -> tuple:
     casts: dict = {}
     types_meta = None
     if tip and m.get("files"):
-        recorded = m.get("types") or _footer_types(p, list(m["files"]))
-        out_types, changed = dict(recorded), m.get("types") is None
-        drift = False
+        recorded = m.get("types")
+        if recorded is None:
+            # zero-cost fast path (mirrors _apply_type_widening): a batch
+            # whose types match a single-footer probe needs no sweep, no
+            # casts, and no metadata
+            probe = _footer_types(p, list(m["files"])[:1])
+            if all(batch_types.get(c, t) == t for c, t in probe.items()) and all(
+                probe.get(c, t) == t for c, t in batch_types.items()
+            ):
+                return rename, casts, types_meta
+            recorded = _footer_types(p, list(m["files"]))
+        out_types = dict(recorded)
+        drift = m.get("types") is None  # bootstrapped map must be stamped
         for col, bt in batch_types.items():
             st = out_types.get(col)
             if st is None:
@@ -503,7 +513,7 @@ def _plan_write(table_path: str, schema) -> tuple:
                 drift = True
             if w != bt:
                 casts[col] = w
-        if drift or (changed and (casts or drift)):
+        if drift:
             types_meta = out_types
     return rename, casts, types_meta
 
