@@ -1,3 +1,10 @@
 from .catalog import TABLES, load_table, load_tables, register_views
+from .snapshot_catalog import SnapshotCatalog
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "SnapshotCatalog",
+    "load_table",
+    "load_tables",
+    "register_views",
+]
