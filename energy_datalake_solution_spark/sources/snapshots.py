@@ -1405,8 +1405,13 @@ def _materialize_checkpoint(p: Path, v: int) -> None:
     m = _read_manifest(p, v)
     full: dict = {"version": v, "parent": m.get("parent", 0),
                   "txn": m.get("txn"), "ckpt_dist": 0}
+    # EVERY carried metadata family must appear here: dropping one
+    # silently strips it from the materialized version AND from every
+    # delta that resolves through it (the round-9 torture test caught
+    # exactly that for "types" — a vacuumed widened table read mixed-
+    # width files without the explicit schema)
     for fld in ("op", "ts", "txn_app", "txns", "n_files", "schema",
-                "constraints"):
+                "constraints", "types"):
         if m.get(fld) is not None:
             full[fld] = m[fld]
     if len(m["files"]) >= CKPT_PARQUET_MIN_FILES:

@@ -2672,3 +2672,35 @@ def test_tail_changes_updates_mode_delivers_paired_batches(spark, tmp_path):
         [(k, k * 10, "update_preimage") for k in (3, 4, 5)]
         + [(k, k * 10 + 7, "update_postimage") for k in (3, 4, 5)]
     )
+
+
+def test_vacuum_checkpoint_materialization_keeps_widened_types(spark, tmp_path):
+    """Regression (caught by the round-9 torture test): vacuum's
+    checkpoint materialization must carry the ``types`` map — dropping
+    it leaves a version whose mixed-width files read with a single
+    footer's inferred schema (INT64 files under an int expectation crash;
+    worse, the opposite inference order would silently pass)."""
+    from pyspark.sql import functions as F
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    snapshot_write(
+        spark.range(20).selectExpr("cast(id as int) k", "cast(id as int) v"), t
+    )
+    snapshot_append(spark.createDataFrame([(2**40, 1)], "k long, v long"), t)
+    # force many delta hops, then a vacuum whose retention window makes
+    # kept versions' chains escape (materialization path)
+    for i in range(S.CHECKPOINT_EVERY + 2):
+        snapshot_append(
+            spark.createDataFrame([(1000 + i, i)], "k long, v long"), t
+        )
+    snapshot_vacuum(t, keep_versions=2)
+    tip = current_version(t)
+    for v in (tip - 1, tip):
+        m = S._read_manifest(t, v)
+        assert m.get("types") == {"k": "bigint", "v": "bigint"}, f"v{v}"
+        got = snapshot_read(spark, t, version=v)
+        assert dict(got.dtypes)["k"] == "bigint"
+        ks = {r.k for r in got.collect()}
+        assert 2**40 in ks and 0 in ks
