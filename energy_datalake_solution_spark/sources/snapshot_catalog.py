@@ -287,6 +287,25 @@ class SnapshotCatalog:
             self._register(name)
         return self.spark.sql(query)
 
+    def read_stream(self, name: str, starting_version: int = 0) -> DataFrame:
+        """Streaming DataFrame over a registered snapshot table (the
+        version-offset source: each micro-batch is the files added in a
+        version window, offsets checkpointed by Structured Streaming).
+        A version-pinned registration has no stream — it is one frozen
+        snapshot."""
+        path, version = self._tables[name]
+        if version is not None:
+            raise ValueError(
+                f"table {name!r} is pinned to VERSION AS OF {version} — "
+                "a time-travel registration has no change stream"
+            )
+        return (
+            self.spark.readStream.format("snapshot")
+            .option("path", path)
+            .option("startingVersion", str(starting_version))
+            .load()
+        )
+
     def _register(self, name: str) -> None:
         path, version = self._tables[name]
         reader = self.spark.read.format("snapshot").option("path", path)

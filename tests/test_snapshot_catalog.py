@@ -210,3 +210,34 @@ def test_catalog_composes_with_mapping_and_widening(spark, tmp_path):
     cat.sql("MERGE INTO dim USING dim_src ON (k)")
     rows = {r.k: r.value for r in cat.sql("SELECT * FROM dim").collect()}
     assert rows[100] == 99 and rows[2**40] == 7 and len(rows) == 7
+
+
+def test_catalog_read_stream_tails_registered_table(spark, tmp_path):
+    """Streaming consumption by catalog NAME: read_stream returns the
+    version-offset source over the registered table; a pinned
+    registration refuses (no change stream on a frozen snapshot)."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_write,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t, out, ckpt = tmp_path / "t", tmp_path / "out", tmp_path / "ckpt"
+    snapshot_write(spark.range(4).selectExpr("id AS k"), t)
+    snapshot_append(spark.range(4, 7).selectExpr("id AS k"), t)
+    cat.sql(f"CREATE TABLE ev USING snapshot LOCATION '{t}'")
+    q = (
+        cat.read_stream("ev")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.k for r in spark.read.parquet(str(out)).collect()) == list(
+        range(7)
+    )
+    cat.sql(f"CREATE TABLE ev_v1 USING snapshot LOCATION '{t}' VERSION AS OF 1")
+    with pytest.raises(ValueError, match="no change stream"):
+        cat.read_stream("ev_v1")
