@@ -115,6 +115,28 @@ def _literal(tok: str):
         return float(tok)
 
 
+def _ts_literal(tok: str) -> float:
+    """A TIMESTAMP AS OF value -> epoch seconds: numeric literals pass
+    through; quoted date/datetime strings parse as ISO-8601 (Delta's
+    timestamp-travel syntax — '2026-01-01' / '2026-01-01 12:00:00'),
+    failing with a CLEAR error instead of float()'s opaque ValueError."""
+    v = _literal(tok)
+    if not isinstance(v, str):
+        return float(v)
+    from datetime import datetime
+
+    try:
+        return datetime.fromisoformat(v).timestamp()
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            raise ValueError(
+                f"TIMESTAMP AS OF {tok}: expected an ISO-8601 date/"
+                "datetime string or epoch seconds"
+            ) from None
+
+
 class SnapshotCatalog:
     """Session-scoped snapshot-table catalog: name -> (path, version).
 
@@ -246,7 +268,7 @@ class SnapshotCatalog:
             if m.group("version") is not None:
                 snapshot_restore(path, int(m.group("version")))
             else:
-                snapshot_restore(path, as_of_ts=float(_literal(m.group("ts"))))
+                snapshot_restore(path, as_of_ts=_ts_literal(m.group("ts")))
             return None
         m = _VACUUM_RE.match(text)
         if m and m.group("name") in self._tables:

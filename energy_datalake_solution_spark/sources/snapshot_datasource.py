@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
 )
 
 from .snapshots import (
+    _PROV_COLS,
     _dv_key,
     _footer_types,
     _read_manifest,
@@ -94,6 +95,14 @@ def _arrow_batches(part: _FilePartition):
     import pyarrow.parquet as pq
 
     table = pq.read_table(part.path)
+    # reserved row-provenance columns (MOR update appends) are INTERNAL:
+    # the library's every read path strips them (snapshots.py::_strip_prov)
+    # and the DataSource must match — surfacing them would let an
+    # INSERT INTO t SELECT * FROM t round-trip write them back as data.
+    # Drop BEFORE the DV filter (positions index rows, not columns).
+    prov = [c for c in _PROV_COLS if c in table.column_names]
+    if prov:
+        table = table.drop_columns(prov)
     if part.positions:
         dead = np.asarray(_unpack_positions(part.positions), dtype=np.int64)
         keep = np.ones(table.num_rows, dtype=bool)
@@ -180,7 +189,7 @@ def _expected_names(table_path: Path, rels: list) -> list:
     reader rejects untyped null arrays). Footer reads are metadata-only
     and cached (immutable files)."""
     fields: list = []
-    seen: set = set()
+    seen: set = set(_PROV_COLS)  # internal provenance never surfaces
     for rel in rels:
         for f in _footer_schema(str(table_path / rel)):
             if f.name not in seen:
@@ -228,11 +237,14 @@ def _spark_schema_for(table_path: Path, version: int):
 
     # every column is NULLABLE at the table level regardless of footer
     # nullability: additive evolution NULL-fills pre-evolution files, and
-    # deletion-vector filtering must never promise non-null to codegen
+    # deletion-vector filtering must never promise non-null to codegen.
+    # Reserved provenance columns (MOR update appends) never surface —
+    # the same strip contract as the library read paths.
     spark_schema = StructType(
         [
             StructField(f.name, f.dataType, True)
             for f in from_arrow_schema(sch).fields
+            if f.name not in _PROV_COLS
         ]
     )
 
@@ -339,6 +351,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             if m.get("schema")
             else _expected_names(self.table_path, m["files"])
         )
+        # pin the START version's widened-types map alongside the pinned
+        # schema: a widening landing mid-stream must not make batches
+        # arrive wider than the declared stream schema (using m_to's map
+        # at planning time would cast batches to the NEW width against
+        # the old declaration and hard-fail the stream — restart picks
+        # the new schema up, Structured Streaming's fixed-schema contract)
+        self.types = m.get("types")
 
     def initialOffset(self):
         return {"version": self.starting_version}
@@ -363,7 +382,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         return [
             _FilePartition(
                 str(self.table_path / rel), dv.get(_dv_key(rel)), rename,
-                m_to.get("types"), None if rename else self.expect,
+                self.types, None if rename else self.expect,
             )
             for rel in added
         ]

@@ -496,6 +496,19 @@ def _types_ddl(types: dict) -> str:
     return ", ".join(f"`{c}` {t}" for c, t in types.items())
 
 
+def _types_ddl_with_prov(types: dict) -> str:
+    """Explicit read schema for file sets that may carry the reserved
+    provenance columns and whose CALLER needs them (change-feed pairing):
+    the widened map plus the prov columns, deduplicated in case a legacy
+    map bootstrapped them in before _footer_types excluded them."""
+    extra = [
+        f"`{c}` {t}"
+        for c, t in (("_prov_fp", "string"), ("_prov_ri", "bigint"))
+        if c not in types
+    ]
+    return ", ".join([_types_ddl(types), *extra])
+
+
 def _footer_types(p: Path, rels: list[str]) -> dict:
     """Widest per-column Spark type across the files' parquet footers
     (metadata-only reads). Used ONCE to bootstrap the manifest's
@@ -508,6 +521,8 @@ def _footer_types(p: Path, rels: list[str]) -> dict:
     for rel in rels:
         sch = from_arrow_schema(pq.read_schema(str(p / rel)))
         for f in sch.fields:
+            if f.name in _PROV_COLS:
+                continue  # internal provenance never enters the type map
             t = f.dataType.simpleString()
             prev = out.get(f.name)
             out[f.name] = t if prev is None else (_wider_type(prev, t) or t)
@@ -1592,11 +1607,17 @@ def _commit_full_replace(p: Path, files: list[str], *, stats=None, blooms=None,
     """Commit a FULL-REPLACE file set with the optimistic rebase: a
     conflict means another writer advanced the tip, and replace-whatever-
     is-current semantics rebase by recommitting the same files on the new
-    parent (no read-set to validate)."""
+    parent (no read-set to validate). Widened-type metadata is CLEARED,
+    mirroring snapshot_write: every caller here is a content-replacing
+    writer (the df is the caller's, not a re-read of the table), so the
+    new files' footers are the honest schema — inheriting the parent's
+    stale ``types`` map would silently drop a column the batch added or
+    mis-type a replaced one. Compaction paths that re-read wide data use
+    their own _commit loops and keep inheriting."""
     for attempt in range(COMMIT_RETRIES):
         try:
             return _commit(p, files, current_version(p), stats=stats,
-                           blooms=blooms, op=op)
+                           blooms=blooms, op=op, types_meta=CLEAR_METADATA)
         except SnapshotCommitConflict:
             if attempt == COMMIT_RETRIES - 1:
                 raise
@@ -1930,8 +1951,13 @@ def snapshot_delete_range_mor(
                                stats=m.get("stats") or None,
                                blooms=m.get("blooms") or None,
                                dv=dv or None, op="delete-mor")
+            # widened table: explicit schema (mixed INT32/INT64 footers are
+            # a merge conflict for inference; see _read_files_with_dv)
+            _rd = spark.read
+            if m.get("types"):
+                _rd = _rd.schema(_types_ddl(m["types"]))
             hits = (
-                spark.read.parquet(*[str(p / f) for f in touched])
+                _rd.parquet(*[str(p / f) for f in touched])
                 .select(
                     _rel_path_col().alias("fp"),
                     F.col("_metadata.row_index").alias("ri"),
@@ -2030,10 +2056,20 @@ def snapshot_update_range_mor(
                                blooms=m.get("blooms") or None,
                                dv=dv or None, op="update-mor")
             # matched LIVE rows of the touched files: dv-applied read so
-            # already-deleted positions can neither update nor resurrect
-            raw = spark.read.option("mergeSchema", "true").parquet(
-                *[str(p / f) for f in touched]
-            )
+            # already-deleted positions can neither update nor resurrect.
+            # Widened table: explicit schema instead of mergeSchema (mixed
+            # footer widths are a merge conflict; _read_files_with_dv's
+            # treatment). Prov columns are excluded from the declared
+            # schema by construction (the types map never records them),
+            # which IS the strip the select below otherwise performs.
+            if m.get("types"):
+                raw = spark.read.schema(_types_ddl(m["types"])).parquet(
+                    *[str(p / f) for f in touched]
+                )
+            else:
+                raw = spark.read.option("mergeSchema", "true").parquet(
+                    *[str(p / f) for f in touched]
+                )
             # tag positions FIRST (the _metadata pseudo-column resolves
             # only on the scan relation), then surface logical names.
             # Exclude reserved provenance columns: touched files from a
@@ -2301,10 +2337,16 @@ def snapshot_change_feed(
         # delta needs the inverse; simplest exact form reads the grown
         # files once and keeps the delta rows via the same run filter
         rels = sorted(grown)
-        df = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[str(p / f) for f in rels])
-        )
+        # widened window: explicit schema (mixed footer widths break
+        # mergeSchema); the from-side map types the rows that DIED, and
+        # kept files may carry prov columns a previous update appended —
+        # keep them readable so the select below can strip them
+        _rd = spark.read
+        if m_from.get("types"):
+            _rd = _rd.schema(_types_ddl_with_prov(m_from["types"]))
+        else:
+            _rd = _rd.option("mergeSchema", "true")
+        df = _rd.parquet(*[str(p / f) for f in rels])
         cols = [c for c in df.columns if c not in _PROV_COLS]
         tagged = df.select(
             _rel_path_col().alias("_fp"),
@@ -2338,9 +2380,14 @@ def snapshot_change_feed(
     # dead at v_to) with preimages (the grown DV-delta rows)
     post = None
     if prov_added:
-        raw = spark.read.option("mergeSchema", "true").parquet(
-            *[str(p / f) for f in prov_added]
-        )
+        # widened window: explicit schema, WITH the provenance columns —
+        # they are the pairing key and prov-added files always carry them
+        _rd = spark.read
+        if m_to.get("types"):
+            _rd = _rd.schema(_types_ddl_with_prov(m_to["types"]))
+        else:
+            _rd = _rd.option("mergeSchema", "true")
+        raw = _rd.parquet(*[str(p / f) for f in prov_added])
         ptag = raw.select(
             _rel_path_col().alias("_ffp"),
             F.col("_metadata.row_index").alias("_fri"),

@@ -241,3 +241,58 @@ def test_catalog_read_stream_tails_registered_table(spark, tmp_path):
     cat.sql(f"CREATE TABLE ev_v1 USING snapshot LOCATION '{t}' VERSION AS OF 1")
     with pytest.raises(ValueError, match="no change stream"):
         cat.read_stream("ev_v1")
+
+
+def test_catalog_select_star_strips_provenance_after_update(spark, tmp_path):
+    """r10 ADVICE (high) regression, catalog surface: after the catalog's
+    own UPDATE statement (MOR update), SELECT * must not surface the
+    reserved provenance columns, and an INSERT INTO t SELECT * FROM t
+    round-trip must keep the data schema."""
+    from energy_datalake_solution_spark.sources.snapshots import snapshot_read
+
+    t = tmp_path / "orders_t"
+    snapshot_write(
+        spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(10)], "k long, status string"
+        ),
+        t,
+    )
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE prov_t USING snapshot OPTIONS (path '{t}')")
+    cat.sql("UPDATE prov_t SET status = 'X' WHERE k BETWEEN 2 AND 4")
+    got = cat.sql("SELECT * FROM prov_t")
+    assert got.columns == ["k", "status"]
+    cat.sql("INSERT INTO prov_t SELECT * FROM prov_t")
+    after = snapshot_read(spark, t)
+    assert after.columns == ["k", "status"]
+    assert after.count() == 20
+
+
+def test_restore_timestamp_iso_literal(spark, tmp_path):
+    """r10 ADVICE regression: RESTORE TABLE ... TIMESTAMP AS OF accepts an
+    ISO-8601 datetime string (Delta's syntax), not only epoch seconds;
+    a non-timestamp string fails with a clear error."""
+    import time as _time
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_read,
+    )
+
+    t = tmp_path / "ts_t"
+    snapshot_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"), t
+    )
+    _time.sleep(0.05)
+    from datetime import datetime
+
+    cut = datetime.now().isoformat()
+    _time.sleep(0.05)
+    snapshot_write(spark.createDataFrame([(2, "b")], "k long, v string"), t)
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE ts_t USING snapshot OPTIONS (path '{t}')")
+    cat.sql(f"RESTORE TABLE ts_t TIMESTAMP AS OF '{cut}'")
+    assert {r.v for r in snapshot_read(spark, t).collect()} == {"a"}
+    assert current_version(t) == 3  # restore commits a NEW version
+    with pytest.raises(ValueError, match="ISO-8601"):
+        cat.sql("RESTORE TABLE ts_t TIMESTAMP AS OF 'not-a-time'")

@@ -308,3 +308,27 @@ def test_batch_read_additive_schema_evolution(ds_spark, tmp_path):
     got = spark.read.format("snapshot").option("path", str(t)).load()
     rows = {r.k: r.extra for r in got.collect()}
     assert rows == {0: None, 1: None, 2: None, 3: 6, 4: 8}
+
+
+def test_batch_read_strips_provenance_after_mor_update(ds_spark, tmp_path):
+    """r10 ADVICE (high) regression: MOR updates append files carrying the
+    reserved _prov_fp/_prov_ri columns; the DataSource's schema AND rows
+    must strip them exactly like the library read paths — otherwise an
+    INSERT INTO t SELECT * FROM t round-trip writes them back as data."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_update_range_mor,
+    )
+
+    spark = ds_spark
+    t = tmp_path / "t"
+    snapshot_write_with_stats(_df(spark, 0, 20, "a"), t, ["k"], n_files=2)
+    snapshot_update_range_mor(spark, t, "k", 5, 9, {"v": F.lit("upd")})
+    got = spark.read.format("snapshot").option("path", str(t)).load()
+    assert got.columns == ["k", "v"], "provenance columns leaked"
+    lib = snapshot_read(spark, t)
+    assert {(r.k, r.v) for r in got.collect()} == {
+        (r.k, r.v) for r in lib.collect()
+    }
+    assert {r.v for r in got.where(F.col("k").between(5, 9)).collect()} == {
+        "upd"
+    }

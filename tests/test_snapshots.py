@@ -2704,3 +2704,92 @@ def test_vacuum_checkpoint_materialization_keeps_widened_types(spark, tmp_path):
         assert dict(got.dtypes)["k"] == "bigint"
         ks = {r.k for r in got.collect()}
         assert 2**40 in ks and 0 in ks
+
+
+def test_mor_delete_and_update_on_widened_table(spark, tmp_path):
+    """r10 ADVICE regression: the MOR delete/update tag scans read their
+    touched files under the manifest's widened-types explicit schema —
+    a widened table whose file set mixes INT32 and INT64 footers must
+    not throw Spark's failed-to-merge error (mergeSchema treats mixed
+    widths as a conflict; single-footer inference crashes on the other
+    width)."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_delete_range_mor,
+        snapshot_update_range_mor,
+    )
+
+    t = tmp_path / "t"
+    narrow = spark.range(10).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("float").alias("v"),
+    )
+    snapshot_write(narrow, t)
+    wide = spark.createDataFrame([(2**40, 1.5)], "k long, v double")
+    snapshot_append(wide, t)  # widen: types map {k: bigint, v: double}
+    # MOR delete spanning BOTH an int32 file and the int64 file
+    snapshot_delete_range_mor(spark, t, "k", 8, 2**40)
+    got = sorted(r.k for r in snapshot_read(spark, t).collect())
+    assert got == list(range(8))
+    # MOR update over the surviving int32 rows
+    snapshot_update_range_mor(spark, t, "k", 5, 7, {"v": F.lit(999.0)})
+    rows = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert rows[5] == 999.0 and rows[6] == 999.0 and rows[7] == 999.0
+    assert rows[0] == 0.0 and len(rows) == 8
+
+
+def test_change_feed_updates_mode_on_widened_table(spark, tmp_path):
+    """r10 ADVICE regression: the change feed's grown-DV-delta and
+    prov-added reads honor the widened-types map (explicit schema with
+    the provenance columns appended for the pairing read)."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_change_feed,
+        snapshot_update_range_mor,
+    )
+
+    t = tmp_path / "t"
+    snapshot_write(
+        spark.range(10).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 10).cast("float").alias("v"),
+        ),
+        t,
+    )
+    snapshot_append(spark.createDataFrame([(2**40, 1.5)], "k long, v double"), t)
+    v_pre = current_version(t)
+    snapshot_update_range_mor(spark, t, "k", 3, 4, {"v": F.lit(111.0)})
+    cf = snapshot_change_feed(spark, t, v_pre, updates_as="updates")
+    by_type = {
+        ct: {r.k for r in cf.where(cf._change_type == ct).collect()}
+        for ct in ("update_preimage", "update_postimage")
+    }
+    assert by_type["update_preimage"] == {3, 4}
+    assert by_type["update_postimage"] == {3, 4}
+    assert "_prov_fp" not in cf.columns and "_prov_ri" not in cf.columns
+
+
+def test_full_replace_with_stats_clears_stale_types_map(spark, tmp_path):
+    """r10 ADVICE regression: content-replacing writers through
+    _commit_full_replace (write_with_stats, zordered) CLEAR the widened
+    types map like snapshot_write — a full replace whose batch ADDS a
+    column on a previously-widened table must surface the new column
+    (a stale map as explicit read schema would silently drop it)."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    snapshot_write(
+        spark.range(5).select(F.col("id").cast("int").alias("k")), t
+    )
+    snapshot_append(spark.createDataFrame([(2**40,)], "k long"), t)
+    assert _read_manifest(t, current_version(t))["types"] == {"k": "bigint"}
+    replacement = spark.range(3).select(
+        F.col("id").alias("k"), F.lit("new").alias("extra")
+    )
+    snapshot_write_with_stats(replacement, t, ["k"])
+    m = _read_manifest(t, current_version(t))
+    assert not m.get("types"), "full replace must clear the widened map"
+    got = snapshot_read(spark, t)
+    assert sorted(got.columns) == ["extra", "k"]
+    assert {r.extra for r in got.collect()} == {"new"}
