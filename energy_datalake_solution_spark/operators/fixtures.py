@@ -1258,3 +1258,78 @@ def snapshot_cdf_updates_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{unpaired} window rows failed to pair as updates"
         )
     return out
+
+
+@register(
+    "snapshot_conditional_merge_read",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               CASE WHEN o_orderkey % 100 >= 40 AND o_orderkey % 2 = 0
+                    THEN o_totalprice + 5 ELSE o_totalprice
+               END AS total_price,
+               o_orderstatus AS order_status
+        FROM orders
+        WHERE o_orderkey % 100 < 50
+          AND NOT (o_orderkey % 100 >= 40 AND o_orderkey % 2 = 1
+                   AND o_orderkey % 3 = 0)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 5, o_orderstatus
+        FROM orders
+        WHERE o_orderkey % 100 >= 50 AND o_orderkey % 100 < 60
+          AND o_orderkey % 2 = 1
+    """,
+    tags=("snapshot", "merge", "conditional"),
+)
+def snapshot_conditional_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE (Delta's WHEN-clause form) under the driver's
+    hash gate, THROUGH the SQL surface: commit the orders band<50 subset
+    as v1, then run a verbatim ``MERGE INTO`` statement with three
+    conditional arms via SnapshotCatalog — matched evens UPDATE to the
+    source price (+5), matched odd multiples of 3 DELETE, unmatched odds
+    INSERT — and read the merged table back. The oracle derives the final
+    state arithmetically from raw orders, so a clause-precedence slip
+    (UPDATE must evaluate before DELETE), a condition evaluated over the
+    wrong alias, a lost carry row, or a parser mis-route all fail the
+    hash. Generalizes the reference's J1 staging merge
+    (etl-s3-processed-to-redshift.py:66-96) to the conditional form."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_read, snapshot_write_with_stats
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_cmerge_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    band = F.pmod("o_orderkey", F.lit(100))
+    snapshot_write_with_stats(
+        o.where(band < 50), t, ["o_orderkey"], n_files=6
+    )
+    o.where((band >= 40) & (band < 60)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 5).alias("o_totalprice"),
+        "o_orderstatus",
+    ).createOrReplaceTempView("cmerge_src")
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE cmerge_target USING snapshot LOCATION '{t}'")
+    cat.sql(
+        "MERGE INTO cmerge_target t USING cmerge_src s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND s.o_orderkey % 2 = 0 "
+        "THEN UPDATE SET o_totalprice = s.o_totalprice "
+        "WHEN MATCHED AND s.o_orderkey % 3 = 0 THEN DELETE "
+        "WHEN NOT MATCHED AND s.o_orderkey % 2 = 1 THEN INSERT *"
+    )
+    cat.drop_table("cmerge_target")
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderstatus").alias("order_status"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

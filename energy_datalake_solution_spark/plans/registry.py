@@ -92,79 +92,74 @@ def _load_all() -> None:
     )
 
 
-# Explicit surface order — ROUND-9 ACTIVE WINDOW. External harnesses that
+# Explicit surface order — ROUND-10 ACTIVE WINDOW. External harnesses that
 # sample a prefix of the query surface (a correctness gate bounded to the
 # first ~50 entries) see this ordering. Composition rule (enforced by
 # tests/test_queries_oracle.py's guard, which reads the committed
 # CORRECTNESS_r*.json artifacts directly): (1) queries BORN this round
 # lead; (2) any ORACLED query without a driver HASH-green row anywhere in
-# history comes next — this round that is embeddings_clustered_exact_topk,
-# whose oracle graduated in round 7 but was never driver-checked;
-# (3) the stalest hash-green cohort (latest green = round 4, 27 rows);
-# (4) round-5-green rows fill the remainder. Everything else is r06/r08
-# green and loses nothing by waiting for the r10 rotation.
+# history comes next (none — r09 closed the backlog); (3) the stalest
+# hash-green cohort (latest green = round 5, 28 rows — the remainder of
+# the r5 docs/events/embeddings cohort the r09 window could not fit);
+# (4) the oldest round-6-green rows fill the remainder. Everything else
+# is r08/r09 green and loses nothing by waiting for the r11 rotation.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born round 9, never driver-checked (new queries go HERE, at
+    # --- born round 10, never driver-checked (new queries go HERE, at
     #     the top, so the gate window always sees them first) ---
-    "multimodal_video_container_stats",
-    "snapshot_type_widening_read",
-    "snapshot_zorder3_box_read",
-    "multimodal_jpeg_color_pixel_stats",
-    "snapshot_cdf_updates_read",
-    # --- oracled but oracle never driver-hash-checked ---
-    "embeddings_clustered_exact_topk",
-    # --- latest hash-green round 4: the stalest cohort (27) ---
-    "events_sliding_30m",
-    "grouping_sets_revenue",
-    "hashed_customer_id",
-    "left_join_customer_order_counts",
-    "multimodal_bmp_pixel_stats",
-    "multimodal_frame_counts",
-    "multimodal_wav_pcm_stats",
-    "null_filter",
-    "orders_cdc_snapshot_diff",
-    "orders_scd2_temporal_join",
-    "pivot_quantity_by_status",
-    "rollup_revenue",
-    "scalar_subquery_max_order",
-    "semi_join_customers_with_orders",
-    "setop_segments",
-    "snapshot_versioned_orders",
-    "star_integrity_audit",
-    "stats_quantity_by_flag",
-    "string_function_suite",
-    "suppliers_per_nation",
-    "tpch_q11_important_part_stock",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "typed_projection",
-    "window_function_suite",
-    "window_order_gap_days",
-    "window_running_customer_spend",
-    # --- latest hash-green round 5 (22 of 45 fit; the rest queue for
-    #     the r10 rotation) ---
-    "conditional_agg_filter_clause",
-    "docs_bm25_decontam_report",
-    "docs_bm25_probe",
-    "docs_bm25_topk",
-    "docs_bpe_token_counts",
-    "docs_curation_scorecard",
-    "docs_dedup_keep_best",
-    "docs_deterministic_split",
-    "docs_dsir_weights",
-    "docs_epoch_shuffle",
-    "docs_fingerprint",
-    "docs_lang_id",
-    "docs_length_bucket_batches",
-    "docs_minhash_lsh_pairs",
-    "docs_ngram_novelty",
-    "docs_normalize_text",
-    "docs_pack_sequences",
+    "snapshot_conditional_merge_read",
+    # --- latest hash-green round 5: the stalest cohort (28) ---
     "docs_quality_score",
     "docs_source_budget_cap",
     "docs_temperature_sample",
     "docs_token_stats",
     "docs_winnowed_fingerprints",
+    "embeddings_cosine_near_dups",
+    "embeddings_cosine_topk",
+    "embeddings_lsh_ann",
+    "embeddings_lsh_probe",
+    "embeddings_norm_stats",
+    "events_asof_error_to_click",
+    "events_range_join_error_click_pairs",
+    "events_resample_hourly_ffill_sharded",
+    "events_sessionization",
+    "events_tumbling_hourly",
+    "events_value_outliers",
+    "fixtures_etl_curated",
+    "knn_graph_pagerank",
+    "merge_upsert_orders",
+    "multimodal_gif_pixel_stats",
+    "multimodal_payload_stats",
+    "multimodal_png_pixel_stats",
+    "snapshot_bloom_point_lookup_orders",
+    "snapshot_pruned_range_read",
+    "snapshot_retention_delete_orders",
+    "star_join_lineitem",
+    "top_customers_by_revenue",
+    "window_top3_orders_per_customer",
+    # --- latest hash-green round 6 (oldest remaining cohort; the first
+    #     ~21 fit the window, the rest queue for the r11 rotation) ---
+    "basket_part_pairs",
+    "corpus_bigram_merge_candidates",
+    "corpus_vocabulary",
+    "customer_rfm_segments",
+    "docs_bigram_lm_score",
+    "docs_chunk_fixed_tokens",
+    "docs_chunk_udtf",
+    "docs_dedup_clusters",
+    "docs_domain_mix_weights",
+    "docs_dup_rate_by_source",
+    "docs_duplicate_span_pairs",
+    "docs_duplicate_span_stats",
+    "docs_exact_dedup",
+    "docs_incremental_simhash_dedup",
+    "docs_lm_quality_buckets",
+    "docs_lm_score_pandas_kernel",
+    "docs_more_like_this",
+    "docs_multitier_dup_pairs",
+    "docs_ngram_jaccard_pairs",
+    "docs_repetition_stats",
+    "docs_simhash_near_dups",
+    "docs_split_contamination",
 )
 
 

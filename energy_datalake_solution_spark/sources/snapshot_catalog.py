@@ -88,6 +88,46 @@ _MERGE_RE = re.compile(
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Conditional MERGE (Delta's WHEN-clause form). The simple
+# UPDATE SET * / INSERT * statement matches _MERGE_RE above and routes to
+# snapshot_upsert; everything with AND-conditions, a DELETE arm, or
+# explicit SET assignments parses here and routes to snapshot_merge.
+_MERGE_COND_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<name>[A-Za-z_]\w*)(?:\s+(?:AS\s+)?t)?\s+USING\s+"
+    r"(?P<src>[A-Za-z_]\w*|\(.+?\))(?:\s+(?:AS\s+)?s)?\s+ON\s+(?P<on>.+?)\s+"
+    r"(?P<clauses>WHEN\s+(?:NOT\s+)?MATCHED\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<notm>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<delete>DELETE)|(?P<insert>INSERT\s+\*))"
+    r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED\b|;?\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_merge_on(on: str) -> list:
+    """ON clause -> key list: either ``(k1, k2)`` / ``k1, k2`` or the
+    equality form ``t.k = s.k [AND t.j = s.j]`` (same name both sides —
+    renaming joins are outside the documented subset)."""
+    on = on.strip()
+    if re.fullmatch(r"\(?\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*\)?", on):
+        return [k.strip() for k in on.strip("() \t\n").split(",")]
+    keys = []
+    for part in re.split(r"\s+AND\s+", on, flags=re.IGNORECASE):
+        mm = re.fullmatch(
+            r"\(?\s*t\.([A-Za-z_]\w*)\s*=\s*s\.([A-Za-z_]\w*)\s*\)?",
+            part.strip(),
+        )
+        if not mm or mm.group(1).lower() != mm.group(2).lower():
+            raise ValueError(
+                f"MERGE ON clause {on!r}: expected a key list or "
+                "t.<k> = s.<k> equalities (same column name both sides)"
+            )
+        keys.append(mm.group(1))
+    return keys
+
+
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
@@ -239,6 +279,10 @@ class SnapshotCatalog:
             keys = [k.strip() for k in m.group("keys").split(",")]
             snapshot_upsert(self.spark, df, path, keys)
             return None
+        m = _MERGE_COND_RE.match(text)
+        if m and m.group("name") in self._tables:
+            self._merge_conditional(m)
+            return None
         m = _DELETE_RE.match(text)
         if m and m.group("name") in self._tables:
             path = self._writable(m.group("name"))
@@ -292,6 +336,80 @@ class SnapshotCatalog:
                 "version long, parent long, op string, ts double, n_files long",
             )
         return NotImplemented
+
+    def _merge_conditional(self, m: "re.Match") -> None:
+        """Execute a parsed conditional MERGE (Delta's WHEN-clause form)
+        through :func:`snapshot_merge`. The clause list must be fully
+        consumed by the documented grammar — anything else raises rather
+        than silently dropping an arm."""
+        from .snapshots import snapshot_merge
+
+        path = self._writable(m.group("name"))
+        src = m.group("src")
+        df = self._fresh_sql(
+            src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
+        )
+        keys = _parse_merge_on(m.group("on"))
+        clauses = m.group("clauses")
+        kw: dict = {
+            "matched_update": None,
+            "matched_update_condition": None,
+            "matched_delete": False,
+            "matched_delete_condition": None,
+            "not_matched_insert": False,
+            "not_matched_condition": None,
+        }
+        pos = 0
+        for w in _WHEN_RE.finditer(clauses):
+            if clauses[pos : w.start()].strip():
+                raise ValueError(
+                    f"MERGE: unparsed clause text {clauses[pos:w.start()]!r}"
+                )
+            pos = w.end()
+            cond = w.group("cond")
+            if w.group("insert"):
+                if not w.group("notm"):
+                    raise ValueError("MERGE: INSERT requires WHEN NOT MATCHED")
+                if kw["not_matched_insert"]:
+                    raise ValueError("MERGE: duplicate WHEN NOT MATCHED arm")
+                kw["not_matched_insert"] = True
+                kw["not_matched_condition"] = cond
+                continue
+            if w.group("notm"):
+                raise ValueError(
+                    "MERGE: WHEN NOT MATCHED supports only INSERT *"
+                )
+            if w.group("delete"):
+                if kw["matched_delete"]:
+                    raise ValueError("MERGE: duplicate WHEN MATCHED DELETE arm")
+                kw["matched_delete"] = True
+                kw["matched_delete_condition"] = cond
+            else:
+                if kw["matched_update"] is not None:
+                    raise ValueError("MERGE: duplicate WHEN MATCHED UPDATE arm")
+                sets = w.group("sets").strip()
+                if sets == "*":
+                    cols = self.spark.sql(
+                        f"SELECT * FROM {m.group('name')} LIMIT 0"
+                    ).columns
+                    kw["matched_update"] = {c: f"s.{c}" for c in cols}
+                else:
+                    # documented subset: top-level comma-separated
+                    # `col = expr` assignments whose exprs contain no commas
+                    assignments = {}
+                    for part in sets.split(","):
+                        col, expr = part.split("=", 1)
+                        col = col.strip()
+                        assignments[col[2:] if col[:2] == "t." else col] = (
+                            expr.strip()
+                        )
+                    kw["matched_update"] = assignments
+                kw["matched_update_condition"] = cond
+        if clauses[pos:].strip():
+            raise ValueError(
+                f"MERGE: unparsed clause text {clauses[pos:]!r}"
+            )
+        snapshot_merge(self.spark, df, path, keys, **kw)
 
     def _writable(self, name: str) -> str:
         path, version = self._tables[name]

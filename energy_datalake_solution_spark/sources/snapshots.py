@@ -912,6 +912,297 @@ def _snapshot_upsert_committed(
                    types_meta=types_meta)
 
 
+def _merge_cond(expr):
+    from pyspark.sql import functions as F
+
+    return F.expr(expr) if isinstance(expr, str) else expr
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    source: DataFrame,
+    table_path,
+    keys: list[str],
+    *,
+    matched_update: dict | None = None,
+    matched_update_condition=None,
+    matched_delete: bool = False,
+    matched_delete_condition=None,
+    not_matched_insert: bool = True,
+    not_matched_condition=None,
+) -> int:
+    """Conditional MERGE (Delta's ``MERGE INTO t USING s ON keys WHEN
+    MATCHED [AND cond] THEN UPDATE/DELETE, WHEN NOT MATCHED [AND cond]
+    THEN INSERT``) committed through the snapshot format. Per matched
+    (target, source) pair the clauses evaluate in order: the UPDATE arm
+    applies when ``matched_update_condition`` holds (always, when None);
+    otherwise the DELETE arm applies when its condition holds; otherwise
+    the row carries unchanged. Unmatched target rows always carry;
+    unmatched source rows insert when ``not_matched_insert`` and the
+    condition holds. Conditions and update expressions are Columns or
+    SQL strings over the aliases ``t`` (target) and ``s`` (source) —
+    e.g. ``"s.price > t.price"`` / ``{"price": "s.price"}``; the insert
+    condition sees only ``s``. A NULL condition is false (SQL WHEN
+    semantics). The source must be key-unique — multiple source rows
+    matching one target row raise (Delta's cardinality contract).
+
+    Scale shape: stats-pruned like snapshot_upsert — only files whose
+    [min, max] can contain a source key participate. With an UPDATE arm
+    the touched files copy-on-write rewrite (one pruned join). With NO
+    update arm the merge is MERGE-ON-READ: the delete arm grows the
+    touched files' deletion vectors (no file rewritten, capped at
+    DV_MAX_DELETED_ROWS like every MOR writer) and inserts append as new
+    files — a delete+insert merge on a 100 TB table touches O(matched)
+    metadata plus the insert bytes. Same optimistic rebase-retry
+    disposition as every writer. Reference parity: generalizes the J1
+    merge class (etl-s3-processed-to-redshift.py:66-96) to Delta's
+    conditional WHEN-clause form."""
+    from pyspark.sql import functions as F
+
+    p = _table(table_path)
+    if current_version(p) == 0:
+        if not not_matched_insert:
+            raise FileNotFoundError(f"no snapshot table at {p}")
+        ins = source
+        if not_matched_condition is not None:
+            ins = ins.alias("s").where(_merge_cond(not_matched_condition))
+        return snapshot_write(ins, p)
+    _enforce_constraints(source, p)
+    m_tip = _read_manifest(p, current_version(p))
+    sch = m_tip.get("schema")
+    src = source
+    if sch:
+        # mapped table: widening reconciliation runs in PHYSICAL space
+        # (the manifest's types map is physical), the MERGE itself in
+        # LOGICAL space (conditions speak the caller's names)
+        src_phys, widen_types = _apply_type_widening(
+            _df_to_physical(source, sch), p, m_tip
+        )
+        src = _apply_column_mapping(src_phys, sch)
+    else:
+        src, widen_types = _apply_type_widening(source, p, m_tip)
+    col = keys[0]
+    src = src.persist()  # evaluated for range agg, cardinality, join, write
+    try:
+        if (matched_update is not None or matched_delete) and (
+            src.groupBy(*keys).count().where("count > 1").limit(1).count()
+        ):
+            raise ValueError(
+                "snapshot_merge: source has duplicate rows per key — "
+                "multiple source rows cannot match one target row"
+            )
+        for attempt in range(COMMIT_RETRIES):
+            parent = current_version(p)
+            m = _read_manifest(p, parent)
+            try:
+                return _snapshot_merge_committed(
+                    spark, src, p, keys, col, parent, m, widen_types,
+                    matched_update, matched_update_condition,
+                    matched_delete, matched_delete_condition,
+                    not_matched_insert, not_matched_condition,
+                )
+            except SnapshotCommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+        raise AssertionError("unreachable")
+    finally:
+        src.unpersist()
+
+
+def _snapshot_merge_committed(
+    spark, src, p, keys, col, parent, m, widen_types,
+    matched_update, matched_update_condition,
+    matched_delete, matched_delete_condition,
+    not_matched_insert, not_matched_condition,
+) -> int:
+    from pyspark.sql import functions as F
+
+    sch = m.get("schema")
+    stats: dict = m.get("stats", {}) or {}
+    tracked_cols = sorted({c for s in stats.values() for c in s})
+    eff_types = (
+        _merge_type_maps(m.get("types"), widen_types)
+        if widen_types is not None
+        else m.get("types")
+    )
+    types_meta = eff_types if widen_types is not None else None
+    pcol = _mapping_physical(sch, col) if sch else col
+    lo, hi, n_rows = src.agg(F.min(col), F.max(col), F.count(F.lit(1))).first()
+    if n_rows == 0:
+        return _commit(p, list(m["files"]), parent, stats=stats or None,
+                       blooms=m.get("blooms") or None,
+                       dv=m.get("dv") or None, op="merge",
+                       types_meta=types_meta)
+    if lo is None or not any(pcol in s for s in stats.values()):
+        # all-NULL keys match nothing (pure insert); a table with no key
+        # stats anywhere conservatively touches every file
+        touched = [] if lo is None else list(m["files"])
+    else:
+        touched = sorted(snapshot_files_for_range(p, pcol, lo, hi, parent))
+
+    def _ins_rows(live_keys: DataFrame) -> DataFrame:
+        if not not_matched_insert:
+            return src.limit(0)
+        ins = src
+        if not_matched_condition is not None:
+            ins = ins.alias("s").where(_merge_cond(not_matched_condition))
+        return ins.join(live_keys, keys, "left_anti")
+
+    always = F.lit(True)
+    if matched_update is None:
+        # MERGE-ON-READ path: no rewrite — the delete arm grows deletion
+        # vectors; inserts append as new files. One commit.
+        dv: dict = dict(m.get("dv", {}) or {})
+        if touched:
+            _rd = spark.read
+            if eff_types:
+                _rd = _rd.schema(_types_ddl(eff_types))
+            else:
+                _rd = _rd.option("mergeSchema", "true")
+            raw = _rd.parquet(*[str(p / f) for f in touched])
+            tagged = raw.select(
+                _rel_path_col().alias("_fp"),
+                F.col("_metadata.row_index").alias("_ri"),
+                *[c for c in raw.columns if c not in _PROV_COLS],
+            )
+            if sch:
+                have = set(raw.columns)
+                tagged = tagged.select(
+                    "_fp", "_ri",
+                    *[
+                        (
+                            F.col(c["physical"])
+                            if c["physical"] in have
+                            else F.lit(None).cast(c["type"])
+                        ).alias(c["name"])
+                        for c in sch["cols"]
+                    ],
+                )
+            existing = [
+                (_dv_key(rel), int(ri))
+                for rel in touched
+                if _dv_key(rel) in dv
+                for ri in _unpack_positions(dv[_dv_key(rel)])
+            ]
+            if existing:
+                import pandas as _pd
+
+                ex_df = spark.createDataFrame(
+                    _pd.DataFrame(existing, columns=["_fp", "_ri"])
+                )
+                tagged = tagged.join(
+                    F.broadcast(ex_df), ["_fp", "_ri"], "left_anti"
+                )
+            # tagged is used twice (insert anti-join keys; delete hits) —
+            # two lazy scans of the PRUNED touched set, never a driver
+            # materialization of whole files
+            live_keys = tagged.select(keys).distinct()
+            if matched_delete:
+                pair = tagged.alias("t").join(src.alias("s"), keys, "inner")
+                if matched_delete_condition is not None:
+                    pair = pair.where(_merge_cond(matched_delete_condition))
+                hits = pair.select("t._fp", "t._ri")
+                n_hits = hits.count()
+                if n_hits > DV_MAX_DELETED_ROWS:
+                    # wide delete: the rewrite is cheaper than giant
+                    # vectors — rerun on the CoW shape with a never-firing
+                    # update arm so only the delete clause applies
+                    return _snapshot_merge_committed(
+                        spark, src, p, keys, col, parent, m, widen_types,
+                        {}, F.lit(False), True, matched_delete_condition,
+                        not_matched_insert, not_matched_condition,
+                    )
+                by_file = (
+                    hits.groupBy("_fp")
+                    .agg(F.sort_array(F.collect_list("_ri")).alias("pos"))
+                    .collect()
+                )
+                for r in by_file:
+                    new_pos = list(r["pos"])
+                    if r["_fp"] in dv:
+                        new_pos = sorted(
+                            set(_unpack_positions(dv[r["_fp"]])) | set(new_pos)
+                        )
+                    dv[r["_fp"]] = _pack_positions(new_pos)
+        else:
+            live_keys = src.limit(0).select(keys)
+        ins = _ins_rows(live_keys)
+        if sch:
+            ins = _df_to_physical(ins, sch)
+        ins_files = _write_files(ins, p) if not ins.isEmpty() else []
+        old_files = list(m["files"])
+        new_stats = dict(stats)
+        if tracked_cols and ins_files:
+            new_stats.update(
+                _collect_stats(p, ins_files, tracked_cols, spark=spark)
+            )
+        return _commit(p, old_files + ins_files, parent,
+                       stats=new_stats or None,
+                       blooms=_carry_blooms(p, m, old_files, ins_files)
+                       if ins_files else m.get("blooms") or None,
+                       dv=dv or None, op="merge", types_meta=types_meta)
+
+    # COPY-ON-WRITE path (update arm present): rewrite the touched files
+    # with the clause logic applied; untouched files carry byte-identical
+    upd_c = _merge_cond(matched_update_condition) if (
+        matched_update_condition is not None
+    ) else always
+    del_c = _merge_cond(matched_delete_condition) if (
+        matched_delete_condition is not None
+    ) else always
+    if touched:
+        cur = _read_files_with_dv(
+            spark, p, touched, m.get("dv"), merge_schema=True,
+            types=eff_types,
+        )
+        if sch:
+            cur = _apply_column_mapping(cur, sch)
+        t_cols = cur.columns
+        s_tag = src.withColumn("_s_matched", F.lit(True))
+        pair = cur.alias("t").join(
+            s_tag.alias("s"),
+            [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+            "left_outer",
+        )
+        matched = F.coalesce(F.col("s._s_matched"), F.lit(False))
+        do_upd = matched & F.coalesce(upd_c, F.lit(False))
+        do_del = (
+            matched & ~do_upd & F.coalesce(del_c, F.lit(False))
+            if matched_delete
+            else F.lit(False)
+        )
+        kept = pair.where(~do_del).select(*[
+            (
+                F.when(do_upd, _merge_cond(matched_update[c]))
+                .otherwise(F.col(f"t.{c}"))
+                if c in matched_update
+                else F.col(f"t.{c}")
+            ).alias(c)
+            for c in t_cols
+        ])
+        live_keys = cur.select(keys).distinct()
+        merged = kept.unionByName(
+            _ins_rows(live_keys), allowMissingColumns=True
+        ).coalesce(max(1, len(touched)))
+    else:
+        merged = _ins_rows(src.limit(0).select(keys))
+    _enforce_constraints(merged, p, parent)
+    if sch:
+        merged = _df_to_physical(merged, sch)
+    untouched = [f for f in m["files"] if f not in set(touched)]
+    new_files = _write_files(merged, p) if not merged.isEmpty() else []
+    new_stats = dict(stats)
+    for f in touched:
+        new_stats.pop(f, None)
+    if tracked_cols and new_files:
+        new_stats.update(_collect_stats(p, new_files, tracked_cols, spark=spark))
+    return _commit(p, untouched + new_files, parent,
+                   stats=new_stats or None,
+                   blooms=_carry_blooms(p, m, untouched, new_files),
+                   dv=_carry_dv(m, untouched), op="merge",
+                   types_meta=types_meta)
+
+
 # Resolved-manifest cache: manifests are immutable once published (the
 # only rewrite — vacuum's checkpoint materialization — replaces content
 # with its semantic equal via os.replace, changing the inode), so a

@@ -1,0 +1,322 @@
+"""Conditional MERGE (Delta's WHEN-clause form) on snapshot tables.
+
+``snapshot_merge`` generalizes the reference's J1 staging merge
+(reference: glue_jobs/etl-s3-processed-to-redshift.py:66-96, a
+delete-then-insert upsert) to the full conditional form: WHEN MATCHED
+[AND cond] THEN UPDATE SET .. / DELETE, WHEN NOT MATCHED [AND cond]
+THEN INSERT. Scale contract: stats-pruned file touching (CoW rewrite
+only when an UPDATE arm exists; MOR deletion vectors + append when not),
+untouched files byte-identical, optimistic-concurrency rebases.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_datalake_solution_spark.sources.snapshot_catalog import (
+    SnapshotCatalog,
+)
+from energy_datalake_solution_spark.sources.snapshots import (
+    current_version,
+    snapshot_history,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_write_with_stats,
+)
+
+
+def _file_hashes(p: Path) -> dict[str, str]:
+    return {
+        str(f.relative_to(p)): hashlib.sha256(f.read_bytes()).hexdigest()
+        for f in sorted(p.rglob("*.parquet"))
+    }
+
+
+def _seed(spark, t, n=100, n_files=4):
+    snapshot_write_with_stats(
+        spark.range(n).selectExpr("id AS k", "id * 10 AS v", "'base' AS tag"),
+        t, ["k"], n_files=n_files,
+    )
+
+
+def test_merge_clause_semantics_cow(spark, tmp_path):
+    """UPDATE arm fires when its condition holds; otherwise the DELETE
+    arm; otherwise the matched row carries; unmatched source rows insert
+    when the insert condition holds. Oracle: plain Python over dicts."""
+    t = tmp_path / "t"
+    _seed(spark, t)
+    src = spark.createDataFrame(
+        [
+            (5, 555, "upd"),     # matched, v>t.v  -> UPDATE
+            (6, -1, "del"),      # matched, cond false, delete cond -> DELETE
+            (7, 70, "carry"),    # matched, both conds false -> carry
+            (1000, 1, "new"),    # unmatched, insert cond true -> INSERT
+            (2000, -5, "skip"),  # unmatched, insert cond false -> skipped
+        ],
+        "k long, v long, tag string",
+    )
+    snapshot_merge(
+        spark, src, t, ["k"],
+        matched_update={"v": "s.v", "tag": "s.tag"},
+        matched_update_condition="s.v > t.v",
+        matched_delete=True,
+        matched_delete_condition="s.v < 0",
+        not_matched_insert=True,
+        not_matched_condition="s.v > 0",
+    )
+    got = {r.k: (r.v, r.tag) for r in snapshot_read(spark, t).collect()}
+    want = {k: (k * 10, "base") for k in range(100)}
+    want[5] = (555, "upd")
+    del want[6]
+    want[1000] = (1, "new")
+    assert got == want
+
+
+def test_merge_update_beats_delete_when_both_fire(spark, tmp_path):
+    """Clause order: UPDATE evaluates before DELETE (Delta semantics)."""
+    t = tmp_path / "t"
+    _seed(spark, t, n=10, n_files=1)
+    src = spark.createDataFrame([(3, 999, "x")], "k long, v long, tag string")
+    snapshot_merge(
+        spark, src, t, ["k"],
+        matched_update={"v": "s.v"},
+        matched_update_condition="s.v > 0",
+        matched_delete=True,
+        matched_delete_condition="s.v > 0",  # also true — must NOT fire
+    )
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert got[3] == 999 and len(got) == 10
+
+
+def test_merge_null_condition_is_false(spark, tmp_path):
+    """A NULL-valued condition behaves as false (SQL WHEN semantics)."""
+    t = tmp_path / "t"
+    _seed(spark, t, n=10, n_files=1)
+    src = spark.createDataFrame(
+        [(3, None, "x")], "k long, v long, tag string"
+    )
+    snapshot_merge(
+        spark, src, t, ["k"],
+        matched_update={"v": "s.v"},
+        matched_update_condition="s.v > t.v",  # NULL > 30 -> NULL -> false
+        matched_delete=True,
+        matched_delete_condition="s.v < 0",    # NULL -> false
+        not_matched_insert=False,
+    )
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert got[3] == 30 and len(got) == 10  # untouched
+
+
+def test_merge_cow_carries_unpruned_files_byte_identical(spark, tmp_path):
+    """Stats pruning: a merge whose keys land in one file's [min,max]
+    rewrites only that file — every other data file byte-identical."""
+    t = tmp_path / "t"
+    _seed(spark, t, n=100, n_files=4)
+    before = _file_hashes(t)
+    src = spark.createDataFrame([(2, 999, "u")], "k long, v long, tag string")
+    snapshot_merge(
+        spark, src, t, ["k"],
+        matched_update={"v": "s.v"}, not_matched_insert=False,
+    )
+    after = _file_hashes(t)
+    carried = [f for f in before if f in after and before[f] == after[f]]
+    assert len(carried) >= 3, "at least 3 of 4 files must carry untouched"
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert got[2] == 999 and len(got) == 100
+
+
+def test_merge_mor_delete_insert_grows_dv_no_rewrite(spark, tmp_path):
+    """With no UPDATE arm the merge is merge-on-read: matched deletes
+    become deletion-vector entries (every pre-existing file carries
+    byte-identical) and inserts append as new files."""
+    t = tmp_path / "t"
+    _seed(spark, t, n=100, n_files=4)
+    before = _file_hashes(t)
+    src = spark.createDataFrame(
+        [(5, -1, "d"), (7, -1, "d"), (5000, 1, "new")],
+        "k long, v long, tag string",
+    )
+    snapshot_merge(
+        spark, src, t, ["k"],
+        matched_delete=True,
+        matched_delete_condition="s.v < 0",
+        not_matched_insert=True,
+    )
+    after = _file_hashes(t)
+    for f, h in before.items():
+        assert after.get(f) == h, f"pre-existing file {f} rewritten by MOR merge"
+    assert len(after) > len(before), "insert must append new file(s)"
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert 5 not in got and 7 not in got and got[5000] == 1
+    assert len(got) == 99
+    assert snapshot_history(t)[0]["op"] == "merge"  # newest first
+
+
+def test_merge_mor_respects_existing_deletion_vectors(spark, tmp_path):
+    """Rows already DV-deleted are invisible to the merge: they neither
+    match (so a same-key source row INSERTS) nor resurrect."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_delete_range_mor,
+    )
+
+    t = tmp_path / "t"
+    _seed(spark, t, n=100, n_files=4)
+    snapshot_delete_range_mor(spark, t, "k", 10, 19)
+    src = spark.createDataFrame([(15, 1, "re")], "k long, v long, tag string")
+    snapshot_merge(spark, src, t, ["k"], matched_delete=True)
+    got = {r.k: (r.v, r.tag) for r in snapshot_read(spark, t).collect()}
+    assert got[15] == (1, "re"), "deleted key must re-insert, not resurrect"
+    assert len(got) == 91  # 100 - 10 deleted + 1 re-insert
+
+
+def test_merge_duplicate_source_keys_raise(spark, tmp_path):
+    t = tmp_path / "t"
+    _seed(spark, t, n=10, n_files=1)
+    src = spark.createDataFrame(
+        [(3, 1, "a"), (3, 2, "b")], "k long, v long, tag string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_merge(spark, src, t, ["k"], matched_update={"v": "s.v"})
+
+
+def test_merge_into_empty_path_is_filtered_insert(spark, tmp_path):
+    t = tmp_path / "t"
+    src = spark.createDataFrame(
+        [(1, 5, "a"), (2, -5, "b")], "k long, v long, tag string"
+    )
+    snapshot_merge(
+        spark, src, t, ["k"],
+        not_matched_insert=True, not_matched_condition="s.v > 0",
+    )
+    got = [r.k for r in snapshot_read(spark, t).collect()]
+    assert got == [1]
+    with pytest.raises(FileNotFoundError):
+        snapshot_merge(
+            spark, src, tmp_path / "t2", ["k"], not_matched_insert=False
+        )
+
+
+def test_merge_concurrent_writer_rebases(spark, tmp_path):
+    """An interleaved append between manifest read and commit triggers the
+    optimistic rebase — both writers' effects land."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "t"
+    _seed(spark, t, n=20, n_files=2)
+    src = spark.createDataFrame([(3, 999, "u")], "k long, v long, tag string")
+
+    real_commit = S._commit
+    fired = threading.Event()
+
+    def racing_commit(p, files, parent, **kw):
+        if not fired.is_set() and kw.get("op") == "merge":
+            fired.set()
+            S.snapshot_append(
+                spark.createDataFrame(
+                    [(9000, 1, "race")], "k long, v long, tag string"
+                ),
+                t,
+            )
+        return real_commit(p, files, parent, **kw)
+
+    S._commit = racing_commit
+    try:
+        snapshot_merge(
+            spark, src, t, ["k"], matched_update={"v": "s.v"},
+        )
+    finally:
+        S._commit = real_commit
+    assert fired.is_set()
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert got[3] == 999 and got[9000] == 1 and len(got) == 21
+
+
+def test_catalog_conditional_merge_round_trip(spark, tmp_path):
+    """The catalog parses the full WHEN-clause SQL form — conditions,
+    explicit SET assignments, DELETE arm — and routes to snapshot_merge."""
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "fact"
+    _seed(spark, t, n=50, n_files=2)
+    cat.sql(f"CREATE TABLE fact USING snapshot LOCATION '{t}'")
+    spark.createDataFrame(
+        [(5, 555, "u"), (6, -1, "d"), (7, 1, "c"), (900, 9, "n")],
+        "k long, v long, tag string",
+    ).createOrReplaceTempView("src_cond")
+    cat.sql(
+        "MERGE INTO fact t USING src_cond s ON t.k = s.k "
+        "WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v, tag = s.tag "
+        "WHEN MATCHED AND s.v < 0 THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.k: (r.v, r.tag) for r in cat.sql("SELECT * FROM fact").collect()}
+    assert got[5] == (555, "u")
+    assert 6 not in got
+    assert got[7] == (70, "base")  # 1 > 70 false, 1 < 0 false -> carried
+    assert got[900] == (9, "n")
+    assert len(got) == 50  # 50 - 1 delete + 1 insert
+
+
+def test_catalog_merge_update_set_star_and_key_list_on(spark, tmp_path):
+    """`UPDATE SET *` with an AND-condition expands to all columns; the
+    ON clause also accepts the bare key-list form."""
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "fact2"
+    _seed(spark, t, n=20, n_files=1)
+    cat.sql(f"CREATE TABLE fact2 USING snapshot LOCATION '{t}'")
+    spark.createDataFrame(
+        [(3, 999, "hi"), (4, 1, "lo")], "k long, v long, tag string"
+    ).createOrReplaceTempView("src_star")
+    cat.sql(
+        "MERGE INTO fact2 USING src_star ON (k) "
+        "WHEN MATCHED AND s.v > t.v THEN UPDATE SET *"
+    )
+    got = {r.k: (r.v, r.tag) for r in cat.sql("SELECT * FROM fact2").collect()}
+    assert got[3] == (999, "hi")
+    assert got[4] == (40, "base")  # condition false -> carried
+    assert len(got) == 20
+
+
+def test_catalog_merge_rejects_unparsed_clause_text(spark, tmp_path):
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "fact3"
+    _seed(spark, t, n=5, n_files=1)
+    cat.sql(f"CREATE TABLE fact3 USING snapshot LOCATION '{t}'")
+    spark.range(1).selectExpr(
+        "id AS k", "id AS v", "'x' AS tag"
+    ).createOrReplaceTempView("src_bad")
+    with pytest.raises(ValueError, match="MERGE"):
+        cat.sql(
+            "MERGE INTO fact3 USING src_bad ON (k) "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+    assert current_version(t) == 1, "failed parse must not commit"
+
+
+def test_merge_on_column_mapped_widened_table(spark, tmp_path):
+    """The merge composes with column mapping (physical-space writes) and
+    type widening (int source into a long-widened column)."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_enable_column_mapping,
+        snapshot_rename_column,
+    )
+
+    t = tmp_path / "t"
+    _seed(spark, t, n=20, n_files=2)
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_rename_column(t, "v", "value")
+    src = spark.createDataFrame(
+        [(3, 999, "u"), (900, 9, "n")], "k int, value int, tag string"
+    )
+    snapshot_merge(
+        spark, src, t, ["k"],
+        matched_update={"value": "s.value"},
+        not_matched_insert=True,
+    )
+    got = {r.k: r.value for r in snapshot_read(spark, t).collect()}
+    assert got[3] == 999 and got[900] == 9 and len(got) == 21
