@@ -19,8 +19,12 @@ contract one level up:
     optimistic-concurrency commits, not a new engine):
         INSERT INTO <name> <select|values>        -> snapshot_append
         MERGE INTO <name> USING <src> ON (k, ...) -> snapshot_upsert
+        MERGE INTO ... WHEN MATCHED [AND c] THEN UPDATE SET ../DELETE
+            [WHEN NOT MATCHED [AND c] THEN INSERT *] -> snapshot_merge
         DELETE FROM <name> WHERE c BETWEEN a AND b-> snapshot_delete_range_mor
+        DELETE FROM <name> WHERE <any predicate>  -> snapshot_delete_where
         UPDATE <name> SET c=e,... WHERE k BETWEEN -> snapshot_update_range_mor
+        UPDATE <name> SET c=e,... WHERE <any pred>-> snapshot_update_where
         RESTORE TABLE <name> VERSION/TIMESTAMP AS OF -> snapshot_restore
         VACUUM <name> [RETAIN n VERSIONS]         -> snapshot_vacuum
         DESCRIBE HISTORY <name>                   -> snapshot_history
@@ -128,6 +132,19 @@ def _parse_merge_on(on: str) -> list:
     return keys
 
 
+# general-predicate DML (tried after the BETWEEN fast paths): any WHERE
+# expression routes to snapshot_delete_where / snapshot_update_where,
+# which prune files from the predicate's conjunctive constraints
+_DELETE_WHERE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_]\w*)\s+WHERE\s+"
+    r"(?P<cond>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_WHERE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+"
+    r"(?P<cond>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
@@ -304,6 +321,30 @@ class SnapshotCatalog:
                 self.spark, path, m.group("col"),
                 _literal(m.group("lo")), _literal(m.group("hi")),
                 assignments,
+            )
+            return None
+        # general-predicate DML: any WHERE expression (the BETWEEN fast
+        # paths above carry their direct stats-interval prune; these
+        # recover pruning from the predicate text's conjunctive
+        # constraints — `k = 5` still touches only overlapping files)
+        m = _DELETE_WHERE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_delete_where
+
+            path = self._writable(m.group("name"))
+            snapshot_delete_where(self.spark, path, m.group("cond"))
+            return None
+        m = _UPDATE_WHERE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_update_where
+
+            path = self._writable(m.group("name"))
+            assignments = {}
+            for part in m.group("sets").split(","):
+                col, expr = part.split("=", 1)
+                assignments[col.strip()] = expr.strip()
+            snapshot_update_where(
+                self.spark, path, m.group("cond"), assignments
             )
             return None
         m = _RESTORE_RE.match(text)

@@ -1054,45 +1054,7 @@ def _snapshot_merge_committed(
         # vectors; inserts append as new files. One commit.
         dv: dict = dict(m.get("dv", {}) or {})
         if touched:
-            _rd = spark.read
-            if eff_types:
-                _rd = _rd.schema(_types_ddl(eff_types))
-            else:
-                _rd = _rd.option("mergeSchema", "true")
-            raw = _rd.parquet(*[str(p / f) for f in touched])
-            tagged = raw.select(
-                _rel_path_col().alias("_fp"),
-                F.col("_metadata.row_index").alias("_ri"),
-                *[c for c in raw.columns if c not in _PROV_COLS],
-            )
-            if sch:
-                have = set(raw.columns)
-                tagged = tagged.select(
-                    "_fp", "_ri",
-                    *[
-                        (
-                            F.col(c["physical"])
-                            if c["physical"] in have
-                            else F.lit(None).cast(c["type"])
-                        ).alias(c["name"])
-                        for c in sch["cols"]
-                    ],
-                )
-            existing = [
-                (_dv_key(rel), int(ri))
-                for rel in touched
-                if _dv_key(rel) in dv
-                for ri in _unpack_positions(dv[_dv_key(rel)])
-            ]
-            if existing:
-                import pandas as _pd
-
-                ex_df = spark.createDataFrame(
-                    _pd.DataFrame(existing, columns=["_fp", "_ri"])
-                )
-                tagged = tagged.join(
-                    F.broadcast(ex_df), ["_fp", "_ri"], "left_anti"
-                )
+            tagged = _tagged_live_logical(spark, p, m, touched, types=eff_types)
             # tagged is used twice (insert anti-join keys; delete hits) —
             # two lazy scans of the PRUNED touched set, never a driver
             # materialization of whole files
@@ -2220,85 +2182,18 @@ def snapshot_delete_range_mor(
     copied beyond the position scan, and old versions still time-travel
     to the rows. Stats-pruned like the CoW form (only files whose
     [min, max] can contain the range are even scanned for positions).
-    Deletes wider than ``max_deleted_rows`` route to the copy-on-write
-    snapshot_delete_range instead — counted, not assumed. Same
-    optimistic-retry disposition as every writer."""
+    Deletes wider than ``max_deleted_rows`` copy-on-write rewrite the
+    touched files instead — counted, not assumed. Same optimistic-retry
+    disposition as every writer. This is the direct-interval-prune form
+    of :func:`snapshot_delete_where` (general predicates live there)."""
     from pyspark.sql import functions as F
 
-    p = _table(table_path)
-    if current_version(p) == 0:
-        raise FileNotFoundError(f"no snapshot table at {p}")
-    for attempt in range(COMMIT_RETRIES):
-        parent = current_version(p)
-        m = _read_manifest(p, parent)
-        dv: dict = dict(m.get("dv", {}) or {})
-        # column-mapped table: scan/prune on the physical key name
-        schema = m.get("schema")
-        pcol = _mapping_physical(schema, col) if schema else col
-        touched = sorted(snapshot_files_for_range(p, pcol, lo, hi, parent))
-        try:
-            if not touched:
-                return _commit(p, list(m["files"]), parent,
-                               stats=m.get("stats") or None,
-                               blooms=m.get("blooms") or None,
-                               dv=dv or None, op="delete-mor")
-            # widened table: explicit schema (mixed INT32/INT64 footers are
-            # a merge conflict for inference; see _read_files_with_dv)
-            _rd = spark.read
-            if m.get("types"):
-                _rd = _rd.schema(_types_ddl(m["types"]))
-            hits = (
-                _rd.parquet(*[str(p / f) for f in touched])
-                .select(
-                    _rel_path_col().alias("fp"),
-                    F.col("_metadata.row_index").alias("ri"),
-                    F.col(pcol).alias("v"),
-                )
-                .where((F.col("v") >= lo) & (F.col("v") <= hi))
-            )
-            # exclude positions ALREADY in the touched files' vectors
-            # before the cap compare: a repeated or overlapping range
-            # delete would otherwise count dead rows as hits and could
-            # spuriously exceed max_deleted_rows, silently defeating the
-            # MOR fast path with a copy-on-write rewrite. The existing
-            # positions are DV-sized (bounded by the write-side cap), so
-            # the anti-join build is small by construction.
-            existing = [
-                (_dv_key(rel), int(ri))
-                for rel in touched
-                if _dv_key(rel) in dv
-                for ri in _unpack_positions(dv[_dv_key(rel)])
-            ]
-            if existing:
-                import pandas as _pd
-
-                ex_df = spark.createDataFrame(
-                    _pd.DataFrame(existing, columns=["fp", "ri"])
-                )
-                hits = hits.join(F.broadcast(ex_df), ["fp", "ri"], "left_anti")
-            n_hits = hits.count()
-            if n_hits > max_deleted_rows:
-                # wide delete: the rewrite is cheaper than a giant vector
-                return snapshot_delete_range(spark, p, col, lo, hi)
-            by_file = (
-                hits.groupBy("fp")
-                .agg(F.sort_array(F.collect_list("ri")).alias("pos"))
-                .collect()  # <= touched-file rows, positions capped above
-            )
-            for r in by_file:
-                rel = r["fp"]
-                new_pos = list(r["pos"])
-                if rel in dv:
-                    new_pos = sorted(set(_unpack_positions(dv[rel])) | set(new_pos))
-                dv[rel] = _pack_positions(new_pos)
-            return _commit(p, list(m["files"]), parent,
-                           stats=m.get("stats") or None,
-                           blooms=m.get("blooms") or None,
-                           dv=dv or None, op="delete-mor")
-        except SnapshotCommitConflict:
-            if attempt == COMMIT_RETRIES - 1:
-                raise
-    raise AssertionError("unreachable")
+    return snapshot_delete_where(
+        spark, table_path,
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)),
+        max_deleted_rows=max_deleted_rows,
+        _prune_range=(col, lo, hi),
+    )
 
 
 def snapshot_update_range_mor(
@@ -2310,20 +2205,360 @@ def snapshot_update_range_mor(
     matched rows' positions join the touched files' deletion vectors and
     their UPDATED images are appended as new files — ONE commit, no
     touched file rewritten (Delta's deletion-vector-based UPDATE). The
-    change feed sees it as delete(old image) + insert(new image) with no
-    extra work: the DV delta IS the delete side and the appended file the
-    insert side. ``assignments`` maps column name -> Column expression
-    (or SQL string) evaluated against the matched rows. Updates wider
-    than ``max_updated_rows`` route to the copy-on-write form (rewrite
-    the touched files with assignments applied) — counted, not assumed,
-    the same cap discipline as snapshot_delete_range_mor. Rows already
-    deleted by existing vectors are never re-updated or resurrected.
-    Same optimistic rebase-retry disposition as every writer."""
+    change feed sees it as paired update images through the appended
+    files' reserved provenance columns. ``assignments`` maps column
+    name -> Column expression (or SQL string) evaluated against the
+    matched rows. Updates wider than ``max_updated_rows`` route to the
+    copy-on-write form — counted, not assumed. Rows already deleted by
+    existing vectors are never re-updated or resurrected. Same
+    optimistic rebase-retry disposition as every writer. This is the
+    direct-interval-prune form of :func:`snapshot_update_where`."""
+    from pyspark.sql import functions as F
+
+    return snapshot_update_where(
+        spark, table_path,
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)),
+        assignments,
+        max_updated_rows=max_updated_rows,
+        _prune_range=(col, lo, hi),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-predicate DELETE / UPDATE. The range forms above are the
+# hot path (their prune is a direct stats-interval test); these general
+# forms accept any SQL predicate and recover the same file pruning for
+# the common shapes by extracting conjunctive range/equality constraints
+# from the predicate TEXT (the commit-side analogue of Delta's data
+# skipping: `k = 5` touches only files whose [min, max] admit 5).
+# Pruning is strictly conservative — an unparseable conjunct, a
+# top-level OR, or a type mismatch against the stats simply keeps every
+# file; correctness never depends on the parse.
+
+def _split_conjuncts(s: str) -> list[str] | None:
+    """Split a predicate on top-level ANDs (outside parens/quotes,
+    skipping the AND that belongs to a BETWEEN). Returns None when a
+    top-level OR is present — the expression is not a pure conjunction
+    and must not prune."""
+    parts, buf = [], []
+    depth, in_str, pending_between = 0, False, 0
+    i, n = 0, len(s)
+
+    def _word_at(j: int, w: str) -> bool:
+        if not s[j:j + len(w)].upper() == w:
+            return False
+        before_ok = j == 0 or not (s[j - 1].isalnum() or s[j - 1] == "_")
+        k = j + len(w)
+        after_ok = k >= n or not (s[k].isalnum() or s[k] == "_")
+        return before_ok and after_ok
+
+    while i < n:
+        ch = s[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            if _word_at(i, "OR"):
+                return None
+            if _word_at(i, "BETWEEN"):
+                pending_between += 1
+            elif _word_at(i, "AND"):
+                if pending_between:
+                    pending_between -= 1
+                else:
+                    parts.append("".join(buf))
+                    buf = []
+                    i += 3
+                    continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [x.strip() for x in parts if x.strip()]
+
+
+def _parse_pred_literal(txt: str):
+    """SQL literal -> python value comparable against manifest stats
+    (numbers stay numeric; DATE/TIMESTAMP strings become the ISO strings
+    _stats_canon records). None = not a recognized literal."""
+    txt = txt.strip()
+    m = re.fullmatch(r"-?\d+", txt)
+    if m:
+        return int(txt)
+    m = re.fullmatch(r"-?\d+\.\d+", txt)
+    if m:
+        return float(txt)
+    m = re.fullmatch(r"(?i)(?:DATE|TIMESTAMP)?\s*'([^']*)'", txt)
+    if m:
+        return m.group(1)
+    return None
+
+
+_PRED_CMP_RE = re.compile(
+    r"^\(*\s*(?P<col>[A-Za-z_]\w*)\s*(?P<op><=|>=|==|=|<|>)\s*"
+    r"(?P<lit>-?\d+(?:\.\d+)?|(?:(?i:DATE|TIMESTAMP)\s*)?'[^']*')\s*\)*$"
+)
+_PRED_BETWEEN_RE = re.compile(
+    r"^\(*\s*(?P<col>[A-Za-z_]\w*)\s+(?i:BETWEEN)\s+"
+    r"(?P<lo>-?\d+(?:\.\d+)?|(?:(?i:DATE|TIMESTAMP)\s*)?'[^']*')\s+(?i:AND)\s+"
+    r"(?P<hi>-?\d+(?:\.\d+)?|(?:(?i:DATE|TIMESTAMP)\s*)?'[^']*')\s*\)*$"
+)
+
+
+def _predicate_constraints(cond: str) -> dict[str, list]:
+    """{column: [lo, hi]} bounds implied by the predicate's top-level
+    conjuncts (None bound = unconstrained). Only simple
+    ``col <op> literal`` / ``col BETWEEN a AND b`` conjuncts contribute;
+    everything else contributes nothing (conservative)."""
+    conjuncts = _split_conjuncts(cond)
+    if conjuncts is None:
+        return {}
+    out: dict[str, list] = {}
+    for c in conjuncts:
+        m = _PRED_BETWEEN_RE.match(c)
+        if m:
+            lo, hi = _parse_pred_literal(m.group("lo")), _parse_pred_literal(m.group("hi"))
+            col = m.group("col")
+        else:
+            m = _PRED_CMP_RE.match(c)
+            if not m:
+                continue
+            col = m.group("col")
+            lit = _parse_pred_literal(m.group("lit"))
+            op = m.group("op")
+            if op in ("=", "=="):
+                lo = hi = lit
+            elif op in (">", ">="):
+                lo, hi = lit, None
+            else:
+                lo, hi = None, lit
+        b = out.setdefault(col, [None, None])
+        if lo is not None and (b[0] is None or lo > b[0]):
+            b[0] = lo
+        if hi is not None and (b[1] is None or hi < b[1]):
+            b[1] = hi
+    return out
+
+
+def snapshot_files_for_predicate(table_path, condition, version: int | None = None) -> list[str]:
+    """The file subset that can contain rows matching a SQL predicate
+    string, via manifest-stats overlap on its extracted conjunctive
+    constraints. Non-string conditions, unconstrained columns, files
+    without stats, or stats/literal type mismatches keep the file —
+    pruning must never lose rows. Constraint columns are translated to
+    physical names on column-mapped tables."""
+    p = Path(table_path)
+    v = current_version(p) if version is None else version
+    m = _read_manifest(p, v)
+    cons = (
+        _predicate_constraints(condition) if isinstance(condition, str) else {}
+    )
+    schema = m.get("schema")
+    if schema:
+        known = {c["name"] for c in schema["cols"]}
+        cons = {
+            _mapping_physical(schema, c): b
+            for c, b in cons.items()
+            if c in known
+        }
+    stats = m.get("stats", {})
+    keep = []
+    for rel in m["files"]:
+        ok = True
+        for c, (lo, hi) in cons.items():
+            s = stats.get(rel, {}).get(c)
+            if s is None:
+                continue
+            try:
+                if (hi is not None and s[0] > _stats_canon(hi)) or (
+                    lo is not None and s[1] < _stats_canon(lo)
+                ):
+                    ok = False
+                    break
+            except TypeError:
+                continue  # incomparable literal vs stats: keep the file
+        if ok:
+            keep.append(rel)
+    return keep
+
+
+def _tagged_live_logical(spark, p: Path, m: dict, touched: list[str],
+                         types: dict | None = None) -> DataFrame:
+    """The LIVE rows of ``touched`` files tagged with their (_fp, _ri)
+    positions: reserved provenance columns stripped, logical column
+    names surfaced on mapped tables, the widened-types map applied as an
+    explicit read schema (mixed footer widths are a merge conflict for
+    inference), and positions already in the deletion vectors anti-
+    joined out so dead rows can neither match nor resurrect. Shared by
+    the MOR delete/update/merge writers."""
+    from pyspark.sql import functions as F
+
+    eff_types = m.get("types") if types is None else types
+    _rd = spark.read
+    if eff_types:
+        _rd = _rd.schema(_types_ddl(eff_types))
+    else:
+        _rd = _rd.option("mergeSchema", "true")
+    raw = _rd.parquet(*[str(p / f) for f in touched])
+    tagged = raw.select(
+        _rel_path_col().alias("_fp"),
+        F.col("_metadata.row_index").alias("_ri"),
+        *[c for c in raw.columns if c not in _PROV_COLS],
+    )
+    sch = m.get("schema")
+    if sch:
+        have = set(raw.columns)
+        tagged = tagged.select(
+            "_fp", "_ri",
+            *[
+                (
+                    F.col(c["physical"])
+                    if c["physical"] in have
+                    else F.lit(None).cast(c["type"])
+                ).alias(c["name"])
+                for c in sch["cols"]
+            ],
+        )
+    dv = m.get("dv", {}) or {}
+    existing = [
+        (_dv_key(rel), int(ri))
+        for rel in touched
+        if _dv_key(rel) in dv
+        for ri in _unpack_positions(dv[_dv_key(rel)])
+    ]
+    if existing:
+        import pandas as _pd
+
+        ex_df = spark.createDataFrame(
+            _pd.DataFrame(existing, columns=["_fp", "_ri"])
+        )
+        tagged = tagged.join(F.broadcast(ex_df), ["_fp", "_ri"], "left_anti")
+    return tagged
+
+
+def snapshot_delete_where(
+    spark: SparkSession, table_path, condition,
+    max_deleted_rows: int = DV_MAX_DELETED_ROWS,
+    _prune_range: tuple | None = None,
+) -> int:
+    """Merge-on-read DELETE of every row matching an arbitrary predicate
+    (``DELETE FROM t WHERE k = 5 AND status <> 'F'``): the matched LIVE
+    rows' positions join the touched files' deletion vectors — no data
+    file rewritten. ``condition`` is a SQL string (over logical column
+    names; string form enables conjunctive-constraint file pruning via
+    :func:`snapshot_files_for_predicate`) or a Column (correct, but scans
+    every file). A NULL predicate value deletes nothing (SQL WHERE
+    semantics). Deletes wider than ``max_deleted_rows`` copy-on-write
+    rewrite the touched files instead — counted, not assumed. Same
+    optimistic rebase-retry disposition as every writer. The range form
+    :func:`snapshot_delete_range_mor` is this with a direct
+    stats-interval prune."""
     from pyspark.sql import functions as F
 
     p = _table(table_path)
     if current_version(p) == 0:
         raise FileNotFoundError(f"no snapshot table at {p}")
+    matched = F.coalesce(_merge_cond(condition), F.lit(False))
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        m = _read_manifest(p, parent)
+        stats: dict = m.get("stats", {}) or {}
+        dv: dict = dict(m.get("dv", {}) or {})
+        schema = m.get("schema")
+        if _prune_range is not None:
+            c0, lo, hi = _prune_range
+            pc = _mapping_physical(schema, c0) if schema else c0
+            touched = sorted(snapshot_files_for_range(p, pc, lo, hi, parent))
+        else:
+            touched = sorted(snapshot_files_for_predicate(p, condition, parent))
+        try:
+            if not touched:
+                return _commit(p, list(m["files"]), parent,
+                               stats=stats or None,
+                               blooms=m.get("blooms") or None,
+                               dv=dv or None, op="delete-mor")
+            tagged = _tagged_live_logical(spark, p, m, touched)
+            hits = tagged.where(matched).select("_fp", "_ri")
+            n_hits = hits.count()
+            if n_hits > max_deleted_rows:
+                # wide delete: the rewrite is cheaper than giant vectors —
+                # copy-on-write the touched files keeping unmatched rows
+                cur = _read_files_with_dv(
+                    spark, p, touched, m.get("dv"), merge_schema=True,
+                    types=m.get("types"),
+                )
+                if schema:
+                    cur = _apply_column_mapping(cur, schema)
+                kept = cur.where(~matched).coalesce(max(1, len(touched)))
+                if schema:
+                    kept = _df_to_physical(kept, schema)
+                new_files = _write_files(kept, p)
+                untouched = [f for f in m["files"] if f not in set(touched)]
+                new_stats = dict(stats)
+                for f in touched:
+                    new_stats.pop(f, None)
+                tracked = sorted({c for s in stats.values() for c in s})
+                if tracked:
+                    new_stats.update(
+                        _collect_stats(p, new_files, tracked, spark=spark)
+                    )
+                return _commit(p, untouched + new_files, parent,
+                               stats=new_stats or None,
+                               blooms=_carry_blooms(p, m, untouched, new_files),
+                               dv=_carry_dv(m, untouched), op="delete")
+            by_file = (
+                hits.groupBy("_fp")
+                .agg(F.sort_array(F.collect_list("_ri")).alias("pos"))
+                .collect()  # <= touched-file rows, positions capped above
+            )
+            for r in by_file:
+                new_pos = list(r["pos"])
+                if r["_fp"] in dv:
+                    new_pos = sorted(
+                        set(_unpack_positions(dv[r["_fp"]])) | set(new_pos)
+                    )
+                dv[r["_fp"]] = _pack_positions(new_pos)
+            return _commit(p, list(m["files"]), parent,
+                           stats=stats or None,
+                           blooms=m.get("blooms") or None,
+                           dv=dv or None, op="delete-mor")
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def snapshot_update_where(
+    spark: SparkSession, table_path, condition, assignments: dict,
+    max_updated_rows: int = DV_MAX_DELETED_ROWS,
+    _prune_range: tuple | None = None,
+) -> int:
+    """Merge-on-read UPDATE of every row matching an arbitrary predicate
+    (``UPDATE t SET v = v + 1 WHERE k = 5``): matched rows' positions
+    join the deletion vectors and their updated images append as new
+    files carrying row provenance — ONE commit, no touched file
+    rewritten, the change feed pairs the images as updates. Same
+    condition/pruning contract as :func:`snapshot_delete_where`; updates
+    wider than ``max_updated_rows`` copy-on-write rewrite instead. The
+    range form :func:`snapshot_update_range_mor` is this with a direct
+    stats-interval prune."""
+    from pyspark.sql import functions as F
+
+    p = _table(table_path)
+    if current_version(p) == 0:
+        raise FileNotFoundError(f"no snapshot table at {p}")
+    matched = F.coalesce(_merge_cond(condition), F.lit(False))
     set_cols = {
         c: (F.expr(e) if isinstance(e, str) else e)
         for c, e in assignments.items()
@@ -2334,70 +2569,19 @@ def snapshot_update_range_mor(
         stats: dict = m.get("stats", {}) or {}
         dv: dict = dict(m.get("dv", {}) or {})
         schema = m.get("schema")
-        # column-mapped table: the CALLER speaks logical names (col and
-        # the assignment expressions); the files speak physical. Prune on
-        # the physical key, surface logical names before evaluating the
-        # assignments, translate back to physical before writing.
-        phys_col = _mapping_physical(schema, col) if schema else col
-        touched = sorted(snapshot_files_for_range(p, phys_col, lo, hi, parent))
+        if _prune_range is not None:
+            c0, lo, hi = _prune_range
+            pc = _mapping_physical(schema, c0) if schema else c0
+            touched = sorted(snapshot_files_for_range(p, pc, lo, hi, parent))
+        else:
+            touched = sorted(snapshot_files_for_predicate(p, condition, parent))
         try:
             if not touched:
                 return _commit(p, list(m["files"]), parent,
                                stats=stats or None,
                                blooms=m.get("blooms") or None,
                                dv=dv or None, op="update-mor")
-            # matched LIVE rows of the touched files: dv-applied read so
-            # already-deleted positions can neither update nor resurrect.
-            # Widened table: explicit schema instead of mergeSchema (mixed
-            # footer widths are a merge conflict; _read_files_with_dv's
-            # treatment). Prov columns are excluded from the declared
-            # schema by construction (the types map never records them),
-            # which IS the strip the select below otherwise performs.
-            if m.get("types"):
-                raw = spark.read.schema(_types_ddl(m["types"])).parquet(
-                    *[str(p / f) for f in touched]
-                )
-            else:
-                raw = spark.read.option("mergeSchema", "true").parquet(
-                    *[str(p / f) for f in touched]
-                )
-            # tag positions FIRST (the _metadata pseudo-column resolves
-            # only on the scan relation), then surface logical names.
-            # Exclude reserved provenance columns: touched files from a
-            # PREVIOUS update carry them, and the new images must not
-            # inherit stale provenance.
-            tagged = raw.select(
-                _rel_path_col().alias("_fp"),
-                F.col("_metadata.row_index").alias("_ri"),
-                *[c for c in raw.columns if c not in _PROV_COLS],
-            )
-            if schema:
-                have = set(raw.columns)
-                tagged = tagged.select(
-                    "_fp", "_ri",
-                    *[
-                        (
-                            F.col(c["physical"])
-                            if c["physical"] in have
-                            else F.lit(None).cast(c["type"])
-                        ).alias(c["name"])
-                        for c in schema["cols"]
-                    ],
-                )
-            existing = [
-                (_dv_key(rel), int(ri))
-                for rel in touched
-                if _dv_key(rel) in dv
-                for ri in _unpack_positions(dv[_dv_key(rel)])
-            ]
-            hits = tagged.where((F.col(col) >= lo) & (F.col(col) <= hi))
-            if existing:
-                import pandas as _pd
-
-                ex_df = spark.createDataFrame(
-                    _pd.DataFrame(existing, columns=["_fp", "_ri"])
-                )
-                hits = hits.join(F.broadcast(ex_df), ["_fp", "_ri"], "left_anti")
+            hits = _tagged_live_logical(spark, p, m, touched).where(matched)
             hits = hits.localCheckpoint(eager=True)  # one scan, three uses
             n_hits = hits.count()
             if n_hits == 0:
@@ -2415,7 +2599,6 @@ def snapshot_update_range_mor(
                 )
                 if schema:
                     cur = _apply_column_mapping(cur, schema)
-                matched = (F.col(col) >= lo) & (F.col(col) <= hi)
                 rewritten = cur.select(*[
                     (F.when(matched, set_cols[c]).otherwise(F.col(c))
                      if c in set_cols else F.col(c)).alias(c)
@@ -2451,15 +2634,8 @@ def snapshot_update_range_mor(
                         set(_unpack_positions(dv[r["_fp"]])) | set(new_pos)
                     )
                 dv[r["_fp"]] = _pack_positions(new_pos)
-            # ...and append the updated images as new files, carrying ROW
-            # PROVENANCE in the reserved _prov_fp/_prov_ri columns: the
-            # (file, position) each image replaced. Readers strip the
-            # reserved columns (every read path drops them; compaction
-            # rewrites without them), and the change feed uses them to
-            # report this commit as update_preimage/update_postimage
-            # PAIRS instead of unpaired delete+insert — Delta's row-
-            # tracking contract at the cost of two small columns on
-            # update-appended files only.
+            # ...and append the updated images as new files carrying row
+            # provenance (see snapshot_update_range_mor's contract note)
             updated = hits.select(*[
                 (set_cols[c] if c in set_cols else F.col(c)).alias(c)
                 for c in data_cols
