@@ -1333,3 +1333,62 @@ def snapshot_conditional_merge_read(spark: SparkSession, sf_dir: str) -> DataFra
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_predicate_dml_read",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               CASE WHEN o_orderstatus = 'F' AND o_orderkey <= 1000
+                    THEN o_totalprice + 2 ELSE o_totalprice
+               END AS total_price,
+               o_orderstatus AS order_status
+        FROM orders
+        WHERE o_orderkey % 10 <> 3 AND o_orderkey <> 42
+    """,
+    tags=("snapshot", "delete", "update", "predicate"),
+)
+def snapshot_predicate_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-predicate DELETE/UPDATE under the driver's hash gate,
+    THROUGH the SQL surface: commit orders with per-file key stats, then
+    run three verbatim statements via SnapshotCatalog — a non-prunable
+    modulo DELETE (full predicate scan, deletion vectors grow), a
+    stats-PRUNED equality DELETE (`o_orderkey = 42` touches only files
+    whose [min,max] admit 42), and a compound-predicate UPDATE
+    (`status = 'F' AND key <= 1000`, MOR image append) — and read the
+    final state. The oracle recomputes it arithmetically from raw
+    orders, so a predicate mis-parse, a pruning slip that loses rows, a
+    DV that drops the wrong positions, or an update image mismatch all
+    fail the hash. (MOR byte-identical-carry and CoW-fallback behavior
+    pinned in tests/test_snapshot_predicate_dml.py.)"""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_read, snapshot_write_with_stats
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_pdml_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snapshot_write_with_stats(o, t, ["o_orderkey"], n_files=6)
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE pdml_orders USING snapshot LOCATION '{t}'")
+    cat.sql("DELETE FROM pdml_orders WHERE o_orderkey % 10 = 3")
+    cat.sql("DELETE FROM pdml_orders WHERE o_orderkey = 42")
+    cat.sql(
+        "UPDATE pdml_orders SET o_totalprice = o_totalprice + 2 "
+        "WHERE o_orderstatus = 'F' AND o_orderkey <= 1000"
+    )
+    cat.drop_table("pdml_orders")
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderstatus").alias("order_status"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

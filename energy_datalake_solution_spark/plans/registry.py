@@ -107,6 +107,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 10, never driver-checked (new queries go HERE, at
     #     the top, so the gate window always sees them first) ---
     "snapshot_conditional_merge_read",
+    "snapshot_predicate_dml_read",
     # --- latest hash-green round 5: the stalest cohort (28) ---
     "docs_quality_score",
     "docs_source_budget_cap",
