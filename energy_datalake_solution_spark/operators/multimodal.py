@@ -2195,8 +2195,11 @@ def decode_jpeg_color_pixel_stats(df: DataFrame) -> DataFrame:
     dequantization + separable float IDCT, then libjpeg's FIXED-POINT
     YCbCr -> RGB (integer multiplies and a floor-shift, so the oracle
     replicates it exactly) with clamping. Emits per-channel mean and the
-    top-left corner pixel. 4:4:4 only — subsampled scans raise (that is
-    where a real codec library earns its keep)."""
+    top-left corner pixel. Handles per-component sampling factors —
+    4:4:4 (1x1x1), 4:2:0 (Y 2x2 + chroma 1x1, the near-universal
+    camera/web layout), 4:2:2 — with chroma upsampled by pixel
+    replication (libjpeg's do_fancy_upsampling=FALSE box method).
+    Progressive scans still raise (genuinely library-bound)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -2315,9 +2318,10 @@ def decode_jpeg_color_pixel_stats(df: DataFrame) -> DataFrame:
                     comps = []
                     for c in range(3):
                         cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
-                        if sampling != 0x11:
-                            raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
-                        comps.append({"id": cid, "tq": tq})
+                        comps.append({
+                            "id": cid, "tq": tq,
+                            "h": sampling >> 4, "v": sampling & 0x0F,
+                        })
                     dims = (ww, hh)
                 elif marker in (0xC1, 0xC2, 0xC3):
                     raise ValueError("non-baseline JPEG (progressive/extended)")
@@ -2337,7 +2341,7 @@ def decode_jpeg_color_pixel_stats(df: DataFrame) -> DataFrame:
                     if ns != 3:
                         raise ValueError("color scan must cover 3 components")
                     by_id = {c["id"]: c for c in comps}
-                    scan = []
+                    scan, samp = [], []
                     for c in range(3):
                         cid, tdta = body[1 + 2 * c], body[2 + 2 * c]
                         spec = by_id[cid]
@@ -2348,26 +2352,64 @@ def decode_jpeg_color_pixel_stats(df: DataFrame) -> DataFrame:
                                 qtables[spec["tq"]],
                             )
                         )
+                        samp.append((spec["h"], spec["v"]))
                     entropy_end = buf.rfind(b"\xff\xd9")
                     if entropy_end < 0:
                         raise ValueError("missing EOI")
                     reader = BitReader(buf[pos:entropy_end])
                     w, h = dims
-                    if w % 8 or h % 8:
-                        raise ValueError("non-multiple-of-8 dims unsupported")
-                    bw_, bh_ = w // 8, h // 8
-                    planes = np.zeros((3, h, w), dtype=np.int64)
+                    # general sampling factors (4:4:4 = 1x1x1, 4:2:0 =
+                    # Y 2x2 + chroma 1x1, 4:2:2 = Y 2x1 + chroma 1x1):
+                    # MCU covers 8*hmax x 8*vmax pixels and carries
+                    # Hc*Vc blocks per component in raster order
+                    hmax = max(s[0] for s in samp)
+                    vmax = max(s[1] for s in samp)
+                    for sh, sv in samp:
+                        if sh < 1 or sv < 1 or hmax % sh or vmax % sv:
+                            raise ValueError(
+                                f"non-integer sampling ratio {sh}x{sv}"
+                            )
+                    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+                    if w % mcu_w or h % mcu_h:
+                        raise ValueError(
+                            "dims must be MCU-aligned (multiples of "
+                            f"{mcu_w}x{mcu_h} for this sampling)"
+                        )
+                    mcus_x, mcus_y = w // mcu_w, h // mcu_h
+                    sub = [
+                        np.zeros(
+                            (h * sv // vmax, w * sh // hmax), dtype=np.int64
+                        )
+                        for sh, sv in samp
+                    ]
                     prev = [0, 0, 0]
-                    for by in range(bh_):
-                        for bx in range(bw_):  # MCU: one block per component
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
                             for c in range(3):
                                 dct, act, q = scan[c]
-                                px, prev[c] = decode_block(
-                                    reader, dct, act, q, prev[c]
-                                )
-                                planes[
-                                    c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                                ] = px
+                                sh, sv = samp[c]
+                                for v in range(sv):
+                                    for hh_ in range(sh):
+                                        px, prev[c] = decode_block(
+                                            reader, dct, act, q, prev[c]
+                                        )
+                                        py = 8 * (my * sv + v)
+                                        pxx = 8 * (mx * sh + hh_)
+                                        sub[c][
+                                            py : py + 8, pxx : pxx + 8
+                                        ] = px
+                    # chroma upsampling by pixel replication (libjpeg's
+                    # do_fancy_upsampling=FALSE box method — exact, and
+                    # what the generating-formula oracle replicates)
+                    planes = np.zeros((3, h, w), dtype=np.int64)
+                    for c in range(3):
+                        sh, sv = samp[c]
+                        pl = sub[c]
+                        if vmax // sv > 1:
+                            pl = np.repeat(pl, vmax // sv, axis=0)
+                        if hmax // sh > 1:
+                            pl = np.repeat(pl, hmax // sh, axis=1)
+                        planes[c] = pl
                     return planes, w, h
             raise ValueError("no SOS segment found")
 
@@ -2460,3 +2502,152 @@ def multimodal_jpeg_color_pixel_stats(spark: SparkSession, sf_dir: str) -> DataF
     color-constant error fails the hash on essentially every doc."""
     d = load_table(spark, sf_dir, "documents")
     return decode_jpeg_color_pixel_stats(synth_jpeg_color_payload(d))
+
+
+def synth_jpeg_420_payload(df: DataFrame) -> DataFrame:
+    """Synthesize complete spec-valid 4:2:0 CHROMA-SUBSAMPLED baseline
+    JPEGs — the near-universal camera/web layout: 3-component SOF0 with
+    Y sampling 2x2 and Cb/Cr 1x1, unit quantization, Annex K tables,
+    interleaved MCUs of SIX blocks (four Y in raster order, then Cb,
+    Cr) with per-component DC prediction. Each 8x8 block is constant:
+        Y at block (bx, by):   (doc_id*37 + bx*59 + by*83) % 256
+        Cb at MCU  (mx, my):   (doc_id*41 + mx*67 + my*89) % 256
+        Cr at MCU  (mx, my):   (doc_id*43 + mx*71 + my*97) % 256
+    dims w = 16*(1 + doc_id % 2), h = 16*(1 + doc_id % 3) — whole MCUs.
+    Constant blocks + unit quantization keep the lossy pipeline
+    bit-exact, and constant chroma per MCU makes the box upsample
+    formula-exact, so a SQL oracle recomputes the decoded RGB stats."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        dc_y = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_y = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+        dc_c = _jpeg_huff_codes(_JPEG_DC_C_BITS, _JPEG_DC_C_VALS)
+        ac_c = _jpeg_huff_codes(_JPEG_AC_C_BITS, _JPEG_AC_C_VALS)
+
+        def put_block(w, v, prev_dc, dct, act):
+            dc = 8 * (v - 128)
+            diff = dc - prev_dc
+            mag = abs(diff)
+            cat = mag.bit_length()
+            code, length = dct[cat]
+            w.put(code, length)
+            if cat:
+                bits_val = diff if diff > 0 else diff + (1 << cat) - 1
+                w.put(bits_val, cat)
+            eob, eob_len = act[0x00]
+            w.put(eob, eob_len)
+            return dc
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                mw, mh = 1 + i % 2, 1 + i % 3   # MCUs (16x16 px each)
+                w, h = 16 * mw, 16 * mh
+                head = bytearray(b"\xff\xd8")
+                head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+                head += (
+                    b"\xff\xc0"
+                    + struct.pack(">H", 17)
+                    + bytes([8])
+                    + struct.pack(">HH", h, w)
+                    + bytes([3])
+                    + bytes([1, 0x22, 0])   # Y:  2x2 sampling -> 4:2:0
+                    + bytes([2, 0x11, 0])   # Cb: 1x1 sampling
+                    + bytes([3, 0x11, 0])   # Cr: 1x1 sampling
+                )
+                head += _jpeg_dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS)
+                head += _jpeg_dht(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)
+                head += _jpeg_dht(0x01, _JPEG_DC_C_BITS, _JPEG_DC_C_VALS)
+                head += _jpeg_dht(0x11, _JPEG_AC_C_BITS, _JPEG_AC_C_VALS)
+                head += (
+                    b"\xff\xda"
+                    + struct.pack(">H", 12)
+                    + bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+                )
+                wtr = _JpegBitWriter()
+                prev = [0, 0, 0]  # per-component DC predictors
+                for my in range(mh):
+                    for mx in range(mw):  # MCU: 4 Y blocks + Cb + Cr
+                        for dy in range(2):
+                            for dx in range(2):
+                                bx, by = 2 * mx + dx, 2 * my + dy
+                                y = (i * 37 + bx * 59 + by * 83) % 256
+                                prev[0] = put_block(wtr, y, prev[0], dc_y, ac_y)
+                        cb = (i * 41 + mx * 67 + my * 89) % 256
+                        cr = (i * 43 + mx * 71 + my * 97) % 256
+                        prev[1] = put_block(wtr, cb, prev[1], dc_c, ac_c)
+                        prev[2] = put_block(wtr, cr, prev[2], dc_c, ac_c)
+                buf = bytes(head) + wtr.flush() + b"\xff\xd9"
+                rows.append({"doc_id": doc_id, "payload": buf})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_jpeg_420_pixel_stats",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id, 1 + doc_id % 2 AS mw, 1 + doc_id % 3 AS mh
+            FROM documents
+        ),
+        bys AS (SELECT doc_id, mw, mh, UNNEST(range(0, 2 * mh)) AS by FROM params),
+        bxs AS (SELECT doc_id, mw, mh, by, UNNEST(range(0, 2 * mw)) AS bx FROM bys),
+        ycc AS (
+            SELECT doc_id, mw, mh, bx, by,
+                   (doc_id * 37 + bx * 59 + by * 83) % 256 AS y,
+                   (doc_id * 41 + (bx // 2) * 67 + (by // 2) * 89) % 256 - 128 AS cb,
+                   (doc_id * 43 + (bx // 2) * 71 + (by // 2) * 97) % 256 - 128 AS cr
+            FROM bxs
+        ),
+        rgb AS (
+            SELECT doc_id, mw, mh, bx, by,
+                   LEAST(255, GREATEST(0,
+                       y + CAST(FLOOR((91881 * cr + 32768) / 65536.0) AS BIGINT)
+                   )) AS r,
+                   LEAST(255, GREATEST(0,
+                       y + CAST(FLOOR((-22554 * cb - 46802 * cr + 32768) / 65536.0) AS BIGINT)
+                   )) AS g,
+                   LEAST(255, GREATEST(0,
+                       y + CAST(FLOOR((116130 * cb + 32768) / 65536.0) AS BIGINT)
+                   )) AS b
+            FROM ycc
+        )
+        SELECT doc_id,
+               CAST(16 * mw AS INT) AS width,
+               CAST(16 * mh AS INT) AS height,
+               round(avg(CAST(r AS DOUBLE)), 6) AS mean_r,
+               round(avg(CAST(g AS DOUBLE)), 6) AS mean_g,
+               round(avg(CAST(b AS DOUBLE)), 6) AS mean_b,
+               CAST(max(CASE WHEN bx = 0 AND by = 0 THEN r END) AS INT) AS corner_r,
+               CAST(max(CASE WHEN bx = 0 AND by = 0 THEN g END) AS INT) AS corner_g,
+               CAST(max(CASE WHEN bx = 0 AND by = 0 THEN b END) AS INT) AS corner_b
+        FROM rgb
+        GROUP BY doc_id, mw, mh
+    """,
+    tags=("multimodal", "image"),
+)
+def multimodal_jpeg_420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel RGB statistics decoded from REAL 4:2:0
+    chroma-subsampled baseline JPEG bytes — the layout of essentially
+    every camera/web JPEG: six-block interleaved MCUs (four Y, one Cb,
+    one Cr), per-component DC prediction across the 2x2 Y quad, chroma
+    planes decoded at quarter resolution and box-upsampled, then
+    libjpeg's fixed-point color transform. The oracle recomputes the
+    stats from the generating formulas with the chroma indexed at
+    (bx//2, by//2) — exactly the subsample/upsample geometry — so a
+    swapped Y-quad order, a DC predictor that resets per block row, an
+    upsample misalignment, or a sampling-factor parse slip fails the
+    hash on essentially every doc. Same decoder as the 4:4:4 query
+    (decode_jpeg_color_pixel_stats handles both via SOF0 sampling
+    factors)."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_jpeg_color_pixel_stats(synth_jpeg_420_payload(d))

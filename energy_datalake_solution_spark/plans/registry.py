@@ -108,6 +108,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     #     the top, so the gate window always sees them first) ---
     "snapshot_conditional_merge_read",
     "snapshot_predicate_dml_read",
+    "multimodal_jpeg_420_pixel_stats",
     # --- latest hash-green round 5: the stalest cohort (28) ---
     "docs_quality_score",
     "docs_source_budget_cap",

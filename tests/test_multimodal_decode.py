@@ -476,3 +476,86 @@ def test_jpeg_malformed_or_unsupported_raises(spark):
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(Exception, match="baseline|progressive"):
         _decode_jpeg(spark, prog)
+
+
+def test_jpeg_420_synth_roundtrip_matches_formula(spark):
+    """Decoding the synthesized 4:2:0 payloads reproduces the generating
+    formulas through the full subsampled pipeline — six-block MCUs,
+    per-component DC prediction, quarter-res chroma box-upsampled —
+    with libjpeg's fixed-point color transform applied per pixel."""
+    from energy_datalake_solution_spark.operators.multimodal import (
+        decode_jpeg_color_pixel_stats,
+        synth_jpeg_420_payload,
+    )
+
+    d = spark.range(0, 36).withColumnRenamed("id", "doc_id")
+    rows = decode_jpeg_color_pixel_stats(synth_jpeg_420_payload(d)).collect()
+    assert len(rows) == 36
+
+    def transform(y, cb, cr):
+        cb, cr = cb - 128, cr - 128
+        r = y + (91881 * cr + 32768) // 65536
+        g = y + (-22554 * cb - 46802 * cr + 32768) // 65536
+        b = y + (116130 * cb + 32768) // 65536
+        return tuple(min(255, max(0, v)) for v in (r, g, b))
+
+    for row in rows:
+        i = row.doc_id
+        mw, mh = 1 + i % 2, 1 + i % 3
+        assert (row.width, row.height) == (16 * mw, 16 * mh)
+        px = []
+        for by in range(2 * mh):
+            for bx in range(2 * mw):
+                y = (i * 37 + bx * 59 + by * 83) % 256
+                cb = (i * 41 + (bx // 2) * 67 + (by // 2) * 89) % 256
+                cr = (i * 43 + (bx // 2) * 71 + (by // 2) * 97) % 256
+                px.append(transform(y, cb, cr))
+        n = len(px)
+        assert abs(row.mean_r - round(sum(p[0] for p in px) / n, 6)) < 1e-9
+        assert abs(row.mean_g - round(sum(p[1] for p in px) / n, 6)) < 1e-9
+        assert abs(row.mean_b - round(sum(p[2] for p in px) / n, 6)) < 1e-9
+        assert (row.corner_r, row.corner_g, row.corner_b) == px[0]
+
+
+def test_jpeg_420_rejects_unaligned_dims(spark):
+    """A 4:2:0 stream whose dims are not MCU-aligned raises loudly
+    (partial-MCU edge handling is out of the documented subset)."""
+    import struct
+
+    import pytest as _pytest
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_C_BITS,
+        _JPEG_AC_C_VALS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_C_BITS,
+        _JPEG_DC_C_VALS,
+        _JPEG_DC_VALS,
+        _jpeg_dht,
+        decode_jpeg_color_pixel_stats,
+    )
+    from pyspark.sql import types as T
+
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    head += (b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+             + struct.pack(">HH", 8, 8) + bytes([3])     # 8x8: not 16-aligned
+             + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    head += _jpeg_dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS)
+    head += _jpeg_dht(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)
+    head += _jpeg_dht(0x01, _JPEG_DC_C_BITS, _JPEG_DC_C_VALS)
+    head += _jpeg_dht(0x11, _JPEG_AC_C_BITS, _JPEG_AC_C_VALS)
+    head += (b"\xff\xda" + struct.pack(">H", 12)
+             + bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    payload = bytes(head) + b"\x00" + b"\xff\xd9"
+    df = spark.createDataFrame(
+        [(0, payload)],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    with _pytest.raises(Exception, match="MCU-aligned"):
+        decode_jpeg_color_pixel_stats(df).collect()
