@@ -1392,3 +1392,79 @@ def snapshot_predicate_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_partition_evolution_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price,
+               o_orderstatus AS order_status
+        FROM orders
+        WHERE o_orderkey % 100 < 80 AND o_orderstatus = 'F'
+    """,
+    tags=("snapshot", "partitioning", "evolution"),
+)
+def snapshot_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION under the driver's hash gate: commit an
+    orders subset key-range-partitioned (stats on o_orderkey only), then
+    evolve the table's partition spec to o_orderstatus as a
+    metadata-only commit, append the remaining band (one file per status
+    value with exact point stats, routed by the recorded spec), and
+    answer a status-scoped query through the stats-pruned read — which
+    must admit every PRE-evolution file conservatively (no status stats)
+    while pruning POST-evolution files to the one matching status. The
+    oracle recomputes the final state from raw orders, so an evolution
+    commit that rewrites or loses files, an append that ignores the
+    spec, or a prune that drops a conservative file all fail the hash. A
+    guard raises if the post-evolution prune admitted more than the
+    matching status file(s)."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_append,
+        snapshot_files_for_values,
+        snapshot_read_range,
+        snapshot_set_partitioning,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_pevo_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    band = F.pmod("o_orderkey", F.lit(100))
+    snapshot_write_with_stats(
+        o.where(band < 60), t, ["o_orderkey"], n_files=4
+    )
+    pre_files = set(_read_manifest(t, current_version(t))["files"])
+    snapshot_set_partitioning(t, "o_orderstatus")
+    snapshot_append(o.where((band >= 60) & (band < 80)), t)
+    m = _read_manifest(t, current_version(t))
+    post_files = set(m["files"]) - pre_files
+    pruned = set(snapshot_files_for_values(t, "o_orderstatus", ["F"]))
+    if not pre_files <= pruned:
+        raise RuntimeError("conservative prune dropped a pre-evolution file")
+    extra = {
+        f for f in pruned & post_files
+        if m["stats"][f]["o_orderstatus"][0] != "F"
+    }
+    if extra:
+        raise RuntimeError(
+            f"post-evolution prune admitted non-matching files: {extra}"
+        )
+    out = snapshot_read_range(
+        spark, t, "o_orderstatus", "F", "F"
+    ).where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderstatus").alias("order_status"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

@@ -262,6 +262,7 @@ def _commit(
     schema_meta: dict | None = None,
     constraints_meta: dict | None = None,
     types_meta: dict | None = None,
+    partitioning_meta: dict | None = None,
 ) -> int:
     """Publish a manifest and advance the pointer.
 
@@ -360,6 +361,16 @@ def _commit(
         if types_meta is not None
         else (parent_resolved or {}).get("types")
     )
+    # current partition spec (partition-evolution feature): same carry
+    # semantics — the spec governs how NEW files route; existing files
+    # stay readable under whatever point stats they were written with
+    partitioning = (
+        None
+        if partitioning_meta is CLEAR_METADATA
+        else partitioning_meta
+        if partitioning_meta is not None
+        else (parent_resolved or {}).get("partitioning")
+    )
     parent_dist = (
         int(parent_resolved.get("ckpt_dist", 0)) if parent_resolved else 0
     )
@@ -388,6 +399,8 @@ def _commit(
             manifest["constraints"] = constraints
         if types != parent_resolved.get("types"):
             manifest["types"] = types
+        if partitioning != parent_resolved.get("partitioning"):
+            manifest["partitioning"] = partitioning
     else:
         manifest["ckpt_dist"] = 0
         if schema:
@@ -396,6 +409,8 @@ def _commit(
             manifest["constraints"] = constraints
         if types:
             manifest["types"] = types
+        if partitioning:
+            manifest["partitioning"] = partitioning
         if len(files) >= CKPT_PARQUET_MIN_FILES:
             manifest["ckpt_parquet"] = _write_ckpt_sidecar(
                 table_path, version, sorted(files), new_stats, new_blooms, new_dv
@@ -660,6 +675,7 @@ def snapshot_append(
     tip = current_version(p)
     _enforce_constraints(df, p, tip)
     widen_types: dict | None = None
+    part_col: str | None = None
     if tip:
         m_tip = _read_manifest(p, tip)
         sch = m_tip.get("schema")
@@ -670,10 +686,35 @@ def snapshot_append(
         # type widening: a wider batch records the widened logical types
         # in the manifest (no rewrite); a narrower batch upcasts here
         df, widen_types = _apply_type_widening(df, p, m_tip)
-    files = _write_files(df, p)
+        spec = m_tip.get("partitioning")
+        if spec:
+            cols = spec.get("cols") or []
+            if len(cols) != 1:
+                raise ValueError(f"unsupported partition spec: {spec}")
+            part_col = _mapping_physical(sch, cols[0]) if sch else cols[0]
+    eff_stats_cols = stats_cols
+    if part_col is not None:
+        if part_col not in df.columns:
+            raise ValueError(
+                f"append batch lacks partition column {part_col!r}"
+            )
+        # honor the table's partition spec: one file set per partition
+        # value with exact point stats (the evolved-layout write path) —
+        # the distinct pull is partition-count-sized driver work
+        vals = [r[0] for r in df.select(part_col).distinct().collect()]
+        if any(v is None for v in vals):
+            raise ValueError(
+                "NULL partition values cannot route (partitioned append)"
+            )
+        files = _write_files_by_partition(
+            df.sparkSession, df, p, part_col, vals
+        )
+        eff_stats_cols = sorted(set(stats_cols or []) | {part_col})
+    else:
+        files = _write_files(df, p)
     new_stats = (
-        _collect_stats(p, files, stats_cols, spark=df.sparkSession)
-        if stats_cols
+        _collect_stats(p, files, eff_stats_cols, spark=df.sparkSession)
+        if eff_stats_cols
         else None
     )
     for attempt in range(COMMIT_RETRIES):
@@ -688,7 +729,7 @@ def snapshot_append(
                 return parent  # this batch already landed (replay race)
         old_files = parent_manifest.get("files", [])
         stats = None
-        if stats_cols:
+        if eff_stats_cols:
             stats = dict(parent_manifest.get("stats", {}))
             stats.update(new_stats)
         elif parent_manifest.get("stats"):
@@ -1211,8 +1252,9 @@ def _apply_delta(base: dict, raw: dict) -> dict:
                 "ckpt_dist", "n_files"):
         if fld in raw:
             out[fld] = raw[fld]
-    # schema/constraints/types metadata: a delta stores them only when CHANGED
-    for meta in ("schema", "constraints", "types"):
+    # schema/constraints/types/partitioning metadata: a delta stores them
+    # only when CHANGED
+    for meta in ("schema", "constraints", "types", "partitioning"):
         if meta in raw:
             out[meta] = raw[meta]
         elif meta in base:
@@ -1446,6 +1488,7 @@ def snapshot_clone(
         op="clone", schema_meta=m.get("schema"),
         constraints_meta=m.get("constraints"),
         types_meta=m.get("types"),
+        partitioning_meta=m.get("partitioning"),
     )
 
 
@@ -1573,6 +1616,11 @@ def snapshot_restore(table_path, version: int | None = None,
         m["constraints"] if m.get("constraints") is not None else CLEAR_METADATA
     )
     types_meta = m["types"] if m.get("types") is not None else CLEAR_METADATA
+    partitioning_meta = (
+        m["partitioning"]
+        if m.get("partitioning") is not None
+        else CLEAR_METADATA
+    )
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)
         if parent == rv:
@@ -1586,6 +1634,7 @@ def snapshot_restore(table_path, version: int | None = None,
                 op="restore", schema_meta=schema_meta,
                 constraints_meta=constraints_meta,
                 types_meta=types_meta,
+                partitioning_meta=partitioning_meta,
             )
         except SnapshotCommitConflict:
             # restore-whatever-wins semantics: the target CONTENT is
@@ -1679,7 +1728,7 @@ def _materialize_checkpoint(p: Path, v: int) -> None:
     # exactly that for "types" — a vacuumed widened table read mixed-
     # width files without the explicit schema)
     for fld in ("op", "ts", "txn_app", "txns", "n_files", "schema",
-                "constraints", "types"):
+                "constraints", "types", "partitioning"):
         if m.get(fld) is not None:
             full[fld] = m[fld]
     if len(m["files"]) >= CKPT_PARQUET_MIN_FILES:
@@ -1856,7 +1905,7 @@ def _collect_stats(
 
 
 def _commit_full_replace(p: Path, files: list[str], *, stats=None, blooms=None,
-                         op: str = "write") -> int:
+                         op: str = "write", partitioning_meta=None) -> int:
     """Commit a FULL-REPLACE file set with the optimistic rebase: a
     conflict means another writer advanced the tip, and replace-whatever-
     is-current semantics rebase by recommitting the same files on the new
@@ -1870,7 +1919,8 @@ def _commit_full_replace(p: Path, files: list[str], *, stats=None, blooms=None,
     for attempt in range(COMMIT_RETRIES):
         try:
             return _commit(p, files, current_version(p), stats=stats,
-                           blooms=blooms, op=op, types_meta=CLEAR_METADATA)
+                           blooms=blooms, op=op, types_meta=CLEAR_METADATA,
+                           partitioning_meta=partitioning_meta)
         except SnapshotCommitConflict:
             if attempt == COMMIT_RETRIES - 1:
                 raise
@@ -3621,6 +3671,57 @@ def snapshot_add_column(table_path, name: str, dtype: str) -> int:
     return _commit_schema_change(table_path, mutate, "add-column")
 
 
+def snapshot_set_partitioning(table_path, col: str | None) -> int:
+    """PARTITION EVOLUTION as an O(columns) metadata commit (Iceberg's
+    spec-evolution view): record the partition column NEW writes route
+    by. No data file is touched or rewritten — files written under an
+    earlier spec stay readable and prunable via whatever per-file stats
+    they carry, and value pruning on the new column conservatively keeps
+    pre-evolution files (no stats for it = never pruned). Writers that
+    honor the spec (snapshot_append) route one file set per partition
+    value with exact point stats, so post-evolution data prunes
+    perfectly while the boundary remains merely conservative until
+    compaction rewrites it. ``None`` clears the spec. ``col`` is the
+    LOGICAL name on mapped tables. Same optimistic disposition as every
+    writer; the spec follows the standard metadata carry (inherit,
+    delta-on-change, checkpoint, clone, restore-with-CLEAR)."""
+    p = _table(table_path)
+    if current_version(p) == 0:
+        raise FileNotFoundError(f"no snapshot table at {p}")
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        m = _read_manifest(p, parent)
+        if col is not None:
+            sch = m.get("schema")
+            if sch and col not in {c["name"] for c in sch["cols"]}:
+                raise ValueError(
+                    f"partition column {col!r} not in table schema"
+                )
+        meta = {"cols": [col]} if col is not None else CLEAR_METADATA
+        try:
+            return _commit(p, list(m["files"]), parent,
+                           stats=m.get("stats") or None,
+                           blooms=m.get("blooms") or None,
+                           dv=m.get("dv") or None,
+                           op="set-partitioning",
+                           partitioning_meta=meta)
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def snapshot_partitioning(table_path, version: int | None = None) -> list[str] | None:
+    """The partition spec (logical column list) in force at a version,
+    or None — a manifest metadata read, no file opened."""
+    p = Path(table_path)
+    v = current_version(p) if version is None else version
+    if v == 0:
+        return None
+    spec = _read_manifest(p, v).get("partitioning")
+    return list(spec["cols"]) if spec else None
+
+
 def _write_files_by_partition(
     spark: SparkSession, df: DataFrame, table_path: Path,
     partition_col: str, values: list,
@@ -3702,6 +3803,9 @@ def snapshot_upsert_partitioned(
 
     p = _table(table_path)
     _enforce_constraints(df, p)
+    # the spec records the LOGICAL name (manifest partitioning metadata);
+    # the merge below runs in physical space
+    part_meta = {"cols": [partition_col]}
     # column-mapped table: the caller speaks logical names; the merge runs
     # in physical space (read-back frames and stats are physical)
     sch = (
@@ -3734,7 +3838,8 @@ def snapshot_upsert_partitioned(
                 spark, df, p, partition_col, touched_vals
             )
             stats = _collect_stats(p, files, stats_cols, spark=spark)
-            return _commit_full_replace(p, files, stats=stats, op="upsert-part")
+            return _commit_full_replace(p, files, stats=stats, op="upsert-part",
+                                        partitioning_meta=part_meta)
         if not touched_vals:
             # empty batch: metadata-only commit (auditable no-op)
             parent = current_version(p)
@@ -3742,7 +3847,8 @@ def snapshot_upsert_partitioned(
             return _commit(p, list(m["files"]), parent,
                            stats=m.get("stats") or None,
                            blooms=m.get("blooms") or None,
-                           dv=m.get("dv") or None, op="upsert-part")
+                           dv=m.get("dv") or None, op="upsert-part",
+                           partitioning_meta=part_meta)
         klo, khi = df.agg(
             F.min(keys[0]), F.max(keys[0])
         ).first()
@@ -3794,7 +3900,8 @@ def snapshot_upsert_partitioned(
                 return _commit(p, untouched + new_files, parent,
                                stats=new_stats,
                                blooms=_carry_blooms(p, m, untouched, new_files),
-                               dv=_carry_dv(m, untouched), op="upsert-part")
+                               dv=_carry_dv(m, untouched), op="upsert-part",
+                               partitioning_meta=part_meta)
             except SnapshotCommitConflict:
                 if attempt == COMMIT_RETRIES - 1:
                     raise
