@@ -1468,3 +1468,70 @@ def snapshot_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataF
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_bucketed_join_read",
+    oracle="""
+        SELECT c.c_custkey AS customer_id,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 6) AS total_spend
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey % 100 < 50
+        GROUP BY c.c_custkey
+    """,
+    tags=("snapshot", "bucketing", "join"),
+)
+def snapshot_bucketed_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed snapshot-to-snapshot join under the driver's hash gate:
+    commit an orders subset and the customer table through
+    snapshot_write_bucketed (8 buckets on the join key, spec in the
+    manifest), register both versions as external bucketed tables, and
+    aggregate their merge-hinted equi-join. A guard RAISES if the
+    physical plan contains any Exchange — the whole point of the layout
+    is that both scans' bucket partitioning already satisfies the join,
+    so at 100 TB the repeated fact-to-dim join costs zero shuffle. The
+    oracle recomputes the aggregate from raw tables, so a bucket-routing
+    slip (rows hashed to the wrong bucket would silently drop join
+    matches) fails the hash, not just the plan check."""
+    import io
+    import shutil
+    from contextlib import redirect_stdout
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        snapshot_bucketed_table,
+        snapshot_write_bucketed,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_bjoin_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).where(F.pmod("o_orderkey", F.lit(100)) < 50)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    snapshot_write_bucketed(o, base / "orders", "o_custkey", 8)
+    snapshot_write_bucketed(c, base / "customer", "c_custkey", 8)
+    a = snapshot_bucketed_table(spark, base / "orders", "bjoin_orders")
+    b = snapshot_bucketed_table(spark, base / "customer", "bjoin_customer")
+    j = a.join(b.hint("merge"), a.o_custkey == b.c_custkey)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    if "Exchange" in buf.getvalue():
+        raise RuntimeError("bucketed snapshot join planned an Exchange")
+    out = j.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("total_spend"),
+    ).select(
+        F.col("c_custkey").alias("customer_id"),
+        "n_orders", "total_spend",
+    )
+    # same invalidation contract as the other fixture queries above
+    # (materialize BEFORE dropping the catalog entries the plan reads)
+    out = out.localCheckpoint(eager=True)
+    spark.sql("DROP TABLE IF EXISTS bjoin_orders")
+    spark.sql("DROP TABLE IF EXISTS bjoin_customer")
+    return out

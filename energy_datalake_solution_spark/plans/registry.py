@@ -110,6 +110,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_predicate_dml_read",
     "multimodal_jpeg_420_pixel_stats",
     "snapshot_partition_evolution_read",
+    "snapshot_bucketed_join_read",
     # --- latest hash-green round 5: the stalest cohort (28) ---
     "docs_quality_score",
     "docs_source_budget_cap",

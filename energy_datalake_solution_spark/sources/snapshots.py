@@ -263,6 +263,7 @@ def _commit(
     constraints_meta: dict | None = None,
     types_meta: dict | None = None,
     partitioning_meta: dict | None = None,
+    bucketing_meta: dict | None = None,
 ) -> int:
     """Publish a manifest and advance the pointer.
 
@@ -371,6 +372,17 @@ def _commit(
         if partitioning_meta is not None
         else (parent_resolved or {}).get("partitioning")
     )
+    # bucketed layout spec (bucket-join feature): same carry semantics.
+    # Writers that add non-bucket-named files leave the spec in place —
+    # the bucketed VIEW validates file names at registration and fails
+    # loudly, never silently mis-buckets
+    bucketing = (
+        None
+        if bucketing_meta is CLEAR_METADATA
+        else bucketing_meta
+        if bucketing_meta is not None
+        else (parent_resolved or {}).get("bucketing")
+    )
     parent_dist = (
         int(parent_resolved.get("ckpt_dist", 0)) if parent_resolved else 0
     )
@@ -401,6 +413,8 @@ def _commit(
             manifest["types"] = types
         if partitioning != parent_resolved.get("partitioning"):
             manifest["partitioning"] = partitioning
+        if bucketing != parent_resolved.get("bucketing"):
+            manifest["bucketing"] = bucketing
     else:
         manifest["ckpt_dist"] = 0
         if schema:
@@ -411,6 +425,8 @@ def _commit(
             manifest["types"] = types
         if partitioning:
             manifest["partitioning"] = partitioning
+        if bucketing:
+            manifest["bucketing"] = bucketing
         if len(files) >= CKPT_PARQUET_MIN_FILES:
             manifest["ckpt_parquet"] = _write_ckpt_sidecar(
                 table_path, version, sorted(files), new_stats, new_blooms, new_dv
@@ -614,7 +630,8 @@ def snapshot_write(df: DataFrame, table_path) -> int:
             # full replace resets widened-type metadata: every surviving
             # file is this batch's, so the footers are the honest schema
             return _commit(p, files, current_version(p), op="write",
-                           types_meta=CLEAR_METADATA)
+                           types_meta=CLEAR_METADATA,
+                           bucketing_meta=CLEAR_METADATA)
         except SnapshotCommitConflict:
             # full replace has no read-set: rebase = recommit the same
             # files on the new tip (replace-whatever-is-current semantics)
@@ -692,8 +709,16 @@ def snapshot_append(
             if len(cols) != 1:
                 raise ValueError(f"unsupported partition spec: {spec}")
             part_col = _mapping_physical(sch, cols[0]) if sch else cols[0]
+        bspec = m_tip.get("bucketing")
+    else:
+        bspec = None
     eff_stats_cols = stats_cols
-    if part_col is not None:
+    if bspec:
+        # bucketed table: the batch bucket-routes like the standing
+        # files (bucket files from any number of writes compose into
+        # one bucketed read)
+        files = _write_files_bucketed(df, p, bspec["col"], int(bspec["n"]))
+    elif part_col is not None:
         if part_col not in df.columns:
             raise ValueError(
                 f"append batch lacks partition column {part_col!r}"
@@ -1254,7 +1279,8 @@ def _apply_delta(base: dict, raw: dict) -> dict:
             out[fld] = raw[fld]
     # schema/constraints/types/partitioning metadata: a delta stores them
     # only when CHANGED
-    for meta in ("schema", "constraints", "types", "partitioning"):
+    for meta in ("schema", "constraints", "types", "partitioning",
+                 "bucketing"):
         if meta in raw:
             out[meta] = raw[meta]
         elif meta in base:
@@ -1489,6 +1515,7 @@ def snapshot_clone(
         constraints_meta=m.get("constraints"),
         types_meta=m.get("types"),
         partitioning_meta=m.get("partitioning"),
+        bucketing_meta=m.get("bucketing"),
     )
 
 
@@ -1621,6 +1648,9 @@ def snapshot_restore(table_path, version: int | None = None,
         if m.get("partitioning") is not None
         else CLEAR_METADATA
     )
+    bucketing_meta = (
+        m["bucketing"] if m.get("bucketing") is not None else CLEAR_METADATA
+    )
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)
         if parent == rv:
@@ -1635,6 +1665,7 @@ def snapshot_restore(table_path, version: int | None = None,
                 constraints_meta=constraints_meta,
                 types_meta=types_meta,
                 partitioning_meta=partitioning_meta,
+                bucketing_meta=bucketing_meta,
             )
         except SnapshotCommitConflict:
             # restore-whatever-wins semantics: the target CONTENT is
@@ -1728,7 +1759,7 @@ def _materialize_checkpoint(p: Path, v: int) -> None:
     # exactly that for "types" — a vacuumed widened table read mixed-
     # width files without the explicit schema)
     for fld in ("op", "ts", "txn_app", "txns", "n_files", "schema",
-                "constraints", "types", "partitioning"):
+                "constraints", "types", "partitioning", "bucketing"):
         if m.get(fld) is not None:
             full[fld] = m[fld]
     if len(m["files"]) >= CKPT_PARQUET_MIN_FILES:
@@ -1905,7 +1936,8 @@ def _collect_stats(
 
 
 def _commit_full_replace(p: Path, files: list[str], *, stats=None, blooms=None,
-                         op: str = "write", partitioning_meta=None) -> int:
+                         op: str = "write", partitioning_meta=None,
+                         bucketing_meta=CLEAR_METADATA) -> int:
     """Commit a FULL-REPLACE file set with the optimistic rebase: a
     conflict means another writer advanced the tip, and replace-whatever-
     is-current semantics rebase by recommitting the same files on the new
@@ -1920,7 +1952,8 @@ def _commit_full_replace(p: Path, files: list[str], *, stats=None, blooms=None,
         try:
             return _commit(p, files, current_version(p), stats=stats,
                            blooms=blooms, op=op, types_meta=CLEAR_METADATA,
-                           partitioning_meta=partitioning_meta)
+                           partitioning_meta=partitioning_meta,
+                           bucketing_meta=bucketing_meta)
         except SnapshotCommitConflict:
             if attempt == COMMIT_RETRIES - 1:
                 raise
@@ -3669,6 +3702,133 @@ def snapshot_add_column(table_path, name: str, dtype: str) -> int:
         return schema
 
     return _commit_schema_change(table_path, mutate, "add-column")
+
+
+_BUCKET_FILE_RE = re.compile(r"_(\d{5})(?:\.|$)")
+
+
+def _write_files_bucketed(df: DataFrame, table_path: Path,
+                          col: str, n: int) -> list[str]:
+    """Materialize df under Spark's BUCKETED file layout (each file name
+    carries its bucket id, `part-...-_00003.c000...`): rows hash-route to
+    ``n`` buckets on ``col`` exactly as a catalog bucketed table's would,
+    so files from any number of such writes compose into one bucketed
+    read. Implemented as a transient EXTERNAL bucketed table write into
+    this commit's data/<uuid>/ directory — the catalog entry is dropped
+    immediately (external: files stay), only the manifest references the
+    files."""
+    spark = df.sparkSession
+    sub = uuid.uuid4().hex
+    dest = table_path / "data" / sub
+    tmp_name = f"snap_bucketed_{sub}"
+    (
+        df.write.format("parquet")
+        .bucketBy(n, col)
+        .option("path", str(dest))
+        .saveAsTable(tmp_name)
+    )
+    spark.sql(f"DROP TABLE `{tmp_name}`")
+    return sorted(
+        f"data/{sub}/{f.name}"
+        for f in dest.glob("*.parquet")
+        if not f.name.startswith(("_", "."))
+    )
+
+
+def snapshot_write_bucketed(
+    df: DataFrame, table_path, bucket_col: str, n_buckets: int,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Full-replace commit whose files carry Spark's bucketed layout,
+    with the spec (`{"col", "n"}`) recorded as manifest metadata. Two
+    snapshot tables bucketed the same way join with NO Exchange through
+    :func:`snapshot_bucketed_table` — the pre-shuffled co-location that
+    turns the biggest repeated join cost at 100 TB into a per-commit
+    write-side cost. Appends honor the spec (bucket-routed files
+    compose); MOR writers that add unbucketed files or deletion vectors
+    leave the spec in place and the VIEW fails loudly at registration
+    (never a silent mis-bucket) — rewrite through this function to
+    restore the layout. Column-mapped tables are rejected (bucket
+    metadata binds physical names to the join attribute)."""
+    p = _table(table_path)
+    tip = current_version(p)
+    _enforce_constraints(df, p, tip)
+    if tip and _read_manifest(p, tip).get("schema"):
+        raise ValueError(
+            "bucketed layout on column-mapped tables is unsupported"
+        )
+    files = _write_files_bucketed(df, p, bucket_col, n_buckets)
+    stats = (
+        _collect_stats(p, files, stats_cols, spark=df.sparkSession)
+        if stats_cols
+        else None
+    )
+    return _commit_full_replace(
+        p, files, stats=stats, op="write-bucketed",
+        bucketing_meta={"col": bucket_col, "n": n_buckets},
+    )
+
+
+def snapshot_bucketed_table(
+    spark: SparkSession, table_path, name: str, version: int | None = None
+) -> DataFrame:
+    """Register a snapshot version's files as an EXTERNAL BUCKETED
+    catalog table and return it: equal-bucket equi-joins between two
+    such registrations plan with ZERO Exchange (Spark's bucketed-scan
+    output partitioning satisfies the join's distribution on both
+    sides). Validates before registering: the manifest must carry a
+    bucket spec, every live file must be bucket-named, and no deletion
+    vectors may exist (a catalog scan cannot apply them — fail loudly,
+    never resurrect). The registration materializes a per-(table,
+    version) SYMLINK directory of exactly the manifest's files — the
+    local-filesystem emulation of a manifest-listing catalog (what
+    Iceberg's Spark catalog does natively on object storage); O(live
+    files) driver work once per version, reused thereafter."""
+    p = Path(table_path)
+    v = current_version(p) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_path}")
+    m = _read_manifest(p, v)
+    spec = m.get("bucketing")
+    if not spec:
+        raise ValueError(f"{table_path} carries no bucketed layout")
+    if m.get("dv"):
+        raise ValueError(
+            "deletion vectors invalidate the bucketed view — rewrite "
+            "through snapshot_write_bucketed (or compact) first"
+        )
+    bad = [f for f in m["files"] if not _BUCKET_FILE_RE.search(Path(f).name)]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} file(s) lack bucket naming (written outside the "
+            f"bucketed path, e.g. {bad[0]!r}) — rewrite through "
+            "snapshot_write_bucketed first"
+        )
+    vd = p / "_bucketed" / f"v{v}"
+    if not vd.exists():
+        tmp = p / "_bucketed" / f".v{v}.{uuid.uuid4().hex}"
+        tmp.mkdir(parents=True)
+        for rel in m["files"]:
+            (tmp / Path(rel).name).symlink_to((p / rel).resolve())
+        try:
+            os.rename(tmp, vd)  # atomic publish; loser cleans up
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not vd.exists():
+                raise
+    schema = spark.read.parquet(str(p / m["files"][0])).schema
+    cols_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    spark.sql(
+        f"CREATE TABLE `{name}` ({cols_ddl}) USING parquet "
+        f"CLUSTERED BY (`{spec['col']}`) INTO {spec['n']} BUCKETS "
+        f"LOCATION '{vd}'"
+    )
+    return spark.table(name)
 
 
 def snapshot_set_partitioning(table_path, col: str | None) -> int:
