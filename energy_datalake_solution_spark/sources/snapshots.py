@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 import uuid
 from pathlib import Path
 
@@ -212,7 +213,16 @@ def _table(path) -> Path:
 
 
 def current_version(table_path) -> int:
-    """Latest committed version, or 0 if the table is empty."""
+    """Latest committed version, or 0 if the table is empty. Inside an
+    active SnapshotTransaction, a table this transaction already staged
+    reports its STAGED version — operations within one transaction chain
+    on each other while the published pointer stays untouched until the
+    all-or-nothing swap."""
+    txn = getattr(_TXN_LOCAL, "active", None)
+    if txn is not None:
+        sv = txn._staged_version(table_path)
+        if sv is not None:
+            return sv
     p = Path(table_path) / _LATEST
     if not p.exists():
         return 0
@@ -454,6 +464,15 @@ def _commit(
         ) from None
     finally:
         tmp.unlink(missing_ok=True)
+    txn_active = getattr(_TXN_LOCAL, "active", None)
+    if txn_active is not None:
+        # transactional write: the manifest is published (the hard-link
+        # above reserved the version slot atomically, so same-version
+        # races still lose loudly) but the POINTER stays untouched — the
+        # transaction swaps every table's pointer together at exit, or
+        # none at all
+        txn_active._stage(Path(table_path), parent, version)
+        return version
     lock, lock_token = _acquire_pointer_lock(Path(table_path))
     try:
         cur = current_version(table_path)
@@ -478,6 +497,148 @@ def _commit(
     finally:
         _release_pointer_lock(lock, lock_token)
     return version
+
+
+_TXN_LOCAL = threading.local()
+
+
+class SnapshotTransaction:
+    """Multi-table TRANSACTION: every snapshot write performed inside the
+    ``with`` block stages its manifests without touching any table's
+    pointer; on exit the transaction swaps ALL pointers together or none
+    (Iceberg's multi-table catalog commit, built on this format's
+    fenced-lock pointer protocol).
+
+        with SnapshotTransaction():
+            snapshot_upsert(spark, batch_a, table_a, ["k"])
+            snapshot_append(batch_b, table_b)
+        # both visible, or neither
+
+    Mechanics: inside the block, ``_commit`` publishes manifests as usual
+    (the hard-link publish still reserves version slots atomically, so
+    same-version races lose loudly at prepare time) but skips the pointer
+    swap, recording (table, parent-at-first-touch, staged version);
+    ``current_version`` reports staged versions to this thread, so
+    operations chain within the transaction. At exit, pointer locks are
+    acquired over all tables in canonical order, every tip is verified
+    against its recorded parent BEFORE any swap — a moved tip aborts the
+    whole transaction with SnapshotCommitConflict and every staged
+    manifest stays an orphan branch (vacuum reclaims; callers rebase by
+    rerunning the block) — then an INTENT record (the WAL) is written and
+    the pointers swap one by one. A crash inside the swap window is
+    rolled forward by :func:`snapshot_txn_recover` from the intent
+    record: every remaining tip still equals its verified parent (the
+    locks fence out other writers), so roll-forward is always safe.
+
+    Scale shape: prepare does all the data work through the normal
+    writers (stats-pruned, optimistic); the atomic section is N pointer
+    swaps — O(tables), not O(data). One transaction per thread; nesting
+    raises. An exception inside the block aborts cleanly (nothing was
+    published to any pointer)."""
+
+    def __enter__(self) -> "SnapshotTransaction":
+        if getattr(_TXN_LOCAL, "active", None) is not None:
+            raise RuntimeError("nested snapshot transactions unsupported")
+        self.staged: dict[str, dict] = {}
+        _TXN_LOCAL.active = self
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        _TXN_LOCAL.active = None  # BEFORE commit: verification reads the
+        # real pointers, not this transaction's staged view
+        if exc_type is not None:
+            return False  # abort: no pointer was ever touched
+        self._commit_all()
+        return False
+
+    # -- staging (called by _commit / current_version) ---------------------
+    def _key(self, p) -> str:
+        return str(Path(p).resolve())
+
+    def _stage(self, p: Path, parent: int, version: int) -> None:
+        k = self._key(p)
+        if k in self.staged:
+            self.staged[k]["version"] = version  # chained op: keep the
+            # FIRST parent (the tip this transaction is conditioned on)
+        else:
+            self.staged[k] = {"parent": parent, "version": version}
+
+    def _staged_version(self, p) -> int | None:
+        e = self.staged.get(self._key(p))
+        return e["version"] if e else None
+
+    # -- the all-or-nothing swap -------------------------------------------
+    def _commit_all(self) -> None:
+        if not self.staged:
+            return
+        items = sorted(self.staged.items())  # canonical lock order: no
+        # deadlock between two transactions over overlapping table sets
+        locks: list = []
+        intent: Path | None = None
+        try:
+            for key, e in items:
+                lock, token = _acquire_pointer_lock(Path(key))
+                locks.append((Path(key), lock, token, e))
+            # verify EVERY tip before swapping ANY pointer — all-or-nothing
+            for pth, lock, token, e in locks:
+                cur = current_version(pth)
+                if cur != e["parent"]:
+                    raise SnapshotCommitConflict(
+                        f"transaction aborted: {pth} moved "
+                        f"{e['parent']} -> {cur} during prepare; staged "
+                        "manifests are orphan branches — rerun the "
+                        "transaction against the current tips"
+                    )
+            # intent WAL: written only after all parents verified under
+            # locks, so roll-forward (snapshot_txn_recover) is always safe
+            intent = Path(items[0][0]) / f"_txn_intent.{uuid.uuid4().hex}.json"
+            intent.write_text(json.dumps([
+                {"path": k, "parent": e["parent"], "version": e["version"]}
+                for k, e in items
+            ]))
+            for pth, lock, token, e in locks:
+                _verify_pointer_lock(lock, token)
+                ltmp = pth / f"{_LATEST}.{uuid.uuid4().hex}.tmp"
+                ltmp.write_text(str(e["version"]))
+                os.replace(ltmp, pth / _LATEST)
+            intent.unlink(missing_ok=True)
+        finally:
+            for pth, lock, token, e in locks:
+                _release_pointer_lock(lock, token)
+
+
+def snapshot_txn_recover(table_path) -> int:
+    """Roll forward multi-table transactions interrupted inside their
+    pointer-swap window: for each intent record in this table's
+    directory, re-swap every member table whose tip still equals the
+    intent's verified parent (under its pointer lock), then drop the
+    record. Safe by construction — intents are written only after every
+    parent was verified under locks, so a member tip is either the
+    parent (swap) or already the staged version (done). Returns the
+    number of pointers advanced."""
+    n = 0
+    for intent in sorted(Path(table_path).glob("_txn_intent.*.json")):
+        try:
+            entries = json.loads(intent.read_text())
+        except (OSError, ValueError):
+            continue  # another recoverer just finished it
+        locks: list = []
+        try:
+            for e in sorted(entries, key=lambda x: x["path"]):
+                lock, token = _acquire_pointer_lock(Path(e["path"]))
+                locks.append((Path(e["path"]), lock, token, e))
+            for pth, lock, token, e in locks:
+                if current_version(pth) == e["parent"]:
+                    _verify_pointer_lock(lock, token)
+                    ltmp = pth / f"{_LATEST}.{uuid.uuid4().hex}.tmp"
+                    ltmp.write_text(str(e["version"]))
+                    os.replace(ltmp, pth / _LATEST)
+                    n += 1
+            intent.unlink(missing_ok=True)
+        finally:
+            for pth, lock, token, e in locks:
+                _release_pointer_lock(lock, token)
+    return n
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,212 @@
+"""Multi-table transactions: all-or-nothing pointer swaps.
+
+``SnapshotTransaction`` stages every write performed inside the block
+(manifests publish, pointers don't) and swaps all tables' pointers
+together at exit — or none, when any tip moved (abort) or the block
+raised. Crash-in-swap-window recovery rolls forward from the intent WAL.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from energy_datalake_solution_spark.sources import snapshots as S
+from energy_datalake_solution_spark.sources.snapshots import (
+    SnapshotCommitConflict,
+    SnapshotTransaction,
+    current_version,
+    snapshot_append,
+    snapshot_read,
+    snapshot_txn_recover,
+    snapshot_upsert,
+    snapshot_write_with_stats,
+)
+
+
+def _seed(spark, t, n=20):
+    snapshot_write_with_stats(
+        spark.range(n).selectExpr("id AS k", "id * 10 AS v"), t,
+        ["k"], n_files=2,
+    )
+
+
+def test_two_table_transaction_commits_both(spark, tmp_path):
+    ta, tb = tmp_path / "a", tmp_path / "b"
+    _seed(spark, ta)
+    _seed(spark, tb)
+    with SnapshotTransaction():
+        snapshot_upsert(
+            spark,
+            spark.createDataFrame([(5, 555), (100, 1)], "k long, v long"),
+            ta, ["k"],
+        )
+        snapshot_append(
+            spark.createDataFrame([(200, 2)], "k long, v long"), tb
+        )
+        # staged versions visible INSIDE the transaction (chaining)...
+        assert current_version(ta) == 2 and current_version(tb) == 2
+    got_a = {r.k: r.v for r in snapshot_read(spark, ta).collect()}
+    got_b = {r.k: r.v for r in snapshot_read(spark, tb).collect()}
+    assert got_a[5] == 555 and got_a[100] == 1 and len(got_a) == 21
+    assert got_b[200] == 2 and len(got_b) == 21
+
+
+def test_transaction_chains_operations_within_one_table(spark, tmp_path):
+    ta = tmp_path / "a"
+    _seed(spark, ta)
+    outside_before = current_version(ta)
+    with SnapshotTransaction():
+        snapshot_append(spark.createDataFrame([(100, 1)], "k long, v long"), ta)
+        snapshot_append(spark.createDataFrame([(101, 2)], "k long, v long"), ta)
+    assert current_version(ta) == outside_before + 2
+    got = {r.k for r in snapshot_read(spark, ta).collect()}
+    assert {100, 101} <= got
+
+
+def test_exception_inside_block_aborts_cleanly(spark, tmp_path):
+    ta, tb = tmp_path / "a", tmp_path / "b"
+    _seed(spark, ta)
+    _seed(spark, tb)
+    with pytest.raises(RuntimeError, match="boom"):
+        with SnapshotTransaction():
+            snapshot_append(
+                spark.createDataFrame([(100, 1)], "k long, v long"), ta
+            )
+            raise RuntimeError("boom")
+    assert current_version(ta) == 1 and current_version(tb) == 1
+    assert snapshot_read(spark, ta).count() == 20  # nothing published
+
+
+def test_injected_racer_aborts_whole_transaction(spark, tmp_path):
+    """A racer advancing ONE member table between prepare and swap
+    aborts the WHOLE transaction: neither table's pointer moves, the
+    racer's commit survives, and a rerun lands both effects."""
+    ta, tb = tmp_path / "a", tmp_path / "b"
+    _seed(spark, ta)
+    _seed(spark, tb)
+    batch_a = spark.createDataFrame([(5, 555)], "k long, v long")
+    batch_b = spark.createDataFrame([(200, 2)], "k long, v long")
+    with pytest.raises(SnapshotCommitConflict, match="transaction aborted"):
+        with SnapshotTransaction():
+            snapshot_upsert(spark, batch_a, ta, ["k"])
+            snapshot_append(batch_b, tb)
+            # racer wins on tb while the transaction is still open — must
+            # run OUTSIDE the transaction's staged view
+            S._TXN_LOCAL.active, saved = None, S._TXN_LOCAL.active
+            try:
+                snapshot_append(
+                    spark.createDataFrame([(999, 9)], "k long, v long"), tb
+                )
+            finally:
+                S._TXN_LOCAL.active = saved
+    # all-or-nothing: ta untouched, tb holds ONLY the racer's commit
+    got_a = {r.k: r.v for r in snapshot_read(spark, ta).collect()}
+    got_b = {r.k: r.v for r in snapshot_read(spark, tb).collect()}
+    assert got_a.get(5) == 50 and len(got_a) == 20
+    assert got_b.get(999) == 9 and 200 not in got_b
+    # rerun against the new tips: both effects land
+    with SnapshotTransaction():
+        snapshot_upsert(spark, batch_a, ta, ["k"])
+        snapshot_append(batch_b, tb)
+    assert {r.k: r.v for r in snapshot_read(spark, ta).collect()}[5] == 555
+    assert 200 in {r.k for r in snapshot_read(spark, tb).collect()}
+
+
+def test_crash_in_swap_window_rolls_forward(spark, tmp_path):
+    """Simulate a crash after the intent WAL and the FIRST pointer swap:
+    recovery completes the remaining swaps from the intent record."""
+    ta, tb = tmp_path / "a", tmp_path / "b"
+    _seed(spark, ta)
+    _seed(spark, tb)
+    with SnapshotTransaction() as txn:
+        snapshot_append(spark.createDataFrame([(100, 1)], "k long, v long"), ta)
+        snapshot_append(spark.createDataFrame([(200, 2)], "k long, v long"), tb)
+        staged = dict(txn.staged)
+        # simulate the crash: swap only the FIRST table, leave the intent
+        items = sorted(staged.items())
+        intent = Path(items[0][0]) / "_txn_intent.crashtest.json"
+        intent.write_text(json.dumps([
+            {"path": k, "parent": e["parent"], "version": e["version"]}
+            for k, e in items
+        ]))
+        first = Path(items[0][0])
+        (first / "_latest").write_text(str(items[0][1]["version"]))
+        txn.staged = {}  # suppress the real exit-time commit
+    # torn state: one table advanced, the other not
+    vs = sorted((current_version(ta), current_version(tb)))
+    assert vs == [1, 2]
+    advanced = snapshot_txn_recover(first)
+    assert advanced == 1
+    assert current_version(ta) == 2 and current_version(tb) == 2
+    assert not list(first.glob("_txn_intent.*.json"))
+    # recovery is idempotent
+    assert snapshot_txn_recover(first) == 0
+
+
+def test_nested_transactions_raise(spark, tmp_path):
+    with SnapshotTransaction():
+        with pytest.raises(RuntimeError, match="nested"):
+            with SnapshotTransaction():
+                pass
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_transaction_torture_model(spark, tmp_path, seed):
+    """Randomized op sequences over two tables with racer injections: a
+    Python dict model tracks what MUST be visible after each commit or
+    abort; the tables must match the model exactly at every step."""
+    import random
+
+    rng = random.Random(seed)
+    ta, tb = tmp_path / "a", tmp_path / "b"
+    _seed(spark, ta, n=10)
+    _seed(spark, tb, n=10)
+    model = {
+        str(ta): {k: k * 10 for k in range(10)},
+        str(tb): {k: k * 10 for k in range(10)},
+    }
+    next_k = 1000
+    for step in range(6):
+        ops = []  # (table, rows) upserts planned for this transaction
+        for t in (ta, tb):
+            n_rows = rng.randint(1, 3)
+            rows = [(next_k + i, rng.randint(0, 99)) for i in range(n_rows)]
+            next_k += n_rows
+            ops.append((t, rows))
+        race = rng.random() < 0.5
+        racer_row = (next_k, -1)
+        next_k += 1
+        racer_target = rng.choice((ta, tb))
+        try:
+            with SnapshotTransaction():
+                for t, rows in ops:
+                    snapshot_upsert(
+                        spark,
+                        spark.createDataFrame(rows, "k long, v long"),
+                        t, ["k"],
+                    )
+                if race:
+                    S._TXN_LOCAL.active, saved = None, S._TXN_LOCAL.active
+                    try:
+                        snapshot_append(
+                            spark.createDataFrame(
+                                [racer_row], "k long, v long"
+                            ),
+                            racer_target,
+                        )
+                    finally:
+                        S._TXN_LOCAL.active = saved
+                    model[str(racer_target)][racer_row[0]] = racer_row[1]
+            committed = True
+        except SnapshotCommitConflict:
+            committed = False
+        assert committed == (not race), "race must abort, quiet must commit"
+        if committed:
+            for t, rows in ops:
+                model[str(t)].update(dict(rows))
+        for t in (ta, tb):
+            got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+            assert got == model[str(t)], f"seed={seed} step={step} {t}"
