@@ -510,7 +510,15 @@ def _plan_write(table_path: str, schema) -> tuple:
                 probe.get(c, t) == t for c, t in batch_types.items()
             ):
                 return rename, casts, types_meta
-            recorded = _footer_types(p, list(m["files"]))
+            # drift fallback: the sweep distributes above the stats
+            # collector's 64-file bound when a session is live (write
+            # planning runs on the driver; None falls back to the local
+            # loop, still correct)
+            from pyspark.sql import SparkSession as _SS
+
+            recorded = _footer_types(
+                p, list(m["files"]), spark=_SS.getActiveSession()
+            )
         out_types = dict(recorded)
         drift = m.get("types") is None  # bootstrapped map must be stamped
         for col, bt in batch_types.items():

@@ -701,23 +701,54 @@ def _types_ddl_with_prov(types: dict) -> str:
     return ", ".join([_types_ddl(types), *extra])
 
 
-def _footer_types(p: Path, rels: list[str]) -> dict:
-    """Widest per-column Spark type across the files' parquet footers
-    (metadata-only reads). Used ONCE to bootstrap the manifest's
-    ``types`` map when the first widening batch arrives on a table that
-    predates the feature; after that the manifest is the authority."""
+def _file_footer_types_raw(path: str) -> list[str]:
+    """One file's footer column NAMES, reserved columns included —
+    executor-safe (pure pyarrow, no session)."""
+    import pyarrow.parquet as pq
+
+    return list(pq.read_schema(path).names)
+
+
+def _file_footer_types(path: str) -> dict:
+    """One file's {column: Spark type} from its parquet footer — the
+    per-task unit of the distributed type sweep (executor-safe: pure
+    pyarrow, no session)."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    return {
+        f.name: f.dataType.simpleString()
+        for f in from_arrow_schema(pq.read_schema(path)).fields
+        if f.name not in _PROV_COLS
+    }
+
+
+def _footer_types(p: Path, rels: list[str], spark: SparkSession | None = None) -> dict:
+    """Widest per-column Spark type across the files' parquet footers
+    (metadata-only reads). Used ONCE to bootstrap the manifest's
+    ``types`` map when the first widening batch arrives on a table that
+    predates the feature; after that the manifest is the authority.
+    Sweeps larger than _DRIVER_STATS_MAX_FILES distribute the footer
+    reads as a Spark job (same bound as the stats collector) — the
+    driver folds only column-count-sized per-file dicts, so the
+    bootstrap stays bounded on a version listing arbitrarily many
+    files."""
+    root = str(p)
+    if spark is not None and len(rels) > _DRIVER_STATS_MAX_FILES:
+        sc = spark.sparkContext
+        n_tasks = max(1, len(rels) // 32)
+        per_file = (
+            sc.parallelize(rels, n_tasks)
+            .map(lambda rel: _file_footer_types(f"{root}/{rel}"))
+            .collect()
+        )
+    else:
+        per_file = (_file_footer_types(f"{root}/{rel}") for rel in rels)
     out: dict = {}
-    for rel in rels:
-        sch = from_arrow_schema(pq.read_schema(str(p / rel)))
-        for f in sch.fields:
-            if f.name in _PROV_COLS:
-                continue  # internal provenance never enters the type map
-            t = f.dataType.simpleString()
-            prev = out.get(f.name)
-            out[f.name] = t if prev is None else (_wider_type(prev, t) or t)
+    for types in per_file:
+        for name, t in types.items():
+            prev = out.get(name)
+            out[name] = t if prev is None else (_wider_type(prev, t) or t)
     return out
 
 
@@ -742,7 +773,7 @@ def _apply_type_widening(
             probe.get(c, t) == t for c, t in batch.items()
         ):
             return df, None  # no type drift: stay metadata-free
-        recorded = _footer_types(p, files)
+        recorded = _footer_types(p, files, spark=df.sparkSession)
     changed = m.get("types") is None  # bootstrapped map must be stamped
     out_types = dict(recorded)
     casts: dict = {}
@@ -3002,13 +3033,29 @@ def snapshot_change_feed(
     prov_added: list[str] = []
     plain_added = added
     if updates_as == "updates" and added:
-        import pyarrow.parquet as pq
+        root = str(p)
+        if len(added) > _DRIVER_STATS_MAX_FILES:
+            # wide window: distribute the footer probes (same bound as
+            # the stats collector) — the driver receives one bool per
+            # added file, never O(files) local opens
+            sc = spark.sparkContext
+            flags = (
+                sc.parallelize(added, max(1, len(added) // 32))
+                .map(lambda rel: (
+                    rel,
+                    _PROV_COLS[0] in _file_footer_types_raw(f"{root}/{rel}"),
+                ))
+                .collect()
+            )
+            prov_added = sorted(rel for rel, has in flags if has)
+        else:
+            import pyarrow.parquet as pq
 
-        prov_added = [
-            f
-            for f in added
-            if _PROV_COLS[0] in pq.read_schema(str(p / f)).names
-        ]
+            prov_added = [
+                f
+                for f in added
+                if _PROV_COLS[0] in pq.read_schema(str(p / f)).names
+            ]
         plain_added = [f for f in added if f not in set(prov_added)]
 
     # merge_schema on every read: a schema-evolved window's added and
