@@ -734,16 +734,22 @@ def _footer_types(p: Path, rels: list[str], spark: SparkSession | None = None) -
     bootstrap stays bounded on a version listing arbitrarily many
     files."""
     root = str(p)
+
+    def _abs(rel: str) -> str:
+        # shallow clones list SOURCE files by absolute path — joining,
+        # not concatenating, keeps them readable (Path-join semantics)
+        return rel if os.path.isabs(rel) else f"{root}/{rel}"
+
     if spark is not None and len(rels) > _DRIVER_STATS_MAX_FILES:
         sc = spark.sparkContext
         n_tasks = max(1, len(rels) // 32)
         per_file = (
             sc.parallelize(rels, n_tasks)
-            .map(lambda rel: _file_footer_types(f"{root}/{rel}"))
+            .map(lambda rel: _file_footer_types(_abs(rel)))
             .collect()
         )
     else:
-        per_file = (_file_footer_types(f"{root}/{rel}") for rel in rels)
+        per_file = (_file_footer_types(_abs(rel)) for rel in rels)
     out: dict = {}
     for types in per_file:
         for name, t in types.items():
@@ -1362,14 +1368,104 @@ def _snapshot_merge_committed(
                        if ins_files else m.get("blooms") or None,
                        dv=dv or None, op="merge", types_meta=types_meta)
 
-    # COPY-ON-WRITE path (update arm present): rewrite the touched files
-    # with the clause logic applied; untouched files carry byte-identical
     upd_c = _merge_cond(matched_update_condition) if (
         matched_update_condition is not None
     ) else always
     del_c = _merge_cond(matched_delete_condition) if (
         matched_delete_condition is not None
     ) else always
+    # MERGE-ON-READ first (update arm present): when the affected row
+    # set is small — the overwhelmingly common MERGE on a large table —
+    # no touched file rewrites: affected positions grow the deletion
+    # vectors, UPDATED images append carrying row provenance (the change
+    # feed pairs them as update_preimage/update_postimage, Delta's
+    # row-tracking contract), deleted rows are DV-only, and inserts
+    # append plain. Counted against DV_MAX_DELETED_ROWS; wide merges
+    # fall through to the copy-on-write rewrite below.
+    if touched:
+        tagged = _tagged_live_logical(spark, p, m, touched, types=eff_types)
+        data_cols = [c for c in tagged.columns if c not in ("_fp", "_ri")]
+        s_tag = src.withColumn("_s_matched", F.lit(True))
+        pair_m = tagged.alias("t").join(
+            s_tag.alias("s"),
+            [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+            "inner",
+        )
+        do_upd_m = F.coalesce(upd_c, F.lit(False))
+        do_del_m = (
+            ~do_upd_m & F.coalesce(del_c, F.lit(False))
+            if matched_delete
+            else F.lit(False)
+        )
+        n_aff = pair_m.where(do_upd_m | do_del_m).count()
+        if n_aff <= DV_MAX_DELETED_ROWS:
+            aff = pair_m.where(do_upd_m | do_del_m).select(
+                F.col("t._fp").alias("_fp"),
+                F.col("t._ri").alias("_ri"),
+                do_upd_m.alias("_upd"),
+                *[
+                    (
+                        F.when(do_upd_m, _merge_cond(matched_update[c]))
+                        .otherwise(F.col(f"t.{c}"))
+                        if c in matched_update
+                        else F.col(f"t.{c}")
+                    ).alias(c)
+                    for c in data_cols
+                ],
+            )
+            if n_aff:
+                aff = aff.localCheckpoint(eager=True)  # <= cap rows
+            dv = dict(m.get("dv", {}) or {})
+            by_file = (
+                aff.groupBy("_fp")
+                .agg(F.sort_array(F.collect_list("_ri")).alias("pos"))
+                .collect()
+            )
+            for r in by_file:
+                new_pos = list(r["pos"])
+                if r["_fp"] in dv:
+                    new_pos = sorted(
+                        set(_unpack_positions(dv[r["_fp"]])) | set(new_pos)
+                    )
+                dv[r["_fp"]] = _pack_positions(new_pos)
+            images = aff.where(F.col("_upd")).select(
+                *data_cols,
+                F.col("_fp").alias("_prov_fp"),
+                F.col("_ri").alias("_prov_ri"),
+            )
+            _enforce_constraints(images.drop(*_PROV_COLS), p, parent)
+            if sch:
+                by_name = {c["name"]: c["physical"] for c in sch["cols"]}
+                images = images.select(
+                    *[F.col(c).alias(by_name[c]) for c in data_cols],
+                    *_PROV_COLS,
+                )
+            img_files = (
+                _write_files(images.coalesce(1), p)
+                if not images.isEmpty()
+                else []
+            )
+            ins = _ins_rows(tagged.select(keys).distinct())
+            _enforce_constraints(ins, p, parent)
+            if sch:
+                ins = _df_to_physical(ins, sch)
+            ins_files = _write_files(ins, p) if not ins.isEmpty() else []
+            old_files = list(m["files"])
+            new_files = img_files + ins_files
+            new_stats = dict(stats)
+            if tracked_cols and new_files:
+                new_stats.update(
+                    _collect_stats(p, new_files, tracked_cols, spark=spark)
+                )
+            return _commit(p, old_files + new_files, parent,
+                           stats=new_stats or None,
+                           blooms=_carry_blooms(p, m, old_files, new_files)
+                           if new_files else m.get("blooms") or None,
+                           dv=dv or None, op="merge",
+                           types_meta=types_meta)
+
+    # COPY-ON-WRITE path (wide update set): rewrite the touched files
+    # with the clause logic applied; untouched files carry byte-identical
     if touched:
         cur = _read_files_with_dv(
             spark, p, touched, m.get("dv"), merge_schema=True,
@@ -3037,13 +3133,16 @@ def snapshot_change_feed(
         if len(added) > _DRIVER_STATS_MAX_FILES:
             # wide window: distribute the footer probes (same bound as
             # the stats collector) — the driver receives one bool per
-            # added file, never O(files) local opens
+            # added file, never O(files) local opens. Join, don't
+            # concatenate: shallow clones list absolute paths.
             sc = spark.sparkContext
             flags = (
                 sc.parallelize(added, max(1, len(added) // 32))
                 .map(lambda rel: (
                     rel,
-                    _PROV_COLS[0] in _file_footer_types_raw(f"{root}/{rel}"),
+                    _PROV_COLS[0] in _file_footer_types_raw(
+                        rel if os.path.isabs(rel) else f"{root}/{rel}"
+                    ),
                 ))
                 .collect()
             )

@@ -320,3 +320,77 @@ def test_merge_on_column_mapped_widened_table(spark, tmp_path):
     )
     got = {r.k: r.value for r in snapshot_read(spark, t).collect()}
     assert got[3] == 999 and got[900] == 9 and len(got) == 21
+
+
+def test_merge_small_update_is_mor_with_paired_cdf(spark, tmp_path):
+    """A small conditional merge with an UPDATE arm rewrites NO file:
+    standing files carry byte-identical, affected positions grow the
+    deletion vectors, updated images append with row provenance — and
+    the change feed pairs them as update_preimage/update_postimage."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_change_feed,
+    )
+
+    t = tmp_path / "t"
+    _seed(spark, t, n=100, n_files=4)
+    v1 = current_version(t)
+    before = _file_hashes(t)
+    src = spark.createDataFrame(
+        [(5, 555, "u"), (7, -1, "d"), (900, 9, "n")],
+        "k long, v long, tag string",
+    )
+    snapshot_merge(
+        spark, src, t, ["k"],
+        matched_update={"v": "s.v", "tag": "s.tag"},
+        matched_update_condition="s.v > 0",
+        matched_delete=True,
+        matched_delete_condition="s.v < 0",
+    )
+    after = _file_hashes(t)
+    for f, h in before.items():
+        assert after.get(f) == h, f"standing file {f} rewritten by MOR merge"
+    m = _read_manifest(t, current_version(t))
+    assert m.get("dv"), "affected positions must grow deletion vectors"
+    got = {r.k: (r.v, r.tag) for r in snapshot_read(spark, t).collect()}
+    assert got[5] == (555, "u") and 7 not in got and got[900] == (9, "n")
+    assert len(got) == 100  # 100 - 1 delete + 1 insert
+    cf = snapshot_change_feed(
+        spark, t, v1, current_version(t), updates_as="updates"
+    )
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in cf.groupBy("_change_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_type.get("update_preimage") == 1
+    assert by_type.get("update_postimage") == 1
+    assert by_type.get("delete") == 1
+    assert by_type.get("insert") == 1
+
+
+def test_merge_wide_update_falls_back_to_cow(spark, tmp_path):
+    """An update set wider than the cap copy-on-write rewrites the
+    touched files instead of growing giant vectors."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+    )
+
+    t = tmp_path / "t"
+    _seed(spark, t, n=100, n_files=4)
+    src = spark.range(100).selectExpr(
+        "id AS k", "id + 10000 AS v", "'w' AS tag"
+    )
+    real_cap = S.DV_MAX_DELETED_ROWS
+    S.DV_MAX_DELETED_ROWS = 10
+    try:
+        snapshot_merge(spark, src, t, ["k"], matched_update={"v": "s.v"})
+    finally:
+        S.DV_MAX_DELETED_ROWS = real_cap
+    m = _read_manifest(t, current_version(t))
+    assert not (m.get("dv") or {}), "wide merge must rewrite, not grow DVs"
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert got[0] == 10000 and got[99] == 10099 and len(got) == 100
