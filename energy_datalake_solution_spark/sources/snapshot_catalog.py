@@ -28,6 +28,12 @@ contract one level up:
         RESTORE TABLE <name> VERSION/TIMESTAMP AS OF -> snapshot_restore
         VACUUM <name> [RETAIN n VERSIONS]         -> snapshot_vacuum
         DESCRIBE HISTORY <name>                   -> snapshot_history
+        ALTER TABLE <name> SET PARTITIONED BY (c) -> snapshot_set_partitioning
+        ALTER TABLE <name> CLEAR PARTITIONING     -> snapshot_set_partitioning
+        BEGIN / COMMIT / ROLLBACK [TRANSACTION]   -> SnapshotTransaction
+            (multi-statement, multi-TABLE all-or-nothing: writes between
+            BEGIN and COMMIT stage without moving any pointer; SELECTs
+            in between read this session's OWN staged versions)
     and passes every other statement to ``spark.sql`` after re-pointing
     the registered snapshot views at their tables' CURRENT versions.
   * Registration materializes a temp view over
@@ -132,6 +138,19 @@ def _parse_merge_on(on: str) -> list:
     return keys
 
 
+_ALTER_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"(?:SET\s+PARTITIONED\s+BY\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*\)"
+    r"|(?P<clear>CLEAR\s+PARTITIONING))\s*;?\s*$",
+    re.IGNORECASE,
+)
+_BEGIN_RE = re.compile(
+    r"^\s*BEGIN(?:\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE
+)
+_COMMIT_TXN_RE = re.compile(r"^\s*COMMIT(?:\s+TRANSACTION)?\s*;?\s*$",
+                            re.IGNORECASE)
+_ROLLBACK_RE = re.compile(r"^\s*ROLLBACK(?:\s+TRANSACTION)?\s*;?\s*$",
+                          re.IGNORECASE)
 # general-predicate DML (tried after the BETWEEN fast paths): any WHERE
 # expression routes to snapshot_delete_where / snapshot_update_where,
 # which prune files from the predicate's conjunctive constraints
@@ -205,6 +224,7 @@ class SnapshotCatalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._tables: dict[str, tuple[str, int | None]] = {}
+        self._txn = None  # open BEGIN TRANSACTION, if any
         from .snapshot_datasource import SnapshotDataSource
 
         try:
@@ -231,6 +251,27 @@ class SnapshotCatalog:
 
     # -- query -------------------------------------------------------------
     def sql(self, text: str) -> DataFrame | None:
+        if _BEGIN_RE.match(text):
+            from .snapshots import SnapshotTransaction
+
+            if self._txn is not None:
+                raise RuntimeError("a transaction is already open")
+            self._txn = SnapshotTransaction()
+            self._txn.__enter__()
+            return None
+        if _COMMIT_TXN_RE.match(text):
+            if self._txn is None:
+                raise RuntimeError("COMMIT without an open transaction")
+            txn, self._txn = self._txn, None
+            txn.__exit__(None, None, None)  # all-or-nothing swap; raises
+            # SnapshotCommitConflict on abort (staged manifests orphan)
+            return None
+        if _ROLLBACK_RE.match(text):
+            if self._txn is None:
+                raise RuntimeError("ROLLBACK without an open transaction")
+            txn, self._txn = self._txn, None
+            txn.__exit__(RuntimeError, RuntimeError("rollback"), None)
+            return None
         m = _CREATE_RE.match(text)
         if m:
             if m.group("name") in self._tables and not m.group("replace"):
@@ -345,6 +386,15 @@ class SnapshotCatalog:
                 assignments[col.strip()] = expr.strip()
             snapshot_update_where(
                 self.spark, path, m.group("cond"), assignments
+            )
+            return None
+        m = _ALTER_PART_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_set_partitioning
+
+            path = self._writable(m.group("name"))
+            snapshot_set_partitioning(
+                path, None if m.group("clear") else m.group("col")
             )
             return None
         m = _RESTORE_RE.match(text)
@@ -489,6 +539,14 @@ class SnapshotCatalog:
 
     def _register(self, name: str) -> None:
         path, version = self._tables[name]
+        if version is None and self._txn is not None:
+            # open transaction: pin the view at this session's STAGED
+            # version (read-your-own-writes — the staged manifest is
+            # published, only the pointer hasn't moved), falling back to
+            # the public tip for tables the transaction hasn't touched
+            staged = self._txn._staged_version(path)
+            if staged is not None:
+                version = staged
         reader = self.spark.read.format("snapshot").option("path", path)
         if version is not None:
             reader = reader.option("version", str(version))

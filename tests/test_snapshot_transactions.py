@@ -210,3 +210,67 @@ def test_transaction_torture_model(spark, tmp_path, seed):
         for t in (ta, tb):
             got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
             assert got == model[str(t)], f"seed={seed} step={step} {t}"
+
+
+def test_catalog_begin_commit_rollback(spark, tmp_path):
+    """The SQL surface: BEGIN stages, SELECT reads the session's own
+    staged writes, COMMIT swaps all pointers together, ROLLBACK abandons
+    them — other readers never see uncommitted state."""
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        SnapshotCatalog,
+    )
+
+    cat = SnapshotCatalog(spark)
+    ta, tb = tmp_path / "a", tmp_path / "b"
+    _seed(spark, ta, n=10)
+    _seed(spark, tb, n=10)
+    cat.sql(f"CREATE TABLE ta USING snapshot LOCATION '{ta}'")
+    cat.sql(f"CREATE TABLE tb USING snapshot LOCATION '{tb}'")
+
+    def public_version(t):
+        return int((Path(t) / "_latest").read_text().strip())
+
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql("INSERT INTO ta VALUES (100, 1)")
+    cat.sql("INSERT INTO tb VALUES (200, 2)")
+    # read-your-own-writes inside the transaction (current_version on
+    # this thread reports the STAGED versions, by design)...
+    assert cat.sql("SELECT count(*) AS n FROM ta").first().n == 11
+    assert current_version(ta) == 2
+    # ...while the PUBLIC pointers are untouched
+    assert public_version(ta) == 1 and public_version(tb) == 1
+    cat.sql("COMMIT")
+    assert current_version(ta) == 2 and current_version(tb) == 2
+    assert cat.sql("SELECT count(*) AS n FROM tb").first().n == 11
+
+    cat.sql("BEGIN")
+    cat.sql("INSERT INTO ta VALUES (101, 1)")
+    cat.sql("ROLLBACK")
+    assert cat.sql("SELECT count(*) AS n FROM ta").first().n == 11
+    assert current_version(ta) == 2
+
+    with pytest.raises(RuntimeError, match="COMMIT without"):
+        cat.sql("COMMIT")
+
+
+def test_catalog_alter_partitioning(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        SnapshotCatalog,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_partitioning,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(10).selectExpr(
+            "id AS k", "id AS v", "CAST(id % 2 AS string) AS cat"
+        ),
+        t, ["k"], n_files=1,
+    )
+    cat.sql(f"CREATE TABLE t1 USING snapshot LOCATION '{t}'")
+    cat.sql("ALTER TABLE t1 SET PARTITIONED BY (cat)")
+    assert snapshot_partitioning(t) == ["cat"]
+    cat.sql("ALTER TABLE t1 CLEAR PARTITIONING")
+    assert snapshot_partitioning(t) is None
