@@ -2651,3 +2651,452 @@ def multimodal_jpeg_420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFra
     factors)."""
     d = load_table(spark, sf_dir, "documents")
     return decode_jpeg_color_pixel_stats(synth_jpeg_420_payload(d))
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (ITU-T T.81 SOF2): multi-scan spectral selection +
+# successive approximation. The decoder accumulates coefficients across
+# DC-first / DC-refinement / AC-first / AC-refinement scans (EOB-run
+# coding included) and runs dequant + IDCT once at the end — the layout
+# ~all web "optimized" JPEGs use. The synthesized fixtures are complete
+# three-scan progressive streams over the SAME constant blocks as the
+# baseline query, so the generating-formula oracle carries over; the
+# AC-refinement machinery (not reachable from constant blocks, whose AC
+# is zero) is pinned separately in tests/test_multimodal_decode.py
+# against a numpy IDCT oracle.
+# --------------------------------------------------------------------------
+
+
+# minimal AC table for progressive scans: the Annex K baseline table has
+# no EOBn symbols (baseline never emits them) — progressive streams
+# define their own. Five canonical codes at length 3: EOB0..EOB4.
+_JPEG_PROG_AC_BITS = [0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_PROG_AC_VALS = [0x00, 0x10, 0x20, 0x30, 0x40]
+
+
+def synth_jpeg_progressive_payload(df: DataFrame) -> DataFrame:
+    """Synthesize complete spec-valid PROGRESSIVE (SOF2) grayscale
+    JPEGs: three scans — DC first (Al=1), DC refinement (Ah=1, one raw
+    bit per block), and an AC first scan whose all-zero band is a single
+    EOB run over every block (the EOBn run-length coding progressive
+    introduces). Blocks and dims follow the baseline fixture:
+    v(bx,by) = (doc_id*37 + bx*59 + by*83) % 256, w = 8*(1+doc_id%3),
+    h = 8*(1+doc_id%2); constant blocks + unit quantization keep the
+    reconstruction bit-exact for the SQL oracle."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_codes = _jpeg_huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+        def sos(comp_tables: bytes, ss: int, se: int, ah: int, al: int) -> bytes:
+            body = bytes([1]) + comp_tables + bytes([ss, se, (ah << 4) | al])
+            return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bw, bh = 1 + i % 3, 1 + i % 2
+                w, h = 8 * bw, 8 * bh
+                head = bytearray(b"\xff\xd8")
+                head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+                head += (
+                    b"\xff\xc2"  # SOF2: progressive DCT
+                    + struct.pack(">H", 11)
+                    + bytes([8])
+                    + struct.pack(">HH", h, w)
+                    + bytes([1, 1, 0x11, 0])
+                )
+                head += _jpeg_dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS)
+                dcs = [
+                    8 * (((i * 37 + bx * 59 + by * 83) % 256) - 128)
+                    for by in range(bh)
+                    for bx in range(bw)
+                ]
+                # scan 1: DC first, successive approximation Al=1 —
+                # diffs of (dc >> 1), regular DC Huffman categories
+                body = bytearray(sos(bytes([1, 0x00]), 0, 0, 0, 1))
+                wtr = _JpegBitWriter()
+                prev = 0
+                for dc in dcs:
+                    v = dc >> 1  # arithmetic shift (T.81 point transform)
+                    diff = v - prev
+                    prev = v
+                    cat = abs(diff).bit_length()
+                    code, length = dc_codes[cat]
+                    wtr.put(code, length)
+                    if cat:
+                        wtr.put(
+                            diff if diff > 0 else diff + (1 << cat) - 1, cat
+                        )
+                body += wtr.flush()
+                # scan 2: DC refinement Ah=1, Al=0 — one raw bit per block
+                body += sos(bytes([1, 0x00]), 0, 0, 1, 0)
+                wtr = _JpegBitWriter()
+                for dc in dcs:
+                    wtr.put(dc & 1, 1)
+                body += wtr.flush()
+                # scan 3: AC first, full band 1..63 — all zero, so ONE
+                # EOB run covering every block: EOBn symbol (r<<4) with
+                # r = floor(log2(n)), then r raw bits of n - 2^r. The AC
+                # table (with the progressive-only EOBn symbols Annex K
+                # lacks) is defined HERE, between scans — decoders must
+                # accept mid-stream DHT segments
+                body += _jpeg_dht(0x11, _JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+                body += sos(bytes([1, 0x01]), 1, 63, 0, 0)
+                wtr = _JpegBitWriter()
+                n = len(dcs)
+                r = n.bit_length() - 1
+                code, length = ac_codes[r << 4]
+                wtr.put(code, length)
+                if r:
+                    wtr.put(n - (1 << r), r)
+                body += wtr.flush()
+                buf = bytes(head) + bytes(body) + b"\xff\xd9"
+                rows.append({"doc_id": doc_id, "payload": buf})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_jpeg_progressive_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL progressive JPEG decode, no codec library: marker walk
+    accepting SOF2 and MULTIPLE SOS scans, per-scan spectral selection
+    (Ss..Se) and successive approximation (Ah/Al), coefficient
+    accumulation across scans — DC first/refinement, AC first with EOB
+    runs, AC refinement with correction bits (T.81 G.1.2) — then one
+    zigzag dequantization + separable float IDCT per block at the end.
+    Grayscale single-component scans; restart markers unsupported
+    (raise). Emits the same stats as the baseline decoder."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        u = np.arange(8)[:, None]
+        x = np.arange(8)[None, :]
+        M = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        M[0, :] *= 1 / np.sqrt(2)
+
+        class BitReader:
+            def __init__(self, data: bytes):
+                self.data, self.pos, self.acc, self.nbits = data, 0, 0, 0
+
+            def bit(self) -> int:
+                if self.nbits == 0:
+                    if self.pos >= len(self.data):
+                        raise ValueError("entropy stream truncated")
+                    b = self.data[self.pos]
+                    self.pos += 1
+                    if b == 0xFF:
+                        if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                            raise ValueError("unexpected marker in entropy data")
+                        self.pos += 1
+                    self.acc, self.nbits = b, 8
+                self.nbits -= 1
+                return (self.acc >> self.nbits) & 1
+
+            def bits(self, n: int) -> int:
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | self.bit()
+                return v
+
+        def build_decoder(bits, vals):
+            table, code, k = {}, 0, 0
+            for length in range(1, 17):
+                for _ in range(bits[length - 1]):
+                    table[(length, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        def huff_decode(reader, table):
+            code, length = 0, 0
+            while length <= 16:
+                code = (code << 1) | reader.bit()
+                length += 1
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code")
+
+        def extend(v: int, t: int) -> int:
+            return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+        def entropy_end(buf: bytes, pos: int) -> int:
+            """Index of the next REAL marker (not a stuffed 0xFF00, not
+            a restart marker) — the end of this scan's entropy bytes."""
+            i = pos
+            while i + 1 < len(buf):
+                if buf[i] == 0xFF and buf[i + 1] != 0x00:
+                    if 0xD0 <= buf[i + 1] <= 0xD7:
+                        raise ValueError("restart markers unsupported")
+                    return i
+                i += 1
+            raise ValueError("entropy stream ran past end of payload")
+
+        def decode(buf: bytes):
+            if buf[:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG payload (no SOI)")
+            pos = 2
+            qtables, dc_tables, ac_tables = {}, {}, {}
+            dims = None
+            coef = None  # (n_blocks, 64) accumulated across scans
+            tq = 0
+            pred = 0
+            while pos + 4 <= len(buf):
+                if buf[pos] != 0xFF:
+                    raise ValueError("marker sync lost")
+                marker = buf[pos + 1]
+                if marker == 0xD9:
+                    break
+                (seglen,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+                body = buf[pos + 4 : pos + 2 + seglen]
+                pos += 2 + seglen
+                if marker == 0xDB:
+                    while body:
+                        pq, tq_ = body[0] >> 4, body[0] & 0x0F
+                        if pq != 0:
+                            raise ValueError("16-bit quant tables unsupported")
+                        qtables[tq_] = np.frombuffer(
+                            body[1:65], dtype=np.uint8
+                        ).astype(np.int64)
+                        body = body[65:]
+                elif marker == 0xC2:
+                    prec, hh, ww, ncomp = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+                    if prec != 8 or ncomp != 1:
+                        raise ValueError(
+                            "progressive decoder supports 8-bit grayscale"
+                        )
+                    if body[7] != 0x11:
+                        raise ValueError("subsampled progressive unsupported")
+                    tq = body[8]
+                    dims = (ww, hh)
+                    if ww % 8 or hh % 8:
+                        raise ValueError("non-multiple-of-8 dims unsupported")
+                    coef = np.zeros((ww // 8 * (hh // 8), 64), dtype=np.int64)
+                elif marker == 0xC0:
+                    raise ValueError("baseline stream: use the SOF0 decoder")
+                elif marker == 0xC4:
+                    while body:
+                        tc, th = body[0] >> 4, body[0] & 0x0F
+                        bits = list(body[1:17])
+                        n = sum(bits)
+                        (dc_tables if tc == 0 else ac_tables)[th] = build_decoder(
+                            bits, list(body[17 : 17 + n])
+                        )
+                        body = body[17 + n :]
+                elif marker == 0xDD:
+                    raise ValueError("restart markers unsupported")
+                elif marker == 0xDA:
+                    if coef is None:
+                        raise ValueError("SOS before SOF2")
+                    if body[0] != 1:
+                        raise ValueError("multi-component scans unsupported")
+                    tdta = body[2]
+                    ss, se = body[3], body[4]
+                    ah, al = body[5] >> 4, body[5] & 0x0F
+                    end = entropy_end(buf, pos)
+                    reader = BitReader(buf[pos:end])
+                    pos = end
+                    n_blocks = coef.shape[0]
+                    if ss == 0:  # DC scan (refinement or first)
+                        if se != 0:
+                            raise ValueError("DC scan must have Se=0")
+                        dct = dc_tables.get(tdta >> 4)
+                        if ah == 0:
+                            pred = 0
+                            for b in range(n_blocks):
+                                t = huff_decode(reader, dct)
+                                diff = extend(reader.bits(t), t) if t else 0
+                                pred += diff
+                                coef[b, 0] = pred << al
+                        else:
+                            for b in range(n_blocks):
+                                if reader.bit():
+                                    coef[b, 0] |= 1 << al
+                    else:  # AC scan over band ss..se
+                        act = ac_tables.get(tdta & 0x0F)
+                        eobrun = 0
+                        if ah == 0:  # AC first scan
+                            b = 0
+                            while b < n_blocks:
+                                if eobrun:
+                                    eobrun -= 1
+                                    b += 1
+                                    continue
+                                k = ss
+                                while k <= se:
+                                    rs = huff_decode(reader, act)
+                                    r, s_ = rs >> 4, rs & 0x0F
+                                    if s_ == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        eobrun = (1 << r) - 1
+                                        if r:
+                                            eobrun += reader.bits(r)
+                                        break
+                                    k += r
+                                    if k > se:
+                                        raise ValueError("AC overrun")
+                                    coef[b, k] = (
+                                        extend(reader.bits(s_), s_) << al
+                                    )
+                                    k += 1
+                                b += 1
+                        else:  # AC refinement (T.81 G.1.2.3)
+                            p1, m1 = 1 << al, -1 << al
+
+                            def refine_nonzero(b, k):
+                                if coef[b, k] and reader.bit():
+                                    if coef[b, k] > 0:
+                                        coef[b, k] += p1
+                                    else:
+                                        coef[b, k] += m1
+
+                            b = 0
+                            while b < n_blocks:
+                                k = ss
+                                if not eobrun:
+                                    while k <= se:
+                                        rs = huff_decode(reader, act)
+                                        r, s_ = rs >> 4, rs & 0x0F
+                                        newval = 0
+                                        if s_ == 0:
+                                            if r < 15:
+                                                # EOBRUN counts the CURRENT
+                                                # block too (its band tail
+                                                # still takes corrections)
+                                                eobrun = 1 << r
+                                                if r:
+                                                    eobrun += reader.bits(r)
+                                                break
+                                            # r == 15: pass 16 zero-history
+                                        else:
+                                            if s_ != 1:
+                                                raise ValueError(
+                                                    "refinement size must be 1"
+                                                )
+                                            newval = p1 if reader.bit() else m1
+                                        # skip r ZERO-history positions,
+                                        # refining nonzero ones en route
+                                        while k <= se:
+                                            if coef[b, k]:
+                                                refine_nonzero(b, k)
+                                            else:
+                                                if r == 0:
+                                                    break
+                                                r -= 1
+                                            k += 1
+                                        if newval and k <= se:
+                                            coef[b, k] = newval
+                                        k += 1
+                                if eobrun:
+                                    # refine the band remainder's nonzero
+                                    # history, then consume one run unit
+                                    while k <= se:
+                                        if coef[b, k]:
+                                            refine_nonzero(b, k)
+                                        k += 1
+                                    eobrun -= 1
+                                b += 1
+                else:
+                    pass  # APPn/COM: skipped by the seglen arithmetic
+            if coef is None or dims is None:
+                raise ValueError("no SOF2/SOS found")
+            w, h = dims
+            q = qtables[tq]
+            bw_ = w // 8
+            img = np.zeros((h, w), dtype=np.int64)
+            for b in range(coef.shape[0]):
+                zz = coef[b] * q
+                cf = np.zeros((8, 8), dtype=np.float64)
+                for idx, (rr, cc) in enumerate(_JPEG_ZIGZAG):
+                    cf[rr, cc] = zz[idx]
+                px = np.clip(np.rint(M.T @ cf @ M + 128), 0, 255)
+                by, bx = divmod(b, bw_)
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+            return img, w, h
+
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img, w, h = decode(bytes(payload))
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "mean_val": round(float(img.sum()) / (w * h), 6),
+                        "min_val": int(img.min()),
+                        "max_val": int(img.max()),
+                        "corner_val": int(img[0, 0]),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in JPEG_STATS_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, JPEG_STATS_SCHEMA)
+
+
+@register(
+    "multimodal_jpeg_progressive_pixel_stats",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id,
+                   1 + doc_id % 3 AS bw,
+                   1 + doc_id % 2 AS bh
+            FROM documents
+        ),
+        bys AS (SELECT doc_id, bw, bh, UNNEST(range(0, bh)) AS by FROM params),
+        bxs AS (SELECT doc_id, bw, bh, by, UNNEST(range(0, bw)) AS bx FROM bys),
+        vals AS (
+            SELECT doc_id, bw, bh,
+                   (doc_id * 37 + bx * 59 + by * 83) % 256 AS v,
+                   bx, by
+            FROM bxs
+        )
+        SELECT doc_id,
+               CAST(8 * bw AS INT) AS width,
+               CAST(8 * bh AS INT) AS height,
+               round(avg(CAST(v AS DOUBLE)), 6) AS mean_val,
+               CAST(min(v) AS INT) AS min_val,
+               CAST(max(v) AS INT) AS max_val,
+               CAST(max(CASE WHEN bx = 0 AND by = 0 THEN v END) AS INT)
+                   AS corner_val
+        FROM vals
+        GROUP BY doc_id, bw, bh
+    """,
+    tags=("multimodal", "image"),
+)
+def multimodal_jpeg_progressive_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pixel statistics decoded from REAL progressive (SOF2) JPEG bytes
+    — the multi-scan layout most web-optimized JPEGs ship: a DC-first
+    scan at half precision, a DC refinement scan of raw bits, and an
+    AC scan whose zero band is a single EOB run, accumulated across
+    scans and inverse-transformed once. The oracle recomputes the stats
+    from the generating formulas — a successive-approximation shift
+    slip (off-by-one in Al reconstructs every pixel at half intensity),
+    a DC predictor that resets between scans, or a mis-consumed EOB run
+    all fail the hash on essentially every doc. AC refinement with
+    correction bits (unreachable from constant blocks) is pinned in
+    tests/test_multimodal_decode.py against a numpy IDCT oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_jpeg_progressive_pixel_stats(
+        synth_jpeg_progressive_payload(d)
+    )

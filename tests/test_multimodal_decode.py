@@ -559,3 +559,121 @@ def test_jpeg_420_rejects_unaligned_dims(spark):
     )
     with _pytest.raises(Exception, match="MCU-aligned"):
         decode_jpeg_color_pixel_stats(df).collect()
+
+
+def test_jpeg_progressive_synth_roundtrip_matches_formula(spark):
+    """The three-scan progressive fixtures (DC first at Al=1, DC
+    refinement bits, EOB-run AC scan) reconstruct the generating
+    formula exactly through the multi-scan decoder."""
+    from energy_datalake_solution_spark.operators.multimodal import (
+        decode_jpeg_progressive_pixel_stats,
+        synth_jpeg_progressive_payload,
+    )
+
+    d = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    rows = decode_jpeg_progressive_pixel_stats(
+        synth_jpeg_progressive_payload(d)
+    ).collect()
+    assert len(rows) == 40
+    for r in rows:
+        i = r.doc_id
+        bw, bh = 1 + i % 3, 1 + i % 2
+        vals = [
+            (i * 37 + bx * 59 + by * 83) % 256
+            for by in range(bh)
+            for bx in range(bw)
+        ]
+        assert (r.width, r.height) == (8 * bw, 8 * bh)
+        assert r.min_val == min(vals) and r.max_val == max(vals)
+        assert r.corner_val == (i * 37) % 256
+        assert abs(r.mean_val - sum(vals) / len(vals)) < 1e-6
+
+
+def test_jpeg_progressive_ac_refinement_correction_bits(spark):
+    """The AC-refinement machinery is real: a hand-built stream whose
+    second AC scan refines an existing coefficient (correction bit) AND
+    inserts a new ±1 coefficient must decode to the IDCT of the final
+    coefficient pattern computed independently in numpy."""
+    import struct
+
+    import numpy as np
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_PROG_AC_BITS,
+        _JPEG_PROG_AC_VALS,
+        _JPEG_ZIGZAG,
+        _JpegBitWriter,
+        _jpeg_dht,
+        _jpeg_huff_codes,
+        decode_jpeg_progressive_pixel_stats,
+    )
+    from pyspark.sql import types as T
+
+    # AC table for the FIRST scan needs real (r, s) symbols too
+    ac_bits = [0, 0, 7, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x10, 0x20, 0x23, 0x31, 0x13, 0x33]
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(ac_bits, ac_vals)
+
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    head += (b"\xff\xc2" + struct.pack(">H", 11) + bytes([8])
+             + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    head += _jpeg_dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS)
+    head += _jpeg_dht(0x11, ac_bits, ac_vals)
+    body = bytearray()
+    # scan 1: DC full precision (Al=0), diff 0 -> DC stays 0
+    body += (b"\xff\xda" + struct.pack(">H", 8)
+             + bytes([1, 1, 0x00, 0, 0, 0x00]))
+    w = _JpegBitWriter()
+    code, length = dc_codes[0]
+    w.put(code, length)
+    body += w.flush()
+    # scan 2: AC first, band 1..63, Al=1 — coefficient +5 at zigzag
+    # index 3 (skip 2 zeros, category 3), then EOB0. Reconstructs as 10.
+    body += (b"\xff\xda" + struct.pack(">H", 8)
+             + bytes([1, 1, 0x01, 1, 63, 0x01]))
+    w = _JpegBitWriter()
+    code, length = ac_codes[0x23]
+    w.put(code, length)
+    w.put(5, 3)
+    code, length = ac_codes[0x00]
+    w.put(code, length)
+    body += w.flush()
+    # scan 3: AC refinement Ah=1, Al=0 — insert +1 at zigzag index 5
+    # (r=3 zero-history skips; the nonzero at index 3 takes a correction
+    # bit of 1 en route: 10 -> 11), then EOB0 (tail corrections: none).
+    body += (b"\xff\xda" + struct.pack(">H", 8)
+             + bytes([1, 1, 0x01, 1, 63, 0x10]))
+    w = _JpegBitWriter()
+    code, length = ac_codes[0x31]
+    w.put(code, length)
+    w.put(1, 1)   # sign of the new coefficient: positive
+    w.put(1, 1)   # correction bit for the existing coefficient at idx 3
+    code, length = ac_codes[0x00]
+    w.put(code, length)
+    body += w.flush()
+    payload = bytes(head) + bytes(body) + b"\xff\xd9"
+
+    df = spark.createDataFrame(
+        [(0, payload)],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    (r,) = decode_jpeg_progressive_pixel_stats(df).collect()
+
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    M = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    M[0, :] *= 1 / np.sqrt(2)
+    coef = np.zeros((8, 8))
+    coef[_JPEG_ZIGZAG[3]] = 11.0   # 10 + correction bit at Al=0
+    coef[_JPEG_ZIGZAG[5]] = 1.0    # inserted in the refinement scan
+    px = np.clip(np.rint(M.T @ coef @ M + 128), 0, 255)
+    assert r.corner_val == int(px[0, 0])
+    assert r.min_val == int(px.min()) and r.max_val == int(px.max())
+    assert abs(r.mean_val - round(float(px.mean()), 6)) < 1e-9
