@@ -1535,3 +1535,99 @@ def snapshot_bucketed_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("DROP TABLE IF EXISTS bjoin_orders")
     spark.sql("DROP TABLE IF EXISTS bjoin_customer")
     return out
+
+
+@register(
+    "snapshot_txn_two_table_read",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 100 BETWEEN 40 AND 49
+                        THEN o_totalprice + 10 ELSE o_totalprice
+                   END AS o_totalprice
+            FROM orders WHERE o_orderkey % 100 < 50
+        ),
+        c AS (
+            SELECT c_custkey, c_acctbal + 1 AS c_acctbal
+            FROM customer
+        )
+        SELECT c.c_custkey AS customer_id,
+               round(c.c_acctbal, 6) AS acct_balance,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 6) AS total_spend
+        FROM o JOIN c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    """,
+    tags=("snapshot", "transaction"),
+)
+def snapshot_txn_two_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table TRANSACTIONS under the driver's hash gate, through
+    the SQL surface: seed two snapshot tables, then inside ONE
+    BEGIN/COMMIT run an UPDATE band on orders and an UPDATE on customer
+    — verifying mid-transaction that read-your-own-writes sees both
+    staged states while BOTH public pointers are still at their
+    pre-transaction versions (a guard raises otherwise) — COMMIT, and
+    emit the joined aggregate. The oracle derives the post-transaction
+    state arithmetically, so a transaction that commits one table and
+    not the other, leaks a pointer early, or loses a staged manifest
+    fails the guard or the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_write_with_stats
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_txn_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    to, tc = base / "orders", base / "customer"
+    band = F.pmod("o_orderkey", F.lit(100))
+    snapshot_write_with_stats(
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .where(band < 50),
+        to, ["o_orderkey"], n_files=4,
+    )
+    snapshot_write_with_stats(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal"),
+        tc, ["c_custkey"], n_files=2,
+    )
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE txn_orders USING snapshot LOCATION '{to}'")
+    cat.sql(f"CREATE TABLE txn_customer USING snapshot LOCATION '{tc}'")
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql(
+        "UPDATE txn_orders SET o_totalprice = o_totalprice + 10 "
+        "WHERE o_orderkey % 100 BETWEEN 40 AND 49"
+    )
+    cat.sql("UPDATE txn_customer SET c_acctbal = c_acctbal + 1 "
+            "WHERE c_custkey >= 0")
+    # read-your-own-writes must see both staged states...
+    staged_max = cat.sql(
+        "SELECT max(o_totalprice) AS m FROM txn_orders"
+    ).first().m
+    # ...while the PUBLIC pointers are untouched
+    pub_o = int((to / "_latest").read_text().strip())
+    pub_c = int((tc / "_latest").read_text().strip())
+    if (pub_o, pub_c) != (1, 1):
+        raise RuntimeError(
+            f"transaction leaked a pointer early: {(pub_o, pub_c)}"
+        )
+    cat.sql("COMMIT")
+    if int((to / "_latest").read_text().strip()) == 1:
+        raise RuntimeError("COMMIT did not advance the orders pointer")
+    del staged_max
+    out = cat.sql("""
+        SELECT c.c_custkey AS customer_id,
+               round(c.c_acctbal, 6) AS acct_balance,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 6) AS total_spend
+        FROM txn_orders o JOIN txn_customer c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    """)
+    out = out.localCheckpoint(eager=True)
+    cat.drop_table("txn_orders")
+    cat.drop_table("txn_customer")
+    return out

@@ -112,6 +112,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_partition_evolution_read",
     "snapshot_bucketed_join_read",
     "multimodal_jpeg_progressive_pixel_stats",
+    "snapshot_txn_two_table_read",
     # --- latest hash-green round 5: the stalest cohort (28) ---
     "docs_quality_score",
     "docs_source_budget_cap",

@@ -28,6 +28,8 @@ contract one level up:
         RESTORE TABLE <name> VERSION/TIMESTAMP AS OF -> snapshot_restore
         VACUUM <name> [RETAIN n VERSIONS]         -> snapshot_vacuum
         DESCRIBE HISTORY <name>                   -> snapshot_history
+        DESCRIBE DETAIL <name>  (version, files, partitioning, bucketing,
+            widened types, constraints, column mapping — manifest-only)
         ALTER TABLE <name> SET PARTITIONED BY (c) -> snapshot_set_partitioning
         ALTER TABLE <name> CLEAR PARTITIONING     -> snapshot_set_partitioning
         BEGIN / COMMIT / ROLLBACK [TRANSACTION]   -> SnapshotTransaction
@@ -138,6 +140,10 @@ def _parse_merge_on(on: str) -> list:
     return keys
 
 
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
     r"(?:SET\s+PARTITIONED\s+BY\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*\)"
@@ -411,6 +417,34 @@ class SnapshotCatalog:
             n = m.group("n")
             snapshot_vacuum(path, keep_versions=int(n) if n else 1)
             return None
+        m = _DETAIL_RE.match(text)
+        if m and m.group("name") in self._tables:
+            import json as _json
+
+            from .snapshots import _read_manifest, current_version
+
+            path, version = self._tables[m.group("name")]
+            v = current_version(path) if version is None else version
+            mf = _read_manifest(Path(path), v)
+            spec = mf.get("partitioning")
+            bspec = mf.get("bucketing")
+            return self.spark.createDataFrame(
+                [(
+                    m.group("name"), str(path), v,
+                    len(mf.get("files", [])),
+                    ",".join(spec["cols"]) if spec else None,
+                    _json.dumps(bspec) if bspec else None,
+                    _json.dumps(mf.get("types")) if mf.get("types") else None,
+                    _json.dumps(mf.get("constraints"))
+                    if mf.get("constraints") else None,
+                    mf.get("schema") is not None,
+                    sum(int(dv[0]) for dv in (mf.get("dv") or {}).values()),
+                )],
+                "name string, location string, version long, n_files long, "
+                "partitioning string, bucketing string, widened_types string, "
+                "check_constraints string, column_mapping boolean, "
+                "dv_deleted_rows long",
+            )
         m = _HISTORY_RE.match(text)
         if m and m.group("name") in self._tables:
             path, _ = self._tables[m.group("name")]

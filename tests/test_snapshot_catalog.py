@@ -296,3 +296,38 @@ def test_restore_timestamp_iso_literal(spark, tmp_path):
     assert current_version(t) == 3  # restore commits a NEW version
     with pytest.raises(ValueError, match="ISO-8601"):
         cat.sql("RESTORE TABLE ts_t TIMESTAMP AS OF 'not-a-time'")
+
+
+def test_catalog_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL reports the manifest's metadata families —
+    version, file count, partitioning, bucketing, widened types,
+    deletion-vector row count — without opening any data file."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_delete_range_mor,
+        snapshot_set_partitioning,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "fact"
+    snapshot_write_with_stats(
+        spark.range(100).selectExpr(
+            "CAST(id AS int) AS k", "id AS v", "CAST(id % 3 AS string) AS cat"
+        ),
+        t, ["k"], n_files=4,
+    )
+    snapshot_set_partitioning(t, "cat")
+    snapshot_delete_range_mor(spark, t, "k", 0, 4)
+    snapshot_append(  # widening: int -> bigint
+        spark.createDataFrame([(10**10, 1, "x")], "k long, v long, cat string"),
+        t,
+    )
+    cat.sql(f"CREATE TABLE fact USING snapshot LOCATION '{t}'")
+    (d,) = cat.sql("DESCRIBE DETAIL fact").collect()
+    assert d.version == 4 and d.n_files == 4 + 1  # 1 routed partition file
+    assert d.partitioning == "cat"
+    assert d.bucketing is None
+    assert '"k": "bigint"' in d.widened_types
+    assert d.dv_deleted_rows == 5
+    assert d.column_mapping is False
