@@ -1194,6 +1194,8 @@ def snapshot_merge(
     matched_delete_condition=None,
     not_matched_insert: bool = True,
     not_matched_condition=None,
+    txn: int | None = None,
+    txn_app: str | None = None,
 ) -> int:
     """Conditional MERGE (Delta's ``MERGE INTO t USING s ON keys WHEN
     MATCHED [AND cond] THEN UPDATE/DELETE, WHEN NOT MATCHED [AND cond]
@@ -1220,17 +1222,24 @@ def snapshot_merge(
     metadata plus the insert bytes. Same optimistic rebase-retry
     disposition as every writer. Reference parity: generalizes the J1
     merge class (etl-s3-processed-to-redshift.py:66-96) to Delta's
-    conditional WHEN-clause form."""
+    conditional WHEN-clause form. ``txn``/``txn_app`` stamp the commit
+    with a writer transaction id (Delta's (appId, version) protocol): a
+    replayed merge with an already-landed stamp is a no-op BEFORE any
+    work — the primitive under the exactly-once streaming merge sink."""
     from pyspark.sql import functions as F
 
     p = _table(table_path)
+    if txn is not None and current_version(p) and txn <= last_txn(p, txn_app):
+        return current_version(p)  # this batch already landed (replay)
     if current_version(p) == 0:
         if not not_matched_insert:
             raise FileNotFoundError(f"no snapshot table at {p}")
         ins = source
         if not_matched_condition is not None:
             ins = ins.alias("s").where(_merge_cond(not_matched_condition))
-        return snapshot_write(ins, p)
+        # append (not write): the txn stamp must land with the first
+        # commit so a crash-replay of this very batch resolves idempotent
+        return snapshot_append(ins, p, txn=txn, txn_app=txn_app)
     _enforce_constraints(source, p)
     m_tip = _read_manifest(p, current_version(p))
     sch = m_tip.get("schema")
@@ -1259,11 +1268,15 @@ def snapshot_merge(
             parent = current_version(p)
             m = _read_manifest(p, parent)
             try:
+                if (txn is not None and parent
+                        and txn <= last_txn(p, txn_app)):
+                    return parent  # lost a rebase race to our own replay
                 return _snapshot_merge_committed(
                     spark, src, p, keys, col, parent, m, widen_types,
                     matched_update, matched_update_condition,
                     matched_delete, matched_delete_condition,
                     not_matched_insert, not_matched_condition,
+                    txn=txn, txn_app=txn_app,
                 )
             except SnapshotCommitConflict:
                 if attempt == COMMIT_RETRIES - 1:
@@ -1278,6 +1291,7 @@ def _snapshot_merge_committed(
     matched_update, matched_update_condition,
     matched_delete, matched_delete_condition,
     not_matched_insert, not_matched_condition,
+    txn=None, txn_app=None,
 ) -> int:
     from pyspark.sql import functions as F
 
@@ -1296,7 +1310,7 @@ def _snapshot_merge_committed(
         return _commit(p, list(m["files"]), parent, stats=stats or None,
                        blooms=m.get("blooms") or None,
                        dv=m.get("dv") or None, op="merge",
-                       types_meta=types_meta)
+                       types_meta=types_meta, txn=txn, txn_app=txn_app)
     if lo is None or not any(pcol in s for s in stats.values()):
         # all-NULL keys match nothing (pure insert); a table with no key
         # stats anywhere conservatively touches every file
@@ -1366,7 +1380,8 @@ def _snapshot_merge_committed(
                        stats=new_stats or None,
                        blooms=_carry_blooms(p, m, old_files, ins_files)
                        if ins_files else m.get("blooms") or None,
-                       dv=dv or None, op="merge", types_meta=types_meta)
+                       dv=dv or None, op="merge", types_meta=types_meta,
+                       txn=txn, txn_app=txn_app)
 
     upd_c = _merge_cond(matched_update_condition) if (
         matched_update_condition is not None
@@ -1462,7 +1477,8 @@ def _snapshot_merge_committed(
                            blooms=_carry_blooms(p, m, old_files, new_files)
                            if new_files else m.get("blooms") or None,
                            dv=dv or None, op="merge",
-                           types_meta=types_meta)
+                           types_meta=types_meta,
+                   txn=txn, txn_app=txn_app)
 
     # COPY-ON-WRITE path (wide update set): rewrite the touched files
     # with the clause logic applied; untouched files carry byte-identical
@@ -1516,7 +1532,8 @@ def _snapshot_merge_committed(
                    stats=new_stats or None,
                    blooms=_carry_blooms(p, m, untouched, new_files),
                    dv=_carry_dv(m, untouched), op="merge",
-                   types_meta=types_meta)
+                   types_meta=types_meta,
+                   txn=txn, txn_app=txn_app)
 
 
 # Resolved-manifest cache: manifests are immutable once published (the

@@ -937,3 +937,48 @@ def ann_probe_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_snapshot_merge_sink(
+    stream: DataFrame,
+    table_path: str | Path,
+    keys: list,
+    checkpoint_dir: str | Path,
+    app_id: str | None = None,
+    **merge_clauses,
+) -> StreamingQuery:
+    """Exactly-once STREAMING conditional MERGE into a snapshot table:
+    each micro-batch runs sources.snapshots.snapshot_merge (WHEN MATCHED
+    [AND cond] UPDATE/DELETE, WHEN NOT MATCHED INSERT — pass the same
+    keyword clauses) stamped with (app_id, batch_id). A crash between
+    commit and checkpoint replays the batch; the txn stamp short-circuits
+    it BEFORE any prune or join work. At-least-once delivery + idempotent
+    merge = a table with exactly-once contents — the streaming CDC-apply
+    loop (upserts + conditional deletes from a change stream) that keeps
+    a 100 TB serving table current without rewriting it: small matched
+    sets ride the merge's MOR path (deletion vectors + provenance-paired
+    update images), so steady-state cost is O(matched) per trigger.
+
+    With an update/delete arm the batch must be key-unique (Delta's
+    MERGE cardinality contract): reduce upstream (e.g. latest-per-key
+    over an ordering column) before the sink."""
+    resolved_app = (
+        app_id if app_id is not None else str(Path(checkpoint_dir).resolve())
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..sources.snapshots import snapshot_merge
+
+        snapshot_merge(
+            batch_df.sparkSession, batch_df, table_path, keys,
+            txn=batch_id, txn_app=resolved_app, **merge_clauses,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

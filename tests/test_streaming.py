@@ -1075,3 +1075,79 @@ def test_ann_probe_stream_matches_batch_probe_exactly_once(spark, tmp_path):
     ).awaitTermination(120)
     assert current_version(out) == v
     assert snapshot_read(spark, out).count() == len(want)
+
+
+def test_stream_snapshot_merge_sink_exactly_once_cdc_apply(spark, tmp_path):
+    """Streaming conditional MERGE: a change stream of upserts and
+    tombstones applies to a snapshot table exactly once — updates ride
+    the MOR path (standing files never rewritten), tombstones delete,
+    new keys insert, and a replayed micro-batch (crash between commit
+    and checkpoint) is a no-op via the txn stamp."""
+    import json as _json
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        last_txn,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+    from energy_datalake_solution_spark.streaming.pipeline import (
+        stream_snapshot_merge_sink,
+    )
+
+    t = tmp_path / "serving"
+    snapshot_write_with_stats(
+        spark.range(100).selectExpr("id AS k", "id * 10 AS v"), t,
+        ["k"], n_files=4,
+    )
+    src = tmp_path / "changes"
+    src.mkdir()
+    rows = [
+        {"k": 5, "v": 555},      # update
+        {"k": 7, "v": -1},       # tombstone (v < 0 -> DELETE arm)
+        {"k": 900, "v": 9},      # insert
+    ]
+    (src / "batch0.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows)
+    )
+    stream = spark.readStream.schema("k long, v long").json(str(src))
+    ckpt = tmp_path / "ckpt"
+    q = stream_snapshot_merge_sink(
+        stream, t, ["k"], ckpt,
+        matched_update={"v": "s.v"},
+        matched_update_condition="s.v >= 0",
+        matched_delete=True,
+        matched_delete_condition="s.v < 0",
+    )
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert got[5] == 555 and 7 not in got and got[900] == 9
+    assert len(got) == 100
+    v_after = current_version(t)
+    app = str(ckpt.resolve())
+    assert last_txn(t, app) == 0  # batch 0 stamped
+
+    # crash replay: re-running the SAME batch through the engine is a
+    # no-op before any work (no new version, contents unchanged)
+    batch = spark.createDataFrame([(5, 1), (900, -1)], "k long, v long")
+    snapshot_merge(
+        spark, batch, t, ["k"],
+        matched_update={"v": "s.v"}, matched_delete=True,
+        txn=0, txn_app=app,
+    )
+    assert current_version(t) == v_after
+    assert {r.k: r.v for r in snapshot_read(spark, t).collect()} == got
+
+    # a LATER batch (new txn) applies normally
+    (src / "batch1.json").write_text(_json.dumps({"k": 5, "v": 556}))
+    q2 = stream_snapshot_merge_sink(
+        stream, t, ["k"], ckpt,
+        matched_update={"v": "s.v"},
+        matched_update_condition="s.v >= 0",
+        matched_delete=True,
+        matched_delete_condition="s.v < 0",
+    )
+    q2.awaitTermination(120)
+    got2 = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert got2[5] == 556 and len(got2) == 100
