@@ -3100,3 +3100,140 @@ def multimodal_jpeg_progressive_pixel_stats(
     return decode_jpeg_progressive_pixel_stats(
         synth_jpeg_progressive_payload(d)
     )
+
+
+def synth_jpeg_422_payload(df: DataFrame) -> DataFrame:
+    """Synthesize spec-valid 4:2:2 chroma-subsampled baseline JPEGs
+    (Y sampling 2x1, chroma 1x1 — the broadcast/video-frame layout):
+    four-block MCUs covering 16x8 pixels (two Y in raster order, then
+    Cb, Cr), per-component DC prediction. Blocks are constant:
+        Y at block (bx, by):  (doc_id*37 + bx*59 + by*83) % 256
+        Cb at MCU  (mx, by):  (doc_id*41 + mx*67 + by*89) % 256
+        Cr at MCU  (mx, by):  (doc_id*43 + mx*71 + by*97) % 256
+    dims w = 16*(1 + doc_id % 2), h = 8*(1 + doc_id % 3)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        dc_y = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_y = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+        dc_c = _jpeg_huff_codes(_JPEG_DC_C_BITS, _JPEG_DC_C_VALS)
+        ac_c = _jpeg_huff_codes(_JPEG_AC_C_BITS, _JPEG_AC_C_VALS)
+
+        def put_block(w, v, prev_dc, dct, act):
+            dc = 8 * (v - 128)
+            diff = dc - prev_dc
+            cat = abs(diff).bit_length()
+            code, length = dct[cat]
+            w.put(code, length)
+            if cat:
+                w.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            eob, eob_len = act[0x00]
+            w.put(eob, eob_len)
+            return dc
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                mw, mh = 1 + i % 2, 1 + i % 3   # MCUs (16x8 px each)
+                w, h = 16 * mw, 8 * mh
+                head = bytearray(b"\xff\xd8")
+                head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+                head += (
+                    b"\xff\xc0"
+                    + struct.pack(">H", 17)
+                    + bytes([8])
+                    + struct.pack(">HH", h, w)
+                    + bytes([3])
+                    + bytes([1, 0x21, 0])   # Y: 2x1 sampling -> 4:2:2
+                    + bytes([2, 0x11, 0])
+                    + bytes([3, 0x11, 0])
+                )
+                head += _jpeg_dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS)
+                head += _jpeg_dht(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)
+                head += _jpeg_dht(0x01, _JPEG_DC_C_BITS, _JPEG_DC_C_VALS)
+                head += _jpeg_dht(0x11, _JPEG_AC_C_BITS, _JPEG_AC_C_VALS)
+                head += (
+                    b"\xff\xda"
+                    + struct.pack(">H", 12)
+                    + bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+                )
+                wtr = _JpegBitWriter()
+                prev = [0, 0, 0]
+                for by in range(mh):
+                    for mx in range(mw):  # MCU: 2 Y blocks + Cb + Cr
+                        for dx in range(2):
+                            bx = 2 * mx + dx
+                            y = (i * 37 + bx * 59 + by * 83) % 256
+                            prev[0] = put_block(wtr, y, prev[0], dc_y, ac_y)
+                        cb = (i * 41 + mx * 67 + by * 89) % 256
+                        cr = (i * 43 + mx * 71 + by * 97) % 256
+                        prev[1] = put_block(wtr, cb, prev[1], dc_c, ac_c)
+                        prev[2] = put_block(wtr, cr, prev[2], dc_c, ac_c)
+                buf = bytes(head) + wtr.flush() + b"\xff\xd9"
+                rows.append({"doc_id": doc_id, "payload": buf})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_jpeg_422_pixel_stats",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id, 1 + doc_id % 2 AS mw, 1 + doc_id % 3 AS mh
+            FROM documents
+        ),
+        bys AS (SELECT doc_id, mw, mh, UNNEST(range(0, mh)) AS by FROM params),
+        bxs AS (SELECT doc_id, mw, mh, by, UNNEST(range(0, 2 * mw)) AS bx FROM bys),
+        ycc AS (
+            SELECT doc_id, mw, mh, bx, by,
+                   (doc_id * 37 + bx * 59 + by * 83) % 256 AS y,
+                   (doc_id * 41 + (bx // 2) * 67 + by * 89) % 256 - 128 AS cb,
+                   (doc_id * 43 + (bx // 2) * 71 + by * 97) % 256 - 128 AS cr
+            FROM bxs
+        ),
+        rgb AS (
+            SELECT doc_id, mw, mh, bx, by,
+                   LEAST(255, GREATEST(0,
+                       y + CAST(FLOOR((91881 * cr + 32768) / 65536.0) AS BIGINT)
+                   )) AS r,
+                   LEAST(255, GREATEST(0,
+                       y + CAST(FLOOR((-22554 * cb - 46802 * cr + 32768) / 65536.0) AS BIGINT)
+                   )) AS g,
+                   LEAST(255, GREATEST(0,
+                       y + CAST(FLOOR((116130 * cb + 32768) / 65536.0) AS BIGINT)
+                   )) AS b
+            FROM ycc
+        )
+        SELECT doc_id,
+               CAST(16 * mw AS INT) AS width,
+               CAST(8 * mh AS INT) AS height,
+               round(avg(CAST(r AS DOUBLE)), 6) AS mean_r,
+               round(avg(CAST(g AS DOUBLE)), 6) AS mean_g,
+               round(avg(CAST(b AS DOUBLE)), 6) AS mean_b,
+               CAST(max(CASE WHEN bx = 0 AND by = 0 THEN r END) AS INT) AS corner_r,
+               CAST(max(CASE WHEN bx = 0 AND by = 0 THEN g END) AS INT) AS corner_g,
+               CAST(max(CASE WHEN bx = 0 AND by = 0 THEN b END) AS INT) AS corner_b
+        FROM rgb
+        GROUP BY doc_id, mw, mh
+    """,
+    tags=("multimodal", "image"),
+)
+def multimodal_jpeg_422_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel RGB statistics decoded from REAL 4:2:2
+    chroma-subsampled baseline JPEG bytes (Y 2x1 + chroma 1x1 — the
+    broadcast/video-frame sibling of 4:2:0): four-block MCUs, chroma at
+    half horizontal resolution box-upsampled. Exercises the generalized
+    sampling-factor path with ASYMMETRIC factors (hmax=2, vmax=1), so a
+    decoder that conflated the two axes fails the hash. Same decoder as
+    the 4:4:4 and 4:2:0 queries; oracle indexes chroma at (bx//2, by) —
+    the 4:2:2 geometry itself."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_jpeg_color_pixel_stats(synth_jpeg_422_payload(d))

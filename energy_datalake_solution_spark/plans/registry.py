@@ -113,6 +113,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_bucketed_join_read",
     "multimodal_jpeg_progressive_pixel_stats",
     "snapshot_txn_two_table_read",
+    "multimodal_jpeg_422_pixel_stats",
     # --- latest hash-green round 5: the stalest cohort (28) ---
     "docs_quality_score",
     "docs_source_budget_cap",
