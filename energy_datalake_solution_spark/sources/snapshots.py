@@ -4087,9 +4087,14 @@ def snapshot_write_bucketed(
         if stats_cols
         else None
     )
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
     return _commit_full_replace(
         p, files, stats=stats, op="write-bucketed",
-        bucketing_meta={"col": bucket_col, "n": n_buckets},
+        # the schema DDL travels in the spec so registration needs no
+        # footer read — and an EMPTY bucketed table still registers
+        bucketing_meta={"col": bucket_col, "n": n_buckets, "ddl": ddl},
     )
 
 
@@ -4142,10 +4147,14 @@ def snapshot_bucketed_table(
             shutil.rmtree(tmp, ignore_errors=True)
             if not vd.exists():
                 raise
-    schema = spark.read.parquet(str(p / m["files"][0])).schema
-    cols_ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-    )
+    cols_ddl = m["bucketing"].get("ddl") if isinstance(
+        m["bucketing"], dict
+    ) else None
+    if not cols_ddl:  # pre-ddl spec: one footer read
+        schema = spark.read.parquet(str(p / m["files"][0])).schema
+        cols_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
     spark.sql(
         f"CREATE TABLE `{name}` ({cols_ddl}) USING parquet "

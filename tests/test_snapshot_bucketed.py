@@ -108,9 +108,8 @@ def test_bucketed_spec_cleared_by_plain_full_replace(spark, tmp_path):
     t = tmp_path / "t"
     df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
     snapshot_write_bucketed(df, t, "k", 4)
-    assert _read_manifest(t, current_version(t)).get("bucketing") == {
-        "col": "k", "n": 4,
-    }
+    spec = _read_manifest(t, current_version(t)).get("bucketing")
+    assert spec["col"] == "k" and spec["n"] == 4 and "bigint" in spec["ddl"]
     snapshot_write(df, t)  # plain full replace: unbucketed files
     assert _read_manifest(t, current_version(t)).get("bucketing") is None
     with pytest.raises(ValueError, match="no bucketed layout"):
