@@ -1453,7 +1453,11 @@ def snapshot_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataF
         raise RuntimeError("conservative prune dropped a pre-evolution file")
     extra = {
         f for f in pruned & post_files
-        if m["stats"][f]["o_orderstatus"][0] != "F"
+        # stats-less files (an empty-lake append writes rowless parquet)
+        # are conservatively admitted — only a file whose recorded point
+        # value is a DIFFERENT status is a pruning bug
+        if "o_orderstatus" in m.get("stats", {}).get(f, {})
+        and m["stats"][f]["o_orderstatus"][0] != "F"
     }
     if extra:
         raise RuntimeError(
