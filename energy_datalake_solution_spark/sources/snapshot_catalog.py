@@ -30,6 +30,8 @@ contract one level up:
         DESCRIBE HISTORY <name>                   -> snapshot_history
         DESCRIBE DETAIL <name>  (version, files, partitioning, bucketing,
             widened types, constraints, column mapping — manifest-only)
+        OPTIMIZE <name> [ZORDER BY (a, b)] [INTO n FILES]
+            -> snapshot_compact / snapshot_zorder_compact
         ALTER TABLE <name> SET PARTITIONED BY (c) -> snapshot_set_partitioning
         ALTER TABLE <name> CLEAR PARTITIONING     -> snapshot_set_partitioning
         BEGIN / COMMIT / ROLLBACK [TRANSACTION]   -> SnapshotTransaction
@@ -140,6 +142,13 @@ def _parse_merge_on(on: str) -> list:
     return keys
 
 
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<za>[A-Za-z_]\w*)\s*,\s*"
+    r"(?P<zb>[A-Za-z_]\w*)\s*\))?"
+    r"(?:\s+INTO\s+(?P<n>\d+)\s+FILES)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
@@ -416,6 +425,22 @@ class SnapshotCatalog:
             path, _ = self._tables[m.group("name")]
             n = m.group("n")
             snapshot_vacuum(path, keep_versions=int(n) if n else 1)
+            return None
+        m = _OPTIMIZE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_compact, snapshot_zorder_compact
+
+            path = self._writable(m.group("name"))
+            n = int(m.group("n")) if m.group("n") else None
+            if m.group("za"):
+                snapshot_zorder_compact(
+                    self.spark, path, m.group("za"), m.group("zb"),
+                    **({"n_files": n} if n else {}),
+                )
+            else:
+                snapshot_compact(
+                    self.spark, path, target_files=n if n else 1
+                )
             return None
         m = _DETAIL_RE.match(text)
         if m and m.group("name") in self._tables:

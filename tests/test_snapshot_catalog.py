@@ -331,3 +331,41 @@ def test_catalog_describe_detail(spark, tmp_path):
     assert '"k": "bigint"' in d.widened_types
     assert d.dv_deleted_rows == 5
     assert d.column_mapping is False
+
+
+def test_catalog_optimize_compacts_and_zorders(spark, tmp_path):
+    """OPTIMIZE routes to snapshot_compact (plain) and
+    snapshot_zorder_compact (ZORDER BY): contents identical, file count
+    collapses, history records the maintenance commit."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_append,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "fact"
+    snapshot_write_with_stats(
+        spark.range(200).selectExpr("id AS k", "id % 7 AS x", "id % 11 AS y"),
+        t, ["k"], n_files=4,
+    )
+    for i in range(5):  # stream-shaped small appends
+        snapshot_append(
+            spark.createDataFrame([(1000 + i, i, i)], "k long, x long, y long"),
+            t,
+        )
+    cat.sql(f"CREATE TABLE fact USING snapshot LOCATION '{t}'")
+    before = cat.sql("SELECT * FROM fact").count()
+    cat.sql("OPTIMIZE fact INTO 2 FILES")
+    m = _read_manifest(t, current_version(t))
+    assert len(m["files"]) == 2 and m["op"] == "compact"
+    assert cat.sql("SELECT * FROM fact").count() == before
+    cat.sql("OPTIMIZE fact ZORDER BY (x, y)")
+    m = _read_manifest(t, current_version(t))
+    assert m["op"] in ("zorder", "compact-zorder", "zorder-compact")
+    assert cat.sql("SELECT * FROM fact").count() == before
+    # every file carries stats for BOTH z-order columns
+    assert all(
+        "x" in s_ and "y" in s_ for s_ in (m.get("stats") or {}).values()
+    )
