@@ -1635,3 +1635,93 @@ def snapshot_txn_two_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.drop_table("txn_orders")
     cat.drop_table("txn_customer")
     return out
+
+
+@register(
+    "snapshot_cdc_mirror_read",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               CASE WHEN o_orderkey % 100 BETWEEN 30 AND 39
+                    THEN o_totalprice + 7 ELSE o_totalprice
+               END AS total_price
+        FROM orders
+        WHERE o_orderkey % 100 < 60
+          AND o_orderkey % 100 NOT BETWEEN 10 AND 14
+    """,
+    tags=("snapshot", "cdf", "merge", "replication"),
+)
+def snapshot_cdc_mirror_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC REPLICATION LOOP under the driver's hash gate — the
+    composite of the two flagship features: commit an orders subset as a
+    source table, clone its v1 as a replica, advance the SOURCE through
+    three change shapes (predicate MOR UPDATE band +7, predicate MOR
+    DELETE band, APPEND band), then read the source's change feed for
+    the window and APPLY it to the replica with ONE conditional merge —
+    postimages/inserts take the UPDATE/INSERT arms, delete records the
+    DELETE arm (signaled by a NULL price sentinel so the change frame
+    carries exactly the replica's columns). The replica must equal the
+    source's final state, which the oracle derives arithmetically from
+    raw orders: a change feed that loses a record, mis-pairs an update,
+    or resurrects a deleted row — or a merge arm that misroutes a change
+    type — fails the hash. Scale shape: the feed opens only CHANGED
+    files; the apply is one stats-pruned merge sized by the change set,
+    so mirroring a 100 TB table costs O(changes) per cycle, never a
+    table scan."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        current_version,
+        snapshot_append,
+        snapshot_change_feed,
+        snapshot_clone,
+        snapshot_delete_where,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_update_where,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_cdcm_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_t, rep_t = base / "source", base / "replica"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    band = F.pmod("o_orderkey", F.lit(100))
+    snapshot_write_with_stats(o.where(band < 50), src_t, ["o_orderkey"], n_files=6)
+    v1 = current_version(src_t)
+    snapshot_clone(src_t, rep_t)
+    # the source advances: update, delete, insert (the predicate DML
+    # surface a CDC producer uses)
+    snapshot_update_where(
+        spark, src_t, "o_orderkey % 100 BETWEEN 30 AND 39",
+        {"o_totalprice": "o_totalprice + 7"},
+    )
+    snapshot_delete_where(spark, src_t, "o_orderkey % 100 BETWEEN 10 AND 14")
+    snapshot_append(o.where((band >= 50) & (band < 60)), src_t)
+    # replicate: one change-feed read, one conditional merge
+    cf = snapshot_change_feed(
+        spark, src_t, v1, current_version(src_t), updates_as="updates"
+    ).where(F.col("_change_type") != "update_preimage")
+    changes = cf.select(
+        "o_orderkey",
+        F.when(
+            F.col("_change_type") == "delete", F.lit(None)
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    snapshot_merge(
+        spark, changes, rep_t, ["o_orderkey"],
+        matched_update={"o_totalprice": "s.o_totalprice"},
+        matched_update_condition="s.o_totalprice IS NOT NULL",
+        matched_delete=True,
+        matched_delete_condition="s.o_totalprice IS NULL",
+        not_matched_insert=True,
+        not_matched_condition="s.o_totalprice IS NOT NULL",
+    )
+    out = snapshot_read(spark, rep_t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

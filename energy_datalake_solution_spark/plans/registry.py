@@ -114,6 +114,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "multimodal_jpeg_progressive_pixel_stats",
     "snapshot_txn_two_table_read",
     "multimodal_jpeg_422_pixel_stats",
+    "snapshot_cdc_mirror_read",
     # --- latest hash-green round 5: the stalest cohort (28) ---
     "docs_quality_score",
     "docs_source_budget_cap",
