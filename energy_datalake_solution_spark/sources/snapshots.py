@@ -2031,6 +2031,18 @@ def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
     for sc in (p / _MANIFEST_DIR).glob("*.ckpt.parquet"):
         if sc.name not in live_sidecars:
             sc.unlink()
+    # bucketed-view symlink dirs of reclaimed versions: their targets
+    # just went away — drop the dirs so a stale registration cannot
+    # dangle (a live version's dir stays; re-registration rebuilds any
+    # removed one on demand)
+    bdir = p / "_bucketed"
+    if bdir.exists():
+        import shutil as _shutil
+
+        for vd in bdir.iterdir():
+            if vd.name.startswith("v") and vd.name[1:].isdigit():
+                if int(vd.name[1:]) not in keep:
+                    _shutil.rmtree(vd, ignore_errors=True)
     return sorted(deleted)
 
 

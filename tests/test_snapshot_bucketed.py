@@ -128,3 +128,27 @@ def test_bucketed_rejects_column_mapped_tables(spark, tmp_path):
     snapshot_enable_column_mapping(spark, t)
     with pytest.raises(ValueError, match="column-mapped"):
         snapshot_write_bucketed(df, t, "k", 4)
+
+
+def test_vacuum_drops_stale_bucketed_view_dirs(spark, tmp_path):
+    """Vacuum removes the symlink view dirs of reclaimed versions (their
+    targets are gone) and keeps the live version's; re-registration
+    after vacuum works."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_vacuum,
+        snapshot_write_bucketed,
+    )
+
+    t = tmp_path / "t"
+    df = spark.range(50).selectExpr("id AS k", "id * 2 AS v")
+    snapshot_write_bucketed(df, t, "k", 4)            # v1
+    snapshot_bucketed_table(spark, t, "bv_t", version=1)
+    snapshot_write_bucketed(df.limit(20), t, "k", 4)  # v2
+    snapshot_bucketed_table(spark, t, "bv_t")         # v2 view dir
+    assert (t / "_bucketed" / "v1").exists()
+    snapshot_vacuum(t, keep_versions=1)
+    assert not (t / "_bucketed" / "v1").exists()
+    assert (t / "_bucketed" / "v2").exists()
+    a = snapshot_bucketed_table(spark, t, "bv_t")
+    assert a.count() == 20
+    spark.sql("DROP TABLE IF EXISTS bv_t")
