@@ -1576,6 +1576,8 @@ def decode_jpeg_pixel_stats(df: DataFrame) -> DataFrame:
                     comp_spec = (cid, tq)
                 elif marker in (0xC1, 0xC2, 0xC3):
                     raise ValueError("non-baseline JPEG (progressive/extended)")
+                elif marker == 0xDD:
+                    (ri,) = struct.unpack(">H", body[:2])
                 elif marker == 0xC4:  # DHT
                     while body:
                         tc, th = body[0] >> 4, body[0] & 0x0F
@@ -2236,6 +2238,22 @@ def decode_jpeg_color_pixel_stats(df: DataFrame) -> DataFrame:
                     v = (v << 1) | self.bit()
                 return v
 
+            def restart(self, m: int) -> None:
+                """Consume an RSTm marker at a restart interval: discard
+                the pad bits to the byte boundary, require the expected
+                modulo-8 marker (T.81 F.2.1.3.1 — a wrong index means a
+                lost or reordered segment, fail loudly)."""
+                self.nbits = 0
+                if self.pos + 1 >= len(self.data):
+                    raise ValueError("truncated at restart marker")
+                b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+                if b0 != 0xFF or b1 != 0xD0 + (m % 8):
+                    raise ValueError(
+                        f"expected RST{m % 8} at restart interval, got "
+                        f"{b0:02x}{b1:02x}"
+                    )
+                self.pos += 2
+
         def build_decoder(bits, vals):
             table, code, k = {}, 0, 0
             for length in range(1, 17):
@@ -2293,6 +2311,7 @@ def decode_jpeg_color_pixel_stats(df: DataFrame) -> DataFrame:
             pos = 2
             qtables, dc_tables, ac_tables = {}, {}, {}
             dims, comps = None, None
+            ri = 0  # restart interval in MCUs (DRI; 0 = none)
             while pos + 4 <= len(buf):
                 if buf[pos] != 0xFF:
                     raise ValueError("marker sync lost")
@@ -2325,6 +2344,8 @@ def decode_jpeg_color_pixel_stats(df: DataFrame) -> DataFrame:
                     dims = (ww, hh)
                 elif marker in (0xC1, 0xC2, 0xC3):
                     raise ValueError("non-baseline JPEG (progressive/extended)")
+                elif marker == 0xDD:
+                    (ri,) = struct.unpack(">H", body[:2])
                 elif marker == 0xC4:
                     while body:
                         tc, th = body[0] >> 4, body[0] & 0x0F
@@ -2383,8 +2404,16 @@ def decode_jpeg_color_pixel_stats(df: DataFrame) -> DataFrame:
                         for sh, sv in samp
                     ]
                     prev = [0, 0, 0]
+                    n_rst = 0
                     for my in range(mcus_y):
                         for mx in range(mcus_x):
+                            mcu_i = my * mcus_x + mx
+                            if ri and mcu_i and mcu_i % ri == 0:
+                                # restart interval: byte-align, consume
+                                # RSTm, reset the DC predictors
+                                reader.restart(n_rst)
+                                n_rst += 1
+                                prev = [0, 0, 0]
                             for c in range(3):
                                 dct, act, q = scan[c]
                                 sh, sv = samp[c]
@@ -2509,7 +2538,9 @@ def synth_jpeg_420_payload(df: DataFrame) -> DataFrame:
     JPEGs — the near-universal camera/web layout: 3-component SOF0 with
     Y sampling 2x2 and Cb/Cr 1x1, unit quantization, Annex K tables,
     interleaved MCUs of SIX blocks (four Y in raster order, then Cb,
-    Cr) with per-component DC prediction. Each 8x8 block is constant:
+    Cr) with per-component DC prediction, and a DRI RESTART INTERVAL of
+    2 MCUs (byte-aligned RSTn markers, DC predictors reset — the
+    segmentation every camera JPEG carries). Each 8x8 block is constant:
         Y at block (bx, by):   (doc_id*37 + bx*59 + by*83) % 256
         Cb at MCU  (mx, my):   (doc_id*41 + mx*67 + my*89) % 256
         Cr at MCU  (mx, my):   (doc_id*43 + mx*71 + my*97) % 256
@@ -2564,15 +2595,30 @@ def synth_jpeg_420_payload(df: DataFrame) -> DataFrame:
                 head += _jpeg_dht(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)
                 head += _jpeg_dht(0x01, _JPEG_DC_C_BITS, _JPEG_DC_C_VALS)
                 head += _jpeg_dht(0x11, _JPEG_AC_C_BITS, _JPEG_AC_C_VALS)
+                # restart interval: 2 MCUs (DRI + RSTn markers — the
+                # segmentation every camera JPEG carries; content is
+                # unchanged, so the generating-formula oracle carries over)
+                RI = 2
+                head += b"\xff\xdd" + struct.pack(">HH", 4, RI)
                 head += (
                     b"\xff\xda"
                     + struct.pack(">H", 12)
                     + bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
                 )
+                entropy = bytearray()
                 wtr = _JpegBitWriter()
                 prev = [0, 0, 0]  # per-component DC predictors
+                n_rst = 0
                 for my in range(mh):
                     for mx in range(mw):  # MCU: 4 Y blocks + Cb + Cr
+                        mcu_i = my * mw + mx
+                        if RI and mcu_i and mcu_i % RI == 0:
+                            # byte-align the segment, emit RSTm, reset DC
+                            entropy += wtr.flush()
+                            entropy += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                            n_rst += 1
+                            wtr = _JpegBitWriter()
+                            prev = [0, 0, 0]
                         for dy in range(2):
                             for dx in range(2):
                                 bx, by = 2 * mx + dx, 2 * my + dy
@@ -2582,7 +2628,8 @@ def synth_jpeg_420_payload(df: DataFrame) -> DataFrame:
                         cr = (i * 43 + mx * 71 + my * 97) % 256
                         prev[1] = put_block(wtr, cb, prev[1], dc_c, ac_c)
                         prev[2] = put_block(wtr, cr, prev[2], dc_c, ac_c)
-                buf = bytes(head) + wtr.flush() + b"\xff\xd9"
+                entropy += wtr.flush()
+                buf = bytes(head) + bytes(entropy) + b"\xff\xd9"
                 rows.append({"doc_id": doc_id, "payload": buf})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -2645,8 +2692,9 @@ def multimodal_jpeg_420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFra
     stats from the generating formulas with the chroma indexed at
     (bx//2, by//2) — exactly the subsample/upsample geometry — so a
     swapped Y-quad order, a DC predictor that resets per block row, an
-    upsample misalignment, or a sampling-factor parse slip fails the
-    hash on essentially every doc. Same decoder as the 4:4:4 query
+    upsample misalignment, a sampling-factor parse slip, or a restart
+    interval mis-consumed (the stream carries DRI=2 with RSTn markers)
+    fails the hash on essentially every doc. Same decoder as the 4:4:4 query
     (decode_jpeg_color_pixel_stats handles both via SOF0 sampling
     factors)."""
     d = load_table(spark, sf_dir, "documents")

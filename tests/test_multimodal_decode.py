@@ -677,3 +677,33 @@ def test_jpeg_progressive_ac_refinement_correction_bits(spark):
     assert r.corner_val == int(px[0, 0])
     assert r.min_val == int(px.min()) and r.max_val == int(px.max())
     assert abs(r.mean_val - round(float(px.mean()), 6)) < 1e-9
+
+
+def test_jpeg_restart_marker_sequence_is_validated(spark):
+    """A restart marker with the wrong modulo-8 index (a lost or
+    reordered entropy segment) fails loudly, not with garbage pixels."""
+    from energy_datalake_solution_spark.operators.multimodal import (
+        decode_jpeg_color_pixel_stats,
+        synth_jpeg_420_payload,
+    )
+    from pyspark.sql import types as T
+
+    d = spark.range(1, 2).withColumnRenamed("id", "doc_id")  # doc 1: 2x2 MCUs -> RST0 fires at MCU 2
+    (row,) = synth_jpeg_420_payload(d).collect()
+    buf = bytearray(bytes(row.payload))
+    # corrupt the first RST marker's index (0xD0 -> 0xD5)
+    for i in range(len(buf) - 1):
+        if buf[i] == 0xFF and buf[i + 1] == 0xD0:
+            buf[i + 1] = 0xD5
+            break
+    else:
+        raise AssertionError("fixture carries no RST0 marker")
+    df = spark.createDataFrame(
+        [(1, bytes(buf))],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    with pytest.raises(Exception, match="RST|restart"):
+        decode_jpeg_color_pixel_stats(df).collect()
