@@ -760,7 +760,11 @@ _CLUSTERED_EXACT_ORACLE = f"""
 @register(
     "embeddings_clustered_exact_topk",
     oracle=_CLUSTERED_EXACT_ORACLE,
-    headline=True,
+    # not a headliner since round 10: this is the deliberate EXACT
+    # yardstick for the clustered fixture (its cost IS the point); its
+    # paired probe carries the headline load (round-9 verdict plan) —
+    # the yardstick stays oracled and in the gate rotation
+    headline=False,
     tags=("similarity",),
 )
 def embeddings_clustered_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
