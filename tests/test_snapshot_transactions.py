@@ -274,3 +274,34 @@ def test_catalog_alter_partitioning(spark, tmp_path):
     assert snapshot_partitioning(t) == ["cat"]
     cat.sql("ALTER TABLE t1 CLEAR PARTITIONING")
     assert snapshot_partitioning(t) is None
+
+
+def test_catalog_merge_and_predicate_dml_stage_inside_transaction(spark, tmp_path):
+    """The full DML surface composes with BEGIN/COMMIT: a conditional
+    MERGE and a predicate DELETE staged in one transaction land together
+    (and read-your-own-writes sees both mid-flight)."""
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        SnapshotCatalog,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "fact"
+    _seed(spark, t, n=20)
+    cat.sql(f"CREATE TABLE fact USING snapshot LOCATION '{t}'")
+    spark.createDataFrame(
+        [(3, 999), (100, 1)], "k long, v long"
+    ).createOrReplaceTempView("txn_src")
+    cat.sql("BEGIN")
+    cat.sql(
+        "MERGE INTO fact t USING txn_src s ON t.k = s.k "
+        "WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    cat.sql("DELETE FROM fact WHERE k = 7")
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM fact").collect()}
+    assert got[3] == 999 and got[100] == 1 and 7 not in got  # staged view
+    assert int((Path(t) / "_latest").read_text()) == 1       # public tip
+    cat.sql("COMMIT")
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM fact").collect()}
+    assert got[3] == 999 and got[100] == 1 and 7 not in got
+    assert len(got) == 20  # 20 - 1 delete + 1 insert
