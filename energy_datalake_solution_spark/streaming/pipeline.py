@@ -982,3 +982,47 @@ def stream_snapshot_merge_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_fanout_txn_sink(
+    stream: DataFrame,
+    routes: list,
+    checkpoint_dir: str | Path,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Exactly-once ATOMIC FAN-OUT: each micro-batch routes to N snapshot
+    tables inside ONE multi-table transaction — all tables advance
+    together or none do. ``routes`` is a list of ``(table_path, fn)``
+    where ``fn(batch_df) -> DataFrame`` selects/derives that table's
+    rows (a filter, a projection, an aggregate). This is the classic
+    two-sink problem foreachBatch alone cannot solve (a crash between
+    two independent writes leaves sink A ahead of sink B forever):
+    here the appends stage under a SnapshotTransaction, the pointer
+    swaps are all-or-nothing, and per-table (app, batch_id) txn stamps
+    make crash replays idempotent — a replayed batch whose stamp
+    already landed on every table stages nothing and the empty
+    transaction is a no-op. At 100 TB the atomic section is N pointer
+    swaps; the data work is N independent appends."""
+    from ..sources.snapshots import SnapshotTransaction, snapshot_append
+
+    resolved_app = (
+        app_id if app_id is not None else str(Path(checkpoint_dir).resolve())
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with SnapshotTransaction():
+            for table_path, fn in routes:
+                out = fn(batch_df)
+                if not out.isEmpty():
+                    snapshot_append(
+                        out, table_path, txn=batch_id, txn_app=resolved_app
+                    )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

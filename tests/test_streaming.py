@@ -1151,3 +1151,58 @@ def test_stream_snapshot_merge_sink_exactly_once_cdc_apply(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r.k: r.v for r in snapshot_read(spark, t).collect()}
     assert got2[5] == 556 and len(got2) == 100
+
+
+def test_stream_fanout_txn_sink_atomic_and_replay_safe(spark, tmp_path):
+    """Atomic fan-out: one micro-batch routes to two snapshot tables in
+    ONE transaction (both advance together), and a replayed batch — the
+    crash-between-commit-and-checkpoint case — is a no-op on both."""
+    import json as _json
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+    from energy_datalake_solution_spark.streaming.pipeline import (
+        stream_fanout_txn_sink,
+    )
+
+    clicks_t, errors_t = tmp_path / "clicks", tmp_path / "errors"
+    empty = spark.createDataFrame([], "k long, kind string")
+    snapshot_write_with_stats(empty, clicks_t, ["k"], n_files=1)
+    snapshot_write_with_stats(empty, errors_t, ["k"], n_files=1)
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [{"k": 1, "kind": "click"}, {"k": 2, "kind": "error"},
+            {"k": 3, "kind": "click"}]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("k long, kind string").json(str(src))
+    ckpt = tmp_path / "ckpt"
+    routes = [
+        (clicks_t, lambda df: df.where("kind = 'click'")),
+        (errors_t, lambda df: df.where("kind = 'error'")),
+    ]
+    q = stream_fanout_txn_sink(stream, routes, ckpt)
+    q.awaitTermination(120)
+    assert {r.k for r in snapshot_read(spark, clicks_t).collect()} == {1, 3}
+    assert {r.k for r in snapshot_read(spark, errors_t).collect()} == {2}
+    vc, ve = current_version(clicks_t), current_version(errors_t)
+
+    # crash replay of the SAME batch: stamps already landed on both
+    # tables, the transaction stages nothing, no pointer moves
+    from energy_datalake_solution_spark.sources.snapshots import (
+        SnapshotTransaction,
+        snapshot_append,
+    )
+
+    batch = spark.createDataFrame(rows, "k long, kind string")
+    app = str(ckpt.resolve())
+    with SnapshotTransaction():
+        for t, fn in routes:
+            out = fn(batch)
+            if not out.isEmpty():
+                snapshot_append(out, t, txn=0, txn_app=app)
+    assert current_version(clicks_t) == vc and current_version(errors_t) == ve
+    assert snapshot_read(spark, clicks_t).count() == 2
+    assert snapshot_read(spark, errors_t).count() == 1
