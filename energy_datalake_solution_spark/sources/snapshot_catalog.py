@@ -113,7 +113,8 @@ _MERGE_COND_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_RE = re.compile(
-    r"WHEN\s+(?P<notm>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"WHEN\s+(?P<notm>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<delete>DELETE)|(?P<insert>INSERT\s+\*))"
     r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED\b|;?\s*$)",
     re.IGNORECASE | re.DOTALL,
@@ -508,6 +509,8 @@ class SnapshotCatalog:
             "matched_delete_condition": None,
             "not_matched_insert": False,
             "not_matched_condition": None,
+            "not_matched_by_source_delete": False,
+            "not_matched_by_source_condition": None,
         }
         pos = 0
         for w in _WHEN_RE.finditer(clauses):
@@ -517,6 +520,19 @@ class SnapshotCatalog:
                 )
             pos = w.end()
             cond = w.group("cond")
+            if w.group("bysrc"):
+                if not w.group("notm") or not w.group("delete"):
+                    raise ValueError(
+                        "MERGE: BY SOURCE supports only "
+                        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+                    )
+                if kw["not_matched_by_source_delete"]:
+                    raise ValueError(
+                        "MERGE: duplicate WHEN NOT MATCHED BY SOURCE arm"
+                    )
+                kw["not_matched_by_source_delete"] = True
+                kw["not_matched_by_source_condition"] = cond
+                continue
             if w.group("insert"):
                 if not w.group("notm"):
                     raise ValueError("MERGE: INSERT requires WHEN NOT MATCHED")

@@ -1194,6 +1194,8 @@ def snapshot_merge(
     matched_delete_condition=None,
     not_matched_insert: bool = True,
     not_matched_condition=None,
+    not_matched_by_source_delete: bool = False,
+    not_matched_by_source_condition=None,
     txn: int | None = None,
     txn_app: str | None = None,
 ) -> int:
@@ -1222,7 +1224,14 @@ def snapshot_merge(
     metadata plus the insert bytes. Same optimistic rebase-retry
     disposition as every writer. Reference parity: generalizes the J1
     merge class (etl-s3-processed-to-redshift.py:66-96) to Delta's
-    conditional WHEN-clause form. ``txn``/``txn_app`` stamp the commit
+    conditional WHEN-clause form. ``not_matched_by_source_delete`` adds
+    Delta's WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE arm — the
+    full-sync replication shape (target rows whose key the source no
+    longer carries are deleted; the condition sees only ``t``). Its
+    scope is the WHOLE table by definition, so with this arm every live
+    file participates: small affected sets still commit merge-on-read
+    (deletion vectors + provenance-paired images), wide ones rewrite
+    the table copy-on-write. ``txn``/``txn_app`` stamp the commit
     with a writer transaction id (Delta's (appId, version) protocol): a
     replayed merge with an already-landed stamp is a no-op BEFORE any
     work — the primitive under the exactly-once streaming merge sink."""
@@ -1257,7 +1266,8 @@ def snapshot_merge(
     col = keys[0]
     src = src.persist()  # evaluated for range agg, cardinality, join, write
     try:
-        if (matched_update is not None or matched_delete) and (
+        if (matched_update is not None or matched_delete
+                or not_matched_by_source_delete) and (
             src.groupBy(*keys).count().where("count > 1").limit(1).count()
         ):
             raise ValueError(
@@ -1276,6 +1286,8 @@ def snapshot_merge(
                     matched_update, matched_update_condition,
                     matched_delete, matched_delete_condition,
                     not_matched_insert, not_matched_condition,
+                    nmbs_delete=not_matched_by_source_delete,
+                    nmbs_condition=not_matched_by_source_condition,
                     txn=txn, txn_app=txn_app,
                 )
             except SnapshotCommitConflict:
@@ -1291,6 +1303,7 @@ def _snapshot_merge_committed(
     matched_update, matched_update_condition,
     matched_delete, matched_delete_condition,
     not_matched_insert, not_matched_condition,
+    nmbs_delete=False, nmbs_condition=None,
     txn=None, txn_app=None,
 ) -> int:
     from pyspark.sql import functions as F
@@ -1306,7 +1319,10 @@ def _snapshot_merge_committed(
     types_meta = eff_types if widen_types is not None else None
     pcol = _mapping_physical(sch, col) if sch else col
     lo, hi, n_rows = src.agg(F.min(col), F.max(col), F.count(F.lit(1))).first()
-    if n_rows == 0:
+    if n_rows == 0 and not nmbs_delete:
+        # an empty source is a no-op — UNLESS the not-matched-by-source
+        # arm is present, where it means "sync to empty" (every target
+        # row is unmatched and the arm decides its fate below)
         return _commit(p, list(m["files"]), parent, stats=stats or None,
                        blooms=m.get("blooms") or None,
                        dv=m.get("dv") or None, op="merge",
@@ -1327,9 +1343,11 @@ def _snapshot_merge_committed(
         return ins.join(live_keys, keys, "left_anti")
 
     always = F.lit(True)
-    if matched_update is None:
+    if matched_update is None and not nmbs_delete:
         # MERGE-ON-READ path: no rewrite — the delete arm grows deletion
-        # vectors; inserts append as new files. One commit.
+        # vectors; inserts append as new files. One commit. (The
+        # not-matched-by-source arm routes to its whole-table branch
+        # below instead — its scope ignores the stats prune.)
         dv: dict = dict(m.get("dv", {}) or {})
         if touched:
             tagged = _tagged_live_logical(spark, p, m, touched, types=eff_types)
@@ -1389,6 +1407,137 @@ def _snapshot_merge_committed(
     del_c = _merge_cond(matched_delete_condition) if (
         matched_delete_condition is not None
     ) else always
+    if nmbs_delete:
+        # WHEN NOT MATCHED BY SOURCE THEN DELETE: whole-table scope (an
+        # unmatched row can live in ANY file), so every live file
+        # participates — stats pruning does not apply to this arm
+        nmbs_c = _merge_cond(nmbs_condition) if (
+            nmbs_condition is not None
+        ) else always
+        live = sorted(m["files"])
+        dv = dict(m.get("dv", {}) or {})
+        if live:
+            tagged = _tagged_live_logical(spark, p, m, live, types=eff_types)
+            data_cols = [c for c in tagged.columns if c not in ("_fp", "_ri")]
+            s_tag = src.withColumn("_s_matched", F.lit(True))
+            pair_n = tagged.alias("t").join(
+                s_tag.alias("s"),
+                [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+                "left_outer",
+            )
+            is_m = F.coalesce(F.col("s._s_matched"), F.lit(False))
+            do_upd_n = (
+                is_m & F.coalesce(upd_c, F.lit(False))
+                if matched_update is not None
+                else F.lit(False)
+            )
+            do_del_n = (
+                is_m & ~do_upd_n & F.coalesce(del_c, F.lit(False))
+                if matched_delete
+                else F.lit(False)
+            )
+            do_nmbs = ~is_m & F.coalesce(nmbs_c, F.lit(False))
+            hit_c = do_upd_n | do_del_n | do_nmbs
+            n_aff = pair_n.where(hit_c).count()
+            upd_map = matched_update or {}
+            if n_aff <= DV_MAX_DELETED_ROWS:
+                aff = pair_n.where(hit_c).select(
+                    F.col("t._fp").alias("_fp"),
+                    F.col("t._ri").alias("_ri"),
+                    do_upd_n.alias("_upd"),
+                    *[
+                        (
+                            F.when(do_upd_n, _merge_cond(upd_map[c]))
+                            .otherwise(F.col(f"t.{c}"))
+                            if c in upd_map
+                            else F.col(f"t.{c}")
+                        ).alias(c)
+                        for c in data_cols
+                    ],
+                )
+                if n_aff:
+                    aff = aff.localCheckpoint(eager=True)  # <= cap rows
+                by_file = (
+                    aff.groupBy("_fp")
+                    .agg(F.sort_array(F.collect_list("_ri")).alias("pos"))
+                    .collect()
+                )
+                for r in by_file:
+                    new_pos = list(r["pos"])
+                    if r["_fp"] in dv:
+                        new_pos = sorted(
+                            set(_unpack_positions(dv[r["_fp"]])) | set(new_pos)
+                        )
+                    dv[r["_fp"]] = _pack_positions(new_pos)
+                images = aff.where(F.col("_upd")).select(
+                    *data_cols,
+                    F.col("_fp").alias("_prov_fp"),
+                    F.col("_ri").alias("_prov_ri"),
+                )
+                _enforce_constraints(images.drop(*_PROV_COLS), p, parent)
+                if sch:
+                    by_name = {
+                        c["name"]: c["physical"] for c in sch["cols"]
+                    }
+                    images = images.select(
+                        *[F.col(c).alias(by_name[c]) for c in data_cols],
+                        *_PROV_COLS,
+                    )
+                img_files = (
+                    _write_files(images.coalesce(1), p)
+                    if not images.isEmpty()
+                    else []
+                )
+                ins = _ins_rows(tagged.select(keys).distinct())
+                _enforce_constraints(ins, p, parent)
+                if sch:
+                    ins = _df_to_physical(ins, sch)
+                ins_files = _write_files(ins, p) if not ins.isEmpty() else []
+                old_files = list(m["files"])
+                new_files = img_files + ins_files
+                new_stats = dict(stats)
+                if tracked_cols and new_files:
+                    new_stats.update(
+                        _collect_stats(p, new_files, tracked_cols, spark=spark)
+                    )
+                return _commit(p, old_files + new_files, parent,
+                               stats=new_stats or None,
+                               blooms=_carry_blooms(p, m, old_files, new_files)
+                               if new_files else m.get("blooms") or None,
+                               dv=dv or None, op="merge",
+                               types_meta=types_meta,
+                               txn=txn, txn_app=txn_app)
+            # wide sync: a full-table rewrite IS the honest cost
+            kept = pair_n.where(~do_del_n & ~do_nmbs).select(*[
+                (
+                    F.when(do_upd_n, _merge_cond(upd_map[c]))
+                    .otherwise(F.col(f"t.{c}"))
+                    if c in upd_map
+                    else F.col(f"t.{c}")
+                ).alias(c)
+                for c in data_cols
+            ])
+            merged = kept.unionByName(
+                _ins_rows(tagged.select(keys).distinct()),
+                allowMissingColumns=True,
+            ).coalesce(max(1, len(live)))
+        else:
+            merged = _ins_rows(src.limit(0).select(keys))
+        _enforce_constraints(merged, p, parent)
+        if sch:
+            merged = _df_to_physical(merged, sch)
+        new_files = _write_files(merged, p) if not merged.isEmpty() else []
+        tracked = tracked_cols
+        new_stats = (
+            _collect_stats(p, new_files, tracked, spark=spark)
+            if tracked and new_files
+            else None
+        )
+        return _commit(p, new_files, parent, stats=new_stats,
+                       blooms=_carry_blooms(p, m, [], new_files),
+                       dv=None, op="merge", types_meta=types_meta,
+                       txn=txn, txn_app=txn_app)
+
     # MERGE-ON-READ first (update arm present): when the affected row
     # set is small — the overwhelmingly common MERGE on a large table —
     # no touched file rewrites: affected positions grow the deletion

@@ -293,7 +293,12 @@ def test_catalog_merge_rejects_unparsed_clause_text(spark, tmp_path):
         cat.sql(
             "MERGE INTO fact3 USING src_bad ON (k) "
             "WHEN MATCHED THEN UPDATE SET v = s.v "
-            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+            "WHEN NOT MATCHED THEN UPDATE SET v = s.v"  # invalid arm
+        )
+    with pytest.raises(ValueError, match="BY SOURCE"):
+        cat.sql(
+            "MERGE INTO fact3 USING src_bad ON (k) "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT *"  # delete-only arm
         )
     assert current_version(t) == 1, "failed parse must not commit"
 
@@ -394,3 +399,108 @@ def test_merge_wide_update_falls_back_to_cow(spark, tmp_path):
     assert not (m.get("dv") or {}), "wide merge must rewrite, not grow DVs"
     got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
     assert got[0] == 10000 and got[99] == 10099 and len(got) == 100
+
+
+def test_merge_not_matched_by_source_delete_full_sync(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: a full-state source syncs
+    the target — unmatched target rows delete (condition-scoped),
+    matched rows update, new rows insert; small affected sets are MOR
+    (standing files byte-identical, DVs grow)."""
+    t = tmp_path / "t"
+    _seed(spark, t, n=20, n_files=2)
+    before = _file_hashes(t)
+    # source carries keys 0..17 (drops 18, 19) + new key 100; key 3 bumps
+    src = spark.range(18).selectExpr(
+        "id AS k",
+        "CASE WHEN id = 3 THEN 999 ELSE id * 10 END AS v",
+        "'sync' AS tag",
+    ).unionByName(
+        spark.createDataFrame([(100, 1, "new")], "k long, v long, tag string")
+    )
+    snapshot_merge(
+        spark, src, t, ["k"],
+        matched_update={"v": "s.v"},
+        matched_update_condition="s.v <> t.v",
+        not_matched_insert=True,
+        not_matched_by_source_delete=True,
+    )
+    after = _file_hashes(t)
+    for f, h in before.items():
+        assert after.get(f) == h, "small sync must be MOR (no rewrite)"
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert 18 not in got and 19 not in got
+    assert got[3] == 999 and got[5] == 50 and got[100] == 1
+    assert len(got) == 19
+
+
+def test_merge_nmbs_condition_scopes_the_sync(spark, tmp_path):
+    """The BY SOURCE condition sees only target columns: rows outside
+    its scope survive even when unmatched."""
+    t = tmp_path / "t"
+    _seed(spark, t, n=10, n_files=1)
+    src = spark.createDataFrame([(0, 0, "x")], "k long, v long, tag string")
+    snapshot_merge(
+        spark, src, t, ["k"],
+        not_matched_insert=False,
+        not_matched_by_source_delete=True,
+        not_matched_by_source_condition="t.k >= 8",  # only 8, 9 in scope
+    )
+    got = {r.k for r in snapshot_read(spark, t).collect()}
+    assert got == set(range(8))
+
+
+def test_merge_nmbs_empty_source_truncates_within_scope(spark, tmp_path):
+    """Sync-to-empty: an empty source with the BY SOURCE arm deletes
+    every in-scope row (not the silent no-op the plain merge takes)."""
+    t = tmp_path / "t"
+    _seed(spark, t, n=10, n_files=1)
+    empty = spark.createDataFrame([], "k long, v long, tag string")
+    snapshot_merge(
+        spark, empty, t, ["k"],
+        not_matched_insert=False,
+        not_matched_by_source_delete=True,
+    )
+    assert snapshot_read(spark, t).count() == 0
+
+
+def test_merge_nmbs_wide_rewrites_table(spark, tmp_path):
+    from energy_datalake_solution_spark.sources import snapshots as S
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+    )
+
+    t = tmp_path / "t"
+    _seed(spark, t, n=100, n_files=4)
+    src = spark.range(50).selectExpr("id AS k", "id * 10 AS v", "'s' AS tag")
+    real = S.DV_MAX_DELETED_ROWS
+    S.DV_MAX_DELETED_ROWS = 5
+    try:
+        snapshot_merge(
+            spark, src, t, ["k"],
+            not_matched_insert=False,
+            not_matched_by_source_delete=True,
+        )
+    finally:
+        S.DV_MAX_DELETED_ROWS = real
+    m = _read_manifest(t, current_version(t))
+    assert not (m.get("dv") or {}), "wide sync must rewrite, not grow DVs"
+    assert {r.k for r in snapshot_read(spark, t).collect()} == set(range(50))
+
+
+def test_catalog_merge_by_source_grammar(spark, tmp_path):
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "fact"
+    _seed(spark, t, n=10, n_files=1)
+    cat.sql(f"CREATE TABLE fact USING snapshot LOCATION '{t}'")
+    spark.createDataFrame(
+        [(2, 222, "s"), (50, 5, "s")], "k long, v long, tag string"
+    ).createOrReplaceTempView("sync_src")
+    cat.sql(
+        "MERGE INTO fact t USING sync_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.k >= 5 THEN DELETE"
+    )
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM fact").collect()}
+    assert got[2] == 222 and got[50] == 5
+    assert set(got) == {0, 1, 2, 3, 4, 50}  # 5..9 deleted (unmatched, in scope)
