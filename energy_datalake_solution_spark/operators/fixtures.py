@@ -1725,3 +1725,71 @@ def snapshot_cdc_mirror_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_time_travel_read",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               o_totalprice AS price_v1,
+               o_totalprice AS price_v1_ts,
+               CASE WHEN o_orderkey BETWEEN 1 AND 2000
+                    THEN o_totalprice + 7 ELSE o_totalprice
+               END AS price_now
+        FROM orders
+        WHERE o_orderkey % 10 < 5
+    """,
+    tags=("snapshot", "time-travel", "catalog"),
+)
+def snapshot_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT-level time travel under the driver's hash gate: commit the
+    orders band<5 subset as v1, capture a wall-clock instant, append the
+    rest as v2, UPDATE a key range as v3 — then answer ONE verbatim SQL
+    statement through SnapshotCatalog that three-way-joins ``VERSION AS
+    OF 1``, ``TIMESTAMP AS OF <instant>`` (which must resolve to the
+    same commit), and the live view. The oracle restates the pinned and
+    current prices arithmetically from raw orders, so a rewrite that
+    reads the wrong version, a timestamp resolution off by one commit,
+    or a pinned view leaking post-append rows all fail the hash. Delta's
+    most-used time-travel form (SELECT-level), no reference analog."""
+    import shutil
+    import time
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_append, snapshot_write_with_stats
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_tt_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    band = F.pmod("o_orderkey", F.lit(10))
+    snapshot_write_with_stats(
+        o.where(band < 5), t, ["o_orderkey"], n_files=4
+    )  # v1
+    ts_after_v1 = time.time()
+    time.sleep(0.02)  # commit timestamps are wall-clock: order the fence
+    snapshot_append(o.where(band >= 5), t)  # v2
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE tt_orders USING snapshot LOCATION '{t}'")
+    cat.sql(
+        "UPDATE tt_orders SET o_totalprice = o_totalprice + 7 "
+        "WHERE o_orderkey BETWEEN 1 AND 2000"
+    )  # v3
+    out = cat.sql(
+        "SELECT old.o_orderkey AS order_id, "
+        "old.o_totalprice AS price_v1, "
+        "oldts.o_totalprice AS price_v1_ts, "
+        "cur.o_totalprice AS price_now "
+        "FROM tt_orders VERSION AS OF 1 old "
+        f"JOIN tt_orders TIMESTAMP AS OF {ts_after_v1!r} oldts "
+        "ON old.o_orderkey = oldts.o_orderkey "
+        "JOIN tt_orders cur ON old.o_orderkey = cur.o_orderkey"
+    )
+    cat.drop_table("tt_orders")
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

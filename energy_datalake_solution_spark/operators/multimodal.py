@@ -1514,6 +1514,22 @@ def decode_jpeg_pixel_stats(df: DataFrame) -> DataFrame:
                     v = (v << 1) | self.bit()
                 return v
 
+            def restart(self, m: int) -> None:
+                """Consume an RSTm marker at a restart interval: discard
+                the pad bits to the byte boundary, require the expected
+                modulo-8 marker (T.81 F.2.1.3.1 — a wrong index means a
+                lost or reordered segment, fail loudly)."""
+                self.nbits = 0
+                if self.pos + 1 >= len(self.data):
+                    raise ValueError("truncated at restart marker")
+                b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+                if b0 != 0xFF or b1 != 0xD0 + (m % 8):
+                    raise ValueError(
+                        f"expected RST{m % 8} at restart interval, got "
+                        f"{b0:02x}{b1:02x}"
+                    )
+                self.pos += 2
+
         def build_decoder(bits, vals):
             """(code, length) -> symbol map for canonical Huffman."""
             table = {}
@@ -1547,6 +1563,7 @@ def decode_jpeg_pixel_stats(df: DataFrame) -> DataFrame:
             qtables, dc_tables, ac_tables = {}, {}, {}
             dims = None
             comp_spec = None
+            ri = 0  # restart interval in MCUs (DRI; 0 = none)
             while pos + 4 <= len(buf):
                 if buf[pos] != 0xFF:
                     raise ValueError("marker sync lost")
@@ -1604,8 +1621,17 @@ def decode_jpeg_pixel_stats(df: DataFrame) -> DataFrame:
                         raise ValueError("non-multiple-of-8 dims unsupported")
                     img = np.zeros((h, w), dtype=np.int64)
                     prev_dc = 0
+                    n_rst = 0
                     for by in range(bh_):
                         for bx in range(bw_):
+                            mcu_i = by * bw_ + bx
+                            if ri and mcu_i and mcu_i % ri == 0:
+                                # restart interval (grayscale MCU = one
+                                # block): byte-align, consume RSTm, reset
+                                # the DC predictor
+                                reader.restart(n_rst)
+                                n_rst += 1
+                                prev_dc = 0
                             zz = np.zeros(64, dtype=np.int64)
                             t = huff_decode(reader, dct)
                             diff = extend(reader.bits(t), t) if t else 0

@@ -92,73 +92,21 @@ def _load_all() -> None:
     )
 
 
-# Explicit surface order — ROUND-10 ACTIVE WINDOW. External harnesses that
+# Explicit surface order — ROUND-11 ACTIVE WINDOW. External harnesses that
 # sample a prefix of the query surface (a correctness gate bounded to the
 # first ~50 entries) see this ordering. Composition rule (enforced by
 # tests/test_queries_oracle.py's guard, which reads the committed
 # CORRECTNESS_r*.json artifacts directly): (1) queries BORN this round
 # lead; (2) any ORACLED query without a driver HASH-green row anywhere in
-# history comes next (none — r09 closed the backlog); (3) the stalest
-# hash-green cohort (latest green = round 5, 28 rows — the remainder of
-# the r5 docs/events/embeddings cohort the r09 window could not fit);
-# (4) the oldest round-6-green rows fill the remainder. Everything else
-# is r08/r09 green and loses nothing by waiting for the r11 rotation.
+# history comes next (none); (3) the stalest hash-green cohort (latest
+# green = round 6, 37 rows — the remainder the r10 window could not fit);
+# (4) the oldest round-8-green rows fill the remainder. Everything else
+# is r08/r09/r10 green and loses nothing by waiting for the r12 rotation.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born round 10, never driver-checked (new queries go HERE, at
+    # --- born round 11, never driver-checked (new queries go HERE, at
     #     the top, so the gate window always sees them first) ---
-    "snapshot_conditional_merge_read",
-    "snapshot_predicate_dml_read",
-    "multimodal_jpeg_420_pixel_stats",
-    "snapshot_partition_evolution_read",
-    "snapshot_bucketed_join_read",
-    "multimodal_jpeg_progressive_pixel_stats",
-    "snapshot_txn_two_table_read",
-    "multimodal_jpeg_422_pixel_stats",
-    "snapshot_cdc_mirror_read",
-    # --- latest hash-green round 5: the stalest cohort (28) ---
-    "docs_quality_score",
-    "docs_source_budget_cap",
-    "docs_temperature_sample",
-    "docs_token_stats",
-    "docs_winnowed_fingerprints",
-    "embeddings_cosine_near_dups",
-    "embeddings_cosine_topk",
-    "embeddings_lsh_ann",
-    "embeddings_lsh_probe",
-    "embeddings_norm_stats",
-    "events_asof_error_to_click",
-    "events_range_join_error_click_pairs",
-    "events_resample_hourly_ffill_sharded",
-    "events_sessionization",
-    "events_tumbling_hourly",
-    "events_value_outliers",
-    "fixtures_etl_curated",
-    "knn_graph_pagerank",
-    "merge_upsert_orders",
-    "multimodal_gif_pixel_stats",
-    "multimodal_payload_stats",
-    "multimodal_png_pixel_stats",
-    "snapshot_bloom_point_lookup_orders",
-    "snapshot_pruned_range_read",
-    "snapshot_retention_delete_orders",
-    "star_join_lineitem",
-    "top_customers_by_revenue",
-    "window_top3_orders_per_customer",
-    # --- latest hash-green round 6 (oldest remaining cohort; the first
-    #     ~21 fit the window, the rest queue for the r11 rotation) ---
-    "basket_part_pairs",
-    "corpus_bigram_merge_candidates",
-    "corpus_vocabulary",
-    "customer_rfm_segments",
-    "docs_bigram_lm_score",
-    "docs_chunk_fixed_tokens",
-    "docs_chunk_udtf",
-    "docs_dedup_clusters",
-    "docs_domain_mix_weights",
-    "docs_dup_rate_by_source",
-    "docs_duplicate_span_pairs",
-    "docs_duplicate_span_stats",
-    "docs_exact_dedup",
+    "snapshot_time_travel_read",
+    # --- latest hash-green round 6: the stalest cohort (37) ---
     "docs_incremental_simhash_dedup",
     "docs_lm_quality_buckets",
     "docs_lm_score_pandas_kernel",
@@ -168,6 +116,48 @@ SURFACE_ORDER: tuple[str, ...] = (
     "docs_repetition_stats",
     "docs_simhash_near_dups",
     "docs_split_contamination",
+    "docs_stratified_sample",
+    "docs_tfidf_top_terms",
+    "docs_training_corpus",
+    "embeddings_knn_graph",
+    "lateral_explode_tokens",
+    "multimodal_jpeg_pixel_stats",
+    "multimodal_resize_stats",
+    "skew_salted_agg_event_types",
+    "skew_salted_join_event_enrich",
+    "snapshot_change_feed_orders",
+    "snapshot_mor_delete_read",
+    "snapshot_schema_evolution_read",
+    "snapshot_zorder_rect_read",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_classes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_heavy_red_part_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    # --- latest hash-green round 8 (oldest remaining; filler up to the
+    #     window — trimmed as round-11-born queries land at the top) ---
+    "anti_join_parts_never_shipped",
+    "audit_enrichment",
+    "correlated_subquery_above_avg_size",
+    "count_customers",
+    "cube_order_counts",
+    "customer_category",
+    "date_function_suite",
+    "dedup_latest_order_per_customer",
+    "derived_line_revenue",
+    "distinct_counts",
+    "docs_feature_hash_vectors",
+    "docs_pii_redaction",
 )
 
 

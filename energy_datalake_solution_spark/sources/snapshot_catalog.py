@@ -40,6 +40,12 @@ contract one level up:
             in between read this session's OWN staged versions)
     and passes every other statement to ``spark.sql`` after re-pointing
     the registered snapshot views at their tables' CURRENT versions.
+    SELECT-level time travel works in any plain statement (and in
+    INSERT/MERGE source sub-queries):
+        SELECT ... FROM <name> VERSION AS OF <n> ...
+        SELECT ... FROM <name> TIMESTAMP AS OF '<iso>' ...
+    — each reference rewrites to a version-pinned temp view resolved
+    from ONE manifest, so the result stays frozen across later commits.
   * Registration materializes a temp view over
     ``spark.read.format("snapshot")`` — the DataSource plans one
     InputPartition per data file from ONE resolved manifest, so each
@@ -143,6 +149,46 @@ def _parse_merge_on(on: str) -> list:
     return keys
 
 
+def _split_assignments(sets: str) -> dict:
+    """SET clause -> {col: expr}. Commas split only at top level (outside
+    parens and single-quoted strings), so ``SET v = greatest(a, b), w = 2``
+    parses correctly; a fragment without a top-level ``=`` raises a clear
+    error instead of an opaque unpack failure."""
+    parts, buf = [], []
+    depth, in_str = 0, False
+    for ch in sets:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    assignments = {}
+    for part in parts:
+        col, eq, expr = part.partition("=")
+        if not eq or not col.strip() or not re.fullmatch(
+            r"(?:t\.)?[A-Za-z_]\w*", col.strip()
+        ):
+            raise ValueError(
+                f"unsupported SET assignment {part.strip()!r}: expected "
+                "top-level comma-separated `col = expr` pairs"
+            )
+        col = col.strip()
+        assignments[col[2:] if col[:2] == "t." else col] = expr.strip()
+    return assignments
+
+
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_]\w*)"
     r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<za>[A-Za-z_]\w*)\s*,\s*"
@@ -184,6 +230,17 @@ _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
     r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|[\d.]+))\s*;?\s*$",
+    re.IGNORECASE,
+)
+# SELECT-level time travel (Delta/Iceberg's most-used form): a registered
+# table name followed by VERSION AS OF n / TIMESTAMP AS OF '<iso>' inside
+# any plain-SQL statement. Rewritten to a version-pinned temp view before
+# delegation to spark.sql — the pinned view reads ONE resolved manifest,
+# so the result stays frozen across later appends.
+_TT_RE = re.compile(
+    r"\b(?P<name>[A-Za-z_]\w*)\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|[\d.]+))",
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
@@ -313,7 +370,7 @@ class SnapshotCatalog:
         # (O(manifest) each — catalog freshness without staleness bugs)
         for name in self._tables:
             self._register(name)
-        return self.spark.sql(text)
+        return self.spark.sql(self._time_travel_views(text))
 
     # -- DML ---------------------------------------------------------------
     def _dml(self, text: str):
@@ -368,12 +425,7 @@ class SnapshotCatalog:
         m = _UPDATE_RE.match(text)
         if m and m.group("name") in self._tables:
             path = self._writable(m.group("name"))
-            # documented subset: top-level comma-separated `col = expr`
-            # assignments whose exprs contain no commas
-            assignments = {}
-            for part in m.group("sets").split(","):
-                col, expr = part.split("=", 1)
-                assignments[col.strip()] = expr.strip()
+            assignments = _split_assignments(m.group("sets"))
             snapshot_update_range_mor(
                 self.spark, path, m.group("col"),
                 _literal(m.group("lo")), _literal(m.group("hi")),
@@ -396,12 +448,9 @@ class SnapshotCatalog:
             from .snapshots import snapshot_update_where
 
             path = self._writable(m.group("name"))
-            assignments = {}
-            for part in m.group("sets").split(","):
-                col, expr = part.split("=", 1)
-                assignments[col.strip()] = expr.strip()
             snapshot_update_where(
-                self.spark, path, m.group("cond"), assignments
+                self.spark, path, m.group("cond"),
+                _split_assignments(m.group("sets")),
             )
             return None
         m = _ALTER_PART_RE.match(text)
@@ -423,12 +472,22 @@ class SnapshotCatalog:
             return None
         m = _VACUUM_RE.match(text)
         if m and m.group("name") in self._tables:
+            if self._txn is not None:
+                raise RuntimeError(
+                    "VACUUM inside an open transaction would anchor "
+                    "retention on the staged version; COMMIT first"
+                )
             path, _ = self._tables[m.group("name")]
             n = m.group("n")
             snapshot_vacuum(path, keep_versions=int(n) if n else 1)
             return None
         m = _OPTIMIZE_RE.match(text)
         if m and m.group("name") in self._tables:
+            if self._txn is not None:
+                raise RuntimeError(
+                    "OPTIMIZE inside an open transaction is not "
+                    "supported; COMMIT first"
+                )
             from .snapshots import snapshot_compact, snapshot_zorder_compact
 
             path = self._writable(m.group("name"))
@@ -513,6 +572,7 @@ class SnapshotCatalog:
             "not_matched_by_source_condition": None,
         }
         pos = 0
+        matched_order: list[str] = []  # 'update'/'delete' in written order
         for w in _WHEN_RE.finditer(clauses):
             if clauses[pos : w.start()].strip():
                 raise ValueError(
@@ -550,6 +610,7 @@ class SnapshotCatalog:
                     raise ValueError("MERGE: duplicate WHEN MATCHED DELETE arm")
                 kw["matched_delete"] = True
                 kw["matched_delete_condition"] = cond
+                matched_order.append("delete")
             else:
                 if kw["matched_update"] is not None:
                     raise ValueError("MERGE: duplicate WHEN MATCHED UPDATE arm")
@@ -560,22 +621,65 @@ class SnapshotCatalog:
                     ).columns
                     kw["matched_update"] = {c: f"s.{c}" for c in cols}
                 else:
-                    # documented subset: top-level comma-separated
-                    # `col = expr` assignments whose exprs contain no commas
-                    assignments = {}
-                    for part in sets.split(","):
-                        col, expr = part.split("=", 1)
-                        col = col.strip()
-                        assignments[col[2:] if col[:2] == "t." else col] = (
-                            expr.strip()
-                        )
-                    kw["matched_update"] = assignments
+                    kw["matched_update"] = _split_assignments(sets)
                 kw["matched_update_condition"] = cond
+                matched_order.append("update")
         if clauses[pos:].strip():
             raise ValueError(
                 f"MERGE: unparsed clause text {clauses[pos:]!r}"
             )
+        if len(matched_order) == 2:
+            # Delta evaluates WHEN MATCHED clauses in WRITTEN order, and
+            # requires every clause but the last to carry a condition.
+            # snapshot_merge's engine precedence is UPDATE-then-DELETE, so
+            # a written DELETE-before-UPDATE translates by guarding the
+            # update arm with NOT(delete_condition) (NULL-safe: a NULL
+            # WHEN condition is false).
+            first = matched_order[0]
+            first_cond = kw[f"matched_{first}_condition"]
+            if first_cond is None:
+                raise ValueError(
+                    "MERGE: when there are multiple WHEN MATCHED clauses, "
+                    "each clause except the last must have an AND condition"
+                )
+            if first == "delete":
+                neg = f"NOT coalesce(({first_cond}), false)"
+                uc = kw["matched_update_condition"]
+                kw["matched_update_condition"] = (
+                    f"({neg}) AND ({uc})" if uc is not None else neg
+                )
         snapshot_merge(self.spark, df, path, keys, **kw)
+
+    def _time_travel_views(self, text: str) -> str:
+        """Rewrite ``<table> VERSION AS OF n`` / ``TIMESTAMP AS OF ts``
+        references to version-pinned temp views (SELECT-level time
+        travel). Only registered snapshot table names rewrite; anything
+        else passes through untouched. Cost: O(manifest) per distinct
+        (table, version) — never a data read."""
+        from .snapshots import snapshot_version_as_of
+
+        def _pin(mm: "re.Match") -> str:
+            name = mm.group("name")
+            if name not in self._tables:
+                return mm.group(0)
+            path, _ = self._tables[name]
+            if mm.group("version") is not None:
+                v = int(mm.group("version"))
+            else:
+                v = snapshot_version_as_of(
+                    path, _ts_literal(mm.group("ts"))
+                )
+            view = f"{name}__asof_v{v}"
+            (
+                self.spark.read.format("snapshot")
+                .option("path", path)
+                .option("version", str(v))
+                .load()
+                .createOrReplaceTempView(view)
+            )
+            return view
+
+        return _TT_RE.sub(_pin, text)
 
     def _writable(self, name: str) -> str:
         path, version = self._tables[name]
@@ -588,10 +692,12 @@ class SnapshotCatalog:
 
     def _fresh_sql(self, query: str) -> DataFrame:
         """Run a sub-query with every registered view re-pointed at its
-        table's current version (INSERT/MERGE sources see fresh data)."""
+        table's current version (INSERT/MERGE sources see fresh data).
+        Time-travel clauses rewrite here too, so an INSERT/MERGE source
+        can read a historical version of any registered table."""
         for name in self._tables:
             self._register(name)
-        return self.spark.sql(query)
+        return self.spark.sql(self._time_travel_views(query))
 
     def read_stream(self, name: str, starting_version: int = 0) -> DataFrame:
         """Streaming DataFrame over a registered snapshot table (the

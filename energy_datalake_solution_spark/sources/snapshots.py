@@ -1369,6 +1369,8 @@ def _snapshot_merge_committed(
                         spark, src, p, keys, col, parent, m, widen_types,
                         {}, F.lit(False), True, matched_delete_condition,
                         not_matched_insert, not_matched_condition,
+                        nmbs_delete=nmbs_delete, nmbs_condition=nmbs_condition,
+                        txn=txn, txn_app=txn_app,
                     )
                 by_file = (
                     hits.groupBy("_fp")
@@ -2134,7 +2136,17 @@ def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
     """Delete data files referenced by NO manifest among the latest
     ``keep_versions`` manifests and drop the older manifests. Returns the
     deleted file list. Readers of retained versions are unaffected —
-    files they reference are kept."""
+    files they reference are kept. Refuses to run inside an open
+    SnapshotTransaction: the keep-set would anchor on the txn-local
+    STAGED tip, so a subsequent ROLLBACK (or conflict abort) would leave
+    the published pointer referencing a vacuumed manifest — permanent
+    corruption. Vacuum after COMMIT instead."""
+    if getattr(_TXN_LOCAL, "active", None) is not None:
+        raise RuntimeError(
+            "snapshot_vacuum inside an open SnapshotTransaction would "
+            "anchor retention on the staged (unpublished) version; run "
+            "VACUUM after COMMIT"
+        )
     p = Path(table_path)
     latest = current_version(p)
     # intersect the keep range with manifests actually on disk: an earlier

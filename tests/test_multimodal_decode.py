@@ -707,3 +707,61 @@ def test_jpeg_restart_marker_sequence_is_validated(spark):
     )
     with pytest.raises(Exception, match="RST|restart"):
         decode_jpeg_color_pixel_stats(df).collect()
+
+
+def test_jpeg_grayscale_restart_markers_decode(spark):
+    """A grayscale baseline JPEG carrying DRI + RSTn markers decodes:
+    the reader byte-aligns at each interval, consumes the modulo-8
+    marker, and resets the DC predictor (T.81 F.2.1.3.1). Two DC-only
+    blocks with DRI=1: block 1 DC=0 (pixels 128), block 2 DC diff=+16
+    coded AFTER the predictor reset (pixels 130)."""
+    import struct
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JpegBitWriter,
+        _jpeg_dht,
+        _jpeg_huff_codes,
+    )
+
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    head += (b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+             + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0]))
+    head += _jpeg_dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS)
+    head += _jpeg_dht(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)
+    head += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 1)  # DRI=1
+    head += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    # segment 1: DC=0 + EOB
+    w1 = _JpegBitWriter()
+    code, length = dc_codes[0]
+    w1.put(code, length)
+    code, length = ac_codes[0x00]
+    w1.put(code, length)
+    # segment 2 (after RST0, predictor reset): DC diff=+16 (category 5)
+    w2 = _JpegBitWriter()
+    code, length = dc_codes[5]
+    w2.put(code, length)
+    w2.put(16, 5)
+    code, length = ac_codes[0x00]
+    w2.put(code, length)
+    payload = (bytes(head) + w1.flush() + b"\xff\xd0" + w2.flush()
+               + b"\xff\xd9")
+
+    (r,) = _decode_jpeg(spark, payload)
+    assert (r.width, r.height) == (16, 8)
+    assert r.corner_val == 128
+    assert r.min_val == 128 and r.max_val == 130
+    assert abs(r.mean_val - 129.0) < 1e-9
+
+    # a wrong-index restart marker still fails loudly
+    bad = bytearray(payload)
+    i = bad.rfind(b"\xff\xd0")
+    bad[i + 1] = 0xD4
+    with pytest.raises(Exception, match="RST|restart"):
+        _decode_jpeg(spark, bytes(bad))

@@ -369,3 +369,95 @@ def test_catalog_optimize_compacts_and_zorders(spark, tmp_path):
     assert all(
         "x" in s_ and "y" in s_ for s_ in (m.get("stats") or {}).values()
     )
+
+
+def test_update_set_expressions_with_commas_and_strings(spark, tmp_path):
+    """SET parsing is paren/quote-aware: function-call commas and quoted
+    commas don't mis-split; a fragment with no `=` raises clearly."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "fact"
+    snapshot_write_with_stats(
+        spark.range(10).selectExpr(
+            "id AS k", "id * 10 AS v", "'a' AS tag"
+        ),
+        t, ["k"], n_files=2,
+    )
+    cat.sql(f"CREATE TABLE fc USING snapshot LOCATION '{t}'")
+    # BETWEEN fast path
+    cat.sql(
+        "UPDATE fc SET v = greatest(v, 55), tag = concat(tag, ',x') "
+        "WHERE k BETWEEN 4 AND 6"
+    )
+    got = {r.k: (r.v, r.tag) for r in cat.sql("SELECT * FROM fc").collect()}
+    assert got[4] == (55, "a,x") and got[6] == (60, "a,x")
+    assert got[3] == (30, "a")
+    # general-WHERE path
+    cat.sql("UPDATE fc SET v = least(v, coalesce(v, 0), 25) WHERE k = 9")
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM fc").collect()}
+    assert got[9] == 25
+    # malformed fragment: clear error, not an unpack traceback
+    with pytest.raises(ValueError, match="unsupported SET assignment"):
+        cat.sql("UPDATE fc SET v + 1 WHERE k BETWEEN 0 AND 1")
+
+
+def test_select_level_time_travel(spark, tmp_path):
+    """``SELECT ... FROM t VERSION AS OF n`` / ``TIMESTAMP AS OF ts``
+    in plain query text pins the read to that commit: both forms work,
+    joins against the live view work, a post-append re-read stays
+    pinned, and the rewrite leaves non-table identifiers alone."""
+    import time
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "fact"
+    snapshot_write_with_stats(
+        spark.range(10).selectExpr("id AS k", "id * 10 AS v"), t,
+        ["k"], n_files=2,
+    )  # v1
+    ts_after_v1 = time.time()
+    time.sleep(0.05)
+    snapshot_append(
+        spark.range(10, 15).selectExpr("id AS k", "id * 10 AS v"), t
+    )  # v2
+    cat.sql(f"CREATE TABLE tt USING snapshot LOCATION '{t}'")
+
+    assert cat.sql("SELECT count(*) AS n FROM tt").first().n == 15
+    assert cat.sql(
+        "SELECT count(*) AS n FROM tt VERSION AS OF 1"
+    ).first().n == 10
+    assert cat.sql(
+        f"SELECT count(*) AS n FROM tt TIMESTAMP AS OF {ts_after_v1}"
+    ).first().n == 10
+    # live-vs-pinned join: rows added since v1
+    added = cat.sql(
+        "SELECT cur.k FROM tt cur LEFT ANTI JOIN "
+        "tt VERSION AS OF 1 old ON cur.k = old.k"
+    )
+    assert {r.k for r in added.collect()} == {10, 11, 12, 13, 14}
+    # a later append must NOT leak into a re-read of the pinned form
+    snapshot_append(
+        spark.range(100, 103).selectExpr("id AS k", "id * 10 AS v"), t
+    )  # v3
+    assert cat.sql(
+        "SELECT count(*) AS n FROM tt VERSION AS OF 1"
+    ).first().n == 10
+    assert cat.sql("SELECT count(*) AS n FROM tt").first().n == 18
+    # INSERT source sub-query can time travel (self-restore of a row set)
+    cat.sql(
+        "INSERT INTO tt SELECT k + 1000 AS k, v FROM tt VERSION AS OF 1 "
+        "WHERE k < 2"
+    )
+    got = cat.sql("SELECT count(*) AS n FROM tt").first().n
+    assert got == 20
+    # ISO-string timestamp form parses (far future resolves to the tip)
+    assert cat.sql(
+        "SELECT count(*) AS n FROM tt TIMESTAMP AS OF '2099-01-01'"
+    ).first().n == 20

@@ -504,3 +504,123 @@ def test_catalog_merge_by_source_grammar(spark, tmp_path):
     got = {r.k: r.v for r in cat.sql("SELECT * FROM fact").collect()}
     assert got[2] == 222 and got[50] == 5
     assert set(got) == {0, 1, 2, 3, 4, 50}  # 5..9 deleted (unmatched, in scope)
+
+
+def test_merge_wide_delete_fallback_preserves_txn_stamp(spark, tmp_path):
+    """A MOR delete-arm merge whose hit set exceeds DV_MAX_DELETED_ROWS
+    reruns on the CoW shape — and the fallback must carry the txn stamp,
+    or a crash-replay of the micro-batch re-executes (rows inserted by
+    the first run become matched and get deleted), breaking the
+    exactly-once streaming contract."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+    from energy_datalake_solution_spark.sources.snapshots import last_txn
+
+    t = tmp_path / "t"
+    _seed(spark, t, n=100, n_files=4)
+    src = spark.range(200).selectExpr("id AS k", "id + 1 AS v", "'s' AS tag")
+
+    def run():
+        return snapshot_merge(
+            spark, src, t, ["k"],
+            matched_delete=True,          # no update arm -> MOR path
+            not_matched_insert=True,      # 100..199 insert
+            txn=7, txn_app="replay-app",
+        )
+
+    real = S.DV_MAX_DELETED_ROWS
+    S.DV_MAX_DELETED_ROWS = 10  # 100 matched deletes >> cap -> CoW fallback
+    try:
+        v1 = run()
+        assert last_txn(t, "replay-app") == 7, "fallback dropped the stamp"
+        v2 = run()  # replay: must be a no-op BEFORE any work
+    finally:
+        S.DV_MAX_DELETED_ROWS = real
+    assert v2 == v1 == current_version(t)
+    got = {r.k for r in snapshot_read(spark, t).collect()}
+    assert got == set(range(100, 200)), "replay deleted first-run inserts"
+
+
+def test_catalog_merge_delete_before_update_honors_written_order(
+    spark, tmp_path
+):
+    """Delta evaluates WHEN MATCHED clauses in WRITTEN order: a row
+    satisfying both a leading DELETE's condition and the trailing
+    UPDATE must be DELETED, not updated."""
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    _seed(spark, t, n=10, n_files=1)
+    cat.sql(f"CREATE TABLE t_ord USING snapshot LOCATION '{t}'")
+    spark.createDataFrame(
+        [(3, 333, "s"), (7, 777, "s")], "k long, v long, tag string"
+    ).createOrReplaceTempView("ord_src")
+    cat.sql(
+        "MERGE INTO t_ord t USING ord_src s ON t.k = s.k "
+        "WHEN MATCHED AND t.k < 5 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM t_ord").collect()}
+    assert 3 not in got, "row matching the written-first DELETE must delete"
+    assert got[7] == 777
+    assert len(got) == 9
+
+
+def test_catalog_merge_update_before_delete_still_update_precedence(
+    spark, tmp_path
+):
+    """Written UPDATE-before-DELETE keeps the engine's native precedence:
+    a row satisfying both conditions updates."""
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    _seed(spark, t, n=10, n_files=1)
+    cat.sql(f"CREATE TABLE t_ord2 USING snapshot LOCATION '{t}'")
+    spark.createDataFrame(
+        [(3, 333, "s")], "k long, v long, tag string"
+    ).createOrReplaceTempView("ord2_src")
+    cat.sql(
+        "MERGE INTO t_ord2 t USING ord2_src s ON t.k = s.k "
+        "WHEN MATCHED AND t.k < 5 THEN UPDATE SET v = s.v "
+        "WHEN MATCHED THEN DELETE"
+    )
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM t_ord2").collect()}
+    assert got[3] == 333 and len(got) == 10
+
+
+def test_catalog_merge_multiple_matched_clauses_require_condition(
+    spark, tmp_path
+):
+    """Delta's rule: with multiple WHEN MATCHED clauses, every clause
+    except the last must carry a condition — an unconditional first
+    clause makes the second unreachable, so the parse fails loudly."""
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    _seed(spark, t, n=5, n_files=1)
+    cat.sql(f"CREATE TABLE t_nc USING snapshot LOCATION '{t}'")
+    spark.createDataFrame(
+        [(1, 11, "s")], "k long, v long, tag string"
+    ).createOrReplaceTempView("nc_src")
+    with pytest.raises(ValueError, match="except the last"):
+        cat.sql(
+            "MERGE INTO t_nc t USING nc_src s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+
+
+def test_catalog_merge_update_set_with_function_commas(spark, tmp_path):
+    """SET expressions containing top-level function commas
+    (greatest(a, b)) parse correctly instead of mis-splitting."""
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    _seed(spark, t, n=10, n_files=1)
+    cat.sql(f"CREATE TABLE t_fc USING snapshot LOCATION '{t}'")
+    spark.createDataFrame(
+        [(2, 5, "s"), (9, 500, "s")], "k long, v long, tag string"
+    ).createOrReplaceTempView("fc_src")
+    cat.sql(
+        "MERGE INTO t_fc t USING fc_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = greatest(t.v, s.v), "
+        "tag = concat(t.tag, '-', s.tag)"
+    )
+    got = {r.k: (r.v, r.tag) for r in cat.sql("SELECT * FROM t_fc").collect()}
+    assert got[2] == (20, "base-s")      # greatest(20, 5)
+    assert got[9] == (500, "base-s")     # greatest(90, 500)

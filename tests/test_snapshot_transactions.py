@@ -305,3 +305,48 @@ def test_catalog_merge_and_predicate_dml_stage_inside_transaction(spark, tmp_pat
     got = {r.k: r.v for r in cat.sql("SELECT * FROM fact").collect()}
     assert got[3] == 999 and got[100] == 1 and 7 not in got
     assert len(got) == 20  # 20 - 1 delete + 1 insert
+
+
+def test_vacuum_inside_open_transaction_raises(spark, tmp_path):
+    """VACUUM between BEGIN and COMMIT would anchor its keep-set on the
+    STAGED version and delete the published tip's manifest/files — a
+    subsequent ROLLBACK would leave the public pointer referencing a
+    deleted manifest. The library refuses; the catalog routes refuse;
+    the table stays intact and a post-COMMIT vacuum works."""
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        SnapshotCatalog,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_vacuum,
+    )
+
+    t = tmp_path / "t"
+    _seed(spark, t, n=20)
+    # library level
+    with SnapshotTransaction():
+        snapshot_append(
+            spark.range(100, 105).selectExpr("id AS k", "id AS v"), t
+        )
+        with pytest.raises(RuntimeError, match="VACUUM after COMMIT"):
+            snapshot_vacuum(t, keep_versions=1)
+        # the guard must fire BEFORE any deletion: published v1 intact
+        assert (Path(t) / "_manifests" / "v1.json").exists()
+    # catalog level: VACUUM and OPTIMIZE both refuse inside BEGIN..COMMIT
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE vt USING snapshot LOCATION '{t}'")
+    cat.sql("BEGIN")
+    cat.sql("INSERT INTO vt VALUES (200, 0)")
+    with pytest.raises(RuntimeError, match="VACUUM"):
+        cat.sql("VACUUM vt")
+    with pytest.raises(RuntimeError, match="OPTIMIZE"):
+        cat.sql("OPTIMIZE vt")
+    cat.sql("ROLLBACK")
+    # rollback is clean (the guard never deleted anything) and a
+    # post-transaction vacuum runs fine
+    assert {r.k for r in snapshot_read(spark, t).collect()} == (
+        set(range(20)) | {100, 101, 102, 103, 104}
+    )
+    snapshot_vacuum(t, keep_versions=1)
+    assert {r.k for r in snapshot_read(spark, t).collect()} == (
+        set(range(20)) | {100, 101, 102, 103, 104}
+    )
