@@ -1793,3 +1793,72 @@ def snapshot_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.drop_table("tt_orders")
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_soft_delete_read",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               CASE WHEN o_orderkey % 100 < 30 THEN o_totalprice + 3
+                    ELSE o_totalprice END AS total_price,
+               CASE WHEN o_orderkey % 100 >= 30 THEN 'Z'
+                    ELSE o_orderstatus END AS order_status
+        FROM orders
+        WHERE o_orderkey % 100 < 55
+    """,
+    tags=("snapshot", "merge", "by-source", "soft-delete"),
+)
+def snapshot_soft_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE's WHEN NOT MATCHED BY SOURCE THEN UPDATE SET arm (Delta's
+    soft-delete flagging) under the driver's hash gate, THROUGH the SQL
+    surface and in WRITTEN clause order: commit the orders band<60
+    subset, then one verbatim MERGE whose source carries band<30 —
+    matched rows take the source price (+3), unmatched rows in
+    band>=55 DELETE (the written-first conditional arm), every other
+    unmatched row soft-deletes to status 'Z' (the trailing
+    unconditional UPDATE arm). The oracle restates the final state
+    arithmetically from raw orders, so a BY SOURCE arm evaluated
+    against the wrong row set, clause order inverted (a band>=55 row
+    flagged instead of deleted), or a flag leaking onto matched rows
+    all fail the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_read, snapshot_write_with_stats
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_sdel_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    band = F.pmod("o_orderkey", F.lit(100))
+    snapshot_write_with_stats(
+        o.where(band < 60), t, ["o_orderkey"], n_files=6
+    )
+    o.where(band < 30).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 3).alias("o_totalprice"),
+        "o_orderstatus",
+    ).createOrReplaceTempView("sdel_src")
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE sdel_target USING snapshot LOCATION '{t}'")
+    cat.sql(
+        "MERGE INTO sdel_target t USING sdel_src s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice "
+        "WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 100 >= 55 "
+        "THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'Z'"
+    )
+    cat.drop_table("sdel_target")
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderstatus").alias("order_status"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

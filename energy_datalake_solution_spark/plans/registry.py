@@ -106,6 +106,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 11, never driver-checked (new queries go HERE, at
     #     the top, so the gate window always sees them first) ---
     "snapshot_time_travel_read",
+    "snapshot_soft_delete_read",
     # --- latest hash-green round 6: the stalest cohort (37) ---
     "docs_incremental_simhash_dedup",
     "docs_lm_quality_buckets",
@@ -156,7 +157,6 @@ SURFACE_ORDER: tuple[str, ...] = (
     "dedup_latest_order_per_customer",
     "derived_line_revenue",
     "distinct_counts",
-    "docs_feature_hash_vectors",
     "docs_pii_redaction",
 )
 

@@ -20,7 +20,10 @@ contract one level up:
         INSERT INTO <name> <select|values>        -> snapshot_append
         MERGE INTO <name> USING <src> ON (k, ...) -> snapshot_upsert
         MERGE INTO ... WHEN MATCHED [AND c] THEN UPDATE SET ../DELETE
-            [WHEN NOT MATCHED [AND c] THEN INSERT *] -> snapshot_merge
+            [WHEN NOT MATCHED [AND c] THEN INSERT *]
+            [WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE | UPDATE SET]
+            (WHEN MATCHED / BY SOURCE clause pairs evaluate in WRITTEN
+            order, Delta semantics)           -> snapshot_merge
         DELETE FROM <name> WHERE c BETWEEN a AND b-> snapshot_delete_range_mor
         DELETE FROM <name> WHERE <any predicate>  -> snapshot_delete_where
         UPDATE <name> SET c=e,... WHERE k BETWEEN -> snapshot_update_range_mor
@@ -570,9 +573,12 @@ class SnapshotCatalog:
             "not_matched_condition": None,
             "not_matched_by_source_delete": False,
             "not_matched_by_source_condition": None,
+            "not_matched_by_source_update": None,
+            "not_matched_by_source_update_condition": None,
         }
         pos = 0
         matched_order: list[str] = []  # 'update'/'delete' in written order
+        nmbs_order: list[str] = []     # same, for the BY SOURCE arms
         for w in _WHEN_RE.finditer(clauses):
             if clauses[pos : w.start()].strip():
                 raise ValueError(
@@ -581,17 +587,37 @@ class SnapshotCatalog:
             pos = w.end()
             cond = w.group("cond")
             if w.group("bysrc"):
-                if not w.group("notm") or not w.group("delete"):
+                if not w.group("notm") or w.group("insert"):
                     raise ValueError(
-                        "MERGE: BY SOURCE supports only "
-                        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+                        "MERGE: BY SOURCE supports WHEN NOT MATCHED BY "
+                        "SOURCE THEN DELETE / UPDATE SET (no INSERT — "
+                        "there is no source row)"
                     )
-                if kw["not_matched_by_source_delete"]:
-                    raise ValueError(
-                        "MERGE: duplicate WHEN NOT MATCHED BY SOURCE arm"
+                if w.group("delete"):
+                    if kw["not_matched_by_source_delete"]:
+                        raise ValueError(
+                            "MERGE: duplicate WHEN NOT MATCHED BY SOURCE "
+                            "DELETE arm"
+                        )
+                    kw["not_matched_by_source_delete"] = True
+                    kw["not_matched_by_source_condition"] = cond
+                    nmbs_order.append("delete")
+                else:
+                    if kw["not_matched_by_source_update"] is not None:
+                        raise ValueError(
+                            "MERGE: duplicate WHEN NOT MATCHED BY SOURCE "
+                            "UPDATE arm"
+                        )
+                    if w.group("sets").strip() == "*":
+                        raise ValueError(
+                            "MERGE: BY SOURCE UPDATE SET * is undefined "
+                            "(no source row) — list t.<col> assignments"
+                        )
+                    kw["not_matched_by_source_update"] = (
+                        _split_assignments(w.group("sets"))
                     )
-                kw["not_matched_by_source_delete"] = True
-                kw["not_matched_by_source_condition"] = cond
+                    kw["not_matched_by_source_update_condition"] = cond
+                    nmbs_order.append("update")
                 continue
             if w.group("insert"):
                 if not w.group("notm"):
@@ -646,6 +672,26 @@ class SnapshotCatalog:
                 neg = f"NOT coalesce(({first_cond}), false)"
                 uc = kw["matched_update_condition"]
                 kw["matched_update_condition"] = (
+                    f"({neg}) AND ({uc})" if uc is not None else neg
+                )
+        if len(nmbs_order) == 2:
+            # same written-order translation for the BY SOURCE pair
+            # (engine precedence is UPDATE-then-DELETE there too)
+            first = nmbs_order[0]
+            first_cond = kw[
+                "not_matched_by_source_condition" if first == "delete"
+                else "not_matched_by_source_update_condition"
+            ]
+            if first_cond is None:
+                raise ValueError(
+                    "MERGE: when there are multiple WHEN NOT MATCHED BY "
+                    "SOURCE clauses, each clause except the last must "
+                    "have an AND condition"
+                )
+            if first == "delete":
+                neg = f"NOT coalesce(({first_cond}), false)"
+                uc = kw["not_matched_by_source_update_condition"]
+                kw["not_matched_by_source_update_condition"] = (
                     f"({neg}) AND ({uc})" if uc is not None else neg
                 )
         snapshot_merge(self.spark, df, path, keys, **kw)

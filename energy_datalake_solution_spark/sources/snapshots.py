@@ -1196,6 +1196,8 @@ def snapshot_merge(
     not_matched_condition=None,
     not_matched_by_source_delete: bool = False,
     not_matched_by_source_condition=None,
+    not_matched_by_source_update: dict | None = None,
+    not_matched_by_source_update_condition=None,
     txn: int | None = None,
     txn_app: str | None = None,
 ) -> int:
@@ -1231,7 +1233,14 @@ def snapshot_merge(
     scope is the WHOLE table by definition, so with this arm every live
     file participates: small affected sets still commit merge-on-read
     (deletion vectors + provenance-paired images), wide ones rewrite
-    the table copy-on-write. ``txn``/``txn_app`` stamp the commit
+    the table copy-on-write. ``not_matched_by_source_update`` adds
+    Delta's WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET arm
+    (soft-delete flagging is the canonical use) — expressions and the
+    condition see only ``t`` (there IS no source row; qualify columns
+    as ``t.<col>``). When both BY SOURCE arms are present the UPDATE
+    arm evaluates first (callers encoding Delta's written-order
+    semantics negate conditions accordingly — SnapshotCatalog does).
+    ``txn``/``txn_app`` stamp the commit
     with a writer transaction id (Delta's (appId, version) protocol): a
     replayed merge with an already-landed stamp is a no-op BEFORE any
     work — the primitive under the exactly-once streaming merge sink."""
@@ -1267,7 +1276,8 @@ def snapshot_merge(
     src = src.persist()  # evaluated for range agg, cardinality, join, write
     try:
         if (matched_update is not None or matched_delete
-                or not_matched_by_source_delete) and (
+                or not_matched_by_source_delete
+                or not_matched_by_source_update is not None) and (
             src.groupBy(*keys).count().where("count > 1").limit(1).count()
         ):
             raise ValueError(
@@ -1288,6 +1298,10 @@ def snapshot_merge(
                     not_matched_insert, not_matched_condition,
                     nmbs_delete=not_matched_by_source_delete,
                     nmbs_condition=not_matched_by_source_condition,
+                    nmbs_update=not_matched_by_source_update,
+                    nmbs_update_condition=(
+                        not_matched_by_source_update_condition
+                    ),
                     txn=txn, txn_app=txn_app,
                 )
             except SnapshotCommitConflict:
@@ -1304,6 +1318,7 @@ def _snapshot_merge_committed(
     matched_delete, matched_delete_condition,
     not_matched_insert, not_matched_condition,
     nmbs_delete=False, nmbs_condition=None,
+    nmbs_update=None, nmbs_update_condition=None,
     txn=None, txn_app=None,
 ) -> int:
     from pyspark.sql import functions as F
@@ -1319,8 +1334,8 @@ def _snapshot_merge_committed(
     types_meta = eff_types if widen_types is not None else None
     pcol = _mapping_physical(sch, col) if sch else col
     lo, hi, n_rows = src.agg(F.min(col), F.max(col), F.count(F.lit(1))).first()
-    if n_rows == 0 and not nmbs_delete:
-        # an empty source is a no-op — UNLESS the not-matched-by-source
+    if n_rows == 0 and not nmbs_delete and nmbs_update is None:
+        # an empty source is a no-op — UNLESS a not-matched-by-source
         # arm is present, where it means "sync to empty" (every target
         # row is unmatched and the arm decides its fate below)
         return _commit(p, list(m["files"]), parent, stats=stats or None,
@@ -1343,11 +1358,11 @@ def _snapshot_merge_committed(
         return ins.join(live_keys, keys, "left_anti")
 
     always = F.lit(True)
-    if matched_update is None and not nmbs_delete:
+    if matched_update is None and not nmbs_delete and nmbs_update is None:
         # MERGE-ON-READ path: no rewrite — the delete arm grows deletion
         # vectors; inserts append as new files. One commit. (The
-        # not-matched-by-source arm routes to its whole-table branch
-        # below instead — its scope ignores the stats prune.)
+        # not-matched-by-source arms route to their whole-table branch
+        # below instead — their scope ignores the stats prune.)
         dv: dict = dict(m.get("dv", {}) or {})
         if touched:
             tagged = _tagged_live_logical(spark, p, m, touched, types=eff_types)
@@ -1409,13 +1424,29 @@ def _snapshot_merge_committed(
     del_c = _merge_cond(matched_delete_condition) if (
         matched_delete_condition is not None
     ) else always
-    if nmbs_delete:
-        # WHEN NOT MATCHED BY SOURCE THEN DELETE: whole-table scope (an
-        # unmatched row can live in ANY file), so every live file
-        # participates — stats pruning does not apply to this arm
+    if nmbs_delete or nmbs_update is not None:
+        # WHEN NOT MATCHED BY SOURCE THEN UPDATE SET / DELETE:
+        # whole-table scope (an unmatched row can live in ANY file), so
+        # every live file participates — stats pruning does not apply
         nmbs_c = _merge_cond(nmbs_condition) if (
             nmbs_condition is not None
         ) else always
+        nmbs_u_c = _merge_cond(nmbs_update_condition) if (
+            nmbs_update_condition is not None
+        ) else always
+        nmbs_map = nmbs_update or {}
+        upd_map = matched_update or {}
+
+        def _upd_expr(c, do_upd_n, do_nmbs_upd):
+            # matched-UPDATE image wins over the BY SOURCE image — the
+            # two arms are disjoint by construction (is_m vs ~is_m)
+            e = F.col(f"t.{c}")
+            if c in nmbs_map:
+                e = F.when(do_nmbs_upd, _merge_cond(nmbs_map[c])).otherwise(e)
+            if c in upd_map:
+                e = F.when(do_upd_n, _merge_cond(upd_map[c])).otherwise(e)
+            return e
+
         live = sorted(m["files"])
         dv = dict(m.get("dv", {}) or {})
         if live:
@@ -1438,22 +1469,25 @@ def _snapshot_merge_committed(
                 if matched_delete
                 else F.lit(False)
             )
-            do_nmbs = ~is_m & F.coalesce(nmbs_c, F.lit(False))
-            hit_c = do_upd_n | do_del_n | do_nmbs
+            do_nmbs_upd = (
+                ~is_m & F.coalesce(nmbs_u_c, F.lit(False))
+                if nmbs_update is not None
+                else F.lit(False)
+            )
+            do_nmbs_del = (
+                ~is_m & ~do_nmbs_upd & F.coalesce(nmbs_c, F.lit(False))
+                if nmbs_delete
+                else F.lit(False)
+            )
+            hit_c = do_upd_n | do_del_n | do_nmbs_upd | do_nmbs_del
             n_aff = pair_n.where(hit_c).count()
-            upd_map = matched_update or {}
             if n_aff <= DV_MAX_DELETED_ROWS:
                 aff = pair_n.where(hit_c).select(
                     F.col("t._fp").alias("_fp"),
                     F.col("t._ri").alias("_ri"),
-                    do_upd_n.alias("_upd"),
+                    (do_upd_n | do_nmbs_upd).alias("_upd"),
                     *[
-                        (
-                            F.when(do_upd_n, _merge_cond(upd_map[c]))
-                            .otherwise(F.col(f"t.{c}"))
-                            if c in upd_map
-                            else F.col(f"t.{c}")
-                        ).alias(c)
+                        _upd_expr(c, do_upd_n, do_nmbs_upd).alias(c)
                         for c in data_cols
                     ],
                 )
@@ -1510,13 +1544,8 @@ def _snapshot_merge_committed(
                                types_meta=types_meta,
                                txn=txn, txn_app=txn_app)
             # wide sync: a full-table rewrite IS the honest cost
-            kept = pair_n.where(~do_del_n & ~do_nmbs).select(*[
-                (
-                    F.when(do_upd_n, _merge_cond(upd_map[c]))
-                    .otherwise(F.col(f"t.{c}"))
-                    if c in upd_map
-                    else F.col(f"t.{c}")
-                ).alias(c)
+            kept = pair_n.where(~do_del_n & ~do_nmbs_del).select(*[
+                _upd_expr(c, do_upd_n, do_nmbs_upd).alias(c)
                 for c in data_cols
             ])
             merged = kept.unionByName(

@@ -624,3 +624,120 @@ def test_catalog_merge_update_set_with_function_commas(spark, tmp_path):
     got = {r.k: (r.v, r.tag) for r in cat.sql("SELECT * FROM t_fc").collect()}
     assert got[2] == (20, "base-s")      # greatest(20, 5)
     assert got[9] == (500, "base-s")     # greatest(90, 500)
+
+
+def test_merge_nmbs_update_soft_delete_flagging(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN UPDATE SET (Delta's soft-delete
+    arm): target rows whose key the source no longer carries get
+    flagged, matched rows update from the source, nothing is deleted."""
+    t = tmp_path / "t"
+    _seed(spark, t, n=10, n_files=2)
+    src = spark.createDataFrame(
+        [(2, 222, "s"), (50, 5, "s")], "k long, v long, tag string"
+    )
+    snapshot_merge(
+        spark, src, t, ["k"],
+        matched_update={"v": "s.v"},
+        not_matched_insert=True,
+        not_matched_by_source_update={"tag": "'stale'"},
+    )
+    got = {r.k: (r.v, r.tag) for r in snapshot_read(spark, t).collect()}
+    assert got[2] == (222, "base")          # matched: updated, not flagged
+    assert got[50] == (5, "s")              # inserted
+    assert got[7] == (70, "stale")          # unmatched: soft-deleted
+    assert len(got) == 11                   # nothing hard-deleted
+
+
+def test_merge_nmbs_update_condition_scopes_flagging(spark, tmp_path):
+    """The BY SOURCE UPDATE condition sees only t: rows outside it
+    carry untouched."""
+    t = tmp_path / "t"
+    _seed(spark, t, n=10, n_files=2)
+    src = spark.createDataFrame([(0, 0, "s")], "k long, v long, tag string")
+    snapshot_merge(
+        spark, src, t, ["k"],
+        not_matched_insert=False,
+        not_matched_by_source_update={"tag": "'stale'"},
+        not_matched_by_source_update_condition="t.k >= 8",
+    )
+    got = {r.k: r.tag for r in snapshot_read(spark, t).collect()}
+    assert got[8] == "stale" and got[9] == "stale"
+    assert all(got[k] == "base" for k in range(8))
+
+
+def test_merge_nmbs_update_and_delete_update_precedence(spark, tmp_path):
+    """Both BY SOURCE arms: the update arm evaluates first (engine
+    precedence); rows hitting neither condition carry."""
+    t = tmp_path / "t"
+    _seed(spark, t, n=10, n_files=2)
+    src = spark.createDataFrame([(0, 0, "s")], "k long, v long, tag string")
+    snapshot_merge(
+        spark, src, t, ["k"],
+        not_matched_insert=False,
+        not_matched_by_source_update={"tag": "'stale'"},
+        not_matched_by_source_update_condition="t.k >= 8",
+        not_matched_by_source_delete=True,
+        not_matched_by_source_condition="t.k >= 5",
+    )
+    got = {r.k: r.tag for r in snapshot_read(spark, t).collect()}
+    assert got[8] == "stale" and got[9] == "stale"   # update wins
+    assert 5 not in got and 6 not in got and 7 not in got  # deleted
+    assert all(got[k] == "base" for k in range(5))   # carried
+
+
+def test_merge_nmbs_update_wide_rewrites_table(spark, tmp_path):
+    """A BY SOURCE update set wider than the DV cap falls to the CoW
+    rewrite with identical semantics."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+    )
+
+    t = tmp_path / "t"
+    _seed(spark, t, n=100, n_files=4)
+    src = spark.range(10).selectExpr("id AS k", "id AS v", "'s' AS tag")
+    real = S.DV_MAX_DELETED_ROWS
+    S.DV_MAX_DELETED_ROWS = 5
+    try:
+        snapshot_merge(
+            spark, src, t, ["k"],
+            not_matched_insert=False,
+            not_matched_by_source_update={"tag": "'stale'"},
+        )
+    finally:
+        S.DV_MAX_DELETED_ROWS = real
+    m = _read_manifest(t, current_version(t))
+    assert not (m.get("dv") or {}), "wide sync must rewrite, not grow DVs"
+    got = {r.k: r.tag for r in snapshot_read(spark, t).collect()}
+    assert sum(1 for v in got.values() if v == "stale") == 90
+    assert all(got[k] == "base" for k in range(10)) and len(got) == 100
+
+
+def test_catalog_merge_by_source_update_grammar(spark, tmp_path):
+    """The SQL surface parses WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+    (with and without a condition) and honors written order for the
+    BY SOURCE pair."""
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "fact"
+    _seed(spark, t, n=10, n_files=1)
+    cat.sql(f"CREATE TABLE sd_fact USING snapshot LOCATION '{t}'")
+    spark.createDataFrame(
+        [(2, 222, "s")], "k long, v long, tag string"
+    ).createOrReplaceTempView("sd_src")
+    cat.sql(
+        "MERGE INTO sd_fact t USING sd_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'"
+    )
+    got = {r.k: (r.v, r.tag) for r in cat.sql("SELECT * FROM sd_fact").collect()}
+    # written order: k<5 unmatched rows DELETE (0,1,3,4); k>=5 flag stale
+    assert set(got) == {2, 5, 6, 7, 8, 9}
+    assert got[2] == (222, "base")
+    assert all(got[k][1] == "stale" for k in (5, 6, 7, 8, 9))
+    # SET * in the BY SOURCE arm is undefined
+    with pytest.raises(ValueError, match="no source row"):
+        cat.sql(
+            "MERGE INTO sd_fact t USING sd_src s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+        )
