@@ -1862,3 +1862,151 @@ def snapshot_soft_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_multicol_partition_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price
+        FROM orders
+        WHERE o_orderkey % 100 < 80 AND o_orderstatus = 'F'
+          AND o_orderkey % 4 = 1
+    """,
+    tags=("snapshot", "partitioning", "multi-column"),
+)
+def snapshot_multicol_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN partition specs under the driver's hash gate: commit
+    the orders band<50 subset key-partitioned, evolve the spec to
+    (o_orderstatus, o_band) through verbatim DDL, append the 50..79 band
+    (one file per value TUPLE, point stats on BOTH spec columns), and
+    answer a two-predicate query through the stats-pruned read. A guard
+    raises unless the conjunctive value prune (files_for_values
+    intersect) admits every pre-evolution file conservatively and, among
+    post-evolution files, ONLY those whose recorded points match both
+    predicates — the Hive/Iceberg (date, region) layout contract. The
+    oracle recomputes the final state from raw orders."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_append,
+        snapshot_files_for_values,
+        snapshot_read_range,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_mcp_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus",
+        F.pmod("o_orderkey", F.lit(4)).cast("int").alias("o_band"),
+    )
+    band = F.pmod("o_orderkey", F.lit(100))
+    snapshot_write_with_stats(
+        o.where(band < 50), t, ["o_orderkey"], n_files=4
+    )
+    pre = set(_read_manifest(t, current_version(t))["files"])
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE mcp_orders USING snapshot LOCATION '{t}'")
+    cat.sql("ALTER TABLE mcp_orders SET PARTITIONED BY (o_orderstatus, o_band)")
+    cat.drop_table("mcp_orders")
+    snapshot_append(o.where((band >= 50) & (band < 80)), t)
+    m = _read_manifest(t, current_version(t))
+    post = set(m["files"]) - pre
+    fs = set(snapshot_files_for_values(t, "o_orderstatus", ["F"])) & set(
+        snapshot_files_for_values(t, "o_band", [1])
+    )
+    if not pre <= fs:
+        raise RuntimeError("conservative prune dropped a pre-evolution file")
+    bad = {
+        f for f in fs & post
+        if "o_orderstatus" in m.get("stats", {}).get(f, {})
+        and "o_band" in m["stats"][f]
+        and not (
+            m["stats"][f]["o_orderstatus"][0] == "F"
+            and m["stats"][f]["o_band"][0] == 1
+        )
+    }
+    if bad:
+        raise RuntimeError(
+            f"tuple prune admitted non-matching post-evolution files: {bad}"
+        )
+    out = snapshot_read_range(
+        spark, t, "o_orderstatus", "F", "F"
+    ).where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_band") == 1)
+    ).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_schema_ddl_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS price,
+               CASE WHEN o_orderkey % 100 >= 40 THEN 'late'
+                    ELSE NULL END AS band_tag
+        FROM orders
+        WHERE o_orderkey % 100 < 60
+    """,
+    tags=("snapshot", "ddl", "schema-evolution"),
+)
+def snapshot_schema_ddl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution DDL under the driver's hash gate, THROUGH the
+    SQL surface: commit the orders band<40 subset, ADD COLUMN band_tag
+    (old rows read as typed NULLs), INSERT the 40..59 band carrying the
+    new column, ADD + DROP a decoy column (its id retires — a later
+    re-add cannot resurrect bytes; pinned in
+    tests/test_snapshot_catalog.py), RENAME o_totalprice TO price, and
+    read the final state by the NEW names. All four statements are
+    O(columns) metadata commits — no data file rewrites (the files are
+    byte-identical; only the INSERT added any). The oracle restates the
+    final state from raw orders, so a rename that moves data, an added
+    column backfilled wrong, or a drop that loses sibling columns all
+    fail the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_read, snapshot_write_with_stats
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_sddl_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    band = F.pmod("o_orderkey", F.lit(100))
+    snapshot_write_with_stats(
+        o.where(band < 40), t, ["o_orderkey"], n_files=4
+    )
+    o.where((band >= 40) & (band < 60)).createOrReplaceTempView("sddl_src")
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE sddl_orders USING snapshot LOCATION '{t}'")
+    cat.sql("ALTER TABLE sddl_orders ADD COLUMN band_tag string")
+    cat.sql(
+        "INSERT INTO sddl_orders SELECT o_orderkey, o_totalprice, "
+        "'late' AS band_tag FROM sddl_src"
+    )
+    cat.sql("ALTER TABLE sddl_orders ADD COLUMN decoy int")
+    cat.sql("ALTER TABLE sddl_orders DROP COLUMN decoy")
+    cat.sql("ALTER TABLE sddl_orders RENAME COLUMN o_totalprice TO price")
+    cat.drop_table("sddl_orders")
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("price"),
+        F.col("band_tag"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

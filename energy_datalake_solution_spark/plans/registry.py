@@ -107,6 +107,8 @@ SURFACE_ORDER: tuple[str, ...] = (
     #     the top, so the gate window always sees them first) ---
     "snapshot_time_travel_read",
     "snapshot_soft_delete_read",
+    "snapshot_schema_ddl_read",
+    "snapshot_multicol_partition_read",
     # --- latest hash-green round 6: the stalest cohort (37) ---
     "docs_incremental_simhash_dedup",
     "docs_lm_quality_buckets",
@@ -156,8 +158,6 @@ SURFACE_ORDER: tuple[str, ...] = (
     "date_function_suite",
     "dedup_latest_order_per_customer",
     "derived_line_revenue",
-    "distinct_counts",
-    "docs_pii_redaction",
 )
 
 

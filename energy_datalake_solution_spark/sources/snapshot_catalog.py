@@ -35,8 +35,14 @@ contract one level up:
             widened types, constraints, column mapping — manifest-only)
         OPTIMIZE <name> [ZORDER BY (a, b)] [INTO n FILES]
             -> snapshot_compact / snapshot_zorder_compact
-        ALTER TABLE <name> SET PARTITIONED BY (c) -> snapshot_set_partitioning
+        ALTER TABLE <name> SET PARTITIONED BY (c, ...) -> snapshot_set_partitioning
         ALTER TABLE <name> CLEAR PARTITIONING     -> snapshot_set_partitioning
+        ALTER TABLE <name> ADD COLUMN c <type>    -> snapshot_add_column
+        ALTER TABLE <name> RENAME COLUMN a TO b   -> snapshot_rename_column
+        ALTER TABLE <name> DROP COLUMN c          -> snapshot_drop_column
+            (each an O(columns) metadata commit — column mapping
+            auto-enables; old files read unchanged, dropped ids retire,
+            re-added names cannot resurrect old bytes)
         BEGIN / COMMIT / ROLLBACK [TRANSACTION]   -> SnapshotTransaction
             (multi-statement, multi-TABLE all-or-nothing: writes between
             BEGIN and COMMIT stage without moving any pointer; SELECTs
@@ -203,9 +209,21 @@ _DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+# Schema-evolution DDL. Rename/drop require column mapping; the route
+# auto-enables it (an idempotent metadata commit) so a user evolving a
+# curated table needs one statement, not a property dance.
+_ALTER_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"(?:ADD\s+COLUMNS?\s+\(?\s*(?P<add>[A-Za-z_]\w*)\s+"
+    r"(?P<dtype>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\)?"
+    r"|RENAME\s+COLUMN\s+(?P<old>[A-Za-z_]\w*)\s+TO\s+(?P<new>[A-Za-z_]\w*)"
+    r"|DROP\s+COLUMN\s+(?P<drop>[A-Za-z_]\w*))\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
-    r"(?:SET\s+PARTITIONED\s+BY\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*\)"
+    r"(?:SET\s+PARTITIONED\s+BY\s*\(\s*"
+    r"(?P<col>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)"
     r"|(?P<clear>CLEAR\s+PARTITIONING))\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -456,13 +474,35 @@ class SnapshotCatalog:
                 _split_assignments(m.group("sets")),
             )
             return None
+        m = _ALTER_COL_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import (
+                snapshot_add_column,
+                snapshot_drop_column,
+                snapshot_enable_column_mapping,
+                snapshot_rename_column,
+            )
+
+            path = self._writable(m.group("name"))
+            snapshot_enable_column_mapping(self.spark, path)  # idempotent
+            if m.group("add"):
+                snapshot_add_column(
+                    path, m.group("add"), m.group("dtype").lower()
+                )
+            elif m.group("old"):
+                snapshot_rename_column(path, m.group("old"), m.group("new"))
+            else:
+                snapshot_drop_column(path, m.group("drop"))
+            return None
         m = _ALTER_PART_RE.match(text)
         if m and m.group("name") in self._tables:
             from .snapshots import snapshot_set_partitioning
 
             path = self._writable(m.group("name"))
             snapshot_set_partitioning(
-                path, None if m.group("clear") else m.group("col")
+                path,
+                None if m.group("clear")
+                else [c.strip() for c in m.group("col").split(",")],
             )
             return None
         m = _RESTORE_RE.match(text)

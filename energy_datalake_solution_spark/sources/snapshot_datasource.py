@@ -233,7 +233,7 @@ def _spark_schema_for(table_path: Path, version: int):
     if sch is None:
         raise ValueError(f"version {version} of {table_path} lists no files")
     mapping = m.get("schema")
-    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+    from pyspark.sql.types import StructField, StructType
 
     # every column is NULLABLE at the table level regardless of footer
     # nullability: additive evolution NULL-fills pre-evolution files, and
@@ -280,9 +280,51 @@ def _spark_schema_for(table_path: Path, version: int):
     out = []
     for c in mapping["cols"]:
         f = by_physical.get(c["physical"])
-        dtype = f.dataType if f is not None else _parse_datatype_string(c["type"])
+        dtype = f.dataType if f is not None else _ddl_type(c["type"])
         out.append(StructField(c["name"], dtype, True))
     return StructType(out)
+
+
+def _ddl_type(s: str):
+    """DDL type string -> DataType WITHOUT a live session —
+    pyspark's _parse_datatype_string round-trips through the JVM and
+    crashes inside DataSource planning workers (no active context).
+    Covers the simpleString() vocabulary the manifest records for an
+    ADDED column that no data file carries yet (primitives, decimal,
+    array/map nesting); anything else falls back to the session parser
+    (driver-side contexts still have one)."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    simple = {
+        "boolean": T.BooleanType(), "tinyint": T.ByteType(),
+        "byte": T.ByteType(), "smallint": T.ShortType(),
+        "short": T.ShortType(), "int": T.IntegerType(),
+        "integer": T.IntegerType(), "bigint": T.LongType(),
+        "long": T.LongType(), "float": T.FloatType(),
+        "real": T.FloatType(), "double": T.DoubleType(),
+        "string": T.StringType(), "binary": T.BinaryType(),
+        "date": T.DateType(), "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }
+    t = s.strip().lower()
+    if t in simple:
+        return simple[t]
+    mm = _re.fullmatch(r"decimal(?:\s*\(\s*(\d+)\s*,\s*(\d+)\s*\))?", t)
+    if mm:
+        return T.DecimalType(
+            int(mm.group(1) or 10), int(mm.group(2) or 0)
+        )
+    mm = _re.fullmatch(r"array\s*<(.+)>", t, _re.DOTALL)
+    if mm:
+        return T.ArrayType(_ddl_type(mm.group(1)))
+    mm = _re.fullmatch(r"map\s*<(.+),(.+)>", t, _re.DOTALL)
+    if mm:
+        return T.MapType(_ddl_type(mm.group(1)), _ddl_type(mm.group(2)))
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(s)
 
 
 def pa_unify(a, b):

@@ -890,7 +890,7 @@ def snapshot_append(
     tip = current_version(p)
     _enforce_constraints(df, p, tip)
     widen_types: dict | None = None
-    part_col: str | None = None
+    part_cols: list[str] = []
     if tip:
         m_tip = _read_manifest(p, tip)
         sch = m_tip.get("schema")
@@ -903,10 +903,10 @@ def snapshot_append(
         df, widen_types = _apply_type_widening(df, p, m_tip)
         spec = m_tip.get("partitioning")
         if spec:
-            cols = spec.get("cols") or []
-            if len(cols) != 1:
-                raise ValueError(f"unsupported partition spec: {spec}")
-            part_col = _mapping_physical(sch, cols[0]) if sch else cols[0]
+            part_cols = [
+                _mapping_physical(sch, c) if sch else c
+                for c in (spec.get("cols") or [])
+            ]
         bspec = m_tip.get("bucketing")
     else:
         bspec = None
@@ -916,23 +916,27 @@ def snapshot_append(
         # files (bucket files from any number of writes compose into
         # one bucketed read)
         files = _write_files_bucketed(df, p, bspec["col"], int(bspec["n"]))
-    elif part_col is not None:
-        if part_col not in df.columns:
+    elif part_cols:
+        missing = [c for c in part_cols if c not in df.columns]
+        if missing:
             raise ValueError(
-                f"append batch lacks partition column {part_col!r}"
+                f"append batch lacks partition column(s) {missing}"
             )
         # honor the table's partition spec: one file set per partition
-        # value with exact point stats (the evolved-layout write path) —
-        # the distinct pull is partition-count-sized driver work
-        vals = [r[0] for r in df.select(part_col).distinct().collect()]
-        if any(v is None for v in vals):
+        # value TUPLE with exact point stats on every spec column (the
+        # evolved-layout write path) — the distinct pull is
+        # partition-count-sized driver work
+        vals = [
+            tuple(r) for r in df.select(*part_cols).distinct().collect()
+        ]
+        if any(v is None for t_ in vals for v in t_):
             raise ValueError(
                 "NULL partition values cannot route (partitioned append)"
             )
         files = _write_files_by_partition(
-            df.sparkSession, df, p, part_col, vals
+            df.sparkSession, df, p, part_cols, vals
         )
-        eff_stats_cols = sorted(set(stats_cols or []) | {part_col})
+        eff_stats_cols = sorted(set(stats_cols or []) | set(part_cols))
     else:
         files = _write_files(df, p)
     new_stats = (
@@ -4366,7 +4370,7 @@ def snapshot_bucketed_table(
     return spark.table(name)
 
 
-def snapshot_set_partitioning(table_path, col: str | None) -> int:
+def snapshot_set_partitioning(table_path, col: "str | list[str] | None") -> int:
     """PARTITION EVOLUTION as an O(columns) metadata commit (Iceberg's
     spec-evolution view): record the partition column NEW writes route
     by. No data file is touched or rewritten — files written under an
@@ -4377,22 +4381,36 @@ def snapshot_set_partitioning(table_path, col: str | None) -> int:
     value with exact point stats, so post-evolution data prunes
     perfectly while the boundary remains merely conservative until
     compaction rewrites it. ``None`` clears the spec. ``col`` is the
-    LOGICAL name on mapped tables. Same optimistic disposition as every
+    LOGICAL name on mapped tables — a LIST records a multi-column spec
+    (Hive/Iceberg's (date, region) layouts: appends route one file per
+    value TUPLE with point stats on every spec column, so conjunctive
+    value prunes intersect exactly). Same optimistic disposition as every
     writer; the spec follows the standard metadata carry (inherit,
     delta-on-change, checkpoint, clone, restore-with-CLEAR)."""
     p = _table(table_path)
     if current_version(p) == 0:
         raise FileNotFoundError(f"no snapshot table at {p}")
+    cols = (
+        None if col is None
+        else [col] if isinstance(col, str) else list(col)
+    )
+    if cols is not None and (
+        not cols or len(set(cols)) != len(cols)
+    ):
+        raise ValueError(f"invalid partition column list: {cols}")
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)
         m = _read_manifest(p, parent)
-        if col is not None:
+        if cols is not None:
             sch = m.get("schema")
-            if sch and col not in {c["name"] for c in sch["cols"]}:
-                raise ValueError(
-                    f"partition column {col!r} not in table schema"
-                )
-        meta = {"cols": [col]} if col is not None else CLEAR_METADATA
+            if sch:
+                known = {c["name"] for c in sch["cols"]}
+                bad = [c for c in cols if c not in known]
+                if bad:
+                    raise ValueError(
+                        f"partition column(s) {bad} not in table schema"
+                    )
+        meta = {"cols": cols} if cols is not None else CLEAR_METADATA
         try:
             return _commit(p, list(m["files"]), parent,
                            stats=m.get("stats") or None,
@@ -4419,17 +4437,22 @@ def snapshot_partitioning(table_path, version: int | None = None) -> list[str] |
 
 def _write_files_by_partition(
     spark: SparkSession, df: DataFrame, table_path: Path,
-    partition_col: str, values: list,
+    partition_col: "str | list[str]", values: list,
 ) -> list[str]:
-    """Materialize df with ONE FILE (set) PER PARTITION VALUE: each row
-    routes to its value's partition index through a hash-perfect token
-    (sinks._partition_tokens — repartition(n, token) places rows exactly,
-    deterministically), so every written file holds a single partition
-    value. Partition stats in the manifest are then exact points
-    (min == max == value), value-pruning admits exactly the touched
+    """Materialize df with ONE FILE (set) PER PARTITION VALUE (single
+    column) or PER VALUE TUPLE (multi-column spec, Hive/Iceberg's
+    (date, region) layouts): each row routes to its value's partition
+    index through a hash-perfect token (sinks._partition_tokens —
+    repartition(n, token) places rows exactly, deterministically), so
+    every written file holds a single partition value/tuple. Partition
+    stats in the manifest are then exact points (min == max == value)
+    on EVERY spec column, value-pruning admits exactly the touched
     partitions' files, and untouched partitions keep byte-identical
     files across merges. Partition-count-sized driver work only (the
-    token map literal); row routing is one codegen'd map lookup."""
+    token map literal); row routing is one codegen'd map lookup. For a
+    multi-column spec the map key is the canonical unit-separator join
+    of the columns' string casts (rows carry no NULL spec values — the
+    append path rejects them)."""
     from pyspark.sql import functions as F
 
     from .sinks import _partition_tokens
@@ -4437,6 +4460,24 @@ def _write_files_by_partition(
     n = len(values)
     if n == 0:
         return _write_files(df, table_path)
+    multi = isinstance(partition_col, (list, tuple))
+    if multi and len(partition_col) == 1:
+        partition_col, multi = partition_col[0], False
+        values = [v[0] if isinstance(v, tuple) else v for v in values]
+    if multi:
+        sep = "\x1f"
+        key_expr = F.concat_ws(
+            sep, *[F.col(c).cast("string") for c in partition_col]
+        )
+        # recompute the distinct keys through the SAME expression the
+        # router evaluates — engine-side string casts are then exact
+        # map hits by construction (no Python-vs-Spark format drift)
+        values = [
+            r[0] for r in df.select(key_expr.alias("_k")).distinct().collect()
+        ]
+        n = len(values)
+    else:
+        key_expr = F.col(partition_col)
     tokens = _partition_tokens(spark, n)
     # NULL routes to its own dedicated slot (carried rows from files
     # predating a partition-column evolution have no value for it)
@@ -4451,7 +4492,7 @@ def _write_files_by_partition(
     offset = 1 if has_null else 0
     for i, v in enumerate(ordered):
         map_args.extend([F.lit(v), F.lit(tokens[i + offset])])
-    route = F.create_map(*map_args)[F.col(partition_col)] if ordered else F.lit(None)
+    route = F.create_map(*map_args)[key_expr] if ordered else F.lit(None)
     if has_null:
         route = F.coalesce(route, F.lit(tokens[0]))
     routed = (

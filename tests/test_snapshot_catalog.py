@@ -461,3 +461,43 @@ def test_select_level_time_travel(spark, tmp_path):
     assert cat.sql(
         "SELECT count(*) AS n FROM tt TIMESTAMP AS OF '2099-01-01'"
     ).first().n == 20
+
+
+def test_alter_table_schema_evolution_ddl(spark, tmp_path):
+    """ALTER TABLE ADD/RENAME/DROP COLUMN route to the column-mapping
+    metadata commits: old files read unchanged after every step (rename
+    is logical-only, added columns read as typed NULLs on old rows,
+    dropped columns disappear from reads), and a re-added name cannot
+    resurrect dropped bytes."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "fact"
+    snapshot_write_with_stats(
+        spark.range(10).selectExpr("id AS k", "id * 10 AS v"), t,
+        ["k"], n_files=2,
+    )
+    cat.sql(f"CREATE TABLE ev USING snapshot LOCATION '{t}'")
+    # ADD: new column, old rows read as NULL, new inserts carry it
+    cat.sql("ALTER TABLE ev ADD COLUMN score double")
+    cat.sql("INSERT INTO ev VALUES (100, 1, 2.5)")
+    got = {r.k: (r.v, r.score) for r in cat.sql("SELECT * FROM ev").collect()}
+    assert got[100] == (1, 2.5) and got[3] == (30, None)
+    # RENAME: logical-only; data unchanged
+    cat.sql("ALTER TABLE ev RENAME COLUMN v TO val")
+    got = cat.sql("SELECT k, val FROM ev WHERE k = 3").first()
+    assert got.val == 30
+    # DROP, then re-ADD with the same name: old bytes must NOT resurrect
+    cat.sql("ALTER TABLE ev DROP COLUMN score")
+    assert "score" not in cat.sql("SELECT * FROM ev").columns
+    cat.sql("ALTER TABLE ev ADD COLUMN score string")
+    got = {r.k: r.score for r in cat.sql("SELECT * FROM ev").collect()}
+    assert got[100] is None, "re-added column resurrected dropped bytes"
+    # decimal-typed add parses the parenthesized type
+    cat.sql("ALTER TABLE ev ADD COLUMN amt decimal(10, 2)")
+    assert "amt" in cat.sql("SELECT * FROM ev").columns
+    # unknown table name falls through to spark.sql and fails there
+    with pytest.raises(Exception):
+        cat.sql("ALTER TABLE nope ADD COLUMN x int")

@@ -151,3 +151,64 @@ def test_spec_survives_checkpoint_vacuum_clone_and_restore_clears(spark, tmp_pat
     assert snapshot_partitioning(t) == ["cat"]
     snapshot_vacuum(t, keep_versions=2)
     assert snapshot_partitioning(t) == ["cat"], "spec must survive vacuum"
+
+
+def test_multi_column_partition_spec(spark, tmp_path):
+    """Evolving to a (status, band) spec routes appends one file per
+    value TUPLE with exact point stats on BOTH columns, so conjunctive
+    value prunes intersect exactly; pre-evolution files stay
+    conservatively admitted; reads across the boundary are complete."""
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        SnapshotCatalog,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_append,
+        snapshot_files_for_values,
+        snapshot_partitioning,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(20).selectExpr(
+            "id AS k", "'A' AS status", "CAST(id % 2 AS INT) AS band"
+        ),
+        t, ["k"], n_files=2,
+    )
+    pre = set(_read_manifest(t, current_version(t))["files"])
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE mc USING snapshot LOCATION '{t}'")
+    cat.sql("ALTER TABLE mc SET PARTITIONED BY (status, band)")
+    assert snapshot_partitioning(t) == ["status", "band"]
+    snapshot_append(
+        spark.range(100, 120).selectExpr(
+            "id AS k",
+            "CASE WHEN id % 2 = 0 THEN 'B' ELSE 'C' END AS status",
+            "CAST((id DIV 2) % 2 AS INT) AS band",
+        ),
+        t,
+    )
+    m = _read_manifest(t, current_version(t))
+    post = set(m["files"]) - pre
+    assert len(post) == 4, "expected one file per (status, band) tuple"
+    for f in post:
+        st = m["stats"][f]
+        assert st["status"][0] == st["status"][1], "status not a point"
+        assert st["band"][0] == st["band"][1], "band not a point"
+    # conjunctive value prune: status='B' AND band=0 -> exactly one
+    # post-evolution file (plus the conservative pre-evolution set)
+    fs = set(snapshot_files_for_values(t, "status", ["B"])) & set(
+        snapshot_files_for_values(t, "band", [0])
+    )
+    assert pre <= fs and len(fs - pre) == 1
+    # reads across the boundary are complete
+    got = {r.k for r in snapshot_read(spark, t).collect()}
+    assert got == set(range(20)) | set(range(100, 120))
+    # single-column list still records (and round-trips) a 1-col spec
+    cat.sql("ALTER TABLE mc SET PARTITIONED BY (status)")
+    assert snapshot_partitioning(t) == ["status"]
+    cat.sql("ALTER TABLE mc CLEAR PARTITIONING")
+    assert snapshot_partitioning(t) is None
