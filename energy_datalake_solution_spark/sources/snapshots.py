@@ -2910,6 +2910,86 @@ _PRED_BETWEEN_RE = re.compile(
 )
 
 
+def _split_disjuncts(s: str) -> list[str]:
+    """Split a predicate on top-level ORs (outside parens/quotes).
+    Returns [s] when none — the predicate is a pure conjunction."""
+    parts, buf = [], []
+    depth, in_str = 0, False
+    i, n = 0, len(s)
+
+    def _word_at(j: int) -> bool:
+        if s[j:j + 2].upper() != "OR":
+            return False
+        before_ok = j == 0 or not (s[j - 1].isalnum() or s[j - 1] == "_")
+        k = j + 2
+        after_ok = k >= n or not (s[k].isalnum() or s[k] == "_")
+        return before_ok and after_ok
+
+    while i < n:
+        ch = s[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and _word_at(i):
+            parts.append("".join(buf))
+            buf = []
+            i += 2
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts]
+
+
+def _strip_parens(s: str) -> str:
+    """Strip balanced outer parentheses: '(k BETWEEN 1 AND 5)' ->
+    'k BETWEEN 1 AND 5' (so a parenthesized disjunct's conjuncts
+    extract). Leaves '(a) OR (b)'-shaped strings alone."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s  # outer parens don't wrap the whole string
+        s = s[1:-1].strip()
+    return s
+
+
+def _predicate_disjunct_constraints(cond: str) -> list[dict]:
+    """Constraint dicts for a predicate that may be a top-level OR of
+    conjunctions: one ``{col: [lo, hi]}`` dict per disjunct. A file can
+    match the predicate only if it overlaps AT LEAST ONE disjunct's
+    region, so pruning keeps files any dict admits — the interval-union
+    analogue of data skipping over ORs (e.g. ``k BETWEEN 1 AND 5 OR k
+    BETWEEN 900 AND 950`` touches only files overlapping either range).
+    Returns [] (no pruning) when any disjunct contributes no
+    constraints — one opaque arm makes the whole OR unprunable."""
+    parts = _split_disjuncts(cond)
+    if len(parts) == 1:
+        cons = _predicate_constraints(cond)
+        return [cons] if cons else []
+    dicts = []
+    for d in parts:
+        cons = _predicate_constraints(_strip_parens(d))
+        if not cons:
+            return []
+        dicts.append(cons)
+    return dicts
+
+
 def _predicate_constraints(cond: str) -> dict[str, list]:
     """{column: [lo, hi]} bounds implied by the predicate's top-level
     conjuncts (None bound = unconstrained). Only simple
@@ -2947,29 +3027,35 @@ def _predicate_constraints(cond: str) -> dict[str, list]:
 
 def snapshot_files_for_predicate(table_path, condition, version: int | None = None) -> list[str]:
     """The file subset that can contain rows matching a SQL predicate
-    string, via manifest-stats overlap on its extracted conjunctive
-    constraints. Non-string conditions, unconstrained columns, files
-    without stats, or stats/literal type mismatches keep the file —
-    pruning must never lose rows. Constraint columns are translated to
-    physical names on column-mapped tables."""
+    string, via manifest-stats overlap on its extracted constraints —
+    conjunctive bounds directly, and top-level ORs of conjunctions as
+    the UNION of their per-disjunct regions (a file survives if any
+    disjunct admits it). Non-string conditions, unconstrained columns
+    (or one opaque OR arm), files without stats, or stats/literal type
+    mismatches keep the file — pruning must never lose rows. Constraint
+    columns are translated to physical names on column-mapped tables."""
     p = Path(table_path)
     v = current_version(p) if version is None else version
     m = _read_manifest(p, v)
-    cons = (
-        _predicate_constraints(condition) if isinstance(condition, str) else {}
+    cons_list = (
+        _predicate_disjunct_constraints(condition)
+        if isinstance(condition, str)
+        else []
     )
     schema = m.get("schema")
     if schema:
         known = {c["name"] for c in schema["cols"]}
-        cons = {
-            _mapping_physical(schema, c): b
-            for c, b in cons.items()
-            if c in known
-        }
+        cons_list = [
+            {
+                _mapping_physical(schema, c): b
+                for c, b in cons.items()
+                if c in known
+            }
+            for cons in cons_list
+        ]
     stats = m.get("stats", {})
-    keep = []
-    for rel in m["files"]:
-        ok = True
+
+    def _admits(rel: str, cons: dict) -> bool:
         for c, (lo, hi) in cons.items():
             s = stats.get(rel, {}).get(c)
             if s is None:
@@ -2978,13 +3064,17 @@ def snapshot_files_for_predicate(table_path, condition, version: int | None = No
                 if (hi is not None and s[0] > _stats_canon(hi)) or (
                     lo is not None and s[1] < _stats_canon(lo)
                 ):
-                    ok = False
-                    break
+                    return False
             except TypeError:
                 continue  # incomparable literal vs stats: keep the file
-        if ok:
-            keep.append(rel)
-    return keep
+        return True
+
+    if not cons_list:
+        return list(m["files"])
+    return [
+        rel for rel in m["files"]
+        if any(_admits(rel, cons) for cons in cons_list)
+    ]
 
 
 def _tagged_live_logical(spark, p: Path, m: dict, touched: list[str],

@@ -87,7 +87,9 @@ def test_files_for_predicate_prunes_by_stats(spark, tmp_path):
     assert len(snapshot_files_for_predicate(t, "k = 5")) == 1
     assert len(snapshot_files_for_predicate(t, "k = 5 AND v > 1")) == 1
     assert len(snapshot_files_for_predicate(t, "k >= 60")) == 2
-    assert len(snapshot_files_for_predicate(t, "k = 5 OR k = 90")) == 4
+    # OR of constrained disjuncts prunes to the UNION of their regions
+    # (round-11 upgrade from the conservative full set)
+    assert len(snapshot_files_for_predicate(t, "k = 5 OR k = 90")) == 2
     assert len(snapshot_files_for_predicate(t, "tag = 'odd'")) == 4  # no tag stats
 
 
@@ -242,3 +244,55 @@ def test_catalog_predicate_delete_on_pinned_table_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="read-only"):
         cat.sql("DELETE FROM fact WHERE k = 5")
+
+
+def test_or_of_ranges_prunes_to_union(spark, tmp_path):
+    """A top-level OR whose every disjunct binds constraints prunes to
+    the UNION of the disjunct regions: 'k BETWEEN a AND b OR k BETWEEN
+    c AND d' over disjoint ranges touches only matching files; an
+    opaque arm ('... OR junk') disables pruning; correctness unchanged
+    on mixed ORs."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_files_for_predicate,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    # 4 files over disjoint key quartiles (range-sorted write)
+    snapshot_write_with_stats(
+        spark.range(400).selectExpr("id AS k", "id * 10 AS v"), t,
+        ["k"], n_files=4,
+    )
+    all_files = snapshot_files_for_predicate(t, "k >= 0")
+    assert len(all_files) == 4
+    # union of two disjoint ranges -> exactly the two covering files
+    fs = snapshot_files_for_predicate(
+        t, "k BETWEEN 10 AND 20 OR k BETWEEN 310 AND 320"
+    )
+    assert len(fs) == 2
+    # parenthesized disjuncts extract too
+    fs = snapshot_files_for_predicate(
+        t, "(k BETWEEN 10 AND 20) OR (k BETWEEN 310 AND 320)"
+    )
+    assert len(fs) == 2
+    # equality disjuncts
+    fs = snapshot_files_for_predicate(t, "k = 5 OR k = 399")
+    assert len(fs) == 2
+    # conjunctive disjunct arms contribute their own bounds
+    fs = snapshot_files_for_predicate(
+        t, "(k >= 10 AND k <= 20) OR (k >= 310 AND k <= 320)"
+    )
+    assert len(fs) == 2
+    # one opaque arm -> whole OR unprunable (conservative full set)
+    fs = snapshot_files_for_predicate(t, "k BETWEEN 10 AND 20 OR v < 0")
+    assert len(fs) == 4
+    fs = snapshot_files_for_predicate(t, "k BETWEEN 10 AND 20 OR k % 7 = 0")
+    assert len(fs) == 4
+    # correctness through the DML path: delete an OR of ranges, re-read
+    snapshot_delete_where(
+        spark, t, "k BETWEEN 10 AND 20 OR k BETWEEN 310 AND 320"
+    )
+    got = {r.k for r in snapshot_read(spark, t).collect()}
+    assert got == set(range(400)) - set(range(10, 21)) - set(range(310, 321))

@@ -1206,3 +1206,103 @@ def test_stream_fanout_txn_sink_atomic_and_replay_safe(spark, tmp_path):
     assert current_version(clicks_t) == vc and current_version(errors_t) == ve
     assert snapshot_read(spark, clicks_t).count() == 2
     assert snapshot_read(spark, errors_t).count() == 1
+
+
+def test_cdc_mirror_loop_continuous_and_crash_replay(spark, tmp_path):
+    """The continuous CDC replication loop (snapshot_mirror_cycle):
+    each cycle applies the source's net changes to the replica inside
+    one transaction with progress stamped in the replica's txn map.
+    Covers same-key multi-change windows (update-then-delete nets to
+    delete; delete-then-reinsert nets to upsert), a crash mid-cycle
+    (second apply half dies inside the transaction — the replica must
+    be untouched and the retried cycle must converge), and replay of a
+    completed cycle (a pure no-op)."""
+    import hashlib
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_append,
+        snapshot_clone,
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_update_where,
+        snapshot_write_with_stats,
+    )
+    from energy_datalake_solution_spark.streaming.pipeline import (
+        snapshot_mirror_cycle,
+    )
+
+    src, rep = tmp_path / "src", tmp_path / "rep"
+    snapshot_write_with_stats(
+        spark.range(100).selectExpr("id AS k", "id * 10 AS v"), src,
+        ["k"], n_files=4,
+    )
+    snapshot_clone(src, rep)
+    boot = current_version(src)
+
+    def content(t):
+        return {r.k: r.v for r in snapshot_read(spark, t).collect()}
+
+    # cycle 1: plain update / delete / insert plus the same-key nets
+    snapshot_update_where(spark, src, "k BETWEEN 10 AND 19", {"v": "v + 1"})
+    snapshot_delete_where(spark, src, "k BETWEEN 20 AND 29")
+    snapshot_append(
+        spark.range(100, 110).selectExpr("id AS k", "id * 10 AS v"), src
+    )
+    snapshot_update_where(spark, src, "k = 30", {"v": "v + 5"})
+    snapshot_delete_where(spark, src, "k = 30")  # update-then-delete
+    snapshot_delete_where(spark, src, "k = 31")
+    snapshot_append(
+        spark.createDataFrame([(31, 999)], "k long, v long"), src
+    )  # delete-then-reinsert
+    got = snapshot_mirror_cycle(
+        spark, src, rep, ["k"], initial_version=boot
+    )
+    assert got == current_version(src)
+    assert content(rep) == content(src)
+    assert content(rep)[31] == 999 and 30 not in content(rep)
+
+    # cycle 2 crashes between the two apply halves: the transaction
+    # aborts, the replica is untouched, progress did not advance
+    snapshot_update_where(spark, src, "k BETWEEN 40 AND 49", {"v": "v + 2"})
+    snapshot_delete_where(spark, src, "k BETWEEN 50 AND 59")
+    before = content(rep)
+
+    real_merge = S.snapshot_merge
+    calls = {"n": 0}
+
+    def dying_merge(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between apply halves")
+        return real_merge(*a, **kw)
+
+    S.snapshot_merge = dying_merge
+    try:
+        with __import__("pytest").raises(RuntimeError, match="injected"):
+            snapshot_mirror_cycle(spark, src, rep, ["k"],
+                                  initial_version=boot)
+    finally:
+        S.snapshot_merge = real_merge
+    assert content(rep) == before, "aborted cycle leaked changes"
+
+    # the retried cycle converges
+    snapshot_mirror_cycle(spark, src, rep, ["k"], initial_version=boot)
+    assert content(rep) == content(src)
+
+    # replaying a completed cycle is a no-op (no new replica version,
+    # byte-identical data files)
+    v = current_version(rep)
+    h = {
+        f.name: hashlib.sha256(f.read_bytes()).hexdigest()
+        for f in rep.rglob("*.parquet")
+    }
+    assert snapshot_mirror_cycle(
+        spark, src, rep, ["k"], initial_version=boot
+    ) == current_version(src)
+    assert current_version(rep) == v
+    assert {
+        f.name: hashlib.sha256(f.read_bytes()).hexdigest()
+        for f in rep.rglob("*.parquet")
+    } == h
