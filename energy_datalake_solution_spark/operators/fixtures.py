@@ -2010,3 +2010,207 @@ def snapshot_schema_ddl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_or_pruning_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price
+        FROM orders
+        WHERE NOT (o_orderkey BETWEEN 100 AND 299
+                   OR o_orderkey BETWEEN 900 AND 1099)
+    """,
+    tags=("snapshot", "delete", "or-pruning"),
+)
+def snapshot_or_pruning_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ranges file pruning under the driver's hash gate: commit
+    orders with per-file key stats, DELETE a disjunction of two disjoint
+    key ranges through verbatim SQL, and read the final state. A guard
+    raises unless the predicate's file set was a STRICT subset of the
+    live files (the union-of-disjunct-regions prune actually pruned) —
+    while the oracle recomputes the surviving rows, so pruning that
+    loses a file's rows or a disjunct applied as a conjunction fails
+    the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_files_for_predicate,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_orp_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    snapshot_write_with_stats(o, t, ["o_orderkey"], n_files=6)
+    pred = (
+        "o_orderkey BETWEEN 100 AND 299 OR o_orderkey BETWEEN 900 AND 1099"
+    )
+    live = _read_manifest(t, current_version(t))["files"]
+    touched = snapshot_files_for_predicate(t, pred)
+    if len(touched) >= len(live):
+        raise RuntimeError(
+            "OR-of-ranges predicate did not prune the file set "
+            f"({len(touched)}/{len(live)})"
+        )
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE orp_orders USING snapshot LOCATION '{t}'")
+    cat.sql(f"DELETE FROM orp_orders WHERE {pred}")
+    cat.drop_table("orp_orders")
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_ctas_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price
+        FROM orders
+        WHERE o_orderkey % 100 < 50 AND o_orderkey % 2 = 0
+    """,
+    tags=("snapshot", "ctas", "time-travel"),
+)
+def snapshot_ctas_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS from a TIME-TRAVELED source under the driver's hash gate:
+    commit the orders band<50 subset as v1 of a source table, append
+    the rest as v2, then run a verbatim ``CREATE TABLE ... USING
+    snapshot LOCATION ... AS SELECT ... FROM src VERSION AS OF 1``
+    filtering to even keys — the new table must hold exactly v1's even
+    keys, immune to the v2 append. The oracle restates that set from
+    raw orders, so a CTAS reading the wrong version, a rewrite that
+    leaks post-pin rows, or a mis-registered result table all fail the
+    hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_ctas_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_t, dst_t = base / "src", base / "dst"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    band = F.pmod("o_orderkey", F.lit(100))
+    snapshot_write_with_stats(
+        o.where(band < 50), src_t, ["o_orderkey"], n_files=4
+    )  # v1
+    snapshot_append(o.where(band >= 50), src_t)  # v2
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE ctas_src USING snapshot LOCATION '{src_t}'")
+    cat.sql(
+        f"CREATE TABLE ctas_dst USING snapshot LOCATION '{dst_t}' "
+        "AS SELECT o_orderkey, o_totalprice "
+        "FROM ctas_src VERSION AS OF 1 WHERE o_orderkey % 2 = 0"
+    )
+    cat.drop_table("ctas_src")
+    cat.drop_table("ctas_dst")
+    out = snapshot_read(spark, dst_t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_mirror_loop_read",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               CASE WHEN o_orderkey % 100 < 10 THEN o_totalprice + 2
+                    WHEN o_orderkey % 100 BETWEEN 45 AND 49
+                    THEN o_totalprice + 3
+                    ELSE o_totalprice END AS total_price
+        FROM orders
+        WHERE o_orderkey % 100 < 50
+          AND o_orderkey % 100 NOT BETWEEN 20 AND 29
+    """,
+    tags=("snapshot", "cdf", "replication", "streaming"),
+)
+def snapshot_mirror_loop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS CDC replication loop under the driver's hash gate
+    (the cycle-based twin of snapshot_cdc_mirror_read's one-shot apply):
+    clone the orders band<40 subset, advance the source through TWO
+    change windows (update + append, then delete + update OF the rows
+    the first window inserted), and run snapshot_mirror_cycle after
+    each — progress rides the replica's transaction map, so cycle 2
+    must resume exactly where cycle 1 stamped (re-applying window 1
+    would double the +2 update and resurrect deleted rows; skipping
+    window 2 would miss the cross-window update). The replica's final
+    state is the oracle, restated arithmetically from raw orders.
+    Crash-replay behavior of the same loop is pinned in
+    tests/test_streaming.py."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshots import (
+        current_version,
+        snapshot_append,
+        snapshot_clone,
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_update_where,
+        snapshot_write_with_stats,
+    )
+    from ..streaming.pipeline import snapshot_mirror_cycle
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_mloop_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_t, rep_t = base / "source", base / "replica"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    band = F.pmod("o_orderkey", F.lit(100))
+    snapshot_write_with_stats(
+        o.where(band < 40), src_t, ["o_orderkey"], n_files=6
+    )
+    boot = current_version(src_t)
+    snapshot_clone(src_t, rep_t)
+    # window 1: update + insert
+    snapshot_update_where(
+        spark, src_t, "o_orderkey % 100 < 10",
+        {"o_totalprice": "o_totalprice + 2"},
+    )
+    snapshot_append(o.where((band >= 40) & (band < 50)), src_t)
+    snapshot_mirror_cycle(
+        spark, src_t, rep_t, ["o_orderkey"], initial_version=boot
+    )
+    # window 2: delete + update of window-1 inserts
+    snapshot_delete_where(
+        spark, src_t, "o_orderkey % 100 BETWEEN 20 AND 29"
+    )
+    snapshot_update_where(
+        spark, src_t, "o_orderkey % 100 BETWEEN 45 AND 49",
+        {"o_totalprice": "o_totalprice + 3"},
+    )
+    snapshot_mirror_cycle(
+        spark, src_t, rep_t, ["o_orderkey"], initial_version=boot
+    )
+    out = snapshot_read(spark, rep_t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

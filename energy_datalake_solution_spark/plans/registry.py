@@ -109,6 +109,9 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_soft_delete_read",
     "snapshot_schema_ddl_read",
     "snapshot_multicol_partition_read",
+    "snapshot_mirror_loop_read",
+    "snapshot_or_pruning_read",
+    "snapshot_ctas_read",
     # --- latest hash-green round 6: the stalest cohort (37) ---
     "docs_incremental_simhash_dedup",
     "docs_lm_quality_buckets",
@@ -155,9 +158,6 @@ SURFACE_ORDER: tuple[str, ...] = (
     "count_customers",
     "cube_order_counts",
     "customer_category",
-    "date_function_suite",
-    "dedup_latest_order_per_customer",
-    "derived_line_revenue",
 )
 
 

@@ -13,6 +13,9 @@ contract one level up:
   * ``SnapshotCatalog.sql(text)`` accepts the DDL forms
         CREATE [OR REPLACE] TABLE <name> USING snapshot
             (OPTIONS (path '<p>') | LOCATION '<p>') [VERSION AS OF <n>]
+        CREATE [OR REPLACE] TABLE <name> USING snapshot LOCATION '<p>'
+            AS <select>                           (CTAS — materialize +
+            register; the source query may itself time-travel)
         DROP TABLE [IF EXISTS] <name>
     the DML/maintenance subset (each routed to the corresponding
     TRANSACTIONAL library operation — stats-pruned, DV-based,
@@ -37,6 +40,9 @@ contract one level up:
             -> snapshot_compact / snapshot_zorder_compact
         ALTER TABLE <name> SET PARTITIONED BY (c, ...) -> snapshot_set_partitioning
         ALTER TABLE <name> CLEAR PARTITIONING     -> snapshot_set_partitioning
+        ALTER TABLE <name> ADD CONSTRAINT n CHECK (e)
+                                                  -> snapshot_set_constraint
+        ALTER TABLE <name> DROP CONSTRAINT n      -> snapshot_drop_constraint
         ALTER TABLE <name> ADD COLUMN c <type>    -> snapshot_add_column
         ALTER TABLE <name> RENAME COLUMN a TO b   -> snapshot_rename_column
         ALTER TABLE <name> DROP COLUMN c          -> snapshot_drop_column
@@ -84,6 +90,15 @@ _CREATE_RE = re.compile(
     r"USING\s+snapshot\s+"
     r"(?:OPTIONS\s*\(\s*path\s+'(?P<opath>[^']+)'\s*\)|LOCATION\s+'(?P<lpath>[^']+)')"
     r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# CTAS: materialize a query result as a NEW snapshot table and register
+# it. The source query runs over fresh views (and may itself time-travel).
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<name>[A-Za-z_][\w]*)\s+"
+    r"USING\s+snapshot\s+"
+    r"(?:OPTIONS\s*\(\s*path\s+'(?P<opath>[^']+)'\s*\)|LOCATION\s+'(?P<lpath>[^']+)')"
+    r"\s+AS\s+(?P<query>(?:SELECT|WITH|VALUES|TABLE)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_RE = re.compile(
@@ -208,6 +223,12 @@ _OPTIMIZE_RE = re.compile(
 _DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
+)
+_ALTER_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"(?:ADD\s+CONSTRAINT\s+(?P<cname>[A-Za-z_]\w*)\s+CHECK\s*\((?P<expr>.+)\)"
+    r"|DROP\s+CONSTRAINT\s+(?P<dname>[A-Za-z_]\w*))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 # Schema-evolution DDL. Rename/drop require column mapping; the route
 # auto-enables it (an idempotent metadata commit) so a user evolving a
@@ -366,6 +387,31 @@ class SnapshotCatalog:
             txn, self._txn = self._txn, None
             txn.__exit__(RuntimeError, RuntimeError("rollback"), None)
             return None
+        m = _CTAS_RE.match(text)
+        if m:
+            from .snapshots import snapshot_write
+
+            name, replace = m.group("name"), bool(m.group("replace"))
+            if self._txn is not None:
+                raise RuntimeError(
+                    "CTAS inside an open transaction is not supported "
+                    "(the new table's pointer would not exist until "
+                    "COMMIT); COMMIT first"
+                )
+            if name in self._tables and not replace:
+                raise ValueError(
+                    f"table {name!r} already registered "
+                    "(use CREATE OR REPLACE TABLE)"
+                )
+            path = m.group("opath") or m.group("lpath")
+            if (Path(path) / "_latest").exists() and not replace:
+                raise ValueError(
+                    f"a snapshot table already exists at {path} "
+                    "(use CREATE OR REPLACE TABLE)"
+                )
+            snapshot_write(self._fresh_sql(m.group("query")), path)
+            self.create_table(name, path)
+            return None
         m = _CREATE_RE.match(text)
         if m:
             if m.group("name") in self._tables and not m.group("replace"):
@@ -473,6 +519,21 @@ class SnapshotCatalog:
                 self.spark, path, m.group("cond"),
                 _split_assignments(m.group("sets")),
             )
+            return None
+        m = _ALTER_CONSTRAINT_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import (
+                snapshot_drop_constraint,
+                snapshot_set_constraint,
+            )
+
+            path = self._writable(m.group("name"))
+            if m.group("cname"):
+                snapshot_set_constraint(
+                    self.spark, path, m.group("cname"), m.group("expr")
+                )
+            else:
+                snapshot_drop_constraint(path, m.group("dname"))
             return None
         m = _ALTER_COL_RE.match(text)
         if m and m.group("name") in self._tables:

@@ -501,3 +501,73 @@ def test_alter_table_schema_evolution_ddl(spark, tmp_path):
     # unknown table name falls through to spark.sql and fails there
     with pytest.raises(Exception):
         cat.sql("ALTER TABLE nope ADD COLUMN x int")
+
+
+def test_ctas_materializes_and_registers(spark, tmp_path):
+    """CREATE TABLE ... USING snapshot LOCATION ... AS SELECT
+    materializes the query as v1 of a new snapshot table and registers
+    it; the source may time-travel; plain CREATE over an existing
+    location still requires OR REPLACE."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_append,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    src = tmp_path / "src"
+    snapshot_write_with_stats(
+        spark.range(10).selectExpr("id AS k", "id * 10 AS v"), src,
+        ["k"], n_files=2,
+    )
+    cat.sql(f"CREATE TABLE base USING snapshot LOCATION '{src}'")
+    dst = tmp_path / "dst"
+    cat.sql(
+        f"CREATE TABLE derived USING snapshot LOCATION '{dst}' "
+        "AS SELECT k, v * 2 AS v2 FROM base WHERE k < 5"
+    )
+    got = {r.k: r.v2 for r in cat.sql("SELECT * FROM derived").collect()}
+    assert got == {i: i * 20 for i in range(5)}
+    assert current_version(dst) == 1
+    # CTAS over an existing table needs OR REPLACE
+    with pytest.raises(ValueError, match="OR REPLACE"):
+        cat.sql(
+            f"CREATE TABLE derived2 USING snapshot LOCATION '{dst}' "
+            "AS SELECT * FROM base"
+        )
+    # the CTAS source can time-travel
+    snapshot_append(
+        spark.createDataFrame([(100, 1)], "k long, v long"), src
+    )
+    dst2 = tmp_path / "dst2"
+    cat.sql(
+        f"CREATE OR REPLACE TABLE frozen USING snapshot LOCATION '{dst2}' "
+        "AS SELECT * FROM base VERSION AS OF 1"
+    )
+    assert cat.sql("SELECT count(*) AS n FROM frozen").first().n == 10
+
+
+def test_alter_table_constraint_ddl(spark, tmp_path):
+    """ADD CONSTRAINT validates standing data then gates every later
+    write; DROP CONSTRAINT lifts the gate."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        SnapshotConstraintViolation,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(10).selectExpr("id AS k", "id * 10 AS v"), t,
+        ["k"], n_files=2,
+    )
+    cat.sql(f"CREATE TABLE ct USING snapshot LOCATION '{t}'")
+    cat.sql("ALTER TABLE ct ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
+    with pytest.raises(SnapshotConstraintViolation):
+        cat.sql("INSERT INTO ct VALUES (100, -1)")
+    # a constraint the standing data violates is refused
+    with pytest.raises(SnapshotConstraintViolation):
+        cat.sql("ALTER TABLE ct ADD CONSTRAINT v_small CHECK (v < 50)")
+    cat.sql("ALTER TABLE ct DROP CONSTRAINT v_nonneg")
+    cat.sql("INSERT INTO ct VALUES (100, -1)")
+    assert cat.sql("SELECT count(*) AS n FROM ct").first().n == 11
