@@ -2057,7 +2057,10 @@ def snapshot_or_pruning_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     live = _read_manifest(t, current_version(t))["files"]
     touched = snapshot_files_for_predicate(t, pred)
-    if len(touched) >= len(live):
+    # the strict-subset guard needs enough files to prune between — an
+    # empty/tiny lake (the empty-corpus sweep) collapses to 1-2 files
+    # whose ranges legitimately cover both disjuncts
+    if len(live) >= 4 and len(touched) >= len(live):
         raise RuntimeError(
             "OR-of-ranges predicate did not prune the file set "
             f"({len(touched)}/{len(live)})"

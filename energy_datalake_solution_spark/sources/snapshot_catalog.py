@@ -846,24 +846,29 @@ class SnapshotCatalog:
             self._register(name)
         return self.spark.sql(self._time_travel_views(query))
 
-    def read_stream(self, name: str, starting_version: int = 0) -> DataFrame:
+    def read_stream(self, name: str, starting_version: int = 0,
+                    change_feed: bool = False) -> DataFrame:
         """Streaming DataFrame over a registered snapshot table (the
         version-offset source: each micro-batch is the files added in a
         version window, offsets checkpointed by Structured Streaming).
-        A version-pinned registration has no stream — it is one frozen
-        snapshot."""
+        ``change_feed=True`` streams net row-level changes instead
+        (insert/delete records + _change_type/_commit_version — Delta's
+        readChangeFeed form). A version-pinned registration has no
+        stream — it is one frozen snapshot."""
         path, version = self._tables[name]
         if version is not None:
             raise ValueError(
                 f"table {name!r} is pinned to VERSION AS OF {version} — "
                 "a time-travel registration has no change stream"
             )
-        return (
+        reader = (
             self.spark.readStream.format("snapshot")
             .option("path", path)
             .option("startingVersion", str(starting_version))
-            .load()
         )
+        if change_feed:
+            reader = reader.option("readChangeFeed", "true")
+        return reader.load()
 
     def _register(self, name: str) -> None:
         path, version = self._tables[name]

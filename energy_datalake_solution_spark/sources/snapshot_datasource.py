@@ -26,7 +26,19 @@ rows of files ADDED in the version window with the end version's
 deletion vectors applied: the append-feed contract of
 snapshot_read_incremental. Windows containing rewrites (upserts,
 compactions) re-emit carried rows by that contract — consumers needing
-NET row changes use snapshot_tail_changes / snapshot_change_feed.
+NET row changes use snapshot_tail_changes / snapshot_change_feed, or the
+STREAMING CHANGE FEED below.
+
+Streaming change feed (``.option("readChangeFeed", "true")``, Delta's
+CDF-stream form): each micro-batch carries net row-level changes per
+commit step — added files' live rows as 'insert', removed files'
+prev-live rows as 'delete', newly-dead DV positions as 'delete' — plus
+``_change_type`` / ``_commit_version`` columns. Planning is pure
+manifest metadata; each task reads one file. MOR updates surface as
+delete(old position)+insert(postimage) in the same commit (netflow);
+CoW rewrites re-emit carried rows as content-identical delete+insert
+pairs, which per-key insert-wins reductions (snapshot_mirror_cycle's
+rule) apply as no-ops.
 
 Reference parity: the reference has no streaming source at all (its
 ingest is S3-event Lambda, lambda/ingestion_to_raw.py:16-17); this is
@@ -55,6 +67,7 @@ from .snapshots import (
     _PROV_COLS,
     _dv_key,
     _footer_types,
+    _pack_positions,
     _read_manifest,
     _unpack_positions,
     _wider_type,
@@ -70,12 +83,18 @@ class _FilePartition(InputPartition):
         rename: list | None,
         types: dict | None = None,
         expect: list | None = None,
+        cdf: tuple | None = None,
     ):
         self.path = path
         self.positions = positions  # packed DV entry for THIS file, or None
         self.rename = rename  # [(physical, logical, type_ddl)] or None
         self.types = types  # manifest's widened-type map, or None
         self.expect = expect  # declared column order (additive evolution)
+        # change-feed instruction: (change_type, commit_version,
+        # packed_selected_positions | None). With a selection the task
+        # emits ONLY those row positions (a DV-delta delete); without,
+        # the whole (DV-filtered) file emits under the change type.
+        self.cdf = cdf
 
 
 _PA_WIDEN = {
@@ -108,6 +127,12 @@ def _arrow_batches(part: _FilePartition):
         keep = np.ones(table.num_rows, dtype=bool)
         keep[dead[dead < table.num_rows]] = False
         table = table.filter(pa.array(keep))
+    if part.cdf is not None and part.cdf[2]:
+        # DV-delta delete: emit ONLY the newly-dead positions (mutually
+        # exclusive with part.positions — the planner sets one or the
+        # other, never both)
+        sel = np.asarray(_unpack_positions(part.cdf[2]), dtype=np.int64)
+        table = table.take(pa.array(sel[sel < table.num_rows]))
     if part.types:
         for name, t in part.types.items():
             pa_t = _PA_WIDEN.get(t)
@@ -149,6 +174,15 @@ def _arrow_batches(part: _FilePartition):
                 )
                 for name, t in part.expect
             }
+        )
+    if part.cdf is not None:
+        ct, cv, _sel = part.cdf
+        n = table.num_rows
+        table = table.append_column(
+            "_change_type", pa.array([ct] * n, pa.string())
+        )
+        table = table.append_column(
+            "_commit_version", pa.array([cv] * n, pa.int64())
         )
     yield from table.to_batches()
 
@@ -378,9 +412,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     resumes exactly where the engine recorded — the source itself is
     stateless."""
 
-    def __init__(self, table_path: str, starting_version: int):
+    def __init__(self, table_path: str, starting_version: int,
+                 change_feed: bool = False):
         self.table_path = Path(table_path)
         self.starting_version = starting_version
+        # readChangeFeed mode: per COMMIT STEP the batch carries net
+        # row-level changes (insert / delete + _commit_version) instead
+        # of appended files — see partitions() for the exact contract
+        self.change_feed = change_feed
         # the engine resolved the stream's schema against the CURRENT
         # version at start — every batch must project onto that column
         # set (a pre-evolution file's missing columns read as NULL, a
@@ -411,6 +450,8 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         v_from, v_to = int(start["version"]), int(end["version"])
         if v_to <= v_from:
             return []
+        if self.change_feed:
+            return self._cdf_partitions(v_from, v_to)
         m_to = _read_manifest(self.table_path, v_to)
         old = (
             set(_read_manifest(self.table_path, v_from)["files"])
@@ -429,6 +470,66 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             for rel in added
         ]
 
+    def _cdf_partitions(self, v_from: int, v_to: int):
+        """Change-feed planning, per COMMIT STEP (v-1 -> v), all from
+        manifest metadata: files ADDED in a step emit their live rows as
+        'insert' (a MOR update's postimage file is an insert here — its
+        replaced positions surface as the same step's DV-delta deletes,
+        the netflow contract); files REMOVED emit their prev-live rows
+        as 'delete' (a CoW rewrite therefore re-emits carried rows as
+        content-identical delete+insert pairs — consumers reducing
+        per-key with insert-wins, e.g. snapshot_mirror_cycle's rule,
+        apply them as no-ops); kept files emit their NEWLY-dead DV
+        positions as 'delete'. Every record carries _commit_version, so
+        downstream per-key reductions can order multi-commit batches.
+        History is bounded by vacuum like Delta's CDF: a vacuumed-away
+        manifest or data file in the window fails the stream loudly."""
+        parts = []
+        for v in range(max(1, v_from + 1), v_to + 1):
+            m_prev = (
+                _read_manifest(self.table_path, v - 1)
+                if v > 1
+                else {"files": []}
+            )
+            m_cur = _read_manifest(self.table_path, v)
+            prev_files = set(m_prev.get("files", []))
+            cur_files = set(m_cur.get("files", []))
+            dv_prev = m_prev.get("dv", {}) or {}
+            dv_cur = m_cur.get("dv", {}) or {}
+            rename = _mapping_renames(m_cur.get("schema"))
+            expect = None if rename else self.expect
+            for rel in sorted(cur_files - prev_files):
+                parts.append(_FilePartition(
+                    str(self.table_path / rel), dv_cur.get(_dv_key(rel)),
+                    rename, self.types, expect, cdf=("insert", v, None),
+                ))
+            prename = _mapping_renames(m_prev.get("schema"))
+            for rel in sorted(prev_files - cur_files):
+                parts.append(_FilePartition(
+                    str(self.table_path / rel), dv_prev.get(_dv_key(rel)),
+                    prename, self.types,
+                    None if prename else self.expect,
+                    cdf=("delete", v, None),
+                ))
+            for rel in sorted(cur_files & prev_files):
+                k = _dv_key(rel)
+                if k not in dv_cur:
+                    continue
+                cp = set(_unpack_positions(dv_cur[k]))
+                pp = (
+                    set(_unpack_positions(dv_prev[k]))
+                    if k in dv_prev
+                    else set()
+                )
+                delta = sorted(cp - pp)
+                if delta:
+                    parts.append(_FilePartition(
+                        str(self.table_path / rel), None, rename,
+                        self.types, expect,
+                        cdf=("delete", v, _pack_positions(delta)),
+                    ))
+        return parts
+
     def read(self, partition: _FilePartition):
         yield from _arrow_batches(partition)
 
@@ -440,7 +541,9 @@ class SnapshotDataSource(DataSource):
     """``spark.read.format("snapshot")`` / ``spark.readStream.format(
     "snapshot")`` over a snapshot table. Options: ``path`` (table root,
     required), ``version`` (batch time travel), ``startingVersion``
-    (stream catch-up start; default 0 = from the table's beginning)."""
+    (stream catch-up start; default 0 = from the table's beginning),
+    ``readChangeFeed`` ('true' turns the STREAM into a net row-level
+    change feed with _change_type/_commit_version columns)."""
 
     @classmethod
     def name(cls) -> str:
@@ -458,13 +561,37 @@ class SnapshotDataSource(DataSource):
             p = unquote(urlparse(p).path)
         return p
 
+    def _change_feed(self) -> bool:
+        return str(
+            self.options.get("readChangeFeed", "")
+        ).lower() in ("true", "1")
+
     def schema(self):
         v_opt = self.options.get("version")
         p = Path(self._path())
         v = int(v_opt) if v_opt is not None else current_version(p)
-        return _spark_schema_for(p, v)
+        sch = _spark_schema_for(p, v)
+        if self._change_feed():
+            from pyspark.sql.types import (
+                LongType, StringType, StructField, StructType,
+            )
+
+            sch = StructType(
+                list(sch.fields)
+                + [
+                    StructField("_change_type", StringType(), True),
+                    StructField("_commit_version", LongType(), True),
+                ]
+            )
+        return sch
 
     def reader(self, schema) -> DataSourceReader:
+        if self._change_feed():
+            raise ValueError(
+                "readChangeFeed is a STREAMING option "
+                "(spark.readStream.format('snapshot')); batch change "
+                "feeds use snapshots.snapshot_change_feed"
+            )
         v = self.options.get("version")
         return _SnapshotBatchReader(
             self._path(), int(v) if v is not None else None
@@ -472,7 +599,8 @@ class SnapshotDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _SnapshotStreamReader(
-            self._path(), int(self.options.get("startingVersion", 0))
+            self._path(), int(self.options.get("startingVersion", 0)),
+            change_feed=self._change_feed(),
         )
 
     def writer(self, schema, overwrite: bool):

@@ -332,3 +332,169 @@ def test_batch_read_strips_provenance_after_mor_update(ds_spark, tmp_path):
     assert {r.v for r in got.where(F.col("k").between(5, 9)).collect()} == {
         "upd"
     }
+
+
+def test_stream_change_feed_emits_net_row_changes(ds_spark, tmp_path):
+    """readChangeFeed streaming: per commit step the batch carries net
+    row-level changes — inserts for added files, deletes for DV-delta
+    positions and removed files, _commit_version stamping every record.
+    A MOR update surfaces as delete(old)+insert(new) in one commit."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_delete_range_mor,
+        snapshot_update_range_mor,
+        snapshot_write_with_stats,
+    )
+
+    spark = ds_spark
+    t, out, ckpt = tmp_path / "t", tmp_path / "out", tmp_path / "ckpt"
+    snapshot_write_with_stats(_df(spark, 0, 10, "a"), t, ["k"], n_files=2)  # v1
+    snapshot_append(_df(spark, 10, 13, "b"), t)                             # v2
+    snapshot_delete_range_mor(spark, t, "k", 3, 4)                          # v3
+    snapshot_update_range_mor(spark, t, "k", 7, 7, {"v": F.lit("upd")})     # v4
+
+    q = (
+        spark.readStream.format("snapshot")
+        .option("path", str(t))
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r._commit_version, r._change_type), set()).add((r.k, r.v))
+    assert by[(1, "insert")] == {(k, "a") for k in range(10)}
+    assert by[(2, "insert")] == {(k, "b") for k in (10, 11, 12)}
+    assert by[(3, "delete")] == {(3, "a"), (4, "a")}
+    assert by[(4, "delete")] == {(7, "a")}
+    assert by[(4, "insert")] == {(7, "upd")}
+    assert set(by) == {(1, "insert"), (2, "insert"), (3, "delete"),
+                       (4, "delete"), (4, "insert")}
+
+    # restart with the same checkpoint: nothing re-emits; a new commit
+    # arrives as its own step
+    snapshot_append(_df(spark, 100, 102, "c"), t)  # v5
+    q = (
+        spark.readStream.format("snapshot")
+        .option("path", str(t))
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows2 = spark.read.parquet(str(out)).collect()
+    assert len(rows2) == len(rows) + 2
+    new = [r for r in rows2 if r._commit_version == 5]
+    assert {(r.k, r.v, r._change_type) for r in new} == {
+        (100, "c", "insert"), (101, "c", "insert")
+    }
+
+    # batch reads refuse the streaming-only option loudly
+    with pytest.raises(Exception, match="readChangeFeed"):
+        (
+            spark.read.format("snapshot")
+            .option("path", str(t))
+            .option("readChangeFeed", "true")
+            .load()
+            .collect()
+        )
+
+
+def test_stream_change_feed_drives_exactly_once_mirror(ds_spark, tmp_path):
+    """End-to-end continuous replication THROUGH Structured Streaming:
+    the change-feed stream feeds a foreachBatch sink that reduces per
+    key (insert wins over delete, latest _commit_version first) and
+    applies one txn-stamped conditional merge per micro-batch — replica
+    equals source after every trigger, and a rerun with the same
+    checkpoint replays nothing."""
+    from pyspark.sql import Window
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_delete_range_mor,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_update_range_mor,
+        snapshot_write_with_stats,
+    )
+
+    spark = ds_spark
+    src, rep, ckpt = tmp_path / "src", tmp_path / "rep", tmp_path / "ckpt"
+    snapshot_write_with_stats(_df(spark, 0, 20, "a"), src, ["k"], n_files=2)
+    snapshot_update_range_mor(spark, src, "k", 0, 4, {"v": F.lit("u")})
+    snapshot_delete_range_mor(spark, src, "k", 10, 14)
+    snapshot_append(_df(spark, 50, 55, "n"), src)
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        # multi-commit batch: the LATEST commit decides a key's fate;
+        # within one commit a MOR update's delete(old)+insert(new) tie
+        # resolves to the insert (the row lives at the commit's end)
+        w = Window.partitionBy("k").orderBy(
+            F.col("_commit_version").desc(),
+            (F.col("_change_type") == "delete").cast("int").asc(),
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1").drop("_rn")
+        )
+        changes = latest.select(
+            "k",
+            F.when(F.col("_change_type") == "delete", F.lit(None))
+            .otherwise(F.col("v")).alias("v"),
+        )
+        snapshot_merge(
+            batch_df.sparkSession, changes, rep, ["k"],
+            matched_update={"v": "s.v"},
+            matched_update_condition="s.v IS NOT NULL",
+            matched_delete=True,
+            matched_delete_condition="s.v IS NULL",
+            not_matched_insert=True,
+            not_matched_condition="s.v IS NOT NULL",
+            txn=batch_id, txn_app="cdf-mirror",
+        )
+
+    def run():
+        q = (
+            spark.readStream.format("snapshot")
+            .option("path", str(src))
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def content(t):
+        return {(r.k, r.v) for r in snapshot_read(spark, t).collect()}
+
+    run()
+    assert content(rep) == content(src)
+    # source advances; a second trigger catches up without replaying
+    snapshot_update_range_mor(spark, src, "k", 50, 52, {"v": F.lit("u2")})
+    snapshot_delete_range_mor(spark, src, "k", 0, 1)
+    run()
+    assert content(rep) == content(src)
+    # idle rerun: byte-level no-op on the replica
+    import hashlib
+
+    h = {
+        f.name: hashlib.sha256(f.read_bytes()).hexdigest()
+        for f in rep.rglob("*.parquet")
+    }
+    run()
+    assert {
+        f.name: hashlib.sha256(f.read_bytes()).hexdigest()
+        for f in rep.rglob("*.parquet")
+    } == h
