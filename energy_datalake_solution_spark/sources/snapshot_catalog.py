@@ -23,7 +23,8 @@ contract one level up:
         INSERT INTO <name> <select|values>        -> snapshot_append
         MERGE INTO <name> USING <src> ON (k, ...) -> snapshot_upsert
         MERGE INTO ... WHEN MATCHED [AND c] THEN UPDATE SET ../DELETE
-            [WHEN NOT MATCHED [AND c] THEN INSERT *]
+            [WHEN NOT MATCHED [AND c] THEN INSERT *
+                | INSERT (cols) VALUES (exprs)]
             [WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE | UPDATE SET]
             (WHEN MATCHED / BY SOURCE clause pairs evaluate in WRITTEN
             order, Delta semantics)           -> snapshot_merge
@@ -145,7 +146,9 @@ _MERGE_COND_RE = re.compile(
 _WHEN_RE = re.compile(
     r"WHEN\s+(?P<notm>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
     r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
-    r"(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<delete>DELETE)|(?P<insert>INSERT\s+\*))"
+    r"(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<delete>DELETE)"
+    r"|(?P<insert>INSERT\s+\*"
+    r"|INSERT\s*\((?P<icols>[^)]+)\)\s*VALUES\s*\((?P<ivals>.+?)\)))"
     r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED\b|;?\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -173,14 +176,12 @@ def _parse_merge_on(on: str) -> list:
     return keys
 
 
-def _split_assignments(sets: str) -> dict:
-    """SET clause -> {col: expr}. Commas split only at top level (outside
-    parens and single-quoted strings), so ``SET v = greatest(a, b), w = 2``
-    parses correctly; a fragment without a top-level ``=`` raises a clear
-    error instead of an opaque unpack failure."""
+def _split_top_commas(s: str) -> list:
+    """Split on commas at top level only (outside parens and
+    single-quoted strings)."""
     parts, buf = [], []
     depth, in_str = 0, False
-    for ch in sets:
+    for ch in s:
         if in_str:
             buf.append(ch)
             if ch == "'":
@@ -198,6 +199,15 @@ def _split_assignments(sets: str) -> dict:
             continue
         buf.append(ch)
     parts.append("".join(buf))
+    return parts
+
+
+def _split_assignments(sets: str) -> dict:
+    """SET clause -> {col: expr}. Commas split only at top level (outside
+    parens and single-quoted strings), so ``SET v = greatest(a, b), w = 2``
+    parses correctly; a fragment without a top-level ``=`` raises a clear
+    error instead of an opaque unpack failure."""
+    parts = _split_top_commas(sets)
     assignments = {}
     for part in parts:
         col, eq, expr = part.partition("=")
@@ -672,6 +682,7 @@ class SnapshotCatalog:
             "matched_delete_condition": None,
             "not_matched_insert": False,
             "not_matched_condition": None,
+            "not_matched_insert_values": None,
             "not_matched_by_source_delete": False,
             "not_matched_by_source_condition": None,
             "not_matched_by_source_update": None,
@@ -727,10 +738,22 @@ class SnapshotCatalog:
                     raise ValueError("MERGE: duplicate WHEN NOT MATCHED arm")
                 kw["not_matched_insert"] = True
                 kw["not_matched_condition"] = cond
+                if w.group("icols"):
+                    cols = [c.strip() for c in w.group("icols").split(",")]
+                    cols = [c[2:] if c[:2] == "t." else c for c in cols]
+                    vals = [v.strip() for v in
+                            _split_top_commas(w.group("ivals"))]
+                    if len(cols) != len(vals):
+                        raise ValueError(
+                            f"MERGE INSERT: {len(cols)} columns but "
+                            f"{len(vals)} values"
+                        )
+                    kw["not_matched_insert_values"] = dict(zip(cols, vals))
                 continue
             if w.group("notm"):
                 raise ValueError(
-                    "MERGE: WHEN NOT MATCHED supports only INSERT *"
+                    "MERGE: WHEN NOT MATCHED supports only INSERT * or "
+                    "INSERT (cols) VALUES (exprs)"
                 )
             if w.group("delete"):
                 if kw["matched_delete"]:

@@ -1198,6 +1198,7 @@ def snapshot_merge(
     matched_delete_condition=None,
     not_matched_insert: bool = True,
     not_matched_condition=None,
+    not_matched_insert_values: dict | None = None,
     not_matched_by_source_delete: bool = False,
     not_matched_by_source_condition=None,
     not_matched_by_source_update: dict | None = None,
@@ -1213,7 +1214,10 @@ def snapshot_merge(
     otherwise the DELETE arm applies when its condition holds; otherwise
     the row carries unchanged. Unmatched target rows always carry;
     unmatched source rows insert when ``not_matched_insert`` and the
-    condition holds. Conditions and update expressions are Columns or
+    condition holds — as the full source row by default, or through an
+    explicit ``not_matched_insert_values`` map (Delta's ``INSERT (cols)
+    VALUES (exprs)`` form: listed target columns evaluate their
+    expression over ``s``, unlisted ones insert as typed NULLs). Conditions and update expressions are Columns or
     SQL strings over the aliases ``t`` (target) and ``s`` (source) —
     e.g. ``"s.price > t.price"`` / ``{"price": "s.price"}``; the insert
     condition sees only ``s``. A NULL condition is false (SQL WHEN
@@ -1259,6 +1263,13 @@ def snapshot_merge(
         ins = source
         if not_matched_condition is not None:
             ins = ins.alias("s").where(_merge_cond(not_matched_condition))
+        if not_matched_insert_values is not None:
+            # empty table: no target schema to project onto — the
+            # explicit column list IS the schema
+            ins = ins.alias("s").select(*[
+                _merge_cond(e).alias(c)
+                for c, e in not_matched_insert_values.items()
+            ])
         # append (not write): the txn stamp must land with the first
         # commit so a crash-replay of this very batch resolves idempotent
         return snapshot_append(ins, p, txn=txn, txn_app=txn_app)
@@ -1300,6 +1311,7 @@ def snapshot_merge(
                     matched_update, matched_update_condition,
                     matched_delete, matched_delete_condition,
                     not_matched_insert, not_matched_condition,
+                    insert_values=not_matched_insert_values,
                     nmbs_delete=not_matched_by_source_delete,
                     nmbs_condition=not_matched_by_source_condition,
                     nmbs_update=not_matched_by_source_update,
@@ -1321,6 +1333,7 @@ def _snapshot_merge_committed(
     matched_update, matched_update_condition,
     matched_delete, matched_delete_condition,
     not_matched_insert, not_matched_condition,
+    insert_values=None,
     nmbs_delete=False, nmbs_condition=None,
     nmbs_update=None, nmbs_update_condition=None,
     txn=None, txn_app=None,
@@ -1359,7 +1372,36 @@ def _snapshot_merge_committed(
         ins = src
         if not_matched_condition is not None:
             ins = ins.alias("s").where(_merge_cond(not_matched_condition))
-        return ins.join(live_keys, keys, "left_anti")
+        ins = ins.join(live_keys, keys, "left_anti")
+        if insert_values is not None:
+            # explicit INSERT (cols) VALUES (exprs): project onto the
+            # TARGET's logical columns — listed columns evaluate their
+            # expression over the source alias, unlisted ones insert as
+            # typed NULLs (Delta's explicit-insert semantics)
+            if sch:
+                pairs = [(c["name"], c["type"]) for c in sch["cols"]]
+            else:
+                ft = _footer_types(p, list(m["files"])[:1])
+                pairs = [
+                    (c, (eff_types or {}).get(c, t))
+                    for c, t in ft.items()
+                    if c not in _PROV_COLS
+                ]
+            unknown = set(insert_values) - {c for c, _t in pairs}
+            if unknown:
+                raise ValueError(
+                    f"MERGE INSERT lists unknown target column(s): "
+                    f"{sorted(unknown)}"
+                )
+            ins = ins.alias("s").select(*[
+                (
+                    _merge_cond(insert_values[c]).cast(t)
+                    if c in insert_values
+                    else F.lit(None).cast(t)
+                ).alias(c)
+                for c, t in pairs
+            ])
+        return ins
 
     always = F.lit(True)
     if matched_update is None and not nmbs_delete and nmbs_update is None:
@@ -1388,6 +1430,7 @@ def _snapshot_merge_committed(
                         spark, src, p, keys, col, parent, m, widen_types,
                         {}, F.lit(False), True, matched_delete_condition,
                         not_matched_insert, not_matched_condition,
+                        insert_values=insert_values,
                         nmbs_delete=nmbs_delete, nmbs_condition=nmbs_condition,
                         txn=txn, txn_app=txn_app,
                     )

@@ -741,3 +741,48 @@ def test_catalog_merge_by_source_update_grammar(spark, tmp_path):
             "MERGE INTO sd_fact t USING sd_src s ON t.k = s.k "
             "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
         )
+
+
+def test_merge_explicit_insert_values(spark, tmp_path):
+    """WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs): listed target
+    columns evaluate over the source alias, unlisted ones insert as
+    typed NULLs; unknown columns fail loudly; the SQL surface parses
+    the form (with function commas in the VALUES list)."""
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    _seed(spark, t, n=10, n_files=1)
+    src = spark.createDataFrame(
+        [(2, 222, "s"), (50, 5, "s")], "k long, v long, tag string"
+    )
+    snapshot_merge(
+        spark, src, t, ["k"],
+        matched_update={"v": "s.v"},
+        not_matched_insert=True,
+        not_matched_insert_values={"k": "s.k", "v": "s.v + 1000"},
+    )
+    got = {r.k: (r.v, r.tag) for r in snapshot_read(spark, t).collect()}
+    assert got[2] == (222, "base")
+    assert got[50] == (1005, None)  # tag unlisted -> NULL
+    with pytest.raises(ValueError, match="unknown target column"):
+        snapshot_merge(
+            spark, src, t, ["k"],
+            not_matched_insert_values={"k": "s.k", "nope": "1"},
+        )
+    # SQL surface, incl. greatest()'s comma inside VALUES
+    cat.sql(f"CREATE TABLE iv USING snapshot LOCATION '{t}'")
+    spark.createDataFrame(
+        [(60, 7, "x")], "k long, v long, tag string"
+    ).createOrReplaceTempView("iv_src")
+    cat.sql(
+        "MERGE INTO iv t USING iv_src s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v, tag) "
+        "VALUES (s.k, greatest(s.v, 100), concat(s.tag, '!'))"
+    )
+    got = {r.k: (r.v, r.tag) for r in cat.sql("SELECT * FROM iv").collect()}
+    assert got[60] == (100, "x!")
+    # mismatched column/value counts fail loudly
+    with pytest.raises(ValueError, match="columns but"):
+        cat.sql(
+            "MERGE INTO iv t USING iv_src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)"
+        )
