@@ -17,6 +17,9 @@ contract one level up:
             AS <select>                           (CTAS — materialize +
             register; the source query may itself time-travel)
         DROP TABLE [IF EXISTS] <name>
+        CREATE [OR REPLACE] VIEW <name> AS <query> (text stored; resolved
+            against CURRENT table versions per query — never stale)
+        DROP VIEW [IF EXISTS] <name>
     the DML/maintenance subset (each routed to the corresponding
     TRANSACTIONAL library operation — stats-pruned, DV-based,
     optimistic-concurrency commits, not a new engine):
@@ -104,6 +107,18 @@ _CTAS_RE = re.compile(
 )
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# Named views: the TEXT is stored and re-resolved against the tables'
+# CURRENT versions on every query (a view over a snapshot table never
+# goes stale); time-travel clauses inside the text pin as usual.
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+(?P<name>[A-Za-z_]\w*)"
+    r"\s+AS\s+(?P<query>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
 # --- DML over snapshot tables (the documented subset; each form routes
@@ -349,6 +364,7 @@ class SnapshotCatalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._tables: dict[str, tuple[str, int | None]] = {}
+        self._views: dict[str, str] = {}  # named views, creation order
         self._txn = None  # open BEGIN TRANSACTION, if any
         from .snapshot_datasource import SnapshotDataSource
 
@@ -440,13 +456,45 @@ class SnapshotCatalog:
         if m and m.group("name") in self._tables:
             self.drop_table(m.group("name"))
             return None
+        m = _CREATE_VIEW_RE.match(text)
+        if m:
+            name = m.group("name")
+            if name in self._tables:
+                raise ValueError(f"{name!r} is a registered TABLE")
+            if name in self._views and not m.group("replace"):
+                raise ValueError(
+                    f"view {name!r} already exists "
+                    "(use CREATE OR REPLACE VIEW)"
+                )
+            q = m.group("query").rstrip().rstrip(";")
+            prior = self._views.get(name)
+            self._views[name] = q
+            try:
+                self._refresh()  # materialize now — a bad query fails HERE
+            except Exception:
+                # a broken body must not poison later refreshes
+                if prior is None:
+                    del self._views[name]
+                else:
+                    self._views[name] = prior
+                raise
+            return None
+        m = _DROP_VIEW_RE.match(text)
+        if m:
+            name = m.group("name")
+            if name not in self._views:
+                if m.group("ifex"):
+                    return None
+                raise KeyError(f"no view named {name!r}")
+            del self._views[name]
+            self.spark.catalog.dropTempView(name)
+            return None
         handled = self._dml(text)
         if handled is not NotImplemented:
             return handled
         # plain SQL: re-point every registered view at the CURRENT version
         # (O(manifest) each — catalog freshness without staleness bugs)
-        for name in self._tables:
-            self._register(name)
+        self._refresh()
         return self.spark.sql(self._time_travel_views(text))
 
     # -- DML ---------------------------------------------------------------
@@ -865,8 +913,7 @@ class SnapshotCatalog:
         table's current version (INSERT/MERGE sources see fresh data).
         Time-travel clauses rewrite here too, so an INSERT/MERGE source
         can read a historical version of any registered table."""
-        for name in self._tables:
-            self._register(name)
+        self._refresh()
         return self.spark.sql(self._time_travel_views(query))
 
     def read_stream(self, name: str, starting_version: int = 0,
@@ -892,6 +939,18 @@ class SnapshotCatalog:
         if change_feed:
             reader = reader.option("readChangeFeed", "true")
         return reader.load()
+
+    def _refresh(self) -> None:
+        """Re-point every registered snapshot view at its table's
+        current (or txn-staged) version, then re-materialize named views
+        in creation order (so views may reference earlier views)."""
+        for name in self._tables:
+            self._register(name)
+        for vname, q in self._views.items():
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {vname} AS "
+                f"{self._time_travel_views(q)}"
+            )
 
     def _register(self, name: str) -> None:
         path, version = self._tables[name]

@@ -571,3 +571,76 @@ def test_alter_table_constraint_ddl(spark, tmp_path):
     cat.sql("ALTER TABLE ct DROP CONSTRAINT v_nonneg")
     cat.sql("INSERT INTO ct VALUES (100, -1)")
     assert cat.sql("SELECT count(*) AS n FROM ct").first().n == 11
+
+
+def test_named_views_resolve_fresh_per_query(spark, tmp_path):
+    """CREATE VIEW stores text re-resolved against the tables' CURRENT
+    versions on every query: a view over a snapshot table reflects
+    later DML, views can stack, a time-traveling view stays pinned,
+    and DROP VIEW removes it."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(10).selectExpr("id AS k", "id * 10 AS v"), t,
+        ["k"], n_files=2,
+    )
+    cat.sql(f"CREATE TABLE vt USING snapshot LOCATION '{t}'")
+    cat.sql("CREATE VIEW big AS SELECT * FROM vt WHERE v >= 50")
+    cat.sql("CREATE VIEW big_count AS SELECT count(*) AS n FROM big")
+    assert cat.sql("SELECT n FROM big_count").first().n == 5
+    # later DML is visible through the view (text, not a frozen frame)
+    cat.sql("INSERT INTO vt VALUES (100, 999)")
+    assert cat.sql("SELECT n FROM big_count").first().n == 6
+    # a time-traveling view stays pinned
+    cat.sql(
+        "CREATE VIEW frozen AS SELECT count(*) AS n "
+        "FROM vt VERSION AS OF 1"
+    )
+    snapshot_append(
+        spark.createDataFrame([(200, 0)], "k long, v long"), t
+    )
+    assert cat.sql("SELECT n FROM frozen").first().n == 10
+    # name hygiene
+    with pytest.raises(ValueError, match="registered TABLE"):
+        cat.sql("CREATE VIEW vt AS SELECT 1")
+    with pytest.raises(ValueError, match="OR REPLACE"):
+        cat.sql("CREATE VIEW big AS SELECT 2")
+    cat.sql("CREATE OR REPLACE VIEW big AS SELECT * FROM vt WHERE v < 50")
+    assert cat.sql("SELECT count(*) AS n FROM big").first().n == 6
+    # a bad view body fails at CREATE, not first use
+    with pytest.raises(Exception):
+        cat.sql("CREATE VIEW broken AS SELECT nope FROM vt")
+    cat.sql("DROP VIEW big_count")
+    with pytest.raises(Exception):
+        cat.sql("SELECT * FROM big_count")
+    cat.sql("DROP VIEW IF EXISTS big_count")  # no-op
+
+
+def test_failed_create_view_does_not_poison_catalog(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(5).selectExpr("id AS k", "id AS v"), t, ["k"],
+        n_files=1,
+    )
+    cat.sql(f"CREATE TABLE pt USING snapshot LOCATION '{t}'")
+    with pytest.raises(Exception):
+        cat.sql("CREATE VIEW bad AS SELECT nope FROM pt")
+    # catalog still works; the broken view is gone
+    assert cat.sql("SELECT count(*) AS n FROM pt").first().n == 5
+    with pytest.raises(Exception):
+        cat.sql("SELECT * FROM bad")
+    # a failed REPLACE keeps the prior definition
+    cat.sql("CREATE VIEW ok AS SELECT k FROM pt")
+    with pytest.raises(Exception):
+        cat.sql("CREATE OR REPLACE VIEW ok AS SELECT nope FROM pt")
+    assert cat.sql("SELECT count(*) AS n FROM ok").first().n == 5
