@@ -35,6 +35,10 @@ contract one level up:
         DELETE FROM <name> WHERE <any predicate>  -> snapshot_delete_where
         UPDATE <name> SET c=e,... WHERE k BETWEEN -> snapshot_update_range_mor
         UPDATE <name> SET c=e,... WHERE <any pred>-> snapshot_update_where
+        COPY INTO <name> FROM '<dir|glob>' FILEFORMAT = <fmt>
+            [FORMAT_OPTIONS (k = 'v', ...)]      -> snapshot_copy_into
+            (file-granular idempotent load: reruns skip files already
+            ingested — the ledger commits atomically with the rows)
         RESTORE TABLE <name> VERSION/TIMESTAMP AS OF -> snapshot_restore
         VACUUM <name> [RETAIN n VERSIONS]         -> snapshot_vacuum
         DESCRIBE HISTORY <name>                   -> snapshot_history
@@ -291,6 +295,12 @@ _DELETE_WHERE_RE = re.compile(
 _UPDATE_WHERE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+"
     r"(?P<cond>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COPY_INTO_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+FROM\s+'(?P<src>[^']+)'\s+"
+    r"FILEFORMAT\s*=\s*(?P<fmt>[A-Za-z]+)"
+    r"(?:\s+FORMAT_OPTIONS\s*\((?P<opts>[^)]*)\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _RESTORE_RE = re.compile(
@@ -622,6 +632,27 @@ class SnapshotCatalog:
                 path,
                 None if m.group("clear")
                 else [c.strip() for c in m.group("col").split(",")],
+            )
+            return None
+        m = _COPY_INTO_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_copy_into
+
+            path = self._writable(m.group("name"))
+            opts = {}
+            for pair in _split_top_commas(m.group("opts") or ""):
+                if not pair.strip():
+                    continue
+                k, eq, v = pair.partition("=")
+                if not eq:
+                    raise ValueError(
+                        f"COPY INTO: bad FORMAT_OPTIONS pair {pair.strip()!r}"
+                    )
+                opts[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            snapshot_copy_into(
+                self.spark, m.group("src"), path,
+                fileformat=m.group("fmt").lower(),
+                format_options=opts or None,
             )
             return None
         m = _RESTORE_RE.match(text)

@@ -265,6 +265,7 @@ def _commit(
     parent: int,
     txn: int | None = None,
     txn_app: str | None = None,
+    txns_extra: dict | None = None,
     stats: dict | None = None,
     blooms: dict | None = None,
     dv: dict | None = None,
@@ -336,6 +337,11 @@ def _commit(
     if txn is not None:
         key = txn_app if txn_app is not None else ""
         txns[key] = max(int(txn), txns.get(key, -1))
+    if txns_extra:
+        # multi-stamp commit (COPY INTO's per-source-file ledger): fold
+        # every (app, id) pair with the same max-wins rule
+        for key, t in txns_extra.items():
+            txns[key] = max(int(t), txns.get(key, -1))
     if txns:
         manifest["txns"] = txns
     # Delta vs checkpoint: a commit within the cadence writes only its
@@ -865,6 +871,7 @@ def snapshot_append(
     txn: int | None = None,
     txn_app: str | None = None,
     stats_cols: list[str] | None = None,
+    txns_extra: dict | None = None,
 ) -> int:
     """Commit df's rows IN ADDITION to the current version's files — the
     new manifest lists old files + new files; no data is rewritten.
@@ -964,6 +971,7 @@ def snapshot_append(
         blooms = _carry_blooms(p, parent_manifest, old_files, files) if parent else None
         try:
             return _commit(p, old_files + files, parent, txn=txn, txn_app=txn_app,
+                           txns_extra=txns_extra,
                            stats=stats, blooms=blooms,
                            dv=_carry_dv(parent_manifest, old_files) if parent else None,
                            op="append",
@@ -980,6 +988,58 @@ def snapshot_append(
             if attempt == COMMIT_RETRIES - 1:
                 raise
     raise AssertionError("unreachable")
+
+
+def snapshot_copy_into(
+    spark: SparkSession,
+    source: str,
+    table_path,
+    fileformat: str = "parquet",
+    format_options: dict | None = None,
+    stats_cols: list[str] | None = None,
+) -> "tuple[int, int]":
+    """Idempotent FILE-GRANULAR load (Databricks' COPY INTO): every
+    source file loads exactly once — rerunning over the same directory
+    appends only files not yet ingested, so a scheduled loader needs no
+    side state. The ledger is per-file stamps in the manifest's
+    carried-forward ``txns`` map (key ``copy:<abs path>`` — the same
+    SetTransaction mechanism the streaming sinks use), so it survives
+    vacuum, travels with clones, and lands ATOMICALLY with the rows (a
+    crash between load and ledger is impossible; a crash before the
+    commit re-loads cleanly). ``source`` is a directory (all its files)
+    or a glob. Returns (version, files_loaded). One loader per source
+    at a time — two simultaneous loaders of the same directory can race
+    a file in twice (same as any two writers sharing a txn namespace).
+
+    Scale shape: the new-file check is one ledger dict probe per source
+    file (no data read); the load is ONE distributed read of only the
+    new files; the commit is one append. State grows O(ingested files)
+    — delta-encoded manifests carry it as a diff."""
+    import glob as _glob
+
+    p = _table(table_path)
+    src = Path(source)
+    if src.is_dir():
+        cands = sorted(str(f) for f in src.iterdir() if f.is_file())
+    else:
+        cands = sorted(_glob.glob(source))
+        if not cands and not _glob.has_magic(source):
+            raise FileNotFoundError(f"COPY INTO source not found: {source}")
+    cands = [str(Path(f).resolve()) for f in cands]
+    tip = current_version(p)
+    seen = _read_manifest(p, tip).get("txns", {}) if tip else {}
+    new = [f for f in cands if f"copy:{f}" not in seen]
+    if not new:
+        return tip, 0
+    reader = spark.read
+    for k, v_ in (format_options or {}).items():
+        reader = reader.option(k, v_)
+    df = reader.format(fileformat).load(new)
+    v = snapshot_append(
+        df, p, stats_cols=stats_cols,
+        txns_extra={f"copy:{f}": 1 for f in new},
+    )
+    return v, len(new)
 
 
 def last_txn(table_path, txn_app: str | None = None) -> int:

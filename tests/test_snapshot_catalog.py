@@ -644,3 +644,49 @@ def test_failed_create_view_does_not_poison_catalog(spark, tmp_path):
     with pytest.raises(Exception):
         cat.sql("CREATE OR REPLACE VIEW ok AS SELECT nope FROM pt")
     assert cat.sql("SELECT count(*) AS n FROM ok").first().n == 5
+
+
+def test_copy_into_is_file_granular_idempotent(spark, tmp_path):
+    """COPY INTO loads each source file exactly once: a rerun over the
+    same directory is a no-op, a new file in the directory loads alone,
+    and the ledger commits atomically with the rows (it lives in the
+    manifest txns map)."""
+    import pandas as pd
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_write_with_stats,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    pd.DataFrame({"k": [1, 2], "v": [10, 20]}).to_parquet(land / "a.parquet")
+    pd.DataFrame({"k": [3], "v": [30]}).to_parquet(land / "b.parquet")
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.createDataFrame([(0, 0)], "k long, v long"), t, ["k"],
+        n_files=1,
+    )
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE ci USING snapshot LOCATION '{t}'")
+    cat.sql(f"COPY INTO ci FROM '{land}' FILEFORMAT = parquet")
+    assert cat.sql("SELECT count(*) AS n FROM ci").first().n == 4
+    v_after = current_version(t)
+    # rerun: no new version, no duplicate rows
+    cat.sql(f"COPY INTO ci FROM '{land}' FILEFORMAT = parquet")
+    assert current_version(t) == v_after
+    assert cat.sql("SELECT count(*) AS n FROM ci").first().n == 4
+    # only the NEW file loads on the next run
+    pd.DataFrame({"k": [4], "v": [40]}).to_parquet(land / "c.parquet")
+    cat.sql(f"COPY INTO ci FROM '{land}' FILEFORMAT = parquet")
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM ci").collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 30, 4: 40}
+    # CSV with FORMAT_OPTIONS
+    csvdir = tmp_path / "csvland"
+    csvdir.mkdir()
+    (csvdir / "d.csv").write_text("k,v\n5,50\n")
+    cat.sql(
+        f"COPY INTO ci FROM '{csvdir}' FILEFORMAT = csv "
+        "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true')"
+    )
+    assert cat.sql("SELECT count(*) AS n FROM ci").first().n == 6
