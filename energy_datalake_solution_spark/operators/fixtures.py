@@ -2217,3 +2217,71 @@ def snapshot_mirror_loop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_copy_into_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price
+        FROM orders
+        WHERE o_orderkey % 100 < 70
+    """,
+    tags=("snapshot", "ingest", "copy-into"),
+)
+def snapshot_copy_into_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO's file-granular idempotence under the driver's hash
+    gate — the snapshot-native form of the reference's landing->raw
+    flow (lambda/ingestion_to_raw.py routes each arriving S3 object
+    once): stage the orders band<70 subset as parquet files in a
+    landing directory, COPY INTO an empty-seeded table, RERUN the same
+    statement (must be a version-level no-op), drop one more landing
+    file and run again (only IT loads). The oracle restates the final
+    content from raw orders, so a double-ingested file (duplicated
+    rows), a skipped new file, or a ledger that survives only in
+    side-state all fail the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import (
+        current_version,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_cpi_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    land, t = base / "landing", base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    band = F.pmod("o_orderkey", F.lit(100))
+    o.where(band < 60).repartition(4).write.parquet(str(land))
+    snapshot_write_with_stats(
+        o.where(band < 0), t, ["o_orderkey"], n_files=1
+    )  # empty-seeded table fixes the schema
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE cpi_orders USING snapshot LOCATION '{t}'")
+    cat.sql(f"COPY INTO cpi_orders FROM '{land}/*.parquet' "
+            "FILEFORMAT = parquet")
+    v1 = current_version(t)
+    # idempotent rerun: same files, no new version
+    cat.sql(f"COPY INTO cpi_orders FROM '{land}/*.parquet' "
+            "FILEFORMAT = parquet")
+    if current_version(t) != v1:
+        raise RuntimeError("COPY INTO rerun re-ingested already-loaded files")
+    # a late-arriving file loads alone
+    o.where((band >= 60) & (band < 70)).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(land))
+    cat.sql(f"COPY INTO cpi_orders FROM '{land}/*.parquet' "
+            "FILEFORMAT = parquet")
+    cat.drop_table("cpi_orders")
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

@@ -112,6 +112,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_mirror_loop_read",
     "snapshot_or_pruning_read",
     "snapshot_ctas_read",
+    "snapshot_copy_into_read",
     # --- latest hash-green round 6: the stalest cohort (37) ---
     "docs_incremental_simhash_dedup",
     "docs_lm_quality_buckets",
@@ -157,7 +158,6 @@ SURFACE_ORDER: tuple[str, ...] = (
     "correlated_subquery_above_avg_size",
     "count_customers",
     "cube_order_counts",
-    "customer_category",
 )
 
 
