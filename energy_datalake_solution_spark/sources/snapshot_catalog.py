@@ -928,7 +928,30 @@ class SnapshotCatalog:
             )
             return view
 
-        return _TT_RE.sub(_pin, text)
+        # substitute only matches that START outside single-quoted
+        # string literals — a literal containing "<table> VERSION AS OF
+        # n" is data, not a table reference (a TIMESTAMP AS OF match
+        # starts at the table name, outside its own quoted literal, so
+        # that form still rewrites)
+        spans = []
+        i = 0
+        while True:
+            j = text.find("'", i)
+            if j < 0:
+                break
+            k = text.find("'", j + 1)
+            if k < 0:
+                spans.append((j, len(text)))
+                break
+            spans.append((j, k + 1))
+            i = k + 1
+
+        def _sub(mm: "re.Match") -> str:
+            if any(a <= mm.start() < b for a, b in spans):
+                return mm.group(0)
+            return _pin(mm)
+
+        return _TT_RE.sub(_sub, text)
 
     def _writable(self, name: str) -> str:
         path, version = self._tables[name]

@@ -690,3 +690,31 @@ def test_copy_into_is_file_granular_idempotent(spark, tmp_path):
         "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true')"
     )
     assert cat.sql("SELECT count(*) AS n FROM ci").first().n == 6
+
+
+def test_time_travel_rewrite_ignores_string_literals(spark, tmp_path):
+    """A string literal containing '<table> VERSION AS OF n' is data —
+    the rewrite must not touch it — while a real time-travel clause in
+    the same statement (including the quoted TIMESTAMP form) still
+    pins."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(5).selectExpr("id AS k"), t, ["k"], n_files=1,
+    )
+    cat.sql(f"CREATE TABLE lt USING snapshot LOCATION '{t}'")
+    snapshot_append(spark.range(5, 8).selectExpr("id AS k"), t)
+    row = cat.sql(
+        "SELECT 'lt VERSION AS OF 1' AS s, count(*) AS n "
+        "FROM lt VERSION AS OF 1"
+    ).first()
+    assert row.s == "lt VERSION AS OF 1" and row.n == 5
+    # the quoted TIMESTAMP form still rewrites
+    assert cat.sql(
+        "SELECT count(*) AS n FROM lt TIMESTAMP AS OF '2099-01-01'"
+    ).first().n == 8
