@@ -1759,12 +1759,25 @@ def test_timestamp_time_travel(spark, tmp_path):
     t = tmp_path / "t"
     df1 = spark.range(5).withColumnRenamed("id", "k")
     v1 = snapshot_write(df1, t)
-    t_mid = time.time()
     time.sleep(0.01)
-    snapshot_append(spark.range(5, 9).withColumnRenamed("id", "k"), t)
+    v2 = snapshot_append(spark.range(5, 9).withColumnRenamed("id", "k"), t)
+    # derive the mid-point from the manifests' OWN stamps: time.time()
+    # between the commits can step backwards under NTP slew on a loaded
+    # host (observed flake) — the stamps are the resolution's authority
+    import json as _json
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _manifest_path,
+    )
+
+    ts1 = _json.loads(_manifest_path(t, v1).read_text())["ts"]
+    ts2 = _json.loads(_manifest_path(t, v2).read_text())["ts"]
+    if not ts2 > ts1:
+        pytest.skip("host clock regressed between commits (same-ms stamps)")
+    t_mid = (ts1 + ts2) / 2
     assert snapshot_version_as_of(t, t_mid) == v1
     assert snapshot_read(spark, t, as_of_ts=t_mid).count() == 5
-    assert snapshot_read(spark, t, as_of_ts=time.time()).count() == 9
+    assert snapshot_read(spark, t, as_of_ts=max(time.time(), ts2)).count() == 9
     with pytest.raises(FileNotFoundError):
         snapshot_version_as_of(t, 1.0)  # 1970: before every commit
     with pytest.raises(ValueError):
