@@ -46,6 +46,9 @@ contract one level up:
             widened types, constraints, column mapping — manifest-only)
         OPTIMIZE <name> [ZORDER BY (a, b)] [INTO n FILES]
             -> snapshot_compact / snapshot_zorder_compact
+        REORG TABLE <name> APPLY (PURGE)          -> snapshot_purge_dv
+            (rewrite ONLY deletion-vector-carrying files — O(dv'd
+            files); clean files stay byte-identical)
         ALTER TABLE <name> SET PARTITIONED BY (c, ...) -> snapshot_set_partitioning
         ALTER TABLE <name> CLEAR PARTITIONING     -> snapshot_set_partitioning
         ALTER TABLE <name> ADD CONSTRAINT n CHECK (e)
@@ -242,6 +245,10 @@ def _split_assignments(sets: str) -> dict:
     return assignments
 
 
+_REORG_RE = re.compile(
+    r"^\s*REORG\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_]\w*)"
     r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<za>[A-Za-z_]\w*)\s*,\s*"
@@ -673,6 +680,18 @@ class SnapshotCatalog:
             path, _ = self._tables[m.group("name")]
             n = m.group("n")
             snapshot_vacuum(path, keep_versions=int(n) if n else 1)
+            return None
+        m = _REORG_RE.match(text)
+        if m and m.group("name") in self._tables:
+            if self._txn is not None:
+                raise RuntimeError(
+                    "REORG inside an open transaction is not supported; "
+                    "COMMIT first"
+                )
+            from .snapshots import snapshot_purge_dv
+
+            path = self._writable(m.group("name"))
+            snapshot_purge_dv(self.spark, path)
             return None
         m = _OPTIMIZE_RE.match(text)
         if m and m.group("name") in self._tables:

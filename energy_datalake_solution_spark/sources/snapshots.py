@@ -3854,6 +3854,62 @@ def snapshot_compact(
     raise AssertionError("unreachable")
 
 
+def snapshot_purge_dv(spark: SparkSession, table_path) -> int:
+    """REORG TABLE ... APPLY (PURGE), Delta's deletion-vector
+    compaction: rewrite ONLY the files carrying deletion vectors so
+    their soft-deleted rows are physically dropped, clear the vectors,
+    and commit — every clean file stays BYTE-IDENTICAL in the new
+    manifest (this is what bounds the cost: O(dv'd files), not O(table);
+    a 100 TB table whose MOR deletes touched 3 files rewrites 3 files).
+    Internal row-provenance columns drop with the rewrite (change-feed
+    update pairing for windows crossing the purge degrades to
+    insert/delete — snapshot_change_feed's documented fallback). Old
+    versions still time-travel with their vectors; vacuum reclaims the
+    purged files once out of retention. No-op (no new version) on a
+    vector-free table."""
+    p = _table(table_path)
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        if parent == 0:
+            raise FileNotFoundError(f"no snapshot table at {table_path}")
+        m = _read_manifest(p, parent)
+        dv = dict(m.get("dv", {}) or {})
+        if not dv:
+            return parent  # nothing to purge
+        files = list(m["files"])
+        dirty = [f for f in files if _dv_key(f) in dv]
+        clean = [f for f in files if _dv_key(f) not in dv]
+        df = _read_files_with_dv(
+            spark, p, dirty, dv, types=m.get("types")
+        )
+        df = df.drop(*[c for c in _PROV_COLS if c in df.columns])
+        new_files = (
+            _write_files(df.coalesce(max(1, len(dirty))), p)
+            if not df.isEmpty()
+            else []
+        )
+        old_stats = m.get("stats", {}) or {}
+        tracked = sorted({c for s in old_stats.values() for c in s})
+        new_stats = {f: old_stats[f] for f in clean if f in old_stats}
+        if tracked and new_files:
+            new_stats.update(
+                _collect_stats(p, new_files, tracked, spark=spark)
+            )
+        try:
+            return _commit(
+                p, clean + new_files, parent,
+                stats=new_stats or None,
+                blooms=_carry_blooms(p, m, clean, new_files),
+                op="purge", types_meta=m.get("types"),
+            )
+        except SnapshotCommitConflict:
+            # a writer landed mid-purge: its DVs/files must not be lost
+            # — re-read the tip and re-purge
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
 def snapshot_zorder_compact(
     spark: SparkSession,
     table_path,

@@ -2806,3 +2806,65 @@ def test_full_replace_with_stats_clears_stale_types_map(spark, tmp_path):
     got = snapshot_read(spark, t)
     assert sorted(got.columns) == ["extra", "k"]
     assert {r.extra for r in got.collect()} == {"new"}
+
+
+def test_purge_dv_rewrites_only_dirty_files(spark, tmp_path):
+    """REORG APPLY (PURGE): files carrying deletion vectors rewrite
+    (dead rows physically dropped, vectors cleared), clean files stay
+    byte-identical, content is unchanged, pre-purge versions still
+    time-travel WITH their vectors, and a vector-free table is a
+    version-level no-op."""
+    import hashlib
+
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        SnapshotCatalog,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_delete_range_mor,
+        snapshot_purge_dv,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(100).selectExpr("id AS k", "id * 10 AS v"), t,
+        ["k"], n_files=4,
+    )  # k-ranges [0,24] [25,49] [50,74] [75,99]
+    snapshot_delete_range_mor(spark, t, "k", 10, 19)  # DV on file 1 only
+    v_pre = current_version(t)
+    m_pre = _read_manifest(t, v_pre)
+    assert m_pre.get("dv"), "precondition: a deletion vector exists"
+    hashes_pre = {
+        f: hashlib.sha256((t / f).read_bytes()).hexdigest()
+        for f in m_pre["files"]
+    }
+    dirty = {
+        f for f in m_pre["files"]
+        if any(f.endswith(k.split("/")[-1]) for k in m_pre["dv"])
+    }
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE pg USING snapshot LOCATION '{t}'")
+    cat.sql("REORG TABLE pg APPLY (PURGE)")
+    v_post = current_version(t)
+    assert v_post == v_pre + 1
+    m_post = _read_manifest(t, v_post)
+    assert not (m_post.get("dv") or {}), "vectors must clear"
+    kept = set(m_post["files"]) & set(m_pre["files"])
+    assert kept == set(m_pre["files"]) - dirty, "only dirty files rewrite"
+    for f in kept:
+        assert hashlib.sha256(
+            (t / f).read_bytes()
+        ).hexdigest() == hashes_pre[f], "clean file mutated"
+    got = {r.k for r in snapshot_read(spark, t).collect()}
+    assert got == set(range(100)) - set(range(10, 20))
+    # rewritten files carry stats for the tracked column
+    new = set(m_post["files"]) - kept
+    assert new and all("k" in m_post["stats"][f] for f in new)
+    # pre-purge version still applies its vectors
+    assert snapshot_read(spark, t, version=v_pre).count() == 90
+    # no-op on a vector-free table
+    assert snapshot_purge_dv(spark, t) == v_post
+    assert current_version(t) == v_post
