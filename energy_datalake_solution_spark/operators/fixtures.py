@@ -2285,3 +2285,64 @@ def snapshot_copy_into_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_purge_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price
+        FROM orders
+        WHERE o_orderkey % 10 NOT IN (3, 7)
+    """,
+    tags=("snapshot", "reorg", "purge", "dv"),
+)
+def snapshot_purge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector compaction (REORG APPLY (PURGE)) under the
+    driver's hash gate: commit orders, grow deletion vectors with two
+    modulo DELETEs (non-prunable — every file gets vectors), REORG, and
+    read the purged table. Guards raise unless the post-purge manifest
+    is vector-FREE and the purge added exactly one commit; the oracle
+    recomputes the surviving rows, so a purge that resurrects
+    soft-deleted rows, drops live rows, or misapplies a vector during
+    the rewrite fails the hash. (Byte-identity of clean files under a
+    partial-DV purge is pinned in tests/test_snapshots.py.)"""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_purge_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    snapshot_write_with_stats(o, t, ["o_orderkey"], n_files=6)
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE purge_orders USING snapshot LOCATION '{t}'")
+    cat.sql("DELETE FROM purge_orders WHERE o_orderkey % 10 = 3")
+    cat.sql("DELETE FROM purge_orders WHERE o_orderkey % 10 = 7")
+    v_pre = current_version(t)
+    had_dv = bool(_read_manifest(t, v_pre).get("dv"))
+    cat.sql("REORG TABLE purge_orders APPLY (PURGE)")
+    cat.drop_table("purge_orders")
+    # vector-free tables (the empty-corpus sweep: the DELETEs match no
+    # rows) purge as a version-level no-op; otherwise exactly one commit
+    if current_version(t) != v_pre + (1 if had_dv else 0):
+        raise RuntimeError("purge must be exactly one commit")
+    if _read_manifest(t, current_version(t)).get("dv"):
+        raise RuntimeError("purge left deletion vectors behind")
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

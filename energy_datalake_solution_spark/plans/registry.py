@@ -113,6 +113,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_or_pruning_read",
     "snapshot_ctas_read",
     "snapshot_copy_into_read",
+    "snapshot_purge_read",
     # --- latest hash-green round 6: the stalest cohort (37) ---
     "docs_incremental_simhash_dedup",
     "docs_lm_quality_buckets",
@@ -157,7 +158,6 @@ SURFACE_ORDER: tuple[str, ...] = (
     "audit_enrichment",
     "correlated_subquery_above_avg_size",
     "count_customers",
-    "cube_order_counts",
 )
 
 
