@@ -3311,3 +3311,256 @@ def multimodal_jpeg_422_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFra
     the 4:2:2 geometry itself."""
     d = load_table(spark, sf_dir, "documents")
     return decode_jpeg_color_pixel_stats(synth_jpeg_422_payload(d))
+
+
+# --------------------------------------------------------------------------
+# IMA/DVI ADPCM WAV decode (format tag 0x11) — a real COMPRESSED audio
+# codec in pure numpy/int arithmetic. Public spec: IMA Digital Audio
+# Interchange Format (1992), the same tables RFC 3551 and every WAV
+# implementation carry. The decode is a per-sample integer state machine
+# (step index + predictor), which the oracle replays as a DuckDB
+# RECURSIVE CTE — the strongest oracle shape in the suite: any slip in
+# the nibble order, sign handling, clamping, or table lookup diverges the
+# state and fails the hash for every later sample.
+# --------------------------------------------------------------------------
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+ADPCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("min_amp", T.IntegerType()),
+        T.StructField("max_amp", T.IntegerType()),
+        T.StructField("end_amp", T.IntegerType()),
+    ]
+)
+
+
+def synth_wav_adpcm_payload(df: DataFrame) -> DataFrame:
+    """Synthesize COMPLETE, spec-valid IMA ADPCM WAV files (format tag
+    0x11, mono, one block): RIFF header, extended fmt chunk carrying
+    samplesPerBlock, and a block whose 4-byte header holds the seed
+    predictor/step-index and whose nibble stream derives arithmetically
+    from doc_id — nibble(k) = (doc_id*13 + k*7) % 16, seed
+    p0 = ((doc_id*7919) % 2003) - 1001, idx0 = doc_id % 89,
+    n_nibbles = 64 + 8*(doc_id % 3), rate = 8000 + (doc_id % 4)*4000.
+    A standard ADPCM decoder reads these files; the formulas let the
+    oracle REPLAY the decode in SQL."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_nib = 64 + 8 * (i % 3)
+                p0 = ((i * 7919) % 2003) - 1001
+                idx0 = i % 89
+                sr = 8000 + (i % 4) * 4000
+                nibs = [(i * 13 + k * 7) % 16 for k in range(n_nib)]
+                body = bytearray(struct.pack("<hBB", p0, idx0, 0))
+                for j in range(0, n_nib, 2):
+                    body.append(nibs[j] | (nibs[j + 1] << 4))
+                block_align = len(body)
+                spb = 1 + n_nib  # header sample + one per nibble
+                fmt = struct.pack(
+                    "<HHIIHHHH", 0x11, 1, sr,
+                    (sr * block_align) // spb, block_align, 4, 2, spb,
+                )
+                buf = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+                    + b"WAVEfmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(body))
+                    + bytes(body)
+                )
+                rows.append({"doc_id": doc_id, "payload": buf})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_wav_adpcm_stats(df: DataFrame) -> DataFrame:
+    """REAL IMA ADPCM decode: walk the RIFF chunks, require format tag
+    0x11 / 4-bit mono, then run the spec state machine over the block's
+    nibble stream (low nibble first) — step-table lookup, magnitude
+    reconstruction from the three mantissa bits, sign bit, predictor
+    clamp to int16, index clamp to [0, 88] — and reduce per-doc sample
+    statistics (the block header's seed predictor is sample 0, T.81-style
+    bit-exact integer arithmetic throughout). Arrow-batched mapInPandas;
+    payload bytes never shuffle. Multi-block mono streams decode by
+    striding blockAlign."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def decode(buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(buf):
+                cid, size = buf[pos:pos + 4], struct.unpack(
+                    "<I", buf[pos + 4:pos + 8]
+                )[0]
+                body = buf[pos + 8:pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = body
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            tag, n_ch, sr, _, block_align, bits = struct.unpack(
+                "<HHIIHH", fmt[:16]
+            )
+            if tag != 0x11 or bits != 4 or n_ch != 1:
+                raise ValueError(
+                    f"unsupported encoding: fmt={tag:#x} bits={bits} ch={n_ch}"
+                )
+            out = []
+            for b0 in range(0, len(data), block_align):
+                block = data[b0:b0 + block_align]
+                pred, idx, _r = struct.unpack("<hBB", block[:4])
+                out.append(pred)
+                for byte in block[4:]:
+                    for delta in (byte & 0x0F, byte >> 4):  # low nibble first
+                        step = _IMA_STEPS[idx]
+                        diff = step >> 3
+                        if delta & 1:
+                            diff += step >> 2
+                        if delta & 2:
+                            diff += step >> 1
+                        if delta & 4:
+                            diff += step
+                        pred = pred - diff if delta & 8 else pred + diff
+                        pred = max(-32768, min(32767, pred))
+                        idx = max(0, min(88, idx + _IMA_INDEX[delta & 7]))
+                        out.append(pred)
+            return np.asarray(out, dtype=np.int64), sr
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, sr = decode(bytes(payload))
+                n = samples.shape[0]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": n,
+                        "sample_rate": sr,
+                        "mean_amp": round(float(samples.sum() / n), 6),
+                        "min_amp": int(samples.min()),
+                        "max_amp": int(samples.max()),
+                        "end_amp": int(samples[-1]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ADPCM_STATS_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, ADPCM_STATS_SCHEMA)
+
+
+@register(
+    "multimodal_wav_adpcm_stats",
+    oracle="""
+        WITH RECURSIVE step_tab(si, sv) AS (
+            SELECT * FROM (VALUES
+            (0, 7), (1, 8), (2, 9), (3, 10), (4, 11), (5, 12), (6, 13), (7,
+            14), (8, 16), (9, 17), (10, 19), (11, 21), (12, 23), (13, 25),
+            (14, 28), (15, 31), (16, 34), (17, 37), (18, 41), (19, 45), (20,
+            50), (21, 55), (22, 60), (23, 66), (24, 73), (25, 80), (26, 88),
+            (27, 97), (28, 107), (29, 118), (30, 130), (31, 143), (32, 157),
+            (33, 173), (34, 190), (35, 209), (36, 230), (37, 253), (38, 279),
+            (39, 307), (40, 337), (41, 371), (42, 408), (43, 449), (44, 494),
+            (45, 544), (46, 598), (47, 658), (48, 724), (49, 796), (50, 876),
+            (51, 963), (52, 1060), (53, 1166), (54, 1282), (55, 1411), (56,
+            1552), (57, 1707), (58, 1878), (59, 2066), (60, 2272), (61, 2499),
+            (62, 2749), (63, 3024), (64, 3327), (65, 3660), (66, 4026), (67,
+            4428), (68, 4871), (69, 5358), (70, 5894), (71, 6484), (72, 7132),
+            (73, 7845), (74, 8630), (75, 9493), (76, 10442), (77, 11487), (78,
+            12635), (79, 13899), (80, 15289), (81, 16818), (82, 18500), (83,
+            20350), (84, 22385), (85, 24623), (86, 27086), (87, 29794), (88,
+            32767)
+            ) t(si, sv)
+        ),
+        params AS (
+            SELECT doc_id,
+                   64 + 8 * (doc_id % 3) AS n_nib,
+                   ((doc_id * 7919) % 2003) - 1001 AS p0,
+                   doc_id % 89 AS idx0,
+                   8000 + (doc_id % 4) * 4000 AS sample_rate
+            FROM documents
+        ),
+        dec(doc_id, k, pred, idx) AS (
+            SELECT doc_id, 0, p0, idx0 FROM params
+            UNION ALL
+            SELECT d.doc_id, d.k + 1,
+                   GREATEST(-32768, LEAST(32767, d.pred
+                       + CASE WHEN ((d.doc_id*13 + d.k*7) % 16) >= 8
+                              THEN -1 ELSE 1 END
+                       * ((st.sv // 8)
+                          + CASE WHEN ((d.doc_id*13 + d.k*7) % 16) % 2 = 1
+                                 THEN st.sv // 4 ELSE 0 END
+                          + CASE WHEN (((d.doc_id*13 + d.k*7) % 16) // 2) % 2 = 1
+                                 THEN st.sv // 2 ELSE 0 END
+                          + CASE WHEN (((d.doc_id*13 + d.k*7) % 16) // 4) % 2 = 1
+                                 THEN st.sv ELSE 0 END))),
+                   GREATEST(0, LEAST(88, d.idx
+                       + CASE ((d.doc_id*13 + d.k*7) % 16) % 8
+                              WHEN 4 THEN 2 WHEN 5 THEN 4
+                              WHEN 6 THEN 6 WHEN 7 THEN 8
+                              ELSE -1 END))
+            FROM dec d
+            JOIN step_tab st ON st.si = d.idx
+            JOIN params p ON p.doc_id = d.doc_id
+            WHERE d.k < p.n_nib
+        )
+        SELECT d.doc_id,
+               CAST(1 + p.n_nib AS INT) AS n_samples,
+               CAST(p.sample_rate AS INT) AS sample_rate,
+               round(avg(CAST(d.pred AS DOUBLE)), 6) AS mean_amp,
+               CAST(min(d.pred) AS INT) AS min_amp,
+               CAST(max(d.pred) AS INT) AS max_amp,
+               CAST(max(CASE WHEN d.k = p.n_nib THEN d.pred END) AS INT)
+                   AS end_amp
+        FROM dec d JOIN params p ON p.doc_id = d.doc_id
+        GROUP BY d.doc_id, p.n_nib, p.sample_rate
+    """,
+    tags=("multimodal", "audio", "adpcm"),
+)
+def multimodal_wav_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sample statistics decoded from REAL IMA ADPCM WAV bytes
+    (format tag 0x11) — a genuinely COMPRESSED audio codec under the
+    hash gate. The Spark side parses the RIFF container and runs the
+    spec's integer state machine over the nibble stream; the oracle
+    REPLAYS the same state machine as a DuckDB recursive CTE over the
+    89-entry step table, so one wrong table entry, a swapped nibble
+    order, a missed clamp, or a sign slip diverges every subsequent
+    sample and fails the hash. Public spec: IMA DAIF (1992) / the
+    ADPCM tables carried by RFC 3551."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_wav_adpcm_stats(synth_wav_adpcm_payload(d))

@@ -114,6 +114,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_ctas_read",
     "snapshot_copy_into_read",
     "snapshot_purge_read",
+    "multimodal_wav_adpcm_stats",
     # --- latest hash-green round 6: the stalest cohort (37) ---
     "docs_incremental_simhash_dedup",
     "docs_lm_quality_buckets",
@@ -156,7 +157,6 @@ SURFACE_ORDER: tuple[str, ...] = (
     #     window — trimmed as round-11-born queries land at the top) ---
     "anti_join_parts_never_shipped",
     "audit_enrichment",
-    "correlated_subquery_above_avg_size",
     "count_customers",
 )
 

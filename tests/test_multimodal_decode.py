@@ -765,3 +765,73 @@ def test_jpeg_grayscale_restart_markers_decode(spark):
     bad[i + 1] = 0xD4
     with pytest.raises(Exception, match="RST|restart"):
         _decode_jpeg(spark, bytes(bad))
+
+
+def test_adpcm_decode_matches_reference_state_machine(spark):
+    """The IMA ADPCM decoder reproduces an independently-coded reference
+    decode (separate implementation of the spec tables/clamps) on the
+    synthesized payloads, and rejects non-ADPCM or multichannel input."""
+    import struct
+
+    import numpy as np
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        decode_wav_adpcm_stats,
+        synth_wav_adpcm_payload,
+    )
+
+    d = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    rows = {r.doc_id: r for r in
+            decode_wav_adpcm_stats(synth_wav_adpcm_payload(d)).collect()}
+    assert len(rows) == 25
+    for i in range(25):
+        n_nib = 64 + 8 * (i % 3)
+        pred = ((i * 7919) % 2003) - 1001
+        idx = i % 89
+        out = [pred]
+        for k in range(n_nib):
+            delta = (i * 13 + k * 7) % 16
+            step = _IMA_STEPS[idx]
+            diff = (step >> 3) + ((step >> 2) if delta & 1 else 0) \
+                + ((step >> 1) if delta & 2 else 0) + (step if delta & 4 else 0)
+            pred = max(-32768, min(32767, pred + (-diff if delta & 8 else diff)))
+            idx = max(0, min(88, idx + _IMA_INDEX[delta & 7]))
+            out.append(pred)
+        a = np.asarray(out)
+        r = rows[i]
+        assert r.n_samples == 1 + n_nib
+        assert r.sample_rate == 8000 + (i % 4) * 4000
+        assert (r.min_amp, r.max_amp, r.end_amp) == (
+            int(a.min()), int(a.max()), int(a[-1])
+        )
+        assert abs(r.mean_amp - round(float(a.mean()), 6)) < 1e-9
+
+    # malformed / unsupported inputs fail loudly
+    (row,) = synth_wav_adpcm_payload(
+        spark.range(1, 2).withColumnRenamed("id", "doc_id")
+    ).collect()
+    buf = bytearray(bytes(row.payload))
+
+    def run(payload):
+        import pandas as pd
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [payload]}),
+            "doc_id long, payload binary",
+        )
+        return decode_wav_adpcm_stats(df).collect()
+
+    with pytest.raises(Exception):
+        run(b"JUNK" + bytes(buf[4:]))
+    # flip the format tag to PCM: the ADPCM decoder must refuse
+    tag_at = buf.find(b"fmt ") + 8
+    bad = bytearray(buf)
+    bad[tag_at:tag_at + 2] = struct.pack("<H", 1)
+    with pytest.raises(Exception):
+        run(bytes(bad))
+    # stereo is out of the documented subset
+    bad = bytearray(buf)
+    bad[tag_at + 2:tag_at + 4] = struct.pack("<H", 2)
+    with pytest.raises(Exception):
+        run(bytes(bad))
