@@ -115,6 +115,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_copy_into_read",
     "snapshot_purge_read",
     "multimodal_wav_adpcm_stats",
+    "multimodal_wav_g711_stats",
     # --- latest hash-green round 6: the stalest cohort (37) ---
     "docs_incremental_simhash_dedup",
     "docs_lm_quality_buckets",
@@ -157,7 +158,6 @@ SURFACE_ORDER: tuple[str, ...] = (
     #     window — trimmed as round-11-born queries land at the top) ---
     "anti_join_parts_never_shipped",
     "audit_enrichment",
-    "count_customers",
 )
 
 

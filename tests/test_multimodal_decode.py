@@ -835,3 +835,56 @@ def test_adpcm_decode_matches_reference_state_machine(spark):
     bad[tag_at + 2:tag_at + 4] = struct.pack("<H", 2)
     with pytest.raises(Exception):
         run(bytes(bad))
+
+
+def test_g711_expansion_matches_itu_formulas(spark):
+    """The mu-law/A-law LUTs match the ITU formulas computed
+    independently per byte; known anchor points hold (mu-law 0xFF -> 0,
+    0x7F -> -8031... sign conventions pinned); non-G.711 tags refuse."""
+    import struct
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _alaw_expand,
+        _mulaw_expand,
+        decode_wav_g711_stats,
+        synth_wav_g711_payload,
+    )
+
+    # anchors: full-scale and zero codes of the public tables
+    assert _mulaw_expand(0xFF) == 0          # inverted 0x00 -> +0
+    assert _mulaw_expand(0x80) == 32124      # inverted 0x7F: max positive
+    assert _mulaw_expand(0x00) == -32124
+    assert _alaw_expand(0x55) == 8           # xor 0x55 -> 0x00 segment 0
+    assert _alaw_expand(0xD5) == -8          # xor 0x55 -> 0x80: signed zero
+    assert abs(_alaw_expand(0xAA)) == 32256  # xor 0x55 -> 0xFF: full scale
+    # monotone magnitude within a segment (sanity of the formula wiring)
+    mags = [abs(_mulaw_expand(0xFF - m)) for m in range(16)]
+    assert mags == sorted(mags)
+
+    d = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = {r.doc_id: r for r in
+            decode_wav_g711_stats(synth_wav_g711_payload(d)).collect()}
+    for i in range(12):
+        n = 120 + i % 9
+        expand = _mulaw_expand if i % 2 else _alaw_expand
+        amps = [expand((i * 19 + k * 11) % 256) for k in range(n)]
+        r = rows[i]
+        assert r.law == ("mulaw" if i % 2 else "alaw")
+        assert r.n_samples == n
+        assert (r.min_amp, r.max_amp) == (min(amps), max(amps))
+        assert abs(r.mean_amp - round(sum(amps) / n, 6)) < 1e-9
+
+    # PCM-tagged input refuses
+    (row,) = synth_wav_g711_payload(
+        spark.range(1, 2).withColumnRenamed("id", "doc_id")
+    ).collect()
+    buf = bytearray(bytes(row.payload))
+    tag_at = buf.find(b"fmt ") + 8
+    buf[tag_at:tag_at + 2] = struct.pack("<H", 1)
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [bytes(buf)]}),
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception):
+        decode_wav_g711_stats(df).collect()
