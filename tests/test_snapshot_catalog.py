@@ -718,3 +718,82 @@ def test_time_travel_rewrite_ignores_string_literals(spark, tmp_path):
     assert cat.sql(
         "SELECT count(*) AS n FROM lt TIMESTAMP AS OF '2099-01-01'"
     ).first().n == 8
+
+
+@pytest.mark.parametrize("mangle", ["lower", "spaces", "newlines", "semi"])
+def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
+    """Every routed statement shape parses under case-folding, extra
+    whitespace, newlines between clauses, and trailing semicolons —
+    the regex surface must key on structure, not formatting."""
+    import re as _re
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    def reform(stmt: str) -> str:
+        if mangle == "lower":
+            # lower-case everything outside single quotes
+            parts = _re.split(r"('[^']*')", stmt)
+            return "".join(
+                p if p.startswith("'") else p.lower() for p in parts
+            )
+        if mangle == "spaces":
+            return _re.sub(r" ", "  ", stmt)
+        if mangle == "newlines":
+            return stmt.replace(" WHEN ", "\nWHEN ").replace(
+                " WHERE ", "\nWHERE "
+            ).replace(" SET ", "\nSET ")
+        return stmt + " ;"
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(10).selectExpr(
+            "id AS k", "id * 10 AS v", "'a' AS tag"
+        ),
+        t, ["k"], n_files=2,
+    )
+    spark.createDataFrame(
+        [(3, 999, "s"), (50, 1, "s")], "k long, v long, tag string"
+    ).createOrReplaceTempView("gsrc")
+    stmts = [
+        f"CREATE TABLE gt USING snapshot LOCATION '{t}'",
+        "INSERT INTO gt VALUES (100, 5, 'i')",
+        "MERGE INTO gt t USING gsrc s ON t.k = s.k "
+        "WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v, tag) "
+        "VALUES (s.k, s.v, concat(s.tag, '!')) "
+        "WHEN NOT MATCHED BY SOURCE AND t.k = 9 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'",
+        "UPDATE gt SET v = greatest(v, 15) WHERE k BETWEEN 0 AND 1",
+        "DELETE FROM gt WHERE k = 7 OR k BETWEEN 5 AND 5",
+        "ALTER TABLE gt SET PARTITIONED BY (tag, k)",
+        "ALTER TABLE gt ADD CONSTRAINT kc CHECK (k >= 0)",
+        "ALTER TABLE gt DROP CONSTRAINT kc",
+        "ALTER TABLE gt ADD COLUMN extra double",
+        "ALTER TABLE gt RENAME COLUMN extra TO bonus",
+        "ALTER TABLE gt DROP COLUMN bonus",
+        "REORG TABLE gt APPLY (PURGE)",
+        "CREATE VIEW gv AS SELECT k, v FROM gt WHERE v >= 10",
+        "DROP VIEW gv",
+        "DESCRIBE HISTORY gt",
+        "DESCRIBE DETAIL gt",
+        "OPTIMIZE gt INTO 2 FILES",
+        "VACUUM gt RETAIN 2 VERSIONS",
+    ]
+    for stmt in stmts:
+        cat.sql(reform(stmt))
+    got = {r.k: (r.v, r.tag) for r in snapshot_read(spark, t).collect()}
+    # expected state, independent of formatting:
+    # start 0..9 (v=k*10, tag a); +insert 100; merge: k=3 updates to
+    # 999, k=50 inserts tag 's!', k=9 deletes, others (not in src,
+    # not 9) flag stale EXCEPT matched k=3 keeps 'a'; update: k=0 ->
+    # greatest(0,15)=15, k=1 -> greatest(10,15)=15; deletes k=5, k=7
+    exp_keys = {0, 1, 2, 3, 4, 6, 8, 50, 100}
+    assert set(got) == exp_keys, f"{mangle}: {sorted(got)}"
+    assert got[3] == (999, "a")
+    assert got[50] == (1, "s!")
+    assert got[0][0] == 15 and got[1][0] == 15
+    assert got[2] == (20, "stale") and got[100][1] == "stale"
