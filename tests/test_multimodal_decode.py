@@ -888,3 +888,69 @@ def test_g711_expansion_matches_itu_formulas(spark):
     )
     with pytest.raises(Exception):
         decode_wav_g711_stats(df).collect()
+
+
+def test_tiff_decode_both_orders_and_packbits(spark):
+    """TIFF: II-uncompressed and MM-PackBits payloads decode to the
+    generating formula; literal-run and no-op PackBits packets decode;
+    malformed inputs refuse."""
+    import struct
+
+    import pandas as pd
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        decode_tiff_pixel_stats,
+        synth_tiff_payload,
+    )
+
+    d = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = {r.doc_id: r for r in
+            decode_tiff_pixel_stats(synth_tiff_payload(d)).collect()}
+    for i in range(12):
+        w, h = 16 + 8 * (i % 3), 8 + 4 * (i % 2)
+        vals = [(i * 37 + y * 53) % 256 for y in range(h)]
+        r = rows[i]
+        assert (r.width, r.height) == (w, h)
+        assert r.byte_order == ("II" if i % 2 == 0 else "MM")
+        assert r.compressed == (i % 2 == 1)
+        assert (r.min_val, r.max_val, r.corner_val) == (
+            min(vals), max(vals), vals[0]
+        )
+        assert abs(r.mean_val - round(sum(vals) / h, 6)) < 1e-9
+
+    def run(payload):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [payload]}),
+            "doc_id long, payload binary",
+        )
+        return decode_tiff_pixel_stats(df).collect()
+
+    # hand-built MM TIFF whose strip mixes literal runs, a repeat run,
+    # and the -128 no-op packet — the three PackBits packet kinds
+    en = ">"
+    w, h = 4, 2
+
+    def entry(tag, typ, count, value):
+        v = struct.pack(en + "HH", value, 0) if typ == 3 else struct.pack(en + "I", value)
+        return struct.pack(en + "HHI", tag, typ, count) + v
+
+    # row 0: literal [1,2,3,4]; no-op; row 1: repeat 9 x4
+    strip = bytes([3, 1, 2, 3, 4, 128, 257 - 4, 9])
+    strip_off = 8 + 2 + 9 * 12 + 4
+    buf = struct.pack(en + "2sHI", b"MM", 42, 8)
+    buf += struct.pack(en + "H", 9)
+    for tag, typ, val in [(256, 3, w), (257, 3, h), (258, 3, 8),
+                          (259, 3, 32773), (262, 3, 1),
+                          (273, 4, strip_off), (277, 3, 1),
+                          (278, 3, h), (279, 4, len(strip))]:
+        buf += entry(tag, typ, 1, val)
+    buf += struct.pack(en + "I", 0)
+    buf += strip
+    (r,) = run(buf)
+    assert (r.min_val, r.max_val, r.corner_val) == (1, 9, 1)
+    assert abs(r.mean_val - round((1 + 2 + 3 + 4 + 9 * 4) / 8, 6)) < 1e-9
+
+    with pytest.raises(Exception):
+        run(b"XX" + buf[2:])           # bad magic
+    with pytest.raises(Exception):
+        run(buf[:len(buf) - 3])        # truncated strip (RLE mismatch)
