@@ -41,6 +41,7 @@ contract one level up:
             ingested — the ledger commits atomically with the rows)
         RESTORE TABLE <name> VERSION/TIMESTAMP AS OF -> snapshot_restore
         VACUUM <name> [RETAIN n VERSIONS]         -> snapshot_vacuum
+        SHOW TABLES / SHOW VIEWS                  (registrations + views)
         DESCRIBE HISTORY <name>                   -> snapshot_history
         DESCRIBE DETAIL <name>  (version, files, partitioning, bucketing,
             widened types, constraints, column mapping — manifest-only)
@@ -331,6 +332,9 @@ _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<name>[A-Za-z_]\w*)"
     r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*;?\s*$",
     re.IGNORECASE,
+)
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+(?P<what>TABLES|VIEWS)\s*;?\s*$", re.IGNORECASE
 )
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
@@ -741,6 +745,29 @@ class SnapshotCatalog:
                 "partitioning string, bucketing string, widened_types string, "
                 "check_constraints string, column_mapping boolean, "
                 "dv_deleted_rows long",
+            )
+        m = _SHOW_RE.match(text)
+        if m:
+            from .snapshots import current_version
+
+            if m.group("what").upper() == "TABLES":
+                rows = [
+                    (
+                        name, str(path), version,
+                        current_version(path) if version is None else version,
+                    )
+                    for name, (path, version) in sorted(self._tables.items())
+                ]
+                return self.spark.createDataFrame(
+                    rows or [],
+                    "name string, location string, pinned_version long, "
+                    "current_version long",
+                )
+            rows = [
+                (name, q) for name, q in sorted(self._views.items())
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "name string, definition string"
             )
         m = _HISTORY_RE.match(text)
         if m and m.group("name") in self._tables:

@@ -797,3 +797,24 @@ def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
     assert got[50] == (1, "s!")
     assert got[0][0] == 15 and got[1][0] == 15
     assert got[2] == (20, "stale") and got[100][1] == "stale"
+
+
+def test_show_tables_and_views(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(3).selectExpr("id AS k"), t, ["k"], n_files=1,
+    )
+    cat.sql(f"CREATE TABLE st USING snapshot LOCATION '{t}'")
+    cat.sql(f"CREATE TABLE st_pin USING snapshot LOCATION '{t}' "
+            "VERSION AS OF 1")
+    cat.sql("CREATE VIEW sv AS SELECT k FROM st")
+    tabs = {r.name: (r.pinned_version, r.current_version)
+            for r in cat.sql("SHOW TABLES").collect()}
+    assert tabs == {"st": (None, 1), "st_pin": (1, 1)}
+    views = {r.name: r.definition for r in cat.sql("SHOW VIEWS").collect()}
+    assert views == {"sv": "SELECT k FROM st"}
