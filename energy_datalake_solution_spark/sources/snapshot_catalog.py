@@ -45,7 +45,7 @@ contract one level up:
         DESCRIBE HISTORY <name>                   -> snapshot_history
         DESCRIBE DETAIL <name>  (version, files, partitioning, bucketing,
             widened types, constraints, column mapping — manifest-only)
-        OPTIMIZE <name> [ZORDER BY (a, b)] [INTO n FILES]
+        OPTIMIZE <name> [ZORDER BY (a, b[, c...])] [INTO n FILES]
             -> snapshot_compact / snapshot_zorder_compact
         REORG TABLE <name> APPLY (PURGE)          -> snapshot_purge_dv
             (rewrite ONLY deletion-vector-carrying files — O(dv'd
@@ -252,8 +252,8 @@ _REORG_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_]\w*)"
-    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<za>[A-Za-z_]\w*)\s*,\s*"
-    r"(?P<zb>[A-Za-z_]\w*)\s*\))?"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*"
+    r"(?P<zcols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*\))?"
     r"(?:\s+INTO\s+(?P<n>\d+)\s+FILES)?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -704,13 +704,17 @@ class SnapshotCatalog:
                     "OPTIMIZE inside an open transaction is not "
                     "supported; COMMIT first"
                 )
-            from .snapshots import snapshot_compact, snapshot_zorder_compact
+            from .snapshots import (
+                snapshot_compact,
+                snapshot_zorder_compact_n,
+            )
 
             path = self._writable(m.group("name"))
             n = int(m.group("n")) if m.group("n") else None
-            if m.group("za"):
-                snapshot_zorder_compact(
-                    self.spark, path, m.group("za"), m.group("zb"),
+            if m.group("zcols"):
+                snapshot_zorder_compact_n(
+                    self.spark, path,
+                    [c.strip() for c in m.group("zcols").split(",")],
                     **({"n_files": n} if n else {}),
                 )
             else:

@@ -3941,8 +3941,31 @@ def snapshot_zorder_compact(
     clustered ones until the next full rewrite, which only ADMITS a few
     more files, never loses rows). Falls back to the full rewrite when
     no prior zorder commit survives on disk or nothing is clustered."""
-    from .sinks import zorder_arrange
+    return snapshot_zorder_compact_n(
+        spark, table_path, [col_a, col_b], n_files=n_files, bits=bits,
+        incremental=incremental,
+    )
 
+
+def snapshot_zorder_compact_n(
+    spark: SparkSession,
+    table_path,
+    cols: list,
+    n_files: int = 8,
+    bits: int = 8,
+    incremental: bool = False,
+) -> int:
+    """N-column OPTIMIZE ZORDER (the general form snapshot_zorder_compact
+    wraps at N=2): interleave ``bits`` quantile bits per column on the
+    N-ary Morton curve (sinks.zorder_arrange_n — bit-identical to the
+    2-D curve at N=2) and commit with per-file stats for every z
+    column. Same incremental carried-rectangle mode and optimistic-retry
+    disposition as the 2-column form."""
+    from .sinks import zorder_arrange_n
+
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("ZORDER needs at least two columns")
     p = _table(table_path)
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)
@@ -3966,14 +3989,14 @@ def snapshot_zorder_compact(
             carried = []
             df = snapshot_read(spark, p)
         new_files = _write_files(
-            zorder_arrange(df, col_a, col_b, n_files=n_files, bits=bits), p
+            zorder_arrange_n(df, cols, n_files=n_files, bits=bits), p
         )
         stats = {
             f: s
             for f, s in (pm.get("stats", {}) or {}).items()
             if f in set(carried)
         }
-        stats.update(_collect_stats(p, new_files, [col_a, col_b], spark=spark))
+        stats.update(_collect_stats(p, new_files, cols, spark=spark))
         try:
             return _commit(p, carried + new_files, parent, stats=stats,
                            blooms=_carry_blooms(p, pm, carried, new_files),

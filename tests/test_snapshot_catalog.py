@@ -818,3 +818,36 @@ def test_show_tables_and_views(spark, tmp_path):
     assert tabs == {"st": (None, 1), "st_pin": (1, 1)}
     views = {r.name: r.definition for r in cat.sql("SHOW VIEWS").collect()}
     assert views == {"sv": "SELECT k FROM st"}
+
+
+def test_optimize_zorder_n_columns(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY (a, b, c): three-column Morton layout
+    commits with per-file stats for ALL z columns, contents unchanged;
+    the 2-column form still routes (shared implementation)."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(2000).selectExpr(
+            "id AS x", "CAST(id * 37 % 1000 AS LONG) AS y",
+            "CAST(id * 91 % 500 AS LONG) AS z", "id AS v"
+        ),
+        t, ["x"], n_files=4,
+    )
+    cat.sql(f"CREATE TABLE zt USING snapshot LOCATION '{t}'")
+    before = cat.sql("SELECT count(*) AS n FROM zt").first().n
+    cat.sql("OPTIMIZE zt ZORDER BY (x, y, z) INTO 8 FILES")
+    m = _read_manifest(t, current_version(t))
+    assert m["op"] == "zorder"
+    assert len(m["files"]) == 8
+    assert all(
+        {"x", "y", "z"} <= set(s_) for s_ in m["stats"].values()
+    ), "every z column needs per-file stats"
+    assert cat.sql("SELECT count(*) AS n FROM zt").first().n == before
+    cat.sql("OPTIMIZE zt ZORDER BY (x, y)")
+    assert cat.sql("SELECT count(*) AS n FROM zt").first().n == before
