@@ -41,6 +41,10 @@ contract one level up:
             ingested — the ledger commits atomically with the rows)
         RESTORE TABLE <name> VERSION/TIMESTAMP AS OF -> snapshot_restore
         VACUUM <name> [RETAIN n VERSIONS]         -> snapshot_vacuum
+        ANALYZE TABLE <name> COMPUTE STATISTICS FOR COLUMNS (a, b)
+            -> snapshot_analyze (metadata-only stats backfill: retrofits
+            file pruning onto stats-less tables — CTAS results,
+            DataSource writes, inherited lakes)
         SHOW TABLES / SHOW VIEWS                  (registrations + views)
         DESCRIBE HISTORY <name>                   -> snapshot_history
         DESCRIBE DETAIL <name>  (version, files, partitioning, bucketing,
@@ -331,6 +335,12 @@ _TT_RE = re.compile(
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<name>[A-Za-z_]\w*)"
     r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+COMPUTE\s+"
+    r"STATISTICS\s+FOR\s+COLUMNS\s*\(?\s*"
+    r"(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _SHOW_RE = re.compile(
@@ -750,6 +760,16 @@ class SnapshotCatalog:
                 "check_constraints string, column_mapping boolean, "
                 "dv_deleted_rows long",
             )
+        m = _ANALYZE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_analyze
+
+            path = self._writable(m.group("name"))
+            snapshot_analyze(
+                self.spark, path,
+                [c.strip() for c in m.group("cols").split(",")],
+            )
+            return None
         m = _SHOW_RE.match(text)
         if m:
             from .snapshots import current_version

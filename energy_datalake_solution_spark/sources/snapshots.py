@@ -3854,6 +3854,49 @@ def snapshot_compact(
     raise AssertionError("unreachable")
 
 
+def snapshot_analyze(spark: SparkSession, table_path, cols: list) -> int:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS: backfill
+    per-file [min, max] stats for the given columns over every LIVE
+    file and commit them as a metadata-only version — no data is
+    rewritten or moved. This retrofits file pruning onto tables written
+    without stats (CTAS results, plain DataSource writes, inherited
+    lakes): after one ANALYZE, range/point/predicate reads prune
+    exactly like a stats-born table. The footer sweep distributes above
+    the driver bound like every metadata scan; the merged map REPLACES
+    prior stats for the analyzed columns and keeps other columns'
+    entries. Columns are LOGICAL names on mapped tables."""
+    p = _table(table_path)
+    cols = list(cols)
+    if not cols:
+        raise ValueError("ANALYZE needs at least one column")
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        if parent == 0:
+            raise FileNotFoundError(f"no snapshot table at {table_path}")
+        m = _read_manifest(p, parent)
+        sch = m.get("schema")
+        pcols = [_mapping_physical(sch, c) if sch else c for c in cols]
+        files = list(m["files"])
+        fresh = _collect_stats(p, files, pcols, spark=spark)
+        merged: dict = {}
+        old = m.get("stats", {}) or {}
+        for f in files:
+            ent = dict(old.get(f, {}))
+            ent.update(fresh.get(f, {}))
+            if ent:
+                merged[f] = ent
+        try:
+            return _commit(p, files, parent, stats=merged or None,
+                           blooms=m.get("blooms") or None,
+                           dv=dict(m.get("dv", {}) or {}) or None,
+                           op="analyze",
+                           types_meta=m.get("types"))
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
 def snapshot_purge_dv(spark: SparkSession, table_path) -> int:
     """REORG TABLE ... APPLY (PURGE), Delta's deletion-vector
     compaction: rewrite ONLY the files carrying deletion vectors so

@@ -851,3 +851,53 @@ def test_optimize_zorder_n_columns(spark, tmp_path):
     assert cat.sql("SELECT count(*) AS n FROM zt").first().n == before
     cat.sql("OPTIMIZE zt ZORDER BY (x, y)")
     assert cat.sql("SELECT count(*) AS n FROM zt").first().n == before
+
+
+def test_analyze_backfills_stats_and_enables_pruning(spark, tmp_path):
+    """ANALYZE TABLE retrofits per-file stats onto a stats-less table
+    (here a CTAS result): before — no pruning (every file admitted);
+    after — range reads prune exactly; existing stats for other columns
+    survive; data untouched (byte-identical files, one metadata
+    commit)."""
+    import hashlib
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_files_for_range,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    src = tmp_path / "src"
+    snapshot_write_with_stats(
+        spark.range(400).selectExpr("id AS k", "id * 10 AS v"), src,
+        ["k"], n_files=4,
+    )
+    cat.sql(f"CREATE TABLE asrc USING snapshot LOCATION '{src}'")
+    dst = tmp_path / "dst"
+    cat.sql(
+        f"CREATE TABLE actas USING snapshot LOCATION '{dst}' "
+        "AS SELECT k, v FROM asrc"
+    )
+    # CTAS result has no stats: conservative full admit
+    v0 = current_version(dst)
+    n_files = len(_read_manifest(dst, v0)["files"])
+    assert len(snapshot_files_for_range(dst, "k", 0, 0)) == n_files
+    hashes = {
+        f: hashlib.sha256((dst / f).read_bytes()).hexdigest()
+        for f in _read_manifest(dst, v0)["files"]
+    }
+    cat.sql("ANALYZE TABLE actas COMPUTE STATISTICS FOR COLUMNS (k, v)")
+    assert current_version(dst) == v0 + 1
+    m = _read_manifest(dst, v0 + 1)
+    assert set(m["files"]) == set(hashes)
+    for f, h in hashes.items():
+        assert hashlib.sha256(
+            (dst / f).read_bytes()
+        ).hexdigest() == h, "ANALYZE must not touch data"
+    assert all({"k", "v"} <= set(s_) for s_ in m["stats"].values())
+    pruned = snapshot_files_for_range(dst, "k", 0, 0)
+    assert len(pruned) < n_files
+    got = cat.sql("SELECT count(*) AS n FROM actas").first().n
+    assert got == 400
