@@ -2346,3 +2346,72 @@ def snapshot_purge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_analyze_read",
+    oracle="""
+        SELECT o_orderkey AS order_id, o_totalprice AS total_price
+        FROM orders
+        WHERE o_orderkey BETWEEN 500 AND 1500 AND o_orderkey % 3 = 0
+    """,
+    tags=("snapshot", "analyze", "stats", "pruning"),
+)
+def snapshot_analyze_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats backfill (ANALYZE TABLE) under the driver's hash gate:
+    CTAS a stats-less derived table (key-thirds filter), verify the
+    range prune is CONSERVATIVE (all files admitted), ANALYZE, then
+    answer a key-range query through the now-pruned read — a guard
+    raises unless the post-ANALYZE prune admitted a strict subset. The
+    oracle recomputes the rows from raw orders, so backfilled stats
+    that mis-bound a file (losing rows to pruning) fail the hash, not
+    just the guard."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_files_for_range,
+        snapshot_read_range,
+        snapshot_write_with_stats,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_anl_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_t, dst_t = base / "src", base / "dst"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    snapshot_write_with_stats(o, src_t, ["o_orderkey"], n_files=6)
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE anl_src USING snapshot LOCATION '{src_t}'")
+    cat.sql(
+        f"CREATE TABLE anl_dst USING snapshot LOCATION '{dst_t}' "
+        "AS SELECT o_orderkey, o_totalprice FROM anl_src "
+        "WHERE o_orderkey % 3 = 0"
+    )
+    n_live = len(_read_manifest(dst_t, current_version(dst_t))["files"])
+    if len(snapshot_files_for_range(dst_t, "o_orderkey", 500, 1500)) != n_live:
+        raise RuntimeError("stats-less table must admit every file")
+    cat.sql(
+        "ANALYZE TABLE anl_dst COMPUTE STATISTICS FOR COLUMNS (o_orderkey)"
+    )
+    cat.drop_table("anl_src")
+    cat.drop_table("anl_dst")
+    pruned = snapshot_files_for_range(dst_t, "o_orderkey", 500, 1500)
+    if n_live >= 4 and len(pruned) >= n_live:
+        raise RuntimeError(
+            f"ANALYZE did not enable pruning ({len(pruned)}/{n_live})"
+        )
+    out = snapshot_read_range(
+        spark, dst_t, "o_orderkey", 500, 1500
+    ).where(F.col("o_orderkey").between(500, 1500)).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)

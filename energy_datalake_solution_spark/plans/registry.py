@@ -117,6 +117,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "multimodal_wav_adpcm_stats",
     "multimodal_wav_g711_stats",
     "multimodal_tiff_pixel_stats",
+    "snapshot_analyze_read",
     # --- latest hash-green round 6: the stalest cohort (37) ---
     "docs_incremental_simhash_dedup",
     "docs_lm_quality_buckets",
@@ -157,7 +158,6 @@ SURFACE_ORDER: tuple[str, ...] = (
     "tpch_q8_market_share",
     # --- latest hash-green round 8 (oldest remaining; filler up to the
     #     window — trimmed as round-11-born queries land at the top) ---
-    "anti_join_parts_never_shipped",
 )
 
 
