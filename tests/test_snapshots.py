@@ -2868,3 +2868,148 @@ def test_purge_dv_rewrites_only_dirty_files(spark, tmp_path):
     # no-op on a vector-free table
     assert snapshot_purge_dv(spark, t) == v_post
     assert current_version(t) == v_post
+
+
+def test_purge_then_vacuum_reclaims_replaced_files(spark, tmp_path):
+    """PURGE + VACUUM interplay: after a purge, the pre-purge version
+    still reads (vectors intact) until vacuum drops it; vacuum then
+    deletes the replaced dirty files and the purged tip keeps reading
+    the full content."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_delete_range_mor,
+        snapshot_purge_dv,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(100).selectExpr("id AS k"), t, ["k"], n_files=4,
+    )
+    snapshot_delete_range_mor(spark, t, "k", 0, 30)
+    v_pre = current_version(t)
+    pre_files = set(_read_manifest(t, v_pre)["files"])
+    snapshot_purge_dv(spark, t)
+    v_post = current_version(t)
+    replaced = pre_files - set(_read_manifest(t, v_post)["files"])
+    assert replaced, "purge must have replaced the dirty files"
+    assert snapshot_read(spark, t, version=v_pre).count() == 69
+    deleted = set(snapshot_vacuum(t, keep_versions=1))
+    assert replaced <= deleted, "vacuum must reclaim the replaced files"
+    assert {r.k for r in snapshot_read(spark, t).collect()} == set(
+        range(31, 100)
+    )
+
+
+def test_copy_into_races_concurrent_append(spark, tmp_path):
+    """COPY INTO's commit rebases over a concurrent append: both the
+    appended rows and the copied files land, and the per-file ledger
+    survives the rebase (a rerun is still a no-op)."""
+    import threading
+
+    import pandas as pd
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_copy_into,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for j in range(3):
+        pd.DataFrame({"k": [100 + j], "v": [j]}).to_parquet(
+            land / f"f{j}.parquet"
+        )
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(10).selectExpr("id AS k", "id AS v"), t, ["k"],
+        n_files=1,
+    )
+
+    # inject one racing append between COPY INTO's write and its commit
+    real_commit = S._commit
+    raced = {"done": False}
+    lock = threading.Lock()
+
+    def racing_commit(p, files, parent, **kw):
+        with lock:
+            if not raced["done"] and kw.get("op") == "append" and any(
+                "copy:" in k for k in (kw.get("txns_extra") or {})
+            ):
+                raced["done"] = True
+                S._commit = real_commit
+                from energy_datalake_solution_spark.sources.snapshots import (
+                    snapshot_append,
+                )
+
+                snapshot_append(
+                    spark.createDataFrame([(500, 5)], "k long, v long"), t
+                )
+                S._commit = racing_commit
+        return real_commit(p, files, parent, **kw)
+
+    S._commit = racing_commit
+    try:
+        v, n = snapshot_copy_into(spark, str(land), t, "parquet")
+    finally:
+        S._commit = real_commit
+    assert raced["done"] and n == 3
+    got = {r.k for r in snapshot_read(spark, t).collect()}
+    assert got == set(range(10)) | {100, 101, 102, 500}
+    # the ledger survived the rebase: rerun is a version no-op
+    v2, n2 = snapshot_copy_into(spark, str(land), t, "parquet")
+    assert n2 == 0 and v2 == current_version(t)
+
+
+def test_analyze_races_concurrent_append(spark, tmp_path):
+    """ANALYZE rebases over a concurrent append: the retry re-reads the
+    new tip, so the appended file is analyzed too and no file loses its
+    stats entry."""
+    import threading
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_analyze,
+        snapshot_write,
+    )
+
+    t = tmp_path / "t"
+    snapshot_write(spark.range(50).selectExpr("id AS k"), t)  # no stats
+
+    real_commit = S._commit
+    raced = {"done": False}
+    lock = threading.Lock()
+
+    def racing_commit(p, files, parent, **kw):
+        with lock:
+            if not raced["done"] and kw.get("op") == "analyze":
+                raced["done"] = True
+                S._commit = real_commit
+                from energy_datalake_solution_spark.sources.snapshots import (
+                    snapshot_append,
+                )
+
+                snapshot_append(
+                    spark.createDataFrame([(999,)], "k long"), t
+                )
+                S._commit = racing_commit
+        return real_commit(p, files, parent, **kw)
+
+    S._commit = racing_commit
+    try:
+        snapshot_analyze(spark, t, ["k"])
+    finally:
+        S._commit = real_commit
+    assert raced["done"]
+    m = _read_manifest(t, current_version(t))
+    assert set(m["files"]) == set(m.get("stats", {})), (
+        "every live file (incl. the raced append's) must carry stats"
+    )
