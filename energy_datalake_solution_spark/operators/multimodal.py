@@ -3402,14 +3402,15 @@ def synth_wav_adpcm_payload(df: DataFrame) -> DataFrame:
 
 def decode_wav_adpcm_stats(df: DataFrame) -> DataFrame:
     """REAL IMA ADPCM decode: walk the RIFF chunks, require format tag
-    0x11 / 4-bit mono, then run the spec state machine over the block's
-    nibble stream (low nibble first) — step-table lookup, magnitude
+    0x11 / 4-bit mono-or-stereo, then run the spec state machine over
+    the nibble stream (low nibble first) — step-table lookup, magnitude
     reconstruction from the three mantissa bits, sign bit, predictor
     clamp to int16, index clamp to [0, 88] — and reduce per-doc sample
-    statistics (the block header's seed predictor is sample 0, T.81-style
-    bit-exact integer arithmetic throughout). Arrow-batched mapInPandas;
-    payload bytes never shuffle. Multi-block mono streams decode by
-    striding blockAlign."""
+    statistics over all channels (each block carries one 4-byte header
+    per channel whose seed predictor is that channel's sample 0; stereo
+    data interleaves as alternating 4-byte chunks per channel, the WAV
+    IMA layout). Arrow-batched mapInPandas; payload bytes never shuffle.
+    Multi-block streams decode by striding blockAlign."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -3436,29 +3437,56 @@ def decode_wav_adpcm_stats(df: DataFrame) -> DataFrame:
             tag, n_ch, sr, _, block_align, bits = struct.unpack(
                 "<HHIIHH", fmt[:16]
             )
-            if tag != 0x11 or bits != 4 or n_ch != 1:
+            if tag != 0x11 or bits != 4 or n_ch not in (1, 2):
                 raise ValueError(
                     f"unsupported encoding: fmt={tag:#x} bits={bits} ch={n_ch}"
                 )
-            out = []
+
+            def nibbles_of(chunk: bytes):
+                for byte in chunk:
+                    yield byte & 0x0F  # low nibble first
+                    yield byte >> 4
+
+            def step_one(pred: int, idx: int, delta: int):
+                step = _IMA_STEPS[idx]
+                diff = step >> 3
+                if delta & 1:
+                    diff += step >> 2
+                if delta & 2:
+                    diff += step >> 1
+                if delta & 4:
+                    diff += step
+                pred = pred - diff if delta & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _IMA_INDEX[delta & 7]))
+                return pred, idx
+
+            # per channel: 4-byte block header, then (stereo) the data
+            # interleaves as alternating 4-byte chunks per channel — 8
+            # samples of the left channel, 8 of the right, ... (the WAV
+            # IMA layout; mono degenerates to one run of bytes)
+            chans = [[] for _ in range(n_ch)]
             for b0 in range(0, len(data), block_align):
                 block = data[b0:b0 + block_align]
-                pred, idx, _r = struct.unpack("<hBB", block[:4])
-                out.append(pred)
-                for byte in block[4:]:
-                    for delta in (byte & 0x0F, byte >> 4):  # low nibble first
-                        step = _IMA_STEPS[idx]
-                        diff = step >> 3
-                        if delta & 1:
-                            diff += step >> 2
-                        if delta & 2:
-                            diff += step >> 1
-                        if delta & 4:
-                            diff += step
-                        pred = pred - diff if delta & 8 else pred + diff
-                        pred = max(-32768, min(32767, pred))
-                        idx = max(0, min(88, idx + _IMA_INDEX[delta & 7]))
-                        out.append(pred)
+                preds, idxs = [], []
+                for c in range(n_ch):
+                    pred, idx, _r = struct.unpack(
+                        "<hBB", block[4 * c:4 * c + 4]
+                    )
+                    preds.append(pred)
+                    idxs.append(idx)
+                    chans[c].append(pred)
+                body = block[4 * n_ch:]
+                for j0 in range(0, len(body), 4 * n_ch):
+                    for c in range(n_ch):
+                        chunk = body[j0 + 4 * c:j0 + 4 * (c + 1)]
+                        for delta in nibbles_of(chunk):
+                            preds[c], idxs[c] = step_one(
+                                preds[c], idxs[c], delta
+                            )
+                            chans[c].append(preds[c])
+            # stats reduce over ALL channels' samples (mono unchanged)
+            out = [s_ for ch_ in chans for s_ in ch_]
             return np.asarray(out, dtype=np.int64), sr
 
         for pdf in it:

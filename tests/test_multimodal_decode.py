@@ -830,9 +830,9 @@ def test_adpcm_decode_matches_reference_state_machine(spark):
     bad[tag_at:tag_at + 2] = struct.pack("<H", 1)
     with pytest.raises(Exception):
         run(bytes(bad))
-    # stereo is out of the documented subset
+    # three channels are out of the documented subset (mono/stereo only)
     bad = bytearray(buf)
-    bad[tag_at + 2:tag_at + 4] = struct.pack("<H", 2)
+    bad[tag_at + 2:tag_at + 4] = struct.pack("<H", 3)
     with pytest.raises(Exception):
         run(bytes(bad))
 
@@ -954,3 +954,64 @@ def test_tiff_decode_both_orders_and_packbits(spark):
         run(b"XX" + buf[2:])           # bad magic
     with pytest.raises(Exception):
         run(buf[:len(buf) - 3])        # truncated strip (RLE mismatch)
+
+
+def test_adpcm_stereo_block_decodes_interleaved_chunks(spark):
+    """Stereo IMA ADPCM: per-channel 4-byte headers, data interleaved
+    as alternating 4-byte chunks (8 samples L, 8 samples R, ...) —
+    decode must match the reference state machine run independently
+    per channel."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        decode_wav_adpcm_stats,
+    )
+
+    n_nib = 16  # per channel: two 4-byte chunks each
+    seeds = [(100, 20), (-300, 45)]  # (pred, idx) per channel
+    nibs = [
+        [(7 * k + c * 3) % 16 for k in range(n_nib)] for c in range(2)
+    ]
+    body = bytearray()
+    for pred, idx in seeds:
+        body += struct.pack("<hBB", pred, idx, 0)
+    for j0 in range(0, n_nib, 8):
+        for c in range(2):
+            for j in range(j0, j0 + 8, 2):
+                body.append(nibs[c][j] | (nibs[c][j + 1] << 4))
+    block_align = len(body)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000,
+                      (8000 * block_align) // (1 + n_nib),
+                      block_align, 4, 2, 1 + n_nib)
+    buf = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+           + b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(body)) + bytes(body))
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [buf]}),
+        "doc_id long, payload binary",
+    )
+    (r,) = decode_wav_adpcm_stats(df).collect()
+
+    # reference: run the state machine per channel independently
+    all_samples = []
+    for c in range(2):
+        pred, idx = seeds[c]
+        out = [pred]
+        for delta in nibs[c]:
+            step = _IMA_STEPS[idx]
+            diff = (step >> 3) + ((step >> 2) if delta & 1 else 0) \
+                + ((step >> 1) if delta & 2 else 0) + (step if delta & 4 else 0)
+            pred = max(-32768, min(32767, pred + (-diff if delta & 8 else diff)))
+            idx = max(0, min(88, idx + _IMA_INDEX[delta & 7]))
+            out.append(pred)
+        all_samples += out
+    a = np.asarray(all_samples)
+    assert r.n_samples == 2 * (1 + n_nib)
+    assert (r.min_amp, r.max_amp) == (int(a.min()), int(a.max()))
+    assert abs(r.mean_amp - round(float(a.mean()), 6)) < 1e-9
