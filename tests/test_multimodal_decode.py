@@ -1015,3 +1015,59 @@ def test_adpcm_stereo_block_decodes_interleaved_chunks(spark):
     assert r.n_samples == 2 * (1 + n_nib)
     assert (r.min_amp, r.max_amp) == (int(a.min()), int(a.max()))
     assert abs(r.mean_amp - round(float(a.mean()), 6)) < 1e-9
+
+
+def test_adpcm_multi_block_stream_resets_state_per_block(spark):
+    """Multi-block mono ADPCM: the decoder strides blockAlign and each
+    block's header RE-SEEDS the predictor/index (spec behavior — blocks
+    are independently decodable), so a two-block stream equals the
+    concatenation of two independent single-block decodes."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        decode_wav_adpcm_stats,
+    )
+
+    n_nib = 8
+    blocks = [(500, 10, [1, 9, 4, 12, 7, 15, 2, 8]),
+              (-2000, 60, [14, 3, 11, 0, 5, 13, 6, 10])]
+    body = bytearray()
+    for pred, idx, nibs in blocks:
+        body += struct.pack("<hBB", pred, idx, 0)
+        for j in range(0, n_nib, 2):
+            body.append(nibs[j] | (nibs[j + 1] << 4))
+    block_align = 4 + n_nib // 2
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000,
+                      (8000 * block_align) // (1 + n_nib),
+                      block_align, 4, 2, 1 + n_nib)
+    buf = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+           + b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(body)) + bytes(body))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [buf]}),
+        "doc_id long, payload binary",
+    )
+    (r,) = decode_wav_adpcm_stats(df).collect()
+
+    all_samples = []
+    for pred, idx, nibs in blocks:
+        out = [pred]
+        for delta in nibs:
+            step = _IMA_STEPS[idx]
+            diff = (step >> 3) + ((step >> 2) if delta & 1 else 0) \
+                + ((step >> 1) if delta & 2 else 0) + (step if delta & 4 else 0)
+            pred = max(-32768, min(32767, pred + (-diff if delta & 8 else diff)))
+            idx = max(0, min(88, idx + _IMA_INDEX[delta & 7]))
+            out.append(pred)
+        all_samples += out
+    a = np.asarray(all_samples)
+    assert r.n_samples == 2 * (1 + n_nib)
+    assert (r.min_amp, r.max_amp, r.end_amp) == (
+        int(a.min()), int(a.max()), int(a[-1])
+    )
+    assert abs(r.mean_amp - round(float(a.mean()), 6)) < 1e-9
