@@ -1752,34 +1752,54 @@ def snapshot_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the wrong version, a timestamp resolution off by one commit,
     or a pinned view leaking post-append rows all fail the hash. Delta's
     most-used time-travel form (SELECT-level), no reference analog."""
+    import json as _json
     import shutil
-    import time
 
     from ..sources.catalog import load_table
     from ..sources.snapshot_catalog import SnapshotCatalog
-    from ..sources.snapshots import snapshot_append, snapshot_write_with_stats
+    from ..sources.snapshots import (
+        _manifest_path,
+        snapshot_append,
+        snapshot_write_with_stats,
+    )
 
     base = Path(tempfile.gettempdir()) / (
         f"snap_tt_{os.getpid()}_{path_tag(sf_dir)}"
     )
-    shutil.rmtree(base, ignore_errors=True)
     t = base / "table"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
     band = F.pmod("o_orderkey", F.lit(10))
-    snapshot_write_with_stats(
-        o.where(band < 5), t, ["o_orderkey"], n_files=4
-    )  # v1
-    ts_after_v1 = time.time()
-    time.sleep(0.02)  # commit timestamps are wall-clock: order the fence
-    snapshot_append(o.where(band >= 5), t)  # v2
     cat = SnapshotCatalog(spark)
-    cat.sql(f"CREATE TABLE tt_orders USING snapshot LOCATION '{t}'")
-    cat.sql(
-        "UPDATE tt_orders SET o_totalprice = o_totalprice + 7 "
-        "WHERE o_orderkey BETWEEN 1 AND 2000"
-    )  # v3
+    # the fence timestamp derives from the committed manifests' OWN ts
+    # stamps (midpoint of v1/v2), never time.time() deltas: wall-clock
+    # can step BACKWARDS between commits under NTP slew, and a fence
+    # captured from the host clock then resolves to the wrong version
+    # (the exact flake test_timestamp_time_travel deflaked). A same-ms
+    # stamp collision (regressed clock) retries the whole build — the
+    # stamps are the resolution's only authority, so the fence must
+    # separate them.
+    for _ in range(5):
+        shutil.rmtree(base, ignore_errors=True)
+        if "tt_orders" in cat._tables:
+            cat.drop_table("tt_orders")
+        snapshot_write_with_stats(
+            o.where(band < 5), t, ["o_orderkey"], n_files=4
+        )  # v1
+        snapshot_append(o.where(band >= 5), t)  # v2
+        cat.sql(f"CREATE TABLE tt_orders USING snapshot LOCATION '{t}'")
+        cat.sql(
+            "UPDATE tt_orders SET o_totalprice = o_totalprice + 7 "
+            "WHERE o_orderkey BETWEEN 1 AND 2000"
+        )  # v3
+        ts1, ts2, ts3 = (
+            _json.loads(_manifest_path(t, v).read_text())["ts"]
+            for v in (1, 2, 3)
+        )
+        ts_after_v1 = (ts1 + ts2) / 2
+        if ts1 <= ts_after_v1 < ts2 and ts_after_v1 < ts3:
+            break
     out = cat.sql(
         "SELECT old.o_orderkey AS order_id, "
         "old.o_totalprice AS price_v1, "

@@ -162,8 +162,11 @@ def zorder_arrange_n(
     explicit z-bucket -> hash-perfect partition token, so two writes of
     the same data produce identical file boxes."""
     n = len(cols)
-    if n < 2:
-        raise ValueError("z-order needs at least 2 columns")
+    if n < 1:
+        raise ValueError("z-order needs at least 1 column")
+    # N=1 degenerates exactly: bit i lands at position i, so the z-code
+    # IS the quantile bucket — a plain sort-compact (Delta accepts
+    # single-column ZORDER with the same meaning)
     if bits * n > 62:
         raise ValueError(f"bits*ncols = {bits * n} exceeds a long's width")
     aggs = []

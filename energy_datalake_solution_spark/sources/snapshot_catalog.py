@@ -257,7 +257,7 @@ _REORG_RE = re.compile(
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_]\w*)"
     r"(?:\s+ZORDER\s+BY\s*\(\s*"
-    r"(?P<zcols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*\))?"
+    r"(?P<zcols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
     r"(?:\s+INTO\s+(?P<n>\d+)\s+FILES)?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -1003,18 +1003,26 @@ class SnapshotCatalog:
         # n" is data, not a table reference (a TIMESTAMP AS OF match
         # starts at the table name, outside its own quoted literal, so
         # that form still rewrites)
+        # small state machine, not find-pairing: SQL escapes a quote
+        # inside a literal by doubling it (''), so 'it''s' is ONE
+        # literal — naive pairing would flip parity at the inner ''
+        # and mis-span everything after it
         spans = []
-        i = 0
-        while True:
-            j = text.find("'", i)
-            if j < 0:
-                break
-            k = text.find("'", j + 1)
-            if k < 0:
-                spans.append((j, len(text)))
-                break
-            spans.append((j, k + 1))
-            i = k + 1
+        i, n = 0, len(text)
+        while i < n:
+            if text[i] != "'":
+                i += 1
+                continue
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2  # escaped quote: still inside the literal
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
 
         def _sub(mm: "re.Match") -> str:
             if any(a <= mm.start() < b for a, b in spans):

@@ -489,15 +489,39 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         positions as 'delete'. Every record carries _commit_version, so
         downstream per-key reductions can order multi-commit batches.
         History is bounded by vacuum like Delta's CDF: a vacuumed-away
-        manifest or data file in the window fails the stream loudly."""
+        manifest or data file in the window fails the stream loudly.
+
+        Steps follow the PUBLISHED ancestry (each manifest's recorded
+        parent pointer, walked back from v_to), not consecutive version
+        numbers: orphan manifests — losing optimistic-commit racers,
+        aborted transactions, rollback leftovers — occupy interior
+        numbers the committed chain skips, and diffing v-1 vs v across
+        one would emit never-committed rows as insert@orphan +
+        delete@next with misattributed _commit_version. The winner's
+        manifest records the true parent, so the chain walk never sees
+        them. An ancestry that crosses v_from without touching it (the
+        checkpointed offset was itself an orphan) fails loudly."""
+        chain: list[int] = []
+        v = v_to
+        while v > v_from:
+            chain.append(v)
+            v = int(_read_manifest(self.table_path, v).get("parent", 0))
+        if v != v_from:
+            raise ValueError(
+                f"change-feed offset {v_from} is not on the committed "
+                f"ancestry of version {v_to} (nearest ancestors "
+                f"{v}..{chain[-1]}): the checkpoint references an "
+                "orphaned (uncommitted or rolled-back) version"
+            )
         parts = []
-        for v in range(max(1, v_from + 1), v_to + 1):
+        for v in reversed(chain):
+            m_cur = _read_manifest(self.table_path, v)
+            pv = int(m_cur.get("parent", 0))
             m_prev = (
-                _read_manifest(self.table_path, v - 1)
-                if v > 1
+                _read_manifest(self.table_path, pv)
+                if pv
                 else {"files": []}
             )
-            m_cur = _read_manifest(self.table_path, v)
             prev_files = set(m_prev.get("files", []))
             cur_files = set(m_cur.get("files", []))
             dv_prev = m_prev.get("dv", {}) or {}

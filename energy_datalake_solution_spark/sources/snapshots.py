@@ -1020,7 +1020,14 @@ def snapshot_copy_into(
     p = _table(table_path)
     src = Path(source)
     if src.is_dir():
-        cands = sorted(str(f) for f in src.iterdir() if f.is_file())
+        # skip Spark-written non-data files (_SUCCESS, .part-*.crc,
+        # ._committed*) — Spark's own directory scan ignores names
+        # starting with '_' or '.', and the canonical landing layout
+        # this form advertises is exactly a Spark output directory
+        cands = sorted(
+            str(f) for f in src.iterdir()
+            if f.is_file() and not f.name.startswith(("_", "."))
+        )
     else:
         cands = sorted(_glob.glob(source))
         if not cands and not _glob.has_magic(source):
@@ -4007,8 +4014,8 @@ def snapshot_zorder_compact_n(
     from .sinks import zorder_arrange_n
 
     cols = list(cols)
-    if len(cols) < 2:
-        raise ValueError("ZORDER needs at least two columns")
+    if len(cols) < 1:
+        raise ValueError("ZORDER needs at least one column")
     p = _table(table_path)
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)

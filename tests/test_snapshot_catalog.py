@@ -690,6 +690,20 @@ def test_copy_into_is_file_granular_idempotent(spark, tmp_path):
         "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true')"
     )
     assert cat.sql("SELECT count(*) AS n FROM ci").first().n == 6
+    # a Spark-written landing dir carries _SUCCESS / .crc marker files —
+    # the directory form must skip them (Spark's own scan convention)
+    sparkland = tmp_path / "sparkland"
+    sparkland.mkdir()
+    pd.DataFrame({"k": [6], "v": [60]}).to_parquet(
+        sparkland / "part-00000.parquet"
+    )
+    (sparkland / "_SUCCESS").write_text("")
+    # NOT named after the data file: Hadoop's local FS would pair a
+    # matching .crc as that file's checksum sidecar and fail the read
+    # on the garbage content — which no real Spark output dir has
+    (sparkland / ".part-00099.parquet.crc").write_bytes(b"\x00crc")
+    cat.sql(f"COPY INTO ci FROM '{sparkland}' FILEFORMAT = parquet")
+    assert cat.sql("SELECT count(*) AS n FROM ci").first().n == 7
 
 
 def test_time_travel_rewrite_ignores_string_literals(spark, tmp_path):
@@ -718,6 +732,18 @@ def test_time_travel_rewrite_ignores_string_literals(spark, tmp_path):
     assert cat.sql(
         "SELECT count(*) AS n FROM lt TIMESTAMP AS OF '2099-01-01'"
     ).first().n == 8
+    # a literal with an ESCAPED quote ('') must not flip quote parity:
+    # the time-travel clause after it still rewrites, and the literal
+    # round-trips intact
+    row = cat.sql(
+        "SELECT 'it''s' AS s, count(*) AS n FROM lt VERSION AS OF 1"
+    ).first()
+    assert row.s == "it's" and row.n == 5
+    # ...and a time-travel-shaped pattern INSIDE such a literal stays data
+    row = cat.sql(
+        "SELECT 'x''y lt VERSION AS OF 1 z' AS s, count(*) AS n FROM lt"
+    ).first()
+    assert row.s == "x'y lt VERSION AS OF 1 z" and row.n == 8
 
 
 @pytest.mark.parametrize("mangle", ["lower", "spaces", "newlines", "semi"])
@@ -851,6 +877,19 @@ def test_optimize_zorder_n_columns(spark, tmp_path):
     assert cat.sql("SELECT count(*) AS n FROM zt").first().n == before
     cat.sql("OPTIMIZE zt ZORDER BY (x, y)")
     assert cat.sql("SELECT count(*) AS n FROM zt").first().n == before
+    # single-column ZORDER (Delta accepts it): degenerates to a
+    # quantile sort-compact — routes, commits, contents unchanged,
+    # and files tile the column in disjoint ranges
+    cat.sql("OPTIMIZE zt ZORDER BY (x) INTO 4 FILES")
+    m1 = _read_manifest(t, current_version(t))
+    assert m1["op"] == "zorder" and len(m1["files"]) == 4
+    assert cat.sql("SELECT count(*) AS n FROM zt").first().n == before
+    spans = sorted(
+        (s_["x"][0], s_["x"][1]) for s_ in m1["stats"].values()
+    )
+    assert all(
+        spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
+    ), "single-column z-order must sort: file ranges should not overlap"
 
 
 def test_analyze_backfills_stats_and_enables_pruning(spark, tmp_path):

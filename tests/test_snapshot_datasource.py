@@ -549,3 +549,44 @@ def test_stream_change_feed_across_rename_restart_contract(ds_spark, tmp_path):
     df2 = spark.read.parquet(str(out2))
     assert "val" in df2.columns and "v" not in df2.columns
     assert {r.k for r in df2.collect()} == set(range(7))
+
+
+def test_stream_change_feed_skips_orphan_versions(ds_spark, tmp_path):
+    """The change feed follows the PUBLISHED parent chain, not
+    consecutive version numbers: a rolled-back version (the same shape a
+    losing optimistic-commit racer or an aborted transaction leaves on
+    disk) occupies an interior number the committed ancestry skips — its
+    never-committed rows must not surface as insert@orphan +
+    delete@next."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_rollback,
+    )
+
+    spark = ds_spark
+    t, out, ckpt = tmp_path / "t", tmp_path / "out", tmp_path / "ckpt"
+    snapshot_write_with_stats(_df(spark, 0, 5, "a"), t, ["k"])   # v1
+    snapshot_append(_df(spark, 50, 55, "orphan"), t)             # v2
+    snapshot_rollback(t, 1)
+    snapshot_append(_df(spark, 5, 8, "b"), t)  # v3, parent=1 (v2 orphaned)
+
+    q = (
+        spark.readStream.format("snapshot")
+        .option("path", str(t))
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    assert all(r.v != "orphan" for r in rows), (
+        "uncommitted (rolled-back) rows leaked into the change feed"
+    )
+    by = {(r._commit_version, r._change_type, r.k) for r in rows}
+    assert by == (
+        {(1, "insert", k) for k in range(5)}
+        | {(3, "insert", k) for k in (5, 6, 7)}
+    )
