@@ -1885,6 +1885,139 @@ def snapshot_soft_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_subquery_dml_read",
+    oracle="""
+        SELECT o.o_orderkey AS order_id,
+               o.o_custkey AS cust_id,
+               CASE WHEN EXISTS (
+                        SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey
+                          AND c.c_mktsegment = 'BUILDING'
+                          AND c.c_acctbal >= 5000)
+                    THEN o.o_totalprice + 5
+                    ELSE o.o_totalprice END AS total_price
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey
+              AND c.c_mktsegment = 'BUILDING' AND c.c_acctbal < 0)
+    """,
+    tags=("snapshot", "dml", "subquery", "catalog"),
+)
+def snapshot_subquery_dml_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery predicates in catalog DML under the driver's hash gate —
+    the reference's staging-key delete shape
+    (etl-s3-processed-to-redshift.py:73-79) as ONE SQL statement: commit
+    orders and a BUILDING-segment customer staging table as snapshot
+    tables, then DELETE every order whose customer is a negative-balance
+    staging key (`o_custkey IN (SELECT ...)` — Spark plans the subquery
+    as a distributed semi-join, and the key range's min/max prune which
+    files grow DVs), then a correlated-EXISTS UPDATE bumps prices for
+    orders of high-balance staging customers. The oracle restates the
+    final state from raw orders+customer with NOT EXISTS/EXISTS, so a
+    subquery evaluated against the wrong table state, NULL-semantics
+    drift, or an update leaking onto deleted rows all fail the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_read, snapshot_write_with_stats
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_sqdml_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t, s = base / "orders", base / "stage"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    snapshot_write_with_stats(o, t, ["o_custkey"], n_files=6)
+    stage = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_acctbal")
+    )
+    snapshot_write_with_stats(stage, s, ["c_custkey"], n_files=2)
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE sq_orders USING snapshot LOCATION '{t}'")
+    cat.sql(f"CREATE TABLE sq_stage USING snapshot LOCATION '{s}'")
+    cat.sql(
+        "DELETE FROM sq_orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM sq_stage WHERE c_acctbal < 0)"
+    )
+    cat.sql(
+        "UPDATE sq_orders SET o_totalprice = o_totalprice + 5 "
+        "WHERE EXISTS (SELECT 1 FROM sq_stage s "
+        "WHERE s.c_custkey = o_custkey AND s.c_acctbal >= 5000)"
+    )
+    cat.drop_table("sq_orders")
+    cat.drop_table("sq_stage")
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_replace_where_read",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               CASE WHEN o_orderkey BETWEEN 1 AND 3000
+                    THEN o_totalprice + 11
+                    ELSE o_totalprice END AS total_price,
+               o_orderstatus AS order_status
+        FROM orders
+    """,
+    tags=("snapshot", "replace-where", "overwrite", "catalog"),
+)
+def snapshot_replace_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO ... REPLACE WHERE under the driver's hash gate: commit
+    all orders key-clustered, then ONE verbatim SQL statement swaps the
+    o_orderkey 1..3000 region for re-priced rows (+11). The engine drops
+    region-interior files from stats alone (zero-null containment),
+    anti-rewrites the boundary file, appends the replacement — one
+    atomic commit. The oracle restates the final state from raw orders,
+    so a region boundary off by one row, a replacement row lost with a
+    dropped file, or an untouched row leaking a price change all fail
+    the hash. Delta's replaceWhere (the reference's date-scoped re-load
+    shape, glue_jobs/dynamic-data-processor.py overwrite mode)."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_read, snapshot_write_with_stats
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_rw_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "table"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snapshot_write_with_stats(o, t, ["o_orderkey"], n_files=8)
+    o.createOrReplaceTempView("rw_src")
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE rw_orders USING snapshot LOCATION '{t}'")
+    cat.sql(
+        "INSERT INTO rw_orders REPLACE WHERE o_orderkey BETWEEN 1 AND 3000 "
+        "SELECT o_orderkey, o_totalprice + 11 AS o_totalprice, "
+        "o_orderstatus FROM rw_src WHERE o_orderkey BETWEEN 1 AND 3000"
+    )
+    cat.drop_table("rw_orders")
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderstatus").alias("order_status"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)
+
+
+@register(
     "snapshot_multicol_partition_read",
     oracle="""
         SELECT o_orderkey AS order_id, o_totalprice AS total_price

@@ -92,72 +92,70 @@ def _load_all() -> None:
     )
 
 
-# Explicit surface order — ROUND-11 ACTIVE WINDOW. External harnesses that
+# Explicit surface order — ROUND-12 ACTIVE WINDOW. External harnesses that
 # sample a prefix of the query surface (a correctness gate bounded to the
 # first ~50 entries) see this ordering. Composition rule (enforced by
 # tests/test_queries_oracle.py's guard, which reads the committed
 # CORRECTNESS_r*.json artifacts directly): (1) queries BORN this round
 # lead; (2) any ORACLED query without a driver HASH-green row anywhere in
-# history comes next (none); (3) the stalest hash-green cohort (latest
-# green = round 6, 37 rows — the remainder the r10 window could not fit);
-# (4) the oldest round-8-green rows fill the remainder. Everything else
-# is r08/r09/r10 green and loses nothing by waiting for the r12 rotation.
+# history comes next (none); (3) the stalest hash-green cohort — after
+# r11 rotated the whole r6 set, that is the 48 rows whose latest green is
+# round 8, and 2 + 48 fills the window exactly. Everything else is
+# r09/r10/r11 green and loses nothing by waiting for the r13 rotation.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born round 11, never driver-checked (new queries go HERE, at
+    # --- born round 12, never driver-checked (new queries go HERE, at
     #     the top, so the gate window always sees them first) ---
-    "snapshot_time_travel_read",
-    "snapshot_soft_delete_read",
-    "snapshot_schema_ddl_read",
-    "snapshot_multicol_partition_read",
-    "snapshot_mirror_loop_read",
-    "snapshot_or_pruning_read",
-    "snapshot_ctas_read",
-    "snapshot_copy_into_read",
-    "snapshot_purge_read",
-    "multimodal_wav_adpcm_stats",
-    "multimodal_wav_g711_stats",
-    "multimodal_tiff_pixel_stats",
-    "snapshot_analyze_read",
-    # --- latest hash-green round 6: the stalest cohort (37) ---
-    "docs_incremental_simhash_dedup",
-    "docs_lm_quality_buckets",
-    "docs_lm_score_pandas_kernel",
-    "docs_more_like_this",
-    "docs_multitier_dup_pairs",
-    "docs_ngram_jaccard_pairs",
-    "docs_repetition_stats",
-    "docs_simhash_near_dups",
-    "docs_split_contamination",
-    "docs_stratified_sample",
-    "docs_tfidf_top_terms",
-    "docs_training_corpus",
-    "embeddings_knn_graph",
-    "lateral_explode_tokens",
-    "multimodal_jpeg_pixel_stats",
-    "multimodal_resize_stats",
-    "skew_salted_agg_event_types",
-    "skew_salted_join_event_enrich",
-    "snapshot_change_feed_orders",
-    "snapshot_mor_delete_read",
-    "snapshot_schema_evolution_read",
-    "snapshot_zorder_rect_read",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_classes",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_heavy_red_part_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    # --- latest hash-green round 8 (oldest remaining; filler up to the
-    #     window — trimmed as round-11-born queries land at the top) ---
+    "snapshot_subquery_dml_read",
+    "snapshot_replace_where_read",
+    # --- latest hash-green round 8: the stalest cohort (48) ---
+    "anti_join_parts_never_shipped",
+    "audit_enrichment",
+    "correlated_subquery_above_avg_size",
+    "count_customers",
+    "cube_order_counts",
+    "customer_category",
+    "date_function_suite",
+    "dedup_latest_order_per_customer",
+    "derived_line_revenue",
+    "distinct_counts",
+    "docs_feature_hash_vectors",
+    "docs_pii_redaction",
+    "docs_pii_report",
+    "docs_sequence_packing",
+    "docs_sequence_packing_stats",
+    "docs_simhash",
+    "docs_split_token_drift",
+    "embeddings_int8_quantization",
+    "events_daily_user_activity",
+    "events_funnel_view_click_purchase",
+    "events_json_props",
+    "events_resample_hourly_ffill",
+    "events_value_histogram",
+    "events_value_iqr_udaf",
+    "events_value_percentiles",
+    "events_weekly_cohort_retention",
+    "full_outer_spend_activity_reconciliation",
+    "knn_graph_indegree",
+    "knn_label_consistency",
+    "lineitem_zorder_layout",
+    "multimodal_header_sniff",
+    "orders_monthly_growth",
+    "parts_fuzzy_name_pairs",
+    "profile_lineitem_numeric",
+    "scd2_customer_dim",
+    "snapshot_clone_divergence",
+    "snapshot_column_mapping_read",
+    "snapshot_constraint_gate_read",
+    "snapshot_mor_update_read",
+    "snapshot_partitioned_merge_read",
+    "snapshot_tail_changes_orders",
+    "source_quality_dashboard",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "unpivot_nation_balances",
+    "window_rolling_7day_customer_spend",
 )
 
 

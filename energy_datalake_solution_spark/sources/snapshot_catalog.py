@@ -140,6 +140,16 @@ _INSERT_RE = re.compile(
     r"(?P<query>(?:SELECT|VALUES|WITH|TABLE)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_OVERWRITE_RE = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s+"
+    r"(?P<query>(?:SELECT|VALUES|WITH|TABLE)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REPLACE_WHERE_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+REPLACE\s+WHERE\s+"
+    r"(?P<cond>.+?)\s+(?P<query>(?:SELECT|VALUES|WITH|TABLE)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_]\w*)\s+WHERE\s+"
     r"(?P<col>[A-Za-z_]\w*)\s+BETWEEN\s+(?P<lo>'[^']*'|\S+)\s+AND\s+"
@@ -307,6 +317,13 @@ _DELETE_WHERE_RE = re.compile(
 _UPDATE_WHERE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+"
     r"(?P<cond>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+# the uncorrelated staging-key shape (`k IN (SELECT ...)`) as the WHOLE
+# clause — the form whose subquery bounds seed a file prune
+_IN_SUBQ_RE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_]\w*)\s+IN\s*\(\s*(?P<sub>SELECT\b.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _COPY_INTO_RE = re.compile(
@@ -543,15 +560,36 @@ class SnapshotCatalog:
             snapshot_vacuum,
         )
 
+        m = _REPLACE_WHERE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_replace_where
+
+            path = self._writable(m.group("name"))
+            df = self._values_named(
+                self._fresh_sql(m.group("query")), m.group("query"),
+                m.group("name"),
+            )
+            cond, _ = self._dml_condition(m.group("cond"))
+            snapshot_replace_where(self.spark, path, cond, df)
+            return None
+        m = _INSERT_OVERWRITE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_replace_where
+
+            path = self._writable(m.group("name"))
+            df = self._values_named(
+                self._fresh_sql(m.group("query")), m.group("query"),
+                m.group("name"),
+            )
+            snapshot_replace_where(self.spark, path, None, df)
+            return None
         m = _INSERT_RE.match(text)
         if m and m.group("name") in self._tables:
             path = self._writable(m.group("name"))
-            df = self._fresh_sql(m.group("query"))
-            if m.group("query").lstrip()[:6].upper() == "VALUES":
-                # positional VALUES rows take the table's column names
-                df = df.toDF(*self.spark.sql(
-                    f"SELECT * FROM {m.group('name')} LIMIT 0"
-                ).columns)
+            df = self._values_named(
+                self._fresh_sql(m.group("query")), m.group("query"),
+                m.group("name"),
+            )
             from .snapshots import snapshot_append
 
             snapshot_append(df, path)
@@ -597,16 +635,21 @@ class SnapshotCatalog:
             from .snapshots import snapshot_delete_where
 
             path = self._writable(m.group("name"))
-            snapshot_delete_where(self.spark, path, m.group("cond"))
+            cond, prune = self._dml_condition(m.group("cond"))
+            snapshot_delete_where(
+                self.spark, path, cond, _prune_range=prune
+            )
             return None
         m = _UPDATE_WHERE_RE.match(text)
         if m and m.group("name") in self._tables:
             from .snapshots import snapshot_update_where
 
             path = self._writable(m.group("name"))
+            cond, prune = self._dml_condition(m.group("cond"))
             snapshot_update_where(
-                self.spark, path, m.group("cond"),
+                self.spark, path, cond,
                 _split_assignments(m.group("sets")),
+                _prune_range=prune,
             )
             return None
         m = _ALTER_CONSTRAINT_RE.match(text)
@@ -1071,6 +1114,51 @@ class SnapshotCatalog:
         if change_feed:
             reader = reader.option("readChangeFeed", "true")
         return reader.load()
+
+    def _values_named(self, df: DataFrame, query: str, name: str):
+        """Positional VALUES rows take the table's column names (shared
+        by INSERT INTO / INSERT OVERWRITE / REPLACE WHERE)."""
+        if query.lstrip()[:6].upper() == "VALUES":
+            df = df.toDF(*self.spark.sql(
+                f"SELECT * FROM {name} LIMIT 0"
+            ).columns)
+        return df
+
+    def _dml_condition(self, cond: str):
+        """Prepare a DML WHERE clause: plain predicates pass through
+        untouched (the engine extracts their conjunctive constraints for
+        file pruning). A clause containing a subquery — ``k IN
+        (SELECT ...)``, ``[NOT] EXISTS (...)``, the reference's
+        staging-key delete shape as SQL — first re-points every
+        registered view (the subquery must see CURRENT table state, and
+        may time-travel: its clauses rewrite like any query's), then
+        rides the engine's evaluation unchanged: Spark plans the
+        subquery as a semi/anti-join inside the row-match filter, so
+        the delete/update stays fully distributed. For the uncorrelated
+        whole-clause ``col IN (SELECT ...)`` form, the subquery's
+        min/max additionally seed a stats-interval file prune — the
+        text-constraint extractor is rightly blind to subqueries, but a
+        key-set delete only ever touches files overlapping the keys'
+        range (at scale this is the difference between rewriting DVs on
+        every file and on the few the staging keys land in). Returns
+        ``(condition_text, prune_range_or_None)``."""
+        if not _SUBQUERY_RE.search(cond):
+            return cond, None
+        self._refresh()
+        cond = self._time_travel_views(cond)
+        m = _IN_SUBQ_RE.match(cond)
+        if not m:
+            return cond, None
+        from pyspark.sql import functions as F
+
+        sub = self.spark.sql(m.group("sub"))
+        scol = sub.columns[0]
+        row = sub.agg(
+            F.min(scol).alias("lo"), F.max(scol).alias("hi")
+        ).first()
+        if row.lo is None:  # empty/all-NULL key set: IN matches nothing
+            return cond, None
+        return cond, (m.group("col"), row.lo, row.hi)
 
     def _refresh(self) -> None:
         """Re-point every registered snapshot view at its table's

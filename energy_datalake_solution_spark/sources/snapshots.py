@@ -2504,7 +2504,15 @@ def _stats_canon(v):
 
 def _file_stats(path: str, stats_cols: list[str]) -> dict:
     """Min/max per column + exact row count for ONE parquet file, from its
-    footer (row-group statistics — no data pages touched)."""
+    footer (row-group statistics — no data pages touched). When every
+    row group also reports a null count, a third element records the
+    file's total nulls for the column: ``[min, max, nulls]``. Min/max
+    ignore NULLs, so bounds alone can never prove a file's rows ALL
+    match a predicate (a NULL row matches nothing) — the null count is
+    what lets REPLACE WHERE drop a fully-covered file without reading
+    it (Delta's nullCount stat, same role). Readers index ``s[0]`` /
+    ``s[1]``, so the 2- and 3-element forms coexist; legacy 2-element
+    entries simply prove nothing about nulls."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -2514,6 +2522,7 @@ def _file_stats(path: str, stats_cols: list[str]) -> dict:
         if col not in col_idx:
             continue
         lo = hi = None
+        nulls: int | None = 0
         for rg in range(md.num_row_groups):
             s = md.row_group(rg).column(col_idx[col]).statistics
             if s is None or not s.has_min_max:
@@ -2521,8 +2530,17 @@ def _file_stats(path: str, stats_cols: list[str]) -> dict:
                 break  # a stats-less row group poisons the file's bound
             lo = s.min if lo is None else min(lo, s.min)
             hi = s.max if hi is None else max(hi, s.max)
+            nulls = (
+                None
+                if nulls is None or s.null_count is None
+                else nulls + s.null_count
+            )
         if lo is not None:
-            stats[col] = [_stats_canon(lo), _stats_canon(hi)]
+            stats[col] = (
+                [_stats_canon(lo), _stats_canon(hi)]
+                if nulls is None
+                else [_stats_canon(lo), _stats_canon(hi), nulls]
+            )
     return stats
 
 
@@ -3135,6 +3153,55 @@ def _predicate_constraints(cond: str) -> dict[str, list]:
     return out
 
 
+def _predicate_exact_constraints(cond: str) -> dict[str, list] | None:
+    """Like :func:`_predicate_constraints`, but only when the bounds are
+    EXACT — every top-level conjunct parsed as a single-column range or
+    equality, none opaque. The distinction matters for containment
+    proofs: conservative bounds admit extra files safely (pruning), but
+    proving a file's rows ALL match needs the predicate to BE the
+    conjunction of the extracted intervals. Returns None when any
+    conjunct failed to parse (subquery, function, IS NULL, OR, ...)."""
+    conjuncts = _split_conjuncts(cond)
+    if conjuncts is None:
+        return None
+    out: dict[str, list] = {}
+    for c in conjuncts:
+        m = _PRED_BETWEEN_RE.match(c)
+        if m:
+            lo, hi = (
+                _parse_pred_literal(m.group("lo")),
+                _parse_pred_literal(m.group("hi")),
+            )
+            col = m.group("col")
+        else:
+            m = _PRED_CMP_RE.match(c)
+            if not m:
+                return None  # opaque conjunct: bounds are not the predicate
+            col = m.group("col")
+            lit = _parse_pred_literal(m.group("lit"))
+            op = m.group("op")
+            if op in ("=", "=="):
+                lo = hi = lit
+            elif op in (">", ">="):
+                lo, hi = lit, None
+            elif op in ("<", "<="):
+                lo, hi = None, lit
+            else:
+                return None  # e.g. <> excludes an interval, not a range
+            if op in (">", "<"):
+                # strict bounds: containment against the CLOSED interval
+                # would claim boundary rows match — refuse exactness
+                return None
+        if lo is None and hi is None:
+            return None
+        b = out.setdefault(col, [None, None])
+        if lo is not None and (b[0] is None or lo > b[0]):
+            b[0] = lo
+        if hi is not None and (b[1] is None or hi < b[1]):
+            b[1] = hi
+    return out or None
+
+
 def snapshot_files_for_predicate(table_path, condition, version: int | None = None) -> list[str]:
     """The file subset that can contain rows matching a SQL predicate
     string, via manifest-stats overlap on its extracted constraints —
@@ -3429,9 +3496,15 @@ def snapshot_update_where(
                     )
                 dv[r["_fp"]] = _pack_positions(new_pos)
             # ...and append the updated images as new files carrying row
-            # provenance (see snapshot_update_range_mor's contract note)
+            # provenance (see snapshot_update_range_mor's contract note).
+            # Assignments cast to the column's CURRENT type: `SET v = 1`
+            # on a long column must not append an int-typed image file —
+            # mixed parquet widths crash the vectorized reader (the CoW
+            # path gets this free from when/otherwise type coercion)
+            cur_type = {f.name: f.dataType for f in hits.schema.fields}
             updated = hits.select(*[
-                (set_cols[c] if c in set_cols else F.col(c)).alias(c)
+                (set_cols[c].cast(cur_type[c]) if c in set_cols
+                 else F.col(c)).alias(c)
                 for c in data_cols
             ], F.col("_fp").alias("_prov_fp"), F.col("_ri").alias("_prov_ri"))
             _enforce_constraints(updated.drop(*_PROV_COLS), p, parent)
@@ -3452,6 +3525,189 @@ def snapshot_update_where(
                            stats=new_stats or None,
                            blooms=m.get("blooms") or None,
                            dv=dv or None, op="update-mor")
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def snapshot_replace_where(
+    spark: SparkSession,
+    table_path,
+    condition: str | None,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Delta's ``INSERT INTO t REPLACE WHERE cond SELECT ...`` (and, with
+    ``condition=None``, plain ``INSERT OVERWRITE``): ONE atomic commit
+    that swaps the predicate's region for the replacement rows.
+
+    Three file dispositions, chosen per file from manifest stats alone:
+    files whose stats PROVE every row matches (interval containment for
+    an exactly-extracted conjunctive range predicate, plus a recorded
+    zero null count — min/max ignore NULLs, so bounds alone can never
+    prove containment) DROP with no read; files that may straddle the
+    boundary rewrite keeping only non-matching rows (their deletion
+    vectors fold in); untouched files carry byte-identical. At scale
+    that's the difference between rewriting a whole partition and a
+    metadata-only drop plus two boundary-file rewrites.
+
+    The replacement rows must ALL satisfy the predicate — Delta's
+    replaceWhere constraint check — else the commit refuses (a row
+    outside the region would silently survive the next REPLACE of the
+    same region). Composes with column mapping (logical in, physical
+    files), type widening (batch upcasts; boundary rewrites read through
+    the types map), partition specs (replacement routes per partition
+    value), and CHECK constraints. Bucketed tables refuse loudly — a
+    partial rewrite would break the registered CLUSTERED BY layout.
+    ``condition=None`` replaces everything: no validation, no reads, and
+    the widened-types map CLEARS (snapshot_write's honest-footer rule);
+    partial replaces inherit it — old untouched files still need it.
+
+    Reference parity: the reference's full-refresh table loads
+    (glue_jobs/dynamic-data-processor.py overwrite mode) are
+    condition=None; the date-scoped re-load shape is the predicate form.
+    """
+    from pyspark.sql import functions as F
+
+    p = _table(table_path)
+    if current_version(p) == 0:
+        raise FileNotFoundError(f"no snapshot table at {p}")
+    matched = (
+        F.coalesce(_merge_cond(condition), F.lit(False))
+        if condition is not None
+        else F.lit(True)
+    )
+    if condition is not None:
+        bad = df.where(~F.coalesce(_merge_cond(condition), F.lit(False)))
+        if bad.limit(1).count():
+            raise ValueError(
+                "REPLACE WHERE: replacement rows must satisfy the "
+                f"predicate {condition!r} (found at least one that "
+                "does not)"
+            )
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        m = _read_manifest(p, parent)
+        if m.get("bucketing"):
+            raise NotImplementedError(
+                "REPLACE WHERE on a bucketed table would break the "
+                "registered CLUSTERED BY layout; OPTIMIZE after a "
+                "rebucketing write instead"
+            )
+        schema = m.get("schema")
+        types = m.get("types")
+        stats: dict = m.get("stats", {}) or {}
+        _enforce_constraints(df, p, parent)
+        batch = _df_to_physical(df, schema) if schema else df
+        batch, widen_types = _apply_type_widening(batch, p, m)
+        if condition is None:
+            touched = list(m["files"])
+            dropped, boundary = set(touched), []
+        else:
+            touched = sorted(
+                snapshot_files_for_predicate(p, condition, parent)
+            )
+            exact = _predicate_exact_constraints(condition)
+            if exact and schema:
+                known = {c["name"] for c in schema["cols"]}
+                exact = (
+                    {
+                        _mapping_physical(schema, c): b
+                        for c, b in exact.items()
+                    }
+                    if set(exact) <= known
+                    else None
+                )
+
+            def _contained(rel: str) -> bool:
+                # every constrained column: stats present, zero nulls
+                # recorded, interval inside the predicate's
+                for c, (lo, hi) in (exact or {}).items():
+                    s = stats.get(rel, {}).get(c)
+                    if s is None or len(s) < 3 or s[2] != 0:
+                        return False
+                    try:
+                        if lo is not None and s[0] < _stats_canon(lo):
+                            return False
+                        if hi is not None and s[1] > _stats_canon(hi):
+                            return False
+                    except TypeError:
+                        return False
+                return bool(exact)
+
+            dropped = {rel for rel in touched if _contained(rel)}
+            boundary = [rel for rel in touched if rel not in dropped]
+        try:
+            rewritten: list[str] = []
+            if boundary:
+                cur = _read_files_with_dv(
+                    spark, p, boundary, m.get("dv"), merge_schema=True,
+                    types=types,
+                )
+                if schema:
+                    cur = _apply_column_mapping(cur, schema)
+                kept = cur.where(~matched)
+                if schema:
+                    kept = _df_to_physical(kept, schema)
+                rewritten = _write_files(
+                    kept.coalesce(max(1, len(boundary))), p
+                )
+            spec = m.get("partitioning")
+            part_cols = [
+                _mapping_physical(schema, c) if schema else c
+                for c in ((spec or {}).get("cols") or [])
+            ]
+            if part_cols:
+                missing = [c for c in part_cols if c not in batch.columns]
+                if missing:
+                    raise ValueError(
+                        f"replacement batch lacks partition column(s) "
+                        f"{missing}"
+                    )
+                vals = [
+                    tuple(r)
+                    for r in batch.select(*part_cols).distinct().collect()
+                ]
+                if any(v is None for t_ in vals for v in t_):
+                    raise ValueError(
+                        "NULL partition values cannot route "
+                        "(partitioned replace)"
+                    )
+                new_files = _write_files_by_partition(
+                    spark, batch, p, part_cols, vals
+                )
+            else:
+                new_files = _write_files(batch, p)
+            untouched = [f for f in m["files"] if f not in set(touched)]
+            tracked = sorted(
+                {c for s in stats.values() for c in s if c != _ROWS_KEY}
+                | set(stats_cols or [])
+                | set(part_cols)
+            )
+            new_stats = {
+                f: s for f, s in stats.items() if f in set(untouched)
+            }
+            if tracked:
+                new_stats.update(
+                    _collect_stats(
+                        p, rewritten + new_files, tracked, spark=spark
+                    )
+                )
+            return _commit(
+                p, untouched + rewritten + new_files, parent,
+                stats=new_stats or None,
+                blooms=_carry_blooms(p, m, untouched, rewritten + new_files),
+                dv=_carry_dv(m, untouched),
+                op="overwrite" if condition is None else "replace-where",
+                types_meta=(
+                    CLEAR_METADATA
+                    if condition is None
+                    else _merge_type_maps(types, widen_types)
+                    if widen_types is not None
+                    else None
+                ),
+            )
         except SnapshotCommitConflict:
             if attempt == COMMIT_RETRIES - 1:
                 raise

@@ -795,6 +795,9 @@ def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
         "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'",
         "UPDATE gt SET v = greatest(v, 15) WHERE k BETWEEN 0 AND 1",
         "DELETE FROM gt WHERE k = 7 OR k BETWEEN 5 AND 5",
+        "DELETE FROM gt WHERE k IN (SELECT k FROM gsrc WHERE v > 500)",
+        "UPDATE gt SET v = v + 1 "
+        "WHERE EXISTS (SELECT 1 FROM gsrc s WHERE s.k = k AND s.v = 1)",
         "ALTER TABLE gt SET PARTITIONED BY (tag, k)",
         "ALTER TABLE gt ADD CONSTRAINT kc CHECK (k >= 0)",
         "ALTER TABLE gt DROP CONSTRAINT kc",
@@ -816,11 +819,12 @@ def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
     # start 0..9 (v=k*10, tag a); +insert 100; merge: k=3 updates to
     # 999, k=50 inserts tag 's!', k=9 deletes, others (not in src,
     # not 9) flag stale EXCEPT matched k=3 keeps 'a'; update: k=0 ->
-    # greatest(0,15)=15, k=1 -> greatest(10,15)=15; deletes k=5, k=7
-    exp_keys = {0, 1, 2, 3, 4, 6, 8, 50, 100}
+    # greatest(0,15)=15, k=1 -> greatest(10,15)=15; deletes k=5, k=7;
+    # IN-subquery delete removes k=3 (gsrc v=999 > 500); EXISTS-
+    # subquery update bumps k=50 (gsrc v=1) to v=2
+    exp_keys = {0, 1, 2, 4, 6, 8, 50, 100}
     assert set(got) == exp_keys, f"{mangle}: {sorted(got)}"
-    assert got[3] == (999, "a")
-    assert got[50] == (1, "s!")
+    assert got[50] == (2, "s!")
     assert got[0][0] == 15 and got[1][0] == 15
     assert got[2] == (20, "stale") and got[100][1] == "stale"
 
@@ -940,3 +944,163 @@ def test_analyze_backfills_stats_and_enables_pruning(spark, tmp_path):
     assert len(pruned) < n_files
     got = cat.sql("SELECT count(*) AS n FROM actas").first().n
     assert got == 400
+
+
+def test_subquery_dml_predicates(spark, tmp_path):
+    """DELETE/UPDATE with subquery predicates through the catalog —
+    `k IN (SELECT ...)` (the reference's staging-key delete shape as
+    SQL), correlated [NOT] EXISTS, empty key sets, NOT IN's NULL
+    semantics, time-travel inside the subquery — and the IN form's
+    min/max file prune (only files overlapping the key range grow DVs).
+
+    Reference parity: etl-s3-processed-to-redshift.py:73-79 deletes
+    staging keys from the warehouse table; here that shape is one SQL
+    statement whose subquery Spark plans as a distributed semi-join."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t, s = tmp_path / "t", tmp_path / "s"
+    snapshot_write_with_stats(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v"),
+        t, ["k"], n_files=10,
+    )
+    snapshot_write_with_stats(
+        spark.range(3, 9).selectExpr("id AS x"), s, ["x"], n_files=1,
+    )
+    cat.sql(f"CREATE TABLE sq_t USING snapshot LOCATION '{t}'")
+    cat.sql(f"CREATE TABLE sq_s USING snapshot LOCATION '{s}'")
+
+    # uncorrelated IN: deletes keys 3..8, and the key range's min/max
+    # prune means only the ONE overlapping file (k 0..9) grows a DV
+    cat.sql("DELETE FROM sq_t WHERE k IN (SELECT x FROM sq_s)")
+    assert cat.sql("SELECT count(*) AS n FROM sq_t").first().n == 94
+    m = _read_manifest(t, current_version(t))
+    assert len(m.get("dv", {})) == 1, "IN-subquery bounds must prune files"
+
+    # correlated EXISTS update; assignment re-types to the column's own
+    # type (an int literal on a long column must not fork file widths)
+    cat.sql(
+        "UPDATE sq_t SET v = -1 "
+        "WHERE EXISTS (SELECT 1 FROM sq_s WHERE x * 10 = k)"
+    )
+    assert sorted(
+        r.k for r in cat.sql("SELECT * FROM sq_t WHERE v = -1").collect()
+    ) == [30, 40, 50, 60, 70, 80]
+    assert dict(cat.sql("SELECT * FROM sq_t").dtypes)["v"] == "bigint"
+
+    # correlated NOT EXISTS: keys 90..94 have no x with x+92=k (x 3..8
+    # covers 95..100), so they delete; 95..99 survive
+    cat.sql(
+        "DELETE FROM sq_t WHERE k >= 90 "
+        "AND NOT EXISTS (SELECT 1 FROM sq_s WHERE x + 92 = k)"
+    )
+    assert cat.sql("SELECT count(*) AS n FROM sq_t").first().n == 89
+
+    # empty key set: IN matches nothing, the commit is a no-op state
+    cat.sql("DELETE FROM sq_t WHERE k IN (SELECT x FROM sq_s WHERE x > 1e6)")
+    assert cat.sql("SELECT count(*) AS n FROM sq_t").first().n == 89
+
+    # NOT IN with a NULL in the key set matches NOTHING (SQL three-
+    # valued logic rides Spark's native subquery planning)
+    cat.sql(
+        "DELETE FROM sq_t WHERE k NOT IN "
+        "(SELECT CASE WHEN x = 4 THEN NULL ELSE x END FROM sq_s)"
+    )
+    assert cat.sql("SELECT count(*) AS n FROM sq_t").first().n == 89
+
+    # time travel inside the subquery: version 1 still has keys 3..8
+    cat.sql(
+        "UPDATE sq_t SET v = 999 WHERE k IN "
+        "(SELECT k FROM sq_t VERSION AS OF 1 WHERE k < 2)"
+    )
+    assert sorted(
+        r.k for r in cat.sql("SELECT * FROM sq_t WHERE v = 999").collect()
+    ) == [0, 1]
+
+
+def test_insert_overwrite_and_replace_where(spark, tmp_path, monkeypatch):
+    """INSERT INTO ... REPLACE WHERE swaps exactly the predicate's
+    region in ONE commit: fully-covered files drop WITHOUT A READ
+    (guard-pinned by poisoning the reader — stats containment + zero
+    null count prove the drop), boundary files anti-rewrite, untouched
+    files carry byte-identical, replacement rows outside the region
+    refuse, and INSERT OVERWRITE is the condition-less full replace."""
+    import hashlib
+
+    from energy_datalake_solution_spark.sources import snapshots as S
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v"),
+        t, ["k"], n_files=10,
+    )
+    cat.sql(f"CREATE TABLE rw USING snapshot LOCATION '{t}'")
+    m1 = _read_manifest(t, 1)
+    md5 = {
+        f: hashlib.md5((t / f).read_bytes()).hexdigest()
+        for f in m1["files"]
+    }
+
+    # files covering k 20..39 are FULLY inside the region: both must
+    # drop from manifest stats alone — a data read here is a bug
+    def _no_read(*a, **kw):
+        raise AssertionError(
+            "fully-covered REPLACE WHERE must not read data files"
+        )
+
+    monkeypatch.setattr(S, "_read_files_with_dv", _no_read)
+    cat.sql(
+        "INSERT INTO rw REPLACE WHERE k BETWEEN 20 AND 39 "
+        "SELECT id AS k, CAST(-id AS LONG) AS v FROM range(20, 40)"
+    )
+    monkeypatch.undo()
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM rw").collect()}
+    assert len(got) == 100 and got[25] == -25 and got[19] == 38
+    m2 = _read_manifest(t, current_version(t))
+    assert m2["op"] == "replace-where"
+    carried = [f for f in m2["files"] if f in md5]
+    assert len(carried) == 8, "exactly the 8 uncovered files carry"
+    for f in carried:
+        assert (
+            hashlib.md5((t / f).read_bytes()).hexdigest() == md5[f]
+        ), "untouched file mutated"
+
+    # boundary replace: region half-covers two files -> anti-rewrite
+    cat.sql(
+        "INSERT INTO rw REPLACE WHERE k BETWEEN 5 AND 14 "
+        "SELECT id AS k, CAST(100 AS LONG) AS v FROM range(5, 15)"
+    )
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM rw").collect()}
+    assert len(got) == 100 and got[5] == 100 and got[4] == 8
+    assert got[14] == 100 and got[15] == 30
+
+    # replacement rows outside the region refuse loudly
+    with pytest.raises(ValueError, match="satisfy the predicate"):
+        cat.sql(
+            "INSERT INTO rw REPLACE WHERE k BETWEEN 0 AND 3 "
+            "SELECT id AS k, id AS v FROM range(0, 10)"
+        )
+
+    # INSERT OVERWRITE: full replace, stats tracking survives
+    cat.sql(
+        "INSERT OVERWRITE rw SELECT id AS k, id AS v FROM range(7)"
+    )
+    assert cat.sql("SELECT count(*) AS n FROM rw").first().n == 7
+    m = _read_manifest(t, current_version(t))
+    assert m["op"] == "overwrite"
+    # stats tracking survives the overwrite (empty part files
+    # legitimately have no min/max, only a zero row count)
+    assert all(
+        "k" in s for s in m.get("stats", {}).values() if s["__rows__"]
+    )
+    assert any("k" in s for s in m.get("stats", {}).values())
