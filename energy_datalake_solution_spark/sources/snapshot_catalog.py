@@ -31,6 +31,9 @@ contract one level up:
             [WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE | UPDATE SET]
             (WHEN MATCHED / BY SOURCE clause pairs evaluate in WRITTEN
             order, Delta semantics)           -> snapshot_merge
+        MERGE WITH SCHEMA EVOLUTION INTO ...      (either MERGE form:
+            source columns absent from the target auto-add as metadata
+            before merging; old files read them as typed NULLs)
         DELETE FROM <name> WHERE c BETWEEN a AND b-> snapshot_delete_range_mor
         DELETE FROM <name> WHERE <any predicate>  -> snapshot_delete_where
         UPDATE <name> SET c=e,... WHERE k BETWEEN -> snapshot_update_range_mor
@@ -163,7 +166,8 @@ _UPDATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+USING\s+"
+    r"^\s*MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    r"INTO\s+(?P<name>[A-Za-z_]\w*)\s+USING\s+"
     r"(?P<src>[A-Za-z_]\w*|\(.+\))\s+ON\s+\(?\s*"
     r"(?P<keys>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)?\s*"
     r"(?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
@@ -175,7 +179,8 @@ _MERGE_RE = re.compile(
 # snapshot_upsert; everything with AND-conditions, a DELETE arm, or
 # explicit SET assignments parses here and routes to snapshot_merge.
 _MERGE_COND_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<name>[A-Za-z_]\w*)(?:\s+(?:AS\s+)?t)?\s+USING\s+"
+    r"^\s*MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    r"INTO\s+(?P<name>[A-Za-z_]\w*)(?:\s+(?:AS\s+)?t)?\s+USING\s+"
     r"(?P<src>[A-Za-z_]\w*|\(.+?\))(?:\s+(?:AS\s+)?s)?\s+ON\s+(?P<on>.+?)\s+"
     r"(?P<clauses>WHEN\s+(?:NOT\s+)?MATCHED\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -602,7 +607,10 @@ class SnapshotCatalog:
                 src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
             )
             keys = [k.strip() for k in m.group("keys").split(",")]
-            snapshot_upsert(self.spark, df, path, keys)
+            snapshot_upsert(
+                self.spark, df, path, keys,
+                auto_evolve_schema=bool(m.group("evolve")),
+            )
             return None
         m = _MERGE_COND_RE.match(text)
         if m and m.group("name") in self._tables:
@@ -637,7 +645,8 @@ class SnapshotCatalog:
             path = self._writable(m.group("name"))
             cond, prune = self._dml_condition(m.group("cond"))
             snapshot_delete_where(
-                self.spark, path, cond, _prune_range=prune
+                self.spark, path, cond, _prune_range=prune,
+                table_alias=m.group("name"),
             )
             return None
         m = _UPDATE_WHERE_RE.match(text)
@@ -650,6 +659,7 @@ class SnapshotCatalog:
                 self.spark, path, cond,
                 _split_assignments(m.group("sets")),
                 _prune_range=prune,
+                table_alias=m.group("name"),
             )
             return None
         m = _ALTER_CONSTRAINT_RE.match(text)
@@ -961,6 +971,14 @@ class SnapshotCatalog:
                     cols = self.spark.sql(
                         f"SELECT * FROM {m.group('name')} LIMIT 0"
                     ).columns
+                    if m.group("evolve"):
+                        # WITH SCHEMA EVOLUTION: SET * also assigns the
+                        # source's NEW columns (they auto-add to the
+                        # target inside snapshot_merge); target-only
+                        # columns the source lacks carry unchanged
+                        # instead of failing to resolve s.<col>
+                        cols = [c for c in cols if c in set(df.columns)]
+                        cols += [c for c in df.columns if c not in cols]
                     kw["matched_update"] = {c: f"s.{c}" for c in cols}
                 else:
                     kw["matched_update"] = _split_assignments(sets)
@@ -1010,7 +1028,10 @@ class SnapshotCatalog:
                 kw["not_matched_by_source_update_condition"] = (
                     f"({neg}) AND ({uc})" if uc is not None else neg
                 )
-        snapshot_merge(self.spark, df, path, keys, **kw)
+        snapshot_merge(
+            self.spark, df, path, keys,
+            auto_evolve_schema=bool(m.group("evolve")), **kw
+        )
 
     def _time_travel_views(self, text: str) -> str:
         """Rewrite ``<table> VERSION AS OF n`` / ``TIMESTAMP AS OF ts``

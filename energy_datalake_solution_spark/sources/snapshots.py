@@ -1095,6 +1095,7 @@ def snapshot_upsert(
     table_path,
     keys: list[str],
     seed_stats_files: int | None = None,
+    auto_evolve_schema: bool = False,
 ) -> int:
     """Keyed upsert as a new version. When the table's manifest carries
     per-file [min, max] stats for the first key column, only the files
@@ -1110,7 +1111,9 @@ def snapshot_upsert(
     ``seed_stats_files``: when the call CREATES the table, range-split the
     first commit on the key into that many files with per-file stats —
     the layout every later upsert's pruning feeds on. Ignored for
-    existing tables (their layout is already decided)."""
+    existing tables (their layout is already decided).
+    ``auto_evolve_schema`` auto-adds batch columns absent from the
+    target before merging (see :func:`snapshot_evolve_schema_for`)."""
     from pyspark.sql import functions as F
 
     p = _table(table_path)
@@ -1122,6 +1125,8 @@ def snapshot_upsert(
                 df, p, [keys[0]], n_files=seed_stats_files
             )
         return snapshot_write(df, p)
+    if auto_evolve_schema:
+        snapshot_evolve_schema_for(spark, p, df)
     _enforce_constraints(df, p)
     m_tip = _read_manifest(p, current_version(p))
     sch = m_tip.get("schema")
@@ -1253,6 +1258,47 @@ def _merge_cond(expr):
     return F.expr(expr) if isinstance(expr, str) else expr
 
 
+def snapshot_evolve_schema_for(
+    spark: SparkSession, table_path, source: DataFrame
+) -> int:
+    """MERGE/upsert schema auto-evolution (Delta's
+    ``schema.autoMerge`` / ``MERGE WITH SCHEMA EVOLUTION``): every
+    source column absent from the target's logical schema auto-adds
+    through the existing ADD COLUMN metadata path — O(metadata), no
+    data rewritten, old files read the new columns as typed NULLs via
+    the column-mapping projection. Tables without a column mapping
+    enable one first (also metadata-only; physical names freeze at
+    their current spelling so existing files read unchanged). Returns
+    the number of columns added. Nested evolution (new struct fields
+    inside an existing column) is out of scope — top-level columns
+    only, matching this format's ADD COLUMN surface."""
+    p = _table(table_path)
+    v = current_version(p)
+    if v == 0:
+        return 0  # creation takes the source schema wholesale
+    m = _read_manifest(p, v)
+    sch = m.get("schema")
+    if sch:
+        target = {c["name"] for c in sch["cols"]}
+    else:
+        # unmapped table: the live logical schema is the (merged) read
+        # schema — cheap here via one footer per distinct file schema
+        target = set(snapshot_read(spark, p, merge_schema=True).columns)
+    extra = [f for f in source.schema.fields if f.name not in target]
+    if not extra:
+        return 0
+    if not sch:
+        snapshot_enable_column_mapping(spark, p)
+        # the mapping snapshot re-derives the schema; recompute against
+        # it so a column visible in SOME file never double-adds
+        sch = _read_manifest(p, current_version(p))["schema"]
+        target = {c["name"] for c in sch["cols"]}
+        extra = [f for f in source.schema.fields if f.name not in target]
+    for f in extra:
+        snapshot_add_column(p, f.name, f.dataType.simpleString())
+    return len(extra)
+
+
 def snapshot_merge(
     spark: SparkSession,
     source: DataFrame,
@@ -1272,6 +1318,7 @@ def snapshot_merge(
     not_matched_by_source_update_condition=None,
     txn: int | None = None,
     txn_app: str | None = None,
+    auto_evolve_schema: bool = False,
 ) -> int:
     """Conditional MERGE (Delta's ``MERGE INTO t USING s ON keys WHEN
     MATCHED [AND cond] THEN UPDATE/DELETE, WHEN NOT MATCHED [AND cond]
@@ -1318,7 +1365,10 @@ def snapshot_merge(
     ``txn``/``txn_app`` stamp the commit
     with a writer transaction id (Delta's (appId, version) protocol): a
     replayed merge with an already-landed stamp is a no-op BEFORE any
-    work — the primitive under the exactly-once streaming merge sink."""
+    work — the primitive under the exactly-once streaming merge sink.
+    ``auto_evolve_schema`` (Delta's ``WITH SCHEMA EVOLUTION``) auto-adds
+    source columns absent from the target before merging — see
+    :func:`snapshot_evolve_schema_for`."""
     from pyspark.sql import functions as F
 
     p = _table(table_path)
@@ -1340,6 +1390,8 @@ def snapshot_merge(
         # append (not write): the txn stamp must land with the first
         # commit so a crash-replay of this very batch resolves idempotent
         return snapshot_append(ins, p, txn=txn, txn_app=txn_app)
+    if auto_evolve_schema:
+        snapshot_evolve_schema_for(spark, p, source)
     _enforce_constraints(source, p)
     m_tip = _read_manifest(p, current_version(p))
     sch = m_tip.get("schema")
@@ -3312,6 +3364,7 @@ def snapshot_delete_where(
     spark: SparkSession, table_path, condition,
     max_deleted_rows: int = DV_MAX_DELETED_ROWS,
     _prune_range: tuple | None = None,
+    table_alias: str | None = None,
 ) -> int:
     """Merge-on-read DELETE of every row matching an arbitrary predicate
     (``DELETE FROM t WHERE k = 5 AND status <> 'F'``): the matched LIVE
@@ -3324,7 +3377,15 @@ def snapshot_delete_where(
     rewrite the touched files instead — counted, not assumed. Same
     optimistic rebase-retry disposition as every writer. The range form
     :func:`snapshot_delete_range_mor` is this with a direct
-    stats-interval prune."""
+    stats-interval prune.
+
+    ``table_alias`` names the target relation for the predicate's scope
+    (the catalog passes the SQL table name) so correlated subqueries can
+    qualify outer references — ``DELETE FROM t WHERE EXISTS (SELECT 1
+    FROM s WHERE s.k = t.k)``. Required whenever the subquery's own
+    relations share a column name with the target: an UNQUALIFIED
+    ``s.k = k`` resolves ``k`` against the inner scope first (standard
+    SQL), silently decorrelating the predicate."""
     from pyspark.sql import functions as F
 
     p = _table(table_path)
@@ -3350,6 +3411,8 @@ def snapshot_delete_where(
                                blooms=m.get("blooms") or None,
                                dv=dv or None, op="delete-mor")
             tagged = _tagged_live_logical(spark, p, m, touched)
+            if table_alias:
+                tagged = tagged.alias(table_alias)
             hits = tagged.where(matched).select("_fp", "_ri")
             n_hits = hits.count()
             if n_hits > max_deleted_rows:
@@ -3361,6 +3424,8 @@ def snapshot_delete_where(
                 )
                 if schema:
                     cur = _apply_column_mapping(cur, schema)
+                if table_alias:
+                    cur = cur.alias(table_alias)
                 kept = cur.where(~matched).coalesce(max(1, len(touched)))
                 if schema:
                     kept = _df_to_physical(kept, schema)
@@ -3404,16 +3469,18 @@ def snapshot_update_where(
     spark: SparkSession, table_path, condition, assignments: dict,
     max_updated_rows: int = DV_MAX_DELETED_ROWS,
     _prune_range: tuple | None = None,
+    table_alias: str | None = None,
 ) -> int:
     """Merge-on-read UPDATE of every row matching an arbitrary predicate
     (``UPDATE t SET v = v + 1 WHERE k = 5``): matched rows' positions
     join the deletion vectors and their updated images append as new
     files carrying row provenance — ONE commit, no touched file
     rewritten, the change feed pairs the images as updates. Same
-    condition/pruning contract as :func:`snapshot_delete_where`; updates
-    wider than ``max_updated_rows`` copy-on-write rewrite instead. The
-    range form :func:`snapshot_update_range_mor` is this with a direct
-    stats-interval prune."""
+    condition/pruning contract as :func:`snapshot_delete_where`
+    (including ``table_alias`` scoping correlated subqueries' outer
+    references); updates wider than ``max_updated_rows`` copy-on-write
+    rewrite instead. The range form :func:`snapshot_update_range_mor` is
+    this with a direct stats-interval prune."""
     from pyspark.sql import functions as F
 
     p = _table(table_path)
@@ -3442,7 +3509,10 @@ def snapshot_update_where(
                                stats=stats or None,
                                blooms=m.get("blooms") or None,
                                dv=dv or None, op="update-mor")
-            hits = _tagged_live_logical(spark, p, m, touched).where(matched)
+            tagged = _tagged_live_logical(spark, p, m, touched)
+            if table_alias:
+                tagged = tagged.alias(table_alias)
+            hits = tagged.where(matched)
             hits = hits.localCheckpoint(eager=True)  # one scan, three uses
             n_hits = hits.count()
             if n_hits == 0:
@@ -3460,6 +3530,8 @@ def snapshot_update_where(
                 )
                 if schema:
                     cur = _apply_column_mapping(cur, schema)
+                if table_alias:
+                    cur = cur.alias(table_alias)
                 rewritten = cur.select(*[
                     (F.when(matched, set_cols[c]).otherwise(F.col(c))
                      if c in set_cols else F.col(c)).alias(c)

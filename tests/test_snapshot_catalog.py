@@ -796,8 +796,11 @@ def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
         "UPDATE gt SET v = greatest(v, 15) WHERE k BETWEEN 0 AND 1",
         "DELETE FROM gt WHERE k = 7 OR k BETWEEN 5 AND 5",
         "DELETE FROM gt WHERE k IN (SELECT k FROM gsrc WHERE v > 500)",
+        # gsrc shares column name k with gt: the outer reference MUST be
+        # qualified (unqualified k resolves inner-first per SQL scoping,
+        # decorrelating the predicate to match-all)
         "UPDATE gt SET v = v + 1 "
-        "WHERE EXISTS (SELECT 1 FROM gsrc s WHERE s.k = k AND s.v = 1)",
+        "WHERE EXISTS (SELECT 1 FROM gsrc s WHERE s.k = gt.k AND s.v = 1)",
         "ALTER TABLE gt SET PARTITIONED BY (tag, k)",
         "ALTER TABLE gt ADD CONSTRAINT kc CHECK (k >= 0)",
         "ALTER TABLE gt DROP CONSTRAINT kc",
@@ -1021,6 +1024,22 @@ def test_subquery_dml_predicates(spark, tmp_path):
         r.k for r in cat.sql("SELECT * FROM sq_t WHERE v = 999").collect()
     ) == [0, 1]
 
+    # colliding column names: the subquery's relation also has a k, so
+    # the outer reference must qualify with the TARGET TABLE NAME
+    # (sq_t.k) — the engine aliases the scan to the table so this
+    # resolves; an unqualified k would bind inner-first (SQL scoping)
+    # and silently decorrelate
+    spark.range(88, 90).selectExpr(
+        "id AS k", "id AS v"
+    ).createOrReplaceTempView("coll_src")
+    cat.sql(
+        "DELETE FROM sq_t WHERE EXISTS "
+        "(SELECT 1 FROM coll_src c WHERE c.k = sq_t.k)"
+    )
+    survivors = {r.k for r in cat.sql("SELECT k FROM sq_t").collect()}
+    assert 88 not in survivors and 89 not in survivors
+    assert cat.sql("SELECT count(*) AS n FROM sq_t").first().n == 87
+
 
 def test_insert_overwrite_and_replace_where(spark, tmp_path, monkeypatch):
     """INSERT INTO ... REPLACE WHERE swaps exactly the predicate's
@@ -1104,3 +1123,101 @@ def test_insert_overwrite_and_replace_where(spark, tmp_path, monkeypatch):
         "k" in s for s in m.get("stats", {}).values() if s["__rows__"]
     )
     assert any("k" in s for s in m.get("stats", {}).values())
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION auto-adds source columns absent from
+    the target (Delta's autoMerge / WITH SCHEMA EVOLUTION syntax): the
+    add is metadata-only — OLD data files are untouched and read the
+    new columns as typed NULLs — while matched rows update and new rows
+    insert carrying the new columns. Covers both MERGE forms (the
+    UPDATE SET */INSERT * upsert route and the conditional WHEN-clause
+    route) plus the library upsert flag, on unmapped AND mapped
+    tables."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_upsert,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+
+    # --- conditional-merge route, unmapped table -> mapping auto-enables
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(6).selectExpr("id AS k", "id * 10 AS v"),
+        t, ["k"], n_files=2,
+    )
+    files_before = set(_read_manifest(t, current_version(t))["files"])
+    cat.sql(f"CREATE TABLE ev USING snapshot LOCATION '{t}'")
+    spark.createDataFrame(
+        [(2, 222, "up"), (10, 111, "new")],
+        "k long, v long, note string",
+    ).createOrReplaceTempView("ev_src")
+    cat.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO ev t USING ev_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v, note = s.note "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.k: (r.v, r.note) for r in cat.sql("SELECT * FROM ev").collect()}
+    assert got[2] == (222, "up") and got[10] == (111, "new")
+    # untouched old rows read the new column as NULL...
+    assert got[0] == (0, None) and got[5] == (50, None)
+    m = _read_manifest(t, current_version(t))
+    # ...and their files were NOT rewritten (metadata-only evolution;
+    # this merge has an update arm so touched files CoW — only the k=2
+    # file may differ, the other old file must carry byte-identical)
+    assert files_before & set(m["files"]), "evolution must not rewrite all files"
+    assert dict(cat.sql("SELECT * FROM ev").dtypes)["note"] == "string"
+
+    # the schema records the column; a later plain merge keeps working
+    assert any(c["name"] == "note" for c in m["schema"]["cols"])
+
+    # --- upsert route (UPDATE SET * / INSERT *) with evolution
+    t2 = tmp_path / "t2"
+    snapshot_write_with_stats(
+        spark.range(4).selectExpr("id AS k", "id AS v"), t2, ["k"], n_files=1,
+    )
+    cat.sql(f"CREATE TABLE ev2 USING snapshot LOCATION '{t2}'")
+    spark.createDataFrame(
+        [(1, 100, 1.5), (9, 900, 9.5)], "k long, v long, w double"
+    ).createOrReplaceTempView("ev2_src")
+    cat.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO ev2 USING ev2_src ON (k) "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got2 = {r.k: (r.v, r.w) for r in cat.sql("SELECT * FROM ev2").collect()}
+    assert got2[1] == (100, 1.5) and got2[9] == (900, 9.5)
+    assert got2[0] == (0, None)
+
+    # --- WITHOUT the evolution keyword the same merge must not
+    # silently evolve: either it raises or the new column stays absent
+    t3 = tmp_path / "t3"
+    snapshot_write_with_stats(
+        spark.range(3).selectExpr("id AS k", "id AS v"), t3, ["k"], n_files=1,
+    )
+    cat.sql(f"CREATE TABLE ev3 USING snapshot LOCATION '{t3}'")
+    try:
+        cat.sql(
+            "MERGE INTO ev3 t USING ev2_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert "w" not in cat.sql("SELECT * FROM ev3").columns
+    except Exception:
+        pass  # refusing is equally correct (Delta refuses)
+
+    # --- library-level upsert flag on an ALREADY-MAPPED table
+    cat.sql("ALTER TABLE ev2 ADD COLUMN tag string")
+    batch = spark.createDataFrame(
+        [(0, 7, 0.5, "t0", True)],
+        "k long, v long, w double, tag string, fresh boolean",
+    )
+    snapshot_upsert(spark, batch, t2, ["k"], auto_evolve_schema=True)
+    got3 = {
+        r.k: (r.v, r.w, r.tag, r.fresh)
+        for r in cat.sql("SELECT * FROM ev2").collect()
+    }
+    assert got3[0] == (7, 0.5, "t0", True)
+    assert got3[9] == (900, 9.5, None, None)
