@@ -410,10 +410,35 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     deletion vectors applied (rows already dead at planning time are
     never emitted). Offsets live in Spark's checkpoint, so restart
     resumes exactly where the engine recorded — the source itself is
-    stateless."""
+    stateless (rate limiting adds best-effort session state, below).
+
+    Rate limiting (``maxFilesPerTrigger`` / ``maxBytesPerTrigger``,
+    Delta's backpressure knobs): when set, ``latestOffset`` paces each
+    micro-batch to at most that many files / bytes instead of jumping to
+    the table tip, so one giant commit (or a long catch-up backlog)
+    arrives as several bounded batches. Offsets gain Delta's
+    ``(version, index)`` shape — ``{"version": v, "index": i}`` means
+    "the first ``i`` files (sorted) of the commit-step that produced
+    ``v``" — so a split lands MID-version and a crash at the split
+    replays exactly the recorded slice: no file skipped or doubled.
+    Fully-consumed versions normalize to the legacy ``{"version": v}``
+    form, so pre-limit checkpoints resume unchanged. At least one file
+    is always admitted per batch (a file larger than the byte cap still
+    flows). Pacing needs the consumed position, which the engine does
+    not hand to ``latestOffset``: it anchors on this instance's last
+    planned/committed offset, falling back to ``starting_version``
+    before any offset has flowed — correct on fresh starts AND
+    restarts, because the engine re-plans the checkpointed batch before
+    asking for a new offset (see latestOffset). One trigger caveat:
+    ``availableNow`` captures one latestOffset as its fixed target, so
+    with limits set each RUN drains one slice (re-run to keep
+    draining); use a processing-time trigger for continuous paced
+    draining."""
 
     def __init__(self, table_path: str, starting_version: int,
-                 change_feed: bool = False):
+                 change_feed: bool = False,
+                 max_files: int | None = None,
+                 max_bytes: int | None = None):
         self.table_path = Path(table_path)
         self.starting_version = starting_version
         # readChangeFeed mode: per COMMIT STEP the batch carries net
@@ -445,28 +470,172 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # would emit pre-rename steps under names the declared stream
         # schema no longer carries and hard-fail a fresh catch-up read
         self.rename = _mapping_renames(m.get("schema"))
+        self.max_files = max_files
+        self.max_bytes = max_bytes
+        # pacing anchor: the furthest offset this instance has planned or
+        # committed (None until the first partitions/commit call)
+        self._pos: dict | None = None
+        # commit-step memo: manifests are immutable, so (parent, files
+        # ADDED by commit v) caches for the reader's lifetime — the
+        # pacing walk stays O(new versions) per trigger, not O(backlog)
+        self._steps: dict[int, tuple[int, tuple[str, ...]]] = {}
+
+    def _step(self, v: int) -> tuple[int, tuple[str, ...]]:
+        hit = self._steps.get(v)
+        if hit is None:
+            m = _read_manifest(self.table_path, v)
+            pv = int(m.get("parent", 0))
+            prev = (
+                set(_read_manifest(self.table_path, pv)["files"])
+                if pv
+                else set()
+            )
+            hit = (pv, tuple(sorted(set(m["files"]) - prev)))
+            self._steps[v] = hit
+        return hit
+
+    def _chain(self, v_from: int, v_to: int) -> list[int]:
+        """Published ancestry (v_from, v_to], oldest first — walked by
+        parent pointer like the change feed, so orphan manifests (lost
+        commit races, rollbacks) never contribute files."""
+        chain: list[int] = []
+        v = v_to
+        while v > v_from:
+            chain.append(v)
+            v = self._step(v)[0]
+        if v != v_from:
+            raise ValueError(
+                f"stream offset {v_from} is not on the committed "
+                f"ancestry of version {v_to}: the checkpoint references "
+                "an orphaned (uncommitted or rolled-back) version"
+            )
+        chain.reverse()
+        return chain
+
+    @staticmethod
+    def _off_key(off: dict) -> tuple[int, float]:
+        # fully-consumed {"version": v} sorts AFTER any mid-version
+        # {"version": v, "index": i} of the same version
+        return (int(off["version"]),
+                float(off["index"]) if "index" in off else float("inf"))
+
+    def _advance_pos(self, off: dict) -> None:
+        if self._pos is None or self._off_key(off) > self._off_key(self._pos):
+            self._pos = dict(off)
 
     def initialOffset(self):
-        return {"version": self.starting_version}
+        off = {"version": self.starting_version}
+        self._advance_pos(off)
+        return off
 
     def latestOffset(self):
-        return {"version": current_version(self.table_path)}
+        tip = current_version(self.table_path)
+        if self.max_files is None and self.max_bytes is None:
+            off = {"version": tip}
+            self._advance_pos(off)
+            return off
+        # pacing anchor: the engine calls latestOffset BEFORE
+        # initialOffset on a fresh start, and on every restart it plans
+        # the checkpointed batch (partitions(ckpt, ckpt-or-replay))
+        # BEFORE the first new latestOffset — so when no offset has
+        # passed through this instance yet, the query is at
+        # starting_version by construction (probed against this Spark's
+        # MicroBatchExecution; a wrong anchor would fail the query
+        # loudly with a backward batch, never silently skip data)
+        pos = self._pos or {"version": self.starting_version}
+        v0 = int(pos["version"])
+        if tip < v0 or (tip == v0 and "index" not in pos):
+            return dict(pos)  # nothing new
+        budget_f = self.max_files if self.max_files is not None else None
+        budget_b = self.max_bytes if self.max_bytes is not None else None
+        # pending work: the rest of a partially-consumed step, then every
+        # committed step after it up to the tip
+        pending: list[tuple[int, tuple[str, ...], int]] = []
+        if "index" in pos:
+            pending.append((v0, self._step(v0)[1], int(pos["index"])))
+        for v in self._chain(v0, tip):
+            pending.append((v, self._step(v)[1], 0))
+        nf, nb = 0, 0
+        out = dict(pos)
+        for v, files, i in pending:
+            while i < len(files):
+                if budget_f is not None and nf >= budget_f:
+                    break
+                if budget_b is not None and nb > 0:
+                    sz = (self.table_path / files[i]).stat().st_size
+                    if nb + sz > budget_b:
+                        break
+                elif budget_b is not None:
+                    sz = (self.table_path / files[i]).stat().st_size
+                nf += 1
+                if budget_b is not None:
+                    nb += sz
+                i += 1
+            if i < len(files):
+                if i > (int(pos.get("index", 0)) if v == v0 else 0):
+                    out = {"version": v, "index": i}
+                break
+            out = {"version": v}  # step fully admitted (or empty commit)
+        self._advance_pos(out)
+        return out
 
     def partitions(self, start: dict, end: dict):
         v_from, v_to = int(start["version"]), int(end["version"])
-        if v_to <= v_from:
+        self._advance_pos(end)
+        if self._off_key(end) <= self._off_key(start):
             return []
         if self.change_feed:
             return self._cdf_partitions(v_from, v_to)
         m_to = _read_manifest(self.table_path, v_to)
-        old = (
-            set(_read_manifest(self.table_path, v_from)["files"])
-            if v_from
-            else set()
-        )
-        added = sorted(set(m_to["files"]) - old)
         dv = m_to.get("dv", {}) or {}
         rename = _mapping_renames(m_to.get("schema"))
+        if "index" in start or "index" in end:
+            # split-aware plan: walk the committed steps, slice the
+            # endpoints' sorted file lists at their indexes, and emit
+            # only files still present at (and not already present
+            # before) the window — same net-files contract as the
+            # endpoint diff below, deterministic across replays
+            i_from = int(start.get("index", 0)) if "index" in start else None
+            if i_from is not None:
+                # mid-version start: the pre-window state is the step's
+                # PARENT plus the consumed slice — v_from's own manifest
+                # would wrongly contain the files still to be emitted
+                pv, sfiles = self._step(v_from)
+                old = (
+                    set(_read_manifest(self.table_path, pv)["files"])
+                    if pv
+                    else set()
+                )
+                old |= set(sfiles[:i_from])
+            else:
+                old = (
+                    set(_read_manifest(self.table_path, v_from)["files"])
+                    if v_from
+                    else set()
+                )
+            present = set(m_to["files"])
+            planned: list[str] = []
+            if i_from is not None:
+                files = self._step(v_from)[1]
+                hi = (
+                    int(end["index"])
+                    if v_to == v_from and "index" in end
+                    else len(files)
+                )
+                planned.extend(files[i_from:hi])
+            for v in self._chain(v_from, v_to):
+                files = self._step(v)[1]
+                if v == v_to and "index" in end:
+                    files = files[: int(end["index"])]
+                planned.extend(files)
+            added = [r for r in planned if r in present and r not in old]
+        else:
+            old = (
+                set(_read_manifest(self.table_path, v_from)["files"])
+                if v_from
+                else set()
+            )
+            added = sorted(set(m_to["files"]) - old)
         # suffix-keyed DV lookup (see _SnapshotBatchReader.partitions)
         return [
             _FilePartition(
@@ -565,7 +734,18 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         yield from _arrow_batches(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # progress lives in Spark's checkpoint offset log
+        # progress lives in Spark's checkpoint offset log; the pacing
+        # anchor just mirrors it for the next latestOffset
+        self._advance_pos(end)
+
+
+def _parse_bytes(s) -> int:
+    """'10m' / '1g' / plain ints — Delta's byte-size option spelling."""
+    t = str(s).strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    if t and t[-1] in mult:
+        return max(1, int(float(t[:-1]) * mult[t[-1]]))
+    return max(1, int(t))
 
 
 class SnapshotDataSource(DataSource):
@@ -574,7 +754,10 @@ class SnapshotDataSource(DataSource):
     required), ``version`` (batch time travel), ``startingVersion``
     (stream catch-up start; default 0 = from the table's beginning),
     ``readChangeFeed`` ('true' turns the STREAM into a net row-level
-    change feed with _change_type/_commit_version columns)."""
+    change feed with _change_type/_commit_version columns),
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` (stream backpressure:
+    pace micro-batches to at most N files / bytes, splitting mid-version
+    — see _SnapshotStreamReader; byte values accept k/m/g suffixes)."""
 
     @classmethod
     def name(cls) -> str:
@@ -629,9 +812,19 @@ class SnapshotDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> DataSourceStreamReader:
+        max_files = self.options.get("maxFilesPerTrigger")
+        max_bytes = self.options.get("maxBytesPerTrigger")
+        if (max_files or max_bytes) and self._change_feed():
+            raise ValueError(
+                "maxFilesPerTrigger/maxBytesPerTrigger do not compose "
+                "with readChangeFeed (a change step is not file-"
+                "sliceable); drop the rate limit or stream the table"
+            )
         return _SnapshotStreamReader(
             self._path(), int(self.options.get("startingVersion", 0)),
             change_feed=self._change_feed(),
+            max_files=max(1, int(max_files)) if max_files else None,
+            max_bytes=_parse_bytes(max_bytes) if max_bytes else None,
         )
 
     def writer(self, schema, overwrite: bool):

@@ -590,3 +590,134 @@ def test_stream_change_feed_skips_orphan_versions(ds_spark, tmp_path):
         {(1, "insert", k) for k in range(5)}
         | {(3, "insert", k) for k in (5, 6, 7)}
     )
+
+
+def test_stream_max_files_per_trigger_paces_batches(ds_spark, tmp_path):
+    """maxFilesPerTrigger: a multi-commit backlog drains as several
+    bounded micro-batches (offsets split MID-version) instead of one
+    giant batch, exactly-once overall."""
+    spark = ds_spark
+    t, ckpt = tmp_path / "t", tmp_path / "ckpt"
+    snapshot_write_with_stats(_df(spark, 0, 40, "a"), t, ["k"], n_files=4)
+    snapshot_append(
+        _df(spark, 40, 80, "b").repartitionByRange(4, "k"), t
+    )  # 8 data files total, 2 commits
+    batches: list[tuple[int, int]] = []
+    seen: list[tuple] = []
+
+    def sink(df, bid):
+        rows = df.collect()
+        batches.append((bid, len(rows)))
+        seen.extend((r.k, r.v) for r in rows)
+
+    q = (
+        spark.readStream.format("snapshot")
+        .option("path", str(t))
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(seen) == sorted(
+        [(k, "a") for k in range(40)] + [(k, "b") for k in range(40, 80)]
+    ), "paced drain must be exactly-once"
+    nonempty = [n for _, n in batches if n]
+    assert len(nonempty) >= 4, f"8 files at 2/trigger: got {batches}"
+    # 2 range-split files of ~10 rows can never reach 30
+    assert max(nonempty) < 30, f"a batch exceeded the file cap: {batches}"
+
+
+def test_stream_max_bytes_per_trigger_one_file_floor(ds_spark, tmp_path):
+    """maxBytesPerTrigger='1b' floors at one file per batch (a file
+    larger than the cap still flows) — so every data file arrives as its
+    own micro-batch."""
+    spark = ds_spark
+    t, ckpt = tmp_path / "t", tmp_path / "ckpt"
+    snapshot_write_with_stats(_df(spark, 0, 30, "a"), t, ["k"], n_files=3)
+    counts: list[int] = []
+    q = (
+        spark.readStream.format("snapshot")
+        .option("path", str(t))
+        .option("maxBytesPerTrigger", "1b")
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: counts.append(df.count()))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(counts) == 30
+    assert len([n for n in counts if n]) == 3, counts
+
+
+def test_stream_rate_limit_restart_at_split_boundary(ds_spark, tmp_path):
+    """Crash/restart at a mid-version offset: availableNow fixes its
+    target at the first latestOffset, so with a limit each RUN drains
+    one paced slice, leaving the checkpoint MID-version (e.g.
+    {"version": 1, "index": 2}). Every restarted run resumes from that
+    split — remaining step files and later commits arrive in later
+    slices, consumed slices never repeat: no file skipped or doubled,
+    and pacing holds across restarts (the replayed checkpoint batch
+    re-anchors the reader before the new offset is asked for)."""
+    spark = ds_spark
+    t, out, ckpt = tmp_path / "t", tmp_path / "out", tmp_path / "ckpt"
+    snapshot_write_with_stats(_df(spark, 0, 50, "a"), t, ["k"], n_files=5)
+
+    def run():
+        q = (
+            spark.readStream.format("snapshot").option("path", str(t))
+            .option("maxFilesPerTrigger", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = [tuple(r) for r in spark.read.parquet(str(out)).collect()]
+        assert len(rows) == len(set(rows)), "a slice replayed"
+        return rows
+
+    first = run()
+    assert 0 < len(first) < 50, (
+        f"first run must stop at the split, got {len(first)} rows"
+    )
+    # more data lands while the stream is down
+    snapshot_append(_df(spark, 50, 55, "b").coalesce(1), t)
+    sizes = [len(first)]
+    for _ in range(12):  # paced restarts: each drains ≤ 2 files
+        sizes.append(len(run()))
+        if sizes[-1] == sizes[-2]:
+            break
+    assert sizes[-1] == 55, f"drain stalled or lost rows: {sizes}"
+    assert len(sizes) > 3, f"restarts were not paced: {sizes}"
+    rows = [tuple(r) for r in spark.read.parquet(str(out)).collect()]
+    assert sorted(rows) == sorted(
+        [(k, "a") for k in range(50)] + [(k, "b") for k in range(50, 55)]
+    )
+
+
+def test_stream_rate_limit_rejects_change_feed(ds_spark, tmp_path):
+    spark = ds_spark
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 3, "a"), t)
+    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        # streamReader is where the option combination resolves (the
+        # engine reaches it lazily at query start, wrapping the error)
+        SnapshotDataSource(
+            options={
+                "path": str(t),
+                "readChangeFeed": "true",
+                "maxFilesPerTrigger": "1",
+            }
+        ).streamReader(None)
