@@ -2568,3 +2568,129 @@ def snapshot_analyze_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same invalidation contract as the other fixture queries above
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_schema_evolution_merge_read",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END AS total_price,
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN CAST(o_custkey % 5 AS BIGINT) END AS seg
+        FROM orders
+        WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0
+    """,
+    tags=("snapshot", "merge", "schema-evolution", "catalog"),
+)
+def snapshot_schema_evolution_merge_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION under the driver's hash gate: commit
+    a two-column orders subset (keys with o_orderkey % 3 <> 0) as a
+    snapshot table, then ONE verbatim MERGE statement whose source
+    carries an extra `seg` column — the column auto-adds as metadata
+    (old files untouched, read as typed NULLs), matched rows re-price
+    and take the source's seg, unmatched source rows insert full-width.
+    The oracle restates the final state from raw orders, so an evolution
+    that rewrites data, a NULL leaking onto a matched row, or a new
+    column dropped from inserts all fail the hash. Delta's
+    `MERGE WITH SCHEMA EVOLUTION` / autoMerge semantics."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_read, snapshot_write_with_stats
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_sev_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "orders"
+    o = load_table(spark, sf_dir, "orders")
+    snapshot_write_with_stats(
+        o.where(F.col("o_orderkey") % 3 != 0)
+        .select("o_orderkey", "o_totalprice"),
+        t, ["o_orderkey"], n_files=4,
+    )
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        (F.col("o_custkey") % 5).alias("seg"),
+    ).createOrReplaceTempView("sev_src")
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE sev_orders USING snapshot LOCATION '{t}'")
+    cat.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO sev_orders t USING sev_src s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice, "
+        "seg = s.seg "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    cat.drop_table("sev_orders")
+    out = snapshot_read(spark, t).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("seg"),
+    )
+    # same invalidation contract as the other fixture queries above
+    return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_defaults_read",
+    oracle="""
+        SELECT c_custkey AS cust_id,
+               c_acctbal AS balance,
+               CASE WHEN c_custkey % 2 = 0 THEN 'unknown'
+                    ELSE c_mktsegment END AS segment
+        FROM customer
+    """,
+    tags=("snapshot", "ddl", "defaults", "catalog"),
+)
+def snapshot_defaults_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-table DDL + column DEFAULT backfill under the driver's hash
+    gate: CREATE TABLE (cols) USING snapshot commits a schema-only v1;
+    even customers insert at the two-column width; ALTER TABLE ADD
+    COLUMN segment string DEFAULT 'unknown' is a metadata-only commit;
+    odd customers then insert full-width with their real segment. The
+    read must surface 'unknown' (not NULL) for every pre-add row and
+    the stored segment for post-add rows — Iceberg's initial+write-
+    default semantics, per-FILE. The oracle restates the final state
+    from raw customer, so a default applied to the wrong generation,
+    a NULL backfill, or a data rewrite all fail the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_read
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_dflt_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "cust"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "dflt_raw_customer"
+    )
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE dflt_cust (cust_id bigint, balance double) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql(
+        "INSERT INTO dflt_cust "
+        "SELECT c_custkey AS cust_id, c_acctbal AS balance "
+        "FROM dflt_raw_customer WHERE c_custkey % 2 = 0"
+    )
+    cat.sql(
+        "ALTER TABLE dflt_cust ADD COLUMN segment string DEFAULT 'unknown'"
+    )
+    cat.sql(
+        "INSERT INTO dflt_cust "
+        "SELECT c_custkey, c_acctbal, c_mktsegment "
+        "FROM dflt_raw_customer WHERE c_custkey % 2 = 1"
+    )
+    cat.drop_table("dflt_cust")
+    out = snapshot_read(spark, t).select("cust_id", "balance", "segment")
+    return out.localCheckpoint(eager=True)

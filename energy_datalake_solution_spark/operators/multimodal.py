@@ -3956,17 +3956,29 @@ def decode_tiff_pixel_stats(df: DataFrame) -> DataFrame:
                 tags[tag] = val
             w, h = tags[256], tags[257]
             comp = tags.get(259, 1)
+            pred = tags.get(317, 1)
             if tags.get(258, 1) != 8 or tags.get(277, 1) != 1:
                 raise ValueError("only 8-bit single-sample TIFF supported")
-            if comp not in (1, 32773):
+            if comp not in (1, 32773, 5):
                 raise ValueError(f"unsupported compression {comp}")
+            if pred not in (1, 2):
+                raise ValueError(f"unsupported predictor {pred}")
             raw = buf[tags[273]:tags[273] + tags[279]]
-            data = (
-                raw if comp == 1 else unpackbits_rle(raw, w * h)
-            )
+            if comp == 1:
+                data = raw
+            elif comp == 32773:
+                data = unpackbits_rle(raw, w * h)
+            else:
+                data = _tiff_lzw_decompress(raw, w * h)
             if len(data) < w * h:
                 raise ValueError("strip shorter than image")
             img = np.frombuffer(data[:w * h], np.uint8).reshape(h, w)
+            if pred == 2:
+                # horizontal differencing (TIFF 6.0 §14): stored bytes
+                # are per-row diffs mod 256 — cumulative-sum them back
+                img = (
+                    np.cumsum(img.astype(np.int64), axis=1) % 256
+                ).astype(np.uint8)
             return img, order, comp != 1
 
         for pdf in it:
@@ -4038,3 +4050,227 @@ def multimodal_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash. Public spec: TIFF 6.0 (Adobe, 1992), PackBits per its §9."""
     d = load_table(spark, sf_dir, "documents")
     return decode_tiff_pixel_stats(synth_tiff_payload(d))
+
+
+# --------------------------------------------------------------------------
+# TIFF LZW (TIFF 6.0 §13) + horizontal-differencing predictor (§14).
+# The GIF decoder above already implements LZW (_lzw_compress/_lzw_
+# decompress); TIFF's variant differs in exactly two spec'd ways, so the
+# pair below mirrors that structure with the two knobs flipped:
+#   * codes pack MSB-FIRST into the byte stream (GIF is LSB-first);
+#   * the code width bumps ONE CODE EARLY — when the next free slot
+#     reaches (1 << width) - 1, not 1 << width (the spec's "early
+#     change", TIFF 6.0 §13 pseudocode).
+# Fixed 8-bit samples: ClearCode=256, EOI=257, first code 9 bits wide,
+# dictionary capped at 4096 with an encoder-side CLEAR reset at 4094
+# (the spec's mandated reset point).
+# --------------------------------------------------------------------------
+
+
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    clear, eoi = 256, 257
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code  # MSB-first
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = eoi + 1, 9
+    emit(clear, width)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # early change: the NEXT emit uses the new width
+        if next_code == 4094:  # spec reset point
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = eoi + 1, 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decompress(data: bytes, expect: int) -> bytes:
+    """Inverse of _tiff_lzw_compress: MSB-first reads, CLEAR reset,
+    KwKwK, and the early-change width bump. The decoder's dictionary
+    lags the encoder's by exactly one entry (the standard LZW deferred
+    add), so the encoder's bump at next-free-slot == (1 << width) - 1
+    lands here at len(table) == (1 << width) - 2 — the pair is
+    roundtrip-exact and pinned by tests crossing every width boundary
+    plus the 4094 reset."""
+    clear, eoi = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream ended without EOI")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"corrupt TIFF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1  # early change, minus the one-entry lag
+        prev = entry
+    if len(out) != expect:
+        raise ValueError(
+            f"TIFF LZW expansion mismatch: {len(out)} != {expect}"
+        )
+    return bytes(out)
+
+
+def synth_tiff_lzw_payload(df: DataFrame) -> DataFrame:
+    """Spec-valid single-strip grayscale LZW TIFFs exercising both
+    predictors: pixel(x, y) = (doc_id*37 + y*53 + x*29) % 256 (the x
+    gradient makes horizontal differencing non-trivial: rows are NOT
+    constant, diffs are). Even doc_ids II/little-endian Predictor=1
+    (none); odd MM/big-endian Predictor=2 (horizontal differencing —
+    the strip stores row[0], then byte diffs mod 256, TIFF 6.0 §14).
+    Compression=5 via the REAL encoder above, so width switches and
+    dictionary growth are genuinely exercised."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def entry(en, tag, typ, count, value):
+            if typ == 3:  # SHORT
+                v = struct.pack(en + "HH", value, 0)
+            else:  # LONG
+                v = struct.pack(en + "I", value)
+            return struct.pack(en + "HHI", tag, typ, count) + v
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 16 + 8 * (i % 3)
+                h = 8 + 4 * (i % 2)
+                en = "<" if i % 2 == 0 else ">"
+                pred = 1 if i % 2 == 0 else 2
+                y, x = np.mgrid[0:h, 0:w]
+                img = ((i * 37 + y * 53 + x * 29) % 256).astype(np.uint8)
+                plane = img.astype(np.int64)
+                if pred == 2:
+                    plane[:, 1:] = (plane[:, 1:] - plane[:, :-1]) % 256
+                strip = _tiff_lzw_compress(
+                    plane.astype(np.uint8).tobytes()
+                )
+                header = struct.pack(
+                    en + "2sHI", b"II" if en == "<" else b"MM", 42, 8
+                )
+                n_entries = 10
+                strip_off = 8 + 2 + n_entries * 12 + 4
+                ifd = struct.pack(en + "H", n_entries)
+                ifd += entry(en, 256, 3, 1, w)          # ImageWidth
+                ifd += entry(en, 257, 3, 1, h)          # ImageLength
+                ifd += entry(en, 258, 3, 1, 8)          # BitsPerSample
+                ifd += entry(en, 259, 3, 1, 5)          # Compression: LZW
+                ifd += entry(en, 262, 3, 1, 1)          # BlackIsZero
+                ifd += entry(en, 273, 4, 1, strip_off)  # StripOffsets
+                ifd += entry(en, 277, 3, 1, 1)          # SamplesPerPixel
+                ifd += entry(en, 278, 3, 1, h)          # RowsPerStrip
+                ifd += entry(en, 279, 4, 1, len(strip))  # StripByteCounts
+                ifd += entry(en, 317, 3, 1, pred)       # Predictor
+                ifd += struct.pack(en + "I", 0)         # next IFD: none
+                rows.append(
+                    {"doc_id": doc_id,
+                     "payload": header + ifd + bytes(strip)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_tiff_lzw_stats",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id,
+                   16 + 8 * (doc_id % 3) AS w,
+                   8 + 4 * (doc_id % 2) AS h
+            FROM documents
+        ),
+        rows_ AS (
+            SELECT doc_id, w, h, UNNEST(range(0, h)) AS y FROM params
+        ),
+        pix AS (
+            SELECT doc_id, w, h, y, UNNEST(range(0, w)) AS x FROM rows_
+        ),
+        vals AS (
+            SELECT doc_id, w, h, y,
+                   (doc_id * 37 + y * 53 + x * 29) % 256 AS v
+            FROM pix
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+                   AS byte_order,
+               TRUE AS compressed,
+               round(avg(CAST(v AS DOUBLE)), 6) AS mean_val,
+               CAST(min(v) AS INT) AS min_val,
+               CAST(max(v) AS INT) AS max_val,
+               CAST(doc_id * 37 % 256 AS INT) AS corner_val
+        FROM vals
+        GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "image", "tiff", "lzw"),
+)
+def multimodal_tiff_lzw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel statistics decoded from REAL LZW-compressed TIFFs under the
+    hash gate — MSB-first variable-width codes with the spec's EARLY
+    width change, both byte orders, and the horizontal-differencing
+    predictor (odd docs store per-row byte diffs that the decoder must
+    cumulative-sum back, TIFF 6.0 §14). The oracle recomputes every
+    pixel from the generating formula, so a wrong width-switch point, a
+    missed KwKwK, or a skipped/double-applied predictor all fail the
+    hash; corner_val pins pixel (0, 0) exactly.
+    Public spec: TIFF 6.0 (Adobe, 1992) §13-14; encode/decode are
+    independent-direction implementations of the same spec (the GIF
+    LZW pair above has the same posture)."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_tiff_pixel_stats(synth_tiff_lzw_payload(d))

@@ -107,6 +107,9 @@ SURFACE_ORDER: tuple[str, ...] = (
     #     the top, so the gate window always sees them first) ---
     "snapshot_subquery_dml_read",
     "snapshot_replace_where_read",
+    "multimodal_tiff_lzw_stats",
+    "snapshot_schema_evolution_merge_read",
+    "snapshot_defaults_read",
     # --- latest hash-green round 8: the stalest cohort (48) ---
     "anti_join_parts_never_shipped",
     "audit_enrichment",
@@ -156,6 +159,12 @@ SURFACE_ORDER: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",
     "unpivot_nation_balances",
     "window_rolling_7day_customer_spend",
+    # NOTE: 5 r12-born gates above push the last 3 cohort entries
+    # (tpch_q6_forecast_revenue, unpivot_nation_balances,
+    # window_rolling_7day_customer_spend) past the 50-window — 45/48 of
+    # the r8-stale cohort rotate in r12; those 3 lead the r13 rotation
+    # (the policy test pins never-checked queries INSIDE the window,
+    # which outranks cohort completeness).
 )
 
 

@@ -16,6 +16,13 @@ contract one level up:
         CREATE [OR REPLACE] TABLE <name> USING snapshot LOCATION '<p>'
             AS <select>                           (CTAS — materialize +
             register; the source query may itself time-travel)
+        CREATE TABLE <name> (c type [DEFAULT lit], ...) USING snapshot
+            LOCATION '<p>'   (empty-table DDL: v1 schema-only manifest,
+            column mapping from birth; reads return a typed empty frame)
+        ALTER TABLE <name> ADD COLUMN c type DEFAULT <literal>
+            (Iceberg-style initial+write-default: files lacking the
+            column — pre-add files, later narrow writes — read the
+            default, not NULL; stored values incl. explicit NULLs win)
         DROP TABLE [IF EXISTS] <name>
         CREATE [OR REPLACE] VIEW <name> AS <query> (text stored; resolved
             against CURRENT table versions per query — never stale)
@@ -43,17 +50,33 @@ contract one level up:
             (file-granular idempotent load: reruns skip files already
             ingested — the ledger commits atomically with the rows)
         RESTORE TABLE <name> VERSION/TIMESTAMP AS OF -> snapshot_restore
-        VACUUM <name> [RETAIN n VERSIONS]         -> snapshot_vacuum
+        VACUUM <name> [RETAIN n VERSIONS] [DRY RUN] -> snapshot_vacuum
+            (DRY RUN returns the would-delete file list, touches nothing)
+        SELECT ... FROM table_changes('<name>', v1[, v2]) ...
+            -> snapshot_change_feed (batch CDF: net row changes with
+            _change_type, reading only the files that changed)
         ANALYZE TABLE <name> COMPUTE STATISTICS FOR COLUMNS (a, b)
             -> snapshot_analyze (metadata-only stats backfill: retrofits
             file pruning onto stats-less tables — CTAS results,
             DataSource writes, inherited lakes)
         SHOW TABLES / SHOW VIEWS                  (registrations + views)
+        CREATE TABLE <name> SHALLOW CLONE <src>
+            [VERSION/TIMESTAMP AS OF ...] LOCATION '<p>' -> snapshot_clone
+            (zero-copy: the clone's manifest references the source
+            version's files by absolute path; DVs/stats re-key)
+        SHOW PARTITIONS <name>       (live partition value tuples of the
+            manifest's spec — a column-pruned distributed DISTINCT)
+        SHOW CREATE TABLE <name>     (reconstructed DDL: columns at the
+            read schema, partition/bucket specs, constraints)
         DESCRIBE HISTORY <name>                   -> snapshot_history
         DESCRIBE DETAIL <name>  (version, files, partitioning, bucketing,
             widened types, constraints, column mapping — manifest-only)
-        OPTIMIZE <name> [ZORDER BY (a, b[, c...])] [INTO n FILES]
-            -> snapshot_compact / snapshot_zorder_compact
+        OPTIMIZE <name> [WHERE <pred>] [ZORDER BY (a, b[, c...])]
+            [INTO n FILES]
+            -> snapshot_compact / snapshot_compact_where (predicate-
+            scoped: only stats-overlapping files rewrite — compact one
+            hot partition of a 100 TB table without touching the rest)
+            / snapshot_zorder_compact
         REORG TABLE <name> APPLY (PURGE)          -> snapshot_purge_dv
             (rewrite ONLY deletion-vector-carrying files — O(dv'd
             files); clean files stay byte-identical)
@@ -122,6 +145,42 @@ _CTAS_RE = re.compile(
 )
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# Empty-table DDL: CREATE TABLE t (c type [DEFAULT lit], ...) USING
+# snapshot LOCATION — commits a v1 schema-only manifest (zero files,
+# column mapping from birth) and registers the name.
+_CREATE_EMPTY_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"\((?P<cols>.+)\)\s*"
+    r"USING\s+snapshot\s+"
+    r"(?:OPTIONS\s*\(\s*path\s+'(?P<opath>[^']+)'\s*\)|LOCATION\s+'(?P<lpath>[^']+)')"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COL_SPEC_RE = re.compile(
+    r"^\s*(?P<name>[A-Za-z_]\w*)\s+"
+    r"(?P<dtype>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|\S+))?\s*$",
+    re.IGNORECASE,
+)
+# SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a new table
+# whose first manifest references the source version's files by absolute
+# path — zero data copied (snapshot_clone; DVs/stats re-key correctly).
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+"
+    r"(?P<src>[A-Za-z_]\w*)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']+'))?"
+    r"\s+LOCATION\s+'(?P<path>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_PARTS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
 # Named views: the TEXT is stored and re-resolved against the tables'
@@ -271,10 +330,11 @@ _REORG_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(?P<cond>.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(\s*"
     r"(?P<zcols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
     r"(?:\s+INTO\s+(?P<n>\d+)\s+FILES)?\s*;?\s*$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 _DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
@@ -292,7 +352,8 @@ _ALTER_CONSTRAINT_RE = re.compile(
 _ALTER_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
     r"(?:ADD\s+COLUMNS?\s+\(?\s*(?P<add>[A-Za-z_]\w*)\s+"
-    r"(?P<dtype>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\)?"
+    r"(?P<dtype>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|[^\s()]+(?:\(\s*\))?))?\s*\)?"
     r"|RENAME\s+COLUMN\s+(?P<old>[A-Za-z_]\w*)\s+TO\s+(?P<new>[A-Za-z_]\w*)"
     r"|DROP\s+COLUMN\s+(?P<drop>[A-Za-z_]\w*))\s*;?\s*$",
     re.IGNORECASE,
@@ -325,6 +386,14 @@ _UPDATE_WHERE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+# batch change-data-feed table function (Delta's table_changes): each
+# reference rewrites to a temp view materialized from the manifest-aware
+# snapshot_change_feed (only CHANGED files are read)
+_TABLE_CHANGES_RE = re.compile(
+    r"\btable_changes\s*\(\s*'(?P<name>[A-Za-z_]\w*)'\s*,\s*"
+    r"(?P<v1>\d+)(?:\s*,\s*(?P<v2>\d+))?\s*\)",
+    re.IGNORECASE,
+)
 # the uncorrelated staging-key shape (`k IN (SELECT ...)`) as the WHOLE
 # clause — the form whose subquery bounds seed a file prune
 _IN_SUBQ_RE = re.compile(
@@ -356,7 +425,8 @@ _TT_RE = re.compile(
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<name>[A-Za-z_]\w*)"
-    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*;?\s*$",
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _ANALYZE_RE = re.compile(
@@ -491,6 +561,56 @@ class SnapshotCatalog:
             snapshot_write(self._fresh_sql(m.group("query")), path)
             self.create_table(name, path)
             return None
+        m = _CREATE_EMPTY_RE.match(text)
+        if m:
+            from .snapshot_datasource import _parse_default_literal
+            from .snapshots import snapshot_create_table
+
+            name = m.group("name")
+            if name in self._tables:
+                raise ValueError(f"table {name!r} already registered")
+            cols = []
+            for spec in _split_top_commas(m.group("cols")):
+                cm = _COL_SPEC_RE.match(spec)
+                if not cm:
+                    raise ValueError(
+                        f"CREATE TABLE: cannot parse column spec {spec!r}"
+                    )
+                default = cm.group("default")
+                if default is not None:
+                    _parse_default_literal(default)  # literals only; raises
+                cols.append(
+                    (cm.group("name"), cm.group("dtype").lower(), default)
+                )
+            snapshot_create_table(m.group("opath") or m.group("lpath"), cols)
+            self.create_table(name, m.group("opath") or m.group("lpath"))
+            return None
+        m = _CLONE_RE.match(text)
+        if m:
+            from .snapshots import snapshot_clone
+
+            if self._txn is not None:
+                raise RuntimeError(
+                    "SHALLOW CLONE inside an open transaction is not "
+                    "supported (the clone's pointer would not exist "
+                    "until COMMIT); COMMIT first"
+                )
+            name, src = m.group("name"), m.group("src")
+            if name in self._tables:
+                raise ValueError(f"table {name!r} already registered")
+            if src not in self._tables:
+                raise ValueError(f"unknown source table {src!r}")
+            spath, spin = self._tables[src]
+            v, ts = m.group("version"), m.group("ts")
+            snapshot_clone(
+                spath, m.group("path"),
+                # an unqualified clone of a version-pinned registration
+                # clones the PINNED version (what the name reads as)
+                version=int(v) if v is not None else spin,
+                as_of_ts=_ts_literal(ts) if ts else None,
+            )
+            self.create_table(name, m.group("path"))
+            return None
         m = _CREATE_RE.match(text)
         if m:
             if m.group("name") in self._tables and not m.group("replace"):
@@ -548,7 +668,9 @@ class SnapshotCatalog:
         # plain SQL: re-point every registered view at the CURRENT version
         # (O(manifest) each — catalog freshness without staleness bugs)
         self._refresh()
-        return self.spark.sql(self._time_travel_views(text))
+        return self.spark.sql(
+            self._table_changes_views(self._time_travel_views(text))
+        )
 
     # -- DML ---------------------------------------------------------------
     def _dml(self, text: str):
@@ -689,8 +811,14 @@ class SnapshotCatalog:
             path = self._writable(m.group("name"))
             snapshot_enable_column_mapping(self.spark, path)  # idempotent
             if m.group("add"):
+                default = m.group("default")
+                if default is not None:
+                    from .snapshot_datasource import _parse_default_literal
+
+                    _parse_default_literal(default)  # literals only; raises
                 snapshot_add_column(
-                    path, m.group("add"), m.group("dtype").lower()
+                    path, m.group("add"), m.group("dtype").lower(),
+                    default=default,
                 )
             elif m.group("old"):
                 snapshot_rename_column(path, m.group("old"), m.group("new"))
@@ -746,6 +874,13 @@ class SnapshotCatalog:
                 )
             path, _ = self._tables[m.group("name")]
             n = m.group("n")
+            if m.group("dry"):
+                rels = snapshot_vacuum(
+                    path, keep_versions=int(n) if n else 1, dry_run=True
+                )
+                return self.spark.createDataFrame(
+                    [(r,) for r in rels] or [], "path string"
+                )
             snapshot_vacuum(path, keep_versions=int(n) if n else 1)
             return None
         m = _REORG_RE.match(text)
@@ -769,12 +904,23 @@ class SnapshotCatalog:
                 )
             from .snapshots import (
                 snapshot_compact,
+                snapshot_compact_where,
                 snapshot_zorder_compact_n,
             )
 
             path = self._writable(m.group("name"))
             n = int(m.group("n")) if m.group("n") else None
-            if m.group("zcols"):
+            if m.group("cond"):
+                if m.group("zcols"):
+                    raise ValueError(
+                        "OPTIMIZE WHERE does not compose with ZORDER BY "
+                        "(z-ordering is a whole-layout property)"
+                    )
+                snapshot_compact_where(
+                    self.spark, path, m.group("cond"),
+                    target_files=n if n else 1,
+                )
+            elif m.group("zcols"):
                 snapshot_zorder_compact_n(
                     self.spark, path,
                     [c.strip() for c in m.group("zcols").split(",")],
@@ -823,6 +969,72 @@ class SnapshotCatalog:
                 [c.strip() for c in m.group("cols").split(",")],
             )
             return None
+        m = _SHOW_PARTS_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import _read_manifest, current_version
+
+            name = m.group("name")
+            path, pin = self._tables[name]
+            v = pin if pin is not None else current_version(path)
+            spec = _read_manifest(path, v).get("partitioning") or {}
+            cols = list(spec.get("cols") or [])
+            if not cols:
+                raise ValueError(
+                    f"SHOW PARTITIONS: table {name!r} is not partitioned"
+                )
+            # live partition value tuples: a distributed DISTINCT over
+            # the spec columns only (column-pruned scan; post-evolution
+            # files resolve it from their point stats at the footer)
+            self._refresh()
+            return self.spark.sql(
+                f"SELECT DISTINCT {', '.join(cols)} FROM {name} "
+                f"ORDER BY {', '.join(cols)}"
+            )
+        m = _SHOW_CREATE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import _read_manifest, current_version
+
+            name = m.group("name")
+            path, pin = self._tables[name]
+            v = pin if pin is not None else current_version(path)
+            man = _read_manifest(path, v)
+            reader = self.spark.read.format("snapshot").option(
+                "path", str(path)
+            ).option("version", str(v))
+            fields = reader.load().schema.fields
+            dflt = {
+                c["name"]: c["default"]
+                for c in (man.get("schema") or {}).get("cols", [])
+                if c.get("default") is not None
+            }
+            lines = [f"CREATE TABLE {name} ("]
+            lines.append(",\n".join(
+                f"  {f.name} {f.dataType.simpleString().upper()}"
+                + (f" DEFAULT {dflt[f.name]}" if f.name in dflt else "")
+                for f in fields
+            ))
+            lines.append(") USING snapshot")
+            spec = (man.get("partitioning") or {}).get("cols")
+            if spec:
+                lines.append(f"PARTITIONED BY ({', '.join(spec)})")
+            b = man.get("bucketing")
+            if b:
+                lines.append(
+                    f"CLUSTERED BY ({b['col']}) INTO {b['n']} BUCKETS"
+                )
+            lines.append(f"LOCATION '{path}'")
+            cons = man.get("constraints") or {}
+            props = [
+                f"  'delta.constraints.{cn}' = '{cons[cn]}'"
+                for cn in sorted(cons)
+            ]
+            if props:
+                lines.append(
+                    "TBLPROPERTIES (\n" + ",\n".join(props) + "\n)"
+                )
+            return self.spark.createDataFrame(
+                [("\n".join(lines),)], "createtab_stmt string"
+            )
         m = _SHOW_RE.match(text)
         if m:
             from .snapshots import current_version
@@ -1104,13 +1316,39 @@ class SnapshotCatalog:
             )
         return path
 
+    def _table_changes_views(self, text: str) -> str:
+        """Rewrite ``table_changes('t', v1[, v2])`` references (Delta's
+        batch CDF SQL surface) to temp views materialized from
+        :func:`snapshot_change_feed` — the manifest-aware net change set
+        between the versions (v2 defaults to the current tip). Only
+        files that CHANGED in the window are read. Unregistered names
+        pass through untouched (they would fail in spark.sql loudly)."""
+        from .snapshots import snapshot_change_feed
+
+        def _pin(mm: "re.Match") -> str:
+            name = mm.group("name")
+            if name not in self._tables:
+                return mm.group(0)
+            path, _ = self._tables[name]
+            v1 = int(mm.group("v1"))
+            v2 = int(mm.group("v2")) if mm.group("v2") else None
+            view = f"{name}__changes_{v1}_{v2 if v2 is not None else 'tip'}"
+            snapshot_change_feed(
+                self.spark, path, v1, v2
+            ).createOrReplaceTempView(view)
+            return view
+
+        return _TABLE_CHANGES_RE.sub(_pin, text)
+
     def _fresh_sql(self, query: str) -> DataFrame:
         """Run a sub-query with every registered view re-pointed at its
         table's current version (INSERT/MERGE sources see fresh data).
         Time-travel clauses rewrite here too, so an INSERT/MERGE source
         can read a historical version of any registered table."""
         self._refresh()
-        return self.spark.sql(self._time_travel_views(query))
+        return self.spark.sql(
+            self._table_changes_views(self._time_travel_views(query))
+        )
 
     def read_stream(self, name: str, starting_version: int = 0,
                     change_feed: bool = False) -> DataFrame:
@@ -1137,12 +1375,16 @@ class SnapshotCatalog:
         return reader.load()
 
     def _values_named(self, df: DataFrame, query: str, name: str):
-        """Positional VALUES rows take the table's column names (shared
-        by INSERT INTO / INSERT OVERWRITE / REPLACE WHERE)."""
-        if query.lstrip()[:6].upper() == "VALUES":
-            df = df.toDF(*self.spark.sql(
-                f"SELECT * FROM {name} LIMIT 0"
-            ).columns)
+        """SQL INSERT resolves source columns BY POSITION (shared by
+        INSERT INTO / INSERT OVERWRITE / REPLACE WHERE): a full-width
+        source takes the table's column names in order, whatever the
+        SELECT called them — Spark/Delta INSERT semantics. A NARROWER
+        source keeps its own names (prefix-positional renames would
+        guess); its columns must then name real table columns (defaulted
+        or nullable trailing columns fill on read/as NULL)."""
+        cols = self.spark.sql(f"SELECT * FROM {name} LIMIT 0").columns
+        if len(df.columns) == len(cols):
+            return df.toDF(*cols)
         return df
 
     def _dml_condition(self, cond: str):

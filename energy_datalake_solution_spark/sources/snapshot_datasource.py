@@ -146,10 +146,17 @@ def _arrow_batches(part: _FilePartition):
                 )
     if part.rename is not None:
         cols, names = [], []
-        for physical, logical, t in part.rename:
+        for entry in part.rename:
+            physical, logical, t = entry[0], entry[1], entry[2]
+            default = entry[3] if len(entry) > 3 else None
             names.append(logical)
             if physical in table.column_names:
                 cols.append(table.column(physical))
+            elif default is not None:
+                # column DEFAULT: a file lacking the physical column
+                # reads the declared constant, not NULL (same per-file
+                # contract as the library's _read_files_with_dv)
+                cols.append(_typed_const(table.num_rows, t, default))
             else:
                 cols.append(_typed_nulls(table.num_rows, t))
         table = pa.table(dict(zip(names, cols)))
@@ -190,7 +197,45 @@ def _arrow_batches(part: _FilePartition):
 def _mapping_renames(schema_meta: dict | None):
     if not schema_meta:
         return None
-    return [(c["physical"], c["name"], c["type"]) for c in schema_meta["cols"]]
+    return [
+        (c["physical"], c["name"], c["type"], c.get("default"))
+        for c in schema_meta["cols"]
+    ]
+
+
+def _parse_default_literal(expr: str):
+    """Constant-literal DEFAULT expression -> Python value (the arrow
+    read path has no SQL engine; defaults are restricted to literals —
+    quoted strings with '' escapes, ints, floats, true/false, NULL)."""
+    t = expr.strip()
+    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+        return t[1:-1].replace("''", "'")
+    low = t.lower()
+    if low == "null":
+        return None
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(t)
+    except ValueError:
+        return float(t)  # raises ValueError on non-literals — by design
+
+
+def _typed_const(n: int, ddl: str | None, expr: str):
+    """n copies of a literal DEFAULT as an arrow array of the column's
+    DDL type (string literals cast into date/timestamp/decimal types the
+    same way Spark's CAST would)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    val = _parse_default_literal(expr)
+    if val is None:
+        return _typed_nulls(n, ddl)
+    target = _typed_nulls(0, ddl).type
+    arr = pa.array([val] * n)
+    if arr.type != target:
+        arr = pc.cast(arr, target)
+    return arr
 
 
 # Footer-schema cache: data files are IMMUTABLE once published (tmp-write
@@ -264,9 +309,18 @@ def _spark_schema_for(table_path: Path, version: int):
     for rel in m["files"]:
         s = _footer_schema(str(table_path / rel))
         sch = s if sch is None else pa_unify(sch, s)
-    if sch is None:
-        raise ValueError(f"version {version} of {table_path} lists no files")
     mapping = m.get("schema")
+    if sch is None:
+        # schema-only version (empty-table DDL): the declared mapping IS
+        # the schema — no footer exists to infer from
+        if mapping:
+            from pyspark.sql.types import StructField, StructType
+
+            return StructType([
+                StructField(c["name"], _ddl_type(c["type"]), True)
+                for c in mapping["cols"]
+            ])
+        raise ValueError(f"version {version} of {table_path} lists no files")
     from pyspark.sql.types import StructField, StructType
 
     # every column is NULLABLE at the table level regardless of footer
@@ -401,6 +455,10 @@ class _SnapshotBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _FilePartition):
+        if partition is None:
+            # zero-file version (empty-table DDL): the engine hands one
+            # default partition when partitions() returns [] — no rows
+            return iter(())
         yield from _arrow_batches(partition)
 
 

@@ -46,6 +46,7 @@ rows.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -905,6 +906,25 @@ def snapshot_append(
             # mapped table: incoming logical columns write under their
             # frozen physical names (unknown columns fail loudly)
             df = _df_to_physical(df, sch)
+            from pyspark.sql import functions as F
+
+            declared = {c["physical"]: c["type"] for c in sch["cols"]}
+            first_write = not m_tip.get("files")
+            # cast to the DECLARED type: always on the FIRST write into
+            # an empty-DDL table (the declaration is authoritative — a
+            # bare SQL literal like 0.5 arrives as decimal(1,1) and
+            # would otherwise freeze the physical type), and for any
+            # void-typed column (a bare NULL literal) on every write
+            # (void would poison the widening map)
+            df = df.select(*[
+                F.col(c).cast(declared[c]).alias(c)
+                if c in declared and (
+                    first_write
+                    or dict(df.dtypes)[c] == "void"
+                )
+                else F.col(c)
+                for c in df.columns
+            ])
         # type widening: a wider batch records the widened logical types
         # in the manifest (no rewrite); a narrower batch upcasts here
         df, widen_types = _apply_type_widening(df, p, m_tip)
@@ -1194,7 +1214,7 @@ def _snapshot_upsert_committed(
         # already-translated batch)
         cur = _read_files_with_dv(
             spark, p, list(m["files"]), m.get("dv"), merge_schema=True,
-            types=eff_types,
+            types=eff_types, schema=m.get("schema"),
         )
         merged = cur.join(df.select(keys).distinct(), keys, "left_anti").unionByName(
             df, allowMissingColumns=True  # additive schema evolution
@@ -1228,7 +1248,7 @@ def _snapshot_upsert_committed(
             # silently drop later-added columns from the rewritten rows
             cur_t = _read_files_with_dv(
                 spark, p, sorted(touched), m.get("dv"), merge_schema=True,
-                types=eff_types,
+                types=eff_types, schema=m.get("schema"),
             )
             merged = cur_t.join(
                 df.select(keys).distinct(), keys, "left_anti"
@@ -1831,7 +1851,7 @@ def _snapshot_merge_committed(
     if touched:
         cur = _read_files_with_dv(
             spark, p, touched, m.get("dv"), merge_schema=True,
-            types=eff_types,
+            types=eff_types, schema=sch,
         )
         if sch:
             cur = _apply_column_mapping(cur, sch)
@@ -2092,6 +2112,16 @@ def snapshot_read(
         raise FileNotFoundError(f"no committed version in {table_path}")
     m = _read_manifest(p, v)
     schema = m.get("schema")
+    if not m["files"]:
+        # schema-only version (empty-table DDL, pre-first-write): a
+        # typed empty frame from the declared mapping
+        if schema:
+            return spark.createDataFrame([], ", ".join(
+                f"{c['name']} {c['type']}" for c in schema["cols"]
+            ))
+        raise FileNotFoundError(
+            f"version {v} of {table_path} lists no files and no schema"
+        )
     # merge-on-read: apply the manifest's deletion vectors (no-op without)
     df = _read_files_with_dv(
         spark, p, list(m["files"]), m.get("dv"),
@@ -2099,6 +2129,7 @@ def snapshot_read(
         # always union their schemas so the mapping sees every physical
         merge_schema=merge_schema or schema is not None,
         types=m.get("types"),  # widened logical types: explicit-schema read
+        schema=schema,
     )
     # column mapping: surface logical names, hide retired physicals
     return _apply_column_mapping(df, schema) if schema else df
@@ -2327,11 +2358,16 @@ def snapshot_restore(table_path, version: int | None = None,
     raise AssertionError("unreachable")
 
 
-def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
+def snapshot_vacuum(
+    table_path, keep_versions: int = 1, dry_run: bool = False,
+) -> list[str]:
     """Delete data files referenced by NO manifest among the latest
     ``keep_versions`` manifests and drop the older manifests. Returns the
     deleted file list. Readers of retained versions are unaffected —
-    files they reference are kept. Refuses to run inside an open
+    files they reference are kept. ``dry_run=True`` (Delta's VACUUM ...
+    DRY RUN) returns the would-delete DATA file list and touches
+    NOTHING — no file deleted, no manifest dropped, no checkpoint
+    materialized. Refuses to run inside an open
     SnapshotTransaction: the keep-set would anchor on the txn-local
     STAGED tip, so a subsequent ROLLBACK (or conflict abort) would leave
     the published pointer referencing a vacuumed manifest — permanent
@@ -2356,6 +2392,17 @@ def snapshot_vacuum(table_path, keep_versions: int = 1) -> list[str]:
     # through a manifest ABOUT TO BE DELETED must be materialized as a
     # full checkpoint first, or it becomes unresolvable. Done before any
     # deletion, so a crash mid-vacuum never strands a version.
+    if dry_run:
+        live_d: set[str] = set()
+        for v in keep:
+            live_d.update(_read_manifest(p, v)["files"])
+        return sorted(
+            f"data/{sub.name}/{f.name}"
+            for sub in (p / "data").iterdir()
+            for f in sub.iterdir()
+            if f.name.endswith(".parquet")
+            and f"data/{sub.name}/{f.name}" not in live_d
+        )
     for v in sorted(keep):
         if _chain_escapes(p, v, keep):
             _materialize_checkpoint(p, v)
@@ -2718,7 +2765,7 @@ def snapshot_delete_range(
                                dv=m.get("dv") or None, op="delete")
             kept_rows = _read_files_with_dv(
                 spark, p, sorted(touched), m.get("dv"), merge_schema=True,
-                types=m.get("types"),
+                types=m.get("types"), schema=m.get("schema"),
             ).where(
                 ~((F.col(pcol) >= lo) & (F.col(pcol) <= hi)) | F.col(pcol).isNull()
             ).coalesce(max(1, len(touched)))  # no small-files creep per delete
@@ -2865,6 +2912,7 @@ def _read_files_with_dv(
     dv: dict | None,
     merge_schema: bool = False,
     types: dict | None = None,
+    schema: dict | None = None,
 ) -> DataFrame:
     """Read a file subset with its deletion vectors applied: tag every row
     with (_metadata.file_path, _metadata.row_index), broadcast-anti-join
@@ -2876,9 +2924,43 @@ def _read_files_with_dv(
     EXPLICIT schema: Spark's parquet reader performs the widening
     promotion per file (INT32 files surface as bigint, FLOAT as double),
     which mergeSchema cannot do (mixed widths are a merge conflict), and
-    columns a pre-evolution file lacks still read as NULL."""
+    columns a pre-evolution file lacks still read as NULL.
+
+    ``schema`` (the manifest's column-mapping meta) activates column
+    DEFAULTs: a file that physically LACKS a defaulted column reads it
+    as the default expression, not NULL (Iceberg's initial/write-default
+    semantics — per-FILE, so a post-add file's explicit NULLs stay
+    NULL). Implemented by grouping the rels by their footers'
+    lacking-set and injecting per group; tables without defaults skip
+    the footer sweep entirely. Kept HERE, under every reader AND every
+    CoW rewrite, so compaction/purge/DML images of pre-add files
+    materialize the default rather than freezing a NULL."""
     from pyspark.sql import functions as F
 
+    defaults = _schema_defaults(schema)
+    if defaults and rels:
+        groups: dict[frozenset, list[str]] = {}
+        for f in rels:
+            names = _footer_names(str((p / f).resolve()))
+            lacking = frozenset(
+                ph for ph in defaults if ph not in names
+            )
+            groups.setdefault(lacking, []).append(f)
+        if len(groups) > 1 or next(iter(groups)):
+            out = None
+            for lacking, sub in sorted(
+                groups.items(), key=lambda kv: sorted(kv[0])
+            ):
+                df = _read_files_with_dv(
+                    spark, p, sub, dv, merge_schema, types
+                )
+                for ph in sorted(lacking):
+                    expr, t = defaults[ph]
+                    df = df.withColumn(ph, F.expr(expr).cast(t))
+                out = df if out is None else out.unionByName(
+                    df, allowMissingColumns=True
+                )
+            return out
     reader = spark.read
     if types:
         reader = reader.schema(_types_ddl(types))
@@ -3307,15 +3389,50 @@ def snapshot_files_for_predicate(table_path, condition, version: int | None = No
 
 
 def _tagged_live_logical(spark, p: Path, m: dict, touched: list[str],
-                         types: dict | None = None) -> DataFrame:
+                         types: dict | None = None,
+                         _inject_defaults: bool = True) -> DataFrame:
     """The LIVE rows of ``touched`` files tagged with their (_fp, _ri)
     positions: reserved provenance columns stripped, logical column
     names surfaced on mapped tables, the widened-types map applied as an
     explicit read schema (mixed footer widths are a merge conflict for
     inference), and positions already in the deletion vectors anti-
     joined out so dead rows can neither match nor resurrect. Shared by
-    the MOR delete/update/merge writers."""
+    the MOR delete/update/merge writers. Column DEFAULTs follow the same
+    per-FILE contract as _read_files_with_dv: touched files lacking a
+    defaulted physical read (and therefore match and re-materialize) the
+    default, not NULL."""
     from pyspark.sql import functions as F
+
+    defaults = _schema_defaults(m.get("schema")) if _inject_defaults else {}
+    if defaults and touched:
+        groups: dict[frozenset, list[str]] = {}
+        for f in touched:
+            names = _footer_names(str((p / f).resolve()))
+            groups.setdefault(
+                frozenset(ph for ph in defaults if ph not in names), []
+            ).append(f)
+        if len(groups) > 1 or next(iter(groups)):
+            out = None
+            for lacking, sub in sorted(
+                groups.items(), key=lambda kv: sorted(kv[0])
+            ):
+                df = _tagged_live_logical(
+                    spark, p, m, sub, types=types,
+                    _inject_defaults=False,
+                )
+                by_phys = {
+                    c["physical"]: c["name"]
+                    for c in m["schema"]["cols"]
+                }
+                for ph in sorted(lacking):
+                    expr, t = defaults[ph]
+                    df = df.withColumn(
+                        by_phys.get(ph, ph), F.expr(expr).cast(t)
+                    )
+                out = df if out is None else out.unionByName(
+                    df, allowMissingColumns=True
+                )
+            return out
 
     eff_types = m.get("types") if types is None else types
     _rd = spark.read
@@ -3420,7 +3537,7 @@ def snapshot_delete_where(
                 # copy-on-write the touched files keeping unmatched rows
                 cur = _read_files_with_dv(
                     spark, p, touched, m.get("dv"), merge_schema=True,
-                    types=m.get("types"),
+                    types=m.get("types"), schema=schema,
                 )
                 if schema:
                     cur = _apply_column_mapping(cur, schema)
@@ -3526,7 +3643,7 @@ def snapshot_update_where(
                 # copy-on-write the touched files with assignments applied
                 cur = _read_files_with_dv(
                     spark, p, touched, m.get("dv"), merge_schema=True,
-                    types=m.get("types"),
+                    types=m.get("types"), schema=schema,
                 )
                 if schema:
                     cur = _apply_column_mapping(cur, schema)
@@ -3715,7 +3832,7 @@ def snapshot_replace_where(
             if boundary:
                 cur = _read_files_with_dv(
                     spark, p, boundary, m.get("dv"), merge_schema=True,
-                    types=types,
+                    types=types, schema=schema,
                 )
                 if schema:
                     cur = _apply_column_mapping(cur, schema)
@@ -3807,7 +3924,8 @@ def snapshot_read_incremental(
     if not added:
         return snapshot_read(spark, p, version=v_to).limit(0)
     return _read_files_with_dv(spark, p, added, m_to.get("dv"),
-                                types=m_to.get("types"))
+                                types=m_to.get("types"),
+                                schema=m_to.get("schema"))
 
 
 def _align_schemas(a: DataFrame, b: DataFrame) -> "tuple[DataFrame, DataFrame]":
@@ -3915,13 +4033,15 @@ def snapshot_change_feed(
     # union would raise on mismatched column sets
     ins = (
         _read_files_with_dv(spark, p, plain_added, dv_to, merge_schema=True,
-                            types=m_to.get("types"))
+                            types=m_to.get("types"),
+                            schema=m_to.get("schema"))
         if plain_added
         else snapshot_read(spark, p, version=v_to).limit(0)
     )
     dels = (
         _read_files_with_dv(spark, p, removed, dv_from, merge_schema=True,
-                            types=m_from.get("types"))
+                            types=m_from.get("types"),
+                            schema=m_from.get("schema"))
         if removed
         else snapshot_read(spark, p, version=v_from).limit(0)
     )
@@ -4147,7 +4267,7 @@ def snapshot_read_range(
         return snapshot_read(spark, p, v).where(f"{col} >= {lo!r} AND {col} <= {hi!r}").limit(0)
     df = _read_files_with_dv(spark, p, files, m.get("dv"),
                              merge_schema=schema is not None,
-                             types=m.get("types"))
+                             types=m.get("types"), schema=schema)
     df = df.where((df[pcol] >= lo) & (df[pcol] <= hi))
     return _apply_column_mapping(df, schema) if schema else df
 
@@ -4184,6 +4304,62 @@ def snapshot_compact(
         except SnapshotCommitConflict:
             # a writer landed mid-compaction: rewriting a stale file set
             # would drop its rows — re-read the new tip and re-compact
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def snapshot_compact_where(
+    spark: SparkSession, table_path, condition: str,
+    target_files: int = 1,
+) -> int:
+    """Predicate-scoped OPTIMIZE (Delta's ``OPTIMIZE t WHERE ...``):
+    rewrite ONLY the files whose stats intervals can overlap the
+    predicate into ``target_files`` larger ones — the standard shape for
+    compacting one hot partition/day of a 100 TB table without touching
+    the rest. Untouched files carry into the new manifest byte-identical
+    with their stats/blooms/DVs; touched files' deletion vectors fold
+    into the rewrite (their dead rows vanish physically). The predicate
+    SCOPES which files rewrite; it never filters rows — every live row
+    of a touched file carries, so table contents are identical before
+    and after (same guarantee as full compaction)."""
+    from pyspark.sql import functions as F
+
+    p = _table(table_path)
+    if current_version(p) == 0:
+        raise FileNotFoundError(f"no snapshot table at {p}")
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        m = _read_manifest(p, parent)
+        stats: dict = m.get("stats", {}) or {}
+        schema = m.get("schema")
+        touched = sorted(snapshot_files_for_predicate(p, condition, parent))
+        try:
+            if not touched:
+                return _commit(p, list(m["files"]), parent,
+                               stats=stats or None,
+                               blooms=m.get("blooms") or None,
+                               dv=m.get("dv") or None, op="compact-where")
+            cur = _read_files_with_dv(
+                spark, p, touched, m.get("dv"), merge_schema=True,
+                types=m.get("types"), schema=schema,
+            ).coalesce(max(1, target_files))
+            cur = cur.drop(*[c for c in _PROV_COLS if c in cur.columns])
+            new_files = _write_files(cur, p)
+            untouched = [f for f in m["files"] if f not in set(touched)]
+            new_stats = dict(stats)
+            for f in touched:
+                new_stats.pop(f, None)
+            tracked = sorted({c for s in stats.values() for c in s})
+            if tracked:
+                new_stats.update(
+                    _collect_stats(p, new_files, tracked, spark=spark)
+                )
+            return _commit(p, untouched + new_files, parent,
+                           stats=new_stats or None,
+                           blooms=_carry_blooms(p, m, untouched, new_files),
+                           dv=_carry_dv(m, untouched), op="compact-where")
+        except SnapshotCommitConflict:
             if attempt == COMMIT_RETRIES - 1:
                 raise
     raise AssertionError("unreachable")
@@ -4258,7 +4434,8 @@ def snapshot_purge_dv(spark: SparkSession, table_path) -> int:
         dirty = [f for f in files if _dv_key(f) in dv]
         clean = [f for f in files if _dv_key(f) not in dv]
         df = _read_files_with_dv(
-            spark, p, dirty, dv, types=m.get("types")
+            spark, p, dirty, dv, types=m.get("types"),
+            schema=m.get("schema"),
         )
         df = df.drop(*[c for c in _PROV_COLS if c in df.columns])
         new_files = (
@@ -4361,7 +4538,7 @@ def snapshot_zorder_compact_n(
         if incremental and carried and tail_files:
             df = _read_files_with_dv(
                 spark, p, sorted(tail_files), pm.get("dv"), merge_schema=True,
-                types=pm.get("types"),
+                types=pm.get("types"), schema=pm.get("schema"),
             )
         else:
             carried = []
@@ -4436,7 +4613,7 @@ def snapshot_read_rect(
     df = (
         _read_files_with_dv(spark, p, files, m.get("dv"),
                             merge_schema=schema is not None,
-                            types=m.get("types"))
+                            types=m.get("types"), schema=schema)
         .where((F.col(pa) >= lo_a) & (F.col(pa) <= hi_a))
         .where((F.col(pb) >= lo_b) & (F.col(pb) <= hi_b))
     )
@@ -4664,7 +4841,7 @@ def snapshot_read_box(
         return snapshot_read(spark, p, version=v).where(F.lit(False))
     df = _read_files_with_dv(spark, p, files, m.get("dv"),
                              merge_schema=schema is not None,
-                             types=m.get("types"))
+                             types=m.get("types"), schema=schema)
     for pc, lo, hi in phys:
         df = df.where((F.col(pc) >= lo) & (F.col(pc) <= hi))
     return _apply_column_mapping(df, schema) if schema else df
@@ -4696,19 +4873,49 @@ def _mapping_physical(schema: dict, logical: str) -> str:
     )
 
 
+def _schema_defaults(schema: dict | None) -> dict:
+    """physical name -> (default SQL expr, type) for every mapped column
+    carrying a DEFAULT — empty for unmapped / default-free tables."""
+    if not schema:
+        return {}
+    return {
+        c["physical"]: (c["default"], c["type"])
+        for c in schema["cols"]
+        if c.get("default") is not None
+    }
+
+
+@functools.lru_cache(maxsize=65536)
+def _footer_names(abs_path: str) -> frozenset:
+    """Column names physically present in one parquet file's footer —
+    cacheable forever (data files are immutable; rewrites get new
+    names)."""
+    import pyarrow.parquet as pq
+
+    return frozenset(pq.read_schema(abs_path).names)
+
+
 def _apply_column_mapping(df: DataFrame, schema: dict) -> DataFrame:
     """Physical frame -> logical frame: select each mapped column under
     its logical name; a column whose physical data predates every listed
-    file (freshly added) reads as a typed NULL."""
+    file (freshly added) reads as a typed NULL — or as its DEFAULT
+    expression when the column declares one (the per-file mixed case is
+    handled earlier, in _read_files_with_dv's group split)."""
     from pyspark.sql import functions as F
 
     have = set(df.columns)
+
+    def _absent(c):
+        if c.get("default") is not None:
+            return F.expr(c["default"]).cast(c["type"])
+        return F.lit(None).cast(c["type"])
+
     return df.select(
         *[
             (
                 F.col(c["physical"])
                 if c["physical"] in have
-                else F.lit(None).cast(c["type"])
+                else _absent(c)
             ).alias(c["name"])
             for c in schema["cols"]
         ]
@@ -4862,11 +5069,23 @@ def snapshot_drop_column(table_path, name: str) -> int:
     return _commit_schema_change(table_path, mutate, "drop-column")
 
 
-def snapshot_add_column(table_path, name: str, dtype: str) -> int:
+def snapshot_add_column(
+    table_path, name: str, dtype: str, default: str | None = None,
+) -> int:
     """ADD COLUMN as an O(1) metadata commit. The new column gets a fresh
     id; if its name was ever used as a physical name (live or retired),
     the physical name is suffixed with the id so the old data CANNOT
-    resurrect — existing rows read as typed NULLs either way."""
+    resurrect — existing rows read as typed NULLs either way.
+
+    ``default`` (a constant SQL expression, e.g. ``"0"`` / ``"'n/a'"``)
+    records Iceberg-style initial+write-default semantics: every row of
+    every file that physically LACKS the column — pre-add files, and
+    later narrow writes that omit it — reads the default instead of
+    NULL; files that carry the column read their stored values
+    (including explicit NULLs). Enforced per-file in the read
+    primitives (_read_files_with_dv / _tagged_live_logical), so DML
+    images, compaction, and purge materialize the default rather than
+    freezing a NULL."""
     def mutate(schema: dict) -> dict:
         if any(c["name"] == name for c in schema["cols"]):
             raise ValueError(f"column {name!r} already exists")
@@ -4876,12 +5095,43 @@ def snapshot_add_column(table_path, name: str, dtype: str) -> int:
         cid = schema["next_id"]
         schema["next_id"] = cid + 1
         physical = name if name not in used else f"{name}_{cid}"
-        schema["cols"].append(
-            {"id": cid, "name": name, "physical": physical, "type": dtype}
-        )
+        col = {"id": cid, "name": name, "physical": physical, "type": dtype}
+        if default is not None:
+            col["default"] = default
+        schema["cols"].append(col)
         return schema
 
     return _commit_schema_change(table_path, mutate, "add-column")
+
+
+def snapshot_create_table(
+    table_path, columns: "list[tuple]",
+) -> int:
+    """Empty-table DDL (``CREATE TABLE t (c type [DEFAULT expr], ...)
+    USING snapshot``): commit a v1 schema-only manifest — zero files,
+    column mapping from birth (the declared schema is authoritative; no
+    footer exists to infer from). ``columns`` is [(name, ddl_type,
+    default_or_None), ...]. Reads before the first write return a typed
+    empty frame; every writer then composes normally (appends, MERGE,
+    constraints, partition specs)."""
+    p = _table(table_path)
+    if current_version(p) != 0:
+        raise FileExistsError(f"{table_path} already has committed versions")
+    if not columns:
+        raise ValueError("CREATE TABLE needs at least one column")
+    names = [c[0] for c in columns]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate column names: {names}")
+    cols = []
+    for i, spec in enumerate(columns):
+        name, dtype = spec[0], spec[1]
+        default = spec[2] if len(spec) > 2 else None
+        col = {"id": i + 1, "name": name, "physical": name, "type": dtype}
+        if default is not None:
+            col["default"] = default
+        cols.append(col)
+    schema = {"next_id": len(cols) + 1, "cols": cols, "retired": []}
+    return _commit(p, [], 0, op="create", schema_meta=schema)
 
 
 _BUCKET_FILE_RE = re.compile(r"_(\d{5})(?:\.|$)")
@@ -5259,7 +5509,7 @@ def snapshot_upsert_partitioned(
             if touched:
                 cur = _read_files_with_dv(
                     spark, p, sorted(touched), m.get("dv"), merge_schema=True,
-                    types=m.get("types"),
+                    types=m.get("types"), schema=m.get("schema"),
                 )
                 merged = cur.join(
                     df.select(keys).distinct(), keys, "left_anti"

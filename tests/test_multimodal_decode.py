@@ -1071,3 +1071,43 @@ def test_adpcm_multi_block_stream_resets_state_per_block(spark):
         int(a.min()), int(a.max()), int(a[-1])
     )
     assert abs(r.mean_amp - round(float(a.mean()), 6)) < 1e-9
+
+
+def test_tiff_lzw_roundtrip_crosses_width_boundaries():
+    """TIFF-variant LZW (MSB-first, EARLY width change): byte-exact
+    roundtrip on data long and varied enough to push the dictionary
+    through the 9->10->11 bit transitions — the early-change off-by-one
+    (TIFF vs GIF's 1<<width point) corrupts exactly these streams."""
+    import random
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _tiff_lzw_compress,
+        _tiff_lzw_decompress,
+    )
+
+    rng = random.Random(42)
+    for n in (1, 2, 257, 1500, 6000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        enc = _tiff_lzw_compress(data)
+        assert _tiff_lzw_decompress(enc, n) == data, f"n={n}"
+    # KwKwK shape: aaa... emits codes that reference the just-added slot
+    data = b"a" * 400
+    assert _tiff_lzw_decompress(_tiff_lzw_compress(data), 400) == data
+    # highly repetitive long stream: deep dictionary chains + width bumps
+    data = (b"abcabd" * 700)[:4000]
+    assert _tiff_lzw_decompress(_tiff_lzw_compress(data), 4000) == data
+
+
+def test_tiff_lzw_encoder_reset_at_4094():
+    """A stream with >3836 distinct new dictionary entries forces the
+    spec's 4094 CLEAR reset; the decoder must follow it mid-stream."""
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _tiff_lzw_compress,
+        _tiff_lzw_decompress,
+    )
+
+    # all 256 values cycled with a stride builds new 2-byte entries fast;
+    # 40k bytes is comfortably past the reset point
+    data = bytes((i * 7 + (i >> 3)) % 256 for i in range(40000))
+    enc = _tiff_lzw_compress(data)
+    assert _tiff_lzw_decompress(enc, len(data)) == data

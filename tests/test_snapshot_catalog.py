@@ -1221,3 +1221,250 @@ def test_merge_with_schema_evolution(spark, tmp_path):
     }
     assert got3[0] == (7, 0.5, "t0", True)
     assert got3[9] == (900, 9.5, None, None)
+
+
+def test_shallow_clone_show_partitions_show_create(spark, tmp_path):
+    """The three metadata SQL routes: CREATE TABLE ... SHALLOW CLONE
+    (zero-copy, version/timestamp-pinnable, DV-correct), SHOW PARTITIONS
+    (live spec value tuples), SHOW CREATE TABLE (reconstructed DDL with
+    partitioning and constraints)."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_delete_range_mor,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(20).selectExpr(
+            "id AS k", "id * 2 AS v",
+            "CASE WHEN id < 10 THEN 'x' ELSE 'y' END AS tag",
+        ),
+        t, ["k"], n_files=2,
+    )
+    cat.sql(f"CREATE TABLE base USING snapshot LOCATION '{t}'")
+    cat.sql("ALTER TABLE base SET PARTITIONED BY (tag)")
+    cat.sql("ALTER TABLE base ADD CONSTRAINT pos CHECK (k >= 0)")
+    snapshot_delete_range_mor(spark, t, "k", 3, 5)   # DVs must clone
+    cat.sql("INSERT INTO base SELECT 100 AS k, 1 AS v, 'z' AS tag")
+
+    # clone at CURRENT version, then diverge the source
+    cat.sql(
+        f"CREATE TABLE c1 SHALLOW CLONE base LOCATION '{tmp_path / 'c1'}'"
+    )
+    cat.sql("INSERT INTO base SELECT 200 AS k, 2 AS v, 'z' AS tag")
+    assert cat.sql("SELECT count(*) AS n FROM c1").first().n == 18
+    assert cat.sql("SELECT count(*) AS n FROM base").first().n == 19
+    ks = {r.k for r in cat.sql("SELECT k FROM c1").collect()}
+    assert {3, 4, 5}.isdisjoint(ks), "inherited DVs must hold in the clone"
+    # writes to the clone never touch the source
+    cat.sql("DELETE FROM c1 WHERE k BETWEEN 0 AND 0")
+    assert cat.sql("SELECT count(*) AS n FROM base").first().n == 19
+
+    # version-pinned clone: before the DV delete (version 1 = the write)
+    cat.sql(
+        "CREATE TABLE c2 SHALLOW CLONE base VERSION AS OF 1 "
+        f"LOCATION '{tmp_path / 'c2'}'"
+    )
+    assert cat.sql("SELECT count(*) AS n FROM c2").first().n == 20
+
+    # unknown source / duplicate target refuse
+    with pytest.raises(ValueError, match="unknown source"):
+        cat.sql(f"CREATE TABLE c3 SHALLOW CLONE nope LOCATION '{tmp_path}'")
+    with pytest.raises(ValueError, match="already registered"):
+        cat.sql(f"CREATE TABLE c1 SHALLOW CLONE base LOCATION '{tmp_path}'")
+
+    # SHOW PARTITIONS: live value tuples of the spec column
+    parts = [r.tag for r in cat.sql("SHOW PARTITIONS base").collect()]
+    assert parts == ["x", "y", "z"]
+    with pytest.raises(ValueError, match="not partitioned"):
+        cat.sql("SHOW PARTITIONS c2")
+
+    # SHOW CREATE TABLE: one createtab_stmt row carrying the essentials
+    ddl = cat.sql("SHOW CREATE TABLE base").first().createtab_stmt
+    assert "CREATE TABLE base (" in ddl
+    assert "k BIGINT" in ddl and "tag STRING" in ddl
+    assert "USING snapshot" in ddl
+    assert "PARTITIONED BY (tag)" in ddl
+    assert f"LOCATION '{t}'" in ddl
+    assert "delta.constraints.pos" in ddl and "k >= 0" in ddl
+
+
+def test_empty_table_ddl_and_column_defaults(spark, tmp_path):
+    """CREATE TABLE (cols) USING snapshot commits a v1 schema-only
+    manifest (typed empty reads, then normal writers compose); ALTER
+    TABLE ADD COLUMN ... DEFAULT backfills per-FILE: files lacking the
+    column read the default (old files, later narrow writes), files
+    carrying it read stored values including explicit NULLs — through
+    the catalog SQL surface (DataSource reads), the library read, DML
+    images, and compaction rewrites."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_read,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+
+    # --- empty-table DDL
+    cat.sql(
+        f"CREATE TABLE emp (k bigint, v double, tag string DEFAULT 'new') "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    empty = cat.sql("SELECT * FROM emp")
+    assert empty.columns == ["k", "v", "tag"] and empty.count() == 0
+    assert dict(empty.dtypes) == {
+        "k": "bigint", "v": "double", "tag": "string"
+    }
+    # library read agrees
+    assert snapshot_read(spark, t).columns == ["k", "v", "tag"]
+
+    # first write: full-width insert; the DEFAULT is write-side inert
+    cat.sql("INSERT INTO emp SELECT 1 AS k, 0.5 AS v, 'a' AS tag")
+    assert cat.sql("SELECT tag FROM emp").first().tag == "a"
+    # a narrow library append omits tag -> its file LACKS the column ->
+    # reads back as the write-default 'new'
+    snapshot_append(
+        spark.createDataFrame([(2, 1.5)], "k long, v double"), t
+    )
+    got = {r.k: r.tag for r in cat.sql("SELECT k, tag FROM emp").collect()}
+    assert got == {1: "a", 2: "new"}
+    lib = {r.k: r.tag for r in snapshot_read(spark, t).collect()}
+    assert lib == got, "library and DataSource reads must agree"
+
+    # --- ADD COLUMN DEFAULT backfill on a populated table
+    t2 = tmp_path / "t2"
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_write_with_stats,
+    )
+
+    snapshot_write_with_stats(
+        spark.range(6).selectExpr("id AS k", "id * 10 AS v"),
+        t2, ["k"], n_files=2,
+    )
+    cat.sql(f"CREATE TABLE dft USING snapshot LOCATION '{t2}'")
+    cat.sql("ALTER TABLE dft ADD COLUMN score bigint DEFAULT 7")
+    # backfill read: every pre-add row shows 7, not NULL
+    assert {r.score for r in cat.sql("SELECT score FROM dft").collect()} == {7}
+    assert {r.score for r in snapshot_read(spark, t2).collect()} == {7}
+
+    # post-add write with an EXPLICIT NULL: stored values win per-file
+    cat.sql("INSERT INTO dft SELECT 100 AS k, 1 AS v, NULL AS score")
+    cat.sql("INSERT INTO dft SELECT 101 AS k, 2 AS v, 55 AS score")
+    got = {r.k: r.score for r in cat.sql("SELECT k, score FROM dft").collect()}
+    assert got[100] is None and got[101] == 55 and got[0] == 7
+    lib = {r.k: r.score for r in snapshot_read(spark, t2).collect()}
+    assert lib == got
+
+    # DML over the default: predicates see it, images materialize it
+    cat.sql("UPDATE dft SET v = v + 1 WHERE score = 7 AND k BETWEEN 0 AND 1")
+    got = {r.k: (r.v, r.score) for r in cat.sql("SELECT * FROM dft").collect()}
+    assert got[0] == (1, 7) and got[1] == (11, 7) and got[2] == (20, 7)
+
+    # compaction of mixed generations must MATERIALIZE the default,
+    # never freeze a NULL for pre-add rows
+    snapshot_compact(spark, t2, target_files=1)
+    got2 = {r.k: (r.v, r.score) for r in cat.sql("SELECT * FROM dft").collect()}
+    assert got2 == got, f"compaction changed visible rows: {got2} != {got}"
+
+    # non-literal defaults refuse loudly at DDL time
+    with pytest.raises(ValueError):
+        cat.sql("ALTER TABLE dft ADD COLUMN bad bigint DEFAULT rand()")
+
+
+def test_vacuum_dry_run_optimize_where_table_changes(spark, tmp_path):
+    """Three maintenance/CDF SQL routes: VACUUM ... DRY RUN lists
+    would-delete files and touches nothing; OPTIMIZE ... WHERE rewrites
+    only stats-overlapping files (untouched files byte-identical, table
+    contents unchanged); SELECT ... FROM table_changes('t', v1[, v2])
+    surfaces the batch change feed with _change_type."""
+    import hashlib
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_write_with_stats,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v"),
+        t, ["k"], n_files=4,
+    )
+    cat.sql(f"CREATE TABLE vt USING snapshot LOCATION '{t}'")
+    cat.sql("UPDATE vt SET v = 0 WHERE k BETWEEN 0 AND 4")   # v2
+    cat.sql("INSERT INTO vt VALUES (500, 1)")                # v3
+
+    # --- table_changes: v1 -> v2 nets the 5 updated rows
+    ch = cat.sql(
+        "SELECT _change_type, k, v FROM table_changes('vt', 1, 2) "
+        "ORDER BY _change_type, k"
+    ).collect()
+    types = {r._change_type for r in ch}
+    assert types and types <= {
+        "insert", "delete", "update_preimage", "update_postimage"
+    }
+    changed_keys = {r.k for r in ch}
+    assert changed_keys == set(range(5))
+    # open window (v2 -> tip) sees the insert
+    ch2 = cat.sql(
+        "SELECT * FROM table_changes('vt', 2) WHERE _change_type = 'insert'"
+    ).collect()
+    assert {r.k for r in ch2} == {500}
+
+    # --- OPTIMIZE WHERE: only the overlapping file set rewrites
+    m = _read_manifest(t, current_version(t))
+    before = {
+        f: hashlib.md5((t / f).read_bytes()).hexdigest() for f in m["files"]
+    }
+    rows_before = {
+        (r.k, r.v) for r in cat.sql("SELECT * FROM vt").collect()
+    }
+    cat.sql("OPTIMIZE vt WHERE k BETWEEN 0 AND 30 INTO 1 FILES")
+    m2 = _read_manifest(t, current_version(t))
+    assert m2["op"] == "compact-where"
+    carried = set(before) & set(m2["files"])
+    assert carried, "files outside the predicate must carry"
+    for f in carried:
+        assert hashlib.md5(
+            (t / f).read_bytes()
+        ).hexdigest() == before[f], "carried file changed bytes"
+    assert len(m2["files"]) < len(before) + 1
+    rows_after = {
+        (r.k, r.v) for r in cat.sql("SELECT * FROM vt").collect()
+    }
+    assert rows_after == rows_before, "OPTIMIZE WHERE changed contents"
+
+    # WHERE + ZORDER refuse together
+    with pytest.raises(ValueError, match="ZORDER"):
+        cat.sql("OPTIMIZE vt WHERE k > 0 ZORDER BY (k, v)")
+
+    # --- VACUUM DRY RUN: the compact-where rewrite just orphaned the
+    # touched files — DRY RUN lists them and deletes NOTHING
+    listed = [
+        r.path
+        for r in cat.sql("VACUUM vt RETAIN 1 VERSIONS DRY RUN").collect()
+    ]
+    assert listed, "compact-where must leave reclaimable files"
+    for rel in listed:
+        assert (t / rel).exists(), "DRY RUN must not delete"
+    assert cat.sql("SELECT count(*) AS n FROM vt").first().n == 101
+    # the real vacuum then deletes exactly that list
+    import energy_datalake_solution_spark.sources.snapshots as S
+
+    deleted = S.snapshot_vacuum(t, keep_versions=1)
+    assert sorted(deleted) == sorted(listed)
+    assert cat.sql("SELECT count(*) AS n FROM vt").first().n == 101
+
+
+def test_show_create_table_carries_defaults(spark, tmp_path):
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(
+        f"CREATE TABLE dd (k bigint, tag string DEFAULT 'n/a') "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    ddl = cat.sql("SHOW CREATE TABLE dd").first().createtab_stmt
+    assert "tag STRING DEFAULT 'n/a'" in ddl and "k BIGINT" in ddl
