@@ -16,9 +16,13 @@ contract one level up:
         CREATE [OR REPLACE] TABLE <name> USING snapshot LOCATION '<p>'
             AS <select>                           (CTAS — materialize +
             register; the source query may itself time-travel)
-        CREATE TABLE <name> (c type [DEFAULT lit], ...) USING snapshot
+        CREATE TABLE <name> (c type [DEFAULT lit
+            | GENERATED ALWAYS AS (expr)], ...) USING snapshot
             LOCATION '<p>'   (empty-table DDL: v1 schema-only manifest,
-            column mapping from birth; reads return a typed empty frame)
+            column mapping from birth; reads return a typed empty frame;
+            generated columns compute on write when omitted and are
+            validated when supplied — partition BY one for the
+            date-partition-from-timestamp pattern)
         ALTER TABLE <name> ADD COLUMN c type DEFAULT <literal>
             (Iceberg-style initial+write-default: files lacking the
             column — pre-add files, later narrow writes — read the
@@ -161,8 +165,9 @@ _CREATE_EMPTY_RE = re.compile(
 _COL_SPEC_RE = re.compile(
     r"^\s*(?P<name>[A-Za-z_]\w*)\s+"
     r"(?P<dtype>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
-    r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|\S+))?\s*$",
-    re.IGNORECASE,
+    r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|\S+)"
+    r"|\s+GENERATED\s+ALWAYS\s+AS\s*\((?P<generated>.+)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 # SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a new table
 # whose first manifest references the source version's files by absolute
@@ -580,7 +585,8 @@ class SnapshotCatalog:
                 if default is not None:
                     _parse_default_literal(default)  # literals only; raises
                 cols.append(
-                    (cm.group("name"), cm.group("dtype").lower(), default)
+                    (cm.group("name"), cm.group("dtype").lower(), default,
+                     cm.group("generated"))
                 )
             snapshot_create_table(m.group("opath") or m.group("lpath"), cols)
             self.create_table(name, m.group("opath") or m.group("lpath"))
@@ -1002,15 +1008,21 @@ class SnapshotCatalog:
                 "path", str(path)
             ).option("version", str(v))
             fields = reader.load().schema.fields
+            scols = (man.get("schema") or {}).get("cols", [])
             dflt = {
-                c["name"]: c["default"]
-                for c in (man.get("schema") or {}).get("cols", [])
+                c["name"]: c["default"] for c in scols
                 if c.get("default") is not None
+            }
+            gen = {
+                c["name"]: c["generated"] for c in scols
+                if c.get("generated") is not None
             }
             lines = [f"CREATE TABLE {name} ("]
             lines.append(",\n".join(
                 f"  {f.name} {f.dataType.simpleString().upper()}"
                 + (f" DEFAULT {dflt[f.name]}" if f.name in dflt else "")
+                + (f" GENERATED ALWAYS AS ({gen[f.name]})"
+                   if f.name in gen else "")
                 for f in fields
             ))
             lines.append(") USING snapshot")

@@ -67,12 +67,33 @@ from .snapshots import (
     _PROV_COLS,
     _dv_key,
     _footer_types,
+    _manifest_path,
     _pack_positions,
     _read_manifest,
     _unpack_positions,
     _wider_type,
     current_version,
 )
+
+
+def _ts_float(tok) -> float:
+    """ISO-8601 string or epoch number -> epoch seconds (UTC assumed for
+    naive timestamps, matching the manifest ts stamps)."""
+    try:
+        return float(tok)
+    except (TypeError, ValueError):
+        pass
+    from datetime import datetime, timezone
+
+    s = str(tok).strip().replace("T", " ")
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(s, fmt).replace(
+                tzinfo=timezone.utc
+            ).timestamp()
+        except ValueError:
+            continue
+    raise ValueError(f"cannot parse timestamp {tok!r}")
 
 
 class _FilePartition(InputPartition):
@@ -810,7 +831,10 @@ class SnapshotDataSource(DataSource):
     """``spark.read.format("snapshot")`` / ``spark.readStream.format(
     "snapshot")`` over a snapshot table. Options: ``path`` (table root,
     required), ``version`` (batch time travel), ``startingVersion``
-    (stream catch-up start; default 0 = from the table's beginning),
+    (stream catch-up start; default 0 = from the table's beginning;
+    'latest' = only commits after stream start), ``startingTimestamp``
+    (ISO or epoch: include every commit stamped at-or-after — mutually
+    exclusive with startingVersion),
     ``readChangeFeed`` ('true' turns the STREAM into a net row-level
     change feed with _change_type/_commit_version columns),
     ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` (stream backpressure:
@@ -878,8 +902,36 @@ class SnapshotDataSource(DataSource):
                 "with readChangeFeed (a change step is not file-"
                 "sliceable); drop the rate limit or stream the table"
             )
+        sv = self.options.get("startingVersion", 0)
+        st = self.options.get("startingTimestamp")
+        if st is not None and str(sv) not in ("0", "latest"):
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        p = Path(self._path())
+        if st is not None:
+            # Delta's startingTimestamp: include every commit stamped AT
+            # OR AFTER the timestamp — the offset floor is the parent of
+            # the oldest such commit on the published chain. A timestamp
+            # after the tip streams only FUTURE commits.
+            ts = _ts_float(st)
+            import json as _json
+
+            v = current_version(p)
+            start = v
+            while v > 0:
+                raw = _json.loads(_manifest_path(p, v).read_text())
+                if raw.get("ts") is not None and float(raw["ts"]) >= ts:
+                    start = int(raw.get("parent", 0))
+                v = int(raw.get("parent", 0))
+            starting_version = start
+        elif str(sv).lower() == "latest":
+            # only commits AFTER stream start (Delta's 'latest')
+            starting_version = current_version(p)
+        else:
+            starting_version = int(sv)
         return _SnapshotStreamReader(
-            self._path(), int(self.options.get("startingVersion", 0)),
+            str(p), starting_version,
             change_feed=self._change_feed(),
             max_files=max(1, int(max_files)) if max_files else None,
             max_bytes=_parse_bytes(max_bytes) if max_bytes else None,

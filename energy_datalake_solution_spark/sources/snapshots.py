@@ -828,6 +828,7 @@ def snapshot_write(df: DataFrame, table_path) -> int:
     if tip:
         sch = _read_manifest(p, tip).get("schema")
         if sch:
+            df = _materialize_generated(df, sch)
             df = _df_to_physical(df, sch)  # mapped table: logical -> physical
     files = _write_files(df, p)
     for attempt in range(COMMIT_RETRIES):
@@ -903,6 +904,9 @@ def snapshot_append(
         m_tip = _read_manifest(p, tip)
         sch = m_tip.get("schema")
         if sch:
+            # generated columns the batch omits compute HERE (logical
+            # namespace); carried ones were validated above
+            df = _materialize_generated(df, sch)
             # mapped table: incoming logical columns write under their
             # frozen physical names (unknown columns fail loudly)
             df = _df_to_physical(df, sch)
@@ -1153,6 +1157,7 @@ def snapshot_upsert(
     if sch:
         # mapped table: the whole merge runs in PHYSICAL column space
         # (read-back frames are physical; stats are keyed physical)
+        df = _materialize_generated(df, sch)
         df = _df_to_physical(df, sch)
         keys = [_mapping_physical(sch, k) for k in keys]
     # type widening: wider batch -> manifest records the widened types;
@@ -1421,7 +1426,8 @@ def snapshot_merge(
         # (the manifest's types map is physical), the MERGE itself in
         # LOGICAL space (conditions speak the caller's names)
         src_phys, widen_types = _apply_type_widening(
-            _df_to_physical(source, sch), p, m_tip
+            _df_to_physical(_materialize_generated(source, sch), sch),
+            p, m_tip
         )
         src = _apply_column_mapping(src_phys, sch)
     else:
@@ -2205,13 +2211,24 @@ def _enforce_constraints(df: DataFrame, p: Path, tip: int | None = None) -> None
     """Reject a write batch violating any table CHECK constraint (one
     job per constraint, LIMIT 1 — enforcement cost is a pushed-down scan
     of the BATCH, never the table). SQL CHECK semantics: only FALSE
-    violates; NULL satisfies."""
+    violates; NULL satisfies. GENERATED ALWAYS AS columns the batch
+    CARRIES validate the same way (value must null-safe-equal the
+    expression — Delta's generated-column write contract), so an
+    explicit wrong value never lands."""
     from pyspark.sql import functions as F
 
     tip = current_version(p) if tip is None else tip
     if not tip:
         return
-    cons = _read_manifest(p, tip).get("constraints") or {}
+    m = _read_manifest(p, tip)
+    cons = dict(m.get("constraints") or {})
+    have = set(df.columns)
+    for c in (m.get("schema") or {}).get("cols", []):
+        gen = c.get("generated")
+        if gen is not None and c["name"] in have:
+            cons[f"__generated_{c['name']}"] = (
+                f"{c['name']} <=> CAST(({gen}) AS {c['type']})"
+            )
     for name in sorted(cons):
         expr = cons[name]
         bad = (
@@ -4365,6 +4382,64 @@ def snapshot_compact_where(
     raise AssertionError("unreachable")
 
 
+def snapshot_compact_small(
+    spark: SparkSession, table_path,
+    small_bytes: int = 32 << 20,
+    min_small_files: int = 4,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """Auto-compaction (Delta's autoCompact shape): bin-pack ONLY the
+    files under ``small_bytes`` into ~``target_bytes`` outputs, leaving
+    well-sized files untouched (byte-identical carry, stats/blooms/DVs
+    preserved) — the steady-state answer to streaming sinks' small-file
+    creep. A no-op commit-free return when fewer than
+    ``min_small_files`` qualify, so calling it after every micro-batch
+    is safe. File sizes come from the local filesystem stat (the same
+    metadata a real object store returns with its listing); DV'd small
+    files fold their vectors into the rewrite. Returns the new version
+    (or the current one when nothing qualified)."""
+    p = _table(table_path)
+    tip = current_version(p)
+    if tip == 0:
+        raise FileNotFoundError(f"no snapshot table at {p}")
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        m = _read_manifest(p, parent)
+        stats: dict = m.get("stats", {}) or {}
+        small = [
+            f for f in m["files"]
+            if (p / f).exists() and (p / f).stat().st_size < small_bytes
+        ]
+        if len(small) < min_small_files:
+            return parent
+        total = sum((p / f).stat().st_size for f in small)
+        n_out = max(1, round(total / target_bytes))
+        try:
+            cur = _read_files_with_dv(
+                spark, p, sorted(small), m.get("dv"), merge_schema=True,
+                types=m.get("types"), schema=m.get("schema"),
+            ).coalesce(n_out)
+            cur = cur.drop(*[c for c in _PROV_COLS if c in cur.columns])
+            new_files = _write_files(cur, p)
+            untouched = [f for f in m["files"] if f not in set(small)]
+            new_stats = dict(stats)
+            for f in small:
+                new_stats.pop(f, None)
+            tracked = sorted({c for s in stats.values() for c in s})
+            if tracked:
+                new_stats.update(
+                    _collect_stats(p, new_files, tracked, spark=spark)
+                )
+            return _commit(p, untouched + new_files, parent,
+                           stats=new_stats or None,
+                           blooms=_carry_blooms(p, m, untouched, new_files),
+                           dv=_carry_dv(m, untouched), op="autocompact")
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
 def snapshot_analyze(spark: SparkSession, table_path, cols: list) -> int:
     """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS: backfill
     per-file [min, max] stats for the given columns over every LIVE
@@ -4873,6 +4948,28 @@ def _mapping_physical(schema: dict, logical: str) -> str:
     )
 
 
+def _materialize_generated(df: DataFrame, schema: dict | None) -> DataFrame:
+    """Compute every GENERATED ALWAYS AS column the batch does not carry
+    (Delta's generated columns): the expression evaluates over the
+    batch's other LOGICAL columns, cast to the declared type. Columns
+    the batch DOES carry pass through — _enforce_constraints validates
+    them against the expression, so a caller cannot silently write a
+    value the expression contradicts. Shared by every logical-frame
+    writer (append, write, upsert, merge source)."""
+    if not schema:
+        return df
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    for c in schema["cols"]:
+        gen = c.get("generated")
+        if gen is not None and c["name"] not in have:
+            df = df.withColumn(
+                c["name"], F.expr(gen).cast(c["type"])
+            )
+    return df
+
+
 def _schema_defaults(schema: dict | None) -> dict:
     """physical name -> (default SQL expr, type) for every mapped column
     carrying a DEFAULT — empty for unmapped / default-free tables."""
@@ -5111,9 +5208,14 @@ def snapshot_create_table(
     USING snapshot``): commit a v1 schema-only manifest — zero files,
     column mapping from birth (the declared schema is authoritative; no
     footer exists to infer from). ``columns`` is [(name, ddl_type,
-    default_or_None), ...]. Reads before the first write return a typed
-    empty frame; every writer then composes normally (appends, MERGE,
-    constraints, partition specs)."""
+    default_or_None[, generated_expr_or_None]), ...] — a generated
+    expression records Delta's GENERATED ALWAYS AS: writers that omit
+    the column compute it, writers that carry it validate against it
+    (see _materialize_generated / _enforce_constraints). Reads before
+    the first write return a typed empty frame; every writer then
+    composes normally (appends, MERGE, constraints, partition specs —
+    partitioning BY a generated column is the canonical date-partition
+    pattern)."""
     p = _table(table_path)
     if current_version(p) != 0:
         raise FileExistsError(f"{table_path} already has committed versions")
@@ -5126,9 +5228,17 @@ def snapshot_create_table(
     for i, spec in enumerate(columns):
         name, dtype = spec[0], spec[1]
         default = spec[2] if len(spec) > 2 else None
+        generated = spec[3] if len(spec) > 3 else None
+        if default is not None and generated is not None:
+            raise ValueError(
+                f"column {name!r}: DEFAULT and GENERATED ALWAYS AS are "
+                "mutually exclusive"
+            )
         col = {"id": i + 1, "name": name, "physical": name, "type": dtype}
         if default is not None:
             col["default"] = default
+        if generated is not None:
+            col["generated"] = generated
         cols.append(col)
     schema = {"next_id": len(cols) + 1, "cols": cols, "retired": []}
     return _commit(p, [], 0, op="create", schema_meta=schema)

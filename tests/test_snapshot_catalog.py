@@ -1468,3 +1468,70 @@ def test_show_create_table_carries_defaults(spark, tmp_path):
     )
     ddl = cat.sql("SHOW CREATE TABLE dd").first().createtab_stmt
     assert "tag STRING DEFAULT 'n/a'" in ddl and "k BIGINT" in ddl
+
+
+def test_generated_columns(spark, tmp_path):
+    """GENERATED ALWAYS AS columns: omitted on write -> computed from
+    the expression; supplied -> validated (wrong values refuse); compose
+    with partition specs (the date-partition-from-timestamp pattern) and
+    with MERGE sources; SHOW CREATE TABLE surfaces the clause."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        SnapshotConstraintViolation,
+        _read_manifest,
+        current_version,
+        snapshot_read,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(
+        f"CREATE TABLE gen (k bigint, v bigint, "
+        f"bucket bigint GENERATED ALWAYS AS (k % 4)) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    # narrow insert: bucket computes
+    cat.sql("INSERT INTO gen SELECT id AS k, id * 10 AS v FROM range(8)")
+    got = {r.k: r.bucket for r in cat.sql("SELECT k, bucket FROM gen").collect()}
+    assert got == {k: k % 4 for k in range(8)}
+
+    # full-width insert with CORRECT values passes; WRONG values refuse
+    cat.sql("INSERT INTO gen VALUES (100, 1, 0)")
+    with pytest.raises(SnapshotConstraintViolation, match="bucket"):
+        cat.sql("INSERT INTO gen VALUES (101, 1, 3)")
+    assert cat.sql("SELECT count(*) AS n FROM gen").first().n == 9
+
+    # partition by the generated column: appends route per value
+    cat.sql("ALTER TABLE gen SET PARTITIONED BY (bucket)")
+    cat.sql("INSERT INTO gen SELECT id AS k, id AS v FROM range(200, 208)")
+    parts = [r.bucket for r in cat.sql("SHOW PARTITIONS gen").collect()]
+    assert parts == [0, 1, 2, 3]
+    m = _read_manifest(t, current_version(t))
+    # the partitioned append routed one file set per bucket value with
+    # point stats on the spec column
+    assert any("bucket" in s for s in (m.get("stats") or {}).values())
+
+    # MERGE source omitting the generated column computes it too
+    spark.createDataFrame(
+        [(100, 999), (300, 5)], "k long, v long"
+    ).createOrReplaceTempView("gen_src")
+    cat.sql(
+        "MERGE INTO gen t USING gen_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.k: (r.v, r.bucket) for r in snapshot_read(spark, t).collect()}
+    assert got[300] == (5, 0) and got[100] == (999, 0)
+
+    # SHOW CREATE TABLE reconstructs the clause
+    ddl = cat.sql("SHOW CREATE TABLE gen").first().createtab_stmt
+    assert "bucket BIGINT GENERATED ALWAYS AS (k % 4)" in ddl
+
+    # DEFAULT and GENERATED are mutually exclusive
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        from energy_datalake_solution_spark.sources.snapshots import (
+            snapshot_create_table,
+        )
+
+        snapshot_create_table(
+            tmp_path / "bad", [("a", "bigint", "1", "a + 1")]
+        )

@@ -721,3 +721,66 @@ def test_stream_rate_limit_rejects_change_feed(ds_spark, tmp_path):
                 "maxFilesPerTrigger": "1",
             }
         ).streamReader(None)
+
+
+def test_stream_starting_timestamp_and_latest(ds_spark, tmp_path):
+    """startingTimestamp includes every commit stamped at-or-after the
+    given time; startingVersion='latest' streams only FUTURE commits."""
+    import json as _json
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _manifest_path,
+    )
+
+    spark = ds_spark
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 3, "a"), t)         # v1
+    snapshot_append(_df(spark, 3, 6, "b"), t)        # v2
+    snapshot_append(_df(spark, 6, 9, "c"), t)        # v3
+    ts_v2 = _json.loads(_manifest_path(t, 2).read_text())["ts"]
+
+    def drain(reader_opts, out, ckpt):
+        r = spark.readStream.format("snapshot").option("path", str(t))
+        for k, v in reader_opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load().writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import os as _os
+
+        if not any(
+            f.endswith(".parquet") for f in _os.listdir(out)
+        ):
+            return set()
+        return {r_.v for r_ in spark.read.parquet(str(out)).collect()}
+
+    # at-or-after v2's stamp: v2 and v3 arrive, v1 does not
+    got = drain(
+        {"startingTimestamp": str(ts_v2)},
+        tmp_path / "o1", tmp_path / "c1",
+    )
+    assert got == {"b", "c"}
+    # timestamp after the tip: nothing historical
+    got = drain(
+        {"startingTimestamp": str(ts_v2 + 10**6)},
+        tmp_path / "o2", tmp_path / "c2",
+    )
+    assert got == set()
+    # 'latest': nothing historical either; a NEW commit then arrives
+    out3, c3 = tmp_path / "o3", tmp_path / "c3"
+    got = drain({"startingVersion": "latest"}, out3, c3)
+    assert got == set()
+    snapshot_append(_df(spark, 9, 11, "d"), t)
+    got = drain({"startingVersion": "latest"}, out3, c3)
+    assert got == {"d"}  # checkpoint pins the original start
+    # both options refuse
+    with pytest.raises(ValueError, match="not both"):
+        SnapshotDataSource(options={
+            "path": str(t), "startingVersion": "2",
+            "startingTimestamp": "123",
+        }).streamReader(None)

@@ -3013,3 +3013,62 @@ def test_analyze_races_concurrent_append(spark, tmp_path):
     assert set(m["files"]) == set(m.get("stats", {})), (
         "every live file (incl. the raced append's) must carry stats"
     )
+
+
+def test_autocompact_bin_packs_only_small_files(spark, tmp_path):
+    """snapshot_compact_small (Delta autoCompact shape): files under the
+    threshold bin-pack, well-sized files carry byte-identical, contents
+    unchanged, below-min-count calls are commit-free no-ops."""
+    import hashlib
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        snapshot_append,
+        snapshot_compact_small,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+    from pyspark.sql import functions as F
+
+    t = tmp_path / "t"
+    snapshot_write_with_stats(
+        spark.range(2000).selectExpr("id AS k", "id * 2 AS v"),
+        t, ["k"], n_files=2,
+    )
+    big = list(_read_manifest(t, current_version(t))["files"])
+    big_md5 = {f: hashlib.md5((t / f).read_bytes()).hexdigest() for f in big}
+    big_size = min((t / f).stat().st_size for f in big)
+    # six tiny appends (streaming-sink creep)
+    for i in range(6):
+        snapshot_append(
+            spark.range(3000 + i, 3001 + i).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            t,
+        )
+    m = _read_manifest(t, current_version(t))
+    assert len(m["files"]) == len(big) + 6
+    before = {(r.k, r.v) for r in snapshot_read(spark, t).collect()}
+
+    v = snapshot_compact_small(
+        spark, t, small_bytes=big_size, min_small_files=4
+    )
+    m2 = _read_manifest(t, v)
+    assert m2["op"] == "autocompact"
+    # the two big files carried byte-identical; the six smalls packed
+    assert set(big) <= set(m2["files"])
+    for f in big:
+        assert hashlib.md5(
+            (t / f).read_bytes()
+        ).hexdigest() == big_md5[f]
+    assert len(m2["files"]) < len(big) + 6
+    assert {(r.k, r.v) for r in snapshot_read(spark, t).collect()} == before
+    # stats tracking survives for the packed files' key column
+    assert all("k" in s for s in (m2.get("stats") or {}).values())
+
+    # nothing small left -> commit-free no-op
+    v2 = snapshot_compact_small(
+        spark, t, small_bytes=1024, min_small_files=4
+    )
+    assert v2 == v
