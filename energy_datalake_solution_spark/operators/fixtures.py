@@ -2694,3 +2694,131 @@ def snapshot_defaults_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.drop_table("dflt_cust")
     out = snapshot_read(spark, t).select("cust_id", "balance", "segment")
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_generated_partition_read",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               o_totalprice AS total_price,
+               CAST(o_custkey % 4 AS BIGINT) AS shard
+        FROM orders
+    """,
+    tags=("snapshot", "ddl", "generated", "catalog"),
+)
+def snapshot_generated_partition_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED ALWAYS AS columns under the driver's hash gate: an
+    empty-DDL table declares shard = o_custkey % 4, is partitioned BY
+    the generated column, then orders insert in two narrow batches that
+    OMIT the column — every row's shard must compute at write time and
+    route the partitioned layout (Delta's generated-column +
+    date-partition pattern). The oracle restates the expression from raw
+    orders, so a skipped computation (NULL shard), a wrong expression,
+    or a partition-routing bug that drops rows all fail the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_read
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_gen_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "orders"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "gen_raw_orders"
+    )
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE gen_orders (order_id bigint, cust_id bigint, "
+        f"total_price double, "
+        f"shard bigint GENERATED ALWAYS AS (cust_id % 4)) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("ALTER TABLE gen_orders SET PARTITIONED BY (shard)")
+    # narrow batches (no shard): the generated expression computes it
+    cat.sql(
+        "INSERT INTO gen_orders "
+        "SELECT o_orderkey AS order_id, o_custkey AS cust_id, "
+        "o_totalprice AS total_price FROM gen_raw_orders "
+        "WHERE o_orderkey % 2 = 0"
+    )
+    cat.sql(
+        "INSERT INTO gen_orders "
+        "SELECT o_orderkey AS order_id, o_custkey AS cust_id, "
+        "o_totalprice AS total_price FROM gen_raw_orders "
+        "WHERE o_orderkey % 2 = 1"
+    )
+    cat.drop_table("gen_orders")
+    out = snapshot_read(spark, t).select(
+        "order_id", "total_price", "shard"
+    )
+    return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_table_changes_read",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               'delete' AS change_type,
+               o_totalprice AS total_price
+        FROM orders WHERE o_custkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey AS order_id,
+               'insert' AS change_type,
+               o_totalprice + 3 AS total_price
+        FROM orders WHERE o_orderkey % 5 = 0
+    """,
+    tags=("snapshot", "cdf", "table-changes", "catalog"),
+)
+def snapshot_table_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDF as SQL under the driver's hash gate: commit orders,
+    DELETE the %7 customers' orders (grows deletion vectors), INSERT
+    re-priced rows for %5 orderkeys, then ONE verbatim
+    `SELECT ... FROM table_changes('t', 1)` statement must return
+    exactly the net changes with their _change_type — deletes with the
+    ORIGINAL price, inserts with the new one. OPTIMIZE ... WHERE then
+    rewrites part of the table and the SAME window must return the SAME
+    net changes (carried rows cancel; compaction is change-invisible).
+    The oracle restates the expected change set from raw orders."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_write_with_stats
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_tc_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "orders"
+    o = load_table(spark, sf_dir, "orders")
+    snapshot_write_with_stats(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        t, ["o_orderkey"], n_files=4,
+    )  # v1
+    o.createOrReplaceTempView("tc_raw_orders")
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE tc_orders USING snapshot LOCATION '{t}'")
+    cat.sql("DELETE FROM tc_orders WHERE o_custkey % 7 = 0")      # v2
+    cat.sql(
+        "INSERT INTO tc_orders "
+        "SELECT o_orderkey, o_custkey, o_totalprice + 3 "
+        "FROM tc_raw_orders WHERE o_orderkey % 5 = 0"
+    )                                                              # v3
+    # compaction between the window's endpoints must be invisible to
+    # the NET feed (carried rows cancel)
+    cat.sql("OPTIMIZE tc_orders WHERE o_orderkey >= 0 INTO 2 FILES")  # v4
+    out = cat.sql(
+        "SELECT o_orderkey AS order_id, "
+        "_change_type AS change_type, "
+        "o_totalprice AS total_price "
+        "FROM table_changes('tc_orders', 1) "
+        "WHERE _change_type IN ('insert', 'delete')"
+    )
+    out = out.localCheckpoint(eager=True)
+    cat.drop_table("tc_orders")
+    return out

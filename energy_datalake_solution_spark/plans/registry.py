@@ -110,6 +110,8 @@ SURFACE_ORDER: tuple[str, ...] = (
     "multimodal_tiff_lzw_stats",
     "snapshot_schema_evolution_merge_read",
     "snapshot_defaults_read",
+    "snapshot_generated_partition_read",
+    "snapshot_table_changes_read",
     # --- latest hash-green round 8: the stalest cohort (48) ---
     "anti_join_parts_never_shipped",
     "audit_enrichment",
@@ -159,12 +161,14 @@ SURFACE_ORDER: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",
     "unpivot_nation_balances",
     "window_rolling_7day_customer_spend",
-    # NOTE: 5 r12-born gates above push the last 3 cohort entries
-    # (tpch_q6_forecast_revenue, unpivot_nation_balances,
-    # window_rolling_7day_customer_spend) past the 50-window — 45/48 of
-    # the r8-stale cohort rotate in r12; those 3 lead the r13 rotation
-    # (the policy test pins never-checked queries INSIDE the window,
-    # which outranks cohort completeness).
+    # NOTE: 7 r12-born gates above push the last 5 cohort entries
+    # (tpch_q5_local_supplier_volume, tpch_q6_forecast_revenue,
+    # unpivot_nation_balances, window_rolling_7day_customer_spend, and
+    # tpch_q3_shipping_priority) past the 50-window — 43/48 of the
+    # r8-stale cohort rotate in r12; those 5 lead the r13 rotation (the
+    # policy test pins never-checked queries INSIDE the window, which
+    # outranks cohort completeness; all 48 stay continuously
+    # DuckDB-oracled by tests/test_queries_oracle.py regardless).
 )
 
 
