@@ -814,9 +814,40 @@ def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
         "DESCRIBE DETAIL gt",
         "OPTIMIZE gt INTO 2 FILES",
         "VACUUM gt RETAIN 2 VERSIONS",
+        # --- round-12 routes under the same mangles ---
+        f"CREATE TABLE gt2 (a bigint, b string DEFAULT 'n/a', "
+        f"c bigint GENERATED ALWAYS AS (a % 3)) "
+        f"USING snapshot LOCATION '{tmp_path / 'gt2'}'",
+        "INSERT INTO gt2 SELECT k AS a, tag AS b FROM gt WHERE k <= 2",
+        "MERGE WITH SCHEMA EVOLUTION INTO gt2 t USING gsrc2 s "
+        "ON t.a = s.a WHEN MATCHED THEN UPDATE SET extra = s.extra "
+        "WHEN NOT MATCHED THEN INSERT *",
+        "ALTER TABLE gt2 ADD COLUMN note string DEFAULT 'tbd'",
+        f"CREATE TABLE gcl SHALLOW CLONE gt2 "
+        f"LOCATION '{tmp_path / 'gcl'}'",
+        "ALTER TABLE gt2 SET PARTITIONED BY (c)",
+        "SHOW PARTITIONS gt2",
+        "SHOW CREATE TABLE gt2",
+        "OPTIMIZE gt WHERE k BETWEEN 0 AND 2 INTO 1 FILES",
+        "VACUUM gt RETAIN 2 VERSIONS DRY RUN",
+        "SELECT count(*) AS n FROM table_changes('gt2', 1)",
     ]
+    spark.createDataFrame(
+        [(1, 7), (90, 8)], "a long, extra long"
+    ).createOrReplaceTempView("gsrc2")
     for stmt in stmts:
         cat.sql(reform(stmt))
+    # the round-12 statements' net state: gt2 holds a=0..2 (b from tag,
+    # c generated, note defaulted) with a=1's extra updated and a=90
+    # inserted by the evolving merge; the clone froze BEFORE note/merge
+    got2 = {
+        r.a: (r.b, r.c, r.extra, r.note)
+        for r in cat.sql("SELECT * FROM gt2").collect()
+    }
+    assert got2[0] == ("stale", 0, None, "tbd")  # gt's tag was 'stale'
+    assert got2[1] == ("stale", 1, 7, "tbd")
+    assert got2[90][1] == 0 and got2[90][2] == 8  # c generated on insert
+    assert set(got2) == {0, 1, 2, 90}
     got = {r.k: (r.v, r.tag) for r in snapshot_read(spark, t).collect()}
     # expected state, independent of formatting:
     # start 0..9 (v=k*10, tag a); +insert 100; merge: k=3 updates to
