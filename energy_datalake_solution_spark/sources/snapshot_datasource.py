@@ -830,7 +830,9 @@ def _parse_bytes(s) -> int:
 class SnapshotDataSource(DataSource):
     """``spark.read.format("snapshot")`` / ``spark.readStream.format(
     "snapshot")`` over a snapshot table. Options: ``path`` (table root,
-    required), ``version`` (batch time travel), ``startingVersion``
+    required), ``version`` / ``timestampAsOf`` (batch time travel by
+    version or commit wall-clock — mutually exclusive),
+    ``startingVersion``
     (stream catch-up start; default 0 = from the table's beginning;
     'latest' = only commits after stream start), ``startingTimestamp``
     (ISO or epoch: include every commit stamped at-or-after — mutually
@@ -863,8 +865,12 @@ class SnapshotDataSource(DataSource):
         ).lower() in ("true", "1")
 
     def schema(self):
-        v_opt = self.options.get("version")
         p = Path(self._path())
+        v_opt = (
+            self._batch_version()
+            if not self._change_feed()
+            else self.options.get("version")
+        )
         v = int(v_opt) if v_opt is not None else current_version(p)
         sch = _spark_schema_for(p, v)
         if self._change_feed():
@@ -888,10 +894,23 @@ class SnapshotDataSource(DataSource):
                 "(spark.readStream.format('snapshot')); batch change "
                 "feeds use snapshots.snapshot_change_feed"
             )
+        v = self._batch_version()
+        return _SnapshotBatchReader(self._path(), v)
+
+    def _batch_version(self) -> "int | None":
+        """Resolve batch time travel: ``version`` wins the grammar check
+        (both present is an error), ``timestampAsOf`` resolves to the
+        latest committed version stamped at-or-before (Delta's batch
+        TIMESTAMP AS OF), None reads the tip."""
         v = self.options.get("version")
-        return _SnapshotBatchReader(
-            self._path(), int(v) if v is not None else None
-        )
+        ts = self.options.get("timestampAsOf")
+        if v is not None and ts is not None:
+            raise ValueError("pass version OR timestampAsOf, not both")
+        if ts is not None:
+            from .snapshots import snapshot_version_as_of
+
+            return snapshot_version_as_of(self._path(), _ts_float(ts))
+        return int(v) if v is not None else None
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         max_files = self.options.get("maxFilesPerTrigger")

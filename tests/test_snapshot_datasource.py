@@ -784,3 +784,49 @@ def test_stream_starting_timestamp_and_latest(ds_spark, tmp_path):
             "path": str(t), "startingVersion": "2",
             "startingTimestamp": "123",
         }).streamReader(None)
+
+
+def test_batch_time_travel_via_timestamp_option(ds_spark, tmp_path):
+    """timestampAsOf resolves the latest commit stamped at-or-before the
+    given time (Delta's batch TIMESTAMP AS OF); schema resolves at the
+    same version; combining with version refuses."""
+    import json as _json
+
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _manifest_path,
+        snapshot_add_column,
+        snapshot_enable_column_mapping,
+    )
+
+    spark = ds_spark
+    t = tmp_path / "t"
+    snapshot_write(_df(spark, 0, 5, "a"), t)                 # v1
+    snapshot_append(_df(spark, 5, 8, "b"), t)                # v2
+    snapshot_enable_column_mapping(spark, t)                 # v3
+    snapshot_add_column(t, "extra", "bigint")                # v4
+    ts_v2 = _json.loads(_manifest_path(t, 2).read_text())["ts"]
+
+    got = (
+        spark.read.format("snapshot")
+        .option("path", str(t))
+        .option("timestampAsOf", str(ts_v2))
+        .load()
+    )
+    # pinned at v2: 8 rows, and the v4 column does NOT exist yet
+    assert got.count() == 8 and "extra" not in got.columns
+    # at-or-before just under v2's stamp resolves v1
+    got1 = (
+        spark.read.format("snapshot")
+        .option("path", str(t))
+        .option("timestampAsOf", str(ts_v2 - 0.001))
+        .load()
+    )
+    assert got1.count() == 5
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("snapshot")
+            .option("path", str(t))
+            .option("version", "1")
+            .option("timestampAsOf", str(ts_v2))
+            .load()
+        ).count()
