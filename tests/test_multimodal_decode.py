@@ -1111,3 +1111,51 @@ def test_tiff_lzw_encoder_reset_at_4094():
     data = bytes((i * 7 + (i >> 3)) % 256 for i in range(40000))
     enc = _tiff_lzw_compress(data)
     assert _tiff_lzw_decompress(enc, len(data)) == data
+
+
+def test_tiff_lzw_roundtrip_property():
+    """Property: ANY byte string roundtrips through the TIFF LZW pair —
+    hypothesis drives dictionary growth, KwKwK, width switches, and the
+    trailing-bits flush through shapes a fixed seed would miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _tiff_lzw_compress,
+        _tiff_lzw_decompress,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=2048))
+    def _roundtrip(data: bytes) -> None:
+        assert _tiff_lzw_decompress(
+            _tiff_lzw_compress(data), len(data)
+        ) == data
+
+    _roundtrip()
+
+
+def test_gif_and_tiff_lzw_streams_are_not_interchangeable():
+    """The two LZW variants differ in bit order AND width-switch timing:
+    feeding one's stream to the other's decoder must fail or mis-decode,
+    never silently agree — guards against a refactor collapsing the two
+    into one wrong implementation."""
+    from energy_datalake_solution_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+        _tiff_lzw_compress,
+        _tiff_lzw_decompress,
+    )
+
+    data = bytes((i * 37) % 251 for i in range(600))
+    gif_stream = _lzw_compress(data)
+    tiff_stream = _tiff_lzw_compress(data)
+    assert gif_stream != tiff_stream
+    try:
+        assert _tiff_lzw_decompress(gif_stream, len(data)) != data
+    except ValueError:
+        pass  # corrupt-code rejection is the expected outcome
+    try:
+        assert _lzw_decompress(tiff_stream) != data
+    except ValueError:
+        pass

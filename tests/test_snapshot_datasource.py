@@ -830,3 +830,49 @@ def test_batch_time_travel_via_timestamp_option(ds_spark, tmp_path):
             .option("timestampAsOf", str(ts_v2))
             .load()
         ).count()
+
+
+def test_stream_rate_limit_with_concurrent_writer(ds_spark, tmp_path):
+    """A writer landing NEW commits while a paced stream drains its
+    backlog: every pre-existing and newly-committed row arrives exactly
+    once — the pacing walk follows the committed chain as it grows."""
+    spark = ds_spark
+    t, ckpt = tmp_path / "t", tmp_path / "ckpt"
+    snapshot_write_with_stats(_df(spark, 0, 40, "a"), t, ["k"], n_files=4)
+    seen: list[tuple] = []
+    appended = {"n": 0}
+
+    def sink(df, bid):
+        rows = df.collect()
+        seen.extend((r.k, r.v) for r in rows)
+        # the "concurrent" writer: land a new commit from inside the
+        # first few micro-batches (deterministic interleaving)
+        if appended["n"] < 3:
+            i = appended["n"]
+            snapshot_append(
+                _df(spark, 100 + i * 5, 105 + i * 5, "w").coalesce(1), t
+            )
+            appended["n"] += 1
+
+    q = (
+        spark.readStream.format("snapshot")
+        .option("path", str(t))
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = sorted(
+        [(k, "a") for k in range(40)]
+        + [(100 + i * 5 + j, "w") for i in range(3) for j in range(5)]
+    )
+    assert sorted(seen) == want, (
+        f"paced drain under concurrent writes lost/doubled rows "
+        f"(got {len(seen)}, want {len(want)})"
+    )
