@@ -34,7 +34,11 @@ contract one level up:
     the DML/maintenance subset (each routed to the corresponding
     TRANSACTIONAL library operation — stats-pruned, DV-based,
     optimistic-concurrency commits, not a new engine):
-        INSERT INTO <name> <select|values>        -> snapshot_append
+        INSERT INTO <name> [(col, ...)] <select|values>
+                                                  -> snapshot_append
+            (a full-width source maps by position; an explicit column
+            list maps to those columns, unlisted ones resolve by
+            DEFAULT / GENERATED / typed NULL on read)
         MERGE INTO <name> USING <src> ON (k, ...) -> snapshot_upsert
         MERGE INTO ... WHEN MATCHED [AND c] THEN UPDATE SET ../DELETE
             [WHEN NOT MATCHED [AND c] THEN INSERT *
@@ -203,7 +207,8 @@ _DROP_VIEW_RE = re.compile(
 # --- DML over snapshot tables (the documented subset; each form routes
 # to the corresponding transactional library operation) -------------------
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:\((?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\)\s*)?"
     r"(?P<query>(?:SELECT|VALUES|WITH|TABLE)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -719,10 +724,23 @@ class SnapshotCatalog:
         m = _INSERT_RE.match(text)
         if m and m.group("name") in self._tables:
             path = self._writable(m.group("name"))
-            df = self._values_named(
-                self._fresh_sql(m.group("query")), m.group("query"),
-                m.group("name"),
-            )
+            df = self._fresh_sql(m.group("query"))
+            if m.group("cols"):
+                # explicit column list: the source maps to it by
+                # position; unlisted columns simply stay absent from the
+                # written files (typed NULLs / DEFAULTs / GENERATED
+                # expressions resolve them — narrow-append semantics)
+                cols = [c.strip() for c in m.group("cols").split(",")]
+                if len(df.columns) != len(cols):
+                    raise ValueError(
+                        f"INSERT INTO (cols): {len(cols)} columns listed "
+                        f"but the source has {len(df.columns)}"
+                    )
+                df = df.toDF(*cols)
+            else:
+                df = self._values_named(
+                    df, m.group("query"), m.group("name"),
+                )
             from .snapshots import snapshot_append
 
             snapshot_append(df, path)

@@ -1619,3 +1619,27 @@ def test_defaults_and_generated_survive_clone_and_replace(spark, tmp_path):
     )
     row = {r.k: (r.parity, r.tag) for r in cat.sql("SELECT * FROM cl").collect()}
     assert row[100] == (0, "base")
+
+
+def test_insert_with_explicit_column_list(spark, tmp_path):
+    """INSERT INTO t (cols) VALUES/SELECT: the source maps positionally
+    to the LISTED columns; unlisted columns resolve as DEFAULT /
+    GENERATED / typed NULL — the narrow-append contract."""
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(
+        f"CREATE TABLE ic (k bigint, v bigint, tag string DEFAULT 'x', "
+        f"parity bigint GENERATED ALWAYS AS (k % 2)) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO ic (k, v) VALUES (1, 10), (2, 20)")
+    cat.sql("INSERT INTO ic (v, k) SELECT 30 AS a, 3 AS b")  # positional!
+    got = {
+        r.k: (r.v, r.tag, r.parity)
+        for r in cat.sql("SELECT * FROM ic").collect()
+    }
+    assert got == {
+        1: (10, "x", 1), 2: (20, "x", 0), 3: (30, "x", 1)
+    }
+    with pytest.raises(ValueError, match="columns listed"):
+        cat.sql("INSERT INTO ic (k, v, tag) VALUES (9, 9)")
