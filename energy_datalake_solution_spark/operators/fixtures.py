@@ -602,6 +602,7 @@ def snapshot_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "snapshot_partitioned_merge_read",
+    headline=True,
     oracle="""
         SELECT o_orderkey AS order_id,
                CAST(year(o_orderdate) AS INT) AS order_year,
@@ -2761,6 +2762,7 @@ def snapshot_generated_partition_read(
 
 @register(
     "snapshot_table_changes_read",
+    headline=True,
     oracle="""
         SELECT o_orderkey AS order_id,
                'delete' AS change_type,
@@ -2907,4 +2909,203 @@ def snapshot_identity_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.drop_table("ident_cust")
     out = snapshot_read(spark, t).select("row_id", "cust_id", "balance")
+    return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_maintenance_read",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("snapshot", "maintenance", "catalog"),
+)
+def snapshot_maintenance_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-12 maintenance surface under ONE driver hash gate:
+    a partitioned table loads in three small batches (small-file
+    creep), then auto-compaction (snapshot_compact_small — Delta's
+    autoCompact shape), VACUUM ... DRY RUN (must touch nothing), a
+    REAL vacuum (must keep every live file readable), SHOW PARTITIONS
+    (its value list inner-joins the final aggregate, so a wrong
+    partition listing drops rows), and SHOW CREATE TABLE (parsed for
+    the partition clause) all run before the read. The oracle restates
+    the per-status totals from raw orders, so a compaction that drops
+    or duplicates rows, a vacuum that deletes a live file, or a stale
+    partition listing all fail the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_compact_small, snapshot_read
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_mnt_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "orders"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "mnt_raw_orders"
+    )
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE mnt_orders (order_id bigint, status string, "
+        f"total_price double) USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("ALTER TABLE mnt_orders SET PARTITIONED BY (status)")
+    for rem in (0, 1, 2):
+        cat.sql(
+            "INSERT INTO mnt_orders "
+            "SELECT o_orderkey, o_orderstatus, o_totalprice "
+            f"FROM mnt_raw_orders WHERE o_orderkey % 3 = {rem}"
+        )
+    # autoCompact: every file here is tiny, so all qualify; the rewrite
+    # must be change-invisible
+    snapshot_compact_small(spark, t, min_small_files=2)
+    # DRY RUN lists would-deletes and must touch nothing
+    dry = cat.sql("VACUUM mnt_orders RETAIN 1 VERSIONS DRY RUN").collect()
+    if not dry:
+        raise RuntimeError("DRY RUN after compaction listed no candidates")
+    # the real vacuum must keep every live file readable
+    cat.sql("VACUUM mnt_orders RETAIN 1 VERSIONS")
+    ddl = cat.sql("SHOW CREATE TABLE mnt_orders").first().createtab_stmt
+    if "PARTITIONED BY (status)" not in ddl:
+        raise RuntimeError(f"SHOW CREATE TABLE lost the partition spec: {ddl}")
+    parts = cat.sql("SHOW PARTITIONS mnt_orders").select(
+        F.col("status")
+    )
+    cat.drop_table("mnt_orders")
+    agg = (
+        snapshot_read(spark, t)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("total_price"), 2).alias("total_price"),
+        )
+    )
+    out = agg.join(parts, "status", "inner").select(
+        "status", "n_orders", "total_price"
+    )
+    return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_lifecycle_read",
+    oracle="""
+        WITH r0 AS (
+            SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+            FROM customer WHERE c_custkey % 3 = 0
+        ), r1 AS (
+            SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+            FROM customer WHERE c_custkey % 3 = 1
+        ), r2 AS (
+            SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+            FROM customer WHERE c_custkey % 3 = 2
+        ), gen AS (
+            SELECT CAST(rn AS BIGINT) AS row_id, c_custkey, 'unknown' AS seg
+            FROM r0
+            UNION ALL
+            SELECT CAST((SELECT count(*) FROM r0) + rn AS BIGINT),
+                   c_custkey, 'bulk'
+            FROM r1
+            UNION ALL
+            SELECT CAST((SELECT count(*) FROM r0)
+                        + (SELECT count(*) FROM r1) + rn AS BIGINT),
+                   c_custkey, NULL
+            FROM r2
+        ), ev AS (
+            SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+            FROM customer WHERE c_custkey % 2 = 0
+        ), al AS (
+            SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+            FROM customer
+        ), trunc AS (
+            SELECT CAST(100 + ((SELECT count(*) FROM ev) + rn - 1) * 7
+                        AS BIGINT) AS row_id,
+                   c_custkey,
+                   CAST(NULL AS VARCHAR) AS seg
+            FROM al
+        )
+        SELECT 'gen' AS part, row_id, c_custkey AS cust_id, seg FROM gen
+        UNION ALL
+        SELECT 'trunc', row_id, c_custkey, seg FROM trunc
+    """,
+    tags=("snapshot", "ddl", "identity", "defaults", "catalog"),
+)
+def snapshot_lifecycle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-13 lifecycle surface under ONE driver hash gate, over
+    two tables. Table GEN proves write-default GENERATIONS: three
+    sorted narrow inserts land under DEFAULT 'unknown', then (after
+    ALTER COLUMN SET DEFAULT) 'bulk', then (after DROP DEFAULT) NULL —
+    each value bound at its own write time, identity ids running
+    across all three. Table TRUNC proves TRUNCATE + identity: an
+    insert, a metadata-only TRUNCATE, a SYNC IDENTITY (a no-op here —
+    the mark must NOT move backward on an empty table), then a
+    re-insert whose ids continue past the wiped generation (START 100
+    INCREMENT 7). The oracle reconstructs both tables exactly, so a
+    default leaking across generations, a truncate that resets the
+    high-water mark, a SYNC that rewinds it, or a dropped row all fail
+    the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_read
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_lc_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lc_raw_customer"
+    )
+    cat = SnapshotCatalog(spark)
+    tg = base / "gen"
+    cat.sql(
+        f"CREATE TABLE lc_gen (row_id bigint GENERATED ALWAYS AS "
+        f"IDENTITY, cust_id bigint, seg string DEFAULT 'unknown') "
+        f"USING snapshot LOCATION '{tg}'"
+    )
+    cat.sql(
+        "INSERT INTO lc_gen (cust_id) SELECT c_custkey FROM "
+        "lc_raw_customer WHERE c_custkey % 3 = 0 ORDER BY c_custkey"
+    )
+    cat.sql("ALTER TABLE lc_gen ALTER COLUMN seg SET DEFAULT 'bulk'")
+    cat.sql(
+        "INSERT INTO lc_gen (cust_id) SELECT c_custkey FROM "
+        "lc_raw_customer WHERE c_custkey % 3 = 1 ORDER BY c_custkey"
+    )
+    cat.sql("ALTER TABLE lc_gen ALTER COLUMN seg DROP DEFAULT")
+    cat.sql(
+        "INSERT INTO lc_gen (cust_id) SELECT c_custkey FROM "
+        "lc_raw_customer WHERE c_custkey % 3 = 2 ORDER BY c_custkey"
+    )
+    tt = base / "trunc"
+    cat.sql(
+        f"CREATE TABLE lc_trunc (row_id bigint GENERATED ALWAYS AS "
+        f"IDENTITY (START WITH 100 INCREMENT BY 7), cust_id bigint) "
+        f"USING snapshot LOCATION '{tt}'"
+    )
+    cat.sql(
+        "INSERT INTO lc_trunc (cust_id) SELECT c_custkey FROM "
+        "lc_raw_customer WHERE c_custkey % 2 = 0 ORDER BY c_custkey"
+    )
+    cat.sql("TRUNCATE TABLE lc_trunc")
+    cat.sql("ALTER TABLE lc_trunc SYNC IDENTITY")  # must not rewind
+    cat.sql(
+        "INSERT INTO lc_trunc (cust_id) SELECT c_custkey FROM "
+        "lc_raw_customer ORDER BY c_custkey"
+    )
+    cat.drop_table("lc_gen")
+    cat.drop_table("lc_trunc")
+    gen = snapshot_read(spark, tg).select(
+        F.lit("gen").alias("part"), "row_id", "cust_id", "seg"
+    )
+    trunc = snapshot_read(spark, tt).select(
+        F.lit("trunc").alias("part"), "row_id", "cust_id",
+        F.lit(None).cast("string").alias("seg"),
+    )
+    out = gen.unionByName(trunc)
     return out.localCheckpoint(eager=True)

@@ -3944,16 +3944,22 @@ def decode_tiff_pixel_stats(df: DataFrame) -> DataFrame:
                 tag, typ, count = struct.unpack(
                     en + "HHI", buf[off:off + 8]
                 )
-                if count != 1 or typ not in (3, 4):
+                if typ not in (3, 4) or count < 1:
                     raise ValueError(
                         f"unsupported IFD entry: tag={tag} type={typ} "
-                        f"count={count} (arrays need offset resolution)"
+                        f"count={count}"
                     )
-                if typ == 3:
-                    (val,) = struct.unpack(en + "H", buf[off + 8:off + 10])
+                # SHORT/LONG scalars sit inline; arrays longer than the
+                # 4-byte value slot resolve through their offset (the
+                # multi-strip StripOffsets/StripByteCounts case)
+                fmt = ("H" if typ == 3 else "I") * count
+                size = (2 if typ == 3 else 4) * count
+                if size <= 4:
+                    vals = struct.unpack(en + fmt, buf[off + 8:off + 8 + size])
                 else:
-                    (val,) = struct.unpack(en + "I", buf[off + 8:off + 12])
-                tags[tag] = val
+                    (p_off,) = struct.unpack(en + "I", buf[off + 8:off + 12])
+                    vals = struct.unpack(en + fmt, buf[p_off:p_off + size])
+                tags[tag] = vals[0] if count == 1 else list(vals)
             w, h = tags[256], tags[257]
             comp = tags.get(259, 1)
             pred = tags.get(317, 1)
@@ -3963,15 +3969,36 @@ def decode_tiff_pixel_stats(df: DataFrame) -> DataFrame:
                 raise ValueError(f"unsupported compression {comp}")
             if pred not in (1, 2):
                 raise ValueError(f"unsupported predictor {pred}")
-            raw = buf[tags[273]:tags[273] + tags[279]]
-            if comp == 1:
-                data = raw
-            elif comp == 32773:
-                data = unpackbits_rle(raw, w * h)
-            else:
-                data = _tiff_lzw_decompress(raw, w * h)
+            offs = tags[273]
+            cnts = tags[279]
+            if not isinstance(offs, list):
+                offs, cnts = [offs], [cnts]
+            if len(offs) != len(cnts):
+                raise ValueError("StripOffsets/StripByteCounts mismatch")
+            rps = tags.get(278, h)
+            if len(offs) != -(-h // rps):
+                raise ValueError(
+                    f"strip count {len(offs)} does not match "
+                    f"RowsPerStrip={rps} for height {h}"
+                )
+            # per-strip decompression: the codec state RESETS at every
+            # strip boundary (TIFF 6.0 — each strip is an independent
+            # compressed stream)
+            parts = []
+            for s, (o, n) in enumerate(zip(offs, cnts)):
+                nrows = min(rps, h - s * rps)
+                expect = nrows * w
+                raw = buf[o:o + n]
+                if comp == 1:
+                    part = raw[:expect]
+                elif comp == 32773:
+                    part = unpackbits_rle(raw, expect)
+                else:
+                    part = _tiff_lzw_decompress(raw, expect)
+                parts.append(part)
+            data = b"".join(parts)
             if len(data) < w * h:
-                raise ValueError("strip shorter than image")
+                raise ValueError("strips shorter than image")
             img = np.frombuffer(data[:w * h], np.uint8).reshape(h, w)
             if pred == 2:
                 # horizontal differencing (TIFF 6.0 §14): stored bytes
@@ -4274,3 +4301,420 @@ def multimodal_tiff_lzw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     LZW pair above has the same posture)."""
     d = load_table(spark, sf_dir, "documents")
     return decode_tiff_pixel_stats(synth_tiff_lzw_payload(d))
+
+
+# --------------------------------------------------------------------------
+# PNG Adam7 interlace + 16-bit samples (PNG spec §8.2 / §7.2): the round-13
+# generalization of the sequential 8-bit decoder above — seven independent
+# sub-images, each with its own scanline filtering, 2-byte big-endian
+# samples widening the filter arithmetic to 6-byte pixels
+# --------------------------------------------------------------------------
+
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def synth_png_adam7_payload(df: DataFrame) -> DataFrame:
+    """Spec-valid 16-bit RGB Adam7-INTERLACED PNGs: sample(x, y, c) =
+    (doc_id*40503 + y*1031 + x*527 + c*257) % 65536, stored big-endian
+    (PNG §7.2). Dimensions 8..12 x 8..11 make every one of the seven
+    passes non-empty. Each pass is an independent sub-image: its
+    scanlines filter against the RECONSTRUCTED prior row of the SAME
+    pass with 6-byte pixel offsets, filter type (doc_id + pass + row)
+    % 5 — so a decoder that deinterlaces in the wrong pass order,
+    carries filter state across passes, or uses 3-byte offsets cannot
+    reproduce the pixels."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        bpp = 6  # 16-bit RGB: 3 samples x 2 bytes
+
+        def filter_row(raw, prior, ftype):
+            left = np.concatenate(
+                [np.zeros(bpp, dtype=np.int64), raw[:-bpp]]
+            )
+            ul = np.concatenate(
+                [np.zeros(bpp, dtype=np.int64), prior[:-bpp]]
+            )
+            if ftype == 0:
+                return raw
+            if ftype == 1:
+                return (raw - left) % 256
+            if ftype == 2:
+                return (raw - prior) % 256
+            if ftype == 3:
+                return (raw - (left + prior) // 2) % 256
+            pred = np.array(
+                [_paeth(int(a), int(b), int(cc))
+                 for a, b, cc in zip(left, prior, ul)],
+                dtype=np.int64,
+            )
+            return (raw - pred) % 256
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 + i % 5, 8 + i % 4
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]
+                px = (i * 40503 + y * 1031 + x * 527 + c * 257) % 65536
+                out = bytearray()
+                for p, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
+                    sub = px[y0::dy, x0::dx, :]
+                    hp, wp = sub.shape[0], sub.shape[1]
+                    if hp == 0 or wp == 0:
+                        continue
+                    # big-endian 16-bit samples -> byte raster per row
+                    hi = sub // 256
+                    lo = sub % 256
+                    raster = np.stack([hi, lo], axis=-1).reshape(
+                        hp, wp * bpp
+                    )
+                    prior = np.zeros(wp * bpp, dtype=np.int64)
+                    for j in range(hp):
+                        raw = raster[j]
+                        ftype = (i + p + j) % 5
+                        out.append(ftype)
+                        out.extend(
+                            filter_row(raw, prior, ftype)
+                            .astype(np.uint8).tobytes()
+                        )
+                        prior = raw
+                ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 1)
+                buf = (
+                    _PNG_SIG
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+                    + _png_chunk(b"IEND", b"")
+                )
+                rows.append({"doc_id": doc_id, "payload": buf})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_png_adam7_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL Adam7 + 16-bit PNG decode, no codec library: CRC-verified
+    chunk walk, one zlib-inflate, then the seven passes consumed IN
+    ORDER — each unfiltered independently (filter state resets per
+    pass, 6-byte pixel offsets) and scattered to its interlace grid
+    positions — into an (h, w, 3) uint16 cube reduced to per-channel
+    stats. Empty passes (possible on small images) consume zero bytes,
+    exactly as the spec requires."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        bpp = 6
+
+        def unfilter(raw_bytes, hp, stride):
+            cube = np.zeros((hp, stride), dtype=np.int64)
+            prior = np.zeros(stride, dtype=np.int64)
+            pos = 0
+            for j in range(hp):
+                ftype = raw_bytes[pos]
+                filt_b = np.frombuffer(
+                    raw_bytes[pos + 1: pos + 1 + stride], dtype=np.uint8
+                ).astype(np.int64)
+                pos += 1 + stride
+                if ftype == 0:
+                    recon = filt_b
+                elif ftype == 1:
+                    recon = filt_b.copy()
+                    for k in range(bpp, stride):
+                        recon[k] = (recon[k] + recon[k - bpp]) % 256
+                elif ftype == 2:
+                    recon = (filt_b + prior) % 256
+                elif ftype == 3:
+                    recon = filt_b.copy()
+                    for k in range(stride):
+                        left = recon[k - bpp] if k >= bpp else 0
+                        recon[k] = (recon[k] + (left + prior[k]) // 2) % 256
+                else:
+                    recon = filt_b.copy()
+                    for k in range(stride):
+                        left = recon[k - bpp] if k >= bpp else 0
+                        ul = prior[k - bpp] if k >= bpp else 0
+                        recon[k] = (
+                            recon[k]
+                            + _paeth(int(left), int(prior[k]), int(ul))
+                        ) % 256
+                cube[j] = recon
+                prior = recon
+            return cube, pos
+
+        def decode(buf: bytes):
+            if buf[: len(_PNG_SIG)] != _PNG_SIG:
+                raise ValueError("not a PNG payload")
+            pos, ihdr, idat = len(_PNG_SIG), None, b""
+            while pos + 12 <= len(buf):
+                (size,) = struct.unpack(">I", buf[pos: pos + 4])
+                ctype = buf[pos + 4: pos + 8]
+                body = buf[pos + 8: pos + 8 + size]
+                (crc,) = struct.unpack(
+                    ">I", buf[pos + 8 + size: pos + 12 + size]
+                )
+                if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                    raise ValueError(f"bad CRC in {ctype!r} chunk")
+                if ctype == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", body)
+                elif ctype == b"IDAT":
+                    idat += body
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + size
+            if ihdr is None or not idat:
+                raise ValueError("missing IHDR/IDAT chunk")
+            w, h, depth, ctype_, comp, filt, interlace = ihdr
+            if depth != 16 or ctype_ != 2 or comp != 0 or interlace != 1:
+                raise ValueError(
+                    f"unsupported PNG variant: depth={depth} "
+                    f"color={ctype_} interlace={interlace}"
+                )
+            raw = zlib.decompress(idat)
+            full = np.zeros((h, w, 3), dtype=np.int64)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                wp = max(0, -(-(w - x0) // dx))
+                hp = max(0, -(-(h - y0) // dy))
+                if wp == 0 or hp == 0:
+                    continue
+                stride = wp * bpp
+                cube, used = unfilter(raw[pos:], hp, stride)
+                pos += used
+                samples = cube.reshape(hp, wp, 3, 2)
+                vals = samples[..., 0] * 256 + samples[..., 1]
+                full[y0::dy, x0::dx, :] = vals
+            if pos != len(raw):
+                raise ValueError("IDAT size does not match pass layout")
+            return full, w, h
+
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                cube, w, h = decode(bytes(payload))
+                for ch in range(3):
+                    plane = cube[:, :, ch].astype(np.float64)
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "channel": ch,
+                            "width": w,
+                            "height": h,
+                            "mean_val": round(
+                                float(plane.sum() / (w * h)), 6
+                            ),
+                            "min_val": int(plane.min()),
+                            "max_val": int(plane.max()),
+                            "corner_val": int(cube[0, 0, ch]),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PNG_STATS_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, PNG_STATS_SCHEMA)
+
+
+@register(
+    "multimodal_png_adam7_stats",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 4 AS h
+            FROM documents
+        ),
+        ys AS (SELECT doc_id, w, h, UNNEST(range(0, h)) AS y FROM params),
+        xs AS (SELECT doc_id, w, h, y, UNNEST(range(0, w)) AS x FROM ys),
+        cs AS (SELECT doc_id, w, h, y, x, UNNEST(range(0, 3)) AS c FROM xs),
+        vals AS (
+            SELECT doc_id, w, h, c, x, y,
+                   (doc_id * 40503 + y * 1031 + x * 527 + c * 257) % 65536
+                       AS v
+            FROM cs
+        )
+        SELECT doc_id,
+               CAST(c AS INT) AS channel,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               round(avg(CAST(v AS DOUBLE)), 6) AS mean_val,
+               CAST(min(v) AS INT) AS min_val,
+               CAST(max(v) AS INT) AS max_val,
+               CAST(max(CASE WHEN x = 0 AND y = 0 THEN v END) AS INT)
+                   AS corner_val
+        FROM vals
+        GROUP BY doc_id, c, w, h
+    """,
+    tags=("multimodal", "image", "png", "interlace"),
+)
+def multimodal_png_adam7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel pixel statistics decoded from REAL Adam7-interlaced
+    16-bit RGB PNGs under the hash gate — the seven-pass deinterlace
+    (PNG spec §8.2) with per-pass filter state and 2-byte big-endian
+    samples (§7.2) widening filter offsets to 6-byte pixels. Dimensions
+    make every pass non-empty and every filter type appears within each
+    payload; the oracle recomputes from the generating formula, so a
+    wrong pass order, cross-pass filter leakage, a byte-order slip on
+    the 16-bit samples, or 3-byte offsets all fail the hash.
+    (Round-13 extension of multimodal_png_pixel_stats; same
+    stdlib-zlib + numpy posture.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_png_adam7_pixel_stats(synth_png_adam7_payload(d))
+
+
+def synth_tiff_multistrip_lzw_payload(df: DataFrame) -> DataFrame:
+    """Spec-valid MULTI-STRIP grayscale LZW TIFFs (round-13
+    generalization of synth_tiff_lzw_payload): RowsPerStrip=4 splits
+    each image into 3-4 strips, each compressed as an INDEPENDENT LZW
+    stream (the codec dictionary resets at every strip boundary — TIFF
+    6.0 strip semantics), with StripOffsets/StripByteCounts as
+    offset-resolved LONG arrays. pixel(x, y) = (doc_id*41 + y*59 +
+    x*31) % 256; even doc_ids II Predictor=1, odd MM Predictor=2
+    (differencing per row, so it composes with any strip split)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def entry(en, tag, typ, count, value):
+            if typ == 3:
+                v = struct.pack(en + "HH", value, 0)
+            else:
+                v = struct.pack(en + "I", value)
+            return struct.pack(en + "HHI", tag, typ, count) + v
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 16 + 8 * (i % 3)
+                h = 12 + 4 * (i % 2)
+                rps = 4
+                en = "<" if i % 2 == 0 else ">"
+                pred = 1 if i % 2 == 0 else 2
+                y, x = np.mgrid[0:h, 0:w]
+                img = ((i * 41 + y * 59 + x * 31) % 256).astype(np.int64)
+                plane = img.copy()
+                if pred == 2:
+                    plane[:, 1:] = (plane[:, 1:] - plane[:, :-1]) % 256
+                strips = [
+                    _tiff_lzw_compress(
+                        plane[s:s + rps].astype(np.uint8).tobytes()
+                    )
+                    for s in range(0, h, rps)
+                ]
+                n_strips = len(strips)
+                header = struct.pack(
+                    en + "2sHI", b"II" if en == "<" else b"MM", 42, 8
+                )
+                n_entries = 10
+                # layout: header | IFD | offsets array | counts array |
+                # strip data
+                arr_off = 8 + 2 + n_entries * 12 + 4
+                counts_off = arr_off + 4 * n_strips
+                data_off = counts_off + 4 * n_strips
+                offs = []
+                pos = data_off
+                for s in strips:
+                    offs.append(pos)
+                    pos += len(s)
+                ifd = struct.pack(en + "H", n_entries)
+                ifd += entry(en, 256, 3, 1, w)
+                ifd += entry(en, 257, 3, 1, h)
+                ifd += entry(en, 258, 3, 1, 8)
+                ifd += entry(en, 259, 3, 1, 5)           # LZW
+                ifd += entry(en, 262, 3, 1, 1)
+                # StripOffsets: LONG[n_strips] via offset
+                ifd += struct.pack(en + "HHII", 273, 4, n_strips, arr_off)
+                ifd += entry(en, 277, 3, 1, 1)
+                ifd += entry(en, 278, 3, 1, rps)         # RowsPerStrip
+                ifd += struct.pack(
+                    en + "HHII", 279, 4, n_strips, counts_off
+                )
+                ifd += entry(en, 317, 3, 1, pred)
+                ifd += struct.pack(en + "I", 0)
+                arrays = struct.pack(en + "I" * n_strips, *offs)
+                arrays += struct.pack(
+                    en + "I" * n_strips, *[len(s) for s in strips]
+                )
+                rows.append(
+                    {"doc_id": doc_id,
+                     "payload": header + ifd + arrays + b"".join(strips)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id").mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_tiff_multistrip_stats",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id,
+                   16 + 8 * (doc_id % 3) AS w,
+                   12 + 4 * (doc_id % 2) AS h
+            FROM documents
+        ),
+        rows_ AS (
+            SELECT doc_id, w, h, UNNEST(range(0, h)) AS y FROM params
+        ),
+        pix AS (
+            SELECT doc_id, w, h, y, UNNEST(range(0, w)) AS x FROM rows_
+        ),
+        vals AS (
+            SELECT doc_id, w, h, y,
+                   (doc_id * 41 + y * 59 + x * 31) % 256 AS v
+            FROM pix
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+                   AS byte_order,
+               TRUE AS compressed,
+               round(avg(CAST(v AS DOUBLE)), 6) AS mean_val,
+               CAST(min(v) AS INT) AS min_val,
+               CAST(max(v) AS INT) AS max_val,
+               CAST(doc_id * 41 % 256 AS INT) AS corner_val
+        FROM vals
+        GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "image", "tiff", "lzw"),
+)
+def multimodal_tiff_multistrip_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pixel statistics decoded from MULTI-STRIP LZW TIFFs under the
+    hash gate: StripOffsets/StripByteCounts are offset-resolved LONG
+    arrays, every strip is an independent LZW stream whose dictionary
+    and code width RESET at the boundary, and the horizontal-
+    differencing predictor (odd docs) must compose with the strip
+    split. A decoder that runs one LZW state across strips, mis-walks
+    the offset arrays, or sizes the last partial strip wrong fails the
+    hash. (Round-13 generalization of multimodal_tiff_lzw_stats;
+    TIFF 6.0 §13-14.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_tiff_pixel_stats(synth_tiff_multistrip_lzw_payload(d))

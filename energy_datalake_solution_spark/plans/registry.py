@@ -92,83 +92,77 @@ def _load_all() -> None:
     )
 
 
-# Explicit surface order — ROUND-12 ACTIVE WINDOW. External harnesses that
+# Explicit surface order — ROUND-13 ACTIVE WINDOW. External harnesses that
 # sample a prefix of the query surface (a correctness gate bounded to the
 # first ~50 entries) see this ordering. Composition rule (enforced by
 # tests/test_queries_oracle.py's guard, which reads the committed
 # CORRECTNESS_r*.json artifacts directly): (1) queries BORN this round
-# lead; (2) any ORACLED query without a driver HASH-green row anywhere in
-# history comes next (none); (3) the stalest hash-green cohort — after
-# r11 rotated the whole r6 set, that is the 48 rows whose latest green is
-# round 8, and 2 + 48 fills the window exactly. Everything else is
-# r09/r10/r11 green and loses nothing by waiting for the r13 rotation.
+# lead (5: identity, maintenance fixture, lifecycle fixture, Adam7
+# PNG, multi-strip TIFF);
+# (2) anti_join_parts_never_shipped follows — hash-green in history but
+# RE-TARGETED this round (the old 0-row form verified nothing), so it
+# counts as never-checked in its current semantics; (3) the 5 rows the
+# r12 window displaced (latest green r8); (4) the stalest remaining
+# cohort — the 50-query r9-green set, of which 39 fit; its alphabetical
+# tail (star_integrity_audit .. window_running_customer_spend, 11
+# rows) leads the r14 rotation. All stay continuously DuckDB-oracled by
+# tests/test_queries_oracle.py regardless.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born round 12, never driver-checked (new queries go HERE, at
+    # --- born round 13, never driver-checked (new queries go HERE, at
     #     the top, so the gate window always sees them first) ---
-    "snapshot_subquery_dml_read",
-    "snapshot_replace_where_read",
-    "multimodal_tiff_lzw_stats",
-    "snapshot_schema_evolution_merge_read",
-    "snapshot_defaults_read",
-    "snapshot_generated_partition_read",
-    "snapshot_table_changes_read",
-    # --- latest hash-green round 8: the stalest cohort (48) ---
+    "snapshot_identity_read",
+    "snapshot_maintenance_read",
+    "snapshot_lifecycle_read",
+    "multimodal_png_adam7_stats",
+    "multimodal_tiff_multistrip_stats",
+    # --- re-targeted this round (0-row gate de-vacuated) ---
     "anti_join_parts_never_shipped",
-    "audit_enrichment",
-    "correlated_subquery_above_avg_size",
-    "count_customers",
-    "cube_order_counts",
-    "customer_category",
-    "date_function_suite",
-    "dedup_latest_order_per_customer",
-    "derived_line_revenue",
-    "distinct_counts",
-    "docs_feature_hash_vectors",
-    "docs_pii_redaction",
-    "docs_pii_report",
-    "docs_sequence_packing",
-    "docs_sequence_packing_stats",
-    "docs_simhash",
-    "docs_split_token_drift",
-    "embeddings_int8_quantization",
-    "events_daily_user_activity",
-    "events_funnel_view_click_purchase",
-    "events_json_props",
-    "events_resample_hourly_ffill",
-    "events_value_histogram",
-    "events_value_iqr_udaf",
-    "events_value_percentiles",
-    "events_weekly_cohort_retention",
-    "full_outer_spend_activity_reconciliation",
-    "knn_graph_indegree",
-    "knn_label_consistency",
-    "lineitem_zorder_layout",
-    "multimodal_header_sniff",
-    "orders_monthly_growth",
-    "parts_fuzzy_name_pairs",
-    "profile_lineitem_numeric",
-    "scd2_customer_dim",
-    "snapshot_clone_divergence",
-    "snapshot_column_mapping_read",
-    "snapshot_constraint_gate_read",
-    "snapshot_mor_update_read",
-    "snapshot_partitioned_merge_read",
-    "snapshot_tail_changes_orders",
-    "source_quality_dashboard",
-    "tpch_q1_pricing_summary",
+    # --- displaced from the r12 window: latest hash-green round 8 ---
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "unpivot_nation_balances",
     "window_rolling_7day_customer_spend",
-    # NOTE: 7 r12-born gates above push the last 5 cohort entries
-    # (tpch_q5_local_supplier_volume, tpch_q6_forecast_revenue,
-    # unpivot_nation_balances, window_rolling_7day_customer_spend, and
-    # tpch_q3_shipping_priority) past the 50-window — 43/48 of the
-    # r8-stale cohort rotate in r12; those 5 lead the r13 rotation (the
-    # policy test pins never-checked queries INSIDE the window, which
-    # outranks cohort completeness; all 48 stay continuously
-    # DuckDB-oracled by tests/test_queries_oracle.py regardless).
+    # --- latest hash-green round 9: the stalest cohort (first 39) ---
+    "conditional_agg_filter_clause",
+    "docs_bm25_decontam_report",
+    "docs_bm25_probe",
+    "docs_bm25_topk",
+    "docs_bpe_token_counts",
+    "docs_curation_scorecard",
+    "docs_dedup_keep_best",
+    "docs_deterministic_split",
+    "docs_dsir_weights",
+    "docs_epoch_shuffle",
+    "docs_fingerprint",
+    "docs_lang_id",
+    "docs_length_bucket_batches",
+    "docs_minhash_lsh_pairs",
+    "docs_ngram_novelty",
+    "docs_normalize_text",
+    "docs_pack_sequences",
+    "embeddings_clustered_exact_topk",
+    "events_sliding_30m",
+    "grouping_sets_revenue",
+    "hashed_customer_id",
+    "left_join_customer_order_counts",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_frame_counts",
+    "multimodal_jpeg_color_pixel_stats",
+    "multimodal_video_container_stats",
+    "multimodal_wav_pcm_stats",
+    "null_filter",
+    "orders_cdc_snapshot_diff",
+    "orders_scd2_temporal_join",
+    "pivot_quantity_by_status",
+    "rollup_revenue",
+    "scalar_subquery_max_order",
+    "semi_join_customers_with_orders",
+    "setop_segments",
+    "snapshot_cdf_updates_read",
+    "snapshot_type_widening_read",
+    "snapshot_versioned_orders",
+    "snapshot_zorder3_box_read",
 )
 
 

@@ -17,7 +17,9 @@ contract one level up:
             AS <select>                           (CTAS — materialize +
             register; the source query may itself time-travel)
         CREATE TABLE <name> (c type [DEFAULT lit
-            | GENERATED ALWAYS AS (expr)], ...) USING snapshot
+            | GENERATED ALWAYS AS (expr)
+            | GENERATED ALWAYS AS IDENTITY
+              [(START WITH s INCREMENT BY k)]], ...) USING snapshot
             LOCATION '<p>'   (empty-table DDL: v1 schema-only manifest,
             column mapping from birth; reads return a typed empty frame;
             generated columns compute on write when omitted and are
@@ -96,6 +98,15 @@ contract one level up:
         ALTER TABLE <name> ADD COLUMN c <type>    -> snapshot_add_column
         ALTER TABLE <name> RENAME COLUMN a TO b   -> snapshot_rename_column
         ALTER TABLE <name> DROP COLUMN c          -> snapshot_drop_column
+        ALTER TABLE <name> ALTER COLUMN c SET DEFAULT lit | DROP DEFAULT
+            -> snapshot_set_column_default (changes the WRITE default;
+            the birth default keeps resolving pre-existing files)
+        ALTER TABLE <name> SYNC IDENTITY -> snapshot_sync_identity
+            (recompute identity high-water marks from stored values)
+        TRUNCATE TABLE <name> / DELETE FROM <name> -> snapshot_truncate
+            (metadata-only delete-all; identity marks survive)
+        DESCRIBE [TABLE] <name>  (per-column name/type plus DEFAULT /
+            GENERATED / IDENTITY decoration)
             (each an O(columns) metadata commit — column mapping
             auto-enables; old files read unchanged, dropped ids retire,
             re-added names cannot resurrect old bytes)
@@ -353,6 +364,21 @@ _DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+# DESCRIBE [TABLE] t: per-column name/type plus the DEFAULT / GENERATED
+# / IDENTITY decoration — the schema view DESCRIBE DETAIL (manifest
+# facts) and SHOW CREATE TABLE (round-trippable DDL) don't cover.
+_DESCRIBE_TABLE_RE = re.compile(
+    r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+# TRUNCATE TABLE t / DELETE FROM t (no predicate): metadata-only
+# delete-all (the `$` anchor keeps predicate DELETEs on their routes).
+_TRUNCATE_RE = re.compile(
+    r"^\s*(?:TRUNCATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)"
+    r"|DELETE\s+FROM\s+(?P<name2>[A-Za-z_]\w*))\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_CONSTRAINT_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
     r"(?:ADD\s+CONSTRAINT\s+(?P<cname>[A-Za-z_]\w*)\s+CHECK\s*\((?P<expr>.+)\)"
@@ -376,6 +402,22 @@ _ALTER_PART_RE = re.compile(
     r"(?:SET\s+PARTITIONED\s+BY\s*\(\s*"
     r"(?P<col>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)"
     r"|(?P<clear>CLEAR\s+PARTITIONING))\s*;?\s*$",
+    re.IGNORECASE,
+)
+# ALTER COLUMN c SET DEFAULT lit / DROP DEFAULT (Delta): changes the
+# WRITE default; the birth default keeps resolving pre-existing files.
+_ALTER_COL_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+"
+    r"(?:SET\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|\S+)"
+    r"|(?P<drop>DROP\s+DEFAULT))\s*;?\s*$",
+    re.IGNORECASE,
+)
+# ALTER TABLE t SYNC IDENTITY (Delta): recompute identity high-water
+# marks from the stored values (post-RESTORE/clone repair).
+_SYNC_IDENTITY_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+SYNC\s+IDENTITY"
+    r"\s*;?\s*$",
     re.IGNORECASE,
 )
 _BEGIN_RE = re.compile(
@@ -858,6 +900,29 @@ class SnapshotCatalog:
             else:
                 snapshot_drop_column(path, m.group("drop"))
             return None
+        m = _ALTER_COL_DEFAULT_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import (
+                snapshot_enable_column_mapping,
+                snapshot_set_column_default,
+            )
+
+            path = self._writable(m.group("name"))
+            snapshot_enable_column_mapping(self.spark, path)  # idempotent
+            default = m.group("default")
+            if default is not None:
+                from .snapshot_datasource import _parse_default_literal
+
+                _parse_default_literal(default)  # literals only; raises
+            snapshot_set_column_default(path, m.group("col"), default)
+            return None
+        m = _SYNC_IDENTITY_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_sync_identity
+
+            path = self._writable(m.group("name"))
+            snapshot_sync_identity(self.spark, path)
+            return None
         m = _ALTER_PART_RE.match(text)
         if m and m.group("name") in self._tables:
             from .snapshots import snapshot_set_partitioning
@@ -992,6 +1057,47 @@ class SnapshotCatalog:
                 "check_constraints string, column_mapping boolean, "
                 "dv_deleted_rows long",
             )
+        m = _DESCRIBE_TABLE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import _read_manifest, current_version
+
+            name = m.group("name")
+            path, pin = self._tables[name]
+            v = pin if pin is not None else current_version(path)
+            scols = (
+                _read_manifest(Path(path), v).get("schema") or {}
+            ).get("cols", [])
+            reader = self.spark.read.format("snapshot").option(
+                "path", str(path)
+            ).option("version", str(v))
+            meta = {c["name"]: c for c in scols}
+            rows = []
+            for f in reader.load().schema.fields:
+                c = meta.get(f.name, {})
+                if c.get("identity"):
+                    info = (
+                        "GENERATED ALWAYS AS IDENTITY (START WITH "
+                        f"{c['identity']['start']} INCREMENT BY "
+                        f"{c['identity']['step']})"
+                    )
+                elif c.get("generated") is not None:
+                    info = f"GENERATED ALWAYS AS ({c['generated']})"
+                else:
+                    wd = c.get("wdefault")
+                    d = (wd if wd != "NULL" else None) if wd is not None \
+                        else c.get("default")
+                    info = f"DEFAULT {d}" if d is not None else None
+                rows.append((f.name, f.dataType.simpleString(), info))
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, info string"
+            )
+        m = _TRUNCATE_RE.match(text)
+        if m and (m.group("name") or m.group("name2")) in self._tables:
+            from .snapshots import snapshot_truncate
+
+            path = self._writable(m.group("name") or m.group("name2"))
+            snapshot_truncate(path)
+            return None
         m = _ANALYZE_RE.match(text)
         if m and m.group("name") in self._tables:
             from .snapshots import snapshot_analyze
@@ -1036,10 +1142,17 @@ class SnapshotCatalog:
             ).option("version", str(v))
             fields = reader.load().schema.fields
             scols = (man.get("schema") or {}).get("cols", [])
-            dflt = {
-                c["name"]: c["default"] for c in scols
-                if c.get("default") is not None
-            }
+            # the CURRENT write default (ALTER COLUMN SET DEFAULT wins
+            # over the birth default; the DROP DEFAULT sentinel hides
+            # the clause entirely)
+            dflt = {}
+            for c in scols:
+                wd = c.get("wdefault")
+                if wd is not None:
+                    if wd != "NULL":
+                        dflt[c["name"]] = wd
+                elif c.get("default") is not None:
+                    dflt[c["name"]] = c["default"]
             gen = {
                 c["name"]: c["generated"] for c in scols
                 if c.get("generated") is not None

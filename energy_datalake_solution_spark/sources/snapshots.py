@@ -950,6 +950,19 @@ def snapshot_append(
                     base,
                 )
                 identity_alloc[c["name"]] = (base, n_alloc)
+            # write defaults (ALTER COLUMN SET/DROP DEFAULT) bind at
+            # WRITE time: materialize them physically for omitted
+            # columns, so the birth default keeps resolving only the
+            # files that predate the change (Iceberg's initial- vs
+            # write-default split; "NULL" is the DROP DEFAULT sentinel)
+            from pyspark.sql import functions as _F
+
+            for c in sch["cols"]:
+                wd = c.get("wdefault")
+                if wd is not None and c["name"] not in df.columns:
+                    df = df.withColumn(
+                        c["name"], _F.expr(wd).cast(c["type"])
+                    )
             # generated columns the batch omits compute HERE (logical
             # namespace); carried ones were validated above
             df = _materialize_generated(df, sch)
@@ -2325,9 +2338,10 @@ def _enforce_constraints(df: DataFrame, p: Path, tip: int | None = None) -> None
     # a narrow batch may legally omit a DEFAULT-ed column (the default
     # materializes on write) — a CHECK referencing that column must see
     # the default expression, not an unresolved-column error (Delta
-    # resolves the default before checking)
+    # resolves the default before checking). The WRITE default wins
+    # over the birth default when ALTER COLUMN changed it.
     for c in (m.get("schema") or {}).get("cols", []):
-        d = c.get("default")
+        d = c.get("wdefault", c.get("default"))
         if d is not None and c["name"] not in df.columns:
             df = df.withColumn(c["name"], F.expr(d).cast(c["type"]))
     have = set(df.columns)
@@ -2352,6 +2366,105 @@ def _enforce_constraints(df: DataFrame, p: Path, tip: int | None = None) -> None
                 f"CHECK constraint {name!r} ({expr}) violated, e.g. by "
                 f"row {bad[0].asDict()}"
             )
+
+
+def snapshot_truncate(table_path) -> int:
+    """``TRUNCATE TABLE`` / ``DELETE FROM t`` with no predicate: ONE
+    metadata-only commit listing zero files — no data read, no DV grown,
+    O(1) at any table size (the Delta delete-all fast path). Schema,
+    constraints, partition spec, and identity high-water marks all
+    carry (truncate never resets identity allocation); the widened-
+    types map clears (no files remain, so there is nothing the map
+    could describe — snapshot_write's honest-footer rule). The change
+    feed reports every previous row as deleted, computed from the file
+    diff alone."""
+    p = _table(table_path)
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        if parent == 0:
+            raise FileNotFoundError(f"no snapshot table at {table_path}")
+        try:
+            return _commit(p, [], parent, op="truncate",
+                           types_meta=CLEAR_METADATA)
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def snapshot_set_column_default(table_path, col: str,
+                                default: str | None) -> int:
+    """Delta's ``ALTER TABLE t ALTER COLUMN c SET DEFAULT lit`` /
+    ``DROP DEFAULT``: changes the WRITE default — what future narrow
+    batches omitting the column receive — without touching history.
+    The column's birth default (``default`` in the schema metadata)
+    keeps resolving files written before the change, Iceberg's
+    initial-default vs write-default split: after this DDL, appends
+    MATERIALIZE the write default physically into their files (see
+    snapshot_append), so every file's value is bound at its own write
+    time. ``default=None`` is DROP DEFAULT — later narrow batches
+    materialize explicit NULLs. O(metadata)."""
+
+    def mutate(schema: dict) -> dict:
+        for c in schema["cols"]:
+            if c["name"] == col:
+                if c.get("generated") is not None or c.get("identity"):
+                    raise ValueError(
+                        f"column {col!r} is GENERATED; it cannot carry "
+                        "a DEFAULT"
+                    )
+                # "NULL" literal = DROP DEFAULT sentinel: future narrow
+                # writes materialize typed NULLs (the birth default, if
+                # any, keeps resolving pre-existing files)
+                c["wdefault"] = default if default is not None else "NULL"
+                return schema
+        raise KeyError(f"no column {col!r} in the table's column mapping")
+
+    return _commit_schema_change(table_path, mutate, op="set-default")
+
+
+def snapshot_sync_identity(spark: SparkSession, table_path) -> int:
+    """Delta's ``ALTER TABLE t SYNC IDENTITY``: recompute each identity
+    column's high-water mark from the STORED values (after a RESTORE, a
+    clone, or any out-of-band history surgery the mark can trail or
+    lead the data). The next allocation lands strictly after
+    max(stored) on the start + i*step grid; a mark already past the
+    data is kept (never moves backward — ids must not be reissued).
+    One distributed max() per identity column."""
+    from pyspark.sql import functions as F
+
+    p = _table(table_path)
+    tip = current_version(p)
+    if tip == 0:
+        raise FileNotFoundError(f"no snapshot table at {p}")
+    sch = _read_manifest(p, tip).get("schema")
+    id_cols = _identity_cols(sch)
+    if not id_cols:
+        raise ValueError(f"{table_path} has no IDENTITY columns")
+    df = snapshot_read(spark, p)
+    exts = df.agg(
+        *[F.max(c["name"]).alias(f"mx_{c['name']}") for c in id_cols],
+        *[F.min(c["name"]).alias(f"mn_{c['name']}") for c in id_cols],
+    ).first()
+
+    def mutate(schema: dict) -> dict:
+        for c in schema["cols"]:
+            ident = c.get("identity")
+            if not ident:
+                continue
+            start, step = int(ident["start"]), int(ident["step"])
+            # the allocation frontier is the max for ascending steps,
+            # the min for descending ones
+            e = exts[f"mx_{c['name']}" if step > 0 else f"mn_{c['name']}"]
+            if e is None:
+                continue
+            # smallest k with start + k*step strictly past e in the
+            # step's direction (floor-div is exact on-grid, safe off)
+            k = (int(e) - start) // step + 1
+            ident["next"] = max(int(ident.get("next", 0)), max(k, 0))
+        return schema
+
+    return _commit_schema_change(p, mutate, op="sync-identity")
 
 
 def snapshot_set_constraint(spark: SparkSession, table_path, name: str,

@@ -650,3 +650,55 @@ def test_png_filter_roundtrip_property(rows, cols, seed):
         cube[yy] = recon
         prior = recon
     assert (cube == raster).all()
+
+
+@given(
+    batches=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # rows in the batch
+            st.integers(min_value=1, max_value=5),   # partition count
+        ),
+        min_size=1, max_size=4,
+    ),
+    start=st.integers(min_value=-10, max_value=10),
+    step=st.sampled_from([1, 2, 5, -3]),
+)
+@settings(**SETTINGS)
+def test_identity_allocation_unique_and_on_grid(
+    spark, tmp_path_factory, batches, start, step
+):
+    """Whatever the batch sizes and partition layouts, GENERATED ALWAYS
+    AS IDENTITY allocation yields values that are (1) unique, (2) on the
+    start + i*step grid, and (3) strictly advancing the high-water mark
+    batch over batch — Delta's identity contract (contiguity is NOT
+    promised)."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_create_table,
+        snapshot_read,
+    )
+
+    t = tmp_path_factory.mktemp("identity_prop") / "t"
+    snapshot_create_table(
+        t,
+        [("id", "bigint", None, None, {"start": start, "step": step}),
+         ("v", "bigint", None, None, None)],
+    )
+    total = 0
+    prev_frontier = None
+    for n_rows, n_parts in batches:
+        df = spark.range(n_rows).repartition(n_parts).selectExpr("id AS v")
+        snapshot_append(df, t)
+        total += n_rows
+        ids = [r.id for r in snapshot_read(spark, t).select("id").collect()]
+        assert len(ids) == total
+        assert len(set(ids)) == total, "duplicate identity values"
+        assert all((i - start) % step == 0 for i in ids), "off-grid value"
+        if ids:
+            frontier = max(ids) if step > 0 else min(ids)
+            if prev_frontier is not None and n_rows > 0:
+                # the new batch's values sit strictly past every older one
+                assert (frontier > prev_frontier if step > 0
+                        else frontier < prev_frontier)
+            if n_rows > 0:
+                prev_frontier = frontier

@@ -836,7 +836,16 @@ def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
         f"(START WITH 5 INCREMENT BY 2), gv string) "
         f"USING snapshot LOCATION '{tmp_path / 'gid'}'",
         "INSERT INTO gid (gv) VALUES ('p'), ('q')",
+        "ALTER TABLE gid SYNC IDENTITY",
         "SHOW CREATE TABLE gid",
+        "DESCRIBE TABLE gid",
+        # a post-hoc write-default change must not rewrite stored rows
+        "ALTER TABLE gt2 ALTER COLUMN note SET DEFAULT 'upd'",
+        "ALTER TABLE gt2 ALTER COLUMN note DROP DEFAULT",
+        f"CREATE TABLE gtr (a bigint) "
+        f"USING snapshot LOCATION '{tmp_path / 'gtr'}'",
+        "INSERT INTO gtr (a) VALUES (1), (2)",
+        "TRUNCATE TABLE gtr",
     ]
     spark.createDataFrame(
         [(1, 7), (90, 8)], "a long, extra long"
@@ -858,6 +867,8 @@ def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
     # grid regardless of formatting
     gid = {r.gk for r in cat.sql("SELECT gk FROM gid").collect()}
     assert gid == {5, 7}, f"{mangle}: {sorted(gid)}"
+    # round-13 truncate route: metadata-only delete-all
+    assert cat.sql("SELECT count(*) AS n FROM gtr").first().n == 0
     got = {r.k: (r.v, r.tag) for r in snapshot_read(spark, t).collect()}
     # expected state, independent of formatting:
     # start 0..9 (v=k*10, tag a); +insert 100; merge: k=3 updates to
@@ -1697,9 +1708,18 @@ def test_generated_columns_recompute_on_update_and_merge(spark, tmp_path):
     )
     got = {r.k: r.bucket for r in snapshot_read(spark, t).collect()}
     assert got[555] == 555 % 4
+    # NOT MATCHED BY SOURCE UPDATE assigning the source column (the
+    # soft-delete-with-rekey shape) recomputes too
+    cat.sql(
+        "MERGE INTO genu t USING genu_src s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE AND t.k = 1 "
+        "THEN UPDATE SET k = t.k + 1000"
+    )
+    got = {r.k: r.bucket for r in snapshot_read(spark, t).collect()}
+    assert got[1001] == 1001 % 4
     # a directly-assigned WRONG generated value still refuses
     with pytest.raises(Exception, match="bucket"):
-        cat.sql("UPDATE genu SET bucket = 9 WHERE k = 1")
+        cat.sql("UPDATE genu SET bucket = 9 WHERE k = 1001")
 
 
 def test_check_constraint_sees_defaults_for_omitted_columns(spark, tmp_path):
@@ -1855,3 +1875,111 @@ def test_identity_columns(spark, tmp_path):
     assert len(rows) == 150
     assert len(set(ids)) == 150, "identity collision across writers"
     assert all((i - 1) % 1 == 0 and i >= 1 for i in ids)
+
+
+def test_alter_column_default_and_sync_identity(spark, tmp_path):
+    """ALTER COLUMN SET/DROP DEFAULT changes the WRITE default only:
+    rows stored before the change keep reading their own generation's
+    value (birth default for pre-add files, materialized write default
+    after), and SHOW CREATE TABLE surfaces the current default. ALTER
+    TABLE SYNC IDENTITY recomputes the high-water mark from stored
+    values (the post-RESTORE repair) but never moves it backward past
+    live ids."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_restore,
+        snapshot_sync_identity,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "wd"
+    cat.sql(
+        f"CREATE TABLE wd (k bigint, v string DEFAULT 'old') "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO wd (k) VALUES (1)")
+    cat.sql("ALTER TABLE wd ALTER COLUMN v SET DEFAULT 'new'")
+    cat.sql("INSERT INTO wd (k) VALUES (2)")
+    cat.sql("ALTER TABLE wd ALTER COLUMN v DROP DEFAULT")
+    cat.sql("INSERT INTO wd (k) VALUES (3)")
+    got = {r.k: r.v for r in snapshot_read(spark, t).collect()}
+    assert got == {1: "old", 2: "new", 3: None}
+    ddl = cat.sql("SHOW CREATE TABLE wd").first().createtab_stmt
+    assert "DEFAULT" not in ddl
+    cat.sql("ALTER TABLE wd ALTER COLUMN v SET DEFAULT 'x'")
+    assert "DEFAULT 'x'" in (
+        cat.sql("SHOW CREATE TABLE wd").first().createtab_stmt
+    )
+    # a GENERATED column refuses a DEFAULT
+    t2 = tmp_path / "g"
+    cat.sql(
+        f"CREATE TABLE wg (k bigint, b bigint GENERATED ALWAYS AS (k % 2)) "
+        f"USING snapshot LOCATION '{t2}'"
+    )
+    with pytest.raises(ValueError, match="GENERATED"):
+        cat.sql("ALTER TABLE wg ALTER COLUMN b SET DEFAULT 1")
+
+    # SYNC IDENTITY after RESTORE: the freed range re-allocates; without
+    # surgery the mark never reissues live ids
+    t3 = tmp_path / "si"
+    cat.sql(
+        f"CREATE TABLE si (id bigint GENERATED ALWAYS AS IDENTITY "
+        f"(START WITH 10 INCREMENT BY 10), v string) "
+        f"USING snapshot LOCATION '{t3}'"
+    )
+    cat.sql("INSERT INTO si (v) VALUES ('a'), ('b')")
+    cat.sql("INSERT INTO si (v) VALUES ('c')")
+    snapshot_restore(t3, 2)  # drops id 30; the mark still says next=3
+    cat.sql("ALTER TABLE si SYNC IDENTITY")
+    cat.sql("INSERT INTO si (v) VALUES ('d')")
+    assert sorted(r.id for r in snapshot_read(spark, t3).collect()) == [
+        10, 20, 30
+    ]
+    # sync on a table whose mark already leads the data: no backward move
+    snapshot_sync_identity(spark, t3)
+    cat.sql("INSERT INTO si (v) VALUES ('e')")
+    assert sorted(r.id for r in snapshot_read(spark, t3).collect()) == [
+        10, 20, 30, 40
+    ]
+    with pytest.raises(ValueError, match="IDENTITY"):
+        snapshot_sync_identity(spark, t)  # no identity columns
+
+
+def test_truncate_and_describe_table(spark, tmp_path):
+    """TRUNCATE TABLE / bare DELETE FROM: one metadata-only commit
+    listing zero files — schema, constraints, partition spec, and
+    identity high-water all survive; CDF reports the wipe as deletes.
+    DESCRIBE TABLE surfaces per-column DEFAULT/GENERATED/IDENTITY
+    decoration."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_change_feed,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(
+        f"CREATE TABLE tr (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"k bigint, v string DEFAULT 'd') USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("ALTER TABLE tr ADD CONSTRAINT kc CHECK (k >= 0)")
+    cat.sql("INSERT INTO tr (k) SELECT id FROM range(5)")       # v3
+    cat.sql("TRUNCATE TABLE tr")                                 # v4
+    assert cat.sql("SELECT count(*) AS n FROM tr").first().n == 0
+    # identity never resets; constraint still enforced
+    cat.sql("INSERT INTO tr (k) VALUES (7)")
+    row = cat.sql("SELECT id, v FROM tr").first()
+    assert row.id == 6 and row.v == "d"
+    with pytest.raises(Exception, match="kc"):
+        cat.sql("INSERT INTO tr (k) VALUES (-1)")
+    # bare DELETE FROM routes to the same fast path
+    cat.sql("DELETE FROM tr")
+    assert cat.sql("SELECT count(*) AS n FROM tr").first().n == 0
+    # the truncate's CDF window reports 5 deletes
+    cdf = snapshot_change_feed(spark, t, 3, 4)
+    assert cdf.where("_change_type = 'delete'").count() == 5
+
+    desc = {r.col_name: (r.data_type, r.info)
+            for r in cat.sql("DESCRIBE TABLE tr").collect()}
+    assert desc["id"][1].startswith("GENERATED ALWAYS AS IDENTITY")
+    assert desc["v"][1] == "DEFAULT 'd'"
+    assert desc["k"] == ("bigint", None)
