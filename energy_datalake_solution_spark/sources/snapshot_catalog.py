@@ -101,6 +101,9 @@ contract one level up:
         ALTER TABLE <name> ALTER COLUMN c SET DEFAULT lit | DROP DEFAULT
             -> snapshot_set_column_default (changes the WRITE default;
             the birth default keeps resolving pre-existing files)
+        ALTER TABLE <name> ALTER COLUMN c SET NOT NULL | DROP NOT NULL
+            (a reserved-name CHECK; SET validates standing data first;
+            NOT NULL also parses inline in CREATE TABLE column specs)
         ALTER TABLE <name> SYNC IDENTITY -> snapshot_sync_identity
             (recompute identity high-water marks from stored values)
         TRUNCATE TABLE <name> / DELETE FROM <name> -> snapshot_truncate
@@ -180,6 +183,7 @@ _CREATE_EMPTY_RE = re.compile(
 _COL_SPEC_RE = re.compile(
     r"^\s*(?P<name>[A-Za-z_]\w*)\s+"
     r"(?P<dtype>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"(?P<notnull>\s+NOT\s+NULL)?"
     r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|\S+)"
     r"|\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
     r"(?:\s*\(\s*START\s+WITH\s+(?P<idstart>-?\d+)\s+"
@@ -413,6 +417,14 @@ _ALTER_COL_DEFAULT_RE = re.compile(
     r"|(?P<drop>DROP\s+DEFAULT))\s*;?\s*$",
     re.IGNORECASE,
 )
+# ALTER COLUMN c SET/DROP NOT NULL (Delta): a reserved-name CHECK —
+# SET validates the standing data first (Delta refuses otherwise).
+_ALTER_NOT_NULL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+(?:SET\s+NOT\s+NULL"
+    r"|(?P<drop>DROP\s+NOT\s+NULL))\s*;?\s*$",
+    re.IGNORECASE,
+)
 # ALTER TABLE t SYNC IDENTITY (Delta): recompute identity high-water
 # marks from the stored values (post-RESTORE/clone repair).
 _SYNC_IDENTITY_RE = re.compile(
@@ -642,7 +654,8 @@ class SnapshotCatalog:
                     }
                 cols.append(
                     (cm.group("name"), cm.group("dtype").lower(), default,
-                     cm.group("generated"), identity)
+                     cm.group("generated"), identity,
+                     cm.group("notnull") is not None)
                 )
             snapshot_create_table(m.group("opath") or m.group("lpath"), cols)
             self.create_table(name, m.group("opath") or m.group("lpath"))
@@ -923,6 +936,23 @@ class SnapshotCatalog:
             path = self._writable(m.group("name"))
             snapshot_sync_identity(self.spark, path)
             return None
+        m = _ALTER_NOT_NULL_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import (
+                snapshot_drop_constraint,
+                snapshot_set_constraint,
+            )
+
+            path = self._writable(m.group("name"))
+            col = m.group("col")
+            if m.group("drop"):
+                snapshot_drop_constraint(path, f"__not_null_{col}")
+            else:
+                snapshot_set_constraint(
+                    self.spark, path, f"__not_null_{col}",
+                    f"{col} IS NOT NULL",
+                )
+            return None
         m = _ALTER_PART_RE.match(text)
         if m and m.group("name") in self._tables:
             from .snapshots import snapshot_set_partitioning
@@ -1064,9 +1094,13 @@ class SnapshotCatalog:
             name = m.group("name")
             path, pin = self._tables[name]
             v = pin if pin is not None else current_version(path)
-            scols = (
-                _read_manifest(Path(path), v).get("schema") or {}
-            ).get("cols", [])
+            man = _read_manifest(Path(path), v)
+            scols = (man.get("schema") or {}).get("cols", [])
+            nn = {
+                cn[len("__not_null_"):]
+                for cn in (man.get("constraints") or {})
+                if cn.startswith("__not_null_")
+            }
             reader = self.spark.read.format("snapshot").option(
                 "path", str(path)
             ).option("version", str(v))
@@ -1087,6 +1121,8 @@ class SnapshotCatalog:
                     d = (wd if wd != "NULL" else None) if wd is not None \
                         else c.get("default")
                     info = f"DEFAULT {d}" if d is not None else None
+                if f.name in nn:
+                    info = f"NOT NULL {info}" if info else "NOT NULL"
                 rows.append((f.name, f.dataType.simpleString(), info))
             return self.spark.createDataFrame(
                 rows, "col_name string, data_type string, info string"
@@ -1161,9 +1197,15 @@ class SnapshotCatalog:
                 c["name"]: c["identity"] for c in scols
                 if c.get("identity") is not None
             }
+            nn = {
+                cn[len("__not_null_"):]
+                for cn in (man.get("constraints") or {})
+                if cn.startswith("__not_null_")
+            }
             lines = [f"CREATE TABLE {name} ("]
             lines.append(",\n".join(
                 f"  {f.name} {f.dataType.simpleString().upper()}"
+                + (" NOT NULL" if f.name in nn else "")
                 + (f" DEFAULT {dflt[f.name]}" if f.name in dflt else "")
                 + (f" GENERATED ALWAYS AS ({gen[f.name]})"
                    if f.name in gen else "")
@@ -1189,6 +1231,7 @@ class SnapshotCatalog:
             props = [
                 f"  'delta.constraints.{cn}' = '{cons[cn]}'"
                 for cn in sorted(cons)
+                if not cn.startswith("__not_null_")  # rendered inline
             ]
             if props:
                 lines.append(

@@ -830,9 +830,11 @@ def snapshot_write(df: DataFrame, table_path) -> int:
         sch = m_tip.get("schema")
         if _identity_cols(sch):
             raise NotImplementedError(
-                "full-replace into a table with GENERATED ALWAYS AS "
-                "IDENTITY columns is not supported (the high-water mark "
-                "does not reset); DELETE + INSERT instead"
+                "snapshot_write into a table with GENERATED ALWAYS AS "
+                "IDENTITY columns is not supported (its rebase re-uses "
+                "already-written files, which cannot re-allocate); use "
+                "INSERT OVERWRITE / snapshot_replace_where(condition="
+                "None) or TRUNCATE + INSERT — both allocate"
             )
         if sch:
             df = _materialize_generated(df, sch)
@@ -1239,6 +1241,31 @@ def snapshot_upsert(
                 df, p, [keys[0]], n_files=seed_stats_files
             )
         return snapshot_write(df, p)
+    id_cols_u = _identity_cols(
+        _read_manifest(p, current_version(p)).get("schema")
+    )
+    if id_cols_u:
+        # identity tables route through the conditional MERGE, which
+        # carries matched rows' ids (update never assigns them) and
+        # ALLOCATES for inserts — a wholesale row replace would lose
+        # the target's identity values. Batch semantics are identical:
+        # matched keys take every batch column, new keys insert.
+        bad = {c["name"] for c in id_cols_u} & set(df.columns)
+        if bad:
+            raise ValueError(
+                f"column(s) {sorted(bad)} are GENERATED ALWAYS AS "
+                "IDENTITY and cannot be written explicitly"
+            )
+        return snapshot_merge(
+            spark, df, p, keys,
+            matched_update={
+                c: f"s.`{c}`" for c in df.columns if c not in keys
+            },
+            not_matched_insert_values={
+                c: f"s.`{c}`" for c in df.columns
+            },
+            auto_evolve_schema=auto_evolve_schema,
+        )
     if auto_evolve_schema:
         snapshot_evolve_schema_for(spark, p, df)
     _enforce_constraints(df, p)
@@ -1512,12 +1539,6 @@ def snapshot_merge(
     sch = m_tip.get("schema")
     id_names = {c["name"] for c in _identity_cols(sch)}
     if id_names:
-        if not_matched_insert:
-            raise NotImplementedError(
-                "MERGE with an INSERT arm into a table with GENERATED "
-                "ALWAYS AS IDENTITY columns is not supported; INSERT the "
-                "unmatched rows separately (appends allocate identity)"
-            )
         assigned_id = id_names & (
             set(matched_update or ()) | set(not_matched_by_source_update or ())
         )
@@ -1526,6 +1547,23 @@ def snapshot_merge(
                 f"column(s) {sorted(assigned_id)} are GENERATED ALWAYS "
                 "AS IDENTITY and cannot be assigned by MERGE UPDATE"
             )
+        if not_matched_insert:
+            # INSERT arms ALLOCATE identity for their rows (inside
+            # _snapshot_merge_committed, per rebase attempt — the retry
+            # loop re-derives from the fresh tip, which IS the
+            # restart-on-conflict protocol); what they must never do is
+            # write an EXPLICIT value
+            explicit = (
+                id_names & set(not_matched_insert_values)
+                if not_matched_insert_values is not None
+                else id_names & set(source.columns)
+            )
+            if explicit:
+                raise ValueError(
+                    f"column(s) {sorted(explicit)} are GENERATED ALWAYS "
+                    "AS IDENTITY and cannot be inserted explicitly by "
+                    "MERGE (use INSERT (cols) VALUES without them)"
+                )
     src = source
     if sch:
         # mapped table: widening reconciliation runs in PHYSICAL space
@@ -1620,6 +1658,39 @@ def _snapshot_merge_committed(
     else:
         touched = sorted(snapshot_files_for_range(p, pcol, lo, hi, parent))
 
+    # identity allocation state for this ATTEMPT: _ins_rows allocates
+    # from the manifest's high-water marks; every commit path folds the
+    # bumped marks into its schema_meta. A commit conflict throws to
+    # snapshot_merge's retry loop, which re-derives from the fresh tip —
+    # the same restart-with-fresh-values protocol snapshot_append uses.
+    id_cols_m = _identity_cols(sch)
+    id_alloc: dict[str, tuple[int, int]] = {}
+
+    def _alloc_identity(ins: DataFrame) -> DataFrame:
+        for c in id_cols_m:
+            if c["name"] in ins.columns:
+                ins = ins.drop(c["name"])  # typed-NULL slot from the
+                # explicit-insert projection; allocation replaces it
+            ident = c["identity"]
+            base = int(ident.get("next", 0))
+            ins, n_alloc = _with_identity(
+                ins, c["name"], c["type"],
+                int(ident.get("start", 1)), int(ident.get("step", 1)),
+                base,
+            )
+            id_alloc[c["name"]] = (base, n_alloc)
+        return ins
+
+    def _id_schema_meta():
+        if not id_alloc:
+            return None
+        out = json.loads(json.dumps(sch))
+        for c in out["cols"]:
+            if c.get("identity") and c["name"] in id_alloc:
+                b, n_alloc = id_alloc[c["name"]]
+                c["identity"]["next"] = b + n_alloc
+        return out
+
     def _ins_rows(live_keys: DataFrame) -> DataFrame:
         if not not_matched_insert:
             return src.limit(0)
@@ -1655,6 +1726,8 @@ def _snapshot_merge_committed(
                 ).alias(c)
                 for c, t in pairs
             ])
+        if id_cols_m:
+            ins = _alloc_identity(ins)
         return ins
 
     always = F.lit(True)
@@ -1717,6 +1790,7 @@ def _snapshot_merge_committed(
                        blooms=_carry_blooms(p, m, old_files, ins_files)
                        if ins_files else m.get("blooms") or None,
                        dv=dv or None, op="merge", types_meta=types_meta,
+                       schema_meta=_id_schema_meta(),
                        txn=txn, txn_app=txn_app)
 
     upd_c = _merge_cond(matched_update_condition) if (
@@ -1844,6 +1918,7 @@ def _snapshot_merge_committed(
                                if new_files else m.get("blooms") or None,
                                dv=dv or None, op="merge",
                                types_meta=types_meta,
+                               schema_meta=_id_schema_meta(),
                                txn=txn, txn_app=txn_app)
             # wide sync: a full-table rewrite IS the honest cost
             kept = pair_n.where(~do_del_n & ~do_nmbs_del).select(*[
@@ -1870,6 +1945,7 @@ def _snapshot_merge_committed(
         return _commit(p, new_files, parent, stats=new_stats,
                        blooms=_carry_blooms(p, m, [], new_files),
                        dv=None, op="merge", types_meta=types_meta,
+                       schema_meta=_id_schema_meta(),
                        txn=txn, txn_app=txn_app)
 
     # MERGE-ON-READ first (update arm present): when the affected row
@@ -1962,6 +2038,7 @@ def _snapshot_merge_committed(
                            if new_files else m.get("blooms") or None,
                            dv=dv or None, op="merge",
                            types_meta=types_meta,
+                           schema_meta=_id_schema_meta(),
                    txn=txn, txn_app=txn_app)
 
     # COPY-ON-WRITE path (wide update set): rewrite the touched files
@@ -2018,6 +2095,7 @@ def _snapshot_merge_committed(
                    blooms=_carry_blooms(p, m, untouched, new_files),
                    dv=_carry_dv(m, untouched), op="merge",
                    types_meta=types_meta,
+                   schema_meta=_id_schema_meta(),
                    txn=txn, txn_app=txn_app)
 
 
@@ -2335,15 +2413,33 @@ def _enforce_constraints(df: DataFrame, p: Path, tip: int | None = None) -> None
         return
     m = _read_manifest(p, tip)
     cons = dict(m.get("constraints") or {})
-    # a narrow batch may legally omit a DEFAULT-ed column (the default
-    # materializes on write) — a CHECK referencing that column must see
-    # the default expression, not an unresolved-column error (Delta
-    # resolves the default before checking). The WRITE default wins
-    # over the birth default when ALTER COLUMN changed it.
+    if not cons and not any(
+        c.get("generated") is not None
+        for c in (m.get("schema") or {}).get("cols", [])
+    ):
+        return  # nothing to enforce: skip the materialization below
+    # a narrow batch may legally omit columns — a CHECK referencing one
+    # must see what the write will actually produce, not an
+    # unresolved-column error (Delta resolves before checking): the
+    # WRITE default (or birth default) for defaulted columns, the
+    # generated expression for generated ones, a typed NULL otherwise
+    # (so NOT NULL constraints reject narrow batches properly).
+    # Identity columns are skipped — they allocate after enforcement
+    # and are never NULL.
     for c in (m.get("schema") or {}).get("cols", []):
+        if c["name"] in df.columns or c.get("identity"):
+            continue
         d = c.get("wdefault", c.get("default"))
-        if d is not None and c["name"] not in df.columns:
+        if d is not None:
             df = df.withColumn(c["name"], F.expr(d).cast(c["type"]))
+        elif c.get("generated") is not None:
+            df = df.withColumn(
+                c["name"], F.expr(c["generated"]).cast(c["type"])
+            )
+        else:
+            df = df.withColumn(
+                c["name"], F.lit(None).cast(c["type"])
+            )
     have = set(df.columns)
     for c in (m.get("schema") or {}).get("cols", []):
         gen = c.get("generated")
@@ -4036,16 +4132,37 @@ def snapshot_replace_where(
                 "rebucketing write instead"
             )
         schema = m.get("schema")
-        if _identity_cols(schema):
-            raise NotImplementedError(
-                "REPLACE WHERE / INSERT OVERWRITE into a table with "
-                "GENERATED ALWAYS AS IDENTITY columns is not supported; "
-                "DELETE + INSERT instead (appends allocate identity)"
-            )
         types = m.get("types")
         stats: dict = m.get("stats", {}) or {}
         _enforce_constraints(df, p, parent)
-        batch = _df_to_physical(df, schema) if schema else df
+        # identity columns allocate for the replacement rows, from this
+        # ATTEMPT's high-water marks (a conflict re-enters the loop and
+        # re-derives — the same restart protocol the other writers use);
+        # explicit values refuse (ALWAYS semantics)
+        work = df
+        id_alloc: dict[str, tuple[int, int]] = {}
+        for c in _identity_cols(schema):
+            if c["name"] in work.columns:
+                raise ValueError(
+                    f"column {c['name']!r} is GENERATED ALWAYS AS "
+                    "IDENTITY and cannot be written explicitly"
+                )
+            ident = c["identity"]
+            base = int(ident.get("next", 0))
+            work, n_alloc = _with_identity(
+                work, c["name"], c["type"],
+                int(ident.get("start", 1)), int(ident.get("step", 1)),
+                base,
+            )
+            id_alloc[c["name"]] = (base, n_alloc)
+        id_schema_meta = None
+        if id_alloc:
+            id_schema_meta = json.loads(json.dumps(schema))
+            for c in id_schema_meta["cols"]:
+                if c.get("identity") and c["name"] in id_alloc:
+                    b, n_alloc = id_alloc[c["name"]]
+                    c["identity"]["next"] = b + n_alloc
+        batch = _df_to_physical(work, schema) if schema else work
         if schema:
             # same declared-type discipline as snapshot_append: writing
             # into an empty-DDL table (no standing files) must not freeze
@@ -4161,6 +4278,7 @@ def snapshot_replace_where(
                 blooms=_carry_blooms(p, m, untouched, rewritten + new_files),
                 dv=_carry_dv(m, untouched),
                 op="overwrite" if condition is None else "replace-where",
+                schema_meta=id_schema_meta,
                 types_meta=(
                     CLEAR_METADATA
                     if condition is None
@@ -5576,11 +5694,14 @@ def snapshot_create_table(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate column names: {names}")
     cols = []
+    not_null: dict[str, str] = {}  # NOT NULL clauses -> CHECK constraints
     for i, spec in enumerate(columns):
         name, dtype = spec[0], spec[1]
         default = spec[2] if len(spec) > 2 else None
         generated = spec[3] if len(spec) > 3 else None
         identity = spec[4] if len(spec) > 4 else None
+        if spec[5] if len(spec) > 5 else False:  # NOT NULL
+            not_null[name] = f"{name} IS NOT NULL"
         if sum(x is not None for x in (default, generated, identity)) > 1:
             raise ValueError(
                 f"column {name!r}: DEFAULT, GENERATED ALWAYS AS and "
@@ -5610,7 +5731,15 @@ def snapshot_create_table(
                 )
         cols.append(col)
     schema = {"next_id": len(cols) + 1, "cols": cols, "retired": []}
-    return _commit(p, [], 0, op="create", schema_meta=schema)
+    return _commit(
+        p, [], 0, op="create", schema_meta=schema,
+        # NOT NULL rides the CHECK machinery under a reserved name —
+        # every writer then enforces it via _enforce_constraints (which
+        # materializes what a narrow batch will actually write)
+        constraints_meta={
+            f"__not_null_{c}": e for c, e in not_null.items()
+        } or None,
+    )
 
 
 _BUCKET_FILE_RE = re.compile(r"_(\d{5})(?:\.|$)")

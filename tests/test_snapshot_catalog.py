@@ -842,9 +842,11 @@ def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
         # a post-hoc write-default change must not rewrite stored rows
         "ALTER TABLE gt2 ALTER COLUMN note SET DEFAULT 'upd'",
         "ALTER TABLE gt2 ALTER COLUMN note DROP DEFAULT",
-        f"CREATE TABLE gtr (a bigint) "
+        f"CREATE TABLE gtr (a bigint NOT NULL) "
         f"USING snapshot LOCATION '{tmp_path / 'gtr'}'",
         "INSERT INTO gtr (a) VALUES (1), (2)",
+        "ALTER TABLE gtr ALTER COLUMN a DROP NOT NULL",
+        "ALTER TABLE gtr ALTER COLUMN a SET NOT NULL",
         "TRUNCATE TABLE gtr",
     ]
     spark.createDataFrame(
@@ -1819,15 +1821,24 @@ def test_identity_columns(spark, tmp_path):
     with pytest.raises(ValueError, match="IDENTITY"):
         snapshot_update_where(spark, t, "v = 'a'", {"id": "99"})
     with pytest.raises(NotImplementedError, match="IDENTITY"):
-        snapshot_merge(
-            spark,
-            spark.createDataFrame([("z",)], "v string"),
-            t, ["v"],
-        )
-    with pytest.raises(NotImplementedError, match="IDENTITY"):
         snapshot_write(
             spark.createDataFrame([("z",)], "v string"), t
         )
+    # MERGE INSERT arm ALLOCATES identity for inserted rows (Delta
+    # parity); a source carrying the identity column refuses
+    with pytest.raises(ValueError, match="explicitly"):
+        snapshot_merge(
+            spark,
+            spark.createDataFrame([(9, "z")], "id long, v string"),
+            t, ["v"],
+        )
+    snapshot_merge(
+        spark,
+        spark.createDataFrame([("z",)], "v string"),
+        t, ["v"],
+    )
+    got = {r.v: r.id for r in snapshot_read(spark, t).collect()}
+    assert got["z"] == 6 and len(got) == 4  # allocated past 0,2,4
     # update-only MERGE (no insert arm) is fine and carries ids
     snapshot_merge(
         spark,
@@ -1837,13 +1848,13 @@ def test_identity_columns(spark, tmp_path):
         not_matched_insert=False,
     )
     got = {r.v: r.id for r in snapshot_read(spark, t).collect()}
-    assert got["a!"] == 0 and len(got) == 3
+    assert got["a!"] == 0 and len(got) == 4
 
     # deleted ids never come back: high-water survives DELETE
     cat.sql("DELETE FROM idt WHERE v = 'c'")
     cat.sql("INSERT INTO idt (v) VALUES ('d')")
     ids = sorted(r.id for r in snapshot_read(spark, t).collect())
-    assert ids == [0, 2, 6]
+    assert ids == [0, 2, 6, 8]
 
     # concurrent allocators: simulate a racer landing between planning
     # and commit — the conflicting append must restart with fresh values
@@ -1983,3 +1994,107 @@ def test_truncate_and_describe_table(spark, tmp_path):
     assert desc["id"][1].startswith("GENERATED ALWAYS AS IDENTITY")
     assert desc["v"][1] == "DEFAULT 'd'"
     assert desc["k"] == ("bigint", None)
+
+
+def test_identity_allocation_in_merge_and_replace(spark, tmp_path):
+    """Round-13 extension: MERGE INSERT arms, SQL MERGE, INSERT
+    OVERWRITE, and REPLACE WHERE all ALLOCATE identity for their new
+    rows from the same high-water protocol as appends — explicit values
+    refuse everywhere, updates carry ids, and allocation never reuses a
+    value across the mixed writer sequence."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_read,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(
+        f"CREATE TABLE mi (id bigint GENERATED ALWAYS AS IDENTITY "
+        f"(START WITH 1 INCREMENT BY 1), k bigint, v string) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO mi (k, v) VALUES (10, 'a'), (20, 'b')")  # ids 1,2
+    spark.createDataFrame(
+        [(20, "B"), (30, "c"), (40, "d")], "k long, v string"
+    ).createOrReplaceTempView("mi_src")
+    # conditional MERGE: one update (id carries), two inserts (allocate)
+    cat.sql(
+        "MERGE INTO mi t USING mi_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    got = {r.k: (r.id, r.v) for r in snapshot_read(spark, t).collect()}
+    assert got[10] == (1, "a") and got[20] == (2, "B")
+    assert {got[30][0], got[40][0]} == {3, 4}
+    # plain key MERGE (upsert form) allocates for its inserts too
+    spark.createDataFrame(
+        [(50, "e")], "k long, v string"
+    ).createOrReplaceTempView("mi_src2")
+    cat.sql("MERGE INTO mi USING mi_src2 ON (k)")
+    got = {r.k: r.id for r in snapshot_read(spark, t).collect()}
+    assert got[50] == 5
+    # REPLACE WHERE: replacement rows allocate fresh ids
+    spark.createDataFrame(
+        [(10, "A2")], "k long, v string"
+    ).createOrReplaceTempView("mi_rep")
+    cat.sql(
+        "INSERT INTO mi REPLACE WHERE k <= 10 SELECT * FROM mi_rep"
+    )
+    got = {r.k: r.id for r in snapshot_read(spark, t).collect()}
+    assert got[10] == 6 and len(got) == 5
+    # INSERT OVERWRITE: full replace, fresh ids past the mark
+    cat.sql("INSERT OVERWRITE mi SELECT 99 AS k, 'z' AS v")
+    rows = snapshot_read(spark, t).collect()
+    assert len(rows) == 1 and rows[0].id == 7 and rows[0].k == 99
+    # explicit id in a MERGE source refuses
+    spark.createDataFrame(
+        [(5, 1, "x")], "id long, k long, v string"
+    ).createOrReplaceTempView("mi_bad")
+    with pytest.raises(ValueError, match="explicitly"):
+        cat.sql(
+            "MERGE INTO mi t USING mi_bad s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_not_null_constraints(spark, tmp_path):
+    """NOT NULL as a first-class clause: declared in CREATE TABLE
+    (composing with DEFAULT), added/dropped via ALTER COLUMN SET/DROP
+    NOT NULL (SET validates standing data first, Delta's semantics),
+    enforced against explicit NULLs AND against narrow batches that
+    omit the column with no default; SHOW CREATE TABLE renders it
+    inline, DESCRIBE TABLE decorates it."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        SnapshotConstraintViolation,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(
+        f"CREATE TABLE nn (k bigint NOT NULL, v string, "
+        f"w string NOT NULL DEFAULT 'x') USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO nn (k, v) VALUES (1, 'a')")  # w <- default
+    with pytest.raises(SnapshotConstraintViolation, match="__not_null_k"):
+        cat.sql("INSERT INTO nn (k, v) VALUES (NULL, 'b')")
+    with pytest.raises(SnapshotConstraintViolation, match="__not_null_k"):
+        cat.sql("INSERT INTO nn (v) VALUES ('c')")  # omitted, no default
+    ddl = cat.sql("SHOW CREATE TABLE nn").first().createtab_stmt
+    assert "k BIGINT NOT NULL" in ddl
+    assert "w STRING NOT NULL DEFAULT 'x'" in ddl
+    assert "TBLPROPERTIES" not in ddl  # not-null never leaks as a check
+
+    cat.sql("INSERT INTO nn (k, v) VALUES (2, NULL)")
+    with pytest.raises(SnapshotConstraintViolation, match="existing rows"):
+        cat.sql("ALTER TABLE nn ALTER COLUMN v SET NOT NULL")
+    cat.sql("UPDATE nn SET v = 'fix' WHERE v IS NULL")
+    cat.sql("ALTER TABLE nn ALTER COLUMN v SET NOT NULL")
+    with pytest.raises(SnapshotConstraintViolation, match="__not_null_v"):
+        cat.sql("INSERT INTO nn (k, v) VALUES (3, NULL)")
+    cat.sql("ALTER TABLE nn ALTER COLUMN v DROP NOT NULL")
+    cat.sql("INSERT INTO nn (k, v) VALUES (3, NULL)")
+    desc = {r.col_name: r.info
+            for r in cat.sql("DESCRIBE TABLE nn").collect()}
+    assert desc["k"] == "NOT NULL" and desc["v"] is None
+    assert desc["w"] == "NOT NULL DEFAULT 'x'"
