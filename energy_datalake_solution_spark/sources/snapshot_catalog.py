@@ -104,6 +104,9 @@ contract one level up:
         ALTER TABLE <name> ALTER COLUMN c SET NOT NULL | DROP NOT NULL
             (a reserved-name CHECK; SET validates standing data first;
             NOT NULL also parses inline in CREATE TABLE column specs)
+        ALTER TABLE <name> ALTER COLUMN c COMMENT 'txt'
+            (COMMENT also parses inline in CREATE TABLE column specs;
+            DESCRIBE TABLE / SHOW CREATE TABLE surface it)
         ALTER TABLE <name> SYNC IDENTITY -> snapshot_sync_identity
             (recompute identity high-water marks from stored values)
         TRUNCATE TABLE <name> / DELETE FROM <name> -> snapshot_truncate
@@ -188,7 +191,8 @@ _COL_SPEC_RE = re.compile(
     r"|\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
     r"(?:\s*\(\s*START\s+WITH\s+(?P<idstart>-?\d+)\s+"
     r"INCREMENT\s+BY\s+(?P<idstep>-?\d+)\s*\))?(?P<identity>)"
-    r"|\s+GENERATED\s+ALWAYS\s+AS\s*\((?P<generated>.+)\))?\s*$",
+    r"|\s+GENERATED\s+ALWAYS\s+AS\s*\((?P<generated>.+?)\))?"
+    r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)')?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a new table
@@ -425,6 +429,13 @@ _ALTER_NOT_NULL_RE = re.compile(
     r"|(?P<drop>DROP\s+NOT\s+NULL))\s*;?\s*$",
     re.IGNORECASE,
 )
+# ALTER COLUMN c COMMENT 'txt': O(metadata) column documentation.
+_ALTER_COL_COMMENT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)'"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
 # ALTER TABLE t SYNC IDENTITY (Delta): recompute identity high-water
 # marks from the stored values (post-RESTORE/clone repair).
 _SYNC_IDENTITY_RE = re.compile(
@@ -652,10 +663,12 @@ class SnapshotCatalog:
                         "start": int(cm.group("idstart") or 1),
                         "step": int(cm.group("idstep") or 1),
                     }
+                comment = cm.group("comment")
                 cols.append(
                     (cm.group("name"), cm.group("dtype").lower(), default,
                      cm.group("generated"), identity,
-                     cm.group("notnull") is not None)
+                     cm.group("notnull") is not None,
+                     comment.replace("''", "'") if comment else None)
                 )
             snapshot_create_table(m.group("opath") or m.group("lpath"), cols)
             self.create_table(name, m.group("opath") or m.group("lpath"))
@@ -936,6 +949,20 @@ class SnapshotCatalog:
             path = self._writable(m.group("name"))
             snapshot_sync_identity(self.spark, path)
             return None
+        m = _ALTER_COL_COMMENT_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import (
+                snapshot_enable_column_mapping,
+                snapshot_set_column_comment,
+            )
+
+            path = self._writable(m.group("name"))
+            snapshot_enable_column_mapping(self.spark, path)  # idempotent
+            snapshot_set_column_comment(
+                path, m.group("col"),
+                m.group("comment").replace("''", "'"),
+            )
+            return None
         m = _ALTER_NOT_NULL_RE.match(text)
         if m and m.group("name") in self._tables:
             from .snapshots import (
@@ -1123,9 +1150,14 @@ class SnapshotCatalog:
                     info = f"DEFAULT {d}" if d is not None else None
                 if f.name in nn:
                     info = f"NOT NULL {info}" if info else "NOT NULL"
-                rows.append((f.name, f.dataType.simpleString(), info))
+                rows.append((
+                    f.name, f.dataType.simpleString(), info,
+                    c.get("comment"),
+                ))
             return self.spark.createDataFrame(
-                rows, "col_name string, data_type string, info string"
+                rows,
+                "col_name string, data_type string, info string, "
+                "comment string",
             )
         m = _TRUNCATE_RE.match(text)
         if m and (m.group("name") or m.group("name2")) in self._tables:
@@ -1197,6 +1229,10 @@ class SnapshotCatalog:
                 c["name"]: c["identity"] for c in scols
                 if c.get("identity") is not None
             }
+            cmnt = {
+                c["name"]: c["comment"] for c in scols
+                if c.get("comment") is not None
+            }
             nn = {
                 cn[len("__not_null_"):]
                 for cn in (man.get("constraints") or {})
@@ -1214,6 +1250,12 @@ class SnapshotCatalog:
                     f"{ident[f.name]['start']} INCREMENT BY "
                     f"{ident[f.name]['step']})"
                     if f.name in ident else ""
+                )
+                + (
+                    " COMMENT '{}'".format(
+                        cmnt[f.name].replace("'", "''")
+                    )
+                    if f.name in cmnt else ""
                 )
                 for f in fields
             ))

@@ -2519,6 +2519,21 @@ def snapshot_set_column_default(table_path, col: str,
     return _commit_schema_change(table_path, mutate, op="set-default")
 
 
+def snapshot_set_column_comment(table_path, col: str, comment: str) -> int:
+    """``ALTER TABLE t ALTER COLUMN c COMMENT 'txt'``: O(metadata)
+    documentation on the column-mapping entry; DESCRIBE TABLE and SHOW
+    CREATE TABLE surface it."""
+
+    def mutate(schema: dict) -> dict:
+        for c in schema["cols"]:
+            if c["name"] == col:
+                c["comment"] = comment
+                return schema
+        raise KeyError(f"no column {col!r} in the table's column mapping")
+
+    return _commit_schema_change(table_path, mutate, op="set-comment")
+
+
 def snapshot_sync_identity(spark: SparkSession, table_path) -> int:
     """Delta's ``ALTER TABLE t SYNC IDENTITY``: recompute each identity
     column's high-water mark from the STORED values (after a RESTORE, a
@@ -5702,6 +5717,7 @@ def snapshot_create_table(
         identity = spec[4] if len(spec) > 4 else None
         if spec[5] if len(spec) > 5 else False:  # NOT NULL
             not_null[name] = f"{name} IS NOT NULL"
+        comment = spec[6] if len(spec) > 6 else None
         if sum(x is not None for x in (default, generated, identity)) > 1:
             raise ValueError(
                 f"column {name!r}: DEFAULT, GENERATED ALWAYS AS and "
@@ -5729,6 +5745,8 @@ def snapshot_create_table(
                 raise ValueError(
                     f"column {name!r}: IDENTITY INCREMENT BY 0 is invalid"
                 )
+        if comment is not None:
+            col["comment"] = comment
         cols.append(col)
     schema = {"next_id": len(cols) + 1, "cols": cols, "retired": []}
     return _commit(

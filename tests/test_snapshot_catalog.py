@@ -833,9 +833,10 @@ def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
         "SELECT count(*) AS n FROM table_changes('gt2', 1)",
         # --- round-13 routes under the same mangles ---
         f"CREATE TABLE gid (gk bigint GENERATED ALWAYS AS IDENTITY "
-        f"(START WITH 5 INCREMENT BY 2), gv string) "
+        f"(START WITH 5 INCREMENT BY 2), gv string COMMENT 'payload') "
         f"USING snapshot LOCATION '{tmp_path / 'gid'}'",
         "INSERT INTO gid (gv) VALUES ('p'), ('q')",
+        "ALTER TABLE gid ALTER COLUMN gv COMMENT 'fuzzed'",
         "ALTER TABLE gid SYNC IDENTITY",
         "SHOW CREATE TABLE gid",
         "DESCRIBE TABLE gid",
@@ -2098,3 +2099,31 @@ def test_not_null_constraints(spark, tmp_path):
             for r in cat.sql("DESCRIBE TABLE nn").collect()}
     assert desc["k"] == "NOT NULL" and desc["v"] is None
     assert desc["w"] == "NOT NULL DEFAULT 'x'"
+
+
+def test_column_comments(spark, tmp_path):
+    """COMMENT 'txt' in CREATE TABLE column specs (composing with NOT
+    NULL / GENERATED, escaped quotes included) and via ALTER COLUMN
+    COMMENT; DESCRIBE TABLE carries a comment column and SHOW CREATE
+    TABLE round-trips the clause."""
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(
+        f"CREATE TABLE cm (k bigint NOT NULL COMMENT 'the key', "
+        f"v string COMMENT 'it''s text', "
+        f"b bigint GENERATED ALWAYS AS (k % 2) COMMENT 'parity') "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO cm (k, v) VALUES (1, 'a')")
+    desc = {r.col_name: (r.info, r.comment)
+            for r in cat.sql("DESCRIBE TABLE cm").collect()}
+    assert desc["k"] == ("NOT NULL", "the key")
+    assert desc["v"][1] == "it's text"
+    assert desc["b"] == ("GENERATED ALWAYS AS (k % 2)", "parity")
+    cat.sql("ALTER TABLE cm ALTER COLUMN v COMMENT 'renamed doc'")
+    ddl = cat.sql("SHOW CREATE TABLE cm").first().createtab_stmt
+    assert "k BIGINT NOT NULL COMMENT 'the key'" in ddl
+    assert "v STRING COMMENT 'renamed doc'" in ddl
+    assert "GENERATED ALWAYS AS (k % 2) COMMENT 'parity'" in ddl
+    # the generated expression still computes despite the trailing clause
+    assert cat.sql("SELECT b FROM cm").first().b == 1

@@ -1306,3 +1306,45 @@ def test_cdc_mirror_loop_continuous_and_crash_replay(spark, tmp_path):
         f.name: hashlib.sha256(f.read_bytes()).hexdigest()
         for f in rep.rglob("*.parquet")
     } == h
+
+
+def test_streaming_identity_exactly_once(spark, tmp_path):
+    """The exactly-once sink protocol composes with identity columns:
+    each micro-batch's rows allocate fresh grid values, and a REPLAYED
+    batch (same (app, txn) stamp — the crash-between-sink-and-checkpoint
+    case) is skipped without allocating, so ids never duplicate and the
+    high-water mark never double-advances."""
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        SnapshotCatalog,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append_once,
+        snapshot_read,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(
+        f"CREATE TABLE sid (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"v bigint) USING snapshot LOCATION '{t}'"
+    )
+    snapshot_append_once(
+        spark.range(5).selectExpr("id AS v"), t, txn=0, txn_app="app"
+    )
+    snapshot_append_once(
+        spark.range(5, 8).selectExpr("id AS v"), t, txn=1, txn_app="app"
+    )
+    before = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert before == list(range(1, 9))
+    # replay of batch 1: must be a no-op (no rows, no mark advance)
+    snapshot_append_once(
+        spark.range(5, 8).selectExpr("id AS v"), t, txn=1, txn_app="app"
+    )
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == before
+    # the next REAL batch continues right after the mark
+    snapshot_append_once(
+        spark.range(8, 9).selectExpr("id AS v"), t, txn=2, txn_app="app"
+    )
+    assert sorted(r.id for r in snapshot_read(spark, t).collect()) == list(
+        range(1, 10)
+    )
