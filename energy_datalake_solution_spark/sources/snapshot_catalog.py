@@ -107,6 +107,10 @@ contract one level up:
         ALTER TABLE <name> ALTER COLUMN c COMMENT 'txt'
             (COMMENT also parses inline in CREATE TABLE column specs;
             DESCRIBE TABLE / SHOW CREATE TABLE surface it)
+        ALTER TABLE <name> SET TBLPROPERTIES ('k' = 'v', ...)
+            | UNSET TBLPROPERTIES [IF EXISTS] ('k', ...)
+        SHOW TBLPROPERTIES <name>     (user key-value metadata — carried
+            by every commit, inherited by clones, reverted by RESTORE)
         ALTER TABLE <name> SYNC IDENTITY -> snapshot_sync_identity
             (recompute identity high-water marks from stored values)
         TRUNCATE TABLE <name> / DELETE FROM <name> -> snapshot_truncate
@@ -428,6 +432,25 @@ _ALTER_NOT_NULL_RE = re.compile(
     r"(?P<col>[A-Za-z_]\w*)\s+(?:SET\s+NOT\s+NULL"
     r"|(?P<drop>DROP\s+NOT\s+NULL))\s*;?\s*$",
     re.IGNORECASE,
+)
+# SET/UNSET TBLPROPERTIES + SHOW TBLPROPERTIES (Delta): user key-value
+# metadata carried by the manifest, cloned and RESTOREd like the rest.
+_SET_TBLPROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+TBLPROPERTIES"
+    r"\s*\((?P<pairs>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNSET_TBLPROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+UNSET\s+TBLPROPERTIES"
+    r"\s*(?:IF\s+EXISTS\s*)?\((?P<keys>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_TBLPROPS_RE = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_TBLPROP_PAIR_RE = re.compile(
+    r"^\s*'(?P<key>(?:[^']|'')+)'\s*=\s*'(?P<val>(?:[^']|'')*)'\s*$"
 )
 # ALTER COLUMN c COMMENT 'txt': O(metadata) column documentation.
 _ALTER_COL_COMMENT_RE = re.compile(
@@ -949,6 +972,46 @@ class SnapshotCatalog:
             path = self._writable(m.group("name"))
             snapshot_sync_identity(self.spark, path)
             return None
+        m = _SET_TBLPROPS_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_set_properties
+
+            path = self._writable(m.group("name"))
+            props = {}
+            for pair in _split_top_commas(m.group("pairs")):
+                pm = _TBLPROP_PAIR_RE.match(pair)
+                if not pm:
+                    raise ValueError(
+                        f"SET TBLPROPERTIES: cannot parse pair {pair!r} "
+                        "(expected 'key' = 'value')"
+                    )
+                props[pm.group("key").replace("''", "'")] = (
+                    pm.group("val").replace("''", "'")
+                )
+            snapshot_set_properties(path, props)
+            return None
+        m = _UNSET_TBLPROPS_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_unset_properties
+
+            path = self._writable(m.group("name"))
+            keys = [
+                k.strip().strip("'").replace("''", "'")
+                for k in _split_top_commas(m.group("keys"))
+            ]
+            snapshot_unset_properties(path, keys)
+            return None
+        m = _SHOW_TBLPROPS_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import _read_manifest, current_version
+
+            path, pin = self._tables[m.group("name")]
+            v = pin if pin is not None else current_version(path)
+            props = _read_manifest(Path(path), v).get("properties") or {}
+            return self.spark.createDataFrame(
+                [(k, props[k]) for k in sorted(props)] or [],
+                "key string, value string",
+            )
         m = _ALTER_COL_COMMENT_RE.match(text)
         if m and m.group("name") in self._tables:
             from .snapshots import (
@@ -1270,10 +1333,16 @@ class SnapshotCatalog:
                 )
             lines.append(f"LOCATION '{path}'")
             cons = man.get("constraints") or {}
+            user_props = man.get("properties") or {}
             props = [
                 f"  'delta.constraints.{cn}' = '{cons[cn]}'"
                 for cn in sorted(cons)
                 if not cn.startswith("__not_null_")  # rendered inline
+            ] + [
+                "  '{}' = '{}'".format(
+                    k.replace("'", "''"), user_props[k].replace("'", "''")
+                )
+                for k in sorted(user_props)
             ]
             if props:
                 lines.append(

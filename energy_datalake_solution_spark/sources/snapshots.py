@@ -276,6 +276,7 @@ def _commit(
     types_meta: dict | None = None,
     partitioning_meta: dict | None = None,
     bucketing_meta: dict | None = None,
+    properties_meta: dict | None = None,
 ) -> int:
     """Publish a manifest and advance the pointer.
 
@@ -400,6 +401,14 @@ def _commit(
         if bucketing_meta is not None
         else (parent_resolved or {}).get("bucketing")
     )
+    # user table properties (Delta's TBLPROPERTIES): same carry semantics
+    properties = (
+        None
+        if properties_meta is CLEAR_METADATA
+        else properties_meta
+        if properties_meta is not None
+        else (parent_resolved or {}).get("properties")
+    )
     parent_dist = (
         int(parent_resolved.get("ckpt_dist", 0)) if parent_resolved else 0
     )
@@ -432,6 +441,8 @@ def _commit(
             manifest["partitioning"] = partitioning
         if bucketing != parent_resolved.get("bucketing"):
             manifest["bucketing"] = bucketing
+        if properties != parent_resolved.get("properties"):
+            manifest["properties"] = properties
     else:
         manifest["ckpt_dist"] = 0
         if schema:
@@ -444,6 +455,8 @@ def _commit(
             manifest["partitioning"] = partitioning
         if bucketing:
             manifest["bucketing"] = bucketing
+        if properties:
+            manifest["properties"] = properties
         if len(files) >= CKPT_PARQUET_MIN_FILES:
             manifest["ckpt_parquet"] = _write_ckpt_sidecar(
                 table_path, version, sorted(files), new_stats, new_blooms, new_dv
@@ -2148,7 +2161,7 @@ def _apply_delta(base: dict, raw: dict) -> dict:
     # schema/constraints/types/partitioning metadata: a delta stores them
     # only when CHANGED
     for meta in ("schema", "constraints", "types", "partitioning",
-                 "bucketing"):
+                 "bucketing", "properties"):
         if meta in raw:
             out[meta] = raw[meta]
         elif meta in base:
@@ -2395,6 +2408,7 @@ def snapshot_clone(
         types_meta=m.get("types"),
         partitioning_meta=m.get("partitioning"),
         bucketing_meta=m.get("bucketing"),
+        properties_meta=m.get("properties"),
     )
 
 
@@ -2517,6 +2531,58 @@ def snapshot_set_column_default(table_path, col: str,
         raise KeyError(f"no column {col!r} in the table's column mapping")
 
     return _commit_schema_change(table_path, mutate, op="set-default")
+
+
+def snapshot_set_properties(table_path, props: dict) -> int:
+    """Delta's ``ALTER TABLE t SET TBLPROPERTIES (k='v', ...)``: fold
+    the pairs into the manifest's carried properties map — O(metadata),
+    existing keys overwrite, others keep. Properties travel with clones
+    and revert with RESTORE like every other table metadata."""
+    p = _table(table_path)
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        if parent == 0:
+            raise FileNotFoundError(f"no snapshot table at {table_path}")
+        pm = _read_manifest(p, parent)
+        cur = dict(pm.get("properties") or {})
+        cur.update({str(k): str(v) for k, v in props.items()})
+        try:
+            return _commit(p, list(pm["files"]), parent,
+                           stats=pm.get("stats") or None,
+                           blooms=pm.get("blooms") or None,
+                           dv=dict(pm.get("dv", {}) or {}) or None,
+                           op="set-tblproperties",
+                           properties_meta=cur)
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def snapshot_unset_properties(table_path, keys: list) -> int:
+    """``ALTER TABLE t UNSET TBLPROPERTIES (k, ...)``: metadata-only
+    commit without the named keys (absent keys are ignored — Delta's
+    IF EXISTS disposition)."""
+    p = _table(table_path)
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        if parent == 0:
+            raise FileNotFoundError(f"no snapshot table at {table_path}")
+        pm = _read_manifest(p, parent)
+        cur = dict(pm.get("properties") or {})
+        for k in keys:
+            cur.pop(str(k), None)
+        try:
+            return _commit(p, list(pm["files"]), parent,
+                           stats=pm.get("stats") or None,
+                           blooms=pm.get("blooms") or None,
+                           dv=dict(pm.get("dv", {}) or {}) or None,
+                           op="unset-tblproperties",
+                           properties_meta=cur or CLEAR_METADATA)
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
 
 
 def snapshot_set_column_comment(table_path, col: str, comment: str) -> int:
@@ -2682,6 +2748,9 @@ def snapshot_restore(table_path, version: int | None = None,
     bucketing_meta = (
         m["bucketing"] if m.get("bucketing") is not None else CLEAR_METADATA
     )
+    properties_meta = (
+        m["properties"] if m.get("properties") is not None else CLEAR_METADATA
+    )
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)
         if parent == rv:
@@ -2697,6 +2766,7 @@ def snapshot_restore(table_path, version: int | None = None,
                 types_meta=types_meta,
                 partitioning_meta=partitioning_meta,
                 bucketing_meta=bucketing_meta,
+                properties_meta=properties_meta,
             )
         except SnapshotCommitConflict:
             # restore-whatever-wins semantics: the target CONTENT is
@@ -2828,7 +2898,8 @@ def _materialize_checkpoint(p: Path, v: int) -> None:
     # exactly that for "types" — a vacuumed widened table read mixed-
     # width files without the explicit schema)
     for fld in ("op", "ts", "txn_app", "txns", "n_files", "schema",
-                "constraints", "types", "partitioning", "bucketing"):
+                "constraints", "types", "partitioning", "bucketing",
+                "properties"):
         if m.get(fld) is not None:
             full[fld] = m[fld]
     if len(m["files"]) >= CKPT_PARQUET_MIN_FILES:

@@ -837,6 +837,9 @@ def test_catalog_grammar_tolerates_reformatting(spark, tmp_path, mangle):
         f"USING snapshot LOCATION '{tmp_path / 'gid'}'",
         "INSERT INTO gid (gv) VALUES ('p'), ('q')",
         "ALTER TABLE gid ALTER COLUMN gv COMMENT 'fuzzed'",
+        "ALTER TABLE gid SET TBLPROPERTIES ('team' = 'ml', 'pii' = 'no')",
+        "ALTER TABLE gid UNSET TBLPROPERTIES ('pii')",
+        "SHOW TBLPROPERTIES gid",
         "ALTER TABLE gid SYNC IDENTITY",
         "SHOW CREATE TABLE gid",
         "DESCRIBE TABLE gid",
@@ -2127,3 +2130,57 @@ def test_column_comments(spark, tmp_path):
     assert "GENERATED ALWAYS AS (k % 2) COMMENT 'parity'" in ddl
     # the generated expression still computes despite the trailing clause
     assert cat.sql("SELECT b FROM cm").first().b == 1
+
+
+def test_tblproperties(spark, tmp_path):
+    """SET/UNSET TBLPROPERTIES + SHOW TBLPROPERTIES: user key-value
+    metadata carried by the manifest — overwrites fold, unrelated
+    commits carry it, UNSET ignores missing keys (IF EXISTS
+    disposition), SHOW CREATE TABLE includes the pairs, clones inherit,
+    RESTORE reverts to the target version's map, and vacuum's
+    checkpoint materialization preserves it."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_clone,
+        snapshot_restore,
+        snapshot_vacuum,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(f"CREATE TABLE tp (k bigint) USING snapshot LOCATION '{t}'")
+    cat.sql("INSERT INTO tp VALUES (1)")                              # v2
+    cat.sql(
+        "ALTER TABLE tp SET TBLPROPERTIES "
+        "('owner' = 'data-eng', 'tier' = 'gold')"
+    )
+    cat.sql("ALTER TABLE tp SET TBLPROPERTIES ('tier' = 'silver')")
+    cat.sql("INSERT INTO tp VALUES (2)")  # unrelated commit carries
+    props = {r.key: r.value
+             for r in cat.sql("SHOW TBLPROPERTIES tp").collect()}
+    assert props == {"owner": "data-eng", "tier": "silver"}
+    ddl = cat.sql("SHOW CREATE TABLE tp").first().createtab_stmt
+    assert "'owner' = 'data-eng'" in ddl and "'tier' = 'silver'" in ddl
+    cat.sql("ALTER TABLE tp UNSET TBLPROPERTIES IF EXISTS ('owner', 'nope')")
+    props = {r.key: r.value
+             for r in cat.sql("SHOW TBLPROPERTIES tp").collect()}
+    assert props == {"tier": "silver"}
+    # clones inherit the source version's map
+    snapshot_clone(t, tmp_path / "c")
+    cat.sql(f"CREATE TABLE tpc USING snapshot LOCATION '{tmp_path / 'c'}'")
+    assert {r.key: r.value
+            for r in cat.sql("SHOW TBLPROPERTIES tpc").collect()} == {
+        "tier": "silver"
+    }
+    # vacuum forces checkpoint materialization of the retained manifest
+    snapshot_vacuum(t, keep_versions=1)
+    assert {r.key: r.value
+            for r in cat.sql("SHOW TBLPROPERTIES tp").collect()} == {
+        "tier": "silver"
+    }
+    # RESTORE to a pre-properties version drops the map
+    t2 = tmp_path / "r"
+    cat.sql(f"CREATE TABLE tpr (k bigint) USING snapshot LOCATION '{t2}'")
+    cat.sql("INSERT INTO tpr VALUES (1)")                             # v2
+    cat.sql("ALTER TABLE tpr SET TBLPROPERTIES ('a' = '1')")          # v3
+    snapshot_restore(t2, 2)
+    assert cat.sql("SHOW TBLPROPERTIES tpr").count() == 0
