@@ -3971,8 +3971,8 @@ def decode_tiff_pixel_stats(df: DataFrame) -> DataFrame:
                 raise ValueError(f"unsupported predictor {pred}")
             offs = tags[273]
             cnts = tags[279]
-            if not isinstance(offs, list):
-                offs, cnts = [offs], [cnts]
+            offs = offs if isinstance(offs, list) else [offs]
+            cnts = cnts if isinstance(cnts, list) else [cnts]
             if len(offs) != len(cnts):
                 raise ValueError("StripOffsets/StripByteCounts mismatch")
             rps = tags.get(278, h)

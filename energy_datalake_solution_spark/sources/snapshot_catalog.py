@@ -995,10 +995,15 @@ class SnapshotCatalog:
             from .snapshots import snapshot_unset_properties
 
             path = self._writable(m.group("name"))
-            keys = [
-                k.strip().strip("'").replace("''", "'")
-                for k in _split_top_commas(m.group("keys"))
-            ]
+            keys = []
+            for k in _split_top_commas(m.group("keys")):
+                km = re.match(r"^\s*'(?P<key>(?:[^']|'')+)'\s*$", k)
+                if not km:
+                    raise ValueError(
+                        f"UNSET TBLPROPERTIES: cannot parse key {k!r} "
+                        "(expected 'key')"
+                    )
+                keys.append(km.group("key").replace("''", "'"))
             snapshot_unset_properties(path, keys)
             return None
         m = _SHOW_TBLPROPS_RE.match(text)

@@ -965,19 +965,7 @@ def snapshot_append(
                     base,
                 )
                 identity_alloc[c["name"]] = (base, n_alloc)
-            # write defaults (ALTER COLUMN SET/DROP DEFAULT) bind at
-            # WRITE time: materialize them physically for omitted
-            # columns, so the birth default keeps resolving only the
-            # files that predate the change (Iceberg's initial- vs
-            # write-default split; "NULL" is the DROP DEFAULT sentinel)
-            from pyspark.sql import functions as _F
-
-            for c in sch["cols"]:
-                wd = c.get("wdefault")
-                if wd is not None and c["name"] not in df.columns:
-                    df = df.withColumn(
-                        c["name"], _F.expr(wd).cast(c["type"])
-                    )
+            df = _materialize_wdefaults(df, sch)
             # generated columns the batch omits compute HERE (logical
             # namespace); carried ones were validated above
             df = _materialize_generated(df, sch)
@@ -1731,6 +1719,15 @@ def _snapshot_merge_committed(
                     f"MERGE INSERT lists unknown target column(s): "
                     f"{sorted(unknown)}"
                 )
+            # unlisted GENERATED/defaulted columns are left ABSENT (not
+            # typed NULL) so the materialization below computes them —
+            # Delta resolves generated expressions and write defaults
+            # for merge inserts too
+            resolved = {
+                c["name"] for c in (sch or {}).get("cols", [])
+                if c.get("generated") is not None
+                or c.get("wdefault") is not None
+            }
             ins = ins.alias("s").select(*[
                 (
                     _merge_cond(insert_values[c]).cast(t)
@@ -1738,7 +1735,14 @@ def _snapshot_merge_committed(
                     else F.lit(None).cast(t)
                 ).alias(c)
                 for c, t in pairs
+                if c in insert_values or c not in resolved
             ])
+        # write defaults and generated columns resolve for insert rows
+        # exactly as they do for appends (the insert arm IS a row-
+        # creating write); explicit-insert typed-NULL slots stay NULL —
+        # only genuinely ABSENT columns materialize
+        ins = _materialize_wdefaults(ins, sch)
+        ins = _materialize_generated(ins, sch)
         if id_cols_m:
             ins = _alloc_identity(ins)
         return ins
@@ -1840,6 +1844,8 @@ def _snapshot_merge_committed(
         if live:
             tagged = _tagged_live_logical(spark, p, m, live, types=eff_types)
             data_cols = [c for c in tagged.columns if c not in ("_fp", "_ri")]
+            nmbs_map = _normalize_assign_keys(nmbs_map, data_cols)
+            upd_map = _normalize_assign_keys(upd_map, data_cols)
             s_tag = src.withColumn("_s_matched", F.lit(True))
             pair_n = tagged.alias("t").join(
                 s_tag.alias("s"),
@@ -1972,6 +1978,7 @@ def _snapshot_merge_committed(
     if touched:
         tagged = _tagged_live_logical(spark, p, m, touched, types=eff_types)
         data_cols = [c for c in tagged.columns if c not in ("_fp", "_ri")]
+        upd_norm = _normalize_assign_keys(matched_update or {}, data_cols)
         s_tag = src.withColumn("_s_matched", F.lit(True))
         pair_m = tagged.alias("t").join(
             s_tag.alias("s"),
@@ -1992,9 +1999,9 @@ def _snapshot_merge_committed(
                 do_upd_m.alias("_upd"),
                 *[
                     (
-                        F.when(do_upd_m, _merge_cond(matched_update[c]))
+                        F.when(do_upd_m, _merge_cond(upd_norm[c]))
                         .otherwise(F.col(f"t.{c}"))
-                        if c in matched_update
+                        if c in upd_norm
                         else F.col(f"t.{c}")
                     ).alias(c)
                     for c in data_cols
@@ -2077,11 +2084,12 @@ def _snapshot_merge_committed(
             if matched_delete
             else F.lit(False)
         )
+        upd_norm = _normalize_assign_keys(matched_update or {}, t_cols)
         kept = pair.where(~do_del).select(*[
             (
-                F.when(do_upd, _merge_cond(matched_update[c]))
+                F.when(do_upd, _merge_cond(upd_norm[c]))
                 .otherwise(F.col(f"t.{c}"))
-                if c in matched_update
+                if c in upd_norm
                 else F.col(f"t.{c}")
             ).alias(c)
             for c in t_cols
@@ -2438,26 +2446,60 @@ def _enforce_constraints(df: DataFrame, p: Path, tip: int | None = None) -> None
     # WRITE default (or birth default) for defaulted columns, the
     # generated expression for generated ones, a typed NULL otherwise
     # (so NOT NULL constraints reject narrow batches properly).
-    # Identity columns are skipped — they allocate after enforcement
-    # and are never NULL.
-    for c in (m.get("schema") or {}).get("cols", []):
+    # Two passes: defaults/NULLs first (literals, reference nothing),
+    # then generated expressions (may reference the columns pass one
+    # just added — declaration order must not matter).
+    # Identity columns allocate AFTER enforcement, so they are skipped
+    # here and constraints referencing them are deferred entirely
+    # (values are non-null and on-grid by construction).
+    scols = (m.get("schema") or {}).get("cols", [])
+    absent_identity = {
+        c["name"] for c in scols
+        if c.get("identity") and c["name"] not in df.columns
+    }
+    materialized_gen: set[str] = set()
+    for c in scols:
         if c["name"] in df.columns or c.get("identity"):
             continue
+        if c.get("generated") is not None:
+            continue  # second pass
         d = c.get("wdefault", c.get("default"))
-        if d is not None:
-            df = df.withColumn(c["name"], F.expr(d).cast(c["type"]))
-        elif c.get("generated") is not None:
-            df = df.withColumn(
-                c["name"], F.expr(c["generated"]).cast(c["type"])
-            )
-        else:
-            df = df.withColumn(
-                c["name"], F.lit(None).cast(c["type"])
-            )
+        df = df.withColumn(
+            c["name"],
+            F.expr(d).cast(c["type"]) if d is not None
+            else F.lit(None).cast(c["type"]),
+        )
+    for c in scols:
+        if c["name"] in df.columns or c.get("identity"):
+            continue
+        df = df.withColumn(
+            c["name"], F.expr(c["generated"]).cast(c["type"])
+        )
+        materialized_gen.add(c["name"])
+    if absent_identity:
+        targets = {a.lower() for a in absent_identity}
+
+        def _references_absent_identity(expr: str) -> bool:
+            idents = {
+                (bq or plain).lower()
+                for bq, plain in re.findall(
+                    r"`([^`]+)`|([A-Za-z_][A-Za-z_0-9]*)", expr
+                )
+            }
+            return bool(idents & targets)
+
+        cons = {
+            n: e for n, e in cons.items()
+            if not _references_absent_identity(e)
+        }
     have = set(df.columns)
-    for c in (m.get("schema") or {}).get("cols", []):
+    for c in scols:
         gen = c.get("generated")
-        if gen is not None and c["name"] in have:
+        if (gen is not None and c["name"] in have
+                and c["name"] not in materialized_gen):
+            # columns the batch CARRIED validate against the expression;
+            # ones the loop above materialized FROM the expression are
+            # true by construction — no job spent re-proving it
             cons[f"__generated_{c['name']}"] = (
                 f"{c['name']} <=> CAST(({gen}) AS {c['type']})"
             )
@@ -4080,9 +4122,10 @@ def snapshot_update_where(
                     cur = _apply_column_mapping(cur, schema)
                 if table_alias:
                     cur = cur.alias(table_alias)
+                sc = _normalize_assign_keys(set_cols, cur.columns)
                 rewritten = cur.select(*[
-                    (F.when(matched, set_cols[c]).otherwise(F.col(c))
-                     if c in set_cols else F.col(c)).alias(c)
+                    (F.when(matched, sc[c]).otherwise(F.col(c))
+                     if c in sc else F.col(c)).alias(c)
                     for c in cur.columns
                 ]).coalesce(max(1, len(touched)))
                 rewritten = _regen_generated(rewritten, schema, set_cols)
@@ -4123,8 +4166,9 @@ def snapshot_update_where(
             # mixed parquet widths crash the vectorized reader (the CoW
             # path gets this free from when/otherwise type coercion)
             cur_type = {f.name: f.dataType for f in hits.schema.fields}
+            sc = _normalize_assign_keys(set_cols, data_cols)
             updated = hits.select(*[
-                (set_cols[c].cast(cur_type[c]) if c in set_cols
+                (sc[c].cast(cur_type[c]) if c in sc
                  else F.col(c)).alias(c)
                 for c in data_cols
             ], F.col("_fp").alias("_prov_fp"), F.col("_ri").alias("_prov_ri"))
@@ -4224,8 +4268,11 @@ def snapshot_replace_where(
         # identity columns allocate for the replacement rows, from this
         # ATTEMPT's high-water marks (a conflict re-enters the loop and
         # re-derives — the same restart protocol the other writers use);
-        # explicit values refuse (ALWAYS semantics)
-        work = df
+        # explicit values refuse (ALWAYS semantics). Write defaults and
+        # generated columns resolve exactly as on append.
+        work = _materialize_generated(
+            _materialize_wdefaults(df, schema), schema
+        )
         id_alloc: dict[str, tuple[int, int]] = {}
         for c in _identity_cols(schema):
             if c["name"] in work.columns:
@@ -5413,19 +5460,37 @@ def _materialize_generated(df: DataFrame, schema: dict | None) -> DataFrame:
     batch's other LOGICAL columns, cast to the declared type. Columns
     the batch DOES carry pass through — _enforce_constraints validates
     them against the expression, so a caller cannot silently write a
-    value the expression contradicts. Shared by every logical-frame
+    value the expression contradicts. An expression referencing a
+    DEFAULT-ed column the batch also omits first materializes THAT
+    column with its write-time value (wdefault, else birth default,
+    else typed NULL) — what the stored row would read — so declaration
+    order and batch width never matter. Shared by every logical-frame
     writer (append, write, upsert, merge source)."""
     if not schema:
         return df
     from pyspark.sql import functions as F
 
-    have = set(df.columns)
+    by_lower = {c["name"].lower(): c for c in schema["cols"]}
     for c in schema["cols"]:
         gen = c.get("generated")
-        if gen is not None and c["name"] not in have:
+        if gen is None or c["name"] in df.columns:
+            continue
+        have_lower = {n.lower() for n in df.columns}
+        for bq, plain in re.findall(
+            r"`([^`]+)`|([A-Za-z_][A-Za-z_0-9]*)", gen
+        ):
+            ref = by_lower.get((bq or plain).lower())
+            if (ref is None or ref["name"].lower() in have_lower
+                    or ref.get("generated") is not None
+                    or ref.get("identity")):
+                continue
+            d = ref.get("wdefault", ref.get("default"))
             df = df.withColumn(
-                c["name"], F.expr(gen).cast(c["type"])
+                ref["name"],
+                F.expr(d).cast(ref["type"]) if d is not None
+                else F.lit(None).cast(ref["type"]),
             )
+        df = df.withColumn(c["name"], F.expr(gen).cast(c["type"]))
     return df
 
 
@@ -5452,10 +5517,15 @@ def _with_identity(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if any(c in df.columns for c in ("__snap_idp", "__snap_idr")):
+        raise ValueError(
+            "column names __snap_idp/__snap_idr are reserved by the "
+            "identity allocator"
+        )
     src = df.localCheckpoint(eager=True)
     counts = sorted(
-        (r["_idp"], r["n"])
-        for r in src.groupBy(F.spark_partition_id().alias("_idp"))
+        (r["__snap_idp"], r["n"])
+        for r in src.groupBy(F.spark_partition_id().alias("__snap_idp"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
@@ -5469,26 +5539,58 @@ def _with_identity(
     om = F.create_map(
         *[F.lit(v) for pid, off in offsets.items() for v in (pid, off)]
     )
-    w = Window.partitionBy("_idp").orderBy(F.monotonically_increasing_id())
+    w = Window.partitionBy("__snap_idp").orderBy(
+        F.monotonically_increasing_id()
+    )
     out = (
-        src.withColumn("_idp", F.spark_partition_id())
-        .withColumn("_idr", F.row_number().over(w))
+        src.withColumn("__snap_idp", F.spark_partition_id())
+        .withColumn("__snap_idr", F.row_number().over(w))
         .withColumn(
             name,
             (
                 F.lit(int(start))
                 + (
                     F.lit(int(base))
-                    + om[F.col("_idp")]
-                    + F.col("_idr")
+                    + om[F.col("__snap_idp")]
+                    + F.col("__snap_idr")
                     - F.lit(1)
                 )
                 * F.lit(int(step))
             ).cast(typ),
         )
-        .drop("_idp", "_idr")
+        .drop("__snap_idp", "__snap_idr")
     )
     return out, acc
+
+
+def _normalize_assign_keys(assignments: dict, columns) -> dict:
+    """Re-key an UPDATE/MERGE assignment map onto the table's actual
+    column spellings: Spark SQL resolves identifiers case-insensitively,
+    so ``SET K = ...`` must hit column ``k`` — a case-sensitive dict
+    probe would silently skip the assignment. Unknown keys pass through
+    for the caller's own unknown-column handling."""
+    by_lower = {c.lower(): c for c in columns}
+    return {
+        by_lower.get(k.lower(), k): v for k, v in assignments.items()
+    }
+
+
+def _materialize_wdefaults(df: DataFrame, schema: dict | None) -> DataFrame:
+    """Write defaults (ALTER COLUMN SET/DROP DEFAULT) bind at WRITE
+    time: materialize them physically for columns the batch omits, so
+    the birth default keeps resolving only the files that predate the
+    change (Iceberg's initial- vs write-default split; "NULL" is the
+    DROP DEFAULT sentinel). Shared by every row-creating write path —
+    append, MERGE insert arms, REPLACE WHERE."""
+    if not schema:
+        return df
+    from pyspark.sql import functions as F
+
+    for c in schema["cols"]:
+        wd = c.get("wdefault")
+        if wd is not None and c["name"] not in df.columns:
+            df = df.withColumn(c["name"], F.expr(wd).cast(c["type"]))
+    return df
 
 
 def _regen_generated(df: DataFrame, schema: dict | None, assigned) -> DataFrame:
@@ -5502,18 +5604,22 @@ def _regen_generated(df: DataFrame, schema: dict | None, assigned) -> DataFrame:
     satisfies ``g <=> expr(sources)`` (computed on write, validated
     when supplied), so an unconditional recompute is safe and cheaper
     than threading the match predicate here."""
-    assigned = set(assigned or ())
+    assigned = {a.lower() for a in (assigned or ())}  # Spark SQL
+    # resolves identifiers case-insensitively — match accordingly
     if not schema or not assigned:
         return df
     from pyspark.sql import functions as F
 
     for c in schema["cols"]:
         gen = c.get("generated")
-        if gen is None or c["name"] in assigned:
+        if gen is None or c["name"].lower() in assigned:
             continue
-        sources = set(re.findall(r"`([^`]+)`", gen)) | set(
-            re.findall(r"[A-Za-z_][A-Za-z_0-9]*", gen)
-        )
+        sources = {
+            (bq or plain).lower()
+            for bq, plain in re.findall(
+                r"`([^`]+)`|([A-Za-z_][A-Za-z_0-9]*)", gen
+            )
+        }
         if sources & assigned:
             df = df.withColumn(c["name"], F.expr(gen).cast(c["type"]))
     return df

@@ -1699,11 +1699,13 @@ def test_generated_columns_recompute_on_update_and_merge(spark, tmp_path):
     assert got[103] == 103 % 4
 
     # forced copy-on-write path (max_updated_rows=0) recomputes too
+    # (2 -> 101: a key no other row collapses onto, so the assertion
+    # discriminates the CoW recompute specifically)
     snapshot_update_where(
-        spark, t, "k = 2", {"k": "k + 101"}, max_updated_rows=0
-    )  # 2 -> 103? no: 2+101=103 collides with above -> use 2+99
+        spark, t, "k = 2", {"k": "k + 99"}, max_updated_rows=0
+    )
     got = {r.k: r.bucket for r in snapshot_read(spark, t).collect()}
-    assert got[103] == 3  # (2+101) % 4 == 3 and (3+100) % 4 == 3
+    assert got[101] == 101 % 4
 
     # MERGE UPDATE arm assigning the source column
     spark.createDataFrame([(0, 555)], "k long, v long") \
@@ -2184,3 +2186,63 @@ def test_tblproperties(spark, tmp_path):
     cat.sql("ALTER TABLE tpr SET TBLPROPERTIES ('a' = '1')")          # v3
     snapshot_restore(t2, 2)
     assert cat.sql("SHOW TBLPROPERTIES tpr").count() == 0
+
+
+def test_constraint_enforcement_edge_interactions(spark, tmp_path):
+    """Round-13 review regressions pinned: (1) IDENTITY + NOT NULL —
+    narrow inserts must succeed (allocation satisfies the constraint;
+    enforcement defers checks referencing the not-yet-allocated
+    column); (2) declaration order — a generated column may reference a
+    LATER-declared defaulted column and narrow inserts still resolve;
+    (3) MERGE INSERT arms resolve write defaults and generated
+    expressions for unlisted/absent columns exactly like appends;
+    (4) mixed-case UPDATE assignments still recompute generated
+    columns (Spark resolves identifiers case-insensitively)."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_read,
+    )
+
+    cat = SnapshotCatalog(spark)
+    # (1) identity + NOT NULL
+    t1 = tmp_path / "idnn"
+    cat.sql(
+        f"CREATE TABLE idnn (id bigint NOT NULL GENERATED ALWAYS AS "
+        f"IDENTITY, v string) USING snapshot LOCATION '{t1}'"
+    )
+    cat.sql("INSERT INTO idnn (v) VALUES ('a'), ('b')")
+    assert sorted(r.id for r in snapshot_read(spark, t1).collect()) == [1, 2]
+
+    # (2) generated referencing a later-declared defaulted column
+    t2 = tmp_path / "order"
+    cat.sql(
+        f"CREATE TABLE gord (k bigint, "
+        f"g bigint GENERATED ALWAYS AS (d + 1), d bigint DEFAULT 5) "
+        f"USING snapshot LOCATION '{t2}'"
+    )
+    cat.sql("INSERT INTO gord (k) VALUES (1)")
+    row = snapshot_read(spark, t2).first()
+    assert (row.g, row.d) == (6, 5)
+
+    # (3) merge inserts resolve wdefaults + generated for absent columns
+    t3 = tmp_path / "mwd"
+    cat.sql(
+        f"CREATE TABLE mwd (k bigint, v string DEFAULT 'old', "
+        f"par bigint GENERATED ALWAYS AS (k % 2)) "
+        f"USING snapshot LOCATION '{t3}'"
+    )
+    cat.sql("INSERT INTO mwd (k) VALUES (1)")
+    cat.sql("ALTER TABLE mwd ALTER COLUMN v SET DEFAULT 'new'")
+    spark.createDataFrame([(2,), (3,)], "k long").createOrReplaceTempView(
+        "mwd_src"
+    )
+    cat.sql(
+        "MERGE INTO mwd t USING mwd_src s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)"
+    )
+    got = {r.k: (r.v, r.par) for r in snapshot_read(spark, t3).collect()}
+    assert got == {1: ("old", 1), 2: ("new", 0), 3: ("new", 1)}
+
+    # (4) mixed-case assignment still triggers generated recompute
+    cat.sql("UPDATE mwd SET K = K + 10 WHERE K = 2")
+    got = {r.k: r.par for r in snapshot_read(spark, t3).collect()}
+    assert got[12] == 0
