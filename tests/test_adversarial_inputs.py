@@ -169,3 +169,53 @@ def test_iqr_udaf_survives_all_null_group(spark, tmp_path):
     out = {r.event_type: r for r in QUERIES["events_value_iqr_udaf"].fn(spark, str(d)).collect()}
     assert out["ghost"].q1 is None and out["ghost"].q3 is None
     assert out["real"].q1 == 5.0
+
+
+def test_round13_sql_routes_reject_malformed_statements(spark, tmp_path):
+    """The round-13 catalog routes fail LOUDLY on malformed input
+    instead of mis-parsing: bad IDENTITY clauses, zero increments,
+    unparseable TBLPROPERTIES pairs/keys, conflicting column
+    decorations, and reserved allocator names all raise with a
+    diagnostic — none silently creates a half-configured table."""
+    import pytest
+
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        SnapshotCatalog,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    # zero increment refuses at DDL time
+    with pytest.raises(ValueError, match="INCREMENT BY 0"):
+        cat.sql(
+            f"CREATE TABLE z (id bigint GENERATED ALWAYS AS IDENTITY "
+            f"(START WITH 1 INCREMENT BY 0)) USING snapshot "
+            f"LOCATION '{t}'"
+        )
+    # identity on a non-integral type refuses
+    with pytest.raises(ValueError, match="integral"):
+        cat.sql(
+            f"CREATE TABLE z (id string GENERATED ALWAYS AS IDENTITY) "
+            f"USING snapshot LOCATION '{t}'"
+        )
+    # DEFAULT + GENERATED on one column refuses
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        from energy_datalake_solution_spark.sources.snapshots import (
+            snapshot_create_table,
+        )
+
+        snapshot_create_table(t, [("a", "bigint", "1", "a + 1", None)])
+    # a live table for the property/reserved-name checks
+    cat.sql(f"CREATE TABLE ok (k bigint) USING snapshot LOCATION '{t}'")
+    with pytest.raises(ValueError, match="cannot parse pair"):
+        cat.sql("ALTER TABLE ok SET TBLPROPERTIES (owner = 'x')")
+    with pytest.raises(ValueError, match="cannot parse key"):
+        cat.sql("ALTER TABLE ok UNSET TBLPROPERTIES (owner)")
+    # reserved allocator scratch names refuse before any write
+    t2 = tmp_path / "r"
+    cat.sql(
+        f"CREATE TABLE res (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"__snap_idp bigint) USING snapshot LOCATION '{t2}'"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        cat.sql("INSERT INTO res (__snap_idp) VALUES (1)")
