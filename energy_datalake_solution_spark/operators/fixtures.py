@@ -3109,3 +3109,172 @@ def snapshot_lifecycle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = gen.unionByName(trunc)
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_governance_read",
+    oracle="""
+        WITH e AS (
+            SELECT s_suppkey, s_name, s_nationkey,
+                   row_number() OVER (ORDER BY s_suppkey) AS rn
+            FROM supplier WHERE s_suppkey % 2 = 0
+        ), o AS (
+            SELECT s_suppkey, s_name, s_nationkey,
+                   row_number() OVER (ORDER BY s_suppkey) AS rn
+            FROM supplier WHERE s_suppkey % 2 = 1
+        ), allrows AS (
+            SELECT CAST(1000 + (rn - 1) * 2 AS BIGINT) AS row_id,
+                   s_suppkey, s_name, s_nationkey
+            FROM e
+            UNION ALL
+            SELECT CAST(1000 + ((SELECT count(*) FROM e) + rn - 1) * 2
+                        AS BIGINT) AS row_id,
+                   s_suppkey, s_name, s_nationkey
+            FROM o
+            UNION ALL
+            SELECT CAST(1000 + (SELECT count(*) FROM supplier) * 2
+                        AS BIGINT) AS row_id,
+                   CAST(-1 AS BIGINT), 'SENTINEL', CAST(-1 AS BIGINT)
+        )
+        SELECT row_id,
+               s_suppkey AS sup_id,
+               CASE WHEN s_suppkey % 10 = 0
+                    THEN upper(s_name) ELSE s_name END AS sup_name,
+               s_nationkey AS nation_id,
+               CAST('2024-01-15' AS DATE) AS loaded,
+               'pipeline' AS owner,
+               'supplier key' AS sup_comment
+        FROM allrows
+    """,
+    tags=("snapshot", "ddl", "governance", "identity", "catalog"),
+)
+def snapshot_governance_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-13/14 governance surface under ONE driver hash gate:
+
+    * CREATE TABLE with column clauses in MIXED order (``COMMENT``
+      before ``NOT NULL``, ``DEFAULT`` before ``NOT NULL`` — the r14
+      order-free grammar), column COMMENTs, an IDENTITY column, and an
+      EXPRESSION-valued DEFAULT (``CAST('2024-01-15' AS date)`` — folds
+      at DDL time, re-evaluates per write batch);
+    * two sorted narrow INSERTs allocating identity (START 1000 STEP 2);
+    * a NOT NULL violation probe that must REFUSE and land nothing;
+    * TBLPROPERTIES lifecycle: SET two keys, UNSET one, SHOW must
+      round-trip exactly the survivor (its value becomes the ``owner``
+      output column, so a property that fails to stick fails the hash);
+    * column COMMENT round-trip through DESCRIBE TABLE (the comment
+      text becomes the ``sup_comment`` output column);
+    * ADD CONSTRAINT with a CHECK referencing the IDENTITY column, cut
+      exactly one allocation above the high-water mark — the MERGE
+      below fits, the probe after it must refuse POST-allocation (the
+      r14 fix: identity-referencing CHECKs enforce after allocation,
+      Delta's contract);
+    * a conditional MERGE whose matched arm uppercases every %10
+      supplier name (ids must CARRY) and whose insert arm allocates
+      exactly one sentinel row (deterministic id).
+
+    The oracle reconstructs the exact ids, names, default dates,
+    property value, and comment text — any silent refusal-bypass,
+    lost comment, stale property, reallocation, or default drift
+    fails the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import (
+        SnapshotConstraintViolation,
+        snapshot_read,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_gov_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "sup"
+    sup = load_table(spark, sf_dir, "supplier")
+    sup.createOrReplaceTempView("gov_raw_supplier")
+    n_sup = sup.count()  # one scalar: sizes the identity-cap constraint
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE gov_sup ("
+        f"row_id bigint GENERATED ALWAYS AS IDENTITY "
+        f"(START WITH 1000 INCREMENT BY 2) COMMENT 'surrogate id', "
+        f"sup_id bigint COMMENT 'supplier key' NOT NULL, "
+        f"sup_name string, "
+        f"nation_id bigint DEFAULT 0 NOT NULL, "
+        f"loaded date DEFAULT CAST('2024-01-15' AS date)"
+        f") USING snapshot LOCATION '{t}'"
+    )
+    for rem in (0, 1):
+        cat.sql(
+            "INSERT INTO gov_sup (sup_id, sup_name, nation_id) "
+            "SELECT s_suppkey, s_name, s_nationkey FROM gov_raw_supplier "
+            f"WHERE s_suppkey % 2 = {rem} ORDER BY s_suppkey"
+        )
+    # NOT NULL must refuse and land nothing (hash catches a leak)
+    try:
+        cat.sql(
+            "INSERT INTO gov_sup (sup_id, sup_name, nation_id) "
+            "VALUES (NULL, 'ghost', 1)"
+        )
+        raise RuntimeError("NOT NULL refusal did not fire")
+    except SnapshotConstraintViolation:
+        pass
+    # TBLPROPERTIES lifecycle: survivor's value feeds the output
+    cat.sql(
+        "ALTER TABLE gov_sup SET TBLPROPERTIES "
+        "('gov.owner' = 'pipeline', 'gov.tmp' = 'scratch')"
+    )
+    cat.sql("ALTER TABLE gov_sup UNSET TBLPROPERTIES ('gov.tmp')")
+    props = {
+        r.key: r.value
+        for r in cat.sql("SHOW TBLPROPERTIES gov_sup").collect()
+    }
+    if props.get("gov.tmp") is not None or "gov.owner" not in props:
+        raise RuntimeError(f"TBLPROPERTIES lifecycle broke: {props}")
+    owner = props["gov.owner"]
+    # COMMENT round-trip through DESCRIBE
+    desc = {
+        r.col_name: r.comment
+        for r in cat.sql("DESCRIBE TABLE gov_sup").collect()
+    }
+    if desc.get("row_id") != "surrogate id":
+        raise RuntimeError(f"row_id comment lost: {desc}")
+    sup_comment = desc["sup_id"]
+    # identity-referencing CHECK: allows exactly ONE more allocation
+    # (the MERGE sentinel), refuses the next — post-allocation enforced
+    cap = 1000 + 2 * n_sup + 1
+    cat.sql(
+        f"ALTER TABLE gov_sup ADD CONSTRAINT gov_cap CHECK (row_id < {cap})"
+    )
+    upd = sup.where("s_suppkey % 10 = 0").selectExpr(
+        "s_suppkey AS sup_id", "s_name AS sup_name",
+        "s_nationkey AS nation_id",
+    )
+    sent = spark.createDataFrame(
+        [(-1, "SENTINEL", -1)],
+        "sup_id long, sup_name string, nation_id long",
+    )
+    upd.unionByName(sent).createOrReplaceTempView("gov_merge_src")
+    cat.sql(
+        "MERGE INTO gov_sup t USING gov_merge_src s ON t.sup_id = s.sup_id "
+        "WHEN MATCHED THEN UPDATE SET sup_name = upper(s.sup_name) "
+        "WHEN NOT MATCHED THEN INSERT (sup_id, sup_name, nation_id) "
+        "VALUES (s.sup_id, s.sup_name, s.nation_id)"
+    )
+    try:
+        cat.sql(
+            "INSERT INTO gov_sup (sup_id, sup_name, nation_id) "
+            "VALUES (7777, 'over-cap', 1)"
+        )
+        raise RuntimeError(
+            "identity-referencing CHECK did not fire post-allocation"
+        )
+    except SnapshotConstraintViolation:
+        pass
+    cat.drop_table("gov_sup")
+    out = snapshot_read(spark, t).select(
+        "row_id", "sup_id", "sup_name", "nation_id", "loaded",
+        F.lit(owner).alias("owner"),
+        F.lit(sup_comment).alias("sup_comment"),
+    )
+    return out.localCheckpoint(eager=True)

@@ -266,7 +266,114 @@ def docs_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BPE_MERGES = 10
 
 
-@register("corpus_bpe_merges", oracle=None, tags=("text", "tokenizer", "iterative"))
+def _bpe_train_ctes() -> str:
+    """DuckDB CTE chain that TRAINS the same N_BPE_MERGES BPE merges as
+    :func:`corpus_bpe_merges` — the round-14 oracle graduation of the
+    two previously rows-only tokenizer queries. The iterative trainer
+    unrolls (N_BPE_MERGES is a compile-time constant), one stage per
+    merge:
+
+    * each word is a '|'-delimited symbol string (``'|a|b|'``; the
+      corpus alphabet is space + lowercase, so '|' cannot collide);
+    * ``p{{k}}``: count-weighted adjacent-pair totals via list_zip over
+      the symbol arrays;
+    * ``b{{k}}``: argmax with the trainer's exact tie-break
+      (total DESC, left, right);
+    * ``r{{k}}``: a recursive CTE applying the merge by replacing the
+      FIRST ``'|l|r|'`` occurrence per step until none remains —
+      leftmost-single-replacement iterated to fixpoint equals the
+      trainer's greedy left-to-right non-overlapping scan (a
+      replacement can never create an earlier match: the new symbol
+      ``l||r`` is never equal to ``l`` or ``r``).
+
+    Every non-recursive CTE is MATERIALIZED: DuckDB inlines CTEs by
+    default, and ten chained stages each referencing the previous twice
+    would re-evaluate the prefix exponentially."""
+    parts = [r"""
+w0 AS MATERIALIZED (
+    SELECT u.w AS word, count(*) AS n
+    FROM (SELECT str_split(replace(coalesce(text, ''), chr(10), ' '), ' ')
+                 AS ws FROM documents) t,
+         UNNEST(t.ws) AS u(w)
+    WHERE len(u.w) > 0
+    GROUP BY 1
+),
+v0 AS MATERIALIZED (
+    SELECT word, '|' || regexp_replace(word, '(.)', '\1|', 'g') AS s, n
+    FROM w0
+)"""]
+    for k in range(1, N_BPE_MERGES + 1):
+        j = k - 1
+        parts.append(f"""
+p{k} AS MATERIALIZED (
+    SELECT u.pr[1] AS lft, u.pr[2] AS rgt, CAST(sum(n) AS BIGINT) AS total
+    FROM (SELECT str_split(trim(s, '|'), '|') AS sy, n FROM v{j}) t,
+         UNNEST(list_zip(t.sy[1:len(t.sy)-1], t.sy[2:len(t.sy)])) AS u(pr)
+    WHERE len(t.sy) >= 2
+    GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+    SELECT lft, rgt, total FROM p{k} ORDER BY total DESC, lft, rgt LIMIT 1
+),
+r{k} AS (
+    SELECT word, s, n FROM v{j}
+    UNION ALL
+    SELECT word,
+           substr(s, 1, strpos(s, '|' || b{k}.lft || '|' || b{k}.rgt || '|') - 1)
+             || '|' || b{k}.lft || b{k}.rgt || '|'
+             || substr(s, strpos(s, '|' || b{k}.lft || '|' || b{k}.rgt || '|')
+                          + len('|' || b{k}.lft || '|' || b{k}.rgt || '|')),
+           n
+    FROM r{k}, b{k}
+    WHERE strpos(s, '|' || b{k}.lft || '|' || b{k}.rgt || '|') > 0
+),
+v{k} AS MATERIALIZED (
+    SELECT word, s, n FROM r{k}, b{k}
+    WHERE strpos(s, '|' || b{k}.lft || '|' || b{k}.rgt || '|') = 0
+)""")
+    return "WITH RECURSIVE " + ",".join(parts)
+
+
+_BPE_MERGES_ORACLE = _bpe_train_ctes() + "\n" + "\nUNION ALL\n".join(
+    f'SELECT CAST({k} AS INTEGER) AS merge_rank, lft AS "left", '
+    f'rgt AS "right", lft || rgt AS merged, total AS pair_count FROM b{k}'
+    for k in range(1, N_BPE_MERGES + 1)
+)
+
+_BPE_ENCODE_ORACLE = _bpe_train_ctes() + f""",
+docw AS MATERIALIZED (
+    SELECT t.doc_id, u.w AS word
+    FROM (SELECT doc_id, str_split(replace(coalesce(text, ''), chr(10), ' '),
+                 ' ') AS ws FROM documents) t,
+         UNNEST(t.ws) AS u(w)
+    WHERE len(u.w) > 0
+),
+wtok AS MATERIALIZED (
+    SELECT word, len(word) AS n_chars_w,
+           len(str_split(trim(s, '|'), '|')) AS n_tok_w
+    FROM v{N_BPE_MERGES}
+),
+agg AS MATERIALIZED (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_chars_w) AS BIGINT) AS n_chars,
+           CAST(sum(n_tok_w) AS BIGINT) AS n_tokens
+    FROM docw JOIN wtok USING (word)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_chars, 0) AS n_chars,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       round(CAST(a.n_chars AS DOUBLE) / a.n_tokens, 6) AS chars_per_token
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "corpus_bpe_merges",
+    oracle=_BPE_MERGES_ORACLE,
+    tags=("text", "tokenizer", "iterative"),
+)
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
     first N_BPE_MERGES character-pair merge rules from the corpus.
@@ -283,10 +390,12 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint truncates lineage per round, same as the
     connected-components loop (operators/corpus.py).
 
-    No SQL oracle (iterative) -> rows-only gate; exact equivalence with a
-    pure-Python reference BPE on the same corpus is pinned in
-    tests/test_bpe.py. Ties break on (left, right) lexical order so the
-    merge sequence is deterministic across engines and partitionings.
+    Oracled since round 14: the DuckDB twin (_bpe_train_ctes) unrolls
+    the same 10 merges as chained recursive CTEs, so the full iterative
+    trainer is hash-gated; exact equivalence with a pure-Python
+    reference BPE stays pinned in tests/test_bpe.py. Ties break on
+    (left, right) lexical order so the merge sequence is deterministic
+    across engines and partitionings.
     """
     import pandas as pd
 
@@ -437,7 +546,11 @@ def docs_lm_score_pandas_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("docs_bpe_encode", oracle=None, tags=("text", "tokenizer"))
+@register(
+    "docs_bpe_encode",
+    oracle=_BPE_ENCODE_ORACLE,
+    tags=("text", "tokenizer"),
+)
 def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize every document with the corpus-trained BPE merges — the
     APPLY half of the tokenizer loop (corpus_bpe_merges trains; this
@@ -454,9 +567,13 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocabulary is Heaps-sized, so the cache stays small while skipping
     the merge loop for almost every token instance).
 
-    No SQL oracle (the merge table is the product of the iterative
-    trainer) -> rows-only driver check + the exact python-reference
-    equivalence test.
+    Oracled since round 14: the DuckDB twin re-trains the merges with
+    the recursive-CTE trainer (_bpe_train_ctes) and re-derives every
+    word's token count from ITS final symbol table — valid because the
+    encoder's greedy rank-order merge application reproduces the
+    trainer's final segmentation for in-corpus words, and this corpus
+    IS the training corpus (the python-reference equivalence test in
+    tests/test_bpe.py pins that property).
     """
     import pandas as pd
 

@@ -187,18 +187,218 @@ _CREATE_EMPTY_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_COL_SPEC_RE = re.compile(
+# Column spec grammar: `name dtype` followed by column clauses in ANY
+# order (Spark/Delta DDL does not fix clause order — `c bigint DEFAULT 1
+# NOT NULL` and `c bigint NOT NULL DEFAULT 1` are both valid), each
+# clause at most once, DEFAULT / GENERATED ALWAYS AS / IDENTITY mutually
+# exclusive (checked downstream). Parsed by _parse_col_spec, not one
+# fixed-order regex.
+_COL_HEAD_RE = re.compile(
     r"^\s*(?P<name>[A-Za-z_]\w*)\s+"
-    r"(?P<dtype>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
-    r"(?P<notnull>\s+NOT\s+NULL)?"
-    r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|\S+)"
-    r"|\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
-    r"(?:\s*\(\s*START\s+WITH\s+(?P<idstart>-?\d+)\s+"
-    r"INCREMENT\s+BY\s+(?P<idstep>-?\d+)\s*\))?(?P<identity>)"
-    r"|\s+GENERATED\s+ALWAYS\s+AS\s*\((?P<generated>.+?)\))?"
-    r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)')?\s*$",
-    re.IGNORECASE | re.DOTALL,
+    r"(?P<dtype>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)",
+    re.IGNORECASE,
 )
+_CL_NOT_NULL_RE = re.compile(r"NOT\s+NULL\b", re.IGNORECASE)
+_CL_COMMENT_RE = re.compile(
+    r"COMMENT\s+'(?P<c>(?:[^']|'')*)'", re.IGNORECASE
+)
+_CL_IDENTITY_RE = re.compile(
+    r"GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+    r"(?:\s*\(\s*START\s+WITH\s+(?P<start>-?\d+)\s+"
+    r"INCREMENT\s+BY\s+(?P<step>-?\d+)\s*\))?",
+    re.IGNORECASE,
+)
+_CL_GENERATED_RE = re.compile(
+    r"GENERATED\s+ALWAYS\s+AS\s*\(", re.IGNORECASE
+)
+_CL_DEFAULT_RE = re.compile(r"DEFAULT\s+", re.IGNORECASE)
+
+
+def _scan_balanced(s: str, i: int) -> int:
+    """Index just past the ``)`` closing the ``(`` at ``s[i]`` —
+    quote-aware ('' escapes inside string literals), so parens inside
+    literals never count."""
+    depth, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses in {s!r}")
+
+
+def _scan_default_value(s: str, i: int) -> int:
+    """End index of a DEFAULT value starting at ``s[i]``: a quoted
+    string, or a token run with balanced parens (so expression defaults
+    like ``current_date()`` or ``date_add(current_date(), 7)`` parse),
+    ending at top-level whitespace."""
+    n = len(s)
+    if i < n and s[i] == "'":
+        j = i + 1
+        while j < n:
+            if s[j] == "'":
+                if j + 1 < n and s[j + 1] == "'":
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        raise ValueError(f"unterminated string literal in {s!r}")
+    j = i
+    while j < n and not s[j].isspace():
+        if s[j] == "(":
+            j = _scan_balanced(s, j)
+        else:
+            j += 1
+    return j
+
+
+def _parse_col_spec(spec: str) -> dict | None:
+    """One CREATE TABLE column spec -> {name, dtype, notnull, default,
+    identity, generated, comment}, clauses accepted in any order, each
+    at most once. None = unparseable (caller raises with the spec)."""
+    m = _COL_HEAD_RE.match(spec)
+    if not m:
+        return None
+    out = {
+        "name": m.group("name"), "dtype": m.group("dtype"),
+        "notnull": False, "default": None, "identity": None,
+        "generated": None, "comment": None,
+    }
+    s, i, n = spec, m.end(), len(spec)
+    while True:
+        while i < n and s[i].isspace():
+            i += 1
+        if i >= n:
+            return out
+        mm = _CL_NOT_NULL_RE.match(s, i)
+        if mm:
+            if out["notnull"]:
+                return None
+            out["notnull"] = True
+            i = mm.end()
+            continue
+        mm = _CL_IDENTITY_RE.match(s, i)  # before _CL_GENERATED_RE:
+        if mm:                            # IDENTITY is the longer match
+            if out["identity"] is not None:
+                return None
+            out["identity"] = {
+                "start": int(mm.group("start") or 1),
+                "step": int(mm.group("step") or 1),
+            }
+            i = mm.end()
+            continue
+        mm = _CL_GENERATED_RE.match(s, i)
+        if mm:
+            if out["generated"] is not None:
+                return None
+            end = _scan_balanced(s, mm.end() - 1)
+            out["generated"] = s[mm.end():end - 1].strip()
+            i = end
+            continue
+        mm = _CL_COMMENT_RE.match(s, i)
+        if mm:
+            if out["comment"] is not None:
+                return None
+            out["comment"] = mm.group("c")
+            i = mm.end()
+            continue
+        mm = _CL_DEFAULT_RE.match(s, i)
+        if mm:
+            if out["default"] is not None:
+                return None
+            j = _scan_default_value(s, mm.end())
+            if j == mm.end():
+                return None
+            out["default"] = s[mm.end():j]
+            i = j
+            continue
+        return None
+
+
+def _render_sql_literal(v) -> str:
+    """A collected Python value back as SQL literal text that
+    _parse_default_literal round-trips (dates/timestamps as quoted ISO
+    strings — the arrow read path casts string -> date/timestamp)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return "'" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, datetime.date):
+        return "'" + v.isoformat() + "'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise ValueError(
+        f"cannot store a {type(v).__name__} as a DEFAULT literal"
+    )
+
+
+def _fold_default(spark: SparkSession, expr: str) -> "tuple[str, str | None]":
+    """DDL-time DEFAULT handling, Spark's documented split: a literal
+    stays as-is (it is both the birth and the write default); an
+    EXPRESSION constant-folds NOW into the stored birth/exists default
+    — what files predating the column read, Spark's EXISTS_DEFAULT —
+    while the raw expression becomes the WRITE default, re-evaluated at
+    each insert (Spark's CURRENT_DEFAULT; `DEFAULT current_date()`
+    stamps each batch's own date). Returns (birth_literal_text,
+    write_expr_or_None). Raises ValueError if the expression needs a
+    row context (column references are not constants)."""
+    from .snapshot_datasource import _parse_default_literal
+
+    try:
+        _parse_default_literal(expr)
+        return expr, None
+    except ValueError:
+        pass
+    try:
+        probe = spark.sql(f"SELECT ({expr}) AS v")
+        row = probe.first()
+    except Exception as e:
+        raise ValueError(
+            f"DEFAULT {expr!r} is neither a literal nor a "
+            f"constant-foldable expression: {e}"
+        ) from None
+    try:
+        # Catalyst's own determinism flag: rand()/uuid()-class
+        # expressions refuse (Spark's DEFAULT contract); current_date /
+        # current_timestamp are deterministic within a query and pass
+        it = probe._jdf.queryExecution().analyzed().expressions().iterator()
+        nondet = False
+        while it.hasNext():
+            if not it.next().deterministic():
+                nondet = True
+                break
+    except Exception:
+        nondet = False  # probe unavailable: evaluation above gates
+    if nondet:
+        raise ValueError(
+            f"DEFAULT {expr!r} is nondeterministic; only constant "
+            "or query-constant expressions (current_date(), "
+            "current_timestamp()) are allowed"
+        )
+    return _render_sql_literal(row["v"]), expr
 # SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a new table
 # whose first manifest references the source version's files by absolute
 # path — zero data copied (snapshot_clone; DVs/stats re-key correctly).
@@ -404,7 +604,7 @@ _ALTER_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
     r"(?:ADD\s+COLUMNS?\s+\(?\s*(?P<add>[A-Za-z_]\w*)\s+"
     r"(?P<dtype>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
-    r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|[^\s()]+(?:\(\s*\))?))?\s*\)?"
+    r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|[^\s(),]+(?:\([^()]*\))?))?\s*\)?"
     r"|RENAME\s+COLUMN\s+(?P<old>[A-Za-z_]\w*)\s+TO\s+(?P<new>[A-Za-z_]\w*)"
     r"|DROP\s+COLUMN\s+(?P<drop>[A-Za-z_]\w*))\s*;?\s*$",
     re.IGNORECASE,
@@ -421,7 +621,7 @@ _ALTER_PART_RE = re.compile(
 _ALTER_COL_DEFAULT_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
     r"(?P<col>[A-Za-z_]\w*)\s+"
-    r"(?:SET\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|\S+)"
+    r"(?:SET\s+DEFAULT\s+(?P<default>.+?)"
     r"|(?P<drop>DROP\s+DEFAULT))\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -664,7 +864,6 @@ class SnapshotCatalog:
             return None
         m = _CREATE_EMPTY_RE.match(text)
         if m:
-            from .snapshot_datasource import _parse_default_literal
             from .snapshots import snapshot_create_table
 
             name = m.group("name")
@@ -672,26 +871,30 @@ class SnapshotCatalog:
                 raise ValueError(f"table {name!r} already registered")
             cols = []
             for spec in _split_top_commas(m.group("cols")):
-                cm = _COL_SPEC_RE.match(spec)
+                cm = _parse_col_spec(spec)
                 if not cm:
                     raise ValueError(
                         f"CREATE TABLE: cannot parse column spec {spec!r}"
                     )
-                default = cm.group("default")
+                if sum(
+                    x is not None
+                    for x in (cm["default"], cm["generated"], cm["identity"])
+                ) > 1:
+                    raise ValueError(
+                        f"column {cm['name']!r}: DEFAULT, GENERATED "
+                        "ALWAYS AS and IDENTITY are mutually exclusive"
+                    )
+                default, wdefault = cm["default"], None
                 if default is not None:
-                    _parse_default_literal(default)  # literals only; raises
-                identity = None
-                if cm.group("identity") is not None:
-                    identity = {
-                        "start": int(cm.group("idstart") or 1),
-                        "step": int(cm.group("idstep") or 1),
-                    }
-                comment = cm.group("comment")
+                    # expression DEFAULTs fold to a birth literal NOW,
+                    # the raw expression re-evaluates at each write
+                    default, wdefault = _fold_default(self.spark, default)
+                comment = cm["comment"]
                 cols.append(
-                    (cm.group("name"), cm.group("dtype").lower(), default,
-                     cm.group("generated"), identity,
-                     cm.group("notnull") is not None,
-                     comment.replace("''", "'") if comment else None)
+                    (cm["name"], cm["dtype"].lower(), default,
+                     cm["generated"], cm["identity"], cm["notnull"],
+                     comment.replace("''", "'") if comment else None,
+                     wdefault)
                 )
             snapshot_create_table(m.group("opath") or m.group("lpath"), cols)
             self.create_table(name, m.group("opath") or m.group("lpath"))
@@ -936,14 +1139,21 @@ class SnapshotCatalog:
             snapshot_enable_column_mapping(self.spark, path)  # idempotent
             if m.group("add"):
                 default = m.group("default")
+                wdefault = None
                 if default is not None:
-                    from .snapshot_datasource import _parse_default_literal
-
-                    _parse_default_literal(default)  # literals only; raises
+                    # expression DEFAULTs: pre-existing rows read the
+                    # DDL-time fold, future narrow writes re-evaluate
+                    default, wdefault = _fold_default(self.spark, default)
                 snapshot_add_column(
                     path, m.group("add"), m.group("dtype").lower(),
                     default=default,
                 )
+                if wdefault is not None:
+                    from .snapshots import snapshot_set_column_default
+
+                    snapshot_set_column_default(
+                        path, m.group("add"), wdefault
+                    )
             elif m.group("old"):
                 snapshot_rename_column(path, m.group("old"), m.group("new"))
             else:
@@ -960,9 +1170,10 @@ class SnapshotCatalog:
             snapshot_enable_column_mapping(self.spark, path)  # idempotent
             default = m.group("default")
             if default is not None:
-                from .snapshot_datasource import _parse_default_literal
-
-                _parse_default_literal(default)  # literals only; raises
+                # the write default stores the RAW expression (literal
+                # or constant-foldable; re-evaluated per write batch) —
+                # folding here only validates it is row-free
+                _fold_default(self.spark, default)
             snapshot_set_column_default(path, m.group("col"), default)
             return None
         m = _SYNC_IDENTITY_RE.match(text)

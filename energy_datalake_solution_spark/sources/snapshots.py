@@ -834,7 +834,12 @@ def _apply_type_widening(
 
 
 def snapshot_write(df: DataFrame, table_path) -> int:
-    """Commit df as a full-replace new version; returns the version."""
+    """Commit df as a full-replace new version; returns the version.
+
+    Identity tables route to :func:`snapshot_replace_where` with
+    ``condition=None`` (Delta's overwrite-into-identity-table): its
+    commit loop re-allocates from each rebase attempt's fresh high-water
+    mark, which this function's file-reusing rebase cannot do."""
     p = _table(table_path)
     tip = current_version(p)
     _enforce_constraints(df, p, tip)
@@ -842,12 +847,8 @@ def snapshot_write(df: DataFrame, table_path) -> int:
         m_tip = _read_manifest(p, tip)
         sch = m_tip.get("schema")
         if _identity_cols(sch):
-            raise NotImplementedError(
-                "snapshot_write into a table with GENERATED ALWAYS AS "
-                "IDENTITY columns is not supported (its rebase re-uses "
-                "already-written files, which cannot re-allocate); use "
-                "INSERT OVERWRITE / snapshot_replace_where(condition="
-                "None) or TRUNCATE + INSERT — both allocate"
+            return snapshot_replace_where(
+                df.sparkSession, p, None, df
             )
         if sch:
             df = _materialize_generated(df, sch)
@@ -969,6 +970,10 @@ def snapshot_append(
             # generated columns the batch omits compute HERE (logical
             # namespace); carried ones were validated above
             df = _materialize_generated(df, sch)
+            if identity_alloc:
+                # constraints referencing identity columns were deferred
+                # pre-allocation; re-enforce against allocated values
+                _enforce_identity_constraints(df, p, tip, m_tip)
             # mapped table: incoming logical columns write under their
             # frozen physical names (unknown columns fail loudly)
             df = _df_to_physical(df, sch)
@@ -1539,10 +1544,19 @@ def snapshot_merge(
     m_tip = _read_manifest(p, current_version(p))
     sch = m_tip.get("schema")
     id_names = {c["name"] for c in _identity_cols(sch)}
+    # case-insensitive intersection: _normalize_assign_keys re-keys
+    # assignment maps case-insensitively downstream, so `SET ID = ...`
+    # against identity column `id` must be refused here too
+    id_lower = {n.lower() for n in id_names}
     if id_names:
-        assigned_id = id_names & (
-            set(matched_update or ()) | set(not_matched_by_source_update or ())
-        )
+        assigned_id = {
+            k
+            for k in (
+                set(matched_update or ())
+                | set(not_matched_by_source_update or ())
+            )
+            if k.lower() in id_lower
+        }
         if assigned_id:
             raise ValueError(
                 f"column(s) {sorted(assigned_id)} are GENERATED ALWAYS "
@@ -1554,11 +1568,15 @@ def snapshot_merge(
             # loop re-derives from the fresh tip, which IS the
             # restart-on-conflict protocol); what they must never do is
             # write an EXPLICIT value
-            explicit = (
-                id_names & set(not_matched_insert_values)
-                if not_matched_insert_values is not None
-                else id_names & set(source.columns)
-            )
+            explicit = {
+                k
+                for k in (
+                    set(not_matched_insert_values)
+                    if not_matched_insert_values is not None
+                    else set(source.columns)
+                )
+                if k.lower() in id_lower
+            }
             if explicit:
                 raise ValueError(
                     f"column(s) {sorted(explicit)} are GENERATED ALWAYS "
@@ -1793,6 +1811,11 @@ def _snapshot_merge_committed(
         else:
             live_keys = src.limit(0).select(keys)
         ins = _ins_rows(live_keys)
+        # same post-allocation gate as the CoW branches: the insert
+        # arm's frame now carries allocated identity values and any
+        # explicit-insert projections, so CHECKs (incl. ones
+        # referencing identity, deferred pre-allocation) bite here
+        _enforce_constraints(ins, p, parent)
         if sch:
             ins = _df_to_physical(ins, sch)
         ins_files = _write_files(ins, p) if not ins.isEmpty() else []
@@ -2478,19 +2501,9 @@ def _enforce_constraints(df: DataFrame, p: Path, tip: int | None = None) -> None
         materialized_gen.add(c["name"])
     if absent_identity:
         targets = {a.lower() for a in absent_identity}
-
-        def _references_absent_identity(expr: str) -> bool:
-            idents = {
-                (bq or plain).lower()
-                for bq, plain in re.findall(
-                    r"`([^`]+)`|([A-Za-z_][A-Za-z_0-9]*)", expr
-                )
-            }
-            return bool(idents & targets)
-
         cons = {
             n: e for n, e in cons.items()
-            if not _references_absent_identity(e)
+            if not (_expr_identifiers(e) & targets)
         }
     have = set(df.columns)
     for c in scols:
@@ -2517,6 +2530,66 @@ def _enforce_constraints(df: DataFrame, p: Path, tip: int | None = None) -> None
             raise SnapshotConstraintViolation(
                 f"CHECK constraint {name!r} ({expr}) violated, e.g. by "
                 f"row {bad[0].asDict()}"
+            )
+
+
+def _enforce_identity_constraints(
+    df: DataFrame, p: Path, tip: int, m: dict | None = None
+) -> None:
+    """Post-allocation pass for CHECK constraints that reference
+    identity columns: :func:`_enforce_constraints` runs BEFORE identity
+    allocation and must defer such constraints (the values do not exist
+    yet), so every identity-allocating writer calls this on the batch
+    WITH its allocated values — Delta enforces CHECKs after identity
+    generation, so ``CHECK (id < 1000)`` keeps biting write after
+    write. The frame arrives post-materialization (write defaults and
+    generated columns already present in the logical namespace); any
+    still-absent non-identity column evaluates as its write-time value,
+    same rules as the main pass. Cost: one LIMIT-1 job per deferred
+    constraint over the BATCH, only on identity tables that carry one."""
+    from pyspark.sql import functions as F
+
+    m = _read_manifest(p, tip) if m is None else m
+    cons = dict(m.get("constraints") or {})
+    scols = (m.get("schema") or {}).get("cols", [])
+    id_lower = {c["name"].lower() for c in scols if c.get("identity")}
+    if not cons or not id_lower:
+        return
+    cons = {
+        n: e for n, e in cons.items()
+        if _expr_identifiers(e) & id_lower
+    }
+    if not cons:
+        return
+    have_lower = {c.lower() for c in df.columns}
+    for c in scols:
+        if c["name"].lower() in have_lower:
+            continue
+        if c.get("generated") is not None:
+            df = df.withColumn(
+                c["name"], F.expr(c["generated"]).cast(c["type"])
+            )
+        else:
+            d = c.get("wdefault", c.get("default"))
+            df = df.withColumn(
+                c["name"],
+                F.expr(d).cast(c["type"]) if d is not None
+                else F.lit(None).cast(c["type"]),
+            )
+    for name in sorted(cons):
+        expr = cons[name]
+        bad = (
+            df.where(
+                F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+                == F.lit(False)
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise SnapshotConstraintViolation(
+                f"CHECK constraint {name!r} ({expr}) violated after "
+                f"identity allocation, e.g. by row {bad[0].asDict()}"
             )
 
 
@@ -4065,12 +4138,17 @@ def snapshot_update_where(
     p = _table(table_path)
     if current_version(p) == 0:
         raise FileNotFoundError(f"no snapshot table at {p}")
-    bad_id = {
-        c["name"]
+    # Spark resolves identifiers case-insensitively and
+    # _normalize_assign_keys later re-keys the map onto the table's
+    # spellings, so this guard must match the same way: `SET ID = 99`
+    # on identity column `id` is the same refused assignment.
+    id_lower = {
+        c["name"].lower()
         for c in _identity_cols(
             _read_manifest(p, current_version(p)).get("schema")
         )
-    } & set(assignments)
+    }
+    bad_id = {k for k in assignments if k.lower() in id_lower}
     if bad_id:
         raise ValueError(
             f"column(s) {sorted(bad_id)} are GENERATED ALWAYS AS "
@@ -4288,6 +4366,10 @@ def snapshot_replace_where(
                 base,
             )
             id_alloc[c["name"]] = (base, n_alloc)
+        if id_alloc:
+            # constraints referencing identity columns were deferred
+            # pre-allocation; re-enforce against allocated values
+            _enforce_identity_constraints(work, p, parent, m)
         id_schema_meta = None
         if id_alloc:
             id_schema_meta = json.loads(json.dumps(schema))
@@ -5476,10 +5558,8 @@ def _materialize_generated(df: DataFrame, schema: dict | None) -> DataFrame:
         if gen is None or c["name"] in df.columns:
             continue
         have_lower = {n.lower() for n in df.columns}
-        for bq, plain in re.findall(
-            r"`([^`]+)`|([A-Za-z_][A-Za-z_0-9]*)", gen
-        ):
-            ref = by_lower.get((bq or plain).lower())
+        for ident in sorted(_expr_identifiers(gen)):
+            ref = by_lower.get(ident)
             if (ref is None or ref["name"].lower() in have_lower
                     or ref.get("generated") is not None
                     or ref.get("identity")):
@@ -5497,6 +5577,38 @@ def _materialize_generated(df: DataFrame, schema: dict | None) -> DataFrame:
 def _identity_cols(schema: dict | None) -> list:
     """Schema cols declared GENERATED ALWAYS AS IDENTITY."""
     return [c for c in (schema or {}).get("cols", []) if c.get("identity")]
+
+
+# SQL string literals ('it''s', "x\"y") — stripped before identifier
+# scans so a column name appearing inside literal TEXT never counts as
+# a reference (e.g. CHECK (note <> 'bad id') must not defer on column
+# `id`).
+_SQL_STR_LIT_RE = re.compile(
+    r"'(?:''|\\.|[^'\\])*'|\"(?:\"\"|\\.|[^\"\\])*\""
+)
+
+
+def _expr_identifiers(expr: str) -> set:
+    """Lower-cased identifiers a SQL expression text references:
+    string literals are stripped first, and a bare word immediately
+    followed by ``(`` is a function name, not a column reference
+    (back-quoted names are always column references). A conservative
+    lexical scan — the three deferral/materialization decisions built
+    on it (constraint deferral for absent identity columns, defaulted-
+    source materialization in _materialize_generated, recompute
+    triggering in _regen_generated) only ever intersect the result
+    with actual column names, so leftover SQL keywords are harmless."""
+    s = _SQL_STR_LIT_RE.sub(" ", expr)
+    out: set = set()
+    for m in re.finditer(
+        r"`([^`]+)`|([A-Za-z_][A-Za-z_0-9]*)(\s*\()?", s
+    ):
+        bq, plain, call = m.groups()
+        if bq:
+            out.add(bq.lower())
+        elif plain and not call:
+            out.add(plain.lower())
+    return out
 
 
 def _with_identity(
@@ -5614,13 +5726,7 @@ def _regen_generated(df: DataFrame, schema: dict | None, assigned) -> DataFrame:
         gen = c.get("generated")
         if gen is None or c["name"].lower() in assigned:
             continue
-        sources = {
-            (bq or plain).lower()
-            for bq, plain in re.findall(
-                r"`([^`]+)`|([A-Za-z_][A-Za-z_0-9]*)", gen
-            )
-        }
-        if sources & assigned:
+        if _expr_identifiers(gen) & assigned:
             df = df.withColumn(c["name"], F.expr(gen).cast(c["type"]))
     return df
 
@@ -5905,9 +6011,15 @@ def snapshot_create_table(
                 f"column {name!r}: IDENTITY requires an integral type, "
                 f"got {dtype!r}"
             )
+        wdefault = spec[7] if len(spec) > 7 else None
         col = {"id": i + 1, "name": name, "physical": name, "type": dtype}
         if default is not None:
             col["default"] = default
+        if wdefault is not None:
+            # expression DEFAULT (Spark's CURRENT_DEFAULT): the raw
+            # expression, re-evaluated per write batch; `default` above
+            # holds its DDL-time fold (EXISTS_DEFAULT)
+            col["wdefault"] = wdefault
         if generated is not None:
             col["generated"] = generated
         if identity is not None:

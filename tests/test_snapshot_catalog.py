@@ -1818,18 +1818,16 @@ def test_identity_columns(spark, tmp_path):
     ids = sorted(r.id for r in snapshot_read(spark, t).collect())
     assert ids == [0, 2, 4]
 
-    # refusals: explicit value, UPDATE assignment, MERGE INSERT arm,
-    # full replace
+    # refusals: explicit value, UPDATE assignment (any identifier
+    # case — Spark resolves case-insensitively), MERGE INSERT arm
     with pytest.raises(ValueError, match="IDENTITY"):
         snapshot_append(
             spark.createDataFrame([(9, "x")], "id long, v string"), t
         )
     with pytest.raises(ValueError, match="IDENTITY"):
         snapshot_update_where(spark, t, "v = 'a'", {"id": "99"})
-    with pytest.raises(NotImplementedError, match="IDENTITY"):
-        snapshot_write(
-            spark.createDataFrame([("z",)], "v string"), t
-        )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        snapshot_update_where(spark, t, "v = 'a'", {"ID": "99"})
     # MERGE INSERT arm ALLOCATES identity for inserted rows (Delta
     # parity); a source carrying the identity column refuses
     with pytest.raises(ValueError, match="explicitly"):

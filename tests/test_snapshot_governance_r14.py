@@ -1,0 +1,208 @@
+"""Round-14 governance fixes, pinned.
+
+1. Identity-assignment guards are case-insensitive (UPDATE/MERGE
+   ``SET ID = ...`` on identity column ``id`` refuses — Spark resolves
+   identifiers case-insensitively and _normalize_assign_keys re-keys
+   the map, so a case-sensitive guard was a silent bypass).
+2. CHECK constraints referencing identity columns enforce AFTER
+   allocation (Delta enforces CHECKs after identity generation): a
+   pre-allocation-only pass deferred them forever.
+3. Identifier scans strip string literals (a column name inside
+   literal TEXT is not a reference) and skip function names.
+4. CREATE TABLE column clauses parse in any order
+   (``DEFAULT 1 NOT NULL`` == ``NOT NULL DEFAULT 1``).
+5. Expression-valued DEFAULTs (``current_date()``-class): the raw
+   expression is the write default (re-evaluated per batch), its
+   DDL-time fold is the birth default for pre-existing rows;
+   nondeterministic expressions (``rand()``) refuse.
+6. ``snapshot_write`` into an identity table routes to the allocating
+   full-replace (Delta's overwrite-into-identity-table) instead of
+   refusing.
+"""
+import datetime
+
+import pytest
+
+from energy_datalake_solution_spark.sources.snapshot_catalog import (
+    SnapshotCatalog,
+)
+from energy_datalake_solution_spark.sources.snapshots import (
+    SnapshotConstraintViolation,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_write,
+)
+
+
+def test_identity_guard_case_insensitive_merge(spark, tmp_path):
+    t = tmp_path / "t"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE mcase (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"v string) USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO mcase (v) VALUES ('a'), ('b')")
+    # matched_update keyed by a different case must refuse, not
+    # silently overwrite the identity column
+    with pytest.raises(ValueError, match="IDENTITY"):
+        snapshot_merge(
+            spark,
+            spark.createDataFrame([("a",)], "v string"),
+            t, ["v"],
+            matched_update={"ID": "99"},
+            not_matched_insert=False,
+        )
+    # mixed-case explicit insert column refuses too
+    with pytest.raises(ValueError, match="IDENTITY"):
+        snapshot_merge(
+            spark,
+            spark.createDataFrame([(7, "z")], "ID long, v string"),
+            t, ["v"],
+        )
+    # values untouched by the refused merges
+    got = {r.v: r.id for r in snapshot_read(spark, t).collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_check_constraint_on_identity_enforced_post_allocation(
+    spark, tmp_path
+):
+    t = tmp_path / "t"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE capt (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"v string) USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO capt (v) VALUES ('a'), ('b')")  # ids 1, 2
+    cat.sql("ALTER TABLE capt ADD CONSTRAINT id_small CHECK (id < 4)")
+    cat.sql("INSERT INTO capt (v) VALUES ('c')")  # id 3: fine
+    # the next allocation (id 4) violates — must refuse, not land
+    with pytest.raises(SnapshotConstraintViolation, match="id_small"):
+        cat.sql("INSERT INTO capt (v) VALUES ('d')")
+    got = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert got == [1, 2, 3]
+    # INSERT OVERWRITE (replace-where) allocates CONTINUING the
+    # high-water mark — past 4, so the same constraint bites there too
+    with pytest.raises(SnapshotConstraintViolation, match="id_small"):
+        cat.sql("INSERT OVERWRITE capt SELECT 'x' AS v")
+    got2 = sorted(r.id for r in snapshot_read(spark, t).collect())
+    assert got2 == [1, 2, 3]  # refused overwrite left the table alone
+    # MERGE insert arms allocate too; same gate
+    with pytest.raises(SnapshotConstraintViolation, match="id_small"):
+        snapshot_merge(
+            spark,
+            spark.createDataFrame([("e",)], "v string"),
+            t, ["v"],
+        )
+
+
+def test_identity_name_inside_string_literal_not_a_reference(
+    spark, tmp_path
+):
+    t = tmp_path / "t"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE slit (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"v string) USING snapshot LOCATION '{t}'"
+    )
+    # 'id' appears only inside a string literal: NOT a reference to
+    # the identity column, so the constraint enforces pre-allocation
+    # like any other (and either way a violating batch must refuse)
+    cat.sql("ALTER TABLE slit ADD CONSTRAINT no_id CHECK (v <> 'id')")
+    cat.sql("INSERT INTO slit (v) VALUES ('ok')")
+    with pytest.raises(SnapshotConstraintViolation, match="no_id"):
+        cat.sql("INSERT INTO slit (v) VALUES ('id')")
+    assert [r.v for r in snapshot_read(spark, t).collect()] == ["ok"]
+
+
+def test_create_table_clause_order_free(spark, tmp_path):
+    t = tmp_path / "t"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE ord14 ("
+        f"a bigint DEFAULT 1 NOT NULL, "
+        f"b string COMMENT 'b col' NOT NULL, "
+        f"c bigint NOT NULL GENERATED ALWAYS AS IDENTITY "
+        f"(START WITH 10 INCREMENT BY 1)"
+        f") USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO ord14 (b) VALUES ('x')")
+    row = snapshot_read(spark, t).collect()[0]
+    assert (row.a, row.b, row.c) == (1, "x", 10)
+    # NOT NULL parsed even though it FOLLOWED the DEFAULT clause
+    with pytest.raises(SnapshotConstraintViolation):
+        cat.sql("INSERT INTO ord14 (a, b) VALUES (NULL, 'y')")
+    # duplicate clauses refuse loudly
+    t2 = tmp_path / "t2"
+    with pytest.raises(ValueError, match="column spec"):
+        cat.sql(
+            f"CREATE TABLE dup14 (a bigint NOT NULL NOT NULL) "
+            f"USING snapshot LOCATION '{t2}'"
+        )
+
+
+def test_expression_default_write_and_birth(spark, tmp_path):
+    t = tmp_path / "t"
+    cat = SnapshotCatalog(spark)
+    today = datetime.date.today()
+    cat.sql(
+        f"CREATE TABLE expd (k bigint, d date DEFAULT current_date()) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    # narrow write: the WRITE default re-evaluates at insert time
+    cat.sql("INSERT INTO expd (k) VALUES (1)")
+    got = snapshot_read(spark, t).collect()
+    assert got[0].d == today
+    # ADD COLUMN with an expression default: pre-existing rows read the
+    # DDL-time fold (the birth default), narrow writes the live one
+    cat.sql(
+        "ALTER TABLE expd ADD COLUMN seen date DEFAULT current_date()"
+    )
+    assert {r.seen for r in cat.sql("SELECT seen FROM expd").collect()} \
+        == {today}
+    cat.sql("INSERT INTO expd (k) VALUES (2)")
+    assert {r.seen for r in cat.sql("SELECT seen FROM expd").collect()} \
+        == {today}
+    # nondeterministic expressions refuse at DDL time
+    t2 = tmp_path / "t2"
+    with pytest.raises(ValueError, match="nondeterministic"):
+        cat.sql(
+            f"CREATE TABLE badd (x double DEFAULT rand()) "
+            f"USING snapshot LOCATION '{t2}'"
+        )
+    with pytest.raises(ValueError, match="nondeterministic"):
+        cat.sql("ALTER TABLE expd ALTER COLUMN d SET DEFAULT rand()")
+    # column references are not constants
+    with pytest.raises(ValueError, match="constant"):
+        cat.sql("ALTER TABLE expd ALTER COLUMN d SET DEFAULT k + 1")
+    # a deterministic EXPRESSION write default via SET DEFAULT works
+    cat.sql(
+        "ALTER TABLE expd ALTER COLUMN d SET DEFAULT "
+        "date_add(current_date(), 7)"
+    )
+    cat.sql("INSERT INTO expd (k) VALUES (3)")
+    by_k = {r.k: r.d for r in cat.sql("SELECT k, d FROM expd").collect()}
+    assert by_k[3] == today + datetime.timedelta(days=7)
+    assert by_k[1] == today  # materialized at ITS write time
+
+
+def test_snapshot_write_identity_routes_to_allocating_replace(
+    spark, tmp_path
+):
+    t = tmp_path / "t"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE wri (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"v string) USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO wri (v) VALUES ('a'), ('b'), ('c')")  # 1..3
+    snapshot_write(spark.createDataFrame([("z",), ("w",)], "v string"), t)
+    got = {r.v: r.id for r in snapshot_read(spark, t).collect()}
+    # full replace, with fresh ids continuing the high-water mark
+    # (never re-used — Delta's identity contract survives overwrite)
+    assert set(got) == {"z", "w"} and min(got.values()) >= 4
+    # explicit identity supply still refuses through this route
+    with pytest.raises(ValueError, match="IDENTITY"):
+        snapshot_write(
+            spark.createDataFrame([(1, "q")], "id long, v string"), t
+        )
