@@ -156,22 +156,71 @@ def main() -> None:
     # invisible to the pre-sample alone (observed: a 3x total swing with a
     # healthy pre-run score). min(pre, post) is the honest load marker.
     host_score_post = _calibrate()
-    print(
-        json.dumps(
-            {
-                "metric": "sum of headline query wall times",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "host_mips": host_score,
-                "host_mips_post": host_score_post,
-                "query_mips": query_mips,
-                "retried": retried,
-                "plan_violations": plan_violations,
-            }
-        )
-    )
+
+    # Round-over-round comparison against the most recent committed
+    # BENCH_r*.json, emitted mips-ADJUSTED so readers separate code
+    # regressions from host noise without re-deriving it: a query's
+    # normalized cost is wall_seconds * the mips sampled just before it
+    # ran (work units — a busy host has low mips and high seconds, the
+    # product cancels the load), so ratio_adj ~ 1.0 means "same code
+    # cost on a differently-loaded host". Raw ratios stay in "queries".
+    def _vs_prev() -> dict | None:
+        import glob
+        import math
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = []
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = _re.search(r"BENCH_r(\d+)\.json$", f)
+            if m:
+                rounds.append((int(m.group(1)), f))
+        if not rounds:
+            return None
+        prev_round, prev_file = max(rounds)
+        try:
+            with open(prev_file) as fh:
+                prev = json.load(fh)
+        except Exception:
+            return None
+        pq = prev.get("queries") or {}
+        pm = prev.get("query_mips") or {}
+        p_host = prev.get("host_mips") or 0.0
+        ratios: dict[str, float] = {}
+        for n, t_now in timings.items():
+            t_prev = pq.get(n)
+            if not t_prev:
+                continue
+            m_now = query_mips.get(n) or host_score
+            m_prev = pm.get(n) or p_host
+            if not m_prev:
+                continue
+            ratios[n] = round((t_now * m_now) / (t_prev * m_prev), 3)
+        if not ratios:
+            return None
+        geo = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+        return {
+            "round": prev_round,
+            "geomean_adjusted": round(geo, 3),
+            "adjusted_ratios": ratios,
+        }
+
+    out = {
+        "metric": "sum of headline query wall times",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "host_mips": host_score,
+        "host_mips_post": host_score_post,
+        "query_mips": query_mips,
+        "retried": retried,
+        "plan_violations": plan_violations,
+    }
+    vs = _vs_prev()
+    if vs is not None:
+        out["vs_prev"] = vs
+    print(json.dumps(out))
     spark.stop()
 
 
