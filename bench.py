@@ -164,7 +164,47 @@ def main() -> None:
     # ran (work units — a busy host has low mips and high seconds, the
     # product cancels the load), so ratio_adj ~ 1.0 means "same code
     # cost on a differently-loaded host". Raw ratios stay in "queries".
-    def _vs_prev() -> dict | None:
+    def _prev_payload(prev: dict) -> "dict | None":
+        # the per-round driver artifact WRAPS the bench line:
+        # {"n", "rc", "cpus", "sf", "tail", "parsed"} where "tail" is
+        # the LAST 2000 chars of stdout and "parsed" is the line as
+        # JSON when it fit. Recover (queries, query_mips, host_mips)
+        # from whichever form survived; a left-truncated tail just
+        # loses the alphabetically-first queries (ratios compute on
+        # the intersection).
+        import re as _re
+
+        if prev.get("queries"):
+            return prev
+        if isinstance(prev.get("parsed"), dict) and prev["parsed"].get(
+            "queries"
+        ):
+            return prev["parsed"]
+        tail = prev.get("tail") or ""
+        out: dict = {}
+        m = _re.search(r'"query_mips":\s*\{([^{}]*)\}', tail)
+        if m:
+            out["query_mips"] = {
+                k: float(v)
+                for k, v in _re.findall(
+                    r'"([a-z0-9_]+)":\s*([0-9.]+)', m.group(1)
+                )
+            }
+        m = _re.search(r'"host_mips":\s*([0-9.]+)', tail)
+        if m:
+            out["host_mips"] = float(m.group(1))
+        m = _re.search(r'([^{}]*)\},\s*"sf"', tail)
+        if m:
+            out["queries"] = {
+                k: float(v)
+                for k, v in _re.findall(
+                    r'"([a-z0-9_]+)":\s*([0-9.]+)', m.group(1)
+                )
+            }
+        out["sf"] = prev.get("sf")  # the wrapper records the run's SF
+        return out if out.get("queries") else None
+
+    def _vs_prev() -> "tuple[dict, dict] | None":
         import glob
         import math
         import re as _re
@@ -180,9 +220,14 @@ def main() -> None:
         prev_round, prev_file = max(rounds)
         try:
             with open(prev_file) as fh:
-                prev = json.load(fh)
+                prev = _prev_payload(json.load(fh))
         except Exception:
             return None
+        if prev is None:
+            return None
+        if prev.get("sf") is not None and sf is not None \
+                and float(prev["sf"]) != float(sf):
+            return None  # cross-SF ratios would be meaningless
         pq = prev.get("queries") or {}
         pm = prev.get("query_mips") or {}
         p_host = prev.get("host_mips") or 0.0
@@ -199,11 +244,22 @@ def main() -> None:
         if not ratios:
             return None
         geo = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
-        return {
+        full = {
             "round": prev_round,
             "geomean_adjusted": round(geo, 3),
             "adjusted_ratios": ratios,
         }
+        # compact form for the stdout line (the driver keeps only a
+        # 2000-char tail of it — the per-query seconds must stay inside
+        # that window, so only out-of-band ratios print):
+        compact = {
+            "round": prev_round,
+            "geomean_adjusted": round(geo, 3),
+            "adjusted_outliers": {
+                n: r for n, r in ratios.items() if r < 0.8 or r > 1.25
+            },
+        }
+        return full, compact
 
     out = {
         "metric": "sum of headline query wall times",
@@ -213,13 +269,27 @@ def main() -> None:
         "sf": sf,
         "host_mips": host_score,
         "host_mips_post": host_score_post,
-        "query_mips": query_mips,
+        # 1 decimal: the mips samples carry ~5% jitter anyway, and the
+        # driver artifact keeps only a 2000-char tail of this line —
+        # every byte here pushes a per-query timing out of that window
+        "query_mips": {n: round(v, 1) for n, v in query_mips.items()},
         "retried": retried,
         "plan_violations": plan_violations,
     }
     vs = _vs_prev()
     if vs is not None:
-        out["vs_prev"] = vs
+        full, compact = vs
+        out["vs_prev"] = full
+        # the FULL artifact (incl. per-query adjusted ratios) lands on
+        # disk next to the script; the stdout line carries the compact
+        # form so the driver's tail keeps the raw per-query seconds
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "bench_last.json"), "w") as fh:
+                json.dump(out, fh, indent=1)
+        except OSError:
+            pass
+        out["vs_prev"] = compact
     print(json.dumps(out))
     spark.stop()
 

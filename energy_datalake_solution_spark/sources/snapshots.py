@@ -5969,7 +5969,12 @@ def snapshot_create_table(
     USING snapshot``): commit a v1 schema-only manifest — zero files,
     column mapping from birth (the declared schema is authoritative; no
     footer exists to infer from). ``columns`` is [(name, ddl_type,
-    default_or_None[, generated_expr_or_None[, identity_or_None]]), ...]
+    default_or_None[, generated_expr_or_None[, identity_or_None
+    [, not_null_bool[, comment_or_None[, write_default_expr_or_None]]]]]),
+    ...] — the trailing write-default slot carries an EXPRESSION default's
+    raw text (re-evaluated per write batch) while slot 2 holds its
+    DDL-time fold (what pre-existing rows read; see the catalog's
+    _fold_default)
     — a generated expression records Delta's GENERATED ALWAYS AS:
     writers that omit the column compute it, writers that carry it
     validate against it (see _materialize_generated /

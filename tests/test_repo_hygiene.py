@@ -36,6 +36,7 @@ ALLOWED_EXACT = {
     "VERDICT.md",
     "__spark_entry__.py",
     "bench.py",
+    "bench_last.json",  # full per-run artifact bench.py drops beside itself
     "energy_datalake_solution_spark",
     "tests",
 }
