@@ -16,11 +16,14 @@ contract one level up:
         CREATE [OR REPLACE] TABLE <name> USING snapshot LOCATION '<p>'
             AS <select>                           (CTAS — materialize +
             register; the source query may itself time-travel)
-        CREATE TABLE <name> (c type [DEFAULT lit
+        CREATE TABLE <name> (c type [DEFAULT lit-or-foldable-expr
             | GENERATED ALWAYS AS (expr)
             | GENERATED ALWAYS AS IDENTITY
-              [(START WITH s INCREMENT BY k)]], ...) USING snapshot
-            LOCATION '<p>'   (empty-table DDL: v1 schema-only manifest,
+              [(START WITH s INCREMENT BY k)]]
+            [NOT NULL] [COMMENT 'txt'], ...) USING snapshot
+            [PARTITIONED BY (c, ...)] LOCATION '<p>'
+            [PARTITIONED BY (c, ...)]
+            (clauses in any order; empty-table DDL: v1 schema-only manifest,
             column mapping from birth; reads return a typed empty frame;
             generated columns compute on write when omitted and are
             validated when supplied — partition BY one for the
@@ -95,7 +98,11 @@ contract one level up:
         ALTER TABLE <name> ADD CONSTRAINT n CHECK (e)
                                                   -> snapshot_set_constraint
         ALTER TABLE <name> DROP CONSTRAINT n      -> snapshot_drop_constraint
-        ALTER TABLE <name> ADD COLUMN c <type>    -> snapshot_add_column
+        ALTER TABLE <name> ADD COLUMN[S] [(]spec[, spec...][)]
+                                                  -> snapshot_add_column
+            (spec = full CREATE TABLE column grammar: DEFAULT incl.
+            constant-foldable expressions, COMMENT, NOT NULL — the
+            latter only WITH a DEFAULT; GENERATED/IDENTITY refuse)
         ALTER TABLE <name> RENAME COLUMN a TO b   -> snapshot_rename_column
         ALTER TABLE <name> DROP COLUMN c          -> snapshot_drop_column
         ALTER TABLE <name> ALTER COLUMN c SET DEFAULT lit | DROP DEFAULT
@@ -182,8 +189,14 @@ _DROP_RE = re.compile(
 _CREATE_EMPTY_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s*"
     r"\((?P<cols>.+)\)\s*"
-    r"USING\s+snapshot\s+"
-    r"(?:OPTIONS\s*\(\s*path\s+'(?P<opath>[^']+)'\s*\)|LOCATION\s+'(?P<lpath>[^']+)')"
+    r"USING\s+snapshot"
+    # Spark puts PARTITIONED BY between USING and LOCATION; accept it
+    # after the location too (both orders seen in the wild)
+    r"(?:\s+PARTITIONED\s+BY\s*\(\s*"
+    r"(?P<part1>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
+    r"\s+(?:OPTIONS\s*\(\s*path\s+'(?P<opath>[^']+)'\s*\)|LOCATION\s+'(?P<lpath>[^']+)')"
+    r"(?:\s+PARTITIONED\s+BY\s*\(\s*"
+    r"(?P<part2>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -602,12 +615,20 @@ _ALTER_CONSTRAINT_RE = re.compile(
 # curated table needs one statement, not a property dance.
 _ALTER_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
-    r"(?:ADD\s+COLUMNS?\s+\(?\s*(?P<add>[A-Za-z_]\w*)\s+"
-    r"(?P<dtype>[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
-    r"(?:\s+DEFAULT\s+(?P<default>'(?:[^']|'')*'|[^\s(),]+(?:\([^()]*\))?))?\s*\)?"
-    r"|RENAME\s+COLUMN\s+(?P<old>[A-Za-z_]\w*)\s+TO\s+(?P<new>[A-Za-z_]\w*)"
+    r"(?:RENAME\s+COLUMN\s+(?P<old>[A-Za-z_]\w*)\s+TO\s+(?P<new>[A-Za-z_]\w*)"
     r"|DROP\s+COLUMN\s+(?P<drop>[A-Za-z_]\w*))\s*;?\s*$",
     re.IGNORECASE,
+)
+# ADD COLUMN takes a FULL column spec (same clause grammar as CREATE
+# TABLE — DEFAULT incl. expressions, COMMENT, NOT NULL in any order);
+# the spec is parsed by _parse_col_spec, so nested parens in expression
+# defaults survive. GENERATED / IDENTITY refuse (Delta cannot add
+# either to an existing table); NOT NULL requires a DEFAULT (without
+# one, every pre-existing row would violate it immediately).
+_ADD_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s+"
+    r"(?P<spec>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _ALTER_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
@@ -896,7 +917,23 @@ class SnapshotCatalog:
                      comment.replace("''", "'") if comment else None,
                      wdefault)
                 )
+            part = m.group("part1") or m.group("part2")
+            if part:
+                pcols = [c.strip() for c in part.split(",")]
+                declared = {c[0].lower() for c in cols}
+                unknown = [c for c in pcols if c.lower() not in declared]
+                if unknown:
+                    raise ValueError(
+                        f"PARTITIONED BY names undeclared column(s) "
+                        f"{unknown}"
+                    )
             snapshot_create_table(m.group("opath") or m.group("lpath"), cols)
+            if part:
+                from .snapshots import snapshot_set_partitioning
+
+                snapshot_set_partitioning(
+                    m.group("opath") or m.group("lpath"), pcols
+                )
             self.create_table(name, m.group("opath") or m.group("lpath"))
             return None
         m = _CLONE_RE.match(text)
@@ -1126,10 +1163,29 @@ class SnapshotCatalog:
             else:
                 snapshot_drop_constraint(path, m.group("dname"))
             return None
+        m = _ADD_COL_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_enable_column_mapping
+
+            path = self._writable(m.group("name"))
+            snapshot_enable_column_mapping(self.spark, path)  # idempotent
+            specs = m.group("spec").strip()
+            if specs.startswith("(") and _scan_balanced(specs, 0) == len(specs):
+                specs = specs[1:-1].strip()  # optional surrounding parens
+            parsed = []
+            for spec in _split_top_commas(specs):
+                cm = _parse_col_spec(spec)
+                if not cm:
+                    raise ValueError(
+                        f"ADD COLUMN: cannot parse column spec {spec!r}"
+                    )
+                parsed.append(cm)
+            for cm in parsed:
+                self._add_one_column(path, cm)
+            return None
         m = _ALTER_COL_RE.match(text)
         if m and m.group("name") in self._tables:
             from .snapshots import (
-                snapshot_add_column,
                 snapshot_drop_column,
                 snapshot_enable_column_mapping,
                 snapshot_rename_column,
@@ -1137,24 +1193,7 @@ class SnapshotCatalog:
 
             path = self._writable(m.group("name"))
             snapshot_enable_column_mapping(self.spark, path)  # idempotent
-            if m.group("add"):
-                default = m.group("default")
-                wdefault = None
-                if default is not None:
-                    # expression DEFAULTs: pre-existing rows read the
-                    # DDL-time fold, future narrow writes re-evaluate
-                    default, wdefault = _fold_default(self.spark, default)
-                snapshot_add_column(
-                    path, m.group("add"), m.group("dtype").lower(),
-                    default=default,
-                )
-                if wdefault is not None:
-                    from .snapshots import snapshot_set_column_default
-
-                    snapshot_set_column_default(
-                        path, m.group("add"), wdefault
-                    )
-            elif m.group("old"):
+            if m.group("old"):
                 snapshot_rename_column(path, m.group("old"), m.group("new"))
             else:
                 snapshot_drop_column(path, m.group("drop"))
@@ -1847,6 +1886,55 @@ class SnapshotCatalog:
                 "a time-travel registration is read-only"
             )
         return path
+
+    def _add_one_column(self, path: str, cm: dict) -> None:
+        """Apply one parsed ADD COLUMN spec: the column itself (with a
+        folded birth default), then the expression write default, the
+        comment, and the NOT NULL constraint — each an O(metadata)
+        commit. GENERATED / IDENTITY refuse (Delta cannot add either to
+        an existing table); NOT NULL requires a DEFAULT (without one,
+        every pre-existing row reads NULL and violates immediately)."""
+        from .snapshots import (
+            snapshot_add_column,
+            snapshot_set_column_comment,
+            snapshot_set_column_default,
+            snapshot_set_constraint,
+        )
+
+        if cm["generated"] is not None or cm["identity"] is not None:
+            raise ValueError(
+                "ADD COLUMN cannot add a GENERATED ALWAYS AS or "
+                "IDENTITY column to an existing table (declare them "
+                "in CREATE TABLE — Delta has the same restriction)"
+            )
+        if cm["notnull"] and cm["default"] is None:
+            raise ValueError(
+                "ADD COLUMN ... NOT NULL requires a DEFAULT: every "
+                "pre-existing row would read NULL and violate the "
+                "constraint immediately"
+            )
+        default, wdefault = cm["default"], None
+        if default is not None:
+            # expression DEFAULTs: pre-existing rows read the DDL-time
+            # fold, future narrow writes re-evaluate
+            default, wdefault = _fold_default(self.spark, default)
+        snapshot_add_column(
+            path, cm["name"], cm["dtype"].lower(), default=default
+        )
+        if wdefault is not None:
+            snapshot_set_column_default(path, cm["name"], wdefault)
+        if cm["comment"] is not None:
+            snapshot_set_column_comment(
+                path, cm["name"], cm["comment"].replace("''", "'")
+            )
+        if cm["notnull"]:
+            # standing data validates against the just-added birth
+            # default (non-NULL by the guard above), so this passes on
+            # history and gates every later write
+            snapshot_set_constraint(
+                self.spark, path, f"__not_null_{cm['name']}",
+                f"{cm['name']} IS NOT NULL",
+            )
 
     def _table_changes_views(self, text: str) -> str:
         """Rewrite ``table_changes('t', v1[, v2])`` references (Delta's

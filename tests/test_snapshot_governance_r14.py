@@ -206,3 +206,79 @@ def test_snapshot_write_identity_routes_to_allocating_replace(
         snapshot_write(
             spark.createDataFrame([(1, "q")], "id long, v string"), t
         )
+
+
+def test_create_table_inline_partitioned_by(spark, tmp_path):
+    """PARTITIONED BY inline in CREATE TABLE (both positions: between
+    USING and LOCATION — Spark's order — and after LOCATION); unknown
+    partition columns refuse at DDL time."""
+    cat = SnapshotCatalog(spark)
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+    )
+
+    t1, t2 = tmp_path / "a", tmp_path / "b"
+    cat.sql(
+        f"CREATE TABLE ipa (k bigint, y int) USING snapshot "
+        f"PARTITIONED BY (y) LOCATION '{t1}'"
+    )
+    cat.sql(
+        f"CREATE TABLE ipb (k bigint, y int) USING snapshot "
+        f"LOCATION '{t2}' PARTITIONED BY (y)"
+    )
+    for t in (t1, t2):
+        m = _read_manifest(t, current_version(t))
+        assert m["partitioning"] == {"cols": ["y"]}
+    cat.sql("INSERT INTO ipa VALUES (1, 2020), (2, 2021)")
+    assert sorted(
+        r.y for r in cat.sql("SHOW PARTITIONS ipa").collect()
+    ) == [2020, 2021]
+    with pytest.raises(ValueError, match="undeclared"):
+        cat.sql(
+            f"CREATE TABLE ipc (k bigint) USING snapshot "
+            f"PARTITIONED BY (nope) LOCATION '{tmp_path / 'c'}'"
+        )
+
+
+def test_add_column_full_spec(spark, tmp_path):
+    """ADD COLUMN with the full CREATE TABLE clause grammar: COMMENT and
+    NOT NULL (only with a DEFAULT), expression defaults, multi-column
+    ADD COLUMNS, and the GENERATED/IDENTITY refusals."""
+    import datetime
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    cat.sql(
+        f"CREATE TABLE acf (k bigint) USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO acf VALUES (1), (2)")
+    cat.sql(
+        "ALTER TABLE acf ADD COLUMN note string "
+        "COMMENT 'a note' DEFAULT 'n/a' NOT NULL"
+    )
+    desc = {
+        r.col_name: (r.info, r.comment)
+        for r in cat.sql("DESCRIBE TABLE acf").collect()
+    }
+    assert desc["note"] == ("NOT NULL DEFAULT 'n/a'", "a note")
+    # pre-existing rows read the default (and so satisfy NOT NULL)
+    assert {r.note for r in snapshot_read(spark, t).collect()} == {"n/a"}
+    with pytest.raises(SnapshotConstraintViolation):
+        cat.sql("INSERT INTO acf (k, note) VALUES (9, NULL)")
+    # multi-column ADD COLUMNS with an expression default
+    cat.sql(
+        "ALTER TABLE acf ADD COLUMNS "
+        "(seen date DEFAULT current_date(), tag string)"
+    )
+    row = cat.sql("SELECT seen, tag FROM acf").first()
+    assert row.seen == datetime.date.today() and row.tag is None
+    # refusals
+    with pytest.raises(ValueError, match="GENERATED"):
+        cat.sql("ALTER TABLE acf ADD COLUMN g bigint "
+                "GENERATED ALWAYS AS (k + 1)")
+    with pytest.raises(ValueError, match="GENERATED"):
+        cat.sql("ALTER TABLE acf ADD COLUMN i bigint "
+                "GENERATED ALWAYS AS IDENTITY")
+    with pytest.raises(ValueError, match="DEFAULT"):
+        cat.sql("ALTER TABLE acf ADD COLUMN nn bigint NOT NULL")
