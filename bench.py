@@ -21,6 +21,47 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _prev_payload(prev: dict) -> "dict | None":
+    # the per-round driver artifact WRAPS the bench line:
+    # {"n", "rc", "cpus", "sf", "tail", "parsed"} where "tail" is
+    # the LAST 2000 chars of stdout and "parsed" is the line as
+    # JSON when it fit. Recover (queries, query_mips, host_mips)
+    # from whichever form survived; a left-truncated tail just
+    # loses the alphabetically-first queries (ratios compute on
+    # the intersection).
+    import re as _re
+
+    if prev.get("queries"):
+        return prev
+    if isinstance(prev.get("parsed"), dict) and prev["parsed"].get(
+        "queries"
+    ):
+        return prev["parsed"]
+    tail = prev.get("tail") or ""
+    out: dict = {}
+    m = _re.search(r'"query_mips":\s*\{([^{}]*)\}', tail)
+    if m:
+        out["query_mips"] = {
+            k: float(v)
+            for k, v in _re.findall(
+                r'"([a-z0-9_]+)":\s*([0-9.]+)', m.group(1)
+            )
+        }
+    m = _re.search(r'"host_mips":\s*([0-9.]+)', tail)
+    if m:
+        out["host_mips"] = float(m.group(1))
+    m = _re.search(r'([^{}]*)\},\s*"sf"', tail)
+    if m:
+        out["queries"] = {
+            k: float(v)
+            for k, v in _re.findall(
+                r'"([a-z0-9_]+)":\s*([0-9.]+)', m.group(1)
+            )
+        }
+    out["sf"] = prev.get("sf")  # the wrapper records the run's SF
+    return out if out.get("queries") else None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="time every registered query")
@@ -164,45 +205,6 @@ def main() -> None:
     # ran (work units — a busy host has low mips and high seconds, the
     # product cancels the load), so ratio_adj ~ 1.0 means "same code
     # cost on a differently-loaded host". Raw ratios stay in "queries".
-    def _prev_payload(prev: dict) -> "dict | None":
-        # the per-round driver artifact WRAPS the bench line:
-        # {"n", "rc", "cpus", "sf", "tail", "parsed"} where "tail" is
-        # the LAST 2000 chars of stdout and "parsed" is the line as
-        # JSON when it fit. Recover (queries, query_mips, host_mips)
-        # from whichever form survived; a left-truncated tail just
-        # loses the alphabetically-first queries (ratios compute on
-        # the intersection).
-        import re as _re
-
-        if prev.get("queries"):
-            return prev
-        if isinstance(prev.get("parsed"), dict) and prev["parsed"].get(
-            "queries"
-        ):
-            return prev["parsed"]
-        tail = prev.get("tail") or ""
-        out: dict = {}
-        m = _re.search(r'"query_mips":\s*\{([^{}]*)\}', tail)
-        if m:
-            out["query_mips"] = {
-                k: float(v)
-                for k, v in _re.findall(
-                    r'"([a-z0-9_]+)":\s*([0-9.]+)', m.group(1)
-                )
-            }
-        m = _re.search(r'"host_mips":\s*([0-9.]+)', tail)
-        if m:
-            out["host_mips"] = float(m.group(1))
-        m = _re.search(r'([^{}]*)\},\s*"sf"', tail)
-        if m:
-            out["queries"] = {
-                k: float(v)
-                for k, v in _re.findall(
-                    r'"([a-z0-9_]+)":\s*([0-9.]+)', m.group(1)
-                )
-            }
-        out["sf"] = prev.get("sf")  # the wrapper records the run's SF
-        return out if out.get("queries") else None
 
     def _vs_prev() -> "tuple[dict, dict] | None":
         import glob

@@ -3142,6 +3142,7 @@ def snapshot_lifecycle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN upper(s_name) ELSE s_name END AS sup_name,
                s_nationkey AS nation_id,
                CAST('2024-01-15' AS DATE) AS loaded,
+               'std' AS tier,
                'pipeline' AS owner,
                'supplier key' AS sup_comment
         FROM allrows
@@ -3271,9 +3272,23 @@ def snapshot_governance_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     except SnapshotConstraintViolation:
         pass
+    # ADD COLUMN with the full clause grammar (r14): every standing row
+    # must read the birth default, the comment must round-trip, and the
+    # NOT NULL constraint must validate against that default — all
+    # O(metadata), no rewrite (the read below proves the backfill)
+    cat.sql(
+        "ALTER TABLE gov_sup ADD COLUMN tier string "
+        "DEFAULT 'std' NOT NULL COMMENT 'service tier'"
+    )
+    desc2 = {
+        r.col_name: r.comment
+        for r in cat.sql("DESCRIBE TABLE gov_sup").collect()
+    }
+    if desc2.get("tier") != "service tier":
+        raise RuntimeError(f"ADD COLUMN comment lost: {desc2}")
     cat.drop_table("gov_sup")
     out = snapshot_read(spark, t).select(
-        "row_id", "sup_id", "sup_name", "nation_id", "loaded",
+        "row_id", "sup_id", "sup_name", "nation_id", "loaded", "tier",
         F.lit(owner).alias("owner"),
         F.lit(sup_comment).alias("sup_comment"),
     )

@@ -1,0 +1,58 @@
+"""bench.py's round-over-round comparator: recovery of prior-round
+artifacts (the driver wraps the bench stdout line and keeps only a
+2000-char tail, so queries/query_mips must be recoverable from a
+left-truncated JSON fragment)."""
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bench import _prev_payload  # noqa: E402
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_prev_payload_direct_queries():
+    p = _prev_payload({"queries": {"q": 1.0}, "sf": 0.1})
+    assert p["queries"] == {"q": 1.0}
+
+
+def test_prev_payload_parsed_form():
+    p = _prev_payload(
+        {"sf": 0.1, "parsed": {"queries": {"q": 2.0}, "sf": 0.1}}
+    )
+    assert p["queries"] == {"q": 2.0}
+
+
+def test_prev_payload_truncated_tail():
+    tail = (
+        '.319, "b_q": 1.353, "c_q": 0.864}, "sf": 0.1, '
+        '"host_mips": 29.877, "host_mips_post": 29.882, '
+        '"query_mips": {"a_q": 29.2, "b_q": 23.5, "c_q": 28.9}, '
+        '"retried": [], "plan_violations": {}}'
+    )
+    p = _prev_payload({"sf": 0.1, "tail": tail, "parsed": None})
+    # the left-truncated first query is lost; the parseable ones survive
+    assert p["queries"] == {"b_q": 1.353, "c_q": 0.864}
+    assert p["query_mips"] == {"a_q": 29.2, "b_q": 23.5, "c_q": 28.9}
+    assert p["host_mips"] == 29.877
+    assert p["sf"] == 0.1
+
+
+def test_prev_payload_unrecoverable():
+    assert _prev_payload({"sf": 0.1, "tail": "garbage", "parsed": None}) \
+        is None
+
+
+def test_prev_payload_real_r13_artifact():
+    """The actual committed r13 wrapper must recover (this is the file
+    the r14 comparator runs against)."""
+    f = REPO / "BENCH_r13.json"
+    if not f.exists():
+        return
+    p = _prev_payload(json.loads(f.read_text()))
+    assert p is not None
+    assert len(p["queries"]) >= 10
+    assert len(p["query_mips"]) >= 25
+    assert p["sf"] == 0.1
