@@ -1011,6 +1011,36 @@ def _plan_write(table_path: str, schema) -> tuple:
     rename = None
     batch_types = {f.name: f.dataType.simpleString() for f in schema.fields}
     if mapping:
+        # same refusal posture as the CHECK guard above: these column
+        # classes need Spark-job machinery the arrow task writer does
+        # not have — identity must ALLOCATE, generated must compute or
+        # validate, and an omitted write-default column must MATERIALIZE
+        # its write-time value physically (silently writing past any of
+        # them would corrupt the column's contract, not just skip a
+        # nicety)
+        managed = [
+            c["name"] for c in mapping["cols"]
+            if c.get("identity") or c.get("generated") is not None
+        ]
+        if managed:
+            raise NotImplementedError(
+                f"table has GENERATED / IDENTITY column(s) {managed} — "
+                "the DataSource writer cannot allocate or validate "
+                "them; write through snapshot_append/snapshot_upsert"
+            )
+        batch_lower = {f.name.lower() for f in schema.fields}
+        narrow_wd = [
+            c["name"] for c in mapping["cols"]
+            if c.get("wdefault") is not None
+            and c["name"].lower() not in batch_lower
+        ]
+        if narrow_wd:
+            raise NotImplementedError(
+                f"batch omits column(s) {narrow_wd} carrying a write "
+                "default (SET DEFAULT / DROP DEFAULT) — the DataSource "
+                "writer cannot materialize write-time values; supply "
+                "the column or write through snapshot_append"
+            )
         by_logical = {c["name"]: c["physical"] for c in mapping["cols"]}
         unknown = [c for c in batch_types if c not in by_logical]
         if unknown:

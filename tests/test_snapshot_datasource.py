@@ -258,6 +258,57 @@ def test_batch_write_refuses_constrained_tables(ds_spark, tmp_path):
         ).mode("append").save()
 
 
+def test_batch_write_refuses_managed_columns(ds_spark, tmp_path):
+    """The arrow task writer cannot allocate identity, compute/validate
+    generated columns, or materialize write defaults for omitted
+    columns — each must refuse loudly (silently writing past them
+    corrupts the column contract), same posture as the CHECK guard."""
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        SnapshotCatalog,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_set_column_default,
+    )
+
+    spark = ds_spark
+    cat = SnapshotCatalog(spark)
+    t1 = tmp_path / "ident"
+    cat.sql(
+        f"CREATE TABLE dsid (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"v string) USING snapshot LOCATION '{t1}'"
+    )
+    with pytest.raises(Exception, match="IDENTITY"):
+        spark.createDataFrame([("a",)], "v string").write.format(
+            "snapshot"
+        ).option("path", str(t1)).mode("append").save()
+    t2 = tmp_path / "gen"
+    cat.sql(
+        f"CREATE TABLE dsgen (k bigint, "
+        f"g bigint GENERATED ALWAYS AS (k + 1)) "
+        f"USING snapshot LOCATION '{t2}'"
+    )
+    with pytest.raises(Exception, match="GENERATED"):
+        spark.createDataFrame([(1,)], "k long").write.format(
+            "snapshot"
+        ).option("path", str(t2)).mode("append").save()
+    # write default: a batch OMITTING the column refuses; one carrying
+    # it writes fine
+    t3 = tmp_path / "wd"
+    snapshot_write(_df(spark, 0, 2, "a"), t3)
+    snapshot_enable_column_mapping(spark, t3)
+    snapshot_set_column_default(t3, "v", "'bulk'")
+    with pytest.raises(Exception, match="write default"):
+        spark.createDataFrame([(9,)], "k long").write.format(
+            "snapshot"
+        ).option("path", str(t3)).mode("append").save()
+    spark.createDataFrame([(9, "x")], "k long, v string").write.format(
+        "snapshot"
+    ).option("path", str(t3)).mode("append").save()
+    assert (9, "x") in {
+        (r.k, r.v) for r in snapshot_read(spark, t3).collect()
+    }
+
+
 def test_stream_write_exactly_once_across_restart(ds_spark, tmp_path):
     """writeStream.format('snapshot'): micro-batches commit txn-stamped
     appends; restarting from the same checkpoint after more source
