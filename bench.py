@@ -234,18 +234,23 @@ def main() -> None:
         pm = prev.get("query_mips") or {}
         p_host = prev.get("host_mips") or 0.0
         ratios: dict[str, float] = {}
+        raw: list[float] = []
         for n, t_now in timings.items():
             t_prev = pq.get(n)
-            if not t_prev:
+            # both endpoints must be non-zero: a sub-millisecond timing
+            # rounds to 0.0 and log(0) would sink the whole bench line
+            if not t_prev or not t_now:
                 continue
             m_now = query_mips.get(n) or host_score
             m_prev = pm.get(n) or p_host
             if not m_prev:
                 continue
-            ratios[n] = round((t_now * m_now) / (t_prev * m_prev), 3)
+            r = (t_now * m_now) / (t_prev * m_prev)
+            raw.append(r)
+            ratios[n] = round(r, 3)
         if not ratios:
             return None
-        geo = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+        geo = math.exp(sum(math.log(r) for r in raw) / len(raw))
         full = {
             "round": prev_round,
             "geomean_adjusted": round(geo, 3),
@@ -280,18 +285,19 @@ def main() -> None:
     }
     vs = _vs_prev()
     if vs is not None:
-        full, compact = vs
-        out["vs_prev"] = full
-        # the FULL artifact (incl. per-query adjusted ratios) lands on
-        # disk next to the script; the stdout line carries the compact
-        # form so the driver's tail keeps the raw per-query seconds
-        try:
-            here = os.path.dirname(os.path.abspath(__file__))
-            with open(os.path.join(here, "bench_last.json"), "w") as fh:
-                json.dump(out, fh, indent=1)
-        except OSError:
-            pass
-        out["vs_prev"] = compact
+        out["vs_prev"] = vs[0]  # full form, incl. per-query ratios
+    # the FULL artifact always lands on disk next to the script (even
+    # with no comparable prior round — it documents THIS run); the
+    # stdout line then carries only the compact comparison so the
+    # driver's 2000-char tail keeps the raw per-query seconds
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_last.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass
+    if vs is not None:
+        out["vs_prev"] = vs[1]
     print(json.dumps(out))
     spark.stop()
 

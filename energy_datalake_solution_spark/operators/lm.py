@@ -313,7 +313,18 @@ p{k} AS MATERIALIZED (
     GROUP BY 1, 2
 ),
 b{k} AS MATERIALIZED (
-    SELECT lft, rgt, total FROM p{k} ORDER BY total DESC, lft, rgt LIMIT 1
+    -- a corpus that exhausts its merges before stage {k} leaves p{k}
+    -- empty; a sentinel pair (chr(1) never occurs in any word) keeps
+    -- the rewrite cross-joins populated so v{k} degrades to v{j}
+    -- instead of collapsing to zero rows — mirroring the trainer's
+    -- early break. The merges output filters it out on total > 0.
+    SELECT * FROM (
+        SELECT lft, rgt, total FROM p{k}
+        ORDER BY total DESC, lft, rgt LIMIT 1
+    )
+    UNION ALL
+    SELECT chr(1), chr(1), CAST(0 AS BIGINT)
+    WHERE NOT EXISTS (SELECT 1 FROM p{k})
 ),
 r{k} AS (
     SELECT word, s, n FROM v{j}
@@ -336,7 +347,8 @@ v{k} AS MATERIALIZED (
 
 _BPE_MERGES_ORACLE = _bpe_train_ctes() + "\n" + "\nUNION ALL\n".join(
     f'SELECT CAST({k} AS INTEGER) AS merge_rank, lft AS "left", '
-    f'rgt AS "right", lft || rgt AS merged, total AS pair_count FROM b{k}'
+    f'rgt AS "right", lft || rgt AS merged, total AS pair_count '
+    f"FROM b{k} WHERE total > 0"  # drop the exhaustion sentinel
     for k in range(1, N_BPE_MERGES + 1)
 )
 

@@ -385,6 +385,25 @@ def _fold_default(spark: SparkSession, expr: str) -> "tuple[str, str | None]":
         return expr, None
     except ValueError:
         pass
+    # name blocklist BEFORE the Catalyst probe: the probe's determinism
+    # flag is authoritative, but if the Py4J internals are unreachable
+    # (exotic session types) the known nondeterministic functions must
+    # still refuse rather than silently freeze one random sample as the
+    # birth default
+    nondet_names = {
+        "rand", "randn", "random", "uuid", "shuffle",
+        "monotonically_increasing_id",
+    }
+    called = {
+        m.group(1).lower()
+        for m in re.finditer(r"([A-Za-z_]\w*)\s*\(", expr)
+    }
+    if called & nondet_names:
+        raise ValueError(
+            f"DEFAULT {expr!r} is nondeterministic; only constant "
+            "or query-constant expressions (current_date(), "
+            "current_timestamp()) are allowed"
+        )
     try:
         probe = spark.sql(f"SELECT ({expr}) AS v")
         row = probe.first()
@@ -897,14 +916,8 @@ class SnapshotCatalog:
                     raise ValueError(
                         f"CREATE TABLE: cannot parse column spec {spec!r}"
                     )
-                if sum(
-                    x is not None
-                    for x in (cm["default"], cm["generated"], cm["identity"])
-                ) > 1:
-                    raise ValueError(
-                        f"column {cm['name']!r}: DEFAULT, GENERATED "
-                        "ALWAYS AS and IDENTITY are mutually exclusive"
-                    )
+                # DEFAULT/GENERATED/IDENTITY mutual exclusion is
+                # validated once, in snapshot_create_table
                 default, wdefault = cm["default"], None
                 if default is not None:
                     # expression DEFAULTs fold to a birth literal NOW,
@@ -1179,6 +1192,10 @@ class SnapshotCatalog:
                     raise ValueError(
                         f"ADD COLUMN: cannot parse column spec {spec!r}"
                     )
+                # every refusal fires HERE, before any spec commits —
+                # a multi-column statement must not leave the table
+                # with half its columns when a later spec is invalid
+                self._validate_add_column(cm)
                 parsed.append(cm)
             for cm in parsed:
                 self._add_one_column(path, cm)
@@ -1887,13 +1904,35 @@ class SnapshotCatalog:
             )
         return path
 
+    @staticmethod
+    def _validate_add_column(cm: dict) -> None:
+        """Refusals for one ADD COLUMN spec, run for EVERY spec before
+        ANY commits (per-spec application is multi-commit, so all
+        statically-decidable failures must fire first — a multi-column
+        statement must not leave half its columns behind). GENERATED /
+        IDENTITY refuse (Delta cannot add either to an existing table);
+        NOT NULL requires a non-NULL DEFAULT (without one, every
+        pre-existing row reads NULL and violates immediately)."""
+        if cm["generated"] is not None or cm["identity"] is not None:
+            raise ValueError(
+                "ADD COLUMN cannot add a GENERATED ALWAYS AS or "
+                "IDENTITY column to an existing table (declare them "
+                "in CREATE TABLE — Delta has the same restriction)"
+            )
+        if cm["notnull"] and (
+            cm["default"] is None or cm["default"].strip().lower() == "null"
+        ):
+            raise ValueError(
+                "ADD COLUMN ... NOT NULL requires a non-NULL DEFAULT: "
+                "every pre-existing row would read NULL and violate "
+                "the constraint immediately"
+            )
+
     def _add_one_column(self, path: str, cm: dict) -> None:
-        """Apply one parsed ADD COLUMN spec: the column itself (with a
-        folded birth default), then the expression write default, the
-        comment, and the NOT NULL constraint — each an O(metadata)
-        commit. GENERATED / IDENTITY refuse (Delta cannot add either to
-        an existing table); NOT NULL requires a DEFAULT (without one,
-        every pre-existing row reads NULL and violates immediately)."""
+        """Apply one parsed (and _validate_add_column-checked) ADD
+        COLUMN spec: the column itself (with a folded birth default),
+        then the expression write default, the comment, and the NOT
+        NULL constraint — each an O(metadata) commit."""
         from .snapshots import (
             snapshot_add_column,
             snapshot_set_column_comment,
@@ -1901,18 +1940,6 @@ class SnapshotCatalog:
             snapshot_set_constraint,
         )
 
-        if cm["generated"] is not None or cm["identity"] is not None:
-            raise ValueError(
-                "ADD COLUMN cannot add a GENERATED ALWAYS AS or "
-                "IDENTITY column to an existing table (declare them "
-                "in CREATE TABLE — Delta has the same restriction)"
-            )
-        if cm["notnull"] and cm["default"] is None:
-            raise ValueError(
-                "ADD COLUMN ... NOT NULL requires a DEFAULT: every "
-                "pre-existing row would read NULL and violate the "
-                "constraint immediately"
-            )
         default, wdefault = cm["default"], None
         if default is not None:
             # expression DEFAULTs: pre-existing rows read the DDL-time

@@ -842,15 +842,16 @@ def snapshot_write(df: DataFrame, table_path) -> int:
     mark, which this function's file-reusing rebase cannot do."""
     p = _table(table_path)
     tip = current_version(p)
+    m_tip = _read_manifest(p, tip) if tip else {}
+    sch = m_tip.get("schema")
+    if _identity_cols(sch):
+        # route BEFORE enforcement — replace_where runs the full gate
+        # itself (running it here too would double every LIMIT-1 job)
+        return snapshot_replace_where(df.sparkSession, p, None, df)
     _enforce_constraints(df, p, tip)
     if tip:
-        m_tip = _read_manifest(p, tip)
-        sch = m_tip.get("schema")
-        if _identity_cols(sch):
-            return snapshot_replace_where(
-                df.sparkSession, p, None, df
-            )
         if sch:
+            df = _materialize_wdefaults(df, sch)
             df = _materialize_generated(df, sch)
             df = _df_to_physical(df, sch)  # mapped table: logical -> physical
             from pyspark.sql import functions as F
@@ -952,8 +953,12 @@ def snapshot_append(
             # is validated against the tip again at commit time — a
             # concurrent identity writer moving it forces a restart
             # with fresh values (collision-free optimistic writers).
+            batch_lower = {n.lower() for n in df.columns}
             for c in _identity_cols(sch):
-                if c["name"] in df.columns:
+                # case-insensitive: Spark resolves identifiers that way,
+                # so a batch carrying 'ID' against identity 'id' is an
+                # explicit write, not a new column
+                if c["name"].lower() in batch_lower:
                     raise ValueError(
                         f"column {c['name']!r} is GENERATED ALWAYS AS "
                         "IDENTITY and cannot be written explicitly"
@@ -4352,8 +4357,10 @@ def snapshot_replace_where(
             _materialize_wdefaults(df, schema), schema
         )
         id_alloc: dict[str, tuple[int, int]] = {}
+        work_lower = {n.lower() for n in work.columns}
         for c in _identity_cols(schema):
-            if c["name"] in work.columns:
+            # case-insensitive, same rationale as snapshot_append's guard
+            if c["name"].lower() in work_lower:
                 raise ValueError(
                     f"column {c['name']!r} is GENERATED ALWAYS AS "
                     "IDENTITY and cannot be written explicitly"

@@ -282,3 +282,110 @@ def test_add_column_full_spec(spark, tmp_path):
                 "GENERATED ALWAYS AS IDENTITY")
     with pytest.raises(ValueError, match="DEFAULT"):
         cat.sql("ALTER TABLE acf ADD COLUMN nn bigint NOT NULL")
+
+
+def test_snapshot_write_materializes_write_defaults(spark, tmp_path):
+    """snapshot_write is a row-creating write: a narrow batch omitting a
+    write-defaulted column must materialize the WRITE default (same as
+    appends), not leave the column to resolve the stale birth default."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_enable_column_mapping,
+        snapshot_set_column_default,
+    )
+
+    t = tmp_path / "t"
+    snapshot_write(
+        spark.createDataFrame([(1, "old")], "k long, v string"), t
+    )
+    snapshot_enable_column_mapping(spark, t)
+    snapshot_set_column_default(t, "v", "'bulk'")
+    snapshot_write(spark.createDataFrame([(2,)], "k long"), t)
+    assert {(r.k, r.v) for r in snapshot_read(spark, t).collect()} \
+        == {(2, "bulk")}
+    # DROP DEFAULT: later narrow full-replaces materialize NULL
+    snapshot_set_column_default(t, "v", None)
+    snapshot_write(spark.createDataFrame([(3,)], "k long"), t)
+    assert {(r.k, r.v) for r in snapshot_read(spark, t).collect()} \
+        == {(3, None)}
+
+
+def test_append_explicit_identity_case_insensitive(spark, tmp_path):
+    """A batch carrying 'ID' against identity column 'id' is an explicit
+    write (Spark resolves identifiers case-insensitively) — the append
+    and replace-where guards must refuse it, not add a second column."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_replace_where,
+    )
+
+    t = tmp_path / "t"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE ci14 (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"v string) USING snapshot LOCATION '{t}'"
+    )
+    bad = spark.createDataFrame([(9, "x")], "ID long, v string")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        snapshot_append(bad, t)
+    with pytest.raises(ValueError, match="IDENTITY"):
+        snapshot_replace_where(spark, t, None, bad)
+
+
+def test_add_columns_statement_is_pre_validated(spark, tmp_path):
+    """A multi-column ADD COLUMNS whose LATER spec is invalid must
+    refuse before ANY column commits — no half-applied DDL."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+    )
+
+    t = tmp_path / "t"
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE pv14 (k bigint) USING snapshot LOCATION '{t}'")
+    v_before = current_version(t)
+    with pytest.raises(ValueError, match="GENERATED"):
+        cat.sql(
+            "ALTER TABLE pv14 ADD COLUMNS "
+            "(a bigint, b bigint GENERATED ALWAYS AS (a))"
+        )
+    with pytest.raises(ValueError, match="non-NULL DEFAULT"):
+        cat.sql(
+            "ALTER TABLE pv14 ADD COLUMNS "
+            "(c bigint, d string DEFAULT NULL NOT NULL)"
+        )
+    assert current_version(t) == v_before  # zero commits landed
+    m = _read_manifest(t, v_before)
+    assert [c["name"] for c in m["schema"]["cols"]] == ["k"]
+
+
+def test_bpe_oracles_survive_merge_exhaustion(spark, tmp_path):
+    """A corpus with fewer learnable merges than N_BPE_MERGES: the Spark
+    trainer breaks early; the DuckDB oracle's exhaustion sentinel must
+    degrade the remaining stages to no-ops (not collapse the vocabulary
+    to zero rows), keeping both queries hash-equal."""
+    import duckdb
+    import pandas as pd
+
+    from energy_datalake_solution_spark.plans.registry import (
+        get_oracles,
+        get_queries,
+    )
+    from tests.oracle_harness import compare
+
+    qs, orc = get_queries(), get_oracles()
+    for tdf in (
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b c", "a a", ""]}),
+        pd.DataFrame({"doc_id": [1, 2], "text": ["ab ab ab", "ab c"]}),
+    ):
+        spark.createDataFrame(tdf).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        con = duckdb.connect()
+        con.register("documents", tdf)
+        for name in ("corpus_bpe_merges", "docs_bpe_encode"):
+            probs = compare(
+                qs[name](spark, str(tmp_path)),
+                con.execute(orc[name]).fetchdf(),
+                name,
+            )
+            assert not probs, probs
