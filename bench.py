@@ -62,6 +62,41 @@ def _prev_payload(prev: dict) -> "dict | None":
     return out if out.get("queries") else None
 
 
+def _merge_bench_last(payload: dict, here: str) -> dict:
+    """Upgrade a wrapper-recovered payload with the committed
+    bench_last.json (the full per-run artifact bench.py drops beside
+    itself): the stdout line no longer carries query_mips — every byte
+    there pushes a per-query timing out of the driver's 2000-char tail
+    — so the per-query mips live only in the file. The file is trusted
+    ONLY when its per-query seconds agree exactly with the wrapper's on
+    their whole intersection (both are round(3) of the same dict), so a
+    stale bench_last from an older round can never poison the ratios."""
+    try:
+        with open(os.path.join(here, "bench_last.json")) as fh:
+            last = json.load(fh)
+    except (OSError, ValueError):
+        return payload
+    lq = last.get("queries") or {}
+    common = set(lq) & set(payload.get("queries") or {})
+    if not common or any(
+        float(lq[n]) != float(payload["queries"][n]) for n in common
+    ):
+        return payload
+    merged = dict(payload)
+    merged["queries"] = {  # copy: never mutate the caller's dict
+        **{n: float(v) for n, v in lq.items()},
+        **payload["queries"],
+    }
+    if last.get("query_mips"):
+        merged["query_mips"] = {
+            **(last["query_mips"]),
+            **(payload.get("query_mips") or {}),
+        }
+    if not merged.get("host_mips") and last.get("host_mips"):
+        merged["host_mips"] = last["host_mips"]
+    return merged
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="time every registered query")
@@ -230,6 +265,7 @@ def main() -> None:
         if prev.get("sf") is not None and sf is not None \
                 and float(prev["sf"]) != float(sf):
             return None  # cross-SF ratios would be meaningless
+        prev = _merge_bench_last(prev, here)
         pq = prev.get("queries") or {}
         pm = prev.get("query_mips") or {}
         p_host = prev.get("host_mips") or 0.0
@@ -298,6 +334,11 @@ def main() -> None:
         pass
     if vs is not None:
         out["vs_prev"] = vs[1]
+    # per-query mips stay in bench_last.json only: with them inline the
+    # stdout line overruns the driver's 2000-char tail and the
+    # alphabetically-first per-query SECONDS get truncated instead —
+    # the seconds are the primary record, the mips are supporting data
+    out.pop("query_mips", None)
     print(json.dumps(out))
     spark.stop()
 

@@ -56,3 +56,32 @@ def test_prev_payload_real_r13_artifact():
     assert len(p["queries"]) >= 10
     assert len(p["query_mips"]) >= 25
     assert p["sf"] == 0.1
+
+
+def test_merge_bench_last_agreeing_and_stale(tmp_path):
+    """query_mips live only in bench_last.json (the stdout line keeps
+    its bytes for per-query seconds); the comparator merges them back
+    ONLY when the file's seconds agree exactly with the wrapper's on
+    the whole intersection."""
+    from bench import _merge_bench_last
+
+    last = {
+        "queries": {"a": 1.0, "b": 2.0, "c": 3.0},
+        "query_mips": {"a": 25.0, "b": 26.0, "c": 27.0},
+        "host_mips": 28.0,
+    }
+    (tmp_path / "bench_last.json").write_text(json.dumps(last))
+    # agreeing wrapper payload (tail lost query 'a'): mips merge in,
+    # and the lost query's seconds come back from the file
+    p = {"queries": {"b": 2.0, "c": 3.0}, "sf": 0.1}
+    m = _merge_bench_last(p, str(tmp_path))
+    assert m["query_mips"] == last["query_mips"]
+    assert m["queries"] == {"a": 1.0, "b": 2.0, "c": 3.0}
+    assert m["host_mips"] == 28.0
+    # stale file (one value disagrees): refused wholesale
+    p2 = {"queries": {"b": 2.5, "c": 3.0}, "sf": 0.1}
+    m2 = _merge_bench_last(p2, str(tmp_path))
+    assert "query_mips" not in m2 and m2["queries"] == p2["queries"]
+    # missing file: payload unchanged
+    m3 = _merge_bench_last(p, str(tmp_path / "nowhere"))
+    assert m3 == p
