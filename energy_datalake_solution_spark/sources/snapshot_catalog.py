@@ -17,6 +17,7 @@ contract one level up:
             AS <select>                           (CTAS — materialize +
             register; the source query may itself time-travel)
         CREATE TABLE <name> (c type [DEFAULT lit-or-foldable-expr
+              (multi-token expressions parenthesized: DEFAULT (1 + 2))
             | GENERATED ALWAYS AS (expr)
             | GENERATED ALWAYS AS IDENTITY
               [(START WITH s INCREMENT BY k)]]

@@ -219,3 +219,74 @@ def test_round13_sql_routes_reject_malformed_statements(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserved"):
         cat.sql("INSERT INTO res (__snap_idp) VALUES (1)")
+
+
+def test_round14_sql_routes_reject_malformed_statements(spark, tmp_path):
+    """The round-14 grammar additions fail LOUDLY on malformed input:
+    unterminated strings and unbalanced parens in column specs,
+    duplicate clauses, malformed PARTITIONED BY, expression defaults
+    with column references or unknown functions, and ADD COLUMN specs
+    that cannot parse — none silently creates or mutates a table."""
+    import pytest
+
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        SnapshotCatalog,
+        _parse_col_spec,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+    )
+
+    cat = SnapshotCatalog(spark)
+    t = tmp_path / "t"
+    # unterminated string literal in a COMMENT / DEFAULT
+    assert _parse_col_spec("c bigint COMMENT 'oops") is None
+    with pytest.raises(ValueError, match="unterminated|column spec"):
+        cat.sql(
+            f"CREATE TABLE bad1 (c string DEFAULT 'oops) "
+            f"USING snapshot LOCATION '{t}'"
+        )
+    # unbalanced parens in a generated expression
+    with pytest.raises(ValueError, match="unbalanced|column spec"):
+        cat.sql(
+            f"CREATE TABLE bad2 (g bigint GENERATED ALWAYS AS ((k + 1) "
+            f"USING snapshot LOCATION '{t}'"
+        )
+    # duplicate clause
+    with pytest.raises(ValueError, match="column spec"):
+        cat.sql(
+            f"CREATE TABLE bad3 (c bigint DEFAULT 1 DEFAULT 2) "
+            f"USING snapshot LOCATION '{t}'"
+        )
+    # PARTITIONED BY an undeclared column refuses BEFORE the table
+    # exists (nothing half-created)
+    with pytest.raises(ValueError, match="undeclared"):
+        cat.sql(
+            f"CREATE TABLE bad4 (k bigint) USING snapshot "
+            f"PARTITIONED BY (nope) LOCATION '{t}'"
+        )
+    assert not (t / "_latest").exists()
+    # expression default with a column reference refuses (not constant)
+    with pytest.raises(ValueError, match="constant"):
+        cat.sql(
+            f"CREATE TABLE bad5 (k bigint, d bigint DEFAULT abs(k)) "
+            f"USING snapshot LOCATION '{t}'"
+        )
+    # expression default calling an unknown function refuses
+    with pytest.raises(ValueError, match="constant|cannot"):
+        cat.sql(
+            f"CREATE TABLE bad6 (d date DEFAULT no_such_fn()) "
+            f"USING snapshot LOCATION '{t}'"
+        )
+    # a live table: malformed ADD COLUMN leaves it untouched
+    cat.sql(f"CREATE TABLE ok14 (k bigint) USING snapshot LOCATION '{t}'")
+    v = current_version(t)
+    for bad in (
+        "ALTER TABLE ok14 ADD COLUMN 9bad bigint",
+        "ALTER TABLE ok14 ADD COLUMN c bigint NOT NULL NOT NULL",
+        "ALTER TABLE ok14 ADD COLUMN c bigint DEFAULT",
+        "ALTER TABLE ok14 ADD COLUMNS (a bigint, b)",
+    ):
+        with pytest.raises(Exception):
+            cat.sql(bad)
+    assert current_version(t) == v
