@@ -2449,10 +2449,10 @@ def snapshot_clone(
 
 
 def _enforce_constraints(df: DataFrame, p: Path, tip: int | None = None) -> None:
-    """Reject a write batch violating any table CHECK constraint (one
-    job per constraint, LIMIT 1 — enforcement cost is a pushed-down scan
-    of the BATCH, never the table). SQL CHECK semantics: only FALSE
-    violates; NULL satisfies. GENERATED ALWAYS AS columns the batch
+    """Reject a write batch violating any table CHECK constraint (ONE
+    LIMIT-1 job total, all constraints as flag columns of a single
+    batch scan — see _run_constraint_checks; never a scan of the
+    table). SQL CHECK semantics: only FALSE violates; NULL satisfies. GENERATED ALWAYS AS columns the batch
     CARRIES validate the same way (value must null-safe-equal the
     expression — Delta's generated-column write contract), so an
     explicit wrong value never lands."""
@@ -2521,21 +2521,53 @@ def _enforce_constraints(df: DataFrame, p: Path, tip: int | None = None) -> None
             cons[f"__generated_{c['name']}"] = (
                 f"{c['name']} <=> CAST(({gen}) AS {c['type']})"
             )
-    for name in sorted(cons):
-        expr = cons[name]
-        bad = (
-            df.where(
-                F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
-                == F.lit(False)
-            )
-            .limit(1)
-            .collect()
+    _run_constraint_checks(df, cons, "")
+
+
+def _run_constraint_checks(df: DataFrame, cons: dict, when: str) -> None:
+    """Evaluate EVERY pending CHECK in ONE job: a single LIMIT-1 scan of
+    the batch computes all constraint expressions as boolean flag
+    columns (NULL satisfies — SQL CHECK semantics; only FALSE violates)
+    and keeps the first row violating any; the violated names resolve
+    from that row's flags. One batch scan regardless of constraint
+    count — the previous per-constraint LIMIT-1 form cost N scans per
+    write on governance-heavy tables, pure overhead at 100 TB append
+    rates. Flag columns use the __snap_ reserved prefix (batches
+    carrying __snap_* names are refused upstream, so no collision)."""
+    from pyspark.sql import functions as F
+
+    if not cons:
+        return
+    names = sorted(cons)
+    flags = [
+        F.coalesce(F.expr(cons[n]).cast("boolean"), F.lit(True)).alias(
+            f"__snap_chk_{i}"
         )
-        if bad:
-            raise SnapshotConstraintViolation(
-                f"CHECK constraint {name!r} ({expr}) violated, e.g. by "
-                f"row {bad[0].asDict()}"
-            )
+        for i, n in enumerate(names)
+    ]
+    all_ok = None
+    for i in range(len(names)):
+        c = F.col(f"__snap_chk_{i}")
+        all_ok = c if all_ok is None else (all_ok & c)
+    bad = (
+        df.select(*df.columns, *flags)
+        .where(~all_ok)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        row = bad[0].asDict()
+        violated = [
+            n for i, n in enumerate(names)
+            if row.pop(f"__snap_chk_{i}") is False
+        ]
+        name = violated[0] if violated else names[0]
+        raise SnapshotConstraintViolation(
+            f"CHECK constraint {name!r} ({cons[name]}) violated"
+            f"{when}, e.g. by row {row}"
+            + (f" (also violated: {violated[1:]})" if len(violated) > 1
+               else "")
+        )
 
 
 def _enforce_identity_constraints(
@@ -2581,21 +2613,7 @@ def _enforce_identity_constraints(
                 F.expr(d).cast(c["type"]) if d is not None
                 else F.lit(None).cast(c["type"]),
             )
-    for name in sorted(cons):
-        expr = cons[name]
-        bad = (
-            df.where(
-                F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
-                == F.lit(False)
-            )
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            raise SnapshotConstraintViolation(
-                f"CHECK constraint {name!r} ({expr}) violated after "
-                f"identity allocation, e.g. by row {bad[0].asDict()}"
-            )
+    _run_constraint_checks(df, cons, " after identity allocation")
 
 
 def snapshot_truncate(table_path) -> int:
