@@ -405,6 +405,18 @@ def _fold_default(spark: SparkSession, expr: str) -> "tuple[str, str | None]":
             "or query-constant expressions (current_date(), "
             "current_timestamp()) are allowed"
         )
+    # Scalar subqueries would pass the probe below (the fold would
+    # freeze arbitrary catalog state as the birth default and the raw
+    # subquery would re-run on every narrow write) — Spark/Delta
+    # restrict DEFAULTs to subquery-free constant expressions, so
+    # refuse any SELECT outside a string literal before probing.
+    if re.search(r"\bselect\b", re.sub(r"'(?:[^']|'')*'", "''", expr),
+                 re.IGNORECASE):
+        raise ValueError(
+            f"DEFAULT {expr!r} contains a subquery; column defaults "
+            "must be constant expressions with no subqueries (Spark "
+            "and Delta enforce the same restriction)"
+        )
     try:
         probe = spark.sql(f"SELECT ({expr}) AS v")
         row = probe.first()
@@ -1186,6 +1198,12 @@ class SnapshotCatalog:
             specs = m.group("spec").strip()
             if specs.startswith("(") and _scan_balanced(specs, 0) == len(specs):
                 specs = specs[1:-1].strip()  # optional surrounding parens
+            from .snapshots import _read_manifest, current_version
+
+            sch = _read_manifest(
+                Path(path), current_version(path)
+            ).get("schema") or {}
+            live = {c["name"].lower() for c in sch.get("cols", [])}
             parsed = []
             for spec in _split_top_commas(specs):
                 cm = _parse_col_spec(spec)
@@ -1195,8 +1213,31 @@ class SnapshotCatalog:
                     )
                 # every refusal fires HERE, before any spec commits —
                 # a multi-column statement must not leave the table
-                # with half its columns when a later spec is invalid
+                # with half its columns when a later spec is invalid.
+                # That includes the dynamic checks: the DEFAULT fold
+                # (stored on the spec so _add_one_column never
+                # re-folds), a NOT NULL whose expression default folds
+                # to NULL, and name collisions against the live schema
+                # AND within the statement itself.
                 self._validate_add_column(cm)
+                if cm["default"] is not None:
+                    cm["_folded"] = _fold_default(self.spark, cm["default"])
+                    if cm["notnull"] and (
+                        cm["_folded"][0].strip().lower() == "null"
+                    ):
+                        raise ValueError(
+                            "ADD COLUMN ... NOT NULL requires a "
+                            "non-NULL DEFAULT: the expression default "
+                            f"{cm['default']!r} folds to NULL, so every "
+                            "pre-existing row would violate immediately"
+                        )
+                key = cm["name"].lower()
+                if key in live:
+                    raise ValueError(
+                        f"ADD COLUMN: column {cm['name']!r} already "
+                        "exists"
+                    )
+                live.add(key)  # catches duplicates WITHIN the statement
                 parsed.append(cm)
             for cm in parsed:
                 self._add_one_column(path, cm)
@@ -1944,8 +1985,13 @@ class SnapshotCatalog:
         default, wdefault = cm["default"], None
         if default is not None:
             # expression DEFAULTs: pre-existing rows read the DDL-time
-            # fold, future narrow writes re-evaluate
-            default, wdefault = _fold_default(self.spark, default)
+            # fold, future narrow writes re-evaluate. The ADD COLUMN[S]
+            # statement loop pre-folds during its all-specs-validate
+            # pass (so a fold failure fires before ANY spec commits);
+            # re-fold only for callers that skipped that pass.
+            default, wdefault = (
+                cm.get("_folded") or _fold_default(self.spark, default)
+            )
         snapshot_add_column(
             path, cm["name"], cm["dtype"].lower(), default=default
         )

@@ -833,6 +833,38 @@ def _apply_type_widening(
     return df, (out_types if changed else None)
 
 
+def _prep_replace_batch(df: DataFrame, p, tip: int, m_tip: dict) -> DataFrame:
+    """Shared prelude for every row-creating FULL-REPLACE writer
+    (snapshot_write and the layout writers: with_stats, with_bloom,
+    zordered): enforce constraints, then on mapped tables materialize
+    write defaults and generated columns, map logical names to their
+    frozen physical names, and apply the declared-type discipline (the
+    first write into an empty-DDL table must not freeze a bare SQL
+    literal's narrower physical type; void columns always cast).
+    IDENTITY tables must be routed or refused by the CALLER before this
+    runs — allocation needs replace_where's rebase loop, which a
+    file-reusing full-replace rebase cannot provide."""
+    _enforce_constraints(df, p, tip)
+    sch = m_tip.get("schema") if tip else None
+    if not sch:
+        return df
+    df = _materialize_wdefaults(df, sch)
+    df = _materialize_generated(df, sch)
+    df = _df_to_physical(df, sch)  # mapped table: logical -> physical
+    from pyspark.sql import functions as F
+
+    declared = {c["physical"]: c["type"] for c in sch["cols"]}
+    first_write = not m_tip.get("files")
+    return df.select(*[
+        F.col(c).cast(declared[c]).alias(c)
+        if c in declared and (
+            first_write or dict(df.dtypes)[c] == "void"
+        )
+        else F.col(c)
+        for c in df.columns
+    ])
+
+
 def snapshot_write(df: DataFrame, table_path) -> int:
     """Commit df as a full-replace new version; returns the version.
 
@@ -843,33 +875,11 @@ def snapshot_write(df: DataFrame, table_path) -> int:
     p = _table(table_path)
     tip = current_version(p)
     m_tip = _read_manifest(p, tip) if tip else {}
-    sch = m_tip.get("schema")
-    if _identity_cols(sch):
+    if _identity_cols(m_tip.get("schema")):
         # route BEFORE enforcement — replace_where runs the full gate
         # itself (running it here too would double every LIMIT-1 job)
         return snapshot_replace_where(df.sparkSession, p, None, df)
-    _enforce_constraints(df, p, tip)
-    if tip:
-        if sch:
-            df = _materialize_wdefaults(df, sch)
-            df = _materialize_generated(df, sch)
-            df = _df_to_physical(df, sch)  # mapped table: logical -> physical
-            from pyspark.sql import functions as F
-
-            # same declared-type discipline as snapshot_append: the first
-            # write into an empty-DDL table (INSERT OVERWRITE route) must
-            # not freeze a bare SQL literal's narrower physical type, and
-            # void columns always cast
-            declared = {c["physical"]: c["type"] for c in sch["cols"]}
-            first_write = not m_tip.get("files")
-            df = df.select(*[
-                F.col(c).cast(declared[c]).alias(c)
-                if c in declared and (
-                    first_write or dict(df.dtypes)[c] == "void"
-                )
-                else F.col(c)
-                for c in df.columns
-            ])
+    df = _prep_replace_batch(df, p, tip, m_tip)
     files = _write_files(df, p)
     for attempt in range(COMMIT_RETRIES):
         try:
@@ -2582,8 +2592,10 @@ def _enforce_identity_constraints(
     write. The frame arrives post-materialization (write defaults and
     generated columns already present in the logical namespace); any
     still-absent non-identity column evaluates as its write-time value,
-    same rules as the main pass. Cost: one LIMIT-1 job per deferred
-    constraint over the BATCH, only on identity tables that carry one."""
+    same rules as the main pass. Cost: one LIMIT-1 job TOTAL over the
+    BATCH (delegates to _run_constraint_checks, which evaluates every
+    deferred CHECK as flag columns of a single batch scan), only on
+    identity tables that carry one."""
     from pyspark.sql import functions as F
 
     m = _read_manifest(p, tip) if m is None else m
@@ -3264,21 +3276,36 @@ def snapshot_write_with_stats(
     publishes, so the manifest is immutable like any other). Pass
     ``n_files`` to range-partition the data by the first stats column
     first — disjoint per-file key ranges are what make the stats selective
-    (a hash layout gives every file the full range)."""
+    (a hash layout gives every file the full range).
+
+    Same full-replace prelude as snapshot_write: identity tables route
+    to :func:`snapshot_replace_where` (condition=None, same stats_cols —
+    its rebase loop re-allocates ids; the allocation's one batch
+    exchange may re-coalesce the range layout, but the collected stats
+    keep every prune CORRECT), and mapped tables materialize write
+    defaults + generated columns before going physical."""
     p = _table(table_path)
     tip = current_version(p)
-    _enforce_constraints(df, p, tip)
-    if tip:
-        sch = _read_manifest(p, tip).get("schema")
-        if sch:
-            # mapped table: files and manifest stats keys live in PHYSICAL
-            # space (exactly snapshot_write's disposition) — writing logical
-            # names here would surface NULLs on mapped reads and break
-            # pruning (stats keyed by names no data file carries).
-            df = _df_to_physical(df, sch)
-            stats_cols = [_mapping_physical(sch, c) for c in stats_cols]
+    m_tip = _read_manifest(p, tip) if tip else {}
+    sch = m_tip.get("schema") if tip else None
     if n_files:
+        # range-split in LOGICAL space, before physical mapping or the
+        # identity route — the layout is identical either way
         df = df.repartitionByRange(n_files, *stats_cols[:1])
+    if _identity_cols(sch):
+        # replace_where tracks stats_cols in PHYSICAL space (identity
+        # tables are always mapped), so translate before routing
+        return snapshot_replace_where(
+            df.sparkSession, p, None, df,
+            stats_cols=[_mapping_physical(sch, c) for c in stats_cols],
+        )
+    df = _prep_replace_batch(df, p, tip, m_tip)
+    if sch:
+        # mapped table: files and manifest stats keys live in PHYSICAL
+        # space (exactly snapshot_write's disposition) — writing logical
+        # names here would surface NULLs on mapped reads and break
+        # pruning (stats keyed by names no data file carries).
+        stats_cols = [_mapping_physical(sch, c) for c in stats_cols]
     files = _write_files(df, p)
     stats = _collect_stats(p, files, stats_cols, spark=df.sparkSession)
     return _commit_full_replace(p, files, stats=stats)
@@ -5384,12 +5411,38 @@ def snapshot_write_with_bloom(
     ``bloom_cols`` (and optionally min/max stats for ``stats_cols``,
     range-splitting on the first). Bloom collection mirrors
     _collect_stats' bound: driver-side for small commits, a Spark job
-    over the file list above _DRIVER_STATS_MAX_FILES."""
+    over the file list above _DRIVER_STATS_MAX_FILES.
+
+    Same full-replace prelude as snapshot_write (constraints, write
+    defaults, generated columns, physical mapping); identity tables
+    refuse loudly — replace_where can carry stats through its rebase
+    loop but has no bloom channel, and silently dropping the requested
+    filters would defeat the call's purpose."""
     p = _table(table_path)
+    tip = current_version(p)
+    m_tip = _read_manifest(p, tip) if tip else {}
+    sch = m_tip.get("schema") if tip else None
+    if _identity_cols(sch):
+        raise NotImplementedError(
+            "snapshot_write_with_bloom on a GENERATED ALWAYS AS "
+            "IDENTITY table is unsupported (identity allocation needs "
+            "replace_where's rebase loop, which has no bloom channel) — "
+            "write via snapshot_replace_where(condition=None, "
+            "stats_cols=...) instead"
+        )
     if n_files and stats_cols:
         df = df.repartitionByRange(n_files, stats_cols[0])
     elif n_files:
         df = df.repartition(n_files)
+    df = _prep_replace_batch(df, p, tip, m_tip)
+    if sch:
+        # manifest stats/bloom keys live in PHYSICAL space on mapped
+        # tables, exactly snapshot_write_with_stats' disposition
+        stats_cols = (
+            [_mapping_physical(sch, c) for c in stats_cols]
+            if stats_cols else stats_cols
+        )
+        bloom_cols = [_mapping_physical(sch, c) for c in bloom_cols]
     files = _write_files(df, p)
     stats = (
         _collect_stats(p, files, stats_cols, spark=df.sparkSession)
@@ -5463,14 +5516,28 @@ def snapshot_write_zordered(
     snapshot_read_range prune on EITHER column — the manifest-format form
     of Delta's OPTIMIZE ZORDER BY, where a single-column range split can
     only ever prune its own key. Reuses the sink tier's arrangement
-    (sources/sinks.py::zorder_arrange), so the two layouts cannot drift."""
+    (sources/sinks.py::zorder_arrange), so the two layouts cannot drift.
+
+    Same full-replace prelude as snapshot_write; identity tables route
+    to replace_where AFTER arranging (the curve layout is computed in
+    logical space, so it survives the route; replace_where's rebase
+    loop allocates the ids and tracks the same two stats columns)."""
     from .sinks import zorder_arrange
 
     p = _table(table_path)
-    files = _write_files(
-        zorder_arrange(df, col_a, col_b, n_files=n_files, bits=bits), p
-    )
-    stats = _collect_stats(p, files, [col_a, col_b], spark=df.sparkSession)
+    tip = current_version(p)
+    m_tip = _read_manifest(p, tip) if tip else {}
+    sch = m_tip.get("schema") if tip else None
+    df = zorder_arrange(df, col_a, col_b, n_files=n_files, bits=bits)
+    if _identity_cols(sch):
+        return snapshot_replace_where(
+            df.sparkSession, p, None, df,
+            stats_cols=[_mapping_physical(sch, c) for c in (col_a, col_b)],
+        )
+    df = _prep_replace_batch(df, p, tip, m_tip)
+    pcols = [_mapping_physical(sch, c) if sch else c for c in (col_a, col_b)]
+    files = _write_files(df, p)
+    stats = _collect_stats(p, files, pcols, spark=df.sparkSession)
     return _commit_full_replace(p, files, stats=stats)
 
 
@@ -5485,14 +5552,24 @@ def snapshot_write_zordered_n(
     EVERY clustering column — Delta's OPTIMIZE ZORDER BY (c1, ..., cN).
     Files cover compact N-dimensional boxes, so snapshot_read_box prunes
     on any predicate subset; reuses the sink tier's arrangement
-    (sources/sinks.py::zorder_arrange_n) so the layouts cannot drift."""
+    (sources/sinks.py::zorder_arrange_n) so the layouts cannot drift.
+    Identity/mapped-table disposition mirrors snapshot_write_zordered."""
     from .sinks import zorder_arrange_n
 
     p = _table(table_path)
-    files = _write_files(
-        zorder_arrange_n(df, cols, n_files=n_files, bits=bits), p
-    )
-    stats = _collect_stats(p, files, list(cols), spark=df.sparkSession)
+    tip = current_version(p)
+    m_tip = _read_manifest(p, tip) if tip else {}
+    sch = m_tip.get("schema") if tip else None
+    df = zorder_arrange_n(df, cols, n_files=n_files, bits=bits)
+    if _identity_cols(sch):
+        return snapshot_replace_where(
+            df.sparkSession, p, None, df,
+            stats_cols=[_mapping_physical(sch, c) for c in cols],
+        )
+    df = _prep_replace_batch(df, p, tip, m_tip)
+    pcols = [_mapping_physical(sch, c) if sch else c for c in cols]
+    files = _write_files(df, p)
+    stats = _collect_stats(p, files, pcols, spark=df.sparkSession)
     return _commit_full_replace(p, files, stats=stats)
 
 
@@ -6394,6 +6471,19 @@ def snapshot_upsert_partitioned(
         if current_version(p) else None
     )
     if sch:
+        if _identity_cols(sch):
+            raise NotImplementedError(
+                "snapshot_upsert_partitioned on a GENERATED ALWAYS AS "
+                "IDENTITY table is unsupported (the partition-scoped "
+                "rewrite loop has no per-rebase allocation) — use "
+                "snapshot_upsert / snapshot_merge, whose insert arms "
+                "allocate"
+            )
+        # narrow batches resolve the WRITE default (not the stale birth
+        # default) and compute omitted generated columns — the same
+        # row-creating prelude as snapshot_write/append
+        df = _materialize_wdefaults(df, sch)
+        df = _materialize_generated(df, sch)
         df = _df_to_physical(df, sch)
         keys = [_mapping_physical(sch, k) for k in keys]
         partition_col = _mapping_physical(sch, partition_col)

@@ -1,0 +1,267 @@
+"""Round-15 governance fixes, pinned.
+
+1. ADD COLUMN[S] pre-validation is COMPLETE: every refusal — including
+   the dynamic ones (DEFAULT fold failure, NOT NULL whose expression
+   default folds to NULL, name collisions against the live schema and
+   within the statement) — fires before ANY spec commits, so a
+   multi-column statement can never leave the table half-altered.
+2. _fold_default rejects scalar subqueries (Spark/Delta restrict
+   column DEFAULTs to subquery-free constant expressions; the fold
+   would otherwise freeze arbitrary catalog state as the birth default
+   and re-run the subquery on every narrow write).
+3. The layout full-replace writers honor the row-creating invariants
+   that snapshot_write got in r14: snapshot_write_with_stats routes
+   identity tables to the allocating replace_where (keeping the range
+   layout and per-file stats) and materializes write defaults on
+   mapped tables; snapshot_write_zordered/_n route identity tables
+   after arranging; snapshot_write_with_bloom refuses identity tables
+   loudly (no bloom channel through replace_where) and materializes
+   write defaults.
+4. snapshot_upsert_partitioned refuses identity tables (its rewrite
+   loop has no per-rebase allocation) and materializes write defaults
+   and generated columns for narrow batches.
+"""
+import pytest
+
+from energy_datalake_solution_spark.sources.snapshot_catalog import (
+    SnapshotCatalog,
+)
+from energy_datalake_solution_spark.sources.snapshots import (
+    snapshot_files_for_range,
+    snapshot_read,
+    snapshot_upsert_partitioned,
+    snapshot_write_with_bloom,
+    snapshot_write_with_stats,
+    snapshot_write_zordered,
+)
+
+
+def _cols(spark, cat, name):
+    return [r["col_name"] for r in cat.sql(f"DESCRIBE {name}").collect()]
+
+
+# ---------------------------------------------------------------------------
+# 1. ADD COLUMN[S] atomicity for DYNAMIC refusals
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def ddl_table(spark, tmp_path):
+    t = tmp_path / "t"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE addt (k bigint, v string) USING snapshot "
+        f"LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO addt VALUES (1, 'a'), (2, 'b')")
+    return cat, t
+
+
+def test_add_columns_duplicate_within_statement_is_atomic(ddl_table, spark):
+    cat, t = ddl_table
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("ALTER TABLE addt ADD COLUMNS (x bigint, x string)")
+    assert _cols(spark, cat, "addt") == ["k", "v"]  # nothing landed
+
+
+def test_add_columns_existing_name_in_later_spec_is_atomic(ddl_table, spark):
+    cat, t = ddl_table
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("ALTER TABLE addt ADD COLUMNS (x bigint, v string)")
+    assert _cols(spark, cat, "addt") == ["k", "v"]
+
+
+def test_add_columns_bad_fold_in_later_spec_is_atomic(ddl_table, spark):
+    cat, t = ddl_table
+    # rand() refuses at fold time — and column `a` must NOT have landed
+    with pytest.raises(ValueError, match="nondeterministic"):
+        cat.sql(
+            "ALTER TABLE addt ADD COLUMNS "
+            "(a bigint, b bigint DEFAULT rand())"
+        )
+    assert _cols(spark, cat, "addt") == ["k", "v"]
+
+
+def test_add_columns_notnull_null_folding_default_is_atomic(ddl_table, spark):
+    cat, t = ddl_table
+    # nullif(1,1) folds to NULL: NOT NULL would violate on every
+    # pre-existing row — refuse before spec `a` commits
+    with pytest.raises(ValueError, match="folds to NULL"):
+        cat.sql(
+            "ALTER TABLE addt ADD COLUMNS "
+            "(a bigint, b bigint DEFAULT nullif(1,1) NOT NULL)"
+        )
+    assert _cols(spark, cat, "addt") == ["k", "v"]
+
+
+def test_add_columns_happy_path_still_lands_all(ddl_table, spark):
+    cat, t = ddl_table
+    cat.sql(
+        "ALTER TABLE addt ADD COLUMNS "
+        "(a bigint DEFAULT 7, b string DEFAULT 'x' NOT NULL)"
+    )
+    rows = {
+        (r["k"], r["a"], r["b"])
+        for r in cat.sql("SELECT k, a, b FROM addt").collect()
+    }
+    assert rows == {(1, 7, "x"), (2, 7, "x")}
+
+
+# ---------------------------------------------------------------------------
+# 2. Subquery DEFAULTs refuse
+# ---------------------------------------------------------------------------
+
+def test_default_subquery_refuses_in_create(spark, tmp_path):
+    cat = SnapshotCatalog(spark)
+    spark.range(1).createOrReplaceTempView("some_view")
+    with pytest.raises(ValueError, match="subquery"):
+        cat.sql(
+            f"CREATE TABLE subt (k bigint, "
+            f"d bigint DEFAULT (SELECT max(id) FROM some_view)) "
+            f"USING snapshot LOCATION '{tmp_path / 's'}'"
+        )
+
+
+def test_default_subquery_refuses_in_add_column(spark, tmp_path):
+    t = tmp_path / "t"
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE subt2 (k bigint) USING snapshot LOCATION '{t}'")
+    cat.sql("INSERT INTO subt2 VALUES (1)")
+    spark.range(1).createOrReplaceTempView("some_view")
+    with pytest.raises(ValueError, match="subquery"):
+        cat.sql(
+            "ALTER TABLE subt2 ADD COLUMN "
+            "d bigint DEFAULT (SELECT max(id) FROM some_view)"
+        )
+    # a string literal CONTAINING the word select still folds fine
+    cat.sql("ALTER TABLE subt2 ADD COLUMN note string DEFAULT 'select me'")
+    assert cat.sql("SELECT note FROM subt2").first()["note"] == "select me"
+
+
+# ---------------------------------------------------------------------------
+# 3. Layout full-replace writers: identity + write defaults
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def identity_table(spark, tmp_path):
+    t = tmp_path / "it"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE idt (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"k bigint, v string) USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO idt (k, v) VALUES (1, 'a'), (2, 'b')")
+    return cat, t
+
+
+def test_write_with_stats_identity_routes_and_allocates(
+    spark, identity_table
+):
+    cat, t = identity_table
+    batch = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10, 18)], "k bigint, v string"
+    )
+    snapshot_write_with_stats(batch, t, ["k"], n_files=4)
+    out = snapshot_read(spark, t)
+    rows = out.collect()
+    assert len(rows) == 8                       # full replace
+    ids = [r["id"] for r in rows]
+    assert None not in ids and len(set(ids)) == 8   # allocated, unique
+    # per-file [min,max] stats for k landed in the manifest (the range
+    # prune stays CORRECT: a range outside the data hits no file; the
+    # identity allocation's shuffle may merge the tiny layout, so file
+    # COUNTS aren't asserted here)
+    assert snapshot_files_for_range(t, "k", 10, 17)      # within range
+    assert snapshot_files_for_range(t, "k", 500, 600) == []  # pruned out
+
+
+def test_write_with_stats_materializes_write_default(spark, tmp_path):
+    t = tmp_path / "wd"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE wdt (k bigint, d bigint DEFAULT 1) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO wdt VALUES (1, 1)")
+    cat.sql("ALTER TABLE wdt ALTER COLUMN d SET DEFAULT 42")
+    # narrow batch omits d: must resolve the WRITE default (42), not
+    # the stale birth default (1)
+    snapshot_write_with_stats(
+        spark.createDataFrame([(9,)], "k bigint"), t, ["k"]
+    )
+    assert snapshot_read(spark, t).first()["d"] == 42
+
+
+def test_write_zordered_identity_routes_and_allocates(spark, tmp_path):
+    t = tmp_path / "zit"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE zidt (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"x bigint, y bigint) USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO zidt (x, y) VALUES (1, 1)")
+    batch = spark.createDataFrame(
+        [(i, (i * 7) % 16) for i in range(16)], "x bigint, y bigint"
+    )
+    snapshot_write_zordered(batch, t, "x", "y", n_files=4)
+    out = snapshot_read(spark, t).collect()
+    assert len(out) == 16
+    ids = [r["id"] for r in out]
+    assert None not in ids and len(set(ids)) == 16
+
+
+def test_write_with_bloom_identity_refuses_loudly(spark, identity_table):
+    cat, t = identity_table
+    batch = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    with pytest.raises(NotImplementedError, match="IDENTITY"):
+        snapshot_write_with_bloom(batch, t, ["k"])
+    # and the refusal changed nothing
+    assert snapshot_read(spark, t).count() == 2
+
+
+def test_write_with_bloom_materializes_write_default(spark, tmp_path):
+    t = tmp_path / "wb"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE wbt (k bigint, d bigint DEFAULT 1) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO wbt VALUES (1, 1)")
+    cat.sql("ALTER TABLE wbt ALTER COLUMN d SET DEFAULT 42")
+    snapshot_write_with_bloom(
+        spark.createDataFrame([(9,)], "k bigint"), t, ["k"]
+    )
+    assert snapshot_read(spark, t).first()["d"] == 42
+
+
+# ---------------------------------------------------------------------------
+# 4. snapshot_upsert_partitioned: identity refusal + write defaults
+# ---------------------------------------------------------------------------
+
+def test_upsert_partitioned_identity_refuses(spark, identity_table):
+    cat, t = identity_table
+    batch = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    with pytest.raises(NotImplementedError, match="IDENTITY"):
+        snapshot_upsert_partitioned(spark, batch, t, ["k"], "v")
+    assert snapshot_read(spark, t).count() == 2
+
+
+def test_upsert_partitioned_materializes_write_default(spark, tmp_path):
+    t = tmp_path / "up"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE upt (k bigint, part string, d bigint DEFAULT 1) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO upt VALUES (1, 'p1', 1)")
+    cat.sql("ALTER TABLE upt ALTER COLUMN d SET DEFAULT 42")
+    # narrow upsert batch omitting d resolves the write default
+    snapshot_upsert_partitioned(
+        spark,
+        spark.createDataFrame([(2, "p2")], "k bigint, part string"),
+        t, ["k"], "part",
+    )
+    got = {
+        (r["k"], r["d"])
+        for r in snapshot_read(spark, t).select("k", "d").collect()
+    }
+    assert got == {(1, 1), (2, 42)}
