@@ -3293,3 +3293,309 @@ def snapshot_governance_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(sup_comment).alias("sup_comment"),
     )
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_ddl_lifecycle_read",
+    oracle="""
+        WITH a1 AS (
+            SELECT o_orderkey AS k, o_orderstatus AS cat,
+                   o_totalprice AS total
+            FROM orders WHERE o_orderkey % 7 = 0
+        ), a2 AS (
+            SELECT o_orderkey AS k, o_orderstatus AS cat,
+                   o_totalprice AS total
+            FROM orders WHERE o_orderkey % 7 = 3
+        ), b AS (
+            SELECT c_custkey AS k, c_mktsegment AS cat
+            FROM customer WHERE c_custkey % 5 = 0
+        )
+        SELECT 'orders' AS part, k, cat, total,
+               'etl' AS src, '2024-03-01' AS loaded,
+               CAST(3 AS BIGINT) AS prio,
+               'source system' AS src_comment,
+               'c_prio,c_total' AS violated
+        FROM a1
+        UNION ALL
+        SELECT 'orders', k, cat, total,
+               'late', '2024-03-01', CAST(3 AS BIGINT),
+               'source system', 'c_prio,c_total'
+        FROM a2
+        UNION ALL
+        SELECT 'cust', k, cat, NULL,
+               NULL, NULL, NULL, 'source system', 'c_prio,c_total'
+        FROM b
+    """,
+    tags=("snapshot", "ddl", "governance", "partitioning", "catalog"),
+)
+def snapshot_ddl_lifecycle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-14-late DDL surface under ONE driver hash gate:
+
+    * CREATE TABLE with inline ``PARTITIONED BY`` in BOTH grammar
+      positions (between USING and LOCATION on the orders table; after
+      LOCATION on the customer table) — inserts route per partition
+      value through the manifest partitioning spec;
+    * ADD COLUMNS with the FULL column-spec clause grammar in one
+      multi-column statement: ``NOT NULL`` + ``DEFAULT`` + ``COMMENT``
+      on one column, an EXPRESSION default (``CAST('2024-03-01' AS
+      date)``) on another, and an arithmetic expression default
+      (``1 + 2`` — folds to 3 at DDL time) on a third;
+    * the comment round-trips through DESCRIBE TABLE (its text becomes
+      the ``src_comment`` output column);
+    * MULTI-COLUMN ATOMICITY (the r15 complete pre-validation): three
+      refusal probes — a GENERATED spec, a duplicate of a live column,
+      and a nondeterministic expression default — each in the SECOND
+      spec of a two-column statement; the FIRST spec must not land
+      (the schema is re-checked after each probe, and a leaked column
+      would change the output schema and fail the hash);
+    * write-vs-birth default split: rows inserted BEFORE the ADD read
+      the birth default (``'etl'``), a narrow batch after ``ALTER
+      COLUMN src SET DEFAULT 'late'`` resolves the WRITE default;
+    * multi-constraint single-scan diagnostics (the r14 batched
+      _run_constraint_checks): one insert violating BOTH standing
+      CHECKs must name them ALL in one refusal — the violated names
+      become the ``violated`` output column, so a per-constraint
+      enforcement path (which reports only the first) fails the hash.
+
+    The oracle reconstructs both tables, the defaults by generation,
+    the comment text, and the full violated-constraint list."""
+    import re as _re
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import (
+        SnapshotConstraintViolation,
+        snapshot_read,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_ddl_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ddl_raw_orders"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "ddl_raw_customer"
+    )
+    cat = SnapshotCatalog(spark)
+    ta, tb = base / "orders", base / "cust"
+    # grammar position 1: PARTITIONED BY between USING and LOCATION
+    cat.sql(
+        f"CREATE TABLE ddl_orders (k bigint, cat string, total double) "
+        f"USING snapshot PARTITIONED BY (cat) LOCATION '{ta}'"
+    )
+    cat.sql(
+        "INSERT INTO ddl_orders SELECT o_orderkey, o_orderstatus, "
+        "o_totalprice FROM ddl_raw_orders WHERE o_orderkey % 7 = 0 "
+        "ORDER BY o_orderkey"
+    )
+    # the full ADD COLUMNS clause grammar, one atomic statement
+    cat.sql(
+        "ALTER TABLE ddl_orders ADD COLUMNS ("
+        "src string DEFAULT 'etl' NOT NULL COMMENT 'source system', "
+        "loaded date DEFAULT CAST('2024-03-01' AS date), "
+        "prio bigint DEFAULT 1 + 2)"
+    )
+    desc = {
+        r.col_name: r.comment
+        for r in cat.sql("DESCRIBE TABLE ddl_orders").collect()
+    }
+    if desc.get("src") != "source system":
+        raise RuntimeError(f"ADD COLUMNS comment lost: {desc}")
+    src_comment = desc["src"]
+    # three atomicity probes: the refusal is in the SECOND spec, the
+    # FIRST must not land
+    probes = (
+        ("x1 bigint, g bigint GENERATED ALWAYS AS (k + 1)", "x1"),
+        ("x2 bigint, cat string", "x2"),           # duplicate live name
+        ("x3 bigint, r double DEFAULT rand()", "x3"),
+    )
+    for spec, leaked in probes:
+        try:
+            cat.sql(f"ALTER TABLE ddl_orders ADD COLUMNS ({spec})")
+            raise RuntimeError(f"ADD COLUMNS ({spec}) did not refuse")
+        except ValueError:
+            pass
+        cols_now = [
+            r.col_name for r in cat.sql("DESCRIBE TABLE ddl_orders").collect()
+        ]
+        if leaked in cols_now:
+            raise RuntimeError(
+                f"ADD COLUMNS atomicity broke: {leaked} landed from a "
+                f"refused statement"
+            )
+    # write-vs-birth default split on the narrow second insert
+    cat.sql("ALTER TABLE ddl_orders ALTER COLUMN src SET DEFAULT 'late'")
+    cat.sql(
+        "INSERT INTO ddl_orders (k, cat, total) SELECT o_orderkey, "
+        "o_orderstatus, o_totalprice FROM ddl_raw_orders "
+        "WHERE o_orderkey % 7 = 3 ORDER BY o_orderkey"
+    )
+    # multi-constraint single-scan diagnostics: violate BOTH at once
+    cat.sql("ALTER TABLE ddl_orders ADD CONSTRAINT c_total CHECK (total >= 0)")
+    cat.sql("ALTER TABLE ddl_orders ADD CONSTRAINT c_prio CHECK (prio < 100)")
+    try:
+        cat.sql(
+            "INSERT INTO ddl_orders (k, cat, total, prio) "
+            "VALUES (999999999, 'X', -5.0, 500)"
+        )
+        raise RuntimeError("multi-constraint violation did not refuse")
+    except SnapshotConstraintViolation as e:
+        msg = str(e)
+        named = set(_re.findall(r"'(c_\w+)'", msg))
+        named |= set(_re.findall(r"(c_\w+)", msg.split("also violated", 1)[1])
+                     if "also violated" in msg else [])
+        if named != {"c_total", "c_prio"}:
+            raise RuntimeError(
+                f"single-scan diagnostics regressed: named {named} "
+                f"in {msg!r}"
+            )
+        violated = ",".join(sorted(named))
+    # grammar position 2: PARTITIONED BY after LOCATION
+    cat.sql(
+        f"CREATE TABLE ddl_cust (k bigint, cat string) USING snapshot "
+        f"LOCATION '{tb}' PARTITIONED BY (cat)"
+    )
+    cat.sql(
+        "INSERT INTO ddl_cust SELECT c_custkey, c_mktsegment "
+        "FROM ddl_raw_customer WHERE c_custkey % 5 = 0 ORDER BY c_custkey"
+    )
+    cat.drop_table("ddl_orders")
+    cat.drop_table("ddl_cust")
+    a = snapshot_read(spark, ta).select(
+        F.lit("orders").alias("part"), "k", "cat", "total", "src",
+        F.col("loaded").cast("string").alias("loaded"), "prio",
+        F.lit(src_comment).alias("src_comment"),
+        F.lit(violated).alias("violated"),
+    )
+    b = snapshot_read(spark, tb).select(
+        F.lit("cust").alias("part"), "k", "cat",
+        F.lit(None).cast("double").alias("total"),
+        F.lit(None).cast("string").alias("src"),
+        F.lit(None).cast("string").alias("loaded"),
+        F.lit(None).cast("bigint").alias("prio"),
+        F.lit(src_comment).alias("src_comment"),
+        F.lit(violated).alias("violated"),
+    )
+    return a.unionByName(b).localCheckpoint(eager=True)
+
+
+@register(
+    "stream_paced_sink_read",
+    oracle="""
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               o_totalprice AS total,
+               CAST(3 AS BIGINT) AS drain_runs,
+               CAST(1 AS BIGINT) AS resume_runs
+        FROM orders WHERE o_orderkey % 11 IN (0, 1, 2)
+    """,
+    tags=("streaming", "snapshot", "rate-limit", "exactly-once"),
+)
+def stream_paced_sink_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming maintenance surface under ONE driver hash gate,
+    batch-composed so the result is deterministic:
+
+    * a snapshot SOURCE table with three commits of KNOWN file counts
+      (2 + 1 + 1 — repartitionByRange/coalesce pin the layout);
+    * a RATE-LIMITED stream over it (``maxFilesPerTrigger=1``, Delta's
+      backpressure knob on the version-offset DataSource): with
+      ``trigger(availableNow)`` each run drains exactly ONE paced slice,
+      so draining the 3-file backlog takes exactly three runs — each a
+      RESTART resuming from the checkpointed ``(version, index)``
+      offset (run counts are asserted in-fixture; a pacing regression
+      fails loudly before the hash is even computed);
+    * the exactly-once SINK (stream_snapshot_sink's (appId, batchId)
+      txn protocol): a replay run against the drained checkpoint must
+      commit NOTHING (row count pinned), and a fourth commit on the
+      source drains in exactly one more resumed run;
+    * the mid-version split: the first source commit lands 2 files, so
+      run 2 resumes from an offset INSIDE that version — no row skipped
+      or doubled (the content hash proves it).
+
+    The oracle is the union of the three source slices plus the pinned
+    run counts — duplicates from a replayed batch, losses from a
+    mis-resumed offset, or a pacing change all fail the hash."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_datasource import SnapshotDataSource
+    from ..sources.snapshots import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_write,
+        stream_snapshot_sink,
+    )
+
+    try:
+        spark.dataSource.register(SnapshotDataSource)
+    except Exception:
+        pass  # already registered in this session
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_paced_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, out, ckpt = base / "src", base / "out", base / "ckpt"
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS k", "o_orderstatus AS st", "o_totalprice AS total"
+    )
+    # commit 1: TWO files (the mid-version split target); commit 2: one
+    snapshot_write(
+        orders.where("k % 11 = 0").repartitionByRange(2, "k"), src
+    )
+    snapshot_append(orders.where("k % 11 = 1").coalesce(1), src)
+
+    def paced_stream() -> DataFrame:
+        return (
+            spark.readStream.format("snapshot")
+            .option("path", str(src))
+            .option("maxFilesPerTrigger", "1")
+            .load()
+        )
+
+    def drain_runs(expect_rows: int, max_runs: int) -> int:
+        """availableNow + maxFilesPerTrigger drains ONE slice per run;
+        re-run (a checkpoint RESTART each time) until the sink holds
+        expect_rows. Returns the number of runs that made progress."""
+        runs = 0
+        for _ in range(max_runs):
+            q = stream_snapshot_sink(paced_stream(), out, ckpt)
+            q.awaitTermination(300)
+            runs += 1
+            if snapshot_read(spark, out).count() == expect_rows:
+                return runs
+        raise RuntimeError(
+            f"paced drain did not reach {expect_rows} rows in "
+            f"{max_runs} runs"
+        )
+
+    n1 = orders.where("k % 11 = 0").count()
+    n2 = orders.where("k % 11 = 1").count()
+    n3 = orders.where("k % 11 = 2").count()
+    first = drain_runs(n1 + n2, max_runs=5)
+    if first != 3:
+        raise RuntimeError(
+            f"pacing regressed: 3 files should drain in 3 runs, took "
+            f"{first}"
+        )
+    # replay run on the drained checkpoint: exactly-once means NOTHING
+    # commits (a duplicated batch would double rows and fail the hash)
+    q = stream_snapshot_sink(paced_stream(), out, ckpt)
+    q.awaitTermination(300)
+    if snapshot_read(spark, out).count() != n1 + n2:
+        raise RuntimeError("replay run changed the sink — exactly-once broke")
+    # commit 4 on the source: one more file, one more resumed run
+    snapshot_append(orders.where("k % 11 = 2").coalesce(1), src)
+    resume = drain_runs(n1 + n2 + n3, max_runs=3)
+    if resume != 1:
+        raise RuntimeError(
+            f"resume regressed: 1 new file should drain in 1 run, took "
+            f"{resume}"
+        )
+    got = snapshot_read(spark, out).select(
+        "k", "st", "total",
+        F.lit(first).cast("bigint").alias("drain_runs"),
+        F.lit(resume).cast("bigint").alias("resume_runs"),
+    )
+    return got.localCheckpoint(eager=True)

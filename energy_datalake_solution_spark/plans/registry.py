@@ -92,75 +92,74 @@ def _load_all() -> None:
     )
 
 
-# Explicit surface order — ROUND-14 ACTIVE WINDOW. External harnesses that
+# Explicit surface order — ROUND-15 ACTIVE WINDOW. External harnesses that
 # sample a prefix of the query surface (a correctness gate bounded to the
 # first ~50 entries) see this ordering. Composition rule (enforced by
 # tests/test_queries_oracle.py's guard, which reads the committed
-# CORRECTNESS_r*.json artifacts directly): (1) queries BORN or oracle-
-# GRADUATED this round lead (snapshot_governance_read is new; the two BPE
-# tokenizer queries graduated from rows-only to a recursive-CTE DuckDB
-# oracle, so their hashes have never been driver-checked); (2) the
-# stalest cohort — the 11-query alphabetical tail of the r9-green set
-# that did not fit the r13 window (star_integrity_audit ..
-# window_running_customer_spend); (3) the r10-green cohort, alphabetical
-# first 36 of 50 (its tail of 14 leads the r15 rotation). All stay
-# continuously DuckDB-oracled by tests/test_queries_oracle.py regardless.
+# CORRECTNESS_r*.json artifacts directly): (1) queries BORN this round
+# lead (snapshot_ddl_lifecycle_read gates the r14-late DDL surface;
+# stream_paced_sink_read gates rate-limited streaming + exactly-once
+# sinks — both new, never driver-hash-checked); (2) the stalest cohort —
+# the r10-green set's alphabetical tail of 14 that did not fit the r14
+# window (multimodal_payload_stats .. window_top3_orders_per_customer);
+# (3) the r11-green cohort, alphabetical first 34 of 50 (its tail of 16
+# leads the r16 rotation). All stay continuously DuckDB-oracled by
+# tests/test_queries_oracle.py regardless.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born/graduated round 14, never driver-hash-checked (new
-    #     queries go HERE, at the top, so the gate window always sees
-    #     them first) ---
-    "snapshot_governance_read",
-    "corpus_bpe_merges",
-    "docs_bpe_encode",
-    # --- latest hash-green round 9: the 11-query stale tail ---
-    "star_integrity_audit",
-    "stats_quantity_by_flag",
-    "string_function_suite",
-    "suppliers_per_nation",
-    "tpch_q11_important_part_stock",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "typed_projection",
-    "window_function_suite",
-    "window_order_gap_days",
-    "window_running_customer_spend",
-    # --- latest hash-green round 10: alphabetical first 36 of 50 ---
-    "basket_part_pairs",
-    "corpus_bigram_merge_candidates",
-    "corpus_vocabulary",
-    "customer_rfm_segments",
-    "docs_bigram_lm_score",
-    "docs_chunk_fixed_tokens",
-    "docs_chunk_udtf",
-    "docs_dedup_clusters",
-    "docs_domain_mix_weights",
-    "docs_dup_rate_by_source",
-    "docs_duplicate_span_pairs",
-    "docs_duplicate_span_stats",
-    "docs_exact_dedup",
-    "docs_quality_score",
-    "docs_source_budget_cap",
-    "docs_temperature_sample",
-    "docs_token_stats",
-    "docs_winnowed_fingerprints",
-    "embeddings_cosine_near_dups",
-    "embeddings_cosine_topk",
-    "embeddings_lsh_ann",
-    "embeddings_lsh_probe",
-    "embeddings_norm_stats",
-    "events_asof_error_to_click",
-    "events_range_join_error_click_pairs",
-    "events_resample_hourly_ffill_sharded",
-    "events_sessionization",
-    "events_tumbling_hourly",
-    "events_value_outliers",
-    "fixtures_etl_curated",
-    "knn_graph_pagerank",
-    "merge_upsert_orders",
-    "multimodal_gif_pixel_stats",
-    "multimodal_jpeg_420_pixel_stats",
-    "multimodal_jpeg_422_pixel_stats",
-    "multimodal_jpeg_progressive_pixel_stats",
+    # --- born round 15, never driver-hash-checked (new queries go
+    #     HERE, at the top, so the gate window always sees them first) ---
+    "snapshot_ddl_lifecycle_read",
+    "stream_paced_sink_read",
+    # --- latest hash-green round 10: the 14-query stale tail ---
+    "multimodal_payload_stats",
+    "multimodal_png_pixel_stats",
+    "snapshot_bloom_point_lookup_orders",
+    "snapshot_bucketed_join_read",
+    "snapshot_cdc_mirror_read",
+    "snapshot_conditional_merge_read",
+    "snapshot_partition_evolution_read",
+    "snapshot_predicate_dml_read",
+    "snapshot_pruned_range_read",
+    "snapshot_retention_delete_orders",
+    "snapshot_txn_two_table_read",
+    "star_join_lineitem",
+    "top_customers_by_revenue",
+    "window_top3_orders_per_customer",
+    # --- latest hash-green round 11: alphabetical first 34 of 50 ---
+    "docs_incremental_simhash_dedup",
+    "docs_lm_quality_buckets",
+    "docs_lm_score_pandas_kernel",
+    "docs_more_like_this",
+    "docs_multitier_dup_pairs",
+    "docs_ngram_jaccard_pairs",
+    "docs_repetition_stats",
+    "docs_simhash_near_dups",
+    "docs_split_contamination",
+    "docs_stratified_sample",
+    "docs_tfidf_top_terms",
+    "docs_training_corpus",
+    "embeddings_knn_graph",
+    "lateral_explode_tokens",
+    "multimodal_jpeg_pixel_stats",
+    "multimodal_resize_stats",
+    "multimodal_tiff_pixel_stats",
+    "multimodal_wav_adpcm_stats",
+    "multimodal_wav_g711_stats",
+    "skew_salted_agg_event_types",
+    "skew_salted_join_event_enrich",
+    "snapshot_analyze_read",
+    "snapshot_change_feed_orders",
+    "snapshot_copy_into_read",
+    "snapshot_ctas_read",
+    "snapshot_mirror_loop_read",
+    "snapshot_mor_delete_read",
+    "snapshot_multicol_partition_read",
+    "snapshot_or_pruning_read",
+    "snapshot_purge_read",
+    "snapshot_schema_ddl_read",
+    "snapshot_schema_evolution_read",
+    "snapshot_soft_delete_read",
+    "snapshot_time_travel_read",
 )
 
 

@@ -259,25 +259,46 @@ def _scan_default_value(s: str, i: int) -> int:
     """End index of a DEFAULT value starting at ``s[i]``: a quoted
     string, or a token run with balanced parens (so expression defaults
     like ``current_date()`` or ``date_add(current_date(), 7)`` parse),
-    ending at top-level whitespace."""
+    ending at top-level whitespace — UNLESS the next token is an infix
+    operator (``DEFAULT 1 + 2``, ``DEFAULT 'a' || 'b'``), which
+    continues the expression; clause keywords are alphabetic and never
+    match, so ``DEFAULT 1 NOT NULL`` still splits correctly."""
     n = len(s)
-    if i < n and s[i] == "'":
-        j = i + 1
-        while j < n:
-            if s[j] == "'":
-                if j + 1 < n and s[j + 1] == "'":
-                    j += 2
-                    continue
-                return j + 1
-            j += 1
-        raise ValueError(f"unterminated string literal in {s!r}")
-    j = i
-    while j < n and not s[j].isspace():
-        if s[j] == "(":
-            j = _scan_balanced(s, j)
+
+    def _one(j: int) -> int:
+        # one operand: quoted string, or token run with balanced parens
+        if j < n and s[j] == "'":
+            k = j + 1
+            while k < n:
+                if s[k] == "'":
+                    if k + 1 < n and s[k + 1] == "'":
+                        k += 2
+                        continue
+                    return k + 1
+                k += 1
+            raise ValueError(f"unterminated string literal in {s!r}")
+        while j < n and not s[j].isspace():
+            if s[j] == "(":
+                j = _scan_balanced(s, j)
+            elif s[j] == "'":
+                return _one(j)
+            else:
+                j += 1
+        return j
+
+    j = _one(i)
+    while True:
+        k = j
+        while k < n and s[k].isspace():
+            k += 1
+        if k < n and s[k] in "+-*/%|&^<>=":
+            while k < n and s[k] in "+-*/%|&^<>=":
+                k += 1
+            while k < n and s[k].isspace():
+                k += 1
+            j = _one(k)
         else:
-            j += 1
-    return j
+            return j
 
 
 def _parse_col_spec(spec: str) -> dict | None:

@@ -229,8 +229,23 @@ def _parse_default_literal(expr: str):
     read path has no SQL engine; defaults are restricted to literals —
     quoted strings with '' escapes, ints, floats, true/false, NULL)."""
     t = expr.strip()
-    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
-        return t[1:-1].replace("''", "'")
+    if len(t) >= 2 and t[0] == "'":
+        # must be ONE quoted literal spanning the whole text ('' escapes):
+        # a first/last-char check would swallow expressions like
+        # ``'x' || 'y'`` as the "literal" x' || 'y
+        i, n, out = 1, len(t), []
+        while i < n:
+            if t[i] == "'":
+                if i + 1 < n and t[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                break
+            out.append(t[i])
+            i += 1
+        if i == n - 1 and t[i] == "'":
+            return "".join(out)
+        raise ValueError(f"not a single quoted literal: {expr!r}")
     low = t.lower()
     if low == "null":
         return None

@@ -265,3 +265,41 @@ def test_upsert_partitioned_materializes_write_default(spark, tmp_path):
         for r in snapshot_read(spark, t).select("k", "d").collect()
     }
     assert got == {(1, 1), (2, 42)}
+
+
+# ---------------------------------------------------------------------------
+# 5. Infix-operator expression DEFAULTs parse (the r15 scanner extension)
+# ---------------------------------------------------------------------------
+
+def test_default_infix_expression_parses_and_folds(spark, tmp_path):
+    t = tmp_path / "ix"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE ixt (k bigint, a bigint DEFAULT 1 + 2, "
+        f"b string DEFAULT 'x' || 'y', c bigint DEFAULT 10 - 3 NOT NULL) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO ixt (k) VALUES (1)")
+    row = cat.sql("SELECT a, b, c FROM ixt").first()
+    assert (row["a"], row["b"], row["c"]) == (3, "xy", 7)
+    # infix default composes with the clause grammar in ADD COLUMNS
+    cat.sql("ALTER TABLE ixt ADD COLUMN d bigint DEFAULT 2 * 4 COMMENT 'm'")
+    assert cat.sql("SELECT d FROM ixt").first()["d"] == 8
+
+
+def test_default_infix_stops_at_clause_keywords(spark, tmp_path):
+    t = tmp_path / "ix2"
+    cat = SnapshotCatalog(spark)
+    # NOT NULL after an infix default must split as a clause, not be
+    # swallowed into the expression
+    cat.sql(
+        f"CREATE TABLE ixt2 (k bigint, a bigint DEFAULT 5 + 5 NOT NULL "
+        f"COMMENT 'ten') USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO ixt2 (k) VALUES (1)")
+    assert cat.sql("SELECT a FROM ixt2").first()["a"] == 10
+    desc = {
+        r.col_name: r.comment
+        for r in cat.sql("DESCRIBE TABLE ixt2").collect()
+    }
+    assert desc.get("a") == "ten"
