@@ -70,6 +70,7 @@ contract one level up:
             -> snapshot_change_feed (batch CDF: net row changes with
             _change_type, reading only the files that changed)
         ANALYZE TABLE <name> COMPUTE STATISTICS FOR COLUMNS (a, b)
+        ANALYZE TABLE <name> COMPUTE BLOOM FILTERS FOR COLUMNS (a, b)
             -> snapshot_analyze (metadata-only stats backfill: retrofits
             file pruning onto stats-less tables — CTAS results,
             DataSource writes, inherited lakes)
@@ -806,7 +807,7 @@ _VACUUM_RE = re.compile(
 )
 _ANALYZE_RE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+COMPUTE\s+"
-    r"STATISTICS\s+FOR\s+COLUMNS\s*\(?\s*"
+    r"(?:STATISTICS|(?P<bloom>BLOOM\s+FILTERS))\s+FOR\s+COLUMNS\s*\(?\s*"
     r"(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -1566,10 +1567,11 @@ class SnapshotCatalog:
             return None
         m = _ANALYZE_RE.match(text)
         if m and m.group("name") in self._tables:
-            from .snapshots import snapshot_analyze
+            from .snapshots import snapshot_analyze, snapshot_analyze_blooms
 
             path = self._writable(m.group("name"))
-            snapshot_analyze(
+            fn = snapshot_analyze_blooms if m.group("bloom") else snapshot_analyze
+            fn(
                 self.spark, path,
                 [c.strip() for c in m.group("cols").split(",")],
             )

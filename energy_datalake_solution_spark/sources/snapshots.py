@@ -5415,21 +5415,28 @@ def snapshot_write_with_bloom(
 
     Same full-replace prelude as snapshot_write (constraints, write
     defaults, generated columns, physical mapping); identity tables
-    refuse loudly — replace_where can carry stats through its rebase
-    loop but has no bloom channel, and silently dropping the requested
-    filters would defeat the call's purpose."""
+    route to the allocating replace_where and then backfill the
+    requested filters with :func:`snapshot_analyze_blooms` — TWO
+    commits instead of one (a reader between them sees the rows with
+    no filters yet; blooms are pruning hints, so nothing is ever
+    wrong, only momentarily unpruned)."""
     p = _table(table_path)
     tip = current_version(p)
     m_tip = _read_manifest(p, tip) if tip else {}
     sch = m_tip.get("schema") if tip else None
     if _identity_cols(sch):
-        raise NotImplementedError(
-            "snapshot_write_with_bloom on a GENERATED ALWAYS AS "
-            "IDENTITY table is unsupported (identity allocation needs "
-            "replace_where's rebase loop, which has no bloom channel) — "
-            "write via snapshot_replace_where(condition=None, "
-            "stats_cols=...) instead"
+        if n_files and stats_cols:
+            df = df.repartitionByRange(n_files, stats_cols[0])
+        elif n_files:
+            df = df.repartition(n_files)
+        snapshot_replace_where(
+            df.sparkSession, p, None, df,
+            stats_cols=(
+                [_mapping_physical(sch, c) for c in stats_cols]
+                if stats_cols else None
+            ),
         )
+        return snapshot_analyze_blooms(df.sparkSession, p, bloom_cols)
     if n_files and stats_cols:
         df = df.repartitionByRange(n_files, stats_cols[0])
     elif n_files:
@@ -5472,6 +5479,81 @@ def snapshot_write_with_bloom(
         if b is not None:
             blooms.setdefault(rel, {})[c] = b
     return _commit_full_replace(p, files, stats=stats, blooms=blooms)
+
+
+def _collect_blooms(
+    p: Path, files: list[str], bloom_cols: list[str], spark: SparkSession
+) -> dict:
+    """Per-file Bloom filters for ``bloom_cols`` over ``files`` — the
+    same driver/distributed split as snapshot_write_with_bloom's inline
+    collection (driver loop for small file lists, a Spark job above
+    _DRIVER_STATS_MAX_FILES)."""
+    root = str(p)
+    if len(files) > _DRIVER_STATS_MAX_FILES:
+        sc = spark.sparkContext
+        pairs = (
+            sc.parallelize(
+                [(rel, c) for rel in files for c in bloom_cols],
+                max(1, len(files) // 32),
+            )
+            .map(lambda rc: (rc[0], rc[1], _file_bloom(f"{root}/{rc[0]}", rc[1])))
+            .collect()
+        )
+    else:
+        pairs = [
+            (rel, c, _file_bloom(f"{root}/{rel}", c))
+            for rel in files
+            for c in bloom_cols
+        ]
+    blooms: dict[str, dict[str, str]] = {}
+    for rel, c, b in pairs:
+        if b is not None:
+            blooms.setdefault(rel, {})[c] = b
+    return blooms
+
+
+def snapshot_analyze_blooms(spark: SparkSession, table_path, cols: list) -> int:
+    """ANALYZE TABLE ... COMPUTE BLOOM FILTERS FOR COLUMNS: backfill
+    per-file Bloom filters for the given columns over every LIVE file
+    and commit them as a metadata-only version — the bloom twin of
+    :func:`snapshot_analyze`. Retrofits point-lookup file skipping onto
+    tables written without filters (CTAS results, identity-routed
+    overwrites, inherited lakes); after one pass,
+    snapshot_files_for_point prunes exactly like a bloom-born table.
+    The merged map replaces prior filters for the analyzed columns and
+    keeps other columns' entries; the footer sweep distributes above
+    the driver bound like every metadata scan. Columns are LOGICAL
+    names on mapped tables."""
+    p = _table(table_path)
+    cols = list(cols)
+    if not cols:
+        raise ValueError("ANALYZE BLOOM FILTERS needs at least one column")
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        if parent == 0:
+            raise FileNotFoundError(f"no snapshot table at {table_path}")
+        m = _read_manifest(p, parent)
+        sch = m.get("schema")
+        pcols = [_mapping_physical(sch, c) if sch else c for c in cols]
+        files = list(m["files"])
+        fresh = _collect_blooms(p, files, pcols, spark)
+        merged: dict = {}
+        old = m.get("blooms", {}) or {}
+        for f in files:
+            ent = dict(old.get(f, {}))
+            ent.update(fresh.get(f, {}))
+            if ent:
+                merged[f] = ent
+        try:
+            return _commit(p, files, parent, stats=m.get("stats") or None,
+                           blooms=merged or None,
+                           dv=dict(m.get("dv", {}) or {}) or None,
+                           op="analyze-blooms",
+                           types_meta=m.get("types"))
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
 
 
 def snapshot_files_for_point(table_path, col, value, version: int | None = None) -> list[str]:

@@ -14,12 +14,16 @@
    identity tables to the allocating replace_where (keeping the range
    layout and per-file stats) and materializes write defaults on
    mapped tables; snapshot_write_zordered/_n route identity tables
-   after arranging; snapshot_write_with_bloom refuses identity tables
-   loudly (no bloom channel through replace_where) and materializes
-   write defaults.
+   after arranging; snapshot_write_with_bloom routes and then
+   backfills its filters via snapshot_analyze_blooms.
 4. snapshot_upsert_partitioned refuses identity tables (its rewrite
    loop has no per-rebase allocation) and materializes write defaults
    and generated columns for narrow batches.
+5. Infix-operator expression DEFAULTs (``DEFAULT 1 + 2``) parse, fold,
+   and split correctly at clause keywords.
+6. ANALYZE TABLE ... COMPUTE BLOOM FILTERS FOR COLUMNS backfills
+   point-lookup pruning onto bloomless tables as a metadata-only
+   commit (the bloom twin of snapshot_analyze).
 """
 import pytest
 
@@ -209,13 +213,26 @@ def test_write_zordered_identity_routes_and_allocates(spark, tmp_path):
     assert None not in ids and len(set(ids)) == 16
 
 
-def test_write_with_bloom_identity_refuses_loudly(spark, identity_table):
+def test_write_with_bloom_identity_routes_and_backfills(
+    spark, identity_table
+):
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_files_for_point,
+    )
+
     cat, t = identity_table
-    batch = spark.createDataFrame([(1, "x")], "k bigint, v string")
-    with pytest.raises(NotImplementedError, match="IDENTITY"):
-        snapshot_write_with_bloom(batch, t, ["k"])
-    # and the refusal changed nothing
-    assert snapshot_read(spark, t).count() == 2
+    batch = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30, 38)], "k bigint, v string"
+    )
+    snapshot_write_with_bloom(batch, t, ["k"], n_files=4)
+    rows = snapshot_read(spark, t).collect()
+    assert len(rows) == 8
+    ids = [r["id"] for r in rows]
+    assert None not in ids and len(set(ids)) == 8   # allocated, unique
+    # the backfilled blooms prune point lookups: a value outside the
+    # data hits no file
+    assert snapshot_files_for_point(t, "k", 999_999) == []
+    assert snapshot_files_for_point(t, "k", 31)      # present value kept
 
 
 def test_write_with_bloom_materializes_write_default(spark, tmp_path):
@@ -303,3 +320,48 @@ def test_default_infix_stops_at_clause_keywords(spark, tmp_path):
         for r in cat.sql("DESCRIBE TABLE ixt2").collect()
     }
     assert desc.get("a") == "ten"
+
+
+# ---------------------------------------------------------------------------
+# 6. ANALYZE ... COMPUTE BLOOM FILTERS (the bloom twin of snapshot_analyze)
+# ---------------------------------------------------------------------------
+
+def test_analyze_blooms_backfills_point_pruning(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_files_for_point,
+        snapshot_read,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "ab"
+    df = spark.range(0, 400).selectExpr("id AS k", "id % 7 AS v")
+    # stats-only table: 4 range-split files, NO blooms yet
+    snapshot_write_with_stats(df, t, ["k"], n_files=4)
+    before = snapshot_files_for_point(t, "v", 3)
+    assert len(before) == 4  # v has no stats/blooms: every file kept
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE abt USING snapshot LOCATION '{t}'")
+    cat.sql("ANALYZE TABLE abt COMPUTE BLOOM FILTERS FOR COLUMNS (v)")
+    # metadata-only: same rows, new version
+    assert snapshot_read(spark, t).count() == 400
+    # a value no file contains now prunes to zero via the blooms
+    assert snapshot_files_for_point(t, "v", 12345) == []
+    # present values keep their files
+    assert snapshot_files_for_point(t, "v", 3)
+
+
+def test_analyze_blooms_merges_with_existing_columns(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_analyze_blooms,
+        snapshot_files_for_point,
+        snapshot_write_with_bloom,
+    )
+
+    t = tmp_path / "abm"
+    df = spark.range(0, 100).selectExpr("id AS k", "id + 1000 AS w")
+    snapshot_write_with_bloom(df, t, ["k"], n_files=2)
+    snapshot_analyze_blooms(spark, t, ["w"])
+    # both the write-time column and the analyzed one prune
+    assert snapshot_files_for_point(t, "k", 777_777) == []
+    assert snapshot_files_for_point(t, "w", 777_777) == []
+    assert snapshot_files_for_point(t, "w", 1005)
