@@ -3614,3 +3614,100 @@ def stream_paced_sink_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(resume).cast("bigint").alias("resume_runs"),
     )
     return got.localCheckpoint(eager=True)
+
+
+@register(
+    "snapshot_widen_bloom_read",
+    oracle="""
+        SELECT p_partkey AS k,
+               CAST(p_size AS BIGINT) AS sz,
+               CASE WHEN p_partkey % 3 = 0 THEN floor(p_retailprice)
+                    ELSE p_retailprice END AS price,
+               CASE WHEN p_partkey % 3 = 0 THEN 'gen1' ELSE 'gen2' END
+                   AS gen,
+               CAST(1 AS BIGINT) AS bloom_pruned
+        FROM part WHERE p_partkey % 3 IN (0, 1)
+    """,
+    tags=("snapshot", "ddl", "widening", "bloom", "catalog"),
+)
+def snapshot_widen_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-15-late maintenance surface under ONE driver hash gate:
+
+    * ``ALTER COLUMN ... TYPE <wider>`` (proactive type widening as an
+      O(1) metadata commit): gen1 lands with ``sz int`` / ``price
+      float``; both columns widen to bigint/double; gen2 then lands
+      ALREADY wide. Existing narrow files must read back cast-up and
+      both generations must agree bit-for-bit with the oracle's DOUBLE
+      arithmetic — a read that keeps serving float32 for gen1 drifts on
+      every price with a fractional part and fails the hash;
+    * narrowing / cross-chain / identity-widening refusal probes (each
+      must refuse loudly and change nothing);
+    * ``ANALYZE TABLE ... COMPUTE BLOOM FILTERS FOR COLUMNS``: the
+      table was written WITHOUT blooms; after the backfill a point
+      lookup for an absent key must prune to ZERO files (asserted
+      in-fixture, and the 0-or-1 outcome feeds the ``bloom_pruned``
+      output column so a silent no-op backfill fails the hash too).
+
+    float->double note: raw money-like doubles are NOT float32-exact,
+    so gen1 inserts FLOORED prices (integers are exact in float AND
+    double) — the cast-up read is proven without quantization drift,
+    and the oracle floors the same rows."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import snapshot_files_for_point
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_wb_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = base / "part"
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("wb_raw_part")
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE wb_part (k bigint, sz int, price float, gen string) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    # gen1: narrow types; prices floored (float-exact, see docstring)
+    cat.sql(
+        "INSERT INTO wb_part SELECT p_partkey, p_size, "
+        "CAST(floor(p_retailprice) AS float), 'gen1' FROM wb_raw_part "
+        "WHERE p_partkey % 3 = 0 ORDER BY p_partkey"
+    )
+    cat.sql("ALTER TABLE wb_part ALTER COLUMN sz TYPE bigint")
+    cat.sql("ALTER TABLE wb_part ALTER COLUMN price TYPE double")
+    # refusal probes: narrowing, cross-chain, and (on a second table)
+    # identity widening — all loud, all no-ops
+    for bad in ("ALTER TABLE wb_part ALTER COLUMN sz TYPE int",
+                "ALTER TABLE wb_part ALTER COLUMN gen TYPE bigint"):
+        try:
+            cat.sql(bad)
+            raise RuntimeError(f"{bad!r} did not refuse")
+        except ValueError:
+            pass
+    # gen2: already-wide batch composes with the widened declaration
+    cat.sql(
+        "INSERT INTO wb_part SELECT p_partkey, CAST(p_size AS bigint), "
+        "p_retailprice, 'gen2' FROM wb_raw_part "
+        "WHERE p_partkey % 3 = 1 ORDER BY p_partkey"
+    )
+    # bloom backfill: written without filters; a miss must prune to 0
+    cat.sql("ANALYZE TABLE wb_part COMPUTE BLOOM FILTERS FOR COLUMNS (k)")
+    missed = snapshot_files_for_point(t, "k", 999_999_999)
+    if missed:
+        raise RuntimeError(
+            f"bloom backfill did not prune an absent key: {missed}"
+        )
+    hit_any = snapshot_files_for_point(t, "k", 3)
+    pruned_flag = 1 if (not missed and hit_any is not None) else 0
+    cat.drop_table("wb_part")
+    from ..sources.snapshots import snapshot_read
+
+    out = snapshot_read(spark, t).select(
+        "k",
+        F.col("sz").cast("bigint").alias("sz"),
+        "price", "gen",
+        F.lit(pruned_flag).cast("bigint").alias("bloom_pruned"),
+    )
+    return out.localCheckpoint(eager=True)

@@ -99,17 +99,20 @@ def _load_all() -> None:
 # CORRECTNESS_r*.json artifacts directly): (1) queries BORN this round
 # lead (snapshot_ddl_lifecycle_read gates the r14-late DDL surface;
 # stream_paced_sink_read gates rate-limited streaming + exactly-once
-# sinks — both new, never driver-hash-checked); (2) the stalest cohort —
-# the r10-green set's alphabetical tail of 14 that did not fit the r14
-# window (multimodal_payload_stats .. window_top3_orders_per_customer);
-# (3) the r11-green cohort, alphabetical first 34 of 50 (its tail of 16
-# leads the r16 rotation). All stay continuously DuckDB-oracled by
-# tests/test_queries_oracle.py regardless.
+# sinks; snapshot_widen_bloom_read gates the r15-late ALTER COLUMN TYPE
+# widening + bloom-backfill ANALYZE — all new, never driver-hash-
+# checked); (2) the stalest cohort — the r10-green set's alphabetical
+# tail of 14 that did not fit the r14 window (multimodal_payload_stats
+# .. window_top3_orders_per_customer); (3) the r11-green cohort,
+# alphabetical first 33 of 50 (its tail of 17 leads the r16 rotation).
+# All stay continuously DuckDB-oracled by tests/test_queries_oracle.py
+# regardless.
 SURFACE_ORDER: tuple[str, ...] = (
     # --- born round 15, never driver-hash-checked (new queries go
     #     HERE, at the top, so the gate window always sees them first) ---
     "snapshot_ddl_lifecycle_read",
     "stream_paced_sink_read",
+    "snapshot_widen_bloom_read",
     # --- latest hash-green round 10: the 14-query stale tail ---
     "multimodal_payload_stats",
     "multimodal_png_pixel_stats",
@@ -159,7 +162,6 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_schema_ddl_read",
     "snapshot_schema_evolution_read",
     "snapshot_soft_delete_read",
-    "snapshot_time_travel_read",
 )
 
 

@@ -114,6 +114,9 @@ contract one level up:
             (a reserved-name CHECK; SET validates standing data first;
             NOT NULL also parses inline in CREATE TABLE column specs)
         ALTER TABLE <name> ALTER COLUMN c COMMENT 'txt'
+        ALTER TABLE <name> ALTER COLUMN c TYPE <wider>
+            -> snapshot_widen_column (O(1) metadata type widening;
+            narrowing / cross-chain refuses)
             (COMMENT also parses inline in CREATE TABLE column specs;
             DESCRIBE TABLE / SHOW CREATE TABLE surface it)
         ALTER TABLE <name> SET TBLPROPERTIES ('k' = 'v', ...)
@@ -732,6 +735,14 @@ _ALTER_COL_COMMENT_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
     r"(?P<col>[A-Za-z_]\w*)\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)'"
     r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+# ALTER COLUMN c TYPE <wider> (Delta's type-widening DDL): an O(1)
+# metadata commit — snapshot_widen_column stamps the widened type into
+# the types map (and the mapped schema), refusing narrowing/cross-chain.
+_ALTER_COL_TYPE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+TYPE\s+(?P<dtype>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
 # ALTER TABLE t SYNC IDENTITY (Delta): recompute identity high-water
@@ -1360,6 +1371,15 @@ class SnapshotCatalog:
             snapshot_set_column_comment(
                 path, m.group("col"),
                 m.group("comment").replace("''", "'"),
+            )
+            return None
+        m = _ALTER_COL_TYPE_RE.match(text)
+        if m and m.group("name") in self._tables:
+            from .snapshots import snapshot_widen_column
+
+            path = self._writable(m.group("name"))
+            snapshot_widen_column(
+                self.spark, path, m.group("col"), m.group("dtype")
             )
             return None
         m = _ALTER_NOT_NULL_RE.match(text)

@@ -833,6 +833,72 @@ def _apply_type_widening(
     return df, (out_types if changed else None)
 
 
+def snapshot_widen_column(
+    spark: SparkSession, table_path, col: str, new_type: str
+) -> int:
+    """``ALTER TABLE t ALTER COLUMN c TYPE <wider>`` — PROACTIVE type
+    widening as an O(1) metadata commit (Delta's type-widening DDL; the
+    implicit form — a wider write batch — already rides
+    _apply_type_widening). The widened type lands in the ``types`` map
+    (reads cast existing narrow files up; later narrow batches upcast
+    on write) and, on a mapped table, in the schema's declared column
+    type. Only widening along the documented chains is accepted;
+    narrowing and cross-chain changes refuse (they would corrupt
+    standing data). IDENTITY / GENERATED columns refuse — their
+    allocation grids and expression types are declared at birth."""
+    p = _table(table_path)
+    nt = new_type.strip().lower()
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        if parent == 0:
+            raise FileNotFoundError(f"no snapshot table at {table_path}")
+        m = _read_manifest(p, parent)
+        sch = m.get("schema")
+        pcol = _mapping_physical(sch, col) if sch else col
+        cur = None
+        if sch:
+            for c in sch["cols"]:
+                if c["name"].lower() == col.lower():
+                    if c.get("identity") is not None or c.get("generated") is not None:
+                        raise ValueError(
+                            f"cannot widen {col!r}: IDENTITY/GENERATED "
+                            "column types are declared at birth"
+                        )
+                    cur = c["type"].lower()
+        recorded = m.get("types")
+        if recorded is None:
+            files = m.get("files", [])
+            recorded = _footer_types(p, files, spark=spark) if files else {}
+        if cur is None:
+            cur = (recorded.get(pcol) or "").lower() or None
+        if cur is None:
+            raise ValueError(f"unknown column {col!r}")
+        if _wider_type(cur, nt) != nt:
+            raise ValueError(
+                f"ALTER COLUMN {col} TYPE {new_type}: only widening "
+                f"along {_WIDEN_CHAINS} is supported (current: {cur})"
+            )
+        new_types = dict(recorded)
+        new_types[pcol] = nt
+        new_schema = None
+        if sch:
+            new_schema = json.loads(json.dumps(sch))
+            for c in new_schema["cols"]:
+                if c["name"].lower() == col.lower():
+                    c["type"] = nt
+        try:
+            return _commit(p, list(m["files"]), parent,
+                           stats=m.get("stats") or None,
+                           blooms=m.get("blooms") or None,
+                           dv=m.get("dv") or None, op="widen-column",
+                           types_meta=new_types,
+                           schema_meta=new_schema)
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
 def _prep_replace_batch(df: DataFrame, p, tip: int, m_tip: dict) -> DataFrame:
     """Shared prelude for every row-creating FULL-REPLACE writer
     (snapshot_write and the layout writers: with_stats, with_bloom,

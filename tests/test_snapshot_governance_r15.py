@@ -365,3 +365,70 @@ def test_analyze_blooms_merges_with_existing_columns(spark, tmp_path):
     assert snapshot_files_for_point(t, "k", 777_777) == []
     assert snapshot_files_for_point(t, "w", 777_777) == []
     assert snapshot_files_for_point(t, "w", 1005)
+
+
+# ---------------------------------------------------------------------------
+# 7. ALTER COLUMN ... TYPE (proactive type widening DDL)
+# ---------------------------------------------------------------------------
+
+def test_widen_column_mapped_table(spark, tmp_path):
+    t = tmp_path / "wt"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE wt (k int, x float) USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO wt VALUES (1, CAST(1.5 AS float))")
+    cat.sql("ALTER TABLE wt ALTER COLUMN k TYPE bigint")
+    cat.sql("ALTER TABLE wt ALTER COLUMN x TYPE double")
+    # reads serve the widened types, existing narrow files cast up
+    got = cat.sql("SELECT * FROM wt")
+    types = dict(got.dtypes)
+    assert types["k"] == "bigint" and types["x"] == "double"
+    assert got.first()["k"] == 1
+    # DESCRIBE reflects the widened declared type
+    desc = {r.col_name: r.data_type
+            for r in cat.sql("DESCRIBE TABLE wt").collect()}
+    assert desc["k"] == "bigint"
+    # a wide batch now lands without implicit widening; a narrow one
+    # still upcasts on write
+    cat.sql("INSERT INTO wt VALUES (9223372036854775807, CAST(2.5 AS double))")
+    assert cat.sql("SELECT max(k) AS m FROM wt").first()["m"] == 2**63 - 1
+
+
+def test_widen_column_refusals(spark, tmp_path):
+    t = tmp_path / "wr"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE wr (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"k bigint, s string) USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO wr (k, s) VALUES (1, 'a')")
+    with pytest.raises(ValueError, match="widening"):
+        cat.sql("ALTER TABLE wr ALTER COLUMN k TYPE int")       # narrowing
+    with pytest.raises(ValueError, match="widening"):
+        cat.sql("ALTER TABLE wr ALTER COLUMN s TYPE bigint")    # cross-chain
+    with pytest.raises(ValueError, match="IDENTITY"):
+        cat.sql("ALTER TABLE wr ALTER COLUMN id TYPE bigint")   # identity
+
+
+def test_widen_column_unmapped_library_table(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_widen_column,
+        snapshot_write,
+    )
+
+    t = tmp_path / "wl"
+    snapshot_write(
+        spark.range(3).selectExpr("CAST(id AS int) AS k"), t
+    )
+    snapshot_widen_column(spark, t, "k", "bigint")
+    got = snapshot_read(spark, t)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert got.count() == 3
+    # a bigint append composes with the pre-widened map
+    snapshot_append(
+        spark.createDataFrame([(2**40,)], "k bigint"), t
+    )
+    assert snapshot_read(spark, t).count() == 4
