@@ -1746,6 +1746,21 @@ class SnapshotCatalog:
                 ],
                 "version long, parent long, op string, ts double, n_files long",
             )
+        # ALTER TABLE on a REGISTERED snapshot table that no handler
+        # above recognized must refuse HERE: falling through to
+        # spark.sql would hit the temp VIEW registration and produce a
+        # baffling "expects a table but is a view" error (or, worse,
+        # some future Spark version might silently alter the view).
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\b", text,
+            re.IGNORECASE,
+        )
+        if m and m.group("name") in self._tables:
+            raise ValueError(
+                f"unsupported ALTER TABLE statement for snapshot table "
+                f"{m.group('name')!r}: {text.strip()[:120]!r} — see the "
+                "SnapshotCatalog docstring for the supported DDL surface"
+            )
         return NotImplemented
 
     def _merge_conditional(self, m: "re.Match") -> None:

@@ -432,3 +432,16 @@ def test_widen_column_unmapped_library_table(spark, tmp_path):
         spark.createDataFrame([(2**40,)], "k bigint"), t
     )
     assert snapshot_read(spark, t).count() == 4
+
+
+def test_unsupported_alter_on_registered_table_refuses_loudly(spark, tmp_path):
+    """An ALTER form no handler recognizes must refuse with a clear
+    message — before this guard it fell through to spark.sql and hit
+    the temp-view registration ('expects a table but is a view')."""
+    t = tmp_path / "ua"
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE uat (k int, d double) USING snapshot LOCATION '{t}'")
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+        cat.sql("ALTER TABLE uat ALTER COLUMN d TYPE decimal(10,2)")
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+        cat.sql("ALTER TABLE uat CLUSTER BY (k)")
