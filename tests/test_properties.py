@@ -702,3 +702,73 @@ def test_identity_allocation_unique_and_on_grid(
                         else frontier < prev_frontier)
             if n_rows > 0:
                 prev_frontier = frontier
+
+
+# ---------------------------------------------------------------------------
+# Column-spec grammar round-trip (the r14 order-free clause tokenizer +
+# the r15 infix-operator DEFAULT scanner). Pure parser — no Spark jobs.
+# ---------------------------------------------------------------------------
+
+_CS_NAMES = st.sampled_from(["c", "col_1", "Val", "x9"])
+_CS_TYPES = st.sampled_from(["bigint", "int", "string", "double", "decimal(10,2)"])
+_CS_DEFAULTS = st.sampled_from([
+    "1", "0.5", "'txt'", "'it''s'", "NULL", "current_date()",
+    "1 + 2", "2 * 4 - 1", "'a' || 'b'", "CAST('2024-01-01' AS date)",
+    "date_add(current_date(), 7)",
+])
+_CS_COMMENTS = st.sampled_from([None, "plain", "with 'quote'"])
+
+
+@given(
+    name=_CS_NAMES,
+    dtype=_CS_TYPES,
+    default=st.one_of(st.none(), _CS_DEFAULTS),
+    notnull=st.booleans(),
+    comment=_CS_COMMENTS,
+    order=st.permutations([0, 1, 2]),
+)
+@settings(max_examples=80, deadline=None)
+def test_col_spec_grammar_roundtrip(name, dtype, default, notnull, comment, order):
+    """Any combination of DEFAULT / NOT NULL / COMMENT clauses, in ANY
+    order, parses back to exactly the components it was rendered from —
+    including infix-operator and function-call expression defaults."""
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        _parse_col_spec,
+    )
+
+    clauses = [None, None, None]
+    clauses[0] = f"DEFAULT {default}" if default is not None else None
+    clauses[1] = "NOT NULL" if notnull else None
+    clauses[2] = (
+        "COMMENT '" + comment.replace("'", "''") + "'"
+        if comment is not None else None
+    )
+    rendered = " ".join(
+        [f"{name} {dtype}"] + [clauses[i] for i in order if clauses[i]]
+    )
+    cm = _parse_col_spec(rendered)
+    assert cm is not None, rendered
+    assert cm["name"] == name
+    assert cm["dtype"].replace(" ", "") == dtype.replace(" ", "")
+    assert cm["notnull"] == notnull
+    if default is None:
+        assert cm["default"] is None
+    else:
+        assert cm["default"].strip() == default, rendered
+    if comment is None:
+        assert cm["comment"] is None
+    else:
+        assert cm["comment"].replace("''", "'") == comment
+
+
+@given(
+    dup=st.sampled_from(["DEFAULT 1 DEFAULT 2", "NOT NULL NOT NULL",
+                         "COMMENT 'a' COMMENT 'b'"]),
+)
+@settings(max_examples=10, deadline=None)
+def test_col_spec_duplicate_clauses_refuse(dup):
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        _parse_col_spec,
+    )
+
+    assert _parse_col_spec(f"c bigint {dup}") is None

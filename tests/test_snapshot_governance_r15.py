@@ -445,3 +445,39 @@ def test_unsupported_alter_on_registered_table_refuses_loudly(spark, tmp_path):
         cat.sql("ALTER TABLE uat ALTER COLUMN d TYPE decimal(10,2)")
     with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
         cat.sql("ALTER TABLE uat CLUSTER BY (k)")
+
+
+def test_widen_reverts_with_restore_and_travels_with_clone(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_clone,
+        snapshot_read,
+        snapshot_restore,
+        snapshot_widen_column,
+        snapshot_write,
+        current_version,
+    )
+
+    t = tmp_path / "wrc"
+    snapshot_write(spark.range(3).selectExpr("CAST(id AS int) AS k"), t)
+    v_narrow = current_version(t)
+    snapshot_widen_column(spark, t, "k", "bigint")
+    assert dict(snapshot_read(spark, t).dtypes)["k"] == "bigint"
+    # clone AFTER the widen carries the widened type
+    c = tmp_path / "wrc_clone"
+    snapshot_clone(t, c)
+    assert dict(snapshot_read(spark, c).dtypes)["k"] == "bigint"
+    # RESTORE to the pre-widen version reverts the declared type
+    snapshot_restore(t, v_narrow)
+    assert dict(snapshot_read(spark, t).dtypes)["k"] == "int"
+    # the clone is unaffected by the source's restore
+    assert dict(snapshot_read(spark, c).dtypes)["k"] == "bigint"
+
+
+def test_widen_renders_in_show_create(spark, tmp_path):
+    t = tmp_path / "wsc"
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE wsc (k int, v string) USING snapshot LOCATION '{t}'")
+    cat.sql("INSERT INTO wsc VALUES (1, 'a')")
+    cat.sql("ALTER TABLE wsc ALTER COLUMN k TYPE bigint")
+    ddl = cat.sql("SHOW CREATE TABLE wsc").first()[0]
+    assert "k bigint" in ddl.lower(), ddl
