@@ -853,6 +853,13 @@ def snapshot_widen_column(
         if parent == 0:
             raise FileNotFoundError(f"no snapshot table at {table_path}")
         m = _read_manifest(p, parent)
+        if m.get("bucketing"):
+            raise ValueError(
+                f"cannot widen {col!r} on a bucketed table: the "
+                "registered CLUSTERED BY view reads the spec's frozen "
+                "schema DDL, which a type change would silently stale — "
+                "rewrite through snapshot_write_bucketed instead"
+            )
         sch = m.get("schema")
         pcol = _mapping_physical(sch, col) if sch else col
         cur = None

@@ -481,3 +481,19 @@ def test_widen_renders_in_show_create(spark, tmp_path):
     cat.sql("ALTER TABLE wsc ALTER COLUMN k TYPE bigint")
     ddl = cat.sql("SHOW CREATE TABLE wsc").first()[0]
     assert "k bigint" in ddl.lower(), ddl
+
+
+def test_widen_refuses_on_bucketed_table(spark, tmp_path):
+    """The CLUSTERED BY view reads the bucketing spec's frozen schema
+    DDL — widening would stale it silently, so it refuses."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_widen_column,
+        snapshot_write_bucketed,
+    )
+
+    t = tmp_path / "wb2"
+    snapshot_write_bucketed(
+        spark.range(8).selectExpr("CAST(id AS int) AS k"), t, "k", 2
+    )
+    with pytest.raises(ValueError, match="bucketed"):
+        snapshot_widen_column(spark, t, "k", "bigint")
