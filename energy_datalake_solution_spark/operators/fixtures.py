@@ -3640,8 +3640,9 @@ def snapshot_widen_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
       both generations must agree bit-for-bit with the oracle's DOUBLE
       arithmetic — a read that keeps serving float32 for gen1 drifts on
       every price with a fractional part and fails the hash;
-    * narrowing / cross-chain / identity-widening refusal probes (each
-      must refuse loudly and change nothing);
+    * narrowing and cross-chain refusal probes (each must refuse
+      loudly and change nothing; the identity-widening refusal is
+      pinned in tests/test_snapshot_governance_r15.py);
     * ``ANALYZE TABLE ... COMPUTE BLOOM FILTERS FOR COLUMNS``: the
       table was written WITHOUT blooms; after the backfill a point
       lookup for an absent key must prune to ZERO files (asserted
@@ -3677,8 +3678,7 @@ def snapshot_widen_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.sql("ALTER TABLE wb_part ALTER COLUMN sz TYPE bigint")
     cat.sql("ALTER TABLE wb_part ALTER COLUMN price TYPE double")
-    # refusal probes: narrowing, cross-chain, and (on a second table)
-    # identity widening — all loud, all no-ops
+    # refusal probes: narrowing and cross-chain — loud, no-ops
     for bad in ("ALTER TABLE wb_part ALTER COLUMN sz TYPE int",
                 "ALTER TABLE wb_part ALTER COLUMN gen TYPE bigint"):
         try:
@@ -3693,14 +3693,20 @@ def snapshot_widen_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE p_partkey % 3 = 1 ORDER BY p_partkey"
     )
     # bloom backfill: written without filters; a miss must prune to 0
+    # AND a present key must keep its file (a filter that wrongly
+    # rejects everything would "prune" both)
     cat.sql("ANALYZE TABLE wb_part COMPUTE BLOOM FILTERS FOR COLUMNS (k)")
     missed = snapshot_files_for_point(t, "k", 999_999_999)
     if missed:
         raise RuntimeError(
             f"bloom backfill did not prune an absent key: {missed}"
         )
-    hit_any = snapshot_files_for_point(t, "k", 3)
-    pruned_flag = 1 if (not missed and hit_any is not None) else 0
+    present = cat.sql("SELECT min(k) AS m FROM wb_part").first()["m"]
+    if present is not None and not snapshot_files_for_point(t, "k", present):
+        raise RuntimeError(
+            f"bloom backfill wrongly rejects present key {present}"
+        )
+    pruned_flag = 1
     cat.drop_table("wb_part")
     from ..sources.snapshots import snapshot_read
 

@@ -128,7 +128,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "star_join_lineitem",
     "top_customers_by_revenue",
     "window_top3_orders_per_customer",
-    # --- latest hash-green round 11: alphabetical first 34 of 50 ---
+    # --- latest hash-green round 11: alphabetical first 33 of 50 ---
     "docs_incremental_simhash_dedup",
     "docs_lm_quality_buckets",
     "docs_lm_score_pandas_kernel",

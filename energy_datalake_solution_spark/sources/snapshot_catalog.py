@@ -290,16 +290,22 @@ def _scan_default_value(s: str, i: int) -> int:
                 j += 1
         return j
 
+    ops = "+-*/%|&^<>="
     j = _one(i)
     while True:
         k = j
         while k < n and s[k].isspace():
             k += 1
-        if k < n and s[k] in "+-*/%|&^<>=":
-            while k < n and s[k] in "+-*/%|&^<>=":
+        if k < n and s[k] in ops:
+            # operator BEGINS the next token: `1 + 2`, `1 +2`
+            while k < n and s[k] in ops:
                 k += 1
             while k < n and s[k].isspace():
                 k += 1
+            j = _one(k)
+        elif j > i and s[j - 1] in ops and k < n:
+            # operator ENDED the previous token: `1+ 2` — the operand
+            # after the space continues the expression
             j = _one(k)
         else:
             return j

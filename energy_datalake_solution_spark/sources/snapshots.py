@@ -844,10 +844,14 @@ def snapshot_widen_column(
     on write) and, on a mapped table, in the schema's declared column
     type. Only widening along the documented chains is accepted;
     narrowing and cross-chain changes refuse (they would corrupt
-    standing data). IDENTITY / GENERATED columns refuse — their
+    standing data) — the guard compares against the WIDER of the
+    declared schema type and the recorded types-map entry, so a table
+    already implicitly widened by a wide batch cannot be narrowed back
+    through this DDL. IDENTITY / GENERATED columns refuse — their
     allocation grids and expression types are declared at birth."""
     p = _table(table_path)
     nt = new_type.strip().lower()
+    footer_cache: dict = {}  # frozenset(files) -> sweep; retries reuse it
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)
         if parent == 0:
@@ -861,23 +865,43 @@ def snapshot_widen_column(
                 "rewrite through snapshot_write_bucketed instead"
             )
         sch = m.get("schema")
-        pcol = _mapping_physical(sch, col) if sch else col
-        cur = None
+        pcol, declared = col, None
         if sch:
-            for c in sch["cols"]:
-                if c["name"].lower() == col.lower():
-                    if c.get("identity") is not None or c.get("generated") is not None:
-                        raise ValueError(
-                            f"cannot widen {col!r}: IDENTITY/GENERATED "
-                            "column types are declared at birth"
-                        )
-                    cur = c["type"].lower()
+            # resolve through the schema case-insensitively (Spark's
+            # identifier semantics); _mapping_physical's exact-match
+            # lookup would KeyError on an unknown or re-cased name
+            # before the unknown-column ValueError below could fire
+            entry = next(
+                (c for c in sch["cols"] if c["name"].lower() == col.lower()),
+                None,
+            )
+            if entry is None:
+                raise ValueError(f"unknown column {col!r}")
+            if entry.get("identity") is not None or entry.get("generated") is not None:
+                raise ValueError(
+                    f"cannot widen {col!r}: IDENTITY/GENERATED "
+                    "column types are declared at birth"
+                )
+            pcol, declared = entry["physical"], entry["type"].lower()
         recorded = m.get("types")
         if recorded is None:
             files = m.get("files", [])
-            recorded = _footer_types(p, files, spark=spark) if files else {}
-        if cur is None:
-            cur = (recorded.get(pcol) or "").lower() or None
+            key = frozenset(files)
+            if key not in footer_cache:
+                # footers are immutable, so the sweep caches across
+                # commit-conflict retries (only a racer that CHANGED
+                # the file set forces a re-read)
+                footer_cache[key] = (
+                    _footer_types(p, files, spark=spark) if files else {}
+                )
+            recorded = footer_cache[key]
+        # current authoritative type: the WIDER of declared and recorded
+        # (a wide batch widens only the types map, not the declaration)
+        stamped = (recorded.get(pcol) or "").lower() or None
+        if declared is not None and stamped is not None:
+            cur = _wider_type(declared, stamped) or declared
+        else:
+            cur = declared or stamped
         if cur is None:
             raise ValueError(f"unknown column {col!r}")
         if _wider_type(cur, nt) != nt:
@@ -5529,38 +5553,17 @@ def snapshot_write_with_bloom(
         if stats_cols
         else None
     )
-    root = str(p)
-    spark = df.sparkSession
-    if len(files) > _DRIVER_STATS_MAX_FILES:
-        sc = spark.sparkContext
-        pairs = (
-            sc.parallelize(
-                [(rel, c) for rel in files for c in bloom_cols],
-                max(1, len(files) // 32),
-            )
-            .map(lambda rc: (rc[0], rc[1], _file_bloom(f"{root}/{rc[0]}", rc[1])))
-            .collect()
-        )
-    else:
-        pairs = [
-            (rel, c, _file_bloom(f"{root}/{rel}", c))
-            for rel in files
-            for c in bloom_cols
-        ]
-    blooms: dict[str, dict[str, str]] = {}
-    for rel, c, b in pairs:
-        if b is not None:
-            blooms.setdefault(rel, {})[c] = b
+    blooms = _collect_blooms(p, files, bloom_cols, df.sparkSession)
     return _commit_full_replace(p, files, stats=stats, blooms=blooms)
 
 
 def _collect_blooms(
     p: Path, files: list[str], bloom_cols: list[str], spark: SparkSession
 ) -> dict:
-    """Per-file Bloom filters for ``bloom_cols`` over ``files`` — the
-    same driver/distributed split as snapshot_write_with_bloom's inline
-    collection (driver loop for small file lists, a Spark job above
-    _DRIVER_STATS_MAX_FILES)."""
+    """Per-file Bloom filters for ``bloom_cols`` over ``files`` —
+    driver loop for small file lists, a Spark job above
+    _DRIVER_STATS_MAX_FILES (shared by snapshot_write_with_bloom and
+    snapshot_analyze_blooms)."""
     root = str(p)
     if len(files) > _DRIVER_STATS_MAX_FILES:
         sc = spark.sparkContext

@@ -497,3 +497,58 @@ def test_widen_refuses_on_bucketed_table(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bucketed"):
         snapshot_widen_column(spark, t, "k", "bigint")
+
+
+def test_widen_cannot_narrow_implicitly_widened_types_map(spark, tmp_path):
+    """The review-pass bug: a wide batch widens only the types map (the
+    declared schema stays narrow), and the widen DDL's guard compared
+    against the DECLARATION — so ALTER COLUMN k TYPE int 'widened' a
+    bigint-recorded column back down. The guard now compares against
+    the wider of declared and recorded."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_read,
+    )
+
+    t = tmp_path / "nw"
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE nwt (k int) USING snapshot LOCATION '{t}'")
+    cat.sql("INSERT INTO nwt VALUES (1)")
+    # implicit widening: a bigint batch stamps types={k: bigint}
+    snapshot_append(spark.createDataFrame([(2**40,)], "k bigint"), t)
+    assert dict(snapshot_read(spark, t).dtypes)["k"] == "bigint"
+    with pytest.raises(ValueError, match="widening"):
+        cat.sql("ALTER TABLE nwt ALTER COLUMN k TYPE int")
+    assert dict(snapshot_read(spark, t).dtypes)["k"] == "bigint"
+    assert snapshot_read(spark, t).where("k > 1000000").count() == 1
+    # aligning the DECLARATION with the recorded width is fine
+    cat.sql("ALTER TABLE nwt ALTER COLUMN k TYPE bigint")
+    desc = {r.col_name: r.data_type
+            for r in cat.sql("DESCRIBE TABLE nwt").collect()}
+    assert desc["k"] == "bigint"
+
+
+def test_widen_unknown_and_recased_columns(spark, tmp_path):
+    t = tmp_path / "uc"
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE uct (kk int) USING snapshot LOCATION '{t}'")
+    cat.sql("INSERT INTO uct VALUES (1)")
+    with pytest.raises(ValueError, match="unknown column"):
+        cat.sql("ALTER TABLE uct ALTER COLUMN nosuch TYPE bigint")
+    # Spark resolves identifiers case-insensitively; so does the DDL
+    cat.sql("ALTER TABLE uct ALTER COLUMN KK TYPE bigint")
+    assert dict(cat.sql("SELECT * FROM uct").dtypes)["kk"] == "bigint"
+
+
+def test_default_infix_operator_spacing_variants(spark, tmp_path):
+    """`1 + 2`, `1 +2` and `1+ 2` are all the same legal SQL."""
+    t = tmp_path / "sp"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE spt (k bigint, a bigint DEFAULT 1 +2, "
+        f"b bigint DEFAULT 1+ 2 NOT NULL, c bigint DEFAULT 1+2) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO spt (k) VALUES (1)")
+    row = cat.sql("SELECT a, b, c FROM spt").first()
+    assert (row["a"], row["b"], row["c"]) == (3, 3, 3)
