@@ -917,6 +917,10 @@ def snapshot_widen_column(
             for c in new_schema["cols"]:
                 if c["name"].lower() == col.lower():
                     c["type"] = nt
+        if new_types == (m.get("types") or {}) and (
+            new_schema is None or new_schema == sch
+        ):
+            return parent  # already that wide everywhere: true no-op
         try:
             return _commit(p, list(m["files"]), parent,
                            stats=m.get("stats") or None,

@@ -552,3 +552,20 @@ def test_default_infix_operator_spacing_variants(spark, tmp_path):
     cat.sql("INSERT INTO spt (k) VALUES (1)")
     row = cat.sql("SELECT a, b, c FROM spt").first()
     assert (row["a"], row["b"], row["c"]) == (3, 3, 3)
+
+
+def test_widen_same_type_is_a_true_noop(spark, tmp_path):
+    from energy_datalake_solution_spark.sources.snapshots import (
+        current_version,
+        snapshot_widen_column,
+        snapshot_write,
+    )
+
+    t = tmp_path / "nn"
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE nnt (k bigint) USING snapshot LOCATION '{t}'")
+    cat.sql("INSERT INTO nnt VALUES (1)")
+    cat.sql("ALTER TABLE nnt ALTER COLUMN k TYPE bigint")  # first: aligns map
+    v = current_version(t)
+    cat.sql("ALTER TABLE nnt ALTER COLUMN k TYPE bigint")  # now redundant
+    assert current_version(t) == v  # no empty commit in the history
