@@ -569,3 +569,31 @@ def test_widen_same_type_is_a_true_noop(spark, tmp_path):
     v = current_version(t)
     cat.sql("ALTER TABLE nnt ALTER COLUMN k TYPE bigint")  # now redundant
     assert current_version(t) == v  # no empty commit in the history
+
+
+def test_widen_rebases_against_racing_append(spark, tmp_path, monkeypatch):
+    """A widen whose commit loses a race re-reads the new tip: the
+    racer's appended files must survive into the widened version (a
+    stale-parent commit would silently drop them)."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "wrace"
+    S.snapshot_write(spark.range(5).selectExpr("CAST(id AS int) AS k"), t)
+    real_commit = S._commit
+    state = {"injected": False}
+
+    def racing_commit(p_, files_, parent_, **kw):
+        if not state["injected"] and kw.get("op") == "widen-column":
+            state["injected"] = True
+            S.snapshot_append(
+                spark.createDataFrame([(100,)], "k int").coalesce(1), t
+            )
+        return real_commit(p_, files_, parent_, **kw)
+
+    monkeypatch.setattr(S, "_commit", racing_commit)
+    S.snapshot_widen_column(spark, t, "k", "bigint")
+    monkeypatch.undo()
+    got = S.snapshot_read(spark, t)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert got.count() == 6  # racer's row survived the widen's rebase
+    assert got.where("k = 100").count() == 1
