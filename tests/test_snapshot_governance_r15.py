@@ -597,3 +597,25 @@ def test_widen_rebases_against_racing_append(spark, tmp_path, monkeypatch):
     assert dict(got.dtypes)["k"] == "bigint"
     assert got.count() == 6  # racer's row survived the widen's rebase
     assert got.where("k = 100").count() == 1
+
+
+def test_widen_composes_with_change_feed_and_purge(spark, tmp_path):
+    """A change-feed window SPANNING a widen serves the widened type
+    (mixed-width steps union cleanly), and MOR delete + DV purge across
+    mixed-width files preserves both the values and the width."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "wcf"
+    S.snapshot_write(spark.range(3).selectExpr("CAST(id AS int) AS k"), t)
+    S.snapshot_widen_column(spark, t, "k", "bigint")
+    S.snapshot_append(spark.createDataFrame([(2**40,)], "k bigint"), t)
+    cf = S.snapshot_change_feed(spark, t, 1)
+    assert dict(cf.dtypes)["k"] == "bigint"
+    assert [(r["k"], r["_change_type"]) for r in cf.collect()] == [
+        (2**40, "insert")
+    ]
+    S.snapshot_delete_range_mor(spark, t, "k", 1, 1)
+    S.snapshot_purge_dv(spark, t)
+    got = S.snapshot_read(spark, t)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert sorted(r.k for r in got.collect()) == [0, 2, 2**40]
