@@ -715,6 +715,8 @@ _CS_DEFAULTS = st.sampled_from([
     "1", "0.5", "'txt'", "'it''s'", "NULL", "current_date()",
     "1 + 2", "2 * 4 - 1", "'a' || 'b'", "CAST('2024-01-01' AS date)",
     "date_add(current_date(), 7)",
+    # operator spacing variants — all the same legal SQL
+    "1 +2", "1+ 2", "1+2", "'a'||'b'", "'a' ||'b'",
 ])
 _CS_COMMENTS = st.sampled_from([None, "plain", "with 'quote'"])
 
