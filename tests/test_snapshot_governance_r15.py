@@ -619,3 +619,32 @@ def test_widen_composes_with_change_feed_and_purge(spark, tmp_path):
     got = S.snapshot_read(spark, t)
     assert dict(got.dtypes)["k"] == "bigint"
     assert sorted(r.k for r in got.collect()) == [0, 2, 2**40]
+
+
+def test_widen_composes_with_compaction_and_zorder(spark, tmp_path):
+    """Compaction reads through the types map, so its rewritten files
+    are honestly wide; z-order compact keeps per-file stats and pruning
+    on the widened column."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "wc"
+    S.snapshot_write(spark.range(3).selectExpr("CAST(id AS int) AS k"), t)
+    S.snapshot_append(spark.range(3, 6).selectExpr("CAST(id AS int) AS k"), t)
+    S.snapshot_widen_column(spark, t, "k", "bigint")
+    S.snapshot_compact(spark, t)
+    got = S.snapshot_read(spark, t)
+    assert dict(got.dtypes)["k"] == "bigint"
+    assert sorted(r.k for r in got.collect()) == [0, 1, 2, 3, 4, 5]
+
+    t2 = tmp_path / "wz"
+    S.snapshot_write(
+        spark.range(16).selectExpr(
+            "CAST(id AS int) AS a", "CAST(id % 4 AS int) AS b"
+        ),
+        t2,
+    )
+    S.snapshot_widen_column(spark, t2, "a", "bigint")
+    S.snapshot_zorder_compact(spark, t2, "a", "b", n_files=2)
+    g2 = S.snapshot_read(spark, t2)
+    assert dict(g2.dtypes)["a"] == "bigint" and g2.count() == 16
+    assert len(S.snapshot_files_for_range(t2, "a", 0, 3)) == 1  # pruned
