@@ -3717,3 +3717,80 @@ def snapshot_widen_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(pruned_flag).cast("bigint").alias("bloom_pruned"),
     )
     return out.localCheckpoint(eager=True)
+
+
+@register(
+    "formats_roundtrip_read",
+    oracle="""
+        SELECT 'jsonl' AS fmt, source AS grp,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_chars) AS BIGINT) AS total
+        FROM documents WHERE doc_id % 2 = 0
+        GROUP BY source
+        UNION ALL
+        SELECT 'orc', o_orderstatus,
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders WHERE o_orderkey % 4 = 0
+        GROUP BY o_orderstatus
+    """,
+    tags=("formats", "ingest", "jsonl", "orc"),
+)
+def formats_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-format source/sink tier (sources/formats.py) under the
+    driver hash gate — JSONL and ORC, the two formats an LLM training
+    lake actually meets at the edges (JSONL is the interchange format
+    for document corpora; ORC the columnar peer where the ecosystem
+    prefers it):
+
+    * a documents slice (text with newlines/quotes/unicode intact)
+      round-trips through ``write_any(fmt='jsonl')`` -> ``read_any``
+      with extension detection (the .jsonl suffix picks the reader)
+      and an explicit schema (the production shape — inference is for
+      exploration);
+    * an orders slice round-trips through ORC;
+    * the output aggregates BOTH round-tripped frames, so any lost or
+      mangled row/field (JSON escaping, ORC nulls, schema drift)
+      changes a count or checksum and fails the hash. Money values
+      compare as integer cents — exact through every format.
+
+    Reference parity: the reference ingests CSV only
+    (dynamic-data-processor.py:31-38); this is the lake-general ingest
+    edge SURVEY §2.1 S1 generalizes to."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..sources.catalog import load_table
+    from ..sources.formats import read_any, write_any
+
+    base = Path(tempfile.gettempdir()) / (
+        f"fmt_rt_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 2 = 0")
+    write_any(docs, base / "docs.jsonl", fmt="jsonl")
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    docs_back = read_any(spark, base / "docs.jsonl", schema=doc_schema)
+    a = docs_back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("n_chars").cast("bigint").alias("total"),
+    ).select(F.lit("jsonl").alias("fmt"), F.col("source").alias("grp"),
+             "cnt", "total")
+    orders = load_table(spark, sf_dir, "orders").where("o_orderkey % 4 = 0")
+    write_any(orders, base / "orders.orc", fmt="orc")
+    orders_back = read_any(spark, base / "orders.orc")  # .orc suffix routes
+    b = orders_back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).cast("bigint").alias("total"),
+    ).select(F.lit("orc").alias("fmt"),
+             F.col("o_orderstatus").alias("grp"), "cnt", "total")
+    return a.unionByName(b).localCheckpoint(eager=True)

@@ -100,11 +100,12 @@ def _load_all() -> None:
 # lead (snapshot_ddl_lifecycle_read gates the r14-late DDL surface;
 # stream_paced_sink_read gates rate-limited streaming + exactly-once
 # sinks; snapshot_widen_bloom_read gates the r15-late ALTER COLUMN TYPE
-# widening + bloom-backfill ANALYZE — all new, never driver-hash-
-# checked); (2) the stalest cohort — the r10-green set's alphabetical
-# tail of 14 that did not fit the r14 window (multimodal_payload_stats
-# .. window_top3_orders_per_customer); (3) the r11-green cohort,
-# alphabetical first 33 of 50 (its tail of 17 leads the r16 rotation).
+# widening + bloom-backfill ANALYZE; formats_roundtrip_read gates the
+# JSONL/ORC source-sink tier — all new, never driver-hash-checked);
+# (2) the stalest cohort — the r10-green set's alphabetical tail of 14
+# that did not fit the r14 window (multimodal_payload_stats ..
+# window_top3_orders_per_customer); (3) the r11-green cohort,
+# alphabetical first 32 of 50 (its tail of 18 leads the r16 rotation).
 # All stay continuously DuckDB-oracled by tests/test_queries_oracle.py
 # regardless.
 SURFACE_ORDER: tuple[str, ...] = (
@@ -113,6 +114,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_ddl_lifecycle_read",
     "stream_paced_sink_read",
     "snapshot_widen_bloom_read",
+    "formats_roundtrip_read",
     # --- latest hash-green round 10: the 14-query stale tail ---
     "multimodal_payload_stats",
     "multimodal_png_pixel_stats",
@@ -128,7 +130,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "star_join_lineitem",
     "top_customers_by_revenue",
     "window_top3_orders_per_customer",
-    # --- latest hash-green round 11: alphabetical first 33 of 50 ---
+    # --- latest hash-green round 11: alphabetical first 32 of 50 ---
     "docs_incremental_simhash_dedup",
     "docs_lm_quality_buckets",
     "docs_lm_score_pandas_kernel",
@@ -161,7 +163,6 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_purge_read",
     "snapshot_schema_ddl_read",
     "snapshot_schema_evolution_read",
-    "snapshot_soft_delete_read",
 )
 
 

@@ -82,6 +82,8 @@ def write_any(
     if partition_by:
         w = w.partitionBy(partition_by)
     p = str(path)
+    if fmt in ("jsonl", "ndjson"):
+        fmt = "json"  # same aliases as read_any (one line per record)
     if fmt == "parquet":
         w.parquet(p)
     elif fmt == "orc":
