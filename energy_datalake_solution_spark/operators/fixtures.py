@@ -3794,3 +3794,70 @@ def formats_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("orc").alias("fmt"),
              F.col("o_orderstatus").alias("grp"), "cnt", "total")
     return a.unionByName(b).localCheckpoint(eager=True)
+
+
+@register(
+    "reference_sql_suite_read",
+    oracle="""
+        SELECT 'count_customers' AS query, 'all' AS k,
+               CAST((SELECT count(*) FROM customer) AS DOUBLE) AS v
+        UNION ALL
+        SELECT 'top_suppliers_by_nation', n.n_name,
+               CAST(count(*) AS DOUBLE)
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        UNION ALL
+        SELECT 'total_revenue_per_customer',
+               CAST(customer_id AS VARCHAR), total_revenue
+        FROM (
+            SELECT c.c_custkey AS customer_id,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY c.c_custkey, c.c_name
+            ORDER BY total_revenue DESC, customer_id
+            LIMIT 10
+        )
+    """,
+    tags=("reference", "sql-source", "client"),
+)
+def reference_sql_suite_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EP3 client path END-TO-END under the driver hash
+    gate: all three .sql analogs (sql_queries/*.sql — the SQL-text
+    source, reference athena_querier.py:14-23) executed through
+    ``run_all``'s name->file registry loop with per-query error
+    isolation (reference main_analytics.py:26-43), over the memoized
+    view registration. A failed query, a missing .sql file, a stale
+    view memo, or any drift in the verbatim SQL text fails loudly or
+    hash-mismatches. Outputs normalize to one (query, k, v) frame —
+    the oracle restates each query in DuckDB."""
+    from ..plans.query_api import run_all
+
+    results = run_all(spark, sf_dir)
+    bad = [r.name for r in results if not r.ok]
+    if bad or len(results) != 3:
+        raise RuntimeError(
+            f"reference SQL suite degraded: {len(results)} queries, "
+            f"failed={bad} ({[r.error for r in results if not r.ok]})"
+        )
+    frames = {r.name: r.dataframe for r in results}
+    a = frames["count_customers"].select(
+        F.lit("count_customers").alias("query"),
+        F.lit("all").alias("k"),
+        F.col("n_customers").cast("double").alias("v"),
+    )
+    b = frames["top_suppliers_by_nation"].select(
+        F.lit("top_suppliers_by_nation").alias("query"),
+        F.col("nation_name").alias("k"),
+        F.col("n_suppliers").cast("double").alias("v"),
+    )
+    c = frames["total_revenue_per_customer"].select(
+        F.lit("total_revenue_per_customer").alias("query"),
+        F.col("customer_id").cast("string").alias("k"),
+        F.col("total_revenue").cast("double").alias("v"),
+    )
+    return a.unionByName(b).unionByName(c)

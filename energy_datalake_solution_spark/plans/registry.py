@@ -101,11 +101,12 @@ def _load_all() -> None:
 # stream_paced_sink_read gates rate-limited streaming + exactly-once
 # sinks; snapshot_widen_bloom_read gates the r15-late ALTER COLUMN TYPE
 # widening + bloom-backfill ANALYZE; formats_roundtrip_read gates the
-# JSONL/ORC source-sink tier — all new, never driver-hash-checked);
-# (2) the stalest cohort — the r10-green set's alphabetical tail of 14
-# that did not fit the r14 window (multimodal_payload_stats ..
-# window_top3_orders_per_customer); (3) the r11-green cohort,
-# alphabetical first 32 of 50 (its tail of 18 leads the r16 rotation).
+# JSONL/ORC source-sink tier; reference_sql_suite_read gates the EP3
+# SQL-text client path end-to-end — all new, never driver-hash-
+# checked); (2) the stalest cohort — the r10-green set's alphabetical
+# tail of 14 that did not fit the r14 window (multimodal_payload_stats
+# .. window_top3_orders_per_customer); (3) the r11-green cohort,
+# alphabetical first 31 of 50 (its tail of 19 leads the r16 rotation).
 # All stay continuously DuckDB-oracled by tests/test_queries_oracle.py
 # regardless.
 SURFACE_ORDER: tuple[str, ...] = (
@@ -115,6 +116,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "stream_paced_sink_read",
     "snapshot_widen_bloom_read",
     "formats_roundtrip_read",
+    "reference_sql_suite_read",
     # --- latest hash-green round 10: the 14-query stale tail ---
     "multimodal_payload_stats",
     "multimodal_png_pixel_stats",
@@ -130,7 +132,7 @@ SURFACE_ORDER: tuple[str, ...] = (
     "star_join_lineitem",
     "top_customers_by_revenue",
     "window_top3_orders_per_customer",
-    # --- latest hash-green round 11: alphabetical first 32 of 50 ---
+    # --- latest hash-green round 11: alphabetical first 31 of 50 ---
     "docs_incremental_simhash_dedup",
     "docs_lm_quality_buckets",
     "docs_lm_score_pandas_kernel",
@@ -162,7 +164,6 @@ SURFACE_ORDER: tuple[str, ...] = (
     "snapshot_or_pruning_read",
     "snapshot_purge_read",
     "snapshot_schema_ddl_read",
-    "snapshot_schema_evolution_read",
 )
 
 
