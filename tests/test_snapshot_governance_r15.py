@@ -648,3 +648,39 @@ def test_widen_composes_with_compaction_and_zorder(spark, tmp_path):
     g2 = S.snapshot_read(spark, t2)
     assert dict(g2.dtypes)["a"] == "bigint" and g2.count() == 16
     assert len(S.snapshot_files_for_range(t2, "a", 0, 3)) == 1  # pruned
+
+
+def test_widen_preserves_all_sibling_metadata(spark, tmp_path):
+    """A widen commit rewrites the schema manifest entry — everything
+    else riding the manifest must survive: TBLPROPERTIES, CHECK
+    constraints (still enforced), column COMMENTs and DEFAULTs (still
+    applied), and the identity high-water mark (allocation continues,
+    no reuse)."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        SnapshotConstraintViolation,
+    )
+
+    t = tmp_path / "pm"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE pmt (id bigint GENERATED ALWAYS AS IDENTITY, "
+        f"k int COMMENT 'key col' DEFAULT 7, v string) "
+        f"USING snapshot LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO pmt (k, v) VALUES (1, 'a')")
+    cat.sql("ALTER TABLE pmt SET TBLPROPERTIES ('team' = 'data')")
+    cat.sql("ALTER TABLE pmt ADD CONSTRAINT pos CHECK (k > 0)")
+    cat.sql("ALTER TABLE pmt ALTER COLUMN k TYPE bigint")
+    props = {r.key: r.value
+             for r in cat.sql("SHOW TBLPROPERTIES pmt").collect()}
+    assert props.get("team") == "data"
+    desc = {r.col_name: (r.data_type, r.comment)
+            for r in cat.sql("DESCRIBE TABLE pmt").collect()}
+    assert desc["k"] == ("bigint", "key col")
+    with pytest.raises(SnapshotConstraintViolation):
+        cat.sql("INSERT INTO pmt (k, v) VALUES (-5, 'x')")
+    cat.sql("INSERT INTO pmt (v) VALUES ('b')")  # default + identity
+    rows = sorted((r.id, r.k, r.v) for r in cat.sql("SELECT * FROM pmt").collect())
+    assert rows == [(1, 1, "a"), (2, 7, "b")]
+    ddl = cat.sql("SHOW CREATE TABLE pmt").first()[0].lower()
+    assert "k bigint" in ddl and "default 7" in ddl and "comment" in ddl
