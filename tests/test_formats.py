@@ -62,3 +62,32 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(out.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in out.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_jsonl_adversarial_text_roundtrip(spark, tmp_path):
+    """JSONL must round-trip newlines, tabs, quotes, backslashes,
+    unicode, NULL and empty strings bit-exactly — the shapes a real
+    document corpus carries at the ingest edge."""
+    from pyspark.sql import types as T
+
+    from energy_datalake_solution_spark.sources.formats import (
+        read_any,
+        write_any,
+    )
+
+    nasty = [
+        (1, "line\nbreak\ttab"),
+        (2, 'quote " and \\ backslash'),
+        (3, "unicode 雪 ❄ émoji 🚀"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(nasty, "doc_id long, text string")
+    p = tmp_path / "n.jsonl"
+    write_any(df, p, fmt="jsonl")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    back = {r.doc_id: r.text for r in read_any(spark, p, schema=schema).collect()}
+    assert back == dict(nasty)

@@ -684,3 +684,21 @@ def test_widen_preserves_all_sibling_metadata(spark, tmp_path):
     assert rows == [(1, 1, "a"), (2, 7, "b")]
     ddl = cat.sql("SHOW CREATE TABLE pmt").first()[0].lower()
     assert "k bigint" in ddl and "default 7" in ddl and "comment" in ddl
+
+
+def test_analyze_blooms_after_rename_keys_physical(spark, tmp_path):
+    """Bloom backfill on a RENAMED column: the logical name resolves to
+    the frozen physical name, manifest keys stay physical, and the
+    physical-space prune helpers skip on it."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "rb"
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE rbt (k bigint, v string) USING snapshot LOCATION '{t}'")
+    cat.sql("INSERT INTO rbt VALUES (5, 'a'), (900, 'b')")
+    cat.sql("ALTER TABLE rbt RENAME COLUMN k TO kk")
+    cat.sql("ANALYZE TABLE rbt COMPUTE BLOOM FILTERS FOR COLUMNS (kk)")
+    m = S._read_manifest(t, S.current_version(t))
+    assert sorted({c for b in (m.get("blooms") or {}).values() for c in b}) == ["k"]
+    assert S.snapshot_files_for_point(t, "k", 123456) == []   # pruned
+    assert S.snapshot_files_for_point(t, "k", 5)              # present kept
