@@ -169,9 +169,36 @@ def zorder_arrange_n(
     # single-column ZORDER with the same meaning)
     if bits * n > 62:
         raise ValueError(f"bits*ncols = {bits * n} exceeds a long's width")
+    # per-column numeric view for the curve: dates count days since
+    # epoch (a bare DATE refuses the double cast), timestamps cast to
+    # epoch seconds natively; non-castable types (strings, binaries,
+    # arrays) refuse LOUDLY — a silent NULL bucket would collapse the
+    # whole layout into one file and read as "clustered" when it isn't
+    dtypes = dict(df.dtypes)
+
+    def _num(expr):
+        def conv(c):
+            t = dtypes.get(c) if isinstance(c, str) else None
+            if t == "date":
+                return F.unix_date(F.col(c)).cast("double")
+            if t is not None and not (
+                t in ("tinyint", "smallint", "int", "bigint", "float",
+                      "double", "boolean")
+                or t.startswith(("decimal", "timestamp"))
+            ):
+                raise ValueError(
+                    f"z-order column {c!r} has non-orderable-numeric "
+                    f"type {t}: supported are numeric, decimal, "
+                    "boolean, date and timestamp"
+                )
+            return F.col(c).cast("double")
+
+        return conv(expr)
+
     aggs = []
     for i, c in enumerate(cols):
-        aggs += [F.min(c).alias(f"_min_{i}"), F.max(c).alias(f"_max_{i}")]
+        aggs += [F.min(_num(c)).alias(f"_min_{i}"),
+                 F.max(_num(c)).alias(f"_max_{i}")]
     mins = df.agg(*aggs)
     scaled = df.join(F.broadcast(mins))
     n_buckets = 1 << bits
@@ -183,9 +210,9 @@ def zorder_arrange_n(
         # ranges like [0, 0.1] into a couple of buckets; double precision
         # only feeds a floor, and the least() cap absorbs the v == max
         # edge. A zero span (constant column) maps everything to bucket 0.
-        span = F.col(hi).cast("double") - F.col(lo).cast("double")
+        span = F.col(hi) - F.col(lo)
         frac = F.when(
-            span > 0, (F.col(col).cast("double") - F.col(lo).cast("double")) / span
+            span > 0, (_num(col) - F.col(lo)) / span
         ).otherwise(F.lit(0.0))
         return F.least(F.lit(n_buckets - 1), F.floor(frac * n_buckets)).cast("long")
 

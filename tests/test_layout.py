@@ -113,3 +113,39 @@ def test_zorder_n_columns_prunes_all_dimensions(spark, tmp_path):
         zorder_arrange_n(df, [])
     with pytest.raises(ValueError, match="exceeds"):
         zorder_arrange_n(df, ["a", "b", "c"], bits=21)
+
+
+def test_zorder_on_date_column(spark, tmp_path):
+    """Delta's OPTIMIZE ZORDER BY accepts date columns; the Morton
+    scaling converts dates to day ordinals (a bare DATE refuses the
+    double cast). Box pruning works on the date axis."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "zd"
+    df = spark.range(64).selectExpr(
+        "date_add(DATE'2026-01-01', CAST(id AS int)) AS day",
+        "CAST(id % 8 AS int) AS v",
+    )
+    S.snapshot_write_zordered(df, t, "day", "v", n_files=4)
+    got = S.snapshot_read(spark, t)
+    assert got.count() == 64
+    import datetime
+    pruned = S.snapshot_files_for_range(
+        t, "day", datetime.date(2026, 1, 1), datetime.date(2026, 1, 8)
+    )
+    allf = S.snapshot_files_for_range(
+        t, "day", datetime.date(2026, 1, 1), datetime.date(2026, 3, 8)
+    )
+    assert 0 < len(pruned) < len(allf)
+
+
+def test_zorder_on_string_column_refuses_loudly(spark, tmp_path):
+    """A silent NULL bucket would collapse the layout into one file and
+    read as clustered when it isn't — strings refuse instead."""
+    import pytest
+
+    from energy_datalake_solution_spark.sources.sinks import zorder_arrange
+
+    df = spark.range(8).selectExpr("id", "CAST(id AS string) AS s")
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
+        zorder_arrange(df, "id", "s").collect()
