@@ -5046,14 +5046,26 @@ def snapshot_compact(
     p = _table(table_path)
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)
-        df = snapshot_read(spark, p)
+        pm = _read_manifest(p, parent) if parent else {}
+        sch = pm.get("schema")
+        df = snapshot_read(spark, p)  # LOGICAL frame on mapped tables
         if stats_cols:
             df = df.repartitionByRange(target_files, stats_cols[0])
         else:
             df = df.coalesce(target_files)
+        scols = stats_cols
+        if sch:
+            # mapped table: rewritten files must carry the FROZEN
+            # PHYSICAL names — a logical-named file reads as all-NULL
+            # under the mapping after a rename (data files only ever
+            # know physical spellings), and manifest stats key the same
+            # physical space
+            df = _df_to_physical(df, sch)
+            scols = [
+                _mapping_physical(sch, c) for c in (stats_cols or [])
+            ] or None
         files = _write_files(df, p)
-        stats = _collect_stats(p, files, stats_cols, spark=spark) if stats_cols else None
-        pm = _read_manifest(p, parent) if parent else {}
+        stats = _collect_stats(p, files, scols, spark=spark) if scols else None
         try:
             return _commit(
                 p, files, parent, stats=stats,
@@ -5341,6 +5353,11 @@ def snapshot_zorder_compact_n(
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)
         pm = _read_manifest(p, parent) if parent else {}
+        sch = pm.get("schema")
+        # mapped table: data files and manifest stats live in PHYSICAL
+        # space (a logical-named rewrite would read all-NULL under the
+        # mapping after a rename)
+        pcols = [_mapping_physical(sch, c) if sch else c for c in cols]
         carried: list[str] = []
         tail_files: list[str] | None = None
         if incremental and parent:
@@ -5356,18 +5373,22 @@ def snapshot_zorder_compact_n(
                 spark, p, sorted(tail_files), pm.get("dv"), merge_schema=True,
                 types=pm.get("types"), schema=pm.get("schema"),
             )
+            # physical frame: arrange under physical names
+            arranged = zorder_arrange_n(df, pcols, n_files=n_files, bits=bits)
         else:
             carried = []
-            df = snapshot_read(spark, p)
-        new_files = _write_files(
-            zorder_arrange_n(df, cols, n_files=n_files, bits=bits), p
-        )
+            arranged = zorder_arrange_n(
+                snapshot_read(spark, p), cols, n_files=n_files, bits=bits
+            )
+            if sch:
+                arranged = _df_to_physical(arranged, sch)
+        new_files = _write_files(arranged, p)
         stats = {
             f: s
             for f, s in (pm.get("stats", {}) or {}).items()
             if f in set(carried)
         }
-        stats.update(_collect_stats(p, new_files, cols, spark=spark))
+        stats.update(_collect_stats(p, new_files, pcols, spark=spark))
         try:
             return _commit(p, carried + new_files, parent, stats=stats,
                            blooms=_carry_blooms(p, pm, carried, new_files),

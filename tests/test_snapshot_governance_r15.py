@@ -702,3 +702,34 @@ def test_analyze_blooms_after_rename_keys_physical(spark, tmp_path):
     assert sorted({c for b in (m.get("blooms") or {}).values() for c in b}) == ["k"]
     assert S.snapshot_files_for_point(t, "k", 123456) == []   # pruned
     assert S.snapshot_files_for_point(t, "k", 5)              # present kept
+
+
+def test_optimize_after_rename_preserves_values(spark, tmp_path):
+    """THE round-15 probe find: compaction and z-order rewrote mapped
+    tables with LOGICAL column names, so after a RENAME every rewritten
+    file read the renamed column as all-NULL (data files only know
+    frozen physical spellings). Both rewriters now go physical."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "oc"
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE oct_ (a bigint, b bigint) USING snapshot LOCATION '{t}'")
+    cat.sql("INSERT INTO oct_ SELECT id, id % 7 FROM range(64)")
+    cat.sql("ALTER TABLE oct_ RENAME COLUMN a TO aa")
+    cat.sql("OPTIMIZE oct_")                       # plain compact
+    vals = sorted(r.aa for r in cat.sql("SELECT aa FROM oct_").collect())
+    assert vals == list(range(64))
+    cat.sql("OPTIMIZE oct_ ZORDER BY (aa, b)")     # full zorder rewrite
+    vals = sorted(r.aa for r in cat.sql("SELECT aa FROM oct_").collect())
+    assert vals == list(range(64))
+    # stats keyed PHYSICAL: the physical-space prune helpers skip
+    m = S._read_manifest(t, S.current_version(t))
+    keys = sorted({c for s in (m.get("stats") or {}).values()
+                   for c in s if not c.startswith("__")})
+    assert keys == ["a", "b"]
+    assert len(S.snapshot_files_for_range(t, "a", 0, 7)) < len(m["files"])
+    # incremental zorder over a fresh tail keeps values too
+    cat.sql("INSERT INTO oct_ SELECT id, id % 7 FROM range(64, 96)")
+    S.snapshot_zorder_compact(spark, t, "aa", "b", incremental=True)
+    vals = sorted(r.aa for r in cat.sql("SELECT aa FROM oct_").collect())
+    assert vals == list(range(96))
