@@ -1125,6 +1125,12 @@ def snapshot_append(
     else:
         bspec = None
     eff_stats_cols = stats_cols
+    if tip and stats_cols and m_tip.get("schema"):
+        # caller speaks LOGICAL names; files and manifest stats live in
+        # physical space (same disposition as every other stats writer)
+        eff_stats_cols = [
+            _mapping_physical(m_tip["schema"], c) for c in stats_cols
+        ]
     if bspec:
         # bucketed table: the batch bucket-routes like the standing
         # files (bucket files from any number of writes compose into

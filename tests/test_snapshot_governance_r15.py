@@ -733,3 +733,26 @@ def test_optimize_after_rename_preserves_values(spark, tmp_path):
     S.snapshot_zorder_compact(spark, t, "aa", "b", incremental=True)
     vals = sorted(r.aa for r in cat.sql("SELECT aa FROM oct_").collect())
     assert vals == list(range(96))
+
+
+def test_append_stats_cols_map_to_physical_after_rename(spark, tmp_path):
+    """snapshot_append(stats_cols=[logical]) on a renamed mapped table
+    must key the new files' stats physically (like every other stats
+    writer) — a logical key would silently collect nothing and the
+    files would stay unprunable."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "as"
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE ast (a bigint, v string) USING snapshot LOCATION '{t}'")
+    cat.sql("INSERT INTO ast VALUES (1, 'x')")
+    cat.sql("ALTER TABLE ast RENAME COLUMN a TO aa")
+    S.snapshot_append(
+        spark.createDataFrame([(500, "y")], "aa bigint, v string"),
+        t, stats_cols=["aa"],
+    )
+    m = S._read_manifest(t, S.current_version(t))
+    keys = {c for s in (m.get("stats") or {}).values()
+            for c in s if not c.startswith("__")}
+    assert keys == {"a"}  # physical spelling
+    assert S.snapshot_files_for_range(t, "a", 400, 600)  # prunable
