@@ -6104,10 +6104,15 @@ def _constraints_referencing(table_path, col: str) -> list[str]:
     return sorted(n for n, e in cons.items() if pat.search(e))
 
 
-def _commit_schema_change(table_path, mutate, op: str) -> int:
+def _commit_schema_change(
+    table_path, mutate, op: str, mutate_partitioning=None
+) -> int:
     """Metadata-only commit that carries the tip's files/stats/blooms/dv
     and applies ``mutate(schema) -> schema`` — the shape of every
-    column-mapping DDL (rename/drop/add are O(1) metadata, never data)."""
+    column-mapping DDL (rename/drop/add are O(1) metadata, never data).
+    ``mutate_partitioning(spec) -> spec``, when given, rewrites the
+    partitioning spec in the SAME commit (a partition-column rename
+    must move the spec's logical name atomically with the schema's)."""
     p = Path(table_path)
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)
@@ -6121,12 +6126,18 @@ def _commit_schema_change(table_path, mutate, op: str) -> int:
                 "snapshot_enable_column_mapping first"
             )
         new_schema = mutate(json.loads(json.dumps(schema)))  # deep copy
+        new_part = None
+        if mutate_partitioning is not None and m.get("partitioning"):
+            new_part = mutate_partitioning(
+                json.loads(json.dumps(m["partitioning"]))
+            )
         try:
             return _commit(p, list(m["files"]), parent,
                            stats=m.get("stats") or None,
                            blooms=m.get("blooms") or None,
                            dv=m.get("dv") or None, op=op,
-                           schema_meta=new_schema)
+                           schema_meta=new_schema,
+                           partitioning_meta=new_part)
         except SnapshotCommitConflict:
             if attempt == COMMIT_RETRIES - 1:
                 raise
@@ -6170,12 +6181,29 @@ def snapshot_enable_column_mapping(spark: SparkSession, table_path) -> int:
 def snapshot_rename_column(table_path, old: str, new: str) -> int:
     """RENAME COLUMN as an O(1) metadata commit: the logical name moves,
     the physical name (and every data file) stays. Collisions with a
-    live logical name fail loudly."""
+    live logical name fail loudly. A PARTITION column rename moves the
+    partitioning spec's logical name in the SAME commit — column
+    mapping is exactly the feature that makes partition-column renames
+    legal (Delta's contract); leaving the spec on the old spelling
+    would brick every later partitioned write on a mapping KeyError."""
     refs = _constraints_referencing(table_path, old)
     if refs:
         raise ValueError(
             f"cannot rename {old!r}: referenced by CHECK constraint(s) "
             f"{refs} — drop them first (Delta refuses this rename too)"
+        )
+    m0 = _read_manifest(Path(table_path), current_version(Path(table_path)))
+    gen_refs = [
+        c["name"]
+        for c in (m0.get("schema") or {}).get("cols", [])
+        if c.get("generated") is not None
+        and old.lower() in _expr_identifiers(c["generated"])
+    ]
+    if gen_refs:
+        raise ValueError(
+            f"cannot rename {old!r}: GENERATED column(s) {gen_refs} "
+            "compute from it — their stored expressions would dangle "
+            "(Delta refuses this rename too)"
         )
 
     def mutate(schema: dict) -> dict:
@@ -6188,19 +6216,49 @@ def snapshot_rename_column(table_path, old: str, new: str) -> int:
                 c["name"] = new
         return schema
 
-    return _commit_schema_change(table_path, mutate, "rename-column")
+    def mutate_part(spec: dict) -> dict:
+        spec["cols"] = [
+            new if c == old else c for c in (spec.get("cols") or [])
+        ]
+        return spec
+
+    return _commit_schema_change(
+        table_path, mutate, "rename-column", mutate_partitioning=mutate_part
+    )
 
 
 def snapshot_drop_column(table_path, name: str) -> int:
     """DROP COLUMN as an O(1) metadata commit: the (id, physical) pair is
     RETIRED — its bytes stay in the data files (vacuumed naturally as
     files rewrite) but no read ever selects them, and the physical name
-    is permanently reserved so a later re-add cannot resurrect them."""
+    is permanently reserved so a later re-add cannot resurrect them.
+    PARTITION columns refuse (Delta refuses too: the spec would point
+    at nothing and every later partitioned write would fail); columns a
+    GENERATED expression reads refuse for the same reason."""
     refs = _constraints_referencing(table_path, name)
     if refs:
         raise ValueError(
             f"cannot drop {name!r}: referenced by CHECK constraint(s) "
             f"{refs} — drop them first (Delta refuses this drop too)"
+        )
+    p = Path(table_path)
+    m = _read_manifest(p, current_version(p))
+    if name in ((m.get("partitioning") or {}).get("cols") or []):
+        raise ValueError(
+            f"cannot drop {name!r}: it is the table's partition column "
+            "(repartition via snapshot_set_partitioning first — Delta "
+            "refuses dropping partition columns too)"
+        )
+    gen_refs = [
+        c["name"]
+        for c in (m.get("schema") or {}).get("cols", [])
+        if c.get("generated") is not None
+        and name.lower() in _expr_identifiers(c["generated"])
+    ]
+    if gen_refs:
+        raise ValueError(
+            f"cannot drop {name!r}: GENERATED column(s) {gen_refs} "
+            "compute from it — drop them first"
         )
 
     def mutate(schema: dict) -> dict:

@@ -756,3 +756,52 @@ def test_append_stats_cols_map_to_physical_after_rename(spark, tmp_path):
             for c in s if not c.startswith("__")}
     assert keys == {"a"}  # physical spelling
     assert S.snapshot_files_for_range(t, "a", 400, 600)  # prunable
+
+
+def test_partition_column_rename_moves_the_spec(spark, tmp_path):
+    """Renaming a partition column must move the partitioning spec's
+    logical name in the SAME commit — before this fix the spec kept the
+    old spelling and every later partitioned write died on a mapping
+    KeyError (column mapping is exactly the feature that makes
+    partition-column renames legal)."""
+    t = tmp_path / "pr"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE prt (k bigint, part string) USING snapshot "
+        f"PARTITIONED BY (part) LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO prt VALUES (1, 'x'), (2, 'y')")
+    cat.sql("ALTER TABLE prt RENAME COLUMN part TO bucket")
+    cat.sql("INSERT INTO prt VALUES (3, 'z')")   # routes per partition
+    assert cat.sql("SELECT count(*) AS n FROM prt").first()["n"] == 3
+    parts = {r[0] for r in cat.sql("SHOW PARTITIONS prt").collect()}
+    assert parts == {"x", "y", "z"}
+    ddl = cat.sql("SHOW CREATE TABLE prt").first()[0]
+    assert "PARTITIONED BY (bucket)" in ddl
+
+
+def test_drop_partition_or_generated_source_column_refuses(spark, tmp_path):
+    """Dropping a partition column (the spec would dangle) or a column
+    a GENERATED expression reads refuses loudly — Delta's contract;
+    before, the drop landed and every later write died on KeyError or
+    UNRESOLVED_COLUMN."""
+    t = tmp_path / "dp"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE dpt (k bigint, part string, "
+        f"g bigint GENERATED ALWAYS AS (k * 2)) USING snapshot "
+        f"PARTITIONED BY (part) LOCATION '{t}'"
+    )
+    cat.sql("INSERT INTO dpt (k, part) VALUES (1, 'x')")
+    with pytest.raises(ValueError, match="partition column"):
+        cat.sql("ALTER TABLE dpt DROP COLUMN part")
+    with pytest.raises(ValueError, match="GENERATED"):
+        cat.sql("ALTER TABLE dpt DROP COLUMN k")
+    with pytest.raises(ValueError, match="GENERATED"):
+        cat.sql("ALTER TABLE dpt RENAME COLUMN k TO kk")
+    # the generated column itself may rename (its expression reads k,
+    # not itself) and the table keeps working
+    cat.sql("ALTER TABLE dpt RENAME COLUMN g TO gg")
+    cat.sql("INSERT INTO dpt (k, part) VALUES (5, 'y')")
+    got = {(r.k, r.gg) for r in cat.sql("SELECT k, gg FROM dpt").collect()}
+    assert got == {(1, 2), (5, 10)}
