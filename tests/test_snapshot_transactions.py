@@ -350,3 +350,28 @@ def test_vacuum_inside_open_transaction_raises(spark, tmp_path):
     assert {r.k for r in snapshot_read(spark, t).collect()} == (
         set(range(20)) | {100, 101, 102, 103, 104}
     )
+
+
+def test_transactional_ddl_stages_and_rolls_back(spark, tmp_path):
+    """DDL inside BEGIN/COMMIT rides the same staged-commit machinery
+    as DML: an ADD COLUMN inside a transaction is invisible after
+    ROLLBACK and fully applied (with its default resolving both
+    generations) after COMMIT."""
+    from energy_datalake_solution_spark.sources.snapshot_catalog import (
+        SnapshotCatalog,
+    )
+
+    t = tmp_path / "txddl"
+    cat = SnapshotCatalog(spark)
+    cat.sql(f"CREATE TABLE txd (k bigint) USING snapshot LOCATION '{t}'")
+    cat.sql("INSERT INTO txd VALUES (1)")
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql("ALTER TABLE txd ADD COLUMN extra bigint DEFAULT 9")
+    cat.sql("ROLLBACK")
+    assert [r.col_name for r in cat.sql("DESCRIBE txd").collect()] == ["k"]
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql("ALTER TABLE txd ADD COLUMN extra bigint DEFAULT 9")
+    cat.sql("INSERT INTO txd (k) VALUES (2)")
+    cat.sql("COMMIT")
+    rows = sorted((r.k, r.extra) for r in cat.sql("SELECT * FROM txd").collect())
+    assert rows == [(1, 9), (2, 9)]
