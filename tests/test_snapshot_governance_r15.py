@@ -805,3 +805,30 @@ def test_drop_partition_or_generated_source_column_refuses(spark, tmp_path):
     cat.sql("INSERT INTO dpt (k, part) VALUES (5, 'y')")
     got = {(r.k, r.gg) for r in cat.sql("SELECT k, gg FROM dpt").collect()}
     assert got == {(1, 2), (5, 10)}
+
+
+def test_restore_and_vacuum_across_widen_bloom_history(spark, tmp_path):
+    """RESTORE reverts both the bloom backfill and the widened types
+    map (they travel per manifest); VACUUM across a widen/bloom history
+    keeps the tip's rows, filters and types intact."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "rv"
+    S.snapshot_write_with_stats(
+        spark.range(100).selectExpr("id AS k", "id % 5 AS v"), t, ["k"],
+        n_files=4,
+    )
+    v1 = S.current_version(t)
+    S.snapshot_analyze_blooms(spark, t, ["v"])
+    S.snapshot_widen_column(spark, t, "v", "bigint")
+    S.snapshot_append(spark.createDataFrame([(1000, 9)], "k bigint, v bigint"), t)
+    S.snapshot_restore(t, v1)
+    m = S._read_manifest(t, S.current_version(t))
+    assert not m.get("blooms") and m.get("types") is None  # reverted
+    assert S.snapshot_read(spark, t).count() == 100
+    S.snapshot_analyze_blooms(spark, t, ["v"])
+    S.snapshot_widen_column(spark, t, "v", "bigint")
+    S.snapshot_vacuum(t, keep_versions=2)
+    assert S.snapshot_read(spark, t).count() == 100
+    assert S.snapshot_files_for_point(t, "v", 12345) == []  # blooms live
+    assert S._read_manifest(t, S.current_version(t))["types"]["v"] == "bigint"
