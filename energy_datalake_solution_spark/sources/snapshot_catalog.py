@@ -17,13 +17,15 @@ contract one level up:
             AS <select>                           (CTAS — materialize +
             register; the source query may itself time-travel)
         CREATE TABLE <name> (c type [DEFAULT lit-or-foldable-expr
-              (multi-token expressions parenthesized: DEFAULT (1 + 2))
+              (infix expressions parse unparenthesized: DEFAULT 1 + 2)
             | GENERATED ALWAYS AS (expr)
             | GENERATED ALWAYS AS IDENTITY
               [(START WITH s INCREMENT BY k)]]
             [NOT NULL] [COMMENT 'txt'], ...) USING snapshot
             [PARTITIONED BY (c, ...)] LOCATION '<p>'
             [PARTITIONED BY (c, ...)]
+            (CTAS accepts PARTITIONED BY in both positions too —
+            the result lands one file set per partition value)
             (clauses in any order; empty-table DDL: v1 schema-only manifest,
             column mapping from birth; reads return a typed empty frame;
             generated columns compute on write when omitted and are
@@ -180,7 +182,13 @@ _CREATE_RE = re.compile(
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<name>[A-Za-z_][\w]*)\s+"
     r"USING\s+snapshot\s+"
+    # PARTITIONED BY accepted on either side of the location, like the
+    # empty-table DDL grammar
+    r"(?:PARTITIONED\s+BY\s*\(\s*"
+    r"(?P<part1>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s+)?"
     r"(?:OPTIONS\s*\(\s*path\s+'(?P<opath>[^']+)'\s*\)|LOCATION\s+'(?P<lpath>[^']+)')"
+    r"(?:\s+PARTITIONED\s+BY\s*\(\s*"
+    r"(?P<part2>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
     r"\s+AS\s+(?P<query>(?:SELECT|WITH|VALUES|TABLE)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -931,7 +939,7 @@ class SnapshotCatalog:
             return None
         m = _CTAS_RE.match(text)
         if m:
-            from .snapshots import snapshot_write
+            from .snapshots import snapshot_write, snapshot_write_partitioned
 
             name, replace = m.group("name"), bool(m.group("replace"))
             if self._txn is not None:
@@ -951,7 +959,14 @@ class SnapshotCatalog:
                     f"a snapshot table already exists at {path} "
                     "(use CREATE OR REPLACE TABLE)"
                 )
-            snapshot_write(self._fresh_sql(m.group("query")), path)
+            part = m.group("part1") or m.group("part2")
+            if part:
+                snapshot_write_partitioned(
+                    self.spark, self._fresh_sql(m.group("query")), path,
+                    [c.strip() for c in part.split(",")],
+                )
+            else:
+                snapshot_write(self._fresh_sql(m.group("query")), path)
             self.create_table(name, path)
             return None
         m = _CREATE_EMPTY_RE.match(text)

@@ -6674,6 +6674,36 @@ def _write_files_by_partition(
     return _write_files(routed, table_path)
 
 
+def snapshot_write_partitioned(
+    spark: SparkSession, df: DataFrame, table_path, part_cols: "list[str]"
+) -> int:
+    """Full-replace commit routed ONE FILE SET PER PARTITION-VALUE
+    TUPLE, with the spec recorded as manifest metadata and exact point
+    stats on every spec column — the write behind partitioned CTAS
+    (``CREATE TABLE ... PARTITIONED BY (...) AS SELECT ...``). Later
+    inserts route through the spec like any partitioned table; the
+    value prune admits exactly the touched partitions' files."""
+    p = _table(table_path)
+    part_cols = list(part_cols)
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"PARTITIONED BY names column(s) {missing} the CTAS query "
+            "does not produce"
+        )
+    vals = [tuple(r) for r in df.select(*part_cols).distinct().collect()]
+    if any(v is None for t_ in vals for v in t_):
+        raise ValueError(
+            "NULL partition values cannot route (partitioned CTAS)"
+        )
+    files = _write_files_by_partition(spark, df, p, part_cols, vals)
+    stats = _collect_stats(p, files, part_cols, spark=spark)
+    return _commit_full_replace(
+        p, files, stats=stats, op="write-part",
+        partitioning_meta={"cols": part_cols},
+    )
+
+
 def snapshot_upsert_partitioned(
     spark: SparkSession,
     df: DataFrame,

@@ -832,3 +832,40 @@ def test_restore_and_vacuum_across_widen_bloom_history(spark, tmp_path):
     assert S.snapshot_read(spark, t).count() == 100
     assert S.snapshot_files_for_point(t, "v", 12345) == []  # blooms live
     assert S._read_manifest(t, S.current_version(t))["types"]["v"] == "bigint"
+
+
+def test_partitioned_ctas(spark, tmp_path):
+    """CREATE TABLE ... PARTITIONED BY ... AS SELECT (both grammar
+    positions): the result lands one file set per partition value with
+    the spec in the manifest — later inserts route through it and
+    SHOW PARTITIONS reflects every generation."""
+    cat = SnapshotCatalog(spark)
+    spark.range(20).selectExpr(
+        "id AS k", "CAST(id % 3 AS string) AS part"
+    ).createOrReplaceTempView("pctas_src")
+    t1 = tmp_path / "c1"
+    cat.sql(
+        f"CREATE TABLE pc1 USING snapshot PARTITIONED BY (part) "
+        f"LOCATION '{t1}' AS SELECT * FROM pctas_src"
+    )
+    assert cat.sql("SELECT count(*) AS n FROM pc1").first()["n"] == 20
+    assert {r[0] for r in cat.sql("SHOW PARTITIONS pc1").collect()} == {
+        "0", "1", "2"
+    }
+    cat.sql("INSERT INTO pc1 VALUES (100, '9')")   # routes via the spec
+    assert {r[0] for r in cat.sql("SHOW PARTITIONS pc1").collect()} == {
+        "0", "1", "2", "9"
+    }
+    # grammar position 2: PARTITIONED BY after LOCATION
+    t2 = tmp_path / "c2"
+    cat.sql(
+        f"CREATE TABLE pc2 USING snapshot LOCATION '{t2}' "
+        f"PARTITIONED BY (part) AS SELECT * FROM pctas_src"
+    )
+    assert cat.sql("SELECT count(*) AS n FROM pc2").first()["n"] == 20
+    # a spec column the query does not produce refuses loudly
+    with pytest.raises(ValueError, match="does not produce"):
+        cat.sql(
+            f"CREATE TABLE pc3 USING snapshot PARTITIONED BY (nosuch) "
+            f"LOCATION '{tmp_path / 'c3'}' AS SELECT * FROM pctas_src"
+        )
