@@ -210,6 +210,10 @@ _CREATE_EMPTY_RE = re.compile(
     r"\s+(?:OPTIONS\s*\(\s*path\s+'(?P<opath>[^']+)'\s*\)|LOCATION\s+'(?P<lpath>[^']+)')"
     r"(?:\s+PARTITIONED\s+BY\s*\(\s*"
     r"(?P<part2>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
+    # trailing TBLPROPERTIES: makes SHOW CREATE TABLE's output
+    # re-executable (constraints render as delta.constraints.* keys and
+    # re-apply as CHECKs; other keys land as table properties)
+    r"(?:\s+TBLPROPERTIES\s*\((?P<props>.+?)\))?"
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1014,6 +1018,35 @@ class SnapshotCatalog:
                 snapshot_set_partitioning(
                     m.group("opath") or m.group("lpath"), pcols
                 )
+            if m.group("props"):
+                # trailing TBLPROPERTIES: re-executable SHOW CREATE —
+                # delta.constraints.* keys re-apply as CHECKs, the rest
+                # land as table properties
+                from .snapshots import (
+                    snapshot_set_constraint,
+                    snapshot_set_properties,
+                )
+
+                tpath = m.group("opath") or m.group("lpath")
+                plain: dict = {}
+                for pair in _split_top_commas(m.group("props")):
+                    pm_ = _TBLPROP_PAIR_RE.match(pair)
+                    if not pm_:
+                        raise ValueError(
+                            f"CREATE TABLE: cannot parse TBLPROPERTIES "
+                            f"pair {pair!r}"
+                        )
+                    key = pm_.group("key").replace("''", "'")
+                    val = pm_.group("val").replace("''", "'")
+                    if key.startswith("delta.constraints."):
+                        snapshot_set_constraint(
+                            self.spark, tpath,
+                            key[len("delta.constraints."):], val,
+                        )
+                    else:
+                        plain[key] = val
+                if plain:
+                    snapshot_set_properties(tpath, plain)
             self.create_table(name, m.group("opath") or m.group("lpath"))
             return None
         m = _CLONE_RE.match(text)

@@ -869,3 +869,44 @@ def test_partitioned_ctas(spark, tmp_path):
             f"CREATE TABLE pc3 USING snapshot PARTITIONED BY (nosuch) "
             f"LOCATION '{tmp_path / 'c3'}' AS SELECT * FROM pctas_src"
         )
+
+
+def test_show_create_output_is_re_executable(spark, tmp_path):
+    """The closure property: SHOW CREATE TABLE's output — identity
+    spec, defaults, comments, NOT NULL, partitioning, CHECK constraints
+    (as delta.constraints.* TBLPROPERTIES) and plain properties —
+    re-executes at a new location into a behaviorally equivalent table."""
+    import re as _re
+
+    t1 = tmp_path / "t1"
+    cat = SnapshotCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE sc1 (id bigint GENERATED ALWAYS AS IDENTITY "
+        f"(START WITH 5 INCREMENT BY 2), "
+        f"k bigint NOT NULL DEFAULT 1 COMMENT 'key', part string, "
+        f"g bigint GENERATED ALWAYS AS (k * 2)) USING snapshot "
+        f"PARTITIONED BY (part) LOCATION '{t1}'"
+    )
+    cat.sql("ALTER TABLE sc1 ADD CONSTRAINT pos CHECK (k > 0)")
+    cat.sql("ALTER TABLE sc1 SET TBLPROPERTIES ('team' = 'x')")
+    ddl = cat.sql("SHOW CREATE TABLE sc1").first()[0]
+    t2 = tmp_path / "t2"
+    cat.sql(_re.sub(r"LOCATION '[^']+'", f"LOCATION '{t2}'",
+                    ddl.replace("sc1", "sc2")))
+    cat.sql("INSERT INTO sc2 (k, part) VALUES (3, 'a')")
+    row = cat.sql("SELECT id, k, g, part FROM sc2").first()
+    assert tuple(row) == (5, 3, 6, "a")   # identity start, generated
+    # the re-executed table enforces the re-applied CHECK and NOT NULL
+    from energy_datalake_solution_spark.sources.snapshots import (
+        SnapshotConstraintViolation,
+    )
+
+    with pytest.raises(SnapshotConstraintViolation):
+        cat.sql("INSERT INTO sc2 (k, part) VALUES (-1, 'b')")
+    props = {r.key: r.value
+             for r in cat.sql("SHOW TBLPROPERTIES sc2").collect()}
+    assert props.get("team") == "x"
+    # defaults resolve on narrow writes
+    cat.sql("INSERT INTO sc2 (part) VALUES ('c')")
+    got = {(r.k, r.g) for r in cat.sql("SELECT k, g FROM sc2").collect()}
+    assert got == {(3, 6), (1, 2)}
