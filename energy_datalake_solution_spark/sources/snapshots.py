@@ -5710,13 +5710,20 @@ def snapshot_write_zordered(
     Same full-replace prelude as snapshot_write; identity tables route
     to replace_where AFTER arranging (the curve layout is computed in
     logical space, so it survives the route; replace_where's rebase
-    loop allocates the ids and tracks the same two stats columns)."""
+    loop allocates the ids and tracks the same two stats columns).
+    Write defaults and generated columns materialize (logical space)
+    BEFORE the arrangement, so z-ordering on a column the batch omits
+    clusters the stored write-time value instead of failing on a
+    missing column; the prelude's later pass is a no-op for columns
+    already present."""
     from .sinks import zorder_arrange
 
     p = _table(table_path)
     tip = current_version(p)
     m_tip = _read_manifest(p, tip) if tip else {}
     sch = m_tip.get("schema") if tip else None
+    df = _materialize_wdefaults(df, sch)
+    df = _materialize_generated(df, sch)
     df = zorder_arrange(df, col_a, col_b, n_files=n_files, bits=bits)
     if _identity_cols(sch):
         return snapshot_replace_where(
@@ -5742,13 +5749,17 @@ def snapshot_write_zordered_n(
     Files cover compact N-dimensional boxes, so snapshot_read_box prunes
     on any predicate subset; reuses the sink tier's arrangement
     (sources/sinks.py::zorder_arrange_n) so the layouts cannot drift.
-    Identity/mapped-table disposition mirrors snapshot_write_zordered."""
+    Identity/mapped-table disposition mirrors snapshot_write_zordered,
+    including the defaults-before-arrangement ordering (z-ordering on
+    an omitted DEFAULT/GENERATED column materializes it first)."""
     from .sinks import zorder_arrange_n
 
     p = _table(table_path)
     tip = current_version(p)
     m_tip = _read_manifest(p, tip) if tip else {}
     sch = m_tip.get("schema") if tip else None
+    df = _materialize_wdefaults(df, sch)
+    df = _materialize_generated(df, sch)
     df = zorder_arrange_n(df, cols, n_files=n_files, bits=bits)
     if _identity_cols(sch):
         return snapshot_replace_where(
@@ -6682,22 +6693,55 @@ def snapshot_write_partitioned(
     stats on every spec column — the write behind partitioned CTAS
     (``CREATE TABLE ... PARTITIONED BY (...) AS SELECT ...``). Later
     inserts route through the spec like any partitioned table; the
-    value prune admits exactly the touched partitions' files."""
+    value prune admits exactly the touched partitions' files.
+
+    Same full-replace prelude as snapshot_write when the location
+    already holds a table (CREATE OR REPLACE ... PARTITIONED BY over a
+    standing table): constraints enforce, write defaults and generated
+    columns materialize, and a column-mapped table's batch maps logical
+    -> physical BEFORE routing — the spec records LOGICAL names (the
+    manifest convention; readers translate), while files and stats live
+    in physical space. IDENTITY tables refuse: the per-partition write
+    has no per-rebase allocation (plain CTAS routes allocation through
+    snapshot_replace_where; there is no partitioned equivalent)."""
     p = _table(table_path)
     part_cols = list(part_cols)
-    missing = [c for c in part_cols if c not in df.columns]
+    tip = current_version(p)
+    m_tip = _read_manifest(p, tip) if tip else {}
+    sch = m_tip.get("schema") if tip else None
+    if _identity_cols(sch):
+        raise NotImplementedError(
+            "partitioned CTAS replace over a GENERATED ALWAYS AS "
+            "IDENTITY table is unsupported (the per-partition file "
+            "routing has no per-rebase id allocation) — CTAS without "
+            "PARTITIONED BY routes allocation through "
+            "snapshot_replace_where, or DROP the table first"
+        )
+    df = _prep_replace_batch(df, p, tip, m_tip)
+    if sch:
+        try:
+            pcols = [_mapping_physical(sch, c) for c in part_cols]
+        except KeyError:
+            raise ValueError(
+                f"PARTITIONED BY names column(s) not in the replaced "
+                f"table's column mapping (spec: {part_cols}, live: "
+                f"{[c['name'] for c in sch['cols']]})"
+            ) from None
+    else:
+        pcols = part_cols
+    missing = [c for c, pc in zip(part_cols, pcols) if pc not in df.columns]
     if missing:
         raise ValueError(
             f"PARTITIONED BY names column(s) {missing} the CTAS query "
             "does not produce"
         )
-    vals = [tuple(r) for r in df.select(*part_cols).distinct().collect()]
+    vals = [tuple(r) for r in df.select(*pcols).distinct().collect()]
     if any(v is None for t_ in vals for v in t_):
         raise ValueError(
             "NULL partition values cannot route (partitioned CTAS)"
         )
-    files = _write_files_by_partition(spark, df, p, part_cols, vals)
-    stats = _collect_stats(p, files, part_cols, spark=spark)
+    files = _write_files_by_partition(spark, df, p, pcols, vals)
+    stats = _collect_stats(p, files, pcols, spark=spark)
     return _commit_full_replace(
         p, files, stats=stats, op="write-part",
         partitioning_meta={"cols": part_cols},
