@@ -682,6 +682,59 @@ def bm25_index_append(
     return ver
 
 
+def bm25_index_compact(
+    spark: SparkSession, index_root, n_files: int = BM25_INDEX_FILES
+) -> int:
+    """OPTIMIZE a stored BM25 index back to its fresh-built shape — the
+    round-15 10x-probe measurement's identified lever (44 MOR-delta
+    postings files after 9 appends put per-file open/footer overhead at
+    1.41x; compaction restores the per-bucket single-file listing):
+
+    * ``postings`` — layout-only rewrite: range re-split on term_bucket
+      into ``n_files`` files with fresh manifest stats, so a probe's
+      bucket prune admits ~1 file per query-term bucket again
+      (snapshot_compact; contents untouched);
+    * ``vocab`` — delta FOLD: per-commit (term_bucket, term, df) rows
+      collapse to one row per term (sum df — exactly the probe's
+      sum-on-read), then range re-split; read-equivalent by the delta
+      table's own contract;
+    * ``stats`` — delta FOLD to a single (n_docs, n_text_docs, sum_dl)
+      row (the probe sums these too).
+
+    All three are ordinary versioned commits: time travel still sees
+    every append generation, vacuum reclaims the small files, the
+    conflict-safe loops fold (never drop) a racing append, and the
+    txn replay map carries through so an ingest retry after compaction
+    still no-ops. Returns the new postings-table version.
+
+    At 100 TB: cost is one read+write of the index tables (NOT the
+    corpus — no re-tokenize), embarrassingly range-parallel; run it on
+    the maintenance cadence of any OPTIMIZE."""
+    root = Path(index_root)
+    from ..sources.snapshots import snapshot_compact, snapshot_compact_merged
+
+    ver = snapshot_compact(
+        spark, root / "postings", n_files, stats_cols=["term_bucket"]
+    )
+    snapshot_compact_merged(
+        spark, root / "vocab",
+        lambda d: d.groupBy("term_bucket", "term").agg(
+            F.sum("df").cast("long").alias("df")
+        ),
+        target_files=max(1, n_files // 2), stats_cols=["term_bucket"],
+    )
+    snapshot_compact_merged(
+        spark, root / "stats",
+        lambda d: d.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_text_docs").cast("long").alias("n_text_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        ),
+        target_files=1,
+    )
+    return ver
+
+
 # Above this many (query_id, term) pairs the probe stops IN-listing terms
 # into the scan filter and broadcasting the query frame, and runs the
 # distributed form instead: file pruning from the Spark-side distinct

@@ -5085,6 +5085,62 @@ def snapshot_compact(
     raise AssertionError("unreachable")
 
 
+def snapshot_compact_merged(
+    spark: SparkSession, table_path, merge, target_files: int = 1,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE for MERGE-ON-READ DELTA tables whose read path FOLDS
+    rows (sum-on-read vocab/stats deltas, per-commit counter rows):
+    rewrite the current version THROUGH ``merge`` — a caller-certified
+    read-equivalent transform that collapses delta rows (e.g.
+    ``groupBy(keys).agg(sum(...))``) — and commit the folded result as
+    a new version. The delta-table analogue of snapshot_compact: layout
+    compaction alone cannot shrink a delta table whose row count grows
+    one delta-row-set per append; folding restores the fresh-built row
+    count (and with ``stats_cols`` the fresh-built range layout), so
+    probe cost returns to O(fresh index) instead of O(appends).
+
+    ``merge`` takes and returns a LOGICAL DataFrame; the rewrite then
+    maps to physical on mapped tables like every compactor. Same
+    conflict-safe loop as snapshot_compact: a writer landing
+    mid-rewrite triggers a re-read of the new tip, so a racing append's
+    delta rows are folded, never dropped. Old versions stay
+    time-travelable; vacuum reclaims the unfolded files.
+
+    Contract: the transform must be READ-EQUIVALENT under the table's
+    documented read semantics (for a sum-on-read delta table, any
+    grouping that preserves every group's sum). The caller certifies
+    this — the function cannot check it without knowing the read
+    semantics."""
+    p = _table(table_path)
+    for attempt in range(COMMIT_RETRIES):
+        parent = current_version(p)
+        pm = _read_manifest(p, parent) if parent else {}
+        sch = pm.get("schema")
+        df = merge(snapshot_read(spark, p))  # LOGICAL frame
+        if stats_cols:
+            df = df.repartitionByRange(target_files, stats_cols[0])
+        else:
+            df = df.coalesce(target_files)
+        scols = stats_cols
+        if sch:
+            df = _df_to_physical(df, sch)
+            scols = [
+                _mapping_physical(sch, c) for c in (stats_cols or [])
+            ] or None
+        files = _write_files(df, p)
+        stats = _collect_stats(p, files, scols, spark=spark) if scols else None
+        try:
+            return _commit(
+                p, files, parent, stats=stats,
+                blooms=_carry_blooms(p, pm, [], files), op="compact-merged",
+            )
+        except SnapshotCommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
 def snapshot_compact_where(
     spark: SparkSession, table_path, condition: str,
     target_files: int = 1,

@@ -160,6 +160,62 @@ def test_compaction_restores_probe_pruning(spark, tmp_path):
     assert _rows(bm25_probe(spark, QT, idx)) == before_rows
 
 
+def test_bm25_index_compact_folds_deltas(spark, tmp_path):
+    """bm25_index_compact is the index's OPTIMIZE: postings re-range
+    into per-bucket tight files, vocab's per-commit delta rows FOLD to
+    one row per term (sum df), stats folds to one row — probe results
+    identical, txn replay protection intact. The r15 10x measurement's
+    lever: per-file overhead across 44 MOR-delta files was the probe's
+    1.41x; folding restores the fresh-built listing."""
+    from energy_datalake_solution_spark.operators.retrieval import (
+        bm25_index_compact,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_files_for_values,
+        snapshot_read,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    base_dir = tmp_path / "base"
+    docs.where(F.col("doc_id") < 200).write.parquet(
+        str(base_dir / "documents.parquet")
+    )
+    idx = tmp_path / "idx"
+    build_bm25_index(spark, str(base_dir), idx)
+    for lo, hi, txn in ((200, 300, 1), (300, 400, 2), (400, 600, 3)):
+        bm25_index_append(
+            spark,
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            idx, txn=txn, txn_app="ingest",
+        )
+    before_rows = _rows(bm25_probe(spark, QT, idx))
+    vocab = snapshot_read(spark, idx / "vocab")
+    n_delta_rows = vocab.count()
+    n_terms = vocab.select("term_bucket", "term").distinct().count()
+    assert n_delta_rows > n_terms  # appends left per-commit delta rows
+
+    bm25_index_compact(spark, idx)
+
+    # probe identical, vocab folded to one row per term, stats to 1 row
+    assert _rows(bm25_probe(spark, QT, idx)) == before_rows
+    assert snapshot_read(spark, idx / "vocab").count() == n_terms
+    assert snapshot_read(spark, idx / "stats").count() == 1
+    # postings back to tight per-bucket listings
+    one_bucket = snapshot_files_for_values(
+        idx / "postings", "term_bucket", [4]
+    )
+    assert len(one_bucket) <= 2
+    # replay protection survived the full-table rewrites: re-sending an
+    # already-applied txn must change nothing
+    bm25_index_append(
+        spark,
+        docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 600)),
+        idx, txn=3, txn_app="ingest",
+    )
+    assert _rows(bm25_probe(spark, QT, idx)) == before_rows
+    assert snapshot_read(spark, idx / "stats").count() == 1
+
+
 def test_null_text_docs_count_toward_idf_but_not_avgdl(spark, tmp_path):
     """A corpus with NULL-text documents: the stored index's probe must
     reproduce the fused query exactly — N (idf) counts every row while
