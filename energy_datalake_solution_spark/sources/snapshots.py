@@ -795,10 +795,17 @@ def _apply_type_widening(
         if not files:
             return df, None
         probe = _footer_types(p, files[:1])
-        if all(batch.get(c, t) == t for c, t in probe.items()) and all(
-            probe.get(c, t) == t for c, t in batch.items()
+        # the fast path requires the column SETS to match, not just the
+        # shared columns' types: a missing column must not default to
+        # "matching" — an ADDITIVE batch that slipped through here wrote
+        # its new column into files no read could see (the map never
+        # stamped, so reads kept the old footer schema and silently
+        # dropped the column's data), and a NARROW batch left files
+        # whose width drift no metadata recorded
+        if set(batch) == set(probe) and all(
+            batch[c] == t for c, t in probe.items()
         ):
-            return df, None  # no type drift: stay metadata-free
+            return df, None  # no drift at all: stay metadata-free
         recorded = _footer_types(p, files, spark=df.sparkSession)
     changed = m.get("types") is None  # bootstrapped map must be stamped
     out_types = dict(recorded)
@@ -6215,7 +6222,12 @@ def snapshot_enable_column_mapping(spark: SparkSession, table_path) -> int:
     """Turn on column mapping: snapshot the table's current (merged)
     schema into the manifest with stable ids; physical names freeze at
     their current spelling, so existing files read unchanged. Idempotent
-    on an already-mapped table."""
+    on an already-mapped table. BUCKETED tables refuse — the same
+    one-way contract as snapshot_write_bucketed's mapped-table refusal
+    (bucket metadata binds PHYSICAL names to the join attribute, and
+    the bucketed view registers by those spellings; a later rename
+    would leave the co-located join surface exposing stale names) —
+    rewrite through snapshot_write to drop the layout first."""
     p = Path(table_path)
     parent = current_version(p)
     if parent == 0:
@@ -6223,6 +6235,13 @@ def snapshot_enable_column_mapping(spark: SparkSession, table_path) -> int:
     m = _read_manifest(p, parent)
     if m.get("schema"):
         return parent
+    if m.get("bucketing"):
+        raise ValueError(
+            "column mapping on a BUCKETED table is unsupported (bucket "
+            "metadata binds physical names to the join attribute) — "
+            "rewrite through snapshot_write to drop the bucketed "
+            "layout first, then enable mapping"
+        )
     df = snapshot_read(spark, p, merge_schema=True)
     cols = [
         {"id": i + 1, "name": f.name, "physical": f.name,

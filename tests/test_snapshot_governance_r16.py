@@ -159,3 +159,60 @@ def test_zordered_n_on_omitted_wdefault_column(spark, default_table):
                  S.snapshot_read(spark, t).select("k", "v", "g").collect())
     assert len(got) == 8
     assert all(v == 7 and g == 2 * k for k, v, g in got)
+
+
+# ---------------------------------------------------------------------------
+# 3. round-16 probe finds: additive-append visibility, mapping x bucketed
+# ---------------------------------------------------------------------------
+
+def test_additive_append_stamps_types_and_is_visible(spark, tmp_path):
+    """THE round-16 probe find: _apply_type_widening's metadata-free
+    fast path treated a MISSING column as matching, so an additive
+    append (batch carries a column the table lacks) wrote its data into
+    files but never stamped the types map — every read kept the old
+    footer schema and silently DROPPED the new column's values. The
+    fast path now requires column-set equality; the additive batch
+    stamps the map and reads surface all columns with NULL fill."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "a"
+    S.snapshot_write(spark.range(4).selectExpr("id AS k", "id % 7 AS v"), t)
+    S.snapshot_append(
+        spark.range(10, 12).selectExpr("id AS k", "id % 7 AS vv"), t
+    )
+    m = S._read_manifest(t, S.current_version(t))
+    assert m.get("types") == {"k": "bigint", "v": "bigint",
+                              "vv": "bigint"}
+    rows = sorted(tuple(r) for r in S.snapshot_read(spark, t).collect())
+    assert rows == [
+        (0, 0, None), (1, 1, None), (2, 2, None), (3, 3, None),
+        (10, None, 3), (11, None, 4),
+    ]
+    # narrow append: NULL-fills, keeps the map complete
+    S.snapshot_append(spark.range(20, 21).selectExpr("id AS k"), t)
+    assert (20, None, None) in {
+        tuple(r) for r in S.snapshot_read(spark, t).collect()
+    }
+    # time travel still shows the pre-evolution schema
+    assert S.snapshot_read(spark, t, version=1).columns == ["k", "v"]
+
+
+def test_enable_column_mapping_refuses_bucketed_tables(spark, tmp_path):
+    """The reverse direction of snapshot_write_bucketed's mapped-table
+    refusal (one-way contract, both directions): enabling mapping on a
+    bucketed table would let a bucket-column rename land while the
+    bucketed view keeps exposing the frozen physical spelling."""
+    from energy_datalake_solution_spark.sources import snapshots as S
+
+    t = tmp_path / "b"
+    S.snapshot_write_bucketed(
+        spark.range(20).selectExpr("id AS k", "id % 7 AS v"), t, "k", 4
+    )
+    with pytest.raises(ValueError, match="BUCKETED"):
+        S.snapshot_enable_column_mapping(spark, t)
+    # rewriting through snapshot_write drops the layout; mapping then
+    # enables cleanly (the documented escape hatch)
+    S.snapshot_write(S.snapshot_read(spark, t), t)
+    S.snapshot_enable_column_mapping(spark, t)
+    S.snapshot_rename_column(t, "k", "kk")
+    assert S.snapshot_read(spark, t).columns == ["kk", "v"]
