@@ -3861,3 +3861,366 @@ def reference_sql_suite_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_revenue").cast("double").alias("v"),
     )
     return a.unionByName(b).unionByName(c)
+
+
+@register(
+    "snapshot_ctas_ddl_read",
+    oracle="""
+        SELECT 'ctas1' AS part, o_orderkey AS k, o_orderstatus AS cat,
+               o_totalprice AS total, CAST(NULL AS BIGINT) AS extra
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 'ctas2', c_custkey, c_mktsegment,
+               CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT 'rt', c_custkey + 1, c_mktsegment,
+               CAST((c_custkey + 1) * 2 AS DOUBLE), CAST(NULL AS BIGINT)
+        FROM customer WHERE c_custkey % 9 = 0
+        UNION ALL
+        SELECT 'txn', o_orderkey, CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), CAST(9 AS BIGINT)
+        FROM orders WHERE o_orderkey % 13 = 1
+        UNION ALL
+        SELECT 'txn', o_orderkey, CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), o_orderkey % 5
+        FROM orders WHERE o_orderkey % 13 = 2
+    """,
+    tags=("snapshot", "ddl", "ctas", "transactions", "catalog"),
+)
+def snapshot_ctas_ddl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-15-late DDL surface under ONE driver hash gate:
+
+    * partitioned CTAS in BOTH grammar positions (``PARTITIONED BY``
+      between USING and LOCATION over orders; after LOCATION over
+      customer) — the result lands one file set per partition value
+      with the spec in the manifest (SHOW PARTITIONS asserted
+      in-fixture), and a spec column the query does not produce
+      refuses loudly WITHOUT registering the table or creating a
+      snapshot at the location;
+    * the SHOW CREATE TABLE closure: a table with IDENTITY spec,
+      NOT NULL + DEFAULT + COMMENT, a GENERATED column, partitioning,
+      a CHECK constraint (travelling as delta.constraints.*
+      TBLPROPERTIES) and a plain property re-executes VERBATIM at a
+      new location into a behaviorally equivalent table — identity
+      allocates from the declared start/step grid, the generated
+      column computes, the re-applied CHECK refuses, and the property
+      round-trips through the second SHOW CREATE;
+    * transactional DDL: ADD COLUMN staged under BEGIN is invisible
+      after ROLLBACK (schema re-checked), and a BEGIN -> ADD COLUMN ->
+      INSERT -> COMMIT applies atomically — pre-transaction rows read
+      the birth default (9) while the in-transaction insert's explicit
+      values land, so the generational split rides the hash.
+
+    The oracle reconstructs all four legs from the raw tables."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources.snapshots import (
+        SnapshotConstraintViolation,
+        snapshot_read,
+    )
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_ctasddl_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "cd_raw_orders"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "cd_raw_customer"
+    )
+    cat = SnapshotCatalog(spark)
+    # --- leg 1: partitioned CTAS, grammar position 1 ----------------
+    t1 = base / "c1"
+    cat.sql(
+        f"CREATE TABLE cd1 USING snapshot PARTITIONED BY (cat) "
+        f"LOCATION '{t1}' AS SELECT o_orderkey AS k, "
+        f"o_orderstatus AS cat, o_totalprice AS total "
+        f"FROM cd_raw_orders WHERE o_orderkey % 7 = 0"
+    )
+    parts = {r[0] for r in cat.sql("SHOW PARTITIONS cd1").collect()}
+    if parts != {"F", "O", "P"}:
+        raise RuntimeError(f"partitioned CTAS spec missing: {parts}")
+    # --- leg 2: partitioned CTAS, grammar position 2 ----------------
+    t2 = base / "c2"
+    cat.sql(
+        f"CREATE TABLE cd2 USING snapshot LOCATION '{t2}' "
+        f"PARTITIONED BY (cat) AS SELECT c_custkey AS k, "
+        f"c_mktsegment AS cat FROM cd_raw_customer "
+        f"WHERE c_custkey % 5 = 0"
+    )
+    # refusal probe: unproduced spec column registers NOTHING
+    t3 = base / "c3"
+    try:
+        cat.sql(
+            f"CREATE TABLE cd3 USING snapshot PARTITIONED BY (nosuch) "
+            f"LOCATION '{t3}' AS SELECT c_custkey AS k "
+            f"FROM cd_raw_customer WHERE c_custkey % 5 = 0"
+        )
+        raise RuntimeError("unproduced spec column did not refuse")
+    except ValueError:
+        pass
+    if (t3 / "_latest").exists():
+        raise RuntimeError("refused CTAS left a snapshot at the location")
+    if "cd3" in getattr(cat, "_tables", {}):
+        raise RuntimeError("refused CTAS registered the table")
+    # --- leg 3: SHOW CREATE TABLE round-trip ------------------------
+    import re as _re
+
+    t4, t5 = base / "rt1", base / "rt2"
+    cat.sql(
+        f"CREATE TABLE cdrt (id bigint GENERATED ALWAYS AS IDENTITY "
+        f"(START WITH 5 INCREMENT BY 2), "
+        f"k bigint NOT NULL DEFAULT 1 COMMENT 'key', cat string, "
+        f"g bigint GENERATED ALWAYS AS (k * 2)) USING snapshot "
+        f"PARTITIONED BY (cat) LOCATION '{t4}'"
+    )
+    cat.sql("ALTER TABLE cdrt ADD CONSTRAINT pos CHECK (k > 0)")
+    cat.sql("ALTER TABLE cdrt SET TBLPROPERTIES ('team' = 'energy')")
+    ddl = cat.sql("SHOW CREATE TABLE cdrt").first()[0]
+    cat.sql(_re.sub(r"LOCATION '[^']+'", f"LOCATION '{t5}'",
+                    ddl.replace("cdrt", "cdrt2")))
+    cat.sql(
+        "INSERT INTO cdrt2 (k, cat) SELECT c_custkey + 1, c_mktsegment "
+        "FROM cd_raw_customer WHERE c_custkey % 9 = 0 ORDER BY c_custkey"
+    )
+    n = cat.sql("SELECT count(*) AS n FROM cdrt2").first()["n"]
+    ids = {r[0] for r in cat.sql("SELECT id FROM cdrt2").collect()}
+    if ids != {5 + 2 * i for i in range(n)}:
+        raise RuntimeError(
+            f"re-executed IDENTITY spec lost the start/step grid: "
+            f"{sorted(ids)[:5]}..."
+        )
+    try:
+        cat.sql("INSERT INTO cdrt2 (k, cat) VALUES (-1, 'X')")
+        raise RuntimeError("re-applied CHECK did not fire")
+    except SnapshotConstraintViolation:
+        pass
+    ddl2 = cat.sql("SHOW CREATE TABLE cdrt2").first()[0]
+    if "'team' = 'energy'" not in ddl2.replace('"', "'"):
+        raise RuntimeError(f"property lost in round-trip: {ddl2!r}")
+    # --- leg 4: transactional DDL -----------------------------------
+    t6 = base / "txd"
+    cat.sql(
+        f"CREATE TABLE cdtx (k bigint) USING snapshot LOCATION '{t6}'"
+    )
+    cat.sql(
+        "INSERT INTO cdtx SELECT o_orderkey FROM cd_raw_orders "
+        "WHERE o_orderkey % 13 = 1 ORDER BY o_orderkey"
+    )
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql("ALTER TABLE cdtx ADD COLUMN extra bigint DEFAULT 9")
+    cat.sql("ROLLBACK")
+    cols = [r.col_name for r in cat.sql("DESCRIBE cdtx").collect()]
+    if cols != ["k"]:
+        raise RuntimeError(f"rolled-back ADD COLUMN leaked: {cols}")
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql("ALTER TABLE cdtx ADD COLUMN extra bigint DEFAULT 9")
+    cat.sql(
+        "INSERT INTO cdtx (k, extra) SELECT o_orderkey, o_orderkey % 5 "
+        "FROM cd_raw_orders WHERE o_orderkey % 13 = 2 ORDER BY o_orderkey"
+    )
+    cat.sql("COMMIT")
+    for name in ("cd1", "cd2", "cdrt", "cdrt2", "cdtx"):
+        cat.drop_table(name)
+    a = snapshot_read(spark, t1).select(
+        F.lit("ctas1").alias("part"), "k", "cat", "total",
+        F.lit(None).cast("bigint").alias("extra"),
+    )
+    b = snapshot_read(spark, t2).select(
+        F.lit("ctas2").alias("part"), "k", "cat",
+        F.lit(None).cast("double").alias("total"),
+        F.lit(None).cast("bigint").alias("extra"),
+    )
+    c = snapshot_read(spark, t5).select(
+        F.lit("rt").alias("part"), "k", "cat",
+        F.col("g").cast("double").alias("total"),
+        F.lit(None).cast("bigint").alias("extra"),
+    )
+    d = snapshot_read(spark, t6).select(
+        F.lit("txn").alias("part"), "k",
+        F.lit(None).cast("string").alias("cat"),
+        F.lit(None).cast("double").alias("total"), "extra",
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .localCheckpoint(eager=True)
+    )
+
+
+@register(
+    "snapshot_mapped_interaction_read",
+    oracle="""
+        SELECT 'opt' AS leg, o_orderkey AS k, o_custkey AS v,
+               CAST(NULL AS VARCHAR) AS tag
+        FROM orders WHERE o_orderkey % 7 IN (0, 3)
+        UNION ALL
+        SELECT 'parts', o_orderkey, o_orderkey + 1, o_orderstatus
+        FROM orders WHERE o_orderkey % 11 IN (0, 5)
+        UNION ALL
+        SELECT 'ctas', o_orderkey, o_orderkey + 1, o_orderstatus
+        FROM orders WHERE o_orderkey % 5 = 0
+    """,
+    tags=("snapshot", "column-mapping", "optimize", "partitioning",
+          "ctas", "catalog"),
+)
+def snapshot_mapped_interaction_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MAPPED-TABLE INTERACTION class under ONE driver hash gate —
+    the round-15 probe hunt's three standing defects plus the round-16
+    partitioned-CTAS prelude fix, composed:
+
+    * RENAME COLUMN -> OPTIMIZE -> OPTIMIZE ZORDER BY -> incremental
+      append -> incremental zorder: every rewrite goes PHYSICAL, so the
+      renamed column's values survive all four generations (the pre-fix
+      compactors wrote logical-named files that read back all-NULL —
+      the hash catches exactly that); manifest stats stay keyed by the
+      frozen physical spelling and the rewritten files stay prunable
+      (asserted in-fixture);
+    * partition-column RENAME moves the partitioning spec in the same
+      commit: a later insert routes per partition value, SHOW
+      PARTITIONS sees every generation, SHOW CREATE carries the NEW
+      spelling, and the physical-space point prune skips files;
+      dangling-reference refusals ride along (DROP of the partition
+      column, DROP/RENAME of a GENERATED expression's source);
+    * CREATE OR REPLACE ... PARTITIONED BY ... AS SELECT over the
+      mapped table runs the full-replace prelude: values read back
+      through the mapping (not NULLs) and the carried CHECK refuses a
+      violating replacement batch without committing.
+
+    The oracle reconstructs all three legs from the orders table."""
+    import shutil
+
+    from ..sources.catalog import load_table
+    from ..sources.snapshot_catalog import SnapshotCatalog
+    from ..sources import snapshots as S
+
+    base = Path(tempfile.gettempdir()) / (
+        f"snap_mapint_{os.getpid()}_{path_tag(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "mi_raw_orders"
+    )
+    cat = SnapshotCatalog(spark)
+    # --- leg A: rename x compaction x zorder ------------------------
+    ta = base / "a"
+    cat.sql(
+        f"CREATE TABLE mi_a (a bigint, b bigint) USING snapshot "
+        f"LOCATION '{ta}'"
+    )
+    cat.sql(
+        "INSERT INTO mi_a SELECT o_orderkey, o_custkey FROM mi_raw_orders "
+        "WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey"
+    )
+    cat.sql("ALTER TABLE mi_a RENAME COLUMN a TO aa")
+    cat.sql("OPTIMIZE mi_a")                      # compaction rewrite
+    cat.sql("OPTIMIZE mi_a ZORDER BY (aa, b)")    # full zorder rewrite
+    cat.sql(
+        "INSERT INTO mi_a SELECT o_orderkey, o_custkey FROM mi_raw_orders "
+        "WHERE o_orderkey % 7 = 3 ORDER BY o_orderkey"
+    )
+    S.snapshot_zorder_compact(spark, ta, "aa", "b", incremental=True)
+    m = S._read_manifest(ta, S.current_version(ta))
+    keys = sorted({c for s in (m.get("stats") or {}).values()
+                   for c in s if not c.startswith("__")})
+    if keys != ["a", "b"]:
+        raise RuntimeError(f"rewrite lost physical stats keys: {keys}")
+    hi = max(r[0] for r in cat.sql("SELECT max(aa) FROM mi_a").collect())
+    if not len(S.snapshot_files_for_range(ta, "a", 0, hi // 8)) < len(
+        m["files"]
+    ):
+        raise RuntimeError("zordered rewrite is unprunable")
+    # --- leg B: partition-column rename x routing x refusals --------
+    tb = base / "b"
+    cat.sql(
+        f"CREATE TABLE mi_b (k bigint, part string, "
+        f"g bigint GENERATED ALWAYS AS (k + 1)) USING snapshot "
+        f"PARTITIONED BY (part) LOCATION '{tb}'"
+    )
+    cat.sql(
+        "INSERT INTO mi_b (k, part) SELECT o_orderkey, o_orderstatus "
+        "FROM mi_raw_orders WHERE o_orderkey % 11 = 0 ORDER BY o_orderkey"
+    )
+    cat.sql("ALTER TABLE mi_b RENAME COLUMN part TO bucket")
+    cat.sql(
+        "INSERT INTO mi_b (k, bucket) SELECT o_orderkey, o_orderstatus "
+        "FROM mi_raw_orders WHERE o_orderkey % 11 = 5 ORDER BY o_orderkey"
+    )
+    parts = {r[0] for r in cat.sql("SHOW PARTITIONS mi_b").collect()}
+    if parts != {"F", "O", "P"}:
+        raise RuntimeError(f"renamed spec lost partitions: {parts}")
+    if "PARTITIONED BY (bucket)" not in cat.sql(
+        "SHOW CREATE TABLE mi_b"
+    ).first()[0]:
+        raise RuntimeError("SHOW CREATE kept the stale spec spelling")
+    mb = S._read_manifest(tb, S.current_version(tb))
+    if not len(S.snapshot_files_for_point(tb, "part", "F")) < len(
+        mb["files"]
+    ):
+        raise RuntimeError("partition point prune admits every file")
+    for probe, exc_pat in (
+        ("ALTER TABLE mi_b DROP COLUMN bucket", "partition column"),
+        ("ALTER TABLE mi_b DROP COLUMN k", "GENERATED"),
+        ("ALTER TABLE mi_b RENAME COLUMN k TO kk", "GENERATED"),
+    ):
+        try:
+            cat.sql(probe)
+            raise RuntimeError(f"{probe!r} did not refuse")
+        except ValueError as e:
+            if exc_pat not in str(e):
+                raise RuntimeError(f"{probe!r}: wrong refusal {e}")
+    # --- leg C: partitioned CTAS replace over the mapped table ------
+    tc = base / "c"
+    cat.sql(
+        f"CREATE TABLE mi_c (k bigint, val bigint, part string) "
+        f"USING snapshot LOCATION '{tc}'"
+    )
+    cat.sql("INSERT INTO mi_c VALUES (1, 10, 'X')")
+    cat.sql("ALTER TABLE mi_c RENAME COLUMN val TO v2")
+    cat.sql("ALTER TABLE mi_c ADD CONSTRAINT pos CHECK (v2 > 0)")
+    v_before = S.current_version(tc)
+    try:
+        cat.sql(
+            f"CREATE OR REPLACE TABLE mi_c USING snapshot "
+            f"PARTITIONED BY (part) LOCATION '{tc}' "
+            f"AS SELECT o_orderkey AS k, -1 AS v2, "
+            f"o_orderstatus AS part FROM mi_raw_orders "
+            f"WHERE o_orderkey % 5 = 0"
+        )
+        raise RuntimeError("carried CHECK did not fire on CTAS replace")
+    except S.SnapshotConstraintViolation:
+        pass
+    if S.current_version(tc) != v_before:
+        raise RuntimeError("refused CTAS replace committed anyway")
+    cat.sql(
+        f"CREATE OR REPLACE TABLE mi_c USING snapshot "
+        f"PARTITIONED BY (part) LOCATION '{tc}' "
+        f"AS SELECT o_orderkey AS k, o_orderkey + 1 AS v2, "
+        f"o_orderstatus AS part FROM mi_raw_orders "
+        f"WHERE o_orderkey % 5 = 0"
+    )
+    parts_c = {r[0] for r in cat.sql("SHOW PARTITIONS mi_c").collect()}
+    if parts_c != {"F", "O", "P"}:
+        raise RuntimeError(f"CTAS replace spec missing: {parts_c}")
+    for name in ("mi_a", "mi_b", "mi_c"):
+        cat.drop_table(name)
+    a = S.snapshot_read(spark, ta).select(
+        F.lit("opt").alias("leg"), F.col("aa").alias("k"),
+        F.col("b").alias("v"), F.lit(None).cast("string").alias("tag"),
+    )
+    b = S.snapshot_read(spark, tb).select(
+        F.lit("parts").alias("leg"), "k", F.col("g").alias("v"),
+        F.col("bucket").alias("tag"),
+    )
+    c = S.snapshot_read(spark, tc).select(
+        F.lit("ctas").alias("leg"), "k", F.col("v2").alias("v"),
+        F.col("part").alias("tag"),
+    )
+    return (
+        a.unionByName(b).unionByName(c).localCheckpoint(eager=True)
+    )

@@ -92,78 +92,78 @@ def _load_all() -> None:
     )
 
 
-# Explicit surface order — ROUND-15 ACTIVE WINDOW. External harnesses that
+# Explicit surface order — ROUND-16 ACTIVE WINDOW. External harnesses that
 # sample a prefix of the query surface (a correctness gate bounded to the
 # first ~50 entries) see this ordering. Composition rule (enforced by
 # tests/test_queries_oracle.py's guard, which reads the committed
 # CORRECTNESS_r*.json artifacts directly): (1) queries BORN this round
-# lead (snapshot_ddl_lifecycle_read gates the r14-late DDL surface;
-# stream_paced_sink_read gates rate-limited streaming + exactly-once
-# sinks; snapshot_widen_bloom_read gates the r15-late ALTER COLUMN TYPE
-# widening + bloom-backfill ANALYZE; formats_roundtrip_read gates the
-# JSONL/ORC source-sink tier; reference_sql_suite_read gates the EP3
-# SQL-text client path end-to-end — all new, never driver-hash-
-# checked); (2) the stalest cohort — the r10-green set's alphabetical
-# tail of 14 that did not fit the r14 window (multimodal_payload_stats
-# .. window_top3_orders_per_customer); (3) the r11-green cohort,
-# alphabetical first 31 of 50 (its tail of 19 leads the r16 rotation).
-# All stay continuously DuckDB-oracled by tests/test_queries_oracle.py
-# regardless.
+# lead (snapshot_ctas_ddl_read gates the r15-late partitioned-CTAS /
+# SHOW-CREATE-round-trip / transactional-DDL surface;
+# snapshot_mapped_interaction_read gates the mapped-table interaction
+# class — RENAME x OPTIMIZE/zorder, partition-column rename x routing x
+# prune, partitioned CTAS replace x constraints — both new, never
+# driver-hash-checked); (2) the stalest cohort — the FULL r11-green
+# tail of 19 (the r15 verdict's fix: the COVERAGE handoff list had
+# dropped snapshot_schema_evolution_read and snapshot_soft_delete_read;
+# all 19 rotate here so no oracled query's latest green ages past 5
+# rounds); (3) the r12-green cohort, alphabetical first 29 of 49 (its
+# tail of 20 leads the r17 rotation). All stay continuously
+# DuckDB-oracled by tests/test_queries_oracle.py regardless.
 SURFACE_ORDER: tuple[str, ...] = (
-    # --- born round 15, never driver-hash-checked (new queries go
+    # --- born round 16, never driver-hash-checked (new queries go
     #     HERE, at the top, so the gate window always sees them first) ---
-    "snapshot_ddl_lifecycle_read",
-    "stream_paced_sink_read",
-    "snapshot_widen_bloom_read",
-    "formats_roundtrip_read",
-    "reference_sql_suite_read",
-    # --- latest hash-green round 10: the 14-query stale tail ---
-    "multimodal_payload_stats",
-    "multimodal_png_pixel_stats",
-    "snapshot_bloom_point_lookup_orders",
-    "snapshot_bucketed_join_read",
-    "snapshot_cdc_mirror_read",
-    "snapshot_conditional_merge_read",
-    "snapshot_partition_evolution_read",
-    "snapshot_predicate_dml_read",
-    "snapshot_pruned_range_read",
-    "snapshot_retention_delete_orders",
-    "snapshot_txn_two_table_read",
-    "star_join_lineitem",
-    "top_customers_by_revenue",
-    "window_top3_orders_per_customer",
-    # --- latest hash-green round 11: alphabetical first 31 of 50 ---
-    "docs_incremental_simhash_dedup",
-    "docs_lm_quality_buckets",
-    "docs_lm_score_pandas_kernel",
-    "docs_more_like_this",
-    "docs_multitier_dup_pairs",
-    "docs_ngram_jaccard_pairs",
-    "docs_repetition_stats",
-    "docs_simhash_near_dups",
-    "docs_split_contamination",
-    "docs_stratified_sample",
-    "docs_tfidf_top_terms",
-    "docs_training_corpus",
-    "embeddings_knn_graph",
-    "lateral_explode_tokens",
-    "multimodal_jpeg_pixel_stats",
-    "multimodal_resize_stats",
-    "multimodal_tiff_pixel_stats",
-    "multimodal_wav_adpcm_stats",
-    "multimodal_wav_g711_stats",
-    "skew_salted_agg_event_types",
-    "skew_salted_join_event_enrich",
-    "snapshot_analyze_read",
-    "snapshot_change_feed_orders",
-    "snapshot_copy_into_read",
-    "snapshot_ctas_read",
-    "snapshot_mirror_loop_read",
-    "snapshot_mor_delete_read",
-    "snapshot_multicol_partition_read",
-    "snapshot_or_pruning_read",
-    "snapshot_purge_read",
-    "snapshot_schema_ddl_read",
+    "snapshot_ctas_ddl_read",
+    "snapshot_mapped_interaction_read",
+    # --- latest hash-green round 11: the FULL 19-query stale tail ---
+    "snapshot_schema_evolution_read",
+    "snapshot_soft_delete_read",
+    "snapshot_time_travel_read",
+    "snapshot_zorder_rect_read",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_classes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_heavy_red_part_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    # --- latest hash-green round 12: alphabetical first 29 of 49 ---
+    "audit_enrichment",
+    "correlated_subquery_above_avg_size",
+    "count_customers",
+    "cube_order_counts",
+    "customer_category",
+    "date_function_suite",
+    "dedup_latest_order_per_customer",
+    "derived_line_revenue",
+    "distinct_counts",
+    "docs_feature_hash_vectors",
+    "docs_pii_redaction",
+    "docs_pii_report",
+    "docs_sequence_packing",
+    "docs_sequence_packing_stats",
+    "docs_simhash",
+    "docs_split_token_drift",
+    "embeddings_int8_quantization",
+    "events_daily_user_activity",
+    "events_funnel_view_click_purchase",
+    "events_json_props",
+    "events_resample_hourly_ffill",
+    "events_value_histogram",
+    "events_value_iqr_udaf",
+    "events_value_percentiles",
+    "events_weekly_cohort_retention",
+    "full_outer_spend_activity_reconciliation",
+    "knn_graph_indegree",
+    "knn_label_consistency",
+    "lineitem_zorder_layout",
 )
 
 
