@@ -723,15 +723,24 @@ def bm25_index_compact(
         ),
         target_files=max(1, n_files // 2), stats_cols=["term_bucket"],
     )
-    snapshot_compact_merged(
-        spark, root / "stats",
-        lambda d: d.agg(
+    def _fold_stats(d: DataFrame) -> DataFrame:
+        # mirror _bm25_index_stats' read EXACTLY: delta rows written
+        # before the table carried n_text_docs coalesce to n_docs —
+        # a NULL-skipping sum here would fold legacy rows' text-doc
+        # counts away and permanently inflate every later avgdl
+        n_text = (
+            F.coalesce(F.col("n_text_docs"), F.col("n_docs"))
+            if "n_text_docs" in d.columns
+            else F.col("n_docs")
+        )
+        return d.agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("n_text_docs").cast("long").alias("n_text_docs"),
+            F.sum(n_text).cast("long").alias("n_text_docs"),
             F.sum("sum_dl").cast("long").alias("sum_dl"),
-        ),
-        target_files=1,
-    )
+        )
+
+    snapshot_compact_merged(spark, root / "stats", _fold_stats,
+                            target_files=1)
     return ver
 
 

@@ -5045,7 +5045,7 @@ def snapshot_read_range(
 
 def snapshot_compact(
     spark: SparkSession, table_path, target_files: int = 1,
-    stats_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None, merge=None,
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT version's (typically many small,
     stream-appended) files into ``target_files`` larger ones and commit the
@@ -5055,13 +5055,23 @@ def snapshot_compact(
     on the first column and records fresh min/max stats, so compaction
     doubles as re-clustering (small random appends destroy key locality;
     this restores it). Exactly Delta's OPTIMIZE semantics: a metadata swap
-    over rewritten data, never an in-place mutation."""
+    over rewritten data, never an in-place mutation.
+
+    ``merge`` (see snapshot_compact_merged, the public face): an optional
+    caller-certified read-equivalent transform applied to the logical
+    frame before the rewrite, for MERGE-ON-READ delta tables whose read
+    path folds rows. With a transform the read merges schemas (a fold
+    needs the union width — delta generations may differ) and the commit
+    op records 'compact-merged'."""
     p = _table(table_path)
     for attempt in range(COMMIT_RETRIES):
         parent = current_version(p)
         pm = _read_manifest(p, parent) if parent else {}
         sch = pm.get("schema")
-        df = snapshot_read(spark, p)  # LOGICAL frame on mapped tables
+        # LOGICAL frame on mapped tables
+        df = snapshot_read(spark, p, merge_schema=merge is not None)
+        if merge is not None:
+            df = merge(df)
         if stats_cols:
             df = df.repartitionByRange(target_files, stats_cols[0])
         else:
@@ -5082,7 +5092,8 @@ def snapshot_compact(
         try:
             return _commit(
                 p, files, parent, stats=stats,
-                blooms=_carry_blooms(p, pm, [], files), op="compact",
+                blooms=_carry_blooms(p, pm, [], files),
+                op="compact-merged" if merge is not None else "compact",
             )
         except SnapshotCommitConflict:
             # a writer landed mid-compaction: rewriting a stale file set
@@ -5118,34 +5129,17 @@ def snapshot_compact_merged(
     documented read semantics (for a sum-on-read delta table, any
     grouping that preserves every group's sum). The caller certifies
     this — the function cannot check it without knowing the read
-    semantics."""
-    p = _table(table_path)
-    for attempt in range(COMMIT_RETRIES):
-        parent = current_version(p)
-        pm = _read_manifest(p, parent) if parent else {}
-        sch = pm.get("schema")
-        df = merge(snapshot_read(spark, p))  # LOGICAL frame
-        if stats_cols:
-            df = df.repartitionByRange(target_files, stats_cols[0])
-        else:
-            df = df.coalesce(target_files)
-        scols = stats_cols
-        if sch:
-            df = _df_to_physical(df, sch)
-            scols = [
-                _mapping_physical(sch, c) for c in (stats_cols or [])
-            ] or None
-        files = _write_files(df, p)
-        stats = _collect_stats(p, files, scols, spark=spark) if scols else None
-        try:
-            return _commit(
-                p, files, parent, stats=stats,
-                blooms=_carry_blooms(p, pm, [], files), op="compact-merged",
-            )
-        except SnapshotCommitConflict:
-            if attempt == COMMIT_RETRIES - 1:
-                raise
-    raise AssertionError("unreachable")
+    semantics. The transform sees the MERGED-schema logical frame
+    (delta generations may differ in width — folding a generation's
+    column away because one footer lacked it would change reads).
+
+    Thin wrapper over snapshot_compact's rewrite loop — one body, so
+    the two compactors can never drift on conflict handling, mapped
+    -table disposition, stats collection, or bloom carry."""
+    return snapshot_compact(
+        spark, table_path, target_files=target_files,
+        stats_cols=stats_cols, merge=merge,
+    )
 
 
 def snapshot_compact_where(

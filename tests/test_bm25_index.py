@@ -216,6 +216,41 @@ def test_bm25_index_compact_folds_deltas(spark, tmp_path):
     assert snapshot_read(spark, idx / "stats").count() == 1
 
 
+def test_bm25_index_compact_folds_legacy_stats_rows(spark, tmp_path):
+    """A stats table holding delta rows that PREDATE the n_text_docs
+    column (the legacy shape _bm25_index_stats' coalesce supports) must
+    fold to the same avgdl the merge-on-read path computes — a
+    NULL-skipping sum would silently drop the legacy rows' text-doc
+    counts and inflate every post-compaction score."""
+    from energy_datalake_solution_spark.operators.retrieval import (
+        bm25_index_compact,
+    )
+    from energy_datalake_solution_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_read,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    base_dir = tmp_path / "base"
+    docs.where(F.col("doc_id") < 200).write.parquet(
+        str(base_dir / "documents.parquet")
+    )
+    idx = tmp_path / "idx"
+    build_bm25_index(spark, str(base_dir), idx)
+    # a legacy-era delta row: (n_docs, sum_dl) only, no n_text_docs
+    snapshot_append(
+        spark.createDataFrame([(40, 4000)], "n_docs long, sum_dl long"),
+        idx / "stats",
+    )
+    before_rows = _rows(bm25_probe(spark, QT, idx))
+    bm25_index_compact(spark, idx)
+    assert _rows(bm25_probe(spark, QT, idx)) == before_rows
+    folded = snapshot_read(spark, idx / "stats").collect()
+    assert len(folded) == 1
+    # the legacy row's 40 docs count toward n_text_docs via coalesce
+    assert folded[0]["n_text_docs"] == folded[0]["n_docs"]
+
+
 def test_null_text_docs_count_toward_idf_but_not_avgdl(spark, tmp_path):
     """A corpus with NULL-text documents: the stored index's probe must
     reproduce the fused query exactly — N (idf) counts every row while
