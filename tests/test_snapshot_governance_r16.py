@@ -216,3 +216,69 @@ def test_enable_column_mapping_refuses_bucketed_tables(spark, tmp_path):
     S.snapshot_enable_column_mapping(spark, t)
     S.snapshot_rename_column(t, "k", "kk")
     assert S.snapshot_read(spark, t).columns == ["kk", "v"]
+
+
+def test_compact_merged_folds_racing_append(spark, tmp_path, monkeypatch):
+    """snapshot_compact_merged's docstring contract, raced for real: a
+    delta-row append landing between the compactor's read and its
+    commit must be FOLDED by the conflict retry, never dropped (a
+    full-replace rebase that recommitted the stale file set would lose
+    the racer's rows)."""
+    from pyspark.sql import functions as F
+
+    t = tmp_path / "m"
+    S.snapshot_write(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, cnt long"), t
+    )
+    S.snapshot_append(
+        spark.createDataFrame([(1, 5)], "k long, cnt long"), t
+    )
+    real_commit = S._commit
+    state = {"injected": False}
+
+    def racing_commit(p_, files_, parent_, **kw):
+        if not state["injected"]:
+            state["injected"] = True
+            S.snapshot_append(
+                spark.createDataFrame([(2, 7), (3, 1)], "k long, cnt long"),
+                t,
+            )
+        return real_commit(p_, files_, parent_, **kw)
+
+    monkeypatch.setattr(S, "_commit", racing_commit)
+    S.snapshot_compact_merged(
+        spark, t,
+        lambda d: d.groupBy("k").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        ),
+    )
+    monkeypatch.undo()
+    got = {r["k"]: r["cnt"] for r in S.snapshot_read(spark, t).collect()}
+    # racer's rows folded in: k=2 sums both generations, k=3 survives
+    assert got == {1: 15, 2: 27, 3: 1}
+    # and the fold actually collapsed to one row per key
+    assert S.snapshot_read(spark, t).count() == 3
+
+
+def test_plain_compact_folds_racing_append(spark, tmp_path, monkeypatch):
+    """snapshot_compact's conflict loop (previously untested): an
+    append landing mid-compaction forces a re-read of the new tip —
+    the racer's rows survive the rewrite."""
+    t = tmp_path / "pc"
+    S.snapshot_write(spark.range(20).selectExpr("id AS k", "id AS v"), t)
+    real_commit = S._commit
+    state = {"injected": False}
+
+    def racing_commit(p_, files_, parent_, **kw):
+        if not state["injected"]:
+            state["injected"] = True
+            S.snapshot_append(
+                spark.createDataFrame([(100, 100)], "k long, v long"), t
+            )
+        return real_commit(p_, files_, parent_, **kw)
+
+    monkeypatch.setattr(S, "_commit", racing_commit)
+    S.snapshot_compact(spark, t, target_files=2)
+    monkeypatch.undo()
+    assert S.snapshot_read(spark, t).count() == 21
+    assert S.snapshot_read(spark, t).where("k = 100").count() == 1
