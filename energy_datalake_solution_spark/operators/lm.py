@@ -170,15 +170,22 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of re-aggregating the corpus-sized bigram stream a second time
     c1 = c12.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
     # model vocabulary = distinct words appearing in any bigram — derived
-    # from the pair table (one small job), not a third corpus pass; tokens
-    # of bigram-less singleton docs are outside the model by definition
-    # (those docs are never scored)
-    vocab = (
-        c12.select(F.col("w1").alias("term"))
-        .union(c12.select(F.col("w2").alias("term")))
-        .distinct()
-        .count()
+    # from the pair table, not a third corpus pass; tokens of bigram-less
+    # singleton docs are outside the model by definition (those docs are
+    # never scored). ONE job computes vocab AND the broadcast-guard pair
+    # count: exploding (w1, w2) yields exactly two rows per pair, so
+    # count(*)/2 is the pair count and count_distinct(term) the vocab —
+    # previously two separate driver-blocking jobs (union-distinct-count
+    # + c12.count()), i.e. two passes over the checkpointed model table.
+    _row = (
+        c12.select(F.explode(F.array("w1", "w2")).alias("term"))
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+            F.count_distinct("term").alias("vocab"),
+        )
+        .first()
     )
+    n_pairs, vocab = _row["n_pairs"], _row["vocab"]
     lm = c12.join(c1, "w1").select(
         "w1",
         "w2",
@@ -188,10 +195,10 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("logp"),
     )
     # Broadcast only if the model actually fits (counted, not assumed —
-    # the pair table is already checkpointed, so this count reuses it).
+    # n_pairs comes from the same single stats job as vocab above).
     # Oversized model => shuffle hash join: the bigram stream shuffles on
     # (w1, w2) instead of shipping the model everywhere. Identical rows.
-    if c12.count() <= MAX_BROADCAST_LM_ROWS:
+    if n_pairs <= MAX_BROADCAST_LM_ROWS:
         lm = F.broadcast(lm)
     else:
         lm = lm.hint("shuffle_hash")

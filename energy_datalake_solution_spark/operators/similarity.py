@@ -169,6 +169,27 @@ def lsh_planes() -> list[list[float]]:
     ]
 
 
+def lsh_planes_lit():
+    """The hyperplane matrix as ONE Column literal, built via a single
+    parsed SQL expression instead of 16 x 64 nested ``F.lit`` calls: the
+    element-wise form costs ~0.6 s of py4j round-trips PER QUERY BUILD
+    (measured, guide §1.5 label-and-look) while ``F.expr`` parses the
+    same 1024 exact double literals JVM-side in ~2 ms. Values are +-1.0
+    (md5 sign tests), so the decimal text is bit-exact; the resulting
+    plan literal is identical (pinned by collect-equality at adoption).
+    Shared by every consumer of the planes (fused ANN, stored-index
+    build/append, distributed probe, streaming twin) — single-sourced
+    like lsh_sig_expr, for the same no-drift reason."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(v) + "D" for v in row) + ")"
+            for row in lsh_planes()
+        )
+        + ")"
+    )
+
+
 def lsh_sig_expr(emb, planes_arr):
     """The LSH_SIG_BITS-bit sign-test signature as a Column: bit p set iff
     dot(emb, plane_p) > 0, accumulated left-to-right in doubles. ONE
@@ -281,10 +302,7 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
 
-    planes = lsh_planes()
-    planes_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
-
-    vec = e.select("vec_id", "embedding", planes_lit.alias("planes"))
+    vec = e.select("vec_id", "embedding", lsh_planes_lit().alias("planes"))
     # 16-bit signature: bit p set iff dot(embedding, plane_p) > 0
     sig = vec.select(
         "vec_id",
@@ -308,17 +326,25 @@ def embeddings_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     c = banded.where(F.col("vec_id") >= N_QUERIES)
-    cand = (
+    # Score BEFORE the candidate dedup, then distinct on (q_id, c_id,
+    # cosine_sim): the cosine is a pure function of the pair, so a pair
+    # meeting in several bands/probes carries identical rows and the
+    # distinct result is row-identical to dedup-then-score — but the
+    # dedup exchange now ships 24-byte rows instead of two 64-float
+    # embedding payloads per row (guide §2.3, shuffle metadata not
+    # payloads; ~20x fewer shuffle bytes). This is exactly the shape the
+    # stored-index probe (ann_index.lsh_probe) already uses, so the
+    # fused/stored row-identity pin holds by construction.
+    scored = (
         F.broadcast(q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "band", "band_key"))
         .join(
             c.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "band", "band_key"),
             ["band", "band_key"],
         )
-        .select("q_id", "q_emb", "c_id", "c_emb")
+        .select(
+            "q_id", "c_id", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim")
+        )
         .distinct()
-    )
-    scored = cand.select(
-        "q_id", "c_id", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim")
     )
     return cosine_topk_epilogue(scored)
 
@@ -389,7 +415,11 @@ def embeddings_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id", F.col("centroid").cast("array<double>").alias("centroid")
     )
 
-    q = assigned.where(F.col("vec_id") < N_QUERIES).select(
+    # the query side never reads its centroid assignment (probing ranks
+    # centroids per query below) — take it straight from the filtered
+    # scan instead of through the Normalizer/KMeans-transform branch:
+    # one fewer full normalize+assign pass, identical rows
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     # nearest 6 of 8 centroids per query (centroid table is tiny ->

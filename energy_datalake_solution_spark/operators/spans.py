@@ -95,15 +95,38 @@ _ORACLE_SPANS = f"""
 )
 def docs_duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing >= 1 exact SPAN-token run, with the count of
-    distinct shared spans — the exact-substring dedup candidate set."""
+    distinct shared spans — the exact-substring dedup candidate set.
+
+    Single-digest-pass shape (the docs_duplicate_span_stats window idiom):
+    annotate each (doc, span) row with its span's document frequency via
+    `count() OVER (PARTITION BY span_h)` — ONE span_h exchange — then
+    self-join the df-filtered rows on span_h. The previous 3-subtree form
+    (df aggregate + two join branches, the aggregate BROADCAST into each)
+    enumerated the md5 windows once per branch (pruned projections differ,
+    so no exchange reuse: 4 scans / 4 spread exchanges / 2 identical df
+    aggregations in the static plan) and ended in a BroadcastHashJoin
+    whose build side was the CORPUS-sized shared-span table — a driver
+    OOM at 100 TB. Now both self-join sides hang off the one window
+    exchange (AQE ReusedExchange, pinned in tests/test_plan_shapes.py)
+    and the pair join is a plain equi-join keyed by the exchange's own
+    partitioning. The window buffers one span group at a time (spillable,
+    bounded by the hottest span's df — the span_stats disposition).
+
+    n_shared_spans is count(*), not count(DISTINCT): (doc_id, span_h)
+    rows are unique by construction (array_distinct before the explode),
+    so every joined (doc_a, doc_b, span_h) row is distinct — identical
+    result without the two-phase distinct aggregation (oracle unchanged,
+    hash-verified)."""
+    from pyspark.sql import Window as W
+
     spans = _span_digests(load_table(spark, sf_dir, "documents"))
-    eligible = (
-        spans.groupBy("span_h")
-        .agg(F.count(F.lit(1)).alias("df"))
+    shared = (
+        spans.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("span_h"))
+        )
         .where((F.col("df") >= 2) & (F.col("df") <= DF_CAP))
-        .select("span_h")
+        .select("doc_id", "span_h")
     )
-    shared = spans.join(eligible, "span_h")
     a = shared.alias("a")
     b = shared.alias("b")
     return (
@@ -113,7 +136,7 @@ def docs_duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.count_distinct("span_h").alias("n_shared_spans"))
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )
 
 

@@ -816,3 +816,53 @@ def test_change_feed_update_pairing_joins_broadcast(spark, tmp_path):
     plan = plan_of(cf)
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_span_pairs_single_digest_pass(spark):
+    """docs_duplicate_span_pairs (r16 window form): ONE span_h exchange
+    feeds the df window and both self-join sides (ReusedExchange for the
+    second side), the md5 window enumeration appears in at most 2 static
+    branches (down from 4), and the pair join must NOT broadcast the
+    corpus-sized shared-span table."""
+    import re
+
+    df = QUERIES["docs_duplicate_span_pairs"].fn(spark, SF_ORACLE)
+    static = plan_of(df)
+    # detail headers only — each node also renders once in the tree view
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", static, re.M))
+    assert n_scans <= 2, n_scans
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1
+
+
+def test_lsh_fused_distinct_ships_scores_not_payloads(spark):
+    """embeddings_lsh_ann (r16): the candidate dedup runs AFTER scoring,
+    so no exchange above the band join carries an embedding payload —
+    the distinct and window shuffles ship (q_id, c_id, cosine_sim) only."""
+    plan = plan_of(QUERIES["embeddings_lsh_ann"].fn(spark, SF_ORACLE))
+    details = plan.split("== Physical Plan ==")[-1]
+    import re
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?", details):
+        block = m.group(0)
+        if "hashpartitioning" in block:
+            assert "emb" not in block.lower(), block
+
+
+def test_lsh_planes_literal_forms_identical(spark):
+    """lsh_planes_lit (one parsed SQL literal, ~2 ms) must equal the
+    element-wise F.array/F.lit construction it replaced, value for value
+    — the planes feed every LSH signature, so a drift here silently
+    desynchronizes indexes from queries."""
+    from energy_datalake_solution_spark.operators.similarity import (
+        lsh_planes,
+        lsh_planes_lit,
+    )
+
+    elementwise = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lsh_planes()]
+    )
+    a, b = spark.range(1).select(
+        lsh_planes_lit().alias("p"), elementwise.alias("q")
+    ).first()
+    assert a == b
