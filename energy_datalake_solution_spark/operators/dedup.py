@@ -178,22 +178,31 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 3)
-    idx = F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i")
-    shingles = (
-        toks.select("doc_id", "w", idx)
-        .select(
-            "doc_id",
-            F.xxhash64(
+    # Per-doc dedup BEFORE the explode (the _span_digests idiom): a
+    # shingle repeated within one document dedups in a row-local
+    # array_distinct instead of a global distinct — that distinct was a
+    # full shuffle of the shingle stream on (doc_id, sh) whose output
+    # then re-shuffled on sh for BOTH the document-frequency aggregate
+    # and the df join-back (three full-stream exchanges). Now the
+    # exploded stream is distinct by construction and both consumers
+    # hang off ONE canonical exchange on sh (AQE ReusedExchange — the
+    # tokenize+hash segment below it also runs once). Plan diff:
+    # 3 full-stream Exchanges -> 1 (pinned in tests/test_plan_shapes.py);
+    # rows identical (the distinct was per-doc: its key was (doc_id, sh)).
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 2),
+            lambda i: F.xxhash64(
                 F.concat_ws(
                     " ",
-                    F.element_at("w", F.col("i")),
-                    F.element_at("w", F.col("i") + 1),
-                    F.element_at("w", F.col("i") + 2),
+                    F.element_at("w", i),
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
                 )
-            ).alias("sh"),
+            ),
         )
-        .distinct()
     )
+    shingles = toks.select("doc_id", F.explode(sh_arr).alias("sh"))
     dfreq = (
         shingles.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -894,6 +894,10 @@ class SnapshotCatalog:
         self._tables: dict[str, tuple[str, int | None]] = {}
         self._views: dict[str, str] = {}  # named views, creation order
         self._txn = None  # open BEGIN TRANSACTION, if any
+        # (path, version) each registered view is currently pinned at —
+        # lets _refresh skip the Python-data-source reload for tables
+        # whose resolved version did not move (see _register)
+        self._pinned: dict[str, tuple[str, int | None]] = {}
         from .snapshot_datasource import SnapshotDataSource
 
         try:
@@ -916,6 +920,7 @@ class SnapshotCatalog:
                 return
             raise KeyError(f"no snapshot table registered as {name!r}")
         del self._tables[name]
+        self._pinned.pop(name, None)
         self.spark.catalog.dropTempView(name)
 
     # -- query -------------------------------------------------------------
@@ -2251,7 +2256,28 @@ class SnapshotCatalog:
             staged = self._txn._staged_version(path)
             if staged is not None:
                 version = staged
+        # The data-source reader pins current_version(path) at instance
+        # creation when no version option is passed (snapshot_datasource
+        # .py), so the view's pin is fully determined by (path, resolved
+        # version). Re-resolving that pin driver-side (one pointer-file
+        # read) and SKIPPING the reload when it did not move makes
+        # _refresh O(changed tables) instead of one Python-data-source
+        # load() — a Python worker round-trip for schema resolution —
+        # per registered table per statement: a multi-table session
+        # previously re-paid every table's load on every DML.
+        from .snapshots import current_version
+
+        pin = (
+            str(path),
+            current_version(path) if version is None else version,
+        )
+        if (
+            self._pinned.get(name) == pin
+            and self.spark.catalog.tableExists(name)
+        ):
+            return
         reader = self.spark.read.format("snapshot").option("path", path)
         if version is not None:
             reader = reader.option("version", str(version))
         reader.load().createOrReplaceTempView(name)
+        self._pinned[name] = pin

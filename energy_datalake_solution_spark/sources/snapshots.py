@@ -4852,16 +4852,44 @@ def snapshot_change_feed(
             F.col("_metadata.row_index").alias("_ri"),
             *cols,
         )
-        keep = None
-        for rel, entry in grown.items():
-            fp = _dv_key(rel)  # _fp rows carry the suffix form
-            span = None
-            for lo_, hi_ in _position_runs(_unpack_positions(entry)):
-                c = F.col("_ri").between(int(lo_), int(hi_))
-                span = c if span is None else span | c
-            cond = (F.col("_fp") == fp) & span
-            keep = cond if keep is None else keep | cond
-        matches = tagged.where(keep)
+        # same run-budget dual as _read_files_with_dv: few contiguous
+        # runs -> a BETWEEN expression filter; scattered deltas -> a
+        # broadcast semi-join on the exact (file, position) pairs. The
+        # uncapped expression form linearly OR-folded one predicate per
+        # run — thousands of scattered grown-delta runs (seen at sf0.1
+        # mirror-loop/CDC windows) built an O(runs)-deep Column tree
+        # that overflowed the converter's stack before any job ran.
+        grown_runs = {
+            rel: _position_runs(_unpack_positions(entry))
+            for rel, entry in grown.items()
+        }
+        if sum(len(r) for r in grown_runs.values()) <= _DV_RUNS_MAX:
+            keep = None
+            for rel, rr in grown_runs.items():
+                fp = _dv_key(rel)  # _fp rows carry the suffix form
+                span = None
+                for lo_, hi_ in rr:
+                    c = F.col("_ri").between(int(lo_), int(hi_))
+                    span = c if span is None else span | c
+                cond = (F.col("_fp") == fp) & span
+                keep = cond if keep is None else keep | cond
+            matches = tagged.where(keep)
+        else:
+            import pandas as _pd
+
+            pairs = _pd.DataFrame(
+                [
+                    (_dv_key(rel), int(ri))
+                    for rel, entry in grown.items()
+                    for ri in _unpack_positions(entry)
+                ],
+                columns=["_fp", "_ri"],
+            )
+            matches = tagged.join(
+                F.broadcast(spark.createDataFrame(pairs)),
+                ["_fp", "_ri"],
+                "left_semi",
+            )
         if updates_as == "updates":
             pre_tagged = matches  # pairing decides delete vs preimage
         else:
@@ -4892,18 +4920,39 @@ def snapshot_change_feed(
             F.col("_metadata.row_index").alias("_fri"),
             *raw.columns,
         )
-        drop_cond = None  # rows of prov files deleted again by v_to
-        for f in prov_added:
-            k = _dv_key(f)
-            if k in dv_to:
+        # rows of prov files deleted again by v_to — same run-budget
+        # dual as the grown-delta path above (an uncapped OR-fold here
+        # has the same O(runs)-deep-tree stack hazard)
+        dead = {
+            _dv_key(f): _unpack_positions(dv_to[_dv_key(f)])
+            for f in prov_added
+            if _dv_key(f) in dv_to
+        }
+        dead_runs = {k: _position_runs(pos) for k, pos in dead.items()}
+        if not dead:
+            pass
+        elif sum(len(r) for r in dead_runs.values()) <= _DV_RUNS_MAX:
+            drop_cond = None
+            for k, rr in dead_runs.items():
                 span = None
-                for lo_, hi_ in _position_runs(_unpack_positions(dv_to[k])):
+                for lo_, hi_ in rr:
                     c = F.col("_fri").between(int(lo_), int(hi_))
                     span = c if span is None else span | c
                 cond = (F.col("_ffp") == k) & span
                 drop_cond = cond if drop_cond is None else drop_cond | cond
-        if drop_cond is not None:
             ptag = ptag.where(~drop_cond)
+        else:
+            import pandas as _pd
+
+            pairs = _pd.DataFrame(
+                [(k, int(ri)) for k, pos in dead.items() for ri in pos],
+                columns=["_ffp", "_fri"],
+            )
+            ptag = ptag.join(
+                F.broadcast(spark.createDataFrame(pairs)),
+                ["_ffp", "_fri"],
+                "left_anti",
+            )
         post = ptag.drop("_ffp", "_fri")
     if post is None and pre_tagged is None:
         return out
@@ -6885,10 +6934,21 @@ def snapshot_upsert_partitioned(
     ]
     df = df.persist()  # evaluated for touched-values, anti-join and write
     try:
-        touched_vals = [
-            r[0] for r in df.select(partition_col).distinct().collect()
-        ]
-        if any(v is None for v in touched_vals):
+        # ONE pass over the batch for every scalar the merge needs:
+        # touched partition values (collect_set skips NULLs, so NULLs are
+        # counted separately to keep the loud-failure contract) plus the
+        # key range for the file prune — previously a distinct().collect()
+        # job AND an agg(min, max) job over the same persisted batch
+        _g = df.agg(
+            F.collect_set(F.col(partition_col)).alias("vals"),
+            F.sum(
+                F.when(F.col(partition_col).isNull(), 1).otherwise(0)
+            ).alias("nulls"),
+            F.min(keys[0]).alias("klo"),
+            F.max(keys[0]).alias("khi"),
+        ).first()
+        touched_vals = list(_g["vals"])
+        if _g["nulls"]:
             raise ValueError(
                 f"snapshot_upsert_partitioned({partition_col!r}): incoming "
                 "batch contains NULL partition values; a NULL cannot route "
@@ -6910,9 +6970,7 @@ def snapshot_upsert_partitioned(
                            blooms=m.get("blooms") or None,
                            dv=m.get("dv") or None, op="upsert-part",
                            partitioning_meta=part_meta)
-        klo, khi = df.agg(
-            F.min(keys[0]), F.max(keys[0])
-        ).first()
+        klo, khi = _g["klo"], _g["khi"]
         for attempt in range(COMMIT_RETRIES):
             parent = current_version(p)
             m = _read_manifest(p, parent)

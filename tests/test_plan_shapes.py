@@ -866,3 +866,17 @@ def test_lsh_planes_literal_forms_identical(spark):
         lsh_planes_lit().alias("p"), elementwise.alias("q")
     ).first()
     assert a == b
+
+
+def test_jaccard_no_global_shingle_distinct(spark):
+    """docs_ngram_jaccard_pairs (r16): per-doc shingle dedup happens in a
+    row-local array_distinct before the explode, so the global distinct's
+    full-stream exchange is gone — the static plan dropped from 17 to 9
+    Exchange nodes. A regression reintroduces up to two extra shuffles of
+    the corpus-wide shingle stream."""
+    import re
+
+    static = plan_of(QUERIES["docs_ngram_jaccard_pairs"].fn(spark, SF_ORACLE))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", static, re.M))
+    assert n_ex <= 10, n_ex
+    assert "array_distinct" in static

@@ -3072,3 +3072,33 @@ def test_autocompact_bin_packs_only_small_files(spark, tmp_path):
         spark, t, small_bytes=1024, min_small_files=4
     )
     assert v2 == v
+
+
+def test_change_feed_scattered_dv_deltas_route_to_join(spark, tmp_path):
+    """Grown-DV deltas with more runs than _DV_RUNS_MAX must route to the
+    broadcast semi-join form, not the BETWEEN expression filter — the
+    uncapped OR-fold built an O(runs)-deep Column tree that overflowed
+    the JVM stack at sf0.1 CDC-window sizes (r16 find). Every-other-row
+    deletes compress to one run per position, so 600 deleted rows >> the
+    256-run budget; the feed must still report exactly those deletes."""
+    from energy_datalake_solution_spark.sources.snapshots import (
+        _DV_RUNS_MAX,
+        current_version,
+        snapshot_change_feed,
+        snapshot_delete_where,
+        snapshot_write_with_stats,
+    )
+
+    t = tmp_path / "t"
+    base = spark.range(0, 1200).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    snapshot_write_with_stats(base, t, ["k"], n_files=2)
+    v1 = current_version(t)
+    # scattered MOR delete: every even key -> one DV run per position
+    snapshot_delete_where(spark, t, "k % 2 = 0")
+    feed = snapshot_change_feed(spark, t, v1).collect()
+    dels = sorted(r.k for r in feed if r._change_type == "delete")
+    assert dels == list(range(0, 1200, 2))
+    assert len(dels) > _DV_RUNS_MAX  # proves the join path was exercised
+    assert not [r for r in feed if r._change_type == "insert"]
