@@ -38,11 +38,14 @@ ALLOWED_EXACT = {
     "bench.py",
     "bench_last.json",  # full per-run artifact bench.py drops beside itself
     "energy_datalake_solution_spark",
+    "plans",  # committed explain('formatted') evidence (plans/r<N>/)
     "tests",
 }
 ALLOWED_PATTERNS = (
     re.compile(r"^BENCH_r\d+\.json$"),
     re.compile(r"^CORRECTNESS_r\d+\.json$"),
+    # optimization-round deliverable (one per optimization round)
+    re.compile(r"^OPTIMIZATION_r\d+\.md$"),
 )
 
 # Characters illegal in Windows filenames (subset of the full set that
